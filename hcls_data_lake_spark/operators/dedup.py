@@ -1,0 +1,170 @@
+"""Deduplication operators.
+
+Generalizes the reference's SHA-256 exact-dedup gate
+(front_door_lambda.py:26-31, registry table front_door_stack.yml:168-178)
+to content-level near-dedup at training-data scale.
+
+All hashing is JVM-side (``xxhash64`` / ``sha2`` built-ins) — no Python
+in the hot path; everything is expression-composed so whole-stage
+codegen fuses the shingle → minhash → band pipeline into the scan stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Keep one row per distinct content hash (lowest id wins).
+
+    One hash-shuffle; at 100 TB this is the minimal-cost dedup: the
+    SHA-256 is computed map-side and the shuffle key is the 32-byte
+    digest, not the payload.
+    """
+    h = F.sha2(F.col(content_col).cast("binary"), 256)
+    return (
+        df.withColumn("content_hash", h)
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias(id_col))
+        .drop("content_hash")
+    )
+
+
+def shingles(text_col: str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column (JVM HOFs only)."""
+    return F.array_distinct(
+        F.expr(
+            f"transform(sequence(0, greatest(size(split({text_col}, ' ')) - {n}, -1)),"
+            f" i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, {n})))"
+        )
+    )
+
+
+def minhash_signature(shingle_col: str, n_perm: int = 32) -> Column:
+    """n_perm minhashes: permutation p = min over shingles of
+    xxhash64(p || shingle). Pure expression — computed in the scan
+    stage, no shuffle."""
+    return F.expr(
+        f"transform(sequence(0, {n_perm - 1}),"
+        f" p -> array_min(transform({shingle_col},"
+        f"      s -> xxhash64(concat(cast(p as string), ':', s)))))"
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_perm: int = 32,
+    bands: int = 8,
+    jaccard_threshold: float = 0.2,
+) -> DataFrame:
+    """MinHash + LSH banded near-dup pairs, verified with exact Jaccard.
+
+    Scale shape: candidate generation is an equi-join on
+    ``(band_id, band_key)`` — cost tracks bucket collisions, never n².
+    The exact-Jaccard verification joins shingle arrays back only for
+    candidate pairs (tiny relative to the corpus).
+
+    Returns (doc_a, doc_b, jaccard) with jaccard >= threshold.
+    """
+    rows_per_band = n_perm // bands
+    base = df.select(
+        F.col(id_col).alias("doc_id"), shingles(text_col).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    sigs = base.withColumn("sig", minhash_signature("shingles", n_perm))
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}),"
+                f" b -> concat_ws('_', transform(slice(sig, b * {rows_per_band} + 1,"
+                f" {rows_per_band}), x -> cast(x as string))))"
+            )
+        ).alias("band_id", "band_key"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sh = base.select("doc_id", "shingles")
+    verified = (
+        candidates.join(sh.withColumnsRenamed({"doc_id": "doc_a", "shingles": "sh_a"}), "doc_a")
+        .join(sh.withColumnsRenamed({"doc_id": "doc_b", "shingles": "sh_b"}), "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("inter")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )
+    return verified.select("doc_a", "doc_b", "jaccard")
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash fingerprints from token-level xxhash64 bit votes.
+
+    Per doc: each token votes +count/-count on each of 64 bit positions
+    of its hash; fingerprint bit i is set iff the vote sum is positive.
+    Shape: token explode → 64× bit explode → two hash aggregations —
+    all JVM-side, bounded state, linear in corpus size.
+
+    Returns (doc_id, simhash, n_tokens).
+    """
+    tokens = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(text_col, " ")).alias("token"),
+        )
+        .filter(F.length("token") > 0)
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("th", F.xxhash64("token"))
+    )
+    votes = tokens.select(
+        "doc_id",
+        "cnt",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, 63),"
+                " i -> case when (shiftright(th, i) & 1L) = 1L then cnt else -cnt end)"
+            )
+        ).alias("bit_i", "vote"),
+    )
+    bit_sums = votes.groupBy("doc_id", "bit_i").agg(F.sum("vote").alias("votes"))
+    fp = bit_sums.groupBy("doc_id").agg(
+        F.bit_or(
+            F.when(F.col("votes") > 0, F.shiftleft(F.lit(1).cast("long"), F.col("bit_i"))).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("simhash")
+    )
+    n_tok = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(F.filter(F.split(text_col, " "), lambda w: F.length(w) > 0)).alias(
+                "n_tokens"
+            ),
+        )
+    )
+    return fp.join(n_tok, "doc_id").select("doc_id", "simhash", "n_tokens")
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit fingerprints (JVM bit_count)."""
+    return F.bit_count(a.bitwiseXOR(b))

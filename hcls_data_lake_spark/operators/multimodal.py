@@ -1,0 +1,80 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Design (SURVEY.md north star): image/audio/video are ``binary`` columns
+travelling beside typed metadata; decode / feature-extract run as
+Arrow-batched ``mapInPandas`` so each executor processes whole record
+batches without per-row Python overhead. The actual codecs are NOT in
+this container, so decode is stubbed behind ``_decode_payload``: real
+mime types raise ``NotImplementedError``; ``text/plain`` uses a
+deterministic fake "decoder" so the plumbing (schema, batching,
+partition-parallelism) is fully testable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+FEATURE_SCHEMA = (
+    "doc_id bigint, mime_type string, n_bytes bigint, sha256 string,"
+    " feature array<float>, decode_ok boolean"
+)
+
+_FAKE_DECODABLE = {"text/plain"}
+
+
+def _decode_payload(payload: bytes, mime_type: str) -> bytes:
+    """Decode stub. Real image/audio decoding needs codecs absent from
+    this container; the Spark-side contract (bytes in, bytes out) is
+    what matters for the pipeline shape."""
+    if mime_type in _FAKE_DECODABLE:
+        return payload  # deterministic fake: identity "decode"
+    raise NotImplementedError(
+        f"no codec for {mime_type}: install decoder and extend _decode_payload"
+    )
+
+
+def _featurize(decoded: bytes) -> list[float]:
+    """Deterministic 8-dim feature from byte histogram (stands in for an
+    embedding/model forward pass; same Arrow batch shape)."""
+    if not decoded:
+        return [0.0] * 8
+    hist = [0] * 8
+    for byte in decoded:
+        hist[byte % 8] += 1
+    total = float(len(decoded))
+    return [round(h / total, 6) for h in hist]
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction over (doc_id, payload, mime_type,
+    meta). Arrow-batched: each pandas batch is processed vectorized in
+    one Python call per ~10k rows, not per row."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": pdf["doc_id"],
+                "mime_type": pdf["mime_type"],
+                "n_bytes": pdf["payload"].map(lambda b: len(b) if b is not None else 0),
+                "sha256": pdf["payload"].map(
+                    lambda b: hashlib.sha256(b or b"").hexdigest()
+                ),
+            }
+            feats, oks = [], []
+            for payload, mime in zip(pdf["payload"], pdf["mime_type"]):
+                try:
+                    decoded = _decode_payload(bytes(payload or b""), mime)
+                    feats.append(_featurize(decoded))
+                    oks.append(True)
+                except NotImplementedError:
+                    feats.append(None)
+                    oks.append(False)
+            out["feature"] = feats
+            out["decode_ok"] = oks
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=FEATURE_SCHEMA)

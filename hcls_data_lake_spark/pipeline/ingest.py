@@ -1,0 +1,73 @@
+"""Ingest chain (A1-A6): decode → authorize → hash → dedup → envelope.
+
+Re-expresses front_door_lambda.py's per-message Lambda as one
+DataFrame: the whole chain is a single codegen stage; the only shuffle
+is the dedup anti-join (broadcast when the registry is small).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def decode_base64(df: DataFrame, b64_col: str = "msg_b64", out_col: str = "msg") -> DataFrame:
+    """A2: base64-decode the wire payload (front_door_lambda.py:76-79)."""
+    return df.withColumn(out_col, F.unbase64(F.col(b64_col)).cast("string"))
+
+
+def authz_write_gate(df: DataFrame, claim_col: str = "writer_institution") -> DataFrame:
+    """A3: admit only rows whose write-claim is present
+    (front_door_lambda.py:17-23 — empty claim -> 403)."""
+    return df.filter(F.col(claim_col).isNotNull() & (F.col(claim_col) != ""))
+
+
+def rejected_authz(df: DataFrame, claim_col: str = "writer_institution") -> DataFrame:
+    """The 403 side of the gate, for the audit sink."""
+    return df.filter(F.col(claim_col).isNull() | (F.col(claim_col) == ""))
+
+
+def with_content_hash(df: DataFrame, msg_col: str = "msg", out_col: str = "msg_hash") -> DataFrame:
+    """A4: SHA-256 hex of the full message (front_door_lambda.py:26);
+    the old reference's 12-char short form is substring(out_col, 1, 12)
+    (old_reference/ingest_er7_lambda.py:30)."""
+    return df.withColumn(out_col, F.sha2(F.col(msg_col).cast("binary"), 256))
+
+
+def dedup_against_registry(
+    df: DataFrame, registry: DataFrame, hash_col: str = "msg_hash"
+) -> DataFrame:
+    """A5: admit only hashes NOT in the registry — the DynamoDB
+    conditional lookup (front_door_lambda.py:27-31) becomes one
+    broadcast/shuffle anti-join instead of N point reads."""
+    reg = registry.select(F.col(hash_col)).distinct()
+    return df.join(F.broadcast(reg) if _is_small(reg) else reg, hash_col, "left_anti")
+
+
+def _is_small(df: DataFrame) -> bool:
+    # registries of admitted hashes are usually compact digests; default
+    # to broadcast and let AQE demote if runtime stats disagree.
+    return True
+
+
+def attach_envelope(
+    df: DataFrame,
+    event: str = "ingested",
+    protocol: str = "hl7v2",
+    fmt: str = "er7",
+    source_col: str = "writer_institution",
+) -> DataFrame:
+    """A6: the 4-attribute SNS envelope as ordinary columns
+    (front_door_lambda.py:34-55)."""
+    return (
+        df.withColumn("event", F.lit(event))
+        .withColumn("protocol", F.lit(protocol))
+        .withColumn("format", F.lit(fmt))
+        .withColumn("source", F.col(source_col))
+    )
+
+
+def subscription_filter(df: DataFrame, protocol: str, fmt: str) -> DataFrame:
+    """A7: the SNS FilterPolicy (staging_stack.yml:102-104) as a
+    predicate — pushed to the scan by Catalyst."""
+    return df.filter((F.col("protocol") == protocol) & (F.col("format") == fmt))

@@ -1,0 +1,49 @@
+"""Staging chain (A12-A16): prepare → parse → route by outcome.
+
+The reference's trigger-Lambda + Express Step Function
+(trigger_lambda.py, staging_stack.yml:189-219) collapses to a plain
+DataFrame transform chain: the Step Function's JSONPath IR *is* the
+DataFrame (SURVEY.md §3.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hcls_data_lake_spark.hl7.er7 import normalize_er7, parse_er7_udf
+from hcls_data_lake_spark.pipeline.ingest import subscription_filter
+
+
+def prepare(df: DataFrame, msg_col: str = "msg") -> DataFrame:
+    """A13: segment-delimiter repair (prepare_er7_lambda.py:9-13)."""
+    return df.withColumn("er7", normalize_er7(F.col(msg_col)))
+
+
+def parse(df: DataFrame) -> DataFrame:
+    """A14: ER7→JSON parse via the Arrow-batched UDF; None = failure."""
+    return df.withColumn("parsed", parse_er7_udf(F.col("er7")))
+
+
+def route(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """A15: split by parse outcome — SUCCEEDED → staged/json, FAILED →
+    error/txt with the original input (trigger_lambda.py:27-36)."""
+    staged = (
+        df.filter(F.col("parsed").isNotNull())
+        .withColumn("event", F.lit("staged"))
+        .withColumn("format", F.lit("json"))
+        .withColumn("msg", F.col("parsed"))
+    )
+    errored = (
+        df.filter(F.col("parsed").isNull())
+        .withColumn("event", F.lit("error"))
+        .withColumn("format", F.lit("txt"))
+    )
+    return staged, errored
+
+
+def stage_er7(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """A16: the full sequential composition — filter (A7) → prepare
+    (A13) → parse (A14) → route (A15) — as one transform chain that
+    whole-stage codegen fuses up to the Python parse boundary."""
+    return route(parse(prepare(subscription_filter(df, "hl7v2", "er7"))))

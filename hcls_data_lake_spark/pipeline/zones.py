@@ -1,0 +1,86 @@
+"""Zone storage (A8-A11, A19): lifecycle-partitioned lake layout.
+
+The reference writes ``zone/protocol=<p>/<id>.<fmt>`` objects
+(core_stack.yml:151) and catalogs them in DynamoDB
+(core_stack.yml:164-172). Here: one parquet root per zone written with
+``partitionBy("protocol")`` (real partition pruning), plus a `catalog`
+table for point lookups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# event -> zone mapping (core_stack.yml:141-143)
+EVENT_ZONE = {"ingested": "ingestion", "staged": "staging", "error": "error"}
+
+
+def zone_for_event(df: DataFrame, event_col: str = "event") -> DataFrame:
+    """A8: event→zone CASE routing."""
+    zone = (
+        F.when(F.col(event_col) == "ingested", "ingestion")
+        .when(F.col(event_col) == "staged", "staging")
+        .when(F.col(event_col) == "error", "error")
+        .otherwise("error")
+    )
+    return df.withColumn("zone", zone)
+
+
+def object_key(df: DataFrame) -> DataFrame:
+    """A9: hive-style key assembly
+    `zone + '/protocol=' + protocol + '/' + id + '.' + format`
+    (core_stack.yml:151)."""
+    return df.withColumn(
+        "object_key",
+        F.concat(
+            F.col("zone"),
+            F.lit("/protocol="),
+            F.col("protocol"),
+            F.lit("/"),
+            F.col("message_id").cast("string"),
+            F.lit("."),
+            F.col("format"),
+        ),
+    )
+
+
+def write_zone(df: DataFrame, lake_root: str, zone: str, mode: str = "append") -> None:
+    """A10: persist one zone partitioned by protocol — the physical
+    realization of the reference's key layout; partition pruning
+    replaces key-prefix routing (A17)."""
+    df.write.mode(mode).partitionBy("protocol").parquet(f"{lake_root}/{zone}")
+
+
+def read_zone(spark: SparkSession, lake_root: str, zone: str) -> DataFrame:
+    return spark.read.parquet(f"{lake_root}/{zone}")
+
+
+def catalog_entries(df: DataFrame, lake_root: str) -> DataFrame:
+    """A11: catalog upsert payload `(message_id, bucket, key, source)`
+    (core_stack.yml:164-172) — here (message_id, zone, object_key,
+    source, ingest_ts)."""
+    return df.select(
+        "message_id",
+        "zone",
+        "object_key",
+        "source",
+        F.current_timestamp().alias("ingest_ts"),
+    )
+
+
+def point_lookup(
+    catalog: DataFrame,
+    zone_df: DataFrame,
+    message_id,
+    read_claims: list[str] | None = None,
+) -> DataFrame:
+    """A19/A20: retrieval API — catalog point lookup joined to the zone
+    table, scoped by the reader's institution claims
+    (old_reference/hcdl_stack.txt:503-510; front_door_stack.yml:24-32).
+    Predicate pushdown turns this into a pruned point read."""
+    hit = catalog.filter(F.col("message_id") == message_id)
+    out = hit.join(zone_df, "message_id", "inner")
+    if read_claims is not None:
+        out = out.filter(F.col("source").isin(read_claims))
+    return out

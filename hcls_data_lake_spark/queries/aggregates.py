@@ -1,0 +1,254 @@
+"""Aggregation queries (SURVEY.md §2.B "Aggregations").
+
+Reference motivation: lake-level counts, messages per source/zone,
+unique-hash dedup stats (A4/A5), OBX numeric analytics.
+
+Scale notes: hash aggregates get map-side partial aggregation for free;
+``approx_count_distinct`` is the HLL++ path for 100 TB dedup stats;
+rollup/cube expand grouping sets before the shuffle (one pass).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hcls_data_lake_spark.queries.common import t
+from hcls_data_lake_spark.registry import register
+
+
+@register(
+    "q_agg_global",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(MIN(l_extendedprice), 2) AS min_price,
+           ROUND(MAX(l_extendedprice), 2) AS max_price,
+           ROUND(AVG(l_discount), 6) AS avg_disc,
+           CAST(count(l_returnflag) AS BIGINT) AS n_flags
+    FROM lineitem
+    """,
+)
+def q_agg_global(spark, sf_dir):
+    """Ungrouped aggregate over the fact table (lake-level counts)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count("l_returnflag").alias("n_flags"),
+    )
+
+
+@register(
+    "q_agg_group",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+               AS sum_charge,
+           ROUND(AVG(l_quantity), 6) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 6) AS avg_price,
+           ROUND(AVG(l_discount), 6) AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_group(spark, sf_dir):
+    """TPC-H Q1-style pricing summary — the flagship hash aggregate
+    (messages per source/zone at lake scale; partial agg then one
+    shuffle on the low-cardinality grouping key)."""
+    li = t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q_agg_distinct",
+    """
+    SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_active_custs,
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    """,
+)
+def q_agg_distinct(spark, sf_dir):
+    """distinct + count distinct (unique content hashes, A4/A5)."""
+    o = t(spark, sf_dir, "orders")
+    return o.agg(
+        F.countDistinct("o_custkey").alias("n_active_custs"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register("q_agg_approx_distinct", None)  # HLL is approximate: rows-only check
+def q_agg_approx_distinct(spark, sf_dir):
+    """approx_count_distinct (HLL++) — the 100 TB-scale dedup-stats
+    path: one pass, bounded memory, no exact distinct shuffle. The
+    driver records a rows-only check (approximation ≠ oracle's exact
+    count); tests assert the relative-error bound instead."""
+    o = t(spark, sf_dir, "orders")
+    return o.agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx_custs"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "q_agg_stats",
+    """
+    SELECT event_type,
+           ROUND(stddev_samp(value), 4) AS sd_value,
+           ROUND(var_samp(value), 4) AS var_value,
+           ROUND(quantile_cont(value, 0.5), 4) AS median_value,
+           ROUND(quantile_cont(value, 0.9), 4) AS p90_value,
+           ROUND(corr(value, CAST(user_id AS DOUBLE)), 4) AS corr_user
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_agg_stats(spark, sf_dir):
+    """stddev/variance/exact percentile/corr (OBX numeric analytics,
+    messages/lab02.txt). Exact `percentile` matches DuckDB
+    quantile_cont; `percentile_approx` stays the scale path."""
+    e = t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.stddev_samp("value"), 4).alias("sd_value"),
+        F.round(F.var_samp("value"), 4).alias("var_value"),
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("median_value"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90_value"),
+        F.round(F.corr("value", F.col("user_id").cast("double")), 4).alias("corr_user"),
+    )
+
+
+@register(
+    "q_agg_rollup",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS sum_total,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_agg_rollup(spark, sf_dir):
+    """ROLLUP over the zone/priority hierarchy (zone/protocol/format
+    hierarchies, §2.B)."""
+    o = t(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
+        F.grouping_id().cast("bigint").alias("gid"),
+    )
+
+
+@register(
+    "q_agg_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_agg_cube(spark, sf_dir):
+    """CUBE over status × priority."""
+    o = t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.grouping_id().cast("bigint").alias("gid"),
+    )
+
+
+@register(
+    "q_agg_groupingsets",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def q_agg_groupingsets(spark, sf_dir):
+    """Explicit GROUPING SETS with grouping_id parity."""
+    o = t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "q_agg_collect",
+    """
+    SELECT c_mktsegment,
+           list_sort(list(DISTINCT c_nationkey)) AS nations,
+           CAST(count(*) AS BIGINT) AS n_cust
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def q_agg_collect(spark, sf_dir):
+    """collect_set + sort_array (repeatable HL7 segments become arrays,
+    §1.3; sorting normalizes the unspecified collection order)."""
+    c = t(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.sort_array(F.collect_set("c_nationkey")).alias("nations"),
+        F.count(F.lit(1)).alias("n_cust"),
+    )
+
+
+@register(
+    "q_agg_pivot",
+    """
+    SELECT user_id,
+           CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+           CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+           CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_agg_pivot(spark, sf_dir):
+    """Pivot: user × event_type count matrix (oracle: FILTER CASE form).
+
+    Pivot values are declared explicitly — at 100 TB you never run the
+    implicit distinct-value discovery job."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["click", "error", "purchase", "signup", "view"])
+    )

@@ -1,0 +1,340 @@
+"""Scalar-function packs (SURVEY.md §2.B "Scalar functions").
+
+Reference motivation: key assembly (A9), newline normalization (A13),
+content hashing + base64 (A2/A4), HL7 timestamp parsing (yyyyMMddHHmmss),
+OBX numeric analysis, everything-is-string casting (§1.5), repeatable
+groups as arrays (§1.3), staged-JSON access.
+
+Everything stays JVM-side (built-in functions, whole-stage codegen) —
+no Python UDFs in any of these paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hcls_data_lake_spark.queries.common import t
+from hcls_data_lake_spark.registry import register
+
+
+@register(
+    "q_fn_string",
+    """
+    SELECT doc_id,
+           CONCAT('staging', '/protocol=', lang, '/', CAST(doc_id AS VARCHAR),
+                  '.json') AS object_key,
+           UPPER(lang) AS lang_uc,
+           LOWER(source) AS source_lc,
+           substring(text, 1, 20) AS head20,
+           CAST(length(text) AS BIGINT) AS text_len,
+           trim(CONCAT('  ', source, '  ')) AS trimmed,
+           lpad(CAST(doc_id AS VARCHAR), 8, '0') AS padded_id,
+           replace(source, 'src', 'institution_') AS source_renamed,
+           CAST(strpos(text, 'query') AS BIGINT) AS query_pos
+    FROM documents
+    """,
+)
+def q_fn_string(spark, sf_dir):
+    """String pack: concat/upper/lower/substring/length/trim/lpad/
+    replace/instr — the zone object-key assembly of core_stack.yml:151."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.lit("staging"),
+            F.lit("/protocol="),
+            F.col("lang"),
+            F.lit("/"),
+            F.col("doc_id").cast("string"),
+            F.lit(".json"),
+        ).alias("object_key"),
+        F.upper("lang").alias("lang_uc"),
+        F.lower("source").alias("source_lc"),
+        F.substring("text", 1, 20).alias("head20"),
+        F.length("text").cast("bigint").alias("text_len"),
+        F.trim(F.concat(F.lit("  "), F.col("source"), F.lit("  "))).alias("trimmed"),
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("padded_id"),
+        F.replace(F.col("source"), F.lit("src"), F.lit("institution_")).alias(
+            "source_renamed"
+        ),
+        F.instr(F.col("text"), "query").cast("bigint").alias("query_pos"),
+    )
+
+
+@register(
+    "q_fn_regex",
+    """
+    SELECT doc_id,
+           regexp_replace(text, '[0-9]+', '#', 'g') AS digits_masked,
+           regexp_extract(source, 'src([0-9]+)', 1) AS source_num,
+           regexp_matches(text, '^[a-z]') AS starts_lower
+    FROM documents
+    WHERE doc_id < 200
+    """,
+)
+def q_fn_regex(spark, sf_dir):
+    """Regex pack: the prepare-stage normalization (A13,
+    prepare_er7_lambda.py:9-13) generalized: global replace, group
+    extract, match test. DuckDB needs the 'g' flag to match Spark's
+    replace-all."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id",
+        F.regexp_replace("text", "[0-9]+", "#").alias("digits_masked"),
+        F.regexp_extract("source", "src([0-9]+)", 1).alias("source_num"),
+        F.col("text").rlike("^[a-z]").alias("starts_lower"),
+    )
+
+
+@register(
+    "q_fn_hash",
+    """
+    SELECT doc_id,
+           sha256(text) AS msg_hash,
+           substring(sha256(text), 1, 12) AS short_hash,
+           md5(source) AS source_md5,
+           to_base64(ENCODE(substring(text, 1, 12))) AS b64,
+           DECODE(from_base64(to_base64(ENCODE(substring(text, 1, 12)))))
+               AS roundtrip
+    FROM documents
+    WHERE doc_id < 300
+    """,
+)
+def q_fn_hash(spark, sf_dir):
+    """Hash/encoding pack: SHA-256 content hashing (A4,
+    front_door_lambda.py:26), the old reference's 12-char short hash
+    (old_reference/ingest_er7_lambda.py:30), base64 transport (A2)."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    head = F.substring("text", 1, 12)
+    b64 = F.base64(head.cast("binary"))
+    return d.select(
+        "doc_id",
+        F.sha2(F.col("text"), 256).alias("msg_hash"),
+        F.substring(F.sha2(F.col("text"), 256), 1, 12).alias("short_hash"),
+        F.md5(F.col("source").cast("binary")).alias("source_md5"),
+        b64.alias("b64"),
+        F.unbase64(b64).cast("string").alias("roundtrip"),
+    )
+
+
+@register(
+    "q_fn_date",
+    """
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y%m%d%H%M%S') AS hl7_ts,
+           CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(month(o_orderdate) AS BIGINT) AS mo,
+           CAST(day(o_orderdate) AS BIGINT) AS dom,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           CAST(date_diff('day', o_orderdate,
+                          TIMESTAMP '1998-12-31 00:00:00') AS BIGINT)
+               AS days_to_eoy,
+           strftime(o_orderdate + INTERVAL 90 DAY, '%Y-%m-%d %H:%M:%S')
+               AS plus_90d,
+           CAST(floor(epoch(o_orderdate)) AS BIGINT) AS unix_sec
+    FROM orders
+    WHERE o_orderkey < 3000
+    """,
+)
+def q_fn_date(spark, sf_dir):
+    """Date/time pack: HL7 TS format (yyyyMMddHHmmss — the wire format
+    in messages/lab01.txt:1), truncation, diffs, interval arithmetic,
+    epoch. Outputs are strings/bigints so parity is tz-independent."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_format(d, "yyyyMMddHHmmss").alias("hl7_ts"),
+        F.year(d).cast("bigint").alias("yr"),
+        F.month(d).cast("bigint").alias("mo"),
+        F.dayofmonth(d).cast("bigint").alias("dom"),
+        F.date_format(F.date_trunc("month", d), "yyyy-MM-dd").alias("month_start"),
+        F.datediff(
+            F.lit("1998-12-31 00:00:00").cast("timestamp_ntz"), d
+        ).cast("bigint").alias("days_to_eoy"),
+        F.date_format(d + F.expr("INTERVAL 90 DAY"), "yyyy-MM-dd HH:mm:ss").alias(
+            "plus_90d"
+        ),
+        # pure NTZ arithmetic — tz-independent, unlike unix_timestamp()
+        F.expr(
+            "timestampdiff(SECOND,"
+            " cast('1970-01-01 00:00:00' as timestamp_ntz), o_orderdate)"
+        ).cast("bigint").alias("unix_sec"),
+    )
+
+
+@register(
+    "q_fn_math",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice, 1) AS price_r1,
+           ROUND(abs(l_discount - 0.05), 4) AS abs_disc_delta,
+           CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+           CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+           ROUND(power(l_quantity, 2), 2) AS qty_sq,
+           ROUND(ln(l_extendedprice), 6) AS log_price,
+           CAST(l_orderkey % 7 AS BIGINT) AS key_mod7
+    FROM lineitem
+    WHERE l_orderkey < 2000
+    """,
+)
+def q_fn_math(spark, sf_dir):
+    """Math pack (OBX numeric analysis): round/abs/ceil/floor/pow/ln/mod."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_r1"),
+        F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("abs_disc_delta"),
+        F.ceil("l_quantity").cast("bigint").alias("qty_ceil"),
+        F.floor("l_quantity").cast("bigint").alias("qty_floor"),
+        F.round(F.pow("l_quantity", F.lit(2)), 2).alias("qty_sq"),
+        F.round(F.log("l_extendedprice"), 6).alias("log_price"),
+        (F.col("l_orderkey") % 7).cast("bigint").alias("key_mod7"),
+    )
+
+
+@register(
+    "q_fn_cast",
+    """
+    SELECT doc_id,
+           CAST(n_chars AS VARCHAR) AS n_chars_str,
+           CAST(CAST(n_chars AS VARCHAR) AS BIGINT) AS n_chars_back,
+           CAST(n_chars AS DOUBLE) AS n_chars_dbl,
+           TRY_CAST(lang AS BIGINT) AS lang_as_int,
+           TRY_CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) AS source_num,
+           CAST(doc_id % 2 = 0 AS BOOLEAN) AS is_even
+    FROM documents
+    """,
+)
+def q_fn_cast(spark, sf_dir):
+    """Cast pack (§1.5: everything-is-string at rest, typed on
+    projection): string↔numeric round-trips, try_cast null-on-fail."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("n_chars").cast("string").alias("n_chars_str"),
+        F.col("n_chars").cast("string").cast("bigint").alias("n_chars_back"),
+        F.col("n_chars").cast("double").alias("n_chars_dbl"),
+        F.col("lang").try_cast("bigint").alias("lang_as_int"),
+        F.regexp_extract("source", "([0-9]+)", 1).try_cast("bigint").alias("source_num"),
+        ((F.col("doc_id") % 2) == 0).alias("is_even"),
+    )
+
+
+@register(
+    "q_fn_array",
+    """
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS words
+      FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id,
+           CAST(len(words) AS INTEGER) AS n_words,
+           list_contains(words, 'query') AS has_query,
+           list_sort(list_distinct(words)) AS vocab,
+           words[1:5] AS first5,
+           list_sort(list_transform(words, w -> upper(w))) AS upper_sorted,
+           list_sort(list_filter(words, w -> length(w) > 6)) AS long_words
+    FROM tok
+    """,
+)
+def q_fn_array(spark, sf_dir):
+    """Array pack (repeatable HL7 groups → arrays, §1.3): split, size,
+    contains, distinct+sort, slice, and the transform/filter HOFs."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    words = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.array_contains(words, "query").alias("has_query"),
+        F.sort_array(F.array_distinct(words)).alias("vocab"),
+        F.slice(words, 1, 5).alias("first5"),
+        F.sort_array(F.transform(words, lambda w: F.upper(w))).alias("upper_sorted"),
+        F.sort_array(F.filter(words, lambda w: F.length(w) > 6)).alias("long_words"),
+    )
+
+
+@register(
+    "q_fn_map",
+    """
+    SELECT event_id,
+           element_at(map {'event': event_type, 'source': CAST(user_id AS VARCHAR)},
+                      'event') AS event_attr,
+           CAST(cardinality(map {'event': event_type,
+                                 'source': CAST(user_id AS VARCHAR)}) AS INTEGER)
+               AS n_attrs,
+           list_sort(map_keys(map {'event': event_type,
+                                   'source': CAST(user_id AS VARCHAR)}))
+               AS attr_keys
+    FROM events
+    WHERE event_id < 500
+    """,
+)
+def q_fn_map(spark, sf_dir):
+    """Map pack (the generic segment→field map model, §1.5): the SNS
+    envelope as a map column — create_map, element_at, keys, size."""
+    e = t(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    m = F.create_map(
+        F.lit("event"), F.col("event_type"),
+        F.lit("source"), F.col("user_id").cast("string"),
+    )
+    return e.select(
+        "event_id",
+        F.element_at(m, "event").alias("event_attr"),
+        F.size(m).alias("n_attrs"),
+        F.sort_array(F.map_keys(m)).alias("attr_keys"),
+    )
+
+
+@register(
+    "q_fn_json",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod10
+    FROM events
+    WHERE event_id < 800
+    """,
+)
+def q_fn_json(spark, sf_dir):
+    """JSON pack (staged zone is JSON, trigger_lambda.py:30): path
+    extraction from the `props` JSON column via get_json_object /
+    from_json."""
+    e = t(spark, sf_dir, "events").filter(F.col("event_id") < 800)
+    parsed = F.from_json(F.col("props"), "k BIGINT")
+    return e.select(
+        "event_id",
+        parsed.getField("k").alias("k_value"),
+        F.get_json_object(F.col("props"), "$.k").alias("k_str"),
+        (parsed.getField("k") % 10).alias("k_mod10"),
+    )
+
+
+@register(
+    "q_fn_cond",
+    """
+    SELECT event_id,
+           COALESCE(NULLIF(event_type, 'error'), 'dead_letter') AS routed_type,
+           GREATEST(value, 50.0) AS value_floor50,
+           LEAST(value, 150.0) AS value_cap150,
+           IFNULL(NULLIF(event_type, event_type), 'same') AS nvl_demo
+    FROM events
+    """,
+)
+def q_fn_cond(spark, sf_dir):
+    """Conditional pack (envelope defaults): coalesce/nullif/
+    greatest/least/nvl — the error-routing defaults of A8/A15."""
+    e = t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.coalesce(F.nullif(F.col("event_type"), F.lit("error")), F.lit("dead_letter")).alias(
+            "routed_type"
+        ),
+        F.greatest(F.col("value"), F.lit(50.0)).alias("value_floor50"),
+        F.least(F.col("value"), F.lit(150.0)).alias("value_cap150"),
+        F.nvl(F.nullif(F.col("event_type"), F.col("event_type")), F.lit("same")).alias(
+            "nvl_demo"
+        ),
+    )

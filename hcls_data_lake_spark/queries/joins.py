@@ -1,0 +1,324 @@
+"""Join queries (SURVEY.md §2.B "Joins").
+
+Reference motivation: catalog ⋈ zone retrieval (A19), dedup anti-join
+(A5, front_door_lambda.py:27-31), parse-failure outer joins (A15).
+
+Scale notes (100 TB posture): dimension joins are explicitly
+``broadcast()``-hinted; the as-of join is the union+window formulation
+(one shuffle on the key, no quadratic range join); the theta join keeps
+one side a broadcast so the BNLJ never materializes a cross product of
+two big relations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hcls_data_lake_spark.queries.common import t
+from hcls_data_lake_spark.registry import register
+
+
+@register(
+    "q_join_inner_hash",
+    """
+    SELECT o.o_orderkey, o.o_orderdate, l.l_linenumber, l.l_extendedprice
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+    """,
+)
+def q_join_inner_hash(spark, sf_dir):
+    """Equi inner join, both sides large — Catalyst picks shuffled
+    hash/SMJ (catalog ⋈ zone contents, A19)."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = t(spark, sf_dir, "lineitem")
+    return o.join(li, o.o_orderkey == li.l_orderkey, "inner").select(
+        "o_orderkey", "o_orderdate", "l_linenumber", "l_extendedprice"
+    )
+
+
+@register(
+    "q_join_broadcast",
+    """
+    SELECT r.r_name AS region_name, n.n_name AS nation_name,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           ROUND(SUM(c.c_acctbal), 2) AS sum_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def q_join_broadcast(spark, sf_dir):
+    """Broadcast hash join of small dims onto the fact side — no shuffle
+    of the big table (DynamoDB point-lookups → broadcast, SURVEY §4)."""
+    c = t(spark, sf_dir, "customer")
+    n = F.broadcast(t(spark, sf_dir, "nation"))
+    r = F.broadcast(t(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+    )
+
+
+@register(
+    "q_join_multiway",
+    """
+    SELECT n.n_name AS nation_name,
+           CAST(count(*) AS BIGINT) AS n_lineitems,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE o.o_orderstatus <> 'P'
+    GROUP BY n.n_name
+    """,
+)
+def q_join_multiway(spark, sf_dir):
+    """5-table star join (lake analytics over the star schema); small
+    dims broadcast, facts shuffle on their join keys once each."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "P")
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = F.broadcast(t(spark, sf_dir, "nation"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "q_join_left",
+    """
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM customer c
+    LEFT JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_totalprice > 200000.0
+    """,
+)
+def q_join_left(spark, sf_dir):
+    """Left outer join with a join-side predicate (catalog rows without
+    a staged doc — parse failures, A15)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    cond = (c.c_custkey == o.o_custkey) & (o.o_totalprice > 200000.0)
+    return c.join(o, cond, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "q_join_full",
+    """
+    SELECT cn.nationkey AS c_side, sn.nationkey AS s_side,
+           cn.n_cust, sn.n_supp
+    FROM (SELECT c_nationkey AS nationkey, CAST(count(*) AS BIGINT) AS n_cust
+          FROM customer GROUP BY c_nationkey) cn
+    FULL OUTER JOIN
+         (SELECT s_nationkey AS nationkey, CAST(count(*) AS BIGINT) AS n_supp
+          FROM supplier GROUP BY s_nationkey) sn
+      ON cn.nationkey = sn.nationkey
+    """,
+)
+def q_join_full(spark, sf_dir):
+    """Full outer join (zone reconciliation: rows on either side only)."""
+    cn = (
+        t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    sn = (
+        t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return cn.join(sn, cn.nationkey == sn.nationkey, "full").select(
+        cn.nationkey.alias("c_side"),
+        sn.nationkey.alias("s_side"),
+        "n_cust",
+        "n_supp",
+    )
+
+
+@register(
+    "q_join_semi",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def q_join_semi(spark, sf_dir):
+    """Left semi join ("already in registry?" membership, A5)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "q_join_anti",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_join_anti(spark, sf_dir):
+    """Left anti join — the dedup admit path (A5,
+    front_door_lambda.py:27-31: admit only hashes NOT in the registry)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "q_join_theta",
+    """
+    SELECT p.p_partkey, b.band_name
+    FROM part p
+    JOIN (SELECT * FROM (VALUES
+            ('small',  0,  10),
+            ('medium', 10, 30),
+            ('large',  30, 60)) AS v(band_name, lo, hi)) b
+      ON p.p_size > b.lo AND p.p_size <= b.hi
+    """,
+)
+def q_join_theta(spark, sf_dir):
+    """Non-equi (inequality) join against a tiny banding relation —
+    broadcast nested loop, never big×big (range classification like the
+    OBX reference-range checks, messages/lab02.txt:6-28)."""
+    p = t(spark, sf_dir, "part")
+    bands = F.broadcast(
+        spark.createDataFrame(
+            [("small", 0, 10), ("medium", 10, 30), ("large", 30, 60)],
+            "band_name string, lo int, hi int",
+        )
+    )
+    cond = (p.p_size > bands.lo) & (p.p_size <= bands.hi)
+    return p.join(bands, cond).select("p_partkey", "band_name")
+
+
+@register(
+    "q_join_range_interval",
+    """
+    SELECT o.o_orderkey, e.event_id
+    FROM orders o
+    JOIN events e
+      ON e.user_id = o.o_custkey % 100
+     AND e.ts BETWEEN o.o_orderdate AND o.o_orderdate + INTERVAL 7 DAY
+    WHERE o.o_orderstatus = 'O'
+    """,
+)
+def q_join_range_interval(spark, sf_dir):
+    """Interval/range join: event-in-window attribution. The equi part
+    (user key) drives a hash join; the range predicate is applied as a
+    join filter — so this stays a shuffle join, not a cross product."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    e = t(spark, sf_dir, "events")
+    cond = (
+        (e.user_id == o.o_custkey % 100)
+        & (e.ts >= o.o_orderdate)
+        & (e.ts <= F.col("o_orderdate") + F.expr("INTERVAL 7 DAY"))
+    )
+    return o.join(e, cond).select("o_orderkey", "event_id")
+
+
+@register(
+    "q_join_asof",
+    """
+    WITH purchases AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    ), clicks AS (
+      SELECT event_id AS click_id, user_id, ts FROM events
+      WHERE event_type = 'click'
+    )
+    SELECT p.event_id, p.user_id, c.click_id AS asof_click_id
+    FROM purchases p
+    ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def q_join_asof(spark, sf_dir):
+    """As-of join: for each purchase, the latest click at-or-before it
+    by the same user (match observation to most recent prior ADT visit,
+    SURVEY §2.B). Implemented scale-first as union + window (single
+    shuffle on user_id, running `last` of the click id) rather than a
+    range join — O(n log n) per key, no quadratic candidate set.
+    """
+    e = t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.lit(1).alias("is_p"), F.lit(None).cast("long").alias("click_id")
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.lit(0).alias("is_p"), F.col("event_id").alias("click_id")
+    )
+    unioned = purchases.unionByName(clicks)
+    # clicks sort before purchases at equal ts (is_p asc) so ties match
+    # DuckDB ASOF's >= semantics.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_p").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        unioned.withColumn("asof_click_id", F.last("click_id", ignorenulls=True).over(w))
+        .filter(F.col("is_p") == 1)
+        .select("event_id", "user_id", "asof_click_id")
+    )
+
+
+@register(
+    "q_join_self",
+    """
+    SELECT a.event_id AS prev_id, b.event_id AS next_id, a.user_id
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id AND a.event_id + 1 = b.event_id
+    WHERE a.event_type = b.event_type
+    """,
+)
+def q_join_self(spark, sf_dir):
+    """Self-join on adjacent event ids (compare successive patient
+    updates — A31 message sequences, messages/adt03_AthenaHealth.txt)."""
+    e = t(spark, sf_dir, "events")
+    a = e.alias("a")
+    b = e.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_id") + 1 == F.col("b.event_id")),
+        )
+        .filter(F.col("a.event_type") == F.col("b.event_type"))
+        .select(
+            F.col("a.event_id").alias("prev_id"),
+            F.col("b.event_id").alias("next_id"),
+            F.col("a.user_id").alias("user_id"),
+        )
+    )

@@ -1,0 +1,522 @@
+"""LLM-data-pipeline extensions (SURVEY.md §2.B north-star set).
+
+Exact/near dedup, similarity search, text analysis, multimodal
+projection — the operators a 100 TB training-data pipeline needs,
+generalizing the reference's SHA-256 dedup gate (A5,
+front_door_lambda.py:26-31) to content-level dedup.
+
+Scale notes: exact dedup is one hash-shuffle; near-dup is
+shingle-explode + same-shingle equi-join (bounded by shingle
+frequency, never all-pairs at scale — the MinHash-LSH banding variant
+in operators/dedup.py is the 100 TB path and is tested rows-only);
+similarity search restricts the query side so the candidate set is
+|Q|×|N|, with the LSH-bucketed variant as the scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hcls_data_lake_spark.queries.common import t
+from hcls_data_lake_spark.registry import register
+
+# ---------------------------------------------------------------- dedup
+
+
+@register(
+    "q_dedup_exact",
+    """
+    SELECT sha256(text) AS content_hash,
+           MIN(doc_id) AS keeper_doc_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM documents
+    GROUP BY sha256(text)
+    """,
+)
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup by content hash (A5 generalized): group on
+    sha256(text), keep the lowest doc_id deterministically."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("content_hash", F.sha2("text", 256))
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+_NEAR_SQL = """
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS w
+      FROM documents WHERE doc_id < 200
+    ), shingled AS (
+      SELECT doc_id,
+             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                            for i in range(1, len(w) - 1)]) AS shingles
+      FROM docs WHERE len(w) >= 3
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.shingles, b.shingles)) AS inter,
+             len(a.shingles) + len(b.shingles)
+               - len(list_intersect(a.shingles, b.shingles)) AS uni
+      FROM shingled a JOIN shingled b ON a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, ROUND(CAST(inter AS DOUBLE) / uni, 4) AS jaccard
+    FROM pairs
+    WHERE CAST(inter AS DOUBLE) / uni >= 0.2
+"""
+
+
+@register("q_dedup_near", _NEAR_SQL)
+def q_dedup_near(spark, sf_dir):
+    """Near-dup detection via exact 3-gram shingle Jaccard (the
+    verifiable variant; MinHash-LSH in operators/dedup.py is the scale
+    path). Candidate pairs come from a same-shingle equi-join — only
+    documents sharing at least one shingle are ever compared."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    words = F.split("text", " ")
+    shingles = F.array_distinct(
+        F.expr(
+            "transform(sequence(0, size(split(text, ' ')) - 3),"
+            " i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))"
+        )
+    )
+    docs = d.filter(F.size(words) >= 3).select(
+        "doc_id", shingles.alias("shingles"), F.size(shingles).alias("n_shingles")
+    )
+    exploded = docs.select("doc_id", "n_shingles", F.explode("shingles").alias("shingle"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_shingles").alias("na"),
+            F.col("b.n_shingles").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.withColumn("jaccard", F.round(jac, 4))
+        .filter(jac >= 0.2)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+@register("q_dedup_minhash_lsh", None)  # hash-family specific: rows-only
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash + LSH banding near-dup — the 100 TB path: shingle →
+    128 minhashes (xxhash64 with per-permutation seeds) → 16 bands of 8
+    → band-bucket equi-join. Only bucket-colliding pairs are compared,
+    so cost tracks collisions, not n². Hash family is engine-specific →
+    driver records rows-only; tests assert recall against exact Jaccard.
+    """
+    from hcls_data_lake_spark.operators.dedup import minhash_lsh_pairs
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return minhash_lsh_pairs(d, text_col="text", id_col="doc_id")
+
+
+@register("q_dedup_simhash", None)  # hash-family specific: rows-only
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash fingerprints: 64-bit per-doc signature from token
+    xxhash64 bit-votes; near-dups = fingerprints at small Hamming
+    distance. Engine-specific hash family → rows-only check."""
+    from hcls_data_lake_spark.operators.dedup import simhash
+
+    d = t(spark, sf_dir, "documents")
+    return simhash(d, text_col="text", id_col="doc_id")
+
+
+# ----------------------------------------------------- similarity search
+
+_DOT = (
+    "aggregate(zip_with(cast(a.embedding as array<double>),"
+    " cast(b.embedding as array<double>), (x, y) -> x * y),"
+    " 0.0D, (acc, x) -> acc + x)"
+)
+
+_COS_SQL_EXPR = """
+    list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+    / sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))
+           * list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))
+"""
+
+
+@register(
+    "q_sim_topk",
+    f"""
+    SELECT * FROM (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             ROUND({_COS_SQL_EXPR}, 6) AS cosine,
+             CAST(row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY {_COS_SQL_EXPR} DESC, b.vec_id) AS BIGINT) AS rn
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+      WHERE a.vec_id < 20
+    ) WHERE rn <= 5
+    """,
+)
+def q_sim_topk(spark, sf_dir):
+    """Brute-force cosine top-k ANN baseline: 20 query vectors × all
+    candidates, JVM-side dot product via zip_with/aggregate HOFs (no
+    Python in the hot path), rank-filtered to k=5."""
+    e = t(spark, sf_dir, "embeddings")
+    a = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    b = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"))
+    dot = F.expr(
+        "aggregate(zip_with(cast(qe as array<double>), cast(ne as array<double>),"
+        " (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+    )
+    norm = lambda c: F.expr(  # noqa: E731
+        f"aggregate(zip_with(cast({c} as array<double>), cast({c} as array<double>),"
+        " (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+    )
+    cos = dot / F.sqrt(norm("qe") * norm("ne"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_raw").desc(), F.col("neighbor_id"))
+    return (
+        a.join(F.broadcast(b), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine_raw", cos)
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cosine_raw", 6).alias("cosine"),
+            "rn",
+        )
+    )
+
+
+@register(
+    "q_sim_pairs",
+    f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND({_COS_SQL_EXPR}, 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE a.vec_id < 150 AND b.vec_id < 150
+      AND {_COS_SQL_EXPR} >= 0.5
+    """,
+)
+def q_sim_pairs(spark, sf_dir):
+    """Threshold cosine self-join (embedding near-dup) over a bounded
+    block; the operators/similarity.py LSH-bucketed variant scales it."""
+    e = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("qe"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("ne"))
+    dot = F.expr(
+        "aggregate(zip_with(cast(qe as array<double>), cast(ne as array<double>),"
+        " (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+    )
+    norm = lambda c: F.expr(  # noqa: E731
+        f"aggregate(zip_with(cast({c} as array<double>), cast({c} as array<double>),"
+        " (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+    )
+    cos = dot / F.sqrt(norm("qe") * norm("ne"))
+    return (
+        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine_raw", cos)
+        .filter(F.col("cosine_raw") >= 0.5)
+        .select("vec_a", "vec_b", F.round("cosine_raw", 6).alias("cosine"))
+    )
+
+
+@register("q_sim_ann_lsh", None)  # random hyperplanes: rows-only
+def q_sim_ann_lsh(spark, sf_dir):
+    """Approximate NN via random-hyperplane LSH bucketing — the scale
+    path for q_sim_topk (deterministic seeded planes; rows-only)."""
+    from hcls_data_lake_spark.operators.similarity import ann_lsh_topk
+
+    e = t(spark, sf_dir, "embeddings")
+    return ann_lsh_topk(e, k=5, n_planes=12, query_filter=F.col("vec_id") < 20)
+
+
+# --------------------------------------------------------- text analysis
+
+
+@register(
+    "q_text_tokens",
+    """
+    SELECT word, CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+          FROM documents)
+    WHERE length(word) > 0
+    GROUP BY word
+    HAVING count(*) >= 5
+    """,
+)
+def q_text_tokens(spark, sf_dir):
+    """Tokenize + corpus term counts (explode is the UDTF-style
+    one-message→many-rows pattern of §2.B)."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_occurrences") >= 5)
+    )
+
+
+@register(
+    "q_text_stats",
+    """
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           ROUND(AVG(CAST(length(string_split(text, ' ')) AS DOUBLE)), 4)
+               AS avg_words,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_text_stats(spark, sf_dir):
+    """Per-language corpus stats (doc length/term distributions)."""
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg(F.size(F.split("text", " ")).cast("double")), 4).alias(
+            "avg_words"
+        ),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@register(
+    "q_text_tfidf",
+    """
+    WITH tokens AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents WHERE doc_id < 100
+    ), tf AS (
+      SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+      FROM tokens WHERE length(word) > 0 GROUP BY doc_id, word
+    ), df AS (
+      SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM tokens WHERE length(word) > 0 GROUP BY word
+    ), n AS (
+      SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tf
+    )
+    SELECT tf.doc_id, tf.word,
+           ROUND(tf * ln((CAST(n.n_docs AS DOUBLE) + 1) / (df + 1)), 6)
+               AS tfidf
+    FROM tf JOIN df USING (word) CROSS JOIN n
+    WHERE tf >= 2
+    """,
+)
+def q_text_tfidf(spark, sf_dir):
+    """TF-IDF via pure DataFrame math (tf groupBy ⋈ df groupBy ⋈ corpus
+    count) — no MLlib, fully SQL-checkable; smoothed idf."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    tokens = d.select("doc_id", F.explode(F.split("text", " ")).alias("word")).filter(
+        F.length("word") > 0
+    )
+    tf = tokens.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df = tokens.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = tokens.select("doc_id").distinct().count()
+    idf = F.log((F.lit(float(n_docs)) + 1) / (F.col("df") + 1))
+    return (
+        tf.join(F.broadcast(df), "word")
+        .filter(F.col("tf") >= 2)
+        .select("doc_id", "word", F.round(F.col("tf") * idf, 6).alias("tfidf"))
+    )
+
+
+@register(
+    "q_text_langid",
+    """
+    SELECT doc_id, lang,
+           CASE WHEN len(list_filter(string_split(text, ' '),
+                                     w -> w IN ('data', 'query', 'the',
+                                                'engine', 'spark'))) * 2
+                     >= len(string_split(text, ' '))
+                THEN 'en_like' ELSE 'other' END AS lang_guess,
+           ROUND(CAST(len(list_filter(string_split(text, ' '),
+                                      w -> w IN ('data', 'query', 'the',
+                                                 'engine', 'spark')))
+                      AS DOUBLE)
+                 / len(string_split(text, ' ')), 4) AS stopword_ratio
+    FROM documents
+    """,
+)
+def q_text_langid(spark, sf_dir):
+    """Language-ID heuristic: stopword-hit ratio against a tiny English
+    lexicon (n-gram-heuristic class of language ID, fully deterministic
+    and SQL-checkable)."""
+    d = t(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    stop = F.filter(
+        words, lambda w: w.isin("data", "query", "the", "engine", "spark")
+    )
+    ratio = F.size(stop).cast("double") / F.size(words)
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(F.size(stop) * 2 >= F.size(words), "en_like")
+        .otherwise("other")
+        .alias("lang_guess"),
+        F.round(ratio, 4).alias("stopword_ratio"),
+    )
+
+
+@register(
+    "q_text_quality",
+    """
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_actual,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
+           ROUND(CAST(length(text) AS DOUBLE)
+                 / len(string_split(text, ' ')), 4) AS avg_word_len,
+           ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / len(string_split(text, ' ')), 4) AS distinct_ratio,
+           CASE WHEN len(string_split(text, ' ')) BETWEEN 5 AND 2000
+                 AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                     / len(string_split(text, ' ')) > 0.2
+                THEN true ELSE false END AS passes_quality
+    FROM documents
+    """,
+)
+def q_text_quality(spark, sf_dir):
+    """Quality scoring for training-data filtering: length bounds,
+    mean word length, distinct-token ratio (repetition detector)."""
+    d = t(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_words = F.size(words)
+    distinct_ratio = F.size(F.array_distinct(words)).cast("double") / n_words
+    return d.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars_actual"),
+        n_words.alias("n_words"),
+        F.round(F.length("text").cast("double") / n_words, 4).alias("avg_word_len"),
+        F.round(distinct_ratio, 4).alias("distinct_ratio"),
+        (n_words.between(5, 2000) & (distinct_ratio > 0.2)).alias("passes_quality"),
+    )
+
+
+@register(
+    "q_text_fingerprint",
+    """
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             [md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
+              for i in range(1, len(w) - 2)] AS gram_hashes
+      FROM docs WHERE len(w) >= 4
+    )
+    SELECT doc_id,
+           list_min(gram_hashes) AS fingerprint,
+           CAST(len(list_distinct(gram_hashes)) AS INTEGER) AS n_distinct_grams
+    FROM grams
+    """,
+)
+def q_text_fingerprint(spark, sf_dir):
+    """Document fingerprinting: rolling 4-gram window hashes, keep the
+    minimum (winnowing-style selection) — md5 so both engines agree."""
+    d = t(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    gram_hashes = F.expr(
+        "transform(sequence(0, size(split(text, ' ')) - 4),"
+        " i -> md5(cast(concat_ws(' ', slice(split(text, ' '), i + 1, 4)) as binary)))"
+    )
+    return (
+        d.filter(F.size(words) >= 4)
+        .select(
+            "doc_id",
+            F.array_min(gram_hashes).alias("fingerprint"),
+            F.size(F.array_distinct(gram_hashes)).alias("n_distinct_grams"),
+        )
+    )
+
+
+@register(
+    "q_text_token_count",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))
+                AS INTEGER) AS n_bpeish_tokens,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens
+    FROM documents
+    """,
+)
+def q_text_token_count(spark, sf_dir):
+    """Token counting: whitespace tokens + a BPE-ish regex tokenizer
+    (alpha runs / digit runs / punctuation) for budget estimation."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"))
+        ).alias("n_bpeish_tokens"),
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+    )
+
+
+# ------------------------------------------------------------ multimodal
+
+
+@register(
+    "q_multimodal_struct",
+    """
+    SELECT d.doc_id,
+           d.lang,
+           ROUND(CAST(e.embedding[1] AS DOUBLE), 6) AS emb_first,
+           CAST(len(e.embedding) AS INTEGER) AS emb_dim,
+           e.label,
+           CAST(length(d.text) AS BIGINT) AS n_bytes
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+)
+def q_multimodal_struct(spark, sf_dir):
+    """Multimodal row projection: text document ⋈ its embedding vector
+    with typed metadata (the text+vector+meta nested-row shape; binary
+    payload plumbing lives in operators/multimodal.py)."""
+    d = t(spark, sf_dir, "documents")
+    e = t(spark, sf_dir, "embeddings")
+    return d.join(e, d.doc_id == e.vec_id).select(
+        "doc_id",
+        "lang",
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("emb_first"),
+        F.size("embedding").alias("emb_dim"),
+        "label",
+        F.length("text").cast("bigint").alias("n_bytes"),
+    )
+
+
+@register("q_multimodal_binary", None)  # binary plumbing: rows-only
+def q_multimodal_binary(spark, sf_dir):
+    """Opaque binary payload + typed metadata + mapInPandas feature
+    extraction (decode stage stubbed with a deterministic fake — the
+    image/audio codecs aren't in this container; the Spark plumbing is
+    real: schema, Arrow batching, partition-parallel extraction)."""
+    from hcls_data_lake_spark.operators.multimodal import extract_features
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    payloads = d.select(
+        "doc_id",
+        F.col("text").cast("binary").alias("payload"),
+        F.lit("text/plain").alias("mime_type"),
+        F.struct(
+            F.col("lang").alias("lang"), F.col("source").alias("source")
+        ).alias("meta"),
+    )
+    return extract_features(payloads)

@@ -1,0 +1,287 @@
+r"""Pipeline-layer queries (SURVEY.md §2.A re-expressed over fixtures)
+plus the UDF/UDAF surface.
+
+The ingest/staging operators run against the `documents`/`events`
+fixture tables so the DuckDB oracle can verify them value-by-value;
+the HL7-corpus end-to-end behavior is pinned by pytest golden tests
+(tests/test_pipeline.py) per SURVEY.md §5.2.3-4.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from hcls_data_lake_spark.queries.common import t
+from hcls_data_lake_spark.registry import register
+
+# --------------------------------------------------------- ingest chain
+
+
+@register(
+    "q_pipeline_ingest",
+    """
+    WITH wire AS (  -- transport-encoded messages, some without a claim
+      SELECT doc_id AS message_id,
+             to_base64(ENCODE(text)) AS msg_b64,
+             CASE WHEN doc_id % 7 = 0 THEN NULL ELSE source END
+                 AS writer_institution
+      FROM documents
+    ), decoded AS (  -- A2 decode + A3 authz gate
+      SELECT message_id,
+             DECODE(from_base64(msg_b64)) AS msg,
+             writer_institution
+      FROM wire
+      WHERE writer_institution IS NOT NULL AND writer_institution <> ''
+    ), hashed AS (  -- A4 content hash
+      SELECT *, sha256(msg) AS msg_hash FROM decoded
+    ), registry AS (  -- already-admitted hashes (A5 registry table)
+      SELECT sha256(text) AS msg_hash FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT h.message_id, h.msg_hash,   -- A5 anti-join + A6 envelope
+           'ingested' AS event, 'hl7v2' AS protocol, 'er7' AS format,
+           h.writer_institution AS source
+    FROM hashed h
+    WHERE NOT EXISTS (SELECT 1 FROM registry r WHERE r.msg_hash = h.msg_hash)
+    """,
+)
+def q_pipeline_ingest(spark, sf_dir):
+    """The full front-door chain (A1-A6) on the documents corpus:
+    base64 wire decode, authz write-gate, SHA-256 hash, registry
+    anti-join, envelope attach — one DataFrame, one shuffle."""
+    from hcls_data_lake_spark.pipeline.ingest import (
+        attach_envelope,
+        authz_write_gate,
+        decode_base64,
+        dedup_against_registry,
+        with_content_hash,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    wire = docs.select(
+        F.col("doc_id").alias("message_id"),
+        F.base64(F.col("text").cast("binary")).alias("msg_b64"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("source"))
+        .alias("writer_institution"),
+    )
+    registry = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.sha2(F.col("text").cast("binary"), 256).alias("msg_hash")
+    )
+    admitted = dedup_against_registry(
+        with_content_hash(authz_write_gate(decode_base64(wire))), registry
+    )
+    return attach_envelope(admitted).select(
+        "message_id", "msg_hash", "event", "protocol", "format", "source"
+    )
+
+
+@register(
+    "q_pipeline_zone_route",
+    """
+    SELECT event_id AS message_id,
+           CASE WHEN event_type = 'error' THEN 'error'
+                WHEN event_type = 'purchase' THEN 'staging'
+                ELSE 'ingestion' END AS zone,
+           CASE WHEN event_type = 'error' THEN 'error'
+                WHEN event_type = 'purchase' THEN 'staging'
+                ELSE 'ingestion' END
+             || '/protocol=hl7v2/' || CAST(event_id AS VARCHAR) || '.er7'
+             AS object_key
+    FROM events
+    """,
+)
+def q_pipeline_zone_route(spark, sf_dir):
+    """Zone router + key assembly (A8/A9, core_stack.yml:141-151)."""
+    from hcls_data_lake_spark.pipeline.zones import object_key, zone_for_event
+
+    e = t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("message_id"),
+        F.when(F.col("event_type") == "error", "error")
+        .when(F.col("event_type") == "purchase", "staged")
+        .otherwise("ingested")
+        .alias("event"),
+        F.lit("hl7v2").alias("protocol"),
+        F.lit("er7").alias("format"),
+    )
+    routed = object_key(zone_for_event(e))
+    return routed.select("message_id", "zone", "object_key")
+
+
+@register(
+    "q_pipeline_retrieval",
+    """
+    SELECT d.doc_id AS message_id, d.source, d.text, d.lang
+    FROM documents d
+    WHERE d.doc_id = 42 AND d.source IN ('src0', 'src1', 'src2')
+    """,
+)
+def q_pipeline_retrieval(spark, sf_dir):
+    """Retrieval API (A19/A20): catalog point lookup joined to the zone
+    table, scoped by reader claims — partition-pruned point read."""
+    from hcls_data_lake_spark.pipeline.zones import point_lookup
+
+    docs = t(spark, sf_dir, "documents")
+    catalog = docs.select(F.col("doc_id").alias("message_id"), "source")
+    zone_tbl = docs.select(
+        F.col("doc_id").alias("message_id"), "text", "lang"
+    )
+    hit = point_lookup(catalog, zone_tbl, 42, ["src0", "src1", "src2"])
+    return hit.select("message_id", "source", "text", "lang")
+
+
+# ------------------------------------------------------ HL7 + UDF/UDAF
+
+_ER7_BUILD = """
+    'MSH|^~\\&|APP|' || o_orderpriority || '|||' ||
+    strftime(o_orderdate, '%Y%m%d%H%M%S') ||
+    '||ADT^A01|' || CAST(o_orderkey AS VARCHAR) || '|P|2.5' || chr(13) ||
+    'PID|1||' || CAST(o_custkey AS VARCHAR) || '^^^MRN||STATUS^' ||
+    o_orderstatus
+"""
+
+
+@register(
+    "q_hl7_native_split",
+    f"""
+    WITH msgs AS (
+      SELECT o_orderkey, {_ER7_BUILD} AS er7
+      FROM orders WHERE o_orderkey < 2000
+    ), segs AS (
+      SELECT o_orderkey, string_split(er7, chr(13)) AS segments FROM msgs
+    )
+    SELECT o_orderkey,
+           CAST(len(segments) AS INTEGER) AS n_segments,
+           substring(segments[1], 1, 3) AS seg0_id,
+           string_split(segments[1], '|')[10] AS msh_control_id,
+           string_split(string_split(segments[2], '|')[4], '^')[1]
+               AS pid_patient_id,
+           string_split(string_split(segments[2], '|')[6], '^')[2]
+               AS pid_status
+    FROM segs
+    """,
+)
+def q_hl7_native_split(spark, sf_dir):
+    """ER7 native splitter (A14 scale path): synthesize ADT^A01-shaped
+    ER7 from orders, then recover fields with pure split expressions —
+    segments by CR, fields by |, components by ^ — all codegen, no UDF."""
+    from hcls_data_lake_spark.hl7.er7 import er7_segments
+
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    er7 = F.concat(
+        F.lit("MSH|^~\\&|APP|"),
+        F.col("o_orderpriority"),
+        F.lit("|||"),
+        F.date_format("o_orderdate", "yyyyMMddHHmmss"),
+        F.lit("||ADT^A01|"),
+        F.col("o_orderkey").cast("string"),
+        F.lit("|P|2.5"),
+        F.lit("\r"),
+        F.lit("PID|1||"),
+        F.col("o_custkey").cast("string"),
+        F.lit("^^^MRN||STATUS^"),
+        F.col("o_orderstatus"),
+    )
+    msgs = o.select("o_orderkey", er7.alias("er7"))
+    segs = msgs.select("o_orderkey", er7_segments(F.col("er7")).alias("segments"))
+    seg0 = F.col("segments").getItem(0)
+    seg1 = F.col("segments").getItem(1)
+    return segs.select(
+        "o_orderkey",
+        F.size("segments").alias("n_segments"),
+        F.substring(seg0, 1, 3).alias("seg0_id"),
+        F.split(seg0, "\\|").getItem(9).alias("msh_control_id"),
+        F.split(F.split(seg1, "\\|").getItem(3), "\\^").getItem(0).alias(
+            "pid_patient_id"
+        ),
+        F.split(F.split(seg1, "\\|").getItem(5), "\\^").getItem(1).alias("pid_status"),
+    )
+
+
+@register("q_udf_parse_er7", None)  # nested-JSON doc shape: rows-only
+def q_udf_parse_er7(spark, sf_dir):
+    """ER7→JSON parse UDF (A14 fidelity path): synthesize ER7 from
+    orders, parse with the Arrow-batched recursive parser, surface
+    extracted fields + the full document. Golden-output parity against
+    the reference corpus is pinned in tests/test_hl7.py."""
+    from hcls_data_lake_spark.hl7.er7 import parse_er7_udf
+
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    er7 = F.concat(
+        F.lit("MSH|^~\\&|APP|"),
+        F.col("o_orderpriority"),
+        F.lit("|||"),
+        F.date_format("o_orderdate", "yyyyMMddHHmmss"),
+        F.lit("||ADT^A01|"),
+        F.col("o_orderkey").cast("string"),
+        F.lit("|P|2.5"),
+        F.lit("\r"),
+        F.lit("PID|1||"),
+        F.col("o_custkey").cast("string"),
+        F.lit("^^^MRN||STATUS^"),
+        F.col("o_orderstatus"),
+    )
+    parsed = o.select(
+        "o_orderkey", parse_er7_udf(er7).alias("doc")
+    )
+    return parsed.select(
+        "o_orderkey",
+        "doc",
+        F.get_json_object("doc", "$.MSH[0].MSH_10").alias("control_id"),
+        F.get_json_object("doc", "$.PID[0].PID_3.C1").alias("patient_id"),
+    )
+
+
+@register(
+    "q_udaf_grouped",
+    """
+    SELECT event_type,
+           ROUND(SUM(value * (user_id + 1)) / SUM(user_id + 1), 4)
+               AS weighted_avg_value,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_udaf_grouped(spark, sf_dir):
+    """Grouped-agg pandas UDAF (custom statistics over OBX-like numeric
+    series): weighted mean computed in vectorized pandas per group."""
+    from pyspark.sql.types import DoubleType
+
+    @F.pandas_udf(DoubleType())
+    def weighted_avg(v: pd.Series, w: pd.Series) -> float:
+        return float((v * w).sum() / w.sum())
+
+    e = t(spark, sf_dir, "events").withColumn(
+        "w", (F.col("user_id") + 1).cast("double")
+    )
+    return e.groupBy("event_type").agg(
+        F.round(weighted_avg(F.col("value"), F.col("w")), 4).alias(
+            "weighted_avg_value"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register("q_udtf_explode_segments", None)  # UDTF-style: rows-only
+def q_udtf_explode_segments(spark, sf_dir):
+    """UDTF-style one-message→many-rows: explode parsed documents into
+    (message, segment_id, field_count) rows via posexplode over the
+    native splitter (the §2.B UDTF surface)."""
+    from hcls_data_lake_spark.hl7.er7 import er7_segments
+
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    er7 = F.concat(
+        F.lit("MSH|^~\\&|APP|X|||20240101000000||ADT^A01|"),
+        F.col("o_orderkey").cast("string"),
+        F.lit("|P|2.5\rPID|1||"),
+        F.col("o_custkey").cast("string"),
+        F.lit("^^^MRN\rPV1|1|I"),
+    )
+    segs = o.select("o_orderkey", F.posexplode(er7_segments(er7)).alias("seg_idx", "segment"))
+    return segs.select(
+        "o_orderkey",
+        F.col("seg_idx").cast("bigint").alias("seg_idx"),
+        F.substring("segment", 1, 3).alias("segment_id"),
+        F.size(F.split("segment", "\\|")).alias("n_fields"),
+    )

@@ -1,0 +1,148 @@
+"""Scans / sources / sinks (SURVEY.md §2.B "Scans").
+
+Reference motivation: zone tables are objects in a bucket written under a
+hive-style ``protocol=...`` key layout (core_stack.yml:151,155-160); raw
+zones are text, staged zones are JSON (trigger_lambda.py:30).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hcls_data_lake_spark.queries.common import scratch_dir, t
+from hcls_data_lake_spark.registry import register
+
+
+@register(
+    "q_scan_parquet",
+    """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_scan_parquet(spark, sf_dir):
+    """Full parquet scan + projection + count (A10 zone tables)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+@register(
+    "q_scan_partition_prune",
+    """
+    SELECT o_orderstatus,
+           o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS sum_total
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderstatus, o_orderpriority
+    """,
+)
+def q_scan_partition_prune(spark, sf_dir):
+    """Partition-pruned read: write orders partitioned by status (the
+    reference's ``protocol=`` hive layout, core_stack.yml:151), read back
+    with a partition predicate — Catalyst prunes to one directory.
+    """
+    path = scratch_dir(f"orders_by_status_{abs(hash(sf_dir)) % 10**8}")
+    orders = t(spark, sf_dir, "orders")
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    back = spark.read.parquet(path)
+    return (
+        back.filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
+        )
+        # partition column comes back as string; restore schema parity
+        .withColumn("o_orderstatus", F.col("o_orderstatus").cast("string"))
+    )
+
+
+@register(
+    "q_scan_text_parse",
+    """
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    """,
+)
+def q_scan_text_parse(spark, sf_dir):
+    """Text lines -> structured rows (raw ER7 zone is ``.txt`` objects,
+    core_stack.yml:145-151): serialize documents to a text zone, read it
+    back with the line reader, and re-split into typed columns.
+    """
+    path = scratch_dir(f"documents_text_{abs(hash(sf_dir)) % 10**8}")
+    docs = t(spark, sf_dir, "documents")
+    (
+        docs.select(
+            F.concat_ws(
+                "",
+                F.col("doc_id").cast("string"),
+                F.col("lang"),
+                F.col("source"),
+                F.col("n_chars").cast("string"),
+            ).alias("value")
+        )
+        .write.mode("overwrite")
+        .text(path)
+    )
+    lines = spark.read.text(path)
+    parts = F.split(F.col("value"), "")
+    return lines.select(
+        parts.getItem(0).cast("bigint").alias("doc_id"),
+        parts.getItem(1).alias("lang"),
+        parts.getItem(2).alias("source"),
+        parts.getItem(3).cast("bigint").alias("n_chars"),
+    )
+
+
+@register(
+    "q_scan_json",
+    """
+    SELECT event_id, event_type, value
+    FROM events
+    WHERE event_type IN ('purchase', 'signup')
+    """,
+)
+def q_scan_json(spark, sf_dir):
+    """JSON docs -> columns (staged zone is ``.json``,
+    trigger_lambda.py:30): write events to a JSON zone, read back with
+    the JSON reader + explicit schema (no inference scan at 100 TB).
+    """
+    path = scratch_dir(f"events_json_{abs(hash(sf_dir)) % 10**8}")
+    ev = t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    ev.write.mode("overwrite").json(path)
+    back = spark.read.schema("event_id bigint, event_type string, value double").json(path)
+    return back.filter(F.col("event_type").isin("purchase", "signup"))
+
+
+@register(
+    "q_sink_partitioned_write",
+    """
+    SELECT l_returnflag AS zone_key,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_sink_partitioned_write(spark, sf_dir):
+    """Partitioned zone sink (A9/A10): partitionBy write, verified by
+    re-reading each partition directory and counting.
+    """
+    path = scratch_dir(f"lineitem_zone_{abs(hash(sf_dir)) % 10**8}")
+    li = t(spark, sf_dir, "lineitem")
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy(F.col("l_returnflag").cast("string").alias("zone_key"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )

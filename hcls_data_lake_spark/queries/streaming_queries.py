@@ -1,0 +1,225 @@
+"""Streaming queries (SURVEY.md §2.B "Streaming").
+
+Each runs a REAL Structured Streaming job (file source →
+availableNow trigger → memory/parquet sink) and returns the
+materialized result so the driver can hash it against a
+batch-equivalent DuckDB oracle.
+
+Window boundaries are emitted as epoch seconds (BIGINT) computed with
+integer microsecond arithmetic — identical in both engines, independent
+of session time zone.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from hcls_data_lake_spark.queries.common import scratch_dir
+from hcls_data_lake_spark.registry import register
+from hcls_data_lake_spark.streaming.runner import (
+    read_events_stream,
+    run_foreach_batch,
+    run_to_memory,
+)
+
+
+@register(
+    "q_stream_tumbling",
+    """
+    SELECT (epoch_us(ts) // 600000000) * 600 AS win_start_sec,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_tumbling(spark, sf_dir):
+    """Tumbling 10-minute window aggregation as a streaming job."""
+    sdf = read_events_stream(spark, sf_dir)
+    agg = (
+        sdf.groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            (F.unix_micros(F.col("window.start")) / 1_000_000)
+            .cast("bigint")
+            .alias("win_start_sec"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_to_memory(agg, output_mode="complete")
+
+
+@register(
+    "q_stream_sliding",
+    """
+    SELECT win_start_sec, CAST(count(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM (
+      SELECT ((epoch_us(ts) // 300000000) * 300) - off AS win_start_sec, value
+      FROM events, (SELECT unnest([0, 300]) AS off)
+      WHERE epoch_us(ts) >= off * 1000000
+    )
+    GROUP BY win_start_sec
+    """,
+)
+def q_stream_sliding(spark, sf_dir):
+    """Sliding window (10 min size / 5 min slide): each event lands in
+    two overlapping windows."""
+    sdf = read_events_stream(spark, sf_dir)
+    agg = (
+        sdf.groupBy(F.window("ts", "10 minutes", "5 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            (F.unix_micros(F.col("window.start")) / 1_000_000)
+            .cast("bigint")
+            .alias("win_start_sec"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_to_memory(agg, output_mode="complete")
+
+
+@register(
+    "q_stream_session",
+    """
+    WITH marked AS (
+      SELECT user_id, epoch_us(ts) AS ep,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 300000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+    ), sess AS (
+      SELECT user_id, ep,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ep
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM marked
+    )
+    SELECT user_id,
+           MIN(ep) // 1000000 AS session_start_sec,
+           (MAX(ep) + 300000000) // 1000000 AS session_end_sec,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sess
+    GROUP BY user_id, sess_id
+    """,
+)
+def q_stream_session(spark, sf_dir):
+    """Session windows (5-minute gap) per user as a streaming job;
+    oracle is the gaps-and-islands SQL (lag + running sum)."""
+    sdf = read_events_stream(spark, sf_dir)
+    agg = (
+        sdf.groupBy(F.session_window("ts", "5 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            (F.unix_micros(F.col("session_window.start")) / 1_000_000)
+            .cast("bigint")
+            .alias("session_start_sec"),
+            (F.unix_micros(F.col("session_window.end")) / 1_000_000)
+            .cast("bigint")
+            .alias("session_end_sec"),
+            "n_events",
+        )
+    )
+    return run_to_memory(agg, output_mode="complete")
+
+
+@register(
+    "q_stream_watermark_late",
+    """
+    SELECT (epoch_us(ts) // 600000000) * 600 AS win_start_sec,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_stream_watermark_late(spark, sf_dir):
+    """Watermarked windowed aggregation. On the in-order fixture replay
+    nothing is late, so the streaming result equals the batch oracle;
+    the late-drop path is pinned by unit tests with manufactured
+    out-of-order batches (SURVEY §5.2.5)."""
+    sdf = read_events_stream(spark, sf_dir)
+    agg = (
+        sdf.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            (F.unix_micros(F.col("window.start")) / 1_000_000)
+            .cast("bigint")
+            .alias("win_start_sec"),
+            "n_events",
+        )
+    )
+    return run_to_memory(agg, output_mode="complete")
+
+
+@register(
+    "q_stream_dedup_state",
+    """
+    SELECT DISTINCT user_id, event_type
+    FROM events
+    """,
+)
+def q_stream_dedup_state(spark, sf_dir):
+    """Stateful streaming dedup (A5 as a stream): watermark +
+    dropDuplicates on the key. Output is the key set itself, so the
+    result is deterministic regardless of which physical row was first."""
+    sdf = read_events_stream(spark, sf_dir)
+    deduped = (
+        sdf.withWatermark("ts", "30 minutes")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return run_to_memory(deduped, output_mode="append")
+
+
+@register(
+    "q_stream_foreachbatch_route",
+    """
+    SELECT CASE WHEN event_type = 'error' THEN 'error'
+                ELSE 'staging' END AS zone,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_stream_foreachbatch_route(spark, sf_dir):
+    """foreachBatch multi-sink routing (A8/A15): every micro-batch is
+    split by zone predicate and appended to per-zone parquet sinks; the
+    result re-reads the zones and aggregates them."""
+    out_root = scratch_dir(f"route_{abs(hash(sf_dir)) % 10**8}")
+    shutil.rmtree(out_root, ignore_errors=True)
+    sdf = read_events_stream(spark, sf_dir).select(
+        "event_id", "event_type", "value"
+    )
+
+    def route(batch_df, batch_id):
+        err = batch_df.filter(F.col("event_type") == "error")
+        ok = batch_df.filter(F.col("event_type") != "error")
+        err.write.mode("append").parquet(f"{out_root}/error")
+        ok.write.mode("append").parquet(f"{out_root}/staging")
+
+    run_foreach_batch(sdf, route)
+    err = spark.read.parquet(f"{out_root}/error").withColumn("zone", F.lit("error"))
+    ok = spark.read.parquet(f"{out_root}/staging").withColumn("zone", F.lit("staging"))
+    return (
+        err.unionByName(ok)
+        .groupBy("zone")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )

@@ -1,0 +1,215 @@
+"""Window-function queries (SURVEY.md §2.B "Window functions").
+
+Reference motivation: "current record" selection for MRG/A40 merges
+(latest message per patient), successive-update deltas (A31), cumulative
+ingest volume.
+
+Scale notes: every window here partitions by a key (user/customer) —
+no global unpartitioned window over big data except q_sort_multi's
+explicitly-global listing rank.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hcls_data_lake_spark.queries.common import t
+from hcls_data_lake_spark.registry import register
+
+
+@register(
+    "q_win_rank",
+    """
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(row_number() OVER w AS BIGINT) AS rn,
+             CAST(rank() OVER w AS BIGINT) AS rnk,
+             CAST(dense_rank() OVER w AS BIGINT) AS drnk
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY o_orderdate DESC, o_orderkey ASC)
+    ) WHERE rn <= 3
+    """,
+)
+def q_win_rank(spark, sf_dir):
+    """row_number/rank/dense_rank — latest-N messages per entity (the
+    MRG/A40 "current record" pattern)."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+            F.rank().over(w).cast("bigint").alias("rnk"),
+            F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "q_win_lag",
+    """
+    SELECT event_id, user_id, value,
+           lag(value) OVER w AS prev_value,
+           lead(value) OVER w AS next_value,
+           ROUND(value - COALESCE(lag(value) OVER w, value), 2) AS delta
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_win_lag(spark, sf_dir):
+    """lag/lead — successive-update delta (A31 updates)."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("value").over(w)
+    return e.select(
+        "event_id",
+        "user_id",
+        "value",
+        prev.alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.round(F.col("value") - F.coalesce(prev, F.col("value")), 2).alias("delta"),
+    )
+
+
+@register(
+    "q_win_running",
+    """
+    SELECT event_id, user_id,
+           ROUND(SUM(value) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW), 2)
+               AS running_value,
+           CAST(count(*) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS BIGINT)
+               AS running_n
+    FROM events
+    """,
+)
+def q_win_running(spark, sf_dir):
+    """Running aggregate with an explicit ROWS frame (cumulative ingest
+    volume per source)."""
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 2).alias("running_value"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("running_n"),
+    )
+
+
+@register(
+    "q_win_range_frame",
+    """
+    SELECT event_id, user_id, ts_sec,
+           CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts_sec
+                               RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n_last_10min,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts_sec
+                                  RANGE BETWEEN 600 PRECEDING AND CURRENT ROW),
+                 2) AS sum_last_10min
+    FROM (SELECT event_id, user_id, value,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+          FROM events)
+    """,
+)
+def q_win_range_frame(spark, sf_dir):
+    """RANGE frame over event-time seconds — sliding per-entity rate
+    (10-minute trailing window)."""
+    e = t(spark, sf_dir, "events").withColumn(
+        "ts_sec", F.floor(F.col("ts_ns") / F.lit(1_000_000_000)).cast("bigint")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_sec")
+        .rangeBetween(-600, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts_sec",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_last_10min"),
+        F.round(F.sum("value").over(w), 2).alias("sum_last_10min"),
+    )
+
+
+@register(
+    "q_win_ntile_firstlast",
+    """
+    SELECT c_custkey, c_mktsegment,
+           CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+                               ORDER BY c_acctbal DESC, c_custkey) AS BIGINT)
+               AS quartile,
+           first_value(c_custkey) OVER (PARTITION BY c_mktsegment
+                                        ORDER BY c_acctbal DESC, c_custkey
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                                 AND UNBOUNDED FOLLOWING)
+               AS richest,
+           last_value(c_custkey) OVER (PARTITION BY c_mktsegment
+                                       ORDER BY c_acctbal DESC, c_custkey
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                                AND UNBOUNDED FOLLOWING)
+               AS poorest
+    FROM customer
+    """,
+)
+def q_win_ntile_firstlast(spark, sf_dir):
+    """ntile / first / last over a full-partition frame (cohort
+    bucketing)."""
+    c = t(spark, sf_dir, "customer")
+    order = [F.col("c_acctbal").desc(), F.col("c_custkey")]
+    w = Window.partitionBy("c_mktsegment").orderBy(*order)
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.first("c_custkey").over(wf).alias("richest"),
+        F.last("c_custkey").over(wf).alias("poorest"),
+    )
+
+
+@register(
+    "q_topk_per_group",
+    """
+    SELECT * FROM (
+      SELECT n_name AS nation_name, s_suppkey, s_acctbal,
+             CAST(row_number() OVER (PARTITION BY n_name
+                                     ORDER BY s_acctbal DESC, s_suppkey)
+                  AS BIGINT) AS rn
+      FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    ) WHERE rn <= 2
+    """,
+)
+def q_topk_per_group(spark, sf_dir):
+    """Top-k per group (top senders per zone): broadcast dim join then
+    rank-filter; only k rows per group survive the window."""
+    s = t(spark, sf_dir, "supplier")
+    n = F.broadcast(t(spark, sf_dir, "nation"))
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("s_acctbal").desc(), F.col("s_suppkey")
+    )
+    return (
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation_name"),
+            "s_suppkey",
+            "s_acctbal",
+            F.row_number().over(Window.partitionBy("n_name").orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey"))).cast("bigint").alias("rn"),
+        )
+        .filter(F.col("rn") <= 2)
+    )

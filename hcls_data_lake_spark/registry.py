@@ -1,0 +1,81 @@
+"""Query registry: the single source of truth for the t2 contract.
+
+Each declared query (SURVEY.md §2.B) registers a Spark callable
+``(spark, sf_dir) -> DataFrame`` together with its DuckDB oracle SQL.
+``__spark_entry__.queries()`` / ``oracle_sql()`` are thin views over
+this registry.
+
+Oracle discipline: every computed column is aliased identically in the
+Spark code and the SQL; floating aggregates are rounded in both; no
+query relies on unspecified row order (the driver's compare is
+order-insensitive and sorts columns by name).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class Query:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # None => driver runs a rows-only check
+    doc: str = ""
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register a query with its oracle SQL (or None)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "")
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    _load_all()
+    return {name: q.fn for name, q in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    _load_all()
+    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
+
+
+_LOADED = False
+
+
+def _load_all() -> None:
+    """Import every query module so registration side effects run."""
+    global _LOADED
+    if _LOADED:
+        return
+    # Imports are deferred so the package imports fast and circular
+    # imports (query modules import `register` from here) are safe.
+    from hcls_data_lake_spark.queries import (  # noqa: F401
+        aggregates,
+        filters,
+        functions_pack,
+        joins,
+        llm,
+        pipeline_queries,
+        scans,
+        setops,
+        sorts,
+        streaming_queries,
+        windows,
+    )
+
+    _LOADED = True

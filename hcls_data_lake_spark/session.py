@@ -1,0 +1,32 @@
+"""SparkSession factory with the engine's performance posture.
+
+100 TB posture (SURVEY.md §4/§6): AQE on (runtime join selection, skew
+splitting, shuffle-partition coalescing), Arrow for every Python
+boundary, broadcast joins for dims under threshold. On a real cluster
+the same confs apply; only master/shuffle-partition count change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "hcls-data-lake-spark") -> SparkSession:
+    """Local session for tests/bench; the driver may supply its own."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    return builder.getOrCreate()

@@ -1,0 +1,77 @@
+"""Helpers to run finite Structured Streaming jobs for verification.
+
+The reference's pipeline is event-driven (SNS → Lambda per message,
+A12/A18); here the same dataflow is a streaming DataFrame over the
+lake's file source. For the correctness harness we run with
+``trigger(availableNow=True)`` into a memory sink and hand back the
+materialized result — a real streaming execution with a deterministic
+endpoint.
+"""
+
+from __future__ import annotations
+
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hcls_data_lake_spark.queries.common import scratch_dir
+
+# Raw schema of the events parquet when read with nanosAsLong (the
+# fixture stores TIMESTAMP(NANOS); see queries/common.py).
+EVENTS_RAW_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint,"
+    " event_type string, value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming file source over the events table (A18: the old
+    reference's CloudTrail->EventBridge file-event trigger is exactly
+    Spark's file-source new-file discovery)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .parquet(f"{sf_dir}/events.parquet")
+        .withColumn("ts_ns", F.col("ts"))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+
+def run_to_memory(
+    sdf: DataFrame, output_mode: str = "append", name: str | None = None
+) -> DataFrame:
+    """Execute a streaming DataFrame to completion into a memory sink
+    and return the materialized table."""
+    spark = sdf.sparkSession
+    qname = name or f"mem_{uuid.uuid4().hex[:10]}"
+    ckpt = scratch_dir("ckpt", qname)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    query = (
+        sdf.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(qname)
+
+
+def run_foreach_batch(
+    sdf: DataFrame, batch_fn, name: str | None = None
+) -> None:
+    """Execute a streaming DataFrame through foreachBatch to completion
+    (the per-batch multi-sink routing of A8/A15)."""
+    qname = name or f"feb_{uuid.uuid4().hex[:10]}"
+    ckpt = scratch_dir("ckpt", qname)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    query = (
+        sdf.writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
