@@ -1,0 +1,77 @@
+"""Benchmark harness: times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced to full materialization with a count-style action
+(write to a noop aggregation) so timing covers the complete plan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# The headline set: one per major operator family, weighted toward the
+# shuffly/expensive plans that dominate at 100 TB.
+HEADLINE = [
+    "q_agg_group",          # flagship pricing summary (scan+filter+agg)
+    "q_join_multiway",      # 5-table star join
+    "q_join_inner_hash",    # big-big shuffle join
+    "q_join_asof",          # union+window as-of join
+    "q_win_rank",           # partitioned window
+    "q_agg_pivot",          # pivot matrix
+    "q_dedup_exact",        # sha256 dedup
+    "q_dedup_near",         # shingle jaccard near-dup
+    "q_sim_topk",           # cosine top-k
+    "q_text_tfidf",         # explode-heavy text pipeline
+    "q_text_tokens",        # corpus token counts
+    "q_stream_tumbling",    # structured streaming window agg
+    "q_hl7_native_split",   # ER7 native splitter
+    "q_pipeline_ingest",    # ingest chain (decode/hash/anti-join)
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+
+    from hcls_data_lake_spark import registry
+    from hcls_data_lake_spark.session import get_spark
+
+    spark = get_spark("hcls-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = registry.queries()
+
+    # warm the JVM + fixture file listing once
+    qs["q_scan_parquet"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        _ = n
+    total = round(sum(timings.values()), 3)
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

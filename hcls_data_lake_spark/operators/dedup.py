@@ -149,7 +149,7 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     bit_sums = votes.groupBy("doc_id", "bit_i").agg(F.sum("vote").alias("votes"))
     fp = bit_sums.groupBy("doc_id").agg(
         F.bit_or(
-            F.when(F.col("votes") > 0, F.shiftleft(F.lit(1).cast("long"), F.col("bit_i"))).otherwise(
+            F.when(F.col("votes") > 0, F.expr("shiftleft(1L, bit_i)")).otherwise(
                 F.lit(0).cast("long")
             )
         ).alias("simhash")

@@ -260,7 +260,7 @@ def q_fn_array(spark, sf_dir):
     """
     SELECT event_id,
            element_at(map {'event': event_type, 'source': CAST(user_id AS VARCHAR)},
-                      'event') AS event_attr,
+                      'event')[1] AS event_attr,
            CAST(cardinality(map {'event': event_type,
                                  'source': CAST(user_id AS VARCHAR)}) AS INTEGER)
                AS n_attrs,

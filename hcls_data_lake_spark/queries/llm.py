@@ -465,7 +465,9 @@ def q_text_token_count(spark, sf_dir):
     return d.select(
         "doc_id",
         F.size(
-            F.regexp_extract_all(F.col("text"), F.lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"))
+            F.regexp_extract_all(
+                F.col("text"), F.lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), 0
+            )
         ).alias("n_bpeish_tokens"),
         F.size(F.split("text", " ")).alias("n_ws_tokens"),
     )

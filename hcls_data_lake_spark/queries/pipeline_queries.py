@@ -255,11 +255,17 @@ def q_udaf_grouped(spark, sf_dir):
     e = t(spark, sf_dir, "events").withColumn(
         "w", (F.col("user_id") + 1).cast("double")
     )
-    return e.groupBy("event_type").agg(
+    # pandas group-agg UDFs can't mix with builtin aggregates in one
+    # agg() — compute the count separately and join (both aggs share
+    # the same shuffle key, so AQE reuses the exchange).
+    wavg = e.groupBy("event_type").agg(
         F.round(weighted_avg(F.col("value"), F.col("w")), 4).alias(
             "weighted_avg_value"
-        ),
-        F.count(F.lit(1)).alias("n"),
+        )
+    )
+    counts = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return wavg.join(counts, "event_type").select(
+        "event_type", "weighted_avg_value", "n"
     )
 
 

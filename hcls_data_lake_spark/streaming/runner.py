@@ -10,6 +10,7 @@ endpoint.
 
 from __future__ import annotations
 
+import os
 import shutil
 import uuid
 
@@ -29,11 +30,19 @@ EVENTS_RAW_SCHEMA = (
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming file source over the events table (A18: the old
     reference's CloudTrail->EventBridge file-event trigger is exactly
-    Spark's file-source new-file discovery)."""
+    Spark's file-source new-file discovery).
+
+    The file source needs a directory, so the fixture file is exposed
+    through a symlinked landing dir (what a real lake zone is)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    landing = scratch_dir(f"events_landing_{abs(hash(sf_dir)) % 10**8}")
+    os.makedirs(landing, exist_ok=True)
+    link = os.path.join(landing, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
     return (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .parquet(f"{sf_dir}/events.parquet")
+        .parquet(landing)
         .withColumn("ts_ns", F.col("ts"))
         .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )

@@ -1,0 +1,107 @@
+"""HL7 ER7 parser tests against the reference message corpus
+(SURVEY.md §5.2.4 golden-parse strategy; corpus coverage per
+FIXTURES.md §11)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from hcls_data_lake_spark.hl7.er7 import parse_er7
+
+ASSETS = os.path.join(os.path.dirname(__file__), "assets", "messages")
+
+
+def corpus_messages() -> list[tuple[str, str]]:
+    """Split each corpus file into individual messages (files may hold
+    several; a new message starts at an MSH line)."""
+    out = []
+    for fname in sorted(os.listdir(ASSETS)):
+        text = open(os.path.join(ASSETS, fname), encoding="utf-8").read()
+        current: list[str] = []
+        idx = 0
+        for line in text.replace("\r\n", "\n").replace("\r", "\n").split("\n"):
+            if line.startswith("MSH|") and current:
+                out.append((f"{fname}#{idx}", "\r".join(current)))
+                idx += 1
+                current = []
+            if line.strip():
+                current.append(line)
+        if current:
+            out.append((f"{fname}#{idx}", "\r".join(current)))
+    return out
+
+
+MESSAGES = corpus_messages()
+
+
+def test_corpus_size():
+    # FIXTURES.md: 6 files, 12 distinct messages (adt03 holds 5, adt01 2)
+    assert len(MESSAGES) == 12
+
+
+@pytest.mark.parametrize("name,msg", MESSAGES, ids=[m[0] for m in MESSAGES])
+def test_parse_corpus_message(name, msg):
+    doc_json = parse_er7(msg)
+    assert doc_json is not None, f"{name} failed to parse"
+    doc = json.loads(doc_json)
+    # every parsed doc has an MSH segment list with the message type
+    assert "MSH" in doc and isinstance(doc["MSH"], list)
+    msh = doc["MSH"][0]
+    assert msh["MSH_1"] == "|"
+    assert msh["MSH_2"].startswith("^")
+
+
+def test_repeating_segments_become_lists():
+    # adt02.txt has two NK1 segments (FIXTURES.md: NK1 ×2 → list)
+    msg = next(m for n, m in MESSAGES if n.startswith("adt02"))
+    doc = json.loads(parse_er7(msg))
+    assert len(doc["NK1"]) == 2
+
+
+def test_component_and_repetition_shape():
+    doc = json.loads(
+        parse_er7("MSH|^~\\&|A|B|C|D|20240101||ADT^A01|1|P|2.5\r"
+                  "PID|1||id1~id2||Last^First")
+    )
+    pid = doc["PID"][0]
+    assert pid["PID_3"] == ["id1", "id2"]          # ~ repetition -> list
+    assert pid["PID_5"] == {"C1": "Last", "C2": "First"}  # ^ -> components
+
+
+def test_empty_field_quirk_unwrapped():
+    # `""` unwraps to empty string (parse_er7_lambda.py:48-50 quirk)
+    doc = json.loads(
+        parse_er7('MSH|^~\\&|A|B|C|D|20240101||ADT^A01|1|P|2.5\rPID|1||X||""')
+    )
+    assert doc["PID"][0]["PID_5"] == ""
+
+
+def test_junk_routes_to_none():
+    # non-HL7 payload fails parse -> None -> error zone (A15;
+    # test_services.py:75 junk string behavior)
+    assert parse_er7("I'm just a random number: 42") is None
+    assert parse_er7("") is None
+
+
+def test_subcomponents():
+    doc = json.loads(
+        parse_er7("MSH|^~\\&|A|B|C|D|20240101||ORU^R01|1|P|2.3\r"
+                  "OBX|1|CE|X&Y&Z")
+    )
+    assert doc["OBX"][0]["OBX_3"] == {"S1": "X", "S2": "Y", "S3": "Z"}
+
+
+def test_golden_corpus_fields():
+    """Golden spot-checks pinned from the corpus files."""
+    by_name = dict(MESSAGES)
+    lab01 = json.loads(parse_er7(by_name["lab01.txt#0"]))
+    # MSH-2 keeps non-standard encoding chars verbatim (FIXTURES.md §11)
+    assert lab01["MSH"][0]["MSH_2"] == "^~\\&"
+    # 14 OBX segments in lab01 + ADD/NTE handled
+    assert len(lab01["OBX"]) >= 14
+
+    adt01_first = json.loads(parse_er7(by_name["adt01.txt#0"]))
+    assert len(adt01_first["DG1"]) == 3  # repeating DG1 ×3

@@ -1,0 +1,112 @@
+"""Unit tests for the operator library (dedup, similarity, multimodal,
+edge semantics per SURVEY.md §5.2.2)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hcls_data_lake_spark.operators.dedup import (
+    exact_dedup,
+    hamming64,
+    minhash_lsh_pairs,
+    simhash,
+)
+from hcls_data_lake_spark.operators.multimodal import extract_features
+from hcls_data_lake_spark.operators.similarity import ann_lsh_topk, brute_force_topk
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+        (3, "completely different content about spark engines"),
+        (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (5, "spark engines process completely different content"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_keeps_lowest_id(docs):
+    kept = exact_dedup(docs, "text", "doc_id")
+    ids = {r.doc_id for r in kept.collect()}
+    assert 1 in ids and 4 not in ids
+    assert kept.count() == 4
+
+
+def test_minhash_lsh_finds_near_dup(docs):
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id", jaccard_threshold=0.2)
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert (1, 2) in got  # near-dup pair found
+    assert (1, 4) in got  # exact dup is trivially a near-dup
+    # jaccard values are exact (verification join), so 1-4 has J=1.0
+    j14 = dict(((r.doc_a, r.doc_b), r.jaccard) for r in pairs.collect())[(1, 4)]
+    assert j14 == 1.0
+
+
+def test_simhash_near_dups_have_small_hamming(spark, docs):
+    fp = simhash(docs, "text", "doc_id")
+    rows = {r.doc_id: r.simhash for r in fp.collect()}
+    d = spark.createDataFrame(
+        [(rows[1], rows[2]), (rows[1], rows[3]), (rows[1], rows[4])],
+        "a long, b long",
+    ).select(hamming64(F.col("a"), F.col("b")).alias("h"))
+    h12, h13, h14 = [r.h for r in d.collect()]
+    assert h14 == 0          # identical text -> identical fingerprint
+    assert h12 < h13         # near-dup closer than unrelated text
+
+
+def test_simhash_deterministic(docs):
+    a = {r.doc_id: r.simhash for r in simhash(docs, "text", "doc_id").collect()}
+    b = {r.doc_id: r.simhash for r in simhash(docs, "text", "doc_id").collect()}
+    assert a == b
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((20, 16)).astype("float32")
+    base[1] = base[0] + 0.01 * rng.standard_normal(16).astype("float32")
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk_finds_planted_neighbor(vectors):
+    res = brute_force_topk(vectors, k=3, query_filter=F.col("vec_id") == 0)
+    top = res.orderBy("rn").first()
+    assert top.neighbor_id == 1  # the planted near-identical vector
+    assert top.cosine > 0.99
+
+
+def test_ann_lsh_subset_of_bucket_and_sane(vectors):
+    res = ann_lsh_topk(vectors, k=3, n_planes=4, query_filter=F.col("vec_id") == 0)
+    rows = res.collect()
+    assert all(r.query_id == 0 for r in rows)
+    assert all(-1.0 <= r.cosine <= 1.0 for r in rows)
+
+
+def test_multimodal_extract_stub(spark):
+    rows = [
+        (1, b"hello world", "text/plain"),
+        (2, b"\x89PNG...", "image/png"),  # no codec -> decode_ok False
+        (3, None, "text/plain"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary, mime_type string")
+    out = extract_features(df).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[1].decode_ok and len(by_id[1].feature) == 8
+    assert not by_id[2].decode_ok and by_id[2].feature is None
+    assert by_id[1].n_bytes == 11
+    assert by_id[3].n_bytes == 0
+    # deterministic feature + hash
+    assert by_id[1].sha256 == __import__("hashlib").sha256(b"hello world").hexdigest()
+
+
+def test_empty_relation_edges(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert exact_dedup(empty, "text", "doc_id").count() == 0
+    assert simhash(empty, "text", "doc_id").count() == 0
+    assert minhash_lsh_pairs(empty, "text", "doc_id").count() == 0

@@ -1,0 +1,109 @@
+"""End-to-end pipeline test mirroring the reference's smoke test
+(SURVEY.md §5.2.3: test_services.py recast as DataFrame assertions).
+
+Feed the 12 corpus messages + 1 junk payload through ingest→stage,
+assert zone routing, dedup rejection on resend, and the authz matrix.
+"""
+
+from __future__ import annotations
+
+import base64
+
+import pytest
+from pyspark.sql import functions as F
+
+from hcls_data_lake_spark.pipeline.ingest import (
+    attach_envelope,
+    authz_write_gate,
+    decode_base64,
+    dedup_against_registry,
+    rejected_authz,
+    with_content_hash,
+)
+from hcls_data_lake_spark.pipeline.staging import stage_er7
+from hcls_data_lake_spark.pipeline.zones import (
+    object_key,
+    point_lookup,
+    zone_for_event,
+)
+from tests.test_hl7 import MESSAGES
+
+JUNK = "I'm just a random number: 42"  # test_services.py:75 behavior
+
+
+@pytest.fixture(scope="module")
+def wire_df(spark):
+    rows = [
+        (i, base64.b64encode(m.encode()).decode(), "hospital_a")
+        for i, (_, m) in enumerate(MESSAGES)
+    ]
+    rows.append((len(rows), base64.b64encode(JUNK.encode()).decode(), "hospital_a"))
+    # a reader-only user (no write claim) attempting a write -> rejected
+    rows.append((len(rows) + 1, base64.b64encode(JUNK.encode()).decode(), None))
+    return spark.createDataFrame(
+        rows, "message_id long, msg_b64 string, writer_institution string"
+    )
+
+
+def _ingest(wire, registry):
+    decoded = decode_base64(wire)
+    admitted = dedup_against_registry(
+        with_content_hash(authz_write_gate(decoded)), registry
+    )
+    return attach_envelope(admitted)
+
+
+def test_ingest_counts_and_authz(spark, wire_df):
+    empty_registry = spark.createDataFrame([], "msg_hash string")
+    ingested = _ingest(wire_df, empty_registry)
+    # 13 authorized messages (12 corpus + junk); 1 rejected for no claim
+    assert ingested.count() == 13
+    assert rejected_authz(decode_base64(wire_df)).count() == 1
+    # envelope attached (A6)
+    row = ingested.first()
+    assert row.event == "ingested" and row.protocol == "hl7v2" and row.format == "er7"
+
+
+def test_dedup_rejects_resend(spark, wire_df):
+    empty_registry = spark.createDataFrame([], "msg_hash string")
+    first = _ingest(wire_df, empty_registry)
+    registry = first.select("msg_hash")
+    resend = _ingest(wire_df, registry)
+    assert resend.count() == 0  # full resend -> all rejected (400 path)
+
+
+def test_staging_routes_parse_failures(spark, wire_df):
+    empty_registry = spark.createDataFrame([], "msg_hash string")
+    ingested = _ingest(wire_df, empty_registry)
+    staged, errored = stage_er7(ingested)
+    staged_n = staged.count()
+    errored_n = errored.count()
+    # junk fails parse -> error zone; all corpus messages parse
+    assert errored_n == 1
+    assert staged_n == 12
+    assert staged.filter(F.col("format") == "json").count() == staged_n
+    err = errored.first()
+    assert err.format == "txt" and err.event == "error"
+    # staged docs are valid JSON with MSH
+    assert staged.filter(F.get_json_object("msg", "$.MSH").isNotNull()).count() == staged_n
+
+
+def test_zone_routing_and_keys(spark, wire_df):
+    empty_registry = spark.createDataFrame([], "msg_hash string")
+    ingested = _ingest(wire_df, empty_registry)
+    routed = object_key(zone_for_event(ingested))
+    assert routed.filter(F.col("zone") == "ingestion").count() == 13
+    key = routed.first().object_key
+    assert key.startswith("ingestion/protocol=hl7v2/") and key.endswith(".er7")
+
+
+def test_retrieval_point_lookup_with_authz(spark, wire_df):
+    empty_registry = spark.createDataFrame([], "msg_hash string")
+    ingested = object_key(zone_for_event(_ingest(wire_df, empty_registry)))
+    catalog = ingested.select("message_id", "zone", "object_key", "source")
+    zone_tbl = ingested.select("message_id", "msg")
+    hit = point_lookup(catalog, zone_tbl, 0, ["hospital_a"])
+    assert hit.count() == 1
+    # reader without the right claim sees nothing (A20 matrix)
+    denied = point_lookup(catalog, zone_tbl, 0, ["other_clinic"])
+    assert denied.count() == 0

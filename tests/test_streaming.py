@@ -1,0 +1,116 @@
+"""Streaming semantics tests (SURVEY.md §5.2.5): watermark late-data
+drop with manufactured out-of-order batches, stateful dedup, and
+batch-parity of windowed aggregation."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from hcls_data_lake_spark.queries.common import scratch_dir
+
+
+def _write_batch(spark, path, rows):
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+@pytest.fixture()
+def landing(tmp_path):
+    d = str(tmp_path / "landing")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _run_stream(spark, landing, build, mode="append", batches=None):
+    """Run a file-source stream batch-by-batch with maxFilesPerTrigger=1
+    so late-arriving files genuinely arrive after the watermark moved."""
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    ckpt = scratch_dir("test_ckpt", name)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    sdf = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    q = (
+        build(sdf)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def test_watermark_drops_late_rows(spark, landing):
+    from datetime import datetime
+
+    ts = lambda m, s=0: datetime(2024, 1, 1, 10, m, s)  # noqa: E731
+    # batch 1: events up to 10:30 -> watermark advances to ~10:20
+    _write_batch(spark, landing, [(1, ts(0), 1), (2, ts(10), 1), (3, ts(30), 1)])
+    # batch 2: a very late event at 10:01 (behind watermark) + fresh one
+    _write_batch(spark, landing, [(4, ts(1), 1), (5, ts(40), 1)])
+
+    def build(sdf):
+        return (
+            sdf.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "5 minutes"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    out = _run_stream(spark, landing, build, mode="append")
+    # the window containing the late event 10:00-10:05 already closed
+    # with count 1 (event 1); event 4 must NOT be double counted
+    counts = {
+        (r["window"].start.minute, r["n"]) for r in out.collect()
+    }
+    assert (0, 1) in counts, f"late row was not dropped: {counts}"
+
+
+def test_streaming_dedup_emits_one_per_key(spark, landing):
+    from datetime import datetime
+
+    t0 = datetime(2024, 1, 1, 10, 0)
+    _write_batch(spark, landing, [(1, t0, 7), (2, t0, 7), (3, t0, 8)])
+    _write_batch(spark, landing, [(4, t0, 7), (5, t0, 9)])
+
+    def build(sdf):
+        return sdf.withWatermark("ts", "1 hour").dropDuplicates(["user_id"]).select(
+            "user_id"
+        )
+
+    out = _run_stream(spark, landing, build, mode="append")
+    assert sorted(r.user_id for r in out.collect()) == [7, 8, 9]
+
+
+def test_streaming_batch_parity_tumbling(spark, landing):
+    from datetime import datetime
+
+    rows = [(i, datetime(2024, 1, 1, 10, i % 50), i % 3) for i in range(60)]
+    _write_batch(spark, landing, rows)
+
+    def build(sdf):
+        return sdf.groupBy(F.window("ts", "10 minutes")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+
+    stream_out = {
+        (r["window"].start, r["n"])
+        for r in _run_stream(spark, landing, build, mode="complete").collect()
+    }
+    batch_out = {
+        (r["window"].start, r["n"])
+        for r in spark.read.parquet(landing)
+        .groupBy(F.window("ts", "10 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert stream_out == batch_out
