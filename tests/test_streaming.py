@@ -26,17 +26,18 @@ def landing(tmp_path):
     return d
 
 
-def _run_stream(spark, landing, build, mode="append", batches=None):
-    """Run a file-source stream batch-by-batch with maxFilesPerTrigger=1
-    so late-arriving files genuinely arrive after the watermark moved."""
-    name = f"t_{uuid.uuid4().hex[:8]}"
-    ckpt = scratch_dir("test_ckpt", name)
-    shutil.rmtree(ckpt, ignore_errors=True)
-    sdf = (
-        spark.readStream.schema("event_id long, ts timestamp, user_id long")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(landing)
-    )
+def _run_stream(spark, landing, build, mode="append", name=None, ckpt=None):
+    """Run one availableNow pass of a file-source stream. Re-invoking
+    with the same name+ckpt resumes from the checkpoint (persisted
+    watermark/state), which is how the late-data tests guarantee a file
+    arrives strictly after the watermark advanced."""
+    name = name or f"t_{uuid.uuid4().hex[:8]}"
+    if ckpt is None:
+        ckpt = scratch_dir("test_ckpt", name)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    sdf = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long"
+    ).parquet(landing)
     q = (
         build(sdf)
         .writeStream.format("memory")
@@ -54,10 +55,6 @@ def test_watermark_drops_late_rows(spark, landing):
     from datetime import datetime
 
     ts = lambda m, s=0: datetime(2024, 1, 1, 10, m, s)  # noqa: E731
-    # batch 1: events up to 10:30 -> watermark advances to ~10:20
-    _write_batch(spark, landing, [(1, ts(0), 1), (2, ts(10), 1), (3, ts(30), 1)])
-    # batch 2: a very late event at 10:01 (behind watermark) + fresh one
-    _write_batch(spark, landing, [(4, ts(1), 1), (5, ts(40), 1)])
 
     def build(sdf):
         return (
@@ -66,13 +63,44 @@ def test_watermark_drops_late_rows(spark, landing):
             .agg(F.count(F.lit(1)).alias("n"))
         )
 
-    out = _run_stream(spark, landing, build, mode="append")
-    # the window containing the late event 10:00-10:05 already closed
-    # with count 1 (event 1); event 4 must NOT be double counted
-    counts = {
-        (r["window"].start.minute, r["n"]) for r in out.collect()
-    }
-    assert (0, 1) in counts, f"late row was not dropped: {counts}"
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    ckpt = scratch_dir("test_ckpt", name)
+    out_dir = scratch_dir("test_out", name)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    def run_pass():
+        sdf = spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long"
+        ).parquet(landing)
+        q = (
+            build(sdf)
+            .select(F.col("window.start").alias("win_start"), "n")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # pass 1: events up to 10:30 -> checkpointed watermark = 10:20;
+    # windows ending before 10:20 are finalized and emitted
+    _write_batch(spark, landing, [(1, ts(0), 1), (2, ts(10), 1), (3, ts(30), 1)])
+    run_pass()
+    # pass 2 (resumes from checkpoint): a very late event at 10:01 —
+    # behind the persisted watermark — plus a fresh one at 10:40
+    _write_batch(spark, landing, [(4, ts(1), 1), (5, ts(40), 1)])
+    run_pass()
+    rows = [
+        (r.win_start.minute, r.n) for r in spark.read.parquet(out_dir).collect()
+    ]
+    # the 10:00 window finalized with ONLY event 1 — the late event 4
+    # was dropped: exactly one emission, count 1, never re-emitted
+    assert rows.count((0, 1)) == 1, f"late row leaked: {sorted(rows)}"
+    assert (0, 2) not in rows, f"late row was counted: {sorted(rows)}"
+    assert (10, 1) in rows
 
 
 def test_streaming_dedup_emits_one_per_key(spark, landing):
