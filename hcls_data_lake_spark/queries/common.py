@@ -50,3 +50,12 @@ def r2(c: Column) -> Column:
 
 def scratch_dir(*parts: str) -> str:
     return os.path.join(SCRATCH, *parts)
+
+
+def scratch_for(sf_dir: str, name: str) -> str:
+    """Stable per-(sf_dir, purpose) scratch path — hashlib, not hash(),
+    so paths are identical across processes (PYTHONHASHSEED-proof)."""
+    import hashlib
+
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return os.path.join(SCRATCH, f"{name}_{digest}")

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from hcls_data_lake_spark.queries.common import scratch_dir, t
+from hcls_data_lake_spark.queries.common import scratch_for, t
 from hcls_data_lake_spark.registry import register
 
 
@@ -52,7 +52,7 @@ def q_scan_partition_prune(spark, sf_dir):
     reference's ``protocol=`` hive layout, core_stack.yml:151), read back
     with a partition predicate — Catalyst prunes to one directory.
     """
-    path = scratch_dir(f"orders_by_status_{abs(hash(sf_dir)) % 10**8}")
+    path = scratch_for(sf_dir, "orders_by_status")
     orders = t(spark, sf_dir, "orders")
     orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
     back = spark.read.parquet(path)
@@ -80,7 +80,7 @@ def q_scan_text_parse(spark, sf_dir):
     core_stack.yml:145-151): serialize documents to a text zone, read it
     back with the line reader, and re-split into typed columns.
     """
-    path = scratch_dir(f"documents_text_{abs(hash(sf_dir)) % 10**8}")
+    path = scratch_for(sf_dir, "documents_text")
     docs = t(spark, sf_dir, "documents")
     (
         docs.select(
@@ -118,11 +118,32 @@ def q_scan_json(spark, sf_dir):
     trigger_lambda.py:30): write events to a JSON zone, read back with
     the JSON reader + explicit schema (no inference scan at 100 TB).
     """
-    path = scratch_dir(f"events_json_{abs(hash(sf_dir)) % 10**8}")
+    path = scratch_for(sf_dir, "events_json")
     ev = t(spark, sf_dir, "events").select("event_id", "event_type", "value")
     ev.write.mode("overwrite").json(path)
     back = spark.read.schema("event_id bigint, event_type string, value double").json(path)
     return back.filter(F.col("event_type").isin("purchase", "signup"))
+
+
+@register(
+    "q_scan_csv",
+    """
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE n_chars > 100
+    """,
+)
+def q_scan_csv(spark, sf_dir):
+    """CSV zone round-trip: write a delimited extract, read back with an
+    explicit schema (header + no inference pass — an inference scan at
+    100 TB is a full extra read)."""
+    path = scratch_for(sf_dir, "documents_csv")
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    docs.write.mode("overwrite").option("header", True).csv(path)
+    back = spark.read.schema("doc_id bigint, lang string, n_chars bigint").option(
+        "header", True
+    ).csv(path)
+    return back.filter(F.col("n_chars") > 100)
 
 
 @register(
@@ -138,7 +159,7 @@ def q_sink_partitioned_write(spark, sf_dir):
     """Partitioned zone sink (A9/A10): partitionBy write, verified by
     re-reading each partition directory and counting.
     """
-    path = scratch_dir(f"lineitem_zone_{abs(hash(sf_dir)) % 10**8}")
+    path = scratch_for(sf_dir, "lineitem_zone")
     li = t(spark, sf_dir, "lineitem")
     li.write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
     back = spark.read.parquet(path)

@@ -16,7 +16,7 @@ import shutil
 
 from pyspark.sql import functions as F
 
-from hcls_data_lake_spark.queries.common import scratch_dir
+from hcls_data_lake_spark.queries.common import scratch_dir, scratch_for
 from hcls_data_lake_spark.registry import register
 from hcls_data_lake_spark.streaming.runner import (
     read_events_stream,
@@ -200,7 +200,7 @@ def q_stream_foreachbatch_route(spark, sf_dir):
     """foreachBatch multi-sink routing (A8/A15): every micro-batch is
     split by zone predicate and appended to per-zone parquet sinks; the
     result re-reads the zones and aggregates them."""
-    out_root = scratch_dir(f"route_{abs(hash(sf_dir)) % 10**8}")
+    out_root = scratch_for(sf_dir, "route")
     shutil.rmtree(out_root, ignore_errors=True)
     sdf = read_events_stream(spark, sf_dir).select(
         "event_id", "event_type", "value"

@@ -17,7 +17,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hcls_data_lake_spark.queries.common import scratch_dir
+from hcls_data_lake_spark.queries.common import scratch_dir, scratch_for
 
 # Raw schema of the events parquet when read with nanosAsLong (the
 # fixture stores TIMESTAMP(NANOS); see queries/common.py).
@@ -35,7 +35,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     The file source needs a directory, so the fixture file is exposed
     through a symlinked landing dir (what a real lake zone is)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    landing = scratch_dir(f"events_landing_{abs(hash(sf_dir)) % 10**8}")
+    landing = scratch_for(sf_dir, "events_landing")
     os.makedirs(landing, exist_ok=True)
     link = os.path.join(landing, "events.parquet")
     if not os.path.exists(link):
