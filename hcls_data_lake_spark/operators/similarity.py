@@ -75,6 +75,65 @@ def lsh_bucket(vec_col: str, planes: list[list[float]]) -> Column:
     return out
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    query_filter: Column | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest of n_centroids
+    seeded random centroids (one broadcast pass — a stand-in for a
+    trained k-means codebook, same partitioning shape), then search only
+    the query's n_probe closest cells. At 100 TB the cell equi-join
+    replaces the full cross product; recall is tuned via n_probe."""
+    dim = len(embeddings.select(vec_col).first()[0])
+    cents = _hyperplanes(dim, n_centroids, seed)  # seeded pseudo-centroids
+
+    def cell_ranks(v: str) -> Column:
+        """Array of centroid ids ordered by similarity to column v."""
+        scored = [
+            F.struct(
+                F.expr(
+                    f"aggregate(zip_with({v},"
+                    f" array({', '.join(repr(float(x)) + 'D' for x in c)}),"
+                    " (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+                ).alias("score"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(cents)
+        ]
+        return F.reverse(F.array_sort(F.array(*scored))).getField("cell")
+
+    e = embeddings.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    indexed = e.withColumn("cell", cell_ranks("_v").getItem(0))
+    q = e.filter(query_filter) if query_filter is not None else e
+    probes = q.select(
+        F.col("_id").alias("query_id"),
+        F.col("_v").alias("qv"),
+        F.explode(F.slice(cell_ranks("_v"), 1, n_probe)).alias("cell"),
+    )
+    c = indexed.select(
+        F.col("_id").alias("neighbor_id"), F.col("_v").alias("cv"), "cell"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        probes.join(c, ["cell"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine("qv", "cv"))
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rn")
+    )
+
+
 def ann_lsh_topk(
     embeddings: DataFrame,
     k: int = 5,

@@ -89,7 +89,10 @@ def q_dedup_near(spark, sf_dir):
     )
     exploded = docs.select("doc_id", "n_shingles", F.explode("shingles").alias("shingle"))
     a = exploded.alias("a")
-    b = exploded.alias("b")
+    # the probe side is a bounded block (doc_id < 200): broadcast it so
+    # the same-shingle join needs no shuffle (post-explode size stats
+    # are unknown to Catalyst, which would otherwise pick SMJ)
+    b = F.broadcast(exploded).alias("b")
     inter = (
         a.join(
             b,
@@ -240,6 +243,17 @@ def q_sim_ann_lsh(spark, sf_dir):
 
     e = t(spark, sf_dir, "embeddings")
     return ann_lsh_topk(e, k=5, n_planes=12, query_filter=F.col("vec_id") < 20)
+
+
+@register("q_sim_ann_ivf", None)  # seeded pseudo-centroids: rows-only
+def q_sim_ann_ivf(spark, sf_dir):
+    """Approximate NN via IVF cells (seeded pseudo-codebook, n_probe=2)
+    — the inverted-file scale path for q_sim_topk; recall vs the exact
+    top-k is asserted in tests/test_operators.py."""
+    from hcls_data_lake_spark.operators.similarity import ivf_topk
+
+    e = t(spark, sf_dir, "embeddings")
+    return ivf_topk(e, k=5, n_centroids=8, n_probe=2, query_filter=F.col("vec_id") < 20)
 
 
 # --------------------------------------------------------- text analysis

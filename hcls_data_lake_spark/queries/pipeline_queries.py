@@ -130,6 +130,68 @@ def q_pipeline_retrieval(spark, sf_dir):
     return hit.select("message_id", "source", "text", "lang")
 
 
+@register(
+    "q_pipeline_catalog_upsert",
+    """
+    WITH existing AS (
+      SELECT doc_id AS message_id, source, 'v1' AS version
+      FROM documents WHERE doc_id % 2 = 0
+    ), updates AS (
+      SELECT doc_id AS message_id, source, 'v2' AS version
+      FROM documents WHERE doc_id % 4 = 0 OR doc_id % 2 = 1
+    )
+    SELECT message_id, source, version FROM updates
+    UNION ALL
+    SELECT e.message_id, e.source, e.version FROM existing e
+    WHERE NOT EXISTS (SELECT 1 FROM updates u
+                      WHERE u.message_id = e.message_id)
+    """,
+)
+def q_pipeline_catalog_upsert(spark, sf_dir):
+    """Catalog MERGE semantics (A11, core_stack.yml:164-172): new
+    catalog entries override existing ones on message_id — anti-join +
+    union, one shuffle."""
+    from hcls_data_lake_spark.operators.upsert import upsert
+
+    docs = t(spark, sf_dir, "documents")
+    existing = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("message_id"), "source", F.lit("v1").alias("version")
+    )
+    updates = docs.filter(
+        (F.col("doc_id") % 4 == 0) | (F.col("doc_id") % 2 == 1)
+    ).select(
+        F.col("doc_id").alias("message_id"), "source", F.lit("v2").alias("version")
+    )
+    return upsert(existing, updates, "message_id")
+
+
+@register(
+    "q_pipeline_current_state",
+    """
+    SELECT user_id, event_id AS latest_event_id, value AS latest_value
+    FROM (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_pipeline_current_state(spark, sf_dir):
+    """Append-only log → current state (the versioned-bucket 'latest
+    object version' semantics, core_stack.yml:27-28; MRG/A40 current
+    record): max-version row per key via one windowed shuffle."""
+    from hcls_data_lake_spark.operators.upsert import upsert_latest
+
+    e = t(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    latest = upsert_latest(e, "user_id", "event_id")
+    return latest.select(
+        "user_id",
+        F.col("event_id").alias("latest_event_id"),
+        F.col("value").alias("latest_value"),
+    )
+
+
 # ------------------------------------------------------ HL7 + UDF/UDAF
 
 _ER7_BUILD = """

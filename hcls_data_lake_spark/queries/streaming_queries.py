@@ -186,6 +186,28 @@ def q_stream_dedup_state(spark, sf_dir):
 
 
 @register(
+    "q_stream_stateful_totals",
+    """
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_stream_stateful_totals(spark, sf_dir):
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running totals in explicit GroupState (the registry/catalog
+    state-mutation pattern of A5/A11 as managed streaming state). A
+    single availableNow batch makes the update-mode emission equal the
+    batch aggregate, so the oracle can hash-check it."""
+    from hcls_data_lake_spark.streaming.stateful import running_totals
+
+    sdf = read_events_stream(spark, sf_dir).select("user_id", "value")
+    return run_to_memory(running_totals(sdf), output_mode="update")
+
+
+@register(
     "q_stream_foreachbatch_route",
     """
     SELECT CASE WHEN event_type = 'error' THEN 'error'

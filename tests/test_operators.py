@@ -110,3 +110,39 @@ def test_empty_relation_edges(spark):
     assert exact_dedup(empty, "text", "doc_id").count() == 0
     assert simhash(empty, "text", "doc_id").count() == 0
     assert minhash_lsh_pairs(empty, "text", "doc_id").count() == 0
+
+
+def test_ivf_recall_against_exact(vectors):
+    from hcls_data_lake_spark.operators.similarity import ivf_topk
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(vectors, k=3).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(vectors, k=3, n_centroids=4, n_probe=2).collect()
+    }
+    # n_probe=2 of 4 cells must recover a meaningful share of the
+    # exact neighbors (deterministic given the fixed seed)
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"recall too low: {recall}"
+
+
+def test_upsert_last_write_wins(spark):
+    from hcls_data_lake_spark.operators.upsert import upsert, upsert_latest
+
+    existing = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, v string"
+    )
+    updates = spark.createDataFrame(
+        [(2, "b2"), (3, "c")], "k long, v string"
+    )
+    out = {(r.k, r.v) for r in upsert(existing, updates, "k").collect()}
+    assert out == {(1, "a"), (2, "b2"), (3, "c")}
+
+    log = spark.createDataFrame(
+        [(1, 1, "x"), (1, 2, "y"), (2, 1, "z")], "k long, ver long, v string"
+    )
+    cur = {(r.k, r.v) for r in upsert_latest(log, "k", "ver").collect()}
+    assert cur == {(1, "y"), (2, "z")}

@@ -75,11 +75,12 @@ def test_anti_join_is_hashed_not_bnl(spark, sf_dir):
 def test_agg_has_partial_aggregation(spark, sf_dir):
     df = registry.queries()["q_agg_group"](spark, sf_dir)
     plan = plan_of(df)
-    # two HashAggregates (partial + final) around one exchange
-    # (AQE shows isFinalPlan=false pre-execution, so codegen spans are
-    # asserted via the executed plan in test_flagship_stays_in_codegen)
-    assert plan.count("HashAggregate") >= 2
-    assert plan.count("Exchange") == 1
+    # two HashAggregates (partial + final) around exactly one exchange —
+    # counted in the plan TREE (details sections repeat node names)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("HashAggregate") == 2
+    assert tree.count("Exchange") == 1
+    assert "partial_sum" in plan  # map-side partial aggregation
 
 
 def test_flagship_stays_in_codegen(spark, sf_dir):
