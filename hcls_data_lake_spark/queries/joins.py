@@ -183,14 +183,17 @@ def q_join_semi(spark, sf_dir):
     SELECT c_custkey, c_name
     FROM customer c
     WHERE NOT EXISTS (SELECT 1 FROM orders o
-                      WHERE o.o_custkey = c.c_custkey)
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
     """,
 )
 def q_join_anti(spark, sf_dir):
     """Left anti join — the dedup admit path (A5,
-    front_door_lambda.py:27-31: admit only hashes NOT in the registry)."""
+    front_door_lambda.py:27-31: admit only hashes NOT in the registry).
+    The registry side is pre-filtered (urgent orders) so the result is
+    non-trivial at every scale factor."""
     c = t(spark, sf_dir, "customer")
-    o = t(spark, sf_dir, "orders")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
@@ -226,26 +229,36 @@ def q_join_theta(spark, sf_dir):
 @register(
     "q_join_range_interval",
     """
-    SELECT o.o_orderkey, e.event_id
-    FROM orders o
-    JOIN events e
-      ON e.user_id = o.o_custkey % 100
-     AND e.ts BETWEEN o.o_orderdate AND o.o_orderdate + INTERVAL 7 DAY
-    WHERE o.o_orderstatus = 'O'
+    SELECT s.event_id AS signup_id, c.event_id AS click_id, s.user_id
+    FROM events s
+    JOIN events c
+      ON s.user_id = c.user_id
+     AND c.ts BETWEEN s.ts AND s.ts + INTERVAL 1 HOUR
+    WHERE s.event_type = 'signup' AND c.event_type = 'click'
     """,
 )
 def q_join_range_interval(spark, sf_dir):
-    """Interval/range join: event-in-window attribution. The equi part
-    (user key) drives a hash join; the range predicate is applied as a
-    join filter — so this stays a shuffle join, not a cross product."""
-    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    """Interval/range join: event-in-window attribution — clicks within
+    one hour of a signup by the same user. The equi part (user key)
+    drives a hash join; the range predicate is a join residual — so this
+    stays a shuffle join, never a cross product."""
     e = t(spark, sf_dir, "events")
-    cond = (
-        (e.user_id == o.o_custkey % 100)
-        & (e.ts >= o.o_orderdate)
-        & (e.ts <= F.col("o_orderdate") + F.expr("INTERVAL 7 DAY"))
+    s = e.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        F.col("user_id").alias("user_id"),
+        F.col("ts").alias("s_ts"),
     )
-    return o.join(e, cond).select("o_orderkey", "event_id")
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    cond = (
+        (s.user_id == c.c_user_id)
+        & (c.c_ts >= s.s_ts)
+        & (c.c_ts <= s.s_ts + F.expr("INTERVAL 1 HOUR"))
+    )
+    return s.join(c, cond).select("signup_id", "click_id", "user_id")
 
 
 @register(

@@ -209,7 +209,7 @@ def q_sim_topk(spark, sf_dir):
            ROUND({_COS_SQL_EXPR}, 6) AS cosine
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     WHERE a.vec_id < 150 AND b.vec_id < 150
-      AND {_COS_SQL_EXPR} >= 0.5
+      AND {_COS_SQL_EXPR} >= 0.3
     """,
 )
 def q_sim_pairs(spark, sf_dir):
@@ -230,7 +230,7 @@ def q_sim_pairs(spark, sf_dir):
     return (
         a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
         .withColumn("cosine_raw", cos)
-        .filter(F.col("cosine_raw") >= 0.5)
+        .filter(F.col("cosine_raw") >= 0.3)
         .select("vec_a", "vec_b", F.round("cosine_raw", 6).alias("cosine"))
     )
 
