@@ -107,3 +107,30 @@ def test_retrieval_point_lookup_with_authz(spark, wire_df):
     # reader without the right claim sees nothing (A20 matrix)
     denied = point_lookup(catalog, zone_tbl, 0, ["other_clinic"])
     assert denied.count() == 0
+
+
+def test_lake_lifecycle_streaming_promotion(spark, wire_df, tmp_path):
+    """Full lake lifecycle: ingest -> ingestion zone (parquet,
+    partitioned by protocol) -> STREAMING promotion -> staging/error
+    zones — the reference's event-driven staging path (SURVEY §3.2) as
+    one Structured Streaming query."""
+    from hcls_data_lake_spark.pipeline.jobs import promote_ingestion_stream
+    from hcls_data_lake_spark.pipeline.zones import read_zone, write_zone
+
+    lake = str(tmp_path / "lake")
+    empty_registry = spark.createDataFrame([], "msg_hash string")
+    ingested = _ingest(wire_df, empty_registry)
+    write_zone(ingested, lake, "ingestion", mode="overwrite")
+
+    schema = ("message_id long, msg_b64 string, writer_institution string,"
+              " msg string, msg_hash string, event string, protocol string,"
+              " format string, source string")
+    promote_ingestion_stream(spark, lake, schema)
+
+    staged = read_zone(spark, lake, "staging")
+    errored = read_zone(spark, lake, "error")
+    assert staged.count() == 11
+    assert errored.count() == 1
+    # staged zone is hive-partitioned by protocol (core_stack.yml:151)
+    import os
+    assert os.path.isdir(f"{lake}/staging/protocol=hl7v2")

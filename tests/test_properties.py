@@ -1,0 +1,75 @@
+"""Property-based tests (hypothesis) for parser and operator invariants,
+plus the approx_count_distinct error bound (SURVEY.md §7 step 4)."""
+
+from __future__ import annotations
+
+import json
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from hcls_data_lake_spark.hl7.er7 import parse_er7
+
+# printable payload text without the ER7 structural separators
+_plain = st.text(
+    alphabet=string.ascii_letters + string.digits + " .,-",
+    min_size=0,
+    max_size=20,
+)
+
+
+@given(st.text(max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_parse_never_raises(payload):
+    """The parser TOTAL-functions any input: valid doc or None (the A15
+    error-routing contract — exceptions would kill the executor task)."""
+    out = parse_er7(payload)
+    assert out is None or isinstance(json.loads(out), dict)
+
+
+@given(st.lists(_plain, min_size=1, max_size=8))
+@settings(max_examples=100, deadline=None)
+def test_parse_roundtrips_plain_fields(fields):
+    """Plain (separator-free) PID fields come back verbatim, at the
+    right 1-based positions."""
+    msg = "MSH|^~\\&|A|B|C|D|20240101||ADT^A01|1|P|2.5\rPID|" + "|".join(fields)
+    doc = json.loads(parse_er7(msg))
+    pid = doc["PID"][0]
+    for i, val in enumerate(fields):
+        key = f"PID_{i + 1}"
+        if val == "":
+            assert key not in pid  # empty fields are omitted
+        elif val == '""':
+            assert pid[key] == ""  # the explicit-empty quirk
+        else:
+            assert pid[key] == val
+
+
+@given(st.lists(_plain.filter(lambda s: s != ""), min_size=2, max_size=5))
+@settings(max_examples=100, deadline=None)
+def test_repetition_shape(reps):
+    """`~`-joined repetitions always come back as a list of the parts."""
+    msg = "MSH|^~\\&|A|B|C|D|20240101||ADT^A01|1|P|2.5\rPID|" + "~".join(reps)
+    doc = json.loads(parse_er7(msg))
+    assert doc["PID"][0]["PID_1"] == reps
+
+
+@given(st.text(max_size=100))
+@settings(max_examples=100, deadline=None)
+def test_parse_deterministic(payload):
+    assert parse_er7(payload) == parse_er7(payload)
+
+
+def test_approx_count_distinct_error_bound(spark, sf_dir):
+    """HLL++ at rsd=0.02 must land within 5% of the exact distinct count
+    (the declared-accuracy contract for q_agg_approx_distinct)."""
+    from pyspark.sql import functions as F
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    row = o.agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx"),
+        F.countDistinct("o_custkey").alias("exact"),
+    ).first()
+    rel_err = abs(row.approx - row.exact) / row.exact
+    assert rel_err <= 0.05, f"approx={row.approx} exact={row.exact}"
