@@ -31,12 +31,15 @@ def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     )
 
 
-def shingles(text_col: str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a text column (JVM HOFs only)."""
+def shingles_from_words(words_col: str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles over a pre-split words array
+    (JVM HOFs only). Takes the array column — splitting inside the
+    transform() lambda would re-tokenize the text once per shingle
+    index (O(words²) per document)."""
     return F.array_distinct(
         F.expr(
-            f"transform(sequence(0, greatest(size(split({text_col}, ' ')) - {n}, -1)),"
-            f" i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, {n})))"
+            f"transform(sequence(0, greatest(size({words_col}) - {n}, -1)),"
+            f" i -> concat_ws(' ', slice({words_col}, i + 1, {n})))"
         )
     )
 
@@ -70,9 +73,11 @@ def minhash_lsh_pairs(
     Returns (doc_a, doc_b, jaccard) with jaccard >= threshold.
     """
     rows_per_band = n_perm // bands
-    base = df.select(
-        F.col(id_col).alias("doc_id"), shingles(text_col).alias("shingles")
-    ).filter(F.size("shingles") > 0)
+    base = (
+        df.select(F.col(id_col).alias("doc_id"), F.split(text_col, " ").alias("_w"))
+        .select("doc_id", shingles_from_words("_w").alias("shingles"))
+        .filter(F.size("shingles") > 0)
+    )
     sigs = base.withColumn("sig", minhash_signature("shingles", n_perm))
     banded = sigs.select(
         "doc_id",

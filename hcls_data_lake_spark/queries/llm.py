@@ -21,6 +21,13 @@ from pyspark.sql.window import Window
 from hcls_data_lake_spark.queries.common import t
 from hcls_data_lake_spark.registry import register
 
+# shared by the cosine-similarity / embedding-dedup oracles below
+_COS_SQL_EXPR = """
+    list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+    / sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))
+           * list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))
+"""
+
 # ---------------------------------------------------------------- dedup
 
 
@@ -51,7 +58,7 @@ def q_dedup_exact(spark, sf_dir):
 _NEAR_SQL = """
     WITH docs AS (
       SELECT doc_id, string_split(text, ' ') AS w
-      FROM documents WHERE doc_id < 200
+      FROM documents WHERE doc_id < 500
     ), shingled AS (
       SELECT doc_id,
              list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
@@ -76,15 +83,14 @@ def q_dedup_near(spark, sf_dir):
     verifiable variant; MinHash-LSH in operators/dedup.py is the scale
     path). Candidate pairs come from a same-shingle equi-join — only
     documents sharing at least one shingle are ever compared."""
-    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    words = F.split("text", " ")
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    # hoist the split into a column: inside a transform() lambda the
+    # split would re-tokenize the full text per shingle index (O(n²)/doc)
+    wdf = d.select("doc_id", F.split("text", " ").alias("w"))
     shingles = F.array_distinct(
-        F.expr(
-            "transform(sequence(0, size(split(text, ' ')) - 3),"
-            " i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))"
-        )
+        F.expr("transform(sequence(0, size(w) - 3), i -> concat_ws(' ', slice(w, i + 1, 3)))")
     )
-    docs = d.filter(F.size(words) >= 3).select(
+    docs = wdf.filter(F.size("w") >= 3).select(
         "doc_id", shingles.alias("shingles"), F.size(shingles).alias("n_shingles")
     )
     exploded = docs.select("doc_id", "n_shingles", F.explode("shingles").alias("shingle"))
@@ -115,6 +121,49 @@ def q_dedup_near(spark, sf_dir):
     )
 
 
+@register(
+    "q_dedup_embedding",
+    f"""
+    SELECT a.vec_id AS dup_id,
+           MIN(b.vec_id) AS keeper_id,
+           CAST(count(*) AS BIGINT) AS n_near,
+           ROUND(MAX({_COS_SQL_EXPR}), 6) AS max_cosine
+    FROM embeddings a JOIN embeddings b ON b.vec_id < a.vec_id
+    WHERE a.vec_id < 150 AND {_COS_SQL_EXPR} >= 0.3
+    GROUP BY a.vec_id
+    """,
+)
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup dedup: a row is a duplicate iff some
+    earlier row's embedding is within cosine >= τ; the keeper is the
+    lowest such id (deterministic). Candidate pairs come from the same
+    bounded/broadcast block shape as q_sim_pairs; the LSH/IVF bucketed
+    variants in operators/similarity.py are the 100 TB candidate path."""
+    e = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
+    a = e.select(F.col("vec_id").alias("dup_id"), F.col("embedding").alias("qe"))
+    b = e.select(F.col("vec_id").alias("keeper_cand"), F.col("embedding").alias("ne"))
+    dot = F.expr(
+        "aggregate(zip_with(cast(qe as array<double>), cast(ne as array<double>),"
+        " (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+    )
+    norm = lambda c: F.expr(  # noqa: E731
+        f"aggregate(zip_with(cast({c} as array<double>), cast({c} as array<double>),"
+        " (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+    )
+    cos = dot / F.sqrt(norm("qe") * norm("ne"))
+    return (
+        a.join(F.broadcast(b), F.col("keeper_cand") < F.col("dup_id"))
+        .withColumn("cosine_raw", cos)
+        .filter(F.col("cosine_raw") >= 0.3)
+        .groupBy("dup_id")
+        .agg(
+            F.min("keeper_cand").alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_near"),
+            F.round(F.max("cosine_raw"), 6).alias("max_cosine"),
+        )
+    )
+
+
 @register("q_dedup_minhash_lsh", None)  # hash-family specific: rows-only
 def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash + LSH banding near-dup — the 100 TB path: shingle →
@@ -141,19 +190,6 @@ def q_dedup_simhash(spark, sf_dir):
 
 
 # ----------------------------------------------------- similarity search
-
-_DOT = (
-    "aggregate(zip_with(cast(a.embedding as array<double>),"
-    " cast(b.embedding as array<double>), (x, y) -> x * y),"
-    " 0.0D, (acc, x) -> acc + x)"
-)
-
-_COS_SQL_EXPR = """
-    list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
-    / sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))
-           * list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))
-"""
-
 
 @register(
     "q_sim_topk",
@@ -447,13 +483,15 @@ def q_text_fingerprint(spark, sf_dir):
     """Document fingerprinting: rolling 4-gram window hashes, keep the
     minimum (winnowing-style selection) — md5 so both engines agree."""
     d = t(spark, sf_dir, "documents")
-    words = F.split("text", " ")
+    # split hoisted to a column — see q_dedup_near: a split inside the
+    # transform() lambda re-tokenizes the text per gram index
+    wdf = d.select("doc_id", F.split("text", " ").alias("w"))
     gram_hashes = F.expr(
-        "transform(sequence(0, size(split(text, ' ')) - 4),"
-        " i -> md5(cast(concat_ws(' ', slice(split(text, ' '), i + 1, 4)) as binary)))"
+        "transform(sequence(0, size(w) - 4),"
+        " i -> md5(cast(concat_ws(' ', slice(w, i + 1, 4)) as binary)))"
     )
     return (
-        d.filter(F.size(words) >= 4)
+        wdf.filter(F.size("w") >= 4)
         .select(
             "doc_id",
             F.array_min(gram_hashes).alias("fingerprint"),

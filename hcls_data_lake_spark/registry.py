@@ -105,6 +105,7 @@ def _load_all() -> None:
         joins,
         llm,
         pipeline_queries,
+        sampling,
         scans,
         setops,
         sorts,
