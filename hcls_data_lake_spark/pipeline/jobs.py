@@ -36,3 +36,57 @@ def promote_ingestion_stream(
     (the SNS→trigger→StepFunction path of SURVEY §3.2 as one query)."""
     sdf = spark.readStream.schema(schema).parquet(f"{lake_root}/ingestion")
     run_foreach_batch(sdf, lambda df, _id: _route_batch(df, lake_root))
+
+
+def compact_zone(
+    spark: SparkSession,
+    zone_path: str,
+    target_rows_per_file: int = 1_000_000,
+    partition_col: str | None = None,
+) -> dict:
+    """Small-file compaction for a zone.
+
+    The reference persists ONE object per message (core_stack.yml:155-160)
+    — at lake scale that's the classic small-file problem: scans pay a
+    per-file open cost and the driver pays a per-file listing cost. This
+    job rewrites a zone into ~target-sized files: read → repartition to
+    ceil(rows/target) → atomic swap (write to a sibling temp dir, then
+    rename over the original), preserving the hive partition layout when
+    ``partition_col`` is given.
+
+    On a real deployment the atomic swap is a transactional-format
+    commit (Delta/Iceberg rewriteDataFiles); the operator shape —
+    read, coalesce to target size, replace — is identical.
+
+    Returns {"rows": n, "files_before": a, "files_after": b}.
+    """
+    import math
+    import os
+    import shutil
+
+    def _count_files(root: str) -> int:
+        total = 0
+        for _dir, _subdirs, files in os.walk(root):
+            total += sum(
+                1 for f in files
+                if not f.startswith(("_", ".")) and f.endswith(".parquet")
+            )
+        return total
+
+    df = spark.read.parquet(zone_path)
+    n_rows = df.count()
+    files_before = _count_files(zone_path)
+    n_files = max(1, math.ceil(n_rows / target_rows_per_file))
+    tmp = zone_path.rstrip("/") + "__compacting"
+    shutil.rmtree(tmp, ignore_errors=True)
+    writer = df.repartition(n_files).write.mode("overwrite")
+    if partition_col:
+        writer = writer.partitionBy(partition_col)
+    writer.parquet(tmp)
+    shutil.rmtree(zone_path)
+    os.rename(tmp, zone_path)
+    return {
+        "rows": n_rows,
+        "files_before": files_before,
+        "files_after": _count_files(zone_path),
+    }

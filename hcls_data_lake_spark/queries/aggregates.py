@@ -252,3 +252,27 @@ def q_agg_pivot(spark, sf_dir):
         .agg(F.count(F.lit(1)))
         .na.fill(0, ["click", "error", "purchase", "signup", "view"])
     )
+
+
+@register(
+    "q_agg_median",
+    """
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 6) AS median_value,
+           ROUND(quantile_cont(value, 0.9), 6) AS p90_value,
+           ROUND(quantile_cont(value, 0.99), 6) AS p99_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_agg_median(spark, sf_dir):
+    """Exact median / high quantiles per group (continuous
+    interpolation — identical definition in both engines). The
+    approximate path for 100 TB is q_agg_stats's percentile_approx;
+    this is the exact small-group variant (OBX numeric analytics)."""
+    e = t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("median_value"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90_value"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99_value"),
+    )

@@ -338,3 +338,33 @@ def q_fn_cond(spark, sf_dir):
             "nvl_demo"
         ),
     )
+
+
+@register(
+    "q_fn_bitwise",
+    """
+    SELECT event_id,
+           user_id & 255 AS band_and,
+           user_id | 4096 AS band_or,
+           xor(user_id, event_id) AS h_xor,
+           user_id << 2 AS shl,
+           user_id >> 3 AS shr,
+           CAST(bit_count(user_id) AS INTEGER) AS popcount
+    FROM events
+    WHERE event_id < 2000
+    """,
+)
+def q_fn_bitwise(spark, sf_dir):
+    """Bitwise function pack (and/or/xor/shifts/popcount) — the
+    primitives under SimHash fingerprint comparison (operators/dedup.py
+    hamming64) and LSH band packing."""
+    e = t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    return e.select(
+        "event_id",
+        F.expr("user_id & 255").alias("band_and"),
+        F.expr("user_id | 4096").alias("band_or"),
+        F.expr("user_id ^ event_id").alias("h_xor"),
+        F.expr("shiftleft(user_id, 2)").alias("shl"),
+        F.expr("shiftright(user_id, 3)").alias("shr"),
+        F.bit_count("user_id").alias("popcount"),
+    )

@@ -106,6 +106,50 @@ def q_join_multiway(spark, sf_dir):
 
 
 @register(
+    "q_join_bucketed",
+    """
+    SELECT o.o_orderkey, o.o_custkey, l.l_linenumber, l.l_quantity
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_quantity >= 45
+    """,
+)
+def q_join_bucketed(spark, sf_dir):
+    """Co-located (bucketed) big-big join: both fact tables are
+    materialized ``bucketBy(16, join_key).sortBy(join_key)``, so the
+    sort-merge join reads matching buckets side-by-side with NO shuffle
+    exchange — the strategy for joins repeated across a 100 TB lake
+    (pay the layout once at write time, never shuffle again; plan test
+    pins Exchange-free execution). Layout tables are created once per
+    session+sf in a scratch-backed catalog entry."""
+    import shutil as _shutil
+
+    from hcls_data_lake_spark.queries.common import scratch_for
+
+    names = {}
+    for tbl, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        path = scratch_for(sf_dir, f"bkt_{tbl}")
+        tname = f"bkt_{tbl}_{path.rsplit('_', 1)[-1]}"
+        if not spark.catalog.tableExists(tname):
+            _shutil.rmtree(path, ignore_errors=True)
+            (
+                t(spark, sf_dir, tbl)
+                .write.mode("overwrite")
+                .bucketBy(16, key)
+                .sortBy(key)
+                .option("path", path)
+                .saveAsTable(tname)
+            )
+        names[tbl] = tname
+    o = spark.table(names["orders"])
+    li = spark.table(names["lineitem"])
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .filter(F.col("l_quantity") >= 45)
+        .select("o_orderkey", "o_custkey", "l_linenumber", "l_quantity")
+    )
+
+
+@register(
     "q_join_left",
     """
     SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice

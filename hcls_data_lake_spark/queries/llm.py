@@ -81,11 +81,17 @@ _NEAR_SQL = """
 def q_dedup_near(spark, sf_dir):
     """Near-dup detection via exact 3-gram shingle Jaccard (the
     verifiable variant; MinHash-LSH in operators/dedup.py is the scale
-    path). Candidate pairs come from a same-shingle equi-join — only
-    documents sharing at least one shingle are ever compared."""
+    path). Candidate generation is an inverted index: group by shingle,
+    collect the posting list of docs containing it, emit the C(f,2)
+    pairs per posting — ONE shuffle on the shingle, one scan of the
+    corpus, no self-join, never all-pairs. At 100 TB the scale knob is
+    a stop-list filter on posting length (drop ultra-common shingles
+    before pair expansion); unnecessary at fixture skew (max freq 7).
+
+    The split is hoisted into a column: inside a transform() lambda it
+    would re-tokenize the full text per shingle index (O(words²)/doc).
+    """
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
-    # hoist the split into a column: inside a transform() lambda the
-    # split would re-tokenize the full text per shingle index (O(n²)/doc)
     wdf = d.select("doc_id", F.split("text", " ").alias("w"))
     shingles = F.array_distinct(
         F.expr("transform(sequence(0, size(w) - 3), i -> concat_ws(' ', slice(w, i + 1, 3)))")
@@ -93,25 +99,25 @@ def q_dedup_near(spark, sf_dir):
     docs = wdf.filter(F.size("w") >= 3).select(
         "doc_id", shingles.alias("shingles"), F.size(shingles).alias("n_shingles")
     )
-    exploded = docs.select("doc_id", "n_shingles", F.explode("shingles").alias("shingle"))
-    a = exploded.alias("a")
-    # the probe side is a bounded block (doc_id < 200): broadcast it so
-    # the same-shingle join needs no shuffle (post-explode size stats
-    # are unknown to Catalyst, which would otherwise pick SMJ)
-    b = F.broadcast(exploded).alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n_shingles").alias("na"),
-            F.col("b.n_shingles").alias("nb"),
-        )
-        .agg(F.count(F.lit(1)).alias("inter"))
+    posting = (
+        docs.select("doc_id", "n_shingles", F.explode("shingles").alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n_shingles"))).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    # sorted posting list → emit (earlier, later) pairs so doc_a < doc_b
+    pairs = posting.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ds, (x, i) ->"
+                " transform(slice(ds, i + 2, size(ds)),"
+                " y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b,"
+                " x.n_shingles AS na, y.n_shingles AS nb))))"
+            )
+        ).alias("p")
+    ).select("p.*")
+    inter = pairs.groupBy("doc_a", "doc_b", "na", "nb").agg(
+        F.count(F.lit(1)).alias("inter")
     )
     jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
     return (

@@ -167,3 +167,33 @@ def q_sink_partitioned_write(spark, sf_dir):
         back.groupBy(F.col("l_returnflag").cast("string").alias("zone_key"))
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
+
+
+@register(
+    "q_scan_orc",
+    """
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           ROUND(SUM(p_retailprice), 2) AS sum_retail
+    FROM part
+    GROUP BY p_brand
+    """,
+)
+def q_scan_orc(spark, sf_dir):
+    """ORC source: write the part table as ORC (columnar alternative to
+    parquet — same predicate-pushdown/column-pruning posture), read it
+    back and aggregate. Oracle runs the same aggregate on the parquet
+    fixture, so the check proves the ORC round-trip is lossless."""
+    path = scratch_for(sf_dir, "part_orc")
+    import os
+
+    if not os.path.exists(path):
+        t(spark, sf_dir, "part").write.mode("overwrite").orc(path)
+    return (
+        spark.read.orc(path)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.sum("p_retailprice"), 2).alias("sum_retail"),
+        )
+    )

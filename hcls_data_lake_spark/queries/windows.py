@@ -213,3 +213,32 @@ def q_topk_per_group(spark, sf_dir):
         )
         .filter(F.col("rn") <= 2)
     )
+
+
+@register(
+    "q_win_percent",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ROUND(percent_rank() OVER w, 6) AS pr,
+           ROUND(cume_dist() OVER w, 6) AS cd
+    FROM lineitem
+    WHERE l_orderkey < 400
+    WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity, l_orderkey,
+                 l_linenumber)
+    """,
+)
+def q_win_percent(spark, sf_dir):
+    """Relative-rank window functions (percent_rank / cume_dist) —
+    distribution position of each observation within its cohort."""
+    from pyspark.sql.window import Window
+
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 400)
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_quantity", "l_orderkey", "l_linenumber"
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )

@@ -134,3 +134,29 @@ def test_lake_lifecycle_streaming_promotion(spark, wire_df, tmp_path):
     # staged zone is hive-partitioned by protocol (core_stack.yml:151)
     import os
     assert os.path.isdir(f"{lake}/staging/protocol=hl7v2")
+
+
+def test_compact_zone_shrinks_files_preserves_rows(spark, tmp_path):
+    from hcls_data_lake_spark.pipeline.jobs import compact_zone
+
+    zone = str(tmp_path / "staging")
+    df = spark.range(0, 5000).withColumn("protocol", F.lit("hl7v2"))
+    # the reference's one-object-per-message pattern: many tiny files
+    df.repartition(64).write.partitionBy("protocol").parquet(zone)
+
+    before = spark.read.parquet(zone)
+    before_sum = before.agg(F.sum("id")).collect()[0][0]
+
+    stats = compact_zone(
+        spark, zone, target_rows_per_file=10_000, partition_col="protocol"
+    )
+    assert stats["rows"] == 5000
+    assert stats["files_before"] >= 32
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["files_after"] <= 2
+
+    after = spark.read.parquet(zone)
+    assert after.count() == 5000
+    assert after.agg(F.sum("id")).collect()[0][0] == before_sum
+    # partition layout preserved
+    assert after.filter(F.col("protocol") == "hl7v2").count() == 5000

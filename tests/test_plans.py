@@ -97,3 +97,26 @@ def test_asof_join_single_shuffle(spark, sf_dir):
     assert "Join" not in plan
     # one shuffle for the window partitioning (plus AQE reads)
     assert plan.count("Exchange") <= 2
+
+
+def test_bucketed_join_is_exchange_free(spark, sf_dir):
+    """Both sides bucketed+sorted on the join key => the SMJ reads
+    matching buckets directly; no shuffle exchange anywhere in the plan
+    (the pay-layout-once strategy for repeated 100 TB joins).
+
+    At fixture scale Catalyst rightly prefers a broadcast join (orders
+    fits under the threshold), so we model the at-scale condition —
+    both sides too big to broadcast — by disabling broadcast, and pin
+    that the fallback is the bucket-aligned SMJ, not a shuffle."""
+    registry.queries()["q_join_bucketed"](spark, sf_dir).count()  # build layout
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = registry.queries()["q_join_bucketed"](spark, sf_dir)
+        df.count()
+        plan = plan_of(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan  # no shuffle AND no broadcast build
+    assert "SelectedBucketsCount" in plan
