@@ -32,8 +32,12 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact cosine top-k: Q queries × N candidates, broadcast the
-    smaller side, rank-filter to k. |Q|·|N| dot products, all codegen."""
+    """Exact cosine top-k: Q queries × N candidates. The QUERY side is
+    the broadcast side — candidates (the 100 TB table) stream in place
+    and never move. The row_number filter is executed as a
+    WindowGroupLimit: each partition keeps only its local top-k per
+    query BEFORE the shuffle, so the exchange moves ≤ k·|Q| rows per
+    partition, not |Q|·|N|. All dot products are codegen HOFs."""
     e = embeddings.select(
         F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
     )
@@ -44,7 +48,7 @@ def brute_force_topk(
         F.col("cos").desc(), F.col("neighbor_id")
     )
     return (
-        q.join(F.broadcast(c), F.col("query_id") != F.col("neighbor_id"))
+        F.broadcast(q).join(c, F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cos", cosine("qv", "cv"))
         .withColumn("rn", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rn") <= k)

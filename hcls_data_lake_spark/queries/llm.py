@@ -214,7 +214,10 @@ def q_dedup_simhash(spark, sf_dir):
 def q_sim_topk(spark, sf_dir):
     """Brute-force cosine top-k ANN baseline: 20 query vectors × all
     candidates, JVM-side dot product via zip_with/aggregate HOFs (no
-    Python in the hot path), rank-filtered to k=5."""
+    Python in the hot path), rank-filtered to k=5. The QUERY block is
+    broadcast so the candidate table streams in place, and the rank
+    filter runs as a WindowGroupLimit (per-partition top-k before the
+    shuffle) — the pair that keeps this shape viable at 100 TB."""
     e = t(spark, sf_dir, "embeddings")
     a = e.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
@@ -231,7 +234,7 @@ def q_sim_topk(spark, sf_dir):
     cos = dot / F.sqrt(norm("qe") * norm("ne"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine_raw").desc(), F.col("neighbor_id"))
     return (
-        a.join(F.broadcast(b), F.col("query_id") != F.col("neighbor_id"))
+        F.broadcast(a).join(b, F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cosine_raw", cos)
         .withColumn("rn", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rn") <= 5)

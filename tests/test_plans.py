@@ -120,3 +120,14 @@ def test_bucketed_join_is_exchange_free(spark, sf_dir):
     assert "SortMergeJoin" in plan
     assert "Exchange" not in plan  # no shuffle AND no broadcast build
     assert "SelectedBucketsCount" in plan
+
+
+def test_sim_topk_broadcasts_queries_and_group_limits(spark, sf_dir):
+    """The QUERY block is the broadcast side (candidates — the 100 TB
+    table — stream in place), and the rank<=k filter runs as a
+    WindowGroupLimit: per-partition top-k BEFORE the shuffle, so the
+    exchange moves at most k rows per query per partition."""
+    df = registry.queries()["q_sim_topk"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastNestedLoopJoin" in plan and "BuildLeft" in plan
