@@ -1,0 +1,64 @@
+"""Skew mitigation: salted two-stage aggregation.
+
+AQE's skew-join splitting (on by default, SCALE.md) heals skewed JOIN
+partitions at runtime, but a skewed GROUP BY key still concentrates one
+reducer: every row for the hot key lands on the same task. Salting
+splits the hot key across ``n_salts`` sub-keys — stage 1 aggregates
+(key, salt) partials in parallel, stage 2 merges the ≤ n_salts partial
+rows per key. Both stages get map-side partial aggregation for free, so
+the extra cost is one small shuffle of ``n_keys × n_salts`` rows.
+
+The salt is derived with ``pmod(xxhash64(salt_source), n)`` — fully
+deterministic (re-runs, AQE re-plans and speculative retries all agree),
+unlike ``rand()``-based salting.
+
+Generalizes the reference's per-source/zone counting (messages are
+heavily skewed toward a few institutions/zones in any real deployment).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# op -> (stage-1 partial fn, stage-2 merge fn)
+_OPS = {
+    "count": (lambda c: F.count(F.lit(1)), F.sum),
+    "sum": (F.sum, F.sum),
+    "min": (F.min, F.min),
+    "max": (F.max, F.max),
+}
+
+
+def salted_aggregate(
+    df: DataFrame,
+    key_cols: list[str],
+    aggs: dict[str, tuple[str, str | None]],
+    salt_source: str | Column,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-stage salted aggregation.
+
+    ``aggs`` maps output name -> (op, input col) with op in
+    count/sum/min/max/avg (avg decomposes into sum+count and divides at
+    merge). ``salt_source`` is any row-level column/expression to hash
+    into the salt — use a high-cardinality id column.
+    """
+    salt = F.pmod(F.xxhash64(salt_source), F.lit(n_salts)).alias("_salt")
+
+    partials: list[Column] = []
+    merges: list[Column] = []
+    for out, (op, col) in aggs.items():
+        if op == "avg":
+            partials.append(F.sum(col).alias(f"_{out}_sum"))
+            partials.append(F.count(F.lit(1)).alias(f"_{out}_cnt"))
+            merges.append(
+                (F.sum(f"_{out}_sum") / F.sum(f"_{out}_cnt")).alias(out)
+            )
+        else:
+            part_fn, merge_fn = _OPS[op]
+            partials.append(part_fn(col).alias(f"_{out}"))
+            merges.append(merge_fn(f"_{out}").alias(out))
+
+    stage1 = df.withColumn("_salt", salt).groupBy(*key_cols, "_salt").agg(*partials)
+    return stage1.groupBy(*key_cols).agg(*merges)

@@ -276,3 +276,48 @@ def q_agg_median(spark, sf_dir):
         F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90_value"),
         F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99_value"),
     )
+
+
+@register(
+    "q_agg_salted_skew",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value,
+           ROUND(MIN(value), 2) AS min_value,
+           ROUND(MAX(value), 2) AS max_value,
+           ROUND(AVG(value), 4) AS avg_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_agg_salted_skew(spark, sf_dir):
+    """Salted two-stage aggregation over a low-cardinality (skew-prone)
+    key: stage 1 aggregates (key, salt) partials so no single reducer
+    owns a hot key, stage 2 merges ≤ n_salts rows per key. Result is
+    identical to the plain GROUP BY (the oracle) — only the shuffle
+    shape differs."""
+    from hcls_data_lake_spark.operators.skew import salted_aggregate
+
+    e = t(spark, sf_dir, "events")
+    out = salted_aggregate(
+        e,
+        key_cols=["event_type"],
+        aggs={
+            "n_events": ("count", None),
+            "sum_value_raw": ("sum", "value"),
+            "min_value_raw": ("min", "value"),
+            "max_value_raw": ("max", "value"),
+            "avg_value_raw": ("avg", "value"),
+        },
+        salt_source="event_id",
+        n_salts=16,
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        F.round("sum_value_raw", 2).alias("sum_value"),
+        F.round("min_value_raw", 2).alias("min_value"),
+        F.round("max_value_raw", 2).alias("max_value"),
+        F.round("avg_value_raw", 4).alias("avg_value"),
+    )

@@ -146,3 +146,30 @@ def test_upsert_last_write_wins(spark):
     )
     cur = {(r.k, r.v) for r in upsert_latest(log, "k", "ver").collect()}
     assert cur == {(1, "y"), (2, "z")}
+
+
+def test_salted_aggregate_matches_plain_groupby(spark):
+    from hcls_data_lake_spark.operators.skew import salted_aggregate
+
+    # 90% of rows on one hot key
+    df = spark.range(0, 10000).selectExpr(
+        "id", "CASE WHEN id % 10 < 9 THEN 'hot' ELSE concat('k', id % 7) END AS k",
+        "CAST(id % 100 AS DOUBLE) AS v",
+    )
+    salted = salted_aggregate(
+        df, ["k"],
+        {"n": ("count", None), "s": ("sum", "v"), "lo": ("min", "v"),
+         "hi": ("max", "v"), "mu": ("avg", "v")},
+        salt_source="id", n_salts=8,
+    )
+    plain = df.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"),
+        F.min("v").alias("lo"), F.max("v").alias("hi"), F.avg("v").alias("mu"),
+    )
+    s = {r.k: r for r in salted.collect()}
+    p = {r.k: r for r in plain.collect()}
+    assert set(s) == set(p)
+    for k in p:
+        assert s[k].n == p[k].n and abs(s[k].s - p[k].s) < 1e-6
+        assert s[k].lo == p[k].lo and s[k].hi == p[k].hi
+        assert abs(s[k].mu - p[k].mu) < 1e-9
