@@ -1,0 +1,109 @@
+"""Composite end-to-end analytics queries.
+
+The operator inventory (scans/filters/joins/aggs/windows) proves each
+primitive; these queries chain many primitives through one Catalyst
+plan the way a lake user actually queries — exercising join ordering,
+filter pushdown through joins, partial aggregation and top-k pruning
+together. Both are oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hcls_data_lake_spark.queries.common import t
+from hcls_data_lake_spark.registry import register
+
+_CUTOFF = "TIMESTAMP '1998-06-01 00:00:00'"
+
+
+@register(
+    "q_analytics_shipping",
+    f"""
+    SELECT l.l_orderkey,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate < {_CUTOFF} AND l.l_shipdate > {_CUTOFF}
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_analytics_shipping(spark, sf_dir):
+    """TPC-H-Q3-style shipping priority: 3-table join with date
+    predicates pushed to both fact scans, grouped revenue, global
+    top-10 via TakeOrderedAndProject (no full sort)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.expr(_CUTOFF)
+    )
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.expr(_CUTOFF)
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+_QUALITY_SQL = """
+      SELECT doc_id, text FROM documents
+      WHERE len(string_split(text, ' ')) BETWEEN 5 AND 2000
+        AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+            / len(string_split(text, ' ')) > 0.2
+"""
+
+
+@register(
+    "q_pipeline_curation",
+    f"""
+    WITH quality AS ({_QUALITY_SQL}),
+    deduped AS (
+      SELECT MIN(doc_id) AS doc_id FROM quality GROUP BY sha256(text)
+    )
+    SELECT doc_id,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+                     THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                     THEN 'valid'
+                ELSE 'test' END AS split
+    FROM deduped
+    """,
+)
+def q_pipeline_curation(spark, sf_dir):
+    """The training-data curation pipeline as ONE declarative plan:
+    quality filter (length bounds + repetition detector) → exact dedup
+    (keep lowest doc_id per content hash) → deterministic hash split.
+    Chains q_text_quality, q_dedup_exact and q_sample_hash_split
+    semantics; at 100 TB this is a single scan + one hash shuffle —
+    the filter prunes before the shuffle, the split is map-side."""
+    d = t(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_words = F.size(words)
+    distinct_ratio = F.size(F.array_distinct(words)).cast("double") / n_words
+    quality = d.filter(n_words.between(5, 2000) & (distinct_ratio > 0.2))
+    deduped = (
+        quality.withColumn("content_hash", F.sha2("text", 256))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2)
+    return deduped.select(
+        "doc_id",
+        F.when(bucket < "cc", "train")
+        .when(bucket < "e6", "valid")
+        .otherwise("test")
+        .alias("split"),
+    )

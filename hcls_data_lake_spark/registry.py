@@ -100,6 +100,7 @@ def _load_all() -> None:
     # imports (query modules import `register` from here) are safe.
     from hcls_data_lake_spark.queries import (  # noqa: F401
         aggregates,
+        analytics,
         filters,
         functions_pack,
         joins,
