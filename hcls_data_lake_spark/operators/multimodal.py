@@ -78,3 +78,83 @@ def extract_features(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = (
+    "doc_id bigint, mime_type string, payload binary, width int,"
+    " height int, resize_ok boolean"
+)
+
+
+def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
+    """mapInPandas image resize over (doc_id, payload, mime_type).
+
+    Real pixel resampling needs an image codec (absent here); the
+    deterministic stand-in crops/pads the decoded bytes to width*height
+    so output size, schema and batch shape match a real resizer.
+    Embarrassingly parallel per partition — no shuffle.
+    """
+    target = width * height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, oks = [], []
+            for payload, mime in zip(pdf["payload"], pdf["mime_type"]):
+                try:
+                    decoded = _decode_payload(bytes(payload or b""), mime)
+                    payloads.append(decoded[:target].ljust(target, b"\0"))
+                    oks.append(True)
+                except NotImplementedError:
+                    payloads.append(None)
+                    oks.append(False)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime_type": pdf["mime_type"],
+                    "payload": payloads,
+                    "width": width,
+                    "height": height,
+                    "resize_ok": oks,
+                }
+            )
+
+    return df.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame binary, n_frames_total int"
+
+
+def sample_frames(
+    df: DataFrame, frame_bytes: int = 256, every_nth: int = 4
+) -> DataFrame:
+    """mapInPandas video frame sampling: ONE input row → MANY frame
+    rows (the one-to-many Arrow batch shape a real decoder produces).
+
+    The deterministic stand-in treats the payload as fixed-size chunks
+    ("frames") and emits every ``every_nth``-th; a real build swaps the
+    chunker for a container demuxer with identical schema/shape.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [], "frame_idx": [], "frame": [], "n_frames_total": []
+            }
+            for doc_id, payload, mime in zip(
+                pdf["doc_id"], pdf["payload"], pdf["mime_type"]
+            ):
+                try:
+                    decoded = _decode_payload(bytes(payload or b""), mime)
+                except NotImplementedError:
+                    continue  # undecodable rows contribute no frames
+                n_total = max(1, (len(decoded) + frame_bytes - 1) // frame_bytes)
+                for idx in range(0, n_total, every_nth):
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(idx)
+                    rows["frame"].append(
+                        decoded[idx * frame_bytes : (idx + 1) * frame_bytes]
+                    )
+                    rows["n_frames_total"].append(n_total)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=FRAME_SCHEMA)

@@ -565,6 +565,22 @@ def q_multimodal_struct(spark, sf_dir):
     )
 
 
+@register("q_multimodal_frames", None)  # binary plumbing: rows-only
+def q_multimodal_frames(spark, sf_dir):
+    """Frame sampling over binary payloads: one payload row → many
+    frame rows via Arrow-batched mapInPandas (the one-to-many shape of
+    a real video demuxer; chunker stands in for the absent codec)."""
+    from hcls_data_lake_spark.operators.multimodal import sample_frames
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    payloads = d.select(
+        "doc_id",
+        F.col("text").cast("binary").alias("payload"),
+        F.lit("text/plain").alias("mime_type"),
+    )
+    return sample_frames(payloads, frame_bytes=64, every_nth=2)
+
+
 @register("q_multimodal_binary", None)  # binary plumbing: rows-only
 def q_multimodal_binary(spark, sf_dir):
     """Opaque binary payload + typed metadata + mapInPandas feature

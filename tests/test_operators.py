@@ -173,3 +173,31 @@ def test_salted_aggregate_matches_plain_groupby(spark):
         assert s[k].n == p[k].n and abs(s[k].s - p[k].s) < 1e-6
         assert s[k].lo == p[k].lo and s[k].hi == p[k].hi
         assert abs(s[k].mu - p[k].mu) < 1e-9
+
+
+def test_multimodal_resize_and_frame_sample(spark):
+    from hcls_data_lake_spark.operators.multimodal import (
+        resize_images,
+        sample_frames,
+    )
+
+    rows = [
+        (1, b"x" * 1000, "text/plain"),
+        (2, b"y" * 100, "text/plain"),
+        (3, b"z" * 50, "image/png"),  # no codec → not ok / no frames
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary, mime_type string")
+
+    resized = resize_images(df, width=16, height=16).collect()
+    by_id = {r.doc_id: r for r in resized}
+    assert len(by_id[1].payload) == 256 and by_id[1].resize_ok
+    assert len(by_id[2].payload) == 256  # padded up
+    assert by_id[3].payload is None and not by_id[3].resize_ok
+
+    frames = sample_frames(df, frame_bytes=100, every_nth=2).collect()
+    f1 = sorted([f for f in frames if f.doc_id == 1], key=lambda r: r.frame_idx)
+    # 1000 bytes / 100 = 10 frames, every 2nd => idx 0,2,4,6,8
+    assert [f.frame_idx for f in f1] == [0, 2, 4, 6, 8]
+    assert all(f.n_frames_total == 10 for f in f1)
+    assert all(len(f.frame) == 100 for f in f1)
+    assert not [f for f in frames if f.doc_id == 3]  # undecodable → dropped
