@@ -55,13 +55,15 @@ def er7_segment_ids(msg: Column) -> Column:
 def er7_field(segment: Column, index: int) -> Column:
     """1-based field from a segment string (MSH counts its own field
     separator as MSH-1, so for MSH segments index i lives at split
-    position i-1; this helper follows the common non-MSH convention)."""
-    return F.split(segment, "\\" + FIELD_SEP).getItem(index)
+    position i-1; this helper follows the common non-MSH convention).
+    Null-tolerant (F.get): ER7 routinely omits trailing fields, and
+    Spark 4's ANSI mode makes getItem throw on out-of-bounds."""
+    return F.get(F.split(segment, "\\" + FIELD_SEP), index)
 
 
 def er7_component(field: Column, index: int) -> Column:
-    """1-based component from a field string."""
-    return F.split(field, "\\" + COMP_SEP).getItem(index - 1)
+    """1-based component from a field string (null if absent)."""
+    return F.get(F.split(field, "\\" + COMP_SEP), index - 1)
 
 
 # ------------------------------------------------------------ UDF path
@@ -132,3 +134,72 @@ def parse_er7_udf(msgs: pd.Series) -> pd.Series:
     """Arrow-batched ER7->JSON parse (the A14 operator; vectorized so
     the Python boundary is paid per-batch, not per-row)."""
     return msgs.map(lambda m: parse_er7(m) if m is not None else None)
+
+
+# ------------------------------------------- typed projections (§1.3b)
+
+
+def segment_first(msg: Column, seg_id: str) -> Column:
+    """First segment with the given 3-char id (null if absent)."""
+    return F.get(
+        F.filter(er7_segments(msg), lambda s: s.startswith(seg_id + FIELD_SEP)), 0
+    )
+
+
+def segments_all(msg: Column, seg_id: str) -> Column:
+    """All segments with the given id, in message order (repeatables —
+    the grammar-driven list shape of SURVEY §1.3)."""
+    return F.filter(er7_segments(msg), lambda s: s.startswith(seg_id + FIELD_SEP))
+
+
+def typed_adt(df, msg_col: str = "er7"):
+    """Typed ADT projection (SURVEY §1.3b tier-2): the generic nested
+    document narrowed to a flat, analyzable schema — message/event
+    metadata from MSH, patient identity from PID, repeatable NK1
+    contacts as an array. Pure split expressions: whole-stage codegen,
+    no UDF (the 100 TB path for the staged zone's dominant family)."""
+    msg = F.col(msg_col)
+    msh = segment_first(msg, "MSH")
+    pid = segment_first(msg, "PID")
+    # MSH-1 is the separator itself, so MSH-n sits at split index n-1
+    mshf = lambda n: F.get(F.split(msh, "\\|"), n - 1)  # noqa: E731
+    name = er7_field(pid, 5)
+    return df.select(
+        "*",
+        er7_component(mshf(9), 1).alias("message_type"),
+        er7_component(mshf(9), 2).alias("trigger_event"),
+        mshf(7).alias("msg_ts_raw"),
+        mshf(12).alias("hl7_version"),
+        er7_component(er7_field(pid, 3), 1).alias("patient_id"),
+        er7_component(name, 1).alias("family_name"),
+        er7_component(name, 2).alias("given_name"),
+        er7_field(pid, 8).alias("sex"),
+        F.transform(
+            segments_all(msg, "NK1"),
+            lambda s: F.get(F.split(F.get(F.split(s, "\\|"), 2), "\\^"), 0),
+        ).alias("nk1_names"),
+    )
+
+
+def typed_oru(df, msg_col: str = "er7"):
+    """Typed ORU projection: one row per message with the repeatable
+    OBX observations as an array of typed structs (set_id, value_type,
+    observation_id, value, value_num, units, ref_range) — numeric (NM)
+    values cast to double with null-on-fail, the everything-is-string
+    →typed boundary of SURVEY §1.5."""
+    msg = F.col(msg_col)
+    obx = segments_all(msg, "OBX")
+
+    def obx_struct(s: Column) -> Column:
+        f = lambda n: F.get(F.split(s, "\\|"), n)  # noqa: E731
+        return F.struct(
+            f(1).alias("set_id"),
+            f(2).alias("value_type"),
+            F.get(F.split(f(3), "\\^"), 0).alias("observation_id"),
+            f(5).alias("value"),
+            F.when(f(2) == "NM", f(5).try_cast("double")).alias("value_num"),
+            F.get(F.split(f(6), "\\^"), 0).alias("units"),
+            f(7).alias("ref_range"),
+        )
+
+    return df.select("*", F.transform(obx, obx_struct).alias("observations"))

@@ -353,3 +353,61 @@ def q_udtf_explode_segments(spark, sf_dir):
         F.substring("segment", 1, 3).alias("segment_id"),
         F.size(F.split("segment", "\\|")).alias("n_fields"),
     )
+
+
+_TYPED_ER7_SQL = """
+      'MSH|^~\\&|APP|FAC|||' || strftime(o_orderdate, '%Y%m%d%H%M%S')
+      || '||ADT^A01|' || CAST(o_orderkey AS VARCHAR) || '|P|2.5' || chr(13)
+      || 'PID|1||' || CAST(o_custkey AS VARCHAR)
+      || '^^^MRN||FAM' || CAST(o_custkey AS VARCHAR) || '^GIV||19900101|M'
+      || chr(13)
+      || 'NK1|1|CONTACT' || CAST(o_custkey AS VARCHAR) || '^A|SPOUSE'
+      || chr(13)
+      || 'NK1|2|CONTACT' || CAST(o_orderkey AS VARCHAR) || '^B|CHILD'
+"""
+
+
+@register(
+    "q_hl7_typed_adt",
+    f"""
+    WITH msgs AS (
+      SELECT o_orderkey, {_TYPED_ER7_SQL} AS er7
+      FROM orders WHERE o_orderkey < 2000
+    ), segs AS (
+      SELECT o_orderkey, string_split(er7, chr(13)) AS s FROM msgs
+    )
+    SELECT o_orderkey,
+           string_split(string_split(s[1], '|')[9], '^')[1] AS message_type,
+           string_split(string_split(s[1], '|')[9], '^')[2] AS trigger_event,
+           string_split(s[1], '|')[12] AS hl7_version,
+           string_split(string_split(s[2], '|')[4], '^')[1] AS patient_id,
+           string_split(string_split(s[2], '|')[6], '^')[1] AS family_name,
+           string_split(string_split(s[2], '|')[6], '^')[2] AS given_name,
+           string_split(s[2], '|')[9] AS sex,
+           list_transform(list_filter(s, x -> starts_with(x, 'NK1|')),
+                          x -> string_split(string_split(x, '|')[3], '^')[1])
+               AS nk1_names
+    FROM segs
+    """,
+)
+def q_hl7_typed_adt(spark, sf_dir):
+    """Typed ADT projection (SURVEY §1.3b tier-2): synthesized ADT^A01
+    messages with repeatable NK1 contacts, narrowed to a flat typed
+    schema by hl7.er7.typed_adt — pure split expressions, repeatables
+    as arrays, whole-stage codegen (no UDF)."""
+    from hcls_data_lake_spark.hl7.er7 import typed_adt
+
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    ck = F.col("o_custkey").cast("string")
+    ok = F.col("o_orderkey").cast("string")
+    er7 = F.concat(
+        F.lit("MSH|^~\\&|APP|FAC|||"),
+        F.date_format("o_orderdate", "yyyyMMddHHmmss"),
+        F.lit("||ADT^A01|"), ok, F.lit("|P|2.5"),
+        F.lit("\rPID|1||"), ck, F.lit("^^^MRN||FAM"), ck,
+        F.lit("^GIV||19900101|M"),
+        F.lit("\rNK1|1|CONTACT"), ck, F.lit("^A|SPOUSE"),
+        F.lit("\rNK1|2|CONTACT"), ok, F.lit("^B|CHILD"),
+    )
+    msgs = o.select("o_orderkey", er7.alias("er7"))
+    return typed_adt(msgs, "er7").drop("er7", "msg_ts_raw")

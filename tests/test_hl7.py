@@ -106,3 +106,40 @@ def test_golden_corpus_fields():
 
     adt01_first = json.loads(parse_er7(by_name["adt01.txt#0"]))
     assert len(adt01_first["DG1"]) == 3  # repeating DG1 ×3
+
+
+def test_typed_adt_projection_on_corpus(spark):
+    from hcls_data_lake_spark.hl7.er7 import typed_adt
+
+    rows = [(n, m) for n, m in MESSAGES]
+    df = spark.createDataFrame(rows, "name string, er7 string")
+    out = {r.name: r for r in typed_adt(df).collect()}
+
+    adt01 = next(v for k, v in out.items() if k.startswith("adt01"))
+    assert adt01.message_type == "ADT" and adt01.trigger_event == "A01"
+    assert adt01.hl7_version == "2.5"
+    assert adt01.patient_id == "P410000" and adt01.sex == "M"
+
+    lab02 = next(v for k, v in out.items() if k.startswith("lab02"))
+    assert lab02.message_type == "ORU" and lab02.trigger_event == "R01"
+    assert lab02.family_name == "SAMPLES" and lab02.given_name == "JUNIOR"
+
+    adt02 = next(v for k, v in out.items() if k.startswith("adt02"))
+    assert len(adt02.nk1_names) == 2  # repeatable NK1 -> array of 2
+
+
+def test_typed_oru_projection_on_corpus(spark):
+    from hcls_data_lake_spark.hl7.er7 import typed_oru
+
+    rows = [(n, m) for n, m in MESSAGES if n.startswith("lab02")]
+    df = spark.createDataFrame(rows, "name string, er7 string")
+    row = typed_oru(df).collect()[0]
+    obs = row.observations
+    assert len(obs) >= 3
+    first = obs[0]
+    assert first.value_type == "NM"
+    assert first.observation_id.startswith("0135")
+    assert first.value == "7.3" and abs(first.value_num - 7.3) < 1e-9
+    assert first.units == "gm/dl"
+    # every NM observation parsed to a double
+    assert all(o.value_num is not None for o in obs if o.value_type == "NM")
