@@ -90,3 +90,46 @@ def compact_zone(
         "files_before": files_before,
         "files_after": _count_files(zone_path),
     }
+
+
+def expire_zone(
+    spark: SparkSession,
+    zone_path: str,
+    ts_col: str,
+    cutoff: str,
+    partition_col: str | None = None,
+) -> dict:
+    """Retention/TTL job: rewrite a zone keeping only rows with
+    ``ts_col >= cutoff`` (the data-lifecycle complement of
+    ``compact_zone``; the reference's versioned S3 bucket implies
+    lifecycle policies, core_stack.yml:27-28 — here expiry is a
+    predicate rewrite so it composes with the catalog and stays
+    format-agnostic).
+
+    Same atomic-swap mechanics as compact_zone; on a transactional
+    format this becomes a DELETE WHERE. Returns row counts.
+    """
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(zone_path)
+    total = df.count()
+    kept_df = df.filter(F.col(ts_col) >= F.lit(cutoff))
+    kept = kept_df.count()
+    tmp = zone_path.rstrip("/") + "__expiring"
+    shutil.rmtree(tmp, ignore_errors=True)
+    if kept == 0:
+        # a fully-partitioned empty write emits only _SUCCESS, which is
+        # unreadable (UNABLE_TO_INFER_SCHEMA); a single un-partitioned
+        # empty part file keeps the zone readable with its schema
+        kept_df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    else:
+        writer = kept_df.write.mode("overwrite")
+        if partition_col:
+            writer = writer.partitionBy(partition_col)
+        writer.parquet(tmp)
+    shutil.rmtree(zone_path)
+    os.rename(tmp, zone_path)
+    return {"rows_before": total, "rows_kept": kept, "rows_expired": total - kept}

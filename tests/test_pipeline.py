@@ -160,3 +160,24 @@ def test_compact_zone_shrinks_files_preserves_rows(spark, tmp_path):
     assert after.agg(F.sum("id")).collect()[0][0] == before_sum
     # partition layout preserved
     assert after.filter(F.col("protocol") == "hl7v2").count() == 5000
+
+
+def test_expire_zone_drops_old_rows(spark, tmp_path):
+    from hcls_data_lake_spark.pipeline.jobs import expire_zone
+
+    zone = str(tmp_path / "ingestion")
+    df = spark.range(0, 1000).selectExpr(
+        "id",
+        "CASE WHEN id < 300 THEN timestamp'2023-01-01' "
+        "ELSE timestamp'2025-01-01' END AS ingest_ts",
+        "'hl7v2' AS protocol",
+    )
+    df.write.partitionBy("protocol").parquet(zone)
+
+    stats = expire_zone(
+        spark, zone, "ingest_ts", "2024-01-01", partition_col="protocol"
+    )
+    assert stats == {"rows_before": 1000, "rows_kept": 700, "rows_expired": 300}
+    back = spark.read.parquet(zone)
+    assert back.count() == 700
+    assert back.filter("ingest_ts < timestamp'2024-01-01'").count() == 0
