@@ -197,3 +197,61 @@ def q_scan_orc(spark, sf_dir):
             F.round(F.sum("p_retailprice"), 2).alias("sum_retail"),
         )
     )
+
+
+@register(
+    "q_scan_json_corrupt",
+    """
+    WITH raw AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0
+                  THEN '{"lang": "' || lang || '", "n": ' -- truncated json
+                  ELSE '{"lang": "' || lang || '", "n": '
+                       || CAST(n_chars AS VARCHAR) || '}'
+             END AS payload
+      FROM documents
+    )
+    SELECT CASE WHEN json_valid(payload) THEN 'staging' ELSE 'error' END
+               AS zone,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN json_valid(payload)
+                         THEN CAST(payload ->> 'n' AS BIGINT) END) AS BIGINT)
+               AS sum_n
+    FROM raw
+    GROUP BY 1
+    """,
+)
+def q_scan_json_corrupt(spark, sf_dir):
+    """Corrupt-record JSON routing (A15 at the parse layer, SURVEY
+    §1.3: PERMISSIVE + columnNameOfCorruptRecord pattern): every fifth
+    payload is truncated mid-object; from_json yields null for those,
+    splitting the feed into staging/error zones with one expression —
+    no job failure, the dead-letter rows stay queryable."""
+    d = t(spark, sf_dir, "documents")
+    payload = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(F.lit('{"lang": "'), F.col("lang"), F.lit('", "n": ')),
+    ).otherwise(
+        F.concat(
+            F.lit('{"lang": "'), F.col("lang"), F.lit('", "n": '),
+            F.col("n_chars").cast("string"), F.lit("}"),
+        )
+    )
+    parsed = F.from_json(
+        payload,
+        "lang string, n bigint, _corrupt string",
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+    )
+    ok = parsed.getField("_corrupt").isNull()
+    return (
+        d.select(payload.alias("payload"), parsed.alias("parsed"), ok.alias("ok"))
+        .select(
+            F.when(F.col("ok"), "staging").otherwise("error").alias("zone"),
+            F.when(F.col("ok"), F.col("parsed.n")).alias("n"),
+        )
+        .groupBy("zone")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n").alias("sum_n"),
+        )
+    )

@@ -245,3 +245,51 @@ def q_stream_foreachbatch_route(spark, sf_dir):
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
+
+
+@register(
+    "q_stream_stream_join",
+    """
+    SELECT s.event_id AS signup_id, c.event_id AS click_id, s.user_id
+    FROM events s
+    JOIN events c
+      ON s.user_id = c.user_id
+     AND c.ts BETWEEN s.ts AND s.ts + INTERVAL 30 MINUTE
+    WHERE s.event_type = 'signup' AND c.event_type = 'click'
+    """,
+)
+def q_stream_stream_join(spark, sf_dir):
+    """Watermarked stream-stream inner join (the attribution join of
+    q_join_range_interval as TWO live streams): both sides carry
+    watermarks and the join condition time-bounds the match window, so
+    each side's buffered state is evicted once the other side's
+    watermark passes — bounded state on unbounded streams. A single
+    availableNow pass over in-order data equals the batch join, which
+    the oracle checks exactly."""
+    signups = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("signup_id"),
+            F.col("user_id"),
+            F.col("ts").alias("s_ts"),
+        )
+        .withWatermark("s_ts", "1 hour")
+    )
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = signups.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("c_ts") >= F.col("s_ts"))
+        & (F.col("c_ts") <= F.col("s_ts") + F.expr("INTERVAL 30 MINUTE")),
+    ).select("signup_id", "click_id", "user_id")
+    return run_to_memory(joined, output_mode="append")
