@@ -73,3 +73,48 @@ def test_approx_count_distinct_error_bound(spark, sf_dir):
     ).first()
     rel_err = abs(row.approx - row.exact) / row.exact
     assert rel_err <= 0.05, f"approx={row.approx} exact={row.exact}"
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),  # skew-prone key
+            st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(min_value=1, max_value=9),
+)
+@settings(max_examples=12, deadline=None)
+def test_salted_aggregate_equals_plain_groupby(spark, rows, n_salts):
+    """Salting is a pure physical rewrite: for ANY data and ANY salt
+    count, the two-stage result must equal the plain GROUP BY."""
+    from pyspark.sql import functions as F
+
+    from hcls_data_lake_spark.operators.skew import salted_aggregate
+
+    df = spark.createDataFrame(
+        [(i, k, v) for i, (k, v) in enumerate(rows)], "id long, k int, v double"
+    )
+    salted = {
+        r.k: r
+        for r in salted_aggregate(
+            df, ["k"],
+            {"n": ("count", None), "s": ("sum", "v"),
+             "lo": ("min", "v"), "hi": ("max", "v")},
+            salt_source="id", n_salts=n_salts,
+        ).collect()
+    }
+    plain = {
+        r.k: r
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"),
+             F.min("v").alias("lo"), F.max("v").alias("hi"))
+        .collect()
+    }
+    assert set(salted) == set(plain)
+    for k in plain:
+        assert salted[k].n == plain[k].n
+        assert abs(salted[k].s - plain[k].s) <= 1e-6 * max(1.0, abs(plain[k].s))
+        assert salted[k].lo == plain[k].lo and salted[k].hi == plain[k].hi
