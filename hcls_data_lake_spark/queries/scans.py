@@ -255,3 +255,53 @@ def q_scan_json_corrupt(spark, sf_dir):
             F.sum("n").alias("sum_n"),
         )
     )
+
+
+@register(
+    "q_scan_schema_evolution",
+    """
+    WITH v1 AS (
+      SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+      FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey < 4000
+    ), v2 AS (
+      SELECT o_orderkey, o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderkey % 2 = 1 AND o_orderkey < 4000
+    ), unioned AS (
+      SELECT * FROM v1 UNION ALL SELECT * FROM v2
+    )
+    SELECT COALESCE(o_orderpriority, 'MISSING') AS priority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS sum_total
+    FROM unioned
+    GROUP BY 1
+    """,
+)
+def q_scan_schema_evolution(spark, sf_dir):
+    """Schema evolution on a zone: an early writer lacked the
+    ``o_orderpriority`` column, a later one has it (zones accrete
+    columns over a lake's lifetime). ``mergeSchema`` unifies the footer
+    schemas at read time; pre-evolution rows surface as nulls. The
+    scale note: mergeSchema costs a footer read per file — at 100 TB
+    pin the merged schema explicitly (``.schema(...)``) after the first
+    discovery instead of re-inferring per job."""
+    path = scratch_for(sf_dir, "orders_evolving")
+    import os
+
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 4000)
+    if not os.path.exists(path):
+        (o.filter(F.col("o_orderkey") % 2 == 0)
+         .select("o_orderkey", "o_totalprice")
+         .write.parquet(f"{path}/batch=v1"))
+        (o.filter(F.col("o_orderkey") % 2 == 1)
+         .select("o_orderkey", "o_totalprice", "o_orderpriority")
+         .write.parquet(f"{path}/batch=v2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    return (
+        merged.groupBy(
+            F.coalesce("o_orderpriority", F.lit("MISSING")).alias("priority")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
+        )
+    )
