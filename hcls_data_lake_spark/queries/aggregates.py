@@ -321,3 +321,34 @@ def q_agg_salted_skew(spark, sf_dir):
         F.round("max_value_raw", 2).alias("max_value"),
         F.round("avg_value_raw", 4).alias("avg_value"),
     )
+
+
+@register(
+    "q_agg_histogram",
+    """
+    SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+           CAST(floor(value / 50.0) * 50 AS BIGINT) AS bucket_lo,
+           CAST(count(*) AS BIGINT) AS n,
+           ROUND(AVG(value), 4) AS mean_in_bucket
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def q_agg_histogram(spark, sf_dir):
+    """Fixed-width value histogram (data-quality profiling for
+    training pipelines): bucket = floor(v/width) — one hash aggregate,
+    map-side partial combine, no sort; the oracle shares the exact
+    bucketing arithmetic so bin edges agree bit-for-bit."""
+    e = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    bucket = F.floor(F.col("value") / 50.0)
+    return (
+        e.groupBy(
+            bucket.cast("bigint").alias("bucket"),
+            (bucket * 50).cast("bigint").alias("bucket_lo"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 4).alias("mean_in_bucket"),
+        )
+    )

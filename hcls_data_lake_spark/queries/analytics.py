@@ -107,3 +107,41 @@ def q_pipeline_curation(spark, sf_dir):
         .otherwise("test")
         .alias("split"),
     )
+
+
+@register(
+    "q_analytics_profile",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(user_id) AS BIGINT) AS user_id_nonnull,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS user_id_distinct,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS event_type_distinct,
+           ROUND(MIN(value), 4) AS value_min,
+           ROUND(MAX(value), 4) AS value_max,
+           ROUND(AVG(value), 4) AS value_mean,
+           ROUND(stddev_samp(value), 4) AS value_std,
+           CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS value_negative
+    FROM events
+    """,
+)
+def q_analytics_profile(spark, sf_dir):
+    """One-pass table profile (the pre-training data-quality sweep):
+    row/null/distinct counts, numeric range/moments, constraint
+    violations — all in a single aggregation so a 100 TB profile is
+    one scan. Exact distincts here for oracle parity; the 100 TB
+    variant swaps in approx_count_distinct (q_agg_approx_distinct)."""
+    e = t(spark, sf_dir, "events")
+    return e.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("user_id").alias("user_id_nonnull"),
+        F.countDistinct("user_id").alias("user_id_distinct"),
+        F.countDistinct("event_type").alias("event_type_distinct"),
+        F.round(F.min("value"), 4).alias("value_min"),
+        F.round(F.max("value"), 4).alias("value_max"),
+        F.round(F.avg("value"), 4).alias("value_mean"),
+        F.round(F.stddev_samp("value"), 4).alias("value_std"),
+        F.sum(F.when(F.col("value") < 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("value_negative"),
+    )
