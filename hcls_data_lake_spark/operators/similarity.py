@@ -1,5 +1,8 @@
 """Similarity search over embedding columns (``array<float>``).
 
+North-star extension over the reference lake (BASELINE.json
+`north_star`; SURVEY.md §2.B similarity rows).
+
 Baseline: brute-force cosine top-k with JVM higher-order functions
 (zip_with/aggregate — no Python in the hot path). Scale path:
 random-hyperplane LSH bucketing so candidate sets shrink from |N| to a

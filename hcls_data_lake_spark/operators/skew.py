@@ -12,8 +12,10 @@ The salt is derived with ``pmod(xxhash64(salt_source), n)`` — fully
 deterministic (re-runs, AQE re-plans and speculative retries all agree),
 unlike ``rand()``-based salting.
 
-Generalizes the reference's per-source/zone counting (messages are
-heavily skewed toward a few institutions/zones in any real deployment).
+Generalizes the reference's per-source/zone counting (catalog rows
+keyed by source, core_stack.yml:164-172; SURVEY.md §4 "salted
+aggregations where skewed") — messages are heavily skewed toward a
+few institutions/zones in any real deployment.
 """
 
 from __future__ import annotations

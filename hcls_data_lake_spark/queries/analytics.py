@@ -2,7 +2,9 @@
 
 The operator inventory (scans/filters/joins/aggs/windows) proves each
 primitive; these queries chain many primitives through one Catalyst
-plan the way a lake user actually queries — exercising join ordering,
+plan the way a lake user actually queries (the reason the reference
+lake exists — sample code for analytics over the staged zone,
+/root/reference/README.md:1-5; retrieval surface SURVEY.md §3.3) — exercising join ordering,
 filter pushdown through joins, partial aggregation and top-k pruning
 together. Both are oracle-checked.
 """
