@@ -68,13 +68,11 @@ def lsh_bucket(vec_col: str, planes: list[list[float]]) -> Column:
     """Random-hyperplane bucket id: one sign bit per plane."""
     bits = []
     for i, plane in enumerate(planes):
-        arr = F.array(*[F.lit(float(x)) for x in plane])
         d = F.expr(
             f"aggregate(zip_with({vec_col}, "
             f"array({', '.join(repr(float(x)) + 'D' for x in plane)}),"
             " (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
         )
-        _ = arr  # plane literal kept for clarity; expr uses the inline form
         bits.append(F.when(d > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long")))
     out = bits[0]
     for b in bits[1:]:

@@ -293,3 +293,39 @@ def q_stream_stream_join(spark, sf_dir):
         & (F.col("c_ts") <= F.col("s_ts") + F.expr("INTERVAL 30 MINUTE")),
     ).select("signup_id", "click_id", "user_id")
     return run_to_memory(joined, output_mode="append")
+
+
+@register(
+    "q_stream_static_join",
+    """
+    SELECT e.event_type,
+           c.c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           ROUND(SUM(e.value), 2) AS sum_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY e.event_type, c.c_mktsegment
+    """,
+)
+def q_stream_static_join(spark, sf_dir):
+    """Stream-static join: the live event stream enriched against a
+    static dimension (the catalog/registry lookup of A5/A19 as a
+    stream). The static side is broadcast per micro-batch — no
+    streaming state at all for the join (unlike stream-stream), so
+    this is the preferred shape whenever one side is a slowly-changing
+    table."""
+    from hcls_data_lake_spark.queries.common import t as t_
+
+    sdf = read_events_stream(spark, sf_dir)
+    dim = F.broadcast(
+        t_(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    )
+    joined = (
+        sdf.join(dim, sdf.user_id == dim.c_custkey)
+        .groupBy("event_type", F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+    return run_to_memory(joined, output_mode="complete")
