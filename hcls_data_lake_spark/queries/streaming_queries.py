@@ -16,7 +16,7 @@ import shutil
 
 from pyspark.sql import functions as F
 
-from hcls_data_lake_spark.queries.common import scratch_dir, scratch_for
+from hcls_data_lake_spark.queries.common import scratch_for
 from hcls_data_lake_spark.registry import register
 from hcls_data_lake_spark.streaming.runner import (
     read_events_stream,
