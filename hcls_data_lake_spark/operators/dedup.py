@@ -35,11 +35,17 @@ def shingles_from_words(words_col: str, n: int = 3) -> Column:
     """Distinct word n-gram shingles over a pre-split words array
     (JVM HOFs only). Takes the array column — splitting inside the
     transform() lambda would re-tokenize the text once per shingle
-    index (O(words²) per document)."""
+    index (O(words²) per document).
+
+    Documents shorter than n words yield an empty array. The guard must
+    be a CASE, not sequence arithmetic: ``sequence(0, -1)`` DESCENDS to
+    [0, -1] in Spark, feeding slice() an invalid start of 0."""
     return F.array_distinct(
         F.expr(
-            f"transform(sequence(0, greatest(size({words_col}) - {n}, -1)),"
-            f" i -> concat_ws(' ', slice({words_col}, i + 1, {n})))"
+            f"CASE WHEN size({words_col}) < {n}"
+            f" THEN cast(array() as array<string>)"
+            f" ELSE transform(sequence(0, size({words_col}) - {n}),"
+            f"  i -> concat_ws(' ', slice({words_col}, i + 1, {n}))) END"
         )
     )
 

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from hcls_data_lake_spark.operators.dedup import shingles_from_words
 from hcls_data_lake_spark.queries.common import t
 from hcls_data_lake_spark.registry import register
 
@@ -90,12 +91,14 @@ def q_dedup_near(spark, sf_dir):
 
     The split is hoisted into a column: inside a transform() lambda it
     would re-tokenize the full text per shingle index (O(words²)/doc).
+    Shingling goes through shingles_from_words, whose short-doc CASE
+    guard is load-bearing: codegen subexpression elimination hoists the
+    transform() ABOVE the size(w) >= 3 filter conjunct, so an unguarded
+    sequence(0, size(w)-3) descends and crashes slice() on short docs.
     """
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     wdf = d.select("doc_id", F.split("text", " ").alias("w"))
-    shingles = F.array_distinct(
-        F.expr("transform(sequence(0, size(w) - 3), i -> concat_ws(' ', slice(w, i + 1, 3)))")
-    )
+    shingles = shingles_from_words("w", 3)
     docs = wdf.filter(F.size("w") >= 3).select(
         "doc_id", shingles.alias("shingles"), F.size(shingles).alias("n_shingles")
     )
@@ -495,9 +498,13 @@ def q_text_fingerprint(spark, sf_dir):
     # split hoisted to a column — see q_dedup_near: a split inside the
     # transform() lambda re-tokenizes the text per gram index
     wdf = d.select("doc_id", F.split("text", " ").alias("w"))
+    # CASE-guarded like shingles_from_words: subexpression elimination
+    # can evaluate this above the size(w) >= 4 filter, where an
+    # unguarded sequence(0, size(w)-4) descends on short docs
     gram_hashes = F.expr(
-        "transform(sequence(0, size(w) - 4),"
-        " i -> md5(cast(concat_ws(' ', slice(w, i + 1, 4)) as binary)))"
+        "CASE WHEN size(w) < 4 THEN cast(array() as array<string>)"
+        " ELSE transform(sequence(0, size(w) - 4),"
+        " i -> md5(cast(concat_ws(' ', slice(w, i + 1, 4)) as binary))) END"
     )
     return (
         wdf.filter(F.size("w") >= 4)

@@ -201,3 +201,18 @@ def test_multimodal_resize_and_frame_sample(spark):
     assert all(f.n_frames_total == 10 for f in f1)
     assert all(len(f.frame) == 100 for f in f1)
     assert not [f for f in frames if f.doc_id == 3]  # undecodable → dropped
+
+
+def test_minhash_and_simhash_tolerate_short_docs(spark):
+    """Docs shorter than the shingle width must yield no pairs, not a
+    crash (sequence(0,-1) descends in Spark — regression guard)."""
+    df = spark.createDataFrame(
+        [(1, "one"), (2, "two words"), (3, ""),
+         (4, "the quick brown fox jumps over the lazy dog"),
+         (5, "the quick brown fox jumps over the lazy cat")],
+        "doc_id long, text string",
+    )
+    pairs = minhash_lsh_pairs(df, "text", "doc_id").collect()
+    assert {(p.doc_a, p.doc_b) for p in pairs} == {(4, 5)}
+    fp = simhash(df, "text", "doc_id").collect()
+    assert {r.doc_id for r in fp} >= {1, 2, 4, 5}  # short docs still fingerprint

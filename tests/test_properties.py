@@ -118,3 +118,43 @@ def test_salted_aggregate_equals_plain_groupby(spark, rows, n_salts):
         assert salted[k].n == plain[k].n
         assert abs(salted[k].s - plain[k].s) <= 1e-6 * max(1.0, abs(plain[k].s))
         assert salted[k].lo == plain[k].lo and salted[k].hi == plain[k].hi
+
+
+_pathological_text = st.text(
+    alphabet=st.characters(
+        codec="utf-8", exclude_characters="\x00"
+    ),
+    min_size=0,
+    max_size=80,
+)
+
+
+@given(st.lists(_pathological_text, min_size=1, max_size=10))
+@settings(max_examples=6, deadline=None)
+def test_text_queries_total_on_pathological_corpora(spark, tmp_path_factory, texts):
+    """The registered text/dedup queries TOTAL-function any unicode
+    corpus — emoji, control chars, space runs, empty strings — with
+    invariants intact. (This battery exists because sequence()
+    descending on short docs crashed minhash; see
+    test_minhash_and_simhash_tolerate_short_docs.)"""
+    from hcls_data_lake_spark import registry
+
+    d = str(tmp_path_factory.mktemp("pathological"))
+    rows = [(i, t, "xx", "fuzz", len(t)) for i, t in enumerate(texts)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    qs = registry.queries()
+    for name in ["q_text_quality", "q_text_tokens", "q_text_token_count",
+                 "q_text_langid", "q_text_fingerprint", "q_dedup_exact",
+                 "q_dedup_near", "q_dedup_minhash_lsh", "q_dedup_simhash"]:
+        out = qs[name](spark, d).collect()  # must not raise
+        if name == "q_text_quality":
+            for r in out:
+                assert r.distinct_ratio is None or 0.0 <= r.distinct_ratio <= 1.0
+        if name == "q_dedup_exact":
+            assert len(out) <= len(texts)
+        if name in ("q_dedup_near", "q_dedup_minhash_lsh"):
+            for r in out:
+                assert r.doc_a < r.doc_b
