@@ -4,9 +4,11 @@ North-star extension over the reference lake (BASELINE.json
 `north_star`; SURVEY.md §2.B similarity rows).
 
 Baseline: brute-force cosine top-k with JVM higher-order functions
-(zip_with/aggregate — no Python in the hot path). Scale path:
-random-hyperplane LSH bucketing so candidate sets shrink from |N| to a
-bucket, at some recall cost. Planes are seeded-deterministic.
+(zip_with/aggregate — no Python in the hot path). Scale paths:
+random-hyperplane LSH bucketing (seeded-deterministic planes) and IVF
+cell probing over a k-means codebook trained with distributed Lloyd
+iterations (kmeans_codebook) — candidate sets shrink from |N| to the
+probed cells, at a recall cost tuned by n_probe/n_planes.
 """
 
 from __future__ import annotations
@@ -64,6 +66,79 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return rng.standard_normal((n_planes, dim)).round(6).tolist()
 
 
+def _cell_scores(v: str, cents: list[list[float]]) -> Column:
+    """Array of centroid ids ordered best-first for column ``v`` by
+    squared-L2 distance. Score is ``2·v·c − ‖c‖²``: argmin‖v−c‖² ⇔
+    argmax(2·v·c − ‖c‖²) since ‖v‖² is constant per row — one dot
+    product per centroid, no row-norm needed."""
+    scored = []
+    for i, c in enumerate(cents):
+        arr = ", ".join(repr(float(x)) + "D" for x in c)
+        norm_sq = float(sum(x * x for x in c))
+        scored.append(
+            F.struct(
+                (
+                    2.0
+                    * F.expr(
+                        f"aggregate(zip_with({v}, array({arr}),"
+                        " (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+                    )
+                    - F.lit(norm_sq)
+                ).alias("score"),
+                F.lit(i).alias("cell"),
+            )
+        )
+    return F.reverse(F.array_sort(F.array(*scored))).getField("cell")
+
+
+def kmeans_codebook(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    vec_col: str = "embedding",
+    iters: int = 4,
+    seed: int = 42,
+    sample_frac: float | None = None,
+) -> list[list[float]]:
+    """Train an IVF codebook with distributed Lloyd iterations.
+
+    Assignment runs as JVM codegen expressions over the full (or
+    sampled) table; the update step is posexplode → groupBy(cell, pos)
+    → avg, so only the k×dim codebook ever reaches the driver — the
+    right shape at 100 TB, where the codebook trains on a sample
+    (``sample_frac``) and the full table is only touched once for final
+    assignment in ivf_topk. Init is deterministic: the k vectors with
+    the smallest seeded hash of their bytes (a data-dependent seeding,
+    unlike random hyperplanes). Empty cells keep their previous
+    centroid.
+    """
+    e = embeddings.select(F.col(vec_col).cast("array<double>").alias("_v"))
+    if sample_frac is not None:
+        e = e.sample(fraction=sample_frac, seed=seed)
+    init = (
+        e.withColumn("_h", F.md5(F.concat(F.lit(str(seed)), F.to_json(F.struct("_v")))))
+        .orderBy("_h")
+        .limit(n_centroids)
+        .collect()
+    )
+    cents = [[float(x) for x in r._v] for r in init]
+    for _ in range(iters):
+        assigned = e.withColumn("cell", _cell_scores("_v", cents).getItem(0))
+        stats = (
+            assigned.select("cell", F.posexplode("_v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new_cents = [list(c) for c in cents]
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in stats:
+            by_cell.setdefault(r.cell, {})[r.pos] = r.m
+        for cell, dims in by_cell.items():
+            new_cents[cell] = [dims[p] for p in range(len(dims))]
+        cents = new_cents
+    return cents
+
+
 def lsh_bucket(vec_col: str, planes: list[list[float]]) -> Column:
     """Random-hyperplane bucket id: one sign bit per plane."""
     bits = []
@@ -89,39 +164,34 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    train_iters: int = 4,
+    sample_frac: float | None = None,
 ) -> DataFrame:
-    """IVF-style ANN: assign every vector to its nearest of n_centroids
-    seeded random centroids (one broadcast pass — a stand-in for a
-    trained k-means codebook, same partitioning shape), then search only
-    the query's n_probe closest cells. At 100 TB the cell equi-join
-    replaces the full cross product; recall is tuned via n_probe."""
-    dim = len(embeddings.select(vec_col).first()[0])
-    cents = _hyperplanes(dim, n_centroids, seed)  # seeded pseudo-centroids
-
-    def cell_ranks(v: str) -> Column:
-        """Array of centroid ids ordered by similarity to column v."""
-        scored = [
-            F.struct(
-                F.expr(
-                    f"aggregate(zip_with({v},"
-                    f" array({', '.join(repr(float(x)) + 'D' for x in c)}),"
-                    " (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
-                ).alias("score"),
-                F.lit(i).alias("cell"),
-            )
-            for i, c in enumerate(cents)
-        ]
-        return F.reverse(F.array_sort(F.array(*scored))).getField("cell")
+    """IVF ANN: train a k-means codebook (kmeans_codebook — Lloyd
+    iterations, optionally on a sample_frac sample), assign every
+    vector to its nearest centroid, then search only the query's
+    n_probe closest cells. At 100 TB the cell equi-join replaces the
+    full cross product; recall is tuned via n_probe and n_centroids.
+    train_iters=0 falls back to seeded random pseudo-centroids (no
+    training pass — the cheap-index variant)."""
+    if train_iters > 0:
+        cents = kmeans_codebook(
+            embeddings, n_centroids, vec_col=vec_col, iters=train_iters,
+            seed=seed, sample_frac=sample_frac,
+        )
+    else:
+        dim = len(embeddings.select(vec_col).first()[0])
+        cents = _hyperplanes(dim, n_centroids, seed)
 
     e = embeddings.select(
         F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
     )
-    indexed = e.withColumn("cell", cell_ranks("_v").getItem(0))
+    indexed = e.withColumn("cell", _cell_scores("_v", cents).getItem(0))
     q = e.filter(query_filter) if query_filter is not None else e
     probes = q.select(
         F.col("_id").alias("query_id"),
         F.col("_v").alias("qv"),
-        F.explode(F.slice(cell_ranks("_v"), 1, n_probe)).alias("cell"),
+        F.explode(F.slice(_cell_scores("_v", cents), 1, n_probe)).alias("cell"),
     )
     c = indexed.select(
         F.col("_id").alias("neighbor_id"), F.col("_v").alias("cv"), "cell"

@@ -293,15 +293,18 @@ def q_sim_ann_lsh(spark, sf_dir):
     return ann_lsh_topk(e, k=5, n_planes=12, query_filter=F.col("vec_id") < 20)
 
 
-@register("q_sim_ann_ivf", None)  # seeded pseudo-centroids: rows-only
+@register("q_sim_ann_ivf", None)  # trained codebook: rows-only
 def q_sim_ann_ivf(spark, sf_dir):
-    """Approximate NN via IVF cells (seeded pseudo-codebook, n_probe=2)
-    — the inverted-file scale path for q_sim_topk; recall vs the exact
-    top-k is asserted in tests/test_operators.py."""
+    """Approximate NN via IVF cells with a k-means codebook trained by
+    distributed Lloyd iterations (operators/similarity.kmeans_codebook)
+    — the inverted-file scale path for q_sim_topk. n_probe=3 of 8
+    balanced cells scans ~38% of candidates for ~65% recall on the
+    synthetic (cluster-free) fixture embeddings; recall and cell
+    balance are asserted in tests/test_operators.py."""
     from hcls_data_lake_spark.operators.similarity import ivf_topk
 
     e = t(spark, sf_dir, "embeddings")
-    return ivf_topk(e, k=5, n_centroids=8, n_probe=2, query_filter=F.col("vec_id") < 20)
+    return ivf_topk(e, k=5, n_centroids=8, n_probe=3, query_filter=F.col("vec_id") < 20)
 
 
 # --------------------------------------------------------- text analysis

@@ -123,10 +123,42 @@ def test_ivf_recall_against_exact(vectors):
         (r.query_id, r.neighbor_id)
         for r in ivf_topk(vectors, k=3, n_centroids=4, n_probe=2).collect()
     }
-    # n_probe=2 of 4 cells must recover a meaningful share of the
-    # exact neighbors (deterministic given the fixed seed)
+    # n_probe=2 of 4 trained cells must recover a meaningful share of
+    # the exact neighbors (deterministic given the fixed seed)
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.4, f"recall too low: {recall}"
+
+
+def test_ivf_kmeans_codebook_balances_cells(spark):
+    """The trained codebook must actually partition the space: random
+    pseudo-centroids collapse the corpus into 1-2 occupied cells
+    (probing 2 cells then scans ~everything — recall looks great, the
+    index does nothing). k-means must spread vectors over most cells
+    with no cell hoarding the majority. Needs a corpus large enough
+    (200 ≫ n_centroids) for balance to be a meaningful property."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from hcls_data_lake_spark.operators.similarity import (
+        _cell_scores,
+        kmeans_codebook,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (i, [float(x) for x in v])
+        for i, v in enumerate(rng.standard_normal((200, 16)).astype("float32"))
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = kmeans_codebook(df, n_centroids=4, iters=4)
+    e = df.select(F.col("embedding").cast("array<double>").alias("_v"))
+    hist = (
+        e.withColumn("cell", _cell_scores("_v", cents).getItem(0))
+        .groupBy("cell").count().collect()
+    )
+    occupied = {r.cell for r in hist}
+    assert len(occupied) == 4, f"only {len(occupied)} of 4 cells occupied"
+    assert max(r["count"] for r in hist) <= 0.6 * 200, "one cell hoards the corpus"
 
 
 def test_upsert_last_write_wins(spark):
