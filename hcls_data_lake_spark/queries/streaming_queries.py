@@ -54,7 +54,7 @@ def q_stream_tumbling(spark, sf_dir):
             "sum_value",
         )
     )
-    return run_to_memory(agg, output_mode="complete")
+    return run_to_memory(agg, output_mode="complete", shuffle_partitions=8)
 
 
 @register(
@@ -88,7 +88,7 @@ def q_stream_sliding(spark, sf_dir):
             "sum_value",
         )
     )
-    return run_to_memory(agg, output_mode="complete")
+    return run_to_memory(agg, output_mode="complete", shuffle_partitions=8)
 
 
 @register(
@@ -133,7 +133,7 @@ def q_stream_session(spark, sf_dir):
             "n_events",
         )
     )
-    return run_to_memory(agg, output_mode="complete")
+    return run_to_memory(agg, output_mode="complete", shuffle_partitions=8)
 
 
 @register(
@@ -162,7 +162,7 @@ def q_stream_watermark_late(spark, sf_dir):
             "n_events",
         )
     )
-    return run_to_memory(agg, output_mode="complete")
+    return run_to_memory(agg, output_mode="complete", shuffle_partitions=8)
 
 
 @register(
@@ -182,7 +182,7 @@ def q_stream_dedup_state(spark, sf_dir):
         .dropDuplicates(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
-    return run_to_memory(deduped, output_mode="append")
+    return run_to_memory(deduped, output_mode="append", shuffle_partitions=8)
 
 
 @register(
@@ -204,7 +204,7 @@ def q_stream_stateful_totals(spark, sf_dir):
     from hcls_data_lake_spark.streaming.stateful import running_totals
 
     sdf = read_events_stream(spark, sf_dir).select("user_id", "value")
-    return run_to_memory(running_totals(sdf), output_mode="update")
+    return run_to_memory(running_totals(sdf), output_mode="update", shuffle_partitions=8)
 
 
 @register(
@@ -292,7 +292,11 @@ def q_stream_stream_join(spark, sf_dir):
         & (F.col("c_ts") >= F.col("s_ts"))
         & (F.col("c_ts") <= F.col("s_ts") + F.expr("INTERVAL 30 MINUTE")),
     ).select("signup_id", "click_id", "user_id")
-    return run_to_memory(joined, output_mode="append")
+    # Both sides keep keyed state and pay a per-partition state-store
+    # commit every micro-batch; the buffered state here is tiny, so 8
+    # partitions beats the session's 32 ~4x on wall time (state sized
+    # to volume, not to the session shuffle default).
+    return run_to_memory(joined, output_mode="append", shuffle_partitions=8)
 
 
 @register(
@@ -328,4 +332,4 @@ def q_stream_static_join(spark, sf_dir):
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
-    return run_to_memory(joined, output_mode="complete")
+    return run_to_memory(joined, output_mode="complete", shuffle_partitions=8)

@@ -49,23 +49,40 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def run_to_memory(
-    sdf: DataFrame, output_mode: str = "append", name: str | None = None
+    sdf: DataFrame,
+    output_mode: str = "append",
+    name: str | None = None,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Execute a streaming DataFrame to completion into a memory sink
-    and return the materialized table."""
+    and return the materialized table.
+
+    ``shuffle_partitions`` sizes the stateful operators' state-store
+    partition count (locked in at first batch of a fresh checkpoint).
+    Every state partition pays a per-micro-batch commit regardless of
+    how much state it holds, so a query with small keyed state should
+    run far fewer partitions than the session's shuffle default — size
+    to state volume, the same call a cluster deployment makes. The
+    session conf is restored afterwards."""
     spark = sdf.sparkSession
     qname = name or f"mem_{uuid.uuid4().hex[:10]}"
     ckpt = scratch_dir("ckpt", qname)
     shutil.rmtree(ckpt, ignore_errors=True)
-    query = (
-        sdf.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        if shuffle_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        query = (
+            sdf.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(qname)
 
 
