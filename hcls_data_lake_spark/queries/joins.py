@@ -306,6 +306,49 @@ def q_join_range_interval(spark, sf_dir):
 
 
 @register(
+    "q_join_range_bin",
+    """
+    SELECT s.event_id AS signup_id,
+           CAST(count(*) AS BIGINT) AS n_clicks
+    FROM events s
+    JOIN events c
+      ON (epoch_us(c.ts) // 1000000)
+         BETWEEN (epoch_us(s.ts) // 1000000)
+             AND (epoch_us(s.ts) // 1000000) + 1800
+    WHERE s.event_type = 'signup' AND s.event_id % 7 = 0
+      AND c.event_type = 'click'
+    GROUP BY 1
+    """,
+)
+def q_join_range_bin(spark, sf_dir):
+    """PURE range join (no equi key, unlike q_join_range_interval): any
+    click within 30 minutes after any sampled signup, regardless of
+    user. Catalyst would execute this as a broadcast-nested-loop join —
+    O(|clicks|·|signups|) with a full broadcast, fatal big×big. The
+    bin_range_join operator re-expresses it as a hash equi-join on
+    900-second time bins (each interval explodes into ≤3 bins) with the
+    exact BETWEEN as a residual filter — linear scans + one shuffle, the
+    Databricks range-join-hint / DuckDB IEJoin strategy built from
+    stock DataFrame ops. Plan-tested to contain no BNLJ."""
+    from hcls_data_lake_spark.operators.range_join import bin_range_join
+
+    e = t(spark, sf_dir, "events")
+    ep = "ts_ns div 1000000000"  # raw nanos → epoch sec: exact, tz-free
+    pts = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.expr(ep).alias("ep")
+    )
+    iv = e.filter(
+        (F.col("event_type") == "signup") & (F.col("event_id") % 7 == 0)
+    ).select(
+        F.col("event_id").alias("signup_id"),
+        F.expr(ep).alias("lo"),
+        (F.expr(ep) + 1800).cast("bigint").alias("hi"),
+    )
+    joined = bin_range_join(pts, iv, "ep", "lo", "hi", bin_width=900)
+    return joined.groupBy("signup_id").agg(F.count(F.lit(1)).alias("n_clicks"))
+
+
+@register(
     "q_join_asof",
     """
     WITH purchases AS (

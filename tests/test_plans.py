@@ -131,3 +131,21 @@ def test_sim_topk_broadcasts_queries_and_group_limits(spark, sf_dir):
     plan = plan_of(df)
     assert "WindowGroupLimit" in plan
     assert "BroadcastNestedLoopJoin" in plan and "BuildLeft" in plan
+
+
+def test_range_bin_join_is_hash_join_not_bnl(spark, sf_dir):
+    """A pure range predicate (no equi key) would execute as a
+    broadcast-nested-loop join — O(|L|·|R|) and a full broadcast, fatal
+    big×big. bin_range_join re-keys it on time bins, so the physical
+    plan must be a hash/sort-merge equi-join on the bin id with the
+    BETWEEN as residual, never BNLJ. Pinned with broadcast disabled to
+    model the at-scale condition (both sides fact-sized)."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = registry.queries()["q_join_range_bin"](spark, sf_dir)
+        plan = plan_of(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan

@@ -158,3 +158,40 @@ def test_text_queries_total_on_pathological_corpora(spark, tmp_path_factory, tex
         if name in ("q_dedup_near", "q_dedup_minhash_lsh"):
             for r in out:
                 assert r.doc_a < r.doc_b
+
+
+@given(
+    st.lists(st.integers(min_value=-5000, max_value=5000),
+             min_size=1, max_size=30),
+    st.lists(st.tuples(st.integers(min_value=-5000, max_value=5000),
+                       st.integers(min_value=0, max_value=400)),
+             min_size=1, max_size=15),
+    st.sampled_from([1, 7, 100, 1000]),
+)
+@settings(max_examples=10, deadline=None)
+def test_bin_range_join_equals_naive_theta_join(spark, points, intervals, bin_width):
+    """bin_range_join must equal the naive BETWEEN theta join for any
+    sign mix, any bin width, duplicate points, and empty-overlap
+    intervals — binning is a pure execution strategy, never semantics."""
+    from pyspark.sql import functions as F
+
+    from hcls_data_lake_spark.operators.range_join import bin_range_join
+
+    p = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(points)], "pid long, ep long"
+    )
+    iv = spark.createDataFrame(
+        [(i, lo, lo + w) for i, (lo, w) in enumerate(intervals)],
+        "iid long, lo long, hi long",
+    )
+    binned = {
+        (r.pid, r.iid)
+        for r in bin_range_join(p, iv, "ep", "lo", "hi", bin_width).collect()
+    }
+    naive = {
+        (r.pid, r.iid)
+        for r in p.join(
+            iv, (F.col("ep") >= F.col("lo")) & (F.col("ep") <= F.col("hi"))
+        ).collect()
+    }
+    assert binned == naive
