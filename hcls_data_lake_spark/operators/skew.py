@@ -64,3 +64,40 @@ def salted_aggregate(
 
     stage1 = df.withColumn("_salt", salt).groupBy(*key_cols, "_salt").agg(*partials)
     return stage1.groupBy(*key_cols).agg(*merges)
+
+
+def salted_join(
+    facts: DataFrame,
+    dims: DataFrame,
+    on: list[str],
+    salt_source: str | Column,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the fact side, replicate the dim
+    side ``n_salts``×, join on ``on + [salt]``.
+
+    A hot join key sends every matching fact row to one reducer; AQE's
+    skew splitting heals this for sort-merge joins at runtime, but
+    salting is the explicit, plan-stable form — needed when AQE is off
+    (streaming foreachBatch bodies), when a stage boundary materializes
+    before AQE can re-plan, or when the dim is too big to broadcast but
+    small enough that an ``n_salts``× replication is cheaper than a
+    one-reducer straggler. Cost: dim shuffles n_salts× its size; the
+    fact side shuffles once, spread evenly across (key, salt) buckets.
+
+    ``salt_source`` must vary WITHIN a join key (a row id), never the
+    join key itself — hashing the key alone would put the whole hot key
+    in one salt bucket again. Deterministic (xxhash64, no rand()), so
+    retries and speculative tasks agree. Supports inner/left joins;
+    right/full would duplicate unmatched dim rows per salt.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner and left joins only")
+    f = facts.withColumn(
+        "_salt", F.pmod(F.xxhash64(salt_source), F.lit(n_salts))
+    )
+    d = dims.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0).cast("long"), F.lit(n_salts - 1).cast("long")))
+    )
+    return f.join(d, on + ["_salt"], how).drop("_salt")

@@ -349,6 +349,50 @@ def q_join_range_bin(spark, sf_dir):
 
 
 @register(
+    "q_join_salted_skew",
+    """
+    SELECT d.category,
+           CAST(count(*) AS BIGINT) AS n_events,
+           ROUND(SUM(e.value * d.weight), 2) AS weighted_value
+    FROM events e
+    JOIN (VALUES ('click', 'engagement', 1.0), ('view', 'engagement', 0.5),
+                 ('signup', 'conversion', 2.0), ('purchase', 'conversion', 5.0),
+                 ('error', 'ops', 0.0)) AS d(event_type, category, weight)
+      ON e.event_type = d.event_type
+    GROUP BY 1
+    """,
+)
+def q_join_salted_skew(spark, sf_dir):
+    """Salted skew join: the join key (event_type, 5 values over the
+    whole fact table) is maximally hot — a plain shuffle join sends ~1/5
+    of the table to each of five reducers no matter how many run.
+    salted_join spreads each key over (key, salt) buckets: facts salt by
+    event_id hash, the dim replicates n_salts×. Result is identical to
+    the plain join (the oracle); only the shuffle shape differs. The
+    explicit form of what AQE skew-splitting does at runtime — needed
+    where AQE can't re-plan (foreachBatch bodies, materialized stage
+    boundaries) or the dim exceeds the broadcast threshold."""
+    from hcls_data_lake_spark.operators.skew import salted_join
+
+    e = t(spark, sf_dir, "events")
+    dims = spark.createDataFrame(
+        [
+            ("click", "engagement", 1.0),
+            ("view", "engagement", 0.5),
+            ("signup", "conversion", 2.0),
+            ("purchase", "conversion", 5.0),
+            ("error", "ops", 0.0),
+        ],
+        "event_type string, category string, weight double",
+    )
+    joined = salted_join(e, dims, ["event_type"], salt_source="event_id", n_salts=16)
+    return joined.groupBy("category").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value") * F.col("weight")), 2).alias("weighted_value"),
+    )
+
+
+@register(
     "q_join_asof",
     """
     WITH purchases AS (

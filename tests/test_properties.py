@@ -195,3 +195,37 @@ def test_bin_range_join_equals_naive_theta_join(spark, points, intervals, bin_wi
         ).collect()
     }
     assert binned == naive
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=6), min_size=1, max_size=50),
+    st.lists(st.integers(min_value=0, max_value=9), min_size=1, max_size=8,
+             unique=True),
+    st.integers(min_value=1, max_value=9),
+    st.sampled_from(["inner", "left"]),
+)
+@settings(max_examples=10, deadline=None)
+def test_salted_join_equals_plain_join(spark, fact_keys, dim_keys, n_salts, how):
+    """salted_join must equal the plain equi-join for inner AND left —
+    including fact keys with no dim match (left-null rows must appear
+    exactly once, not once per salt) and dim keys with no facts."""
+    from pyspark.sql import functions as F
+
+    from hcls_data_lake_spark.operators.skew import salted_join
+
+    facts = spark.createDataFrame(
+        [(i, k) for i, k in enumerate(fact_keys)], "row_id long, k long"
+    )
+    dims = spark.createDataFrame(
+        [(k, f"d{k}") for k in dim_keys], "k long, label string"
+    )
+    salted = sorted(
+        (r.row_id, r.k, r.label)
+        for r in salted_join(
+            facts, dims, ["k"], salt_source="row_id", n_salts=n_salts, how=how
+        ).collect()
+    )
+    plain = sorted(
+        (r.row_id, r.k, r.label) for r in facts.join(dims, ["k"], how).collect()
+    )
+    assert salted == plain
