@@ -352,3 +352,57 @@ def q_agg_histogram(spark, sf_dir):
             F.round(F.avg("value"), 4).alias("mean_in_bucket"),
         )
     )
+
+
+@register(
+    "q_rollup_hybrid",
+    """
+    SELECT ((epoch_us(ts) // 1000000) // 3600) * 3600 AS hour_sec,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(value), 2) AS sum_value,
+           ROUND(MIN(value), 2) AS min_value,
+           ROUND(MAX(value), 2) AS max_value,
+           ROUND(AVG(value), 4) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_rollup_hybrid(spark, sf_dir):
+    """Continuous aggregate (hypertable rollup): materialized hourly
+    state for closed buckets + raw scan of the open 48-hour tail,
+    merged at read time (operators/rollup.py). The result equals the
+    full GROUP BY (the oracle) — only what gets SCANNED differs: at
+    100 TB the history is served from the rollup table (O(buckets))
+    and each query rescans only the tail. State is mergeable partials
+    (count/sum/min/max; avg finalized from sum/count at read), so
+    incremental maintenance per batch is associative and order-free."""
+    from hcls_data_lake_spark.operators.rollup import hybrid_read, rollup_state
+    from hcls_data_lake_spark.queries.common import scratch_for
+
+    e = t(spark, sf_dir, "events").select(
+        (F.expr("ts_ns div 3600000000000") * 3600).alias("hour_sec"),
+        "event_type",
+        "value",
+    )
+    cutoff = e.agg(F.max("hour_sec")).first()[0] - 48 * 3600
+    rollup_path = scratch_for(sf_dir, "rollup_hourly")
+    rollup_state(
+        e.filter(F.col("hour_sec") < cutoff), "hour_sec", ["event_type"], "value"
+    ).write.mode("overwrite").parquet(rollup_path)
+    out = hybrid_read(
+        spark.read.parquet(rollup_path),
+        e.filter(F.col("hour_sec") >= cutoff),
+        "hour_sec",
+        ["event_type"],
+        "value",
+    )
+    return out.select(
+        "hour_sec",
+        "event_type",
+        "n_rows",
+        F.round("sum_value", 2).alias("sum_value"),
+        F.round("min_value", 2).alias("min_value"),
+        F.round("max_value", 2).alias("max_value"),
+        F.round("avg_value", 4).alias("avg_value"),
+    )

@@ -248,3 +248,39 @@ def test_minhash_and_simhash_tolerate_short_docs(spark):
     assert {(p.doc_a, p.doc_b) for p in pairs} == {(4, 5)}
     fp = simhash(df, "text", "doc_id").collect()
     assert {r.doc_id for r in fp} >= {1, 2, 4, 5}  # short docs still fingerprint
+
+
+def test_rollup_incremental_maintenance_equals_recompute(spark):
+    """Maintaining the rollup batch-by-batch (in any order) must equal
+    aggregating all data from scratch — the mergeable-state contract
+    that makes continuous aggregates safe. Buckets touched by several
+    batches are the interesting case."""
+    from hcls_data_lake_spark.operators.rollup import (
+        finalize_rollup,
+        merge_rollup,
+        rollup_state,
+    )
+
+    rows = [
+        (h, et, float(v))
+        for i, (h, et, v) in enumerate(
+            [(0, "a", 1), (0, "a", 5), (0, "b", 2), (3600, "a", -4),
+             (3600, "b", 7), (7200, "a", 0), (0, "a", 9), (3600, "b", -1)]
+        )
+    ]
+    df = spark.createDataFrame(rows, "hour_sec long, event_type string, value double")
+    batches = [df.filter(F.col("value") > 2), df.filter(F.col("value") <= 2)]
+
+    def collect_sorted(state):
+        return sorted(
+            (r.hour_sec, r.event_type, r.n_rows, r.sum_value, r.min_value,
+             r.max_value, r.avg_value)
+            for r in finalize_rollup(state).collect()
+        )
+
+    scratch = rollup_state(df, "hour_sec", ["event_type"], "value")
+    for order in (batches, list(reversed(batches))):
+        state = rollup_state(order[0], "hour_sec", ["event_type"], "value")
+        for b in order[1:]:
+            state = merge_rollup(state, rollup_state(b, "hour_sec", ["event_type"], "value"))
+        assert collect_sorted(state) == collect_sorted(scratch)
