@@ -35,3 +35,98 @@ def upsert_latest(df: DataFrame, key: str, version_col: str) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def scd2_apply(
+    current: DataFrame,
+    updates: DataFrame,
+    key: str,
+    effective_col: str,
+    tracked_cols: list[str],
+    open_end: int = 2**62,
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: apply a batch of updates to a
+    versioned dimension, KEEPING history.
+
+    ``current`` carries ``valid_from``/``valid_to`` (epoch ints;
+    ``valid_to = open_end`` marks the open row). For each update whose
+    tracked attributes differ from the key's open row, the open row is
+    closed at the update's ``effective_col`` and a new open row is
+    appended; unchanged updates are dropped (no-op churn never writes
+    history). Closed history rows pass through untouched, so the input
+    partitioning on the key is reusable across runs.
+
+    One shuffle on the key (the join); everything else is map-side.
+    The alternative — full-history window scan per batch — rescans
+    O(history); this touches only open rows + the batch. The reference
+    keeps only last-write state in its catalog (core_stack.yml:164-172,
+    DynamoDB put-item); SCD2 is what a lake needs instead when
+    "what did this dimension look like when the message arrived?"
+    must be answerable (A31 patient updates, adt03_AthenaHealth.txt).
+
+    ``updates`` must hold one row per key (collapse with upsert_latest
+    first when a batch can carry several versions of one key).
+    """
+    hist = current.filter(F.col("valid_to") != open_end)
+    open_rows = current.filter(F.col("valid_to") == open_end)
+
+    u = updates.select(
+        F.col(key),
+        *[F.col(c).alias(f"_u_{c}") for c in tracked_cols],
+        F.col(effective_col).alias("_u_from"),
+    )
+    j = open_rows.join(u, key, "left")
+    changed = j.filter(
+        F.col("_u_from").isNotNull()
+        & ~F.struct(*[F.col(c) for c in tracked_cols]).eqNullSafe(
+            F.struct(*[F.col(f"_u_{c}") for c in tracked_cols])
+        )
+    )
+    # open rows: unmatched or no-op updates stay open as-is
+    unchanged_open = j.filter(
+        F.col("_u_from").isNull()
+        | F.struct(*[F.col(c) for c in tracked_cols]).eqNullSafe(
+            F.struct(*[F.col(f"_u_{c}") for c in tracked_cols])
+        )
+    ).select(*current.columns)
+    closed = changed.select(
+        *[
+            F.col("_u_from").alias("valid_to") if c == "valid_to" else F.col(c)
+            for c in current.columns
+        ]
+    )
+    opened = changed.select(
+        *[
+            (
+                F.col(f"_u_{c}")
+                if c in tracked_cols
+                else F.col("_u_from")
+                if c == "valid_from"
+                else F.lit(open_end)
+                if c == "valid_to"
+                else F.col(c)
+            ).alias(c)
+            for c in current.columns
+        ]
+    )
+    # brand-new keys (no open row at all); columns outside key/tracked/
+    # validity (if any) have no prior value — explicitly null
+    new_keys = u.join(open_rows.select(key), key, "left_anti").select(
+        *[
+            (
+                F.col(key)
+                if c == key
+                else F.col(f"_u_{c}")
+                if c in tracked_cols
+                else F.col("_u_from")
+                if c == "valid_from"
+                else F.lit(open_end)
+                if c == "valid_to"
+                else F.lit(None)
+            ).alias(c)
+            for c in current.columns
+        ]
+    )
+    return hist.unionByName(unchanged_open).unionByName(closed).unionByName(
+        opened
+    ).unionByName(new_keys)

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from hcls_data_lake_spark.queries.common import t
 from hcls_data_lake_spark.registry import register
@@ -411,3 +412,78 @@ def q_hl7_typed_adt(spark, sf_dir):
     )
     msgs = o.select("o_orderkey", er7.alias("er7"))
     return typed_adt(msgs, "er7").drop("er7", "msg_ts_raw")
+
+
+@register(
+    "q_scd2_dimension",
+    """
+    WITH latest AS (  -- last row per (user, 10-day batch), deterministic
+      SELECT user_id, batch, attr, eff FROM (
+        SELECT user_id,
+               epoch_ns(ts) // 864000000000000 AS batch,
+               event_type AS attr,
+               epoch_ns(ts) // 1000000000 AS eff,
+               ROW_NUMBER() OVER (
+                 PARTITION BY user_id, epoch_ns(ts) // 864000000000000
+                 ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn
+        FROM events)
+      WHERE rn = 1
+    ), changes AS (  -- keep only version starts
+      SELECT user_id, attr, eff, batch,
+             LAG(attr) OVER (PARTITION BY user_id ORDER BY batch) AS prev
+      FROM latest
+    ), kept AS (
+      SELECT user_id, attr, eff, batch FROM changes
+      WHERE prev IS NULL OR attr <> prev
+    )
+    SELECT user_id, attr, eff AS valid_from,
+           COALESCE(LEAD(eff) OVER (PARTITION BY user_id ORDER BY batch),
+                    4611686018427387904) AS valid_to
+    FROM kept
+    """,
+)
+def q_scd2_dimension(spark, sf_dir):
+    """SCD type-2 dimension maintenance (operators/upsert.scd2_apply):
+    fold the event log into a per-user versioned dimension of their
+    latest event_type, batch by 10-day batch — changed attributes close
+    the open row and open a new one, no-op batches write nothing,
+    closed history is never rescanned. The driver-side loop runs once
+    per MAINTENANCE BATCH (a handful per retention window — bounded by
+    wall-clock cadence, not data volume); each iteration is one
+    distributed join on the key. Oracle: the full-log gaps-and-islands
+    replay under the same per-batch last-row collapse. The reference
+    keeps last-write-only state (core_stack.yml:164-172); SCD2 answers
+    "what did the dimension look like at ingest time?" (A31 updates)."""
+    from hcls_data_lake_spark.operators.upsert import scd2_apply
+
+    OPEN = 2**62
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("ts_ns div 864000000000000").alias("batch"),
+        F.col("event_type").alias("attr"),
+        F.expr("ts_ns div 1000000000").alias("eff"),
+        "event_id",
+        "ts_ns",
+    )
+    w = Window.partitionBy("user_id", "batch").orderBy(
+        F.col("ts_ns").desc(), F.col("event_id").desc()
+    )
+    latest = (
+        e.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "batch", "attr", "eff")
+    )
+    current = spark.createDataFrame(
+        [], "user_id long, attr string, valid_from long, valid_to long"
+    )
+    batches = sorted(r.batch for r in latest.select("batch").distinct().collect())
+    for b in batches:
+        updates = latest.filter(F.col("batch") == b).select("user_id", "attr", "eff")
+        current = scd2_apply(
+            current, updates, "user_id", "eff", ["attr"], open_end=OPEN
+        )
+        # materialize between maintenance runs — in production each run
+        # ends in a table write; without it the lineage (and task count)
+        # compounds per batch and iteration N replays batches 1..N-1
+        current = current.coalesce(8).localCheckpoint(eager=True)
+    return current.select("user_id", "attr", "valid_from", "valid_to")

@@ -284,3 +284,31 @@ def test_rollup_incremental_maintenance_equals_recompute(spark):
         for b in order[1:]:
             state = merge_rollup(state, rollup_state(b, "hour_sec", ["event_type"], "value"))
         assert collect_sorted(state) == collect_sorted(scratch)
+
+
+def test_scd2_apply_tracks_history(spark):
+    """SCD2: changed attrs close the open row and open a new one; no-op
+    updates write nothing; unseen keys insert an open row; closed
+    history is untouched."""
+    from hcls_data_lake_spark.operators.upsert import scd2_apply
+
+    OPEN = 2**62
+    current = spark.createDataFrame(
+        [("A", "v0", 0, 100), ("A", "v1", 100, OPEN), ("B", "v1", 50, OPEN)],
+        "k string, attr string, valid_from long, valid_to long",
+    )
+    updates = spark.createDataFrame(
+        [("A", "v2", 200), ("B", "v1", 200), ("C", "v1", 200)],
+        "k string, attr string, eff long",
+    )
+    out = {
+        (r.k, r.attr, r.valid_from, r.valid_to)
+        for r in scd2_apply(current, updates, "k", "eff", ["attr"]).collect()
+    }
+    assert out == {
+        ("A", "v0", 0, 100),      # closed history untouched
+        ("A", "v1", 100, 200),    # open row closed at update time
+        ("A", "v2", 200, OPEN),   # new open version
+        ("B", "v1", 50, OPEN),    # no-op update: nothing written
+        ("C", "v1", 200, OPEN),   # brand-new key
+    }
