@@ -305,3 +305,38 @@ def q_scan_schema_evolution(spark, sf_dir):
             F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
         )
     )
+
+
+@register(
+    "q_layout_zorder",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    WHERE value BETWEEN 100 AND 200
+      AND user_id BETWEEN 40 AND 60
+    """,
+)
+def q_layout_zorder(spark, sf_dir):
+    """Z-order-clustered layout (operators/layout.py): write a copy of
+    events Morton-interleaved on (value, user_id), then answer a
+    two-dimensional range predicate from the clustered copy. The
+    result is layout-independent (the oracle runs on the raw table) —
+    what the clustering buys is file/row-group skipping on BOTH
+    predicate columns via parquet min/max stats, where a single-column
+    sort prunes only one (measured from real footers in
+    tests/test_operators.py). Pay one range shuffle at write time,
+    skip data on every subsequent scan."""
+    from hcls_data_lake_spark.operators.layout import cluster_write
+    from hcls_data_lake_spark.queries.common import scratch_for
+
+    e = t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    path = scratch_for(sf_dir, "events_zorder")
+    cluster_write(e, path, ["value", "user_id"], n_files=16)
+    z = spark.read.parquet(path).filter(
+        F.col("value").between(100, 200) & F.col("user_id").between(40, 60)
+    )
+    return z.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )

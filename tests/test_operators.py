@@ -312,3 +312,54 @@ def test_scd2_apply_tracks_history(spark):
         ("B", "v1", 50, OPEN),    # no-op update: nothing written
         ("C", "v1", 200, OPEN),   # brand-new key
     }
+
+
+def test_zorder_bounds_both_dims_per_file(spark, tmp_path):
+    """The point of z-order: per-file min/max ranges stay narrow on
+    EVERY clustered column, so parquet stats prune files for
+    predicates on either dim. A single-column sort gives perfect
+    pruning on that column and none on the other (each file spans
+    ~the full other-column domain) — measured from the real parquet
+    footers, not the plan."""
+    import pyarrow.parquet as pq
+
+    from hcls_data_lake_spark.operators.layout import cluster_write
+
+    df = spark.range(0, 20000).selectExpr(
+        "CAST(pmod(xxhash64(id), 1000) AS DOUBLE) AS x",
+        "CAST(pmod(xxhash64(id + 7), 1000) AS DOUBLE) AS y",
+    )
+
+    def avg_span(path, col):
+        import glob
+
+        spans = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            lo = min(
+                md.row_group(i).column(
+                    [md.schema.column(j).name for j in range(md.num_columns)].index(col)
+                ).statistics.min
+                for i in range(md.num_row_groups)
+            )
+            hi = max(
+                md.row_group(i).column(
+                    [md.schema.column(j).name for j in range(md.num_columns)].index(col)
+                ).statistics.max
+                for i in range(md.num_row_groups)
+            )
+            spans.append(hi - lo)
+        return sum(spans) / len(spans)
+
+    zpath, spath = str(tmp_path / "zorder"), str(tmp_path / "xsort")
+    cluster_write(df, zpath, ["x", "y"], n_files=16)
+    df.repartitionByRange(16, "x").sortWithinPartitions("x").write.mode(
+        "overwrite"
+    ).parquet(spath)
+
+    # x-sorted layout: x tightly bounded, y spans ~full domain per file
+    assert avg_span(spath, "x") < 200
+    assert avg_span(spath, "y") > 800
+    # z-order: BOTH dims bounded well below the 1000-wide domain
+    assert avg_span(zpath, "x") < 600
+    assert avg_span(zpath, "y") < 600
