@@ -186,3 +186,59 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit fingerprints (JVM bit_count)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Transitive dedup clusters: connected components over a near-dup
+    pair graph by iterative min-label propagation.
+
+    Pairwise near-dup relations aren't enough to deduplicate — if A~B
+    and B~C, keeping "one of each pair" can still keep two copies of
+    the same content. Each node starts labeled with itself; every
+    round, each node takes the min of its own and its neighbors'
+    labels; at fixpoint the label is the component's minimum id (the
+    canonical keeper). Converges in O(graph diameter) rounds — near-dup
+    graphs are shallow (clusters of copies, not long chains), so this
+    is a handful of (join + min-aggregate) rounds, each one shuffle on
+    the node id. Iterations materialize via localCheckpoint so lineage
+    never compounds (the large-star/small-star MapReduce CC algorithms
+    in the literature optimize round count further; min-label is the
+    right cost shape at near-dup sparsity).
+
+    Returns (node, label) — one row per node that appears in a pair;
+    singleton docs never enter the graph and need no cluster.
+    """
+    fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    rev = pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    edges = fwd.unionByName(rev).distinct().localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = edges.join(
+            labels, edges["src"] == labels["node"]
+        ).select(F.col("dst").alias("node"), "label")
+        new = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") < F.col("o.label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels

@@ -78,24 +78,9 @@ _NEAR_SQL = """
 """
 
 
-@register("q_dedup_near", _NEAR_SQL)
-def q_dedup_near(spark, sf_dir):
-    """Near-dup detection via exact 3-gram shingle Jaccard (the
-    verifiable variant; MinHash-LSH in operators/dedup.py is the scale
-    path). Candidate generation is an inverted index: group by shingle,
-    collect the posting list of docs containing it, emit the C(f,2)
-    pairs per posting — ONE shuffle on the shingle, one scan of the
-    corpus, no self-join, never all-pairs. At 100 TB the scale knob is
-    a stop-list filter on posting length (drop ultra-common shingles
-    before pair expansion); unnecessary at fixture skew (max freq 7).
-
-    The split is hoisted into a column: inside a transform() lambda it
-    would re-tokenize the full text per shingle index (O(words²)/doc).
-    Shingling goes through shingles_from_words, whose short-doc CASE
-    guard is load-bearing: codegen subexpression elimination hoists the
-    transform() ABOVE the size(w) >= 3 filter conjunct, so an unguarded
-    sequence(0, size(w)-3) descends and crashes slice() on short docs.
-    """
+def _near_pairs(spark, sf_dir):
+    """Thresholded near-dup pairs (doc_a < doc_b, jaccard) — shared by
+    q_dedup_near (reports pairs) and q_dedup_clusters (groups them)."""
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     wdf = d.select("doc_id", F.split("text", " ").alias("w"))
     shingles = shingles_from_words("w", 3)
@@ -127,6 +112,62 @@ def q_dedup_near(spark, sf_dir):
         inter.withColumn("jaccard", F.round(jac, 4))
         .filter(jac >= 0.2)
         .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+@register("q_dedup_near", _NEAR_SQL)
+def q_dedup_near(spark, sf_dir):
+    """Near-dup detection via exact 3-gram shingle Jaccard (the
+    verifiable variant; MinHash-LSH in operators/dedup.py is the scale
+    path). Candidate generation is an inverted index: group by shingle,
+    collect the posting list of docs containing it, emit the C(f,2)
+    pairs per posting — ONE shuffle on the shingle, one scan of the
+    corpus, no self-join, never all-pairs. At 100 TB the scale knob is
+    a stop-list filter on posting length (drop ultra-common shingles
+    before pair expansion); unnecessary at fixture skew (max freq 7).
+
+    The split is hoisted into a column: inside a transform() lambda it
+    would re-tokenize the full text per shingle index (O(words²)/doc).
+    Shingling goes through shingles_from_words, whose short-doc CASE
+    guard is load-bearing: codegen subexpression elimination hoists the
+    transform() ABOVE the size(w) >= 3 filter conjunct, so an unguarded
+    sequence(0, size(w)-3) descends and crashes slice() on short docs.
+    """
+    return _near_pairs(spark, sf_dir)
+
+
+_CLUSTER_SQL = f"""
+    WITH RECURSIVE near AS ({_NEAR_SQL}),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM near
+      UNION ALL
+      SELECT doc_b, doc_a FROM near
+    ),
+    reach(node, r) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node
+    )
+    SELECT CAST(node AS BIGINT) AS doc_id,
+           CAST(MIN(r) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY node
+"""
+
+
+@register("q_dedup_clusters", _CLUSTER_SQL)
+def q_dedup_clusters(spark, sf_dir):
+    """Transitive dedup clusters: pairwise near-dup relations grouped
+    into connected components (operators/dedup.connected_components,
+    iterative min-label propagation — O(diameter) join+min rounds).
+    Keeping "one per PAIR" still keeps two copies when A~B and B~C;
+    the component's min doc_id is the canonical keeper for ALL
+    transitive copies. Oracle: recursive-CTE reachability over the
+    same pair graph."""
+    from hcls_data_lake_spark.operators.dedup import connected_components
+
+    labels = connected_components(_near_pairs(spark, sf_dir))
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
 
 

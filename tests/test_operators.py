@@ -363,3 +363,20 @@ def test_zorder_bounds_both_dims_per_file(spark, tmp_path):
     # z-order: BOTH dims bounded well below the 1000-wide domain
     assert avg_span(zpath, "x") < 600
     assert avg_span(zpath, "y") < 600
+
+
+def test_connected_components_transitive_chains(spark):
+    """A~B and B~C must land in ONE cluster labeled by the min id —
+    the case pairwise keep-one dedup gets wrong; disjoint pairs stay
+    separate; a long chain converges within the iteration cap."""
+    from hcls_data_lake_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23), (23, 24)],
+        "doc_a long, doc_b long",
+    )
+    labels = {
+        r.node: r.label for r in connected_components(pairs).collect()
+    }
+    assert labels == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                      20: 20, 21: 20, 22: 20, 23: 20, 24: 20}
