@@ -78,3 +78,49 @@ def q_sample_stratified(spark, sf_dir):
         d.select("doc_id", "lang", F.row_number().over(w).cast("bigint").alias("rn"))
         .filter(F.col("rn") <= 40)
     )
+
+
+def _leakage_safe_sql():
+    # late import avoids a module-load cycle (llm imports nothing from
+    # sampling, but keep registration order-independent)
+    from hcls_data_lake_spark.queries.llm import _CLUSTER_SQL
+
+    return f"""
+    SELECT d.doc_id,
+           CASE WHEN substr(md5(CAST(COALESCE(c.cluster_id, d.doc_id)
+                                     AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+                WHEN substr(md5(CAST(COALESCE(c.cluster_id, d.doc_id)
+                                     AS VARCHAR)), 1, 2) < 'e6' THEN 'valid'
+                ELSE 'test' END AS split
+    FROM documents d
+    LEFT JOIN ({_CLUSTER_SQL}) c ON d.doc_id = c.doc_id
+    WHERE d.doc_id < 500
+    """
+
+
+@register("q_sample_leakage_safe_split", _leakage_safe_sql())
+def q_sample_leakage_safe_split(spark, sf_dir):
+    """Leakage-safe train/valid/test split: the md5 bucket hashes the
+    near-dup CLUSTER's canonical id (q_dedup_clusters), not the doc id,
+    so transitive near-duplicates can never straddle a split boundary
+    — hashing doc ids independently leaks eval content into training
+    whenever a near-copy exists. Docs outside any cluster hash their
+    own id (their cluster of one). Cost over the plain hash split: the
+    near-dup pair graph + one left join — the split assignment itself
+    stays a map-side expression."""
+    from hcls_data_lake_spark.operators.dedup import connected_components
+    from hcls_data_lake_spark.queries.llm import _near_pairs
+
+    labels = connected_components(_near_pairs(spark, sf_dir)).withColumnRenamed(
+        "node", "doc_id"
+    )
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500).select("doc_id")
+    canonical = F.coalesce("label", "doc_id")
+    bucket = F.substring(F.md5(canonical.cast("string").cast("binary")), 1, 2)
+    return d.join(labels, "doc_id", "left").select(
+        "doc_id",
+        F.when(bucket < "cc", "train")
+        .when(bucket < "e6", "valid")
+        .otherwise("test")
+        .alias("split"),
+    )

@@ -380,3 +380,20 @@ def test_connected_components_transitive_chains(spark):
     }
     assert labels == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
                       20: 20, 21: 20, 22: 20, 23: 20, 24: 20}
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark, sf_dir):
+    """Every near-dup cluster must land in exactly ONE split — the
+    whole point of hashing the cluster canonical instead of the doc id
+    (near-copies straddling train/test = eval leakage)."""
+    from hcls_data_lake_spark import registry
+
+    qs = registry.queries()
+    splits = {r.doc_id: r.split
+              for r in qs["q_sample_leakage_safe_split"](spark, sf_dir).collect()}
+    clusters = {}
+    for r in qs["q_dedup_clusters"](spark, sf_dir).collect():
+        clusters.setdefault(r.cluster_id, []).append(r.doc_id)
+    assert clusters, "fixture corpus must contain near-dup clusters"
+    for cid, members in clusters.items():
+        assert len({splits[m] for m in members}) == 1, f"cluster {cid} straddles splits"
