@@ -46,6 +46,14 @@ EXTENDED = [
     "q_analytics_shipping",   # TPC-H-Q3-style composite
     "q_hl7_typed_adt",        # typed ADT projection
     "q_stream_stream_join",   # watermarked stream-stream join
+    "q_join_range_bin",       # binned big-big pure range join
+    "q_join_salted_skew",     # salted hot-key join
+    "q_rollup_hybrid",        # continuous aggregate hybrid read
+    "q_dedup_clusters",       # connected-components dedup clusters
+    "q_layout_zorder",        # z-order clustered write + 2-dim scan
+    "q_scd2_dimension",       # SCD2 batch fold (4 maintenance runs)
+    "q_sim_ann_ivf",          # IVF ANN with trained k-means codebook
+    "q_ts_gapfill",           # dense-grid gap-fill + forward-fill
 ]
 
 

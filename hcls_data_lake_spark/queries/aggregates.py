@@ -406,3 +406,40 @@ def q_rollup_hybrid(spark, sf_dir):
         F.round("max_value", 2).alias("max_value"),
         F.round("avg_value", 4).alias("avg_value"),
     )
+
+
+_UNPIVOT_SQL = """
+    WITH m AS (
+      SELECT c_nationkey,
+             CAST(count(*) AS DOUBLE) AS n_customers,
+             round(avg(c_acctbal), 4) AS avg_bal,
+             round(max(c_acctbal), 2) AS max_bal
+      FROM customer GROUP BY c_nationkey
+    )
+    SELECT c_nationkey, 'n_customers' AS metric, n_customers AS val FROM m
+    UNION ALL
+    SELECT c_nationkey, 'avg_bal' AS metric, avg_bal AS val FROM m
+    UNION ALL
+    SELECT c_nationkey, 'max_bal' AS metric, max_bal AS val FROM m
+"""
+
+
+@register("q_agg_unpivot", _UNPIVOT_SQL)
+def q_agg_unpivot(spark, sf_dir):
+    """Unpivot/melt: wide per-nation customer metrics to long
+    (nation, metric, val) form — the inverse of q_agg_pivot, the shape
+    ML feature stores and plotting layers consume. Spark's native
+    `DataFrame.unpivot` is a zero-shuffle map-side expansion (Expand
+    node), so it composes after the one groupBy shuffle; the oracle is
+    the portable UNION ALL formulation. Metrics are cast to one common
+    DOUBLE type in both engines (unpivot requires a shared value
+    type)."""
+    c = t(spark, sf_dir, "customer")
+    m = c.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("double").alias("n_customers"),
+        F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+    )
+    return m.unpivot(
+        ["c_nationkey"], ["n_customers", "avg_bal", "max_bal"], "metric", "val"
+    )

@@ -466,3 +466,52 @@ def q_join_self(spark, sf_dir):
             F.col("a.user_id").alias("user_id"),
         )
     )
+
+
+_FUZZY_SQL = """
+    WITH names AS (
+      SELECT p_name, count(*) AS n FROM part GROUP BY p_name
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+           a.n AS n_a, b.n AS n_b
+    FROM names a
+    JOIN names b
+      ON split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
+     AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 4
+"""
+
+
+@register("q_join_fuzzy", _FUZZY_SQL)
+def q_join_fuzzy(spark, sf_dir):
+    """Blocked fuzzy record linkage (entity resolution): edit-distance
+    match over the *distinct value dictionary*, not the fact table —
+    dedupe names first (the dictionary is orders of magnitude smaller
+    than the table and grows sublinearly), block on the first token so
+    the pairwise comparison is per-block quadratic instead of global,
+    keep pairs with levenshtein <= 4. At 100 TB the dictionary still
+    fits in a broadcast, so linkage costs one map-side agg + one
+    broadcast join regardless of fact-table size; matched canonical
+    pairs then map back to rows by equi-join. HCLS motivation: patient
+    / institution record linkage across sources (the reference scopes
+    rows by writing institution, front_door_lambda.py:50-53 — linking
+    near-identical source names is the cross-institution analog)."""
+    p = t(spark, sf_dir, "part")
+    names = p.groupBy("p_name").agg(F.count(F.lit(1)).alias("n"))
+    blk = F.split_part(F.col("p_name"), F.lit(" "), F.lit(1))
+    a = names.select(
+        F.col("p_name").alias("name_a"), F.col("n").alias("n_a"), blk.alias("blk")
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"), F.col("n").alias("n_b"), blk.alias("blk")
+    )
+    return (
+        a.join(F.broadcast(b), "blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn(
+            "dist", F.levenshtein("name_a", "name_b").cast("bigint")
+        )
+        .filter(F.col("dist") <= 4)
+        .select("name_a", "name_b", "dist", "n_a", "n_b")
+    )

@@ -650,3 +650,52 @@ def q_multimodal_binary(spark, sf_dir):
         ).alias("meta"),
     )
     return extract_features(payloads)
+
+
+_PACK_SQL = """
+    WITH toks AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    ), c AS (
+      SELECT doc_id, source, n_tok,
+             CAST(coalesce(sum(n_tok) OVER (
+                 PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_before
+      FROM toks
+    )
+    SELECT doc_id, source, n_tok, cum_before // 2048 AS chunk_id FROM c
+"""
+
+
+@register("q_pack_sequences", _PACK_SQL)
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing for LLM pretraining: concatenate each source's
+    documents in deterministic doc_id order into one token stream and
+    chunk it into fixed 2048-token context windows; each doc is
+    assigned the chunk where it starts (chunk_id = tokens-before //
+    2048 — the concat-and-chunk packing GPT-style pipelines use, docs
+    may span a boundary). Packing is per-source, so the running sum is
+    a partitioned window — entity-parallel, no global sort; at 100 TB
+    the partition key is (source, shard) and each shard packs
+    independently. Token count = whitespace tokens, consistent with
+    q_text_tokens."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    return toks.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        F.floor(cum_before / F.lit(2048)).cast("bigint").alias("chunk_id"),
+    )

@@ -1,0 +1,63 @@
+"""Time-series regularization queries over the `events` stream table.
+
+Gap-filling an irregular event stream onto a dense per-entity grid is
+the batch face of the reference's per-source monitoring need (messages
+arrive irregularly per source, core_stack.yml:164-172; the analytics
+question is "hourly rate per source, including silent hours"), and the
+standard feature-engineering step before any fixed-step model input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hcls_data_lake_spark.operators.timeseries import gap_fill_locf
+from hcls_data_lake_spark.queries.common import events
+from hcls_data_lake_spark.registry import register
+
+# DuckDB mirrors the operator exactly: hourly agg -> per-user bounds ->
+# generate_series grid -> left join -> IGNORE NULLS running last_value.
+# sum(value) is rounded at the hourly-agg level in BOTH engines so the
+# forward-filled copies inherit identical rounding.
+_GAPFILL_SQL = """
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS h,
+             round(sum(value), 4) AS v
+      FROM events GROUP BY 1, 2
+    ), bounds AS (
+      SELECT user_id, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY 1
+    ), grid AS (
+      SELECT user_id,
+             unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+      FROM bounds
+    )
+    SELECT g.user_id, g.h, hv.v,
+           last_value(hv.v IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ff
+    FROM grid g
+    LEFT JOIN hourly hv ON g.user_id = hv.user_id AND g.h = hv.h
+"""
+
+
+@register("q_ts_gapfill", _GAPFILL_SQL)
+def q_ts_gapfill(spark, sf_dir):
+    """Hourly per-user gap-fill + forward-fill (time_bucket_gapfill /
+    locf): densify the sparse (user, hour) activity series onto every
+    hour between each user's first and last event, carrying the last
+    observed hourly sum forward across silent hours. `v` is null on
+    gap rows (fill is distinguishable from fact); `v_ff` is the
+    last-observation-carried-forward series a fixed-step consumer
+    reads. One shuffle family on user_id (agg, join, fill window) —
+    no global sort, entity-parallel at any scale."""
+    e = events(spark, sf_dir)
+    hourly = e.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.round(F.sum("value"), 4).alias("v"))
+    return gap_fill_locf(
+        hourly,
+        entity_col="user_id",
+        bucket_col="h",
+        value_cols=["v"],
+        step=F.expr("interval 1 hour"),
+    )

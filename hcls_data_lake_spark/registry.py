@@ -111,6 +111,7 @@ def _load_all() -> None:
         setops,
         sorts,
         streaming_queries,
+        timeseries,
         windows,
     )
 

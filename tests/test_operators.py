@@ -397,3 +397,43 @@ def test_leakage_safe_split_keeps_clusters_together(spark, sf_dir):
     assert clusters, "fixture corpus must contain near-dup clusters"
     for cid, members in clusters.items():
         assert len({splits[m] for m in members}) == 1, f"cluster {cid} straddles splits"
+
+
+def test_gap_fill_locf_fills_gaps_and_marks_facts(spark):
+    from pyspark.sql import functions as F
+
+    from hcls_data_lake_spark.operators.timeseries import gap_fill_locf
+
+    # user 1 observed at hours 0, 3 (gap at 1, 2); user 2 at hour 5 only
+    rows = [
+        (1, "2024-01-01 00:00:00", 10.0),
+        (1, "2024-01-01 03:00:00", 30.0),
+        (2, "2024-01-01 05:00:00", 50.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, h string, v double").withColumn(
+        "h", F.col("h").cast("timestamp_ntz")
+    )
+    out = gap_fill_locf(
+        df, "user_id", "h", ["v"], F.expr("interval 1 hour")
+    ).collect()
+    by_key = {(r.user_id, r.h.hour): (r.v, r.v_ff) for r in out}
+    assert len(out) == 5  # user 1: hours 0..3; user 2: hour 5
+    assert by_key[(1, 0)] == (10.0, 10.0)
+    assert by_key[(1, 1)] == (None, 10.0)  # gap row: fact null, ff carried
+    assert by_key[(1, 2)] == (None, 10.0)
+    assert by_key[(1, 3)] == (30.0, 30.0)  # new fact resets the fill
+    assert by_key[(2, 5)] == (50.0, 50.0)  # single-point entity: no grid growth
+
+
+def test_pack_sequences_chunks_respect_source_streams(spark):
+    from hcls_data_lake_spark.registry import queries
+
+    out = queries()["q_pack_sequences"](spark, "/root/testdata/sf0.001").collect()
+    # chunk ids are non-decreasing in doc_id order within each source,
+    # and every source's stream starts at chunk 0
+    by_src = {}
+    for r in sorted(out, key=lambda r: (r.source, r.doc_id)):
+        by_src.setdefault(r.source, []).append(r.chunk_id)
+    for src, chunks in by_src.items():
+        assert chunks[0] == 0, src
+        assert all(a <= b for a, b in zip(chunks, chunks[1:])), src
