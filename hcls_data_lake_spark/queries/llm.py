@@ -699,3 +699,41 @@ def q_pack_sequences(spark, sf_dir):
         "n_tok",
         F.floor(cum_before / F.lit(2048)).cast("bigint").alias("chunk_id"),
     )
+
+
+# DuckDB regexp_replace needs the 'g' flag to mirror Spark's
+# replace-all semantics (see also q_fn_regex).
+_CLEAN_SQL = """
+    SELECT doc_id,
+           lower(trim(regexp_replace(
+               regexp_replace(text, '<[^>]*>', ' ', 'g'),
+               '\\s+', ' ', 'g'))) AS clean_text,
+           CAST(length(lower(trim(regexp_replace(
+               regexp_replace(text, '<[^>]*>', ' ', 'g'),
+               '\\s+', ' ', 'g')))) AS INT) AS n_chars_clean
+    FROM documents
+"""
+
+
+@register("q_text_clean", _CLEAN_SQL)
+def q_text_clean(spark, sf_dir):
+    """Text normalization for training corpora: strip markup tags,
+    collapse whitespace runs, trim, lowercase — the standard cleaning
+    pass before tokenization/dedup. Pure map-side expression chain
+    (whole-stage codegen, zero shuffle), so it composes for free in
+    front of any downstream dedup/pack/split stage at any scale."""
+    d = t(spark, sf_dir, "documents")
+    cleaned = F.lower(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.col("text"), "<[^>]*>", " "),
+                "\\s+",
+                " ",
+            )
+        )
+    )
+    return d.select(
+        "doc_id",
+        cleaned.alias("clean_text"),
+        F.length(cleaned).cast("int").alias("n_chars_clean"),
+    )

@@ -124,3 +124,41 @@ def q_sample_leakage_safe_split(spark, sf_dir):
         .otherwise("test")
         .alias("split"),
     )
+
+
+_MIX_SQL = """
+    WITH n AS (
+      SELECT CAST(min(cnt) AS BIGINT) AS n_min FROM (
+        SELECT count(*) AS cnt FROM documents GROUP BY source)
+    ), r AS (
+      SELECT doc_id, source,
+             CAST(row_number() OVER (
+                 PARTITION BY source
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
+      FROM documents
+    )
+    SELECT doc_id, source, rn FROM r, n WHERE rn <= n_min
+"""
+
+
+@register("q_sample_mix", _MIX_SQL)
+def q_sample_mix(spark, sf_dir):
+    """Domain mixing / rebalancing: downsample every source to the
+    smallest source's document count, choosing survivors by md5 rank
+    within the source — the deterministic quota form of training-data
+    domain reweighting (no RNG, no float thresholds; the same corpus
+    always yields the same mix). The quota is one tiny scalar
+    aggregate broadcast to the rank filter; the only real shuffle is
+    the per-source window, and per-source top-N is rank-pushdown
+    (WindowGroupLimit) territory at scale."""
+    d = t(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("cnt"))
+    n_min = counts.agg(F.min("cnt").alias("n_min"))
+    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    w = Window.partitionBy("source").orderBy(h, F.col("doc_id"))
+    ranked = d.select(
+        "doc_id", "source", F.row_number().over(w).cast("bigint").alias("rn")
+    )
+    return ranked.join(F.broadcast(n_min)).filter(
+        F.col("rn") <= F.col("n_min")
+    ).select("doc_id", "source", "rn")

@@ -61,3 +61,39 @@ def q_ts_gapfill(spark, sf_dir):
         value_cols=["v"],
         step=F.expr("interval 1 hour"),
     )
+
+
+# event_id is the unique arrival-order key, so open/close are
+# arg_min/arg_max on it — deterministic in both engines (no ts ties to
+# break). min/max/arg extremes pass parquet doubles through untouched;
+# rounding is applied identically anyway for oracle discipline.
+_OHLC_SQL = """
+    SELECT user_id, CAST(ts AS DATE) AS d,
+           round(arg_min(value, event_id), 2) AS open,
+           round(max(value), 2)              AS high,
+           round(min(value), 2)              AS low,
+           round(arg_max(value, event_id), 2) AS close,
+           CAST(count(*) AS BIGINT)          AS n_events
+    FROM events
+    GROUP BY user_id, CAST(ts AS DATE)
+"""
+
+
+@register("q_ts_ohlc", _OHLC_SQL)
+def q_ts_ohlc(spark, sf_dir):
+    """OHLC-style downsample: per (user, day) the first/last observed
+    value in arrival order plus min/max/count — the canonical
+    resample-to-bucket summary for irregular series (first/last need
+    `min_by`/`max_by`, which a plain GROUP BY can't express). Single
+    hash aggregate with map-side partials, no window, no sort — the
+    cheapest possible shape for bucket summaries at 100 TB."""
+    e = events(spark, sf_dir)
+    return e.groupBy(
+        "user_id", F.to_date("ts").alias("d")
+    ).agg(
+        F.round(F.min_by("value", "event_id"), 2).alias("open"),
+        F.round(F.max("value"), 2).alias("high"),
+        F.round(F.min("value"), 2).alias("low"),
+        F.round(F.max_by("value", "event_id"), 2).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
