@@ -149,3 +149,36 @@ def test_range_bin_join_is_hash_join_not_bnl(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_unpivot_is_expand_without_extra_shuffle(spark, sf_dir):
+    df = registry.queries()["q_agg_unpivot"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "Expand" in plan
+    # only the groupBy shuffle: one Exchange, none added by the unpivot
+    assert plan.count("Exchange") <= 2  # partial->final agg exchange (+AQE read)
+
+
+def test_fuzzy_join_broadcasts_dictionary(spark, sf_dir):
+    df = registry.queries()["q_join_fuzzy"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_gapfill_single_shuffle_family(spark, sf_dir):
+    df = registry.queries()["q_ts_gapfill"](spark, sf_dir)
+    plan = plan_of(df)
+    # agg, grid join and fill window all hash on user_id; the plan must
+    # not introduce a global (RoundRobin/Single) exchange anywhere
+    assert "SinglePartition" not in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_ohlc_is_single_hash_aggregate(spark, sf_dir):
+    df = registry.queries()["q_ts_ohlc"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "HashAggregate" in plan
+    assert "Window" not in plan  # min_by/max_by, not a window rewrite
+    # partial + final agg over one exchange
+    assert plan.count("Exchange") <= 2
