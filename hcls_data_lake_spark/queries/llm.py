@@ -737,3 +737,46 @@ def q_text_clean(spark, sf_dir):
         cleaned.alias("clean_text"),
         F.length(cleaned).cast("int").alias("n_chars_clean"),
     )
+
+
+# DuckDB range(1, len) is 1-based-exclusive, so l[i] || ' ' || l[i+1]
+# enumerates exactly the len-1 adjacent pairs; Spark's zip_with over
+# the two shifted slices builds the same list without index math.
+_BIGRAM_SQL = """
+    WITH bg AS (
+      SELECT unnest(list_transform(
+               range(1, len(string_split(text, ' '))),
+               i -> string_split(text, ' ')[i] || ' ' ||
+                    string_split(text, ' ')[i + 1])) AS bigram
+      FROM documents
+    )
+    SELECT bigram, CAST(count(*) AS BIGINT) AS cnt
+    FROM bg GROUP BY bigram
+    ORDER BY cnt DESC, bigram LIMIT 50
+"""
+
+
+@register("q_text_bigrams", _BIGRAM_SQL)
+def q_text_bigrams(spark, sf_dir):
+    """Corpus bigram statistics: adjacent word-pair counts, top 50
+    (ties broken by bigram text, so the limit is deterministic) — the
+    n-gram frequency table behind LM corpus analysis, contamination
+    checks, and boilerplate detection. Bigram construction is a
+    map-side higher-order function (zip_with over shifted slices — no
+    UDF, no per-row Python); the count is one hash aggregate and the
+    top-50 a TakeOrderedAndProject, so nothing materializes the full
+    sorted bigram table at scale."""
+    d = t(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    bigrams = F.zip_with(
+        F.slice(words, 1, F.size(words) - 1),
+        F.slice(words, 2, F.size(words) - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "bigram")
+        .limit(50)
+    )
