@@ -114,6 +114,9 @@ def kmeans_codebook(
     e = embeddings.select(F.col(vec_col).cast("array<double>").alias("_v"))
     if sample_frac is not None:
         e = e.sample(fraction=sample_frac, seed=seed)
+    # the training set is read once per Lloyd iteration plus init —
+    # pin it in memory so only iteration 1 pays the scan + cast
+    e = e.persist()
     init = (
         e.withColumn("_h", F.md5(F.concat(F.lit(str(seed)), F.to_json(F.struct("_v")))))
         .orderBy("_h")
@@ -136,6 +139,7 @@ def kmeans_codebook(
         for cell, dims in by_cell.items():
             new_cents[cell] = [dims[p] for p in range(len(dims))]
         cents = new_cents
+    e.unpersist()
     return cents
 
 

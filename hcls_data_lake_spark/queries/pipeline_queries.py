@@ -473,6 +473,10 @@ def q_scd2_dimension(spark, sf_dir):
         .filter(F.col("_rn") == 1)
         .select("user_id", "batch", "attr", "eff")
     )
+    # materialize the per-batch collapse ONCE — every maintenance run
+    # below filters this same result, and without pinning it each run
+    # would recompute the window over the full log
+    latest = latest.localCheckpoint(eager=True)
     current = spark.createDataFrame(
         [], "user_id long, attr string, valid_from long, valid_to long"
     )
