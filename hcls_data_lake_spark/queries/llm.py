@@ -780,3 +780,96 @@ def q_text_bigrams(spark, sf_dir):
         .orderBy(F.desc("cnt"), "bigram")
         .limit(50)
     )
+
+
+# Spark posexplode positions are 0-based; DuckDB generate_subscripts is
+# 1-based — the oracle subtracts 1. z is rounded to 4 so the double
+# sum-order difference between engines' avg/stddev vanishes.
+_STANDARDIZE_SQL = """
+    WITH x AS (
+      SELECT vec_id,
+             CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ), s AS (
+      SELECT pos, avg(x) AS m, stddev_pop(x) AS sd FROM x GROUP BY pos
+    )
+    SELECT x.vec_id, x.pos, round((x.x - s.m) / s.sd, 4) + 0.0 AS z
+    FROM x JOIN s ON x.pos = s.pos
+"""
+
+
+@register("q_embed_standardize", _STANDARDIZE_SQL)
+def q_embed_standardize(spark, sf_dir):
+    """Per-dimension z-score standardization of the embedding corpus —
+    the feature-scaling pass before distance-based ops (k-means, ANN)
+    when dimensions have unequal variance. Stats are one posexplode +
+    64-group aggregate (dimension count, not corpus size); the
+    normalize join broadcasts those 64 rows, so the corpus streams
+    map-side — at 100 TB the stats table is still 64 rows."""
+    e = t(spark, sf_dir, "embeddings")
+    x = e.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
+    )
+    stats = x.groupBy("pos").agg(
+        F.avg("x").alias("m"), F.stddev_pop("x").alias("sd")
+    )
+    return x.join(F.broadcast(stats), "pos").select(
+        "vec_id",
+        "pos",
+        # + 0.0 canonicalizes IEEE -0.0 to +0.0 (engines disagree on
+        # the sign of a rounded-away negative)
+        (F.round((F.col("x") - F.col("m")) / F.col("sd"), 4) + 0.0).alias("z"),
+    )
+
+
+# floor-bucket quantization (not round) — floor is bit-identical across
+# engines, round's half-way rule is not. x = max lands in bucket 256,
+# clamped back to 255.
+_QUANTIZE_SQL = """
+    WITH v AS (
+      SELECT vec_id,
+             CAST(list_min(embedding) AS DOUBLE) AS lo,
+             CAST(list_max(embedding) AS DOUBLE) AS hi,
+             embedding
+      FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+           CAST(least(255, floor((CAST(unnest(embedding) AS DOUBLE) - lo)
+                                 / (hi - lo) * 256)) AS INT) AS q,
+           round(lo, 6) AS v_min,
+           round(hi, 6) AS v_max
+    FROM v
+"""
+
+
+@register("q_embed_quantize", _QUANTIZE_SQL)
+def q_embed_quantize(spark, sf_dir):
+    """Scalar int8 quantization: each vector rescaled to 0..255 buckets
+    by its own min/max (the uint8 storage-compression step vector
+    stores apply before indexing — 4 bytes/dim → 1). min/max are
+    map-side array functions and the bucket math is a map-side
+    expression — zero shuffles, the whole op streams through codegen;
+    the (v_min, v_max) pair per vector is what dequantization needs."""
+    e = t(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id",
+        F.array_min(F.col("embedding").cast("array<double>")).alias("lo"),
+        F.array_max(F.col("embedding").cast("array<double>")).alias("hi"),
+        F.col("embedding").cast("array<double>").alias("emb"),
+    )
+    x = v.select(
+        "vec_id", "lo", "hi", F.posexplode("emb").alias("pos", "x")
+    )
+    return x.select(
+        "vec_id",
+        "pos",
+        F.least(
+            F.lit(255),
+            F.floor((F.col("x") - F.col("lo")) / (F.col("hi") - F.col("lo")) * 256),
+        ).cast("int").alias("q"),
+        F.round("lo", 6).alias("v_min"),
+        F.round("hi", 6).alias("v_max"),
+    )

@@ -414,6 +414,80 @@ def q_hl7_typed_adt(spark, sf_dir):
     return typed_adt(msgs, "er7").drop("er7", "msg_ts_raw")
 
 
+# ORU^R01 with two repeating OBX observations per message; the NM value
+# derives from an integer (o_custkey mod 200) so the string form is
+# engine-independent (double formatting is not).
+_TYPED_ORU_ER7_SQL = """
+       'MSH|^~\\&|LAB|FAC|||20240101||ORU^R01|' || CAST(o_orderkey AS VARCHAR)
+    || '|P|2.3' || chr(13)
+    || 'PID|1||' || CAST(o_custkey AS VARCHAR) || chr(13)
+    || 'OBR|1||' || CAST(o_orderkey AS VARCHAR) || '|GLU^GLUCOSE' || chr(13)
+    || 'OBX|1|NM|GLU^GLUCOSE||' || CAST(o_custkey % 200 AS VARCHAR)
+    || '|mg/dL^conc|70-110' || chr(13)
+    || 'OBX|2|ST|NOTE^NOTE||RESULT-' || CAST(o_orderkey AS VARCHAR) || '||'
+"""
+
+
+@register(
+    "q_hl7_typed_oru",
+    f"""
+    WITH msgs AS (
+      SELECT o_orderkey, {_TYPED_ORU_ER7_SQL} AS er7
+      FROM orders WHERE o_orderkey < 2000
+    ), obs AS (
+      SELECT o_orderkey,
+             unnest(list_filter(string_split(er7, chr(13)),
+                                x -> starts_with(x, 'OBX|'))) AS s
+      FROM msgs
+    )
+    SELECT o_orderkey,
+           string_split(s, '|')[2] AS set_id,
+           string_split(s, '|')[3] AS value_type,
+           string_split(string_split(s, '|')[4], '^')[1] AS observation_id,
+           string_split(s, '|')[6] AS value,
+           CASE WHEN string_split(s, '|')[3] = 'NM'
+                THEN TRY_CAST(string_split(s, '|')[6] AS DOUBLE) END AS value_num,
+           string_split(string_split(s, '|')[7], '^')[1] AS units,
+           string_split(s, '|')[8] AS ref_range
+    FROM obs
+    """,
+)
+def q_hl7_typed_oru(spark, sf_dir):
+    """Typed ORU projection (SURVEY §1.3b tier-2, the lab half of the
+    corpus): synthesized ORU^R01 messages with repeatable OBX
+    observations, narrowed by hl7.er7.typed_oru — observations come
+    back as an array of typed structs (NM values try_cast to double,
+    the everything-is-string→typed boundary of §1.5), exploded flat
+    here so the oracle diff covers every component. Pure split
+    expressions, whole-stage codegen, no UDF."""
+    from hcls_data_lake_spark.hl7.er7 import typed_oru
+
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    ck = F.col("o_custkey").cast("string")
+    ok = F.col("o_orderkey").cast("string")
+    nm = (F.col("o_custkey") % 200).cast("string")
+    er7 = F.concat(
+        F.lit("MSH|^~\\&|LAB|FAC|||20240101||ORU^R01|"), ok, F.lit("|P|2.3"),
+        F.lit("\rPID|1||"), ck,
+        F.lit("\rOBR|1||"), ok, F.lit("|GLU^GLUCOSE"),
+        F.lit("\rOBX|1|NM|GLU^GLUCOSE||"), nm, F.lit("|mg/dL^conc|70-110"),
+        F.lit("\rOBX|2|ST|NOTE^NOTE||RESULT-"), ok, F.lit("||"),
+    )
+    msgs = o.select("o_orderkey", er7.alias("er7"))
+    typed = typed_oru(msgs, "er7")
+    ob = typed.select("o_orderkey", F.explode("observations").alias("ob"))
+    return ob.select(
+        "o_orderkey",
+        F.col("ob.set_id").alias("set_id"),
+        F.col("ob.value_type").alias("value_type"),
+        F.col("ob.observation_id").alias("observation_id"),
+        F.col("ob.value").alias("value"),
+        F.col("ob.value_num").alias("value_num"),
+        F.col("ob.units").alias("units"),
+        F.col("ob.ref_range").alias("ref_range"),
+    )
+
+
 @register(
     "q_scd2_dimension",
     """
