@@ -363,7 +363,8 @@ def q_agg_histogram(spark, sf_dir):
            ROUND(SUM(value), 2) AS sum_value,
            ROUND(MIN(value), 2) AS min_value,
            ROUND(MAX(value), 2) AS max_value,
-           ROUND(AVG(value), 4) AS avg_value
+           (CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) * 100)
+               // COUNT(*) / 10000.0 AS avg_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -404,7 +405,17 @@ def q_rollup_hybrid(spark, sf_dir):
         F.round("sum_value", 2).alias("sum_value"),
         F.round("min_value", 2).alias("min_value"),
         F.round("max_value", 2).alias("max_value"),
-        F.round("avg_value", 4).alias("avg_value"),
+        # finalize avg in integer arithmetic (cents*100 floor-divided by
+        # count): float rounding rules differ across engines exactly at
+        # half-way values (sum/count = x.xxxx5 seen at sf0.1), but
+        # integer floor division has no half-way rule to disagree on
+        (
+            F.expr(
+                "(cast(round(sum_value * 100, 0) as bigint) * 100)"
+                " div n_rows"
+            )
+            / 10000.0
+        ).alias("avg_value"),
     )
 
 
