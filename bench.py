@@ -54,6 +54,13 @@ EXTENDED = [
     "q_scd2_dimension",       # SCD2 batch fold (4 maintenance runs)
     "q_sim_ann_ivf",          # IVF ANN with trained k-means codebook
     "q_ts_gapfill",           # dense-grid gap-fill + forward-fill
+    "q_ts_ohlc",              # min_by/max_by bucket resample
+    "q_pack_sequences",       # concat-and-chunk context windows
+    "q_join_fuzzy",           # dictionary-level levenshtein linkage
+    "q_hl7_typed_oru",        # typed ORU projection (OBX explode)
+    "q_embed_standardize",    # per-dim z-score (broadcast stats)
+    "q_embed_quantize",       # int8 floor-bucket quantization
+    "q_text_bigrams",         # n-gram counts, top-50 TakeOrdered
 ]
 
 

@@ -10,6 +10,7 @@ standard feature-engineering step before any fixed-step model input.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from hcls_data_lake_spark.operators.timeseries import gap_fill_locf
 from hcls_data_lake_spark.queries.common import events
@@ -96,4 +97,72 @@ def q_ts_ohlc(spark, sf_dir):
         F.round(F.min("value"), 2).alias("low"),
         F.round(F.max_by("value", "event_id"), 2).alias("close"),
         F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# gaps-and-islands: a session boundary is a gap > 30 min since the
+# previous event of the same user; the session id is the running count
+# of boundaries. Two stacked windows over ONE shuffle on user_id.
+_SESSIONIZE_SQL = """
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN ts - lag(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id)
+                  > INTERVAL 30 MINUTE OR lag(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+    ), sess AS (
+      SELECT user_id, event_id, ts,
+             CAST(sum(is_start) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM sess GROUP BY user_id, session_id
+"""
+
+
+@register("q_ts_sessionize", _SESSIONIZE_SQL)
+def q_ts_sessionize(spark, sf_dir):
+    """Batch sessionization (gaps-and-islands): split each user's event
+    stream into sessions at >30-minute silences — lag flags boundaries,
+    a running sum numbers the islands, then one aggregate summarizes
+    each session. The two windows and the final groupBy all partition
+    on user_id, so the whole op is ONE shuffle family; this is the
+    batch complement of q_stream_session's engine-managed
+    session_window (same 30-min gap rule, replayable over history
+    instead of incremental over state)."""
+    e = events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    with_prev = e.select(
+        "user_id", "event_id", "ts", F.lag("ts").over(w).alias("prev_ts")
+    )
+    # microsecond precision: timestampdiff(SECOND) truncates, so a gap
+    # of 1800.5s would compare as 1800 and miss the boundary the
+    # oracle's interval comparison sees
+    gap_us = F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
+    flagged = with_prev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.col("prev_ts").isNull() | (gap_us > 30 * 60 * 1000000), 1)
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    sess = flagged.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum("is_start").over(wrun).cast("bigint").alias("session_id"),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
     )
