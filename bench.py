@@ -61,6 +61,7 @@ EXTENDED = [
     "q_embed_standardize",    # per-dim z-score (broadcast stats)
     "q_embed_quantize",       # int8 floor-bucket quantization
     "q_text_bigrams",         # n-gram counts, top-50 TakeOrdered
+    "q_ts_sessionize",        # gaps-and-islands batch sessions
 ]
 
 

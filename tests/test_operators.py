@@ -437,3 +437,43 @@ def test_pack_sequences_chunks_respect_source_streams(spark):
     for src, chunks in by_src.items():
         assert chunks[0] == 0, src
         assert all(a <= b for a, b in zip(chunks, chunks[1:])), src
+
+
+def test_sessionize_boundary_is_strictly_greater_than_gap(spark):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    # pin the session-boundary rule the sessionize query and its oracle
+    # share: a new session starts strictly AFTER a 30-minute silence —
+    # exactly 30:00.000000 apart stays one session, one microsecond
+    # more splits (microsecond-precision comparison; a seconds-level
+    # timestampdiff would truncate and miss the boundary)
+    rows = [
+        (1, 1, "2024-01-01 00:00:00"),
+        (1, 2, "2024-01-01 00:30:00"),          # == gap: same session
+        (2, 3, "2024-01-01 00:00:00"),
+        (2, 4, "2024-01-01 00:30:00.000001"),   # > gap: new session
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = df.select(
+        "user_id", "event_id", "ts", F.lag("ts").over(w).alias("prev_ts")
+    ).select(
+        "user_id",
+        "event_id",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (
+                F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
+                > 30 * 60 * 1000000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    starts = {(r.user_id, r.event_id): r.is_start for r in flagged.collect()}
+    assert starts[(1, 2)] == 0  # exact 30-min gap does NOT split
+    assert starts[(2, 4)] == 1  # one microsecond over DOES
