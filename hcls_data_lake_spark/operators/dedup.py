@@ -87,14 +87,17 @@ def minhash_lsh_pairs(
     sigs = base.withColumn("sig", minhash_signature("shingles", n_perm))
     banded = sigs.select(
         "doc_id",
-        F.posexplode(
+        # posexplode_outer: inner explode adds a null-check Filter that
+        # re-evaluates the banding lambda per row; sig is never empty
+        # (base filters size>0), so outer emits no null rows
+        F.posexplode_outer(
             F.expr(
                 f"transform(sequence(0, {bands - 1}),"
                 f" b -> concat_ws('_', transform(slice(sig, b * {rows_per_band} + 1,"
                 f" {rows_per_band}), x -> cast(x as string))))"
             )
         ).alias("band_id", "band_key"),
-    )
+    ).filter(F.col("band_key").isNotNull())
     # Candidate generation is an inverted index over (band_id, band_key):
     # collect each bucket's sorted posting list and emit its C(f,2)
     # pairs — one shuffle on the bucket key, a single corpus scan, no
@@ -105,7 +108,10 @@ def minhash_lsh_pairs(
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
         .filter(F.size("ds") > 1)
         .select(
-            F.explode(
+            # explode_outer skips the planner's null-check Filter (it
+            # would re-run the pair lambda per row); size>1 upstream
+            # means no null rows
+            F.explode_outer(
                 F.expr(
                     "flatten(transform(ds, (x, i) ->"
                     " transform(slice(ds, i + 2, size(ds)),"
@@ -113,6 +119,7 @@ def minhash_lsh_pairs(
                 )
             ).alias("p")
         )
+        .filter(F.col("p").isNotNull())
         .select("p.*")
         .distinct()
     )

@@ -195,8 +195,13 @@ def ivf_topk(
     probes = q.select(
         F.col("_id").alias("query_id"),
         F.col("_v").alias("qv"),
-        F.explode(F.slice(_cell_scores("_v", cents), 1, n_probe)).alias("cell"),
-    )
+        # explode_outer: _cell_scores is k dot products per row — the
+        # inner-explode null-check Filter would evaluate it 2 extra
+        # times; the slice is never empty so no null rows appear
+        F.explode_outer(
+            F.slice(_cell_scores("_v", cents), 1, n_probe)
+        ).alias("cell"),
+    ).filter(F.col("cell").isNotNull())
     c = indexed.select(
         F.col("_id").alias("neighbor_id"), F.col("_v").alias("cv"), "cell"
     )

@@ -94,8 +94,12 @@ def _near_pairs(spark, sf_dir):
         .filter(F.size("ds") > 1)
     )
     # sorted posting list → emit (earlier, later) pairs so doc_a < doc_b
+    # explode_outer: the inner-explode planner wraps a nullable
+    # generator input in a null-check Filter that re-evaluates the whole
+    # pair-building lambda per row; outer explode skips the filter and
+    # the upstream size>1 guard means no null rows ever materialize
     pairs = posting.select(
-        F.explode(
+        F.explode_outer(
             F.expr(
                 "flatten(transform(ds, (x, i) ->"
                 " transform(slice(ds, i + 2, size(ds)),"
@@ -103,7 +107,7 @@ def _near_pairs(spark, sf_dir):
                 " x.n_shingles AS na, y.n_shingles AS nb))))"
             )
         ).alias("p")
-    ).select("p.*")
+    ).filter(F.col("p").isNotNull()).select("p.*")
     inter = pairs.groupBy("doc_a", "doc_b", "na", "nb").agg(
         F.count(F.lit(1)).alias("inter")
     )
@@ -774,7 +778,10 @@ def q_text_bigrams(spark, sf_dir):
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
     return (
-        d.select(F.explode(bigrams).alias("bigram"))
+        # explode_outer + null filter: see q_dedup_near — avoids the
+        # null-check Filter re-running zip_with per row
+        d.select(F.explode_outer(bigrams).alias("bigram"))
+        .filter(F.col("bigram").isNotNull())
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.desc("cnt"), "bigram")

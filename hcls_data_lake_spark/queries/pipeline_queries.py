@@ -347,7 +347,10 @@ def q_udtf_explode_segments(spark, sf_dir):
         F.col("o_custkey").cast("string"),
         F.lit("^^^MRN\rPV1|1|I"),
     )
-    segs = o.select("o_orderkey", F.posexplode(er7_segments(er7)).alias("seg_idx", "segment"))
+    segs = o.select(
+        "o_orderkey",
+        F.posexplode_outer(er7_segments(er7)).alias("seg_idx", "segment"),
+    ).filter(F.col("segment").isNotNull())
     return segs.select(
         "o_orderkey",
         F.col("seg_idx").cast("bigint").alias("seg_idx"),
