@@ -147,3 +147,85 @@ def q_analytics_profile(spark, sf_dir):
         .cast("bigint")
         .alias("value_negative"),
     )
+
+
+# one scan, one ungrouped aggregate; each expectation is a
+# sum(CASE WHEN violated) counter and the long form comes from a
+# metadata-only UNION of the single aggregate row
+_EXPECT_SQL = """
+    WITH checks AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS null_orderkey,
+             CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                           THEN 1 ELSE 0 END) AS BIGINT) AS range_quantity,
+             CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS range_discount,
+             CAST(sum(CASE WHEN l_extendedprice <= 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS positive_price,
+             CAST(sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS domain_returnflag
+      FROM lineitem
+    )
+    SELECT 'null_orderkey' AS check_name, null_orderkey AS n_violations,
+           n_rows, null_orderkey = 0 AS passed FROM checks
+    UNION ALL
+    SELECT 'range_quantity', range_quantity, n_rows, range_quantity = 0
+    FROM checks
+    UNION ALL
+    SELECT 'range_discount', range_discount, n_rows, range_discount = 0
+    FROM checks
+    UNION ALL
+    SELECT 'positive_price', positive_price, n_rows, positive_price = 0
+    FROM checks
+    UNION ALL
+    SELECT 'domain_returnflag', domain_returnflag, n_rows,
+           domain_returnflag = 0
+    FROM checks
+"""
+
+
+@register("q_analytics_expectations", _EXPECT_SQL)
+def q_analytics_expectations(spark, sf_dir):
+    """Declarative data-quality expectations (the Great-Expectations /
+    dbt-test pattern over the lake): nullness, value ranges, positivity
+    and domain membership checked in ONE scan — every expectation is a
+    conditional-sum counter inside a single ungrouped aggregate, and
+    the per-check report rows come from unpivoting that one aggregate
+    row (metadata-only). At 100 TB this is the cheapest possible
+    validation shape: no per-check scans, no shuffle beyond the partial
+    aggregate merge; the error-zone analog of the reference's
+    parse-failure routing (A15) for relational data."""
+    li = t(spark, sf_dir, "lineitem")
+
+    def viol(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+
+    checks = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        viol(F.col("l_orderkey").isNull()).alias("null_orderkey"),
+        viol((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).alias(
+            "range_quantity"
+        ),
+        viol((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)).alias(
+            "range_discount"
+        ),
+        viol(F.col("l_extendedprice") <= 0).alias("positive_price"),
+        viol(~F.col("l_returnflag").isin("A", "N", "R")).alias(
+            "domain_returnflag"
+        ),
+    )
+    names = [
+        "null_orderkey",
+        "range_quantity",
+        "range_discount",
+        "positive_price",
+        "domain_returnflag",
+    ]
+    long = checks.unpivot(["n_rows"], names, "check_name", "n_violations")
+    return long.select(
+        "check_name",
+        "n_violations",
+        "n_rows",
+        (F.col("n_violations") == 0).alias("passed"),
+    )
