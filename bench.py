@@ -62,6 +62,7 @@ EXTENDED = [
     "q_embed_quantize",       # int8 floor-bucket quantization
     "q_text_bigrams",         # n-gram counts, top-50 TakeOrdered
     "q_ts_sessionize",        # gaps-and-islands batch sessions
+    "q_join_range_overlap",   # interval-overlap bin join
 ]
 
 

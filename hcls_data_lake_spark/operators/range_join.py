@@ -71,3 +71,51 @@ def bin_range_join(
         F.col(point_col) <= F.col(hi_col)
     )
     return p.join(i, "_bin").filter(residual).drop("_bin")
+
+
+def bin_interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    a_lo: str,
+    a_hi: str,
+    b_lo: str,
+    b_hi: str,
+    bin_width: int,
+) -> DataFrame:
+    """Interval×interval overlap join (``a_lo <= b_hi AND b_lo <= a_hi``)
+    for two BIG sides with no equi key — the shape a naive plan executes
+    as a broadcast-nested-loop cross product.
+
+    Both sides explode into their covered bins and hash-join on the bin
+    id; the exact overlap predicate runs as a residual. A pair that
+    overlaps across several bins would match once per shared bin, so the
+    match is anchored to ONE canonical bin — the bin where the overlap
+    STARTS (``greatest(a_lo, b_lo) div bin_width``) — which removes
+    duplicates with plain filter logic instead of a distinct shuffle
+    over the full match set. Columns must be integral epoch values in
+    one shared unit; bin_width near the typical interval width keeps the
+    explode factor O(1).
+    """
+    ea = a.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.expr(f"{a_lo} div {bin_width}"),
+                F.expr(f"{a_hi} div {bin_width}"),
+            )
+        ),
+    )
+    eb = b.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.expr(f"{b_lo} div {bin_width}"),
+                F.expr(f"{b_hi} div {bin_width}"),
+            )
+        ),
+    )
+    overlap: Column = (F.col(a_lo) <= F.col(b_hi)) & (F.col(b_lo) <= F.col(a_hi))
+    canonical: Column = (
+        F.expr(f"greatest({a_lo}, {b_lo}) div {bin_width}") == F.col("_bin")
+    )
+    return ea.join(eb, "_bin").filter(overlap & canonical).drop("_bin")

@@ -515,3 +515,59 @@ def q_join_fuzzy(spark, sf_dir):
         .filter(F.col("dist") <= 4)
         .select("name_a", "name_b", "dist", "n_a", "n_b")
     )
+
+
+_OVERLAP_SQL = """
+    WITH a AS (
+      SELECT event_id AS signup_id,
+             epoch_us(ts) // 1000000 AS a_lo,
+             epoch_us(ts) // 1000000 + 3600 AS a_hi
+      FROM events WHERE event_type = 'signup'
+    ), b AS (
+      SELECT event_id AS purchase_id,
+             epoch_us(ts) // 1000000 AS b_lo,
+             epoch_us(ts) // 1000000 + 1800 AS b_hi
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT a.signup_id, b.purchase_id,
+           CAST(least(a_hi, b_hi) - greatest(a_lo, b_lo) AS BIGINT)
+               AS overlap_sec
+    FROM a JOIN b ON a_lo <= b_hi AND b_lo <= a_hi
+"""
+
+
+@register("q_join_range_overlap", _OVERLAP_SQL)
+def q_join_range_overlap(spark, sf_dir):
+    """Interval-overlap join of two BIG interval sets with no equi key
+    (signup activity windows × purchase windows): re-keyed on time bins
+    via operators/range_join.bin_interval_overlap_join so the plan is a
+    hash equi-join on the bin plus an exact residual, never a
+    big×big nested-loop cross product; each pair is anchored to the bin
+    where its overlap starts, so no distinct pass is needed. The oracle
+    is the direct theta join (DuckDB executes it as IEJoin)."""
+    from hcls_data_lake_spark.operators.range_join import (
+        bin_interval_overlap_join,
+    )
+
+    e = t(spark, sf_dir, "events")
+    sec = F.expr("ts_ns div 1000000000")
+    a = e.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        sec.alias("a_lo"),
+        (sec + 3600).alias("a_hi"),
+    )
+    b = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        sec.alias("b_lo"),
+        (sec + 1800).alias("b_hi"),
+    )
+    joined = bin_interval_overlap_join(
+        a, b, "a_lo", "a_hi", "b_lo", "b_hi", bin_width=3600
+    )
+    return joined.select(
+        "signup_id",
+        "purchase_id",
+        (
+            F.least("a_hi", "b_hi") - F.greatest("a_lo", "b_lo")
+        ).cast("bigint").alias("overlap_sec"),
+    )

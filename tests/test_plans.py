@@ -182,3 +182,12 @@ def test_ohlc_is_single_hash_aggregate(spark, sf_dir):
     assert "Window" not in plan  # min_by/max_by, not a window rewrite
     # partial + final agg over one exchange
     assert plan.count("Exchange") <= 2
+
+
+def test_interval_overlap_join_is_hash_join_not_bnl(spark, sf_dir):
+    df = registry.queries()["q_join_range_overlap"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # bin-keyed equi join (broadcast or shuffled hash — either is fine)
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
