@@ -11,6 +11,7 @@ rollup/cube expand grouping sets before the shuffle (one pass).
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from hcls_data_lake_spark.queries.common import t
 from hcls_data_lake_spark.registry import register
@@ -463,4 +464,40 @@ def q_agg_unpivot(spark, sf_dir):
     )
     return m.unpivot(
         ["c_nationkey"], ["n_customers", "avg_bal", "max_bal"], "metric", "val"
+    )
+
+
+_MODE_SQL = """
+    SELECT user_id, event_type AS mode_event_type, cnt
+    FROM (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt,
+             row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY count(*) DESC, event_type) AS rn
+      FROM events GROUP BY user_id, event_type
+    ) WHERE rn = 1
+"""
+
+
+@register("q_agg_mode", _MODE_SQL)
+def q_agg_mode(spark, sf_dir):
+    """Deterministic per-group mode: each user's most frequent event
+    type, ties broken lexicographically (Spark's native `mode()` is
+    non-deterministic on ties, so the portable count + rank-1 form is
+    used in BOTH engines). Two stages over one user_id shuffle family;
+    the rank filter is WindowGroupLimit territory — never a global
+    sort."""
+    from hcls_data_lake_spark.queries.common import events
+
+    e = events(spark, sf_dir)
+    counts = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("cnt"), F.col("event_type")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_event_type"), "cnt")
     )
