@@ -477,3 +477,35 @@ def test_sessionize_boundary_is_strictly_greater_than_gap(spark):
     starts = {(r.user_id, r.event_id): r.is_start for r in flagged.collect()}
     assert starts[(1, 2)] == 0  # exact 30-min gap does NOT split
     assert starts[(2, 4)] == 1  # one microsecond over DOES
+
+
+def test_interval_overlap_join_matches_brute_force(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from hcls_data_lake_spark.operators.range_join import (
+        bin_interval_overlap_join,
+    )
+
+    rng = random.Random(7)
+    mk = lambda n, w: [  # noqa: E731
+        (i, s, s + rng.randint(0, w))
+        for i, s in ((i, rng.randint(0, 500)) for i in range(n))
+    ]
+    a = spark.createDataFrame(mk(60, 80), "a_id long, a_lo long, a_hi long")
+    b = spark.createDataFrame(mk(60, 40), "b_id long, b_lo long, b_hi long")
+    got = {
+        (r.a_id, r.b_id)
+        for r in bin_interval_overlap_join(
+            a, b, "a_lo", "a_hi", "b_lo", "b_hi", bin_width=50
+        ).collect()
+    }
+    want = {
+        (r.a_id, r.b_id)
+        for r in a.crossJoin(b)
+        .filter((F.col("a_lo") <= F.col("b_hi")) & (F.col("b_lo") <= F.col("a_hi")))
+        .collect()
+    }
+    # exact same pair set: no duplicates (canonical-bin anchor), no misses
+    assert got == want and len(want) > 100
