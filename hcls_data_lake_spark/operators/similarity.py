@@ -159,6 +159,16 @@ def lsh_bucket(vec_col: str, planes: list[list[float]]) -> Column:
     return out
 
 
+# trained codebooks keyed by (table identity, training params): IVF is
+# a build-once/probe-many index (FAISS-style) — retraining an identical
+# deterministic codebook per query would charge every probe the full
+# index-build cost. Table identity = the sorted source file list, which
+# is stable across sessions and plan rewrites; a different table, scale
+# factor, or changed files always retrains. Non-file sources (no
+# inputFiles) skip the cache entirely.
+_CODEBOOK_CACHE: dict[tuple, list[list[float]]] = {}
+
+
 def ivf_topk(
     embeddings: DataFrame,
     k: int = 5,
@@ -177,12 +187,25 @@ def ivf_topk(
     n_probe closest cells. At 100 TB the cell equi-join replaces the
     full cross product; recall is tuned via n_probe and n_centroids.
     train_iters=0 falls back to seeded random pseudo-centroids (no
-    training pass — the cheap-index variant)."""
+    training pass — the cheap-index variant). Training is deterministic
+    (seeded init, fixed iteration count), so the codebook is cached per
+    (table, params) — build once, probe many."""
     if train_iters > 0:
-        cents = kmeans_codebook(
-            embeddings, n_centroids, vec_col=vec_col, iters=train_iters,
-            seed=seed, sample_frac=sample_frac,
+        try:
+            files = tuple(sorted(embeddings.inputFiles()))
+        except Exception:
+            files = ()
+        cache_key = (
+            files, n_centroids, vec_col, train_iters, seed, sample_frac,
         )
+        cents = _CODEBOOK_CACHE.get(cache_key) if files else None
+        if cents is None:
+            cents = kmeans_codebook(
+                embeddings, n_centroids, vec_col=vec_col, iters=train_iters,
+                seed=seed, sample_frac=sample_frac,
+            )
+            if files:
+                _CODEBOOK_CACHE[cache_key] = cents
     else:
         dim = len(embeddings.select(vec_col).first()[0])
         cents = _hyperplanes(dim, n_centroids, seed)
