@@ -340,3 +340,43 @@ def q_layout_zorder(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+_BINARYFILE_SQL = """
+    SELECT doc_id,
+           CAST(octet_length(ENCODE(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS sha_hex
+    FROM documents WHERE doc_id < 200
+"""
+
+
+@register("q_scan_binaryfile", _BINARYFILE_SQL)
+def q_scan_binaryfile(spark, sf_dir):
+    """`binaryFile` source — the multimodal ingestion path: opaque
+    files (images/audio/video in production) land as rows of
+    (path, modificationTime, length, content binary) with NO decode on
+    read, so a 100 TB media corpus scans without touching codec code
+    and the binary column flows straight into the mapInPandas
+    feature-extraction stage (q_multimodal_*). The check proves the
+    byte round-trip is lossless: per-file length + sha256(content)
+    must equal the oracle's values computed from the source text. The
+    driver-side file write below is fixture scaffolding only — in
+    production the binaries already exist in object storage."""
+    import os
+
+    from hcls_data_lake_spark.queries.common import scratch_for
+
+    path = scratch_for(sf_dir, "binfiles")
+    os.makedirs(path, exist_ok=True)
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    for r in d.select("doc_id", "text").collect():
+        with open(os.path.join(path, f"{r.doc_id}.bin"), "wb") as f:
+            f.write(r.text.encode("utf-8"))
+    bf = spark.read.format("binaryFile").load(path)
+    return bf.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("length").cast("bigint").alias("n_bytes"),
+        F.sha2(F.col("content"), 256).alias("sha_hex"),
+    )
