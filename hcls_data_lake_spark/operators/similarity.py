@@ -162,11 +162,42 @@ def lsh_bucket(vec_col: str, planes: list[list[float]]) -> Column:
 # trained codebooks keyed by (table identity, training params): IVF is
 # a build-once/probe-many index (FAISS-style) — retraining an identical
 # deterministic codebook per query would charge every probe the full
-# index-build cost. Table identity = the sorted source file list, which
-# is stable across sessions and plan rewrites; a different table, scale
-# factor, or changed files always retrains. Non-file sources (no
-# inputFiles) skip the cache entirely.
+# index-build cost. Table identity = the sorted source file list PLUS a
+# fingerprint of the analyzed logical plan, so two differently-filtered
+# or differently-projected DataFrames over the same files train
+# separate codebooks (file list alone would silently share one).
+# In-place rewrites that reuse the exact same file NAMES are still
+# indistinguishable — parquet writers practically never do that (part
+# files carry job UUIDs), and exact cosine re-ranking keeps results
+# valid regardless; only recall/reproducibility would shift. Non-file
+# sources (no inputFiles) skip the cache entirely. The cache is capped
+# (FIFO eviction) and clearable via clear_codebook_cache().
 _CODEBOOK_CACHE: dict[tuple, list[list[float]]] = {}
+_CODEBOOK_CACHE_MAX = 32
+
+
+def _table_fingerprint(df: DataFrame) -> tuple | None:
+    """Cache identity for a DataFrame: (sorted source files, sha256 of
+    the analyzed logical plan). None = uncacheable (no file source)."""
+    import hashlib
+
+    try:
+        files = tuple(sorted(df.inputFiles()))
+    except Exception:
+        return None
+    if not files:
+        return None
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        plan = str(df.schema)
+    return (files, hashlib.sha256(plan.encode()).hexdigest())
+
+
+def clear_codebook_cache() -> None:
+    """Drop every cached IVF codebook (e.g. after a table rewrite that
+    kept its file names, or to bound memory in a long-lived driver)."""
+    _CODEBOOK_CACHE.clear()
 
 
 def ivf_topk(
@@ -191,20 +222,19 @@ def ivf_topk(
     (seeded init, fixed iteration count), so the codebook is cached per
     (table, params) — build once, probe many."""
     if train_iters > 0:
-        try:
-            files = tuple(sorted(embeddings.inputFiles()))
-        except Exception:
-            files = ()
+        ident = _table_fingerprint(embeddings)
         cache_key = (
-            files, n_centroids, vec_col, train_iters, seed, sample_frac,
+            ident, n_centroids, vec_col, train_iters, seed, sample_frac,
         )
-        cents = _CODEBOOK_CACHE.get(cache_key) if files else None
+        cents = _CODEBOOK_CACHE.get(cache_key) if ident else None
         if cents is None:
             cents = kmeans_codebook(
                 embeddings, n_centroids, vec_col=vec_col, iters=train_iters,
                 seed=seed, sample_frac=sample_frac,
             )
-            if files:
+            if ident:
+                while len(_CODEBOOK_CACHE) >= _CODEBOOK_CACHE_MAX:
+                    _CODEBOOK_CACHE.pop(next(iter(_CODEBOOK_CACHE)))
                 _CODEBOOK_CACHE[cache_key] = cents
     else:
         dim = len(embeddings.select(vec_col).first()[0])

@@ -14,11 +14,25 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def upsert(existing: DataFrame, updates: DataFrame, key: str) -> DataFrame:
+def upsert(
+    existing: DataFrame,
+    updates: DataFrame,
+    key: str,
+    version_col: str | None = None,
+) -> DataFrame:
     """Last-write-wins merge of `updates` into `existing` on `key`.
 
     Equivalent to ``MERGE ... WHEN MATCHED THEN UPDATE WHEN NOT MATCHED
-    THEN INSERT``. Columns must match by name."""
+    THEN INSERT``. Columns must match by name.
+
+    DynamoDB put-item semantics are one surviving row per key — but a
+    DataFrame batch has no arrival order, so "last" inside a batch is
+    only defined relative to a version column. Pass ``version_col`` to
+    collapse a batch that may carry several versions of one key (keeps
+    the highest version, via ``upsert_latest``); without it, ``updates``
+    MUST hold one row per key or every version is emitted."""
+    if version_col is not None:
+        updates = upsert_latest(updates, key, version_col)
     kept = existing.join(updates.select(key), key, "left_anti")
     return kept.unionByName(updates)
 

@@ -38,6 +38,25 @@ def promote_ingestion_stream(
     run_foreach_batch(sdf, lambda df, _id: _route_batch(df, lake_root))
 
 
+def _swap_zone(zone_path: str, tmp: str) -> None:
+    """Replace ``zone_path`` with ``tmp`` via rename-aside: the old zone
+    is renamed to ``<zone>__old`` BEFORE the new one moves into place, so
+    a crash at any point leaves a complete copy of the data on disk
+    (either still at ``zone_path``, or at ``__old`` with the new copy at
+    ``tmp``) — never a missing zone. The window where ``zone_path``
+    itself does not exist is two renames wide, not a full recursive
+    delete; this is crash-safe but NOT reader-atomic — true atomicity
+    needs a transactional table format (Delta/Iceberg commit)."""
+    import os
+    import shutil
+
+    old = zone_path.rstrip("/") + "__old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(zone_path, old)
+    os.rename(tmp, zone_path)
+    shutil.rmtree(old)
+
+
 def compact_zone(
     spark: SparkSession,
     zone_path: str,
@@ -50,13 +69,14 @@ def compact_zone(
     — at lake scale that's the classic small-file problem: scans pay a
     per-file open cost and the driver pays a per-file listing cost. This
     job rewrites a zone into ~target-sized files: read → repartition to
-    ceil(rows/target) → atomic swap (write to a sibling temp dir, then
-    rename over the original), preserving the hive partition layout when
-    ``partition_col`` is given.
+    ceil(rows/target) → crash-safe swap (write to a sibling temp dir,
+    rename the old zone aside, move the new one in — see ``_swap_zone``),
+    preserving the hive partition layout when ``partition_col`` is given.
 
-    On a real deployment the atomic swap is a transactional-format
-    commit (Delta/Iceberg rewriteDataFiles); the operator shape —
-    read, coalesce to target size, replace — is identical.
+    On a real deployment the swap is a transactional-format commit
+    (Delta/Iceberg rewriteDataFiles), which is also reader-atomic; the
+    operator shape — read, coalesce to target size, replace — is
+    identical.
 
     Returns {"rows": n, "files_before": a, "files_after": b}.
     """
@@ -83,8 +103,7 @@ def compact_zone(
     if partition_col:
         writer = writer.partitionBy(partition_col)
     writer.parquet(tmp)
-    shutil.rmtree(zone_path)
-    os.rename(tmp, zone_path)
+    _swap_zone(zone_path, tmp)
     return {
         "rows": n_rows,
         "files_before": files_before,
@@ -106,8 +125,9 @@ def expire_zone(
     predicate rewrite so it composes with the catalog and stays
     format-agnostic).
 
-    Same atomic-swap mechanics as compact_zone; on a transactional
-    format this becomes a DELETE WHERE. Returns row counts.
+    Same crash-safe swap mechanics as compact_zone (``_swap_zone``); on
+    a transactional format this becomes a DELETE WHERE. Returns row
+    counts.
     """
     import os
     import shutil
@@ -130,6 +150,5 @@ def expire_zone(
         if partition_col:
             writer = writer.partitionBy(partition_col)
         writer.parquet(tmp)
-    shutil.rmtree(zone_path)
-    os.rename(tmp, zone_path)
+    _swap_zone(zone_path, tmp)
     return {"rows_before": total, "rows_kept": kept, "rows_expired": total - kept}

@@ -222,7 +222,8 @@ def q_agg_groupingsets(spark, sf_dir):
     "q_agg_collect",
     """
     SELECT c_mktsegment,
-           list_sort(list(DISTINCT c_nationkey)) AS nations,
+           COALESCE(array_to_string(list_transform(list_sort(list(DISTINCT c_nationkey)),
+                                          x -> CAST(x AS VARCHAR)), '|'), '') AS nations,
            CAST(count(*) AS BIGINT) AS n_cust
     FROM customer
     GROUP BY c_mktsegment
@@ -230,10 +231,21 @@ def q_agg_groupingsets(spark, sf_dir):
 )
 def q_agg_collect(spark, sf_dir):
     """collect_set + sort_array (repeatable HL7 segments become arrays,
-    §1.3; sorting normalizes the unspecified collection order)."""
+    §1.3; sorting normalizes the unspecified collection order).
+
+    The collected set is serialized to a '|'-joined string so any
+    order-insensitive comparator (pandas/DuckDB/driver harness) can
+    sort and hash the output — array-typed result columns are not
+    hashable driver-side."""
     c = t(spark, sf_dir, "customer")
     return c.groupBy("c_mktsegment").agg(
-        F.sort_array(F.collect_set("c_nationkey")).alias("nations"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_set("c_nationkey")),
+                lambda x: x.cast("string"),
+            ),
+            "|",
+        ).alias("nations"),
         F.count(F.lit(1)).alias("n_cust"),
     )
 

@@ -232,26 +232,38 @@ def q_fn_cast(spark, sf_dir):
     SELECT doc_id,
            CAST(len(words) AS INTEGER) AS n_words,
            list_contains(words, 'query') AS has_query,
-           list_sort(list_distinct(words)) AS vocab,
-           words[1:5] AS first5,
-           list_sort(list_transform(words, w -> upper(w))) AS upper_sorted,
-           list_sort(list_filter(words, w -> length(w) > 6)) AS long_words
+           COALESCE(array_to_string(list_sort(list_distinct(words)), '|'), '')
+               AS vocab,
+           COALESCE(array_to_string(words[1:5], '|'), '') AS first5,
+           COALESCE(array_to_string(list_sort(list_transform(words, w -> upper(w))),
+                                    '|'), '') AS upper_sorted,
+           -- array_to_string == string_agg: NULL on an empty list, unlike
+           -- Spark array_join which yields '' — coalesce to match
+           COALESCE(array_to_string(list_sort(list_filter(words, w -> length(w) > 6)),
+                                    '|'), '') AS long_words
     FROM tok
     """,
 )
 def q_fn_array(spark, sf_dir):
     """Array pack (repeatable HL7 groups → arrays, §1.3): split, size,
-    contains, distinct+sort, slice, and the transform/filter HOFs."""
+    contains, distinct+sort, slice, and the transform/filter HOFs.
+
+    Collection-valued outputs are serialized to '|'-joined strings so
+    any order-insensitive comparator can sort/hash the result rows."""
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     words = F.split(F.col("text"), " ")
     return d.select(
         "doc_id",
         F.size(words).alias("n_words"),
         F.array_contains(words, "query").alias("has_query"),
-        F.sort_array(F.array_distinct(words)).alias("vocab"),
-        F.slice(words, 1, 5).alias("first5"),
-        F.sort_array(F.transform(words, lambda w: F.upper(w))).alias("upper_sorted"),
-        F.sort_array(F.filter(words, lambda w: F.length(w) > 6)).alias("long_words"),
+        F.array_join(F.sort_array(F.array_distinct(words)), "|").alias("vocab"),
+        F.array_join(F.slice(words, 1, 5), "|").alias("first5"),
+        F.array_join(
+            F.sort_array(F.transform(words, lambda w: F.upper(w))), "|"
+        ).alias("upper_sorted"),
+        F.array_join(
+            F.sort_array(F.filter(words, lambda w: F.length(w) > 6)), "|"
+        ).alias("long_words"),
     )
 
 
@@ -264,8 +276,8 @@ def q_fn_array(spark, sf_dir):
            CAST(cardinality(map {'event': event_type,
                                  'source': CAST(user_id AS VARCHAR)}) AS INTEGER)
                AS n_attrs,
-           list_sort(map_keys(map {'event': event_type,
-                                   'source': CAST(user_id AS VARCHAR)}))
+           COALESCE(array_to_string(list_sort(map_keys(map {'event': event_type,
+                                   'source': CAST(user_id AS VARCHAR)})), '|'), '')
                AS attr_keys
     FROM events
     WHERE event_id < 500
@@ -273,7 +285,10 @@ def q_fn_array(spark, sf_dir):
 )
 def q_fn_map(spark, sf_dir):
     """Map pack (the generic segment→field map model, §1.5): the SNS
-    envelope as a map column — create_map, element_at, keys, size."""
+    envelope as a map column — create_map, element_at, keys, size.
+
+    The key list is serialized to a '|'-joined string so any
+    order-insensitive comparator can sort/hash the result rows."""
     e = t(spark, sf_dir, "events").filter(F.col("event_id") < 500)
     m = F.create_map(
         F.lit("event"), F.col("event_type"),
@@ -283,7 +298,7 @@ def q_fn_map(spark, sf_dir):
         "event_id",
         F.element_at(m, "event").alias("event_attr"),
         F.size(m).alias("n_attrs"),
-        F.sort_array(F.map_keys(m)).alias("attr_keys"),
+        F.array_join(F.sort_array(F.map_keys(m)), "|").alias("attr_keys"),
     )
 
 
