@@ -125,6 +125,24 @@ def q_agg_approx_distinct(spark, sf_dir):
     )
 
 
+@register("q_agg_approx_quantile", None)  # sketch is approximate: rows-only
+def q_agg_approx_quantile(spark, sf_dir):
+    """percentile_approx (Greenwald-Khanna sketch) per group — the
+    100 TB quantile path: mergeable fixed-size sketches, one pass, no
+    global sort. The exact alternative (q_agg_median's percentile())
+    buffers each group's values; the sketch caps memory at the accuracy
+    parameter regardless of group size. Rows-only driver check
+    (sketch output is engine-specific); tests assert the rank-error
+    bound against the exact quantiles instead."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("p50"),
+        F.percentile_approx("l_extendedprice", 0.9, 1000).alias("p90"),
+        F.percentile_approx("l_extendedprice", 0.99, 1000).alias("p99"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
 @register(
     "q_agg_stats",
     """

@@ -229,3 +229,106 @@ def q_analytics_expectations(spark, sf_dir):
         "n_rows",
         (F.col("n_violations") == 0).alias("passed"),
     )
+
+
+@register(
+    "q_analytics_returns",
+    """
+    WITH rev AS (
+      SELECT o_custkey AS custkey,
+             CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                           AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_returnflag = 'R'
+      GROUP BY o_custkey
+    )
+    SELECT c_custkey, c_name, n_name, rev_cents / 100.0 AS revenue
+    FROM rev
+    JOIN customer ON custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    ORDER BY rev_cents DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q_analytics_returns(spark, sf_dir):
+    """TPC-H-Q10-style returned-item report: top-20 customers by revenue
+    lost to returns. The returnflag filter is pushed into the lineitem
+    scan before the orderkey shuffle join; the customer/nation joins run
+    AFTER the custkey aggregation, so only |customers-with-returns| rows
+    reach them (join-after-agg ordering — at 100 TB joining dimensions
+    onto the fact before aggregating would shuffle the dimensions' width
+    through the fact shuffle for nothing). Revenue is summed in exact
+    integer cents: per-row `round(price*(1-disc)*100)` is the same IEEE
+    product in both engines, integer sums are order-independent, and the
+    top-20 cut ties deterministically on (rev_cents, custkey)."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum(cents).alias("rev_cents"))
+    )
+    return (
+        rev.join(c, rev.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            (F.col("rev_cents") / 100.0).alias("revenue"),
+            "rev_cents",
+        )
+        .orderBy(F.col("rev_cents").desc(), F.col("c_custkey"))
+        .limit(20)
+        .drop("rev_cents")
+    )
+
+
+@register(
+    "q_analytics_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                           AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, rev_cents / 100.0 AS total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE rev_cents = (SELECT max(rev_cents) FROM rev)
+    """,
+)
+def q_analytics_top_supplier(spark, sf_dir):
+    """TPC-H-Q15-style top supplier: the supplier(s) whose recent-window
+    revenue equals the maximum. The scalar-subquery MAX becomes a
+    one-row aggregate broadcast cross-joined onto the per-supplier
+    revenues — the revenue CTE is computed once in the DataFrame form
+    (DuckDB's optimizer dedups the CTE the same way), and equality on
+    integer cents makes the max-match exact where a float revenue tie
+    would be engine-dependent."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.expr("TIMESTAMP '1998-01-01 00:00:00'")
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    rev = li.groupBy("l_suppkey").agg(F.sum(cents).alias("rev_cents"))
+    top = rev.agg(F.max("rev_cents").alias("_max_cents"))
+    s = t(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(top))
+        .filter(F.col("rev_cents") == F.col("_max_cents"))
+        .join(s, rev.l_suppkey == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("rev_cents") / 100.0).alias("total_revenue"),
+        )
+    )

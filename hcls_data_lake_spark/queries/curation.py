@@ -1,0 +1,233 @@
+"""Training-data curation extensions: benchmark decontamination,
+repetition-based quality filtering, PII redaction.
+
+These extend the §2.B LLM-pipeline set (dedup/similarity/text-analysis
+in llm.py) with the remaining ops a 100 TB pretraining pipeline runs
+before data ships: strip documents that leak evaluation benchmarks
+(n-gram overlap decontamination), drop degenerate repetitive documents
+(Gopher-style repetition signals), and scrub PII spans — the lake-scale
+generalization of the reference's de-identification concern (PHI never
+leaves the staging zone unredacted).
+
+Ratio discipline: every fraction is computed as exact integer
+`x * 10000 div n / 10000.0` instead of `round(x/n, 4)` — integer
+division is engine-independent while float rounding at the 4th decimal
+is not (see the q_agg_global half-way history).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hcls_data_lake_spark.operators.dedup import shingles_from_words
+from hcls_data_lake_spark.queries.common import t
+from hcls_data_lake_spark.registry import register
+
+
+@register(
+    "q_decontaminate",
+    """
+    WITH d AS (
+      SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+    ), sh AS (
+      SELECT doc_id, source,
+             CASE WHEN len(w) < 5 THEN []
+                  ELSE list_distinct([array_to_string(w[i:i+4], ' ')
+                                      for i in range(1, len(w) - 3)])
+             END AS shingles
+      FROM d
+    ), bench AS (
+      SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 97 = 0
+    ), corpus AS (
+      SELECT doc_id, source, shingles FROM sh WHERE doc_id % 97 <> 0
+    ), cont AS (
+      SELECT DISTINCT c.doc_id
+      FROM (SELECT doc_id, unnest(shingles) AS s FROM corpus) c
+      JOIN bench b ON c.s = b.s
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN cont.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contaminated,
+           CAST(SUM(CASE WHEN cont.doc_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept
+    FROM corpus LEFT JOIN cont USING (doc_id)
+    GROUP BY source
+    """,
+)
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: drop training documents sharing any
+    5-gram with a held-out benchmark set (here the deterministic
+    doc_id % 97 slice stands in for the eval suite). Candidate test is
+    a broadcast left-semi join of exploded corpus shingles against the
+    DISTINCT benchmark shingle set — benchmarks are tiny relative to
+    the corpus, so the corpus is scanned once and never shuffled; the
+    distinct contaminated-id set then flags the corpus by one join on
+    doc_id. At 100 TB the benchmark shingle set (~1e6-1e8 strings)
+    still broadcasts after dictionary-encoding; if it ever outgrows
+    that, the same plan degrades gracefully to a shuffle semi-join on
+    the shingle."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split("text", " ").alias("w")
+    )
+    sh = d.select("doc_id", "source", shingles_from_words("w", 5).alias("shingles"))
+    bench_shingles = (
+        sh.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode("shingles").alias("s"))
+        .distinct()
+    )
+    corpus = sh.filter(F.col("doc_id") % 97 != 0)
+    contaminated = (
+        corpus.select("doc_id", F.explode("shingles").alias("s"))
+        .join(F.broadcast(bench_shingles), "s", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("_cont", F.lit(1))
+    )
+    return (
+        corpus.join(contaminated, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("_cont").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_contaminated"),
+            F.sum(F.when(F.col("_cont").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+    )
+
+
+@register(
+    "q_text_repetition",
+    """
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), base AS (
+      SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+             CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct
+      FROM d
+    ), bg AS (
+      SELECT doc_id,
+             unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bigram
+      FROM d WHERE len(w) >= 2
+    ), cnt AS (
+      SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY doc_id, bigram
+    ), top AS (
+      SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_cnt,
+             CAST(SUM(c) AS BIGINT) AS n_bigrams
+      FROM cnt GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_words,
+           COALESCE(t.top_bigram_cnt, 0) AS top_bigram_cnt,
+           COALESCE(t.n_bigrams, 0) AS n_bigrams,
+           CASE WHEN t.n_bigrams IS NULL THEN NULL
+                ELSE (t.top_bigram_cnt * 10000 // t.n_bigrams) / 10000.0
+           END AS top_bigram_frac,
+           ((b.n_words - b.n_distinct) * 10000 // b.n_words) / 10000.0
+               AS dup_word_frac,
+           COALESCE(t.top_bigram_cnt * 5 >= t.n_bigrams, false) AS repetitive
+    FROM base b LEFT JOIN top t USING (doc_id)
+    """,
+)
+def q_text_repetition(spark, sf_dir):
+    """Repetition-based quality signals (the Gopher-filter family): per
+    document, the fraction of bigrams taken by the single most frequent
+    bigram and the duplicate-word fraction; `repetitive` flags docs
+    whose top bigram covers >= 20% of all bigrams. Bigram counting is
+    explode -> two-level aggregate on (doc_id, bigram) — both
+    aggregations combine map-side and shuffle only (doc, bigram)
+    partial counts, never document text; word-level stats come straight
+    off the scan with no shuffle at all and re-join on doc_id.
+    Fractions use exact integer `* 10000 div n` (never round(x/n, 4),
+    which half-way-rounds differently across engines)."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    base = d.select(
+        "doc_id",
+        F.size("w").cast("bigint").alias("n_words"),
+        F.size(F.array_distinct("w")).cast("bigint").alias("n_distinct"),
+    )
+    bg = d.filter(F.size("w") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1),"
+                " (a, b) -> concat(a, ' ', b))"
+            )
+        ).alias("bigram"),
+    )
+    cnt = bg.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("c"))
+    top = cnt.groupBy("doc_id").agg(
+        F.max("c").alias("top_bigram_cnt"),
+        F.sum("c").alias("n_bigrams"),
+    )
+    j = base.join(top, "doc_id", "left")
+    return j.select(
+        "doc_id",
+        "n_words",
+        F.coalesce("top_bigram_cnt", F.lit(0)).alias("top_bigram_cnt"),
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        (F.expr("top_bigram_cnt * 10000 div n_bigrams") / 10000.0).alias(
+            "top_bigram_frac"
+        ),
+        (F.expr("(n_words - n_distinct) * 10000 div n_words") / 10000.0).alias(
+            "dup_word_frac"
+        ),
+        F.coalesce(
+            F.col("top_bigram_cnt") * 5 >= F.col("n_bigrams"), F.lit(False)
+        ).alias("repetitive"),
+    )
+
+
+@register(
+    "q_text_redact",
+    """
+    WITH pii AS (
+      SELECT c_custkey,
+             'contact ' || c_name || ' <user' || CAST(c_custkey AS VARCHAR)
+               || '@example.com> or call 555-'
+               || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') AS doc
+      FROM customer
+    )
+    SELECT c_custkey,
+           CAST(len(regexp_extract_all(doc,
+                '[A-Za-z0-9]+@[A-Za-z0-9.]+')) AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(doc, '555-[0-9]{4}')) AS INTEGER)
+               AS n_phones,
+           regexp_replace(regexp_replace(doc,
+                '[A-Za-z0-9]+@[A-Za-z0-9.]+', '[EMAIL]', 'g'),
+                '555-[0-9]{4}', '[PHONE]', 'g') AS redacted
+    FROM pii
+    """,
+)
+def q_text_redact(spark, sf_dir):
+    """PII redaction: regex-scrub email addresses and phone numbers,
+    reporting match counts per document (the lake-scale form of the
+    de-identification step PHI pipelines run before staging; PII spans
+    are synthesized deterministically from customer keys since fixture
+    text carries none). Pure JVM regexp_replace chain inside one
+    codegen stage — no UDF, no shuffle; at 100 TB this runs at scan
+    speed. DuckDB needs the 'g' flag to match Spark's replace-all
+    default."""
+    c = t(spark, sf_dir, "customer")
+    doc = F.concat(
+        F.lit("contact "),
+        F.col("c_name"),
+        F.lit(" <user"),
+        F.col("c_custkey").cast("string"),
+        F.lit("@example.com> or call 555-"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+    )
+    email = r"[A-Za-z0-9]+@[A-Za-z0-9.]+"
+    phone = r"555-[0-9]{4}"
+    return c.select(
+        "c_custkey",
+        F.size(F.regexp_extract_all(doc, F.lit(email), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(doc, F.lit(phone), 0)).alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace(doc, email, "[EMAIL]"), phone, "[PHONE]"
+        ).alias("redacted"),
+    )

@@ -101,6 +101,7 @@ def _load_all() -> None:
     from hcls_data_lake_spark.queries import (  # noqa: F401
         aggregates,
         analytics,
+        curation,
         filters,
         functions_pack,
         joins,
@@ -111,6 +112,7 @@ def _load_all() -> None:
         setops,
         sorts,
         streaming_queries,
+        subqueries,
         timeseries,
         windows,
     )

@@ -75,6 +75,32 @@ def test_approx_count_distinct_error_bound(spark, sf_dir):
     assert rel_err <= 0.05, f"approx={row.approx} exact={row.exact}"
 
 
+def test_approx_quantile_error_bound(spark, sf_dir):
+    """percentile_approx at accuracy=1000 must land within 1/1000 rank
+    error of the exact quantile (the declared-accuracy contract for
+    q_agg_approx_quantile): the approx value must fall between the
+    exact values at rank p +/- n/accuracy in each group."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rows = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_p50"),
+            F.expr(
+                "percentile(l_extendedprice, array(0.497, 0.503))"
+            ).alias("exact_band"),
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        lo, hi = r.exact_band
+        assert lo <= r.approx_p50 <= hi, (
+            f"{r.l_returnflag}: approx={r.approx_p50} outside [{lo}, {hi}]"
+        )
+
+
 @given(
     st.lists(
         st.tuples(
