@@ -383,3 +383,67 @@ def q_fn_bitwise(spark, sf_dir):
         F.expr("shiftright(user_id, 3)").alias("shr"),
         F.bit_count("user_id").alias("popcount"),
     )
+
+
+@register(
+    "q_fn_variant",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed,
+           json_extract_string(props, '$.k') AS k_string,
+           'BIGINT' AS k_type
+    FROM events
+    WHERE event_id < 600
+    """,
+)
+def q_fn_variant(spark, sf_dir):
+    """VARIANT (Spark 4 semi-structured type, the §1.3 dynamic-JSON
+    document model without a fixed schema): parse_json -> binary
+    variant, typed extraction via try_variant_get, runtime type via
+    schema_of_variant. Unlike from_json, the variant encodes the
+    OBSERVED types per row — the right shape for the reference's
+    schema-free parsed documents where fields vary by message type.
+    Variant columns never reach the output (engine-specific binary);
+    only extracted scalars do, which DuckDB mirrors with JSON paths."""
+    e = t(spark, sf_dir, "events").filter(F.col("event_id") < 600)
+    v = F.parse_json(F.col("props"))
+    return e.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "bigint").alias("k_typed"),
+        F.try_variant_get(v, "$.k", "string").alias("k_string"),
+        F.schema_of_variant(F.try_variant_get(v, "$.k", "variant")).alias(
+            "k_type"
+        ),
+    )
+
+
+@register(
+    "q_fn_xml",
+    """
+    SELECT c_custkey, c_name AS name_rt, c_nationkey AS nation_rt,
+           c_mktsegment AS segment_rt
+    FROM customer
+    """,
+)
+def q_fn_xml(spark, sf_dir):
+    """XML round-trip (Spark 4 native to_xml/from_xml — the clinical
+    world's other wire format, CDA/FHIR-XML): serialize each customer
+    row to an XML document, parse it back with an explicit schema, and
+    output the parsed fields. The oracle is the identity projection —
+    value-hash equality proves serialize->parse is lossless including
+    XML escaping. Both directions are JVM expressions inside codegen
+    (no UDF); at 100 TB this is the scan-speed path for XML staging."""
+    c = t(spark, sf_dir, "customer")
+    xml = F.to_xml(
+        F.struct("c_name", "c_nationkey", "c_mktsegment"),
+        {"rowTag": "cust"},
+    )
+    parsed = F.from_xml(
+        xml, "STRUCT<c_name: STRING, c_nationkey: INT, c_mktsegment: STRING>"
+    )
+    return c.select(
+        "c_custkey",
+        parsed.getField("c_name").alias("name_rt"),
+        parsed.getField("c_nationkey").alias("nation_rt"),
+        parsed.getField("c_mktsegment").alias("segment_rt"),
+    )

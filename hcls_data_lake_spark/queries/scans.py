@@ -380,3 +380,43 @@ def q_scan_binaryfile(spark, sf_dir):
         F.col("length").cast("bigint").alias("n_bytes"),
         F.sha2(F.col("content"), 256).alias("sha_hex"),
     )
+
+
+@register(
+    "q_scan_pysource",
+    """
+    SELECT i AS msg_id,
+           'APP' || CAST(i % 5 AS VARCHAR) AS sending_app,
+           'PID' || lpad(CAST(i AS VARCHAR), 6, '0') AS patient_id,
+           CASE WHEN i % 3 = 0 THEN 'ORU^R01' ELSE 'ADT^A01' END AS msg_type,
+           CAST(i AS VARCHAR) AS msg_control_id
+    FROM range(0, 2000) t(i)
+    """,
+)
+def q_scan_pysource(spark, sf_dir):
+    """Custom source via the Python Data Source API (Spark 4): the
+    reference's per-message HTTP feed (A1) as a partitioned generator
+    table — format("er7gen") splits the id range across input
+    partitions, so generation scales like a scan with zero driver
+    involvement. The msg_control_id column is re-extracted from the
+    generated ER7 payload (MSH field 10), proving the payload survives
+    the source boundary; every field is a pure function of msg_id, so
+    DuckDB reproduces the whole table from range() and the custom
+    source gets full value-hash verification (sources/er7_source.py)."""
+    from hcls_data_lake_spark.sources.er7_source import register_er7_source
+
+    register_er7_source(spark)
+    df = (
+        spark.read.format("er7gen")
+        .option("n", 2000)
+        .option("numPartitions", 8)
+        .load()
+    )
+    msh = F.split(F.get(F.split(F.col("er7"), "\r"), 0), "\\|")
+    return df.select(
+        "msg_id",
+        "sending_app",
+        "patient_id",
+        "msg_type",
+        F.get(msh, 9).alias("msg_control_id"),
+    )

@@ -50,3 +50,65 @@ def running_totals(sdf: DataFrame, key: str = "user_id") -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def tws_running_totals(sdf: DataFrame, key: str = "user_id") -> DataFrame:
+    """The same per-key running totals on the TransformWithState API
+    (Spark 4's successor to applyInPandasWithState): state lives in
+    named typed handles (getValueState) instead of one opaque tuple,
+    the processor is an object with init/close lifecycle, and the
+    runtime requires the RocksDB state store (changelog-checkpointed,
+    memory-bounded — the 100 TB state backend; the caller sets the
+    provider conf). Emission contract matches running_totals, so the
+    same checks verify both APIs.
+
+    ENVIRONMENT GATE: the TransformWithState driver worker imports
+    `google.protobuf` for its state-server protocol; containers without
+    the python protobuf package crash at stream start
+    (STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE). The test suite
+    skips accordingly; production clusters ship protobuf with Spark."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    class Totals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", "n BIGINT, total DOUBLE")
+
+        def handleInputRows(self, key_tuple, rows, timer_values):
+            if self._state.exists():
+                n, total = self._state.get()
+            else:
+                n, total = 0, 0.0
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key_tuple[0]],
+                    "n_events": [n],
+                    "sum_value": [round(total, 2)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("sum_value", DoubleType()),
+        ]
+    )
+    return sdf.groupBy(key).transformWithStateInPandas(
+        Totals(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )

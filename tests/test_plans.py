@@ -191,3 +191,47 @@ def test_interval_overlap_join_is_hash_join_not_bnl(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # bin-keyed equi join (broadcast or shuffled hash — either is fine)
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_not_exists_is_anti_join_with_pushed_correlation(spark, sf_dir):
+    """q_subquery_not_exists: the NOT EXISTS correlation predicates must
+    be pushed into the probe-side scan (so the anti-join build side is
+    the tiny qualifying subset), and the join itself must be a hashed
+    anti-join, not a nested loop."""
+    plan = plan_of(registry.queries()["q_subquery_not_exists"](spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    pushed = plan.split("PushedFilters")[1][:300]
+    assert "l_quantity" in pushed and "l_returnflag" in pushed
+
+
+def test_decontaminate_semi_join_broadcasts_benchmark(spark, sf_dir):
+    """q_decontaminate: the benchmark shingle set must broadcast into a
+    LeftSemi hash join — the corpus side streams in place and is never
+    shuffled for the membership test."""
+    plan = plan_of(registry.queries()["q_decontaminate"](spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_returns_report_aggregates_before_dimension_joins(spark, sf_dir):
+    """q_analytics_returns: the custkey aggregation must run BELOW the
+    customer/nation joins (join-after-agg ordering) and the top-20 must
+    be a TakeOrderedAndProject, not a global sort."""
+    plan = plan_of(registry.queries()["q_analytics_returns"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    # the aggregate's required child exchange is on o_custkey — the
+    # dimension joins above it reuse that clustering and broadcast
+    assert "hashpartitioning(o_custkey" in plan
+    assert plan.count("SortMergeJoin") == 0
+
+
+def test_correlated_subquery_single_fact_shuffle(spark, sf_dir):
+    """q_subquery_correlated: the decorrelated per-part aggregate is the
+    only exchange over lineitem rows; the join back to the fact must be
+    broadcast (AQE sizes the per-part aggregate under the threshold)."""
+    df = registry.queries()["q_subquery_correlated"](spark, sf_dir)
+    df.collect()  # let AQE finalize the join strategy
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in final
+    assert "SortMergeJoin" not in final

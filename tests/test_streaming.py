@@ -142,3 +142,115 @@ def test_streaming_batch_parity_tumbling(spark, landing):
         .collect()
     }
     assert stream_out == batch_out
+
+def test_er7gen_stream_replays_full_id_space(spark):
+    """The er7gen Python Data Source's streaming reader must replay the
+    whole id space in batchSize chunks (offset-tracked micro-batches,
+    not one drain), exactly once, with fields matching the batch
+    reader's deterministic generation."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from hcls_data_lake_spark.queries.common import scratch_dir
+    from hcls_data_lake_spark.sources.er7_source import register_er7_source
+
+    register_er7_source(spark)
+    sdf = (
+        spark.readStream.format("er7gen")
+        .option("n", 250)
+        .option("batchSize", 100)
+        .load()
+    )
+    import shutil
+    import uuid
+
+    qname = f"er7stream_{uuid.uuid4().hex[:8]}"
+    ckpt = scratch_dir("ckpt", qname)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    query = (
+        sdf.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline and spark.table(qname).count() < 250:
+            time.sleep(0.5)
+    finally:
+        query.stop()
+    out = spark.table(qname)
+    assert out.count() == 250
+    assert out.select("msg_id").distinct().count() == 250
+    row = out.filter(F.col("msg_id") == 123).first()
+    assert row.sending_app == "APP3"
+    assert row.patient_id == "PID000123"
+    assert row.msg_type == "ORU^R01"
+    batch = (
+        spark.read.format("er7gen").option("n", 250).load()
+        .orderBy("msg_id").collect()
+    )
+    stream_rows = out.orderBy("msg_id").collect()
+    assert [tuple(r) for r in batch] == [tuple(r) for r in stream_rows]
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="TransformWithState driver worker needs python protobuf",
+)
+def test_transform_with_state_matches_batch_aggregate(spark, sf_dir):
+    """tws_running_totals (TransformWithState API) must emit the same
+    per-key totals as the batch aggregate, like the
+    applyInPandasWithState variant it mirrors."""
+    from hcls_data_lake_spark.queries.common import events
+    from hcls_data_lake_spark.streaming.runner import (
+        read_events_stream,
+        run_to_memory,
+    )
+    from hcls_data_lake_spark.streaming.stateful import tws_running_totals
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    try:
+        prev = spark.conf.get(provider_key)
+    except Exception:
+        prev = None
+    spark.conf.set(provider_key, rocks)
+    try:
+        sdf = read_events_stream(spark, sf_dir).select("user_id", "value")
+        out = run_to_memory(
+            tws_running_totals(sdf), output_mode="update", shuffle_partitions=4
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+    from pyspark.sql import functions as F
+
+    expected = (
+        events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+    got = {(r.user_id): (r.n_events, r.sum_value) for r in out.collect()}
+    want = {(r.user_id): (r.n_events, r.sum_value) for r in expected.collect()}
+    assert got == want
