@@ -531,3 +531,29 @@ def q_agg_mode(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("user_id", F.col("event_type").alias("mode_event_type"), "cnt")
     )
+
+
+@register(
+    "q_agg_listagg",
+    """
+    SELECT n_regionkey,
+           string_agg(n_name, '|' ORDER BY n_name) AS nations,
+           CAST(count(*) AS BIGINT) AS n_nations
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def q_agg_listagg(spark, sf_dir):
+    """Ordered string aggregation (Spark 4 listagg WITHIN GROUP — the
+    ANSI form of string_agg): collapse a group to one delimited string
+    with a DECLARED order, so output is deterministic without a
+    post-sort of collected arrays. The within-group sort happens inside
+    the aggregate's partial/final merge — no extra window or shuffle
+    beyond the groupBy."""
+    n = t(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.expr("listagg(n_name, '|') WITHIN GROUP (ORDER BY n_name)").alias(
+            "nations"
+        ),
+        F.count(F.lit(1)).alias("n_nations"),
+    )

@@ -447,3 +447,93 @@ def q_fn_xml(spark, sf_dir):
         parsed.getField("c_nationkey").alias("nation_rt"),
         parsed.getField("c_mktsegment").alias("segment_rt"),
     )
+
+
+@register(
+    "q_fn_try",
+    """
+    SELECT l_orderkey, l_linenumber,
+           floor(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                 / NULLIF(CAST(l_quantity - 1 AS BIGINT), 0)) / 100.0
+               AS price_per_extra,
+           TRY_CAST(l_returnflag AS INTEGER) AS flag_as_int,
+           CASE WHEN l_orderkey % 2 = 1 THEN NULL
+                ELSE 9223372036854775807 END AS guarded_add
+    FROM lineitem
+    WHERE l_orderkey < 1500
+    """,
+)
+def q_fn_try(spark, sf_dir):
+    """Error-safe function family (try_divide / try_cast / try_add):
+    under ANSI mode (Spark 4 default) arithmetic faults THROW — one bad
+    row kills a 100 TB job at stage 40. The try_* forms yield NULL
+    instead, which is the only sane posture for ingest over
+    unvalidated data (§1.5 everything-is-string casting). Oracle
+    mirrors with NULLIF-guarded division, TRY_CAST, and an explicit
+    CASE for the overflow case (DuckDB has no try_add)."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1500)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        # floor over integer cents, not round(x/y, 2): the quotient can
+        # land on a half-cent boundary where the engines' round() differ
+        (
+            F.floor(
+                F.try_divide(
+                    F.round(F.col("l_extendedprice") * 100, 0).cast("long"),
+                    (F.col("l_quantity") - 1).cast("long"),
+                )
+            )
+            / 100.0
+        ).alias("price_per_extra"),
+        F.try_to_number(F.col("l_returnflag"), F.lit("9")).cast("int").alias(
+            "flag_as_int"
+        ),
+        F.try_add(
+            F.lit(9223372036854775807), F.col("l_orderkey") % 2
+        ).alias("guarded_add"),
+    )
+
+
+@register(
+    "q_fn_collation",
+    """
+    WITH mixed AS (
+      SELECT CASE WHEN event_id % 2 = 0 THEN upper(event_type)
+                  ELSE event_type END AS et
+      FROM events
+    )
+    SELECT CAST(SUM(CASE WHEN lower(et) = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_click,
+           CAST(SUM(CASE WHEN lower(et) = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchase,
+           CAST(SUM(CASE WHEN et = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_click_sensitive
+    FROM mixed
+    """,
+)
+def q_fn_collation(spark, sf_dir):
+    """Collation-aware comparison (Spark 4 collations): equality under
+    UTF8_LCASE matches case-insensitively WITHOUT rewriting both sides
+    through lower() — the collation is declared on the column once and
+    every comparison/join/group against it inherits the semantics
+    (ER7 field values are case-insensitive identifiers in practice).
+    The case-sensitive counter pins that the default binary collation
+    still misses the upper-cased half. Oracle mirrors with explicit
+    lower()."""
+    e = t(spark, sf_dir, "events")
+    mixed = F.when(
+        F.col("event_id") % 2 == 0, F.upper("event_type")
+    ).otherwise(F.col("event_type"))
+    ci = F.collate(mixed, "UTF8_LCASE")
+    return e.agg(
+        F.sum(F.when(ci == F.lit("click"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_click"),
+        F.sum(F.when(ci == F.lit("purchase"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_purchase"),
+        F.sum(F.when(mixed == F.lit("click"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_click_sensitive"),
+    )
