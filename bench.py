@@ -63,6 +63,12 @@ EXTENDED = [
     "q_text_bigrams",         # n-gram counts, top-50 TakeOrdered
     "q_ts_sessionize",        # gaps-and-islands batch sessions
     "q_join_range_overlap",   # interval-overlap bin join
+    "q_subquery_correlated",  # decorrelated Q17-shape double fact scan
+    "q_analytics_returns",    # Q10-shape returned-item report
+    "q_decontaminate",        # 5-gram benchmark overlap removal
+    "q_text_repetition",      # per-doc bigram repetition metrics
+    "q_scan_pysource",        # Python Data Source generator scan
+    "q_text_redact",          # regex PII scrub at scan speed
 ]
 
 

@@ -580,3 +580,48 @@ def q_scd2_dimension(spark, sf_dir):
         # compounds per batch and iteration N replays batches 1..N-1
         current = current.coalesce(8).localCheckpoint(eager=True)
     return current.select("user_id", "attr", "valid_from", "valid_to")
+
+
+@register(
+    "q_udtf_python",
+    """
+    SELECT i AS msg_id, 0 AS seg_idx, 'MSH' AS seg_type, 12 AS n_fields
+    FROM range(0, 500) t(i)
+    UNION ALL
+    SELECT i AS msg_id, 1 AS seg_idx, 'PID' AS seg_type, 6 AS n_fields
+    FROM range(0, 500) t(i)
+    """,
+)
+def q_udtf_python(spark, sf_dir):
+    """True Python UDTF (the @udtf table-function API, distinct from the
+    explode-based UDTF shape of q_udtf_explode_segments): one ER7
+    message row expands to N segment rows via a generator `eval`,
+    joined laterally so each input partition expands in place — no
+    shuffle, Arrow-batched like any Python boundary. Input is the
+    er7gen Python Data Source, whose deterministic payloads make even
+    this Python-side expansion fully oracle-checkable: every generated
+    message is exactly MSH (12 fields) + PID (6 fields)."""
+    from pyspark.sql.functions import udtf
+
+    from hcls_data_lake_spark.sources.er7_source import register_er7_source
+
+    @udtf(returnType="seg_idx INT, seg_type STRING, n_fields INT")
+    class SegmentSplitter:
+        def eval(self, er7: str):
+            for i, seg in enumerate(er7.split("\r")):
+                fields = seg.split("|")
+                yield i, fields[0], len(fields)
+
+    register_er7_source(spark)
+    spark.udtf.register("segment_splitter", SegmentSplitter)
+    msgs = (
+        spark.read.format("er7gen")
+        .option("n", 500)
+        .option("numPartitions", 8)
+        .load()
+    )
+    msgs.select("msg_id", "er7").createOrReplaceTempView("udtf_msgs")
+    return spark.sql(
+        "SELECT m.msg_id, s.seg_idx, s.seg_type, s.n_fields "
+        "FROM udtf_msgs m, LATERAL segment_splitter(m.er7) s"
+    )
