@@ -158,3 +158,56 @@ def sample_frames(
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+BYTE_STATS_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, first_byte int, last_byte int,"
+    " byte_sum bigint"
+)
+
+
+def byte_stats_arrow(df: DataFrame) -> DataFrame:
+    """mapInArrow byte statistics over (doc_id, payload) — the zero-copy
+    tier below mapInPandas: pyarrow RecordBatches flow straight from the
+    JVM with no pandas materialization, so binary payloads are never
+    copied into Python objects. Use this tier when the per-batch work
+    is arrow/numpy-expressible (stats, slicing, format sniffing) and
+    reserve mapInPandas for logic that genuinely needs pandas or a
+    model runtime. Same partition-parallel contract: no shuffle, one
+    Python worker call per Arrow batch."""
+    import numpy as np
+    import pyarrow as pa
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            payloads = batch.column(batch.schema.get_field_index("payload"))
+            n = len(batch)
+            n_bytes = np.empty(n, dtype="int64")
+            first = np.empty(n, dtype="int32")
+            last = np.empty(n, dtype="int32")
+            bsum = np.empty(n, dtype="int64")
+            for i in range(n):
+                buf = payloads[i].as_py()
+                if buf:
+                    arr = np.frombuffer(buf, dtype=np.uint8)
+                    n_bytes[i] = arr.size
+                    first[i] = int(arr[0])
+                    last[i] = int(arr[-1])
+                    bsum[i] = int(arr.sum())
+                else:
+                    n_bytes[i] = 0
+                    first[i] = -1
+                    last[i] = -1
+                    bsum[i] = 0
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(batch.schema.get_field_index("doc_id")),
+                    pa.array(n_bytes, type=pa.int64()),
+                    pa.array(first, type=pa.int32()),
+                    pa.array(last, type=pa.int32()),
+                    pa.array(bsum, type=pa.int64()),
+                ],
+                names=["doc_id", "n_bytes", "first_byte", "last_byte", "byte_sum"],
+            )
+
+    return df.mapInArrow(run, schema=BYTE_STATS_SCHEMA)

@@ -880,3 +880,33 @@ def q_embed_quantize(spark, sf_dir):
         F.round("lo", 6).alias("v_min"),
         F.round("hi", 6).alias("v_max"),
     )
+
+
+@register(
+    "q_multimodal_arrow_stats",
+    """
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           ascii(substr(text, 1, 1)) AS first_byte,
+           ascii(substr(text, -1, 1)) AS last_byte,
+           CAST(list_sum(list_transform(range(1, strlen(text) + 1),
+                                        i -> ascii(substr(text, i, 1))))
+                AS BIGINT) AS byte_sum
+    FROM documents
+    WHERE doc_id < 300
+    """,
+)
+def q_multimodal_arrow_stats(spark, sf_dir):
+    """Binary payload statistics via mapInArrow (zero-copy Arrow
+    batches, operators/multimodal.byte_stats_arrow) — the API tier for
+    byte-level multimodal work where even a pandas materialization is
+    wasted copying. Payloads here are the fixture documents' UTF-8
+    bytes (pure ASCII), so DuckDB reproduces every stat with character
+    arithmetic and the Arrow path gets full value-hash verification."""
+    from hcls_data_lake_spark.operators.multimodal import byte_stats_arrow
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    payloads = d.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return byte_stats_arrow(payloads)

@@ -509,3 +509,23 @@ def test_interval_overlap_join_matches_brute_force(spark):
     }
     # exact same pair set: no duplicates (canonical-bin anchor), no misses
     assert got == want and len(want) > 100
+
+
+def test_byte_stats_arrow_handles_empty_payloads(spark):
+    """mapInArrow byte stats: empty binary payloads yield sentinel
+    first/last bytes and zero sums, never a crash in np.frombuffer."""
+    from pyspark.sql import functions as F
+
+    from hcls_data_lake_spark.operators.multimodal import byte_stats_arrow
+
+    df = spark.createDataFrame(
+        [(1, b"AB"), (2, b""), (3, None), (4, b"\x00\xff")],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in byte_stats_arrow(df).collect()}
+    assert (rows[1].n_bytes, rows[1].first_byte, rows[1].last_byte,
+            rows[1].byte_sum) == (2, 65, 66, 131)
+    assert (rows[2].n_bytes, rows[2].first_byte, rows[2].byte_sum) == (0, -1, 0)
+    assert (rows[3].n_bytes, rows[3].first_byte, rows[3].byte_sum) == (0, -1, 0)
+    assert (rows[4].n_bytes, rows[4].first_byte, rows[4].last_byte,
+            rows[4].byte_sum) == (2, 0, 255, 255)

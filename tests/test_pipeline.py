@@ -181,3 +181,32 @@ def test_expire_zone_drops_old_rows(spark, tmp_path):
     back = spark.read.parquet(zone)
     assert back.count() == 700
     assert back.filter("ingest_ts < timestamp'2024-01-01'").count() == 0
+
+
+def test_observe_collects_qc_metrics_in_one_pass(spark, sf_dir):
+    """df.observe: QC counters (row counts, null counts, sums) ride the
+    SAME action that materializes the data — the zero-extra-scan form
+    of q_analytics_expectations for pipelines that are already writing.
+    At 100 TB a separate validation scan doubles the read; observe
+    makes validation free."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    obs = Observation("qc")
+    instrumented = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("l_quantity") > 50, 1).otherwise(0)).alias(
+            "qty_violations"
+        ),
+        F.sum(F.when(F.col("l_orderkey").isNull(), 1).otherwise(0)).alias(
+            "null_keys"
+        ),
+    )
+    n_out = instrumented.filter(F.col("l_returnflag") == "R").count()
+    metrics = obs.get
+    assert metrics["n_rows"] == li.count()
+    assert metrics["qty_violations"] == 0
+    assert metrics["null_keys"] == 0
+    assert 0 < n_out < metrics["n_rows"]
