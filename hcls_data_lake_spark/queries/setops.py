@@ -75,3 +75,48 @@ def q_set_except(spark, sf_dir):
     )
     # subtract == EXCEPT DISTINCT (exceptAll would keep multiplicities)
     return o.subtract(c)
+
+
+@register(
+    "q_set_intersect_all",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT ALL
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def q_set_intersect_all(spark, sf_dir):
+    """INTERSECT ALL — bag semantics: a nation appearing m times among
+    customers and n times among suppliers survives min(m, n) times.
+    Physically a counted hash join on the value (Catalyst rewrites to a
+    count-compare aggregate), not a distinct pass — the multiplicity is
+    the point for duplicate-frequency reconciliation between zones."""
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.intersectAll(s)
+
+
+@register(
+    "q_set_except_all",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT ALL
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def q_set_except_all(spark, sf_dir):
+    """EXCEPT ALL — bag difference: each supplier occurrence cancels one
+    customer occurrence, leaving max(m - n, 0) copies. The counted form
+    of ingested-but-not-staged detection when the SAME content can
+    legitimately appear k times and each staging consumes one."""
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.exceptAll(s)
