@@ -174,7 +174,8 @@ def test_text_queries_total_on_pathological_corpora(spark, tmp_path_factory, tex
     qs = registry.queries()
     for name in ["q_text_quality", "q_text_tokens", "q_text_token_count",
                  "q_text_langid", "q_text_fingerprint", "q_dedup_exact",
-                 "q_dedup_near", "q_dedup_minhash_lsh", "q_dedup_simhash"]:
+                 "q_dedup_near", "q_dedup_minhash_lsh", "q_dedup_simhash",
+                 "q_text_repetition", "q_decontaminate"]:
         out = qs[name](spark, d).collect()  # must not raise
         if name == "q_text_quality":
             for r in out:
@@ -184,6 +185,14 @@ def test_text_queries_total_on_pathological_corpora(spark, tmp_path_factory, tex
         if name in ("q_dedup_near", "q_dedup_minhash_lsh"):
             for r in out:
                 assert r.doc_a < r.doc_b
+        if name == "q_text_repetition":
+            assert len(out) == len(texts)
+            for r in out:
+                assert r.top_bigram_frac is None or 0.0 <= r.top_bigram_frac <= 1.0
+                assert 0.0 <= r.dup_word_frac <= 1.0
+        if name == "q_decontaminate":
+            for r in out:
+                assert r.n_contaminated + r.n_kept == r.n_docs
 
 
 @given(
