@@ -625,3 +625,65 @@ def q_udtf_python(spark, sf_dir):
         "SELECT m.msg_id, s.seg_idx, s.seg_type, s.n_fields "
         "FROM udtf_msgs m, LATERAL segment_splitter(m.er7) s"
     )
+
+
+@register(
+    "q_udf_grouped_map",
+    """
+    WITH c AS (
+      SELECT user_id, event_id,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT user_id, event_id,
+           cents - MIN(cents) OVER (PARTITION BY user_id) AS delta_cents,
+           CASE WHEN MAX(cents) OVER (PARTITION BY user_id)
+                     = MIN(cents) OVER (PARTITION BY user_id) THEN NULL
+                ELSE ((cents - MIN(cents) OVER (PARTITION BY user_id)) * 10000)
+                     // (MAX(cents) OVER (PARTITION BY user_id)
+                         - MIN(cents) OVER (PARTITION BY user_id))
+           END AS range_bp
+    FROM c
+    """,
+)
+def q_udf_grouped_map(spark, sf_dir):
+    """Grouped-map applyInPandas (the §2.B UDF surface's per-entity
+    normalization): each user's events arrive as ONE pandas frame and
+    are min-max scaled to basis points within the group. This is the
+    API tier for per-entity logic that needs the whole group
+    materialized (model scoring, per-patient curve fitting) — one
+    shuffle on the key, Arrow both ways; when the math is
+    window-expressible (as this demo deliberately is), the JVM window
+    form is preferred and this shape is reserved for real Python-only
+    work. Cents are computed JVM-side so Python math stays
+    integer-exact (pandas float means differ from SQL in last bits)."""
+    import pandas as pd
+
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+
+    def minmax(pdf: pd.DataFrame) -> pd.DataFrame:
+        c = pdf["cents"]
+        mn, mx = int(c.min()), int(c.max())
+        delta = (c - mn).astype("int64")
+        if mx > mn:
+            bp = pd.array((delta * 10000) // (mx - mn), dtype="Int64")
+        else:
+            bp = pd.array([None] * len(c), dtype="Int64")
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "delta_cents": delta,
+                "range_bp": bp,
+            }
+        )
+
+    return e.groupBy("user_id").applyInPandas(
+        minmax,
+        schema="user_id bigint, event_id bigint, delta_cents bigint,"
+        " range_bp bigint",
+    )
