@@ -178,8 +178,13 @@ _CODEBOOK_CACHE_MAX = 32
 
 def _table_fingerprint(df: DataFrame) -> tuple | None:
     """Cache identity for a DataFrame: (sorted source files, sha256 of
-    the analyzed logical plan). None = uncacheable (no file source)."""
+    the analyzed logical plan with expression ids normalized out).
+    Catalyst assigns fresh expr ids (`col#123`) on every plan build, so
+    two structurally-identical invocations would never share a raw plan
+    string — strip the `#n` suffixes before hashing or the cache never
+    hits. None = uncacheable (no file source)."""
     import hashlib
+    import re
 
     try:
         files = tuple(sorted(df.inputFiles()))
@@ -189,6 +194,7 @@ def _table_fingerprint(df: DataFrame) -> tuple | None:
         return None
     try:
         plan = df._jdf.queryExecution().analyzed().toString()
+        plan = re.sub(r"#\d+", "#", plan)
     except Exception:
         plan = str(df.schema)
     return (files, hashlib.sha256(plan.encode()).hexdigest())

@@ -152,3 +152,43 @@ def expire_zone(
         writer.parquet(tmp)
     _swap_zone(zone_path, tmp)
     return {"rows_before": total, "rows_kept": kept, "rows_expired": total - kept}
+
+
+def reconcile_catalog(
+    spark: SparkSession,
+    catalog: DataFrame,
+    zone_path: str,
+    zone_name: str,
+    id_col: str = "message_id",
+) -> dict:
+    """Catalog consistency audit: find zone rows the catalog doesn't
+    know about (orphans — a writer died between the zone put and the
+    catalog upsert, the reference's put-object/put-item gap,
+    front_door_lambda.py:59 vs :34) and catalog entries whose object is
+    gone (dangling — expiry/compaction raced the catalog, or a write
+    was rolled back).
+
+    Both directions are one anti-join each on the message id — the
+    catalog side carries only (id, zone) columns into the join, so at
+    100 TB the shuffle moves ids, never payloads; with a bucketed
+    catalog layout the joins are exchange-free. Returns counts plus
+    bounded samples for operator triage.
+    """
+    from pyspark.sql import functions as F
+
+    zone_ids = spark.read.parquet(zone_path).select(id_col)
+    cat_ids = catalog.filter(F.col("zone") == zone_name).select(id_col)
+    orphans = zone_ids.join(cat_ids, id_col, "left_anti")
+    dangling = cat_ids.join(zone_ids, id_col, "left_anti")
+    n_orphans = orphans.count()
+    n_dangling = dangling.count()
+    return {
+        "zone": zone_name,
+        "n_zone_rows": zone_ids.count(),
+        "n_catalog_rows": cat_ids.count(),
+        "n_orphans": n_orphans,
+        "n_dangling": n_dangling,
+        "consistent": n_orphans == 0 and n_dangling == 0,
+        "orphan_sample": [r[0] for r in orphans.limit(5).collect()],
+        "dangling_sample": [r[0] for r in dangling.limit(5).collect()],
+    }

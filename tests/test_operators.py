@@ -529,3 +529,29 @@ def test_byte_stats_arrow_handles_empty_payloads(spark):
     assert (rows[3].n_bytes, rows[3].first_byte, rows[3].byte_sum) == (0, -1, 0)
     assert (rows[4].n_bytes, rows[4].first_byte, rows[4].last_byte,
             rows[4].byte_sum) == (2, 0, 255, 255)
+
+
+def test_codebook_cache_hits_across_invocations(spark, sf_dir):
+    """The IVF codebook cache must HIT for two structurally-identical
+    invocations over the same table (Catalyst re-assigns expr ids per
+    plan build — the fingerprint normalizes them out), and must MISS
+    for a differently-filtered frame over the same files."""
+    from pyspark.sql import functions as F
+
+    from hcls_data_lake_spark.operators import similarity
+    from hcls_data_lake_spark.tables import load_table
+
+    similarity.clear_codebook_cache()
+    emb = load_table(spark, sf_dir, "embeddings")
+    similarity.ivf_topk(emb, query_filter=F.col("vec_id") < 8).count()
+    assert len(similarity._CODEBOOK_CACHE) == 1
+    emb2 = load_table(spark, sf_dir, "embeddings")
+    similarity.ivf_topk(emb2, query_filter=F.col("vec_id") < 8).count()
+    assert len(similarity._CODEBOOK_CACHE) == 1, "identical table retrained"
+    filtered = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % 2 == 0
+    )
+    similarity.ivf_topk(filtered, query_filter=F.col("vec_id") < 8).count()
+    assert len(similarity._CODEBOOK_CACHE) == 2, "filtered frame shared codebook"
+    similarity.clear_codebook_cache()
+    assert len(similarity._CODEBOOK_CACHE) == 0

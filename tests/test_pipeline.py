@@ -210,3 +210,39 @@ def test_observe_collects_qc_metrics_in_one_pass(spark, sf_dir):
     assert metrics["qty_violations"] == 0
     assert metrics["null_keys"] == 0
     assert 0 < n_out < metrics["n_rows"]
+
+
+def test_reconcile_catalog_finds_orphans_and_dangling(spark, tmp_path):
+    """reconcile_catalog: zone rows missing from the catalog (orphans)
+    and catalog entries whose object is gone (dangling) are both
+    surfaced; a consistent pair reports clean."""
+    from hcls_data_lake_spark.pipeline.jobs import reconcile_catalog
+
+    zone = str(tmp_path / "staging")
+    spark.createDataFrame(
+        [(f"m{i}", f"payload{i}") for i in range(10)],
+        "message_id string, body string",
+    ).write.parquet(zone)
+    # catalog knows m0..m7 in staging (m8, m9 orphaned) plus two
+    # entries whose objects don't exist (mX dangling, mY other zone)
+    catalog = spark.createDataFrame(
+        [(f"m{i}", "staging") for i in range(8)]
+        + [("mX", "staging"), ("mY", "error")],
+        "message_id string, zone string",
+    )
+    report = reconcile_catalog(spark, catalog, zone, "staging")
+    assert report["n_zone_rows"] == 10
+    assert report["n_catalog_rows"] == 9  # zone-scoped: mY excluded
+    assert report["n_orphans"] == 2
+    assert sorted(report["orphan_sample"]) == ["m8", "m9"]
+    assert report["n_dangling"] == 1
+    assert report["dangling_sample"] == ["mX"]
+    assert report["consistent"] is False
+
+    fixed = catalog.filter("message_id <> 'mX'").union(
+        spark.createDataFrame(
+            [("m8", "staging"), ("m9", "staging")],
+            "message_id string, zone string",
+        )
+    )
+    assert reconcile_catalog(spark, fixed, zone, "staging")["consistent"]
