@@ -246,3 +246,73 @@ def test_reconcile_catalog_finds_orphans_and_dangling(spark, tmp_path):
         )
     )
     assert reconcile_catalog(spark, fixed, zone, "staging")["consistent"]
+
+
+def test_full_lifecycle_source_to_reconciled_lake(spark, tmp_path):
+    """Capstone lifecycle run: er7gen source -> wire encode -> ingest
+    (decode/authz/hash/dedup) -> stage (prepare/parse/route) -> zone
+    writes + catalog -> compact -> reconcile -> expire -> reconcile.
+    Every job composes on the same DataFrames; the catalog stays
+    consistent through compaction (a rewrite must never lose ids) and
+    flags dangling entries after expiry (retention ran ahead of the
+    catalog — the gap reconcile_catalog exists to surface)."""
+    import base64
+
+    from hcls_data_lake_spark.pipeline.jobs import (
+        compact_zone,
+        expire_zone,
+        reconcile_catalog,
+    )
+    from hcls_data_lake_spark.pipeline.zones import catalog_entries, write_zone
+    from hcls_data_lake_spark.sources.er7_source import register_er7_source
+
+    lake = str(tmp_path / "lake")
+    register_er7_source(spark)
+    feed = (
+        spark.read.format("er7gen").option("n", 60).option("numPartitions", 4)
+        .load()
+    )
+    b64 = F.base64(F.encode(F.col("er7"), "UTF-8"))
+    wire = feed.select(
+        F.col("msg_id").alias("message_id"),
+        b64.alias("msg_b64"),
+        F.col("sending_app").alias("writer_institution"),
+    )
+    registry = spark.createDataFrame([], "msg_hash string")
+    admitted = _ingest(wire, registry)
+    staged, errored = stage_er7(admitted)
+    assert staged.count() == 60 and errored.count() == 0
+
+    zoned = object_key(zone_for_event(staged.withColumn("event", F.lit("staged")), "event"))
+    write_zone(zoned, lake, "staging")
+    catalog = catalog_entries(zoned, lake).localCheckpoint(eager=True)
+
+    rep = reconcile_catalog(spark, catalog, f"{lake}/staging", "staging")
+    assert rep["consistent"] and rep["n_zone_rows"] == 60
+
+    stats = compact_zone(
+        spark, f"{lake}/staging", target_rows_per_file=100,
+        partition_col="protocol",
+    )
+    assert stats["rows"] == 60
+    rep2 = reconcile_catalog(spark, catalog, f"{lake}/staging", "staging")
+    assert rep2["consistent"], "compaction must not change membership"
+
+    # retention: expire the odd half by a synthetic event-time column,
+    # catalog not yet updated -> reconcile flags the dangling entries
+    zone_df = spark.read.parquet(f"{lake}/staging").withColumn(
+        "event_ts",
+        F.when(F.col("message_id") % 2 == 0, F.lit("2025-06-01")).otherwise(
+            F.lit("2023-01-01")
+        ),
+    )
+    zone_df.write.mode("overwrite").partitionBy("protocol").parquet(
+        f"{lake}/staging2"
+    )
+    expire_zone(
+        spark, f"{lake}/staging2", "event_ts", "2024-01-01",
+        partition_col="protocol",
+    )
+    rep3 = reconcile_catalog(spark, catalog, f"{lake}/staging2", "staging")
+    assert not rep3["consistent"]
+    assert rep3["n_dangling"] == 30 and rep3["n_orphans"] == 0
