@@ -235,3 +235,46 @@ def test_correlated_subquery_single_fact_shuffle(spark, sf_dir):
     final = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in final
     assert "SortMergeJoin" not in final
+
+
+def test_aqe_splits_skewed_join_at_runtime(spark, sf_dir):
+    """AQE skew-join handling must actually fire on a hot-key join —
+    the runtime complement to the explicit salted operators
+    (operators/skew.py): where AQE can re-plan, a 95%-hot-key shuffle
+    join is split into subpartitions with no code change. Pinned on a
+    synthetic skew (one key carrying ~95% of fact rows) with thresholds
+    scaled to fixture bytes; on a cluster the defaults play the same
+    role at real partition sizes."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "65536",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16384",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.shuffle.partitions": "8",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        fact = spark.range(0, 300_000).select(
+            F.when(F.col("id") % 20 != 0, 0)
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.sha2(F.col("id").cast("string").cast("binary"), 256).alias(
+                "pad"
+            ),
+        )
+        dim = spark.range(0, 1000).select(
+            F.col("id").alias("k"), F.lit("d").alias("dv")
+        )
+        j = fact.join(dim, "k")
+        assert len(j.collect()) == 300_000
+        final = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in final
+        assert "skew=true" in final, "AQE did not split the skewed join"
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
