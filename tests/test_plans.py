@@ -278,3 +278,44 @@ def test_aqe_splits_skewed_join_at_runtime(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, tmp_path):
+    """Runtime row-group pruning: joining a big on-disk fact to a
+    selectively-filtered dim must inject a bloom filter — built from
+    the dim's join keys (bloom_filter_agg), applied as might_contain on
+    the fact side BEFORE the shuffle. At 100 TB this is the difference
+    between shuffling the whole fact and shuffling the ~1/97th that can
+    possibly match; thresholds here are scaled to fixture bytes."""
+    d = str(tmp_path)
+    spark.range(0, 500_000).select(
+        (F.col("id") % 50_000).alias("k"),
+        F.sha2(F.col("id").cast("string").cast("binary"), 256).alias("pad"),
+    ).write.parquet(f"{d}/fact")
+    spark.range(0, 50_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("tag")
+    ).write.parquet(f"{d}/dim")
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "50MB",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        fact = spark.read.parquet(f"{d}/fact")
+        dim = spark.read.parquet(f"{d}/dim").filter(F.col("tag") == 3)
+        j = fact.join(dim, "k")
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, "no bloom filter was built"
+        assert "might_contain" in plan, "bloom filter not applied to scan side"
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
