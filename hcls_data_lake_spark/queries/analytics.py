@@ -332,3 +332,42 @@ def q_analytics_top_supplier(spark, sf_dir):
             (F.col("rev_cents") / 100.0).alias("total_revenue"),
         )
     )
+
+
+@register(
+    "q_analytics_priority",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q_analytics_priority(spark, sf_dir):
+    """TPC-H-Q4-style priority check: orders in a one-quarter window
+    with at least one lineitem shipped after the order date, counted by
+    priority. The correlated EXISTS carries a NON-equi conjunct
+    (l_shipdate > o_orderdate), so the DataFrame form is a left-semi
+    join whose condition mixes the equi key with the range predicate —
+    the semi join stops probing an order on first match instead of
+    counting all matches, and the quarter filter prunes the orders scan
+    before any shuffle."""
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.expr("TIMESTAMP '1997-07-01 00:00:00'"))
+        & (F.col("o_orderdate") < F.expr("TIMESTAMP '1997-10-01 00:00:00'"))
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
