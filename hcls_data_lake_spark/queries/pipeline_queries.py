@@ -605,7 +605,8 @@ def q_udtf_python(spark, sf_dir):
 
     from hcls_data_lake_spark.sources.er7_source import register_er7_source
 
-    @udtf(returnType="seg_idx INT, seg_type STRING, n_fields INT")
+    @udtf(returnType="seg_idx INT, seg_type STRING, n_fields INT",
+          useArrow=True)
     class SegmentSplitter:
         def eval(self, er7: str):
             for i, seg in enumerate(er7.split("\r")):

@@ -319,3 +319,47 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# Queries whose plan INTENDS a BroadcastNestedLoopJoin: either the
+# build side is a one-row aggregate/scalar (constant cost) or the
+# design broadcasts a small block against a streamed big side.
+_BNLJ_ALLOWED = {
+    "q_join_theta",        # non-equi theta join, dim side broadcast
+    "q_subquery_scalar",   # one-row aggregate cross-joined
+    "q_sample_mix",        # one-row quota broadcast
+    "q_sim_topk",          # broadcast query block x candidates
+    "q_sim_pairs",         # broadcast query block x candidates
+    "q_dedup_embedding",   # broadcast query block x candidates
+}
+
+
+def test_plan_lint_no_cartesian_no_rowwise_python(spark, sf_dir):
+    """Registry-wide plan lint: NO batch query may plan a
+    CartesianProduct (two big relations crossing without broadcast) or
+    a row-at-a-time Python eval (BatchEvalPython — every Python
+    boundary in the engine is Arrow-batched). BroadcastNestedLoopJoin
+    is allowed only on the explicit allowlist, and each allowed BNLJ
+    must carry a BroadcastExchange (the small side is really
+    broadcast). Every future query is linted automatically by being
+    registered. Streaming queries are skipped: building their result
+    runs real streams; their state/plan behavior is pinned in
+    test_streaming.py."""
+    from hcls_data_lake_spark import registry
+
+    qs = registry.queries()
+    failures = []
+    for name, fn in sorted(qs.items()):
+        if name.startswith("q_stream_"):
+            continue
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            failures.append(f"{name}: CartesianProduct")
+        if "BatchEvalPython" in plan:
+            failures.append(f"{name}: row-at-a-time Python eval")
+        if "BroadcastNestedLoopJoin" in plan:
+            if name not in _BNLJ_ALLOWED:
+                failures.append(f"{name}: unexpected BNLJ")
+            elif "BroadcastExchange" not in plan:
+                failures.append(f"{name}: BNLJ without broadcast side")
+    assert not failures, "\n".join(failures)
