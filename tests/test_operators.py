@@ -555,3 +555,33 @@ def test_codebook_cache_hits_across_invocations(spark, sf_dir):
     assert len(similarity._CODEBOOK_CACHE) == 2, "filtered frame shared codebook"
     similarity.clear_codebook_cache()
     assert len(similarity._CODEBOOK_CACHE) == 0
+
+
+def test_public_function_surface_composes(spark):
+    """hcls_data_lake_spark.functions is the curated one-import column
+    API: every export must be callable on plain DataFrames and produce
+    the documented shapes."""
+    from pyspark.sql import functions as F
+
+    from hcls_data_lake_spark import functions as HF
+
+    df = spark.createDataFrame(
+        [("MSH|^~\\&|APP|FAC\rPID|1||P1^^^MRN", "a b c a b", [1.0, 0.0],
+          [0.0, 1.0])],
+        "er7 string, text string, va array<double>, vb array<double>",
+    ).withColumn("w", F.split("text", " "))
+    row = df.select(
+        HF.er7_field(HF.segment_first(F.col("er7"), "PID"), 3).alias("pid"),
+        HF.shingles_from_words("w", 2).alias("sh"),
+        F.round(HF.cosine("va", "vb"), 6).alias("cos"),
+        HF.dot("va", "va").alias("dp"),
+    ).select(
+        "pid",
+        F.array_sort("sh").alias("sh"),
+        "cos",
+        "dp",
+    ).first()
+    assert row.pid == "P1^^^MRN"
+    assert row.sh == ["a b", "b c", "c a"]
+    assert row.cos == 0.0 and row.dp == 1.0
+    assert sorted(HF.__all__) == sorted(set(HF.__all__))
