@@ -1,0 +1,62 @@
+"""Plan inspection utilities — the engine's explain/lint toolbox.
+
+Correctness says the answer is right; these helpers make it cheap to
+assert the PLAN is right (SURVEY.md §4's posture), both in tests and
+interactively while tuning. The same red-flag lint that gates the
+registry (tests/test_plans.py) is exposed here so ad-hoc notebooks and
+future operators can self-check before benching.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+RED_FLAGS = (
+    # two big relations crossing without a broadcast side
+    "CartesianProduct",
+    # row-at-a-time Python eval — every boundary should be Arrow-batched
+    "BatchEvalPython",
+)
+
+
+def plan_of(df: DataFrame, mode: str = "formatted") -> str:
+    """The pre-execution physical plan as text (modes: simple, extended,
+    formatted, cost, codegen)."""
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode
+    )
+
+
+def executed_plan(df: DataFrame) -> str:
+    """The plan actually run, AFTER an action on THIS DataFrame's query
+    execution (use `df.collect()`, not `df.count()` — count builds a
+    separate execution). With AQE this is the final adaptive plan
+    (`isFinalPlan=true`), the only place runtime re-plans (skew splits,
+    broadcast conversions, coalesced reads) are visible."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Number of shuffle exchanges in the pre-execution plan — the
+    first-order scale cost of a query shape."""
+    plan = plan_of(df, "simple")
+    return sum(
+        1
+        for line in plan.splitlines()
+        if "Exchange" in line and "BroadcastExchange" not in line
+    )
+
+
+def lint(df: DataFrame, allow_bnlj: bool = False) -> list[str]:
+    """Red-flag scan of the pre-execution plan. Returns human-readable
+    problems (empty list = clean). `allow_bnlj` acknowledges an
+    intentional BroadcastNestedLoopJoin (scalar/broadcast-block build
+    side); even then the plan must carry a BroadcastExchange."""
+    plan = plan_of(df, "simple")
+    problems = [flag for flag in RED_FLAGS if flag in plan]
+    if "BroadcastNestedLoopJoin" in plan:
+        if not allow_bnlj:
+            problems.append("BroadcastNestedLoopJoin (not allowed here)")
+        elif "BroadcastExchange" not in plan:
+            problems.append("BroadcastNestedLoopJoin without broadcast side")
+    return problems

@@ -14,10 +14,7 @@ from hcls_data_lake_spark import registry
 from hcls_data_lake_spark.queries.common import t
 
 
-def plan_of(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
+from hcls_data_lake_spark.plans import lint, plan_of  # noqa: E402
 
 
 def test_filter_pushdown_reaches_scan(spark, sf_dir):
@@ -352,14 +349,6 @@ def test_plan_lint_no_cartesian_no_rowwise_python(spark, sf_dir):
     for name, fn in sorted(qs.items()):
         if name.startswith("q_stream_"):
             continue
-        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
-        if "CartesianProduct" in plan:
-            failures.append(f"{name}: CartesianProduct")
-        if "BatchEvalPython" in plan:
-            failures.append(f"{name}: row-at-a-time Python eval")
-        if "BroadcastNestedLoopJoin" in plan:
-            if name not in _BNLJ_ALLOWED:
-                failures.append(f"{name}: unexpected BNLJ")
-            elif "BroadcastExchange" not in plan:
-                failures.append(f"{name}: BNLJ without broadcast side")
+        problems = lint(fn(spark, sf_dir), allow_bnlj=name in _BNLJ_ALLOWED)
+        failures.extend(f"{name}: {p}" for p in problems)
     assert not failures, "\n".join(failures)
