@@ -333,3 +333,53 @@ def q_stream_static_join(spark, sf_dir):
         )
     )
     return run_to_memory(joined, output_mode="complete", shuffle_partitions=8)
+
+
+@register(
+    "q_stream_pysource_typed",
+    """
+    SELECT i AS msg_id,
+           CASE WHEN i % 3 = 0 THEN 'ORU' ELSE 'ADT' END AS message_type,
+           CASE WHEN i % 3 = 0 THEN 'R01' ELSE 'A01' END AS trigger_event,
+           '20240101' || lpad(CAST(i % 24 AS VARCHAR), 2, '0') || '0000'
+               AS msg_ts_raw,
+           '2.6' AS hl7_version,
+           'PID' || lpad(CAST(i AS VARCHAR), 6, '0') AS patient_id,
+           'PATIENT' AS family_name,
+           'TEST' AS given_name
+    FROM range(0, 1200) t(i)
+    """,
+)
+def q_stream_pysource_typed(spark, sf_dir):
+    """Streaming read from the er7gen Python Data Source piped straight
+    into the typed ADT projection (hl7.er7.typed_adt) — the reference's
+    gateway-to-staging path as ONE streaming query: custom source
+    offsets in, codegen split expressions out, no file landing zone in
+    between. batchSize covers the id space so the availableNow run
+    drains in one offset step; chunked multi-batch replay is pinned in
+    test_streaming.py. Deterministic payloads give the full typed
+    projection an exact range() oracle."""
+    from hcls_data_lake_spark.hl7.er7 import typed_adt
+    from hcls_data_lake_spark.sources.er7_source import register_er7_source
+
+    register_er7_source(spark)
+    sdf = (
+        spark.readStream.format("er7gen")
+        .option("n", 1200)
+        .option("batchSize", 1200)
+        .load()
+    )
+    # the source's own envelope columns (patient_id, msg_type) would
+    # collide with the typed projection's aliases — carry only the id
+    # and the raw payload across the parse boundary
+    typed = typed_adt(sdf.select("msg_id", "er7")).select(
+        "msg_id",
+        "message_type",
+        "trigger_event",
+        "msg_ts_raw",
+        "hl7_version",
+        "patient_id",
+        "family_name",
+        "given_name",
+    )
+    return run_to_memory(typed, output_mode="append", shuffle_partitions=4)
