@@ -557,3 +557,28 @@ def q_agg_listagg(spark, sf_dir):
         ),
         F.count(F.lit(1)).alias("n_nations"),
     )
+
+
+@register(
+    "q_agg_bool",
+    """
+    SELECT l_returnflag,
+           bool_and(l_quantity >= 1) AS all_qty_valid,
+           bool_or(l_discount > 0.09) AS any_deep_discount,
+           CAST(count(*) FILTER (WHERE l_tax = 0) AS BIGINT) AS n_tax_free
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_bool(spark, sf_dir):
+    """Boolean aggregates (every/any + filtered count): the one-pass
+    form of per-group constraint checking — 'all rows valid' folds
+    map-side as AND, so a 100 TB validation never materializes the
+    violating rows unless asked (complement of
+    q_analytics_expectations' counters)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.every(F.col("l_quantity") >= 1).alias("all_qty_valid"),
+        F.some(F.col("l_discount") > 0.09).alias("any_deep_discount"),
+        F.count_if(F.col("l_tax") == 0).alias("n_tax_free"),
+    )

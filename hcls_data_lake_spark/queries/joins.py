@@ -571,3 +571,51 @@ def q_join_range_overlap(spark, sf_dir):
             F.least("a_hi", "b_hi") - F.greatest("a_lo", "b_lo")
         ).cast("bigint").alias("overlap_sec"),
     )
+
+
+@register(
+    "q_join_nullsafe",
+    """
+    WITH l AS (
+      SELECT event_id,
+             CASE WHEN event_type = 'error' THEN NULL ELSE event_type END
+                 AS etype
+      FROM events WHERE event_id < 2000
+    ), r AS (
+      SELECT DISTINCT
+             CASE WHEN event_type = 'error' THEN NULL ELSE event_type END
+                 AS etype,
+             CASE WHEN event_type = 'error' THEN 'quarantine'
+                  ELSE 'staging' END AS route
+      FROM events
+    )
+    SELECT l.event_id, r.route
+    FROM l JOIN r ON l.etype IS NOT DISTINCT FROM r.etype
+    """,
+)
+def q_join_nullsafe(spark, sf_dir):
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys MATCH
+    each other instead of silently dropping — the semantics a routing
+    table needs when 'unknown' is itself a routable class (the error
+    zone, A15). Catalyst plans eqNullSafe as an ordinary hash join
+    (null hashes like any value), so unlike an OR-of-is-null rewrite it
+    stays shuffle-hash/broadcast and never degenerates to BNLJ."""
+    e = t(spark, sf_dir, "events")
+    etype = F.when(F.col("event_type") == "error", None).otherwise(
+        F.col("event_type")
+    )
+    left = e.filter(F.col("event_id") < 2000).select(
+        "event_id", etype.alias("etype")
+    )
+    right = (
+        e.select(
+            etype.alias("etype"),
+            F.when(F.col("event_type") == "error", "quarantine")
+            .otherwise("staging")
+            .alias("route"),
+        )
+        .distinct()
+    )
+    return left.join(
+        F.broadcast(right), left.etype.eqNullSafe(right.etype)
+    ).select("event_id", "route")
