@@ -537,3 +537,38 @@ def q_fn_collation(spark, sf_dir):
         .cast("bigint")
         .alias("n_click_sensitive"),
     )
+
+
+@register(
+    "q_fn_json_build",
+    """
+    SELECT event_id,
+           '{"event":"' || event_type || '","uid":' || CAST(user_id AS VARCHAR)
+               || '}' AS envelope_json,
+           json_extract_string(props, '$.k') AS k1,
+           json_extract_string(props, '$.missing') AS k2
+    FROM events
+    WHERE event_id < 700
+    """,
+)
+def q_fn_json_build(spark, sf_dir):
+    """JSON construction + multi-path extraction (to_json, json_tuple):
+    the staging writer's side of the JSON story — q_fn_json reads
+    staged JSON, this builds the envelope document the zone writer
+    persists (trigger_lambda.py:30 stages serialized JSON). to_json on
+    a struct emits compact canonical JSON in struct-field order, which
+    the oracle reproduces by string assembly (values here need no
+    escaping); json_tuple pulls several paths in one pass instead of N
+    get_json_object calls."""
+    e = t(spark, sf_dir, "events").filter(F.col("event_id") < 700)
+    env = F.to_json(
+        F.struct(
+            F.col("event_type").alias("event"),
+            F.col("user_id").alias("uid"),
+        )
+    )
+    return e.select(
+        "event_id",
+        env.alias("envelope_json"),
+        F.json_tuple(F.col("props"), "k", "missing"),
+    ).toDF("event_id", "envelope_json", "k1", "k2")
