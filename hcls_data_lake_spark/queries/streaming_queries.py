@@ -383,3 +383,27 @@ def q_stream_pysource_typed(spark, sf_dir):
         "given_name",
     )
     return run_to_memory(typed, output_mode="append", shuffle_partitions=4)
+
+
+@register(
+    "q_stream_complete_topk",
+    """
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY user_id
+    ORDER BY n_events DESC, user_id
+    LIMIT 5
+    """,
+)
+def q_stream_complete_topk(spark, sf_dir):
+    """Complete-output-mode streaming top-k: sorting a streaming result
+    is only legal when every trigger re-emits the FULL aggregate state
+    (complete mode) — the live leaderboard shape (top senders per zone,
+    §2.B sorts family, as a stream). State is the per-user aggregate,
+    bounded by |users|; the sort runs on that state, never on the
+    input. Deterministic tie-break on user_id makes the top-5 cut
+    oracle-checkable."""
+    sdf = read_events_stream(spark, sf_dir)
+    agg = sdf.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    top = agg.orderBy(F.col("n_events").desc(), F.col("user_id")).limit(5)
+    return run_to_memory(top, output_mode="complete", shuffle_partitions=8)
