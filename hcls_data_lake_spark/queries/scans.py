@@ -420,3 +420,46 @@ def q_scan_pysource(spark, sf_dir):
         "msg_type",
         F.get(msh, 9).alias("msg_control_id"),
     )
+
+
+@register(
+    "q_scan_federated",
+    """
+    WITH gen AS (
+      SELECT 'APP' || CAST(i % 5 AS VARCHAR) AS src,
+             CASE WHEN i % 3 = 0 THEN 'ORU^R01' ELSE 'ADT^A01' END AS kind
+      FROM range(0, 2000) t(i)
+    ), ev AS (
+      SELECT 'events' AS src, event_type AS kind FROM events
+    )
+    SELECT src, kind, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT * FROM gen UNION ALL SELECT * FROM ev)
+    GROUP BY src, kind
+    """,
+)
+def q_scan_federated(spark, sf_dir):
+    """Federated multi-source plan: the parquet zone and the er7gen
+    gateway source union into ONE aggregation — a lake query does not
+    care which connector produced a row. Catalyst plans each leg with
+    its own scan strategy (columnar parquet batch vs Python generator
+    partitions) and the union is metadata-only; partial aggregation
+    runs per leg before the single shuffle."""
+    from hcls_data_lake_spark.sources.er7_source import register_er7_source
+
+    register_er7_source(spark)
+    gen = (
+        spark.read.format("er7gen")
+        .option("n", 2000)
+        .option("numPartitions", 8)
+        .load()
+        .select(
+            F.col("sending_app").alias("src"),
+            F.col("msg_type").alias("kind"),
+        )
+    )
+    ev = t(spark, sf_dir, "events").select(
+        F.lit("events").alias("src"), F.col("event_type").alias("kind")
+    )
+    return gen.unionByName(ev).groupBy("src", "kind").agg(
+        F.count(F.lit(1)).alias("n")
+    )
