@@ -619,3 +619,92 @@ def q_join_nullsafe(spark, sf_dir):
     return left.join(
         F.broadcast(right), left.etype.eqNullSafe(right.etype)
     ).select("event_id", "route")
+
+
+@register(
+    "q_join_temporal",
+    """
+    WITH latest AS (
+      SELECT user_id, batch, attr, eff FROM (
+        SELECT user_id,
+               epoch_ns(ts) // 864000000000000 AS batch,
+               event_type AS attr,
+               epoch_ns(ts) // 1000000000 AS eff,
+               ROW_NUMBER() OVER (
+                 PARTITION BY user_id, epoch_ns(ts) // 864000000000000
+                 ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn
+        FROM events)
+      WHERE rn = 1
+    ), changes AS (
+      SELECT user_id, attr, eff, batch,
+             LAG(attr) OVER (PARTITION BY user_id ORDER BY batch) AS prev
+      FROM latest
+    ), dim AS (
+      SELECT user_id, attr, eff AS valid_from,
+             COALESCE(LEAD(eff) OVER (PARTITION BY user_id ORDER BY batch),
+                      4611686018427387904) AS valid_to
+      FROM changes
+      WHERE prev IS NULL OR attr <> prev
+    )
+    SELECT e.event_id, e.user_id, d.attr AS state_at_event
+    FROM (SELECT event_id, user_id, epoch_ns(ts) // 1000000000 AS sec
+          FROM events WHERE event_id < 4000) e
+    JOIN dim d
+      ON e.user_id = d.user_id
+     AND e.sec >= d.valid_from AND e.sec < d.valid_to
+    """,
+)
+def q_join_temporal(spark, sf_dir):
+    """Point-in-time (temporal) join: each event joined to the
+    dimension version that was CURRENT at the event's timestamp — the
+    read side of SCD2 ("what did this patient's record say when the
+    message arrived?", A31). The versioned dimension is derived in one
+    windowed plan (per-batch collapse -> change detection ->
+    valid_from/valid_to via lead), then the join is an equi-join on the
+    entity key with the interval containment as a residual predicate —
+    a hash join at any scale, never a cross product, because version
+    intervals per key are disjoint (each event matches exactly one).
+    The iterative fold (q_scd2_dimension) maintains the same dimension
+    incrementally; this is its query-time one-shot form."""
+    e = t(spark, sf_dir, "events")
+    base = e.select(
+        "user_id",
+        F.expr("ts_ns div 864000000000000").alias("batch"),
+        F.col("event_type").alias("attr"),
+        F.expr("ts_ns div 1000000000").alias("eff"),
+        "event_id",
+        "ts_ns",
+    )
+    w = Window.partitionBy("user_id", "batch").orderBy(
+        F.col("ts_ns").desc(), F.col("event_id").desc()
+    )
+    latest = (
+        base.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "batch", "attr", "eff")
+    )
+    wb = Window.partitionBy("user_id").orderBy("batch")
+    changes = latest.withColumn("prev", F.lag("attr").over(wb))
+    kept = changes.filter(
+        F.col("prev").isNull() | (F.col("attr") != F.col("prev"))
+    )
+    dim = kept.select(
+        "user_id",
+        "attr",
+        F.col("eff").alias("valid_from"),
+        F.coalesce(
+            F.lead("eff").over(wb), F.lit(2**62)
+        ).alias("valid_to"),
+    )
+    ev = e.filter(F.col("event_id") < 4000).select(
+        "event_id", "user_id", F.expr("ts_ns div 1000000000").alias("sec")
+    )
+    return (
+        ev.join(
+            dim,
+            (ev.user_id == dim.user_id)
+            & (ev.sec >= dim.valid_from)
+            & (ev.sec < dim.valid_to),
+        )
+        .select("event_id", ev.user_id, F.col("attr").alias("state_at_event"))
+    )
