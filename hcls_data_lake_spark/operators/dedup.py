@@ -249,3 +249,58 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def pagerank(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    damping: float = 0.85,
+    iters: int = 10,
+) -> DataFrame:
+    """PageRank over an undirected pair graph (each pair feeds both
+    directions) — the centrality complement to connected_components:
+    inside a near-dup cluster the highest-rank node is the best
+    canonical representative (most-connected copy), a more robust
+    keeper choice than min-id when clusters are star-shaped.
+
+    Same iteration shape as min-label propagation: per round one join
+    (ranks onto edges) + one aggregate (sum contributions), both
+    hash-partitioned on the node id, materialized via localCheckpoint
+    so lineage never compounds. Undirected edges mean no dangling
+    nodes, so total rank is conserved at |nodes| (pytest pins it).
+    Fixed iteration count keeps the result deterministic."""
+    fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    rev = pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    edges = fwd.unionByName(rev).distinct().localCheckpoint(eager=True)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    edges_d = edges.join(deg, "src").localCheckpoint(eager=True)
+    ranks = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("rank", F.lit(1.0))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        contribs = (
+            edges_d.join(ranks, edges_d["src"] == ranks["node"])
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("deg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("csum"))
+        )
+        ranks = (
+            ranks.select("node")
+            .join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * F.coalesce("csum", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

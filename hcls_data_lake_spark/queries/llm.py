@@ -910,3 +910,19 @@ def q_multimodal_arrow_stats(spark, sf_dir):
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
     return byte_stats_arrow(payloads)
+
+
+@register("q_graph_pagerank", None)  # iterative float ranks: rows-only
+def q_graph_pagerank(spark, sf_dir):
+    """PageRank over the near-dup pair graph (operators/dedup.pagerank):
+    ranks the best canonical representative per duplicate cluster —
+    star centers outrank leaves, so 'keep the most-connected copy'
+    replaces 'keep the min id' where copies differ in quality. Driver
+    check is rows-only (iterative float ranks aren't SQL-expressible);
+    tests pin rank conservation, center>leaf ordering, and
+    determinism."""
+    pairs = _near_pairs(spark, sf_dir)
+    from hcls_data_lake_spark.operators.dedup import pagerank
+
+    ranks = pagerank(pairs, iters=8)
+    return ranks.select("node", F.round("rank", 6).alias("rank"))

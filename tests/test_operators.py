@@ -585,3 +585,24 @@ def test_public_function_surface_composes(spark):
     assert row.sh == ["a b", "b c", "c a"]
     assert row.cos == 0.0 and row.dp == 1.0
     assert sorted(HF.__all__) == sorted(set(HF.__all__))
+
+
+def test_pagerank_conserves_rank_and_prefers_centers(spark):
+    """pagerank: on an undirected graph total rank is conserved at
+    |nodes|; a star center outranks its leaves; two runs agree
+    exactly (fixed iterations, deterministic plan)."""
+    from pyspark.sql import functions as F
+
+    from hcls_data_lake_spark.operators.dedup import pagerank
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (1, 5), (6, 7)],
+        "doc_a long, doc_b long",
+    )
+    r1 = {r.node: r.rank for r in pagerank(pairs, iters=12).collect()}
+    assert abs(sum(r1.values()) - 7.0) < 1e-9
+    assert r1[1] > r1[2] > 0
+    assert abs(r1[2] - r1[5]) < 1e-12  # symmetric leaves tie exactly
+    assert abs(r1[6] - r1[7]) < 1e-12
+    r2 = {r.node: r.rank for r in pagerank(pairs, iters=12).collect()}
+    assert r1 == r2
