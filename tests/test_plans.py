@@ -352,3 +352,16 @@ def test_plan_lint_no_cartesian_no_rowwise_python(spark, sf_dir):
         problems = lint(fn(spark, sf_dir), allow_bnlj=name in _BNLJ_ALLOWED)
         failures.extend(f"{name}: {p}" for p in problems)
     assert not failures, "\n".join(failures)
+
+
+def test_temporal_join_is_keyed_not_bnl(spark, sf_dir):
+    """q_join_temporal: the interval-containment predicate must ride an
+    equi-join on the entity key (hash/merge), never a nested loop —
+    disjoint version intervals per key make containment a residual
+    filter, not a join strategy."""
+    plan = plan_of(registry.queries()["q_join_temporal"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
