@@ -242,3 +242,41 @@ def q_win_percent(spark, sf_dir):
         F.round(F.percent_rank().over(w), 6).alias("pr"),
         F.round(F.cume_dist().over(w), 6).alias("cd"),
     )
+
+
+@register(
+    "q_win_ratio",
+    """
+    WITH c AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey < 5000
+    )
+    SELECT o_custkey, o_orderkey,
+           (cents * 1000000) // SUM(cents) OVER (PARTITION BY o_custkey)
+               / 1000000.0 AS share_of_customer,
+           CAST(SUM(cents) OVER (PARTITION BY o_custkey) AS BIGINT)
+               AS cust_total_cents
+    FROM c
+    """,
+)
+def q_win_ratio(spark, sf_dir):
+    """Ratio-to-report: each order's share of its customer's total — an
+    UNORDERED partition aggregate window (no frame, no sort within the
+    partition), the cheapest window class: one hash shuffle on the key,
+    full-partition aggregate joined back to its rows by the window
+    operator. Shares are integer parts-per-million
+    (`cents*1e6 div total`), never round(x/y) — the quotient lands on
+    half-way boundaries where engine rounding diverges."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 5000)
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    c = o.select("o_custkey", "o_orderkey", cents.alias("cents"))
+    total = "sum(cents) over (partition by o_custkey)"
+    return c.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.expr(f"(cents * 1000000) div ({total})") / 1000000.0).alias(
+            "share_of_customer"
+        ),
+        F.expr(total).cast("bigint").alias("cust_total_cents"),
+    )

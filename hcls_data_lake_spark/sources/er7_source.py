@@ -62,10 +62,13 @@ class ER7Reader(DataSourceReader):
 
     def partitions(self):
         per = max(1, -(-self.n // self.num_partitions))  # ceil div
-        return [
+        parts = [
             _RangePartition(lo, min(lo + per, self.n))
             for lo in range(0, self.n, per)
         ]
+        # the API requires >= 1 partition: an empty list makes Spark
+        # invoke read(None); n=0 reports one empty range instead
+        return parts or [_RangePartition(0, 0)]
 
     def read(self, partition: _RangePartition):
         for i in range(partition.start, partition.end):

@@ -254,3 +254,20 @@ def test_transform_with_state_matches_batch_aggregate(spark, sf_dir):
     got = {(r.user_id): (r.n_events, r.sum_value) for r in out.collect()}
     want = {(r.user_id): (r.n_events, r.sum_value) for r in expected.collect()}
     assert got == want
+
+
+def test_er7gen_empty_and_single_partition_edges(spark):
+    """er7gen edge cases: n=0 yields an empty readable frame; n smaller
+    than numPartitions still covers every id exactly once."""
+    from hcls_data_lake_spark.sources.er7_source import register_er7_source
+
+    register_er7_source(spark)
+    empty = spark.read.format("er7gen").option("n", 0).load()
+    assert empty.count() == 0
+    small = (
+        spark.read.format("er7gen")
+        .option("n", 3)
+        .option("numPartitions", 8)
+        .load()
+    )
+    assert sorted(r.msg_id for r in small.collect()) == [0, 1, 2]
