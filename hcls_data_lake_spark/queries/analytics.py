@@ -12,6 +12,7 @@ together. Both are oracle-checked.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from hcls_data_lake_spark.queries.common import t
 from hcls_data_lake_spark.registry import register
@@ -370,4 +371,132 @@ def q_analytics_priority(spark, sf_dir):
         )
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "q_analytics_cohort",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(epoch_ns(ts) // 86400000000000) AS first_day
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT e.user_id,
+             f.first_day // 7 AS cohort_week,
+             (epoch_ns(e.ts) // 86400000000000 - f.first_day) // 7
+                 AS weeks_since
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT cohort_week, weeks_since,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+    FROM activity
+    GROUP BY cohort_week, weeks_since
+    """,
+)
+def q_analytics_cohort(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-seen week, their
+    activity counted per week-since-arrival — the engagement view every
+    event lake serves. Two aggregates and one join: the firsts
+    aggregate shuffles on user_id once and the activity join reuses
+    that clustering (same key), so the whole matrix costs one fact
+    shuffle plus the final small (cohort, week) aggregate. All time
+    math is integer epoch-day/week arithmetic — no calendar functions,
+    no timezone, no float."""
+    e = t(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts_ns div 86400000000000").alias("day")
+    )
+    firsts = e.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    activity = e.join(firsts, "user_id").select(
+        "user_id",
+        F.expr("first_day div 7").alias("cohort_week"),
+        F.expr("(day - first_day) div 7").alias("weeks_since"),
+    )
+    return activity.groupBy("cohort_week", "weeks_since").agg(
+        F.countDistinct("user_id").alias("active_users")
+    )
+
+
+@register(
+    "q_analytics_funnel",
+    """
+    WITH marked AS (
+      SELECT user_id, event_type, epoch_ns(ts) // 1000 AS ep,
+             CASE WHEN lag(epoch_ns(ts) // 1000) OVER w IS NULL
+                    OR epoch_ns(ts) // 1000 - lag(epoch_ns(ts) // 1000) OVER w
+                       >= 300000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000,
+                   event_id)
+    ), sess AS (
+      SELECT user_id, event_type, ep,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ep
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM marked
+    ), per_sess AS (
+      SELECT user_id, sess_id,
+             MIN(CASE WHEN event_type = 'view' THEN ep END) AS first_view,
+             MAX(CASE WHEN event_type = 'purchase' THEN ep END)
+                 AS last_purchase
+      FROM sess GROUP BY user_id, sess_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS sessions_with_view,
+           CAST(SUM(CASE WHEN first_view IS NOT NULL
+                          AND last_purchase >= first_view THEN 1 ELSE 0 END)
+                AS BIGINT) AS converted_sessions
+    FROM per_sess
+    """,
+)
+def q_analytics_funnel(spark, sf_dir):
+    """Sessionized conversion funnel: within each 5-minute-gap user
+    session, did a purchase happen at-or-after the first view? One
+    shuffle family on user_id carries sessionization (gaps-and-islands
+    windows), the per-session conditional MIN/MAX, and the final global
+    counters — the fact table moves once. Session boundaries tie-break
+    on event_id so simultaneous events sessionize identically in both
+    engines; all time math is integer microseconds."""
+    e = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id",
+        F.expr("ts_ns div 1000").alias("ep"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ep", "event_id")
+    marked = e.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("ep").over(w).isNull()
+            | (F.col("ep") - F.lag("ep").over(w) >= 300_000_000),
+            1,
+        ).otherwise(0),
+    )
+    ws = (
+        Window.partitionBy("user_id")
+        .orderBy("ep")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sess = marked.withColumn("sess_id", F.sum("new_sess").over(ws))
+    per_sess = sess.groupBy("user_id", "sess_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ep"))).alias(
+            "first_view"
+        ),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ep"))).alias(
+            "last_purchase"
+        ),
+    )
+    return per_sess.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(F.when(F.col("first_view").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("sessions_with_view"),
+        F.sum(
+            F.when(
+                F.col("first_view").isNotNull()
+                & (F.col("last_purchase") >= F.col("first_view")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("converted_sessions"),
     )
