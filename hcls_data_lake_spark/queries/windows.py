@@ -280,3 +280,31 @@ def q_win_ratio(spark, sf_dir):
         ),
         F.expr(total).cast("bigint").alias("cust_total_cents"),
     )
+
+
+@register(
+    "q_win_distinct",
+    """
+    SELECT event_id, user_id,
+           CAST(count(DISTINCT event_type)
+                OVER (PARTITION BY user_id) AS INTEGER) AS n_types
+    FROM events
+    WHERE event_id < 3000
+    """,
+)
+def q_win_distinct(spark, sf_dir):
+    """Distinct-count window: how many distinct event types each user
+    has, attached to every event row (the per-entity diversity signal
+    behind engagement scoring). Spark has no DISTINCT window aggregate;
+    the idiomatic form is size(collect_set() OVER (PARTITION BY ...)) —
+    set semantics give exact distinct counts and the unordered window
+    needs one hash shuffle, no sort. Set size is bounded by the
+    attribute's cardinality (5 event types), so state per partition
+    never grows with row count."""
+    e = t(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+    w = Window.partitionBy("user_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.size(F.collect_set("event_type").over(w)).alias("n_types"),
+    )
