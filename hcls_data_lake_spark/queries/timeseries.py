@@ -166,3 +166,35 @@ def q_ts_sessionize(spark, sf_dir):
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
     )
+
+
+@register(
+    "q_ts_dedup_consecutive",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_ns(ts), event_id) AS prev_type
+      FROM events
+    )
+    SELECT user_id, event_id, event_type
+    FROM ordered
+    WHERE prev_type IS DISTINCT FROM event_type
+    """,
+)
+def q_ts_dedup_consecutive(spark, sf_dir):
+    """Consecutive-duplicate suppression: keep an event only when its
+    type DIFFERS from the user's previous event (the sensor/status
+    dedup that exact content-hash dedup can't express — the same value
+    is legitimate again after an intervening change). One lag window
+    per user, null-safe inequality so the first event always survives;
+    ordering ties break on event_id so both engines pick identical
+    survivors. State is one row per partition — the streaming analog
+    is dropDuplicatesWithinWatermark on (user, type) runs."""
+    e = events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    marked = e.withColumn("prev_type", F.lag("event_type").over(w))
+    return marked.filter(
+        ~F.col("prev_type").eqNullSafe(F.col("event_type"))
+    ).select("user_id", "event_id", "event_type")
