@@ -365,3 +365,24 @@ def test_temporal_join_is_keyed_not_bnl(spark, sf_dir):
     assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
         "ShuffledHashJoin" in plan
     )
+
+
+def test_dynamic_partition_pruning_fires(spark, sf_dir):
+    """Dynamic partition pruning: joining the partitioned zone copy to
+    a selectively-filtered dim on the PARTITION column must inject a
+    dynamicpruning subquery into the fact scan — only partitions whose
+    key survives the dim filter are listed/read. The static complement
+    (literal predicate) is test_partition_pruning_fires; this is the
+    join-driven form that matters when the filter arrives via a
+    dimension."""
+    registry.queries()["q_scan_partition_prune"](spark, sf_dir).collect()
+    from hcls_data_lake_spark.queries.common import scratch_for
+
+    fact = spark.read.parquet(scratch_for(sf_dir, "orders_by_status"))
+    dim = spark.createDataFrame(
+        [("F", "final"), ("O", "open"), ("P", "pending")],
+        "o_orderstatus string, label string",
+    ).filter(F.col("label") == "final")
+    j = fact.join(dim, "o_orderstatus")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), "DPP was not injected"
