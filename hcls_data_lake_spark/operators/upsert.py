@@ -144,3 +144,28 @@ def scd2_apply(
     return hist.unionByName(unchanged_open).unionByName(closed).unionByName(
         opened
     ).unionByName(new_keys)
+
+
+def apply_changes(
+    existing: DataFrame,
+    changes: DataFrame,
+    key: str,
+    op_col: str = "op",
+    version_col: str | None = None,
+) -> DataFrame:
+    """CDC APPLY CHANGES: fold a change feed carrying inserts/updates
+    ('I'/'U') and deletes ('D') into the current table state — the
+    last-write-wins catalog semantics (core_stack.yml:164-172) extended
+    with tombstones, which plain ``upsert`` cannot express.
+
+    A batch may carry several changes per key; pass ``version_col`` to
+    collapse to the latest (ties would make the survivor undefined).
+    The surviving change then either deletes the key or replaces the
+    row: one collapse window + one anti-join + one union — the same
+    single-key-shuffle cost as upsert. Change rows must carry the
+    ``existing`` columns plus op/version."""
+    if version_col is not None:
+        changes = upsert_latest(changes, key, version_col)
+    kept = existing.join(changes.select(key), key, "left_anti")
+    survivors = changes.filter(F.col(op_col) != "D").select(*existing.columns)
+    return kept.unionByName(survivors)

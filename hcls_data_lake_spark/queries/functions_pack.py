@@ -572,3 +572,44 @@ def q_fn_json_build(spark, sf_dir):
         env.alias("envelope_json"),
         F.json_tuple(F.col("props"), "k", "missing"),
     ).toDF("event_id", "envelope_json", "k1", "k2")
+
+
+@register(
+    "q_fn_hof",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ' '), w -> length(w)) AS lens
+      FROM documents WHERE doc_id < 400
+    )
+    SELECT doc_id,
+           len(list_filter(lens, x -> x > 6)) > 0 AS any_long,
+           len(list_filter(lens, x -> NOT (x < 15))) = 0 AS all_short,
+           CAST(list_sum(lens) AS BIGINT) AS total_chars,
+           CAST(list_sum(list_transform(lens, x -> x * x)) AS BIGINT)
+               AS sum_sq
+    FROM tok
+    """,
+)
+def q_fn_hof(spark, sf_dir):
+    """Higher-order-function pack beyond transform/filter (q_fn_array):
+    exists / forall short-circuit per element without exploding, and
+    aggregate() folds an array to a scalar inside codegen — the
+    per-document reductions (any long token? total chars?) that would
+    otherwise cost an explode + groupBy shuffle run entirely map-side.
+    The fold is the same shape the dot products in
+    operators/similarity.py use."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    lens = F.transform(F.split("text", " "), lambda w: F.length(w))
+    base = d.select("doc_id", lens.alias("lens"))
+    return base.select(
+        "doc_id",
+        F.exists("lens", lambda x: x > 6).alias("any_long"),
+        F.forall("lens", lambda x: x < 15).alias("all_short"),
+        F.aggregate(
+            "lens", F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        ).alias("total_chars"),
+        F.aggregate(
+            "lens", F.lit(0).cast("bigint"), lambda acc, x: acc + x * x
+        ).alias("sum_sq"),
+    )

@@ -688,3 +688,57 @@ def q_udf_grouped_map(spark, sf_dir):
         schema="user_id bigint, event_id bigint, delta_cents bigint,"
         " range_bp bigint",
     )
+
+
+@register(
+    "q_pipeline_cdc_apply",
+    """
+    WITH changes AS (
+      SELECT o_custkey AS c_custkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN 'D'
+                  ELSE 'U' END AS op,
+             'SEG' || CAST(o_orderkey % 5 AS VARCHAR) AS c_mktsegment,
+             o_orderkey AS version,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderkey DESC) AS rn
+      FROM orders WHERE o_orderkey < 3000
+    ), latest AS (
+      SELECT c_custkey, op, c_mktsegment FROM changes WHERE rn = 1
+    )
+    SELECT c.c_custkey,
+           COALESCE(l.c_mktsegment, c.c_mktsegment) AS c_mktsegment,
+           l.c_custkey IS NOT NULL AS was_updated
+    FROM customer c LEFT JOIN latest l USING (c_custkey)
+    WHERE l.op IS NULL OR l.op <> 'D'
+    """,
+)
+def q_pipeline_cdc_apply(spark, sf_dir):
+    """CDC APPLY CHANGES (operators/upsert.apply_changes): a change
+    feed with updates AND tombstones folds into current state — deletes
+    remove the key, the latest update per key (version = orderkey,
+    collapsed LWW) replaces the row, untouched rows pass through. The
+    feed is synthesized deterministically from orders so DuckDB can
+    replay the same fold relationally. One collapse window + one
+    anti-join + one union: the same single-key-shuffle cost as plain
+    upsert; at 100 TB this is the nightly change-feed merge for any
+    non-transactional table."""
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    changes = o.select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.when(F.col("o_orderkey") % 7 == 0, "D").otherwise("U").alias("op"),
+        F.concat(F.lit("SEG"), (F.col("o_orderkey") % 5).cast("string")).alias(
+            "c_mktsegment"
+        ),
+        F.col("o_orderkey").alias("version"),
+    )
+    from hcls_data_lake_spark.operators.upsert import apply_changes, upsert_latest
+
+    base = c.withColumn("was_updated", F.lit(False))
+    feed = changes.withColumn("was_updated", F.lit(True))
+    return apply_changes(
+        base,
+        feed.select("c_custkey", "c_mktsegment", "was_updated", "op", "version"),
+        "c_custkey",
+        version_col="version",
+    )
