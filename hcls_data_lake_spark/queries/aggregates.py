@@ -582,3 +582,34 @@ def q_agg_bool(spark, sf_dir):
         F.some(F.col("l_discount") > 0.09).alias("any_deep_discount"),
         F.count_if(F.col("l_tax") == 0).alias("n_tax_free"),
     )
+
+
+@register("q_agg_hll_sketch", None)  # sketch binary: rows-only
+def q_agg_hll_sketch(spark, sf_dir):
+    """Mergeable HLL sketches (Apache DataSketches, Spark 3.5+): build
+    one sketch per event_type, then UNION the sketches for the global
+    distinct-user estimate — distinct counts become reaggregatable the
+    way sums are, which is what a 100 TB rollup hierarchy needs
+    (per-hour sketches merge into days into months; exact distincts
+    can't roll up). approx_count_distinct (q_agg_approx_distinct) gives
+    one estimate; sketch columns give a STORED, mergeable layer.
+    Rows-only (sketch binaries are engine-specific); the error bound
+    and merge-vs-direct consistency are pytest-pinned."""
+    e = t(spark, sf_dir, "events")
+    per_type = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return per_type.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").cast("bigint").alias("approx_users"),
+        "n_rows",
+    ).unionByName(
+        per_type.agg(
+            F.lit("__all__").alias("event_type"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk"))
+            .cast("bigint")
+            .alias("approx_users"),
+            F.sum("n_rows").alias("n_rows"),
+        )
+    )

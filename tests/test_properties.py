@@ -264,3 +264,25 @@ def test_salted_join_equals_plain_join(spark, fact_keys, dim_keys, n_salts, how)
         (r.row_id, r.k, r.label) for r in facts.join(dims, ["k"], how).collect()
     )
     assert salted == plain
+
+
+def test_hll_sketch_merge_matches_direct_and_bounds_error(spark, sf_dir):
+    """DataSketches HLL: merging per-group sketches must estimate the
+    SAME value as a sketch built directly over the union (mergeability
+    is the contract), and both must land within 5% of the exact global
+    distinct count."""
+    from pyspark.sql import functions as F
+
+    from hcls_data_lake_spark.queries.common import events
+
+    e = events(spark, sf_dir)  # raw read rejects TIMESTAMP(NANOS)
+    per_type = e.groupBy("event_type").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    ).first()["est"]
+    direct = e.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est")
+    ).first()["est"]
+    exact = e.select("user_id").distinct().count()
+    assert merged == direct, "sketch merge diverged from direct build"
+    assert abs(merged - exact) / exact <= 0.05, f"{merged} vs exact {exact}"
