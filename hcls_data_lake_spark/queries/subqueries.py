@@ -161,3 +161,173 @@ def q_subquery_not_exists(spark, sf_dir):
     return s.join(
         bad, s.s_suppkey == bad.l_suppkey, "left_anti"
     ).select("s_suppkey", "s_name")
+
+
+@register(
+    "q_subquery_waiting_supplier",
+    """
+    WITH ol AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             (l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY) AS late
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+    )
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM ol l1 JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+    WHERE l1.late
+      AND EXISTS (SELECT 1 FROM ol l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM ol l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.late)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+)
+def q_subquery_waiting_supplier(spark, sf_dir):
+    """TPC-H-Q21-shape 'sole late supplier' report, adapted to this
+    schema (no l_commitdate — 'late' is shipdate > orderdate + 90d).
+    The literal form is two correlated EXISTS self-joins over
+    lineitem; re-shuffling the fact twice more is exactly what a
+    100 TB plan can't afford. The Spark-first decorrelation folds BOTH
+    quantifiers into ONE per-order aggregate: EXISTS(other supplier) ⇔
+    countDistinct(supplier) > 1, and NOT EXISTS(other late supplier)
+    ⇔ countDistinct(supplier WHERE late) = 1 given this row is late —
+    so the sole late supplier and its late-lineitem count fall out of
+    the same hash aggregate. One fact shuffle (on l_orderkey) total;
+    supplier joins onto the order-sized aggregate via broadcast.
+    Top-20 is TakeOrderedAndProject."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = t(spark, sf_dir, "lineitem")
+    ol = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
+        ).alias("late"),
+    )
+    per_order = ol.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+        F.max(F.when(F.col("late"), F.col("l_suppkey"))).alias("late_supp"),
+        F.sum(F.col("late").cast("long")).alias("n_late_items"),
+    )
+    sole = per_order.filter(
+        (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+    )
+    s = t(spark, sf_dir, "supplier")
+    return (
+        sole.groupBy("late_supp")
+        .agg(F.sum("n_late_items").alias("numwait"))
+        .join(F.broadcast(s), F.col("late_supp") == s.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+@register(
+    "q_subquery_idle_customers",
+    """
+    WITH c AS (
+      SELECT c_custkey, c_nationkey,
+             CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents
+      FROM customer
+    ), pos AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS sum_cents
+      FROM c WHERE cents > 0
+    )
+    SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM c
+    WHERE cents * (SELECT n FROM pos) > (SELECT sum_cents FROM pos)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-06-01 00:00:00')
+    GROUP BY c_nationkey
+    """,
+)
+def q_subquery_idle_customers(spark, sf_dir):
+    """TPC-H-Q22-shape 'global sales opportunity': customers with an
+    above-average positive balance and no RECENT orders (none since
+    2000-06-01), grouped by nation.
+    Two subquery forms in one plan: an uncorrelated scalar aggregate
+    (average positive balance — broadcast as a one-row cross join,
+    compared in exact integer cents via cents*n > sum) and a
+    correlated NOT EXISTS (left-anti against orders on the customer
+    key, date predicate pushed into the probe-side scan). The
+    anti-join probes only (o_custkey, o_orderdate) columns;
+    at scale both sides hash-partition on custkey once — no
+    per-customer re-execution."""
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("cents"),
+    )
+    pos = c.filter(F.col("cents") > 0).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("cents").alias("_sum_cents"),
+    )
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.expr("TIMESTAMP '2000-06-01 00:00:00'"))
+        .select("o_custkey")
+    )
+    return (
+        c.join(F.broadcast(pos))
+        .filter(F.col("cents") * F.col("_n") > F.col("_sum_cents"))
+        .join(o, F.col("c_custkey") == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum("cents").alias("sum_cents"),
+        )
+    )
+
+
+@register(
+    "q_subquery_having",
+    """
+    WITH pr AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                           AS BIGINT)) AS BIGINT) AS part_cents
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey, part_cents
+    FROM pr
+    WHERE part_cents * 10000 > (SELECT CAST(SUM(part_cents) AS BIGINT)
+                                FROM pr) * 7
+    ORDER BY part_cents DESC, l_partkey
+    LIMIT 50
+    """,
+)
+def q_subquery_having(spark, sf_dir):
+    """TPC-H-Q11-shape 'important stock': parts whose revenue exceeds
+    7 basis points of GLOBAL revenue — a HAVING clause compared
+    against a scalar subquery over the same aggregate. Spark-first
+    form reuses ONE per-part aggregate for both sides: the global sum
+    re-aggregates the (small) per-part result, then broadcasts back as
+    a one-row cross join — the fact table is scanned and shuffled
+    exactly once. Threshold arithmetic is integer all the way
+    (cents * 10000 vs total * bp) so the HAVING boundary is
+    engine-exact. Top-50 is TakeOrderedAndProject."""
+    li = t(spark, sf_dir, "lineitem")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    pr = li.groupBy("l_partkey").agg(F.sum(cents).alias("part_cents"))
+    total = pr.agg(F.sum("part_cents").alias("_total"))
+    return (
+        pr.join(F.broadcast(total))
+        .filter(F.col("part_cents") * 10000 > F.col("_total") * 7)
+        .select("l_partkey", "part_cents")
+        .orderBy(F.desc("part_cents"), "l_partkey")
+        .limit(50)
+    )
