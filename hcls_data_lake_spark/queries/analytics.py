@@ -500,3 +500,157 @@ def q_analytics_funnel(spark, sf_dir):
         .cast("bigint")
         .alias("converted_sessions"),
     )
+
+
+@register(
+    "q_analytics_order_distribution",
+    """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey
+       AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q_analytics_order_distribution(spark, sf_dir):
+    """TPC-H-Q13-shape customer order-count distribution: LEFT OUTER
+    join with a non-key predicate folded into the join condition (not
+    a post-filter — customers whose only orders are urgent must still
+    appear with count 0), then a two-level aggregate. Scale shape:
+    the outer join and the first groupBy share the custkey hash
+    partitioning — AQE reuses the exchange, so the fact shuffles once;
+    the second aggregate runs over a |distinct counts|-sized relation
+    (tiny at any scale)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey)
+            & (o.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "q_analytics_disjunctive_revenue",
+    """
+    SELECT CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                         AS BIGINT)) AS BIGINT) AS rev_cents,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q_analytics_disjunctive_revenue(spark, sf_dir):
+    """TPC-H-Q19-shape disjunctive-predicate revenue: three OR'd
+    (brand, size, quantity) branches spanning BOTH join sides. The
+    declarative form lets Catalyst factor the disjunction: the
+    brand/size terms (part-only) and quantity terms (lineitem-only)
+    are extracted as single-side prefilters and PUSHED to each scan
+    before the join, while the full cross-side disjunction stays as
+    the join residual — without that factoring, a 100 TB scan reads
+    every row to evaluate OR branches that reference the other table.
+    part prefilters to a broadcast-sized set, so the fact never
+    shuffles."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    joined = li.join(p, li.l_partkey == p.p_partkey)
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    return joined.filter(branch).agg(
+        F.sum(cents).alias("rev_cents"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "q_analytics_market_share",
+    """
+    SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CASE WHEN n.n_name = 'NATION_7'
+                    THEN CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                    * 100, 0) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS nation_cents,
+           CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100,
+                               0) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def q_analytics_market_share(spark, sf_dir):
+    """TPC-H-Q8-shape market share: one nation's share of supplier
+    revenue per order-year. The share is emitted as an exact integer
+    (nation_cents, total_cents) pair instead of a float ratio — both
+    sums are order-independent under any partitioning, so the result
+    is engine- and cluster-layout-exact; callers divide at render
+    time. Scale shape: supplier⋈nation collapses to one broadcast
+    dim; orders⋈lineitem is the only big-big shuffle; the conditional
+    numerator rides the same hash aggregate as the denominator (no
+    second pass, no self-join)."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    dim = F.broadcast(
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+            "s_suppkey", "n_name"
+        )
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(dim, li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("n_name") == "NATION_7", cents).otherwise(
+                    F.lit(0).cast("long")
+                )
+            ).alias("nation_cents"),
+            F.sum(cents).alias("total_cents"),
+        )
+        .orderBy("o_year")
+    )
