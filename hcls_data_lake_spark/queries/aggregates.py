@@ -613,3 +613,46 @@ def q_agg_hll_sketch(spark, sf_dir):
             F.sum("n_rows").alias("n_rows"),
         )
     )
+
+
+@register(
+    "q_agg_regression",
+    """
+    SELECT l_returnflag,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 4)
+             AS intercept,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 4) AS r2,
+           ROUND(covar_samp(l_extendedprice, l_quantity), 4) AS covar,
+           ROUND(corr(l_extendedprice, l_quantity), 4) AS r
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_agg_regression(spark, sf_dir):
+    """OLS regression aggregates (price-vs-quantity per return flag):
+    regr_slope/intercept/r2, sample covariance, Pearson r — the
+    statistical-profiling layer a curation pipeline runs before
+    training-mix decisions. All are single-pass MERGEABLE moment
+    sketches (count, Σx, Σy, Σxy, Σx², Σy² partials combine map-side
+    like sums), so one hash aggregate with partial combine — never a
+    centered two-pass mean-then-residual plan, which would double the
+    100 TB scan. Outputs rounded to 4 decimals: the moments themselves
+    are float, so the last-ulp summation-order wobble rounds away
+    identically in both engines."""
+    li = t(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.regr_count(y, x).cast("bigint").alias("n"),
+            F.round(F.regr_slope(y, x), 4).alias("slope"),
+            F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+            F.round(F.regr_r2(y, x), 4).alias("r2"),
+            F.round(F.covar_samp(y, x), 4).alias("covar"),
+            F.round(F.corr(y, x), 4).alias("r"),
+        )
+        .orderBy("l_returnflag")
+    )
