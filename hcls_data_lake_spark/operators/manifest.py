@@ -1,0 +1,161 @@
+"""Versioned-manifest table format: snapshot reads + time travel.
+
+Reference grounding: the lake bucket is *versioned* (S3
+`VersioningConfiguration: Enabled`, core_stack.yml:27-28) and every
+message version is additionally recorded in the DynamoDB catalog
+(core_stack.yml:155-172) — the reference already separates "what bytes
+exist" (immutable, append-only objects) from "what the table IS right
+now" (the catalog's view). This module makes that split explicit for
+the Parquet lake, the way Delta/Iceberg do:
+
+- **Data files are immutable.** Every commit writes NEW parquet files
+  under ``<root>/data/commit-<v>/``; nothing is ever rewritten in
+  place.
+- **A version is a manifest**, ``<root>/_manifests/v<N>.json``: the
+  explicit list of data files that make up the table at version N,
+  plus the schema and commit mode. Readers plan from the manifest —
+  never from directory listing — so a half-finished write is invisible
+  (its files exist but no manifest references them) and object-store
+  LIST inconsistency never corrupts a read.
+- **Publish is atomic + conflict-checked**: the manifest is staged to
+  a temp name and published with ``os.link`` (fails with EEXIST if a
+  concurrent committer won version N — optimistic concurrency; the
+  loser retries against the new latest). This is the same
+  single-atomic-pointer-swap protocol as Delta's ``_delta_log/N.json``
+  commit.
+
+Scale posture: at 100 TB the manifest is the entire planning input —
+O(#files) metadata, no 100 TB directory walk; time travel to version
+N costs the same as reading HEAD; `vacuum` is the only operation that
+deletes bytes, and it deletes exactly the files no retained manifest
+references. On a real deployment the `os.link` publish maps to a
+conditional PUT (S3 If-None-Match) or a catalog conditional write —
+the DynamoDB catalog's ``attribute_not_exists`` idiom.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+_MANIFESTS = "_manifests"
+_DATA = "data"
+
+
+def _manifest_dir(root: str) -> str:
+    return os.path.join(root, _MANIFESTS)
+
+
+def versions(root: str) -> list[int]:
+    """All committed versions, ascending. Empty if the table has never
+    been committed."""
+    mdir = _manifest_dir(root)
+    if not os.path.isdir(mdir):
+        return []
+    out = []
+    for f in os.listdir(mdir):
+        if f.startswith("v") and f.endswith(".json"):
+            out.append(int(f[1:-5]))
+    return sorted(out)
+
+
+def _load(root: str, version: int) -> dict:
+    with open(os.path.join(_manifest_dir(root), f"v{version}.json")) as fh:
+        return json.load(fh)
+
+
+def commit(df, root: str, mode: str = "append") -> int:
+    """Commit `df` as the next table version; returns the version.
+
+    `mode="append"` makes the new version = previous files + this
+    commit's files; `mode="overwrite"` makes it exactly this commit's
+    files. The data write itself is a plain distributed parquet write
+    (executors write in parallel); only the metadata publish is
+    single-file."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    os.makedirs(_manifest_dir(root), exist_ok=True)
+    while True:
+        prev = versions(root)
+        version = (prev[-1] + 1) if prev else 1
+        data_dir = os.path.join(root, _DATA, f"commit-{version}")
+        # Immutable-data invariant: a stale commit dir from a losing
+        # committer is unreferenced garbage, safe to replace.
+        if os.path.isdir(data_dir):
+            shutil.rmtree(data_dir)
+        df.write.mode("errorifexists").parquet(data_dir)
+        new_files = sorted(
+            os.path.join(_DATA, f"commit-{version}", f)
+            for f in os.listdir(data_dir)
+            if f.endswith(".parquet")
+        )
+        files = new_files
+        if mode == "append" and prev:
+            files = _load(root, prev[-1])["files"] + new_files
+        manifest = {
+            "version": version,
+            "mode": mode,
+            "files": files,
+            "schema": df.schema.jsonValue(),
+        }
+        tmp = os.path.join(_manifest_dir(root), f".v{version}.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        final = os.path.join(_manifest_dir(root), f"v{version}.json")
+        try:
+            os.link(tmp, final)  # atomic publish; EEXIST = lost the race
+            os.unlink(tmp)
+            return version
+        except FileExistsError:
+            os.unlink(tmp)
+            shutil.rmtree(data_dir)  # our files are unreferenced; retry
+
+
+def read_version(spark, root: str, version: int | None = None):
+    """Snapshot read: the table exactly as of `version` (default:
+    latest). Planning input is the manifest's explicit file list —
+    concurrent commits after the manifest is read cannot change what
+    this scan sees (snapshot isolation)."""
+    from pyspark.sql.types import StructType
+
+    vs = versions(root)
+    if not vs:
+        raise FileNotFoundError(f"no committed version under {root}")
+    version = vs[-1] if version is None else version
+    if version not in vs:
+        raise FileNotFoundError(f"version {version} not in {vs}")
+    m = _load(root, version)
+    schema = StructType.fromJson(m["schema"])
+    if not m["files"]:
+        return spark.createDataFrame([], schema)
+    paths = [os.path.join(root, f) for f in m["files"]]
+    return spark.read.schema(schema).parquet(*paths)
+
+
+def vacuum(root: str, keep_last: int = 1) -> list[str]:
+    """Drop manifests older than the newest `keep_last` and delete
+    every data file no retained manifest references. Returns the
+    deleted file paths (table-relative). The only byte-deleting
+    operation in the format — everything else is append-only."""
+    vs = versions(root)
+    keep = set(vs[-keep_last:]) if keep_last > 0 else set()
+    referenced: set[str] = set()
+    for v in keep:
+        referenced.update(_load(root, v)["files"])
+    deleted = []
+    for v in vs:
+        if v not in keep:
+            os.unlink(os.path.join(_manifest_dir(root), f"v{v}.json"))
+    data_root = os.path.join(root, _DATA)
+    if os.path.isdir(data_root):
+        for commit_dir in sorted(os.listdir(data_root)):
+            cdir = os.path.join(data_root, commit_dir)
+            for f in sorted(os.listdir(cdir)):
+                rel = os.path.join(_DATA, commit_dir, f)
+                if f.endswith(".parquet") and rel not in referenced:
+                    os.unlink(os.path.join(cdir, f))
+                    deleted.append(rel)
+            if not os.listdir(cdir):
+                os.rmdir(cdir)
+    return deleted

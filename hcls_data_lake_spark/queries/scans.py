@@ -463,3 +463,55 @@ def q_scan_federated(spark, sf_dir):
     return gen.unionByName(ev).groupBy("src", "kind").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+@register(
+    "q_scan_time_travel",
+    """
+    SELECT CAST(1 AS BIGINT) AS version,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS total_cents
+    FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+           CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                AS BIGINT)
+    FROM orders
+    ORDER BY version
+    """,
+)
+def q_scan_time_travel(spark, sf_dir):
+    """Snapshot isolation + time travel over the versioned-manifest
+    table format (operators/manifest.py — the reference's versioned
+    bucket + catalog split, core_stack.yml:27-28,155-172, made
+    queryable). Builds a two-version orders table (v1 = pre-1998
+    history, v2 = append of the rest), then reads BOTH versions as
+    of their manifests and aggregates each. The oracle recomputes the
+    same two snapshots from the raw fixture, so parity proves the
+    manifest reader returns exactly the committed file set — not
+    whatever the directory currently lists. Reads plan from O(#files)
+    manifest metadata; the v1 read stays byte-identical forever no
+    matter how many commits follow."""
+    import os
+    import shutil
+
+    from hcls_data_lake_spark.operators import manifest
+
+    root = scratch_for(sf_dir, "orders_versioned")
+    if os.path.isdir(root):
+        shutil.rmtree(root)
+    o = t(spark, sf_dir, "orders")
+    cut = F.expr("TIMESTAMP '1998-01-01 00:00:00'")
+    manifest.commit(o.filter(F.col("o_orderdate") < cut), root, "append")
+    manifest.commit(o.filter(F.col("o_orderdate") >= cut), root, "append")
+
+    def snap(version):
+        cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+        return manifest.read_version(spark, root, version).agg(
+            F.lit(version).cast("bigint").alias("version"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(cents).alias("total_cents"),
+        )
+
+    return snap(1).unionByName(snap(2)).orderBy("version")

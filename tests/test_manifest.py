@@ -1,0 +1,95 @@
+"""Versioned-manifest table format: commit/read/time-travel/vacuum.
+
+Semantics pinned here: append vs overwrite composition, snapshot
+isolation (an old version's read set never changes), atomic
+conflict-checked publish (os.link loses cleanly), and vacuum deleting
+exactly the unreferenced files.
+"""
+
+import os
+
+import pytest
+
+from hcls_data_lake_spark.operators import manifest
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).withColumnRenamed("id", "k")
+
+
+def _collect(spark, root, version=None):
+    return sorted(
+        r.k for r in manifest.read_version(spark, root, version).collect()
+    )
+
+
+def test_append_and_overwrite_compose(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    assert manifest.commit(_df(spark, 0, 5), root) == 1
+    assert manifest.commit(_df(spark, 5, 8), root, "append") == 2
+    assert manifest.commit(_df(spark, 100, 103), root, "overwrite") == 3
+    assert _collect(spark, root, 1) == [0, 1, 2, 3, 4]
+    assert _collect(spark, root, 2) == list(range(8))
+    assert _collect(spark, root, 3) == [100, 101, 102]
+    assert _collect(spark, root) == [100, 101, 102]  # HEAD = latest
+    assert manifest.versions(root) == [1, 2, 3]
+
+
+def test_snapshot_isolation_under_later_commits(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    manifest.commit(_df(spark, 0, 3), root)
+    v1_files = manifest._load(root, 1)["files"]
+    for i in range(4):
+        manifest.commit(_df(spark, 10 * i, 10 * i + 2), root, "append")
+    # v1's planned file set is byte-identical after 4 more commits
+    assert manifest._load(root, 1)["files"] == v1_files
+    assert _collect(spark, root, 1) == [0, 1, 2]
+
+
+def test_publish_conflict_retries_to_next_version(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    manifest.commit(_df(spark, 0, 3), root)
+    # Simulate a concurrent committer winning version 2: pre-create its
+    # manifest; our commit must detect EEXIST and land as version 3
+    # WITHOUT clobbering the winner.
+    winner = os.path.join(root, "_manifests", "v2.json")
+    import json
+
+    m1 = manifest._load(root, 1)
+    with open(winner, "w") as fh:
+        json.dump({**m1, "version": 2}, fh)
+    v = manifest.commit(_df(spark, 3, 6), root, "append")
+    assert v == 3
+    assert manifest._load(root, 2)["version"] == 2  # winner intact
+    assert _collect(spark, root, 3) == [0, 1, 2, 3, 4, 5]
+
+
+def test_vacuum_deletes_only_unreferenced_files(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    manifest.commit(_df(spark, 0, 3), root)
+    manifest.commit(_df(spark, 3, 6), root, "append")
+    manifest.commit(_df(spark, 6, 9), root, "overwrite")
+    deleted = manifest.vacuum(root, keep_last=1)
+    # v3 (overwrite) references only commit-3 files: commits 1-2 go
+    assert deleted and all("commit-3" not in f for f in deleted)
+    assert manifest.versions(root) == [3]
+    assert _collect(spark, root) == [6, 7, 8]
+    for rel in manifest._load(root, 3)["files"]:
+        assert os.path.exists(os.path.join(root, rel))
+
+
+def test_empty_commit_reads_back_empty_with_schema(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    manifest.commit(_df(spark, 0, 5).filter("k < 0"), root)
+    got = manifest.read_version(spark, root)
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == ["k"]
+
+
+def test_read_missing_version_raises(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    with pytest.raises(FileNotFoundError):
+        manifest.read_version(spark, root)
+    manifest.commit(_df(spark, 0, 2), root)
+    with pytest.raises(FileNotFoundError):
+        manifest.read_version(spark, root, 99)
