@@ -515,3 +515,43 @@ def q_scan_time_travel(spark, sf_dir):
         )
 
     return snap(1).unionByName(snap(2)).orderBy("version")
+
+
+@register(
+    "q_scan_xml",
+    """
+    SELECT s_nationkey,
+           CAST(count(*) AS BIGINT) AS n_supp,
+           ROUND(SUM(s_acctbal), 2) AS sum_acctbal
+    FROM supplier
+    GROUP BY s_nationkey
+    """,
+)
+def q_scan_xml(spark, sf_dir):
+    """Native XML source (Spark 4 built-in, no external package):
+    round-trip the supplier table through rowTag XML and aggregate the
+    read-back. HL7 ecosystems are XML-heavy — HL7v3/CDA documents ARE
+    XML, and the reference's front door is explicitly multi-format
+    (`format` envelope attribute er7|json|txt, front_door_lambda.py:
+    46-49) — so an XML leg beside parquet/json/csv/orc/text completes
+    the format router. The read passes an EXPLICIT schema: like the
+    JSON/CSV legs, schema inference over 100 TB of XML would be a
+    second full scan."""
+    path = scratch_for(sf_dir, "supplier_xml")
+    s = t(spark, sf_dir, "supplier")
+    (
+        s.write.format("xml")
+        .option("rowTag", "supplier")
+        .mode("overwrite")
+        .save(path)
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "supplier")
+        .schema(s.schema)
+        .load(path)
+    )
+    return back.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.round(F.sum("s_acctbal"), 2).alias("sum_acctbal"),
+    )

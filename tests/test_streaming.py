@@ -271,3 +271,64 @@ def test_er7gen_empty_and_single_partition_edges(spark):
         .load()
     )
     assert sorted(r.msg_id for r in small.collect()) == [0, 1, 2]
+
+
+def test_rocksdb_state_store_matches_default_provider(spark, sf_dir):
+    """The same watermarked streaming dedup+count must produce
+    identical results under RocksDBStateStoreProvider as under the
+    default HDFS-backed provider. RocksDB is the at-scale state
+    backend (state spills to local disk instead of executor heap, and
+    changelog checkpointing bounds commit cost), so the engine's
+    streaming queries must be provider-agnostic — this pins that, with
+    no protobuf dependency (unlike the TransformWithState test)."""
+    from pyspark.sql import functions as F
+
+    from hcls_data_lake_spark.streaming.runner import (
+        read_events_stream,
+        run_to_memory,
+    )
+
+    def agg(sdf):
+        return (
+            sdf.withWatermark("ts", "1 hour")
+            .dropDuplicates(["event_id"])
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.unix_micros(F.col("w.start")).alias("ws"), "event_type", "n"
+            )
+        )
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    try:
+        prev = spark.conf.get(provider_key)
+    except Exception:
+        prev = None
+    spark.conf.set(provider_key, rocks)
+    try:
+        rocks_out = run_to_memory(
+            agg(read_events_stream(spark, sf_dir)),
+            output_mode="append",
+            shuffle_partitions=4,
+        )
+        rocks_rows = sorted(
+            (r.ws, r.event_type, r.n) for r in rocks_out.collect()
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+    default_out = run_to_memory(
+        agg(read_events_stream(spark, sf_dir)),
+        output_mode="append",
+        shuffle_partitions=4,
+    )
+    default_rows = sorted(
+        (r.ws, r.event_type, r.n) for r in default_out.collect()
+    )
+    assert rocks_rows == default_rows and rocks_rows
