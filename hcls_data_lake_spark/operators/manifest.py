@@ -65,7 +65,36 @@ def _load(root: str, version: int) -> dict:
         return json.load(fh)
 
 
-def commit(df, root: str, mode: str = "append") -> int:
+def _file_stats(path: str) -> dict:
+    """Per-file min/max column stats from the parquet footer, for
+    JSON-native column types (int/float/str). Read here driver-side
+    from the footer only (O(KB) per file); in a cluster deployment the
+    writing executors report these with the commit (Iceberg writer
+    metrics) so the driver never touches data files at all."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    mins: dict = {}
+    maxs: dict = {}
+    for rg in range(md.num_row_groups):
+        row_group = md.row_group(rg)
+        for ci in range(row_group.num_columns):
+            col = row_group.column(ci)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            lo, hi = st.min, st.max
+            if not isinstance(lo, (int, float, str)) or isinstance(
+                lo, bool
+            ):
+                continue
+            name = col.path_in_schema
+            mins[name] = lo if name not in mins else min(mins[name], lo)
+            maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+    return {c: [mins[c], maxs[c]] for c in mins}
+
+
+def commit(df, root: str, mode: str = "append", meta: dict | None = None) -> int:
     """Commit `df` as the next table version; returns the version.
 
     `mode="append"` makes the new version = previous files + this
@@ -90,13 +119,20 @@ def commit(df, root: str, mode: str = "append") -> int:
             for f in os.listdir(data_dir)
             if f.endswith(".parquet")
         )
+        stats = {
+            f: _file_stats(os.path.join(root, f)) for f in new_files
+        }
         files = new_files
         if mode == "append" and prev:
-            files = _load(root, prev[-1])["files"] + new_files
+            prev_m = _load(root, prev[-1])
+            files = prev_m["files"] + new_files
+            stats = {**prev_m.get("stats", {}), **stats}
         manifest = {
             "version": version,
             "mode": mode,
             "files": files,
+            "stats": stats,
+            "meta": meta or {},
             "schema": df.schema.jsonValue(),
         }
         tmp = os.path.join(_manifest_dir(root), f".v{version}.json.tmp")
@@ -112,11 +148,24 @@ def commit(df, root: str, mode: str = "append") -> int:
             shutil.rmtree(data_dir)  # our files are unreferenced; retry
 
 
-def read_version(spark, root: str, version: int | None = None):
+def read_version(
+    spark,
+    root: str,
+    version: int | None = None,
+    prune: dict | None = None,
+):
     """Snapshot read: the table exactly as of `version` (default:
     latest). Planning input is the manifest's explicit file list —
     concurrent commits after the manifest is read cannot change what
-    this scan sees (snapshot isolation)."""
+    this scan sees (snapshot isolation).
+
+    `prune`: optional ``{col: (lo, hi)}`` ranges (either bound may be
+    None). Files whose footer [min, max] for `col` cannot intersect
+    [lo, hi] are dropped from the plan BEFORE Spark sees them — the
+    manifest-level tier of the same stats-skipping parquet row groups
+    do, and the tier that matters at 100 TB (skip whole files, no
+    footer fetch per query). Pruning is advisory: callers still apply
+    the real filter; a file with no stats for `col` is always kept."""
     from pyspark.sql.types import StructType
 
     vs = versions(root)
@@ -127,10 +176,40 @@ def read_version(spark, root: str, version: int | None = None):
         raise FileNotFoundError(f"version {version} not in {vs}")
     m = _load(root, version)
     schema = StructType.fromJson(m["schema"])
-    if not m["files"]:
+    files = m["files"]
+    if prune:
+        stats = m.get("stats", {})
+        files = [
+            f for f in files if _may_match(stats.get(f, {}), prune)
+        ]
+    if not files:
         return spark.createDataFrame([], schema)
-    paths = [os.path.join(root, f) for f in m["files"]]
+    paths = [os.path.join(root, f) for f in files]
     return spark.read.schema(schema).parquet(*paths)
+
+
+def _may_match(file_stats: dict, prune: dict) -> bool:
+    for col, (lo, hi) in prune.items():
+        if col not in file_stats:
+            continue  # no stats — must keep the file
+        fmin, fmax = file_stats[col]
+        if lo is not None and fmax < lo:
+            return False
+        if hi is not None and fmin > hi:
+            return False
+    return True
+
+
+def committed_meta(root: str, key: str) -> set:
+    """All values of `meta[key]` across committed versions — e.g. the
+    set of streaming batch ids already durably committed (the
+    exactly-once replay check)."""
+    out = set()
+    for v in versions(root):
+        m = _load(root, v).get("meta", {})
+        if key in m:
+            out.add(m[key])
+    return out
 
 
 def vacuum(root: str, keep_last: int = 1) -> list[str]:

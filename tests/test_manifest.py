@@ -93,3 +93,67 @@ def test_read_missing_version_raises(spark, tmp_path):
     manifest.commit(_df(spark, 0, 2), root)
     with pytest.raises(FileNotFoundError):
         manifest.read_version(spark, root, 99)
+
+
+def test_stats_pruning_skips_files_but_not_rows(spark, tmp_path):
+    """Three disjoint-range commits; a range prune must cut the file
+    list (plan-level skip) while never cutting qualifying rows."""
+    root = str(tmp_path / "tbl")
+    for lo in (0, 100, 200):
+        manifest.commit(
+            _df(spark, lo, lo + 10).coalesce(1), root, "append"
+        )
+    m = manifest._load(root, 3)
+    assert len(m["files"]) == 3 and all(
+        "k" in m["stats"][f] for f in m["files"]
+    )
+    pruned = manifest.read_version(spark, root, prune={"k": (100, 109)})
+    assert len(pruned.inputFiles()) == 1  # 2 of 3 files never planned
+    assert sorted(r.k for r in pruned.filter("k >= 100 AND k <= 109").collect()) == list(
+        range(100, 110)
+    )
+    # open-ended bound
+    ge = manifest.read_version(spark, root, prune={"k": (150, None)})
+    assert len(ge.inputFiles()) == 1
+    # a column with no stats keeps everything
+    allf = manifest.read_version(spark, root, prune={"nope": (0, 1)})
+    assert len(allf.inputFiles()) == 3
+
+
+def test_manifest_sink_is_exactly_once_under_replay(spark, sf_dir, tmp_path):
+    """Stream the events table into a manifest table via foreachBatch,
+    then re-invoke the sink with an already-committed batch_id (what a
+    post-crash replay does): version count must not move and the table
+    must equal the batch source exactly once."""
+    import shutil
+    import uuid
+
+    from hcls_data_lake_spark.queries.common import events
+    from hcls_data_lake_spark.streaming.manifest_sink import manifest_sink
+    from hcls_data_lake_spark.streaming.runner import read_events_stream
+
+    root = str(tmp_path / "lake")
+    sink = manifest_sink(root)
+    ckpt = str(tmp_path / f"ckpt_{uuid.uuid4().hex[:8]}")
+    q = (
+        read_events_stream(spark, sf_dir)
+        .select("event_id", "event_type", "value")
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    vs = manifest.versions(root)
+    assert vs, "no batch committed"
+    n_expected = events(spark, sf_dir).count()
+    assert manifest.read_version(spark, root).count() == n_expected
+    # replay every committed batch id — all must be skipped
+    replay_df = events(spark, sf_dir).select(
+        "event_id", "event_type", "value"
+    )
+    for bid in sorted(manifest.committed_meta(root, "batch_id")):
+        sink(replay_df, bid)
+    assert manifest.versions(root) == vs
+    assert manifest.read_version(spark, root).count() == n_expected
+    shutil.rmtree(ckpt, ignore_errors=True)
