@@ -304,3 +304,84 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def triangle_stats(
+    pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b"
+) -> DataFrame:
+    """Edge/wedge/triangle counts of an undirected pair graph, as one
+    row ``(n_edges, n_wedges, n_triangles)`` — the structural profile
+    of a near-dup graph (3·triangles/wedges is the global clustering
+    coefficient; a near-dup graph trending cliquey means template spam,
+    trending chainy means drifting paraphrase chains).
+
+    Algorithm is the degree-ordered edge orientation (Latapy): each
+    undirected edge is directed from its (degree, id)-smaller endpoint
+    to the larger, wedges are generated at each node over its
+    OUT-neighbors only, and a wedge closes iff its (v, w) leg exists as
+    an oriented edge. Every triangle is counted exactly once, at its
+    lowest-degree apex — so per-node wedge work is bounded by
+    out-degree², which degree-ordering caps at O(√|E|) per node even
+    under power-law skew. The naive id-ordered orientation (what the
+    DuckDB oracle runs) is the same count but lets one popular doc
+    generate O(deg²) wedges — exactly the hub blow-up a 100 TB dedup
+    graph hits. Three hash joins over edge-sized relations, degrees
+    broadcast."""
+    # The edge list feeds five plan branches (orientation, both wedge
+    # legs, closure probe, edge count); materialize it once so the
+    # upstream pair-generation plan (often an inverted-index explode
+    # over the full corpus) runs exactly one time. Edge sets are
+    # pair-graph-sized — far smaller than the corpus — so this is the
+    # cheap side of the trade at any scale.
+    e = (
+        pairs.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("x"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("y"),
+        )
+        .filter(F.col("x") != F.col("y"))  # drop self-loops
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = e.select(F.col("x").alias("node")).unionAll(
+        e.select(F.col("y").alias("node"))
+    )
+    deg = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    withd = (
+        e.join(
+            F.broadcast(deg).withColumnRenamed("node", "x"), "x"
+        ).withColumnRenamed("d", "dx")
+        .join(
+            F.broadcast(deg).withColumnRenamed("node", "y"), "y"
+        ).withColumnRenamed("d", "dy")
+    )
+    # orient: src = (degree, id)-smaller endpoint
+    x_first = (F.col("dx") < F.col("dy")) | (
+        (F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y"))
+    )
+    o = withd.select(
+        F.when(x_first, F.col("x")).otherwise(F.col("y")).alias("u"),
+        F.when(x_first, F.col("dx")).otherwise(F.col("dy")).alias("du"),
+        F.when(x_first, F.col("y")).otherwise(F.col("x")).alias("v"),
+        F.when(x_first, F.col("dy")).otherwise(F.col("dx")).alias("dv"),
+    )
+    o1 = o.select("u", F.col("v").alias("v1"), F.col("dv").alias("d1"))
+    o2 = o.select("u", F.col("v").alias("v2"), F.col("dv").alias("d2"))
+    wedge = o1.join(o2, "u").filter(
+        (F.col("d1") < F.col("d2"))
+        | ((F.col("d1") == F.col("d2")) & (F.col("v1") < F.col("v2")))
+    )
+    closed = wedge.join(
+        o.select(F.col("u").alias("v1"), F.col("v").alias("v2")),
+        ["v1", "v2"],
+        "left_semi",
+    )
+    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_wedges = deg.agg(
+        F.sum(F.expr("d * (d - 1) div 2")).alias("n_wedges")
+    )
+    n_tri = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+    return (
+        n_edges.join(F.broadcast(n_wedges))
+        .join(F.broadcast(n_tri))
+        .select("n_edges", "n_wedges", "n_triangles")
+    )

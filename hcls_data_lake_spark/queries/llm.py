@@ -926,3 +926,38 @@ def q_graph_pagerank(spark, sf_dir):
 
     ranks = pagerank(pairs, iters=8)
     return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+@register(
+    "q_graph_triangles",
+    f"""
+    WITH near AS ({_NEAR_SQL}),
+    e AS (SELECT doc_a AS a, doc_b AS b FROM near),
+    deg AS (
+      SELECT node, count(*) AS d
+      FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+      GROUP BY node
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+           (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) FROM deg)
+             AS n_wedges,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM e e1 JOIN e e2 ON e2.a = e1.b
+                      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+             AS n_triangles
+    """,
+)
+def q_graph_triangles(spark, sf_dir):
+    """Structural profile of the near-dup graph: edge / wedge /
+    triangle counts (3·tri/wedges = global clustering coefficient —
+    cliquey means template spam, chainy means paraphrase drift; the
+    metric guides whether cluster-canonical dedup or pairwise pruning
+    is the right curation policy). Counting runs the degree-ordered
+    edge-orientation algorithm (operators/dedup.triangle_stats): each
+    triangle is found exactly once at its lowest-degree apex, so hub
+    documents can't quadratically explode the wedge join — the DuckDB
+    oracle's naive 3-way self-join is the same count, minus the skew
+    protection."""
+    from hcls_data_lake_spark.operators.dedup import triangle_stats
+
+    return triangle_stats(_near_pairs(spark, sf_dir))

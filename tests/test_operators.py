@@ -606,3 +606,24 @@ def test_pagerank_conserves_rank_and_prefers_centers(spark):
     assert abs(r1[6] - r1[7]) < 1e-12
     r2 = {r.node: r.rank for r in pagerank(pairs, iters=12).collect()}
     assert r1 == r2
+
+
+def test_triangle_stats_known_graphs(spark):
+    """Degree-ordered triangle counting against hand-countable graphs:
+    K4 (4 triangles, 12 wedges), a 5-star (hub graph: wedges but zero
+    triangles), and a triangle-with-tail."""
+    from hcls_data_lake_spark.operators.dedup import triangle_stats
+
+    def stats(edges):
+        df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        r = triangle_stats(df).first()
+        return (r.n_edges, r.n_wedges, r.n_triangles)
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    assert stats(k4) == (6, 12, 4)
+    star = [(0, i) for i in range(1, 6)]
+    assert stats(star) == (5, 10, 0)
+    tri_tail = [(1, 2), (2, 3), (1, 3), (3, 4)]
+    assert stats(tri_tail) == (4, 5, 1)
+    # duplicate + reversed edges collapse before counting
+    assert stats(k4 + [(1, 0), (0, 1)]) == (6, 12, 4)
