@@ -656,3 +656,104 @@ def q_agg_regression(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "q_agg_entropy",
+    """
+    WITH s AS (SELECT source AS v, count(*) AS n FROM documents
+               GROUP BY source),
+    l AS (SELECT lang AS v, count(*) AS n FROM documents GROUP BY lang)
+    SELECT 'source' AS dimension,
+           CAST(count(*) AS BIGINT) AS n_values,
+           ROUND(SUM(-(CAST(n AS DOUBLE) / (SELECT SUM(n) FROM s))
+                     * log2(CAST(n AS DOUBLE) / (SELECT SUM(n) FROM s))),
+                 4) AS entropy_bits
+    FROM s
+    UNION ALL
+    SELECT 'lang', CAST(count(*) AS BIGINT),
+           ROUND(SUM(-(CAST(n AS DOUBLE) / (SELECT SUM(n) FROM l))
+                     * log2(CAST(n AS DOUBLE) / (SELECT SUM(n) FROM l))),
+                 4)
+    FROM l
+    ORDER BY dimension
+    """,
+)
+def q_agg_entropy(spark, sf_dir):
+    """Shannon entropy (bits) of the corpus source and language mixes
+    — THE summary statistic behind training-data mixing decisions
+    (a collapsing entropy means one domain is swamping the mix; the
+    quota rebalancer q_sample_mix is the corrective action). Each
+    dimension is one hash aggregate to |distinct|-sized frequencies,
+    then the entropy folds driver-free over that tiny relation with
+    the total broadcast back — the corpus is scanned once per
+    dimension and never shuffled (partial counts shuffle)."""
+    d = t(spark, sf_dir, "documents")
+
+    def dim_entropy(col):
+        freq = d.groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        tot = freq.agg(F.sum("n").alias("_t"))
+        p = F.col("n") / F.col("_t")
+        return freq.join(F.broadcast(tot)).agg(
+            F.lit(col).alias("dimension"),
+            F.count(F.lit(1)).alias("n_values"),
+            F.round(F.sum(-p * F.log2(p)), 4).alias("entropy_bits"),
+        )
+
+    return (
+        dim_entropy("source")
+        .unionByName(dim_entropy("lang"))
+        .orderBy("dimension")
+    )
+
+
+@register(
+    "q_agg_winsorize",
+    """
+    WITH b AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS lo,
+             quantile_cont(value, 0.95) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           ROUND(AVG(e.value), 4) AS raw_mean,
+           ROUND(AVG(LEAST(GREATEST(e.value, b.lo), b.hi)), 4)
+             AS winsorized_mean,
+           CAST(count(*) FILTER (WHERE e.value < b.lo OR e.value > b.hi)
+                AS BIGINT) AS n_clipped
+    FROM events e JOIN b USING (event_type)
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+)
+def q_agg_winsorize(spark, sf_dir):
+    """Winsorized (5%-clipped) mean per event type — the
+    outlier-robust location estimate a QC pipeline reports next to the
+    raw mean (a big gap between the two IS the outlier alarm). Two
+    passes by necessity (exact quantiles, then clip): the per-group
+    bounds relation is |groups|-sized and broadcast back onto the
+    fact scan, so the second pass is map-side clip + one hash
+    aggregate — the fact shuffles once, for the quantile. Spark
+    `percentile` and DuckDB `quantile_cont` share linear
+    interpolation, so bounds are engine-identical."""
+    e = t(spark, sf_dir, "events")
+    bounds = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("lo"),
+        F.expr("percentile(value, 0.95)").alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        e.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("value"), 4).alias("raw_mean"),
+            F.round(F.avg(clipped), 4).alias("winsorized_mean"),
+            F.count_if(
+                (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))
+            ).alias("n_clipped"),
+        )
+        .orderBy("event_type")
+    )

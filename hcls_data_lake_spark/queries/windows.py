@@ -308,3 +308,38 @@ def q_win_distinct(spark, sf_dir):
         "user_id",
         F.size(F.collect_set("event_type").over(w)).alias("n_types"),
     )
+
+
+@register(
+    "q_win_median",
+    """
+    SELECT event_id,
+           event_type,
+           ROUND(quantile_cont(value, 0.5)
+                 OVER (PARTITION BY event_type), 4) AS median_value,
+           ROUND(value - quantile_cont(value, 0.5)
+                 OVER (PARTITION BY event_type), 4) AS deviation
+    FROM events
+    """,
+)
+def q_win_median(spark, sf_dir):
+    """Exact median as an unordered partition window: every event is
+    annotated with its type's median and its deviation from it — the
+    robust-center analog of the z-score, feeding outlier review
+    queues. Unordered partition aggregate windows are the cheapest
+    window class (one hash shuffle, NO sort-within-partition step);
+    exact percentile buffers each partition's values, which is the
+    documented small-group path — the sketch-backed
+    q_agg_approx_quantile is the unbounded-cardinality variant. Spark
+    `percentile` and DuckDB `quantile_cont` share linear
+    interpolation, so annotations are engine-identical."""
+    e = t(spark, sf_dir, "events")
+    med = F.expr("percentile(value, 0.5)").over(
+        Window.partitionBy("event_type")
+    )
+    return e.select(
+        "event_id",
+        "event_type",
+        F.round(med, 4).alias("median_value"),
+        F.round(F.col("value") - med, 4).alias("deviation"),
+    )
