@@ -388,9 +388,10 @@ _TYPED_ER7_SQL = """
            string_split(string_split(s[2], '|')[6], '^')[1] AS family_name,
            string_split(string_split(s[2], '|')[6], '^')[2] AS given_name,
            string_split(s[2], '|')[9] AS sex,
-           list_transform(list_filter(s, x -> starts_with(x, 'NK1|')),
-                          x -> string_split(string_split(x, '|')[3], '^')[1])
-               AS nk1_names
+           COALESCE(array_to_string(
+               list_transform(list_filter(s, x -> starts_with(x, 'NK1|')),
+                              x -> string_split(string_split(x, '|')[3], '^')[1]),
+               '|'), '') AS nk1_names
     FROM segs
     """,
 )
@@ -398,7 +399,11 @@ def q_hl7_typed_adt(spark, sf_dir):
     """Typed ADT projection (SURVEY §1.3b tier-2): synthesized ADT^A01
     messages with repeatable NK1 contacts, narrowed to a flat typed
     schema by hl7.er7.typed_adt — pure split expressions, repeatables
-    as arrays, whole-stage codegen (no UDF)."""
+    as arrays, whole-stage codegen (no UDF).
+
+    The repeatable NK1 name array is serialized to a '|'-joined string
+    for the harness (array-typed result columns are not hashable in a
+    pandas-based canonicalizer); typed_adt itself keeps the array."""
     from hcls_data_lake_spark.hl7.er7 import typed_adt
 
     o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
@@ -414,7 +419,8 @@ def q_hl7_typed_adt(spark, sf_dir):
         F.lit("\rNK1|2|CONTACT"), ok, F.lit("^B|CHILD"),
     )
     msgs = o.select("o_orderkey", er7.alias("er7"))
-    return typed_adt(msgs, "er7").drop("er7", "msg_ts_raw")
+    out = typed_adt(msgs, "er7").drop("er7", "msg_ts_raw")
+    return out.withColumn("nk1_names", F.array_join("nk1_names", "|"))
 
 
 # ORU^R01 with two repeating OBX observations per message; the NM value
