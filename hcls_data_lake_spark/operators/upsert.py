@@ -58,6 +58,7 @@ def scd2_apply(
     effective_col: str,
     tracked_cols: list[str],
     open_end: int = 2**62,
+    broadcast_updates: bool = False,
 ) -> DataFrame:
     """Slowly-changing-dimension type 2: apply a batch of updates to a
     versioned dimension, KEEPING history.
@@ -80,6 +81,12 @@ def scd2_apply(
 
     ``updates`` must hold one row per key (collapse with upsert_latest
     first when a batch can carry several versions of one key).
+
+    ``broadcast_updates=True`` hints the updates side into both probe
+    joins — correct sizing for steady-state maintenance where a batch is
+    orders of magnitude smaller than the dimension; leave False for
+    backfills where the batch itself is large (AQE then picks the
+    strategy from observed sizes).
     """
     hist = current.filter(F.col("valid_to") != open_end)
     open_rows = current.filter(F.col("valid_to") == open_end)
@@ -89,7 +96,9 @@ def scd2_apply(
         *[F.col(c).alias(f"_u_{c}") for c in tracked_cols],
         F.col(effective_col).alias("_u_from"),
     )
-    j = open_rows.join(u, key, "left")
+    # hint only the probe join: in the anti join below u is the
+    # preserved (left) side, where a broadcast hint is unusable
+    j = open_rows.join(F.broadcast(u) if broadcast_updates else u, key, "left")
     changed = j.filter(
         F.col("_u_from").isNotNull()
         & ~F.struct(*[F.col(c) for c in tracked_cols]).eqNullSafe(

@@ -572,14 +572,23 @@ def q_scd2_dimension(spark, sf_dir):
     # below filters this same result, and without pinning it each run
     # would recompute the window over the full log
     latest = latest.localCheckpoint(eager=True)
-    current = spark.createDataFrame(
-        [], "user_id long, attr string, valid_from long, valid_to long"
+    # empty seed as a zero-row Range, NOT createDataFrame([], schema):
+    # the latter is an ExistingRDD scan (defaultParallelism empty
+    # partitions) that Catalyst cannot fold, so iteration 1 would run
+    # real shuffled joins against nothing (~4 s of task overhead at 32
+    # threads); the Range form lets PropagateEmptyRelation collapse them
+    current = spark.range(0).selectExpr(
+        "id AS user_id",
+        "CAST(NULL AS STRING) AS attr",
+        "id AS valid_from",
+        "id AS valid_to",
     )
     batches = sorted(r.batch for r in latest.select("batch").distinct().collect())
     for b in batches:
         updates = latest.filter(F.col("batch") == b).select("user_id", "attr", "eff")
         current = scd2_apply(
-            current, updates, "user_id", "eff", ["attr"], open_end=OPEN
+            current, updates, "user_id", "eff", ["attr"], open_end=OPEN,
+            broadcast_updates=True,
         )
         # materialize between maintenance runs — in production each run
         # ends in a table write; without it the lineage (and task count)
