@@ -219,16 +219,31 @@ def connected_components(
 
     Returns (node, label) — one row per node that appears in a pair;
     singleton docs never enter the graph and need no cluster.
+
+    Cost shape: the (possibly expensive) pair-generation plan is
+    materialized ONCE up front — both direction legs of the edge union
+    read the checkpoint, not the plan (Spark does not share common
+    subplans across union branches). Convergence is detected by the
+    total-label sum, which strictly decreases while any label moves
+    (min-label is monotone): one aggregate job per round instead of a
+    join + filter + count. The sum runs in decimal(38,0) so 64-bit
+    node ids cannot wrap at billion-node scale.
     """
-    fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-    rev = pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
-    edges = fwd.unionByName(rev).distinct().localCheckpoint(eager=True)
+    p = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).localCheckpoint(eager=True)
+    rev = p.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    edges = p.unionByName(rev).distinct().localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    _label_sum = lambda df: df.agg(  # noqa: E731
+        F.sum(F.col("label").cast("decimal(38,0)"))
+    ).collect()[0][0]
+    prev = _label_sum(labels)
     for _ in range(max_iter):
         nbr = edges.join(
             labels, edges["src"] == labels["node"]
@@ -239,15 +254,11 @@ def connected_components(
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") < F.col("o.label"))
-            .count()
-        )
+        cur = _label_sum(new)
         labels = new
-        if changed == 0:
+        if cur == prev:
             break
+        prev = cur
     return labels
 
 
@@ -269,10 +280,14 @@ def pagerank(
     hash-partitioned on the node id, materialized via localCheckpoint
     so lineage never compounds. Undirected edges mean no dangling
     nodes, so total rank is conserved at |nodes| (pytest pins it).
-    Fixed iteration count keeps the result deterministic."""
-    fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-    rev = pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
-    edges = fwd.unionByName(rev).distinct().localCheckpoint(eager=True)
+    Fixed iteration count keeps the result deterministic. As in
+    connected_components, the pair-generation plan is checkpointed once
+    so the two direction legs don't each re-run it."""
+    p = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).localCheckpoint(eager=True)
+    rev = p.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    edges = p.unionByName(rev).distinct().localCheckpoint(eager=True)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     edges_d = edges.join(deg, "src").localCheckpoint(eager=True)
     ranks = (
