@@ -182,7 +182,14 @@ def q_stream_dedup_state(spark, sf_dir):
         .dropDuplicates(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
-    return run_to_memory(deduped, output_mode="append", shuffle_partitions=8)
+    # dropDuplicates emits first-seen rows in their own batch, so the
+    # trailing no-data batch would only evict state — skip it.
+    return run_to_memory(
+        deduped,
+        output_mode="append",
+        shuffle_partitions=8,
+        no_data_batches=False,
+    )
 
 
 @register(
@@ -204,7 +211,14 @@ def q_stream_stateful_totals(spark, sf_dir):
     from hcls_data_lake_spark.streaming.stateful import running_totals
 
     sdf = read_events_stream(spark, sf_dir).select("user_id", "value")
-    return run_to_memory(running_totals(sdf), output_mode="update", shuffle_partitions=8)
+    # NoTimeout state: emission happens only in data batches, so the
+    # trailing no-data batch is pure state-commit overhead — skip it.
+    return run_to_memory(
+        running_totals(sdf),
+        output_mode="update",
+        shuffle_partitions=8,
+        no_data_batches=False,
+    )
 
 
 @register(
@@ -293,10 +307,18 @@ def q_stream_stream_join(spark, sf_dir):
         & (F.col("c_ts") <= F.col("s_ts") + F.expr("INTERVAL 30 MINUTE")),
     ).select("signup_id", "click_id", "user_id")
     # Both sides keep keyed state and pay a per-partition state-store
-    # commit every micro-batch; the buffered state here is tiny, so 8
-    # partitions beats the session's 32 ~4x on wall time (state sized
-    # to volume, not to the session shuffle default).
-    return run_to_memory(joined, output_mode="append", shuffle_partitions=8)
+    # commit every micro-batch; the buffered state here is tiny, so a
+    # handful of partitions beats the session's 32 ~4x on wall time
+    # (state sized to volume, not to the session shuffle default). The
+    # trailing no-data batch is skipped: an INNER stream-stream join
+    # emits matches eagerly, so that batch would only evict state this
+    # finite run discards anyway.
+    return run_to_memory(
+        joined,
+        output_mode="append",
+        shuffle_partitions=4,
+        no_data_batches=False,
+    )
 
 
 @register(
@@ -382,7 +404,10 @@ def q_stream_pysource_typed(spark, sf_dir):
         "family_name",
         "given_name",
     )
-    return run_to_memory(typed, output_mode="append", shuffle_partitions=4)
+    # stateless projection: nothing waits on the watermark
+    return run_to_memory(
+        typed, output_mode="append", shuffle_partitions=4, no_data_batches=False
+    )
 
 
 @register(

@@ -53,6 +53,7 @@ def run_to_memory(
     output_mode: str = "append",
     name: str | None = None,
     shuffle_partitions: int | None = None,
+    no_data_batches: bool = True,
 ) -> DataFrame:
     """Execute a streaming DataFrame to completion into a memory sink
     and return the materialized table.
@@ -63,15 +64,31 @@ def run_to_memory(
     how much state it holds, so a query with small keyed state should
     run far fewer partitions than the session's shuffle default — size
     to state volume, the same call a cluster deployment makes. The
-    session conf is restored afterwards."""
+    session conf is restored afterwards.
+
+    ``no_data_batches=False`` skips the trailing data-less micro-batch
+    Spark runs to advance the watermark after the last file. That batch
+    exists to (a) evict now-expired state and (b) emit results whose
+    emission WAITS on the watermark — closed windows in append-mode
+    aggregations, unmatched rows of outer joins. Queries that emit
+    eagerly (append-mode projections/filters, INNER stream-stream
+    joins) produce their full result without it, and in a finite
+    availableNow run the state it would evict is discarded at shutdown
+    anyway — so skipping trades nothing but the one extra state-commit
+    round. Leave True for anything watermark-emitting."""
     spark = sdf.sparkSession
     qname = name or f"mem_{uuid.uuid4().hex[:10]}"
     ckpt = scratch_dir("ckpt", qname)
     shutil.rmtree(ckpt, ignore_errors=True)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_ndb = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
     try:
         if shuffle_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        if not no_data_batches:
+            spark.conf.set(
+                "spark.sql.streaming.noDataMicroBatches.enabled", "false"
+            )
         query = (
             sdf.writeStream.format("memory")
             .queryName(qname)
@@ -83,6 +100,9 @@ def run_to_memory(
         query.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev_ndb
+        )
     return spark.table(qname)
 
 
