@@ -1,0 +1,96 @@
+"""Frequency sketches: Misra-Gries heavy-hitter candidates + exact verify.
+
+The φ-heavy-hitter question ("which tokens exceed φ of the corpus?") is
+the frequency face of the reference's registry lookups — at 100 TB you
+cannot GROUP BY the full token universe (the key space is corpus-sized)
+just to keep the handful of rows above threshold. The classic two-pass
+shape used here:
+
+1. **Candidate pass** — each partition runs a Misra-Gries summary with
+   capacity ``ceil(1/φ)`` in a bounded dict (mapInPandas over Arrow
+   batches; memory is O(1/φ) per partition regardless of partition
+   size). The MG guarantee localizes: if ``freq(x) > φ·n`` globally,
+   then ``freq_p(x) > φ·n_p`` in at least one partition p (otherwise
+   summing the per-partition bounds contradicts the global count), and
+   every partition-level φ-frequent item survives that partition's MG
+   summary. So the union of per-partition candidates is a superset of
+   the true heavy hitters — typically a few·(1/φ) keys total.
+2. **Verify pass** — exact counts for candidate keys only: the fact
+   table is semi-joined (broadcast — the candidate set is tiny by
+   construction) and grouped. False candidates fall out; the final
+   result is EXACT, which is what lets a SQL oracle check it.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _mg_candidates(capacity: int):
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        n_p = 0
+        for pdf in batches:
+            n_p += len(pdf)
+            for v in pdf["item"]:
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < capacity:
+                    counters[v] = 1
+                else:
+                    # decrement-all step; drop zeroed counters
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        # candidate rows + one partition-tally row (item NULL), so the
+        # global total rides the same scan instead of a second pass
+        yield pd.DataFrame(
+            {
+                "item": list(counters.keys()) + [None],
+                "n_p": [None] * len(counters) + [n_p],
+            }
+        )
+
+    return gen
+
+
+def heavy_hitters(items: DataFrame, col: str, phi: float) -> DataFrame:
+    """Exact φ-heavy hitters of ``items[col]`` via MG candidates +
+    verify. Returns ``(item, n)`` for every value with
+    ``count > phi * total`` — identical to the unbounded GROUP BY +
+    HAVING, but the only wide operation runs over candidate keys.
+
+    Values are compared as strings (the token/key use case). One scan
+    produces both the per-partition candidates and the partition
+    tallies (total rides the candidate pass); the verify pass is the
+    second and last scan.
+    """
+    capacity = max(1, math.ceil(1.0 / phi))
+    src = items.select(F.col(col).cast("string").alias("item"))
+    summary = src.mapInPandas(
+        _mg_candidates(capacity), "item string, n_p long"
+    ).localCheckpoint(eager=True)
+    total = summary.agg(F.sum("n_p")).collect()[0][0] or 0
+    cands = (
+        summary.filter(F.col("item").isNotNull())
+        .select(F.col("item").alias("__hh_item"))
+        .distinct()
+    )
+    return (
+        src.join(
+            F.broadcast(cands), src["item"] == cands["__hh_item"], "left_semi"
+        )
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > phi * total)
+    )

@@ -708,3 +708,39 @@ def q_join_temporal(spark, sf_dir):
         )
         .select("event_id", ev.user_id, F.col("attr").alias("state_at_event"))
     )
+
+
+@register(
+    "q_join_bloom_prefilter",
+    """
+    SELECT l.l_suppkey,
+           CAST(count(*) AS BIGINT) AS n_items,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    WHERE l.l_suppkey IN (
+        SELECT s_suppkey FROM supplier WHERE s_nationkey < 5)
+    GROUP BY l.l_suppkey
+    """,
+)
+def q_join_bloom_prefilter(spark, sf_dir):
+    """Semi join with an explicit Bloom runtime filter
+    (operators/bloom.bloom_semi_join): the build side's keys become a
+    driver-built bitmap evaluated INSIDE the fact scan's filter — pure
+    codegen arithmetic, no UDF, no exchange — so most non-matching fact
+    rows die before the shuffle/broadcast; the trailing exact semi join
+    removes the bloom's false positives, making the result exactly the
+    oracle's IN-subquery. This is the explicit form of the registry
+    membership gate (front_door_lambda.py:27-31) for boundaries AQE's
+    automatic bloom injection can't see through (checkpoints, Python
+    data sources, foreachBatch)."""
+    from hcls_data_lake_spark.operators.bloom import bloom_semi_join
+
+    li = t(spark, sf_dir, "lineitem")
+    supp = t(spark, sf_dir, "supplier").filter(F.col("s_nationkey") < 5)
+    matched = bloom_semi_join(li, supp, "l_suppkey", "s_suppkey")
+    return matched.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )

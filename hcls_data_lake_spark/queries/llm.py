@@ -961,3 +961,30 @@ def q_graph_triangles(spark, sf_dir):
     from hcls_data_lake_spark.operators.dedup import triangle_stats
 
     return triangle_stats(_near_pairs(spark, sf_dir))
+
+
+@register(
+    "q_text_heavy_hitters",
+    """
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS item FROM documents
+    ), tot AS (SELECT count(*) AS n FROM tok)
+    SELECT item, CAST(count(*) AS BIGINT) AS n
+    FROM tok GROUP BY item
+    HAVING count(*) > 0.032 * (SELECT n FROM tot)
+    """,
+)
+def q_text_heavy_hitters(spark, sf_dir):
+    """φ-heavy hitters of the token stream (φ=3.2%) via the
+    Misra-Gries candidate + exact-verify two-pass
+    (operators/sketches.heavy_hitters): per-partition bounded-memory MG
+    summaries localize the heavy-hitter guarantee, so the only GROUP BY
+    that ever runs is over the tiny broadcast candidate set — the
+    unbounded token-universe aggregation the oracle runs is exactly
+    what this shape avoids at 100 TB. Result is exact (verify pass),
+    so the oracle can hash-check it."""
+    from hcls_data_lake_spark.operators.sketches import heavy_hitters
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("w"))
+    return heavy_hitters(toks, "w", 0.032)

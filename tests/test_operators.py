@@ -627,3 +627,51 @@ def test_triangle_stats_known_graphs(spark):
     assert stats(tri_tail) == (4, 5, 1)
     # duplicate + reversed edges collapse before counting
     assert stats(k4 + [(1, 0), (0, 1)]) == (6, 12, 4)
+
+
+def test_bloom_filter_no_false_negatives_and_bounded_fpp(spark):
+    from hcls_data_lake_spark.operators.bloom import (
+        bloom_semi_join,
+        build_bloom,
+        might_contain,
+    )
+    from pyspark.sql import functions as F
+
+    keys = spark.range(0, 500).select((F.col("id") * 7 + 3).alias("k"))
+    bitmap, m, k = build_bloom(keys, "k", fpp=0.01)
+    # every inserted key must pass (bloom filters never false-negative)
+    assert keys.filter(~might_contain(F.col("k"), bitmap, m, k)).count() == 0
+    # measured fpp on disjoint probes stays in the same order as requested
+    probes = spark.range(100_000, 110_000).select(F.col("id").alias("k"))
+    fp = probes.filter(might_contain(F.col("k"), bitmap, m, k)).count()
+    assert fp / 10_000 < 0.05
+    # the composed semi join is exact despite false positives
+    probe = spark.range(0, 20_000).select(F.col("id").alias("k"))
+    got = sorted(
+        r["k"] for r in bloom_semi_join(probe, keys, "k", "k").collect()
+    )
+    assert got == sorted(3 + 7 * i for i in range(500))
+
+
+def test_heavy_hitters_exact_vs_groupby_on_skewed_stream(spark):
+    from hcls_data_lake_spark.operators.sketches import heavy_hitters
+    from pyspark.sql import functions as F
+
+    # zipf-ish: value v repeated (1000 // (v+1)) times, shuffled across
+    # partitions so no single partition sees a clean distribution
+    rows = [(str(v),) for v in range(50) for _ in range(1000 // (v + 1))]
+    df = spark.createDataFrame(rows, "item string").repartition(7)
+    phi = 0.05
+    total = len(rows)
+    got = {
+        (r["item"], r["n"])
+        for r in heavy_hitters(df, "item", phi).collect()
+    }
+    exact = {
+        (r["item"], r["n"])
+        for r in df.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > phi * total)
+        .collect()
+    }
+    assert got == exact and len(exact) > 0
