@@ -198,3 +198,148 @@ def q_ts_dedup_consecutive(spark, sf_dir):
     return marked.filter(
         ~F.col("prev_type").eqNullSafe(F.col("event_type"))
     ).select("user_id", "event_id", "event_type")
+
+
+@register(
+    "q_ts_concurrency",
+    """
+    WITH pts AS (  -- sweep-line points, net delta per distinct instant
+      SELECT event_type, epoch_ns(ts) AS at, -1 AS pri,
+             CAST(count(*) AS BIGINT) AS delta
+      FROM events GROUP BY 1, 2
+      UNION ALL
+      SELECT event_type, epoch_ns(ts) + 1800000000000, 1,
+             -CAST(count(*) AS BIGINT)
+      FROM events GROUP BY 1, 2
+    ), run AS (
+      SELECT event_type,
+             SUM(delta) OVER (
+               PARTITION BY event_type ORDER BY at, pri DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open
+      FROM pts
+    )
+    SELECT event_type, CAST(MAX(open) AS BIGINT) AS max_concurrent
+    FROM run GROUP BY event_type
+    """,
+)
+def q_ts_concurrency(spark, sf_dir):
+    """Max concurrency by sweep line: each event opens a 30-minute
+    interval; the answer is the peak number of simultaneously-open
+    intervals per event type. Intervals become +1/-1 points, points
+    collapse to one net delta per distinct instant (ends exclusive:
+    at a shared instant the +1 sorts before the matching end only
+    via the pri tie-break, giving a total order both engines share),
+    and a running sum's max is the peak. One shuffle family on
+    event_type; the collapse pre-aggregates map-side, so the window
+    sees distinct instants, not raw events — the classic
+    "max concurrent sessions" shape that a naive self-join turns into
+    an O(n²) range probe."""
+    e = events(spark, sf_dir)
+    starts = e.groupBy(
+        "event_type", F.col("ts_ns").alias("at")
+    ).agg(F.count(F.lit(1)).alias("delta")).select(
+        "event_type", "at", F.lit(-1).alias("pri"), "delta"
+    )
+    ends = e.groupBy(
+        "event_type", (F.col("ts_ns") + F.lit(1800000000000)).alias("at")
+    ).agg((-F.count(F.lit(1))).alias("delta")).select(
+        "event_type", "at", F.lit(1).alias("pri"), "delta"
+    )
+    pts = starts.unionByName(ends)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("at"), F.col("pri").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = pts.withColumn("open", F.sum("delta").over(w))
+    return run.groupBy("event_type").agg(
+        F.max("open").alias("max_concurrent")
+    )
+
+
+@register(
+    "q_ts_ewma",
+    """
+    WITH ordered AS (
+      SELECT user_id, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS cnt
+      FROM events
+    )
+    SELECT user_id,
+           ROUND(SUM(value * CASE WHEN rn = 1 THEN pow(0.5, cnt - 1)
+                                  ELSE 0.5 * pow(0.5, cnt - rn) END), 6)
+               AS ewma
+    FROM ordered GROUP BY user_id
+    """,
+)
+def q_ts_ewma(spark, sf_dir):
+    """Exponentially-weighted moving average per user (α=0.5, the
+    classic smoothed-rate monitor over each source's event stream).
+    The recursion ewma_i = α·x_i + (1-α)·ewma_{i-1} unrolls to a
+    single weighted sum — pow(1-α, n-i) weights via row_number —
+    so the sequential fold becomes one window + one aggregate, no
+    iterative driver loop. α=1/2 makes every weight an exact binary
+    fraction, so both engines' products are bit-identical and the
+    ROUND(…,6) comparison is stable."""
+    e = events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    ordered = e.select(
+        "user_id",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("cnt"),
+    )
+    weight = F.when(
+        F.col("rn") == 1, F.pow(F.lit(0.5), F.col("cnt") - 1)
+    ).otherwise(F.lit(0.5) * F.pow(F.lit(0.5), F.col("cnt") - F.col("rn")))
+    return ordered.groupBy("user_id").agg(
+        F.round(F.sum(F.col("value") * weight), 6).alias("ewma")
+    )
+
+
+@register(
+    "q_ts_anomaly",
+    """
+    WITH scored AS (
+      SELECT event_id, user_id, value,
+             AVG(value) OVER w AS mu,
+             STDDEV_SAMP(value) OVER w AS sd,
+             COUNT(*) OVER w AS n_hist
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+                   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id,
+           ROUND((value - mu) / sd, 3) AS z
+    FROM scored
+    WHERE n_hist >= 10 AND sd > 0 AND abs((value - mu) / sd) > 2.5
+    """,
+)
+def q_ts_anomaly(spark, sf_dir):
+    """Rolling z-score anomaly detection: each event scored against the
+    trailing 20 events of ITS OWN user (frame excludes the current row,
+    so an outlier can't mask itself), flagged when |z| > 2.5 with at
+    least 10 history points. The trailing frame makes the statistic
+    causal — computable in streaming with the same semantics — and the
+    ordered frame fixes the floating-point summation order, so both
+    engines produce identical doubles."""
+    e = events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ns", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    scored = e.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sd"),
+        F.count(F.lit(1)).over(w).alias("n_hist"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return scored.filter(
+        (F.col("n_hist") >= 10) & (F.col("sd") > 0) & (F.abs(z) > 2.5)
+    ).select("event_id", "user_id", F.round(z, 3).alias("z"))
