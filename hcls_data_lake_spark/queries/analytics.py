@@ -654,3 +654,382 @@ def q_analytics_market_share(spark, sf_dir):
         )
         .orderBy("o_year")
     )
+
+
+@register(
+    "q_analytics_local_volume",
+    """
+    SELECT n.n_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def q_analytics_local_volume(spark, sf_dir):
+    """TPC-H-Q5-style local supplier volume: revenue where customer and
+    supplier share a nation, region- and year-restricted. The plan to
+    want at 100 TB: the date filter prunes orders BEFORE its join, the
+    three dimension legs (supplier/nation/region) broadcast, and the
+    only big shuffles are lineitem⋈orders and the customer join — the
+    c_nationkey = s_nationkey residual rides the equi-join, never a
+    cross product."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey)
+            & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "q_analytics_forecast_revenue",
+    """
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_analytics_forecast_revenue(spark, sf_dir):
+    """TPC-H-Q6-style revenue-change forecast: pure scan + conjunctive
+    filter + one global sum — zero joins, zero wide shuffles; every
+    predicate reaches the parquet reader (PushedFilters) and the
+    aggregate is a two-level partial/final. The canonical test that a
+    simple query stays simple in the physical plan."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "q_analytics_nation_volume",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INT) AS l_year,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_analytics_nation_volume(spark, sf_dir):
+    """TPC-H-Q7-style bilateral shipping volume: trade between two
+    nations by year and direction. The nation-pair disjunction lands on
+    the two broadcast nation legs AFTER each key join — Catalyst then
+    pushes each branch's nation filter into the broadcast build side,
+    so the big fact joins never widen."""
+    s = t(spark, sf_dir, "supplier")
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n1 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "q_analytics_profit",
+    """
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS INT) AS o_year,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)
+                     - 0.6 * p.p_retailprice * l.l_quantity), 2) AS profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%bolt%'
+    GROUP BY 1, 2
+    """,
+)
+def q_analytics_profit(spark, sf_dir):
+    """TPC-H-Q9-style product-type profit by nation and year. The
+    fixture has no partsupp table, so supply cost is proxied at 60% of
+    retail price — same join graph (two fact joins + three broadcast
+    dims), same part-name LIKE pre-filter that prunes the part build
+    side before it touches lineitem."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    s = t(spark, sf_dir, "supplier")
+    o = t(spark, sf_dir, "orders")
+    n = t(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(
+        0.6
+    ) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 2).alias("profit"))
+    )
+
+
+@register(
+    "q_analytics_promo",
+    """
+    SELECT CAST(date_trunc('month', l.l_shipdate) AS TIMESTAMP) AS ship_month,
+           ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                                  THEN l.l_extendedprice * (1 - l.l_discount)
+                                  ELSE 0 END)
+                 / SUM(l.l_extendedprice * (1 - l.l_discount)), 4)
+               AS promo_share
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    """,
+)
+def q_analytics_promo(spark, sf_dir):
+    """TPC-H-Q14-style promotion effect: promo revenue share per ship
+    month — conditional and unconditional sums in ONE aggregation pass
+    over the broadcast part join (never two scans + a self-join)."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    p = t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_share")
+        )
+    )
+
+
+@register(
+    "q_analytics_parts_suppliers",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND l.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_analytics_parts_suppliers(spark, sf_dir):
+    """TPC-H-Q16-style parts/supplier relationship: how many distinct
+    suppliers ship each (brand, type, size), excluding flagged
+    suppliers. The NOT IN becomes a broadcast left-anti join on the
+    fact BEFORE the distinct aggregation (the excluded-supplier list is
+    dimension-sized); count-distinct expands to the standard two-level
+    partial aggregate, not a shuffle of raw rows per group."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#1")
+    bad = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q_analytics_big_orders",
+    """
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice, ROUND(SUM(l.l_quantity), 2) AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING SUM(l_quantity) > 250)
+    GROUP BY 1, 2, 3, 4, 5
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 20
+    """,
+)
+def q_analytics_big_orders(spark, sf_dir):
+    """TPC-H-Q18-style large-volume customers: orders whose total
+    quantity clears a threshold, with customer detail, top-20 by
+    price. The IN-subquery is an aggregate-then-semi-join — the
+    HAVING runs map-side-combined on lineitem once, and only
+    qualifying orderkeys (a tiny set) flow into the semi join; the
+    final top-20 is TakeOrdered, not a global sort."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .filter(F.col("sq") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(
+            F.broadcast(big), o.o_orderkey == big.l_orderkey, "left_semi"
+        )
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+        )
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q_analytics_min_cost_supplier",
+    """
+    WITH unit AS (
+      -- integer-cents sums, then ONE IEEE division: both engines divide
+      -- identical integers, so unit_price is bit-identical (no
+      -- sum-order or rounding-mode drift)
+      SELECT l.l_partkey, l.l_suppkey,
+             SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) * 1000
+               // SUM(CAST(l.l_quantity AS BIGINT)) AS unit_mc
+      FROM lineitem l GROUP BY 1, 2
+    ), scoped AS (
+      SELECT u.l_partkey, u.l_suppkey, u.unit_mc, s.s_name,
+             MIN(u.unit_mc) OVER (PARTITION BY u.l_partkey) AS best
+      FROM unit u
+      JOIN supplier s ON s.s_suppkey = u.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'
+    )
+    SELECT sc.l_partkey AS p_partkey, p.p_brand, sc.s_name,
+           sc.unit_mc AS unit_millicents
+    FROM scoped sc
+    JOIN part p ON p.p_partkey = sc.l_partkey
+    WHERE sc.unit_mc = sc.best AND p.p_size >= 30
+    """,
+)
+def q_analytics_min_cost_supplier(spark, sf_dir):
+    """TPC-H-Q2-style minimum-cost supplier: per part (size-scoped),
+    every EUROPE supplier matching the regional minimum unit price.
+    The fixture has no partsupp, so offered cost is the supplier's
+    average realized unit price from lineitem. The correlated MIN
+    subquery is a window over the part key on the already-aggregated
+    (part, supplier) relation — one shuffle on l_partkey serves both
+    the min and the equality filter; the unit price is kept in INTEGER
+    millicents (floor division of exact integer-cents and quantity
+    sums), so min/equality/output are integer-exact in both engines —
+    no float rounding mode can drift."""
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = t(spark, sf_dir, "part").filter(F.col("p_size") >= 30)
+    unit = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.expr(
+            "(sum(cast(round(l_extendedprice * 100) as bigint)) * 1000)"
+            " div sum(cast(l_quantity as bigint))"
+        ).alias("unit_mc")
+    )
+    scoped = (
+        unit.join(F.broadcast(s), unit.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+        .join(F.broadcast(r), r.r_regionkey == n.n_regionkey)
+        .withColumn(
+            "best",
+            F.min("unit_mc").over(Window.partitionBy("l_partkey")),
+        )
+    )
+    return (
+        scoped.filter(F.col("unit_mc") == F.col("best"))
+        .join(F.broadcast(p), p.p_partkey == scoped.l_partkey)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "p_brand",
+            "s_name",
+            F.col("unit_mc").alias("unit_millicents"),
+        )
+    )
