@@ -805,8 +805,14 @@ def q_analytics_nation_volume(spark, sf_dir):
     """
     SELECT n.n_name AS nation,
            CAST(year(o.o_orderdate) AS INT) AS o_year,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)
-                     - 0.6 * p.p_retailprice * l.l_quantity), 2) AS profit
+           -- integer ten-thousandths of a dollar: price*(1-disc) becomes
+           -- cents*(100-bp) and the 60%-of-retail cost proxy becomes
+           -- retail_cents*qty*60 — exact, so no sum-order/rounding drift
+           CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                    - CAST(round(p.p_retailprice * 100) AS BIGINT)
+                      * CAST(l.l_quantity AS BIGINT) * 60)
+                AS BIGINT) AS profit_e4
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -821,15 +827,18 @@ def q_analytics_profit(spark, sf_dir):
     fixture has no partsupp table, so supply cost is proxied at 60% of
     retail price — same join graph (two fact joins + three broadcast
     dims), same part-name LIKE pre-filter that prunes the part build
-    side before it touches lineitem."""
+    side before it touches lineitem. Profit accumulates in integer
+    ten-thousandths of a dollar so the sum is order-independent."""
     li = t(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
     s = t(spark, sf_dir, "supplier")
     o = t(spark, sf_dir, "orders")
     n = t(spark, sf_dir, "nation")
-    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(
-        0.6
-    ) * F.col("p_retailprice") * F.col("l_quantity")
+    profit_e4 = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+        100 - F.round(F.col("l_discount") * 100).cast("bigint")
+    ) - F.round(F.col("p_retailprice") * 100).cast("bigint") * F.col(
+        "l_quantity"
+    ).cast("bigint") * 60
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
@@ -839,7 +848,7 @@ def q_analytics_profit(spark, sf_dir):
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("int").alias("o_year"),
         )
-        .agg(F.round(F.sum(profit), 2).alias("profit"))
+        .agg(F.sum(profit_e4).cast("bigint").alias("profit_e4"))
     )
 
 

@@ -16,7 +16,7 @@ import shutil
 
 from pyspark.sql import functions as F
 
-from hcls_data_lake_spark.queries.common import scratch_for
+from hcls_data_lake_spark.queries.common import events, scratch_for
 from hcls_data_lake_spark.registry import register
 from hcls_data_lake_spark.streaming.runner import (
     read_events_stream,
@@ -432,3 +432,70 @@ def q_stream_complete_topk(spark, sf_dir):
     agg = sdf.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
     top = agg.orderBy(F.col("n_events").desc(), F.col("user_id")).limit(5)
     return run_to_memory(top, output_mode="complete", shuffle_partitions=8)
+
+
+@register(
+    "q_stream_outer_join",
+    """
+    WITH cutoff AS (
+      SELECT max(ts) - INTERVAL 2 HOUR AS lim FROM events
+    )
+    SELECT s.event_id AS signup_id, c.event_id AS click_id, s.user_id
+    FROM events s
+    LEFT JOIN events c
+      ON s.user_id = c.user_id
+     AND c.event_type = 'click'
+     AND c.ts BETWEEN s.ts AND s.ts + INTERVAL 30 MINUTE
+    WHERE s.event_type = 'signup' AND s.ts <= (SELECT lim FROM cutoff)
+    """,
+)
+def q_stream_outer_join(spark, sf_dir):
+    """LEFT OUTER stream-stream join: signups that never attracted a
+    click within 30 minutes surface as null-extended rows — emitted
+    only once the click-side WATERMARK proves no match can still
+    arrive (the capability an inner join doesn't exercise: state
+    eviction doubles as negative-result emission, so the trailing
+    no-data batch is load-bearing here). A finite run can only prove
+    absence inside the watermark-closed region, so both engines score
+    signups at least 2 h (watermark + join window + margin) before the
+    stream's end. The cutoff is applied DOWNSTREAM of the join: global
+    watermark is the min over all inputs, so pre-filtering the signup
+    leg would freeze its own watermark at the cutoff and strand the
+    cutoff-adjacent tail in state forever — the full stream drives the
+    watermark, the filter then trims to the emitted region both
+    engines agree on."""
+    lim = (
+        events(spark, sf_dir)
+        .agg((F.max("ts") - F.expr("INTERVAL 2 HOUR")).alias("lim"))
+        .collect()[0]["lim"]
+    )
+    signups = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("signup_id"),
+            F.col("user_id"),
+            F.col("ts").alias("s_ts"),
+        )
+        .withWatermark("s_ts", "1 hour")
+    )
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = signups.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("c_ts") >= F.col("s_ts"))
+        & (F.col("c_ts") <= F.col("s_ts") + F.expr("INTERVAL 30 MINUTE")),
+        "left_outer",
+    ).filter(F.col("s_ts") <= F.lit(lim)).select(
+        "signup_id", "click_id", "user_id"
+    )
+    return run_to_memory(joined, output_mode="append", shuffle_partitions=4)

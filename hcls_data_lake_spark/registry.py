@@ -78,14 +78,98 @@ def register(name: str, oracle: str | None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-def queries() -> dict[str, QueryFn]:
+# Exported FIRST, in this order: one representative per operator family
+# (the full inventory follows in registration order). External harnesses
+# that sample a prefix of the inventory — e.g. a time-budgeted
+# correctness sweep — then cover every family instead of exhausting the
+# budget inside whichever module happens to import first.
+_FAMILY_REPRESENTATIVES = [
+    "q_agg_group",
+    "q_join_inner_hash",
+    "q_join_broadcast",
+    "q_join_asof",
+    "q_join_bucketed",
+    "q_join_bloom_prefilter",
+    "q_win_rank",
+    "q_topk_per_group",
+    "q_sort_limit",
+    "q_set_except",
+    "q_subquery_correlated",
+    "q_filter_conj",
+    "q_project_case",
+    "q_fn_string",
+    "q_fn_json",
+    "q_scan_partition_prune",
+    "q_scan_pysource",
+    "q_sink_partitioned_write",
+    "q_dedup_exact",
+    "q_dedup_near",
+    "q_dedup_clusters",
+    "q_dedup_embedding",
+    "q_sim_topk",
+    "q_text_tfidf",
+    "q_text_heavy_hitters",
+    "q_text_quality",
+    "q_multimodal_struct",
+    "q_multimodal_arrow_stats",
+    "q_udaf_grouped",
+    "q_udf_grouped_map",
+    "q_udtf_python",
+    "q_stream_tumbling",
+    "q_stream_stream_join",
+    "q_stream_dedup_state",
+    "q_stream_stateful_totals",
+    "q_ts_gapfill",
+    "q_ts_sessionize",
+    "q_ts_ewma",
+    "q_ts_anomaly",
+    "q_ts_concurrency",
+    "q_scd2_dimension",
+    "q_pipeline_ingest",
+    "q_pipeline_curation",
+    "q_pipeline_cdc_apply",
+    "q_hl7_native_split",
+    "q_hl7_typed_adt",
+    "q_sample_hash_split",
+    "q_sample_leakage_safe_split",
+    "q_analytics_shipping",
+    "q_agg_salted_skew",
+    "q_join_salted_skew",
+    "q_rollup_hybrid",
+    "q_layout_zorder",
+    "q_pack_sequences",
+    "q_agg_hll_sketch",
+    "q_sim_ann_ivf",
+    "q_embed_quantize",
+    "q_join_range_bin",
+    "q_join_temporal",
+    "q_analytics_local_volume",
+    "q_analytics_big_orders",
+    "q_fn_variant",
+    "q_agg_median",
+]
+
+
+def _ordered() -> dict[str, Query]:
     _load_all()
-    return {name: q.fn for name, q in REGISTRY.items()}
+    out: dict[str, Query] = {}
+    for name in _FAMILY_REPRESENTATIVES:
+        if name in REGISTRY:
+            out[name] = REGISTRY[name]
+    for name, q in REGISTRY.items():
+        if name not in out:
+            out[name] = q
+    return out
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: q.fn for name, q in _ordered().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    _load_all()
-    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
+    return {
+        name: q.oracle for name, q in _ordered().items() if q.oracle is not None
+    }
 
 
 _LOADED = False
