@@ -22,25 +22,44 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
-def events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Load `events` with `ts` as timestamp_ntz at microsecond precision.
+_EPOCH_NTZ = "cast('1970-01-01 00:00:00' as timestamp_ntz)"
 
-    The fixture parquet stores TIMESTAMP(NANOS) which Spark's vectorized
-    reader rejects; we read it as raw long nanos
-    (spark.sql.legacy.parquet.nanosAsLong) and rebuild a timestamp_ntz
-    with exact integer microsecond arithmetic (timestampadd), which is
-    bit-identical to DuckDB's nanos->micros truncation and independent
-    of the session time zone.
+
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events `ts` column to (ts: timestamp_ntz,
+    ts_ns: bigint nanos-since-epoch), whichever physical type the
+    fixture parquet stores.
+
+    Two fixture generations exist: TIMESTAMP(NANOS), which Spark's
+    vectorized reader surfaces as raw long nanos under
+    spark.sql.legacy.parquet.nanosAsLong, and TIMESTAMP(MICROS) NTZ,
+    which reads natively as timestamp_ntz. Both paths use exact integer
+    microsecond arithmetic (timestampadd/timestampdiff against the NTZ
+    epoch) so the result is bit-identical to DuckDB's reading of the
+    same parquet and independent of the session time zone. `ts_ns`
+    matches DuckDB `epoch_ns(ts)` on either generation.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = load_table(spark, sf_dir, "events")
-    return df.withColumn("ts_ns", F.col("ts")).withColumn(
-        "ts",
+    from pyspark.sql.types import LongType
+
+    if isinstance(df.schema["ts"].dataType, LongType):
+        return df.withColumn("ts_ns", F.col("ts")).withColumn(
+            "ts",
+            F.expr(f"timestampadd(MICROSECOND, ts div 1000, {_EPOCH_NTZ})"),
+        )
+    return df.withColumn("ts", F.col("ts").cast("timestamp_ntz")).withColumn(
+        "ts_ns",
         F.expr(
-            "timestampadd(MICROSECOND, ts div 1000,"
-            " cast('1970-01-01 00:00:00' as timestamp_ntz))"
+            f"timestampdiff(MICROSECOND, {_EPOCH_NTZ}, ts)"
+            " * cast(1000 as bigint)"
         ),
     )
+
+
+def events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load `events` with `ts` as timestamp_ntz at microsecond precision
+    plus a tz-free `ts_ns` bigint (see normalize_event_ts)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return normalize_event_ts(load_table(spark, sf_dir, "events"))
 
 
 def r2(c: Column) -> Column:

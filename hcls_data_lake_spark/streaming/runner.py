@@ -19,12 +19,29 @@ from pyspark.sql import functions as F
 
 from hcls_data_lake_spark.queries.common import scratch_dir, scratch_for
 
-# Raw schema of the events parquet when read with nanosAsLong (the
-# fixture stores TIMESTAMP(NANOS); see queries/common.py).
-EVENTS_RAW_SCHEMA = (
+# Raw schema of the events parquet. Two fixture generations exist
+# (see queries/common.normalize_event_ts): TIMESTAMP(NANOS), which is
+# read as raw long nanos under nanosAsLong, and TIMESTAMP(MICROS) NTZ,
+# which reads natively. The streaming file source needs an explicit
+# schema, so we sniff the parquet footer (driver-side, one file) to
+# pick the right one.
+EVENTS_RAW_SCHEMA_NANOS = (
     "event_id bigint, ts bigint, user_id bigint,"
     " event_type string, value double, props string"
 )
+EVENTS_RAW_SCHEMA_MICROS = (
+    "event_id bigint, ts timestamp_ntz, user_id bigint,"
+    " event_type string, value double, props string"
+)
+
+
+def _events_raw_schema(sf_dir: str) -> str:
+    import pyarrow.parquet as pq
+
+    ts_type = pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type
+    if getattr(ts_type, "unit", None) == "ns":
+        return EVENTS_RAW_SCHEMA_NANOS
+    return EVENTS_RAW_SCHEMA_MICROS
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -40,12 +57,24 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     link = os.path.join(landing, "events.parquet")
     if not os.path.exists(link):
         os.symlink(f"{sf_dir}/events.parquet", link)
-    return (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .parquet(landing)
-        .withColumn("ts_ns", F.col("ts"))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    schema = _events_raw_schema(sf_dir)
+    sdf = spark.readStream.schema(schema).parquet(landing)
+    if schema is EVENTS_RAW_SCHEMA_NANOS:
+        return sdf.withColumn("ts_ns", F.col("ts")).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    # micros-NTZ fixture: derive the physical micros with exact integer
+    # arithmetic (tz-free), then anchor `ts` at UTC as an instant so
+    # unix_micros()/window() downstream stay session-tz-independent —
+    # identical semantics to the nanos path.
+    return sdf.withColumn(
+        "ts_ns",
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            " cast('1970-01-01 00:00:00' as timestamp_ntz), ts)"
+            " * cast(1000 as bigint)"
+        ),
+    ).withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
 
 
 def run_to_memory(
