@@ -438,7 +438,10 @@ def q_stream_complete_topk(spark, sf_dir):
     "q_stream_outer_join",
     """
     WITH cutoff AS (
-      SELECT max(ts) - INTERVAL 2 HOUR AS lim FROM events
+      SELECT min(mx) - INTERVAL 91 MINUTE AS lim
+      FROM (SELECT max(ts) AS mx FROM events
+            WHERE event_type IN ('signup', 'click')
+            GROUP BY event_type)
     )
     SELECT s.event_id AS signup_id, c.event_id AS click_id, s.user_id
     FROM events s
@@ -455,18 +458,38 @@ def q_stream_outer_join(spark, sf_dir):
     only once the click-side WATERMARK proves no match can still
     arrive (the capability an inner join doesn't exercise: state
     eviction doubles as negative-result emission, so the trailing
-    no-data batch is load-bearing here). A finite run can only prove
-    absence inside the watermark-closed region, so both engines score
-    signups at least 2 h (watermark + join window + margin) before the
-    stream's end. The cutoff is applied DOWNSTREAM of the join: global
-    watermark is the min over all inputs, so pre-filtering the signup
-    leg would freeze its own watermark at the cutoff and strand the
-    cutoff-adjacent tail in state forever — the full stream drives the
-    watermark, the filter then trims to the emitted region both
-    engines agree on."""
+    no-data batch is load-bearing here).
+
+    A finite run only proves absence inside the watermark-closed
+    region, so both engines trim to a cutoff that is DERIVED FROM the
+    watermark the run actually achieves, not assumed from the stream's
+    end. Each leg's watermark node sits below the event_type filter
+    (Catalyst pushes the deterministic filter through EventTimeWatermark
+    even when written upstream of it), so a leg's max event time is its
+    own subtype's last event and the achieved global watermark is
+    exactly ``min(max signup ts, max click ts) - 1 h`` — a formula both
+    engines can compute. Round 2 hard-coded ``max(ts) - 2 h``, which at
+    sf0.001 (last signup trails the stream's end by ~4.7 h) lies ABOVE
+    the achieved watermark and silently swallowed the tail of no-click
+    signups; sf0.01's denser tail masked it.
+
+    The cutoff subtracts watermark delay (1 h) + join window (30 min)
+    + 1 min safety: Spark's EventTimeStats tracks max event time at
+    millisecond precision, so the achieved watermark can sit up to
+    1 ms below the microsecond-exact formula, and state eviction is a
+    strict comparison — the margin makes both engines agree
+    independent of those boundary details. Every signup at or before
+    the cutoff is then provably evicted (null-emitted) before
+    termination: s_ts + 30 min <= wm - 1 min < wm. The cutoff is
+    applied DOWNSTREAM of the join so the full legs drive their
+    watermarks; pre-filtering the signup leg would freeze its watermark
+    at the cutoff and strand the cutoff-adjacent tail in state."""
     lim = (
         events(spark, sf_dir)
-        .agg((F.max("ts") - F.expr("INTERVAL 2 HOUR")).alias("lim"))
+        .filter(F.col("event_type").isin("signup", "click"))
+        .groupBy("event_type")
+        .agg(F.max("ts").alias("mx"))
+        .agg((F.min("mx") - F.expr("INTERVAL 91 MINUTE")).alias("lim"))
         .collect()[0]["lim"]
     )
     signups = (
