@@ -39,15 +39,18 @@ def dedup_against_registry(
 ) -> DataFrame:
     """A5: admit only hashes NOT in the registry — the DynamoDB
     conditional lookup (front_door_lambda.py:27-31) becomes one
-    broadcast/shuffle anti-join instead of N point reads."""
+    anti-join instead of N point reads.
+
+    No broadcast hint: the registry is the set of EVERY hash ever
+    admitted, so at 100 TB it is billions of 32-byte digests — far past
+    any executor's memory — and an explicit ``F.broadcast`` is a
+    directive AQE will NOT demote. Left unhinted, AQE picks broadcast
+    from runtime stats when the registry really is small (fresh lake,
+    filtered registry partition) and shuffles on the uniformly
+    distributed digest otherwise — the digest's uniformity makes the
+    shuffled anti-join skew-free by construction."""
     reg = registry.select(F.col(hash_col)).distinct()
-    return df.join(F.broadcast(reg) if _is_small(reg) else reg, hash_col, "left_anti")
-
-
-def _is_small(df: DataFrame) -> bool:
-    # registries of admitted hashes are usually compact digests; default
-    # to broadcast and let AQE demote if runtime stats disagree.
-    return True
+    return df.join(reg, hash_col, "left_anti")
 
 
 def attach_envelope(

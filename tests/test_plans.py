@@ -386,3 +386,34 @@ def test_dynamic_partition_pruning_fires(spark, sf_dir):
     j = fact.join(dim, "o_orderstatus")
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), "DPP was not injected"
+
+
+def test_registry_dedup_does_not_force_broadcast(spark, sf_dir):
+    """A5 ingest dedup: the admitted-hash registry grows without bound
+    (every hash ever ingested — billions of digests at 100 TB), so
+    dedup_against_registry must NOT carry an explicit broadcast hint:
+    a hint is a directive AQE cannot demote, and broadcasting a
+    billion-row registry OOMs every executor. With no hint the planner
+    chooses from size stats — a stats-large registry must plan a
+    shuffled anti-join, while a genuinely small one is still free to
+    broadcast."""
+    from hcls_data_lake_spark.pipeline.ingest import dedup_against_registry
+
+    incoming = spark.range(0, 100_000).select(
+        F.sha2(F.col("id").cast("string").cast("binary"), 256).alias("msg_hash")
+    )
+    # stats-large registry: range's size estimate (8 B/row) is ~80 MB,
+    # far past the 10 MB autoBroadcastJoinThreshold
+    big_registry = spark.range(0, 10_000_000).select(
+        F.sha2(F.col("id").cast("string").cast("binary"), 256).alias("msg_hash")
+    )
+    plan = plan_of(dedup_against_registry(incoming, big_registry), "simple")
+    assert "BroadcastExchange" not in plan, plan
+    assert "CartesianProduct" not in plan
+
+    # small registry: the unhinted planner still broadcasts from stats
+    small_registry = spark.range(0, 100).select(
+        F.sha2(F.col("id").cast("string").cast("binary"), 256).alias("msg_hash")
+    )
+    plan_small = plan_of(dedup_against_registry(incoming, small_registry), "simple")
+    assert "BroadcastExchange" in plan_small, plan_small
