@@ -83,7 +83,38 @@ def register(name: str, oracle: str | None) -> Callable[[QueryFn], QueryFn]:
 # that sample a prefix of the inventory — e.g. a time-budgeted
 # correctness sweep — then cover every family instead of exhausting the
 # budget inside whichever module happens to import first.
+#
+# Round-3 rotation: the leading block is the §2.B operators that r1/r2
+# driver samples never reached (confirmed only by the local parity
+# sweep) plus the re-fixed stream outer join — every declared operator
+# then has a driver-recorded correctness row across r1-r3. The
+# remaining families follow; re-confirmation of r1/r2-green names is
+# harmless, never-confirmation is not.
 _FAMILY_REPRESENTATIVES = [
+    # -- never driver-sampled §2.B operators (r3 rotation) --
+    "q_scan_parquet",
+    "q_scan_text_parse",
+    "q_scan_json",
+    "q_join_self",
+    "q_agg_collect",
+    "q_fn_array",
+    "q_fn_map",
+    "q_win_lag",
+    "q_win_running",
+    "q_win_range_frame",
+    "q_win_ntile_firstlast",
+    "q_sort_multi",
+    "q_set_union",
+    "q_set_intersect",
+    "q_stream_sliding",
+    "q_stream_session",
+    "q_stream_watermark_late",
+    "q_stream_foreachbatch_route",
+    "q_stream_outer_join",
+    "q_sim_pairs",
+    "q_text_tokens",
+    "q_text_stats",
+    # -- family breadth (r1/r2-confirmed representatives) --
     "q_agg_group",
     "q_join_inner_hash",
     "q_join_broadcast",
