@@ -38,21 +38,33 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     epoch) so the result is bit-identical to DuckDB's reading of the
     same parquet and independent of the session time zone. `ts_ns`
     matches DuckDB `epoch_ns(ts)` on either generation.
-    """
-    from pyspark.sql.types import LongType
 
-    if isinstance(df.schema["ts"].dataType, LongType):
+    Any OTHER physical type is an error, not a fallthrough: a plain
+    TIMESTAMP (LTZ) here would mean the parquet was read
+    instant-adjusted, and silently casting it to timestamp_ntz would
+    make every downstream value depend on the session time zone —
+    violating the documented DuckDB-parity contract in a way no test
+    at UTC would catch.
+    """
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
         return df.withColumn("ts_ns", F.col("ts")).withColumn(
             "ts",
             F.expr(f"timestampadd(MICROSECOND, ts div 1000, {_EPOCH_NTZ})"),
         )
-    return df.withColumn("ts", F.col("ts").cast("timestamp_ntz")).withColumn(
-        "ts_ns",
-        F.expr(
-            f"timestampdiff(MICROSECOND, {_EPOCH_NTZ}, ts)"
-            " * cast(1000 as bigint)"
-        ),
-    )
+    if not isinstance(ts_type, TimestampNTZType):
+        raise TypeError(
+            f"events.ts read as {ts_type}; expected raw long nanos or"
+            " timestamp_ntz — a session-tz-dependent type would break"
+            " oracle parity (check spark.sql.legacy.parquet.nanosAsLong"
+            " / spark.sql.parquet.inferTimestampNTZ.enabled)"
+        )
+    return df.withColumn("ts_ns", F.expr(
+        f"timestampdiff(MICROSECOND, {_EPOCH_NTZ}, ts)"
+        " * cast(1000 as bigint)"
+    ))
 
 
 def events(spark: SparkSession, sf_dir: str) -> DataFrame:

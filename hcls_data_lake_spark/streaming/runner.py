@@ -35,13 +35,28 @@ EVENTS_RAW_SCHEMA_MICROS = (
 )
 
 
-def _events_raw_schema(sf_dir: str) -> str:
+def _events_raw_schema(sf_dir: str) -> tuple[str, str]:
+    """Returns (unit_tag, schema): ('nanos'|'micros', DDL string).
+
+    Only the two known fixture physical types are accepted; anything
+    else (e.g. a tz-adjusted timestamp[us, tz=UTC], which would
+    reinterpret instants as naive timestamps under the NTZ schema)
+    raises instead of silently falling into the micros branch."""
     import pyarrow.parquet as pq
 
     ts_type = pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type
-    if getattr(ts_type, "unit", None) == "ns":
-        return EVENTS_RAW_SCHEMA_NANOS
-    return EVENTS_RAW_SCHEMA_MICROS
+    unit = getattr(ts_type, "unit", None)
+    tz = getattr(ts_type, "tz", "not-a-timestamp")
+    if unit == "ns" and tz is None:
+        return "nanos", EVENTS_RAW_SCHEMA_NANOS
+    if unit == "us" and tz is None:
+        return "micros", EVENTS_RAW_SCHEMA_MICROS
+    raise TypeError(
+        f"events.ts stored as {ts_type}; expected tz-free"
+        " timestamp[ns] or timestamp[us] — a tz-adjusted column read"
+        " through the NTZ streaming schema would shift every instant"
+        " by the session offset"
+    )
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -57,9 +72,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     link = os.path.join(landing, "events.parquet")
     if not os.path.exists(link):
         os.symlink(f"{sf_dir}/events.parquet", link)
-    schema = _events_raw_schema(sf_dir)
+    unit, schema = _events_raw_schema(sf_dir)
     sdf = spark.readStream.schema(schema).parquet(landing)
-    if schema is EVENTS_RAW_SCHEMA_NANOS:
+    if unit == "nanos":
         return sdf.withColumn("ts_ns", F.col("ts")).withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
