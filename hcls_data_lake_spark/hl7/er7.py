@@ -33,6 +33,44 @@ REP_SEP = "~"
 COMP_SEP = "^"
 SUBCOMP_SEP = "&"
 
+# HL7 escape sequences (\F\ \S\ \T\ \R\ \E\) — how a literal delimiter
+# travels inside a leaf value (hl7apy unescapes these below
+# parse_er7_lambda.py:44-51's leaves; SURVEY §4 item 1 requires them).
+ER7_ESCAPES = {
+    "F": FIELD_SEP,
+    "S": COMP_SEP,
+    "T": SUBCOMP_SEP,
+    "R": REP_SEP,
+    "E": "\\",
+}
+
+
+def unescape_er7(raw: str) -> str:
+    r"""Decode HL7 escape sequences in one leaf value.
+
+    A sequential ``str.replace`` chain is WRONG here: in ``\F\E\T\``
+    ("|E&") the substring ``\E\`` spans the closing delimiter of
+    ``\F\``, the literal ``E`` and the opening delimiter of ``\T\`` —
+    replacing it first corrupts both neighbors. Valid ER7 uses the
+    backslash only as the escape delimiter, so splitting on it makes
+    every odd-index element exactly one escape token: decode those,
+    keep even elements verbatim. Unknown tokens (``\Xdd..\``,
+    ``\Zcustom\``, or a malformed unpaired tail) are re-wrapped
+    unchanged rather than guessed at."""
+    if "\\" not in raw:
+        return raw
+    parts = raw.split("\\")
+    out = []
+    for i, p in enumerate(parts):
+        if i % 2 == 0:
+            out.append(p)
+        elif p in ER7_ESCAPES:
+            out.append(ER7_ESCAPES[p])
+        else:
+            out.append("\\" + p + "\\")
+    return "".join(out)
+
+
 # --------------------------------------------------------- native path
 
 
@@ -66,6 +104,26 @@ def er7_component(field: Column, index: int) -> Column:
     return F.get(F.split(field, "\\" + COMP_SEP), index - 1)
 
 
+def er7_unescape(value: Column) -> Column:
+    r"""Column form of :func:`unescape_er7` — same split-on-backslash
+    tokenization (odd elements are escape tokens), pure array
+    expressions so it stays in whole-stage codegen. Applied at LEAF
+    extraction (after all splits): decoding earlier would re-introduce
+    the delimiters the escapes exist to hide."""
+    decoded = F.transform(
+        F.split(value, r"\\"),
+        lambda p, i: F.when((i % 2) == 0, p).otherwise(
+            F.when(p == "F", F.lit(FIELD_SEP))
+            .when(p == "S", F.lit(COMP_SEP))
+            .when(p == "T", F.lit(SUBCOMP_SEP))
+            .when(p == "R", F.lit(REP_SEP))
+            .when(p == "E", F.lit("\\"))
+            .otherwise(F.concat(F.lit("\\"), p, F.lit("\\")))
+        ),
+    )
+    return F.array_join(decoded, "")
+
+
 # ------------------------------------------------------------ UDF path
 
 
@@ -83,10 +141,13 @@ def _parse_field(raw: str) -> object:
 
 def _parse_subcomponents(raw: str) -> object:
     if SUBCOMP_SEP in raw:
-        return {f"S{i + 1}": s for i, s in enumerate(raw.split(SUBCOMP_SEP))}
+        return {
+            f"S{i + 1}": unescape_er7(s)
+            for i, s in enumerate(raw.split(SUBCOMP_SEP))
+        }
     # the reference unwraps the `""` empty-field quirk
     # (parse_er7_lambda.py:48-50)
-    return "" if raw == '""' else raw
+    return "" if raw == '""' else unescape_er7(raw)
 
 
 def parse_er7(msg: str) -> str | None:
@@ -164,19 +225,20 @@ def typed_adt(df, msg_col: str = "er7"):
     # MSH-1 is the separator itself, so MSH-n sits at split index n-1
     mshf = lambda n: F.get(F.split(msh, "\\|"), n - 1)  # noqa: E731
     name = er7_field(pid, 5)
+    u = er7_unescape
     return df.select(
         "*",
-        er7_component(mshf(9), 1).alias("message_type"),
-        er7_component(mshf(9), 2).alias("trigger_event"),
-        mshf(7).alias("msg_ts_raw"),
-        mshf(12).alias("hl7_version"),
-        er7_component(er7_field(pid, 3), 1).alias("patient_id"),
-        er7_component(name, 1).alias("family_name"),
-        er7_component(name, 2).alias("given_name"),
-        er7_field(pid, 8).alias("sex"),
+        u(er7_component(mshf(9), 1)).alias("message_type"),
+        u(er7_component(mshf(9), 2)).alias("trigger_event"),
+        u(mshf(7)).alias("msg_ts_raw"),
+        u(mshf(12)).alias("hl7_version"),
+        u(er7_component(er7_field(pid, 3), 1)).alias("patient_id"),
+        u(er7_component(name, 1)).alias("family_name"),
+        u(er7_component(name, 2)).alias("given_name"),
+        u(er7_field(pid, 8)).alias("sex"),
         F.transform(
             segments_all(msg, "NK1"),
-            lambda s: F.get(F.split(F.get(F.split(s, "\\|"), 2), "\\^"), 0),
+            lambda s: u(F.get(F.split(F.get(F.split(s, "\\|"), 2), "\\^"), 0)),
         ).alias("nk1_names"),
     )
 
@@ -192,14 +254,15 @@ def typed_oru(df, msg_col: str = "er7"):
 
     def obx_struct(s: Column) -> Column:
         f = lambda n: F.get(F.split(s, "\\|"), n)  # noqa: E731
+        u = er7_unescape
         return F.struct(
             f(1).alias("set_id"),
             f(2).alias("value_type"),
-            F.get(F.split(f(3), "\\^"), 0).alias("observation_id"),
-            f(5).alias("value"),
+            u(F.get(F.split(f(3), "\\^"), 0)).alias("observation_id"),
+            u(f(5)).alias("value"),
             F.when(f(2) == "NM", f(5).try_cast("double")).alias("value_num"),
-            F.get(F.split(f(6), "\\^"), 0).alias("units"),
-            f(7).alias("ref_range"),
+            u(F.get(F.split(f(6), "\\^"), 0)).alias("units"),
+            u(f(7)).alias("ref_range"),
         )
 
     return df.select("*", F.transform(obx, obx_struct).alias("observations"))

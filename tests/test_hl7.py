@@ -143,3 +143,81 @@ def test_typed_oru_projection_on_corpus(spark):
     assert first.units == "gm/dl"
     # every NM observation parsed to a double
     assert all(o.value_num is not None for o in obs if o.value_type == "NM")
+
+
+def test_unescape_er7_python():
+    r"""HL7 escape decoding (\F\ \S\ \T\ \R\ \E\): the adjacency case
+    \F\E\T\ is the trap — a sequential replace of \E\ first would eat
+    the neighbors' delimiters; the tokenizer must read it as
+    \F\, literal E, \T\ -> '|E&'."""
+    from hcls_data_lake_spark.hl7.er7 import unescape_er7
+
+    assert unescape_er7(r"SMITH \T\ JONES") == "SMITH & JONES"
+    assert unescape_er7("\\F\\") == "|"
+    assert unescape_er7("\\E\\") == "\\"
+    assert unescape_er7("\\F\\E\\T\\") == "|E&"
+    assert unescape_er7("\\E\\F\\E\\") == "\\F\\"
+    assert unescape_er7(r"a\S\b\R\c") == "a^b~c"
+    # unknown escapes (hex, Z-custom) are preserved verbatim
+    assert unescape_er7(r"x\X0D\y") == r"x\X0D\y"
+    assert unescape_er7("plain") == "plain"
+
+
+def test_parse_er7_decodes_escaped_field_sep():
+    r"""An escaped | inside PID-5 must stay INSIDE the field: the
+    segment still has the same field count and the leaf value carries
+    the literal pipe (SURVEY §4 item 1's 'HL7 escape handling')."""
+    msg = (
+        "MSH|^~\\&|APP|FAC|||20240101||ADT^A01|1|P|2.5\r"
+        "PID|1||42||PIPE\\F\\FIELD^GIVEN||19900101|M"
+    )
+    doc = json.loads(parse_er7(msg))
+    pid5 = doc["PID"][0]["PID_5"]
+    assert pid5["C1"] == "PIPE|FIELD"
+    assert pid5["C2"] == "GIVEN"
+    # field count unchanged: PID_8 still lands on sex
+    assert doc["PID"][0]["PID_8"] == "M"
+
+
+def test_msh2_encoding_chars_not_unescaped():
+    """MSH-2 is the encoding-characters declaration itself — its
+    backslash is a DELIMITER DEFINITION, not an escape sequence, and
+    must survive verbatim (parse_er7_lambda.py keeps it raw)."""
+    msg = "MSH|^~\\&|APP|FAC|||20240101||ADT^A01|1|P|2.5\rPID|1||42"
+    doc = json.loads(parse_er7(msg))
+    assert doc["MSH"][0]["MSH_2"] == "^~\\&"
+
+
+def test_native_unescape_matches_python(spark):
+    r"""Column-expression decoder must agree with the Python decoder on
+    every escape shape, including the cross-token adjacency traps."""
+    from pyspark.sql import functions as F
+
+    from hcls_data_lake_spark.hl7.er7 import er7_unescape, unescape_er7
+
+    cases = [
+        r"SMITH \T\ JONES", "\\F\\", "\\E\\", "\\F\\E\\T\\", "\\E\\F\\E\\",
+        r"a\S\b\R\c", r"x\X0D\y", "plain", "",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "v string")
+    got = [r["d"] for r in df.select(er7_unescape(F.col("v")).alias("d")).collect()]
+    assert got == [unescape_er7(c) for c in cases]
+
+
+def test_typed_adt_unescapes_leaves(spark):
+    r"""typed_adt leaf extraction decodes escapes AFTER splitting: an
+    escaped component sep in the family name surfaces as a literal ^
+    and the given-name component is unaffected."""
+    from hcls_data_lake_spark.hl7.er7 import typed_adt
+
+    msg = (
+        "MSH|^~\\&|APP|FAC|||20240101||ADT^A01|1|P|2.5\r"
+        "PID|1||42^^^MRN||CARET\\S\\NAME^GIV||19900101|M\r"
+        "NK1|1|AMP\\T\\CONTACT^A|SPOUSE"
+    )
+    row = typed_adt(
+        spark.createDataFrame([(msg,)], "er7 string")
+    ).collect()[0]
+    assert row["family_name"] == "CARET^NAME"
+    assert row["given_name"] == "GIV"
+    assert row["nk1_names"] == ["AMP&CONTACT"]
