@@ -7,15 +7,18 @@ Two paths, mirroring SURVEY.md §1.3 / A14:
    (repetitions), ``^`` (components), ``&`` (subcomponents). Stays in
    whole-stage codegen; this is the 100 TB path.
 
-2. **Python parser UDF** (`parse_er7_udf`): recursive
-   message→segments→fields→components→subcomponents dict/list document,
-   emitted as a JSON string (the reference parses with the hl7apy
-   grammar, parse_er7_lambda.py:8-69; hl7apy is not installed here, so
-   repetition shape is data-driven — a field with ``~`` repetitions
-   becomes a list — rather than grammar-driven, and unknown segments are
-   preserved instead of raising; parse failures return None which the
-   staging chain routes to the error zone, parse_er7_lambda.py:24-27 +
-   trigger_lambda.py:32-36).
+2. **Python parser UDF** (`parse_er7_udf` / `parse_er7_strict_udf`):
+   recursive message→segments→fields→components→subcomponents dict/list
+   document, emitted as a JSON string. The reference parses with the
+   hl7apy grammar (parse_er7_lambda.py:8-69); hl7apy is not installed
+   here, so hl7/grammar.py vendors the grammar fact that drives shape —
+   segment cardinality — making repeatable-but-singleton segments lists
+   exactly as the reference serializes them. Field-level repetition
+   remains data-driven (a ``~`` makes a list). Strict mode mirrors the
+   reference's unknown-element failure (parse_er7_lambda.py:35-38);
+   parse failures return None which the staging chain routes to the
+   error zone (parse_er7_lambda.py:24-27 + trigger_lambda.py:32-36).
+   Leaf values decode HL7 escape sequences (unescape_er7).
 """
 
 from __future__ import annotations
@@ -150,22 +153,39 @@ def _parse_subcomponents(raw: str) -> object:
     return "" if raw == '""' else unescape_er7(raw)
 
 
-def parse_er7(msg: str) -> str | None:
+def parse_er7(msg: str, strict: bool = False) -> str | None:
     """Parse one ER7 message to a nested JSON document string.
 
-    Segments repeat -> each segment id maps to a LIST of segment dicts
-    (repetition-aware shape, parse_er7_lambda.py:57-65); fields are
-    ``<SEG>_<n>`` keyed (HL7 short names, parse_er7_lambda.py:41).
-    Returns None on structural failure (routed to the error zone)."""
+    Document shape is GRAMMAR-driven (hl7.grammar vendored cardinality
+    table, standing in for hl7apy — parse_er7_lambda.py:57-65): a
+    segment whose grammar allows repetition maps to a LIST of segment
+    dicts even when it occurs once (NK1 appearing a single time is
+    still a list), while a max-1 segment (MSH, PID, EVN, ...) attaches
+    as a plain dict. Fields are ``<SEG>_<n>`` keyed (HL7 short names,
+    parse_er7_lambda.py:41).
+
+    ``strict=True`` mirrors the reference's version-validation failure
+    mode (parse_er7_lambda.py:35-38 raises on elements unknown to the
+    declared HL7 version; trigger_lambda.py:32-36 dead-letters that):
+    a segment id absent from the grammar, or a second occurrence of a
+    max-1 segment, returns None so the staging chain routes the message
+    to the error zone. Lenient mode preserves unknown segments (as
+    lists — undeclared cardinality never loses an occurrence) and
+    demotes a duplicated singleton to a list (data wins over the
+    vendored table). Returns None on structural failure."""
+    from hcls_data_lake_spark.hl7.grammar import is_known, is_repeatable
+
     try:
         text = msg.replace("\r\n", "\r").replace("\n", "\r").strip("\r")
         if not text.startswith("MSH"):
             return None
-        doc: dict[str, list] = {}
+        doc: dict[str, object] = {}
         for seg in text.split(SEGMENT_SEP):
             if len(seg) < 3:
                 continue
             seg_id = seg[:3]
+            if strict and not is_known(seg_id):
+                return None
             body: dict[str, object] = {}
             if seg_id == "MSH":
                 body["MSH_1"] = seg[3]
@@ -182,7 +202,16 @@ def parse_er7(msg: str) -> str | None:
                     body[f"{seg_id}_{i + offset}"] = raw  # encoding chars verbatim
                 else:
                     body[f"{seg_id}_{i + offset}"] = _parse_field(raw)
-            doc.setdefault(seg_id, []).append(body)
+            if is_repeatable(seg_id):
+                doc.setdefault(seg_id, []).append(body)
+            elif seg_id not in doc:
+                doc[seg_id] = body
+            elif strict:
+                return None  # duplicated max-1 segment: structural violation
+            else:
+                prev = doc[seg_id]
+                doc[seg_id] = prev if isinstance(prev, list) else [prev]
+                doc[seg_id].append(body)
         if "MSH" not in doc:
             return None
         return json.dumps(doc, sort_keys=True, ensure_ascii=False)
@@ -195,6 +224,18 @@ def parse_er7_udf(msgs: pd.Series) -> pd.Series:
     """Arrow-batched ER7->JSON parse (the A14 operator; vectorized so
     the Python boundary is paid per-batch, not per-row)."""
     return msgs.map(lambda m: parse_er7(m) if m is not None else None)
+
+
+@F.pandas_udf(StringType())
+def parse_er7_strict_udf(msgs: pd.Series) -> pd.Series:
+    """Strict-validation variant: messages carrying segments unknown to
+    the vendored grammar (or duplicated singletons) parse to None, so
+    the staging chain's null-routing sends structurally-valid-but-
+    unknown messages to the error zone exactly as the reference's
+    hl7apy version check would (parse_er7_lambda.py:35-38)."""
+    return msgs.map(
+        lambda m: parse_er7(m, strict=True) if m is not None else None
+    )
 
 
 # ------------------------------------------- typed projections (§1.3b)

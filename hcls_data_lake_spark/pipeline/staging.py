@@ -11,7 +11,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from hcls_data_lake_spark.hl7.er7 import normalize_er7, parse_er7_udf
+from hcls_data_lake_spark.hl7.er7 import (
+    normalize_er7,
+    parse_er7_strict_udf,
+    parse_er7_udf,
+)
 from hcls_data_lake_spark.pipeline.ingest import subscription_filter
 
 
@@ -20,9 +24,16 @@ def prepare(df: DataFrame, msg_col: str = "msg") -> DataFrame:
     return df.withColumn("er7", normalize_er7(F.col(msg_col)))
 
 
-def parse(df: DataFrame) -> DataFrame:
-    """A14: ER7→JSON parse via the Arrow-batched UDF; None = failure."""
-    return df.withColumn("parsed", parse_er7_udf(F.col("er7")))
+def parse(df: DataFrame, strict: bool = False) -> DataFrame:
+    """A14: ER7→JSON parse via the Arrow-batched UDF; None = failure.
+
+    ``strict=True`` additionally fails messages whose segments are
+    unknown to the vendored grammar (the reference's hl7apy version
+    check, parse_er7_lambda.py:35-38) — structurally valid but unknown
+    messages then dead-letter via route()'s null branch, not just
+    junk."""
+    udf = parse_er7_strict_udf if strict else parse_er7_udf
+    return df.withColumn("parsed", udf(F.col("er7")))
 
 
 def route(df: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -42,8 +53,10 @@ def route(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     return staged, errored
 
 
-def stage_er7(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+def stage_er7(df: DataFrame, strict: bool = False) -> tuple[DataFrame, DataFrame]:
     """A16: the full sequential composition — filter (A7) → prepare
     (A13) → parse (A14) → route (A15) — as one transform chain that
     whole-stage codegen fuses up to the Python parse boundary."""
-    return route(parse(prepare(subscription_filter(df, "hl7v2", "er7"))))
+    return route(
+        parse(prepare(subscription_filter(df, "hl7v2", "er7")), strict=strict)
+    )

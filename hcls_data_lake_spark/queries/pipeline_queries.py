@@ -290,8 +290,8 @@ def q_udf_parse_er7(spark, sf_dir):
     return parsed.select(
         "o_orderkey",
         "doc",
-        F.get_json_object("doc", "$.MSH[0].MSH_10").alias("control_id"),
-        F.get_json_object("doc", "$.PID[0].PID_3.C1").alias("patient_id"),
+        F.get_json_object("doc", "$.MSH.MSH_10").alias("control_id"),
+        F.get_json_object("doc", "$.PID.PID_3.C1").alias("patient_id"),
     )
 
 

@@ -49,8 +49,9 @@ def test_parse_corpus_message(name, msg):
     assert doc_json is not None, f"{name} failed to parse"
     doc = json.loads(doc_json)
     # every parsed doc has an MSH segment list with the message type
-    assert "MSH" in doc and isinstance(doc["MSH"], list)
-    msh = doc["MSH"][0]
+    # MSH is max-1 in the grammar -> plain dict (grammar-driven shape)
+    assert "MSH" in doc and isinstance(doc["MSH"], dict)
+    msh = doc["MSH"]
     assert msh["MSH_1"] == "|"
     assert msh["MSH_2"].startswith("^")
 
@@ -67,7 +68,7 @@ def test_component_and_repetition_shape():
         parse_er7("MSH|^~\\&|A|B|C|D|20240101||ADT^A01|1|P|2.5\r"
                   "PID|1||id1~id2||Last^First")
     )
-    pid = doc["PID"][0]
+    pid = doc["PID"]
     assert pid["PID_3"] == ["id1", "id2"]          # ~ repetition -> list
     assert pid["PID_5"] == {"C1": "Last", "C2": "First"}  # ^ -> components
 
@@ -77,7 +78,7 @@ def test_empty_field_quirk_unwrapped():
     doc = json.loads(
         parse_er7('MSH|^~\\&|A|B|C|D|20240101||ADT^A01|1|P|2.5\rPID|1||X||""')
     )
-    assert doc["PID"][0]["PID_5"] == ""
+    assert doc["PID"]["PID_5"] == ""
 
 
 def test_junk_routes_to_none():
@@ -101,7 +102,7 @@ def test_golden_corpus_fields():
     lab01 = json.loads(parse_er7(by_name["lab01.txt#0"]))
     # MSH-2 keeps the file's NON-STANDARD encoding chars verbatim
     # (lab01 uses a backtick escape char instead of backslash)
-    assert lab01["MSH"][0]["MSH_2"] == "^~`&"
+    assert lab01["MSH"]["MSH_2"] == "^~`&"
     assert len(lab01["OBX"]) == 13
 
     adt01_first = json.loads(parse_er7(by_name["adt01.txt#0"]))
@@ -172,11 +173,11 @@ def test_parse_er7_decodes_escaped_field_sep():
         "PID|1||42||PIPE\\F\\FIELD^GIVEN||19900101|M"
     )
     doc = json.loads(parse_er7(msg))
-    pid5 = doc["PID"][0]["PID_5"]
+    pid5 = doc["PID"]["PID_5"]
     assert pid5["C1"] == "PIPE|FIELD"
     assert pid5["C2"] == "GIVEN"
     # field count unchanged: PID_8 still lands on sex
-    assert doc["PID"][0]["PID_8"] == "M"
+    assert doc["PID"]["PID_8"] == "M"
 
 
 def test_msh2_encoding_chars_not_unescaped():
@@ -185,7 +186,7 @@ def test_msh2_encoding_chars_not_unescaped():
     must survive verbatim (parse_er7_lambda.py keeps it raw)."""
     msg = "MSH|^~\\&|APP|FAC|||20240101||ADT^A01|1|P|2.5\rPID|1||42"
     doc = json.loads(parse_er7(msg))
-    assert doc["MSH"][0]["MSH_2"] == "^~\\&"
+    assert doc["MSH"]["MSH_2"] == "^~\\&"
 
 
 def test_native_unescape_matches_python(spark):
@@ -221,3 +222,68 @@ def test_typed_adt_unescapes_leaves(spark):
     assert row["family_name"] == "CARET^NAME"
     assert row["given_name"] == "GIV"
     assert row["nk1_names"] == ["AMP&CONTACT"]
+
+
+@pytest.mark.parametrize("name,msg", MESSAGES, ids=[m[0] for m in MESSAGES])
+def test_grammar_shape_per_segment(name, msg):
+    """Grammar-driven document shape for every corpus message: each
+    segment serializes as the vendored cardinality table says the
+    reference's hl7apy recursion would (parse_er7_lambda.py:57-65) —
+    repeatable segments are lists EVEN WHEN SINGULAR (adt02's
+    IN1 x1, adt01's NK1 x1), max-1 segments are plain dicts."""
+    from hcls_data_lake_spark.hl7.grammar import is_repeatable
+
+    doc = json.loads(parse_er7(msg))
+    for seg_id, body in doc.items():
+        if is_repeatable(seg_id):
+            assert isinstance(body, list), f"{name}: {seg_id} should be a list"
+            assert all(isinstance(b, dict) for b in body)
+        else:
+            assert isinstance(body, dict), f"{name}: {seg_id} should be a dict"
+
+
+def test_repeatable_but_singleton_is_still_a_list():
+    # adt02.txt carries exactly one IN1; grammar says IN1 repeats ->
+    # the single occurrence is a one-element list (the round-2 gap)
+    msg = next(m for n, m in MESSAGES if n.startswith("adt02"))
+    doc = json.loads(parse_er7(msg))
+    assert isinstance(doc["IN1"], list) and len(doc["IN1"]) == 1
+
+
+def test_corpus_segments_all_known_to_grammar():
+    """The vendored table must cover every segment the corpus uses —
+    otherwise strict mode would dead-letter valid reference messages."""
+    from hcls_data_lake_spark.hl7.grammar import is_known
+
+    for name, msg in MESSAGES:
+        doc = json.loads(parse_er7(msg))
+        unknown = [s for s in doc if not is_known(s)]
+        assert not unknown, f"{name}: {unknown} missing from grammar"
+        assert parse_er7(msg, strict=True) is not None, name
+
+
+def test_strict_rejects_unknown_segment():
+    """Strict mode mirrors the reference's version check
+    (parse_er7_lambda.py:35-38): a structurally valid message whose
+    segment id is unknown to the grammar parses to None (error zone),
+    while lenient mode preserves it as a list."""
+    msg = (
+        "MSH|^~\\&|A|B|C|D|20240101||ADT^A01|1|P|2.5\r"
+        "PID|1||42\r"
+        "ZBE|1|custom-site-extension"
+    )
+    assert parse_er7(msg, strict=True) is None
+    doc = json.loads(parse_er7(msg))
+    assert doc["ZBE"] == [{"ZBE_1": "1", "ZBE_2": "custom-site-extension"}]
+
+
+def test_strict_rejects_duplicated_singleton():
+    msg = (
+        "MSH|^~\\&|A|B|C|D|20240101||ADT^A01|1|P|2.5\r"
+        "PID|1||42\r"
+        "PID|2||43"
+    )
+    assert parse_er7(msg, strict=True) is None
+    # lenient: data wins, the duplicate demotes the dict to a list
+    doc = json.loads(parse_er7(msg))
+    assert isinstance(doc["PID"], list) and len(doc["PID"]) == 2

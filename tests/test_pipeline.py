@@ -88,6 +88,36 @@ def test_staging_routes_parse_failures(spark, wire_df):
     assert staged.filter(F.get_json_object("msg", "$.MSH").isNotNull()).count() == staged_n
 
 
+def test_strict_staging_dead_letters_unknown_segment(spark):
+    """Reference dead-letter parity for STRUCTURALLY VALID but
+    version-unknown messages (parse_er7_lambda.py:35-38 raises,
+    trigger_lambda.py:32-36 routes to error): under strict staging a
+    well-formed message carrying a Z-segment unknown to the vendored
+    grammar lands in the error zone with its original ER7 payload,
+    while the same chain in lenient mode stages it."""
+    valid = "MSH|^~\\&|A|B|C|D|20240101||ADT^A01|77|P|2.5\rPID|1||42"
+    unknown = valid + "\rZBE|1|site-extension"
+    wire = spark.createDataFrame(
+        [
+            (0, base64.b64encode(valid.encode()).decode(), "hospital_a"),
+            (1, base64.b64encode(unknown.encode()).decode(), "hospital_a"),
+        ],
+        "message_id long, msg_b64 string, writer_institution string",
+    )
+    empty_registry = spark.createDataFrame([], "msg_hash string")
+    ingested = _ingest(wire, empty_registry)
+
+    staged, errored = stage_er7(ingested, strict=True)
+    assert staged.count() == 1 and errored.count() == 1
+    err = errored.first()
+    assert err.message_id == 1
+    assert err.event == "error" and err.format == "txt"
+    assert "ZBE|1|site-extension" in err.er7  # original payload kept
+
+    lenient_staged, lenient_errored = stage_er7(ingested)
+    assert lenient_staged.count() == 2 and lenient_errored.count() == 0
+
+
 def test_zone_routing_and_keys(spark, wire_df):
     empty_registry = spark.createDataFrame([], "msg_hash string")
     ingested = _ingest(wire_df, empty_registry)

@@ -328,6 +328,10 @@ _BNLJ_ALLOWED = {
     "q_sim_topk",          # broadcast query block x candidates
     "q_sim_pairs",         # broadcast query block x candidates
     "q_dedup_embedding",   # broadcast query block x candidates
+    "q_agg_entropy",       # one-row dimension total cross-joined back
+    "q_graph_triangles",   # one-row edge/wedge/triangle counts joined
+    "q_subquery_having",   # one-row global-sum aggregate cross-joined
+    "q_subquery_idle_customers",  # one-row avg-balance scalar subquery
 }
 
 

@@ -35,7 +35,7 @@ def test_parse_roundtrips_plain_fields(fields):
     right 1-based positions."""
     msg = "MSH|^~\\&|A|B|C|D|20240101||ADT^A01|1|P|2.5\rPID|" + "|".join(fields)
     doc = json.loads(parse_er7(msg))
-    pid = doc["PID"][0]
+    pid = doc["PID"]
     for i, val in enumerate(fields):
         key = f"PID_{i + 1}"
         if val == "":
@@ -52,7 +52,7 @@ def test_repetition_shape(reps):
     """`~`-joined repetitions always come back as a list of the parts."""
     msg = "MSH|^~\\&|A|B|C|D|20240101||ADT^A01|1|P|2.5\rPID|" + "~".join(reps)
     doc = json.loads(parse_er7(msg))
-    assert doc["PID"][0]["PID_1"] == reps
+    assert doc["PID"]["PID_1"] == reps
 
 
 @given(st.text(max_size=100))
