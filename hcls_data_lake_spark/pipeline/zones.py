@@ -52,6 +52,49 @@ def write_zone(df: DataFrame, lake_root: str, zone: str, mode: str = "append") -
     df.write.mode(mode).partitionBy("protocol").parquet(f"{lake_root}/{zone}")
 
 
+# Old-reference 4-level layout (ingest_er7_lambda.py:60:
+# ``source={}/protocol=hl7v2/format=er7/zone=ingest/{hash}.txt``):
+# SOURCE is the leading key because it is the authz boundary — the old
+# stack granted readers an IAM prefix per institution
+# (hcdl_stack.txt:503-510), so every authorized read was a
+# source-prefix listing. The Spark realization is a multi-key
+# partitionBy in that exact order: a reader-claims filter prunes whole
+# source= directory trees before any file is listed, and the
+# protocol/format/zone sub-keys prune the same way CHOICE routing
+# (A17) did. At 100 TB the leading source key also bounds the blast
+# radius of a compaction or retention pass to one institution's tree.
+MULTIKEY_LAYOUT = ("source", "protocol", "format", "zone")
+
+
+def write_lake_multikey(df: DataFrame, lake_root: str, mode: str = "append") -> None:
+    """Persist the old-reference 4-level layout as one partitioned
+    table rooted at ``lake_root`` (vs write_zone's per-zone roots)."""
+    df.write.mode(mode).partitionBy(*MULTIKEY_LAYOUT).parquet(lake_root)
+
+
+def read_lake_authz(
+    spark: SparkSession,
+    lake_root: str,
+    read_claims: list[str],
+    protocol: str | None = None,
+    fmt: str | None = None,
+    zone: str | None = None,
+) -> DataFrame:
+    """Authorized read over the 4-level layout: the reader's
+    institution claims become a partition filter on the leading
+    ``source`` key (the IAM-prefix authz of hcdl_stack.txt:503-510 as
+    partition pruning — unauthorized trees are never listed), with
+    optional protocol/format/zone narrowing on the sub-keys."""
+    df = spark.read.parquet(lake_root).filter(F.col("source").isin(read_claims))
+    if protocol is not None:
+        df = df.filter(F.col("protocol") == protocol)
+    if fmt is not None:
+        df = df.filter(F.col("format") == fmt)
+    if zone is not None:
+        df = df.filter(F.col("zone") == zone)
+    return df
+
+
 def read_zone(spark: SparkSession, lake_root: str, zone: str) -> DataFrame:
     return spark.read.parquet(f"{lake_root}/{zone}")
 

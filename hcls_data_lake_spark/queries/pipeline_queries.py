@@ -757,3 +757,62 @@ def q_pipeline_cdc_apply(spark, sf_dir):
         "c_custkey",
         version_col="version",
     )
+
+
+@register(
+    "q_pipeline_multikey_layout",
+    """
+    SELECT source,
+           CASE WHEN doc_id % 10 = 0 THEN 'error'
+                WHEN doc_id % 3 = 0 THEN 'staging'
+                ELSE 'ingestion' END AS zone,
+           CAST(count(*) AS BIGINT) AS n_msgs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    WHERE source IN ('src0', 'src1', 'src2')
+      AND (CASE WHEN doc_id % 10 = 0 THEN 'error'
+                WHEN doc_id % 3 = 0 THEN 'staging'
+                ELSE 'ingestion' END) <> 'error'
+    GROUP BY source, zone
+    """,
+)
+def q_pipeline_multikey_layout(spark, sf_dir):
+    """Old-reference 4-level lake layout
+    ``source=/protocol=/format=/zone=`` (ingest_er7_lambda.py:60) as a
+    multi-key partitioned write, read back through the authz reader:
+    the reader's institution claims prune whole source= trees (the
+    IAM-prefix authz of hcdl_stack.txt:503-510 as partition pruning)
+    and the zone sub-key prunes the error tree — no unauthorized
+    partition is ever listed. Write once per sf_dir (overwrite,
+    deterministic routing), then aggregate per (source, zone)."""
+    from hcls_data_lake_spark.pipeline.zones import (
+        read_lake_authz,
+        write_lake_multikey,
+    )
+    from hcls_data_lake_spark.queries.common import scratch_for
+
+    lake = scratch_for(sf_dir, "lake_multikey")
+    docs = t(spark, sf_dir, "documents")
+    zone = (
+        F.when(F.col("doc_id") % 10 == 0, "error")
+        .when(F.col("doc_id") % 3 == 0, "staging")
+        .otherwise("ingestion")
+    )
+    routed = docs.select(
+        "doc_id",
+        "n_chars",
+        "source",
+        F.lit("hl7v2").alias("protocol"),
+        F.lit("er7").alias("format"),
+        zone.alias("zone"),
+    )
+    write_lake_multikey(routed, lake, mode="overwrite")
+    back = read_lake_authz(
+        spark, lake, ["src0", "src1", "src2"], protocol="hl7v2", fmt="er7"
+    ).filter(F.col("zone") != "error")
+    return back.groupBy("source", "zone").agg(
+        F.count(F.lit(1)).alias("n_msgs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    ).withColumn("source", F.col("source").cast("string")).withColumn(
+        "zone", F.col("zone").cast("string")
+    )

@@ -421,3 +421,22 @@ def test_registry_dedup_does_not_force_broadcast(spark, sf_dir):
     )
     plan_small = plan_of(dedup_against_registry(incoming, small_registry), "simple")
     assert "BroadcastExchange" in plan_small, plan_small
+
+
+def test_multikey_authz_read_prunes_source_partitions(spark, sf_dir):
+    """4-level layout authz read: the reader-claims filter must land in
+    PartitionFilters (source= trees outside the claims are never
+    listed), along with the zone sub-key filter — the old reference's
+    IAM-prefix authz realized as partition pruning."""
+    registry.queries()["q_pipeline_multikey_layout"](spark, sf_dir).collect()
+    from hcls_data_lake_spark.pipeline.zones import read_lake_authz
+    from hcls_data_lake_spark.queries.common import scratch_for
+
+    lake = scratch_for(sf_dir, "lake_multikey")
+    authz = read_lake_authz(spark, lake, ["src0", "src1"], zone="staging")
+    plan = plan_of(authz)
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters:")[1][:300]
+    assert "source" in seg and "zone" in seg
+    # and the claims predicate is NOT a post-scan data filter
+    assert authz.count() > 0
