@@ -988,3 +988,154 @@ def q_text_heavy_hitters(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     toks = d.select(F.explode(F.split("text", " ")).alias("w"))
     return heavy_hitters(toks, "w", 0.032)
+
+
+# ------------------------------------------------- embedding hygiene
+
+
+@register(
+    "q_embed_norm_filter",
+    """
+    WITH norms AS (
+      SELECT vec_id, label,
+             ROUND(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                         CAST(embedding AS DOUBLE[]))), 4)
+               AS l2_norm
+      FROM embeddings
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(count(*) FILTER (l2_norm > 0.5 AND l2_norm < 50.0) AS BIGINT)
+             AS n_ok,
+           ROUND(AVG(l2_norm) FILTER (l2_norm > 0.5 AND l2_norm < 50.0), 3)
+             AS avg_norm
+    FROM norms GROUP BY label
+    """,
+)
+def q_embed_norm_filter(spark, sf_dir):
+    """Embedding hygiene gate: L2-norm screening before any ANN /
+    cosine stage. Zero or near-zero vectors make cosine undefined (and
+    poison IVF centroids); huge norms are encoder blowups — both are
+    dropped before indexing in a production pipeline. One scan: the
+    norm is a JVM fold over the array in the scan stage (no shuffle),
+    the report is a single partial-aggregated groupBy on label. At
+    100 TB this is exactly the shape you want: the filter costs zero
+    extra passes because it fuses into whatever reads the embeddings
+    next. Rounding BEFORE the threshold makes the cut deterministic
+    across engines."""
+    e = t(spark, sf_dir, "embeddings")
+    norm = F.round(
+        F.sqrt(
+            F.expr(
+                "aggregate(embedding, cast(0 as double),"
+                " (a, x) -> a + cast(x as double) * cast(x as double))"
+            )
+        ),
+        4,
+    )
+    ok = (F.col("l2_norm") > 0.5) & (F.col("l2_norm") < 50.0)
+    return (
+        e.select("vec_id", "label", norm.alias("l2_norm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count_if(ok).alias("n_ok"),
+            F.round(F.avg(F.when(ok, F.col("l2_norm"))), 3).alias("avg_norm"),
+        )
+    )
+
+
+@register(
+    "q_embed_centroid_cosine",
+    """
+    WITH dims AS (
+      SELECT label,
+             CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ), cent AS (
+      SELECT label, pos, AVG(x) AS m FROM dims GROUP BY label, pos
+    )
+    SELECT a.label AS label_a, b.label AS label_b,
+           ROUND(SUM(a.m * b.m)
+                 / sqrt(SUM(a.m * a.m) * SUM(b.m * b.m)), 4) AS centroid_cos
+    FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+    GROUP BY a.label, b.label
+    """,
+)
+def q_embed_centroid_cosine(spark, sf_dir):
+    """Class-separation diagnostic: per-label centroid, then pairwise
+    centroid cosine — collapsing centroids mean the labels are not
+    separable in embedding space (or the encoder drifted between
+    snapshots; run per-snapshot and diff). Everything is relational:
+    posexplode to (label, pos, x), one partial-aggregated groupBy to
+    |labels|x|dims| centroids, and the pairwise cosine folds over a
+    self-join on pos of that TINY relation — the corpus is scanned
+    once, and nothing downstream of the first aggregate depends on
+    corpus size. The same plan at 100 TB moves only centroids."""
+    e = t(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "label", F.posexplode("embedding").alias("pos", "x")
+    ).select("label", "pos", F.col("x").cast("double").alias("x"))
+    cent = dims.groupBy("label", "pos").agg(F.avg("x").alias("m"))
+    a, b = cent.alias("a"), cent.alias("b")
+    pair = a.join(
+        b,
+        (F.col("a.pos") == F.col("b.pos")) & (F.col("a.label") < F.col("b.label")),
+    )
+    return pair.groupBy(
+        F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b")
+    ).agg(
+        F.round(
+            F.sum(F.col("a.m") * F.col("b.m"))
+            / F.sqrt(
+                F.sum(F.col("a.m") * F.col("a.m"))
+                * F.sum(F.col("b.m") * F.col("b.m"))
+            ),
+            4,
+        ).alias("centroid_cos")
+    )
+
+
+@register(
+    "q_dedup_minhash_sig",
+    """
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS w
+      FROM documents WHERE doc_id < 300
+    ), shingled AS (
+      SELECT doc_id,
+             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                            for i in range(1, len(w) - 1)]) AS shingles
+      FROM docs WHERE len(w) >= 3
+    ), perms AS (SELECT unnest(range(8)) AS perm)
+    SELECT s.doc_id, CAST(p.perm AS INT) AS perm,
+           MIN(md5(CAST(p.perm AS VARCHAR) || ':' || u.sh)) AS minhash
+    FROM shingled s, perms p, unnest(s.shingles) AS u(sh)
+    GROUP BY s.doc_id, p.perm
+    """,
+)
+def q_dedup_minhash_sig(spark, sf_dir):
+    """MinHash signatures with an ENGINE-NEUTRAL hash family (md5 over
+    'perm:shingle', min over the hex strings) — the hash-verifiable
+    complement to operators/dedup.minhash_signature, whose xxhash64
+    family is Spark-private and therefore only rows-only-checkable.
+    Same scale shape as the production path: the whole signature is a
+    transform/array_min fold computed IN THE SCAN STAGE (a per-doc
+    expression, no explode, no shuffle); only the final posexplode to
+    (doc, perm) rows for the comparator materializes signature rows.
+    md5 costs ~2x xxhash64 per shingle, which is why the LSH pipeline
+    keeps xxhash64 — this query exists to pin the minhash ALGORITHM
+    against an independent engine."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    wdf = d.select("doc_id", F.split("text", " ").alias("w"))
+    docs = wdf.filter(F.size("w") >= 3).select(
+        "doc_id", shingles_from_words("w", 3).alias("shingles")
+    )
+    sig = F.expr(
+        "transform(sequence(0, 7), p -> array_min(transform(shingles,"
+        " s -> md5(cast(concat(cast(p as string), ':', s) as binary)))))"
+    )
+    return docs.select(
+        "doc_id", F.posexplode(sig).alias("perm", "minhash")
+    ).select("doc_id", F.col("perm").cast("int").alias("perm"), "minhash")

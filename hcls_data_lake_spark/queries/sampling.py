@@ -162,3 +162,47 @@ def q_sample_mix(spark, sf_dir):
     return ranked.join(F.broadcast(n_min)).filter(
         F.col("rn") <= F.col("n_min")
     ).select("doc_id", "source", "rn")
+
+
+@register(
+    "q_sample_weighted",
+    """
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             pow((CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+                       AS BIGINT) + 1) / 16777217.0,
+                 1.0 / n_chars) AS k
+      FROM documents
+    )
+    SELECT doc_id, n_chars FROM keyed
+    ORDER BY k DESC, doc_id LIMIT 100
+    """,
+)
+def q_sample_weighted(spark, sf_dir):
+    """Weighted sampling without replacement (Efraimidis-Spirakis):
+    key = u^(1/w) with w = n_chars, take the top-k keys — longer
+    documents are proportionally more likely to survive, the standard
+    quality/length-weighted corpus subsampling move. The uniform u is
+    DERIVED, not drawn: md5(doc_id) hex mapped into (0,1), so the
+    sample is a pure function of the corpus (reproducible across runs,
+    engines, and partitionings — no RNG seed to desync). One scan, no
+    shuffle for the key (computed in the scan stage), and the top-k is
+    sort+limit, which Spark executes as TakeOrderedAndProject:
+    per-partition heaps of k, then a k-row merge on the driver — the
+    at-scale shape (never a global sort) for any k that fits memory."""
+    d = t(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 6),
+            16,
+            10,
+        ).cast("double")
+        + 1
+    ) / F.lit(16777217.0)
+    key = F.pow(u, F.lit(1.0) / F.col("n_chars"))
+    return (
+        d.select("doc_id", "n_chars", key.alias("k"))
+        .orderBy(F.col("k").desc(), "doc_id")
+        .limit(100)
+        .select("doc_id", "n_chars")
+    )
