@@ -522,3 +522,81 @@ def q_stream_outer_join(spark, sf_dir):
         "signup_id", "click_id", "user_id"
     )
     return run_to_memory(joined, output_mode="append", shuffle_partitions=4)
+
+
+@register(
+    "q_stream_dedup_within_watermark",
+    """
+    WITH lim AS (
+      SELECT ((epoch_us(max(ts)) // 1000000 // 3600) * 3600) - 7200 - 1800
+               AS cutoff_sec
+      FROM events
+    ), keys AS (
+      SELECT DISTINCT user_id, event_type,
+             (epoch_us(ts) // 3600000000) * 3600 AS hour_sec
+      FROM events
+    )
+    SELECT hour_sec AS win_start_sec,
+           CAST(count(*) AS BIGINT) AS n_distinct_keys
+    FROM keys
+    WHERE hour_sec + 3600 <= (SELECT cutoff_sec FROM lim)
+    GROUP BY hour_sec
+    """,
+)
+def q_stream_dedup_within_watermark(spark, sf_dir):
+    """CHAINED stateful streaming: dropDuplicatesWithinWatermark →
+    windowed aggregation, two state stores in one query.
+
+    dropDuplicatesWithinWatermark is the state-BOUNDED dedup — unlike
+    plain dropDuplicates (q_stream_dedup_state), whose key state lives
+    forever, state here is evicted once the watermark passes first-seen
+    + delay, so an unbounded stream runs in bounded memory: the
+    production A5 gate for streams. The guarantee is conditional —
+    duplicates are dropped only if they arrive within the delay of the
+    first copy — so determinism is ENGINEERED: the dedup key includes
+    the event's hour-aligned timestamp, bounding intra-key event-time
+    spread to 0 (all copies share the bucket) with a 2 h delay, which
+    upgrades the conditional guarantee to exact DISTINCT semantics an
+    oracle can check. The watermark rides the hour-aligned column
+    itself so the downstream hour-window aggregation (which must group
+    a watermarked event-time column to run in append mode) shares it;
+    the kept row's sub-hour position cannot move its bucket. Both
+    engines trim to provably-closed windows: achieved watermark =
+    floor_hour(max ts) - 2 h, cutoff offset a further 30 min so
+    hour-aligned window ends can never tie the eviction boundary
+    (strict-vs-non-strict comparison becomes irrelevant). All cutoff
+    arithmetic is integer epoch math — no naive-datetime/session-tz
+    hazards."""
+    cutoff_sec = (
+        events(spark, sf_dir)
+        .agg(
+            F.expr(
+                "max(ts_ns) div 1000000000 div 3600 * 3600 - 7200 - 1800"
+            ).alias("cutoff_sec")
+        )
+        .collect()[0]["cutoff_sec"]
+    )
+    sdf = read_events_stream(spark, sf_dir)
+    keyed = sdf.select(
+        "user_id",
+        "event_type",
+        F.timestamp_micros(
+            (F.unix_micros("ts") / 3_600_000_000).cast("bigint")
+            * 3_600_000_000
+        ).alias("hour_ts"),
+    )
+    deduped = keyed.withWatermark(
+        "hour_ts", "2 hours"
+    ).dropDuplicatesWithinWatermark(["user_id", "event_type", "hour_ts"])
+    agg = (
+        deduped.groupBy(F.window("hour_ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n_distinct_keys"))
+        .select(
+            (F.unix_micros(F.col("window.start")) / 1_000_000)
+            .cast("bigint")
+            .alias("win_start_sec"),
+            "n_distinct_keys",
+        )
+        .filter(F.col("win_start_sec") + 3600 <= F.lit(cutoff_sec))
+    )
+    return run_to_memory(agg, output_mode="append", shuffle_partitions=8)
