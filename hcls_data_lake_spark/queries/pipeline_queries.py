@@ -332,11 +332,35 @@ def q_udaf_grouped(spark, sf_dir):
     )
 
 
-@register("q_udtf_explode_segments", None)  # UDTF-style: rows-only
+@register(
+    "q_udtf_explode_segments",
+    r"""
+    WITH msgs AS (
+      SELECT o_orderkey,
+             'MSH|^~\&|APP|X|||20240101000000||ADT^A01|'
+               || CAST(o_orderkey AS VARCHAR) || '|P|2.5' || chr(13)
+               || 'PID|1||' || CAST(o_custkey AS VARCHAR) || '^^^MRN'
+               || chr(13) || 'PV1|1|I' AS er7
+      FROM orders WHERE o_orderkey < 500
+    ), segs AS (
+      SELECT o_orderkey,
+             unnest(string_split(er7, chr(13))) AS segment,
+             generate_subscripts(string_split(er7, chr(13)), 1) - 1
+               AS seg_idx
+      FROM msgs
+    )
+    SELECT o_orderkey, CAST(seg_idx AS BIGINT) AS seg_idx,
+           substr(segment, 1, 3) AS segment_id,
+           CAST(len(string_split(segment, '|')) AS INT) AS n_fields
+    FROM segs
+    """,
+)
 def q_udtf_explode_segments(spark, sf_dir):
     """UDTF-style one-message→many-rows: explode parsed documents into
     (message, segment_id, field_count) rows via posexplode over the
-    native splitter (the §2.B UDTF surface)."""
+    native splitter (the §2.B UDTF surface). The split/ordinality
+    output is fully relational, so it hash-checks against a DuckDB
+    unnest-with-subscripts oracle (upgraded from rows-only in r3)."""
     from hcls_data_lake_spark.hl7.er7 import er7_segments
 
     o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
