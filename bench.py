@@ -77,6 +77,12 @@ EXTENDED = [
     "q_text_repetition",      # per-doc bigram repetition metrics
     "q_scan_pysource",        # Python Data Source generator scan
     "q_text_redact",          # regex PII scrub at scan speed
+    "q_pipeline_multikey_layout",  # 4-level layout write + pruned authz read
+    "q_embed_norm_filter",    # L2-norm hygiene gate (scan-fused)
+    "q_embed_centroid_cosine",  # per-label centroid separation
+    "q_dedup_minhash_sig",    # engine-neutral md5 minhash signatures
+    "q_sample_weighted",      # Efraimidis-Spirakis weighted sample
+    "q_stream_dedup_within_watermark",  # chained bounded-state dedup+agg
 ]
 
 
