@@ -1139,3 +1139,108 @@ def q_dedup_minhash_sig(spark, sf_dir):
     return docs.select(
         "doc_id", F.posexplode(sig).alias("perm", "minhash")
     ).select("doc_id", F.col("perm").cast("int").alias("perm"), "minhash")
+
+
+@register(
+    "q_text_chunk",
+    """
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS w
+      FROM documents
+    ), chunks AS (
+      SELECT doc_id,
+             unnest([array_to_string(w[i * 96 + 1 : i * 96 + 128], ' ')
+                     for i in range(0, (len(w) - 1) // 96 + 1)]) AS chunk_text,
+             CAST(generate_subscripts(
+               [i for i in range(0, (len(w) - 1) // 96 + 1)], 1) - 1 AS INT)
+               AS chunk_id
+      FROM docs
+    )
+    SELECT doc_id, chunk_id, chunk_text,
+           CAST(len(string_split(chunk_text, ' ')) AS INT) AS n_words
+    FROM chunks
+    """,
+)
+def q_text_chunk(spark, sf_dir):
+    """Overlapping fixed-window chunking (128-word windows, 96-word
+    stride = 32-word overlap) — the context-window preprocessing step
+    for embedding/RAG indexing and long-doc training, complementing
+    q_pack_sequences (which CONCATENATES short docs; this SPLITS long
+    ones). Chunk boundaries are word-index arithmetic over the
+    pre-split array: sequence() sizes the chunk count exactly from
+    len(w), slice() materializes each window — all map-side JVM HOFs,
+    no shuffle anywhere; output size is known per-doc before the
+    explode runs. At 100 TB this is scan-bandwidth-bound, embarrassing
+    parallel, and deterministic under any partitioning."""
+    d = t(spark, sf_dir, "documents")
+    wdf = d.select("doc_id", F.split("text", " ").alias("w"))
+    chunks = wdf.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, cast(floor((size(w) - 1) / 96) as int)),"
+                " i -> struct(i AS chunk_id,"
+                " concat_ws(' ', slice(w, i * 96 + 1, 128)) AS chunk_text))"
+            )
+        ).alias("c"),
+    ).select("doc_id", F.col("c.chunk_id").cast("int").alias("chunk_id"), "c.chunk_text")
+    return chunks.withColumn(
+        "n_words", F.size(F.split("chunk_text", " ")).cast("int")
+    )
+
+
+@register(
+    "q_text_vocab_coverage",
+    """
+    WITH counts AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ), freq AS (
+      SELECT tok, count(*) AS n FROM counts GROUP BY tok
+    ), ranked AS (
+      SELECT tok, n,
+             ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rnk,
+             SUM(n) OVER (ORDER BY n DESC, tok
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(n) OVER () AS total
+      FROM freq
+    )
+    SELECT CAST(rnk AS BIGINT) AS vocab_rank, tok,
+           CAST(n AS BIGINT) AS n_occurrences,
+           CAST(cum * 10000 // total AS BIGINT) AS coverage_bps
+    FROM ranked WHERE rnk <= 50
+    """,
+)
+def q_text_vocab_coverage(spark, sf_dir):
+    """Vocabulary coverage curve: top-50 tokens by frequency with the
+    CUMULATIVE share of the corpus they cover (basis points, integer
+    math — engine-exact) — the build-a-tokenizer-vocab diagnostic:
+    where the curve flattens tells you the vocab size at which
+    additional types stop paying for their embedding rows. Shape:
+    explode → partial-aggregated count (the only corpus-sized
+    shuffle), then ALL window work (rank, running sum, grand total)
+    runs on the |vocab| relation, which grows sublinearly with corpus
+    size (Heaps' law) — at 100 TB the windows touch millions of rows,
+    not the corpus. The deterministic (freq desc, token) tie-break
+    makes the top-50 cut and running sums hash-stable."""
+    d = t(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ws = Window.orderBy(F.col("n").desc(), "tok")
+    wcum = ws.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wtot = Window.partitionBy()
+    ranked = freq.select(
+        F.row_number().over(ws).cast("bigint").alias("vocab_rank"),
+        "tok",
+        F.col("n").cast("bigint").alias("n_occurrences"),
+        (
+            (F.sum("n").over(wcum) * 10000)
+            .cast("bigint")
+            / F.sum("n").over(wtot)
+        )
+        .cast("bigint")
+        .alias("coverage_bps"),
+    )
+    return ranked.filter(F.col("vocab_rank") <= 50)
