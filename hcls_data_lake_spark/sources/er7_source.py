@@ -90,10 +90,15 @@ class ER7StreamReader(SimpleDataSourceStreamReader):
     def read(self, start: dict):
         lo = start["next"]
         hi = min(lo + self.batch_size, self.n)
-        return [_row(i) for i in range(lo, hi)], {"next": hi}
+        return iter([_row(i) for i in range(lo, hi)]), {"next": hi}
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        return [_row(i) for i in range(start["next"], end["next"])]
+        # MUST be an iterator, not a list: this path only runs on
+        # checkpoint recovery (re-reading a committed-but-unprocessed
+        # offset range), where Spark's worker type-checks the return —
+        # a list passes every normal-path test and then breaks the
+        # first real restart (caught by the restart pytest).
+        return iter([_row(i) for i in range(start["next"], end["next"])])
 
 
 class ER7MessageDataSource(DataSource):

@@ -332,3 +332,69 @@ def test_rocksdb_state_store_matches_default_provider(spark, sf_dir):
         (r.ws, r.event_type, r.n) for r in default_out.collect()
     )
     assert rocks_rows == default_rows and rocks_rows
+
+
+def test_er7gen_stream_restart_resumes_exactly_once(spark, tmp_path):
+    """Checkpoint recovery: stop a streaming query mid-replay, start a
+    NEW query from the same checkpoint + sink — the restart must resume
+    from the committed offset and the file sink's transaction log must
+    yield exactly-once output (every id exactly once, no replays, no
+    gaps). This is the contract that makes the er7gen offset dict (and
+    any queue-shard source built on the same API) safe to kill at any
+    point."""
+    import time
+
+    from hcls_data_lake_spark.sources.er7_source import register_er7_source
+
+    register_er7_source(spark)
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    n = 300
+
+    def start(trigger_kwargs):
+        sdf = (
+            spark.readStream.format("er7gen")
+            .option("n", n)
+            .option("batchSize", 50)
+            .load()
+        )
+        return (
+            sdf.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(**trigger_kwargs)
+            .start()
+        )
+
+    # phase 1: free-running; kill as soon as at least one batch commits
+    q1 = start({"processingTime": "0 seconds"})
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(out_dir).count() >= 50:
+                    break
+            except Exception:
+                pass  # sink not committed yet
+            time.sleep(0.3)
+    finally:
+        q1.stop()
+    partial = spark.read.parquet(out_dir).count()
+    assert 50 <= partial  # something committed, mid-replay kill is real
+
+    # phase 2: new query, same checkpoint — free-run until drained
+    # (availableNow can't be used here: a SimpleDataSourceStreamReader
+    # reports "available" as the one batch prefetched at start, so an
+    # availableNow restart would stop after a single micro-batch)
+    q2 = start({"processingTime": "0 seconds"})
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline and spark.read.parquet(out_dir).count() < n:
+            time.sleep(0.3)
+    finally:
+        q2.stop()
+
+    final = spark.read.parquet(out_dir)
+    assert final.count() == n  # no replayed duplicates, no gaps
+    assert final.select("msg_id").distinct().count() == n
