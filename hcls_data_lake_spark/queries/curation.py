@@ -231,3 +231,96 @@ def q_text_redact(spark, sf_dir):
             F.regexp_replace(doc, email, "[EMAIL]"), phone, "[PHONE]"
         ).alias("redacted"),
     )
+
+
+@register(
+    "q_privacy_k_anon",
+    """
+    WITH cells AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+             count(*) AS cell_size
+      FROM customer
+      GROUP BY 1, 2, 3
+    )
+    SELECT c_nationkey, c_mktsegment, bal_band,
+           CAST(cell_size AS BIGINT) AS cell_size
+    FROM cells WHERE cell_size < 5
+    """,
+)
+def q_privacy_k_anon(spark, sf_dir):
+    """k-anonymity risk report (k=5): group the release candidate by
+    its quasi-identifier tuple (nation, segment, coarse balance band)
+    and surface every equivalence class smaller than k — the rows a
+    linkage attacker can re-identify, and the cells a de-identified
+    HCLS release must suppress or generalize before publication. One
+    partial-aggregated groupBy; the under-k filter rides the aggregate
+    output, so the report costs one shuffle of cell counts at any
+    scale. Banding is integer floor division — no float thresholds."""
+    c = t(spark, sf_dir, "customer")
+    cells = (
+        c.groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_band"),
+        )
+        .agg(F.count(F.lit(1)).alias("cell_size"))
+    )
+    return cells.filter(F.col("cell_size") < 5)
+
+
+@register(
+    "q_privacy_date_shift",
+    """
+    WITH shifts AS (
+      SELECT o_custkey,
+             CAST(CONCAT('0x', substr(md5(CAST(o_custkey AS VARCHAR)), 1, 4))
+                  AS BIGINT) % 729 - 364 AS shift_days
+      FROM (SELECT DISTINCT o_custkey FROM orders)
+    )
+    SELECT o.o_orderkey, o.o_custkey,
+           CAST(o.o_orderdate AS DATE) + CAST(s.shift_days AS INT) AS shifted_date,
+           CAST(s.shift_days AS INT) AS shift_days
+    FROM orders o JOIN shifts s ON o.o_custkey = s.o_custkey
+    WHERE o.o_orderkey < 5000
+    """,
+)
+def q_privacy_date_shift(spark, sf_dir):
+    """Date-shift de-identification (HIPAA-style): every date for a
+    patient moves by a PER-PATIENT constant offset in [-364, +364],
+    so absolute dates are obscured while intra-patient intervals —
+    the clinically meaningful signal — are preserved exactly. The
+    offset is DERIVED (md5 of the patient key), not drawn: the same
+    patient always shifts identically across tables, runs, and
+    engines, with no key-escrow table to leak. Map-side expression on
+    the fact side; the distinct-key shifts relation is
+    patient-count-sized and AQE-broadcast when small."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 5000)
+    shifts = (
+        o.select("o_custkey")
+        .distinct()
+        .withColumn(
+            "shift_days",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.col("o_custkey").cast("string").cast("binary")),
+                        1,
+                        4,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 729
+                - 364
+            ).cast("int"),
+        )
+    )
+    return o.join(shifts, "o_custkey").select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_add(F.col("o_orderdate"), F.col("shift_days")).alias(
+            "shifted_date"
+        ),
+        "shift_days",
+    )
