@@ -440,3 +440,47 @@ def test_multikey_authz_read_prunes_source_partitions(spark, sf_dir):
     assert "source" in seg and "zone" in seg
     # and the claims predicate is NOT a post-scan data filter
     assert authz.count() > 0
+
+
+def test_chunking_is_shuffle_free(spark, sf_dir):
+    """q_text_chunk must be a pure map-side explode: no Exchange of any
+    kind in the plan — chunking 100 TB is scan-bandwidth-bound, and a
+    shuffle anywhere would make it the bottleneck."""
+    plan = plan_of(registry.queries()["q_text_chunk"](spark, sf_dir), "simple")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_embed_norm_filter_single_aggregate_shuffle(spark, sf_dir):
+    """The L2-norm screen computes norms in the scan stage (array fold,
+    no shuffle) — the only exchange is the label aggregate's
+    partial→final pair."""
+    df = registry.queries()["q_embed_norm_filter"](spark, sf_dir)
+    plan = plan_of(df, "simple")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1
+    assert "HashAggregate" in plan
+
+
+def test_vocab_coverage_windows_after_aggregate(spark, sf_dir):
+    """Window work (rank, running sum, total) must sit ABOVE the token
+    count aggregate: the corpus-sized explode is reduced by a
+    partial-aggregated groupBy before any window touches it — at
+    100 TB the windows run on the sublinear vocab relation."""
+    df = registry.queries()["q_text_vocab_coverage"](spark, sf_dir)
+    plan = plan_of(df, "simple")
+    assert "partial_count" in plan or "partial" in plan  # map-side combine
+    assert "Window" in plan
+    # windows come later in the plan text than the aggregate (child-first
+    # formatting prints leaves deepest; assert the aggregate is below)
+    tree = plan.split("\n\n")[0]
+    assert tree.index("Window") < tree.index("HashAggregate")
+
+
+def test_date_shift_join_is_keyed_not_bnl(spark, sf_dir):
+    """The per-patient shift relation joins back on the patient key —
+    hash/broadcast equi-join, never a nested loop."""
+    df = registry.queries()["q_privacy_date_shift"](spark, sf_dir)
+    plan = plan_of(df, "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
