@@ -37,7 +37,13 @@ from hcls_data_lake_spark.streaming.runner import (
     """,
 )
 def q_stream_tumbling(spark, sf_dir):
-    """Tumbling 10-minute window aggregation as a streaming job."""
+    """Tumbling 10-minute window aggregation as a streaming job.
+
+    State is ~21k (window, type) rows at sf0.1 — small enough that
+    per-partition state-store commit overhead dominates over
+    parallelism: 4 state partitions measure ~25% faster than 8 warm
+    (0.86 s vs 1.13 s) and 8 beats 16. Sized to state volume, the same
+    call a cluster deployment makes per stateful query."""
     sdf = read_events_stream(spark, sf_dir)
     agg = (
         sdf.groupBy(F.window("ts", "10 minutes"), "event_type")
@@ -54,7 +60,7 @@ def q_stream_tumbling(spark, sf_dir):
             "sum_value",
         )
     )
-    return run_to_memory(agg, output_mode="complete", shuffle_partitions=8)
+    return run_to_memory(agg, output_mode="complete", shuffle_partitions=4)
 
 
 @register(
