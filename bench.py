@@ -83,6 +83,10 @@ EXTENDED = [
     "q_dedup_minhash_sig",    # engine-neutral md5 minhash signatures
     "q_sample_weighted",      # Efraimidis-Spirakis weighted sample
     "q_stream_dedup_within_watermark",  # chained bounded-state dedup+agg
+    "q_text_chunk",           # overlapping context-window chunking
+    "q_text_vocab_coverage",  # tokenizer-vocab coverage curve
+    "q_privacy_k_anon",       # under-k quasi-identifier cells
+    "q_privacy_date_shift",   # per-patient date-shift de-identification
 ]
 
 

@@ -286,3 +286,26 @@ def test_hll_sketch_merge_matches_direct_and_bounds_error(spark, sf_dir):
     exact = e.select("user_id").distinct().count()
     assert merged == direct, "sketch merge diverged from direct build"
     assert abs(merged - exact) / exact <= 0.05, f"{merged} vs exact {exact}"
+
+
+@given(
+    st.lists(
+        st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=6),
+        min_size=1,
+        max_size=500,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_chunking_reconstructs_document(words):
+    """Chunk-coverage invariant (pure-Python mirror of q_text_chunk's
+    window arithmetic, windows of 128 / stride 96): dropping each
+    subsequent chunk's 32-word overlap and concatenating reconstructs
+    the document exactly — no word lost, duplicated, or reordered, for
+    ANY document length including the stride-boundary edge cases."""
+    stride, width = 96, 128
+    n_chunks = (len(words) - 1) // stride + 1
+    chunks = [words[i * stride : i * stride + width] for i in range(n_chunks)]
+    rebuilt = list(chunks[0])
+    for c in chunks[1:]:
+        rebuilt.extend(c[width - stride :])
+    assert rebuilt == words
