@@ -87,6 +87,8 @@ EXTENDED = [
     "q_text_vocab_coverage",  # tokenizer-vocab coverage curve
     "q_privacy_k_anon",       # under-k quasi-identifier cells
     "q_privacy_date_shift",   # per-patient date-shift de-identification
+    "q_dedup_incremental",    # new-batch-vs-seen-corpus near-dedup
+    "q_text_lm_score",        # bigram-LM perplexity-proxy scoring
 ]
 
 

@@ -1244,3 +1244,176 @@ def q_text_vocab_coverage(spark, sf_dir):
         .alias("coverage_bps"),
     )
     return ranked.filter(F.col("vocab_rank") <= 50)
+
+
+@register(
+    "q_dedup_incremental",
+    """
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), shingled AS (
+      SELECT doc_id,
+             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                            for i in range(1, len(w) - 1)]) AS shingles
+      FROM docs WHERE len(w) >= 3
+    ), pairs AS (
+      SELECT n.doc_id AS new_id, o.doc_id AS seen_id,
+             len(list_intersect(n.shingles, o.shingles)) AS inter,
+             len(n.shingles) + len(o.shingles)
+               - len(list_intersect(n.shingles, o.shingles)) AS uni
+      FROM shingled n JOIN shingled o
+        ON n.doc_id >= 400 AND o.doc_id < 400
+    )
+    SELECT new_id, MIN(seen_id) AS dup_of,
+           ROUND(MAX(CAST(inter AS DOUBLE) / uni), 4) AS max_jaccard
+    FROM pairs
+    WHERE CAST(inter AS DOUBLE) / uni >= 0.2
+    GROUP BY new_id
+    """,
+)
+def q_dedup_incremental(spark, sf_dir):
+    """INCREMENTAL near-dedup: screen an arriving batch (doc_id >= 400)
+    against the already-curated corpus (doc_id < 400) — the shape
+    production curation actually runs (per-ingest, not corpus-wide
+    re-dedup). Same inverted-index plan as q_dedup_near with one
+    twist: postings emit only CROSS-SIDE (new x seen) pairs, never
+    seen x seen — the accumulated corpus's C(f,2) blowup is skipped
+    entirely, so per-batch cost tracks the BATCH's shingle postings,
+    not the corpus's. At 100 TB the seen-side posting list is the
+    persisted shingle index a real pipeline maintains incrementally."""
+    d = t(spark, sf_dir, "documents")
+    wdf = d.select(
+        "doc_id",
+        F.split("text", " ").alias("w"),
+        (F.col("doc_id") >= 400).alias("is_new"),
+    )
+    sh = shingles_from_words("w", 3)
+    docs = wdf.filter(F.size("w") >= 3).select(
+        "doc_id", "is_new", sh.alias("shingles"), F.size(sh).alias("n_sh")
+    )
+    posting = (
+        docs.select(
+            "doc_id", "is_new", "n_sh", F.explode("shingles").alias("shingle")
+        )
+        .groupBy("shingle")
+        .agg(
+            F.collect_list(
+                F.when(F.col("is_new"), F.struct("doc_id", "n_sh"))
+            ).alias("new_ds"),
+            F.collect_list(
+                F.when(~F.col("is_new"), F.struct("doc_id", "n_sh"))
+            ).alias("seen_ds"),
+        )
+        .filter((F.size("new_ds") > 0) & (F.size("seen_ds") > 0))
+    )
+    pairs = (
+        posting.select(
+            F.explode_outer(
+                F.expr(
+                    "flatten(transform(new_ds, n ->"
+                    " transform(seen_ds, o -> struct("
+                    " n.doc_id AS new_id, o.doc_id AS seen_id,"
+                    " n.n_sh AS nn, o.n_sh AS no))))"
+                )
+            ).alias("p")
+        )
+        .filter(F.col("p").isNotNull())
+        .select("p.*")
+    )
+    inter = pairs.groupBy("new_id", "seen_id", "nn", "no").agg(
+        F.count(F.lit(1)).alias("inter")
+    )
+    jac = F.col("inter") / (F.col("nn") + F.col("no") - F.col("inter"))
+    return (
+        inter.withColumn("jaccard", jac)
+        .filter(jac >= 0.2)
+        .groupBy("new_id")
+        .agg(
+            F.min("seen_id").alias("dup_of"),
+            F.round(F.max("jaccard"), 4).alias("max_jaccard"),
+        )
+    )
+
+
+@register(
+    "q_text_lm_score",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), bigrams AS (
+      SELECT doc_id, unnest([w[i] || ' ' || w[i+1]
+                             for i in range(1, len(w))]) AS bg
+      FROM toks WHERE len(w) >= 2
+    ), bg_counts AS (
+      SELECT bg, count(*) AS c2 FROM bigrams GROUP BY bg
+    ), ug_counts AS (
+      SELECT string_split(bg, ' ')[1] AS w1, SUM(c2) AS c1
+      FROM bg_counts GROUP BY 1
+    ), scored AS (
+      SELECT b.doc_id,
+             CAST(ROUND(ln(CAST(bc.c2 AS DOUBLE) / ug.c1) * 1000000, 0)
+                  AS BIGINT) AS term_micro
+      FROM bigrams b
+      JOIN bg_counts bc ON b.bg = bc.bg
+      JOIN ug_counts ug ON string_split(b.bg, ' ')[1] = ug.w1
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(term_micro) AS BIGINT) AS log_prob_micro,
+           CAST(FLOOR(CAST(SUM(term_micro) AS DOUBLE) / count(*)) AS BIGINT)
+             AS avg_log_prob_micro
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q_text_lm_score(spark, sf_dir):
+    """Corpus-LM quality scoring (perplexity-proxy filtering): score
+    every document by its mean bigram log-probability under the
+    corpus's own MLE bigram model — the classic cheap fluency filter
+    (gibberish and boilerplate score far from the corpus mode; the
+    production analog swaps the self-trained MLE for a held-out KenLM).
+    Fully relational: bigram explode → count aggregate (the model),
+    conditional probability via a join to the unigram-context totals,
+    per-doc sum. Each log term is QUANTIZED to integer micro-nats
+    before summing, so the per-doc aggregate is an integer sum —
+    order-independent under any partitioning, bit-equal across engines
+    (a float log-sum would drift in the last ulp by aggregation
+    order). Model relations are vocabulary-sized; only the bigram
+    explode is corpus-sized, shuffled once for the count and once for
+    the probability join — at 100 TB the model side broadcast-joins."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("w"))
+    bigrams = toks.filter(F.size("w") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1),"
+                " i -> concat(w[i - 1], ' ', w[i]))"
+            )
+        ).alias("bg"),
+    )
+    bg_counts = bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    ug_counts = (
+        bg_counts.groupBy(
+            F.split("bg", " ").getItem(0).alias("w1")
+        ).agg(F.sum("c2").alias("c1"))
+    )
+    model = bg_counts.withColumn("w1", F.split("bg", " ").getItem(0)).join(
+        ug_counts, "w1"
+    )
+    term = (
+        F.round(F.log(F.col("c2") / F.col("c1")) * 1_000_000, 0)
+        .cast("bigint")
+        .alias("term_micro")
+    )
+    scored = bigrams.join(model.select("bg", "c2", "c1"), "bg").select(
+        "doc_id", term
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("term_micro").alias("log_prob_micro"),
+        # floor, not cast: cast-to-bigint truncates toward zero in Spark
+        # but rounds in DuckDB — floor agrees everywhere, negatives included
+        F.floor(F.sum("term_micro") / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("avg_log_prob_micro"),
+    )
