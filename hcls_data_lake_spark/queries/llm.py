@@ -1250,7 +1250,8 @@ def q_text_vocab_coverage(spark, sf_dir):
     "q_dedup_incremental",
     """
     WITH docs AS (
-      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      SELECT doc_id, string_split(text, ' ') AS w
+      FROM documents WHERE doc_id < 1000
     ), shingled AS (
       SELECT doc_id,
              list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
@@ -1262,7 +1263,7 @@ def q_text_vocab_coverage(spark, sf_dir):
              len(n.shingles) + len(o.shingles)
                - len(list_intersect(n.shingles, o.shingles)) AS uni
       FROM shingled n JOIN shingled o
-        ON n.doc_id >= 400 AND o.doc_id < 400
+        ON n.doc_id % 5 = 4 AND o.doc_id % 5 <> 4
     )
     SELECT new_id, MIN(seen_id) AS dup_of,
            ROUND(MAX(CAST(inter AS DOUBLE) / uni), 4) AS max_jaccard
@@ -1272,20 +1273,22 @@ def q_text_vocab_coverage(spark, sf_dir):
     """,
 )
 def q_dedup_incremental(spark, sf_dir):
-    """INCREMENTAL near-dedup: screen an arriving batch (doc_id >= 400)
-    against the already-curated corpus (doc_id < 400) — the shape
+    """INCREMENTAL near-dedup: screen an arriving batch against the
+    already-curated corpus — the shape
     production curation actually runs (per-ingest, not corpus-wide
-    re-dedup). Same inverted-index plan as q_dedup_near with one
+    re-dedup). The batch is the SMALL side (every 5th doc, modulo so
+    the split holds at every SF; corpus bounded like q_dedup_near's
+    demo block). Same inverted-index plan as q_dedup_near with one
     twist: postings emit only CROSS-SIDE (new x seen) pairs, never
     seen x seen — the accumulated corpus's C(f,2) blowup is skipped
     entirely, so per-batch cost tracks the BATCH's shingle postings,
     not the corpus's. At 100 TB the seen-side posting list is the
     persisted shingle index a real pipeline maintains incrementally."""
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
     wdf = d.select(
         "doc_id",
         F.split("text", " ").alias("w"),
-        (F.col("doc_id") >= 400).alias("is_new"),
+        (F.col("doc_id") % 5 == 4).alias("is_new"),
     )
     sh = shingles_from_words("w", 3)
     docs = wdf.filter(F.size("w") >= 3).select(
