@@ -238,3 +238,32 @@ def vacuum(root: str, keep_last: int = 1) -> list[str]:
             if not os.listdir(cdir):
                 os.rmdir(cdir)
     return deleted
+
+
+def diff_versions(spark, root: str, v_old: int, v_new: int):
+    """Snapshot diff: (added_df, removed_df) between two committed
+    versions, reading ONLY the files whose manifest membership changed.
+
+    Committed files are immutable (a commit writes new files and a new
+    manifest; nothing rewrites in place), so rows in files present in
+    BOTH manifests are bit-identical in both snapshots and never need
+    to be read — a small append to a huge table diffs in time
+    proportional to the append, not the table. File-diff semantics on
+    rewrites match file-level CDC everywhere (e.g. change feeds
+    without row tracking): a compaction that rewrites rows into new
+    files reports them as removed+added even when content is equal —
+    exact for append/delete commits, conservative for rewrites."""
+    from pyspark.sql.types import StructType
+
+    m_old, m_new = _load(root, v_old), _load(root, v_new)
+    schema = StructType.fromJson(m_new["schema"])
+    old_files, new_files = set(m_old["files"]), set(m_new["files"])
+
+    def _read(files):
+        if not files:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(
+            *[os.path.join(root, f) for f in sorted(files)]
+        )
+
+    return _read(new_files - old_files), _read(old_files - new_files)

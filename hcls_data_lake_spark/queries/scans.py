@@ -555,3 +555,65 @@ def q_scan_xml(spark, sf_dir):
         F.count(F.lit(1)).alias("n_supp"),
         F.round(F.sum("s_acctbal"), 2).alias("sum_acctbal"),
     )
+
+
+@register(
+    "q_scan_snapshot_diff",
+    """
+    WITH v1 AS (
+      SELECT o_orderkey, CAST(round(o_totalprice * 100, 0) AS BIGINT)
+               AS cents
+      FROM orders
+      WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        AND o_orderkey < 30000
+    ), v2 AS (
+      SELECT o_orderkey, CAST(round(o_totalprice * 100, 0) AS BIGINT)
+               AS cents
+      FROM orders WHERE o_orderkey < 30000
+    )
+    SELECT 'added' AS change, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS total_cents
+    FROM v2 WHERE o_orderkey NOT IN (SELECT o_orderkey FROM v1)
+    UNION ALL
+    SELECT 'removed', CAST(count(*) AS BIGINT),
+           CAST(COALESCE(SUM(cents), 0) AS BIGINT)
+    FROM v1 WHERE o_orderkey NOT IN (SELECT o_orderkey FROM v2)
+    """,
+)
+def q_scan_snapshot_diff(spark, sf_dir):
+    """Snapshot DIFF over the versioned-manifest table: what changed
+    between two committed versions (row-level added/removed census) —
+    the audit/incremental-consumer complement to time travel (what WAS
+    true). Diffing reads only the files whose membership CHANGED
+    between the manifests (manifest.diff_versions): committed files
+    are immutable, so files present in both snapshots never need to
+    be read — a small append to a huge table diffs in time
+    proportional to the append, not the table. Here v2 appends
+    post-1998 orders, so the 'removed' leg is empty and the 'added'
+    leg reads exactly the appended files. The oracle recomputes both
+    snapshots relationally (NOT IN on the key), so parity also proves
+    the file-diff equals the row-diff for append commits."""
+    import os
+    import shutil
+
+    from hcls_data_lake_spark.operators import manifest
+
+    root = scratch_for(sf_dir, "orders_versioned_diff")
+    if os.path.isdir(root):
+        shutil.rmtree(root)
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 30000)
+    cut = F.expr("TIMESTAMP '1998-01-01 00:00:00'")
+    manifest.commit(o.filter(F.col("o_orderdate") < cut), root, "append")
+    manifest.commit(o.filter(F.col("o_orderdate") >= cut), root, "append")
+
+    added_df, removed_df = manifest.diff_versions(spark, root, 1, 2)
+
+    def census(label, side):
+        cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+        return side.select(cents.alias("cents")).agg(
+            F.lit(label).alias("change"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.coalesce(F.sum("cents"), F.lit(0)).cast("bigint").alias("total_cents"),
+        )
+
+    return census("added", added_df).unionByName(census("removed", removed_df))
