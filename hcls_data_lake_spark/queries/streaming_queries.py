@@ -606,3 +606,65 @@ def q_stream_dedup_within_watermark(spark, sf_dir):
         .filter(F.col("win_start_sec") + 3600 <= F.lit(cutoff_sec))
     )
     return run_to_memory(agg, output_mode="append", shuffle_partitions=8)
+
+
+@register(
+    "q_stream_session_dynamic",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS ep,
+             CASE WHEN event_type = 'purchase' THEN 120000000
+                  ELSE 300000000 END AS gap
+      FROM events
+    ), marked AS (
+      SELECT user_id, ep, gap,
+             CASE WHEN MAX(ep + gap) OVER w IS NULL
+                    OR ep >= MAX(ep + gap) OVER w
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ep
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), sess AS (
+      SELECT user_id, ep, gap,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ep
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM marked
+    )
+    SELECT user_id,
+           MIN(ep) // 1000000 AS session_start_sec,
+           MAX(ep + gap) // 1000000 AS session_end_sec,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sess
+    GROUP BY user_id, sess_id
+    """,
+)
+def q_stream_session_dynamic(spark, sf_dir):
+    """DYNAMIC-gap session windows: the gap is a per-event EXPRESSION
+    (purchases close a session after 2 min, everything else 5 min) —
+    the capability fixed-gap sessions (q_stream_session) can't
+    express: activity-dependent session boundaries, e.g. a checkout
+    ends engagement faster than browsing. Spark merges an event into
+    the session while its time is strictly inside the current
+    [start, max(ts+gap)) — the oracle mirrors exactly that half-open
+    rule with a running max over preceding (ts + gap), so boundary
+    events agree between engines. State is per-session and evicted at
+    close in complete mode over a finite run."""
+    sdf = read_events_stream(spark, sf_dir)
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("2 minutes")
+    ).otherwise(F.lit("5 minutes"))
+    agg = (
+        sdf.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            (F.unix_micros(F.col("session_window.start")) / 1_000_000)
+            .cast("bigint")
+            .alias("session_start_sec"),
+            (F.unix_micros(F.col("session_window.end")) / 1_000_000)
+            .cast("bigint")
+            .alias("session_end_sec"),
+            "n_events",
+        )
+    )
+    return run_to_memory(agg, output_mode="complete", shuffle_partitions=8)
