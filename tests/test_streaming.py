@@ -398,3 +398,68 @@ def test_er7gen_stream_restart_resumes_exactly_once(spark, tmp_path):
     final = spark.read.parquet(out_dir)
     assert final.count() == n  # no replayed duplicates, no gaps
     assert final.select("msg_id").distinct().count() == n
+
+
+def test_multibatch_incremental_agg_equals_batch(spark, tmp_path, sf_dir):
+    """Incremental state correctness across MANY micro-batches: split
+    the events table into 8 files, stream with maxFilesPerTrigger=2
+    (4+ real micro-batches, state carried between them), and assert
+    the complete-mode windowed aggregate equals the one-shot batch
+    answer. The single-file fixture replays in one batch, so this is
+    the only place cross-batch state merge (partial windows updated by
+    later batches) is actually exercised end-to-end."""
+    from hcls_data_lake_spark.queries.common import events
+
+    src = events(spark, sf_dir).select("ts", "event_type", "value")
+    multi = str(tmp_path / "events_multi")
+    # split deterministically so several batches touch the SAME windows
+    src.repartition(8).write.mode("overwrite").parquet(multi)
+
+    ckpt = str(tmp_path / "ckpt")
+    name = f"mb_{uuid.uuid4().hex[:8]}"
+    sdf = (
+        spark.readStream.schema("ts timestamp_ntz, event_type string, value double")
+        .option("maxFilesPerTrigger", "2")
+        .parquet(multi)
+        .withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    )
+    agg = (
+        sdf.groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sv"))
+        .select(
+            F.unix_micros(F.col("window.start").cast("timestamp")).alias("w"),
+            "event_type",
+            "n",
+            "sv",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    assert n_batches >= 4  # really incremental, not one drain
+
+    got = {
+        (r.w, r.event_type): (r.n, r.sv)
+        for r in spark.table(name).collect()
+    }
+    want = {
+        (r.w, r.event_type): (r.n, r.sv)
+        for r in (
+            spark.read.parquet(multi)
+            .groupBy(F.window("ts", "10 minutes"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sv"))
+            .select(
+                F.unix_micros(F.col("window.start").cast("timestamp")).alias("w"),
+                "event_type", "n", "sv",
+            )
+            .collect()
+        )
+    }
+    assert got == want
