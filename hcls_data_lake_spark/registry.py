@@ -114,6 +114,22 @@ _FAMILY_REPRESENTATIVES = [
     "q_sim_pairs",
     "q_text_tokens",
     "q_text_stats",
+    # -- round-3 operators (driver evidence for the new surface; the
+    # -- §2.B representatives they displace keep their r1/r2 rows) --
+    "q_pipeline_multikey_layout",
+    "q_embed_norm_filter",
+    "q_embed_centroid_cosine",
+    "q_dedup_minhash_sig",
+    "q_sample_weighted",
+    "q_stream_dedup_within_watermark",
+    "q_stream_session_dynamic",
+    "q_text_chunk",
+    "q_text_vocab_coverage",
+    "q_privacy_k_anon",
+    "q_privacy_date_shift",
+    "q_dedup_incremental",
+    "q_text_lm_score",
+    "q_scan_snapshot_diff",
     # -- family breadth (r1/r2-confirmed representatives) --
     "q_agg_group",
     "q_join_inner_hash",
