@@ -1042,3 +1042,55 @@ def q_analytics_min_cost_supplier(spark, sf_dir):
             F.col("unit_mc").alias("unit_millicents"),
         )
     )
+
+
+@register(
+    "q_analytics_ship_latency",
+    """
+    SELECT CAST(FLOOR(date_diff('day', o.o_orderdate, l.l_shipdate) / 30.0)
+                AS INT) AS latency_months,
+           CAST(SUM(CASE WHEN o.o_orderpriority LIKE '1%'
+                           OR o.o_orderpriority LIKE '2%'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority LIKE '1%'
+                           OR o.o_orderpriority LIKE '2%'
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1
+    """,
+)
+def q_analytics_ship_latency(spark, sf_dir):
+    """TPC-H-Q12-shape: conditional priority counts over the big-big
+    orders⋈lineitem join, grouped by a DERIVED dimension (order-to-ship
+    latency in months) — does slow fulfilment correlate with priority
+    class. The fixture lacks Q12's shipmode/receipt columns, so the
+    latency bucket stands in as the derived group key; the shape is
+    identical: one fact-fact shuffle join, CASE folded into map-side
+    partial aggregation (the per-bucket counters combine before the
+    tiny group-key shuffle), integer bucket arithmetic in both
+    engines."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    hi = F.col("o_orderpriority").startswith("1") | F.col(
+        "o_orderpriority"
+    ).startswith("2")
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.floor(
+                F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) / 30.0
+            )
+            .cast("int")
+            .alias("latency_months"),
+            hi.alias("hi"),
+        )
+        .groupBy("latency_months")
+        .agg(
+            F.sum(F.when(F.col("hi"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("high_line_count"),
+            F.sum(F.when(F.col("hi"), 0).otherwise(1))
+            .cast("bigint")
+            .alias("low_line_count"),
+        )
+    )
