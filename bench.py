@@ -7,7 +7,7 @@ Each query is forced to full materialization with a count-style action
 (write to a noop aggregation) so timing covers the complete plan.
 
 Per-query time is the MIN over $SPARK_GRAFT_BENCH_REPS repetitions
-(default 3 headline / 2 extended) after a full warmup pass: a single
+(default 3, headline and extended alike) after a full warmup pass: a single
 timed run conflates plan execution with JVM JIT compilation of the
 generated code and whatever else the machine is doing — r2's driver
 run read q_agg_group 3.6x and q_dedup_near 1.7x over their steady
@@ -128,9 +128,15 @@ def main() -> None:
         timings[name] = runs[0]
         medians[name] = runs[len(runs) // 2]
     total = round(sum(timings.values()), 3)
+    # Extended set runs the SAME rep count as headline: at 2 reps a
+    # single load spike still leaks into the min (r3's q_join_salted_skew
+    # read 1.5x baseline in the driver run but 0.80 s solo).
     extended: dict[str, float] = {}
+    extended_medians: dict[str, float] = {}
     for name in EXTENDED:
-        extended[name] = min(timed(name, max(1, reps - 1)))
+        runs = sorted(timed(name, reps))
+        extended[name] = runs[0]
+        extended_medians[name] = runs[len(runs) // 2]
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
     print(
         json.dumps(
@@ -141,6 +147,7 @@ def main() -> None:
                 "queries": timings,
                 "queries_median": medians,
                 "extended_queries": extended,
+                "extended_queries_median": extended_medians,
                 "reps": reps,
                 "sf": sf,
             }

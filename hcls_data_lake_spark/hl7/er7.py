@@ -58,15 +58,21 @@ def unescape_er7(raw: str) -> str:
     backslash only as the escape delimiter, so splitting on it makes
     every odd-index element exactly one escape token: decode those,
     keep even elements verbatim. Unknown tokens (``\Xdd..\``,
-    ``\Zcustom\``, or a malformed unpaired tail) are re-wrapped
-    unchanged rather than guessed at."""
+    ``\Zcustom\``) are re-wrapped unchanged rather than guessed at.
+    A malformed UNPAIRED tail (``abc\F`` — odd final token, no closing
+    delimiter) is literal text: re-emit ``\`` + token with no closing
+    backslash and no decode, so ``abc\F`` round-trips instead of
+    silently decoding to ``abc|``."""
     if "\\" not in raw:
         return raw
     parts = raw.split("\\")
+    last = len(parts) - 1
     out = []
     for i, p in enumerate(parts):
         if i % 2 == 0:
             out.append(p)
+        elif i == last:  # odd final index: unpaired trailing escape
+            out.append("\\" + p)
         elif p in ER7_ESCAPES:
             out.append(ER7_ESCAPES[p])
         else:
@@ -107,16 +113,57 @@ def er7_component(field: Column, index: int) -> Column:
     return F.get(F.split(field, "\\" + COMP_SEP), index - 1)
 
 
+# SQL-text fragments: '\\\\' is the regex "escaped backslash" (split
+# pattern), '\\' is one literal backslash.
+_RE_BS = "'\\\\\\\\'"
+_LIT_BS = "'\\\\'"
+
+
+def er7_unescape_sql(value_sql: str) -> str:
+    r"""SQL-string form of :func:`unescape_er7` — identical semantics
+    to :func:`er7_unescape`, emitted as ONE SQL expression string for
+    ``F.expr``. The Column form builds its tree through hundreds of
+    Py4J round-trips (one per Column method call) which dominated
+    q_hl7_typed_adt's wall time in round 3; a single parsed SQL string
+    costs one round-trip. ``value_sql`` must be a cheap reference (a
+    column name or lambda variable) — it is spliced in four times."""
+    v = value_sql
+    parts = f"split({v}, {_RE_BS})"
+    tok = (
+        "CASE WHEN i % 2 = 0 THEN p "
+        f"WHEN i = size({parts}) - 1 THEN concat({_LIT_BS}, p) "
+        "WHEN p = 'F' THEN '|' "
+        "WHEN p = 'S' THEN '^' "
+        "WHEN p = 'T' THEN '&' "
+        "WHEN p = 'R' THEN '~' "
+        f"WHEN p = 'E' THEN {_LIT_BS} "
+        f"ELSE concat({_LIT_BS}, p, {_LIT_BS}) END"
+    )
+    return (
+        f"CASE WHEN contains({v}, {_LIT_BS}) "
+        f"THEN array_join(transform({parts}, (p, i) -> {tok}), '') "
+        f"ELSE {v} END"
+    )
+
+
 def er7_unescape(value: Column) -> Column:
     r"""Column form of :func:`unescape_er7` — same split-on-backslash
-    tokenization (odd elements are escape tokens), pure array
-    expressions so it stays in whole-stage codegen. Applied at LEAF
-    extraction (after all splits): decoding earlier would re-introduce
-    the delimiters the escapes exist to hide."""
+    tokenization (odd elements are escape tokens; odd FINAL element is
+    an unpaired tail kept literal), pure array expressions so it stays
+    in whole-stage codegen. Applied at LEAF extraction (after all
+    splits): decoding earlier would re-introduce the delimiters the
+    escapes exist to hide.
+
+    Escape-free values (the overwhelmingly common case) take the
+    ``contains`` fast path and never touch the split/transform/join
+    machinery — that unconditional decode was the q_hl7_typed_adt
+    2.4x regression flagged in round 3."""
+    parts = F.split(value, r"\\")
     decoded = F.transform(
-        F.split(value, r"\\"),
+        parts,
         lambda p, i: F.when((i % 2) == 0, p).otherwise(
-            F.when(p == "F", F.lit(FIELD_SEP))
+            F.when(i == F.size(parts) - 1, F.concat(F.lit("\\"), p))
+            .when(p == "F", F.lit(FIELD_SEP))
             .when(p == "S", F.lit(COMP_SEP))
             .when(p == "T", F.lit(SUBCOMP_SEP))
             .when(p == "R", F.lit(REP_SEP))
@@ -124,7 +171,7 @@ def er7_unescape(value: Column) -> Column:
             .otherwise(F.concat(F.lit("\\"), p, F.lit("\\")))
         ),
     )
-    return F.array_join(decoded, "")
+    return F.when(value.contains("\\"), F.array_join(decoded, "")).otherwise(value)
 
 
 # ------------------------------------------------------------ UDF path
@@ -259,28 +306,47 @@ def typed_adt(df, msg_col: str = "er7"):
     document narrowed to a flat, analyzable schema — message/event
     metadata from MSH, patient identity from PID, repeatable NK1
     contacts as an array. Pure split expressions: whole-stage codegen,
-    no UDF (the 100 TB path for the staged zone's dominant family)."""
-    msg = F.col(msg_col)
-    msh = segment_first(msg, "MSH")
-    pid = segment_first(msg, "PID")
-    # MSH-1 is the separator itself, so MSH-n sits at split index n-1
-    mshf = lambda n: F.get(F.split(msh, "\\|"), n - 1)  # noqa: E731
-    name = er7_field(pid, 5)
-    u = er7_unescape
-    return df.select(
+    no UDF (the 100 TB path for the staged zone's dominant family).
+
+    Two-phase projection on purpose: phase 1 extracts RAW leaves,
+    phase 2 unescapes plain column references. Fusing them (round 3)
+    made each leaf's split tree appear three times inside
+    er7_unescape's guard/decode/else — the expression blowup behind
+    the 2.4x q_hl7_typed_adt regression. Both phases are SQL strings
+    (selectExpr / F.expr): the Column-API tree for these ~9 deep leaf
+    expressions costs hundreds of Py4J round-trips to BUILD, which
+    was most of the query's wall time at bench scale; a SQL string is
+    one round-trip, parsed JVM-side. CollapseProject keeps the phases
+    separate (non-cheap exprs referenced >1x)."""
+    # MSH-1 is the separator itself, so MSH-n sits at split index n-1;
+    # non-MSH field n sits at split index n (index 0 is the segment id).
+    segs = f"split(regexp_replace({msg_col}, '\\r\\n|\\n', '\\r'), '\\r')"
+    msh = f"get(filter({segs}, s -> startswith(s, 'MSH|')), 0)"
+    pid = f"get(filter({segs}, s -> startswith(s, 'PID|')), 0)"
+    mshf = lambda n: f"get(split({msh}, '\\\\|'), {n - 1})"  # noqa: E731
+    pidf = lambda n: f"get(split({pid}, '\\\\|'), {n})"  # noqa: E731
+    comp = lambda e, i: f"get(split({e}, '\\\\^'), {i - 1})"  # noqa: E731
+    raw = df.selectExpr(
         "*",
-        u(er7_component(mshf(9), 1)).alias("message_type"),
-        u(er7_component(mshf(9), 2)).alias("trigger_event"),
-        u(mshf(7)).alias("msg_ts_raw"),
-        u(mshf(12)).alias("hl7_version"),
-        u(er7_component(er7_field(pid, 3), 1)).alias("patient_id"),
-        u(er7_component(name, 1)).alias("family_name"),
-        u(er7_component(name, 2)).alias("given_name"),
-        u(er7_field(pid, 8)).alias("sex"),
-        F.transform(
-            segments_all(msg, "NK1"),
-            lambda s: u(F.get(F.split(F.get(F.split(s, "\\|"), 2), "\\^"), 0)),
-        ).alias("nk1_names"),
+        f"{comp(mshf(9), 1)} as message_type",
+        f"{comp(mshf(9), 2)} as trigger_event",
+        f"{mshf(7)} as msg_ts_raw",
+        f"{mshf(12)} as hl7_version",
+        f"{comp(pidf(3), 1)} as patient_id",
+        f"{comp(pidf(5), 1)} as family_name",
+        f"{comp(pidf(5), 2)} as given_name",
+        f"{pidf(8)} as sex",
+        f"transform(filter({segs}, s -> startswith(s, 'NK1|')), "
+        "s -> get(split(get(split(s, '\\\\|'), 2), '\\\\^'), 0)) as nk1_names",
+    )
+    leaf_cols = [
+        "message_type", "trigger_event", "msg_ts_raw", "hl7_version",
+        "patient_id", "family_name", "given_name", "sex",
+    ]
+    return raw.selectExpr(
+        *[f"`{c}`" for c in df.columns],
+        *[f"{er7_unescape_sql(c)} as {c}" for c in leaf_cols],
+        f"transform(nk1_names, x -> {er7_unescape_sql('x')}) as nk1_names",
     )
 
 
@@ -290,20 +356,35 @@ def typed_oru(df, msg_col: str = "er7"):
     observation_id, value, value_num, units, ref_range) — numeric (NM)
     values cast to double with null-on-fail, the everything-is-string
     →typed boundary of SURVEY §1.5."""
-    msg = F.col(msg_col)
-    obx = segments_all(msg, "OBX")
-
-    def obx_struct(s: Column) -> Column:
-        f = lambda n: F.get(F.split(s, "\\|"), n)  # noqa: E731
-        u = er7_unescape
-        return F.struct(
-            f(1).alias("set_id"),
-            f(2).alias("value_type"),
-            u(F.get(F.split(f(3), "\\^"), 0)).alias("observation_id"),
-            u(f(5)).alias("value"),
-            F.when(f(2) == "NM", f(5).try_cast("double")).alias("value_num"),
-            u(F.get(F.split(f(6), "\\^"), 0)).alias("units"),
-            u(f(7)).alias("ref_range"),
-        )
-
-    return df.select("*", F.transform(obx, obx_struct).alias("observations"))
+    # Same two-phase SQL-string shape as typed_adt: raw split
+    # extraction first, unescape over struct-field references second.
+    segs = f"split(regexp_replace({msg_col}, '\\r\\n|\\n', '\\r'), '\\r')"
+    obx_arr = f"filter({segs}, s -> startswith(s, 'OBX|'))"
+    f = lambda n: f"get(split(s, '\\\\|'), {n})"  # noqa: E731
+    struct = (
+        "named_struct("
+        f"'set_id', {f(1)}, "
+        f"'value_type', {f(2)}, "
+        f"'observation_id', get(split({f(3)}, '\\\\^'), 0), "
+        f"'value', {f(5)}, "
+        f"'value_num', CASE WHEN {f(2)} = 'NM' THEN try_cast({f(5)} AS double) END, "
+        f"'units', get(split({f(6)}, '\\\\^'), 0), "
+        f"'ref_range', {f(7)})"
+    )
+    raw = df.selectExpr(
+        "*", f"transform({obx_arr}, s -> {struct}) as observations"
+    )
+    U = er7_unescape_sql
+    obs_expr = (
+        "transform(observations, o -> named_struct("
+        "'set_id', o.set_id, "
+        "'value_type', o.value_type, "
+        f"'observation_id', {U('o.observation_id')}, "
+        f"'value', {U('o.value')}, "
+        "'value_num', o.value_num, "
+        f"'units', {U('o.units')}, "
+        f"'ref_range', {U('o.ref_range')}))"
+    )
+    return raw.selectExpr(
+        *[f"`{c}`" for c in df.columns], f"{obs_expr} as observations"
+    )

@@ -430,21 +430,26 @@ def q_hl7_typed_adt(spark, sf_dir):
     pandas-based canonicalizer); typed_adt itself keeps the array."""
     from hcls_data_lake_spark.hl7.er7 import typed_adt
 
+    # selectExpr strings end-to-end: the Column-API tree for the
+    # synthesized message + 9 typed leaves cost more Py4J round-trips
+    # to build than the 500-row query takes to run (round-3 lesson).
     o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
-    ck = F.col("o_custkey").cast("string")
-    ok = F.col("o_orderkey").cast("string")
-    er7 = F.concat(
-        F.lit("MSH|^~\\&|APP|FAC|||"),
-        F.date_format("o_orderdate", "yyyyMMddHHmmss"),
-        F.lit("||ADT^A01|"), ok, F.lit("|P|2.5"),
-        F.lit("\rPID|1||"), ck, F.lit("^^^MRN||FAM"), ck,
-        F.lit("^GIV||19900101|M"),
-        F.lit("\rNK1|1|CONTACT"), ck, F.lit("^A|SPOUSE"),
-        F.lit("\rNK1|2|CONTACT"), ok, F.lit("^B|CHILD"),
+    msgs = o.selectExpr(
+        "o_orderkey",
+        "concat('MSH|^~\\\\&|APP|FAC|||',"
+        " date_format(o_orderdate, 'yyyyMMddHHmmss'),"
+        " '||ADT^A01|', cast(o_orderkey as string), '|P|2.5',"
+        " '\\rPID|1||', cast(o_custkey as string),"
+        " '^^^MRN||FAM', cast(o_custkey as string), '^GIV||19900101|M',"
+        " '\\rNK1|1|CONTACT', cast(o_custkey as string), '^A|SPOUSE',"
+        " '\\rNK1|2|CONTACT', cast(o_orderkey as string), '^B|CHILD'"
+        ") as er7",
     )
-    msgs = o.select("o_orderkey", er7.alias("er7"))
-    out = typed_adt(msgs, "er7").drop("er7", "msg_ts_raw")
-    return out.withColumn("nk1_names", F.array_join("nk1_names", "|"))
+    return typed_adt(msgs, "er7").selectExpr(
+        "o_orderkey", "message_type", "trigger_event", "hl7_version",
+        "patient_id", "family_name", "given_name", "sex",
+        "array_join(nk1_names, '|') as nk1_names",
+    )
 
 
 # ORU^R01 with two repeating OBX observations per message; the NM value

@@ -162,6 +162,14 @@ def test_unescape_er7_python():
     # unknown escapes (hex, Z-custom) are preserved verbatim
     assert unescape_er7(r"x\X0D\y") == r"x\X0D\y"
     assert unescape_er7("plain") == "plain"
+    # malformed UNPAIRED tail is literal text, not a closed escape:
+    # 'abc\F' must NOT decode to 'abc|' and 'AB\C' must not grow a
+    # trailing backslash (round-4 ADVICE fix)
+    assert unescape_er7("abc\\F") == "abc\\F"
+    assert unescape_er7("AB\\C") == "AB\\C"
+    assert unescape_er7("tail\\") == "tail\\"
+    # a VALID escape followed by an unpaired tail decodes the pair only
+    assert unescape_er7("\\F\\x\\E") == "|x\\E"
 
 
 def test_parse_er7_decodes_escaped_field_sep():
@@ -199,10 +207,21 @@ def test_native_unescape_matches_python(spark):
     cases = [
         r"SMITH \T\ JONES", "\\F\\", "\\E\\", "\\F\\E\\T\\", "\\E\\F\\E\\",
         r"a\S\b\R\c", r"x\X0D\y", "plain", "",
+        # malformed unpaired tails (kept literal) + pair-then-tail mix
+        "abc\\F", "AB\\C", "tail\\", "\\F\\x\\E",
     ]
     df = spark.createDataFrame([(c,) for c in cases], "v string")
     got = [r["d"] for r in df.select(er7_unescape(F.col("v")).alias("d")).collect()]
     assert got == [unescape_er7(c) for c in cases]
+
+    # the one-round-trip SQL-string form must agree with both
+    from hcls_data_lake_spark.hl7.er7 import er7_unescape_sql
+
+    got_sql = [
+        r["d"]
+        for r in df.select(F.expr(er7_unescape_sql("v")).alias("d")).collect()
+    ]
+    assert got_sql == [unescape_er7(c) for c in cases]
 
 
 def test_typed_adt_unescapes_leaves(spark):
