@@ -84,14 +84,68 @@ def register(name: str, oracle: str | None) -> Callable[[QueryFn], QueryFn]:
 # correctness sweep — then cover every family instead of exhausting the
 # budget inside whichever module happens to import first.
 #
-# Round-3 rotation: the leading block is the §2.B operators that r1/r2
-# driver samples never reached (confirmed only by the local parity
-# sweep) plus the re-fixed stream outer join — every declared operator
-# then has a driver-recorded correctness row across r1-r3. The
-# remaining families follow; re-confirmation of r1/r2-green names is
-# harmless, never-confirmation is not.
+# Round-4 rotation: the leading block is (a) the two §2.B names whose
+# only driver history is an r1 FAIL under a since-retired oracle
+# (q_agg_approx_distinct) or no sample at all (q_udf_parse_er7), then
+# (b) 48 of the 88 registry names the driver has never sampled across
+# r1-r3 — 47 of the 50 are oracle-hash checks. With r1-r3's 122 unique
+# sampled names this lifts cumulative driver coverage to 170/210.
+# Prior rotations' names keep their recorded rows; the remaining 39
+# never-sampled names are r5's rotation.
 _FAMILY_REPRESENTATIVES = [
-    # -- never driver-sampled §2.B operators (r3 rotation) --
+    # -- §2.B stragglers without a green driver row (VERDICT r3 #2) --
+    "q_agg_approx_distinct",
+    "q_udf_parse_er7",
+    # -- never driver-sampled (r4 rotation) --
+    "q_hl7_typed_oru",
+    "q_udtf_explode_segments",
+    "q_subquery_scalar",
+    "q_subquery_in",
+    "q_subquery_not_exists",
+    "q_subquery_waiting_supplier",
+    "q_subquery_idle_customers",
+    "q_subquery_having",
+    "q_win_percent",
+    "q_win_ratio",
+    "q_win_median",
+    "q_win_distinct",
+    "q_fn_hof",
+    "q_fn_try",
+    "q_fn_variant",
+    "q_fn_xml",
+    "q_scan_csv",
+    "q_scan_orc",
+    "q_scan_xml",
+    "q_scan_time_travel",
+    "q_scan_schema_evolution",
+    "q_ts_ohlc",
+    "q_ts_dedup_consecutive",
+    "q_graph_pagerank",
+    "q_graph_triangles",
+    "q_text_langid",
+    "q_text_fingerprint",
+    "q_text_token_count",
+    "q_analytics_returns",
+    "q_analytics_top_supplier",
+    "q_analytics_priority",
+    "q_analytics_cohort",
+    "q_analytics_funnel",
+    "q_analytics_ship_latency",
+    "q_analytics_market_share",
+    "q_analytics_profit",
+    "q_analytics_promo",
+    "q_analytics_min_cost_supplier",
+    "q_pipeline_zone_route",
+    "q_pipeline_retrieval",
+    "q_pipeline_catalog_upsert",
+    "q_pipeline_current_state",
+    "q_text_clean",
+    "q_text_bigrams",
+    "q_embed_standardize",
+    "q_set_intersect_all",
+    "q_set_except_all",
+    "q_join_nullsafe",
+    # -- r3 rotation block (driver rows recorded in CORRECTNESS_r03) --
     "q_scan_parquet",
     "q_scan_text_parse",
     "q_scan_json",
@@ -114,8 +168,6 @@ _FAMILY_REPRESENTATIVES = [
     "q_sim_pairs",
     "q_text_tokens",
     "q_text_stats",
-    # -- round-3 operators (driver evidence for the new surface; the
-    # -- §2.B representatives they displace keep their r1/r2 rows) --
     "q_pipeline_multikey_layout",
     "q_embed_norm_filter",
     "q_embed_centroid_cosine",
