@@ -11,10 +11,11 @@ Two paths, mirroring SURVEY.md §1.3 / A14:
    recursive message→segments→fields→components→subcomponents dict/list
    document, emitted as a JSON string. The reference parses with the
    hl7apy grammar (parse_er7_lambda.py:8-69); hl7apy is not installed
-   here, so hl7/grammar.py vendors the grammar fact that drives shape —
-   segment cardinality — making repeatable-but-singleton segments lists
-   exactly as the reference serializes them. Field-level repetition
-   remains data-driven (a ``~`` makes a list). Strict mode mirrors the
+   here, so hl7/grammar.py vendors the grammar facts that drive shape —
+   segment cardinality AND per-field repeatability — making
+   repeatable-but-singleton segments and fields lists exactly as the
+   reference serializes them (fields not in the vendored table remain
+   data-driven: a ``~`` makes a list). Strict mode mirrors the
    reference's unknown-element failure (parse_er7_lambda.py:35-38);
    parse failures return None which the staging chain routes to the
    error zone (parse_er7_lambda.py:24-27 + trigger_lambda.py:32-36).
@@ -177,10 +178,29 @@ def er7_unescape(value: Column) -> Column:
 # ------------------------------------------------------------ UDF path
 
 
-def _parse_field(raw: str) -> object:
-    """Field -> str | dict of components | list of repetitions."""
+def _parse_field(raw: str, seg_id: str = "", field_num: int = 0) -> object:
+    """Field -> str | dict of components | list of repetitions.
+
+    GRAMMAR-driven at field level, like the reference (the repetitions
+    check at parse_er7_lambda.py:57-65 runs for every non-leaf child,
+    fields included): a field the vendored grammar declares repeatable
+    (grammar.FIELD_REPEATABLE) serializes as a LIST even when it
+    occurs once — a singleton PID-13 phone is a one-element list.
+    Fields unknown to the table stay data-driven (`~` -> list), so
+    repetition is never lost. Components/subcomponents cannot repeat
+    on the wire (only `~` repeats), so field level completes the
+    grammar-shape fix."""
+    from hcls_data_lake_spark.hl7.grammar import field_repeats
+
     if REP_SEP in raw:
-        return [_parse_field(rep) for rep in raw.split(REP_SEP)]
+        return [_parse_rep(rep) for rep in raw.split(REP_SEP)]
+    if field_repeats(seg_id, field_num):
+        return [_parse_rep(raw)]
+    return _parse_rep(raw)
+
+
+def _parse_rep(raw: str) -> object:
+    """One field repetition -> str | dict of components."""
     if COMP_SEP in raw:
         return {
             f"C{i + 1}": _parse_subcomponents(c)
@@ -208,7 +228,9 @@ def parse_er7(msg: str, strict: bool = False) -> str | None:
     segment whose grammar allows repetition maps to a LIST of segment
     dicts even when it occurs once (NK1 appearing a single time is
     still a list), while a max-1 segment (MSH, PID, EVN, ...) attaches
-    as a plain dict. Fields are ``<SEG>_<n>`` keyed (HL7 short names,
+    as a plain dict. The same rule applies per FIELD via
+    grammar.FIELD_REPEATABLE (a singleton PID-13 is a one-element
+    list). Fields are ``<SEG>_<n>`` keyed (HL7 short names,
     parse_er7_lambda.py:41).
 
     ``strict=True`` mirrors the reference's version-validation failure
@@ -248,7 +270,9 @@ def parse_er7(msg: str, strict: bool = False) -> str | None:
                 if seg_id == "MSH" and i + offset == 2:
                     body[f"{seg_id}_{i + offset}"] = raw  # encoding chars verbatim
                 else:
-                    body[f"{seg_id}_{i + offset}"] = _parse_field(raw)
+                    body[f"{seg_id}_{i + offset}"] = _parse_field(
+                        raw, seg_id, i + offset
+                    )
             if is_repeatable(seg_id):
                 doc.setdefault(seg_id, []).append(body)
             elif seg_id not in doc:

@@ -62,8 +62,44 @@ SEGMENT_CARDINALITY: dict[str, int | None] = {
 }
 
 
+# (segment id -> field numbers that may repeat) per the HL7 v2.5.1
+# field definitions, for the segments the reference corpus exercises.
+# The reference applies the same repetitions table at FIELD level, not
+# just segment level (parse_er7_lambda.py:57-65 runs for every non-leaf
+# child): a repeatable field serializes as a LIST even when it occurs
+# once — a singleton PID-13 phone is a one-element list, not a dict.
+# Unlisted (segment, field) pairs stay data-driven (an explicit `~`
+# still produces a list; repetition is never lost).
+FIELD_REPEATABLE: dict[str, frozenset[int]] = {
+    "MSH": frozenset({18, 21}),
+    "EVN": frozenset({5}),
+    "PID": frozenset({3, 4, 5, 6, 9, 10, 11, 13, 14, 21, 22, 26, 32}),
+    "PD1": frozenset({3, 4}),
+    "MRG": frozenset({1}),
+    "NK1": frozenset({2, 4, 5, 6, 13, 30, 31, 32}),
+    "PV1": frozenset({7, 8, 9, 17, 52}),
+    "OBR": frozenset({16, 28}),
+    "OBX": frozenset({5, 16, 17, 18}),
+    "NTE": frozenset({3}),
+    "DG1": frozenset({16}),
+    "AL1": frozenset({5}),
+    "GT1": frozenset({2, 3, 5, 6, 7}),
+    "IN1": frozenset({3, 4, 5, 6, 7, 16, 19}),
+}
+
+
 def is_known(seg_id: str) -> bool:
     return seg_id in SEGMENT_CARDINALITY
+
+
+def field_repeats(seg_id: str, field_num: int) -> bool:
+    """True if the grammar declares SEG-field_num repeatable (so a
+    singleton occurrence still serializes as a list). Unknown pairs
+    return False — shape falls back to data-driven."""
+    return field_num in FIELD_REPEATABLE.get(seg_id, _EMPTY)
+
+
+_EMPTY: frozenset[int] = frozenset()
 
 
 def is_repeatable(seg_id: str) -> bool:

@@ -70,7 +70,9 @@ def test_component_and_repetition_shape():
     )
     pid = doc["PID"]
     assert pid["PID_3"] == ["id1", "id2"]          # ~ repetition -> list
-    assert pid["PID_5"] == {"C1": "Last", "C2": "First"}  # ^ -> components
+    # PID-5 is grammar-repeatable: singleton still wraps in a list
+    # (field-level analog of parse_er7_lambda.py:57-65)
+    assert pid["PID_5"] == [{"C1": "Last", "C2": "First"}]
 
 
 def test_empty_field_quirk_unwrapped():
@@ -78,7 +80,8 @@ def test_empty_field_quirk_unwrapped():
     doc = json.loads(
         parse_er7('MSH|^~\\&|A|B|C|D|20240101||ADT^A01|1|P|2.5\rPID|1||X||""')
     )
-    assert doc["PID"]["PID_5"] == ""
+    # unwrapped inside PID-5's grammar-driven repetition list
+    assert doc["PID"]["PID_5"] == [""]
 
 
 def test_junk_routes_to_none():
@@ -107,6 +110,36 @@ def test_golden_corpus_fields():
 
     adt01_first = json.loads(parse_er7(by_name["adt01.txt#0"]))
     assert len(adt01_first["DG1"]) == 3  # repeating DG1 ×3
+
+
+def test_field_level_repetition_shape_on_corpus():
+    """Grammar-driven FIELD shape (round-4 fix, parse_er7_lambda.py:
+    57-65 applied per field): a repeatable field occurring ONCE still
+    serializes as a list, so path expressions over staged documents are
+    stable whether the sender repeated the field or not."""
+    by_name = dict(MESSAGES)
+
+    # adt02: PID-13 home phone appears once -> one-element list
+    adt02 = json.loads(parse_er7(by_name["adt02.txt#0"]))
+    assert adt02["PID"]["PID_13"] == ["(157)983-3296"]
+    # PID-3 single MRN -> list; PID-5 single name -> list of comp-dict
+    assert adt02["PID"]["PID_3"] == ["000395122"]
+    assert adt02["PID"]["PID_5"][0]["C1"] == "LEVERKUHN"
+    # NK1-5 single contact phone -> list (inside the NK1 segment list)
+    assert adt02["NK1"][0]["NK1_5"] == ["(157)883-6176"]
+
+    # adt03 second PID carries FOUR PID-13 repetitions -> list of 4
+    athena = next(
+        json.loads(parse_er7(m))
+        for n, m in MESSAGES
+        if n.startswith("adt03") and "(333)333-3333" in m
+    )
+    assert len(athena["PID"]["PID_13"]) == 4
+
+    # non-repeatable fields keep their plain shape: PID-8 sex is a
+    # string, MSH-9 message type a component dict
+    assert adt02["PID"]["PID_8"] == "M"
+    assert adt02["MSH"]["MSH_9"]["C1"] == "ADT"
 
 
 def test_typed_adt_projection_on_corpus(spark):
@@ -181,7 +214,7 @@ def test_parse_er7_decodes_escaped_field_sep():
         "PID|1||42||PIPE\\F\\FIELD^GIVEN||19900101|M"
     )
     doc = json.loads(parse_er7(msg))
-    pid5 = doc["PID"]["PID_5"]
+    pid5 = doc["PID"]["PID_5"][0]  # grammar-repeatable field -> list
     assert pid5["C1"] == "PIPE|FIELD"
     assert pid5["C2"] == "GIVEN"
     # field count unchanged: PID_8 still lands on sex
