@@ -117,12 +117,21 @@ def point_lookup(
     zone_df: DataFrame,
     message_id,
     read_claims: list[str] | None = None,
+    fmt: str | None = None,
 ) -> DataFrame:
     """A19/A20: retrieval API — catalog point lookup joined to the zone
     table, scoped by the reader's institution claims
     (old_reference/hcdl_stack.txt:503-510; front_door_stack.yml:24-32).
-    Predicate pushdown turns this into a pruned point read."""
+    ``fmt`` mirrors the route's format leg
+    (``GET /hl7v2/format/{format}/msg_uuid/{msg_uuid}``,
+    hcdl_stack.txt:503-510): in a format-fanout lake one message id
+    maps to several staged representations (er7/json/txt), and the
+    format predicate selects one. Predicate pushdown turns the whole
+    thing into a pruned point read (format is a partition key in the
+    4-level layout, so the filter prunes directories, not rows)."""
     hit = catalog.filter(F.col("message_id") == message_id)
+    if fmt is not None:
+        hit = hit.filter(F.col("format") == fmt)
     out = hit.join(zone_df, "message_id", "inner")
     if read_claims is not None:
         out = out.filter(F.col("source").isin(read_claims))

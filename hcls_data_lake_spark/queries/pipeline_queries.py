@@ -112,23 +112,36 @@ def q_pipeline_zone_route(spark, sf_dir):
 @register(
     "q_pipeline_retrieval",
     """
-    SELECT d.doc_id AS message_id, d.source, d.text, d.lang
+    SELECT d.doc_id AS message_id, d.source,
+           'fmt' || CAST(d.doc_id % 3 AS VARCHAR) AS format, d.text, d.lang
     FROM documents d
     WHERE d.doc_id = 42 AND d.source IN ('src0', 'src1', 'src2')
+      AND 'fmt' || CAST(d.doc_id % 3 AS VARCHAR) = 'fmt0'
     """,
 )
 def q_pipeline_retrieval(spark, sf_dir):
     """Retrieval API (A19/A20): catalog point lookup joined to the zone
-    table, scoped by reader claims — partition-pruned point read."""
+    table, scoped by reader claims AND the route's format leg
+    (``GET /hl7v2/format/{format}/msg_uuid/{id}``,
+    hcdl_stack.txt:503-510) — partition-pruned point read on both
+    keys. The fixture derives a deterministic format from doc_id."""
     from hcls_data_lake_spark.pipeline.zones import point_lookup
 
     docs = t(spark, sf_dir, "documents")
-    catalog = docs.select(F.col("doc_id").alias("message_id"), "source")
+    catalog = docs.select(
+        F.col("doc_id").alias("message_id"),
+        "source",
+        F.concat(F.lit("fmt"), (F.col("doc_id") % 3).cast("string")).alias(
+            "format"
+        ),
+    )
     zone_tbl = docs.select(
         F.col("doc_id").alias("message_id"), "text", "lang"
     )
-    hit = point_lookup(catalog, zone_tbl, 42, ["src0", "src1", "src2"])
-    return hit.select("message_id", "source", "text", "lang")
+    hit = point_lookup(
+        catalog, zone_tbl, 42, ["src0", "src1", "src2"], fmt="fmt0"
+    )
+    return hit.select("message_id", "source", "format", "text", "lang")
 
 
 @register(

@@ -139,6 +139,22 @@ def test_retrieval_point_lookup_with_authz(spark, wire_df):
     assert denied.count() == 0
 
 
+def test_retrieval_format_leg(spark, wire_df):
+    """The route's format parameter
+    (GET /hl7v2/format/{format}/msg_uuid/{id}, hcdl_stack.txt:503-510):
+    same message id, format predicate selects or rejects."""
+    empty_registry = spark.createDataFrame([], "msg_hash string")
+    ingested = object_key(zone_for_event(_ingest(wire_df, empty_registry)))
+    catalog = ingested.select(
+        "message_id", "zone", "object_key", "source", "format"
+    )
+    zone_tbl = ingested.select("message_id", "msg")
+    assert point_lookup(catalog, zone_tbl, 0, ["hospital_a"], fmt="er7").count() == 1
+    assert point_lookup(catalog, zone_tbl, 0, ["hospital_a"], fmt="json").count() == 0
+    # fmt composes with the claims gate: right format, wrong claim
+    assert point_lookup(catalog, zone_tbl, 0, ["other_clinic"], fmt="er7").count() == 0
+
+
 def test_lake_lifecycle_streaming_promotion(spark, wire_df, tmp_path):
     """Full lake lifecycle: ingest -> ingestion zone (parquet,
     partitioned by protocol) -> STREAMING promotion -> staging/error
