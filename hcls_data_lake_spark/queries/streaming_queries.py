@@ -285,10 +285,16 @@ def q_stream_stream_join(spark, sf_dir):
     each side's buffered state is evicted once the other side's
     watermark passes — bounded state on unbounded streams. A single
     availableNow pass over in-order data equals the batch join, which
-    the oracle checks exactly."""
+    the oracle checks exactly.
+
+    Both sides derive from ONE stream source (a self-join), not two
+    independent readStream instances over the same files: one source
+    means one offset log, one getBatch, and half the per-batch
+    source-tracking and planning work — measurably faster here and the
+    honest shape for a production topic consumed once."""
+    src = read_events_stream(spark, sf_dir)
     signups = (
-        read_events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "signup")
+        src.filter(F.col("event_type") == "signup")
         .select(
             F.col("event_id").alias("signup_id"),
             F.col("user_id"),
@@ -297,8 +303,7 @@ def q_stream_stream_join(spark, sf_dir):
         .withWatermark("s_ts", "1 hour")
     )
     clicks = (
-        read_events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "click")
+        src.filter(F.col("event_type") == "click")
         .select(
             F.col("event_id").alias("click_id"),
             F.col("user_id").alias("c_user_id"),
@@ -498,9 +503,10 @@ def q_stream_outer_join(spark, sf_dir):
         .agg((F.min("mx") - F.expr("INTERVAL 91 MINUTE")).alias("lim"))
         .collect()[0]["lim"]
     )
+    # one shared stream source for both legs (see q_stream_stream_join)
+    src = read_events_stream(spark, sf_dir)
     signups = (
-        read_events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "signup")
+        src.filter(F.col("event_type") == "signup")
         .select(
             F.col("event_id").alias("signup_id"),
             F.col("user_id"),
@@ -509,8 +515,7 @@ def q_stream_outer_join(spark, sf_dir):
         .withWatermark("s_ts", "1 hour")
     )
     clicks = (
-        read_events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "click")
+        src.filter(F.col("event_type") == "click")
         .select(
             F.col("event_id").alias("click_id"),
             F.col("user_id").alias("c_user_id"),

@@ -367,8 +367,11 @@ def test_er7gen_stream_restart_resumes_exactly_once(spark, tmp_path):
             .start()
         )
 
-    # phase 1: free-running; kill as soon as at least one batch commits
-    q1 = start({"processingTime": "0 seconds"})
+    # phase 1: throttled to one batch per second so the kill lands
+    # MID-STREAM — a free-running phase 1 can drain all n rows before
+    # stop() on a fast machine, leaving phase 2 nothing to replay and
+    # silently skipping the recovery path this test exists to cover.
+    q1 = start({"processingTime": "1 second"})
     try:
         deadline = time.time() + 90
         while time.time() < deadline:
@@ -377,11 +380,13 @@ def test_er7gen_stream_restart_resumes_exactly_once(spark, tmp_path):
                     break
             except Exception:
                 pass  # sink not committed yet
-            time.sleep(0.3)
+            time.sleep(0.1)
     finally:
         q1.stop()
     partial = spark.read.parquet(out_dir).count()
-    assert 50 <= partial  # something committed, mid-replay kill is real
+    # something committed AND something remains: the restart below
+    # actually exercises offset recovery, loudly
+    assert 50 <= partial < n
 
     # phase 2: new query, same checkpoint — free-run until drained
     # (availableNow can't be used here: a SimpleDataSourceStreamReader
