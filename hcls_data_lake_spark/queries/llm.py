@@ -1235,15 +1235,18 @@ def q_text_vocab_coverage(spark, sf_dir):
         F.row_number().over(ws).cast("bigint").alias("vocab_rank"),
         "tok",
         F.col("n").cast("bigint").alias("n_occurrences"),
-        (
-            (F.sum("n").over(wcum) * 10000)
-            .cast("bigint")
-            / F.sum("n").over(wtot)
-        )
-        .cast("bigint")
-        .alias("coverage_bps"),
+        (F.sum("n").over(wcum) * 10000).cast("bigint").alias("_cum_bps"),
+        F.sum("n").over(wtot).cast("bigint").alias("_total"),
     )
-    return ranked.filter(F.col("vocab_rank") <= 50)
+    # integer `div`, matching the oracle's `//` exactly: routing the
+    # quotient through a double (cast of a float division) can round
+    # off the true floor once cum*10000 passes 2^53 — real at the
+    # 100 TB token counts this curve is for
+    return (
+        ranked.filter(F.col("vocab_rank") <= 50)
+        .withColumn("coverage_bps", F.expr("_cum_bps div _total"))
+        .drop("_cum_bps", "_total")
+    )
 
 
 @register(
