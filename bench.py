@@ -89,6 +89,9 @@ EXTENDED = [
     "q_privacy_date_shift",   # per-patient date-shift de-identification
     "q_dedup_incremental",    # new-batch-vs-seen-corpus near-dedup
     "q_text_lm_score",        # bigram-LM perplexity-proxy scoring
+    "q_privacy_l_diversity",  # homogeneity-attack cell report
+    "q_dedup_keep_best",      # per-cluster quality-argmax keeper
+    "q_embed_pca_project",    # distributed-Gram PCA fit + projection
 ]
 
 

@@ -281,6 +281,93 @@ def ivf_topk(
     )
 
 
+def pca_components(
+    embeddings: DataFrame,
+    n_components: int = 8,
+    vec_col: str = "embedding",
+) -> tuple[list[float], list[list[float]], list[float]]:
+    """Distributed PCA fit: returns ``(mean, components, variances)``
+    with ``components`` as ``n_components`` rows of dim-length unit
+    vectors (descending explained variance).
+
+    The scale shape: each Arrow batch contributes ONE row holding its
+    (dim x dim) Gram matrix, count, and column sum (mapInPandas +
+    numpy per batch) — so only O(dim^2)-sized aggregates ever cross
+    the wire or reach the driver, never vectors. The driver sums the
+    per-batch Grams, forms the covariance, and eigendecomposes a
+    dim x dim matrix (dim is small; the DATA is what's big — the same
+    only-k*dim-reaches-the-driver rule as kmeans_codebook). Sign
+    convention (largest-|entry| positive) makes components
+    deterministic across runs and BLAS builds."""
+    import pandas as pd
+
+    def gram_batches(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf["_v"].tolist(), dtype="float64")
+            yield pd.DataFrame(
+                {
+                    "n": [len(X)],
+                    "s": [X.sum(axis=0).tolist()],
+                    "g": [(X.T @ X).reshape(-1).tolist()],
+                }
+            )
+
+    parts = embeddings.select(
+        F.col(vec_col).cast("array<double>").alias("_v")
+    ).mapInPandas(gram_batches, "n long, s array<double>, g array<double>")
+    rows = parts.collect()  # one small row per Arrow batch
+    n = sum(r.n for r in rows)
+    s = np.sum([np.array(r.s) for r in rows], axis=0)
+    dim = len(s)
+    G = np.sum([np.array(r.g) for r in rows], axis=0).reshape(dim, dim)
+    mean = s / n
+    cov = G / n - np.outer(mean, mean)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:n_components]
+    comps = vecs[:, order].T.copy()
+    for i in range(len(comps)):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i][j] < 0:
+            comps[i] = -comps[i]
+    return (
+        mean.tolist(),
+        [c.tolist() for c in comps],
+        [float(vals[o]) for o in order],
+    )
+
+
+def pca_project(
+    embeddings: DataFrame,
+    mean: list[float],
+    components: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Project vectors onto fitted components — pure JVM expressions
+    (center once with zip_with, one aggregate dot product per
+    component, literals spliced as a single SQL string so plan build
+    is one round-trip). Output: (id, proj array<double>)."""
+    mean_arr = ", ".join(repr(float(x)) + "D" for x in mean)
+    dots = []
+    for c in components:
+        arr = ", ".join(repr(float(x)) + "D" for x in c)
+        dots.append(
+            f"aggregate(zip_with(_vc, array({arr}), (x, y) -> x * y),"
+            " 0.0D, (acc, x) -> acc + x)"
+        )
+    return (
+        embeddings.selectExpr(
+            f"{id_col} as _id",
+            f"zip_with(cast({vec_col} as array<double>), array({mean_arr}),"
+            " (x, m) -> x - m) as _vc",
+        )
+        .selectExpr("_id", f"array({', '.join(dots)}) as proj")
+        .select(F.col("_id").alias(id_col), "proj")
+    )
+
+
 def ann_lsh_topk(
     embeddings: DataFrame,
     k: int = 5,

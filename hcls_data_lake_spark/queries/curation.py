@@ -270,6 +270,44 @@ def q_privacy_k_anon(spark, sf_dir):
 
 
 @register(
+    "q_privacy_l_diversity",
+    """
+    WITH cells AS (
+      SELECT c_nationkey,
+             CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+             count(*) AS cell_size,
+             count(DISTINCT c_mktsegment) AS n_sensitive
+      FROM customer
+      GROUP BY 1, 2
+    )
+    SELECT c_nationkey, bal_band,
+           CAST(cell_size AS BIGINT) AS cell_size,
+           CAST(n_sensitive AS BIGINT) AS n_sensitive
+    FROM cells WHERE n_sensitive < 3
+    """,
+)
+def q_privacy_l_diversity(spark, sf_dir):
+    """l-diversity risk report (l=3), the complement of q_privacy_k_anon:
+    a cell can be large enough to pass k-anonymity yet still leak if
+    every member shares the same SENSITIVE value (homogeneity attack —
+    knowing someone is in the cell reveals their diagnosis). Group by
+    the quasi-identifier tuple (nation, balance band), count DISTINCT
+    sensitive values (market segment standing in for a diagnosis code),
+    and surface cells with fewer than l distinct values. Same cost
+    shape as k-anon: one partial-aggregated groupBy; the distinct-count
+    adds a per-cell dedup, still one shuffle of cell-level rows."""
+    c = t(spark, sf_dir, "customer")
+    cells = c.groupBy(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_band"),
+    ).agg(
+        F.count(F.lit(1)).alias("cell_size"),
+        F.countDistinct("c_mktsegment").alias("n_sensitive"),
+    )
+    return cells.filter(F.col("n_sensitive") < 3)
+
+
+@register(
     "q_privacy_date_shift",
     """
     WITH shifts AS (

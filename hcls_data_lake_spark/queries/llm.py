@@ -176,6 +176,62 @@ def q_dedup_clusters(spark, sf_dir):
 
 
 @register(
+    "q_dedup_keep_best",
+    f"""
+    WITH RECURSIVE near AS ({_NEAR_SQL}),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM near
+      UNION ALL
+      SELECT doc_b, doc_a FROM near
+    ),
+    reach(node, r) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node
+    ),
+    labels AS (
+      SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT CAST(l.cluster_id AS BIGINT) AS cluster_id,
+           CAST(arg_max(l.doc_id, d.n_chars * 1000000 - l.doc_id) AS BIGINT)
+             AS keeper_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(max(d.n_chars) AS BIGINT) AS keeper_n_chars
+    FROM labels l JOIN documents d ON d.doc_id = l.doc_id
+    GROUP BY l.cluster_id
+    """,
+)
+def q_dedup_keep_best(spark, sf_dir):
+    """Quality-aware dedup: per near-dup cluster keep the BEST member,
+    not the lowest id — what a production curation pipeline actually
+    ships (among boilerplate copies you keep the longest/cleanest one).
+    Reuses the connected-components labels of q_dedup_clusters, joins
+    the quality signal (n_chars as the fixture's quality proxy), and
+    picks the arg-max per cluster with a deterministic integer
+    priority (n_chars * 1e6 - doc_id: quality desc, id asc tie-break —
+    exact in both engines, no float ordering). Cost on top of
+    clustering: one broadcast-sized join (labels ≪ corpus) and one
+    cluster-count aggregation."""
+    from hcls_data_lake_spark.operators.dedup import connected_components
+
+    labels = connected_components(_near_pairs(spark, sf_dir)).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+    d = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    prio = (F.col("n_chars") * 1000000 - F.col("doc_id")).alias("prio")
+    return (
+        labels.join(d, "doc_id")
+        .select("cluster_id", "doc_id", "n_chars", prio)
+        .groupBy("cluster_id")
+        .agg(
+            F.max_by("doc_id", F.col("prio")).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_members"),
+            F.max("n_chars").alias("keeper_n_chars"),
+        )
+    )
+
+
+@register(
     "q_dedup_embedding",
     f"""
     SELECT a.vec_id AS dup_id,
@@ -1422,4 +1478,30 @@ def q_text_lm_score(spark, sf_dir):
         F.floor(F.sum("term_micro") / F.count(F.lit(1)))
         .cast("bigint")
         .alias("avg_log_prob_micro"),
+    )
+
+
+@register("q_embed_pca_project", None)  # eigendecomposition: rows-only
+def q_embed_pca_project(spark, sf_dir):
+    """PCA compression of the embedding column (train-data pipelines
+    shrink stored vectors before indexing/clustering): fit 8 principal
+    components distributively — each Arrow batch ships ONE (dim x dim)
+    Gram row, the driver eigendecomposes dim x dim, vectors never
+    leave the executors (operators/similarity.pca_components) — then
+    project every vector with pure JVM zip_with/aggregate expressions.
+    No SQL oracle (eigenvectors aren't SQL-expressible); the invariant
+    gate lives in pytest: orthonormal components, per-component
+    projection variance equal to the eigenvalues and non-increasing,
+    exact reconstruction at full rank."""
+    from hcls_data_lake_spark.operators.similarity import (
+        pca_components,
+        pca_project,
+    )
+
+    e = t(spark, sf_dir, "embeddings")
+    mean, comps, _ = pca_components(e, n_components=8)
+    proj = pca_project(e, mean, comps)
+    return proj.select(
+        "vec_id",
+        F.transform("proj", lambda x: F.round(x, 6)).alias("proj"),
     )

@@ -146,6 +146,51 @@ def clustered_vectors(spark):
     return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
 
 
+def test_pca_invariants(clustered_vectors):
+    """The rows-only PCA operator's correctness gate: components are
+    orthonormal, per-component projection variance equals the returned
+    eigenvalues and is non-increasing, and a full-rank fit
+    reconstructs vectors exactly (PCA is then just a rotation)."""
+    import numpy as np
+
+    from hcls_data_lake_spark.operators.similarity import (
+        pca_components,
+        pca_project,
+    )
+
+    mean, comps, vars_ = pca_components(clustered_vectors, n_components=4)
+    C = np.array(comps)
+    assert np.allclose(C @ C.T, np.eye(4), atol=1e-8)  # orthonormal
+    assert all(a >= b for a, b in zip(vars_, vars_[1:]))  # sorted desc
+
+    proj = pca_project(clustered_vectors, mean, comps).collect()
+    P = np.array([r.proj for r in sorted(proj, key=lambda r: r.vec_id)])
+    got_vars = P.var(axis=0)  # population variance, matching cov/n
+    assert np.allclose(got_vars, vars_, rtol=1e-6)
+
+    # full-rank: projection preserves ALL variance (pure rotation)
+    mean16, comps16, vars16 = pca_components(clustered_vectors, n_components=16)
+    X = np.array(
+        [
+            r.embedding
+            for r in sorted(clustered_vectors.collect(), key=lambda r: r.vec_id)
+        ],
+        dtype="float64",
+    )
+    assert np.isclose(sum(vars16), X.var(axis=0).sum(), rtol=1e-6)
+    P16 = np.array(
+        [
+            r.proj
+            for r in sorted(
+                pca_project(clustered_vectors, mean16, comps16).collect(),
+                key=lambda r: r.vec_id,
+            )
+        ]
+    )
+    recon = P16 @ np.array(comps16) + np.array(mean16)
+    assert np.allclose(recon, X, atol=1e-6)
+
+
 def test_ann_recall_at_5_pinned(clustered_vectors):
     """CI recall gate for the rows-only ANN family (VERDICT r3 #7):
     q_sim_ann_ivf / q_sim_ann_lsh can never be oracle-hash-checked
