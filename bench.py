@@ -92,6 +92,9 @@ EXTENDED = [
     "q_privacy_l_diversity",  # homogeneity-attack cell report
     "q_dedup_keep_best",      # per-cluster quality-argmax keeper
     "q_embed_pca_project",    # distributed-Gram PCA fit + projection
+    "q_text_containment",     # asymmetric subset-dup detection
+    "q_diag_key_skew",        # shuffle-key heavy-hitter census
+    "q_pipeline_compact",     # small-file compaction + lossless census
 ]
 
 

@@ -195,6 +195,77 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def containment_pairs(
+    docs: DataFrame,
+    min_bps: int = 5000,
+) -> DataFrame:
+    """Directional n-gram CONTAINMENT pairs — the asymmetric companion
+    to Jaccard near-dup: containment(src→ref) = |S(src)∩S(ref)|/|S(src)|.
+    A short document quoted verbatim inside a long one has tiny Jaccard
+    (union is dominated by the long doc) but containment ≈ 1 — exactly
+    the subset-duplication a training corpus must catch (boilerplate
+    headers, quoted articles, README copies) that symmetric near-dup
+    misses by construction.
+
+    ``docs`` carries (doc_id, shingles array, n_shingles). Candidate
+    generation is the same inverted-index shape as exact-Jaccard
+    near-dup: ONE shuffle on the shingle, posting lists expanded to
+    C(f,2) unordered pairs, intersection size = pair multiplicity
+    across postings. The intersection is computed once per unordered
+    pair, then BOTH directions are derived by dividing by each side's
+    shingle count — no second pass. Same 100 TB knob: stop-list drops
+    ultra-common shingles before pair expansion.
+
+    Ratios are exact integer basis points (``inter * 10000 div n``) so
+    the result hashes identically across engines at any scale.
+
+    Returns (doc_src, doc_ref, containment_bps) with
+    containment_bps >= min_bps and doc_src != doc_ref.
+    """
+    posting = (
+        docs.select(
+            "doc_id", "n_shingles", F.explode("shingles").alias("shingle")
+        )
+        .groupBy("shingle")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("doc_id", "n_shingles"))).alias(
+                "ds"
+            )
+        )
+        .filter(F.size("ds") > 1)
+    )
+    pairs = posting.select(
+        F.explode_outer(
+            F.expr(
+                "flatten(transform(ds, (x, i) ->"
+                " transform(slice(ds, i + 2, size(ds)),"
+                " y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b,"
+                " x.n_shingles AS na, y.n_shingles AS nb))))"
+            )
+        ).alias("p")
+    ).filter(F.col("p").isNotNull()).select("p.*")
+    inter = pairs.groupBy("doc_a", "doc_b", "na", "nb").agg(
+        F.count(F.lit(1)).alias("inter")
+    )
+    directional = inter.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("doc_src"),
+                    F.col("doc_b").alias("doc_ref"),
+                    F.expr("inter * 10000 div na").alias("containment_bps"),
+                ),
+                F.struct(
+                    F.col("doc_b").alias("doc_src"),
+                    F.col("doc_a").alias("doc_ref"),
+                    F.expr("inter * 10000 div nb").alias("containment_bps"),
+                ),
+            )
+        ).alias("d")
+    ).select("d.*")
+    return directional.filter(F.col("containment_bps") >= min_bps)
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",

@@ -232,6 +232,58 @@ def q_dedup_keep_best(spark, sf_dir):
 
 
 @register(
+    "q_text_containment",
+    """
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS w
+      FROM documents WHERE doc_id < 500
+    ), shingled AS (
+      SELECT doc_id,
+             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                            for i in range(1, len(w) - 1)]) AS shingles
+      FROM docs WHERE len(w) >= 3
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.shingles, b.shingles)) AS inter,
+             len(a.shingles) AS na, len(b.shingles) AS nb
+      FROM shingled a JOIN shingled b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.shingles, b.shingles)) > 0
+    ), directional AS (
+      SELECT doc_a AS doc_src, doc_b AS doc_ref,
+             inter * 10000 // na AS containment_bps FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a, inter * 10000 // nb FROM pairs
+    )
+    SELECT doc_src, doc_ref, CAST(containment_bps AS BIGINT) AS containment_bps
+    FROM directional WHERE containment_bps >= 5000
+    """,
+)
+def q_text_containment(spark, sf_dir):
+    """Asymmetric 3-gram CONTAINMENT pairs
+    (operators/dedup.containment_pairs): |S(src)∩S(ref)| / |S(src)| —
+    catches a short doc duplicated INSIDE a long one, which symmetric
+    Jaccard structurally misses (union dominated by the long side).
+    The production case is boilerplate/quoted-article removal in a
+    pretraining corpus. Same inverted-index candidate generation as
+    q_dedup_near — one shuffle on the shingle, never all-pairs; the
+    per-unordered-pair intersection count is computed ONCE and both
+    directions derive from it. Exact integer basis points on both
+    engines (`div` / `//`), no float thresholds."""
+    from hcls_data_lake_spark.operators.dedup import (
+        containment_pairs,
+        shingles_from_words,
+    )
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    wdf = d.select("doc_id", F.split("text", " ").alias("w"))
+    sh = shingles_from_words("w", 3)
+    docs = wdf.filter(F.size("w") >= 3).select(
+        "doc_id", sh.alias("shingles"), F.size(sh).alias("n_shingles")
+    )
+    return containment_pairs(docs, min_bps=5000)
+
+
+@register(
     "q_dedup_embedding",
     f"""
     SELECT a.vec_id AS dup_id,

@@ -859,3 +859,52 @@ def q_pipeline_multikey_layout(spark, sf_dir):
     ).withColumn("source", F.col("source").cast("string")).withColumn(
         "zone", F.col("zone").cast("string")
     )
+
+
+@register(
+    "q_pipeline_compact",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(MIN(doc_id) AS BIGINT) AS min_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_id
+    FROM documents
+    """,
+)
+def q_pipeline_compact(spark, sf_dir):
+    """Small-file compaction as a queryable maintenance op
+    (pipeline/jobs.compact_zone): the reference persists ONE object per
+    message (core_stack.yml:155-160) — the classic small-file problem
+    at lake scale. The fixture materializes that layout (documents
+    re-written as 48 tiny files), compact_zone rewrites it into
+    ~target-row files with a crash-safe swap (write-aside + rename —
+    the rewriteDataFiles shape of a transactional table format), and
+    the census is computed from the COMPACTED copy: the oracle on the
+    raw table proves compaction is content-lossless, not just
+    row-count-preserving (sum/min/max/distinct must all survive).
+
+    At 100 TB the economics: compaction pays one read + one
+    size-targeted shuffle ONCE, and every subsequent scan saves
+    per-file open/listing costs; partition_col keeps hive pruning
+    intact (exercised in tests/test_pipeline.py)."""
+    from hcls_data_lake_spark.pipeline.jobs import compact_zone
+    from hcls_data_lake_spark.queries.common import scratch_for
+
+    zone = scratch_for(sf_dir, "compact_docs_zone")
+    docs = t(spark, sf_dir, "documents")
+    # fixture: the reference's one-object-per-message layout (48 small
+    # files stands in for millions at lake scale), re-created each run
+    # so the compaction below always does real work
+    docs.repartition(48).write.mode("overwrite").parquet(zone)
+    n = docs.count()
+    stats = compact_zone(spark, zone, target_rows_per_file=max(1, n // 4))
+    assert stats["files_after"] < stats["files_before"]
+    back = spark.read.parquet(zone)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.countDistinct("source").alias("n_sources"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )

@@ -285,6 +285,7 @@ def _load_all() -> None:
         aggregates,
         analytics,
         curation,
+        diagnostics,
         filters,
         functions_pack,
         joins,

@@ -346,6 +346,44 @@ def test_minhash_and_simhash_tolerate_short_docs(spark):
     assert {r.doc_id for r in fp} >= {1, 2, 4, 5}  # short docs still fingerprint
 
 
+def test_containment_asymmetry_catches_subset_dups(spark):
+    """A short doc quoted verbatim inside a long one: containment
+    short→long = 10000 bps even though Jaccard is far below the
+    near-dup threshold — the case the asymmetric operator exists for.
+    Identical docs contain each other fully in BOTH directions."""
+    from pyspark.sql import functions as F
+
+    from hcls_data_lake_spark.operators.dedup import (
+        containment_pairs,
+        shingles_from_words,
+    )
+
+    quote = "alpha beta gamma delta epsilon"
+    long_doc = (
+        "zero one two three four five six seven eight nine ten eleven "
+        + quote
+        + " twelve thirteen fourteen fifteen sixteen seventeen eighteen"
+    )
+    df = spark.createDataFrame(
+        [(1, quote), (2, long_doc), (3, "totally different words here"),
+         (4, quote)],
+        "doc_id long, text string",
+    )
+    wdf = df.select("doc_id", F.split("text", " ").alias("w"))
+    sh = shingles_from_words("w", 3)
+    docs = wdf.filter(F.size("w") >= 3).select(
+        "doc_id", sh.alias("shingles"), F.size(sh).alias("n_shingles")
+    )
+    got = {
+        (r.doc_src, r.doc_ref): r.containment_bps
+        for r in containment_pairs(docs, min_bps=5000).collect()
+    }
+    assert got[(1, 2)] == 10000  # quote fully inside the long doc
+    assert (2, 1) not in got  # long doc NOT contained in the quote
+    assert got[(1, 4)] == 10000 and got[(4, 1)] == 10000  # identical pair
+    assert not any(3 in k for k in got)  # unrelated doc stays out
+
+
 def test_rollup_incremental_maintenance_equals_recompute(spark):
     """Maintaining the rollup batch-by-batch (in any order) must equal
     aggregating all data from scratch — the mergeable-state contract

@@ -32,18 +32,25 @@ def test_parse_never_raises(payload):
 @settings(max_examples=100, deadline=None)
 def test_parse_roundtrips_plain_fields(fields):
     """Plain (separator-free) PID fields come back verbatim, at the
-    right 1-based positions."""
+    right 1-based positions. A field the vendored grammar declares
+    repeatable (PID-3, PID-13, ...) serializes as a one-element LIST
+    even for a singleton occurrence — the grammar-driven shape rule
+    (parse_er7_lambda.py:57-65 applies the repetitions table to every
+    non-leaf child, fields included)."""
+    from hcls_data_lake_spark.hl7.grammar import field_repeats
+
     msg = "MSH|^~\\&|A|B|C|D|20240101||ADT^A01|1|P|2.5\rPID|" + "|".join(fields)
     doc = json.loads(parse_er7(msg))
     pid = doc["PID"]
     for i, val in enumerate(fields):
         key = f"PID_{i + 1}"
+        wrap = (lambda v: [v]) if field_repeats("PID", i + 1) else (lambda v: v)
         if val == "":
             assert key not in pid  # empty fields are omitted
         elif val == '""':
-            assert pid[key] == ""  # the explicit-empty quirk
+            assert pid[key] == wrap("")  # the explicit-empty quirk
         else:
-            assert pid[key] == val
+            assert pid[key] == wrap(val)
 
 
 @given(st.lists(_plain.filter(lambda s: s != ""), min_size=2, max_size=5))
