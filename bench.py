@@ -95,6 +95,8 @@ EXTENDED = [
     "q_text_containment",     # asymmetric subset-dup detection
     "q_diag_key_skew",        # shuffle-key heavy-hitter census
     "q_pipeline_compact",     # small-file compaction + lossless census
+    "q_pipeline_expire",      # retention TTL rewrite + boundary census
+    "q_text_passage_dedup",   # cross-corpus first-occurrence chunk dedup
 ]
 
 

@@ -1557,3 +1557,70 @@ def q_embed_pca_project(spark, sf_dir):
         "vec_id",
         F.transform("proj", lambda x: F.round(x, 6)).alias("proj"),
     )
+
+
+@register(
+    "q_text_passage_dedup",
+    """
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), chunked AS (
+      SELECT doc_id,
+             [array_to_string(w[i * 8 + 1 : (i + 1) * 8], ' ')
+              for i in range(0, CAST(ceil(len(w) / 8.0) AS BIGINT))]
+               AS cs
+      FROM d
+    ), chunks AS (
+      SELECT doc_id,
+             generate_subscripts(cs, 1) - 1 AS pos,
+             unnest(cs) AS chunk
+      FROM chunked
+    ), ranked AS (
+      SELECT doc_id, chunk,
+             row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos)
+               AS rn
+      FROM chunks
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped
+    FROM ranked GROUP BY doc_id
+    """,
+)
+def q_text_passage_dedup(spark, sf_dir):
+    """Cross-corpus PASSAGE dedup (the exact-substring dedup of Lee et
+    al., "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499, at fixed granularity): every 8-word chunk of
+    every document competes globally; only its FIRST occurrence in
+    corpus order (doc_id, pos) survives, and the report counts per-doc
+    retained vs dropped chunks. Document-level dedup keeps two docs
+    that share a long boilerplate passage — this catches the passage.
+
+    Shape: chunk explode -> one shuffle partitioned BY CHUNK (the
+    first-occurrence window runs per chunk group, so state per key is
+    the tiny occurrence list) -> per-doc re-aggregation. At 100 TB the
+    chunk-hash shuffle key is uniform by construction (8-word windows),
+    so no salting is needed; memory per group is bounded by duplicate
+    multiplicity, not corpus size. Trailing sub-8-word chunks count as
+    chunks — both engines slice-truncate identically."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    chunks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, cast(ceil(size(w) / 8.0) as int) - 1),"
+                " i -> concat_ws(' ', slice(w, i * 8 + 1, 8)))"
+            )
+        ).alias("pos", "chunk"),
+    )
+    win = Window.partitionBy("chunk").orderBy("doc_id", "pos")
+    ranked = chunks.withColumn("rn", F.row_number().over(win))
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dropped"),
+    )

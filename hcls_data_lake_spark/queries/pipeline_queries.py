@@ -908,3 +908,50 @@ def q_pipeline_compact(spark, sf_dir):
         F.min("doc_id").alias("min_id"),
         F.max("doc_id").alias("max_id"),
     )
+
+
+@register(
+    "q_pipeline_expire",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value,
+           CAST(MIN(epoch_ns(ts)) AS BIGINT) AS min_ts_ns,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+    """,
+)
+def q_pipeline_expire(spark, sf_dir):
+    """Retention/TTL as a queryable maintenance op
+    (pipeline/jobs.expire_zone — the data-lifecycle complement of
+    q_pipeline_compact; the reference's versioned S3 bucket implies
+    exactly this lifecycle policy, core_stack.yml:27-28). The fixture
+    zone is re-materialized from events each run, expire_zone rewrites
+    it keeping only rows at/after the cutoff with the same crash-safe
+    write-aside + rename swap (a DELETE WHERE on a transactional
+    format), and the census reads the EXPIRED zone: the oracle filters
+    the raw table, so a single extra or missing row — an off-by-one on
+    the cutoff boundary, a partial swap — flips the hash.
+
+    min_ts_ns proves the boundary exactly (first surviving event), in
+    tz-free integer nanos on both engines (common.events discipline).
+    At 100 TB: expiry is a predicate rewrite of the affected partitions
+    only when the zone is date-partitioned — pure partition drops for
+    wholly-expired dates, a filtered rewrite for the boundary date."""
+    from hcls_data_lake_spark.pipeline.jobs import expire_zone
+    from hcls_data_lake_spark.queries.common import events, scratch_for
+
+    zone = scratch_for(sf_dir, "expire_events_zone")
+    ev = events(spark, sf_dir).select(
+        "event_id", "ts", "ts_ns", "user_id", "value"
+    )
+    ev.repartition(8).write.mode("overwrite").parquet(zone)
+    stats = expire_zone(spark, zone, ts_col="ts", cutoff="2024-01-15 00:00:00")
+    assert stats["rows_kept"] + stats["rows_expired"] == stats["rows_before"]
+    back = spark.read.parquet(zone)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.min("ts_ns").alias("min_ts_ns"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
