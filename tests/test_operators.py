@@ -384,6 +384,37 @@ def test_containment_asymmetry_catches_subset_dups(spark):
     assert not any(3 in k for k in got)  # unrelated doc stays out
 
 
+def test_passage_dedup_conserves_chunks(spark, sf_dir):
+    """Conservation invariants over the fixture corpus: total chunks
+    equals the corpus chunk count, and survivors (n_chunks - n_dropped)
+    equal the number of DISTINCT chunks — exactly one first occurrence
+    per distinct chunk, no more, no less."""
+    from pyspark.sql import functions as F
+
+    from hcls_data_lake_spark import registry
+
+    out = registry.queries()["q_text_passage_dedup"](spark, sf_dir)
+    got = out.agg(
+        F.sum("n_chunks").alias("total"),
+        F.sum(F.col("n_chunks") - F.col("n_dropped")).alias("kept"),
+    ).first()
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.split("text", " ").alias("w")
+    )
+    chunks = d.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, cast(ceil(size(w) / 8.0) as int) - 1),"
+                " i -> concat_ws(' ', slice(w, i * 8 + 1, 8)))"
+            )
+        ).alias("chunk")
+    )
+    assert got.total == chunks.count()
+    assert got.kept == chunks.distinct().count()
+    assert got.kept < got.total  # fixture has exact dup docs -> drops exist
+
+
 def test_rollup_incremental_maintenance_equals_recompute(spark):
     """Maintaining the rollup batch-by-batch (in any order) must equal
     aggregating all data from scratch — the mergeable-state contract

@@ -332,6 +332,7 @@ _BNLJ_ALLOWED = {
     "q_graph_triangles",   # one-row edge/wedge/triangle counts joined
     "q_subquery_having",   # one-row global-sum aggregate cross-joined
     "q_subquery_idle_customers",  # one-row avg-balance scalar subquery
+    "q_diag_key_skew",     # one-row global-total broadcast joined back
 }
 
 

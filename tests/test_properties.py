@@ -316,3 +316,49 @@ def test_chunking_reconstructs_document(words):
     for c in chunks[1:]:
         rebuilt.extend(c[width - stride :])
     assert rebuilt == words
+
+
+_cword = st.sampled_from(["a", "b", "c", "d", "e"])
+
+
+@given(st.lists(st.lists(_cword, min_size=0, max_size=12), min_size=2, max_size=6))
+@settings(max_examples=8, deadline=None)
+def test_containment_matches_bruteforce(spark, word_lists):
+    """containment_pairs must equal the brute-force directional
+    definition |S(src)∩S(ref)| * 10000 // |S(src)| for ANY corpus —
+    tiny alphabet forces shingle collisions, short docs exercise the
+    size(w) guard."""
+    from pyspark.sql import functions as F
+
+    from hcls_data_lake_spark.operators.dedup import (
+        containment_pairs,
+        shingles_from_words,
+    )
+
+    texts = [" ".join(ws) for ws in word_lists]
+    sets = {
+        i: {" ".join(ws[j : j + 3]) for j in range(len(ws) - 2)}
+        for i, ws in enumerate(word_lists)
+    }
+    expect = {}
+    for a, sa in sets.items():
+        for b, sb in sets.items():
+            if a == b or not sa:
+                continue
+            bps = len(sa & sb) * 10000 // len(sa)
+            if len(sa & sb) > 0 and bps >= 5000:
+                expect[(a, b)] = bps
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    wdf = df.select("doc_id", F.split("text", " ").alias("w"))
+    sh = shingles_from_words("w", 3)
+    docs = wdf.filter(F.size("w") >= 3).select(
+        "doc_id", sh.alias("shingles"), F.size(sh).alias("n_shingles")
+    )
+    got = {
+        (r.doc_src, r.doc_ref): r.containment_bps
+        for r in containment_pairs(docs, min_bps=5000).collect()
+    }
+    assert got == expect
