@@ -97,6 +97,8 @@ EXTENDED = [
     "q_pipeline_compact",     # small-file compaction + lossless census
     "q_pipeline_expire",      # retention TTL rewrite + boundary census
     "q_text_passage_dedup",   # cross-corpus first-occurrence chunk dedup
+    "q_sink_shuffled_shards", # deterministic shuffle-to-shards export
+    "q_sample_token_budget",  # per-source greedy token-budget selection
 ]
 
 

@@ -206,3 +206,102 @@ def q_sample_weighted(spark, sf_dir):
         .limit(100)
         .select("doc_id", "n_chars")
     )
+
+
+@register(
+    "q_sink_shuffled_shards",
+    """
+    SELECT CAST(CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+                     AS BIGINT) % 8 AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    GROUP BY shard
+    """,
+)
+def q_sink_shuffled_shards(spark, sf_dir):
+    """Deterministic corpus shuffle-to-shards — the training-export
+    sink: pretraining wants documents in pseudo-random order across N
+    shards, and wants the SAME shards on every run (resumable jobs,
+    reproducible ablations). Shard assignment is md5(doc_id) mod N —
+    content-stable, no RNG, statistically balanced at any corpus size
+    (hash uniformity), and a pure map-side expression: the only data
+    movement is the partitionBy(shard) write itself. A global
+    row_number permutation would be exactly balanced but needs a
+    total order (single-partition window) — the hash form is the one
+    that survives 100 TB. The census reads the WRITTEN shards back, so
+    the oracle on the raw table proves the export is lossless and the
+    assignment engine-identical."""
+    from hcls_data_lake_spark.queries.common import scratch_for
+
+    path = scratch_for(sf_dir, "shuffled_shards")
+    d = t(spark, sf_dir, "documents")
+    hexv = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 6),
+        16,
+        10,
+    ).cast("bigint")
+    d.withColumn("shard", F.pmod(hexv, F.lit(8)).cast("bigint")).write.mode(
+        "overwrite"
+    ).partitionBy("shard").parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy(F.col("shard").cast("bigint").alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )
+
+
+@register(
+    "q_sample_token_budget",
+    """
+    WITH toks AS (
+      SELECT doc_id, source, n_chars,
+             len(string_split(text, ' ')) AS n_tok
+      FROM documents
+    ), cum AS (
+      SELECT source, n_tok,
+             SUM(n_tok) OVER (PARTITION BY source
+                              ORDER BY n_chars DESC, doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum_tok
+      FROM toks
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs_kept,
+           CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
+    FROM cum WHERE cum_tok <= 3000
+    GROUP BY source
+    """,
+)
+def q_sample_token_budget(spark, sf_dir):
+    """Token-budget selection: per source, admit documents in quality
+    order (n_chars desc, doc_id tie-break) until the source's token
+    budget is exhausted — the greedy form of domain mixing under a
+    fixed token budget (how a pretraining mix is actually specified:
+    tokens per domain, not document counts). One window shuffle on the
+    source key (cumulative sum), then a per-source aggregate; the
+    budget comparison is exact integer arithmetic. At 100 TB the
+    quality ordering rides the same per-source window — no global
+    sort — and a document larger than the remaining budget is skipped
+    along with everything after it (contiguous prefix semantics, which
+    is what makes the selection deterministic and engine-identical)."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("n_chars").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = toks.withColumn("cum_tok", F.sum("n_tok").over(w))
+    return (
+        cum.filter(F.col("cum_tok") <= 3000)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum("n_tok").cast("bigint").alias("sum_tokens"),
+        )
+    )
