@@ -99,6 +99,7 @@ EXTENDED = [
     "q_text_passage_dedup",   # cross-corpus first-occurrence chunk dedup
     "q_sink_shuffled_shards", # deterministic shuffle-to-shards export
     "q_sample_token_budget",  # per-source greedy token-budget selection
+    "q_sim_ann_pq",           # PQ-ADC shortlist + exact refine ANN
 ]
 
 

@@ -406,3 +406,183 @@ def ann_lsh_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rn")
     )
+
+
+# ------------------------------------------------------------ product
+# quantization (Jégou, Douze & Schmid, "Product quantization for
+# nearest neighbor search", TPAMI 2011 — the FAISS IndexPQ design).
+# PQ is the CANDIDATE-COMPRESSION half of large-scale ANN: each vector
+# is stored as m_sub small codes (one per contiguous subspace) instead
+# of dim floats, and search scores queries against candidates via
+# asymmetric distance computation (ADC) — the query keeps its full
+# vector, the candidate is looked up in the per-subspace codebooks.
+# Composes with IVF (cell pruning picks WHICH candidates to score; PQ
+# shrinks WHAT each candidate costs to score/store).
+
+
+def pq_codebooks(
+    embeddings: DataFrame,
+    m_sub: int = 4,
+    k_codes: int = 16,
+    vec_col: str = "embedding",
+    iters: int = 4,
+    seed: int = 42,
+    sample_frac: float | None = None,
+) -> list[list[list[float]]]:
+    """Train per-subspace k-means codebooks: dim is split into m_sub
+    contiguous blocks and each block gets its own kmeans_codebook run
+    (distributed Lloyd — only k_codes x (dim/m_sub) floats reach the
+    driver per subspace). Deterministic: seeded init per subspace.
+    Requires dim % m_sub == 0."""
+    dim = len(embeddings.select(vec_col).first()[0])
+    if dim % m_sub != 0:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    w = dim // m_sub
+    books = []
+    for m in range(m_sub):
+        sub = embeddings.select(
+            F.expr(
+                f"slice(cast({vec_col} as array<double>), {m * w + 1}, {w})"
+            ).alias("_sv")
+        )
+        books.append(
+            kmeans_codebook(
+                sub, k_codes, vec_col="_sv", iters=iters, seed=seed + m,
+                sample_frac=sample_frac,
+            )
+        )
+    return books
+
+
+def pq_encode_col(vec_col: str, books: list[list[list[float]]]) -> Column:
+    """array<int> of per-subspace nearest-centroid codes — the m_sub
+    integers that REPLACE the stored vector. Pure codegen (one
+    _cell_scores argmin per subspace); computed in the scan stage."""
+    w = len(books[0][0])
+    return F.array(
+        *[
+            _cell_scores(f"slice({vec_col}, {m * w + 1}, {w})", cents).getItem(0)
+            for m, cents in enumerate(books)
+        ]
+    )
+
+
+def _pq_book_sql(cents: list[list[float]]) -> str:
+    return "array(" + ", ".join(
+        "array(" + ", ".join(repr(float(x)) + "D" for x in c) + ")" for c in cents
+    ) + ")"
+
+
+def _pq_adc_dot(qv: str, codes: str, books: list[list[list[float]]]) -> Column:
+    """ADC approximate dot product: sum over subspaces of
+    q_m · codebook_m[code_m]. The candidate's floats never appear —
+    only its codes index into the literal codebooks."""
+    w = len(books[0][0])
+    total = None
+    for m, cents in enumerate(books):
+        term = F.expr(
+            f"aggregate(zip_with(slice({qv}, {m * w + 1}, {w}),"
+            f" element_at({_pq_book_sql(cents)}, {codes}[{m}] + 1),"
+            " (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+        )
+        total = term if total is None else total + term
+    return total
+
+
+def _pq_norm_sq(codes: str, books: list[list[list[float]]]) -> Column:
+    """Squared L2 norm of the RECONSTRUCTED candidate — a literal
+    lookup per subspace (norms precomputed at plan build)."""
+    total = None
+    for m, cents in enumerate(books):
+        norms = ", ".join(
+            repr(float(sum(x * x for x in c))) + "D" for c in cents
+        )
+        term = F.expr(f"element_at(array({norms}), {codes}[{m}] + 1)")
+        total = term if total is None else total + term
+    return total
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    m_sub: int = 4,
+    k_codes: int = 16,
+    query_filter: Column | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    train_iters: int = 4,
+    sample_frac: float | None = None,
+    rerank: int = 0,
+) -> DataFrame:
+    """PQ-compressed ANN top-k via asymmetric distance computation:
+    candidates are scored from their m_sub codes alone (approximate
+    cosine = ADC dot / (|q| * |reconstructed candidate|)), so the
+    candidate side of the join carries m_sub ints instead of dim
+    floats — at 100 TB that is the difference between an index that
+    fits in memory and one that doesn't (64 dims x 8B -> 4 codes:
+    128x smaller). Queries keep full vectors (they are few). Same
+    broadcast-queries / candidates-stay-put / WindowGroupLimit shape
+    as brute_force_topk. Codebooks are cached per (table, params) like
+    IVF — build once, probe many.
+
+    ``rerank=R`` (R > k) adds the FAISS refine stage: ADC picks a
+    shortlist of R candidates per query, then EXACT cosine re-ranks
+    only those — full vectors are fetched for |Q|·R rows via a
+    broadcast of the (tiny) shortlist against the table, never for
+    the whole corpus. Quantization coarseness then costs recall only
+    when a true neighbor falls outside the shortlist, not whenever
+    two same-cell candidates tie — intra-cluster ranking comes from
+    exact math. This is the standard deployment shape (ADC shortlist
+    + refine); plain ADC (rerank=0) is the zero-extra-IO variant."""
+    ident = _table_fingerprint(embeddings)
+    cache_key = (ident, "pq", m_sub, k_codes, vec_col, train_iters, seed,
+                 sample_frac)
+    books = _CODEBOOK_CACHE.get(cache_key) if ident else None
+    if books is None:
+        books = pq_codebooks(
+            embeddings, m_sub, k_codes, vec_col=vec_col, iters=train_iters,
+            seed=seed, sample_frac=sample_frac,
+        )
+        if ident:
+            while len(_CODEBOOK_CACHE) >= _CODEBOOK_CACHE_MAX:
+                _CODEBOOK_CACHE.pop(next(iter(_CODEBOOK_CACHE)))
+            _CODEBOOK_CACHE[cache_key] = books
+
+    e = embeddings.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    cands = e.select(
+        F.col("_id").alias("neighbor_id"), pq_encode_col("_v", books).alias("cd")
+    )
+    q = e.filter(query_filter) if query_filter is not None else e
+    q = q.select(F.col("_id").alias("query_id"), F.col("_v").alias("qv"))
+    adc_cos = _pq_adc_dot("qv", "cd", books) / F.sqrt(
+        dot("qv", "qv") * _pq_norm_sq("cd", books)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    scored = (
+        F.broadcast(q).join(cands, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", adc_cos)
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+    )
+    if rerank > k:
+        short = scored.filter(F.col("rn") <= rerank).select(
+            "query_id", "qv", "neighbor_id"
+        )
+        cv = e.select(F.col("_id").alias("neighbor_id"), F.col("_v").alias("cv"))
+        return (
+            F.broadcast(short).join(cv, "neighbor_id")
+            .withColumn("cos", cosine("qv", "cv"))
+            .withColumn("rn", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rn") <= k)
+            .select(
+                "query_id", "neighbor_id",
+                F.round("cos", 6).alias("cosine"), "rn",
+            )
+        )
+    return scored.filter(F.col("rn") <= k).select(
+        "query_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rn"
+    )

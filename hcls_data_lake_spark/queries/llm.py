@@ -446,6 +446,27 @@ def q_sim_ann_lsh(spark, sf_dir):
     return ann_lsh_topk(e, k=5, n_planes=12, query_filter=F.col("vec_id") < 20)
 
 
+@register("q_sim_ann_pq", None)  # per-subspace codebooks: rows-only
+def q_sim_ann_pq(spark, sf_dir):
+    """Approximate NN via product quantization + asymmetric distance
+    (operators/similarity.pq_adc_topk, the FAISS IndexPQ+refine design
+    — Jégou et al. TPAMI 2011): candidates are shortlisted from m_sub=8
+    per-subspace codes instead of 64 floats (the candidate side of the
+    search carries ~32x less data — the candidate-COMPRESSION half of
+    scale ANN, complementing IVF's candidate-PRUNING half), then the
+    shortlist alone is exact-cosine re-ranked (full vectors touched
+    for |Q|·R rows only). Rows-only (codebook-specific scores);
+    recall@5 with and without refine plus the code-shape invariant are
+    pinned in tests/test_operators.py."""
+    from hcls_data_lake_spark.operators.similarity import pq_adc_topk
+
+    e = t(spark, sf_dir, "embeddings")
+    return pq_adc_topk(
+        e, k=5, m_sub=8, k_codes=16, query_filter=F.col("vec_id") < 20,
+        rerank=25,
+    )
+
+
 @register("q_sim_ann_ivf", None)  # trained codebook: rows-only
 def q_sim_ann_ivf(spark, sf_dir):
     """Approximate NN via IVF cells with a k-means codebook trained by

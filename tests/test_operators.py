@@ -225,6 +225,59 @@ def test_ann_recall_at_5_pinned(clustered_vectors):
     assert r_lsh >= 0.9, f"LSH n_planes=2 recall@5 too low: {r_lsh}"
 
 
+def test_pq_adc_recall_and_code_shape(clustered_vectors):
+    """PQ-ADC recall gate (rows-only family, like IVF/LSH): scoring
+    candidates from m_sub=4 codes must still recover most exact
+    top-5 neighbors on clustered data, and every encoded vector must
+    compress to exactly m_sub codes each within [0, k_codes)."""
+    from pyspark.sql import functions as F
+
+    from hcls_data_lake_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebooks,
+        pq_encode_col,
+    )
+
+    qf = F.col("vec_id") < 20
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(clustered_vectors, k=5, query_filter=qf).collect()
+    }
+
+    def recall(df):
+        approx = {(r.query_id, r.neighbor_id) for r in df.collect()}
+        return len(exact & approx) / len(exact)
+
+    # plain ADC: quantization collapses same-cluster candidates to the
+    # same codes, so intra-cluster ranking is tie-broken — a floor, not
+    # a bar (observed 0.66 at 8x32 on this fixture)
+    r_adc = recall(
+        pq_adc_topk(clustered_vectors, k=5, m_sub=8, k_codes=32, query_filter=qf)
+    )
+    assert r_adc >= 0.6, f"plain ADC recall@5 too low: {r_adc}"
+    # ADC shortlist + exact refine (the deployment shape): recall is
+    # bounded only by shortlist coverage (observed 0.95 at 8x16 R=25)
+    r_ref = recall(
+        pq_adc_topk(
+            clustered_vectors, k=5, m_sub=8, k_codes=16, query_filter=qf,
+            rerank=25,
+        )
+    )
+    assert r_ref >= 0.9, f"PQ refine recall@5 too low: {r_ref}"
+
+    books = pq_codebooks(clustered_vectors, m_sub=4, k_codes=8)
+    codes = (
+        clustered_vectors.select(
+            F.col("embedding").cast("array<double>").alias("_v")
+        )
+        .select(pq_encode_col("_v", books).alias("cd"))
+        .collect()
+    )
+    for row in codes:
+        assert len(row.cd) == 4
+        assert all(0 <= c < 8 for c in row.cd)
+
+
 def test_ivf_kmeans_codebook_balances_cells(spark):
     """The trained codebook must actually partition the space: random
     pseudo-centroids collapse the corpus into 1-2 occupied cells
