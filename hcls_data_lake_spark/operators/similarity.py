@@ -586,3 +586,102 @@ def pq_adc_topk(
     return scored.filter(F.col("rn") <= k).select(
         "query_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rn"
     )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    m_sub: int = 4,
+    k_codes: int = 16,
+    query_filter: Column | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    train_iters: int = 4,
+    sample_frac: float | None = None,
+    rerank: int = 0,
+) -> DataFrame:
+    """IVF-PQ: the full FAISS IVFPQ composition — IVF cells decide
+    WHICH candidates a query touches (n_probe of n_centroids cells,
+    never the whole table), PQ codes decide WHAT each touched
+    candidate costs (m_sub bytes scored by ADC, never dim floats),
+    and the optional refine stage exact-ranks the shortlist only.
+    At 100 TB both savings multiply: a query scans
+    ~n_probe/n_centroids of the corpus at ~(m_sub codes)/(dim floats)
+    of the bandwidth. Both codebooks come from the shared cached
+    build-once trainers (kmeans_codebook / pq_codebooks)."""
+    ident = _table_fingerprint(embeddings)
+    coarse_key = (ident, n_centroids, vec_col, train_iters, seed, sample_frac)
+    cents = _CODEBOOK_CACHE.get(coarse_key) if ident else None
+    if cents is None:
+        cents = kmeans_codebook(
+            embeddings, n_centroids, vec_col=vec_col, iters=train_iters,
+            seed=seed, sample_frac=sample_frac,
+        )
+        if ident:
+            while len(_CODEBOOK_CACHE) >= _CODEBOOK_CACHE_MAX:
+                _CODEBOOK_CACHE.pop(next(iter(_CODEBOOK_CACHE)))
+            _CODEBOOK_CACHE[coarse_key] = cents
+    pq_key = (ident, "pq", m_sub, k_codes, vec_col, train_iters, seed,
+              sample_frac)
+    books = _CODEBOOK_CACHE.get(pq_key) if ident else None
+    if books is None:
+        books = pq_codebooks(
+            embeddings, m_sub, k_codes, vec_col=vec_col, iters=train_iters,
+            seed=seed, sample_frac=sample_frac,
+        )
+        if ident:
+            while len(_CODEBOOK_CACHE) >= _CODEBOOK_CACHE_MAX:
+                _CODEBOOK_CACHE.pop(next(iter(_CODEBOOK_CACHE)))
+            _CODEBOOK_CACHE[pq_key] = books
+
+    e = embeddings.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    # the stored index: cell + codes per candidate (id, 1 int, m ints —
+    # the only per-candidate state the search ever reads before refine)
+    indexed = e.select(
+        F.col("_id").alias("neighbor_id"),
+        _cell_scores("_v", cents).getItem(0).alias("cell"),
+        pq_encode_col("_v", books).alias("cd"),
+    )
+    q = e.filter(query_filter) if query_filter is not None else e
+    probes = q.select(
+        F.col("_id").alias("query_id"),
+        F.col("_v").alias("qv"),
+        F.explode_outer(
+            F.slice(_cell_scores("_v", cents), 1, n_probe)
+        ).alias("cell"),
+    ).filter(F.col("cell").isNotNull())
+    adc_cos = _pq_adc_dot("qv", "cd", books) / F.sqrt(
+        dot("qv", "qv") * _pq_norm_sq("cd", books)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    scored = (
+        F.broadcast(probes).join(indexed, ["cell"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", adc_cos)
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+    )
+    if rerank > k:
+        short = scored.filter(F.col("rn") <= rerank).select(
+            "query_id", "qv", "neighbor_id"
+        )
+        cv = e.select(F.col("_id").alias("neighbor_id"), F.col("_v").alias("cv"))
+        return (
+            F.broadcast(short).join(cv, "neighbor_id")
+            .withColumn("cos", cosine("qv", "cv"))
+            .withColumn("rn", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rn") <= k)
+            .select(
+                "query_id", "neighbor_id",
+                F.round("cos", 6).alias("cosine"), "rn",
+            )
+        )
+    return scored.filter(F.col("rn") <= k).select(
+        "query_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rn"
+    )

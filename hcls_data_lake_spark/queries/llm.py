@@ -467,6 +467,26 @@ def q_sim_ann_pq(spark, sf_dir):
     )
 
 
+@register("q_sim_ann_ivfpq", None)  # composed index: rows-only
+def q_sim_ann_ivfpq(spark, sf_dir):
+    """The full FAISS IVFPQ composition
+    (operators/similarity.ivfpq_topk): IVF cells prune WHICH
+    candidates a query touches (n_probe=3 of 8), PQ codes shrink WHAT
+    each touched candidate costs (8 codes vs 64 floats, ADC-scored),
+    and the refine stage exact-ranks the shortlist only. At 100 TB
+    the savings multiply: ~3/8 of the corpus scanned at ~1/32 of the
+    bandwidth, exact math on |Q|·R rows. Rows-only; the composition
+    recall gate and the no-pruning==plain-PQ equivalence are pinned
+    in tests/test_operators.py."""
+    from hcls_data_lake_spark.operators.similarity import ivfpq_topk
+
+    e = t(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        e, k=5, n_centroids=8, n_probe=3, m_sub=8, k_codes=16,
+        query_filter=F.col("vec_id") < 20, rerank=25,
+    )
+
+
 @register("q_sim_ann_ivf", None)  # trained codebook: rows-only
 def q_sim_ann_ivf(spark, sf_dir):
     """Approximate NN via IVF cells with a k-means codebook trained by

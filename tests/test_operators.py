@@ -278,6 +278,51 @@ def test_pq_adc_recall_and_code_shape(clustered_vectors):
         assert all(0 <= c < 8 for c in row.cd)
 
 
+def test_ivfpq_composition_recall(clustered_vectors):
+    """The full IVF-PQ composition (cell pruning x code compression x
+    exact refine) must hold recall on clustered data — the properties
+    multiply, they don't interfere. Also: with n_probe = n_centroids
+    (no pruning) IVFPQ must equal plain PQ refine on the same
+    codebooks — the IVF stage only ever REMOVES candidates."""
+    from pyspark.sql import functions as F
+
+    from hcls_data_lake_spark.operators.similarity import (
+        ivfpq_topk,
+        pq_adc_topk,
+    )
+
+    qf = F.col("vec_id") < 20
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(clustered_vectors, k=5, query_filter=qf).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in ivfpq_topk(
+            clustered_vectors, k=5, n_centroids=4, n_probe=2, m_sub=8,
+            k_codes=16, query_filter=qf, rerank=25,
+        ).collect()
+    }
+    r = len(exact & got) / len(exact)
+    assert r >= 0.9, f"IVFPQ recall@5 too low: {r}"
+
+    all_cells = {
+        (r.query_id, r.neighbor_id)
+        for r in ivfpq_topk(
+            clustered_vectors, k=5, n_centroids=4, n_probe=4, m_sub=8,
+            k_codes=16, query_filter=qf, rerank=25,
+        ).collect()
+    }
+    plain_pq = {
+        (r.query_id, r.neighbor_id)
+        for r in pq_adc_topk(
+            clustered_vectors, k=5, m_sub=8, k_codes=16, query_filter=qf,
+            rerank=25,
+        ).collect()
+    }
+    assert all_cells == plain_pq
+
+
 def test_ivf_kmeans_codebook_balances_cells(spark):
     """The trained codebook must actually partition the space: random
     pseudo-centroids collapse the corpus into 1-2 occupied cells
