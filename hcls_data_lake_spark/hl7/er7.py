@@ -31,6 +31,12 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType
 
+from hcls_data_lake_spark.hl7.grammar import (
+    field_repeats,
+    is_known,
+    is_repeatable,
+)
+
 SEGMENT_SEP = "\r"
 FIELD_SEP = "|"
 REP_SEP = "~"
@@ -190,8 +196,6 @@ def _parse_field(raw: str, seg_id: str = "", field_num: int = 0) -> object:
     repetition is never lost. Components/subcomponents cannot repeat
     on the wire (only `~` repeats), so field level completes the
     grammar-shape fix."""
-    from hcls_data_lake_spark.hl7.grammar import field_repeats
-
     if REP_SEP in raw:
         return [_parse_rep(rep) for rep in raw.split(REP_SEP)]
     if field_repeats(seg_id, field_num):
@@ -242,8 +246,6 @@ def parse_er7(msg: str, strict: bool = False) -> str | None:
     lists — undeclared cardinality never loses an occurrence) and
     demotes a duplicated singleton to a list (data wins over the
     vendored table). Returns None on structural failure."""
-    from hcls_data_lake_spark.hl7.grammar import is_known, is_repeatable
-
     try:
         text = msg.replace("\r\n", "\r").replace("\n", "\r").strip("\r")
         if not text.startswith("MSH"):
@@ -264,15 +266,15 @@ def parse_er7(msg: str, strict: bool = False) -> str | None:
             else:
                 fields = seg[4:].split(FIELD_SEP)
                 offset = 1
+            # MSH-1/MSH-2 (separator + encoding chars) were taken
+            # verbatim above; the enumerated fields start at MSH-3, so
+            # no field here ever needs an encoding-chars special case
             for i, raw in enumerate(fields):
                 if raw == "":
                     continue
-                if seg_id == "MSH" and i + offset == 2:
-                    body[f"{seg_id}_{i + offset}"] = raw  # encoding chars verbatim
-                else:
-                    body[f"{seg_id}_{i + offset}"] = _parse_field(
-                        raw, seg_id, i + offset
-                    )
+                body[f"{seg_id}_{i + offset}"] = _parse_field(
+                    raw, seg_id, i + offset
+                )
             if is_repeatable(seg_id):
                 doc.setdefault(seg_id, []).append(body)
             elif seg_id not in doc:

@@ -198,6 +198,7 @@ def hamming64(a: Column, b: Column) -> Column:
 def containment_pairs(
     docs: DataFrame,
     min_bps: int = 5000,
+    max_posting: int | None = None,
 ) -> DataFrame:
     """Directional n-gram CONTAINMENT pairs — the asymmetric companion
     to Jaccard near-dup: containment(src→ref) = |S(src)∩S(ref)|/|S(src)|.
@@ -213,8 +214,13 @@ def containment_pairs(
     C(f,2) unordered pairs, intersection size = pair multiplicity
     across postings. The intersection is computed once per unordered
     pair, then BOTH directions are derived by dividing by each side's
-    shingle count — no second pass. Same 100 TB knob: stop-list drops
-    ultra-common shingles before pair expansion.
+    shingle count — no second pass. ``max_posting`` is the 100 TB
+    stop-list knob: a posting of length f expands to C(f,2) pairs, so
+    one boilerplate shingle shared by 100k docs would build ~5e9 pair
+    structs in a single task — capping posting length drops exactly
+    those ultra-common shingles before expansion (they carry no
+    discriminating signal; the docs they link still pair through
+    their rarer shingles). None = no cap, for exact-oracle fixtures.
 
     Ratios are exact integer basis points (``inter * 10000 div n``) so
     the result hashes identically across engines at any scale.
@@ -234,6 +240,8 @@ def containment_pairs(
         )
         .filter(F.size("ds") > 1)
     )
+    if max_posting is not None:
+        posting = posting.filter(F.size("ds") <= max_posting)
     pairs = posting.select(
         F.explode_outer(
             F.expr(

@@ -206,6 +206,24 @@ def clear_codebook_cache() -> None:
     _CODEBOOK_CACHE.clear()
 
 
+def _cached_codebook(cache_key: tuple, builder):
+    """Shared get-or-train for every codebook family (IVF coarse, PQ
+    subspace): one place owns the ident-guard, the FIFO eviction and
+    the put — a missed site would silently retrain per probe, the
+    exact cost the cache exists to avoid. ``cache_key[0] is None``
+    (no file identity) skips caching entirely."""
+    ident = cache_key[0]
+    cached = _CODEBOOK_CACHE.get(cache_key) if ident else None
+    if cached is not None:
+        return cached
+    built = builder()
+    if ident:
+        while len(_CODEBOOK_CACHE) >= _CODEBOOK_CACHE_MAX:
+            _CODEBOOK_CACHE.pop(next(iter(_CODEBOOK_CACHE)))
+        _CODEBOOK_CACHE[cache_key] = built
+    return built
+
+
 def ivf_topk(
     embeddings: DataFrame,
     k: int = 5,
@@ -229,19 +247,13 @@ def ivf_topk(
     (table, params) — build once, probe many."""
     if train_iters > 0:
         ident = _table_fingerprint(embeddings)
-        cache_key = (
-            ident, n_centroids, vec_col, train_iters, seed, sample_frac,
-        )
-        cents = _CODEBOOK_CACHE.get(cache_key) if ident else None
-        if cents is None:
-            cents = kmeans_codebook(
+        cents = _cached_codebook(
+            (ident, n_centroids, vec_col, train_iters, seed, sample_frac),
+            lambda: kmeans_codebook(
                 embeddings, n_centroids, vec_col=vec_col, iters=train_iters,
                 seed=seed, sample_frac=sample_frac,
-            )
-            if ident:
-                while len(_CODEBOOK_CACHE) >= _CODEBOOK_CACHE_MAX:
-                    _CODEBOOK_CACHE.pop(next(iter(_CODEBOOK_CACHE)))
-                _CODEBOOK_CACHE[cache_key] = cents
+            ),
+        )
     else:
         dim = len(embeddings.select(vec_col).first()[0])
         cents = _hyperplanes(dim, n_centroids, seed)
@@ -318,6 +330,10 @@ def pca_components(
         F.col(vec_col).cast("array<double>").alias("_v")
     ).mapInPandas(gram_batches, "n long, s array<double>, g array<double>")
     rows = parts.collect()  # one small row per Arrow batch
+    if not rows:
+        raise ValueError(
+            "pca_components: no vectors to fit (empty embeddings input)"
+        )
     n = sum(r.n for r in rows)
     s = np.sum([np.array(r.s) for r in rows], axis=0)
     dim = len(s)
@@ -535,19 +551,15 @@ def pq_adc_topk(
     two same-cell candidates tie — intra-cluster ranking comes from
     exact math. This is the standard deployment shape (ADC shortlist
     + refine); plain ADC (rerank=0) is the zero-extra-IO variant."""
+    _check_rerank(rerank, k)
     ident = _table_fingerprint(embeddings)
-    cache_key = (ident, "pq", m_sub, k_codes, vec_col, train_iters, seed,
-                 sample_frac)
-    books = _CODEBOOK_CACHE.get(cache_key) if ident else None
-    if books is None:
-        books = pq_codebooks(
+    books = _cached_codebook(
+        (ident, "pq", m_sub, k_codes, vec_col, train_iters, seed, sample_frac),
+        lambda: pq_codebooks(
             embeddings, m_sub, k_codes, vec_col=vec_col, iters=train_iters,
             seed=seed, sample_frac=sample_frac,
-        )
-        if ident:
-            while len(_CODEBOOK_CACHE) >= _CODEBOOK_CACHE_MAX:
-                _CODEBOOK_CACHE.pop(next(iter(_CODEBOOK_CACHE)))
-            _CODEBOOK_CACHE[cache_key] = books
+        ),
+    )
 
     e = embeddings.select(
         F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
@@ -568,24 +580,7 @@ def pq_adc_topk(
         .withColumn("cos", adc_cos)
         .withColumn("rn", F.row_number().over(w).cast("bigint"))
     )
-    if rerank > k:
-        short = scored.filter(F.col("rn") <= rerank).select(
-            "query_id", "qv", "neighbor_id"
-        )
-        cv = e.select(F.col("_id").alias("neighbor_id"), F.col("_v").alias("cv"))
-        return (
-            F.broadcast(short).join(cv, "neighbor_id")
-            .withColumn("cos", cosine("qv", "cv"))
-            .withColumn("rn", F.row_number().over(w).cast("bigint"))
-            .filter(F.col("rn") <= k)
-            .select(
-                "query_id", "neighbor_id",
-                F.round("cos", 6).alias("cosine"), "rn",
-            )
-        )
-    return scored.filter(F.col("rn") <= k).select(
-        "query_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rn"
-    )
+    return _finish_or_refine(scored, e, w, k, rerank)
 
 
 def ivfpq_topk(
@@ -612,30 +607,22 @@ def ivfpq_topk(
     ~n_probe/n_centroids of the corpus at ~(m_sub codes)/(dim floats)
     of the bandwidth. Both codebooks come from the shared cached
     build-once trainers (kmeans_codebook / pq_codebooks)."""
+    _check_rerank(rerank, k)
     ident = _table_fingerprint(embeddings)
-    coarse_key = (ident, n_centroids, vec_col, train_iters, seed, sample_frac)
-    cents = _CODEBOOK_CACHE.get(coarse_key) if ident else None
-    if cents is None:
-        cents = kmeans_codebook(
+    cents = _cached_codebook(
+        (ident, n_centroids, vec_col, train_iters, seed, sample_frac),
+        lambda: kmeans_codebook(
             embeddings, n_centroids, vec_col=vec_col, iters=train_iters,
             seed=seed, sample_frac=sample_frac,
-        )
-        if ident:
-            while len(_CODEBOOK_CACHE) >= _CODEBOOK_CACHE_MAX:
-                _CODEBOOK_CACHE.pop(next(iter(_CODEBOOK_CACHE)))
-            _CODEBOOK_CACHE[coarse_key] = cents
-    pq_key = (ident, "pq", m_sub, k_codes, vec_col, train_iters, seed,
-              sample_frac)
-    books = _CODEBOOK_CACHE.get(pq_key) if ident else None
-    if books is None:
-        books = pq_codebooks(
+        ),
+    )
+    books = _cached_codebook(
+        (ident, "pq", m_sub, k_codes, vec_col, train_iters, seed, sample_frac),
+        lambda: pq_codebooks(
             embeddings, m_sub, k_codes, vec_col=vec_col, iters=train_iters,
             seed=seed, sample_frac=sample_frac,
-        )
-        if ident:
-            while len(_CODEBOOK_CACHE) >= _CODEBOOK_CACHE_MAX:
-                _CODEBOOK_CACHE.pop(next(iter(_CODEBOOK_CACHE)))
-            _CODEBOOK_CACHE[pq_key] = books
+        ),
+    )
 
     e = embeddings.select(
         F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
@@ -667,6 +654,27 @@ def ivfpq_topk(
         .withColumn("cos", adc_cos)
         .withColumn("rn", F.row_number().over(w).cast("bigint"))
     )
+    return _finish_or_refine(scored, e, w, k, rerank)
+
+
+def _check_rerank(rerank: int, k: int) -> None:
+    """Reject rerank values in (0, k]: they read as 'refine my top-k'
+    but `rerank > k` would silently skip the refine stage and return
+    quantization-tie-broken ADC rankings — fail loudly instead."""
+    if 0 < rerank <= k:
+        raise ValueError(
+            f"rerank={rerank} must be 0 (no refine) or > k={k} "
+            "(the ADC shortlist the exact re-rank draws from)"
+        )
+
+
+def _finish_or_refine(scored, e, w, k: int, rerank: int):
+    """Shared tail of the PQ searches: either truncate the ADC ranking
+    at k, or exact-cosine re-rank the top-``rerank`` shortlist (full
+    vectors fetched for shortlist rows ONLY, via a broadcast of the
+    tiny shortlist against the table). One implementation so
+    pq_adc_topk and ivfpq_topk can never diverge in tie-break,
+    rounding, or shortlist semantics."""
     if rerank > k:
         short = scored.filter(F.col("rn") <= rerank).select(
             "query_id", "qv", "neighbor_id"

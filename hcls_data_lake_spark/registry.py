@@ -247,7 +247,6 @@ _FAMILY_REPRESENTATIVES = [
     "q_join_temporal",
     "q_analytics_local_volume",
     "q_analytics_big_orders",
-    "q_fn_variant",
     "q_agg_median",
 ]
 

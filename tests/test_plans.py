@@ -333,6 +333,7 @@ _BNLJ_ALLOWED = {
     "q_subquery_having",   # one-row global-sum aggregate cross-joined
     "q_subquery_idle_customers",  # one-row avg-balance scalar subquery
     "q_diag_key_skew",     # one-row global-total broadcast joined back
+    "q_sim_ann_pq",        # broadcast query block x PQ-coded candidates
 }
 
 

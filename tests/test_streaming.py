@@ -355,7 +355,7 @@ def test_er7gen_stream_restart_resumes_exactly_once(spark, tmp_path):
         sdf = (
             spark.readStream.format("er7gen")
             .option("n", n)
-            .option("batchSize", 50)
+            .option("batchSize", 30)
             .load()
         )
         return (
@@ -367,16 +367,18 @@ def test_er7gen_stream_restart_resumes_exactly_once(spark, tmp_path):
             .start()
         )
 
-    # phase 1: throttled to one batch per second so the kill lands
+    # phase 1: throttled to one 30-row batch per 2 s so the kill lands
     # MID-STREAM — a free-running phase 1 can drain all n rows before
     # stop() on a fast machine, leaving phase 2 nothing to replay and
     # silently skipping the recovery path this test exists to cover.
-    q1 = start({"processingTime": "1 second"})
+    # Draining all 10 batches would need stop() to lag the first
+    # committed batch by ~18 s — margin enough for a loaded CI box.
+    q1 = start({"processingTime": "2 seconds"})
     try:
         deadline = time.time() + 90
         while time.time() < deadline:
             try:
-                if spark.read.parquet(out_dir).count() >= 50:
+                if spark.read.parquet(out_dir).count() >= 30:
                     break
             except Exception:
                 pass  # sink not committed yet
@@ -386,7 +388,7 @@ def test_er7gen_stream_restart_resumes_exactly_once(spark, tmp_path):
     partial = spark.read.parquet(out_dir).count()
     # something committed AND something remains: the restart below
     # actually exercises offset recovery, loudly
-    assert 50 <= partial < n
+    assert 30 <= partial < n
 
     # phase 2: new query, same checkpoint — free-run until drained
     # (availableNow can't be used here: a SimpleDataSourceStreamReader
