@@ -102,20 +102,25 @@ def commit(df, root: str, mode: str = "append", meta: dict | None = None) -> int
     files. The data write itself is a plain distributed parquet write
     (executors write in parallel); only the metadata publish is
     single-file."""
+    import uuid
+
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     os.makedirs(_manifest_dir(root), exist_ok=True)
     while True:
         prev = versions(root)
         version = (prev[-1] + 1) if prev else 1
-        data_dir = os.path.join(root, _DATA, f"commit-{version}")
-        # Immutable-data invariant: a stale commit dir from a losing
-        # committer is unreferenced garbage, safe to replace.
-        if os.path.isdir(data_dir):
-            shutil.rmtree(data_dir)
+        # The data dir carries a per-ATTEMPT token: two concurrent
+        # committers racing for the same version number write to
+        # DISJOINT directories, so the loser's cleanup (below) can
+        # never delete the winner's just-published files — sharing
+        # data/commit-<v> would let exactly that happen.
+        token = uuid.uuid4().hex[:8]
+        commit_name = f"commit-{version}-{token}"
+        data_dir = os.path.join(root, _DATA, commit_name)
         df.write.mode("errorifexists").parquet(data_dir)
         new_files = sorted(
-            os.path.join(_DATA, f"commit-{version}", f)
+            os.path.join(_DATA, commit_name, f)
             for f in os.listdir(data_dir)
             if f.endswith(".parquet")
         )
@@ -200,40 +205,79 @@ def _may_match(file_stats: dict, prune: dict) -> bool:
     return True
 
 
+_EXPIRED = "expired"
+
+
 def committed_meta(root: str, key: str) -> set:
     """All values of `meta[key]` across committed versions — e.g. the
     set of streaming batch ids already durably committed (the
-    exactly-once replay check)."""
+    exactly-once replay check). Vacuum-EXPIRED manifests are scanned
+    too: their data is gone, but the fact that their batches committed
+    must survive retention, or a checkpoint restored past a vacuum
+    would replay old batches as new (duplicates)."""
     out = set()
     for v in versions(root):
         m = _load(root, v).get("meta", {})
         if key in m:
             out.add(m[key])
+    edir = os.path.join(_manifest_dir(root), _EXPIRED)
+    if os.path.isdir(edir):
+        for f in os.listdir(edir):
+            if f.startswith("v") and f.endswith(".json"):
+                with open(os.path.join(edir, f)) as fh:
+                    m = json.load(fh).get("meta", {})
+                if key in m:
+                    out.add(m[key])
     return out
 
 
-def vacuum(root: str, keep_last: int = 1) -> list[str]:
-    """Drop manifests older than the newest `keep_last` and delete
+def vacuum(root: str, keep_last: int = 1, min_age_s: float = 600.0) -> list[str]:
+    """Expire manifests older than the newest `keep_last` and delete
     every data file no retained manifest references. Returns the
     deleted file paths (table-relative). The only byte-deleting
-    operation in the format — everything else is append-only."""
+    operation in the format — everything else is append-only.
+
+    Two safety properties:
+    - Expired manifests are MOVED to ``_manifests/expired/``, never
+      destroyed: their versions stop being readable (the bytes are
+      gone) but their commit metadata — the batch ids the
+      exactly-once replay check scans — survives retention.
+    - ``min_age_s`` is the in-flight-commit guard (Delta's retention
+      window): a concurrent committer's files exist on disk BEFORE its
+      manifest publishes, and are indistinguishable from garbage until
+      then. Files younger than the window are never deleted; pass 0
+      only when no concurrent writer can exist (tests, single-writer
+      maintenance)."""
+    import time
+
     vs = versions(root)
     keep = set(vs[-keep_last:]) if keep_last > 0 else set()
     referenced: set[str] = set()
     for v in keep:
         referenced.update(_load(root, v)["files"])
     deleted = []
+    edir = os.path.join(_manifest_dir(root), _EXPIRED)
     for v in vs:
         if v not in keep:
-            os.unlink(os.path.join(_manifest_dir(root), f"v{v}.json"))
+            os.makedirs(edir, exist_ok=True)
+            os.replace(
+                os.path.join(_manifest_dir(root), f"v{v}.json"),
+                os.path.join(edir, f"v{v}.json"),
+            )
+    cutoff = time.time() - min_age_s
     data_root = os.path.join(root, _DATA)
     if os.path.isdir(data_root):
         for commit_dir in sorted(os.listdir(data_root)):
             cdir = os.path.join(data_root, commit_dir)
             for f in sorted(os.listdir(cdir)):
                 rel = os.path.join(_DATA, commit_dir, f)
-                if f.endswith(".parquet") and rel not in referenced:
-                    os.unlink(os.path.join(cdir, f))
+                full = os.path.join(cdir, f)
+                if (
+                    f.endswith(".parquet")
+                    and rel not in referenced
+                    and os.path.getmtime(full) <= cutoff
+                ):
+                    os.unlink(full)
                     deleted.append(rel)
             if not os.listdir(cdir):
                 os.rmdir(cdir)

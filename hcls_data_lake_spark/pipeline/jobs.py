@@ -11,15 +11,33 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from hcls_data_lake_spark.pipeline.staging import stage_er7
 from hcls_data_lake_spark.pipeline.zones import write_zone
 from hcls_data_lake_spark.streaming.runner import run_foreach_batch
 
 
 def _route_batch(batch_df: DataFrame, lake_root: str) -> None:
-    staged, errored = stage_er7(batch_df)
-    write_zone(staged, lake_root, "staging")
-    write_zone(errored, lake_root, "error")
+    """Route one (micro-)batch to staging/error zones.
+
+    The parse boundary is the expensive stage, and staging and error
+    are two separate write actions over the same parsed frame — pin it
+    so the filter→prepare→parse chain runs once per batch, not once
+    per zone. Delivery is AT-LEAST-ONCE under foreachBatch replay
+    (plain appends); when a zone needs exactly-once, route it through
+    streaming/manifest_sink.py, whose per-batch commit carries the
+    batch id and skips replays (see
+    tests/test_streaming.py::test_manifest_sink_exactly_once)."""
+    from hcls_data_lake_spark.pipeline.staging import parse, prepare, route
+    from hcls_data_lake_spark.pipeline.ingest import subscription_filter
+
+    parsed = parse(
+        prepare(subscription_filter(batch_df, "hl7v2", "er7"))
+    ).persist()
+    try:
+        staged, errored = route(parsed)
+        write_zone(staged, lake_root, "staging")
+        write_zone(errored, lake_root, "error")
+    finally:
+        parsed.unpersist()
 
 
 def promote_ingestion_batch(spark: SparkSession, lake_root: str) -> None:
@@ -33,9 +51,19 @@ def promote_ingestion_stream(
 ) -> None:
     """Streaming promotion: new ingestion-zone files are discovered by
     the file source and routed to staging/error zones per micro-batch
-    (the SNS→trigger→StepFunction path of SURVEY §3.2 as one query)."""
+    (the SNS→trigger→StepFunction path of SURVEY §3.2 as one query).
+
+    The checkpoint is STABLE, under the lake root: the file source's
+    memory of which ingestion files it already processed lives there,
+    so repeated invocations promote only NEW files. An ephemeral
+    checkpoint would re-read the whole zone and append duplicates on
+    every call."""
     sdf = spark.readStream.schema(schema).parquet(f"{lake_root}/ingestion")
-    run_foreach_batch(sdf, lambda df, _id: _route_batch(df, lake_root))
+    run_foreach_batch(
+        sdf,
+        lambda df, _id: _route_batch(df, lake_root),
+        checkpoint=f"{lake_root}/_checkpoints/promote_ingestion",
+    )
 
 
 def _swap_zone(zone_path: str, tmp: str) -> None:
@@ -99,10 +127,16 @@ def compact_zone(
     n_files = max(1, math.ceil(n_rows / target_rows_per_file))
     tmp = zone_path.rstrip("/") + "__compacting"
     shutil.rmtree(tmp, ignore_errors=True)
-    writer = df.repartition(n_files).write.mode("overwrite")
-    if partition_col:
-        writer = writer.partitionBy(partition_col)
-    writer.parquet(tmp)
+    if n_rows == 0:
+        # same guard as expire_zone: a zero-row PARTITIONED write
+        # emits only _SUCCESS (UNABLE_TO_INFER_SCHEMA on read-back);
+        # one un-partitioned empty part file keeps the zone readable
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    else:
+        writer = df.repartition(n_files).write.mode("overwrite")
+        if partition_col:
+            writer = writer.partitionBy(partition_col)
+        writer.parquet(tmp)
     _swap_zone(zone_path, tmp)
     return {
         "rows": n_rows,
@@ -136,7 +170,13 @@ def expire_zone(
 
     df = spark.read.parquet(zone_path)
     total = df.count()
-    kept_df = df.filter(F.col(ts_col) >= F.lit(cutoff))
+    # NULL timestamps are KEPT, not expired: `NULL >= cutoff` filters
+    # false, so without the isNull clause a retention pass would
+    # silently delete every row whose timestamp failed to parse —
+    # exactly the rows a TTL policy must be conservative about
+    kept_df = df.filter(
+        F.col(ts_col).isNull() | (F.col(ts_col) >= F.lit(cutoff))
+    )
     kept = kept_df.count()
     tmp = zone_path.rstrip("/") + "__expiring"
     shutil.rmtree(tmp, ignore_errors=True)

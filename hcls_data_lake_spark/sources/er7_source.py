@@ -119,14 +119,13 @@ class ER7MessageDataSource(DataSource):
         return ER7StreamReader(self.options)
 
 
-_REGISTERED: set[int] = set()
-
-
 def register_er7_source(spark) -> None:
-    """Idempotently register the source with a session (per-session
-    registry; safe to call from every query)."""
-    key = id(spark)
-    if key in _REGISTERED:
+    """Idempotently register the source with a session (safe to call
+    from every query). The marker lives ON the session object — an
+    id(spark)-keyed module set would both leak stale ids and, worse,
+    skip registration when CPython reuses a freed address for a new
+    session."""
+    if getattr(spark, "_er7gen_registered", False):
         return
     spark.dataSource.register(ER7MessageDataSource)
-    _REGISTERED.add(key)
+    spark._er7gen_registered = True

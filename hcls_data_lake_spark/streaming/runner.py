@@ -151,16 +151,25 @@ def run_to_memory(
 
 
 def run_foreach_batch(
-    sdf: DataFrame, batch_fn, name: str | None = None
+    sdf: DataFrame, batch_fn, name: str | None = None,
+    checkpoint: str | None = None,
 ) -> None:
     """Execute a streaming DataFrame through foreachBatch to completion
-    (the per-batch multi-sink routing of A8/A15)."""
-    qname = name or f"feb_{uuid.uuid4().hex[:10]}"
-    ckpt = scratch_dir("ckpt", qname)
-    shutil.rmtree(ckpt, ignore_errors=True)
+    (the per-batch multi-sink routing of A8/A15).
+
+    ``checkpoint`` makes the run INCREMENTAL across invocations: the
+    source's progress (e.g. which files a file source already
+    processed) persists there, so a repeat call picks up where the
+    last one stopped. Without it the run is one-shot: a fresh scratch
+    checkpoint is created (and wiped first), and a repeat call
+    re-reads the source from the beginning."""
+    if checkpoint is None:
+        qname = name or f"feb_{uuid.uuid4().hex[:10]}"
+        checkpoint = scratch_dir("ckpt", qname)
+        shutil.rmtree(checkpoint, ignore_errors=True)
     query = (
         sdf.writeStream.foreachBatch(batch_fn)
-        .option("checkpointLocation", ckpt)
+        .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
     )

@@ -69,13 +69,20 @@ def test_vacuum_deletes_only_unreferenced_files(spark, tmp_path):
     manifest.commit(_df(spark, 0, 3), root)
     manifest.commit(_df(spark, 3, 6), root, "append")
     manifest.commit(_df(spark, 6, 9), root, "overwrite")
-    deleted = manifest.vacuum(root, keep_last=1)
-    # v3 (overwrite) references only commit-3 files: commits 1-2 go
-    assert deleted and all("commit-3" not in f for f in deleted)
+    v3_files = set(manifest._load(root, 3)["files"])
+    # min_age_s default protects in-flight commits: fresh files survive
+    assert manifest.vacuum(root, keep_last=1) == []
+    assert manifest.versions(root) == [3]  # manifests expire regardless
+    deleted = manifest.vacuum(root, keep_last=1, min_age_s=0)
+    # v3 (overwrite) references only its own commit files: v1-v2 data goes
+    assert deleted and not (set(deleted) & v3_files)
     assert manifest.versions(root) == [3]
     assert _collect(spark, root) == [6, 7, 8]
-    for rel in manifest._load(root, 3)["files"]:
+    for rel in v3_files:
         assert os.path.exists(os.path.join(root, rel))
+    # expired manifests keep their commit metadata readable (the
+    # exactly-once replay check must survive retention)
+    assert os.path.isdir(os.path.join(root, "_manifests", "expired"))
 
 
 def test_empty_commit_reads_back_empty_with_schema(spark, tmp_path):

@@ -181,6 +181,14 @@ def test_lake_lifecycle_streaming_promotion(spark, wire_df, tmp_path):
     import os
     assert os.path.isdir(f"{lake}/staging/protocol=hl7v2")
 
+    # INCREMENTAL across invocations: the stable checkpoint remembers
+    # processed ingestion files, so a re-run with no new files must
+    # promote nothing (an ephemeral checkpoint would re-read the whole
+    # zone and duplicate every staged row)
+    promote_ingestion_stream(spark, lake, schema)
+    assert read_zone(spark, lake, "staging").count() == 11
+    assert read_zone(spark, lake, "error").count() == 1
+
 
 def test_compact_zone_shrinks_files_preserves_rows(spark, tmp_path):
     from hcls_data_lake_spark.pipeline.jobs import compact_zone
