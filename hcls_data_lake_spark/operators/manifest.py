@@ -94,22 +94,42 @@ def _file_stats(path: str) -> dict:
     return {c: [mins[c], maxs[c]] for c in mins}
 
 
-def commit(df, root: str, mode: str = "append", meta: dict | None = None) -> int:
+def commit(
+    df,
+    root: str,
+    mode: str = "append",
+    meta: dict | None = None,
+    txn_key: str | None = None,
+) -> int:
     """Commit `df` as the next table version; returns the version.
 
     `mode="append"` makes the new version = previous files + this
     commit's files; `mode="overwrite"` makes it exactly this commit's
     files. The data write itself is a plain distributed parquet write
     (executors write in parallel); only the metadata publish is
-    single-file."""
+    single-file.
+
+    ``txn_key`` names a key in ``meta`` that makes the commit
+    IDEMPOTENT (Delta's txn appId/version fence): on EVERY attempt of
+    the publish loop — not just once up front — the committed set is
+    re-checked, so a zombie driver and its restarted replacement
+    racing the same batch cannot both land it: whichever loses the
+    version race retries, re-checks, finds the key committed, and
+    returns 0 (the no-op sentinel; real versions start at 1)."""
     import uuid
 
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    if txn_key is not None and (meta is None or txn_key not in meta):
+        raise ValueError(f"txn_key {txn_key!r} not present in meta")
     os.makedirs(_manifest_dir(root), exist_ok=True)
     while True:
         prev = versions(root)
         version = (prev[-1] + 1) if prev else 1
+        if txn_key is not None and meta[txn_key] in committed_meta(
+            root, txn_key
+        ):
+            return 0  # already durably committed (replay / lost fence race)
         # The data dir carries a per-ATTEMPT token: two concurrent
         # committers racing for the same version number write to
         # DISJOINT directories, so the loser's cleanup (below) can

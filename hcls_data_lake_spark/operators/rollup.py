@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # mergeable partial-state columns kept per (bucket, key)
-_STATE = ["n_rows", "sum_value", "min_value", "max_value"]
+_STATE = ["n_rows", "n_vals", "sum_value", "min_value", "max_value"]
 
 
 def rollup_state(
@@ -40,6 +40,10 @@ def rollup_state(
     """Aggregate a batch into per-(bucket, keys) mergeable state."""
     return df.groupBy(bucket_col, *key_cols).agg(
         F.count(F.lit(1)).alias("n_rows"),
+        # avg needs the NON-NULL count: sum skips nulls, so dividing
+        # by the row count would drag the average down whenever the
+        # value column has nulls (SQL AVG ignores them)
+        F.count(value_col).alias("n_vals"),
         F.sum(value_col).alias("sum_value"),
         F.min(value_col).alias("min_value"),
         F.max(value_col).alias("max_value"),
@@ -59,6 +63,7 @@ def merge_rollup(existing: DataFrame, batch_state: DataFrame) -> DataFrame:
         .groupBy(*group_cols)
         .agg(
             F.sum("n_rows").alias("n_rows"),
+            F.sum("n_vals").alias("n_vals"),
             F.sum("sum_value").alias("sum_value"),
             F.min("min_value").alias("min_value"),
             F.max("max_value").alias("max_value"),
@@ -72,10 +77,15 @@ def finalize_rollup(state: DataFrame) -> DataFrame:
     return state.select(
         *[c for c in state.columns if c not in _STATE],
         F.col("n_rows"),
+        F.col("n_vals"),
         F.col("sum_value"),
         F.col("min_value"),
         F.col("max_value"),
-        (F.col("sum_value") / F.col("n_rows")).alias("avg_value"),
+        # sum/NON-NULL count = SQL AVG semantics; an all-null bucket
+        # finalizes to NULL, never a divide-by-zero
+        F.when(
+            F.col("n_vals") > 0, F.col("sum_value") / F.col("n_vals")
+        ).alias("avg_value"),
     )
 
 

@@ -95,26 +95,48 @@ def scd2_apply(
         F.col(key),
         *[F.col(c).alias(f"_u_{c}") for c in tracked_cols],
         F.col(effective_col).alias("_u_from"),
+        # real match indicator: NULL after an unmatched left join. The
+        # older `_u_from IS NOT NULL` sentinel silently DISCARDED a
+        # matched update whose effective timestamp was null — the row
+        # fell into unchanged_open and vanished without an error
+        F.lit(True).alias("_u_matched"),
+    )
+    # validity guards, evaluated lazily inside the plan (no extra
+    # jobs): a NULL effective timestamp is malformed input, and an
+    # out-of-order one (eff < the open row's valid_from) would close
+    # the open row with an INVERTED interval — silently erasing a
+    # history period and rewriting the past. Correct late-arriving
+    # updates need an interval rebuild, not an open-row close; fail
+    # loudly instead of corrupting.
+    _guarded_close = F.expr(
+        "CASE WHEN _u_from IS NULL THEN"
+        " raise_error('scd2_apply: NULL effective timestamp in updates')"
+        " WHEN _u_from < valid_from THEN"
+        " raise_error(concat('scd2_apply: out-of-order update (eff ', "
+        "cast(_u_from as string), ' < open valid_from ', "
+        "cast(valid_from as string), ') — late updates need a history"
+        " rebuild, not an open-row close'))"
+        " ELSE _u_from END"
     )
     # hint only the probe join: in the anti join below u is the
     # preserved (left) side, where a broadcast hint is unusable
     j = open_rows.join(F.broadcast(u) if broadcast_updates else u, key, "left")
     changed = j.filter(
-        F.col("_u_from").isNotNull()
+        F.col("_u_matched").isNotNull()
         & ~F.struct(*[F.col(c) for c in tracked_cols]).eqNullSafe(
             F.struct(*[F.col(f"_u_{c}") for c in tracked_cols])
         )
     )
     # open rows: unmatched or no-op updates stay open as-is
     unchanged_open = j.filter(
-        F.col("_u_from").isNull()
+        F.col("_u_matched").isNull()
         | F.struct(*[F.col(c) for c in tracked_cols]).eqNullSafe(
             F.struct(*[F.col(f"_u_{c}") for c in tracked_cols])
         )
     ).select(*current.columns)
     closed = changed.select(
         *[
-            F.col("_u_from").alias("valid_to") if c == "valid_to" else F.col(c)
+            _guarded_close.alias("valid_to") if c == "valid_to" else F.col(c)
             for c in current.columns
         ]
     )
@@ -134,6 +156,11 @@ def scd2_apply(
     )
     # brand-new keys (no open row at all); columns outside key/tracked/
     # validity (if any) have no prior value — explicitly null
+    _guarded_from = F.expr(
+        "CASE WHEN _u_from IS NULL THEN"
+        " raise_error('scd2_apply: NULL effective timestamp in updates')"
+        " ELSE _u_from END"
+    )
     new_keys = u.join(open_rows.select(key), key, "left_anti").select(
         *[
             (
@@ -141,7 +168,7 @@ def scd2_apply(
                 if c == key
                 else F.col(f"_u_{c}")
                 if c in tracked_cols
-                else F.col("_u_from")
+                else _guarded_from
                 if c == "valid_from"
                 else F.lit(open_end)
                 if c == "valid_to"
@@ -176,5 +203,11 @@ def apply_changes(
     if version_col is not None:
         changes = upsert_latest(changes, key, version_col)
     kept = existing.join(changes.select(key), key, "left_anti")
-    survivors = changes.filter(F.col(op_col) != "D").select(*existing.columns)
+    # null-safe: a malformed NULL op must fall through as an upsert,
+    # not vanish — `op != 'D'` is NULL for null ops, and the key was
+    # already anti-joined out of `existing`, so a plain filter would
+    # silently DELETE the row instead of erroring or upserting
+    survivors = changes.filter(
+        ~F.col(op_col).eqNullSafe("D")
+    ).select(*existing.columns)
     return kept.unionByName(survivors)

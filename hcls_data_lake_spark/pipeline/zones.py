@@ -17,14 +17,15 @@ EVENT_ZONE = {"ingested": "ingestion", "staged": "staging", "error": "error"}
 
 
 def zone_for_event(df: DataFrame, event_col: str = "event") -> DataFrame:
-    """A8: event→zone CASE routing."""
-    zone = (
-        F.when(F.col(event_col) == "ingested", "ingestion")
-        .when(F.col(event_col) == "staged", "staging")
-        .when(F.col(event_col) == "error", "error")
-        .otherwise("error")
-    )
-    return df.withColumn("zone", zone)
+    """A8: event→zone CASE routing, built FROM EVENT_ZONE so the
+    declared mapping and the executed routing cannot drift; unknown
+    events route to the error zone."""
+    items = iter(EVENT_ZONE.items())
+    ev, zn = next(items)
+    zone = F.when(F.col(event_col) == ev, zn)
+    for ev, zn in items:
+        zone = zone.when(F.col(event_col) == ev, zn)
+    return df.withColumn("zone", zone.otherwise("error"))
 
 
 def object_key(df: DataFrame) -> DataFrame:
@@ -129,10 +130,31 @@ def point_lookup(
     format predicate selects one. Predicate pushdown turns the whole
     thing into a pruned point read (format is a partition key in the
     4-level layout, so the filter prunes directories, not rows)."""
+    def _push(df: DataFrame, col: str, pred) -> DataFrame:
+        return df.filter(pred(F.col(col))) if col in df.columns else df
+
+    # Every predicate is pushed to EACH side that carries the column,
+    # BEFORE the join: on the zone side that is what turns the claims/
+    # format filters into partition-directory pruning (the 4-level
+    # layout keys), and pre-join filtering is also what keeps a
+    # catalog+zone pair that BOTH carry source/format from producing
+    # an ambiguous post-join column reference. A format-fanout zone
+    # table (several representations per message id) is narrowed to
+    # the requested format here, not after the join.
     hit = catalog.filter(F.col("message_id") == message_id)
+    zdf = zone_df.filter(F.col("message_id") == message_id)
     if fmt is not None:
-        hit = hit.filter(F.col("format") == fmt)
-    out = hit.join(zone_df, "message_id", "inner")
+        if "format" not in hit.columns and "format" not in zdf.columns:
+            raise ValueError(
+                "fmt given but neither catalog nor zone table has a"
+                " 'format' column"
+            )
+        hit = _push(hit, "format", lambda c: c == fmt)
+        zdf = _push(zdf, "format", lambda c: c == fmt)
     if read_claims is not None:
-        out = out.filter(F.col("source").isin(read_claims))
-    return out
+        hit = _push(hit, "source", lambda c: c.isin(read_claims))
+        zdf = _push(zdf, "source", lambda c: c.isin(read_claims))
+    # drop catalog-side duplicates of zone columns (besides the join
+    # key) so the joined row has one unambiguous column per name
+    dup = [c for c in hit.columns if c in zdf.columns and c != "message_id"]
+    return hit.drop(*dup).join(zdf, "message_id", "inner")

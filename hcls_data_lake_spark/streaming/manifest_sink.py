@@ -34,11 +34,28 @@ def manifest_sink(root: str, mode: str = "append"):
            .option("checkpointLocation", ckpt).start()
     """
 
+    # committed batch ids, loaded from manifest metadata once and kept
+    # in the closure: the per-batch replay check is then O(1) instead
+    # of re-parsing every manifest JSON per micro-batch (O(N^2) over a
+    # long stream). The full disk scan re-runs only on restart (a new
+    # closure) — exactly when it must.
+    committed: set | None = None
+
     def _sink(batch_df, batch_id: int) -> None:
-        if batch_id in manifest.committed_meta(root, "batch_id"):
+        nonlocal committed
+        if committed is None:
+            committed = manifest.committed_meta(root, "batch_id")
+        if batch_id in committed:
             return  # replayed batch — already durable, exactly-once
+        # txn_key re-checks the committed set INSIDE the publish loop:
+        # a zombie driver and its replacement racing the same batch id
+        # cannot both land it (whichever loses the version race
+        # re-checks and no-ops) — the cached set above is a fast path,
+        # not the fence
         manifest.commit(
-            batch_df, root, mode=mode, meta={"batch_id": batch_id}
+            batch_df, root, mode=mode, meta={"batch_id": batch_id},
+            txn_key="batch_id",
         )
+        committed.add(batch_id)
 
     return _sink

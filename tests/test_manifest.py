@@ -163,4 +163,21 @@ def test_manifest_sink_is_exactly_once_under_replay(spark, sf_dir, tmp_path):
         sink(replay_df, bid)
     assert manifest.versions(root) == vs
     assert manifest.read_version(spark, root).count() == n_expected
+    # zombie fence: a FRESH sink closure (stale driver whose cached
+    # committed-set predates these commits is the worst case — here it
+    # has no cache at all) must also refuse to re-commit, because the
+    # batch_id txn check runs INSIDE commit's publish loop
+    zombie = manifest_sink(root)
+    for bid in sorted(manifest.committed_meta(root, "batch_id")):
+        zombie(replay_df, bid)
+    assert manifest.versions(root) == vs
+    # and commit() itself fences when called directly with txn_key
+    bid0 = sorted(manifest.committed_meta(root, "batch_id"))[0]
+    assert (
+        manifest.commit(
+            replay_df, root, meta={"batch_id": bid0}, txn_key="batch_id"
+        )
+        == 0
+    )
+    assert manifest.versions(root) == vs
     shutil.rmtree(ckpt, ignore_errors=True)

@@ -577,6 +577,73 @@ def test_scd2_apply_tracks_history(spark):
     }
 
 
+def test_scd2_apply_rejects_corrupting_inputs(spark):
+    """Malformed updates fail LOUDLY instead of corrupting history:
+    an out-of-order effective timestamp would close the open row with
+    an inverted interval (silently erasing a history period), and a
+    NULL effective timestamp previously vanished without a trace."""
+    import pytest
+
+    from hcls_data_lake_spark.operators.upsert import scd2_apply
+
+    OPEN = 2**62
+    current = spark.createDataFrame(
+        [("A", "v1", 100, OPEN)],
+        "k string, attr string, valid_from long, valid_to long",
+    )
+    late = spark.createDataFrame(
+        [("A", "v2", 50)], "k string, attr string, eff long"
+    )
+    with pytest.raises(Exception, match="out-of-order"):
+        scd2_apply(current, late, "k", "eff", ["attr"]).collect()
+    null_eff = spark.createDataFrame(
+        [("A", "v2", None)], "k string, attr string, eff long"
+    )
+    with pytest.raises(Exception, match="NULL effective"):
+        scd2_apply(current, null_eff, "k", "eff", ["attr"]).collect()
+    null_new = spark.createDataFrame(
+        [("Z", "v1", None)], "k string, attr string, eff long"
+    )
+    with pytest.raises(Exception, match="NULL effective"):
+        scd2_apply(current, null_new, "k", "eff", ["attr"]).collect()
+
+
+def test_apply_changes_null_op_upserts_not_deletes(spark):
+    """A malformed NULL op must fall through as an upsert: `op != 'D'`
+    is NULL for null ops, and the key is already anti-joined out of
+    the existing side — a non-null-safe filter silently DELETED it."""
+    from hcls_data_lake_spark.operators.upsert import apply_changes
+
+    ex = spark.createDataFrame([(5, "x")], "k long, v string")
+    ch = spark.createDataFrame([(5, "y", None)], "k long, v string, op string")
+    assert [(r.k, r.v) for r in apply_changes(ex, ch, "k").collect()] == [
+        (5, "y")
+    ]
+
+
+def test_rollup_avg_ignores_nulls_like_sql(spark):
+    """finalize_rollup's avg must be sum / NON-NULL count (SQL AVG
+    semantics): a bucket [10.0, NULL] averages 10.0, not 5.0; an
+    all-null bucket averages NULL, never a divide-by-zero."""
+    from hcls_data_lake_spark.operators.rollup import (
+        finalize_rollup,
+        rollup_state,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (1, "a", None), (2, "b", None)],
+        "bucket long, k string, value double",
+    )
+    out = {
+        (r.bucket, r.k): (r.n_rows, r.n_vals, r.avg_value)
+        for r in finalize_rollup(
+            rollup_state(df, "bucket", ["k"], "value")
+        ).collect()
+    }
+    assert out[(1, "a")] == (2, 1, 10.0)
+    assert out[(2, "b")] == (1, 0, None)
+
+
 def test_zorder_bounds_both_dims_per_file(spark, tmp_path):
     """The point of z-order: per-file min/max ranges stay narrow on
     EVERY clustered column, so parquet stats prune files for
