@@ -42,11 +42,14 @@ def _featurize(decoded: bytes) -> list[float]:
     embedding/model forward pass; same Arrow batch shape)."""
     if not decoded:
         return [0.0] * 8
-    hist = [0] * 8
-    for byte in decoded:
-        hist[byte % 8] += 1
-    total = float(len(decoded))
-    return [round(h / total, 6) for h in hist]
+    import numpy as np
+
+    # vectorized: a per-byte Python loop is O(payload) interpreted
+    # iterations per row inside the mapInPandas hot path
+    arr = np.frombuffer(decoded, dtype=np.uint8)
+    hist = np.bincount(arr & 7, minlength=8)
+    total = float(arr.size)
+    return [round(float(h) / total, 6) for h in hist]
 
 
 def extract_features(df: DataFrame) -> DataFrame:
@@ -182,23 +185,45 @@ def byte_stats_arrow(df: DataFrame) -> DataFrame:
         for batch in batches:
             payloads = batch.column(batch.schema.get_field_index("payload"))
             n = len(batch)
-            n_bytes = np.empty(n, dtype="int64")
-            first = np.empty(n, dtype="int32")
-            last = np.empty(n, dtype="int32")
-            bsum = np.empty(n, dtype="int64")
-            for i in range(n):
-                buf = payloads[i].as_py()
-                if buf:
-                    arr = np.frombuffer(buf, dtype=np.uint8)
-                    n_bytes[i] = arr.size
-                    first[i] = int(arr[0])
-                    last[i] = int(arr[-1])
-                    bsum[i] = int(arr.sum())
-                else:
-                    n_bytes[i] = 0
-                    first[i] = -1
-                    last[i] = -1
-                    bsum[i] = 0
+            # TRUE zero-copy: compute every stat from the Arrow value
+            # buffer + offsets directly — a per-row `as_py()` would
+            # copy each payload into a Python bytes object, exactly
+            # the pandas-tier copying this tier exists to avoid
+            arr = payloads.combine_chunks() if hasattr(
+                payloads, "combine_chunks"
+            ) else payloads
+            offsets = np.frombuffer(
+                arr.buffers()[1], dtype=np.int32, count=n + 1,
+                offset=arr.offset * 4,
+            ).astype(np.int64)
+            data_buf = arr.buffers()[2]
+            values = (
+                np.frombuffer(data_buf, dtype=np.uint8)
+                if data_buf is not None and len(data_buf) > 0
+                else np.empty(0, dtype=np.uint8)
+            )
+            lengths = offsets[1:] - offsets[:-1]
+            n_bytes = lengths.astype("int64")
+            nonempty = lengths > 0
+            first = np.full(n, -1, dtype="int32")
+            last = np.full(n, -1, dtype="int32")
+            bsum = np.zeros(n, dtype="int64")
+            if nonempty.any():
+                first[nonempty] = values[offsets[:-1][nonempty]]
+                last[nonempty] = values[offsets[1:][nonempty] - 1]
+                csum = np.concatenate(
+                    ([0], np.cumsum(values, dtype="int64"))
+                )
+                bsum = csum[offsets[1:]] - csum[offsets[:-1]]
+            # null payloads (distinct from empty) report like empty
+            if arr.null_count:
+                nulls = np.array(
+                    [not v for v in arr.is_valid().to_pylist()]
+                )
+                n_bytes[nulls] = 0
+                first[nulls] = -1
+                last[nulls] = -1
+                bsum[nulls] = 0
             yield pa.RecordBatch.from_arrays(
                 [
                     batch.column(batch.schema.get_field_index("doc_id")),

@@ -29,6 +29,28 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _check_bin_width(bin_width: int) -> None:
+    """Reject non-positive widths: with ANSI off, `x div 0` is NULL, so
+    every bin would be NULL and the join would silently return an empty
+    (or all-unmatched) result instead of erroring."""
+    if bin_width <= 0:
+        raise ValueError(f"bin_width must be positive, got {bin_width}")
+
+
+def _explode_bins(df: DataFrame, lo: str, hi: str, bin_width: int) -> DataFrame:
+    """One row per bin the [lo, hi] interval covers (shared by both
+    join shapes so the bin mapping can never diverge between them)."""
+    return df.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.expr(f"{lo} div {bin_width}"),
+                F.expr(f"{hi} div {bin_width}"),
+            )
+        ),
+    )
+
+
 def bin_range_join(
     points: DataFrame,
     intervals: DataFrame,
@@ -54,19 +76,12 @@ def bin_range_join(
     """
     if how != "inner":
         raise ValueError("bin_range_join supports inner joins only")
+    _check_bin_width(bin_width)
     # integer `div` (trunc): exact at any epoch magnitude, and any
     # monotonic bin mapping shared by both sides is correct —
     # point ∈ [lo, hi] ⟹ bin(point) ∈ [bin(lo), bin(hi)]
     p = points.withColumn("_bin", F.expr(f"{point_col} div {bin_width}"))
-    i = intervals.withColumn(
-        "_bin",
-        F.explode(
-            F.sequence(
-                F.expr(f"{lo_col} div {bin_width}"),
-                F.expr(f"{hi_col} div {bin_width}"),
-            )
-        ),
-    )
+    i = _explode_bins(intervals, lo_col, hi_col, bin_width)
     residual: Column = (F.col(point_col) >= F.col(lo_col)) & (
         F.col(point_col) <= F.col(hi_col)
     )
@@ -96,24 +111,9 @@ def bin_interval_overlap_join(
     one shared unit; bin_width near the typical interval width keeps the
     explode factor O(1).
     """
-    ea = a.withColumn(
-        "_bin",
-        F.explode(
-            F.sequence(
-                F.expr(f"{a_lo} div {bin_width}"),
-                F.expr(f"{a_hi} div {bin_width}"),
-            )
-        ),
-    )
-    eb = b.withColumn(
-        "_bin",
-        F.explode(
-            F.sequence(
-                F.expr(f"{b_lo} div {bin_width}"),
-                F.expr(f"{b_hi} div {bin_width}"),
-            )
-        ),
-    )
+    _check_bin_width(bin_width)
+    ea = _explode_bins(a, a_lo, a_hi, bin_width)
+    eb = _explode_bins(b, b_lo, b_hi, bin_width)
     overlap: Column = (F.col(a_lo) <= F.col(b_hi)) & (F.col(b_lo) <= F.col(a_hi))
     canonical: Column = (
         F.expr(f"greatest({a_lo}, {b_lo}) div {bin_width}") == F.col("_bin")

@@ -38,20 +38,31 @@ def _mg_candidates(capacity: int):
         n_p = 0
         for pdf in batches:
             n_p += len(pdf)
-            for v in pdf["item"]:
+            # WEIGHTED Misra-Gries over the batch's value_counts: an
+            # insert/increment adds the batch count w; the decrement
+            # step subtracts the largest amount that still zeroes at
+            # least one counter (min of the overflow set). Preserves
+            # the n/(capacity+1) undercount bound, and the Python loop
+            # runs per DISTINCT value per batch, not per row — orders
+            # of magnitude fewer iterations on the skewed data this
+            # operator targets.
+            for v, w in pdf["item"].value_counts(dropna=True).items():
+                w = int(w)
                 if v in counters:
-                    counters[v] += 1
+                    counters[v] += w
                 elif len(counters) < capacity:
-                    counters[v] = 1
+                    counters[v] = w
                 else:
-                    # decrement-all step; drop zeroed counters
+                    d = min(w, min(counters.values()))
                     dead = []
                     for key in counters:
-                        counters[key] -= 1
+                        counters[key] -= d
                         if counters[key] == 0:
                             dead.append(key)
                     for key in dead:
                         del counters[key]
+                    if w > d:
+                        counters[v] = w - d
         # candidate rows + one partition-tally row (item NULL), so the
         # global total rides the same scan instead of a second pass
         yield pd.DataFrame(
@@ -70,13 +81,22 @@ def heavy_hitters(items: DataFrame, col: str, phi: float) -> DataFrame:
     ``count > phi * total`` — identical to the unbounded GROUP BY +
     HAVING, but the only wide operation runs over candidate keys.
 
-    Values are compared as strings (the token/key use case). One scan
-    produces both the per-partition candidates and the partition
-    tallies (total rides the candidate pass); the verify pass is the
-    second and last scan.
+    Values are compared as strings (the token/key use case). NULL
+    values are excluded from both the tallies and the total (the
+    equivalence is GROUP BY + HAVING over the NON-NULL values — NULL
+    doubles as the partition-tally sentinel, and the semi-join could
+    never match it anyway). One scan produces both the per-partition
+    candidates and the partition tallies (total rides the candidate
+    pass); the verify pass is the second and last scan.
     """
+    if not 0 < phi < 1:
+        # phi=0 divides by zero sizing the summary; phi<0 would accept
+        # every candidate — both are caller bugs, not thresholds
+        raise ValueError(f"phi must be in (0, 1), got {phi}")
     capacity = max(1, math.ceil(1.0 / phi))
-    src = items.select(F.col(col).cast("string").alias("item"))
+    src = items.select(F.col(col).cast("string").alias("item")).filter(
+        F.col("item").isNotNull()
+    )
     summary = src.mapInPandas(
         _mg_candidates(capacity), "item string, n_p long"
     ).localCheckpoint(eager=True)

@@ -46,6 +46,8 @@ def salted_aggregate(
     merge). ``salt_source`` is any row-level column/expression to hash
     into the salt — use a high-cardinality id column.
     """
+    if n_salts < 1:
+        raise ValueError(f"n_salts must be >= 1, got {n_salts}")
     salt = F.pmod(F.xxhash64(salt_source), F.lit(n_salts)).alias("_salt")
 
     partials: list[Column] = []
@@ -53,7 +55,9 @@ def salted_aggregate(
     for out, (op, col) in aggs.items():
         if op == "avg":
             partials.append(F.sum(col).alias(f"_{out}_sum"))
-            partials.append(F.count(F.lit(1)).alias(f"_{out}_cnt"))
+            # NON-NULL count: sum skips nulls, so dividing by count(*)
+            # would drag the average below SQL AVG on nullable columns
+            partials.append(F.count(col).alias(f"_{out}_cnt"))
             merges.append(
                 (F.sum(f"_{out}_sum") / F.sum(f"_{out}_cnt")).alias(out)
             )
@@ -94,6 +98,10 @@ def salted_join(
     """
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner and left joins only")
+    if n_salts < 1:
+        # pmod(x, 0) is NULL with ANSI off: every fact row would
+        # silently miss (inner) or null-pad (left) instead of erroring
+        raise ValueError(f"n_salts must be >= 1, got {n_salts}")
     f = facts.withColumn(
         "_salt", F.pmod(F.xxhash64(salt_source), F.lit(n_salts))
     )

@@ -44,6 +44,12 @@ def gap_fill_locf(
     and last observed bucket, forward-filling each value column as
     `<col>_ff` (last observation carried forward). Observed columns
     stay null on gap rows so callers can distinguish fill from fact.
+
+    The grid is the step-spaced sequence UNIONED with the observed
+    buckets: an observation whose bucket is not aligned to
+    ``min + k*step`` (already-bucketed upstream data with a different
+    step, say) lands on its own grid row instead of being silently
+    dropped by the grid join — gap-fill must never LOSE facts.
     """
     bounds = df.groupBy(entity_col).agg(
         F.min(bucket_col).alias("_b0"), F.max(bucket_col).alias("_b1")
@@ -51,7 +57,7 @@ def gap_fill_locf(
     grid = bounds.select(
         entity_col,
         F.explode(F.sequence("_b0", "_b1", step)).alias(bucket_col),
-    )
+    ).unionByName(df.select(entity_col, bucket_col)).distinct()
     joined = grid.join(df, [entity_col, bucket_col], "left")
     w = (
         Window.partitionBy(entity_col)

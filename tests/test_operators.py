@@ -644,6 +644,46 @@ def test_rollup_avg_ignores_nulls_like_sql(spark):
     assert out[(2, "b")] == (1, 0, None)
 
 
+def test_salted_avg_ignores_nulls_like_sql(spark):
+    """salted 'avg' must divide by the NON-NULL count (SQL AVG): a
+    group [10.0, NULL] averages 10.0, not 5.0 — the oracle-equality
+    contract the operator documents."""
+    from pyspark.sql import functions as F
+
+    from hcls_data_lake_spark.operators.skew import salted_aggregate
+
+    df = spark.createDataFrame(
+        [(0, 1, 10.0), (1, 1, None), (2, 2, None)],
+        "id long, k int, v double",
+    )
+    got = {
+        r.k: r.mu
+        for r in salted_aggregate(
+            df, ["k"], {"mu": ("avg", "v")}, salt_source="id", n_salts=4
+        ).collect()
+    }
+    want = {r.k: r.mu for r in df.groupBy("k").agg(F.avg("v").alias("mu")).collect()}
+    assert got == want == {1: 10.0, 2: None}
+
+
+def test_gap_fill_keeps_unaligned_observations(spark):
+    """An observation whose bucket is off the min+k*step lattice must
+    appear in the output on its own grid row — gap-fill densifies, it
+    never LOSES facts."""
+    from pyspark.sql import functions as F
+
+    from hcls_data_lake_spark.operators.timeseries import gap_fill_locf
+
+    df = spark.createDataFrame(
+        [("e", 0, 1.0), ("e", 150, 2.0)], "ent string, bucket long, v double"
+    )
+    out = gap_fill_locf(df, "ent", "bucket", ["v"], F.lit(100)).collect()
+    rows = {r.bucket: (r.v, r.v_ff) for r in out}
+    assert rows[0] == (1.0, 1.0)
+    assert rows[100] == (None, 1.0)  # lattice gap row, filled
+    assert rows[150] == (2.0, 2.0)  # off-lattice FACT survives
+
+
 def test_zorder_bounds_both_dims_per_file(spark, tmp_path):
     """The point of z-order: per-file min/max ranges stay narrow on
     EVERY clustered column, so parquet stats prune files for
