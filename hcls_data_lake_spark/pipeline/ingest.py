@@ -48,9 +48,23 @@ def dedup_against_registry(
     from runtime stats when the registry really is small (fresh lake,
     filtered registry partition) and shuffles on the uniformly
     distributed digest otherwise — the digest's uniformity makes the
-    shuffled anti-join skew-free by construction."""
-    reg = registry.select(F.col(hash_col)).distinct()
-    return df.join(reg, hash_col, "left_anti")
+    shuffled anti-join skew-free by construction.
+
+    A NULL hash (null payload upstream) is REJECTED, not admitted:
+    anti-join null semantics would wave it through on every replay —
+    `NULL = x` never matches — making null-payload rows the one class
+    the dedup gate could never catch. The reference front door rejects
+    a missing body outright; so does this gate.
+
+    No .distinct() on the registry: a left_anti join never multiplies
+    left rows whatever the right side holds, and forcing a
+    HashAggregate over billions of digests before the join is pure
+    wasted work (it also hides the true relation size from AQE's
+    broadcast decision)."""
+    reg = registry.select(F.col(hash_col))
+    return df.filter(F.col(hash_col).isNotNull()).join(
+        reg, hash_col, "left_anti"
+    )
 
 
 def attach_envelope(

@@ -38,17 +38,29 @@ def parse(df: DataFrame, strict: bool = False) -> DataFrame:
 
 def route(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """A15: split by parse outcome — SUCCEEDED → staged/json, FAILED →
-    error/txt with the original input (trigger_lambda.py:27-36)."""
+    error/txt with the original input (trigger_lambda.py:27-36).
+
+    Payload hygiene: the staged leg carries the parsed document ONCE
+    (as ``msg``) — keeping ``parsed`` and ``er7`` beside it would
+    persist ~3 copies of every message through the zone write. The
+    error leg keeps ``er7`` (the normalized original IS the
+    dead-letter payload) and drops the always-null ``parsed``.
+
+    Both legs derive lazily from the same parse chain: a consumer that
+    actions BOTH legs should pin the parsed parent first (as
+    jobs._route_batch does) or the Python parse runs once per leg."""
     staged = (
         df.filter(F.col("parsed").isNotNull())
         .withColumn("event", F.lit("staged"))
         .withColumn("format", F.lit("json"))
         .withColumn("msg", F.col("parsed"))
+        .drop("parsed", "er7")
     )
     errored = (
         df.filter(F.col("parsed").isNull())
         .withColumn("event", F.lit("error"))
         .withColumn("format", F.lit("txt"))
+        .drop("parsed")
     )
     return staged, errored
 

@@ -38,12 +38,17 @@ def executed_plan(df: DataFrame) -> str:
 
 def count_exchanges(df: DataFrame) -> int:
     """Number of shuffle exchanges in the pre-execution plan — the
-    first-order scale cost of a query shape."""
+    first-order scale cost of a query shape. ReusedExchange lines are
+    EXCLUDED: a reused shuffle executes once, and counting it again
+    would inflate exactly the plans where Spark did the right thing
+    (self-join/self-union exchange reuse)."""
     plan = plan_of(df, "simple")
     return sum(
         1
         for line in plan.splitlines()
-        if "Exchange" in line and "BroadcastExchange" not in line
+        if "Exchange" in line
+        and "BroadcastExchange" not in line
+        and "ReusedExchange" not in line
     )
 
 

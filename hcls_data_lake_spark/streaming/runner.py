@@ -12,10 +12,14 @@ from __future__ import annotations
 
 import os
 import shutil
+import threading
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# serializes run_to_memory's session-global conf save/set/restore
+_CONF_LOCK = threading.Lock()
 
 from hcls_data_lake_spark.queries.common import scratch_dir, scratch_for
 
@@ -70,8 +74,15 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     landing = scratch_for(sf_dir, "events_landing")
     os.makedirs(landing, exist_ok=True)
     link = os.path.join(landing, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(f"{sf_dir}/events.parquet", link)
+    # lexists + EEXIST-tolerant: scratch paths are shared across
+    # processes by design, so two concurrent drivers can race the
+    # create; os.path.exists also FOLLOWS the link, so a dangling link
+    # (fixture regenerated) would read as absent and re-raise EEXIST
+    if not os.path.lexists(link):
+        try:
+            os.symlink(f"{sf_dir}/events.parquet", link)
+        except FileExistsError:
+            pass  # concurrent creator won; the link is identical
     unit, schema = _events_raw_schema(sf_dir)
     sdf = spark.readStream.schema(schema).parquet(landing)
     if unit == "nanos":
@@ -119,11 +130,17 @@ def run_to_memory(
     joins) produce their full result without it, and in a finite
     availableNow run the state it would evict is discarded at shutdown
     anyway — so skipping trades nothing but the one extra state-commit
-    round. Leave True for anything watermark-emitting."""
+    round. Leave True for anything watermark-emitting.
+
+    The conf save/set/restore is guarded by a module lock: the confs
+    are session-global, and two overlapping un-serialized calls would
+    interleave save/restore and leave the session pinned at the wrong
+    shuffle parallelism for every later query."""
     spark = sdf.sparkSession
     qname = name or f"mem_{uuid.uuid4().hex[:10]}"
     ckpt = scratch_dir("ckpt", qname)
     shutil.rmtree(ckpt, ignore_errors=True)
+    _CONF_LOCK.acquire()
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     prev_ndb = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
     try:
@@ -147,6 +164,7 @@ def run_to_memory(
         spark.conf.set(
             "spark.sql.streaming.noDataMicroBatches.enabled", prev_ndb
         )
+        _CONF_LOCK.release()
     return spark.table(qname)
 
 

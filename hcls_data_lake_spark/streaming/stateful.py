@@ -16,7 +16,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 COUNT_STATE_SCHEMA = "n bigint, total double"
-COUNT_OUTPUT_SCHEMA = "user_id bigint, n_events bigint, sum_value double"
+
+
+def _count_output_schema(sdf: DataFrame, key: str) -> str:
+    """Output schema DERIVED from the key column's actual type — a
+    hardcoded `user_id bigint` silently mislabels any other key and
+    crashes outright on a non-bigint one (the Arrow writer can't coerce
+    a string key into the declared bigint slot)."""
+    key_type = sdf.schema[key].dataType.simpleString()
+    return f"{key} {key_type}, n_events bigint, sum_value double"
 
 
 def running_totals(sdf: DataFrame, key: str = "user_id") -> DataFrame:
@@ -37,7 +45,7 @@ def running_totals(sdf: DataFrame, key: str = "user_id") -> DataFrame:
         state.update((n, total))
         yield pd.DataFrame(
             {
-                "user_id": [key_tuple[0]],
+                key: [key_tuple[0]],
                 "n_events": [n],
                 "sum_value": [round(total, 2)],
             }
@@ -45,7 +53,7 @@ def running_totals(sdf: DataFrame, key: str = "user_id") -> DataFrame:
 
     return sdf.groupBy(key).applyInPandasWithState(
         update,
-        outputStructType=COUNT_OUTPUT_SCHEMA,
+        outputStructType=_count_output_schema(sdf, key),
         stateStructType=COUNT_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
@@ -75,6 +83,8 @@ def tws_running_totals(sdf: DataFrame, key: str = "user_id") -> DataFrame:
         StructType,
     )
 
+    key_field = sdf.schema[key]
+
     class Totals(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._state = handle.getValueState("totals", "n BIGINT, total DOUBLE")
@@ -90,7 +100,7 @@ def tws_running_totals(sdf: DataFrame, key: str = "user_id") -> DataFrame:
             self._state.update((n, total))
             yield pd.DataFrame(
                 {
-                    "user_id": [key_tuple[0]],
+                    key: [key_tuple[0]],
                     "n_events": [n],
                     "sum_value": [round(total, 2)],
                 }
@@ -99,9 +109,11 @@ def tws_running_totals(sdf: DataFrame, key: str = "user_id") -> DataFrame:
         def close(self) -> None:
             pass
 
+    # output key column/type derived from the actual grouping column
+    # (same reason as _count_output_schema)
     out_schema = StructType(
         [
-            StructField("user_id", LongType()),
+            StructField(key, key_field.dataType),
             StructField("n_events", LongType()),
             StructField("sum_value", DoubleType()),
         ]
