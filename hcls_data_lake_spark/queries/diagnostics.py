@@ -1,13 +1,15 @@
 """Operational diagnostics a 100 TB lake runs BEFORE queries: key-skew
 census (pick salting / AQE-skew-join candidates from data, not from a
-failed job) and a single-pass column-profile report (null/distinct
+failed job), a single-pass column-profile report (null/distinct
 census — the data-quality gate the reference's registry table implies
-for every ingested batch).
+for every ingested batch), referential-integrity orphan audit,
+a one-scan expectations/constraint audit, and a partition-completeness
+census.
 
 These are first-class queries, not dev scripts: at scale a skewed join
 key is discovered by exactly this census (cheap: one partial-agg
 shuffle over keyed counts), and a profile report is the canonical
-pre-flight for schema drift. Both are pure relational plans with exact
+pre-flight for schema drift. All are pure relational plans with exact
 integer ratios (``x * 10000 div n`` basis points), so they oracle-hash
 across engines.
 """
@@ -112,4 +114,179 @@ def q_diag_profile(spark, sf_dir):
         "col_name",
         F.col("n_null").cast("long").alias("n_null"),
         F.col("n_distinct").cast("long").alias("n_distinct"),
+    )
+
+
+# FK relationships audited: (label, child, child_key, parent, parent_key,
+# broadcast_parent). lineitem->orders is big-big (shuffle anti join);
+# the dimension parents broadcast.
+_FK_EDGES = (
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+     "orders", "o_orderkey", False),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+     "supplier", "s_suppkey", True),
+    ("orders.o_custkey->customer", "orders", "o_custkey",
+     "customer", "c_custkey", True),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey",
+     "nation", "n_nationkey", True),
+)
+
+
+@register(
+    "q_diag_referential",
+    "\nUNION ALL\n".join(
+        f"""
+    SELECT '{label}' AS fk_edge,
+           CAST((SELECT count(*) FROM {child} c
+                 WHERE NOT EXISTS (SELECT 1 FROM {parent} p
+                                   WHERE p.{pkey} = c.{ckey})) AS BIGINT)
+             AS n_orphans,
+           CAST((SELECT count(*) FROM {child}) AS BIGINT) AS n_child_rows
+    """
+        for label, child, ckey, parent, pkey, _ in _FK_EDGES
+    ),
+)
+def q_diag_referential(spark, sf_dir):
+    """Referential-integrity audit: for each declared FK edge, the count
+    of child rows whose key has no matching parent (orphans) next to
+    the child's total row count — long-form (fk_edge, n_orphans,
+    n_child_rows). The pre-flight that catches a partial parent load or
+    a botched CDC apply BEFORE a silent inner join drops the rows.
+
+    Scale shape: each edge is one LEFT ANTI join counting survivors —
+    dimension parents (supplier/customer/nation) broadcast so three of
+    the four edges are map-side; lineitem->orders is a genuine big-big
+    shuffle anti join on the natural key, which AQE sizes. Only (key)
+    columns move — the anti join prunes every payload column at the
+    scan. On healthy TPC-H data every n_orphans is 0; the value of the
+    operator is that the zero is PROVEN per edge, per batch."""
+    from pyspark.sql import DataFrame
+    from functools import reduce
+
+    parts: list[DataFrame] = []
+    for label, child, ckey, parent, pkey, bcast in _FK_EDGES:
+        c = t(spark, sf_dir, child).select(F.col(ckey).alias("k"))
+        p = t(spark, sf_dir, parent).select(F.col(pkey).alias("k"))
+        if bcast:
+            p = F.broadcast(p)
+        orphans = c.join(p, "k", "left_anti").agg(
+            F.count(F.lit(1)).alias("n_orphans")
+        )
+        total = c.agg(F.count(F.lit(1)).alias("n_child_rows"))
+        parts.append(
+            orphans.join(F.broadcast(total)).select(
+                F.lit(label).alias("fk_edge"),
+                F.col("n_orphans").cast("long"),
+                F.col("n_child_rows").cast("long"),
+            )
+        )
+    return reduce(DataFrame.unionByName, parts)
+
+
+# Constraint rules audited in ONE lineitem scan: (rule_name, SQL
+# predicate that is TRUE when the row VIOLATES the rule). Shared
+# verbatim by the Spark conditional-sum and the DuckDB oracle.
+_LINEITEM_RULES = (
+    ("quantity_in_1_50", "NOT (l_quantity >= 1 AND l_quantity <= 50)"),
+    ("discount_in_0_0.1", "NOT (l_discount >= 0.00 AND l_discount <= 0.10)"),
+    ("tax_nonnegative", "NOT (l_tax >= 0.00)"),
+    ("shipdate_in_epoch",
+     "NOT (l_shipdate >= DATE '1992-01-01' AND l_shipdate <= DATE '1998-12-31')"),
+    ("returnflag_domain", "l_returnflag NOT IN ('A', 'N', 'R')"),
+    ("linestatus_domain", "l_linestatus NOT IN ('O', 'F')"),
+    ("extendedprice_positive", "NOT (l_extendedprice > 0)"),
+)
+
+
+@register(
+    "q_diag_expectations",
+    f"""
+    WITH agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_checked,
+             {", ".join(
+                 f"CAST(count(*) FILTER (WHERE {pred}) AS BIGINT) AS v{i}"
+                 for i, (_, pred) in enumerate(_LINEITEM_RULES)
+             )}
+      FROM lineitem
+    )
+    {" UNION ALL ".join(
+        f"SELECT '{name}' AS rule, v{i} AS n_violations, n_checked FROM agg"
+        for i, (name, _) in enumerate(_LINEITEM_RULES)
+    )}
+    """,
+)
+def q_diag_expectations(spark, sf_dir):
+    """Expectations/constraint audit: six domain rules (range, domain,
+    cross-column ordering) checked over lineitem in ONE scan — emitted
+    long-form (rule, n_violations, n_checked). The generalization of
+    the reference's per-batch registry gate (every ingested batch gets
+    a validation verdict before promotion) to declarative column
+    constraints.
+
+    Scale shape: a single pass with per-rule conditional counts folded
+    into one partial aggregate — adding a rule costs one counter, not
+    one job, so a 50-rule suite over 100 TB is still exactly one scan.
+    The wide 1-row aggregate is stacked to long form with zero extra
+    jobs. Rules are shared SQL predicate strings evaluated identically
+    by both engines (exact decimal/date comparisons only — no floats),
+    so the audit itself oracle-hashes."""
+    li = t(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n_checked")]
+    for i, (_, pred) in enumerate(_LINEITEM_RULES):
+        aggs.append(
+            F.sum(F.when(F.expr(pred), 1).otherwise(0)).alias(f"v{i}")
+        )
+    wide = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', v{i}" for i, (name, _) in enumerate(_LINEITEM_RULES)
+    )
+    return wide.selectExpr(
+        f"stack({len(_LINEITEM_RULES)}, {stack_args}) AS (rule, n_violations)",
+        "n_checked",
+    ).select(
+        "rule",
+        F.col("n_violations").cast("long").alias("n_violations"),
+        F.col("n_checked").cast("long").alias("n_checked"),
+    )
+
+
+@register(
+    "q_diag_completeness",
+    """
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           CAST(count(DISTINCT o_orderdate) AS BIGINT) AS n_days_present,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM orders
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_diag_completeness(spark, sf_dir):
+    """Partition-completeness census: per calendar month of the orders
+    ingest-date column, the number of DISTINCT days that actually have
+    data plus the row count — the freshness/completeness pre-flight
+    that catches a missing daily partition (n_days_present below the
+    month's day count) before a downstream backfill reads a hole.
+
+    Scale shape: one partial-agg shuffle keyed on ~84 months; the
+    distinct-day count nests inside the same aggregate (days<=31 per
+    month, so the partial distinct set stays tiny). On a date-
+    partitioned lake the scan prunes to the audited range for free."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy(
+            F.date_trunc("month", F.col("o_orderdate"))
+            .cast("date")
+            .alias("month")
+        )
+        .agg(
+            F.countDistinct("o_orderdate").alias("n_days_present"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            "month",
+            F.col("n_days_present").cast("long").alias("n_days_present"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+        )
+        .orderBy("month")
     )

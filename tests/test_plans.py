@@ -486,3 +486,26 @@ def test_date_shift_join_is_keyed_not_bnl(spark, sf_dir):
     plan = plan_of(df, "simple")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_diag_referential_broadcasts_dim_parents(spark, sf_dir):
+    """The FK orphan audit must broadcast dimension parents (3 of 4
+    edges map-side anti joins) and never fall back to a nested loop."""
+    df = registry.queries()["q_diag_referential"](spark, sf_dir)
+    plan = plan_of(df)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("BroadcastHashJoin") >= 3
+    # the 1-row total attaches via an intentional scalar cross join;
+    # the ANTI joins themselves must all be hashed
+    assert "BroadcastNestedLoopJoin LeftAnti" not in plan
+    assert "LeftAnti" in plan
+
+
+def test_diag_expectations_single_scan(spark, sf_dir):
+    """All constraint rules fold into ONE lineitem scan with map-side
+    partial aggregation — adding a rule must not add a pass."""
+    df = registry.queries()["q_diag_expectations"](spark, sf_dir)
+    plan = plan_of(df)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1
+    assert "partial_count" in plan or "partial_sum" in plan
