@@ -101,7 +101,6 @@ EXTENDED = [
     "q_sample_token_budget",  # per-source greedy token-budget selection
     "q_sim_ann_pq",           # PQ-ADC shortlist + exact refine ANN
     "q_diag_referential",     # FK orphan audit (anti joins, big-big + bcast)
-    "q_diag_expectations",    # one-scan constraint audit
 ]
 
 

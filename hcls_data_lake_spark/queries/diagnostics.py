@@ -2,9 +2,11 @@
 census (pick salting / AQE-skew-join candidates from data, not from a
 failed job), a single-pass column-profile report (null/distinct
 census — the data-quality gate the reference's registry table implies
-for every ingested batch), referential-integrity orphan audit,
-a one-scan expectations/constraint audit, and a partition-completeness
-census.
+for every ingested batch), a referential-integrity orphan audit, and
+a partition-completeness census. (Declarative per-column constraint
+rules live in q_analytics_expectations — the one-scan conditional-sum
+audit in queries/analytics.py; these diagnostics cover what that
+single-table shape cannot: cross-table integrity and freshness.)
 
 These are first-class queries, not dev scripts: at scale a skewed join
 key is discovered by exactly this census (cheap: one partial-agg
@@ -181,73 +183,6 @@ def q_diag_referential(spark, sf_dir):
             )
         )
     return reduce(DataFrame.unionByName, parts)
-
-
-# Constraint rules audited in ONE lineitem scan: (rule_name, SQL
-# predicate that is TRUE when the row VIOLATES the rule). Shared
-# verbatim by the Spark conditional-sum and the DuckDB oracle.
-_LINEITEM_RULES = (
-    ("quantity_in_1_50", "NOT (l_quantity >= 1 AND l_quantity <= 50)"),
-    ("discount_in_0_0.1", "NOT (l_discount >= 0.00 AND l_discount <= 0.10)"),
-    ("tax_nonnegative", "NOT (l_tax >= 0.00)"),
-    ("shipdate_in_epoch",
-     "NOT (l_shipdate >= DATE '1992-01-01' AND l_shipdate <= DATE '1998-12-31')"),
-    ("returnflag_domain", "l_returnflag NOT IN ('A', 'N', 'R')"),
-    ("linestatus_domain", "l_linestatus NOT IN ('O', 'F')"),
-    ("extendedprice_positive", "NOT (l_extendedprice > 0)"),
-)
-
-
-@register(
-    "q_diag_expectations",
-    f"""
-    WITH agg AS (
-      SELECT CAST(count(*) AS BIGINT) AS n_checked,
-             {", ".join(
-                 f"CAST(count(*) FILTER (WHERE {pred}) AS BIGINT) AS v{i}"
-                 for i, (_, pred) in enumerate(_LINEITEM_RULES)
-             )}
-      FROM lineitem
-    )
-    {" UNION ALL ".join(
-        f"SELECT '{name}' AS rule, v{i} AS n_violations, n_checked FROM agg"
-        for i, (name, _) in enumerate(_LINEITEM_RULES)
-    )}
-    """,
-)
-def q_diag_expectations(spark, sf_dir):
-    """Expectations/constraint audit: six domain rules (range, domain,
-    cross-column ordering) checked over lineitem in ONE scan — emitted
-    long-form (rule, n_violations, n_checked). The generalization of
-    the reference's per-batch registry gate (every ingested batch gets
-    a validation verdict before promotion) to declarative column
-    constraints.
-
-    Scale shape: a single pass with per-rule conditional counts folded
-    into one partial aggregate — adding a rule costs one counter, not
-    one job, so a 50-rule suite over 100 TB is still exactly one scan.
-    The wide 1-row aggregate is stacked to long form with zero extra
-    jobs. Rules are shared SQL predicate strings evaluated identically
-    by both engines (exact decimal/date comparisons only — no floats),
-    so the audit itself oracle-hashes."""
-    li = t(spark, sf_dir, "lineitem")
-    aggs = [F.count(F.lit(1)).alias("n_checked")]
-    for i, (_, pred) in enumerate(_LINEITEM_RULES):
-        aggs.append(
-            F.sum(F.when(F.expr(pred), 1).otherwise(0)).alias(f"v{i}")
-        )
-    wide = li.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{name}', v{i}" for i, (name, _) in enumerate(_LINEITEM_RULES)
-    )
-    return wide.selectExpr(
-        f"stack({len(_LINEITEM_RULES)}, {stack_args}) AS (rule, n_violations)",
-        "n_checked",
-    ).select(
-        "rule",
-        F.col("n_violations").cast("long").alias("n_violations"),
-        F.col("n_checked").cast("long").alias("n_checked"),
-    )
 
 
 @register(

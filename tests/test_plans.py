@@ -499,13 +499,3 @@ def test_diag_referential_broadcasts_dim_parents(spark, sf_dir):
     # the ANTI joins themselves must all be hashed
     assert "BroadcastNestedLoopJoin LeftAnti" not in plan
     assert "LeftAnti" in plan
-
-
-def test_diag_expectations_single_scan(spark, sf_dir):
-    """All constraint rules fold into ONE lineitem scan with map-side
-    partial aggregation — adding a rule must not add a pass."""
-    df = registry.queries()["q_diag_expectations"](spark, sf_dir)
-    plan = plan_of(df)
-    tree = plan.split("\n\n")[0]
-    assert tree.count("Scan parquet") == 1
-    assert "partial_count" in plan or "partial_sum" in plan
