@@ -70,25 +70,27 @@ def _cell_scores(v: str, cents: list[list[float]]) -> Column:
     """Array of centroid ids ordered best-first for column ``v`` by
     squared-L2 distance. Score is ``2·v·c − ‖c‖²``: argmin‖v−c‖² ⇔
     argmax(2·v·c − ‖c‖²) since ‖v‖² is constant per row — one dot
-    product per centroid, no row-norm needed."""
+    product per centroid, no row-norm needed.
+
+    Emitted as ONE SQL string wrapped in a single ``F.expr``: the
+    Column-API form of this tree costs ~5 Py4J round-trips per
+    centroid (struct/lit/arith each cross the bridge), which at
+    m_sub × k_codes codebook sizes dominated PQ search wall time —
+    the same plan-BUILD pathology the typed HL7 projections hit
+    (er7.py's SQL-string rationale)."""
     scored = []
     for i, c in enumerate(cents):
         arr = ", ".join(repr(float(x)) + "D" for x in c)
-        norm_sq = float(sum(x * x for x in c))
+        norm_sq = repr(float(sum(x * x for x in c)))
         scored.append(
-            F.struct(
-                (
-                    2.0
-                    * F.expr(
-                        f"aggregate(zip_with({v}, array({arr}),"
-                        " (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
-                    )
-                    - F.lit(norm_sq)
-                ).alias("score"),
-                F.lit(i).alias("cell"),
-            )
+            "named_struct('score', "
+            f"2.0D * aggregate(zip_with({v}, array({arr}),"
+            " (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+            f" - {norm_sq}D, 'cell', {i})"
         )
-    return F.reverse(F.array_sort(F.array(*scored))).getField("cell")
+    return F.expr(
+        f"reverse(array_sort(array({', '.join(scored)}))).cell"
+    )
 
 
 def kmeans_codebook(
@@ -489,20 +491,38 @@ def _pq_book_sql(cents: list[list[float]]) -> str:
     ) + ")"
 
 
-def _pq_adc_dot(qv: str, codes: str, books: list[list[list[float]]]) -> Column:
-    """ADC approximate dot product: sum over subspaces of
-    q_m · codebook_m[code_m]. The candidate's floats never appear —
-    only its codes index into the literal codebooks."""
+def _pq_adc_lut(qv: str, books: list[list[list[float]]]) -> Column:
+    """Per-QUERY ADC lookup table: ``lut[m][j] = q_m · codebook_m[j]``
+    (array<array<double>>, m_sub × k_codes). This is the half of ADC
+    that makes PQ *fast*, not just small: the m_sub × k_codes subspace
+    dot products are computed ONCE per query row (the tiny broadcast
+    side), so scoring a candidate pair degenerates to m_sub array
+    lookups + adds (see :func:`_pq_adc_dot`). Computing the subspace
+    dots per PAIR instead would cost ~dim multiplications per pair —
+    more work than the exact dot product PQ exists to avoid (that
+    formulation benched 3.7x slower than brute force at sf0.1)."""
     w = len(books[0][0])
-    total = None
-    for m, cents in enumerate(books):
-        term = F.expr(
-            f"aggregate(zip_with(slice({qv}, {m * w + 1}, {w}),"
-            f" element_at({_pq_book_sql(cents)}, {codes}[{m}] + 1),"
-            " (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
-        )
-        total = term if total is None else total + term
-    return total
+    return F.array(
+        *[
+            F.expr(
+                f"transform({_pq_book_sql(cents)},"
+                f" c -> aggregate(zip_with(slice({qv}, {m * w + 1}, {w}), c,"
+                " (x, y) -> x * y), 0.0D, (acc, x) -> acc + x))"
+            )
+            for m, cents in enumerate(books)
+        ]
+    )
+
+
+def _pq_adc_dot(lut: str, codes: str) -> Column:
+    """ADC approximate dot product from a precomputed per-query LUT:
+    sum over subspaces of ``lut[m][code_m]``. The candidate's floats
+    never appear — only its codes index into the query's table — and
+    per-pair cost is m_sub lookups, independent of dim."""
+    return F.expr(
+        f"aggregate(zip_with({lut}, {codes},"
+        " (l, c) -> element_at(l, c + 1)), 0.0D, (acc, x) -> acc + x)"
+    )
 
 
 def _pq_norm_sq(codes: str, books: list[list[list[float]]]) -> Column:
@@ -564,14 +584,22 @@ def pq_adc_topk(
     e = embeddings.select(
         F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
     )
+    # per-candidate state computed BELOW the join: codes + reconstructed
+    # norm, once per candidate — never per (query, candidate) pair
     cands = e.select(
-        F.col("_id").alias("neighbor_id"), pq_encode_col("_v", books).alias("cd")
-    )
+        F.col("_id").alias("neighbor_id"),
+        pq_encode_col("_v", books).alias("cd"),
+    ).withColumn("_cn2", _pq_norm_sq("cd", books))
     q = e.filter(query_filter) if query_filter is not None else e
-    q = q.select(F.col("_id").alias("query_id"), F.col("_v").alias("qv"))
-    adc_cos = _pq_adc_dot("qv", "cd", books) / F.sqrt(
-        dot("qv", "qv") * _pq_norm_sq("cd", books)
+    # per-query state on the broadcast side: the ADC LUT + norm, once
+    # per query row
+    q = q.select(
+        F.col("_id").alias("query_id"),
+        F.col("_v").alias("qv"),
+        _pq_adc_lut("_v", books).alias("_lut"),
+        F.sqrt(dot("_v", "_v")).alias("_qn"),
     )
+    adc_cos = _pq_adc_dot("_lut", "cd") / (F.col("_qn") * F.sqrt("_cn2"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
     )
@@ -629,22 +657,23 @@ def ivfpq_topk(
     )
     # the stored index: cell + codes per candidate (id, 1 int, m ints —
     # the only per-candidate state the search ever reads before refine)
+    # plus the reconstructed norm, computed once per candidate
     indexed = e.select(
         F.col("_id").alias("neighbor_id"),
         _cell_scores("_v", cents).getItem(0).alias("cell"),
         pq_encode_col("_v", books).alias("cd"),
-    )
+    ).withColumn("_cn2", _pq_norm_sq("cd", books))
     q = e.filter(query_filter) if query_filter is not None else e
     probes = q.select(
         F.col("_id").alias("query_id"),
         F.col("_v").alias("qv"),
+        _pq_adc_lut("_v", books).alias("_lut"),
+        F.sqrt(dot("_v", "_v")).alias("_qn"),
         F.explode_outer(
             F.slice(_cell_scores("_v", cents), 1, n_probe)
         ).alias("cell"),
     ).filter(F.col("cell").isNotNull())
-    adc_cos = _pq_adc_dot("qv", "cd", books) / F.sqrt(
-        dot("qv", "qv") * _pq_norm_sq("cd", books)
-    )
+    adc_cos = _pq_adc_dot("_lut", "cd") / (F.col("_qn") * F.sqrt("_cn2"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
     )

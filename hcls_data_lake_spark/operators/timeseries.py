@@ -38,6 +38,7 @@ def gap_fill_locf(
     bucket_col: str,
     value_cols: list[str],
     step: Column,
+    assume_aligned: bool = False,
 ) -> DataFrame:
     """Densify `df` (one row per (entity, bucket), buckets possibly
     sparse) onto every `step`-spaced bucket between each entity's first
@@ -45,11 +46,17 @@ def gap_fill_locf(
     `<col>_ff` (last observation carried forward). Observed columns
     stay null on gap rows so callers can distinguish fill from fact.
 
-    The grid is the step-spaced sequence UNIONED with the observed
-    buckets: an observation whose bucket is not aligned to
+    By default the grid is the step-spaced sequence UNIONED with the
+    observed buckets: an observation whose bucket is not aligned to
     ``min + k*step`` (already-bucketed upstream data with a different
     step, say) lands on its own grid row instead of being silently
-    dropped by the grid join — gap-fill must never LOSE facts.
+    dropped by the grid join — gap-fill must never LOSE facts. That
+    safety costs a dedup shuffle over the DENSIFIED grid (much larger
+    than the input). When the caller produced the buckets itself with
+    the same step (``date_trunc`` at the step granularity, an integer
+    ``div``-bucketing…), every observed bucket is on the lattice by
+    construction — pass ``assume_aligned=True`` to skip the union and
+    its grid-sized dedup entirely (the dominant cost at bench scale).
     """
     bounds = df.groupBy(entity_col).agg(
         F.min(bucket_col).alias("_b0"), F.max(bucket_col).alias("_b1")
@@ -57,7 +64,11 @@ def gap_fill_locf(
     grid = bounds.select(
         entity_col,
         F.explode(F.sequence("_b0", "_b1", step)).alias(bucket_col),
-    ).unionByName(df.select(entity_col, bucket_col)).distinct()
+    )
+    if not assume_aligned:
+        grid = grid.unionByName(
+            df.select(entity_col, bucket_col)
+        ).distinct()
     joined = grid.join(df, [entity_col, bucket_col], "left")
     w = (
         Window.partitionBy(entity_col)

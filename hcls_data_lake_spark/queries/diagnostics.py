@@ -155,31 +155,39 @@ def q_diag_referential(spark, sf_dir):
     n_child_rows). The pre-flight that catches a partial parent load or
     a botched CDC apply BEFORE a silent inner join drops the rows.
 
-    Scale shape: each edge is one LEFT ANTI join counting survivors —
-    dimension parents (supplier/customer/nation) broadcast so three of
+    Scale shape: each edge is ONE left join on the key (parent keys
+    are primary keys, so the join never duplicates child rows) feeding
+    ONE aggregate that counts rows and unmatched rows together — the
+    child is scanned once per edge and only (key) columns move.
+    Dimension parents (supplier/customer/nation) broadcast so three of
     the four edges are map-side; lineitem->orders is a genuine big-big
-    shuffle anti join on the natural key, which AQE sizes. Only (key)
-    columns move — the anti join prunes every payload column at the
-    scan. On healthy TPC-H data every n_orphans is 0; the value of the
-    operator is that the zero is PROVEN per edge, per batch."""
-    from pyspark.sql import DataFrame
+    shuffle join on the natural key, which AQE sizes. On healthy TPC-H
+    data every n_orphans is 0; the value of the operator is that the
+    zero is PROVEN per edge, per batch."""
     from functools import reduce
+
+    from pyspark.sql import DataFrame
 
     parts: list[DataFrame] = []
     for label, child, ckey, parent, pkey, bcast in _FK_EDGES:
         c = t(spark, sf_dir, child).select(F.col(ckey).alias("k"))
-        p = t(spark, sf_dir, parent).select(F.col(pkey).alias("k"))
+        p = (
+            t(spark, sf_dir, parent)
+            .select(F.col(pkey).alias("k"))
+            .withColumn("_hit", F.lit(1))
+        )
         if bcast:
             p = F.broadcast(p)
-        orphans = c.join(p, "k", "left_anti").agg(
-            F.count(F.lit(1)).alias("n_orphans")
-        )
-        total = c.agg(F.count(F.lit(1)).alias("n_child_rows"))
         parts.append(
-            orphans.join(F.broadcast(total)).select(
-                F.lit(label).alias("fk_edge"),
-                F.col("n_orphans").cast("long"),
-                F.col("n_child_rows").cast("long"),
+            c.join(p, "k", "left")
+            .agg(
+                F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_orphans"),
+                F.count(F.lit(1)).cast("long").alias("n_child_rows"),
+            )
+            .select(
+                F.lit(label).alias("fk_edge"), "n_orphans", "n_child_rows"
             )
         )
     return reduce(DataFrame.unionByName, parts)

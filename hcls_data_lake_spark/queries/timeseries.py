@@ -61,6 +61,9 @@ def q_ts_gapfill(spark, sf_dir):
         bucket_col="h",
         value_cols=["v"],
         step=F.expr("interval 1 hour"),
+        # buckets come from date_trunc('hour') — on-lattice by
+        # construction, so the off-lattice union+dedup is pure cost
+        assume_aligned=True,
     )
 
 

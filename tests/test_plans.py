@@ -490,12 +490,13 @@ def test_date_shift_join_is_keyed_not_bnl(spark, sf_dir):
 
 def test_diag_referential_broadcasts_dim_parents(spark, sf_dir):
     """The FK orphan audit must broadcast dimension parents (3 of 4
-    edges map-side anti joins) and never fall back to a nested loop."""
+    edges map-side outer joins), keep every join hashed (no nested
+    loop anywhere), and fold orphan + total counts into the SAME
+    aggregate (no second child scan, no scalar cross join)."""
     df = registry.queries()["q_diag_referential"](spark, sf_dir)
     plan = plan_of(df)
     tree = plan.split("\n\n")[0]
     assert tree.count("BroadcastHashJoin") >= 3
-    # the 1-row total attaches via an intentional scalar cross join;
-    # the ANTI joins themselves must all be hashed
-    assert "BroadcastNestedLoopJoin LeftAnti" not in plan
-    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftOuter" in plan
+    assert "partial_count" in plan or "partial_sum" in plan
