@@ -1094,3 +1094,82 @@ def q_analytics_ship_latency(spark, sf_dir):
             .alias("low_line_count"),
         )
     )
+
+
+@register(
+    "q_analytics_excess_supplier",
+    """
+    WITH pl AS (
+      SELECT l.l_suppkey, l.l_partkey,
+             SUM(CASE WHEN l.l_shipdate >= DATE '1998-01-01'
+                       AND l.l_shipdate < DATE '1999-01-01'
+                      THEN CAST(l.l_quantity AS BIGINT) ELSE 0 END) AS qty_win,
+             SUM(CAST(l.l_quantity AS BIGINT)) AS qty_total
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_name LIKE 'small%'
+      GROUP BY 1, 2
+    ), hot AS (
+      SELECT DISTINCT l_suppkey FROM pl
+      WHERE 2 * qty_win > qty_total AND qty_total >= 50
+    )
+    SELECT s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE s.s_suppkey IN (SELECT l_suppkey FROM hot)
+    """,
+)
+def q_analytics_excess_supplier(spark, sf_dir):
+    """TPC-H-Q20-shape 'potential part promotion': suppliers holding a
+    CONCENTRATED position in a part family — the last missing shape,
+    completing all 22 TPC-H query archetypes in the registry. The
+    fixture has no partsupp/ps_availqty, so Q20's 'stock exceeds half
+    of a year's shipments' threshold is adapted to the same nested-
+    aggregate comparison on available columns: for parts named
+    'small%', a (supplier, part) pair is HOT when its 1998 shipped
+    quantity exceeds half of its all-time shipped quantity at
+    meaningful volume (lifetime >= 50 units — without the floor,
+    pairs that only ever shipped once pass trivially and the filter
+    selects every supplier), and a supplier qualifies if ANY of its
+    pairs is hot. Structure is
+    identical to Q20: filtered part dim -> fact aggregate at
+    (supplier, part) -> correlated-aggregate threshold (decorrelated
+    into one grouped aggregate with a conditional sum — the window and
+    lifetime sums come out of the SAME partial aggregate, one fact
+    pass) -> semi-join into the supplier dim -> nation lookup.
+
+    Scale: part (filtered) and supplier/nation broadcast; lineitem is
+    scanned ONCE and shuffled once on (l_suppkey, l_partkey); the hot
+    set is distinct supplier keys (dimension-sized) feeding a
+    broadcast semi join. Quantities are cast to BIGINT in both engines
+    so the 2*win > total threshold is exact integer math — no float
+    tie can flip membership between engines."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    in_window = (F.col("l_shipdate") >= F.lit("1998-01-01").cast("date")) & (
+        F.col("l_shipdate") < F.lit("1999-01-01").cast("date")
+    )
+    qty = F.col("l_quantity").cast("bigint")
+    pl = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(F.when(in_window, qty).otherwise(F.lit(0))).alias("qty_win"),
+            F.sum(qty).alias("qty_total"),
+        )
+    )
+    hot = (
+        pl.filter(
+            (2 * F.col("qty_win") > F.col("qty_total"))
+            & (F.col("qty_total") >= 50)
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(F.broadcast(hot), s["s_suppkey"] == hot["l_suppkey"], "left_semi")
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .select("s_name", "n_name")
+    )
