@@ -100,7 +100,7 @@ EXTENDED = [
     "q_sink_shuffled_shards", # deterministic shuffle-to-shards export
     "q_sample_token_budget",  # per-source greedy token-budget selection
     "q_sim_ann_pq",           # PQ-ADC shortlist + exact refine ANN
-    "q_diag_referential",     # FK orphan audit (anti joins, big-big + bcast)
+    "q_diag_referential",     # FK orphan audit (outer joins, big-big + bcast)
 ]
 
 

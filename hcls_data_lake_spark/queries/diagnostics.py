@@ -181,7 +181,11 @@ def q_diag_referential(spark, sf_dir):
         parts.append(
             c.join(p, "k", "left")
             .agg(
-                F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0))
+                # count-of-when, not sum-of-when: SUM over an EMPTY
+                # child (a failed load — exactly what this audit
+                # exists to catch) is NULL, while the oracle's count
+                # is 0; COUNT is 0 on empty in both engines
+                F.count(F.when(F.col("_hit").isNull(), True))
                 .cast("long")
                 .alias("n_orphans"),
                 F.count(F.lit(1)).cast("long").alias("n_child_rows"),

@@ -91,11 +91,12 @@ def register(name: str, oracle: str | None) -> Callable[[QueryFn], QueryFn]:
 # r1-r3 — 47 of the 50 are oracle-hash checks. With r1-r3's 122 unique
 # sampled names this lifts cumulative driver coverage to 170/210.
 # Prior rotations' names keep their recorded rows; the remaining 39
-# never-sampled names plus the 18 operators ADDED in r4 (l-diversity,
-# keep-best, PCA, containment, diag_* incl. the referential /
-# completeness audits, compact/expire, passage dedup,
-# shuffled shards, token budget, PQ / IVF-PQ ANN) are r5's rotation
-# pool (57 names for a 226-query registry).
+# never-sampled names plus the 16 operators ADDED in r4 (the registry
+# grew 210 -> 226: l-diversity, keep-best, PCA, containment, diag_*
+# incl. the referential / completeness audits, compact/expire, passage
+# dedup, shuffled shards, token budget, PQ / IVF-PQ ANN, the Q20-shape
+# excess supplier) are r5's rotation pool (55 names for a 226-query
+# registry).
 _FAMILY_REPRESENTATIVES = [
     # -- §2.B stragglers without a green driver row (VERDICT r3 #2) --
     "q_agg_approx_distinct",
