@@ -1045,3 +1045,23 @@ def test_heavy_hitters_exact_vs_groupby_on_skewed_stream(spark):
         .collect()
     }
     assert got == exact and len(exact) > 0
+
+
+def test_referential_orphan_count_zero_on_empty_child(spark):
+    """The FK audit's aggregate shape must yield (0, 0) — not NULL —
+    for an EMPTY child table: an empty/failed load is exactly the
+    scenario the audit exists to catch, and SUM-of-CASE (the naive
+    form) is NULL over zero rows while the DuckDB oracle counts 0."""
+    from pyspark.sql import functions as F
+
+    c = spark.createDataFrame([], "k bigint")
+    p = spark.createDataFrame([(1,)], "k bigint").withColumn("_hit", F.lit(1))
+    row = (
+        c.join(p, "k", "left").agg(
+            F.count(F.when(F.col("_hit").isNull(), True))
+            .cast("long")
+            .alias("n_orphans"),
+            F.count(F.lit(1)).cast("long").alias("n_child_rows"),
+        )
+    ).first()
+    assert row["n_orphans"] == 0 and row["n_child_rows"] == 0
