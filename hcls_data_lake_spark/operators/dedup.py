@@ -400,6 +400,68 @@ def pagerank(
     return ranks
 
 
+def pagerank_exact(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    iters: int = 8,
+) -> DataFrame:
+    """PageRank in exact integer micro-rank units (1.0 → 1_000_000) —
+    the cross-engine-verifiable twin of :func:`pagerank`.
+
+    Iterative float PageRank can never be value-hash-checked against an
+    independent engine: float sums are order-dependent, so two engines
+    (or two partitionings of the SAME engine) legally disagree in the
+    low bits. Quantizing the recurrence to integers removes the
+    ambiguity: ranks are BIGINT µ-units, each edge contributes
+    ``rank div deg`` (integer floor), and the damping update is
+    ``150_000 + (85 * Σcontrib) div 100`` — every operation is exact
+    integer arithmetic, so ANY engine that implements the same
+    recurrence produces byte-identical ranks regardless of partitioning
+    or summation order. Same iteration shape and materialization
+    discipline as :func:`pagerank` (one join + one agg per round, both
+    hash-partitioned on node id, localCheckpoint so lineage never
+    compounds). Quantization error vs the float recurrence is < 1 µ-rank
+    per edge per iteration — irrelevant for the keeper-ranking use.
+    Overflow headroom: 85·Σcontrib stays under 2^63 up to ~10^11 nodes.
+    """
+    p = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).localCheckpoint(eager=True)
+    rev = p.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    edges = p.unionByName(rev).distinct().localCheckpoint(eager=True)
+    deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+    edges_d = edges.join(deg, "src").localCheckpoint(eager=True)
+    ranks = deg.select(F.col("src").alias("node")).withColumn(
+        "rank", F.lit(1_000_000).cast("bigint")
+    ).localCheckpoint(eager=True)
+    for _ in range(iters):
+        contribs = (
+            edges_d.join(ranks, edges_d["src"] == ranks["node"])
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank div deg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("csum"))
+        )
+        ranks = (
+            ranks.select("node")
+            .join(contribs, "node", "left")
+            .select(
+                "node",
+                F.expr(
+                    "cast(150000 + (85 * coalesce(csum, 0L)) div 100"
+                    " as bigint)"
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
 def triangle_stats(
     pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b"
 ) -> DataFrame:

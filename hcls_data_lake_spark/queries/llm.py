@@ -1077,6 +1077,73 @@ def q_graph_pagerank(spark, sf_dir):
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 
+def _pagerank_exact_oracle(iters: int = 8) -> str:
+    """Unrolled integer-µ-rank PageRank oracle: one CTE per iteration.
+
+    Recursive CTEs can't aggregate over the recursive reference, so a
+    fixed-iteration power method unrolls instead — mechanical SQL
+    generation, identical recurrence to operators/dedup.pagerank_exact:
+    contrib = rank // deg per edge, rank' = 150000 + 85·Σcontrib // 100,
+    all BIGINT so the result is summation-order-independent and
+    byte-identical across engines.
+
+    Every CTE is MATERIALIZED: each r_i references r_{i-1} twice (node
+    list + contribution join), so DuckDB's default CTE inlining would
+    expand the chain to 2^iters copies of the near-pair subquery —
+    materialization keeps the oracle linear in ``iters``."""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(
+            f"""r{i} AS MATERIALIZED (
+      SELECT n.node,
+             CAST(150000 + (85 * COALESCE(s.csum, 0)) // 100 AS BIGINT)
+               AS rank
+      FROM r{i - 1} n LEFT JOIN (
+        SELECT e.dst AS node, SUM(r.rank // e.deg) AS csum
+        FROM ed e JOIN r{i - 1} r ON r.node = e.src
+        GROUP BY e.dst) s USING (node)
+    )"""
+        )
+    body = ",\n    ".join(steps)
+    return f"""
+    WITH near AS MATERIALIZED ({_NEAR_SQL}),
+    p AS MATERIALIZED (
+      SELECT doc_a AS src, doc_b AS dst FROM near
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM near
+    ),
+    deg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS deg
+            FROM p GROUP BY src),
+    ed AS MATERIALIZED (
+      SELECT p.src, p.dst, d.deg FROM p JOIN deg d USING (src)),
+    r0 AS MATERIALIZED (
+      SELECT src AS node, CAST(1000000 AS BIGINT) AS rank FROM deg),
+    {body}
+    SELECT node, rank AS microrank FROM r{iters}
+    """
+
+
+@register("q_graph_pagerank_exact", _pagerank_exact_oracle(8))
+def q_graph_pagerank_exact(spark, sf_dir):
+    """Integer-quantized PageRank over the near-dup graph
+    (operators/dedup.pagerank_exact) — the value-hash-checkable form of
+    q_graph_pagerank. Ranks are BIGINT µ-units (1.0 → 1_000_000) and
+    every step of the 8-round power iteration is exact integer
+    arithmetic, so the ranking is engine- and partitioning-independent:
+    the DuckDB oracle unrolls the identical recurrence as 8 chained
+    CTEs and matches byte-for-byte. This closes the usual 'iterative
+    float algorithms are rows-only' escape hatch: quantize the
+    recurrence and the hash check comes back. Same per-round cost shape
+    as the float path (one node-keyed join + one aggregate), so the
+    scale story is unchanged: O(iters) rounds, each a single shuffle on
+    the node id."""
+    pairs = _near_pairs(spark, sf_dir)
+    from hcls_data_lake_spark.operators.dedup import pagerank_exact
+
+    ranks = pagerank_exact(pairs, iters=8)
+    return ranks.select("node", F.col("rank").alias("microrank"))
+
+
 @register(
     "q_graph_triangles",
     f"""

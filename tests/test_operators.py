@@ -978,6 +978,30 @@ def test_pagerank_conserves_rank_and_prefers_centers(spark):
     assert r1 == r2
 
 
+def test_pagerank_exact_integer_semantics(spark):
+    """pagerank_exact: BIGINT µ-rank power iteration — star center
+    outranks leaves, symmetric leaves tie EXACTLY (integer equality,
+    no epsilon), an isolated pair is a fixed point at 1_000_000, and
+    two runs are byte-identical. The float twin's conservation law
+    holds only approximately here (floor division sheds < 1 µ-rank
+    per edge per round), so the assertion is a bounded loss, not
+    equality."""
+    from hcls_data_lake_spark.operators.dedup import pagerank_exact
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (1, 5), (6, 7)],
+        "doc_a long, doc_b long",
+    )
+    r1 = {r.node: r.rank for r in pagerank_exact(pairs, iters=8).collect()}
+    assert r1[1] > r1[2] > 0
+    assert r1[2] == r1[3] == r1[4] == r1[5]  # integer-exact tie
+    assert r1[6] == r1[7] == 1_000_000  # isolated pair fixed point
+    total = sum(r1.values())
+    assert 7_000_000 - 8 * 10 <= total <= 7_000_000  # bounded floor loss
+    r2 = {r.node: r.rank for r in pagerank_exact(pairs, iters=8).collect()}
+    assert r1 == r2
+
+
 def test_triangle_stats_known_graphs(spark):
     """Degree-ordered triangle counting against hand-countable graphs:
     K4 (4 triangles, 12 wedges), a 5-star (hub graph: wedges but zero
