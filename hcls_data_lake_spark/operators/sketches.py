@@ -114,3 +114,77 @@ def heavy_hitters(items: DataFrame, col: str, phi: float) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") > phi * total)
     )
+
+
+_HEX = "0123456789abcdef"
+
+
+def _cms_bucket_sql(row_sql: str, item_sql: str) -> str:
+    """SQL-string expression for a count-min bucket in [0, 256): the
+    first two hex nibbles of ``md5(row ':' item)``. Pure string/md5
+    arithmetic so an independent SQL engine computes the identical
+    bucket (DuckDB: same formula with strpos — see q_sketch_countmin's
+    oracle); Spark-side it stays inside whole-stage codegen."""
+    h = (
+        f"md5(cast(concat(cast({row_sql} as string), ':', {item_sql})"
+        " as binary))"
+    )
+    return (
+        f"((instr('{_HEX}', substr({h}, 1, 1)) - 1) * 16"
+        f" + instr('{_HEX}', substr({h}, 2, 1)) - 1)"
+    )
+
+
+def countmin_cells(items: DataFrame, col: str, depth: int = 4) -> DataFrame:
+    """Count-min sketch cell table ``(r, bucket, cnt)`` — depth rows ×
+    256 buckets — over ``items[col]`` (NULLs excluded, values compared
+    as strings, matching :func:`heavy_hitters`).
+
+    The stream is exploded ×depth map-side, but the hash aggregate has
+    ≤ depth·256 keys, so partial (map-side) aggregation collapses each
+    partition to at most the sketch size before the shuffle: the
+    shuffle volume is O(cells · partitions), independent of stream
+    length — the whole point of a sketch at 100 TB. Bucket choice is
+    the engine-neutral md5-nibble formula (:func:`_cms_bucket_sql`), so
+    the finished sketch is byte-identical across engines."""
+    src = items.select(F.col(col).cast("string").alias("item")).filter(
+        F.col("item").isNotNull()
+    )
+    return (
+        src.select(
+            "item",
+            F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r"),
+        )
+        .withColumn("r", F.col("r").cast("int"))
+        .withColumn("bucket", F.expr(_cms_bucket_sql("r", "item")))
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def countmin_estimate(
+    cells: DataFrame, queries: DataFrame, col: str, depth: int = 4
+) -> DataFrame:
+    """Point-frequency estimates ``(item, est)`` for each query item:
+    est = min over the sketch's depth rows of the hit cell's count —
+    the classic count-min upper bound (est ≥ true count always; the
+    pytest pins the invariant). The cell table is tiny (≤ depth·256
+    rows) and is BROADCAST to the probe side, so estimating any number
+    of query items is a map-side join + a groupBy on the query set —
+    nothing stream-sized moves."""
+    probes = (
+        queries.select(F.col(col).cast("string").alias("item"))
+        .filter(F.col("item").isNotNull())
+        .distinct()
+        .select(
+            "item",
+            F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r"),
+        )
+        .withColumn("r", F.col("r").cast("int"))
+        .withColumn("bucket", F.expr(_cms_bucket_sql("r", "item")))
+    )
+    return (
+        probes.join(F.broadcast(cells), ["r", "bucket"], "left")
+        .groupBy("item")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est"))
+    )

@@ -340,6 +340,93 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return minhash_lsh_pairs(d, text_col="text", id_col="doc_id")
 
 
+@register(
+    "q_dedup_lsh_bands",
+    """
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS w
+      FROM documents WHERE doc_id < 300
+    ), shingled AS (
+      SELECT doc_id,
+             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                            for i in range(1, len(w) - 1)]) AS shingles
+      FROM docs WHERE len(w) >= 3
+    ), mh AS (
+      SELECT s.doc_id, p.perm,
+             MIN(md5(CAST(p.perm AS VARCHAR) || ':' || u.sh)) AS h
+      FROM shingled s, (SELECT unnest(range(16)) AS perm) p,
+           unnest(s.shingles) AS u(sh)
+      GROUP BY s.doc_id, p.perm
+    ), bands AS (
+      SELECT doc_id, CAST(perm // 4 AS INT) AS band,
+             string_agg(h, '|' ORDER BY perm) AS band_key
+      FROM mh GROUP BY doc_id, perm // 4
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS n_bands
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                AND a.doc_id < b.doc_id
+    GROUP BY doc_a, doc_b
+    """,
+)
+def q_dedup_lsh_bands(spark, sf_dir):
+    """LSH banding with an ENGINE-NEUTRAL hash family (md5, as in
+    q_dedup_minhash_sig): 16 md5-minhashes → 4 bands of 4 → candidate
+    pairs = docs sharing ≥1 band key, with the shared-band count. The
+    value-hash-checkable complement of q_dedup_minhash_lsh (whose
+    xxhash64 family is Spark-private): this pins the BANDING algorithm
+    — signature slicing, bucket collision, pair emission — against an
+    independent engine, so the only unverifiable part of the production
+    LSH path is the hash function itself. Same scale shape as the
+    production path: signatures are a per-doc map-side expression;
+    bands explode to (doc, band, key) rows; pair emission goes through
+    a sorted posting list per bucket (one shuffle on the band key,
+    pairs only within buckets — cost tracks collisions, not n²; a
+    bucket-size stop-cap is the production knob for pathological
+    identical-content floods, not applied here because the oracle
+    needs every pair)."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    wdf = d.select("doc_id", F.split("text", " ").alias("w"))
+    docs = wdf.filter(F.size("w") >= 3).select(
+        "doc_id", shingles_from_words("w", 3).alias("shingles")
+    )
+    sig = F.expr(
+        "transform(sequence(0, 15), p -> array_min(transform(shingles,"
+        " s -> md5(cast(concat(cast(p as string), ':', s) as binary)))))"
+    )
+    bands = (
+        docs.withColumn("sig", sig)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(0, 3),"
+                    " b -> concat_ws('|', slice(sig, b * 4 + 1, 4)))"
+                )
+            ).alias("band", "band_key"),
+        )
+        .withColumn("band", F.col("band").cast("int"))
+    )
+    posting = (
+        bands.groupBy("band", "band_key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    pairs = posting.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ds, (a, i) ->"
+                " transform(slice(ds, i + 2, size(ds) - i - 1),"
+                " b -> struct(a as doc_a, b as doc_b))))"
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b")
+    return pairs.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bands")
+    )
+
+
 @register("q_dedup_simhash", None)  # hash-family specific: rows-only
 def q_dedup_simhash(spark, sf_dir):
     """SimHash fingerprints: 64-bit per-doc signature from token
@@ -1204,6 +1291,80 @@ def q_text_heavy_hitters(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     toks = d.select(F.explode(F.split("text", " ")).alias("w"))
     return heavy_hitters(toks, "w", 0.032)
+
+
+@register(
+    "q_sketch_countmin",
+    """
+    WITH tok AS MATERIALIZED (
+      SELECT unnest(string_split(text, ' ')) AS item FROM documents
+    ), rws AS (SELECT CAST(unnest(range(4)) AS INT) AS r),
+    cells AS MATERIALIZED (
+      SELECT r,
+             (strpos('0123456789abcdef',
+                     substr(md5(CAST(r AS VARCHAR) || ':' || item), 1, 1))
+              - 1) * 16
+             + strpos('0123456789abcdef',
+                      substr(md5(CAST(r AS VARCHAR) || ':' || item), 2, 1))
+             - 1 AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM tok, rws GROUP BY 1, 2
+    ), q AS MATERIALIZED (
+      SELECT DISTINCT unnest(string_split(text, ' ')) AS item
+      FROM documents WHERE doc_id < 20
+    ), est AS (
+      SELECT q.item, MIN(COALESCE(c.cnt, 0)) AS est
+      FROM q CROSS JOIN rws r
+      LEFT JOIN cells c ON c.r = r.r AND c.bucket =
+        (strpos('0123456789abcdef',
+                substr(md5(CAST(r.r AS VARCHAR) || ':' || q.item), 1, 1))
+         - 1) * 16
+        + strpos('0123456789abcdef',
+                 substr(md5(CAST(r.r AS VARCHAR) || ':' || q.item), 2, 1))
+        - 1
+      GROUP BY q.item
+    ), exact AS (
+      SELECT item, CAST(count(*) AS BIGINT) AS exact_n
+      FROM tok WHERE item IN (SELECT item FROM q) GROUP BY item
+    )
+    SELECT e.item, e.est, x.exact_n FROM est e JOIN exact x USING (item)
+    """,
+)
+def q_sketch_countmin(spark, sf_dir):
+    """Count-min sketch point-frequency estimation
+    (operators/sketches.countmin_cells / countmin_estimate): build a
+    4×256-cell sketch of the full token stream, then estimate the
+    frequency of every distinct token of the first 20 documents,
+    alongside the exact count (the verify leg, bounded to the query
+    set via a broadcast semi-join — the unbounded token-universe GROUP
+    BY never runs on the estimate path). The md5-nibble bucket formula
+    is engine-neutral, so the DuckDB oracle reproduces the SKETCH
+    itself cell-for-cell — estimates, collisions and all — not just
+    the exact counts: the hash check pins the sketch algorithm, and
+    est ≥ exact_n (the CMS upper-bound guarantee) is pinned in pytest.
+    At 100 TB the sketch build is one scan with map-side partial
+    aggregation collapsing each partition to ≤1024 cells before the
+    shuffle; estimation is a broadcast of the finished 1024-row sketch."""
+    from hcls_data_lake_spark.operators.sketches import (
+        countmin_cells,
+        countmin_estimate,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("item"))
+    cells = countmin_cells(toks, "item", depth=4)
+    qset = (
+        d.filter(F.col("doc_id") < 20)
+        .select(F.explode(F.split("text", " ")).alias("item"))
+        .distinct()
+    )
+    est = countmin_estimate(cells, qset, "item", depth=4)
+    exact = (
+        toks.join(F.broadcast(qset), "item", "left_semi")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_n"))
+    )
+    return est.join(exact, "item")
 
 
 # ------------------------------------------------- embedding hygiene

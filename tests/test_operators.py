@@ -1071,6 +1071,77 @@ def test_heavy_hitters_exact_vs_groupby_on_skewed_stream(spark):
     assert got == exact and len(exact) > 0
 
 
+def test_countmin_upper_bound_and_cell_conservation(spark):
+    """Count-min invariants on a skewed stream: (1) every estimate is
+    ≥ the true count (the CMS one-sided guarantee — a single violation
+    means the bucket formula diverged between build and probe); (2)
+    each sketch row's cells sum to the stream length (every token
+    lands in exactly one bucket per row); (3) buckets stay in
+    [0, 256). Probing an item that never occurred returns a
+    non-negative (possibly colliding) estimate, never NULL."""
+    from pyspark.sql import functions as F
+
+    from hcls_data_lake_spark.operators.sketches import (
+        countmin_cells,
+        countmin_estimate,
+    )
+
+    rows = [(str(v),) for v in range(40) for _ in range(500 // (v + 1))]
+    df = spark.createDataFrame(rows, "item string").repartition(5)
+    cells = countmin_cells(df, "item", depth=4).localCheckpoint(eager=True)
+    per_row = {
+        r["r"]: r["s"]
+        for r in cells.groupBy("r").agg(F.sum("cnt").alias("s")).collect()
+    }
+    assert per_row == {r: len(rows) for r in range(4)}
+    rng = cells.agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    ).first()
+    assert rng.lo >= 0 and rng.hi < 256
+    qs = spark.createDataFrame(
+        [(str(v),) for v in range(40)] + [("never-seen",)], "item string"
+    )
+    est = {
+        r["item"]: r["est"]
+        for r in countmin_estimate(cells, qs, "item", depth=4).collect()
+    }
+    truth = {str(v): 500 // (v + 1) for v in range(40)}
+    for item, n in truth.items():
+        assert est[item] >= n, f"{item}: est {est[item]} < true {n}"
+    assert est["never-seen"] >= 0
+
+
+def test_lsh_band_collision_iff_band_equality(spark):
+    """q_dedup_lsh_bands's banding contract on constructed docs: two
+    identical documents share ALL 4 bands; two documents with disjoint
+    vocabulary share none (md5 collisions aside); and the pair list
+    never contains a self-pair or a (b, a) duplicate."""
+    import pandas as pd
+
+    from hcls_data_lake_spark import registry
+
+    registry._load_all()
+    # identical pair (0,1), disjoint doc 2
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "alpha beta gamma delta epsilon zeta",
+                "alpha beta gamma delta epsilon zeta",
+                "one two three four five six seven",
+            ],
+        }
+    )
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        docs.to_parquet(os.path.join(tmp, "documents.parquet"))
+        out = registry.REGISTRY["q_dedup_lsh_bands"].fn(spark, tmp).collect()
+    got = {(r.doc_a, r.doc_b): r.n_bands for r in out}
+    assert got == {(0, 1): 4}
+
+
 def test_referential_orphan_count_zero_on_empty_child(spark):
     """The FK audit's aggregate shape must yield (0, 0) — not NULL —
     for an EMPTY child table: an empty/failed load is exactly the
