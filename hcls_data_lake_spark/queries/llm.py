@@ -427,6 +427,102 @@ def q_dedup_lsh_bands(spark, sf_dir):
     )
 
 
+@register(
+    "q_dedup_simhash_md5",
+    """
+    WITH docs AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 300
+    )
+    SELECT doc_id,
+      array_to_string(
+        [ substr('0123456789abcdef',
+            CAST(list_sum([ CASE WHEN v[4*k + i + 1] > 0
+                       THEN CAST(pow(2, 3 - i) AS INT) ELSE 0 END
+                       for i in range(0, 4) ]) AS BIGINT) + 1, 1)
+          for k in range(0, 16) ], '') AS simhash
+    FROM (
+      SELECT doc_id,
+        [ list_sum([ CASE WHEN
+              ((strpos('0123456789abcdef',
+                       substr(md5(t), (j // 4) + 1, 1)) - 1)
+               // (CASE WHEN j % 4 = 0 THEN 8 WHEN j % 4 = 1 THEN 4
+                        WHEN j % 4 = 2 THEN 2 ELSE 1 END)) % 2 = 1
+            THEN 1 ELSE -1 END
+            for t in string_split(text, ' ') ])
+          for j in range(0, 64) ] AS v
+      FROM docs
+    )
+    """,
+)
+def q_dedup_simhash_md5(spark, sf_dir):
+    """SimHash fingerprints with the ENGINE-NEUTRAL md5 family — the
+    value-hash-checkable complement of q_dedup_simhash, completing the
+    md5-pinned trilogy (q_dedup_minhash_sig → minhash algorithm,
+    q_dedup_lsh_bands → banding, this → bit-vote fingerprinting). Per
+    token, bit j votes ±1 by nibble arithmetic over the md5 hex
+    digest; per document the 64 vote sums sign-quantize to a 16-nibble
+    hex fingerprint. Everything is integer/string math, so DuckDB
+    reproduces each fingerprint byte-for-byte.
+
+    Spark-side the pipeline is deliberately NOT a nested-HOF fold:
+    Spark evaluates lambda functions interpreted (outside whole-stage
+    codegen), and a 64-lane per-token fold measured ~50 s for 300
+    docs. Instead tokens explode to (doc, nibble-index, nibble) rows —
+    md5 computed ONCE per token, nibble extraction plain string
+    arithmetic — and the 4 bit-lanes of each nibble position are
+    summed in one groupBy: everything on the token-volume path is
+    whole-stage codegen; the only lambda left is the 16-element
+    fingerprint assembly per document. Two shuffles, both keyed on
+    (doc_id[, nibble-index]) — uniform, skew-free at 100 TB. The
+    production xxhash64 path (operators/dedup.simhash) stays the scale
+    path (one 64-bit hash per token, no 16× nibble expansion); this
+    query pins the ALGORITHM cross-engine and is bounded to 300 docs."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).select("doc_id", F.md5(F.col("tok").cast("binary")).alias("h"))
+    nibs = toks.select(
+        "doc_id",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("k"),
+    ).select(
+        "doc_id",
+        "k",
+        F.expr("instr('0123456789abcdef', substr(h, k + 1, 1)) - 1").alias(
+            "nib"
+        ),
+    )
+
+    def lane(w):  # ±1 vote of the weight-w bit inside the nibble
+        return F.sum(2 * ((F.col("nib") / w).cast("int") % 2) - 1)
+
+    votes = nibs.groupBy("doc_id", "k").agg(
+        lane(8).alias("s0"),
+        lane(4).alias("s1"),
+        lane(2).alias("s2"),
+        lane(1).alias("s3"),
+    )
+    nibval = (
+        (F.col("s0") > 0).cast("int") * 8
+        + (F.col("s1") > 0).cast("int") * 4
+        + (F.col("s2") > 0).cast("int") * 2
+        + (F.col("s3") > 0).cast("int")
+    )
+    chars = votes.withColumn("nibval", nibval).select(
+        "doc_id",
+        "k",
+        F.expr("substr('0123456789abcdef', nibval + 1, 1)").alias("c"),
+    )
+    return chars.groupBy("doc_id").agg(
+        F.concat_ws(
+            "",
+            F.expr(
+                "transform(array_sort(collect_list(struct(k, c))), x -> x.c)"
+            ),
+        ).alias("simhash")
+    )
+
+
 @register("q_dedup_simhash", None)  # hash-family specific: rows-only
 def q_dedup_simhash(spark, sf_dir):
     """SimHash fingerprints: 64-bit per-doc signature from token
@@ -1291,6 +1387,122 @@ def q_text_heavy_hitters(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     toks = d.select(F.explode(F.split("text", " ")).alias("w"))
     return heavy_hitters(toks, "w", 0.032)
+
+
+@register(
+    "q_sketch_hll_md5",
+    """
+    WITH it AS MATERIALIZED (
+      SELECT o_orderpriority AS grp,
+             md5(CAST(o_custkey AS VARCHAR)) AS h
+      FROM orders
+    ), rho AS (
+      SELECT grp,
+             strpos('0123456789abcdef', substr(h, 1, 1)) - 1 AS hi,
+             strpos('0123456789abcdef', substr(h, 2, 1)) - 1 AS lo,
+             substr(h, 3, 30) AS rest
+      FROM it
+    ), scored AS (
+      SELECT grp, hi * 16 + lo AS bucket,
+             CASE WHEN length(regexp_extract(rest, '^0*')) = 30 THEN 121
+                  ELSE 4 * length(regexp_extract(rest, '^0*'))
+                       + CASE WHEN v >= 8 THEN 0 WHEN v >= 4 THEN 1
+                              WHEN v >= 2 THEN 2 ELSE 3 END + 1
+             END AS rho
+      FROM (SELECT grp, hi, lo, rest,
+                   strpos('0123456789abcdef',
+                          substr(rest,
+                                 length(regexp_extract(rest, '^0*')) + 1,
+                                 1)) - 1 AS v
+            FROM rho)
+    ), regs AS (
+      SELECT grp, bucket, CAST(MAX(rho) AS INT) AS reg
+      FROM scored GROUP BY grp, bucket
+    )
+    SELECT grp, CAST(count(*) AS BIGINT) AS n_hit,
+           CAST(SUM(reg) AS BIGINT) AS sum_reg,
+           ROUND(0.7213 / (1 + 1.079 / 256) * 65536 /
+                 (list_reduce(list(CAST(pow(2.0, -reg) AS DOUBLE)
+                                   ORDER BY bucket), (a, b) -> a + b)
+                  + (256 - count(*))), 4) AS est
+    FROM regs GROUP BY grp
+    """,
+)
+def q_sketch_hll_md5(spark, sf_dir):
+    """HyperLogLog distinct-count estimation with an ENGINE-NEUTRAL
+    md5 register construction — the value-hash-checkable complement of
+    q_agg_hll_sketch (whose Datasketches binary is Spark-private).
+    Estimates distinct customers per order priority: bucket = first
+    two md5 nibbles (m=256 registers), rho = leading-zero bits of the
+    remaining 120 hash bits + 1 (regexp zero-run + a nibble CASE —
+    pure integer/string math, so the REGISTERS are byte-identical
+    across engines; n_hit and sum_reg pin them in the hash check).
+    The harmonic-mean estimate is float, but deterministically so:
+    2^-reg terms are exact powers of two folded in bucket order
+    (sort_array + aggregate here, ORDER BY bucket + list_reduce in
+    DuckDB), so both engines execute the identical IEEE addition
+    sequence and the rounded estimate matches exactly. No small-range
+    correction (its ln() is libm-dependent — the one piece that can
+    NOT be made engine-neutral); production use would apply the
+    standard corrections on top of these registers. Scale shape: one
+    scan + a (grp, bucket)-keyed partial-aggregated shuffle capped at
+    m rows per group — the sketch property that makes COUNT DISTINCT
+    mergeable and O(m) per group at 100 TB."""
+    o = t(spark, sf_dir, "orders")
+    it = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.md5(F.col("o_custkey").cast("string").cast("binary")).alias("h"),
+    )
+    scored = it.select(
+        "grp",
+        (
+            (F.expr("instr('0123456789abcdef', substr(h, 1, 1)) - 1")) * 16
+            + F.expr("instr('0123456789abcdef', substr(h, 2, 1)) - 1")
+        ).alias("bucket"),
+        F.expr(
+            """
+            CASE WHEN length(regexp_extract(substr(h, 3, 30), '^0*', 0)) = 30
+                 THEN 121
+                 ELSE 4 * length(regexp_extract(substr(h, 3, 30), '^0*', 0))
+                      + CASE WHEN instr('0123456789abcdef',
+                              substr(substr(h, 3, 30),
+                                length(regexp_extract(substr(h, 3, 30),
+                                                      '^0*', 0)) + 1, 1)) - 1
+                               >= 8 THEN 0
+                             WHEN instr('0123456789abcdef',
+                              substr(substr(h, 3, 30),
+                                length(regexp_extract(substr(h, 3, 30),
+                                                      '^0*', 0)) + 1, 1)) - 1
+                               >= 4 THEN 1
+                             WHEN instr('0123456789abcdef',
+                              substr(substr(h, 3, 30),
+                                length(regexp_extract(substr(h, 3, 30),
+                                                      '^0*', 0)) + 1, 1)) - 1
+                               >= 2 THEN 2
+                             ELSE 3 END + 1
+            END
+            """
+        ).alias("rho"),
+    )
+    regs = scored.groupBy("grp", "bucket").agg(
+        F.max("rho").cast("int").alias("reg")
+    )
+    return regs.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hit"),
+        F.sum("reg").cast("bigint").alias("sum_reg"),
+        F.round(
+            F.lit(0.7213 / (1 + 1.079 / 256))
+            * F.lit(65536.0)
+            / (
+                F.expr(
+                    "aggregate(array_sort(collect_list(struct(bucket, reg)))"
+                    ", cast(0 as double), (a, x) -> a + pow(2.0, -x.reg))"
+                )
+                + (F.lit(256) - F.count(F.lit(1)))
+            ),
+            4,
+        ).alias("est"),
+    )
 
 
 @register(

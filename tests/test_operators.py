@@ -1142,6 +1142,75 @@ def test_lsh_band_collision_iff_band_equality(spark):
     assert got == {(0, 1): 4}
 
 
+def test_hll_md5_estimate_tracks_exact_distinct(spark):
+    """q_sketch_hll_md5 accuracy: the m=256 register estimate must
+    land within 3 standard errors (3·1.04/√256 ≈ 20%) of the exact
+    per-group distinct count on the fixture — a loose band that still
+    catches a broken rho/bucket formula (which typically misses by
+    10×, not 10%). Registers are separately byte-pinned by the oracle
+    hash; this checks the ESTIMATOR wiring."""
+    from pyspark.sql import functions as F
+
+    from hcls_data_lake_spark import registry
+    from hcls_data_lake_spark.queries.common import t
+
+    registry._load_all()
+    sf = "/root/testdata/sf0.01"
+    est = {
+        r.grp: r.est
+        for r in registry.REGISTRY["q_sketch_hll_md5"].fn(spark, sf).collect()
+    }
+    exact = {
+        r.grp: r.n
+        for r in t(spark, sf, "orders")
+        .groupBy(F.col("o_orderpriority").alias("grp"))
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact) and len(exact) >= 3
+    for g, n in exact.items():
+        assert abs(est[g] - n) <= 0.20 * n, f"{g}: est {est[g]} vs {n}"
+
+
+def test_simhash_md5_locality(spark):
+    """q_dedup_simhash_md5 on constructed docs: identical documents
+    get identical fingerprints; a one-word edit moves few bits
+    (hamming ≤ 16 of 64); disjoint-vocabulary documents differ in
+    many bits (≥ 16). Pins the locality property the fingerprint
+    exists for, independent of the cross-engine byte check."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from hcls_data_lake_spark import registry
+
+    registry._load_all()
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    edited = base.replace("lazy", "sleepy")
+    other = "numbers one two three four five six seven eight nine ten"
+    docs = pd.DataFrame(
+        {"doc_id": [0, 1, 2, 3], "text": [base, base, edited, other]}
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        docs.to_parquet(os.path.join(tmp, "documents.parquet"))
+        fp = {
+            r.doc_id: r.simhash
+            for r in registry.REGISTRY["q_dedup_simhash_md5"]
+            .fn(spark, tmp)
+            .collect()
+        }
+
+    def ham(a, b):
+        return sum(
+            bin(int(x, 16) ^ int(y, 16)).count("1") for x, y in zip(a, b)
+        )
+
+    assert fp[0] == fp[1]
+    assert 0 < ham(fp[0], fp[2]) <= 16
+    assert ham(fp[0], fp[3]) >= 16
+
+
 def test_referential_orphan_count_zero_on_empty_child(spark):
     """The FK audit's aggregate shape must yield (0, 0) — not NULL —
     for an EMPTY child table: an empty/failed load is exactly the
