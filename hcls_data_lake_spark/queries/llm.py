@@ -1390,6 +1390,119 @@ def q_text_heavy_hitters(spark, sf_dir):
 
 
 @register(
+    "q_sketch_bloom_md5",
+    """
+    WITH build AS MATERIALIZED (
+      SELECT DISTINCT c_custkey AS item FROM customer WHERE c_acctbal > 8000
+    ), seeds AS (SELECT CAST(unnest(range(3)) AS INT) AS s),
+    bits AS MATERIALIZED (
+      SELECT DISTINCT
+        ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 256
+         + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 16
+         + strpos('0123456789abcdef', substr(h, 3, 1)) - 1) AS bit
+      FROM (SELECT md5(CAST(s AS VARCHAR) || ':' || CAST(item AS VARCHAR))
+              AS h
+            FROM build, seeds)
+    ), probe AS MATERIALIZED (
+      SELECT DISTINCT o_custkey AS item FROM orders
+    ), probed AS (
+      SELECT p.item, count(b.bit) AS hits
+      FROM probe p CROSS JOIN seeds s
+      LEFT JOIN bits b ON b.bit =
+        ((strpos('0123456789abcdef', substr(
+            md5(CAST(s.s AS VARCHAR) || ':' || CAST(p.item AS VARCHAR)),
+            1, 1)) - 1) * 256
+         + (strpos('0123456789abcdef', substr(
+            md5(CAST(s.s AS VARCHAR) || ':' || CAST(p.item AS VARCHAR)),
+            2, 1)) - 1) * 16
+         + strpos('0123456789abcdef', substr(
+            md5(CAST(s.s AS VARCHAR) || ':' || CAST(p.item AS VARCHAR)),
+            3, 1)) - 1)
+      GROUP BY p.item
+    )
+    SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM bits) AS n_bits_set,
+      CAST(count(*) FILTER (WHERE hits = 3) AS BIGINT) AS n_pass,
+      CAST(count(*) FILTER (WHERE hits = 3
+             AND item IN (SELECT item FROM build)) AS BIGINT) AS n_true,
+      CAST(count(*) FILTER (WHERE hits = 3
+             AND item NOT IN (SELECT item FROM build)) AS BIGINT) AS n_fp
+    FROM probed
+    """,
+)
+def q_sketch_bloom_md5(spark, sf_dir):
+    """Bloom-filter join prefilter with an ENGINE-NEUTRAL bit layout —
+    the cross-engine-verifiable complement of q_join_bloom_prefilter
+    (whose bloom_filter_agg binary is Spark-private). Builds a
+    4096-bit / 3-hash filter over high-balance customers (bit index =
+    three md5 nibbles per seed — integer string math both engines
+    compute identically), probes every distinct ordering customer, and
+    reports the filter census: bits set, probes passing, true
+    memberships, false positives. Because the BIT SET itself is
+    engine-neutral, the oracle check pins the exact false-positive
+    behavior, not just the membership answers. Scale shape is the real
+    bloom-prefilter deployment: the finished filter is a ≤4096-row
+    broadcast; the probe side never shuffles (map-side hash + 3-row
+    multiply, then a partial-aggregated count) — at 100 TB the probe
+    scan dominates and nothing filter-sized ever moves."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    build = (
+        c.filter(F.col("c_acctbal") > 8000)
+        .select(F.col("c_custkey").alias("item"))
+        .distinct()
+    )
+    bit_sql = (
+        "((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 256"
+        " + (instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 16"
+        " + instr('0123456789abcdef', substr(h, 3, 1)) - 1)"
+    )
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(2))).alias("s")
+    bits = (
+        build.select("item", seeds)
+        .select(
+            F.md5(
+                F.concat_ws(":", F.col("s"), F.col("item")).cast("binary")
+            ).alias("h")
+        )
+        .select(F.expr(bit_sql).alias("bit"))
+        .distinct()
+    )
+    probe = o.select(F.col("o_custkey").alias("item")).distinct()
+    probed = (
+        probe.select("item", seeds)
+        .select(
+            "item",
+            F.md5(
+                F.concat_ws(":", F.col("s"), F.col("item")).cast("binary")
+            ).alias("h"),
+        )
+        .select("item", F.expr(bit_sql).alias("bit"))
+        .join(F.broadcast(bits.withColumn("hit", F.lit(1))), "bit", "left")
+        .groupBy("item")
+        .agg(F.count("hit").alias("hits"))
+    )
+    flagged = probed.join(
+        F.broadcast(build.withColumn("is_member", F.lit(1))), "item", "left"
+    )
+    census = flagged.agg(
+        F.sum((F.col("hits") == 3).cast("bigint")).alias("n_pass"),
+        F.sum(
+            ((F.col("hits") == 3) & F.col("is_member").isNotNull()).cast(
+                "bigint"
+            )
+        ).alias("n_true"),
+        F.sum(
+            ((F.col("hits") == 3) & F.col("is_member").isNull()).cast("bigint")
+        ).alias("n_fp"),
+    )
+    n_bits = bits.agg(F.count(F.lit(1)).cast("bigint").alias("n_bits_set"))
+    return census.crossJoin(n_bits).select(
+        "n_bits_set", "n_pass", "n_true", "n_fp"
+    )
+
+
+@register(
     "q_sketch_hll_md5",
     """
     WITH it AS MATERIALIZED (

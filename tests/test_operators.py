@@ -1211,6 +1211,35 @@ def test_simhash_md5_locality(spark):
     assert ham(fp[0], fp[3]) >= 16
 
 
+def test_bloom_md5_census_consistency_and_fpr(spark):
+    """q_sketch_bloom_md5: no false NEGATIVES (every true member
+    passes — the Bloom guarantee; n_true must equal the exact
+    build∩probe count), pass = true + fp, and the false-positive count
+    stays within 5× the theoretical (bits/m)^k rate — a loose bound
+    (the run is deterministic) that still catches a bit-index formula
+    that degenerates into far fewer effective bits."""
+    from pyspark.sql import functions as F
+
+    from hcls_data_lake_spark import registry
+    from hcls_data_lake_spark.queries.common import t
+
+    registry._load_all()
+    sf = "/root/testdata/sf0.01"
+    row = registry.REGISTRY["q_sketch_bloom_md5"].fn(spark, sf).first()
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders")
+    build = c.filter(F.col("c_acctbal") > 8000).select(
+        F.col("c_custkey").alias("item")
+    )
+    probe = o.select(F.col("o_custkey").alias("item")).distinct()
+    n_members = probe.join(build.distinct(), "item", "left_semi").count()
+    n_probe = probe.count()
+    assert row.n_true == n_members  # zero false negatives
+    assert row.n_pass == row.n_true + row.n_fp
+    expected_fpr = (row.n_bits_set / 4096.0) ** 3
+    assert row.n_fp <= max(5, 5 * expected_fpr * (n_probe - n_members))
+
+
 def test_referential_orphan_count_zero_on_empty_child(spark):
     """The FK audit's aggregate shape must yield (0, 0) — not NULL —
     for an EMPTY child table: an empty/failed load is exactly the
