@@ -77,7 +77,13 @@ def _cell_scores(v: str, cents: list[list[float]]) -> Column:
     centroid (struct/lit/arith each cross the bridge), which at
     m_sub × k_codes codebook sizes dominated PQ search wall time —
     the same plan-BUILD pathology the typed HL7 projections hit
-    (er7.py's SQL-string rationale)."""
+    (er7.py's SQL-string rationale). The per-centroid dot stays an
+    aggregate(zip_with(...)) fold DELIBERATELY: unrolling it into
+    dim-many element_at terms (tried; reverted) built 512-term
+    expressions on the IVF path that fell out of whole-stage codegen
+    and benched 2.8× SLOWER than the fold — the opposite trade from
+    the m_sub-term ADC lookup sum (:func:`_pq_adc_dot`), where the
+    unroll wins because the term count is tiny."""
     scored = []
     for i, c in enumerate(cents):
         arr = ", ".join(repr(float(x)) + "D" for x in c)
@@ -203,9 +209,42 @@ def _table_fingerprint(df: DataFrame) -> tuple | None:
 
 
 def clear_codebook_cache() -> None:
-    """Drop every cached IVF codebook (e.g. after a table rewrite that
-    kept its file names, or to bound memory in a long-lived driver)."""
+    """Drop every cached IVF codebook and materialized index (e.g.
+    after a table rewrite that kept its file names, or to bound memory
+    in a long-lived driver)."""
     _CODEBOOK_CACHE.clear()
+    _INDEX_CACHE.clear()
+
+
+# finished per-candidate index state (cells / PQ codes / reconstructed
+# norms), localCheckpointed and keyed like the codebooks plus the owning
+# SparkSession (checkpoint blocks live in that session's executors).
+# This is FAISS's add()/search() split: encoding every candidate is
+# INDEX BUILD and happens once per (table, params); a probe only reads
+# the finished code table. Without it every search re-ran the
+# k_codes-centroid argmin per candidate — at sf0.1 that encode pass was
+# ~70% of PQ search wall time, and at 100 TB it would turn each query
+# into a full re-index.
+_INDEX_CACHE: dict[tuple, DataFrame] = {}
+_INDEX_CACHE_MAX = 16
+
+
+def _cached_index(cache_key: tuple, spark, builder):
+    """Get-or-build for materialized index DataFrames. ``cache_key[0]
+    is None`` (no stable table identity) skips caching — same contract
+    as :func:`_cached_codebook`."""
+    ident = cache_key[0]
+    key = (id(spark),) + cache_key if ident else None
+    if key is not None and key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    built = builder()
+    if key is None:
+        return built
+    built = built.localCheckpoint(eager=True)
+    while len(_INDEX_CACHE) >= _INDEX_CACHE_MAX:
+        _INDEX_CACHE.pop(next(iter(_INDEX_CACHE)))
+    _INDEX_CACHE[key] = built
+    return built
 
 
 def _cached_codebook(cache_key: tuple, builder):
@@ -257,13 +296,21 @@ def ivf_topk(
             ),
         )
     else:
+        ident = _table_fingerprint(embeddings)
         dim = len(embeddings.select(vec_col).first()[0])
         cents = _hyperplanes(dim, n_centroids, seed)
 
     e = embeddings.select(
         F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
     )
-    indexed = e.withColumn("cell", _cell_scores("_v", cents).getItem(0))
+    # cell assignment is index BUILD (n_centroids dot products per
+    # candidate) — materialize once per (table, params), probe many
+    indexed = _cached_index(
+        (ident, "ivfcells", n_centroids, vec_col, train_iters, seed,
+         sample_frac),
+        embeddings.sparkSession,
+        lambda: e.withColumn("cell", _cell_scores("_v", cents).getItem(0)),
+    )
     q = e.filter(query_filter) if query_filter is not None else e
     probes = q.select(
         F.col("_id").alias("query_id"),
@@ -514,15 +561,28 @@ def _pq_adc_lut(qv: str, books: list[list[list[float]]]) -> Column:
     )
 
 
-def _pq_adc_dot(lut: str, codes: str) -> Column:
+def _pq_adc_dot(lut: str, codes: str, m_sub: int) -> Column:
     """ADC approximate dot product from a precomputed per-query LUT:
     sum over subspaces of ``lut[m][code_m]``. The candidate's floats
     never appear — only its codes index into the query's table — and
-    per-pair cost is m_sub lookups, independent of dim."""
-    return F.expr(
-        f"aggregate(zip_with({lut}, {codes},"
-        " (l, c) -> element_at(l, c + 1)), 0.0D, (acc, x) -> acc + x)"
-    )
+    per-pair cost is m_sub lookups, independent of dim.
+
+    Unrolled into m_sub plain element_at additions rather than an
+    aggregate(zip_with(...)) fold: higher-order-function lambdas run
+    INTERPRETED in Spark (outside whole-stage codegen), and this
+    expression sits on the |Q|×N pair path — the fold form benched
+    ~2× slower end-to-end at sf0.1. The unrolled form is pure codegen."""
+    terms = [
+        F.expr(
+            f"element_at(element_at({lut}, {m + 1}),"
+            f" element_at({codes}, {m + 1}) + 1)"
+        )
+        for m in range(m_sub)
+    ]
+    total = terms[0]
+    for term in terms[1:]:
+        total = total + term
+    return total
 
 
 def _pq_norm_sq(codes: str, books: list[list[list[float]]]) -> Column:
@@ -585,11 +645,18 @@ def pq_adc_topk(
         F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
     )
     # per-candidate state computed BELOW the join: codes + reconstructed
-    # norm, once per candidate — never per (query, candidate) pair
-    cands = e.select(
-        F.col("_id").alias("neighbor_id"),
-        pq_encode_col("_v", books).alias("cd"),
-    ).withColumn("_cn2", _pq_norm_sq("cd", books))
+    # norm, once per candidate — never per (query, candidate) pair —
+    # and materialized once per (table, params): probes read the
+    # finished code table (FAISS add()/search() split)
+    cands = _cached_index(
+        (ident, "pqcodes", m_sub, k_codes, vec_col, train_iters, seed,
+         sample_frac),
+        embeddings.sparkSession,
+        lambda: e.select(
+            F.col("_id").alias("neighbor_id"),
+            pq_encode_col("_v", books).alias("cd"),
+        ).withColumn("_cn2", _pq_norm_sq("cd", books)),
+    )
     q = e.filter(query_filter) if query_filter is not None else e
     # per-query state on the broadcast side: the ADC LUT + norm, once
     # per query row
@@ -599,7 +666,7 @@ def pq_adc_topk(
         _pq_adc_lut("_v", books).alias("_lut"),
         F.sqrt(dot("_v", "_v")).alias("_qn"),
     )
-    adc_cos = _pq_adc_dot("_lut", "cd") / (F.col("_qn") * F.sqrt("_cn2"))
+    adc_cos = _pq_adc_dot("_lut", "cd", m_sub) / (F.col("_qn") * F.sqrt("_cn2"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
     )
@@ -657,12 +724,18 @@ def ivfpq_topk(
     )
     # the stored index: cell + codes per candidate (id, 1 int, m ints —
     # the only per-candidate state the search ever reads before refine)
-    # plus the reconstructed norm, computed once per candidate
-    indexed = e.select(
-        F.col("_id").alias("neighbor_id"),
-        _cell_scores("_v", cents).getItem(0).alias("cell"),
-        pq_encode_col("_v", books).alias("cd"),
-    ).withColumn("_cn2", _pq_norm_sq("cd", books))
+    # plus the reconstructed norm — computed once per candidate and
+    # materialized once per (table, params) like the codebooks
+    indexed = _cached_index(
+        (ident, "ivfpqcodes", n_centroids, m_sub, k_codes, vec_col,
+         train_iters, seed, sample_frac),
+        embeddings.sparkSession,
+        lambda: e.select(
+            F.col("_id").alias("neighbor_id"),
+            _cell_scores("_v", cents).getItem(0).alias("cell"),
+            pq_encode_col("_v", books).alias("cd"),
+        ).withColumn("_cn2", _pq_norm_sq("cd", books)),
+    )
     q = e.filter(query_filter) if query_filter is not None else e
     probes = q.select(
         F.col("_id").alias("query_id"),
@@ -673,7 +746,7 @@ def ivfpq_topk(
             F.slice(_cell_scores("_v", cents), 1, n_probe)
         ).alias("cell"),
     ).filter(F.col("cell").isNotNull())
-    adc_cos = _pq_adc_dot("_lut", "cd") / (F.col("_qn") * F.sqrt("_cn2"))
+    adc_cos = _pq_adc_dot("_lut", "cd", m_sub) / (F.col("_qn") * F.sqrt("_cn2"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
     )
