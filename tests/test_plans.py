@@ -334,6 +334,7 @@ _BNLJ_ALLOWED = {
     "q_subquery_idle_customers",  # one-row avg-balance scalar subquery
     "q_diag_key_skew",     # one-row global-total broadcast joined back
     "q_sim_ann_pq",        # broadcast query block x PQ-coded candidates
+    "q_sketch_bloom_md5",  # one-row bit-count census cross-joined
 }
 
 
@@ -500,3 +501,54 @@ def test_diag_referential_broadcasts_dim_parents(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "LeftOuter" in plan
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_countmin_sketch_partial_aggregates_before_shuffle(spark, sf_dir):
+    """The CMS cell build must partially aggregate map-side (the
+    ×depth explode collapses to ≤ depth·256 cells per partition before
+    anything moves) and the probe side must read the finished cells
+    via a broadcast join — the whole point of a sketch is that the
+    shuffle volume is sketch-sized, not stream-sized."""
+    df = registry.queries()["q_sketch_countmin"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "partial_count" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bloom_probe_broadcasts_filter_not_probe(spark, sf_dir):
+    """The Bloom prefilter must broadcast the ≤4096-row bit set and
+    the build membership set — the probe (fact) side streams in place.
+    A SortMergeJoin here means something fact-sized moved for a
+    filter-sized lookup. The single permitted nested loop is the
+    1-row × 1-row census/bit-count cross join (allowlisted in the
+    registry-wide lint)."""
+    df = registry.queries()["q_sketch_bloom_md5"](spark, sf_dir)
+    plan = plan_of(df)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("BroadcastHashJoin") >= 2
+    assert tree.count("BroadcastNestedLoopJoin") <= 1
+    assert "SortMergeJoin" not in tree
+
+
+def test_hll_register_aggregation_is_two_level(spark, sf_dir):
+    """HLL must aggregate (grp, bucket) → max(rho) with map-side
+    partials (register table capped at m rows per group before the
+    shuffle) and never explode beyond the input row count — one scan,
+    two hash aggregates, no join."""
+    df = registry.queries()["q_sketch_hll_md5"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "partial_max" in plan
+    assert "Join" not in plan.split("\n\n")[0]
+
+
+def test_simhash_md5_stays_in_codegen(spark, sf_dir):
+    """The simhash token-volume path (explode → nibble arithmetic →
+    bit-lane sums) must be whole-stage codegen with map-side partial
+    sums; the only permitted lambda is the 16-element fingerprint
+    assembly AFTER the per-document aggregate."""
+    df = registry.queries()["q_dedup_simhash_md5"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "partial_sum" in plan
+    assert "partial_collect_list" in plan  # assembly AFTER the agg
+    assert "BatchEvalPython" not in plan
