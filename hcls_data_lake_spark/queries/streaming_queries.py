@@ -673,3 +673,90 @@ def q_stream_session_dynamic(spark, sf_dir):
         )
     )
     return run_to_memory(agg, output_mode="complete", shuffle_partitions=8)
+
+
+@register(
+    "q_stream_countmin",
+    """
+    WITH tok AS MATERIALIZED (
+      SELECT CAST(user_id AS VARCHAR) AS item FROM events
+    ), rws AS (SELECT CAST(unnest(range(4)) AS INT) AS r),
+    cells AS MATERIALIZED (
+      SELECT r,
+             (strpos('0123456789abcdef',
+                     substr(md5(CAST(r AS VARCHAR) || ':' || item), 1, 1))
+              - 1) * 16
+             + strpos('0123456789abcdef',
+                      substr(md5(CAST(r AS VARCHAR) || ':' || item), 2, 1))
+             - 1 AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM tok, rws GROUP BY 1, 2
+    ), q AS MATERIALIZED (
+      SELECT DISTINCT CAST(user_id AS VARCHAR) AS item
+      FROM events WHERE user_id < 40
+    ), est AS (
+      SELECT q.item, MIN(COALESCE(c.cnt, 0)) AS est
+      FROM q CROSS JOIN rws r
+      LEFT JOIN cells c ON c.r = r.r AND c.bucket =
+        (strpos('0123456789abcdef',
+                substr(md5(CAST(r.r AS VARCHAR) || ':' || q.item), 1, 1))
+         - 1) * 16
+        + strpos('0123456789abcdef',
+                 substr(md5(CAST(r.r AS VARCHAR) || ':' || q.item), 2, 1))
+        - 1
+      GROUP BY q.item
+    ), exact AS (
+      SELECT CAST(user_id AS VARCHAR) AS item, CAST(count(*) AS BIGINT)
+               AS exact_n
+      FROM events WHERE user_id < 40 GROUP BY 1
+    )
+    SELECT e.item, e.est, x.exact_n FROM est e JOIN exact x USING (item)
+    """,
+)
+def q_stream_countmin(spark, sf_dir):
+    """Count-min sketch maintained INCREMENTALLY over a stream — the
+    mergeability deployment of q_sketch_countmin: each micro-batch
+    builds its own 4×256 cell table (operators/sketches.countmin_cells
+    — partial aggregation collapses the batch before anything moves)
+    and appends it to a cell store; the finished sketch is the
+    per-(row, bucket) SUM of every batch's cells. Because CMS cells
+    are plain counts, merge is exact — the streamed sketch is
+    byte-identical to the one-shot batch sketch, so the BATCH DuckDB
+    oracle hash-checks a STREAMING computation end to end (the same
+    trick the windowed-agg streams use, applied to a sketch). Per-batch
+    state is sketch-sized (≤1024 rows appended per micro-batch,
+    independent of batch row count) — the bounded-memory frequency
+    monitor for an unbounded 100 TB/day stream. Estimates probe the
+    merged cells for every distinct user below 40, with exact counts
+    joined for the verification leg."""
+    out_root = scratch_for(sf_dir, "cms_cells")
+    shutil.rmtree(out_root, ignore_errors=True)
+    from hcls_data_lake_spark.operators.sketches import (
+        countmin_cells,
+        countmin_estimate,
+    )
+
+    sdf = read_events_stream(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("item")
+    )
+
+    def build_cells(batch_df, batch_id):
+        countmin_cells(batch_df, "item", depth=4).write.mode(
+            "append"
+        ).parquet(out_root)
+
+    run_foreach_batch(sdf, build_cells)
+    merged = (
+        spark.read.parquet(out_root)
+        .groupBy("r", "bucket")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    ev = events(spark, sf_dir).filter(F.col("user_id") < 40)
+    qset = ev.select(F.col("user_id").cast("string").alias("item")).distinct()
+    est = countmin_estimate(merged, qset, "item", depth=4)
+    exact = (
+        ev.select(F.col("user_id").cast("string").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_n"))
+    )
+    return est.join(exact, "item")

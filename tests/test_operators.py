@@ -1211,6 +1211,53 @@ def test_simhash_md5_locality(spark):
     assert ham(fp[0], fp[3]) >= 16
 
 
+def test_countmin_cells_merge_exactly(spark):
+    """CMS mergeability — the property q_stream_countmin deploys:
+    cells built over any partition of the stream and summed
+    per (row, bucket) equal the one-shot cells over the whole stream,
+    EXACTLY (integer counts, no approximation in the merge)."""
+    from pyspark.sql import functions as F
+
+    from hcls_data_lake_spark.operators.sketches import countmin_cells
+
+    rows = [(str(v % 37),) for v in range(500)]
+    df = spark.createDataFrame(rows, "item string")
+    half_a = spark.createDataFrame(rows[:200], "item string")
+    half_b = spark.createDataFrame(rows[200:], "item string")
+    whole = {
+        (r.r, r.bucket): r.cnt
+        for r in countmin_cells(df, "item", depth=4).collect()
+    }
+    merged = {
+        (r.r, r.bucket): r.cnt
+        for r in countmin_cells(half_a, "item", depth=4)
+        .unionByName(countmin_cells(half_b, "item", depth=4))
+        .groupBy("r", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    }
+    assert whole == merged
+
+
+def test_ann_index_cache_is_transparent(spark):
+    """The materialized-index cache must be invisible to results: a
+    cache-hit run and a cold rebuild (after clear_codebook_cache)
+    return byte-identical top-k — the build/probe split is a cost
+    optimization, never a semantics change."""
+    from hcls_data_lake_spark import registry
+    from hcls_data_lake_spark.operators import similarity as S
+
+    registry._load_all()
+    sf = "/root/testdata/sf0.001"
+    for name in ("q_sim_ann_pq", "q_sim_ann_ivfpq", "q_sim_ann_ivf"):
+        fn = registry.REGISTRY[name].fn
+        warm1 = sorted(map(tuple, fn(spark, sf).collect()))
+        warm2 = sorted(map(tuple, fn(spark, sf).collect()))
+        S.clear_codebook_cache()
+        cold = sorted(map(tuple, fn(spark, sf).collect()))
+        assert warm1 == warm2 == cold, name
+
+
 def test_bloom_md5_census_consistency_and_fpr(spark):
     """q_sketch_bloom_md5: no false NEGATIVES (every true member
     passes — the Bloom guarantee; n_true must equal the exact
