@@ -47,14 +47,25 @@ def brute_force_topk(
         F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
     )
     q = e.filter(query_filter) if query_filter is not None else e
-    q = q.select(F.col("_id").alias("query_id"), F.col("_v").alias("qv"))
-    c = e.select(F.col("_id").alias("neighbor_id"), F.col("_v").alias("cv"))
+    # self-norms computed ONCE PER SIDE below the join (|Q| + |N|
+    # folds), not once per pair (3·|Q|·|N| folds in the naive
+    # cosine() form — benched 1.5× slower at sf0.1). Squared norms are
+    # kept and combined as sqrt(_qq·_cc) per pair so the float result
+    # is bitwise identical to cosine()'s dot/sqrt(dot·dot).
+    q = q.select(
+        F.col("_id").alias("query_id"), F.col("_v").alias("qv")
+    ).withColumn("_qq", dot("qv", "qv"))
+    c = e.select(
+        F.col("_id").alias("neighbor_id"), F.col("_v").alias("cv")
+    ).withColumn("_cc", dot("cv", "cv"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
     )
     return (
         F.broadcast(q).join(c, F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", cosine("qv", "cv"))
+        .withColumn(
+            "cos", dot("qv", "cv") / F.sqrt(F.col("_qq") * F.col("_cc"))
+        )
         .withColumn("rn", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rn")
@@ -304,12 +315,16 @@ def ivf_topk(
         F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
     )
     # cell assignment is index BUILD (n_centroids dot products per
-    # candidate) — materialize once per (table, params), probe many
+    # candidate) — materialize once per (table, params), probe many;
+    # the stored self-norm joins the index so the per-pair cosine is a
+    # single fold (see brute_force_topk's norm note)
     indexed = _cached_index(
         (ident, "ivfcells", n_centroids, vec_col, train_iters, seed,
          sample_frac),
         embeddings.sparkSession,
-        lambda: e.withColumn("cell", _cell_scores("_v", cents).getItem(0)),
+        lambda: e.withColumn(
+            "cell", _cell_scores("_v", cents).getItem(0)
+        ).withColumn("_cc", dot("_v", "_v")),
     )
     q = e.filter(query_filter) if query_filter is not None else e
     probes = q.select(
@@ -321,9 +336,10 @@ def ivf_topk(
         F.explode_outer(
             F.slice(_cell_scores("_v", cents), 1, n_probe)
         ).alias("cell"),
-    ).filter(F.col("cell").isNotNull())
+    ).filter(F.col("cell").isNotNull()).withColumn("_qq", dot("qv", "qv"))
     c = indexed.select(
-        F.col("_id").alias("neighbor_id"), F.col("_v").alias("cv"), "cell"
+        F.col("_id").alias("neighbor_id"), F.col("_v").alias("cv"), "cell",
+        "_cc",
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
@@ -335,7 +351,9 @@ def ivf_topk(
         # brute_force_topk)
         F.broadcast(probes).join(c, ["cell"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", cosine("qv", "cv"))
+        .withColumn(
+            "cos", dot("qv", "cv") / F.sqrt(F.col("_qq") * F.col("_cc"))
+        )
         .withColumn("rn", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rn")
@@ -454,19 +472,23 @@ def ann_lsh_topk(
     q = e.filter(query_filter) if query_filter is not None else e
     q = q.select(
         F.col("_id").alias("query_id"), F.col("_v").alias("qv"), "bucket"
-    )
+    ).withColumn("_qq", dot("qv", "qv"))
     c = e.select(
         F.col("_id").alias("neighbor_id"), F.col("_v").alias("cv"), "bucket"
-    )
+    ).withColumn("_cc", dot("cv", "cv"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
     )
     return (
         # broadcast the query side; candidates stay in place (the
-        # bucket equi-key prunes the broadcast matches per row)
+        # bucket equi-key prunes the broadcast matches per row);
+        # self-norms per side, one fold per pair (brute_force_topk's
+        # norm note)
         F.broadcast(q).join(c, ["bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", cosine("qv", "cv"))
+        .withColumn(
+            "cos", dot("qv", "cv") / F.sqrt(F.col("_qq") * F.col("_cc"))
+        )
         .withColumn("rn", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rn")
