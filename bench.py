@@ -101,6 +101,15 @@ EXTENDED = [
     "q_sample_token_budget",  # per-source greedy token-budget selection
     "q_sim_ann_pq",           # PQ-ADC shortlist + exact refine ANN
     "q_diag_referential",     # FK orphan audit (outer joins, big-big + bcast)
+    "q_sim_ann_ivfpq",        # IVF pruning x PQ compression + refine
+    "q_graph_pagerank_exact", # integer micro-rank power iteration
+    "q_dedup_lsh_bands",      # md5-family LSH banding candidates
+    "q_dedup_simhash_md5",    # engine-neutral simhash fingerprints
+    "q_sketch_countmin",      # CMS build + probe + exact verify
+    "q_sketch_hll_md5",       # HLL registers + deterministic estimate
+    "q_sketch_hll_merge",     # shard-split registers, max-merged
+    "q_sketch_bloom_md5",     # bloom prefilter census
+    "q_stream_countmin",      # streamed mergeable CMS cells
 ]
 
 

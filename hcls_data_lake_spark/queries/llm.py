@@ -1502,9 +1502,7 @@ def q_sketch_bloom_md5(spark, sf_dir):
     )
 
 
-@register(
-    "q_sketch_hll_md5",
-    """
+_HLL_ORDERS_SQL = """
     WITH it AS MATERIALIZED (
       SELECT o_orderpriority AS grp,
              md5(CAST(o_custkey AS VARCHAR)) AS h
@@ -1539,33 +1537,14 @@ def q_sketch_bloom_md5(spark, sf_dir):
                                    ORDER BY bucket), (a, b) -> a + b)
                   + (256 - count(*))), 4) AS est
     FROM regs GROUP BY grp
-    """,
-)
-def q_sketch_hll_md5(spark, sf_dir):
-    """HyperLogLog distinct-count estimation with an ENGINE-NEUTRAL
-    md5 register construction — the value-hash-checkable complement of
-    q_agg_hll_sketch (whose Datasketches binary is Spark-private).
-    Estimates distinct customers per order priority: bucket = first
-    two md5 nibbles (m=256 registers), rho = leading-zero bits of the
-    remaining 120 hash bits + 1 (regexp zero-run + a nibble CASE —
-    pure integer/string math, so the REGISTERS are byte-identical
-    across engines; n_hit and sum_reg pin them in the hash check).
-    The harmonic-mean estimate is float, but deterministically so:
-    2^-reg terms are exact powers of two folded in bucket order
-    (sort_array + aggregate here, ORDER BY bucket + list_reduce in
-    DuckDB), so both engines execute the identical IEEE addition
-    sequence and the rounded estimate matches exactly. No small-range
-    correction (its ln() is libm-dependent — the one piece that can
-    NOT be made engine-neutral); production use would apply the
-    standard corrections on top of these registers. Scale shape: one
-    scan + a (grp, bucket)-keyed partial-aggregated shuffle capped at
-    m rows per group — the sketch property that makes COUNT DISTINCT
-    mergeable and O(m) per group at 100 TB."""
-    o = t(spark, sf_dir, "orders")
-    it = o.select(
-        F.col("o_orderpriority").alias("grp"),
-        F.md5(F.col("o_custkey").cast("string").cast("binary")).alias("h"),
-    )
+    """
+
+
+def _hll_regs(it):
+    """(grp, bucket, reg) HLL register table from (grp, h) rows —
+    bucket = first two md5 nibbles (m=256), rho = leading-zero bits of
+    the remaining 120 hash bits + 1, reg = MAX(rho) per bucket. Pure
+    integer/string expressions; see q_sketch_hll_md5."""
     scored = it.select(
         "grp",
         (
@@ -1597,9 +1576,15 @@ def q_sketch_hll_md5(spark, sf_dir):
             """
         ).alias("rho"),
     )
-    regs = scored.groupBy("grp", "bucket").agg(
+    return scored.groupBy("grp", "bucket").agg(
         F.max("rho").cast("int").alias("reg")
     )
+
+
+def _hll_summary(regs):
+    """(grp, n_hit, sum_reg, est) from a register table — the
+    harmonic-mean estimate folded in bucket order so the IEEE addition
+    sequence is engine-reproducible; see q_sketch_hll_md5."""
     return regs.groupBy("grp").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_hit"),
         F.sum("reg").cast("bigint").alias("sum_reg"),
@@ -1616,6 +1601,64 @@ def q_sketch_hll_md5(spark, sf_dir):
             4,
         ).alias("est"),
     )
+
+
+def _hll_orders_items(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("grp"),
+        F.md5(F.col("o_custkey").cast("string").cast("binary")).alias("h"),
+    )
+
+
+@register("q_sketch_hll_md5", _HLL_ORDERS_SQL)
+def q_sketch_hll_md5(spark, sf_dir):
+    """HyperLogLog distinct-count estimation with an ENGINE-NEUTRAL
+    md5 register construction — the value-hash-checkable complement of
+    q_agg_hll_sketch (whose Datasketches binary is Spark-private).
+    Estimates distinct customers per order priority: bucket = first
+    two md5 nibbles (m=256 registers), rho = leading-zero bits of the
+    remaining 120 hash bits + 1 (regexp zero-run + a nibble CASE —
+    pure integer/string math, so the REGISTERS are byte-identical
+    across engines; n_hit and sum_reg pin them in the hash check).
+    The harmonic-mean estimate is float, but deterministically so:
+    2^-reg terms are exact powers of two folded in bucket order
+    (sort_array + aggregate here, ORDER BY bucket + list_reduce in
+    DuckDB), so both engines execute the identical IEEE addition
+    sequence and the rounded estimate matches exactly. No small-range
+    correction (its ln() is libm-dependent — the one piece that can
+    NOT be made engine-neutral); production use would apply the
+    standard corrections on top of these registers. Scale shape: one
+    scan + a (grp, bucket)-keyed partial-aggregated shuffle capped at
+    m rows per group — the sketch property that makes COUNT DISTINCT
+    mergeable and O(m) per group at 100 TB."""
+    it = _hll_orders_items(spark, sf_dir).drop("o_orderkey")
+    return _hll_summary(_hll_regs(it))
+
+
+@register("q_sketch_hll_merge", _HLL_ORDERS_SQL)
+def q_sketch_hll_merge(spark, sf_dir):
+    """HLL shard-merge associativity, proven CROSS-ENGINE: the Spark
+    side splits orders into two shards (o_orderkey parity), builds
+    INDEPENDENT register tables per shard, and merges them by
+    elementwise register MAX; the DuckDB oracle computes the sketch
+    over the WHOLE corpus in one pass. The hash check passing means
+    merge(regs(A), regs(B)) == regs(A ∪ B) exactly — the property
+    that makes HLL distinct-counting distributive at 100 TB (shards =
+    partitions, days, or datacenters; registers merge without ever
+    re-reading data). Merge cost is register-sized: 2·m rows per
+    group union + one max-aggregate, independent of corpus size."""
+    it = _hll_orders_items(spark, sf_dir)
+    shard_a = it.filter(F.col("o_orderkey") % 2 == 0).drop("o_orderkey")
+    shard_b = it.filter(F.col("o_orderkey") % 2 == 1).drop("o_orderkey")
+    merged = (
+        _hll_regs(shard_a)
+        .unionByName(_hll_regs(shard_b))
+        .groupBy("grp", "bucket")
+        .agg(F.max("reg").cast("int").alias("reg"))
+    )
+    return _hll_summary(merged)
 
 
 @register(
