@@ -438,6 +438,74 @@ def q_join_asof(spark, sf_dir):
 
 
 @register(
+    "q_join_asof_tolerance",
+    """
+    WITH purchases AS (
+      SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase'
+    ), clicks AS (
+      SELECT event_id AS click_id, user_id, ts FROM events
+      WHERE event_type = 'click'
+    )
+    SELECT p.event_id, p.user_id,
+           CASE WHEN c.ts >= p.ts - INTERVAL 36 HOUR
+                THEN c.click_id END AS asof_click_id
+    FROM purchases p
+    ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def q_join_asof_tolerance(spark, sf_dir):
+    """As-of join with a TOLERANCE bound (pandas merge_asof(tolerance=
+    36h) semantics): each purchase matches its latest at-or-before
+    click by the same user, but only if that click is within 36
+    hours (≈ the fixture's median prior-click gap, so the bound
+    genuinely bisects) — a stale prior event is no match at all (the clinically
+    honest reading of 'most recent prior visit': a visit from last
+    year should not annotate today's observation). Same single-shuffle
+    union + running-last window as q_join_asof; the tolerance is one
+    post-window comparison on integer nanosecond timestamps (no
+    second pass, no interval/timezone arithmetic), so the scale shape
+    is unchanged: O(n log n) per key, no candidate blow-up."""
+    e = t(spark, sf_dir, "events")
+    tol_ns = 36 * 3600 * 1_000_000_000
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "ts_ns",
+        F.lit(1).alias("is_p"),
+        F.lit(None).cast("long").alias("click_id"),
+        F.lit(None).cast("long").alias("click_ns"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "ts_ns",
+        F.lit(0).alias("is_p"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts_ns").alias("click_ns"),
+    )
+    unioned = purchases.unionByName(clicks)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_p").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = (
+        unioned.withColumn(
+            "asof_raw", F.last("click_id", ignorenulls=True).over(w)
+        )
+        .withColumn(
+            "asof_ns", F.last("click_ns", ignorenulls=True).over(w)
+        )
+        .filter(F.col("is_p") == 1)
+    )
+    return matched.select(
+        "event_id",
+        "user_id",
+        F.when(
+            F.col("ts_ns") - F.col("asof_ns") <= tol_ns, F.col("asof_raw")
+        ).alias("asof_click_id"),
+    )
+
+
+@register(
     "q_join_self",
     """
     SELECT a.event_id AS prev_id, b.event_id AS next_id, a.user_id
