@@ -362,3 +362,69 @@ def test_containment_matches_bruteforce(spark, word_lists):
         for r in containment_pairs(docs, min_bps=5000).collect()
     }
     assert got == expect
+
+
+_items = st.lists(
+    st.text(alphabet=string.ascii_lowercase + "0123456789", min_size=1,
+            max_size=8),
+    min_size=1,
+    max_size=120,
+)
+
+
+@given(_items)
+@settings(max_examples=6, deadline=None)
+def test_countmin_upper_bound_holds_for_any_stream(spark, items):
+    """CMS one-sided error property on arbitrary streams: for EVERY
+    item, estimate ≥ true count — a single violation means the probe's
+    bucket formula diverged from the build's. Hypothesis hunts the
+    stream shapes (duplicates, near-collisions, singletons) a fixture
+    never exercises."""
+    from pyspark.sql import functions as F
+
+    from hcls_data_lake_spark.operators.sketches import (
+        countmin_cells,
+        countmin_estimate,
+    )
+
+    df = spark.createDataFrame([(x,) for x in items], "item string")
+    cells = countmin_cells(df, "item", depth=4)
+    est = {
+        r.item: r.est
+        for r in countmin_estimate(cells, df, "item", depth=4).collect()
+    }
+    truth = (
+        df.groupBy("item").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    for r in truth:
+        assert est[r.item] >= r.n, (r.item, est[r.item], r.n)
+
+
+@given(_items, st.integers(min_value=0, max_value=100))
+@settings(max_examples=6, deadline=None)
+def test_hll_register_merge_associativity(spark, items, split_pct):
+    """HLL merge property on arbitrary streams and ANY split point:
+    max-merging the register tables of two arbitrary shards equals the
+    registers of the union — the distributivity q_sketch_hll_merge
+    deploys, checked here beyond the fixture's orderkey-parity split."""
+    from pyspark.sql import functions as F
+
+    from hcls_data_lake_spark.queries.llm import _hll_regs
+
+    cut = len(items) * split_pct // 100
+
+    def regs(sub):
+        if not sub:
+            return {}
+        df = spark.createDataFrame([(x,) for x in sub], "item string").select(
+            F.lit("g").alias("grp"),
+            F.md5(F.col("item").cast("binary")).alias("h"),
+        )
+        return {(r.grp, r.bucket): r.reg for r in _hll_regs(df).collect()}
+
+    whole = regs(items)
+    a, b = regs(items[:cut]), regs(items[cut:])
+    merged = dict(a)
+    for k, v in b.items():
+        merged[k] = max(merged.get(k, 0), v)
+    assert merged == whole
