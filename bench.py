@@ -110,6 +110,7 @@ EXTENDED = [
     "q_sketch_hll_merge",     # shard-split registers, max-merged
     "q_sketch_bloom_md5",     # bloom prefilter census
     "q_stream_countmin",      # streamed mergeable CMS cells
+    "q_stream_hll",           # streamed mergeable HLL registers
 ]
 
 

@@ -760,3 +760,74 @@ def q_stream_countmin(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("bigint").alias("exact_n"))
     )
     return est.join(exact, "item")
+
+
+@register(
+    "q_stream_hll",
+    """
+    WITH it AS MATERIALIZED (
+      SELECT event_type AS grp, md5(CAST(user_id AS VARCHAR)) AS h
+      FROM events
+    ), rho AS (
+      SELECT grp,
+             strpos('0123456789abcdef', substr(h, 1, 1)) - 1 AS hi,
+             strpos('0123456789abcdef', substr(h, 2, 1)) - 1 AS lo,
+             substr(h, 3, 30) AS rest
+      FROM it
+    ), scored AS (
+      SELECT grp, hi * 16 + lo AS bucket,
+             CASE WHEN length(regexp_extract(rest, '^0*')) = 30 THEN 121
+                  ELSE 4 * length(regexp_extract(rest, '^0*'))
+                       + CASE WHEN v >= 8 THEN 0 WHEN v >= 4 THEN 1
+                              WHEN v >= 2 THEN 2 ELSE 3 END + 1
+             END AS rho
+      FROM (SELECT grp, hi, lo, rest,
+                   strpos('0123456789abcdef',
+                          substr(rest,
+                                 length(regexp_extract(rest, '^0*')) + 1,
+                                 1)) - 1 AS v
+            FROM rho)
+    ), regs AS (
+      SELECT grp, bucket, CAST(MAX(rho) AS INT) AS reg
+      FROM scored GROUP BY grp, bucket
+    )
+    SELECT grp, CAST(count(*) AS BIGINT) AS n_hit,
+           CAST(SUM(reg) AS BIGINT) AS sum_reg,
+           ROUND(0.7213 / (1 + 1.079 / 256) * 65536 /
+                 (list_reduce(list(CAST(pow(2.0, -reg) AS DOUBLE)
+                                   ORDER BY bucket), (a, b) -> a + b)
+                  + (256 - count(*))), 4) AS est
+    FROM regs GROUP BY grp
+    """,
+)
+def q_stream_hll(spark, sf_dir):
+    """HyperLogLog maintained INCREMENTALLY over a stream — distinct
+    users per event type with bounded state: each micro-batch builds
+    its own register table (queries/llm._hll_regs — ≤ m rows per group
+    regardless of batch size) and appends it to a register store; the
+    finished sketch is the per-(grp, bucket) MAX. Register max-merge
+    is exact (q_sketch_hll_merge pins the associativity), so the
+    streamed sketch — registers, estimate and all — is byte-identical
+    to the one-shot batch sketch and the batch DuckDB oracle
+    hash-checks the streaming run end to end. This is the streaming
+    COUNT DISTINCT that never keeps per-user state: the 100 TB/day
+    cardinality monitor in O(groups · m) memory."""
+    from hcls_data_lake_spark.queries.llm import _hll_regs, _hll_summary
+
+    out_root = scratch_for(sf_dir, "hll_regs")
+    shutil.rmtree(out_root, ignore_errors=True)
+    sdf = read_events_stream(spark, sf_dir).select(
+        F.col("event_type").alias("grp"),
+        F.md5(F.col("user_id").cast("string").cast("binary")).alias("h"),
+    )
+
+    def build_regs(batch_df, batch_id):
+        _hll_regs(batch_df).write.mode("append").parquet(out_root)
+
+    run_foreach_batch(sdf, build_regs)
+    merged = (
+        spark.read.parquet(out_root)
+        .groupBy("grp", "bucket")
+        .agg(F.max("reg").cast("int").alias("reg"))
+    )
+    return _hll_summary(merged)
