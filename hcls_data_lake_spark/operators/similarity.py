@@ -13,6 +13,8 @@ probed cells, at a recall cost tuned by n_probe/n_planes.
 
 from __future__ import annotations
 
+from collections import OrderedDict
+
 import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -224,7 +226,12 @@ def clear_codebook_cache() -> None:
     after a table rewrite that kept its file names, or to bound memory
     in a long-lived driver)."""
     _CODEBOOK_CACHE.clear()
-    _INDEX_CACHE.clear()
+    while _INDEX_CACHE:
+        _, df = _INDEX_CACHE.popitem(last=False)
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # owning session already stopped
 
 
 # finished per-candidate index state (cells / PQ codes / reconstructed
@@ -236,24 +243,39 @@ def clear_codebook_cache() -> None:
 # k_codes-centroid argmin per candidate — at sf0.1 that encode pass was
 # ~70% of PQ search wall time, and at 100 TB it would turn each query
 # into a full re-index.
-_INDEX_CACHE: dict[tuple, DataFrame] = {}
+_INDEX_CACHE: OrderedDict[tuple, DataFrame] = OrderedDict()
 _INDEX_CACHE_MAX = 16
 
 
 def _cached_index(cache_key: tuple, spark, builder):
     """Get-or-build for materialized index DataFrames. ``cache_key[0]
     is None`` (no stable table identity) skips caching — same contract
-    as :func:`_cached_codebook`."""
+    as :func:`_cached_codebook`.
+
+    Entries are persisted (MEMORY_AND_DISK) rather than
+    localCheckpointed so eviction can DETERMINISTICALLY free the
+    executor blocks via unpersist — a checkpointed RDD's blocks only
+    die when the driver GC happens to collect the reference, which at
+    16 evictions × an encoded corpus each is an executor-storage leak.
+    The session component of the key is the applicationId (unique per
+    SparkContext), not id(session): id() addresses are reused by the
+    allocator, and a recycled address plus an identical table
+    fingerprint would hand out a DataFrame bound to a dead session."""
     ident = cache_key[0]
-    key = (id(spark),) + cache_key if ident else None
+    key = (spark.sparkContext.applicationId,) + cache_key if ident else None
     if key is not None and key in _INDEX_CACHE:
         return _INDEX_CACHE[key]
     built = builder()
     if key is None:
         return built
-    built = built.localCheckpoint(eager=True)
+    built = built.persist()
+    built.count()  # materialize now: probes must read, never rebuild
     while len(_INDEX_CACHE) >= _INDEX_CACHE_MAX:
-        _INDEX_CACHE.pop(next(iter(_INDEX_CACHE)))
+        _, evicted = _INDEX_CACHE.popitem(last=False)
+        try:
+            evicted.unpersist()
+        except Exception:
+            pass  # owning session already stopped
     _INDEX_CACHE[key] = built
     return built
 
@@ -319,7 +341,7 @@ def ivf_topk(
     # the stored self-norm joins the index so the per-pair cosine is a
     # single fold (see brute_force_topk's norm note)
     indexed = _cached_index(
-        (ident, "ivfcells", n_centroids, vec_col, train_iters, seed,
+        (ident, "ivfcells", n_centroids, id_col, vec_col, train_iters, seed,
          sample_frac),
         embeddings.sparkSession,
         lambda: e.withColumn(
@@ -671,7 +693,7 @@ def pq_adc_topk(
     # and materialized once per (table, params): probes read the
     # finished code table (FAISS add()/search() split)
     cands = _cached_index(
-        (ident, "pqcodes", m_sub, k_codes, vec_col, train_iters, seed,
+        (ident, "pqcodes", m_sub, k_codes, id_col, vec_col, train_iters, seed,
          sample_frac),
         embeddings.sparkSession,
         lambda: e.select(
@@ -749,7 +771,7 @@ def ivfpq_topk(
     # plus the reconstructed norm — computed once per candidate and
     # materialized once per (table, params) like the codebooks
     indexed = _cached_index(
-        (ident, "ivfpqcodes", n_centroids, m_sub, k_codes, vec_col,
+        (ident, "ivfpqcodes", n_centroids, m_sub, k_codes, id_col, vec_col,
          train_iters, seed, sample_frac),
         embeddings.sparkSession,
         lambda: e.select(

@@ -119,20 +119,30 @@ def heavy_hitters(items: DataFrame, col: str, phi: float) -> DataFrame:
 _HEX = "0123456789abcdef"
 
 
+def md5_bucket_sql(h_sql: str, n_nibbles: int) -> str:
+    """SQL-string expression mapping an md5-hex column to a bucket in
+    ``[0, 16**n_nibbles)`` from its first ``n_nibbles`` hex digits.
+    Pure string arithmetic so an independent SQL engine computes the
+    identical bucket (DuckDB: same formula with strpos); Spark-side it
+    stays inside whole-stage codegen. Shared by every md5-family
+    sketch (count-min 2 nibbles, Bloom 3) so a bucket-formula fix can
+    never drift between them."""
+    terms = [
+        f"(instr('{_HEX}', substr({h_sql}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (n_nibbles - 1 - i)}"
+        for i in range(n_nibbles)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
 def _cms_bucket_sql(row_sql: str, item_sql: str) -> str:
-    """SQL-string expression for a count-min bucket in [0, 256): the
-    first two hex nibbles of ``md5(row ':' item)``. Pure string/md5
-    arithmetic so an independent SQL engine computes the identical
-    bucket (DuckDB: same formula with strpos — see q_sketch_countmin's
-    oracle); Spark-side it stays inside whole-stage codegen."""
+    """Count-min bucket in [0, 256): the first two hex nibbles of
+    ``md5(row ':' item)`` — see :func:`md5_bucket_sql`."""
     h = (
         f"md5(cast(concat(cast({row_sql} as string), ':', {item_sql})"
         " as binary))"
     )
-    return (
-        f"((instr('{_HEX}', substr({h}, 1, 1)) - 1) * 16"
-        f" + instr('{_HEX}', substr({h}, 2, 1)) - 1)"
-    )
+    return md5_bucket_sql(h, 2)
 
 
 def countmin_cells(items: DataFrame, col: str, depth: int = 4) -> DataFrame:
@@ -163,7 +173,7 @@ def countmin_cells(items: DataFrame, col: str, depth: int = 4) -> DataFrame:
 
 
 def countmin_estimate(
-    cells: DataFrame, queries: DataFrame, col: str, depth: int = 4
+    cells: DataFrame, queries: DataFrame, col: str, depth: int | None = None
 ) -> DataFrame:
     """Point-frequency estimates ``(item, est)`` for each query item:
     est = min over the sketch's depth rows of the hit cell's count —
@@ -171,7 +181,23 @@ def countmin_estimate(
     pytest pins the invariant). The cell table is tiny (≤ depth·256
     rows) and is BROADCAST to the probe side, so estimating any number
     of query items is a map-side join + a groupBy on the query set —
-    nothing stream-sized moves."""
+    nothing stream-sized moves.
+
+    ``depth`` defaults to the depth the cells were BUILT with (derived
+    from the cell table — one action on ≤1024 rows); passing a larger
+    value is rejected rather than silently probing rows that do not
+    exist, which would floor every estimate at 0 and break the
+    one-sided guarantee."""
+    built_rows = cells.agg(F.max("r").alias("m")).first().m
+    built_depth = (built_rows if built_rows is not None else 0) + 1
+    if depth is None:
+        depth = built_depth
+    elif depth > built_depth:
+        raise ValueError(
+            f"probe depth {depth} exceeds the built sketch depth "
+            f"{built_depth}: rows {built_depth}..{depth - 1} have no "
+            "cells and would floor every estimate at 0"
+        )
     probes = (
         queries.select(F.col(col).cast("string").alias("item"))
         .filter(F.col("item").isNotNull())

@@ -482,9 +482,18 @@ def q_join_asof_tolerance(spark, sf_dir):
         F.col("ts_ns").alias("click_ns"),
     )
     unioned = purchases.unionByName(clicks)
+    # Order by the NANOSECOND timestamp (the precision the tolerance
+    # compares at), not the microsecond-truncated ts: two clicks in the
+    # same microsecond would make the truncated ordering a non-total
+    # order (last() then picks arbitrarily per run), and a click
+    # nanoseconds after a purchase inside one microsecond would match
+    # here while failing the oracle's nano-precision p.ts >= c.ts.
+    # click_id breaks exact-nanosecond ties deterministically.
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").asc(), F.col("is_p").asc())
+        .orderBy(
+            F.col("ts_ns").asc(), F.col("is_p").asc(), F.col("click_id").asc()
+        )
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     matched = (

@@ -1452,11 +1452,9 @@ def q_sketch_bloom_md5(spark, sf_dir):
         .select(F.col("c_custkey").alias("item"))
         .distinct()
     )
-    bit_sql = (
-        "((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 256"
-        " + (instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 16"
-        " + instr('0123456789abcdef', substr(h, 3, 1)) - 1)"
-    )
+    from hcls_data_lake_spark.operators.sketches import md5_bucket_sql
+
+    bit_sql = md5_bucket_sql("h", 3)
     seeds = F.explode(F.sequence(F.lit(0), F.lit(2))).alias("s")
     bits = (
         build.select("item", seeds)

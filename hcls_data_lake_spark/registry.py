@@ -91,15 +91,17 @@ def register(name: str, oracle: str | None) -> Callable[[QueryFn], QueryFn]:
 # r1-r3 — 47 of the 50 are oracle-hash checks. With r1-r3's 122 unique
 # sampled names this lifts cumulative driver coverage to 170/210.
 # Prior rotations' names keep their recorded rows; the remaining 39
-# never-sampled names plus the 22 operators ADDED in r4 (the registry
-# grew 210 -> 232: l-diversity, keep-best, PCA, containment, diag_*
+# never-sampled names plus the 26 operators ADDED in r4 (the registry
+# grew 210 -> 236: l-diversity, keep-best, PCA, containment, diag_*
 # incl. the referential / completeness audits, compact/expire, passage
 # dedup, shuffled shards, token budget, PQ / IVF-PQ ANN, the Q20-shape
-# excess supplier, and the engine-neutral verifiable family —
-# q_graph_pagerank_exact, q_dedup_lsh_bands, q_dedup_simhash_md5,
-# q_sketch_countmin, q_sketch_hll_md5, q_sketch_bloom_md5, all
-# oracle-hash-checked) are r5's rotation pool (61 names for a
-# 232-query registry).
+# excess supplier, the tolerance-bounded as-of join, and the
+# engine-neutral verifiable family — q_graph_pagerank_exact,
+# q_dedup_lsh_bands, q_dedup_simhash_md5, q_sketch_countmin,
+# q_sketch_hll_md5 + _merge, q_sketch_bloom_md5, and the streamed
+# mergeable sketches q_stream_countmin / q_stream_hll, all
+# oracle-hash-checked) are r5's rotation pool (65 names for a
+# 236-query registry).
 _FAMILY_REPRESENTATIVES = [
     # -- §2.B stragglers without a green driver row (VERDICT r3 #2) --
     "q_agg_approx_distinct",
