@@ -556,34 +556,15 @@ def q_sim_topk(spark, sf_dir):
     Python in the hot path), rank-filtered to k=5. The QUERY block is
     broadcast so the candidate table streams in place, and the rank
     filter runs as a WindowGroupLimit (per-partition top-k before the
-    shuffle) — the pair that keeps this shape viable at 100 TB."""
+    shuffle) — the pair that keeps this shape viable at 100 TB.
+    Delegates to operators/similarity.brute_force_topk, whose per-SIDE
+    self-norm folds (|Q| + |N| of them, below the join) replace the
+    per-PAIR norm folds of the naive cosine form (3·|Q|·|N|) with a
+    bitwise-identical float result — sqrt((q·q)·(c·c)) either way."""
+    from hcls_data_lake_spark.operators.similarity import brute_force_topk
+
     e = t(spark, sf_dir, "embeddings")
-    a = e.filter(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
-    )
-    b = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"))
-    dot = F.expr(
-        "aggregate(zip_with(cast(qe as array<double>), cast(ne as array<double>),"
-        " (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
-    )
-    norm = lambda c: F.expr(  # noqa: E731
-        f"aggregate(zip_with(cast({c} as array<double>), cast({c} as array<double>),"
-        " (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
-    )
-    cos = dot / F.sqrt(norm("qe") * norm("ne"))
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine_raw").desc(), F.col("neighbor_id"))
-    return (
-        F.broadcast(a).join(b, F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine_raw", cos)
-        .withColumn("rn", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rn") <= 5)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round("cosine_raw", 6).alias("cosine"),
-            "rn",
-        )
-    )
+    return brute_force_topk(e, k=5, query_filter=F.col("vec_id") < 20)
 
 
 @register(
@@ -599,18 +580,25 @@ def q_sim_topk(spark, sf_dir):
 def q_sim_pairs(spark, sf_dir):
     """Threshold cosine self-join (embedding near-dup) over a bounded
     block; the operators/similarity.py LSH-bucketed variant scales it."""
+    # per-SIDE self-norm folds below the join (2·150 of them) instead
+    # of per-PAIR (2·C(150,2)) — same bitwise float as the naive form:
+    # sqrt((q·q)·(c·c)) either way (brute_force_topk's norm note)
     e = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("qe"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("ne"))
-    dot = F.expr(
-        "aggregate(zip_with(cast(qe as array<double>), cast(ne as array<double>),"
-        " (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
-    )
     norm = lambda c: F.expr(  # noqa: E731
         f"aggregate(zip_with(cast({c} as array<double>), cast({c} as array<double>),"
         " (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
     )
-    cos = dot / F.sqrt(norm("qe") * norm("ne"))
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("qe")
+    ).withColumn("_qq", norm("qe"))
+    b = e.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("ne")
+    ).withColumn("_cc", norm("ne"))
+    dot = F.expr(
+        "aggregate(zip_with(cast(qe as array<double>), cast(ne as array<double>),"
+        " (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+    )
+    cos = dot / F.sqrt(F.col("_qq") * F.col("_cc"))
     return (
         a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
         .withColumn("cosine_raw", cos)
