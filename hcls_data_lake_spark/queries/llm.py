@@ -301,18 +301,24 @@ def q_dedup_embedding(spark, sf_dir):
     lowest such id (deterministic). Candidate pairs come from the same
     bounded/broadcast block shape as q_sim_pairs; the LSH/IVF bucketed
     variants in operators/similarity.py are the 100 TB candidate path."""
+    # per-side self-norms below the join (brute_force_topk's norm
+    # note); bitwise-identical cosine to the per-pair form
     e = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
-    a = e.select(F.col("vec_id").alias("dup_id"), F.col("embedding").alias("qe"))
-    b = e.select(F.col("vec_id").alias("keeper_cand"), F.col("embedding").alias("ne"))
-    dot = F.expr(
-        "aggregate(zip_with(cast(qe as array<double>), cast(ne as array<double>),"
-        " (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
-    )
     norm = lambda c: F.expr(  # noqa: E731
         f"aggregate(zip_with(cast({c} as array<double>), cast({c} as array<double>),"
         " (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
     )
-    cos = dot / F.sqrt(norm("qe") * norm("ne"))
+    a = e.select(
+        F.col("vec_id").alias("dup_id"), F.col("embedding").alias("qe")
+    ).withColumn("_qq", norm("qe"))
+    b = e.select(
+        F.col("vec_id").alias("keeper_cand"), F.col("embedding").alias("ne")
+    ).withColumn("_cc", norm("ne"))
+    dot = F.expr(
+        "aggregate(zip_with(cast(qe as array<double>), cast(ne as array<double>),"
+        " (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+    )
+    cos = dot / F.sqrt(F.col("_qq") * F.col("_cc"))
     return (
         a.join(F.broadcast(b), F.col("keeper_cand") < F.col("dup_id"))
         .withColumn("cosine_raw", cos)
