@@ -434,6 +434,129 @@ def q_dedup_lsh_bands(spark, sf_dir):
 
 
 @register(
+    "q_dedup_minhash_est",
+    """
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS w
+      FROM documents WHERE doc_id < 300
+    ), shingled AS (
+      SELECT doc_id,
+             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                            for i in range(1, len(w) - 1)]) AS shingles
+      FROM docs WHERE len(w) >= 3
+    ), mh AS (
+      SELECT s.doc_id, p.perm,
+             MIN(md5(CAST(p.perm AS VARCHAR) || ':' || u.sh)) AS h
+      FROM shingled s, (SELECT unnest(range(16)) AS perm) p,
+           unnest(s.shingles) AS u(sh)
+      GROUP BY s.doc_id, p.perm
+    ), sigs AS (
+      SELECT doc_id, list(h ORDER BY perm) AS sig FROM mh GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, CAST(perm // 4 AS INT) AS band,
+             string_agg(h, '|' ORDER BY perm) AS band_key
+      FROM mh GROUP BY doc_id, perm // 4
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(list_sum([CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END
+                          for i in range(1, 17)]) * 10000 // 16 AS BIGINT)
+             AS est_bps,
+           CAST(len(list_intersect(ha.shingles, hb.shingles)) * 10000
+                // len(list_distinct(list_concat(ha.shingles, hb.shingles)))
+                AS BIGINT) AS jaccard_bps
+    FROM cand c
+    JOIN sigs sa ON sa.doc_id = c.doc_a
+    JOIN sigs sb ON sb.doc_id = c.doc_b
+    JOIN shingled ha ON ha.doc_id = c.doc_a
+    JOIN shingled hb ON hb.doc_id = c.doc_b
+    """,
+)
+def q_dedup_minhash_est(spark, sf_dir):
+    """MinHash Jaccard ESTIMATION over LSH candidates — the estimator
+    step the md5-pinned trilogy was missing: q_dedup_minhash_sig pins
+    the signatures, q_dedup_lsh_bands pins the banding, this pins the
+    resemblance estimate itself (matching signature positions / 16, in
+    integer basis points) side-by-side with the EXACT shingle Jaccard
+    for the same candidate pairs — both engine-exact integer math, so
+    the oracle verifies estimator and ground truth in one result. The
+    production decision rule (estimate cheap on all candidates, exact
+    only where the estimate is borderline) falls out of these columns.
+    Scale shape: signatures and shingle sets are per-doc scan-stage
+    expressions; candidates come from the banding posting lists (one
+    shuffle on the band key, never all-pairs); the per-pair work is two
+    fixed-width array comparisons."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    wdf = d.select("doc_id", F.split("text", " ").alias("w"))
+    docs = wdf.filter(F.size("w") >= 3).select(
+        "doc_id", shingles_from_words("w", 3).alias("shingles")
+    )
+    sig = F.expr(
+        "transform(sequence(0, 15), p -> array_min(transform(shingles,"
+        " s -> md5(cast(concat(cast(p as string), ':', s) as binary)))))"
+    )
+    sigs = docs.withColumn("sig", sig)
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, 3),"
+                " b -> concat_ws('|', slice(sig, b * 4 + 1, 4)))"
+            )
+        ).alias("band", "band_key"),
+    )
+    posting = (
+        bands.groupBy("band", "band_key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    cand = (
+        posting.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (a, i) ->"
+                    " transform(slice(ds, i + 2, size(ds) - i - 1),"
+                    " b -> struct(a as doc_a, b as doc_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    a_side = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sig").alias("sig_a"),
+        F.col("shingles").alias("sh_a"),
+    )
+    b_side = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sig").alias("sig_b"),
+        F.col("shingles").alias("sh_b"),
+    )
+    return (
+        cand.join(a_side, "doc_a")
+        .join(b_side, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(
+                "aggregate(zip_with(sig_a, sig_b, (x, y) ->"
+                " if(x = y, 1L, 0L)), 0L, (acc, x) -> acc + x)"
+                " * 10000 div 16"
+            ).alias("est_bps"),
+            F.expr(
+                "cast(size(array_intersect(sh_a, sh_b)) as bigint) * 10000"
+                " div cast(size(array_union(sh_a, sh_b)) as bigint)"
+            ).alias("jaccard_bps"),
+        )
+    )
+
+
+@register(
     "q_dedup_simhash_md5",
     """
     WITH docs AS (

@@ -1305,3 +1305,24 @@ def test_referential_orphan_count_zero_on_empty_child(spark):
         )
     ).first()
     assert row["n_orphans"] == 0 and row["n_child_rows"] == 0
+
+
+def test_minhash_estimate_tracks_exact_jaccard(spark, sf_dir):
+    """q_dedup_minhash_est invariants: the 16-perm estimate is a valid
+    bps value; identical shingle sets (exact Jaccard = 10000) estimate
+    exactly 10000 (identical inputs give identical signatures); and
+    across the LSH candidate set the mean absolute estimator error
+    stays inside a loose statistical bound for 16 permutations
+    (std ~ sqrt(j(1-j)/16) <= 0.125 -> assert MAE <= 2000 bps)."""
+    from hcls_data_lake_spark import registry
+
+    rows = registry.queries()["q_dedup_minhash_est"](spark, sf_dir).collect()
+    assert rows, "LSH candidates expected in fixture corpus"
+    errs = []
+    for r in rows:
+        assert 0 <= r.est_bps <= 10000
+        assert 0 < r.jaccard_bps <= 10000
+        if r.jaccard_bps == 10000:
+            assert r.est_bps == 10000
+        errs.append(abs(r.est_bps - r.jaccard_bps))
+    assert sum(errs) / len(errs) <= 2000
