@@ -67,6 +67,131 @@ def q_ts_gapfill(spark, sf_dir):
     )
 
 
+# Linear interpolation on the same dense grid: gap weights are ROW-
+# POSITION ratios (the grid is dense hourly, so adjacent row distance
+# IS the time distance). The interpolation itself runs in integer
+# µ-units (v quantized ×10000 — exact, since v carries 4dp) with the
+# fractional step as CAST(FLOOR(bigint/bigint)) — a float round at the
+# end is NOT engine-exact (Spark rounds half-up, DuckDB half-even; a
+# .00005 boundary flipped the hash in testing), whereas floor of an
+# identical double is. Magnitudes stay ≤ ~1e13, far inside the 2^53
+# exact-double range. Every gap row has both neighbors because the
+# grid spans exactly [first, last] per entity; no epoch arithmetic,
+# no tz exposure.
+_INTERP_SQL = """
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS h,
+             round(sum(value), 4) AS v
+      FROM events GROUP BY 1, 2
+    ), hq AS (
+      SELECT user_id, h, v,
+             CAST(round(v * 10000, 0) AS BIGINT) AS vq
+      FROM hourly
+    ), bounds AS (
+      SELECT user_id, min(h) AS h0, max(h) AS h1 FROM hq GROUP BY 1
+    ), grid AS (
+      SELECT user_id,
+             unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+      FROM bounds
+    ), j AS (
+      SELECT g.user_id, g.h, hv.v, hv.vq,
+             CAST(row_number() OVER (
+               PARTITION BY g.user_id ORDER BY g.h) AS BIGINT) AS pos
+      FROM grid g
+      LEFT JOIN hq hv ON g.user_id = hv.user_id AND g.h = hv.h
+    ), nb AS (
+      SELECT user_id, h, v, pos,
+             last_value(vq IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pvq,
+             last_value(CASE WHEN vq IS NOT NULL THEN pos END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ppos,
+             first_value(vq IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nvq,
+             first_value(CASE WHEN vq IS NOT NULL THEN pos END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS npos
+      FROM j
+    )
+    SELECT user_id, h, v,
+           CASE WHEN v IS NOT NULL THEN v
+                ELSE (pvq + CAST(FLOOR((nvq - pvq) * (pos - ppos)
+                                       / (npos - ppos)) AS BIGINT))
+                     / 10000.0
+           END AS v_li
+    FROM nb
+"""
+
+
+@register("q_ts_interpolate", _INTERP_SQL)
+def q_ts_interpolate(spark, sf_dir):
+    """Linear-interpolation resample — the other half of grid
+    regularization (q_ts_gapfill carries the LAST value forward; this
+    draws the straight line between the surrounding observations, the
+    right fill for continuous measurements like vitals or rates where
+    a step function biases downstream models). Same dense per-entity
+    hourly grid and single user_id shuffle family; the neighbor lookup
+    is two IGNORE NULLS window passes (prev value+position, next
+    value+position) and the gap math runs in integer µ-units with a
+    FLOOR step — engine-exact (a final float round is NOT: Spark
+    rounds half-up, DuckDB half-even). Observed rows pass `v` through
+    untouched; `v_li` is the dense series a fixed-step consumer
+    reads."""
+    e = events(spark, sf_dir)
+    hourly = e.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.round(F.sum("value"), 4).alias("v"))
+    hq = hourly.withColumn(
+        "vq", F.expr("cast(round(v * 10000, 0) as bigint)")
+    )
+    bounds = hq.groupBy("user_id").agg(
+        F.min("h").alias("_b0"), F.max("h").alias("_b1")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("_b0", "_b1", F.expr("interval 1 hour"))
+        ).alias("h"),
+    )
+    wpos = Window.partitionBy("user_id").orderBy("h")
+    j = grid.join(hq, ["user_id", "h"], "left").withColumn(
+        "pos", F.row_number().over(wpos).cast("bigint")
+    )
+    wprev = (
+        Window.partitionBy("user_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wnext = (
+        Window.partitionBy("user_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_pos = F.when(F.col("vq").isNotNull(), F.col("pos"))
+    nb = (
+        j.withColumn("pvq", F.last("vq", ignorenulls=True).over(wprev))
+        .withColumn("ppos", F.last(obs_pos, ignorenulls=True).over(wprev))
+        .withColumn("nvq", F.first("vq", ignorenulls=True).over(wnext))
+        .withColumn("npos", F.first(obs_pos, ignorenulls=True).over(wnext))
+    )
+    interp = (
+        F.col("pvq")
+        + F.floor(
+            (F.col("nvq") - F.col("pvq"))
+            * (F.col("pos") - F.col("ppos"))
+            / (F.col("npos") - F.col("ppos"))
+        ).cast("bigint")
+    ) / F.lit(10000.0)
+    return nb.select(
+        "user_id",
+        "h",
+        "v",
+        F.when(F.col("v").isNotNull(), F.col("v")).otherwise(interp).alias("v_li"),
+    )
+
+
 # event_id is the unique arrival-order key, so open/close are
 # arg_min/arg_max on it — deterministic in both engines (no ts ties to
 # break). min/max/arg extremes pass parquet doubles through untouched;

@@ -1326,3 +1326,33 @@ def test_minhash_estimate_tracks_exact_jaccard(spark, sf_dir):
             assert r.est_bps == 10000
         errs.append(abs(r.est_bps - r.jaccard_bps))
     assert sum(errs) / len(errs) <= 2000
+
+
+def test_interpolate_bounded_and_exact_on_facts(spark, sf_dir):
+    """q_ts_interpolate invariants: observed rows pass v through
+    unchanged (v_li == v), every gap row is filled (v_li never null —
+    the grid spans [first, last] so both neighbors always exist), and
+    each interpolated value lies inside the closed interval of its
+    surrounding observations (linearity bound; floor can only pull
+    toward the lower neighbor, never outside)."""
+    from hcls_data_lake_spark import registry
+
+    rows = registry.queries()["q_ts_interpolate"](spark, sf_dir).collect()
+    assert rows
+    by_user = {}
+    for r in sorted(rows, key=lambda r: (r.user_id, r.h)):
+        by_user.setdefault(r.user_id, []).append(r)
+    saw_gap = False
+    for series in by_user.values():
+        obs = [(i, r.v) for i, r in enumerate(series) if r.v is not None]
+        for i, r in enumerate(series):
+            assert r.v_li is not None
+            if r.v is not None:
+                assert r.v_li == r.v
+                continue
+            saw_gap = True
+            prev = next(v for j, v in reversed(obs) if j < i)
+            nxt = next(v for j, v in obs if j > i)
+            lo, hi = min(prev, nxt), max(prev, nxt)
+            assert lo - 1e-4 <= r.v_li <= hi + 1e-4
+    assert saw_gap, "fixture series expected to contain silent hours"
