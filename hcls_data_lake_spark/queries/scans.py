@@ -170,6 +170,66 @@ def q_sink_partitioned_write(spark, sf_dir):
 
 
 @register(
+    "q_sink_backfill_overwrite",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, event_type, value FROM events
+    ), tgt AS (
+      SELECT min(d) + 2 AS td FROM daily
+    )
+    SELECT d, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM daily, tgt
+    WHERE NOT (d = td AND event_type = 'error')
+    GROUP BY d, event_type
+    """,
+)
+def q_sink_backfill_overwrite(spark, sf_dir):
+    """Idempotent partition backfill via DYNAMIC partition overwrite —
+    the lake-maintenance op behind every reprocess: write the full
+    date-partitioned zone, then rewrite exactly ONE day from a
+    corrected source (here: the quality reprocess that drops that
+    day's error events) with
+    ``spark.sql.sources.partitionOverwriteMode=dynamic``, which
+    replaces only the partitions the corrected batch CONTAINS —
+    static overwrite mode would truncate the whole table, the classic
+    backfill foot-gun. The oracle computes the expected post-backfill
+    state (all days as landed, target day corrected), so the check
+    proves both that the target partition was replaced and that every
+    other partition survived byte-equivalent. Re-running the backfill
+    rewrites the same content — idempotent by construction. At 100 TB
+    the rewrite cost is one day's partition, never the table; the
+    target-day scalar is an O(1) bounded collect (same pattern as the
+    streaming cutoffs)."""
+    from hcls_data_lake_spark.queries.common import events as events_t
+
+    path = scratch_for(sf_dir, "events_backfill_zone")
+    e = events_t(spark, sf_dir).select(
+        F.to_date("ts").alias("d"), "event_type", "value"
+    )
+    e.write.mode("overwrite").partitionBy("d").parquet(path)
+    target = e.agg(F.date_add(F.min("d"), 2)).first()[0]
+    corrected = e.filter(
+        (F.col("d") == F.lit(target)) & (F.col("event_type") != "error")
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        corrected.write.mode("overwrite").partitionBy("d").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return (
+        spark.read.parquet(path)
+        .groupBy("d", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+@register(
     "q_scan_orc",
     """
     SELECT p_brand,

@@ -1356,3 +1356,37 @@ def test_interpolate_bounded_and_exact_on_facts(spark, sf_dir):
             lo, hi = min(prev, nxt), max(prev, nxt)
             assert lo - 1e-4 <= r.v_li <= hi + 1e-4
     assert saw_gap, "fixture series expected to contain silent hours"
+
+
+def test_dynamic_partition_overwrite_leaves_other_partitions(spark, tmp_path):
+    """The backfill contract behind q_sink_backfill_overwrite: with
+    partitionOverwriteMode=dynamic, an overwrite write replaces ONLY
+    the partitions present in the incoming batch — the other
+    partitions' data files must survive UNTOUCHED (same file names),
+    and in static mode the same write would have truncated them."""
+    import os
+
+    path = str(tmp_path / "zone")
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3), ("c", 4)], "k string, v int"
+    )
+    df.write.mode("overwrite").partitionBy("k").parquet(path)
+
+    def files_of(part):
+        d = os.path.join(path, f"k={part}")
+        return sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+
+    before_b, before_c = files_of("b"), files_of("c")
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        spark.createDataFrame([("a", 9)], "k string, v int").write.mode(
+            "overwrite"
+        ).partitionBy("k").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    assert files_of("b") == before_b and files_of("c") == before_c
+    back = {
+        (r.k, r.v) for r in spark.read.parquet(path).collect()
+    }
+    assert back == {("a", 9), ("b", 3), ("c", 4)}
