@@ -111,6 +111,9 @@ EXTENDED = [
     "q_sketch_bloom_md5",     # bloom prefilter census
     "q_stream_countmin",      # streamed mergeable CMS cells
     "q_stream_hll",           # streamed mergeable HLL registers
+    "q_dedup_minhash_est",    # minhash estimator vs exact Jaccard
+    "q_ts_interpolate",       # dense-grid linear interpolation
+    "q_sink_backfill_overwrite",  # dynamic-partition day backfill
 ]
 
 
