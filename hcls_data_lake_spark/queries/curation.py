@@ -362,3 +362,87 @@ def q_privacy_date_shift(spark, sf_dir):
         ),
         "shift_days",
     )
+
+
+@register(
+    "q_privacy_pseudonymize",
+    """
+    WITH c AS (
+      SELECT substr(md5('tenant-key-1:' || CAST(c_custkey AS VARCHAR)), 1, 16)
+               AS pid,
+             c_mktsegment
+      FROM customer
+    ), o AS (
+      SELECT substr(md5('tenant-key-1:' || CAST(o_custkey AS VARCHAR)), 1, 16)
+               AS pid,
+             o_totalprice
+      FROM orders
+    )
+    SELECT c.c_mktsegment AS segment,
+           CAST(count(DISTINCT c.pid) AS BIGINT) AS n_patients,
+           CAST(count(o.pid) AS BIGINT) AS n_orders,
+           CAST(SUM(COALESCE(CAST(round(o.o_totalprice * 100, 0) AS BIGINT),
+                             0)) AS BIGINT) / 100.0 AS total_spend
+    FROM c LEFT JOIN o ON o.pid = c.pid
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_privacy_pseudonymize(spark, sf_dir):
+    """Keyed pseudonymization (HIPAA-style re-identification-resistant
+    tokens): every patient key is replaced by a 16-hex digest of
+    tenant-key + id BEFORE any join leaves the trust boundary, and the
+    analysis joins ON THE PSEUDONYM — proving referential integrity
+    survives de-identification (the same patient tokenizes identically
+    in every table, with no escrow mapping to leak; rotate the tenant
+    key to unlink releases). The aggregate reproduces a per-segment
+    utilization report entirely in pseudonym space, with the money
+    sum in integer cents (the analytics-family discipline: per-row
+    round(price*100) is the same IEEE op in both engines; the bigint
+    sum is then order-independent under ANY partitioning). Map-side
+    digest on both sides, one equi-join on the (uniformly distributed)
+    token — skew-free by construction at any scale. Complements
+    q_privacy_date_shift (same derived-not-drawn determinism, applied
+    to identity instead of time)."""
+    c = t(spark, sf_dir, "customer").select(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("tenant-key-1:"), F.col("c_custkey").cast("string")
+                ).cast("binary")
+            ),
+            1,
+            16,
+        ).alias("pid"),
+        "c_mktsegment",
+    )
+    o = t(spark, sf_dir, "orders").select(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("tenant-key-1:"), F.col("o_custkey").cast("string")
+                ).cast("binary")
+            ),
+            1,
+            16,
+        ).alias("opid"),
+        "o_totalprice",
+    )
+    return (
+        c.join(o, c["pid"] == o["opid"], "left")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.countDistinct("pid").alias("n_patients"),
+            F.count("opid").alias("n_orders"),
+            (
+                F.sum(
+                    F.coalesce(
+                        F.expr(
+                            "cast(round(o_totalprice * 100, 0) as bigint)"
+                        ),
+                        F.lit(0).cast("bigint"),
+                    )
+                )
+                / F.lit(100.0)
+            ).alias("total_spend"),
+        )
+    )

@@ -101,8 +101,9 @@ def register(name: str, oracle: str | None) -> Callable[[QueryFn], QueryFn]:
 # q_sketch_hll_md5 + _merge, q_sketch_bloom_md5, and the streamed
 # mergeable sketches q_stream_countmin / q_stream_hll, all
 # oracle-hash-checked) are r5's rotation pool, together with the
-# late-r4 additions q_dedup_minhash_est, q_ts_interpolate and
-# q_sink_backfill_overwrite (68 names for a 239-query registry).
+# late-r4 additions q_dedup_minhash_est, q_ts_interpolate,
+# q_sink_backfill_overwrite and q_privacy_pseudonymize (69 names for
+# a 240-query registry).
 _FAMILY_REPRESENTATIVES = [
     # -- §2.B stragglers without a green driver row (VERDICT r3 #2) --
     "q_agg_approx_distinct",
