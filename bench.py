@@ -114,6 +114,7 @@ EXTENDED = [
     "q_dedup_minhash_est",    # minhash estimator vs exact Jaccard
     "q_ts_interpolate",       # dense-grid linear interpolation
     "q_sink_backfill_overwrite",  # dynamic-partition day backfill
+    "q_privacy_pseudonymize",  # keyed tokens + join in pseudonym space
 ]
 
 
