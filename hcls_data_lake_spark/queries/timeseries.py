@@ -16,6 +16,21 @@ from hcls_data_lake_spark.operators.timeseries import gap_fill_locf
 from hcls_data_lake_spark.queries.common import events
 from hcls_data_lake_spark.registry import register
 
+
+def _hour_ntz():
+    """Hour bucket of the events `ts` as TIMESTAMP_NTZ via integer
+    epoch arithmetic on the tz-free `ts_ns` column. Spark's
+    ``date_trunc("hour", ts)`` returns a session-tz TIMESTAMP even for
+    an NTZ input — under a non-UTC driver session every bucket (and
+    the whole hourly grid keyed on it) shifts by the session offset; a
+    UTC-session parity run cannot see it (caught by the hostile-session
+    suite). Integer ``div`` truncates toward zero, which equals the
+    floor for the fixtures' post-1970 nanos."""
+    return F.expr(
+        "timestampadd(HOUR, cast(ts_ns div 3600000000000 as int),"
+        " cast('1970-01-01 00:00:00' as timestamp_ntz))"
+    )
+
 # DuckDB mirrors the operator exactly: hourly agg -> per-user bounds ->
 # generate_series grid -> left join -> IGNORE NULLS running last_value.
 # sum(value) is rounded at the hourly-agg level in BOTH engines so the
@@ -53,7 +68,7 @@ def q_ts_gapfill(spark, sf_dir):
     no global sort, entity-parallel at any scale."""
     e = events(spark, sf_dir)
     hourly = e.groupBy(
-        "user_id", F.date_trunc("hour", "ts").alias("h")
+        "user_id", _hour_ntz().alias("h")
     ).agg(F.round(F.sum("value"), 4).alias("v"))
     return gap_fill_locf(
         hourly,
@@ -141,7 +156,7 @@ def q_ts_interpolate(spark, sf_dir):
     reads."""
     e = events(spark, sf_dir)
     hourly = e.groupBy(
-        "user_id", F.date_trunc("hour", "ts").alias("h")
+        "user_id", _hour_ntz().alias("h")
     ).agg(F.round(F.sum("value"), 4).alias("v"))
     hq = hourly.withColumn(
         "vq", F.expr("cast(round(v * 10000, 0) as bigint)")

@@ -30,6 +30,9 @@ HOSTILE_SET = [
     "q_ts_ohlc",
     "q_ts_sessionize",
     "q_sort_limit",
+    "q_ts_interpolate",          # hourly NTZ grid over ts_ns
+    "q_ts_gapfill",              # same grid (latent tz bug caught here)
+    "q_sink_backfill_overwrite", # to_date(ts) partition keys + target day
 ]
 
 
