@@ -871,7 +871,11 @@ def q_analytics_profit(spark, sf_dir):
 def q_analytics_promo(spark, sf_dir):
     """TPC-H-Q14-style promotion effect: promo revenue share per ship
     month — conditional and unconditional sums in ONE aggregation pass
-    over the broadcast part join (never two scans + a self-join)."""
+    over the broadcast part join (never two scans + a self-join).
+    ship_month is trunc(date)→timestamp_ntz, NOT date_trunc: Spark's
+    date_trunc returns a session-tz TIMESTAMP, which renders
+    offset-shifted under a non-UTC driver session (hostile-sweep
+    catch, same class as the q_ts_gapfill grid bug)."""
     li = t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
@@ -880,7 +884,11 @@ def q_analytics_promo(spark, sf_dir):
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
+        .groupBy(
+            F.trunc("l_shipdate", "month")
+            .cast("timestamp_ntz")
+            .alias("ship_month")
+        )
         .agg(
             F.round(
                 F.lit(100.0)

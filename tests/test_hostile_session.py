@@ -33,6 +33,7 @@ HOSTILE_SET = [
     "q_ts_interpolate",          # hourly NTZ grid over ts_ns
     "q_ts_gapfill",              # same grid (latent tz bug caught here)
     "q_sink_backfill_overwrite", # to_date(ts) partition keys + target day
+    "q_analytics_promo",         # trunc(date)->ntz month (2nd tz catch)
 ]
 
 
