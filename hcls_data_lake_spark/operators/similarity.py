@@ -262,7 +262,16 @@ def _cached_index(cache_key: tuple, spark, builder):
     allocator, and a recycled address plus an identical table
     fingerprint would hand out a DataFrame bound to a dead session."""
     ident = cache_key[0]
-    key = (spark.sparkContext.applicationId,) + cache_key if ident else None
+    app_id = spark.sparkContext.applicationId
+    key = (app_id,) + cache_key if ident else None
+    # Entries keyed by a different applicationId belong to a stopped
+    # SparkContext: their persisted blocks are already gone, but the
+    # driver-side DataFrame references linger, pin JVM objects, and
+    # occupy live-session cache slots until FIFO happens to reach
+    # them. Drop them eagerly (ADVICE r4) — nothing to unpersist, the
+    # owning context is dead.
+    for stale in [k for k in _INDEX_CACHE if k[0] != app_id]:
+        del _INDEX_CACHE[stale]
     if key is not None and key in _INDEX_CACHE:
         return _INDEX_CACHE[key]
     built = builder()

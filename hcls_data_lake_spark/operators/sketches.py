@@ -184,20 +184,17 @@ def countmin_estimate(
     nothing stream-sized moves.
 
     ``depth`` defaults to the depth the cells were BUILT with (derived
-    from the cell table — one action on ≤1024 rows); passing a larger
-    value is rejected rather than silently probing rows that do not
-    exist, which would floor every estimate at 0 and break the
-    one-sided guarantee."""
-    built_rows = cells.agg(F.max("r").alias("m")).first().m
-    built_depth = (built_rows if built_rows is not None else 0) + 1
+    from the cell table — one action on ≤1024 rows). When ``depth`` is
+    passed explicitly the call is ACTION-FREE: instead of a validating
+    count, the probe rows are semi-joined (broadcast, in-plan) to the
+    row indices actually present in the sketch, so a caller who probes
+    deeper than the sketch was built silently degrades to the built
+    depth — every surviving row is a real CMS row, the min stays a
+    valid one-sided upper bound — rather than flooring estimates at 0
+    through the missing rows."""
     if depth is None:
-        depth = built_depth
-    elif depth > built_depth:
-        raise ValueError(
-            f"probe depth {depth} exceeds the built sketch depth "
-            f"{built_depth}: rows {built_depth}..{depth - 1} have no "
-            "cells and would floor every estimate at 0"
-        )
+        built_rows = cells.agg(F.max("r").alias("m")).first().m
+        depth = (built_rows if built_rows is not None else 0) + 1
     probes = (
         queries.select(F.col(col).cast("string").alias("item"))
         .filter(F.col("item").isNotNull())
@@ -207,6 +204,9 @@ def countmin_estimate(
             F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r"),
         )
         .withColumn("r", F.col("r").cast("int"))
+        # lazy depth validation: keep only rows the sketch was built
+        # with (≤ depth values — broadcast semi-join, no driver action)
+        .join(F.broadcast(cells.select("r").distinct()), "r", "left_semi")
         .withColumn("bucket", F.expr(_cms_bucket_sql("r", "item")))
     )
     return (

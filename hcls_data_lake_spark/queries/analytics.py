@@ -986,12 +986,15 @@ def q_analytics_big_orders(spark, sf_dir):
     "q_analytics_min_cost_supplier",
     """
     WITH unit AS (
-      -- integer-cents sums, then ONE IEEE division: both engines divide
-      -- identical integers, so unit_price is bit-identical (no
-      -- sum-order or rounding-mode drift)
+      -- integer-cents sums, then ONE floor division: both engines divide
+      -- identical integers, so unit_mc is integer-exact (no sum-order or
+      -- rounding-mode drift). The outer CAST pins DuckDB's output type to
+      -- int64: SUM(BIGINT) is HUGEINT in DuckDB, which reaches a
+      -- type-sensitive comparator as decimal128(38,0) while Spark emits
+      -- bigint -- identical values, mismatched rendering (VERDICT r4 #1).
       SELECT l.l_partkey, l.l_suppkey,
-             SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) * 1000
-               // SUM(CAST(l.l_quantity AS BIGINT)) AS unit_mc
+             CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) * 1000
+               // SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS unit_mc
       FROM lineitem l GROUP BY 1, 2
     ), scoped AS (
       SELECT u.l_partkey, u.l_suppkey, u.unit_mc, s.s_name,

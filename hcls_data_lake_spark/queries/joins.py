@@ -444,8 +444,12 @@ def q_join_asof(spark, sf_dir):
       SELECT event_id, user_id, ts FROM events
       WHERE event_type = 'purchase'
     ), clicks AS (
-      SELECT event_id AS click_id, user_id, ts FROM events
-      WHERE event_type = 'click'
+      -- pre-reduce to one click per (user_id, ts): DuckDB ASOF's
+      -- choice among equal c.ts matches is unspecified, so the
+      -- tie-break (max click_id) is pinned BEFORE the join in both
+      -- engines rather than left to engine internals (ADVICE r4)
+      SELECT MAX(event_id) AS click_id, user_id, ts FROM events
+      WHERE event_type = 'click' GROUP BY user_id, ts
     )
     SELECT p.event_id, p.user_id,
            CASE WHEN c.ts >= p.ts - INTERVAL 36 HOUR
@@ -470,16 +474,26 @@ def q_join_asof_tolerance(spark, sf_dir):
     e = t(spark, sf_dir, "events")
     tol_ns = 36 * 3600 * 1_000_000_000
     purchases = e.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts", "ts_ns",
+        "event_id", "user_id", "ts_ns",
         F.lit(1).alias("is_p"),
         F.lit(None).cast("long").alias("click_id"),
         F.lit(None).cast("long").alias("click_ns"),
     )
-    clicks = e.filter(F.col("event_type") == "click").select(
-        "event_id", "user_id", "ts", "ts_ns",
-        F.lit(0).alias("is_p"),
-        F.col("event_id").alias("click_id"),
-        F.col("ts_ns").alias("click_ns"),
+    # Pre-reduce clicks to one row per (user_id, ts_ns), keeping the
+    # max event_id — mirrors the oracle's clicks CTE exactly, so the
+    # exact-timestamp tie-break is pinned in BOTH engines before any
+    # as-of logic runs (ADVICE r4: DuckDB ASOF's pick among equal-ts
+    # candidates is unspecified).
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts_ns")
+        .agg(F.max("event_id").alias("click_id"))
+        .select(
+            F.col("click_id").alias("event_id"), "user_id", "ts_ns",
+            F.lit(0).alias("is_p"),
+            "click_id",
+            F.col("ts_ns").alias("click_ns"),
+        )
     )
     unioned = purchases.unionByName(clicks)
     # Order by the NANOSECOND timestamp (the precision the tolerance
@@ -488,7 +502,8 @@ def q_join_asof_tolerance(spark, sf_dir):
     # order (last() then picks arbitrarily per run), and a click
     # nanoseconds after a purchase inside one microsecond would match
     # here while failing the oracle's nano-precision p.ts >= c.ts.
-    # click_id breaks exact-nanosecond ties deterministically.
+    # click_id stays in the ordering as a belt-and-braces total order
+    # (unique per (user_id, ts_ns) after the pre-reduce).
     w = (
         Window.partitionBy("user_id")
         .orderBy(

@@ -728,7 +728,15 @@ def q_stream_countmin(spark, sf_dir):
     independent of batch row count) — the bounded-memory frequency
     monitor for an unbounded 100 TB/day stream. Estimates probe the
     merged cells for every distinct user below 40, with exact counts
-    joined for the verification leg."""
+    joined for the verification leg.
+
+    Retry safety: foreachBatch is at-least-once, and CMS merge is a
+    SUM — a blindly-appended retried micro-batch would double-count
+    (unlike the HLL twin, whose max-merge is naturally idempotent).
+    Each batch therefore OVERWRITES its own batch_id-keyed partition
+    directory, so a replayed batch replaces rather than duplicates its
+    cells and the 'byte-identical to the batch sketch' claim holds
+    under retries, not just in a clean single run."""
     out_root = scratch_for(sf_dir, "cms_cells")
     shutil.rmtree(out_root, ignore_errors=True)
     from hcls_data_lake_spark.operators.sketches import (
@@ -742,12 +750,12 @@ def q_stream_countmin(spark, sf_dir):
 
     def build_cells(batch_df, batch_id):
         countmin_cells(batch_df, "item", depth=4).write.mode(
-            "append"
-        ).parquet(out_root)
+            "overwrite"
+        ).parquet(f"{out_root}/batch_id={batch_id}")
 
     run_foreach_batch(sdf, build_cells)
     merged = (
-        spark.read.parquet(out_root)
+        spark.read.option("basePath", out_root).parquet(out_root)
         .groupBy("r", "bucket")
         .agg(F.sum("cnt").cast("bigint").alias("cnt"))
     )

@@ -84,31 +84,97 @@ def register(name: str, oracle: str | None) -> Callable[[QueryFn], QueryFn]:
 # correctness sweep — then cover every family instead of exhausting the
 # budget inside whichever module happens to import first.
 #
-# Round-4 rotation: the leading block is (a) the two §2.B names whose
-# only driver history is an r1 FAIL under a since-retired oracle
-# (q_agg_approx_distinct) or no sample at all (q_udf_parse_er7), then
-# (b) 48 of the 88 registry names the driver has never sampled across
-# r1-r3 — 47 of the 50 are oracle-hash checks. With r1-r3's 122 unique
-# sampled names this lifts cumulative driver coverage to 170/210.
-# Prior rotations' names keep their recorded rows; the remaining 39
-# never-sampled names plus the 26 operators ADDED in r4 (the registry
-# grew 210 -> 236: l-diversity, keep-best, PCA, containment, diag_*
-# incl. the referential / completeness audits, compact/expire, passage
-# dedup, shuffled shards, token budget, PQ / IVF-PQ ANN, the Q20-shape
-# excess supplier, the tolerance-bounded as-of join, and the
-# engine-neutral verifiable family — q_graph_pagerank_exact,
-# q_dedup_lsh_bands, q_dedup_simhash_md5, q_sketch_countmin,
-# q_sketch_hll_md5 + _merge, q_sketch_bloom_md5, and the streamed
-# mergeable sketches q_stream_countmin / q_stream_hll, all
-# oracle-hash-checked) are r5's rotation pool, together with the
-# late-r4 additions q_dedup_minhash_est, q_ts_interpolate,
-# q_sink_backfill_overwrite and q_privacy_pseudonymize (69 names for
-# a 240-query registry).
+# Round-5 rotation (VERDICT r4 ask #3): slot 1 re-confirms the one r4
+# red row under its fixed oracle (q_analytics_min_cost_supplier — the
+# DuckDB HUGEINT output type is now pinned to BIGINT; values were
+# verified byte-identical). Slots 2-50 are 49 of the 58 oracle-hash
+# names the driver has never sampled across r1-r4 (the pool the r4
+# registry comment promised): the engine-neutral verifiable family
+# (sketches, PageRank-exact, md5 LSH/SimHash, MinHash estimator), the
+# diag_* audits, privacy, time-series interpolation, backfill
+# overwrite, the tolerance/fuzzy/overlap join trio, sampling, and the
+# analytics remainder. With r1-r4's 171 unique sampled names this
+# lifts cumulative driver coverage to 220/240. The r6 queue follows
+# immediately after: the 9 deferred hash names, then the 11
+# rows-only-by-contract names (recall-gated ANN / sketch / multimodal
+# ops whose semantics pytest pins), then any r5 additions.
 _FAMILY_REPRESENTATIVES = [
-    # -- §2.B stragglers without a green driver row (VERDICT r3 #2) --
+    # -- slot 1: the r4 red row, oracle fixed (CAST ... AS BIGINT) --
+    "q_analytics_min_cost_supplier",
+    # -- never driver-sampled, oracle-hash-checked (r5 rotation) --
+    "q_dedup_minhash_est",
+    "q_dedup_lsh_bands",
+    "q_dedup_simhash_md5",
+    "q_dedup_keep_best",
+    "q_graph_pagerank_exact",
+    "q_sketch_countmin",
+    "q_sketch_hll_md5",
+    "q_sketch_hll_merge",
+    "q_sketch_bloom_md5",
+    "q_stream_countmin",
+    "q_stream_hll",
+    "q_ts_interpolate",
+    "q_sink_backfill_overwrite",
+    "q_privacy_pseudonymize",
+    "q_privacy_l_diversity",
+    "q_diag_referential",
+    "q_diag_completeness",
+    "q_diag_profile",
+    "q_diag_key_skew",
+    "q_join_asof_tolerance",
+    "q_join_fuzzy",
+    "q_join_range_overlap",
+    "q_join_temporal",
+    "q_text_containment",
+    "q_text_passage_dedup",
+    "q_text_repetition",
+    "q_text_redact",
+    "q_decontaminate",
+    "q_analytics_excess_supplier",
+    "q_analytics_order_distribution",
+    "q_analytics_disjunctive_revenue",
+    "q_analytics_forecast_revenue",
+    "q_analytics_nation_volume",
+    "q_analytics_parts_suppliers",
+    "q_agg_regression",
+    "q_agg_entropy",
+    "q_agg_winsorize",
+    "q_sample_stratified",
+    "q_sample_mix",
+    "q_sample_token_budget",
+    "q_sink_shuffled_shards",
+    "q_scan_json_corrupt",
+    "q_scan_binaryfile",
+    "q_scan_federated",
+    "q_stream_static_join",
+    "q_stream_pysource_typed",
+    "q_stream_complete_topk",
+    "q_embed_quantize",
+    "q_pack_sequences",
+    # -- r6 queue: deferred hash names, then rows-only-by-contract --
+    "q_layout_zorder",
+    "q_fn_collation",
+    "q_fn_json_build",
+    "q_agg_bool",
+    "q_agg_listagg",
+    "q_analytics_local_volume",
+    "q_analytics_big_orders",
+    "q_pipeline_compact",
+    "q_pipeline_expire",
+    "q_agg_hll_sketch",
+    "q_sim_ann_ivf",
+    "q_agg_approx_quantile",
+    "q_dedup_minhash_lsh",
+    "q_dedup_simhash",
+    "q_sim_ann_lsh",
+    "q_sim_ann_pq",
+    "q_sim_ann_ivfpq",
+    "q_multimodal_frames",
+    "q_multimodal_binary",
+    "q_embed_pca_project",
+    # -- r4 rotation block (driver rows recorded in CORRECTNESS_r04) --
     "q_agg_approx_distinct",
     "q_udf_parse_er7",
-    # -- never driver-sampled (r4 rotation) --
     "q_hl7_typed_oru",
     "q_udtf_explode_segments",
     "q_subquery_scalar",
@@ -146,7 +212,6 @@ _FAMILY_REPRESENTATIVES = [
     "q_analytics_market_share",
     "q_analytics_profit",
     "q_analytics_promo",
-    "q_analytics_min_cost_supplier",
     "q_pipeline_zone_route",
     "q_pipeline_retrieval",
     "q_pipeline_catalog_upsert",
@@ -247,15 +312,7 @@ _FAMILY_REPRESENTATIVES = [
     "q_agg_salted_skew",
     "q_join_salted_skew",
     "q_rollup_hybrid",
-    "q_layout_zorder",
-    "q_pack_sequences",
-    "q_agg_hll_sketch",
-    "q_sim_ann_ivf",
-    "q_embed_quantize",
     "q_join_range_bin",
-    "q_join_temporal",
-    "q_analytics_local_volume",
-    "q_analytics_big_orders",
     "q_agg_median",
 ]
 

@@ -1109,6 +1109,15 @@ def test_countmin_upper_bound_and_cell_conservation(spark):
     for item, n in truth.items():
         assert est[item] >= n, f"{item}: est {est[item]} < true {n}"
     assert est["never-seen"] >= 0
+    # Over-deep probe degrades to the built depth (lazy in-plan depth
+    # validation — ADVICE r4): estimates identical to the depth-4
+    # probe, one-sided bound intact, no zero-flooring through the
+    # 4 rows that were never built.
+    over = {
+        r["item"]: r["est"]
+        for r in countmin_estimate(cells, qs, "item", depth=8).collect()
+    }
+    assert over == est
 
 
 def test_lsh_band_collision_iff_band_equality(spark):
