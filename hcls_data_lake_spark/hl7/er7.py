@@ -32,9 +32,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StringType
 
 from hcls_data_lake_spark.hl7.grammar import (
+    VARIES_TYPES,
+    field_datatype,
     field_repeats,
     is_known,
     is_repeatable,
+    structure_for,
 )
 
 SEGMENT_SEP = "\r"
@@ -184,7 +187,9 @@ def er7_unescape(value: Column) -> Column:
 # ------------------------------------------------------------ UDF path
 
 
-def _parse_field(raw: str, seg_id: str = "", field_num: int = 0) -> object:
+def _parse_field(
+    raw: str, seg_id: str = "", field_num: int = 0, dt: str | None = None
+) -> object:
     """Field -> str | dict of components | list of repetitions.
 
     GRAMMAR-driven at field level, like the reference (the repetitions
@@ -195,19 +200,29 @@ def _parse_field(raw: str, seg_id: str = "", field_num: int = 0) -> object:
     Fields unknown to the table stay data-driven (`~` -> list), so
     repetition is never lost. Components/subcomponents cannot repeat
     on the wire (only `~` repeats), so field level completes the
-    grammar-shape fix."""
+    grammar-shape fix. ``dt`` overrides the vendored field datatype
+    (the OBX-5 'varies' case, typed by OBX-2 at parse time)."""
+    if dt is None:
+        dt = field_datatype(seg_id, field_num)
     if REP_SEP in raw:
-        return [_parse_rep(rep) for rep in raw.split(REP_SEP)]
+        return [_parse_rep(rep, dt) for rep in raw.split(REP_SEP)]
     if field_repeats(seg_id, field_num):
-        return [_parse_rep(raw)]
-    return _parse_rep(raw)
+        return [_parse_rep(raw, dt)]
+    return _parse_rep(raw, dt)
 
 
-def _parse_rep(raw: str) -> object:
-    """One field repetition -> str | dict of components."""
+def _parse_rep(raw: str, dt: str | None = None) -> object:
+    """One field repetition -> str | dict of components. Components are
+    keyed by the field's DATATYPE short name when the vendored grammar
+    knows it (``XPN_1``, ``CX_1``, ... — hl7apy's spelling, which the
+    reference inherits via child_element.name at
+    parse_er7_lambda.py:41), falling back to synthetic ``C<n>`` for
+    fields outside the vendored table."""
     if COMP_SEP in raw:
+        prefix = dt if dt is not None else "C"
+        sep = "_" if dt is not None else ""
         return {
-            f"C{i + 1}": _parse_subcomponents(c)
+            f"{prefix}{sep}{i + 1}": _parse_subcomponents(c)
             for i, c in enumerate(raw.split(COMP_SEP))
         }
     return _parse_subcomponents(raw)
@@ -228,14 +243,24 @@ def parse_er7(msg: str, strict: bool = False) -> str | None:
     """Parse one ER7 message to a nested JSON document string.
 
     Document shape is GRAMMAR-driven (hl7.grammar vendored cardinality
-    table, standing in for hl7apy — parse_er7_lambda.py:57-65): a
+    tables, standing in for hl7apy — parse_er7_lambda.py:57-65): a
     segment whose grammar allows repetition maps to a LIST of segment
     dicts even when it occurs once (NK1 appearing a single time is
     still a list), while a max-1 segment (MSH, PID, EVN, ...) attaches
-    as a plain dict. The same rule applies per FIELD via
+    as a plain dict. Cardinality is keyed per MESSAGE STRUCTURE when
+    the message's family is vendored (resolved from MSH-9.3 or the
+    event->structure map), exactly how the reference's
+    ``parent.repetitions[name]`` lookup works: OBR is max-1 within
+    ORU_R01's order group (dict per occurrence) while ADT's directly
+    repeating OBX stays a list; unknown structures fall back to the
+    union-over-families table. The same rule applies per FIELD via
     grammar.FIELD_REPEATABLE (a singleton PID-13 is a one-element
-    list). Fields are ``<SEG>_<n>`` keyed (HL7 short names,
-    parse_er7_lambda.py:41).
+    list). Fields are ``<SEG>_<n>`` keyed and components by the
+    field's DATATYPE (``XPN_1``, not ``C1``) where the vendored
+    grammar covers the field — HL7 short names, parse_er7_lambda.py:41
+    — with OBX-5's 'varies' datatype resolved from OBX-2 per segment.
+    Subcomponents keep synthetic ``S<n>`` keys (hl7apy would name them
+    by the component's own datatype — COVERAGE.md A14 caveat).
 
     ``strict=True`` mirrors the reference's version-validation failure
     mode (parse_er7_lambda.py:35-38 raises on elements unknown to the
@@ -251,6 +276,7 @@ def parse_er7(msg: str, strict: bool = False) -> str | None:
         if not text.startswith("MSH"):
             return None
         doc: dict[str, object] = {}
+        structure: str | None = None
         for seg in text.split(SEGMENT_SEP):
             if len(seg) < 3:
                 continue
@@ -263,24 +289,51 @@ def parse_er7(msg: str, strict: bool = False) -> str | None:
                 body["MSH_2"] = seg[4:8]
                 fields = seg[9:].split(FIELD_SEP)
                 offset = 3
+                # resolve the message structure from raw MSH-9 before
+                # any shape decision: explicit MSH-9.3 wins, else the
+                # v2.5 event->structure map (None -> union fallback)
+                if len(fields) > 6:
+                    m9 = fields[6].split(COMP_SEP)
+                    structure = structure_for(
+                        m9[0],
+                        m9[1] if len(m9) > 1 else "",
+                        m9[2] if len(m9) > 2 else None,
+                    )
             else:
                 fields = seg[4:].split(FIELD_SEP)
                 offset = 1
+            # OBX-5's datatype 'varies': typed by this segment's OBX-2
+            # (hl7apy resolves varies the same way); an OBX-2 value
+            # outside the legal value-type table keeps the C<n> keys
+            obx5_dt = None
+            if seg_id == "OBX" and len(fields) >= 2:
+                vt = fields[1]
+                if vt in VARIES_TYPES:
+                    obx5_dt = vt
             # MSH-1/MSH-2 (separator + encoding chars) were taken
             # verbatim above; the enumerated fields start at MSH-3, so
             # no field here ever needs an encoding-chars special case
             for i, raw in enumerate(fields):
                 if raw == "":
                     continue
-                body[f"{seg_id}_{i + offset}"] = _parse_field(
-                    raw, seg_id, i + offset
+                n = i + offset
+                body[f"{seg_id}_{n}"] = _parse_field(
+                    raw, seg_id, n,
+                    obx5_dt if (seg_id == "OBX" and n == 5) else None,
                 )
-            if is_repeatable(seg_id):
+            if is_repeatable(seg_id, structure):
                 doc.setdefault(seg_id, []).append(body)
             elif seg_id not in doc:
                 doc[seg_id] = body
-            elif strict:
-                return None  # duplicated max-1 segment: structural violation
+            elif strict and not is_repeatable(seg_id):
+                # duplicated max-1 segment: structural violation. The
+                # check is UNION-level on purpose: a segment that is
+                # max-1 within its repeating GROUP (ORU_R01's OBX, one
+                # per OBSERVATION) legally occurs many times per
+                # message — the flat parser shapes each occurrence as
+                # the reference would (dict) but must not reject the
+                # repeat the group structure allows.
+                return None
             else:
                 prev = doc[seg_id]
                 doc[seg_id] = prev if isinstance(prev, list) else [prev]

@@ -304,8 +304,9 @@ def q_udf_parse_er7(spark, sf_dir):
         "o_orderkey",
         "doc",
         F.get_json_object("doc", "$.MSH.MSH_10").alias("control_id"),
-        # PID-3 is grammar-repeatable -> always a list, even singleton
-        F.get_json_object("doc", "$.PID.PID_3[0].C1").alias("patient_id"),
+        # PID-3 is grammar-repeatable -> always a list, even singleton;
+        # components carry the CX datatype's names (hl7apy spelling)
+        F.get_json_object("doc", "$.PID.PID_3[0].CX_1").alias("patient_id"),
     )
 
 
