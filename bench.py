@@ -115,6 +115,12 @@ EXTENDED = [
     "q_ts_interpolate",       # dense-grid linear interpolation
     "q_sink_backfill_overwrite",  # dynamic-partition day backfill
     "q_privacy_pseudonymize",  # keyed tokens + join in pseudonym space
+    "q_dedup_semantic",       # SRP-LSH buckets + exact integer cosine (r5)
+    "q_privacy_t_closeness",  # integer-EMD distribution-skew audit (r5)
+    "q_join_asof_nearest",    # nearest-direction as-of join (r5)
+    "q_stream_minhash",       # streamed MIN-merge minhash signatures (r5)
+    "q_sample_reservoir",     # mergeable hash-rank reservoir sample (r5)
+    "q_agg_gini",             # exact integer Gini concentration (r5)
 ]
 
 

@@ -757,3 +757,62 @@ def q_agg_winsorize(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_agg_gini",
+    """
+    WITH cents AS (
+      SELECT o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS x,
+             o_orderkey
+      FROM orders
+    ), ranked AS (
+      SELECT o_orderpriority, x,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY x, o_orderkey) AS i
+      FROM cents
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST((2 * SUM(i * x) - (count(*) + 1) * SUM(x)) * 1000000
+                // (count(*) * SUM(x)) AS BIGINT) AS gini_e6
+    FROM ranked
+    GROUP BY o_orderpriority
+    """,
+)
+def q_agg_gini(spark, sf_dir):
+    """Exact Gini concentration index of order value per priority class
+    (how unequally spend distributes inside each class — the
+    concentration diagnostic behind skew-aware partitioning AND the
+    classic health-equity measure). Uses the sorted-rank identity
+    G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) with xᵢ in integer CENTS and
+    the rank i made a total order by (x, order key), so every term is
+    exact integer arithmetic and gini_e6 (parts-per-million, one floor
+    division at the end) matches DuckDB byte-for-byte — no float
+    summation-order drift. The numerator × 10⁶ exceeds BIGINT even at
+    sf0.01, so the final expression runs in DECIMAL(38,0) — exact to
+    38 digits, mirroring DuckDB's silent HUGEINT promotion — and
+    Spark's decimal `div` is exact integral division, so both engines
+    floor the same rational; only the final value is CAST back to
+    BIGINT (the HUGEINT-drift lesson from r4 applied in advance). One
+    window shuffle on the group key (the per-group sort IS the
+    algorithm: Gini is order-statistic-based), then a
+    partial-aggregated groupBy on the same key, so the sorted data
+    never moves twice."""
+    o = t(spark, sf_dir, "orders")
+    cents = o.select(
+        "o_orderpriority",
+        F.expr("cast(round(o_totalprice * 100) as bigint)").alias("x"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("x", "o_orderkey")
+    ranked = cents.withColumn("i", F.row_number().over(w).cast("bigint"))
+    return ranked.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr(
+            "cast((2 * cast(sum(i * x) as decimal(38,0))"
+            " - (count(1) + 1) * cast(sum(x) as decimal(38,0))) * 1000000"
+            " div (count(1) * cast(sum(x) as decimal(38,0))) as bigint)"
+        ).alias("gini_e6"),
+    )

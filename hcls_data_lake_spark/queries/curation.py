@@ -18,6 +18,7 @@ is not (see the q_agg_global half-way history).
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from hcls_data_lake_spark.operators.dedup import shingles_from_words
 from hcls_data_lake_spark.queries.common import t
@@ -305,6 +306,101 @@ def q_privacy_l_diversity(spark, sf_dir):
         F.countDistinct("c_mktsegment").alias("n_sensitive"),
     )
     return cells.filter(F.col("n_sensitive") < 3)
+
+
+@register(
+    "q_privacy_t_closeness",
+    """
+    WITH bands AS (
+      SELECT c_nationkey AS grp,
+             CAST(FLOOR(c_acctbal / 2000) AS BIGINT) AS band
+      FROM customer
+    ), cells AS (
+      SELECT grp, band, CAST(count(*) AS BIGINT) AS c_gk
+      FROM bands GROUP BY 1, 2
+    ), gb AS (
+      SELECT band, CAST(count(*) AS BIGINT) AS c_k FROM bands GROUP BY 1
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_total,
+             CAST(count(DISTINCT band) AS BIGINT) AS m
+      FROM bands
+    ), gsz AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n_g FROM bands GROUP BY 1
+    ), grid AS (
+      SELECT g.grp, gl.band, gl.c_k, COALESCE(c.c_gk, 0) AS c_gk
+      FROM gsz g CROSS JOIN gb gl
+      LEFT JOIN cells c ON c.grp = g.grp AND c.band = gl.band
+    ), cum AS (
+      SELECT grid.grp,
+             SUM(grid.c_gk * t.n_total - grid.c_k * gsz.n_g)
+               OVER (PARTITION BY grid.grp ORDER BY grid.band) AS d_k
+      FROM grid
+      JOIN gsz ON gsz.grp = grid.grp
+      CROSS JOIN tot t
+    )
+    SELECT cum.grp AS c_nationkey, gsz.n_g AS n,
+           CAST(SUM(ABS(d_k)) * 1000000
+                // (gsz.n_g * t.n_total * (t.m - 1)) AS BIGINT) AS emd_e6
+    FROM cum JOIN gsz ON gsz.grp = cum.grp CROSS JOIN tot t
+    GROUP BY cum.grp, gsz.n_g, t.n_total, t.m
+    """,
+)
+def q_privacy_t_closeness(spark, sf_dir):
+    """t-closeness audit — the third rung of the k-anon / l-diversity
+    ladder: a cell can be large (k) and varied (l) yet still leak if
+    its SENSITIVE-value distribution diverges from the table's (skew
+    attack: 'people in this cell mostly have high balances'). Per
+    quasi-identifier group (nation), measure the ordered Earth Mover's
+    Distance between the group's sensitive-band distribution and the
+    global one. All-integer recurrence so both engines match
+    byte-for-byte: with group counts c_gk, global counts c_k, sizes
+    n_g / N, the usual EMD term (Σ_k |Σ_{j≤k}(c_gj/n_g − c_j/N)|)
+    / (m−1) is multiplied through by n_g·N — D_k = Σ_{j≤k}(c_gj·N −
+    c_k·n_g) is exact BIGINT, and emd_e6 = Σ|D_k|·10⁶ div
+    (n_g·N·(m−1)) is one floor division at the end. Scale shape: two
+    count aggregations (group×band cells + global bands), a dense
+    groups×bands grid (bands are a BOUNDED vocabulary — the grid is
+    tiny at any corpus size), one window cumsum per group. Nothing
+    row-scale shuffles twice."""
+    c = t(spark, sf_dir, "customer")
+    bands = c.select(
+        F.col("c_nationkey").alias("grp"),
+        F.floor(F.col("c_acctbal") / 2000).cast("bigint").alias("band"),
+    )
+    cells = bands.groupBy("grp", "band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_gk")
+    )
+    glob = bands.groupBy("band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_k")
+    )
+    tot = bands.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.countDistinct("band").cast("bigint").alias("m"),
+    )
+    gsz = bands.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g")
+    )
+    grid = (
+        gsz.crossJoin(F.broadcast(glob))
+        .join(cells, ["grp", "band"], "left")
+        .withColumn("c_gk", F.coalesce("c_gk", F.lit(0).cast("bigint")))
+        .crossJoin(F.broadcast(tot))
+    )
+    w = Window.partitionBy("grp").orderBy("band")
+    cum = grid.withColumn(
+        "d_k",
+        F.sum(
+            F.col("c_gk") * F.col("n_total") - F.col("c_k") * F.col("n_g")
+        ).over(w),
+    )
+    return cum.groupBy("grp", "n_g", "n_total", "m").agg(
+        F.expr(
+            "cast(sum(abs(d_k)) * 1000000"
+            " div (n_g * n_total * (m - 1)) as bigint)"
+        ).alias("emd_e6")
+    ).select(
+        F.col("grp").alias("c_nationkey"), F.col("n_g").alias("n"), "emd_e6"
+    )
 
 
 @register(

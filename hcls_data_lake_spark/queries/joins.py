@@ -530,6 +530,109 @@ def q_join_asof_tolerance(spark, sf_dir):
 
 
 @register(
+    "q_join_asof_nearest",
+    """
+    WITH clicks AS (
+      -- one click per (user_id, ts), max click_id: tie-break pinned
+      -- BEFORE the join in both engines (same rule as asof_tolerance)
+      SELECT user_id, ts, MAX(event_id) AS click_id FROM events
+      WHERE event_type = 'click' GROUP BY 1, 2
+    ), u AS (
+      SELECT event_id, user_id, ts, 1 AS is_p,
+             CAST(NULL AS BIGINT) AS click_id
+      FROM events WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT click_id AS event_id, user_id, ts, 0 AS is_p, click_id
+      FROM clicks
+    ), w AS (
+      SELECT event_id, user_id, ts, is_p,
+        LAST_VALUE(click_id IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY ts ASC, is_p ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_id,
+        LAST_VALUE(CASE WHEN is_p = 0 THEN ts END IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY ts ASC, is_p ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_ts,
+        LAST_VALUE(click_id IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY ts DESC, is_p ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS next_id,
+        LAST_VALUE(CASE WHEN is_p = 0 THEN ts END IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY ts DESC, is_p ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS next_ts
+      FROM u
+    )
+    SELECT event_id, user_id,
+           CASE WHEN prev_id IS NULL THEN next_id
+                WHEN next_id IS NULL THEN prev_id
+                WHEN ts - prev_ts <= next_ts - ts THEN prev_id
+                ELSE next_id END AS nearest_click_id
+    FROM w WHERE is_p = 1
+    """,
+)
+def q_join_asof_nearest(spark, sf_dir):
+    """As-of join, NEAREST direction (pandas merge_asof(direction=
+    'nearest')): each purchase matches the click closest in time by
+    the same user — before OR after — with ties broken toward the
+    PRIOR click (an at-or-before observation is the clinically safer
+    annotation than a later one at equal distance). No engine has this
+    as a primitive, so BOTH engines run the identical recurrence: one
+    union of the two event sets, a forward running-last window for the
+    latest at-or-before click, a backward running-last for the
+    earliest at-or-after click, then one comparison of the two
+    integer-nanosecond gaps. Same single-shuffle scale shape as
+    q_join_asof — two sorts over one hash partitioning on user_id,
+    O(n log n) per key, no candidate blow-up; exact-timestamp click
+    ties are pre-reduced to max click_id so neither engine's internal
+    ordering can leak into the result."""
+    e = t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_ns",
+        F.lit(1).alias("is_p"),
+        F.lit(None).cast("long").alias("click_id"),
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts_ns")
+        .agg(F.max("event_id").alias("click_id"))
+        .select(
+            F.col("click_id").alias("event_id"), "user_id", "ts_ns",
+            F.lit(0).alias("is_p"), "click_id",
+        )
+    )
+    u = purchases.unionByName(clicks)
+    click_ns = F.when(F.col("is_p") == 0, F.col("ts_ns"))
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts_ns").asc(), F.col("is_p").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    bwd = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts_ns").desc(), F.col("is_p").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w = (
+        u.withColumn("prev_id", F.last("click_id", ignorenulls=True).over(fwd))
+        .withColumn("prev_ns", F.last(click_ns, ignorenulls=True).over(fwd))
+        .withColumn("next_id", F.last("click_id", ignorenulls=True).over(bwd))
+        .withColumn("next_ns", F.last(click_ns, ignorenulls=True).over(bwd))
+        .filter(F.col("is_p") == 1)
+    )
+    nearest = (
+        F.when(F.col("prev_id").isNull(), F.col("next_id"))
+        .when(F.col("next_id").isNull(), F.col("prev_id"))
+        .when(
+            F.col("ts_ns") - F.col("prev_ns")
+            <= F.col("next_ns") - F.col("ts_ns"),
+            F.col("prev_id"),
+        )
+        .otherwise(F.col("next_id"))
+    )
+    return w.select(
+        "event_id", "user_id", nearest.alias("nearest_click_id")
+    )
+
+
+@register(
     "q_join_self",
     """
     SELECT a.event_id AS prev_id, b.event_id AS next_id, a.user_id

@@ -663,6 +663,147 @@ def q_dedup_simhash(spark, sf_dir):
     return simhash(d, text_col="text", id_col="doc_id")
 
 
+def _srp_planes(n_planes: int = 4, dim: int = 64) -> list[list[int]]:
+    """Deterministic signed-random-projection hyperplanes: weight
+    w[p][d] = (first md5 byte of "p:d") - 128 ∈ [-128, 127]. Derived
+    from md5 so BOTH engines could re-derive them, but materialized
+    once at query-BUILD time and inlined as literals in the Spark
+    expression AND the DuckDB oracle — the per-row work is then pure
+    integer arithmetic (no md5 per row·plane·dim)."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:2], 16) - 128
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def _semantic_oracle() -> str:
+    planes = _srp_planes()
+    w_sql = (
+        "["
+        + ", ".join("[" + ", ".join(str(w) for w in row) + "]" for row in planes)
+        + "]"
+    )
+    return f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(round(x * 100) AS BIGINT)) AS v
+      FROM embeddings
+    ), b AS (
+      SELECT vec_id, v,
+             array_to_string(
+               [ CASE WHEN CAST(list_sum(list_transform(
+                     range(1, len(v) + 1), i -> wp[i] * v[i])) AS BIGINT)
+                   >= 0 THEN '1' ELSE '0' END
+                 for wp in {w_sql} ], '') AS bucket
+      FROM q
+    ), pairs AS (
+      SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+             CAST(list_sum(list_transform(range(1, len(a.v) + 1),
+                  i -> a.v[i] * b2.v[i])) AS BIGINT) AS dot,
+             CAST(list_sum(list_transform(a.v, x -> x * x)) AS BIGINT)
+               AS na2,
+             CAST(list_sum(list_transform(b2.v, x -> x * x)) AS BIGINT)
+               AS nb2
+      FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+    )
+    SELECT vec_a, vec_b,
+           CAST((dot * dot * 10000) // (na2 * nb2) AS BIGINT) AS cos2_e4
+    FROM pairs
+    WHERE dot > 0 AND (dot * dot * 10000) // (na2 * nb2) >= 300
+    """
+
+
+@register("q_dedup_semantic", _semantic_oracle())
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup-style SEMANTIC dedup over embeddings, fully
+    hash-checkable: signed-random-projection LSH buckets (4
+    deterministic integer hyperplanes -> 16 sign-pattern buckets), then
+    EXACT integer-quantized cosine verification within each bucket
+    only. This is the scalable semantic-dedup shape — candidate pairs
+    come from an equi-join on the bucket key (cost tracks bucket
+    collisions, never n²; more planes at corpus scale), the expensive
+    similarity runs on candidates alone, and LSH's standard recall
+    trade (a near-pair split across buckets is missed) is bought
+    deliberately for the n² -> collisions cost drop. Everything is
+    engine-exact: embeddings quantize to integer centi-units, the
+    hyperplanes are md5-derived integer literals shared with the
+    oracle, and the reported similarity is integer basis points of
+    cos² ((dot²·10⁴) div (|a|²·|b|²), sign-guarded), so the DuckDB
+    oracle matches byte-for-byte — no float LSH ambiguity anywhere.
+    Overflow headroom: |q|≤~500 ⇒ dot ≤ 1.6e7, dot²·10⁴ ≤ 2.6e18 <
+    2^63."""
+    planes = _srp_planes()
+    w_expr = (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"{w}L" for w in row) + ")" for row in planes
+        )
+        + ")"
+    )
+    e = t(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> cast(round(x * 100) as bigint))"
+        ).alias("v"),
+    )
+    bucket = F.expr(
+        f"concat_ws('', transform({w_expr}, wp ->"
+        " if(aggregate(zip_with(wp, v, (w, x) -> w * x), 0L,"
+        " (acc, x) -> acc + x) >= 0, '1', '0')))"
+    )
+    # self-norm computed ONCE PER VECTOR before pair generation (the
+    # q_sim_topk per-side hoist, r4): inside the pair lambda below a
+    # per-pair norm would re-fold each vector once per partner —
+    # O(f²·dim) per bucket instead of O(f·dim)
+    b = q.withColumn("bucket", bucket).withColumn(
+        "n2",
+        F.expr(
+            "aggregate(zip_with(v, v, (x, y) -> x * y), 0L,"
+            " (acc, x) -> acc + x)"
+        ),
+    )
+    # inverted-index pair generation within each bucket (the same
+    # posting-list shape as the MinHash banding path: one shuffle on
+    # the bucket key, C(f,2) pairs per bucket, no self-join)
+    posting = (
+        b.groupBy("bucket")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("vec_id", "v", "n2"))
+            ).alias("ds")
+        )
+        .filter(F.size("ds") > 1)
+    )
+    pairs = posting.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ds, (a, i) ->"
+                " transform(slice(ds, i + 2, size(ds) - i - 1),"
+                " b -> struct(a.vec_id as vec_a, b.vec_id as vec_b,"
+                " aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0L,"
+                "   (acc, x) -> acc + x) as dot,"
+                " a.n2 as na2, b.n2 as nb2))))"
+            )
+        ).alias("p")
+    ).select("p.*")
+    return (
+        pairs.filter(F.col("dot") > 0)
+        .withColumn(
+            "cos2_e4",
+            F.expr("(dot * dot * 10000) div (na2 * nb2)"),
+        )
+        .filter(F.col("cos2_e4") >= 300)
+        .select("vec_a", "vec_b", "cos2_e4")
+    )
+
+
 # ----------------------------------------------------- similarity search
 
 @register(

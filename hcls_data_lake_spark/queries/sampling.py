@@ -305,3 +305,43 @@ def q_sample_token_budget(spark, sf_dir):
             F.sum("n_tok").cast("bigint").alias("sum_tokens"),
         )
     )
+
+
+@register(
+    "q_sample_reservoir",
+    """
+    WITH ranked AS (
+      SELECT event_type, event_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type
+               ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rk
+      FROM events
+    )
+    SELECT event_type, event_id, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 5
+    """,
+)
+def q_sample_reservoir(spark, sf_dir):
+    """Deterministic reservoir sample: k=5 events per event type,
+    uniform without replacement. The classic reservoir algorithm's
+    guarantee (any k-subset equally likely) is achieved by ranking on
+    a pseudo-random KEY-DERIVED hash (md5 of the event id) and keeping
+    the k smallest per group — the distributed equivalent of
+    reservoir-sampling a stream, with two properties the sequential
+    algorithm lacks: the sample is REPRODUCIBLE (same data -> same
+    sample, any engine, any partitioning — the DuckDB oracle matches
+    byte-for-byte) and MERGEABLE (the k smallest of shard-wise k
+    smallest = the global k smallest, so shards sample independently
+    and a tiny merge finishes the job — the 100 TB shape; Spark's
+    WindowGroupLimit pushes the rank<=k filter into partial top-k
+    per partition exactly that way). md5 ranks are collision-free on
+    distinct ids; event_id is the formal total-order tiebreak."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string").cast("binary")), "event_id"
+    )
+    return (
+        e.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 5)
+        .select("event_type", "event_id", "rk")
+    )

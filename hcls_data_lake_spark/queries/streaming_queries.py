@@ -839,3 +839,73 @@ def q_stream_hll(spark, sf_dir):
         .agg(F.max("reg").cast("int").alias("reg"))
     )
     return _hll_summary(merged)
+
+
+@register(
+    "q_stream_minhash",
+    """
+    WITH it AS (
+      SELECT event_type AS grp, CAST(user_id AS VARCHAR) AS uid
+      FROM events
+    ), perms AS (
+      SELECT unnest(range(0, 16)) AS r
+    )
+    SELECT grp, CAST(r AS INT) AS r,
+           MIN(md5(CAST(r AS VARCHAR) || ':' || uid)) AS minh
+    FROM it CROSS JOIN perms
+    GROUP BY grp, r
+    """,
+)
+def q_stream_minhash(spark, sf_dir):
+    """MinHash signatures maintained INCREMENTALLY over a stream — the
+    MIN-merge member that completes the mergeable-sketch triad
+    (count-min = SUM-merge, HLL = MAX-merge, MinHash = MIN-merge):
+    per event type, a 16-permutation signature of the USER SET, where
+    sig[r] = min over users of md5(r:user). Each micro-batch reduces
+    to its own ≤ groups×16-row partial signature and appends it to a
+    signature store; the finished sketch is the per-(grp, r) MIN of
+    every batch's partials. Min is idempotent AND associative, so the
+    append-only store is retry-safe without the count-min batch_id
+    discipline (a replayed batch re-contributes the same minima), and
+    the streamed signature is byte-identical to the one-shot batch
+    sketch — the batch DuckDB oracle hash-checks the streaming run end
+    to end. Downstream, signatures from disjoint shards/windows merge
+    by the same MIN, giving streaming set-resemblance (estimated
+    Jaccard between any two groups = matching positions/16) in
+    O(groups × 16) state — no per-user state ever exists."""
+    out_root = scratch_for(sf_dir, "minhash_sigs")
+    shutil.rmtree(out_root, ignore_errors=True)
+    sdf = read_events_stream(spark, sf_dir).select(
+        F.col("event_type").alias("grp"),
+        F.col("user_id").cast("string").alias("uid"),
+    )
+
+    def build_sigs(batch_df, batch_id):
+        (
+            batch_df.select(
+                "grp",
+                F.explode(F.sequence(F.lit(0), F.lit(15))).alias("r"),
+                "uid",
+            )
+            .withColumn("r", F.col("r").cast("int"))
+            .select(
+                "grp",
+                "r",
+                F.md5(
+                    F.concat(
+                        F.col("r").cast("string"), F.lit(":"), F.col("uid")
+                    ).cast("binary")
+                ).alias("h"),
+            )
+            .groupBy("grp", "r")
+            .agg(F.min("h").alias("minh"))
+            .write.mode("append")
+            .parquet(out_root)
+        )
+
+    run_foreach_batch(sdf, build_sigs)
+    return (
+        spark.read.parquet(out_root)
+        .groupBy("grp", "r")
+        .agg(F.min("minh").alias("minh"))
+    )

