@@ -121,6 +121,7 @@ EXTENDED = [
     "q_stream_minhash",       # streamed MIN-merge minhash signatures (r5)
     "q_sample_reservoir",     # mergeable hash-rank reservoir sample (r5)
     "q_agg_gini",             # exact integer Gini concentration (r5)
+    "q_stream_stateful_tws",  # TransformWithState running totals (r5)
 ]
 
 

@@ -306,7 +306,11 @@ def connected_components(
     total-label sum, which strictly decreases while any label moves
     (min-label is monotone): one aggregate job per round instead of a
     join + filter + count. The sum runs in decimal(38,0) so 64-bit
-    node ids cannot wrap at billion-node scale.
+    node ids cannot wrap at billion-node scale. The per-round
+    checkpoint is LAZY (eager=False): the convergence-sum action is
+    what materializes it, so each round costs exactly ONE job — an
+    eager checkpoint would run the round's plan and then the sum would
+    scan the materialized result as a second job.
     """
     p = pairs.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
@@ -331,9 +335,9 @@ def connected_components(
             labels.unionByName(nbr)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        cur = _label_sum(new)
+        cur = _label_sum(new)  # materializes the lazy checkpoint
         labels = new
         if cur == prev:
             break

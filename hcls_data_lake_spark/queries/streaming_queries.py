@@ -228,6 +228,48 @@ def q_stream_stateful_totals(spark, sf_dir):
 
 
 @register(
+    "q_stream_stateful_tws",
+    """
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_stream_stateful_tws(spark, sf_dir):
+    """Per-user running totals on the TransformWithState API (Spark 4's
+    successor to applyInPandasWithState — named typed state handles,
+    processor lifecycle, RocksDB state store): the modern 100 TB custom
+    stateful operator, emission-equal to q_stream_stateful_totals so
+    the same batch oracle hash-checks it. ENVIRONMENT GATE: the TWS
+    Python worker needs `google.protobuf` for its state-server
+    protocol; in a container without it the query degrades to the
+    applyInPandasWithState twin (identical emission contract — the
+    oracle still verifies the real streaming run, just through the
+    older state API). tests/test_streaming.py pins TWS itself where
+    protobuf exists."""
+    from hcls_data_lake_spark.streaming.stateful import (
+        running_totals,
+        tws_running_totals,
+    )
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        stateful = tws_running_totals
+    except ImportError:
+        stateful = running_totals
+    sdf = read_events_stream(spark, sf_dir).select("user_id", "value")
+    return run_to_memory(
+        stateful(sdf),
+        output_mode="update",
+        shuffle_partitions=8,
+        no_data_batches=False,
+    )
+
+
+@register(
     "q_stream_foreachbatch_route",
     """
     SELECT CASE WHEN event_type = 'error' THEN 'error'

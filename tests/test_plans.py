@@ -335,6 +335,8 @@ _BNLJ_ALLOWED = {
     "q_diag_key_skew",     # one-row global-total broadcast joined back
     "q_sim_ann_pq",        # broadcast query block x PQ-coded candidates
     "q_sketch_bloom_md5",  # one-row bit-count census cross-joined
+    "q_privacy_t_closeness",  # groups x BOUNDED band vocabulary grid
+    #                           + one-row (N, m) totals, both broadcast
 }
 
 
