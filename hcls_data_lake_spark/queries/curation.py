@@ -367,21 +367,27 @@ def q_privacy_t_closeness(spark, sf_dir):
         F.col("c_nationkey").alias("grp"),
         F.floor(F.col("c_acctbal") / 2000).cast("bigint").alias("band"),
     )
-    cells = bands.groupBy("grp", "band").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c_gk")
+    # ONE base-table aggregation; the global distribution, group sizes
+    # and totals all roll up from the tiny (group, band) cell relation
+    # — four full scans of the release candidate would be the naive
+    # shape, and at 100 TB the base scan is the whole cost. Spark does
+    # not share common subplans across DataFrame branches, so the cell
+    # relation (groups × bounded band vocabulary — always tiny) is
+    # pinned with one localCheckpoint; every rollup reads the
+    # materialized cells, never the base table.
+    cells = (
+        bands.groupBy("grp", "band")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_gk"))
+        .localCheckpoint(eager=True)
     )
-    glob = bands.groupBy("band").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c_k")
-    )
-    tot = bands.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_total"),
-        F.countDistinct("band").cast("bigint").alias("m"),
-    )
-    gsz = bands.groupBy("grp").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_g")
+    gband = cells.groupBy("band").agg(F.sum("c_gk").alias("c_k"))
+    gsz = cells.groupBy("grp").agg(F.sum("c_gk").alias("n_g"))
+    tot = gband.agg(
+        F.sum("c_k").alias("n_total"),
+        F.count(F.lit(1)).cast("bigint").alias("m"),
     )
     grid = (
-        gsz.crossJoin(F.broadcast(glob))
+        gsz.crossJoin(F.broadcast(gband))
         .join(cells, ["grp", "band"], "left")
         .withColumn("c_gk", F.coalesce("c_gk", F.lit(0).cast("bigint")))
         .crossJoin(F.broadcast(tot))

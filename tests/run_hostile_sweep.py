@@ -15,7 +15,10 @@ Usage: python tests/run_hostile_sweep.py [--sf=DIR]
 
 from __future__ import annotations
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
