@@ -122,6 +122,8 @@ EXTENDED = [
     "q_sample_reservoir",     # mergeable hash-rank reservoir sample (r5)
     "q_agg_gini",             # exact integer Gini concentration (r5)
     "q_stream_stateful_tws",  # TransformWithState running totals (r5)
+    "q_ts_changepoint",       # integer CUSUM changepoint per series (r5)
+    "q_analytics_abc",        # Pareto/ABC revenue classification (r5)
 ]
 
 

@@ -1184,3 +1184,71 @@ def q_analytics_excess_supplier(spark, sf_dir):
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .select("s_name", "n_name")
     )
+
+
+@register(
+    "q_analytics_abc",
+    """
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS rev_c
+      FROM lineitem GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(rev_c) AS BIGINT) AS total_c FROM rev
+    ), cum AS (
+      SELECT r.l_partkey, r.rev_c, t.total_c,
+             CAST(SUM(r.rev_c) OVER (ORDER BY r.rev_c DESC, r.l_partkey)
+                  AS BIGINT) AS cum_c
+      FROM rev r CROSS JOIN tot t
+    ), classed AS (
+      SELECT CASE WHEN cum_c * 10 <= total_c * 7 THEN 'A'
+                  WHEN cum_c * 10 <= total_c * 9 THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             rev_c
+      FROM cum
+    )
+    SELECT abc_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(SUM(rev_c) AS BIGINT) AS revenue_cents
+    FROM classed GROUP BY abc_class
+    """,
+)
+def q_analytics_abc(spark, sf_dir):
+    """ABC / Pareto inventory classification: parts ranked by
+    discounted revenue, class A = the head covering the first 70% of
+    cumulative revenue, B = to 90%, C = the tail (the 80/20 analysis
+    every warehouse runs to pick cycle-count frequency / stocking
+    policy). Engine-exact: revenue in integer cents, the class
+    boundaries as cross-multiplied integer comparisons (cum·10 ≤
+    total·7), and the descending cumulative order made total by
+    (revenue DESC, partkey) so equal-revenue parts class identically
+    in both engines. Scale shape: the fact table pays ONE
+    partial-aggregated groupBy (corpus-sized step); the global ordered
+    cumsum then runs over the PER-PART aggregate — a bounded dimension
+    relation, orders of magnitude smaller than the facts — which is
+    the only place a global window is ever acceptable, with the 1-row
+    total broadcast. Output is the 3-row class summary."""
+    li = t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.expr(
+            "sum(cast(round(l_extendedprice * (1 - l_discount) * 100)"
+            " as bigint))"
+        ).cast("bigint").alias("rev_c")
+    )
+    tot = rev.agg(F.sum("rev_c").cast("bigint").alias("total_c"))
+    w = Window.orderBy(F.col("rev_c").desc(), F.col("l_partkey"))
+    cum = (
+        rev.crossJoin(F.broadcast(tot))
+        .withColumn("cum_c", F.sum("rev_c").over(w).cast("bigint"))
+    )
+    classed = cum.withColumn(
+        "abc_class",
+        F.when(F.col("cum_c") * 10 <= F.col("total_c") * 7, "A")
+        .when(F.col("cum_c") * 10 <= F.col("total_c") * 9, "B")
+        .otherwise("C"),
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.sum("rev_c").cast("bigint").alias("revenue_cents"),
+    )

@@ -486,3 +486,81 @@ def q_ts_anomaly(spark, sf_dir):
     return scored.filter(
         (F.col("n_hist") >= 10) & (F.col("sd") > 0) & (F.abs(z) > 2.5)
     ).select("event_id", "user_id", F.round(z, 3).alias("z"))
+
+
+@register(
+    "q_ts_changepoint",
+    """
+    WITH daily AS (
+      SELECT event_type AS grp, CAST(ts AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ), tot AS (
+      SELECT grp, CAST(SUM(x) AS BIGINT) AS n_total,
+             CAST(count(*) AS BIGINT) AS n_days
+      FROM daily GROUP BY grp
+    ), cusum AS (
+      SELECT d.grp, d.d,
+             CAST(SUM(d.x * t.n_days - t.n_total)
+                  OVER (PARTITION BY d.grp ORDER BY d.d) AS BIGINT)
+               AS s_scaled
+      FROM daily d JOIN tot t ON t.grp = d.grp
+    ), ranked AS (
+      SELECT grp, d, s_scaled,
+             ROW_NUMBER() OVER (PARTITION BY grp
+                                ORDER BY ABS(s_scaled) DESC, d ASC) AS rk
+      FROM cusum
+    )
+    SELECT grp AS event_type, d AS changepoint_day,
+           s_scaled AS cusum_scaled
+    FROM ranked WHERE rk = 1
+    """,
+)
+def q_ts_changepoint(spark, sf_dir):
+    """CUSUM changepoint detection on each event type's daily volume —
+    the classic single-changepoint estimator (the day where the
+    cumulative deviation from the series mean peaks splits the series
+    at the most likely level shift; at that day, downstream monitoring
+    re-baselines). Exact integer recurrence so both engines match
+    byte-for-byte: the usual S_k = Σ_{j≤k}(x_j − μ) with μ = N/T is
+    multiplied through by T — S'_k = Σ(x_j·T − N) is pure BIGINT, the
+    argmax is unchanged, and ties break to the earliest day via an
+    explicit (|S'| DESC, day ASC) rank, so no float mean and no
+    engine-internal argmax choice anywhere. Scale shape: the daily
+    rollup is one partial-aggregated groupBy of the fact table (the
+    only corpus-sized step); everything after — per-group totals,
+    window cumsum, rank-1 filter (WindowGroupLimit) — runs on the
+    days×groups relation, which is bounded by the calendar. Overflow:
+    x·T < 2^63 holds to ~10^12 events/day over a 10^4-day history."""
+    e = events(spark, sf_dir)
+    daily = (
+        e.select(F.col("event_type").alias("grp"), F.col("ts").cast("date").alias("d"))
+        .groupBy("grp", "d")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    tot = daily.groupBy("grp").agg(
+        F.sum("x").cast("bigint").alias("n_total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+    w_cum = Window.partitionBy("grp").orderBy("d")
+    cusum = (
+        daily.join(F.broadcast(tot), "grp")
+        .withColumn(
+            "s_scaled",
+            F.sum(
+                F.col("x") * F.col("n_days") - F.col("n_total")
+            ).over(w_cum).cast("bigint"),
+        )
+    )
+    w_rank = Window.partitionBy("grp").orderBy(
+        F.abs(F.col("s_scaled")).desc(), F.col("d").asc()
+    )
+    return (
+        cusum.withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("grp").alias("event_type"),
+            F.col("d").alias("changepoint_day"),
+            F.col("s_scaled").alias("cusum_scaled"),
+        )
+    )

@@ -97,11 +97,13 @@ def register(name: str, oracle: str | None) -> Callable[[QueryFn], QueryFn]:
 # lifts cumulative driver coverage to 220/246. The r6 queue follows
 # immediately after: the 9 deferred hash names, then the 11
 # rows-only-by-contract names (recall-gated ANN / sketch / multimodal
-# ops whose semantics pytest pins), then the 6 r5 additions (all
+# ops whose semantics pytest pins), then the 9 r5 additions (all
 # oracle-hash-checked: q_dedup_semantic SRP-LSH + exact integer
 # cosine, q_privacy_t_closeness integer-EMD, q_join_asof_nearest,
-# q_stream_minhash MIN-merge sketch, q_sample_reservoir,
-# q_agg_gini) — 26 names, one r6 rotation.
+# q_stream_minhash MIN-merge sketch, q_sample_reservoir, q_agg_gini,
+# q_stream_stateful_tws, q_ts_changepoint CUSUM, q_analytics_abc
+# Pareto) — 29 names, fits one r6 rotation with room to re-confirm
+# any r5 red.
 _FAMILY_REPRESENTATIVES = [
     # -- slot 1: the r4 red row, oracle fixed (CAST ... AS BIGINT) --
     "q_analytics_min_cost_supplier",

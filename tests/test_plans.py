@@ -337,6 +337,7 @@ _BNLJ_ALLOWED = {
     "q_sketch_bloom_md5",  # one-row bit-count census cross-joined
     "q_privacy_t_closeness",  # groups x BOUNDED band vocabulary grid
     #                           + one-row (N, m) totals, both broadcast
+    "q_analytics_abc",     # one-row revenue total cross-joined back
 }
 
 
