@@ -1228,14 +1228,18 @@ def q_analytics_abc(spark, sf_dir):
     cumsum then runs over the PER-PART aggregate — a bounded dimension
     relation, orders of magnitude smaller than the facts — which is
     the only place a global window is ever acceptable, with the 1-row
-    total broadcast. Output is the 3-row class summary."""
+    total broadcast. The per-part aggregate is pinned with one
+    localCheckpoint so the total and the cumsum both read it instead
+    of re-scanning the facts (no cross-branch subplan sharing in
+    Spark; plan-gated to ≤1 fact scan). Output is the 3-row class
+    summary."""
     li = t(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_partkey").agg(
         F.expr(
             "sum(cast(round(l_extendedprice * (1 - l_discount) * 100)"
             " as bigint))"
         ).cast("bigint").alias("rev_c")
-    )
+    ).localCheckpoint(eager=True)
     tot = rev.agg(F.sum("rev_c").cast("bigint").alias("total_c"))
     w = Window.orderBy(F.col("rev_c").desc(), F.col("l_partkey"))
     cum = (

@@ -530,13 +530,18 @@ def q_ts_changepoint(spark, sf_dir):
     rollup is one partial-aggregated groupBy of the fact table (the
     only corpus-sized step); everything after — per-group totals,
     window cumsum, rank-1 filter (WindowGroupLimit) — runs on the
-    days×groups relation, which is bounded by the calendar. Overflow:
-    x·T < 2^63 holds to ~10^12 events/day over a 10^4-day history."""
+    days×groups relation, which is bounded by the calendar and is
+    pinned with one localCheckpoint so the totals branch and the cusum
+    branch both read it instead of re-scanning the facts (Spark shares
+    no subplans across DataFrame branches; plan-gated to one fact
+    scan). Overflow: x·T < 2^63 holds to ~10^12 events/day over a
+    10^4-day history."""
     e = events(spark, sf_dir)
     daily = (
         e.select(F.col("event_type").alias("grp"), F.col("ts").cast("date").alias("d"))
         .groupBy("grp", "d")
         .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+        .localCheckpoint(eager=True)
     )
     tot = daily.groupBy("grp").agg(
         F.sum("x").cast("bigint").alias("n_total"),

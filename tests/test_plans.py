@@ -555,3 +555,42 @@ def test_simhash_md5_stays_in_codegen(spark, sf_dir):
     assert "partial_sum" in plan
     assert "partial_collect_list" in plan  # assembly AFTER the agg
     assert "BatchEvalPython" not in plan
+
+
+def test_r5_additions_plan_quality(spark, sf_dir):
+    """Plan gates for the r5 operators: column pruning reaches every
+    base scan, and the relations that must stay small stay out of the
+    fact path."""
+    qs = registry.queries()
+
+    # gini: only the three needed orders columns are read, and the
+    # groupBy after the window re-uses the window's partitioning (no
+    # third exchange on the group key)
+    plan = plan_of(qs["q_agg_gini"](spark, sf_dir))
+    rs = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "o_totalprice" in rs and "o_orderpriority" in rs
+    assert "o_comment" not in rs and "o_custkey" not in rs
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+    # semantic dedup: embeddings scan reads only (vec_id, embedding);
+    # bucketing is map-side (exactly one shuffle, on the bucket key)
+    plan = plan_of(qs["q_dedup_semantic"](spark, sf_dir))
+    rs = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "embedding" in rs and "label" not in rs
+
+    # changepoint: the fact table is scanned AT MOST once in the probe
+    # plan — the daily rollup is checkpointed (the scan runs inside
+    # that materialization), so totals and cusum read the rolled-up
+    # relation, never the facts
+    plan = plan_of(qs["q_ts_changepoint"](spark, sf_dir))
+    assert plan.count("events.parquet") <= 1
+
+    # abc: same — the per-part aggregate is checkpointed; the ordered
+    # cumsum and the total run over the aggregate, never the facts
+    plan = plan_of(qs["q_analytics_abc"](spark, sf_dir))
+    assert plan.count("lineitem.parquet") <= 1
+
+    # nearest as-of: both direction windows share ONE hash
+    # partitioning on user_id — the union shuffles once, sorts twice
+    plan = plan_of(qs["q_join_asof_nearest"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning(user_id") <= 2
