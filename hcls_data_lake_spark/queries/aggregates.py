@@ -800,19 +800,12 @@ def q_agg_gini(spark, sf_dir):
     algorithm: Gini is order-statistic-based), then a
     partial-aggregated groupBy on the same key, so the sorted data
     never moves twice."""
+    from hcls_data_lake_spark.operators.stats import gini_e6
+
     o = t(spark, sf_dir, "orders")
     cents = o.select(
         "o_orderpriority",
         F.expr("cast(round(o_totalprice * 100) as bigint)").alias("x"),
         "o_orderkey",
     )
-    w = Window.partitionBy("o_orderpriority").orderBy("x", "o_orderkey")
-    ranked = cents.withColumn("i", F.row_number().over(w).cast("bigint"))
-    return ranked.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.expr(
-            "cast((2 * cast(sum(i * x) as decimal(38,0))"
-            " - (count(1) + 1) * cast(sum(x) as decimal(38,0))) * 1000000"
-            " div (count(1) * cast(sum(x) as decimal(38,0))) as bigint)"
-        ).alias("gini_e6"),
-    )
+    return gini_e6(cents, "o_orderpriority", "x", "o_orderkey")

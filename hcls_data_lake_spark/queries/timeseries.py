@@ -536,6 +536,8 @@ def q_ts_changepoint(spark, sf_dir):
     no subplans across DataFrame branches; plan-gated to one fact
     scan). Overflow: x·T < 2^63 holds to ~10^12 events/day over a
     10^4-day history."""
+    from hcls_data_lake_spark.operators.stats import cusum_changepoint
+
     e = events(spark, sf_dir)
     daily = (
         e.select(F.col("event_type").alias("grp"), F.col("ts").cast("date").alias("d"))
@@ -543,29 +545,8 @@ def q_ts_changepoint(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
         .localCheckpoint(eager=True)
     )
-    tot = daily.groupBy("grp").agg(
-        F.sum("x").cast("bigint").alias("n_total"),
-        F.count(F.lit(1)).cast("bigint").alias("n_days"),
-    )
-    w_cum = Window.partitionBy("grp").orderBy("d")
-    cusum = (
-        daily.join(F.broadcast(tot), "grp")
-        .withColumn(
-            "s_scaled",
-            F.sum(
-                F.col("x") * F.col("n_days") - F.col("n_total")
-            ).over(w_cum).cast("bigint"),
-        )
-    )
-    w_rank = Window.partitionBy("grp").orderBy(
-        F.abs(F.col("s_scaled")).desc(), F.col("d").asc()
-    )
-    return (
-        cusum.withColumn("rk", F.row_number().over(w_rank))
-        .filter(F.col("rk") == 1)
-        .select(
-            F.col("grp").alias("event_type"),
-            F.col("d").alias("changepoint_day"),
-            F.col("s_scaled").alias("cusum_scaled"),
-        )
+    return cusum_changepoint(daily).select(
+        F.col("grp").alias("event_type"),
+        F.col("d").alias("changepoint_day"),
+        "cusum_scaled",
     )

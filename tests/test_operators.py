@@ -1478,3 +1478,112 @@ def test_reservoir_sample_is_mergeable(spark):
         .collect()
     }
     assert merged == direct
+
+
+def test_gini_constructed_extremes(spark):
+    """Gini on constructed distributions: perfect equality -> 0;
+    maximal concentration (one holder) -> (n-1)/n in ppm; and the
+    index is scale-invariant under exact doubling (every term of the
+    rank identity doubles, numerator and denominator alike)."""
+    from hcls_data_lake_spark.operators.stats import gini_e6
+
+    equal = spark.createDataFrame(
+        [("g", 100, i) for i in range(10)], "g string, x long, id long"
+    )
+    assert gini_e6(equal, "g", "x", "id").collect()[0].gini_e6 == 0
+
+    concentrated = spark.createDataFrame(
+        [("g", 0, i) for i in range(9)] + [("g", 1000, 9)],
+        "g string, x long, id long",
+    )
+    # (n-1)/n = 9/10 -> 900000 ppm exactly
+    assert gini_e6(concentrated, "g", "x", "id").collect()[0].gini_e6 == 900_000
+
+    skew = spark.createDataFrame(
+        [("g", v, i) for i, v in enumerate([1, 2, 3, 10, 50])],
+        "g string, x long, id long",
+    )
+    g1 = gini_e6(skew, "g", "x", "id").collect()[0].gini_e6
+    g2 = gini_e6(
+        skew.withColumn("x", F.col("x") * 2), "g", "x", "id"
+    ).collect()[0].gini_e6
+    assert g1 == g2
+    assert 0 < g1 < 1_000_000
+
+
+def test_cusum_changepoint_constructed(spark):
+    """CUSUM on constructed series: a constant series has S' = 0
+    everywhere, so the earliest-day tie-break returns day 1 with
+    cusum_scaled = 0; a clean level shift puts the |S'| peak exactly at
+    the last day of the old level."""
+    from hcls_data_lake_spark.operators.stats import cusum_changepoint
+
+    const = spark.createDataFrame(
+        [("a", d, 5) for d in range(1, 11)], "grp string, d int, x long"
+    )
+    row = cusum_changepoint(const).collect()[0]
+    assert row.d == 1 and row.cusum_scaled == 0
+
+    # 10 days at 10 then 10 days at 30: mean 20, S'_k peaks (most
+    # negative) at day 10 with Σ(x·T - N) = 10·(10·20 - 400) = -2000
+    step = spark.createDataFrame(
+        [("a", d, 10) for d in range(1, 11)]
+        + [("a", d, 30) for d in range(11, 21)],
+        "grp string, d int, x long",
+    )
+    row = cusum_changepoint(step).collect()[0]
+    assert row.d == 10 and row.cusum_scaled == -2000
+
+
+def test_semantic_dedup_identical_vectors_collide(spark, sf_dir):
+    """The SRP bucket key is sign-based, so an identical (and any
+    positively-scaled) copy of a vector lands in the same bucket and
+    the exact verification reports cos2_e4 = 10000 for the pair —
+    the recall contract for TRUE duplicates (unlike near-misses, which
+    LSH may split across buckets by design)."""
+    import json
+
+    from hcls_data_lake_spark import registry
+
+    # piggyback on the fixture: q_dedup_semantic at sf0.001+ always
+    # finds at least the self-consistent pairs; instead of mutating
+    # fixtures, verify the bucket function directly on constructed
+    # vectors through the same SQL expressions the query uses
+    from hcls_data_lake_spark.queries.llm import _srp_planes
+
+    planes = _srp_planes()
+    w_expr = (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"{w}L" for w in row) + ")" for row in planes
+        )
+        + ")"
+    )
+    base = [round(((i * 37) % 19 - 9) / 3.0, 3) for i in range(64)]
+    rows = [
+        (1, base),
+        (2, base),  # identical copy
+        (3, [x * 2.0 for x in base]),  # positive scaling
+        (4, [-x for x in base]),  # antipodal: every sign flips
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> cast(round(x * 100) as bigint))"
+        ).alias("v"),
+    )
+    got = {
+        r.vec_id: r.bucket
+        for r in q.withColumn(
+            "bucket",
+            F.expr(
+                f"concat_ws('', transform({w_expr}, wp ->"
+                " if(aggregate(zip_with(wp, v, (w, x) -> w * x), 0L,"
+                " (acc, x) -> acc + x) >= 0, '1', '0')))"
+            ),
+        ).collect()
+    }
+    assert got[1] == got[2] == got[3]
+    # antipodal vector flips every strict sign; buckets must differ
+    assert got[4] != got[1]
