@@ -124,6 +124,14 @@ EXTENDED = [
     "q_stream_stateful_tws",  # TransformWithState running totals (r5)
     "q_ts_changepoint",       # integer CUSUM changepoint per series (r5)
     "q_analytics_abc",        # Pareto/ABC revenue classification (r5)
+    "q_analytics_basket_pairs",  # a-priori brand co-occurrence support (r5)
+    "q_analytics_skyline",    # window-skyline Pareto frontier (r5)
+    "q_graph_khop",           # frontier-BFS blast radius vs recursive CTE (r5)
+    "q_diag_benford",         # first-digit fraud/synthetic-data audit (r5)
+    "q_win_streak_islands",   # gaps-and-islands increasing-streak census (r5)
+    "q_join_dpp",             # runtime partition pruning via dim filter (r5)
+    "q_analytics_rfm",        # segment-partitioned RFM quintile census (r5)
+    "q_text_zipf",            # rank-frequency vocabulary profile (r5)
 ]
 
 

@@ -559,3 +559,60 @@ def triangle_stats(
         .join(F.broadcast(n_tri))
         .select("n_edges", "n_wedges", "n_triangles")
     )
+
+
+def bfs_min_hops(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    seed_mod: int = 50,
+    max_hops: int = 3,
+) -> DataFrame:
+    """Bounded-depth BFS over an undirected pair graph: ``(node,
+    hops)`` — the minimum hop count from any seed (nodes whose id ≡ 0
+    mod ``seed_mod``) to every node reachable within ``max_hops``.
+
+    The blast-radius query of duplicate-graph curation: "if these seed
+    documents are contaminated, what else is within k links?" Runs as
+    frontier expansion — each round joins the CURRENT frontier (only
+    the newly discovered nodes, never the whole visited set) against
+    the edge list, dedups, and anti-joins out already-visited nodes,
+    so a node is labeled exactly once with its first (= minimum) hop
+    count. Per round: one join shuffle keyed on the edge src + one
+    anti-join against visited — the edge list is pre-partitioned on
+    src and checkpointed once, so every round reuses the same
+    partitioning; frontiers are checkpointed eagerly to keep lineage
+    flat (each is read twice: union + next join). Cost tracks
+    |frontier|·avg-degree per round, never |graph|² — at 100 TB the
+    k-bounded frontier walk is the only BFS shape that works. The hop
+    recurrence is pure set algebra (no floats), so an independent
+    engine's recursive-CTE evaluation reproduces it byte-for-byte.
+    """
+    p = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    rev = p.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    edges = (
+        p.unionByName(rev)
+        .distinct()
+        .repartition("src")
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .filter(F.col("node") % seed_mod == 0)
+        .withColumn("hops", F.lit(0).cast("int"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist.select("node")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(h).cast("int"))
+            .localCheckpoint(eager=True)
+        )
+        dist = dist.unionByName(nxt)
+        frontier = nxt.select("node")
+    return dist

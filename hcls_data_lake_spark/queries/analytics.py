@@ -1256,3 +1256,315 @@ def q_analytics_abc(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_parts"),
         F.sum("rev_c").cast("bigint").alias("revenue_cents"),
     )
+
+
+@register(
+    "q_analytics_basket_pairs",
+    """
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey, p.p_brand
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    )
+    SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+           CAST(count(*) AS BIGINT) AS support
+    FROM ob a JOIN ob b
+      ON b.l_orderkey = a.l_orderkey AND a.p_brand < b.p_brand
+    GROUP BY a.p_brand, b.p_brand
+    """,
+)
+def q_analytics_basket_pairs(spark, sf_dir):
+    """Market-basket co-occurrence: for every unordered brand pair, the
+    number of orders containing both (the support counts behind
+    association-rule mining / "frequently bought together").
+
+    Scale shape: NOT a self-join. The fact table pays exactly one
+    shuffle — collect_set of brands per order (map-side partial
+    collection, dedup inside the set) — and the C(k,2) pair expansion
+    runs as an in-plan array lambda over each order's SORTED brand set
+    (the same sorted-posting-list trick as q_dedup_near's inverted
+    index), so pair order (brand_a < brand_b) is free and fan-out per
+    order is bounded by |distinct brands in the order|², never raw
+    line count. The oracle states the same counts as the textbook
+    DISTINCT + self-join. The brand-pair aggregate collapses to
+    ≤ |brands|² rows with map-side combine; the part dim rides a
+    broadcast. One corpus-sized shuffle total — the canonical a-priori
+    pair-counting shape."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("p_brand")).alias("bs"))
+    )
+    pairs = ob.select(
+        F.explode_outer(
+            F.expr(
+                "flatten(transform(bs, (x, i) ->"
+                " transform(slice(bs, i + 2, size(bs)),"
+                " y -> struct(x AS brand_a, y AS brand_b))))"
+            )
+        ).alias("pr")
+    ).filter(F.col("pr").isNotNull())
+    return pairs.groupBy("pr.brand_a", "pr.brand_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("support")
+    )
+
+
+@register(
+    "q_analytics_skyline",
+    """
+    WITH p AS (
+      SELECT p_partkey, p_brand,
+             CAST(round(p_retailprice * 100) AS BIGINT) AS price_c,
+             CAST(p_size AS INT) AS p_size
+      FROM part
+    )
+    SELECT p_brand, p_partkey, price_c, p_size
+    FROM p a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p b
+      WHERE b.p_brand = a.p_brand
+        AND b.price_c <= a.price_c AND b.p_size >= a.p_size
+        AND (b.price_c < a.price_c OR b.p_size > a.p_size)
+    )
+    """,
+)
+def q_analytics_skyline(spark, sf_dir):
+    """Per-brand Pareto frontier (skyline) of parts: the parts for
+    which no same-brand part is both cheaper-or-equal and
+    larger-or-equal with at least one strict — the
+    "best price-for-size tradeoff" set a buyer actually chooses from.
+
+    The oracle states dominance as the textbook quadratic NOT EXISTS;
+    the engine computes the identical set in O(n log n) per brand with
+    two RANGE-frame window passes over the price ordering: a part is
+    dominated iff (a) some STRICTLY cheaper same-brand part has size
+    ≥ its size — max(p_size) over RANGE (unbounded, -1) — or (b) some
+    SAME-priced part has size strictly greater — max(p_size) over
+    RANGE (0, 0). Both frames partition by brand, so at 100 TB this is
+    one shuffle on the partition key and a per-partition sort — no
+    self-join, no n² pair expansion, and skew is bounded by the
+    largest brand, not the table."""
+    p = t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        F.expr("cast(round(p_retailprice * 100) as bigint)").alias("price_c"),
+        F.col("p_size").cast("int"),
+    )
+    w_lt = (
+        Window.partitionBy("p_brand")
+        .orderBy("price_c")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_eq = (
+        Window.partitionBy("p_brand").orderBy("price_c").rangeBetween(0, 0)
+    )
+    return (
+        p.withColumn("max_lt", F.max("p_size").over(w_lt))
+        .withColumn("max_eq", F.max("p_size").over(w_eq))
+        .filter(
+            (F.col("max_lt").isNull() | (F.col("max_lt") < F.col("p_size")))
+            & (F.col("max_eq") == F.col("p_size"))
+        )
+        .select("p_brand", "p_partkey", "price_c", "p_size")
+    )
+
+
+@register(
+    "q_analytics_rfm",
+    """
+    WITH base AS (
+      SELECT o_custkey,
+             MAX(o_orderdate) AS last_dt,
+             CAST(count(*) AS BIGINT) AS freq,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS monetary_c
+      FROM orders GROUP BY o_custkey
+    ), anch AS (
+      SELECT *, MAX(last_dt) OVER () AS anchor FROM base
+    ), rec AS (
+      SELECT c.c_mktsegment, a.o_custkey,
+             CAST(date_diff('microsecond', a.last_dt, a.anchor)
+                  // 86400000000 AS BIGINT) AS recency_d,
+             a.freq, a.monetary_c
+      FROM anch a JOIN customer c ON c.c_custkey = a.o_custkey
+    ), scored AS (
+      SELECT c_mktsegment,
+             ntile(5) OVER (PARTITION BY c_mktsegment
+                            ORDER BY recency_d ASC, o_custkey) AS r,
+             ntile(5) OVER (PARTITION BY c_mktsegment
+                            ORDER BY freq DESC, o_custkey) AS f,
+             ntile(5) OVER (PARTITION BY c_mktsegment
+                            ORDER BY monetary_c DESC, o_custkey) AS m
+      FROM rec
+    )
+    SELECT c_mktsegment, CAST(r AS INT) AS r_score,
+           CAST(f AS INT) AS f_score, CAST(m AS INT) AS m_score,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM scored GROUP BY c_mktsegment, r, f, m
+    """,
+)
+def q_analytics_rfm(spark, sf_dir):
+    """RFM customer segmentation: recency (days since last order,
+    exact integer microsecond arithmetic), frequency (order count) and
+    monetary (lifetime cents), each scored into quintiles WITHIN the
+    customer's market segment, reported as the segment-cell census
+    every CRM targets from. Determinism: each ntile's ORDER BY is made
+    total with the custkey tie-break, so both engines assign identical
+    quintiles. Scale shape: the fact table pays one partial-aggregated
+    groupBy to the per-customer relation (dimension-sized); the
+    recency anchor is a window over that aggregate (not a second fact
+    scan); the three quintile windows PARTITION BY segment — so after
+    the one fact shuffle, everything runs on per-segment sorted
+    dimension data, and no global sort ever touches corpus-sized
+    input. (At 100 TB with billions of customers you'd swap exact
+    ntile for broadcast approx-quantile boundaries; the segment
+    partitioning is what keeps even the exact form tractable.)"""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    base = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_dt"),
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+        F.expr(
+            "cast(sum(cast(round(o_totalprice * 100) as bigint)) as bigint)"
+        ).alias("monetary_c"),
+    )
+    anch = base.withColumn(
+        "anchor", F.max("last_dt").over(Window.partitionBy())
+    )
+    rec = anch.join(
+        F.broadcast(c), anch["o_custkey"] == c["c_custkey"]
+    ).select(
+        "c_mktsegment",
+        "o_custkey",
+        F.expr(
+            "cast(timestampdiff(MICROSECOND, last_dt, anchor)"
+            " div 86400000000 as bigint)"
+        ).alias("recency_d"),
+        "freq",
+        "monetary_c",
+    )
+    seg = Window.partitionBy("c_mktsegment")
+    scored = rec.select(
+        "c_mktsegment",
+        F.ntile(5)
+        .over(seg.orderBy(F.col("recency_d").asc(), F.col("o_custkey")))
+        .alias("r_score"),
+        F.ntile(5)
+        .over(seg.orderBy(F.col("freq").desc(), F.col("o_custkey")))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(seg.orderBy(F.col("monetary_c").desc(), F.col("o_custkey")))
+        .alias("m_score"),
+    )
+    return scored.groupBy(
+        "c_mktsegment", "r_score", "f_score", "m_score"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+
+
+@register(
+    "q_analytics_basket_rules",
+    """
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey, p.p_brand
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ), tot AS (
+      SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM ob
+    ), brand_n AS (
+      SELECT p_brand, CAST(count(*) AS BIGINT) AS n_b FROM ob
+      GROUP BY p_brand
+    ), sup AS (
+      SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+             CAST(count(*) AS BIGINT) AS support
+      FROM ob a JOIN ob b
+        ON b.l_orderkey = a.l_orderkey AND a.p_brand < b.p_brand
+      GROUP BY a.p_brand, b.p_brand
+    )
+    SELECT s.brand_a, s.brand_b, s.support,
+           CAST(s.support * 1000000 // na.n_b AS BIGINT) AS conf_ppm,
+           CAST(s.support * (SELECT n FROM tot) * 1000000
+                // (na.n_b * nb.n_b) AS BIGINT) AS lift_ppm
+    FROM sup s
+    JOIN brand_n na ON na.p_brand = s.brand_a
+    JOIN brand_n nb ON nb.p_brand = s.brand_b
+    WHERE s.support >= 20
+    """,
+)
+def q_analytics_basket_rules(spark, sf_dir):
+    """Association rules over the brand co-occurrence pairs:
+    support (orders containing both), confidence(a→b) and lift, both
+    as exact integer ppm (support·10⁶ div n_a; support·N·10⁶ div
+    (n_a·n_b)) so the rule metrics hash-check cross-engine — lift_ppm
+    > 10⁶ means the pair attracts, < 10⁶ repels.
+
+    Scale shape: ONE fact pass, ONE corpus shuffle, and the only
+    pinned relation is dimension-sized. Each order's sorted brand set
+    emits, in a single in-plan lambda, its brand SINGLES (as
+    (brand, NULL)), its C(k,2) PAIRS, and one (NULL, NULL) order
+    marker; one groupBy then counts all three populations at once —
+    brand order-frequencies, pair supports, and the order total are
+    different slices of the SAME ≤ |brands|²+|brands|+1-row aggregate.
+    That tiny aggregate is the only thing checkpointed (three slices
+    read it; Spark shares no subplans across branches), and the rule
+    metrics assemble with two broadcast joins + a 1-row broadcast.
+    min-support 20 prunes the noise tail exactly like a-priori's
+    first pruning pass. lift's integer numerator support·N·10⁶ needs
+    headroom: safe through ~3e6 orders per brand pair in int64."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("p_brand")).alias("bs"))
+    )
+    emitted = ob.select(
+        F.explode_outer(
+            F.expr(
+                "concat("
+                " array(struct(cast(null as string) AS brand_a,"
+                "              cast(null as string) AS brand_b)),"
+                " transform(bs, x -> struct(x AS brand_a,"
+                "                           cast(null as string) AS brand_b)),"
+                " flatten(transform(bs, (x, i) ->"
+                "  transform(slice(bs, i + 2, size(bs)),"
+                "            y -> struct(x AS brand_a, y AS brand_b)))))"
+            )
+        ).alias("pr")
+    )
+    counted = (
+        emitted.groupBy("pr.brand_a", "pr.brand_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    tot = counted.filter(
+        F.col("brand_a").isNull() & F.col("brand_b").isNull()
+    ).select(F.col("cnt").alias("n"))
+    brand_n = counted.filter(
+        F.col("brand_a").isNotNull() & F.col("brand_b").isNull()
+    ).select(F.col("brand_a").alias("p_brand"), F.col("cnt").alias("n_b"))
+    sup = counted.filter(F.col("brand_b").isNotNull()).select(
+        "brand_a", "brand_b", F.col("cnt").alias("support")
+    ).filter(F.col("support") >= 20)
+    na = brand_n.select(
+        F.col("p_brand").alias("brand_a"), F.col("n_b").alias("n_a_cnt")
+    )
+    nb = brand_n.select(
+        F.col("p_brand").alias("brand_b"), F.col("n_b").alias("n_b_cnt")
+    )
+    return (
+        sup.join(F.broadcast(na), "brand_a")
+        .join(F.broadcast(nb), "brand_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "brand_a",
+            "brand_b",
+            "support",
+            F.expr("cast(support * 1000000 div n_a_cnt as bigint)").alias(
+                "conf_ppm"
+            ),
+            F.expr(
+                "cast(support * n * 1000000 div (n_a_cnt * n_b_cnt)"
+                " as bigint)"
+            ).alias("lift_ppm"),
+        )
+    )

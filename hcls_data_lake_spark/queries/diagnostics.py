@@ -237,3 +237,87 @@ def q_diag_completeness(spark, sf_dir):
         )
         .orderBy("month")
     )
+
+
+# Benford first-digit expectation, parts-per-million. round(log10(1 +
+# 1/d) * 1e6) — PRECOMPUTED as integer literals so both engines share
+# the exact table instead of each computing its own float log10 (the
+# one place a ULP could diverge cross-engine).
+_BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+@register(
+    "q_diag_benford",
+    f"""
+    WITH exp_t(digit, exp_ppm) AS (VALUES
+      {", ".join(f"({d}, {p})" for d, p in sorted(_BENFORD_PPM.items()))}
+    ), digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                    AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ), counted AS (
+      SELECT digit, CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(count(*)) OVER () AS BIGINT) AS total
+      FROM digits GROUP BY digit
+    )
+    SELECT c.digit, c.n,
+           CAST(c.n * 1000000 // c.total AS BIGINT) AS ppm,
+           CAST(e.exp_ppm AS BIGINT) AS exp_ppm,
+           CAST(abs(c.n * 1000000 // c.total - e.exp_ppm) AS BIGINT)
+             AS dev_ppm
+    FROM counted c JOIN exp_t e USING (digit)
+    """,
+)
+def q_diag_benford(spark, sf_dir):
+    """Benford's-law first-digit audit over order totals: observed
+    first-digit frequency (ppm, exact integer division) against the
+    Benford expectation, with the absolute deviation per digit — the
+    classic fraud / synthetic-data screen (fabricated amounts flunk
+    the logarithmic digit curve). The expectation table ships as
+    integer ppm LITERALS shared verbatim with the oracle, so no
+    cross-engine float log10 enters the hash. One aggregation over the
+    fact table (9-row output), one broadcast of the 1-row total —
+    at 100 TB this is a single partial-agg shuffle, the cheapest audit
+    in the diagnostics pack."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digits = o.select(
+        F.substring(
+            F.expr("cast(cast(floor(o_totalprice) as bigint) as string)"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    counted = digits.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    # The grand total comes from a global window over the 9-row digit
+    # aggregate — NOT a second aggregation branch, which would scan the
+    # fact table twice (no cross-branch subplan sharing in Spark). The
+    # "global window" scale smell doesn't apply: its input is ≤ 9 rows
+    # whatever the fact volume.
+    from pyspark.sql.window import Window
+
+    exp_df = spark.createDataFrame(
+        sorted(_BENFORD_PPM.items()), "digit int, exp_ppm bigint"
+    )
+    return (
+        counted.withColumn(
+            "total", F.sum("n").over(Window.partitionBy()).cast("bigint")
+        )
+        .withColumn(
+            "ppm", F.expr("cast(n * 1000000 div total as bigint)")
+        )
+        .join(F.broadcast(exp_df), "digit")
+        .select(
+            "digit",
+            "n",
+            "ppm",
+            "exp_ppm",
+            F.expr("cast(abs(ppm - exp_ppm) as bigint)").alias("dev_ppm"),
+        )
+    )

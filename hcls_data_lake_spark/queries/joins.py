@@ -939,3 +939,76 @@ def q_join_bloom_prefilter(spark, sf_dir):
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
         ).alias("revenue"),
     )
+
+
+# The calendar "era" dim for q_join_dpp — a pure literal shared with
+# the oracle (the fixture's order years span 1995-2001).
+_DPP_ERA_ROWS = [
+    (1995, "early"), (1996, "early"), (1997, "mid"), (1998, "mid"),
+    (1999, "modern"), (2000, "modern"), (2001, "modern"),
+]
+
+
+@register(
+    "q_join_dpp",
+    f"""
+    WITH era(o_year, era) AS (VALUES
+      {", ".join(f"({y}, '{e}')" for y, e in _DPP_ERA_ROWS)}
+    ), fact AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             o_orderpriority, o_totalprice
+      FROM orders
+    )
+    SELECT f.o_year, f.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(f.o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS total_c
+    FROM fact f JOIN era d USING (o_year)
+    WHERE d.era = 'modern'
+    GROUP BY f.o_year, f.o_orderpriority
+    """,
+)
+def q_join_dpp(spark, sf_dir):
+    """Dynamic partition pruning: the fact table is laid out
+    partitioned by order year; the query joins it to a tiny calendar
+    dim filtered on a NON-key attribute (era = 'modern'), so the fact
+    partitions to read are only known at RUNTIME — Catalyst plants a
+    dynamicpruning subquery on the fact scan's partition filter
+    (reusing the dim broadcast), and only the 3 matching year
+    directories are ever opened. This is THE mechanism that makes
+    star-schema queries over a date-partitioned 100 TB fact readable:
+    static pruning can't see through the join, and without DPP the
+    scan reads every partition. Plan-gated on the dynamicpruning
+    expression; the write itself is setup, not the measured operator
+    (idempotent per scale factor). The oracle states the same join on
+    the unpartitioned source."""
+    from hcls_data_lake_spark.queries.common import scratch_for
+
+    path = scratch_for(sf_dir, "orders_by_year")
+    import os
+
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            t(spark, sf_dir, "orders")
+            .withColumn(
+                "o_year", F.expr("cast(year(o_orderdate) as int)")
+            )
+            .write.mode("overwrite")
+            .partitionBy("o_year")
+            .parquet(path)
+        )
+    fact = spark.read.parquet(path)
+    era = spark.createDataFrame(_DPP_ERA_ROWS, "o_year int, era string")
+    return (
+        fact.join(
+            F.broadcast(era.filter(F.col("era") == "modern")), "o_year"
+        )
+        .groupBy("o_year", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.expr(
+                "cast(sum(cast(round(o_totalprice * 100) as bigint))"
+                " as bigint)"
+            ).alias("total_c"),
+        )
+    )

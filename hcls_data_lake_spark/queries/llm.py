@@ -78,13 +78,15 @@ _NEAR_SQL = """
 """
 
 
-def _near_pairs(spark, sf_dir):
+def _near_pairs(spark, sf_dir, ngram: int = 3, threshold: float = 0.2):
     """Thresholded near-dup pairs (doc_a < doc_b, jaccard) — shared by
-    q_dedup_near (reports pairs) and q_dedup_clusters (groups them)."""
+    q_dedup_near (reports pairs) and q_dedup_clusters (groups them).
+    q_graph_khop reuses the same inverted-index build at (ngram=2,
+    threshold=0.08) for a denser multi-hop graph."""
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     wdf = d.select("doc_id", F.split("text", " ").alias("w"))
-    shingles = shingles_from_words("w", 3)
-    docs = wdf.filter(F.size("w") >= 3).select(
+    shingles = shingles_from_words("w", ngram)
+    docs = wdf.filter(F.size("w") >= ngram).select(
         "doc_id", shingles.alias("shingles"), F.size(shingles).alias("n_shingles")
     )
     posting = (
@@ -114,7 +116,7 @@ def _near_pairs(spark, sf_dir):
     jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
     return (
         inter.withColumn("jaccard", F.round(jac, 4))
-        .filter(jac >= 0.2)
+        .filter(jac >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
 
@@ -1620,6 +1622,77 @@ def q_graph_triangles(spark, sf_dir):
     return triangle_stats(_near_pairs(spark, sf_dir))
 
 
+# The khop graph: same inverted-index near-dup build as _NEAR_SQL but
+# at (2-gram, jaccard ≥ 0.08) — the 3-gram/0.2 dedup graph is 25
+# isolated-ish edges with no path longer than one hop, useless for a
+# reachability query; the looser similarity graph (1.1k edges over the
+# same 500 docs) has a full 0/1/2/3-hop spectrum.
+_KHOP_NEAR_SQL = """
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS w
+      FROM documents WHERE doc_id < 500
+    ), shingled AS (
+      SELECT doc_id,
+             list_distinct([w[i] || ' ' || w[i+1]
+                            for i in range(1, len(w))]) AS shingles
+      FROM docs WHERE len(w) >= 2
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.shingles, b.shingles)) AS inter,
+             len(a.shingles) + len(b.shingles)
+               - len(list_intersect(a.shingles, b.shingles)) AS uni
+      FROM shingled a JOIN shingled b ON a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b
+    FROM pairs
+    WHERE CAST(inter AS DOUBLE) / uni >= 0.08
+"""
+
+
+@register(
+    "q_graph_khop",
+    f"""
+    WITH RECURSIVE near AS MATERIALIZED ({_KHOP_NEAR_SQL}),
+    p AS MATERIALIZED (
+      SELECT doc_a AS src, doc_b AS dst FROM near
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM near
+    ),
+    walk(node, hop) AS (
+      SELECT DISTINCT src AS node, 0 AS hop FROM p WHERE src % 20 = 0
+      UNION ALL
+      SELECT e.dst, w.hop + 1
+      FROM walk w JOIN p e ON e.src = w.node
+      WHERE w.hop < 3
+    )
+    SELECT node, CAST(MIN(hop) AS INT) AS hops
+    FROM walk GROUP BY node
+    """,
+)
+def q_graph_khop(spark, sf_dir):
+    """k-hop reachability over a document-similarity graph: every
+    document within 3 links of a seed set (doc_id ≡ 0 mod 20), labeled
+    with its minimum hop distance — the contamination blast-radius
+    query ("a benchmark's test set leaked into these seeds; everything
+    within k similarity hops is suspect too"). Edges are the same
+    inverted-index shingle-Jaccard build as q_dedup_near at a looser
+    setting (2-grams, jaccard ≥ 0.08) so the graph actually has
+    multi-hop structure. The engine runs frontier-expansion BFS
+    (operators/dedup.bfs_min_hops: per round, one src-keyed join of
+    the NEW frontier only + one anti-join against visited, edge list
+    partitioned once and reused) — cost |frontier|·degree per round,
+    where the DuckDB recursive-CTE oracle happily enumerates every
+    path of length ≤ 3 and min-aggregates at the end; both compute the
+    same pure-integer set, so the hash checks cross-engine."""
+    from hcls_data_lake_spark.operators.dedup import bfs_min_hops
+
+    return bfs_min_hops(
+        _near_pairs(spark, sf_dir, ngram=2, threshold=0.08),
+        seed_mod=20,
+        max_hops=3,
+    )
+
+
 @register(
     "q_text_heavy_hitters",
     """
@@ -2516,4 +2589,55 @@ def q_text_passage_dedup(spark, sf_dir):
         F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
         .cast("bigint")
         .alias("n_dropped"),
+    )
+
+
+@register(
+    "q_text_zipf",
+    """
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ), freq AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS n FROM tok
+      WHERE w <> '' GROUP BY w
+    ), ranked AS (
+      SELECT w, n,
+             CAST(row_number() OVER (ORDER BY n DESC, w) AS BIGINT)
+               AS rnk
+      FROM freq
+    )
+    SELECT rnk, w, n, CAST(rnk * n AS BIGINT) AS zipf_c
+    FROM ranked WHERE rnk <= 100
+    """,
+)
+def q_text_zipf(spark, sf_dir):
+    """Zipf rank-frequency profile of the corpus vocabulary: the top
+    100 tokens with their frequency rank and the rank·frequency
+    product (constant under an ideal Zipf law — the sanity curve every
+    corpus-composition report starts with; a flat zipf_c says natural
+    language, spikes say boilerplate or template spam). Rank order is
+    made total by (n DESC, token), so both engines agree on every
+    rank. Scale shape: the corpus pays one explode + partial-agg
+    shuffle to the vocabulary relation; the rank window and top-100
+    filter run over vocab-sized data. A truly web-scale vocabulary
+    would pre-prune with the count-min/heavy-hitter pass
+    (q_text_heavy_hitters) before an exact global window — here the
+    window input is already dimension-sized."""
+    d = t(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    from pyspark.sql.window import Window as W
+
+    ranked = freq.withColumn(
+        "rnk",
+        F.row_number()
+        .over(W.orderBy(F.col("n").desc(), F.col("w")))
+        .cast("bigint"),
+    )
+    return ranked.filter(F.col("rnk") <= 100).select(
+        "rnk", "w", "n", (F.col("rnk") * F.col("n")).cast("bigint").alias("zipf_c")
     )

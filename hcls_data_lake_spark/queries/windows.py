@@ -343,3 +343,126 @@ def q_win_median(spark, sf_dir):
         F.round(med, 4).alias("median_value"),
         F.round(F.col("value") - med, 4).alias("deviation"),
     )
+
+
+@register(
+    "q_win_streak_islands",
+    """
+    WITH seq AS (
+      SELECT o_custkey, o_orderdate, o_orderkey,
+             CASE WHEN o_totalprice > lag(o_totalprice) OVER w
+                  THEN 0 ELSE 1 END AS brk
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey)
+    ), isl AS (
+      SELECT o_custkey,
+             SUM(brk) OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey
+                            ROWS UNBOUNDED PRECEDING) AS streak_id
+      FROM seq
+    ), lens AS (
+      SELECT o_custkey, streak_id, CAST(count(*) AS BIGINT) AS len
+      FROM isl GROUP BY o_custkey, streak_id
+    ), best AS (
+      SELECT o_custkey, MAX(len) AS max_streak FROM lens
+      GROUP BY o_custkey
+    )
+    SELECT CAST(max_streak AS BIGINT) AS max_streak,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM best GROUP BY max_streak
+    """,
+)
+def q_win_streak_islands(spark, sf_dir):
+    """Gaps-and-islands streak detection: per customer, the longest
+    run of consecutive orders (by order date, ties by key) with
+    strictly increasing totals; output is the distribution of that
+    max-streak length across customers. The islands come from the
+    standard two-window trick — a LAG comparison marks each
+    non-increase as a break, and a running SUM of breaks numbers the
+    islands — so the whole query is two window passes and two
+    aggregations over ONE partitioning (o_custkey): a single shuffle
+    at any scale, with per-customer sort cost and no self-join. The
+    break flag and island id are integers and the comparison is on
+    the stored doubles both engines read identically, so the
+    distribution hash-checks cross-engine."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    o = t(spark, sf_dir, "orders")
+    seq = o.withColumn(
+        "brk",
+        F.when(
+            F.col("o_totalprice") > F.lag("o_totalprice").over(w), F.lit(0)
+        ).otherwise(F.lit(1)),
+    ).withColumn(
+        "streak_id",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    lens = seq.groupBy("o_custkey", "streak_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("len")
+    )
+    best = lens.groupBy("o_custkey").agg(F.max("len").alias("max_streak"))
+    return best.groupBy(F.col("max_streak").cast("bigint")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers")
+    )
+
+
+@register(
+    "q_win_pattern_seq",
+    """
+    WITH seq AS (
+      SELECT user_id,
+             event_type AS a,
+             lead(event_type, 1) OVER w AS b,
+             lead(event_type, 2) OVER w AS c
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+    ), per_user AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN a = 'view' AND b = 'click'
+                           AND c = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_matches
+      FROM seq GROUP BY user_id
+    )
+    SELECT n_matches, CAST(count(*) AS BIGINT) AS n_users
+    FROM per_user GROUP BY n_matches
+    """,
+)
+def q_win_pattern_seq(spark, sf_dir):
+    """Row-pattern recognition (the MATCH_RECOGNIZE `PATTERN (A B C)`
+    of Trino/Flink, expressed as window composition): per user, count
+    STRICTLY CONSECUTIVE view→click→purchase runs in the event
+    sequence, reported as the match-count distribution across users.
+    Two LEADs over one (user, time, event_id)-ordered window turn each
+    row into its own 3-row pattern window, so matching is a pure
+    projection — no self-join, no per-row regex state machine — and
+    the whole query (window + both aggregations) rides the single
+    user_id shuffle. The ordering is total (event_id tie-break), so
+    both engines see identical sequences; all time math is raw integer
+    nanoseconds. Longer patterns are more LEADs; gapped patterns
+    compose this with the sessionize islands (q_ts_sessionize) —
+    window-library row-pattern matching, linear cost at any scale."""
+    e = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts_ns"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    seq = e.select(
+        "user_id",
+        F.col("event_type").alias("a"),
+        F.lead("event_type", 1).over(w).alias("b"),
+        F.lead("event_type", 2).over(w).alias("c"),
+    )
+    per_user = seq.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                (F.col("a") == "view")
+                & (F.col("b") == "click")
+                & (F.col("c") == "purchase"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_matches")
+    )
+    return per_user.groupBy("n_matches").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )

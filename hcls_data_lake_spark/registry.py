@@ -97,13 +97,19 @@ def register(name: str, oracle: str | None) -> Callable[[QueryFn], QueryFn]:
 # lifts cumulative driver coverage to 220/246. The r6 queue follows
 # immediately after: the 9 deferred hash names, then the 11
 # rows-only-by-contract names (recall-gated ANN / sketch / multimodal
-# ops whose semantics pytest pins), then the 9 r5 additions (all
+# ops whose semantics pytest pins), then the 14 r5 additions (all
 # oracle-hash-checked: q_dedup_semantic SRP-LSH + exact integer
 # cosine, q_privacy_t_closeness integer-EMD, q_join_asof_nearest,
 # q_stream_minhash MIN-merge sketch, q_sample_reservoir, q_agg_gini,
 # q_stream_stateful_tws, q_ts_changepoint CUSUM, q_analytics_abc
-# Pareto) — 29 names, fits one r6 rotation with room to re-confirm
-# any r5 red.
+# Pareto, q_analytics_basket_pairs a-priori co-occurrence,
+# q_analytics_skyline window-skyline, q_graph_khop BFS vs recursive
+# CTE, q_diag_benford, q_win_streak_islands, q_join_dpp dynamic
+# partition pruning, q_analytics_rfm quintile segmentation,
+# q_text_zipf rank-frequency, q_analytics_basket_rules
+# lift/confidence ppm, q_win_pattern_seq MATCH_RECOGNIZE-style
+# contiguous sequences) — 39 names; the first 50 of this list
+# form the r6 prefix, the small remainder rolls to r7.
 _FAMILY_REPRESENTATIVES = [
     # -- slot 1: the r4 red row, oracle fixed (CAST ... AS BIGINT) --
     "q_analytics_min_cost_supplier",
@@ -158,6 +164,16 @@ _FAMILY_REPRESENTATIVES = [
     "q_embed_quantize",
     "q_pack_sequences",
     # -- r6 queue: deferred hash names, then rows-only-by-contract --
+    "q_analytics_basket_pairs",
+    "q_analytics_skyline",
+    "q_graph_khop",
+    "q_diag_benford",
+    "q_win_streak_islands",
+    "q_join_dpp",
+    "q_analytics_rfm",
+    "q_text_zipf",
+    "q_analytics_basket_rules",
+    "q_win_pattern_seq",
     "q_layout_zorder",
     "q_fn_collation",
     "q_fn_json_build",

@@ -1587,3 +1587,65 @@ def test_semantic_dedup_identical_vectors_collide(spark, sf_dir):
     assert got[1] == got[2] == got[3]
     # antipodal vector flips every strict sign; buckets must differ
     assert got[4] != got[1]
+
+
+def test_bfs_min_hops_constructed_graph(spark):
+    """Constructed-graph truth table for operators/dedup.bfs_min_hops.
+
+    Graph (undirected):  0-1-2-3-4-5   plus a shortcut 0-3 and an
+    isolated component 7-8. Seeds = nodes ≡ 0 mod 7 → {0, 7}.
+    Expectations with max_hops=3:
+      - hop 0: the seeds themselves (0, 7)
+      - shortcut wins: node 3 is 1 hop via 0-3, not 3 hops via the
+        chain (min-hop property)
+      - node 2 is reachable both ways (1-2 at hop 2, 3-2 at hop 2) —
+        labeled once
+      - node 5 is 3 hops (3-4-5 via the shortcut); node 6 absent (not
+        in the graph), and nothing beyond max_hops leaks in
+      - isolated component: 8 is 1 hop from seed 7
+    """
+    from hcls_data_lake_spark.operators.dedup import bfs_min_hops
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (0, 3), (7, 8)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r.node: r.hops
+        for r in bfs_min_hops(pairs, seed_mod=7, max_hops=3).collect()
+    }
+    assert got == {0: 0, 7: 0, 1: 1, 3: 1, 8: 1, 2: 2, 4: 2, 5: 3}
+
+
+def test_skyline_dominance_constructed(spark, sf_dir):
+    """Every returned skyline part is UNDOMINATED and every excluded
+    part is dominated by some same-brand part — checked exhaustively
+    on the fixture via a pandas cross-check of the dominance
+    definition (cheaper-or-equal AND larger-or-equal AND one strict).
+    """
+    from hcls_data_lake_spark.registry import queries
+
+    q = queries()["q_analytics_skyline"]
+    sky = q(spark, sf_dir).toPandas()
+    part = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .selectExpr(
+            "p_partkey",
+            "p_brand",
+            "cast(round(p_retailprice * 100) as bigint) as price_c",
+            "cast(p_size as int) as p_size",
+        )
+        .toPandas()
+    )
+    sky_keys = set(sky.p_partkey)
+    for brand, grp in part.groupby("p_brand"):
+        rows = list(grp.itertuples())
+        for a in rows:
+            dominated = any(
+                b.price_c <= a.price_c
+                and b.p_size >= a.p_size
+                and (b.price_c < a.price_c or b.p_size > a.p_size)
+                for b in rows
+            )
+            assert (a.p_partkey in sky_keys) == (not dominated), (
+                brand,
+                a.p_partkey,
+            )

@@ -335,6 +335,7 @@ _BNLJ_ALLOWED = {
     "q_diag_key_skew",     # one-row global-total broadcast joined back
     "q_sim_ann_pq",        # broadcast query block x PQ-coded candidates
     "q_sketch_bloom_md5",  # one-row bit-count census cross-joined
+    "q_analytics_basket_rules",  # one-row order-total cross-joined back
     "q_privacy_t_closeness",  # groups x BOUNDED band vocabulary grid
     #                           + one-row (N, m) totals, both broadcast
     "q_analytics_abc",     # one-row revenue total cross-joined back
@@ -594,3 +595,91 @@ def test_r5_additions_plan_quality(spark, sf_dir):
     # partitioning on user_id — the union shuffles once, sorts twice
     plan = plan_of(qs["q_join_asof_nearest"](spark, sf_dir))
     assert plan.count("Exchange hashpartitioning(user_id") <= 2
+
+
+def test_r5_batch2_plan_quality(spark, sf_dir):
+    """Plan gates for the second r5 batch (basket pairs, skyline,
+    Benford, streak islands, k-hop)."""
+    from hcls_data_lake_spark.plans import count_exchanges
+
+    qs = registry.queries()
+
+    # basket pairs: no self-join — one fact scan, one corpus-sized
+    # shuffle (the per-order collect_set), pair expansion in-plan; the
+    # part dim rides a broadcast, never a shuffle
+    df = qs["q_analytics_basket_pairs"](spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("lineitem.parquet") == 1
+    assert "SortMergeJoin" not in plan
+    rs = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_comment" not in rs and "l_extendedprice" not in rs
+    assert "BroadcastHashJoin" in plan
+
+    # skyline: both RANGE-frame windows and the final projection share
+    # ONE hash partitioning on p_brand — a single shuffle total — and
+    # the part scan is pruned to the four used columns
+    df = qs["q_analytics_skyline"](spark, sf_dir)
+    plan = plan_of(df)
+    assert count_exchanges(df) <= 1
+    rs = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "p_name" not in rs and "p_type" not in rs
+
+    # benford: exactly one scan of the fact table (total via window
+    # over the 9-row digit aggregate, not a second branch), pruned to
+    # the single audited column
+    df = qs["q_diag_benford"](spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("orders.parquet") == 1
+    rs = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert rs.strip() == "struct<o_totalprice:double>"
+
+    # streak islands: lag, running sum, and both aggregations all key
+    # on o_custkey — one shuffle carries the whole query; the final
+    # 7-row distribution agg is the only other exchange
+    df = qs["q_win_streak_islands"](spark, sf_dir)
+    assert count_exchanges(df) <= 2
+    rs = plan_of(df).split("ReadSchema:")[1].splitlines()[0]
+    assert "o_orderstatus" not in rs and "o_orderpriority" not in rs
+
+    # k-hop: frontier BFS output — no Python eval anywhere, no
+    # cartesian products (checkpointed scans hide upstream, so lint
+    # the final union plan)
+    df = qs["q_graph_khop"](spark, sf_dir)
+    assert lint(df) == []
+
+
+def test_r5_batch3_plan_quality(spark, sf_dir):
+    """Plan gates for the third r5 batch (DPP join, RFM, Zipf)."""
+    qs = registry.queries()
+
+    # DPP: the partitioned fact scan carries a dynamicpruning
+    # partition filter fed by the broadcast dim — the whole point
+    df = qs["q_join_dpp"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "dynamicpruning" in plan.lower()
+    assert "BroadcastHashJoin" in plan
+
+    # RFM: one fact scan (anchor via window over the per-customer
+    # aggregate, not a second branch); customer dim broadcast; the
+    # quintile windows keyed on the segment
+    df = qs["q_analytics_rfm"](spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("orders.parquet") == 1
+    assert "BroadcastHashJoin" in plan
+
+    # Zipf: corpus explode feeds a two-level aggregate (map-side
+    # partial before the shuffle), and the global rank window runs
+    # AFTER the vocabulary aggregate, never over raw tokens
+    df = qs["q_text_zipf"](spark, sf_dir)
+    plan = plan_of(df, "simple")
+    agg_pos = plan.find("HashAggregate")
+    win_pos = plan.find("Window")
+    assert agg_pos != -1 and win_pos != -1 and win_pos < agg_pos
+
+    # basket rules: the pinned per-order relation feeds pairs, brand
+    # counts and the total — the fact table never re-enters the probe
+    # plan, and every rule-side join is a broadcast
+    df = qs["q_analytics_basket_rules"](spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("lineitem.parquet") == 0
+    assert "SortMergeJoin" not in plan
