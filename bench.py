@@ -132,6 +132,10 @@ EXTENDED = [
     "q_join_dpp",             # runtime partition pruning via dim filter (r5)
     "q_analytics_rfm",        # segment-partitioned RFM quintile census (r5)
     "q_text_zipf",            # rank-frequency vocabulary profile (r5)
+    "q_analytics_basket_rules",  # a-priori lift/confidence in exact ppm (r5)
+    "q_win_pattern_seq",      # MATCH_RECOGNIZE-style contiguous pattern (r5)
+    "q_ts_spearman",          # drift-free integer rank correlation (r5)
+    "q_analytics_mom_growth", # MoM revenue growth in basis points (r5)
 ]
 
 

@@ -1568,3 +1568,72 @@ def q_analytics_basket_rules(spark, sf_dir):
             ).alias("lift_ppm"),
         )
     )
+
+
+@register(
+    "q_analytics_mom_growth",
+    """
+    WITH monthly AS (
+      SELECT c.c_mktsegment,
+             CAST(year(o.o_orderdate) * 100 + month(o.o_orderdate)
+                  AS INT) AS ym,
+             CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev_c
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ), with_prev AS (
+      SELECT c_mktsegment, ym, rev_c,
+             lag(rev_c) OVER (PARTITION BY c_mktsegment ORDER BY ym)
+               AS prev_c
+      FROM monthly
+    )
+    SELECT c_mktsegment, ym, rev_c,
+           CAST(rev_c - prev_c AS BIGINT) AS delta_c,
+           CAST(rev_c * 10000 // prev_c AS BIGINT) AS ratio_bp
+    FROM with_prev WHERE prev_c IS NOT NULL
+    """,
+)
+def q_analytics_mom_growth(spark, sf_dir):
+    """Month-over-month revenue growth per market segment: monthly
+    totals in exact cents, the prior month via LAG over the
+    segment-partitioned month order, and the growth ratio as integer
+    basis points (rev·10⁴ div prev — both operands positive, so
+    Spark's truncating div and DuckDB's flooring // agree; a signed
+    growth-RATE formula would floor differently between engines on
+    down months, which is why the ratio form is the pinned one; the
+    signed absolute delta is exact either way). Months are integer
+    yyyymm keys from NTZ calendar fields — no date_trunc timestamp
+    rendering to shift under a foreign session tz. One fact shuffle to
+    the (segment, month) aggregate; the LAG window runs over the
+    dimension-sized monthly relation."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    monthly = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            "c_mktsegment",
+            F.expr(
+                "cast(year(o_orderdate) * 100 + month(o_orderdate) as int)"
+            ).alias("ym"),
+        )
+        .agg(
+            F.expr(
+                "cast(sum(cast(round(o_totalprice * 100) as bigint))"
+                " as bigint)"
+            ).alias("rev_c")
+        )
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("ym")
+    return (
+        monthly.withColumn("prev_c", F.lag("rev_c").over(w))
+        .filter(F.col("prev_c").isNotNull())
+        .select(
+            "c_mktsegment",
+            "ym",
+            "rev_c",
+            (F.col("rev_c") - F.col("prev_c")).cast("bigint").alias("delta_c"),
+            F.expr("cast(rev_c * 10000 div prev_c as bigint)").alias(
+                "ratio_bp"
+            ),
+        )
+    )

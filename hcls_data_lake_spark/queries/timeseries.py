@@ -550,3 +550,68 @@ def q_ts_changepoint(spark, sf_dir):
         F.col("d").alias("changepoint_day"),
         "cusum_scaled",
     )
+
+
+@register(
+    "q_ts_spearman",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS x_c,
+             CAST(count(*) AS BIGINT) AS y_n
+      FROM events GROUP BY 1
+    ), ranked AS (
+      SELECT d,
+             CAST(row_number() OVER (ORDER BY x_c, d) AS BIGINT) AS rx,
+             CAST(row_number() OVER (ORDER BY y_n, d) AS BIGINT) AS ry
+      FROM daily
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           CAST(SUM((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2,
+           CAST(1000000 - (6 * SUM((rx - ry) * (rx - ry)) * 1000000)
+                // NULLIF(count(*) * (count(*) * count(*) - 1), 0)
+                AS BIGINT) AS rho_ppm
+    FROM ranked
+    """,
+)
+def q_ts_spearman(spark, sf_dir):
+    """Spearman rank correlation between two daily series (revenue vs
+    event volume) in exact integer ppm: ranks are a PERMUTATION (ties
+    broken by day, so both engines rank identically with no fractional
+    average-rank arithmetic), and ρ = 1 − 6Σd²/(n(n²−1)) evaluates as
+    pure BIGINT (floor division; operands positive, so Spark div and
+    DuckDB // agree). Pearson needs float sums that drift across
+    partitionings; the rank form is the drift-free correlation a
+    cross-engine-verified pipeline can actually pin. Scale shape: the
+    facts pay one partial-agg shuffle to the DAILY relation
+    (calendar-bounded), the two rank windows and the final 1-row
+    reduce run over days only. Headroom: Σd² < n³, so int64 holds to
+    ~n = 10⁵ days with the 10⁶ scaling."""
+    e = events(spark, sf_dir)
+    daily = e.groupBy(
+        F.expr("cast(date_trunc('day', ts) as date)").alias("d")
+    ).agg(
+        F.expr(
+            "cast(sum(cast(round(value * 100) as bigint)) as bigint)"
+        ).alias("x_c"),
+        F.count(F.lit(1)).cast("bigint").alias("y_n"),
+    )
+    from pyspark.sql.window import Window as W
+
+    ranked = daily.select(
+        "d",
+        F.row_number().over(W.orderBy("x_c", "d")).cast("bigint").alias("rx"),
+        F.row_number().over(W.orderBy("y_n", "d")).cast("bigint").alias("ry"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.expr("cast(sum((rx - ry) * (rx - ry)) as bigint)").alias("sum_d2"),
+        # NULLIF guards the degenerate single-day series (n(n²−1)=0):
+        # both engines emit NULL instead of erroring mid-sweep
+        F.expr(
+            "cast(1000000 - (6 * sum((rx - ry) * (rx - ry)) * 1000000)"
+            " div nullif(count(*) * (count(*) * count(*) - 1), 0)"
+            " as bigint)"
+        ).alias("rho_ppm"),
+    )

@@ -1649,3 +1649,65 @@ def test_skyline_dominance_constructed(spark, sf_dir):
                 brand,
                 a.p_partkey,
             )
+
+
+def test_late_r5_additions_invariants(spark, sf_dir):
+    """Fixture-level invariants for the late-r5 operators, beyond the
+    oracle hash: bounds and identities that must hold for ANY input."""
+    from hcls_data_lake_spark.registry import queries
+
+    qs = queries()
+
+    # basket rules: confidence is a probability (≤ 1e6 ppm), support
+    # respects the min-support prune, lift is positive
+    rules = qs["q_analytics_basket_rules"](spark, sf_dir).collect()
+    assert rules
+    for r in rules:
+        assert 0 < r.conf_ppm <= 1_000_000
+        assert r.support >= 20
+        assert r.lift_ppm > 0
+        assert r.brand_a < r.brand_b
+
+    # skyline: within a brand, the frontier is an antichain — sorted by
+    # ascending price, sizes must STRICTLY decrease (equal or larger
+    # size at higher price would be dominance)
+    sky = qs["q_analytics_skyline"](spark, sf_dir).collect()
+    by_brand = {}
+    for r in sky:
+        by_brand.setdefault(r.p_brand, []).append((r.price_c, r.p_size))
+    for brand, pts in by_brand.items():
+        pts.sort()
+        for (p1, s1), (p2, s2) in zip(pts, pts[1:]):
+            # min-price/max-size frontier: along ascending price, size
+            # strictly INCREASES (paying more must buy more size, else
+            # the cheaper point dominates); exact (price, size) ties
+            # survive together (no strict dominance either way)
+            assert (p1 == p2 and s1 == s2) or (p1 < p2 and s1 < s2), (
+                brand, p1, s1, p2, s2,
+            )
+
+    # spearman: rho bounded, d² identity consistent with n
+    row = qs["q_ts_spearman"](spark, sf_dir).collect()[0]
+    assert -1_000_000 <= row.rho_ppm <= 1_000_000
+    assert row.sum_d2 >= 0 and row.n_days > 1
+
+    # MoM growth: ratio_bp is rev*1e4 div prev exactly, and delta
+    # matches it in sign
+    for r in qs["q_analytics_mom_growth"](spark, sf_dir).collect():
+        assert r.ratio_bp > 0
+        assert (r.delta_c >= 0) == (r.ratio_bp >= 10_000)
+
+    # pattern matches cannot exceed the user's event count // 3
+    eco = {
+        r.user_id: r.n
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    total_matches = sum(
+        r.n_matches * r.n_users
+        for r in qs["q_win_pattern_seq"](spark, sf_dir).collect()
+    )
+    assert total_matches <= sum(eco.values()) // 3
