@@ -136,6 +136,7 @@ EXTENDED = [
     "q_win_pattern_seq",      # MATCH_RECOGNIZE-style contiguous pattern (r5)
     "q_ts_spearman",          # drift-free integer rank correlation (r5)
     "q_analytics_mom_growth", # MoM revenue growth in basis points (r5)
+    "q_stream_cdc_apply",     # foreachBatch LWW upsert/tombstone state (r5)
 ]
 
 

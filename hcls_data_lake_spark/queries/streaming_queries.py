@@ -15,6 +15,7 @@ from __future__ import annotations
 import shutil
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from hcls_data_lake_spark.queries.common import events, scratch_for
 from hcls_data_lake_spark.registry import register
@@ -958,3 +959,83 @@ def q_stream_minhash(spark, sf_dir):
         .groupBy("grp", "r")
         .agg(F.min("minh").alias("minh"))
     )
+
+
+@register(
+    "q_stream_cdc_apply",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS value_c,
+             CAST(epoch_ns(ts) AS BIGINT) AS ts_ns,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY epoch_ns(ts) DESC,
+                                         event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, event_type AS last_type, value_c, ts_ns
+    FROM ranked WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def q_stream_cdc_apply(spark, sf_dir):
+    """Streaming CDC materialization: the event stream is a change
+    feed keyed by user (every event upserts the user's current row;
+    'error' events are tombstones that DELETE the key), folded into a
+    keyed parquet state table by foreachBatch — per micro-batch,
+    collapse the batch to last-writer-wins per key (ts, then event_id
+    — a total order, so both engines agree), drop state rows whose key
+    is touched, apply the surviving upserts, write the new state aside
+    and swap (the read side is localCheckpoint-pinned BEFORE the
+    overwrite so read-modify-write is safe on one dir). The finished
+    state is byte-identical to the batch argmax the DuckDB oracle
+    computes, which hash-checks the whole streaming replay. Per batch
+    the cost is one key shuffle of |batch| + |touched state| rows —
+    state never rewrites more than the touched keys' partitions in a
+    partitioned deployment; this is Structured Streaming's
+    foreachBatch MERGE INTO pattern for engines without a
+    transactional sink."""
+    out_root = scratch_for(sf_dir, "cdc_state")
+    shutil.rmtree(out_root, ignore_errors=True)
+    sdf = read_events_stream(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        F.expr("cast(round(value * 100) as bigint)").alias("value_c"),
+        "ts_ns",
+        "event_id",
+    )
+    import os
+
+    def apply_batch(batch_df, batch_id):
+        s = batch_df.sparkSession
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts_ns").desc(), F.col("event_id").desc()
+        )
+        latest = (
+            batch_df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        if os.path.exists(os.path.join(out_root, "_SUCCESS")):
+            # pin current state in executor storage BEFORE overwriting
+            # the directory it was read from
+            state = s.read.parquet(out_root).localCheckpoint(eager=True)
+            untouched = state.join(
+                latest.select("user_id"), "user_id", "left_anti"
+            )
+        else:
+            untouched = None
+        upserts = latest.filter(F.col("event_type") != "error").select(
+            "user_id",
+            F.col("event_type").alias("last_type"),
+            "value_c",
+            "ts_ns",
+        )
+        new_state = (
+            upserts
+            if untouched is None
+            else untouched.unionByName(upserts)
+        )
+        new_state.write.mode("overwrite").parquet(out_root)
+
+    run_foreach_batch(sdf, apply_batch)
+    return spark.read.parquet(out_root)

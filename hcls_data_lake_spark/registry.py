@@ -109,7 +109,8 @@ def register(name: str, oracle: str | None) -> Callable[[QueryFn], QueryFn]:
 # q_text_zipf rank-frequency, q_analytics_basket_rules
 # lift/confidence ppm, q_win_pattern_seq MATCH_RECOGNIZE-style
 # contiguous sequences, q_ts_spearman integer rank correlation,
-# q_analytics_mom_growth basis-point growth) — 41 names; the first 50 of this list
+# q_analytics_mom_growth basis-point growth, q_stream_cdc_apply
+# foreachBatch LWW upsert/tombstone materialization) — 42 names; the first 50 of this list
 # form the r6 prefix, the small remainder rolls to r7.
 _FAMILY_REPRESENTATIVES = [
     # -- slot 1: the r4 red row, oracle fixed (CAST ... AS BIGINT) --
@@ -177,6 +178,7 @@ _FAMILY_REPRESENTATIVES = [
     "q_win_pattern_seq",
     "q_ts_spearman",
     "q_analytics_mom_growth",
+    "q_stream_cdc_apply",
     "q_layout_zorder",
     "q_fn_collation",
     "q_fn_json_build",
