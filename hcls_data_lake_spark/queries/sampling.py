@@ -345,3 +345,67 @@ def q_sample_reservoir(spark, sf_dir):
         .filter(F.col("rk") <= 5)
         .select("event_type", "event_id", "rk")
     )
+
+
+# Walk-forward split constants shared verbatim with the oracle: test
+# starts at Jan 22; a 1-day purge embargo before it is EXCLUDED from
+# train so trailing-window features computed at train time can't peek
+# across the boundary. All comparisons in raw integer nanoseconds.
+_TSPLIT_CUTOFF_NS = 1_705_881_600_000_000_000  # 2024-01-22T00:00:00Z
+_TSPLIT_EMBARGO_NS = 86_400_000_000_000  # 1 day
+
+
+@register(
+    "q_sample_time_split",
+    f"""
+    WITH tagged AS (
+      SELECT user_id, epoch_ns(ts) AS ts_ns,
+             CASE
+               WHEN epoch_ns(ts) >= {_TSPLIT_CUTOFF_NS} THEN 'test'
+               WHEN epoch_ns(ts) <
+                    {_TSPLIT_CUTOFF_NS} - {_TSPLIT_EMBARGO_NS}
+                 THEN 'train'
+               ELSE 'purged'
+             END AS split
+      FROM events
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(MIN(ts_ns) AS BIGINT) AS min_ns,
+           CAST(MAX(ts_ns) AS BIGINT) AS max_ns
+    FROM tagged GROUP BY split
+    """,
+)
+def q_sample_time_split(spark, sf_dir):
+    """Walk-forward (temporal) train/test split with a purge embargo:
+    events at-or-after the cutoff are test, events more than one
+    embargo before it are train, and the embargo band in between is
+    PURGED — the leakage control temporal ML needs that a random
+    split cannot give (trailing-window features computed on train's
+    tail would otherwise overlap test's look-back; López de Prado's
+    purged walk-forward). Emits the split census (events, users, exact
+    ns time bounds) that certifies the gap: max(train) <
+    cutoff − embargo ≤ min(test) is directly checkable from the
+    output. Assignment is a stateless comparison on raw integer
+    nanoseconds — a pure scan-level projection at any corpus size; the
+    census is one partial-agg shuffle. Complements the GROUP-keyed
+    leakage-safe split (q_sample_leakage_safe_split): that one
+    prevents entity bleed, this one prevents time bleed."""
+    e = t(spark, sf_dir, "events")
+    tagged = e.select(
+        "user_id",
+        "ts_ns",
+        F.when(F.col("ts_ns") >= _TSPLIT_CUTOFF_NS, "test")
+        .when(
+            F.col("ts_ns") < _TSPLIT_CUTOFF_NS - _TSPLIT_EMBARGO_NS, "train"
+        )
+        .otherwise("purged")
+        .alias("split"),
+    )
+    return tagged.groupBy("split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.min("ts_ns").cast("bigint").alias("min_ns"),
+        F.max("ts_ns").cast("bigint").alias("max_ns"),
+    )
