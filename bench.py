@@ -138,6 +138,7 @@ EXTENDED = [
     "q_analytics_mom_growth", # MoM revenue growth in basis points (r5)
     "q_stream_cdc_apply",     # foreachBatch LWW upsert/tombstone state (r5)
     "q_sample_time_split",    # purged walk-forward temporal split census (r5)
+    "q_ts_downsample_ltob",   # integer-exact LTOB plot downsampling (r5)
 ]
 
 

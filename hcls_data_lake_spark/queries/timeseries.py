@@ -615,3 +615,88 @@ def q_ts_spearman(spark, sf_dir):
             " as bigint)"
         ).alias("rho_ppm"),
     )
+
+
+@register(
+    "q_ts_downsample_ltob",
+    """
+    WITH pts AS (
+      SELECT event_type AS series,
+             CAST(epoch_ns(ts) AS BIGINT) AS x,
+             CAST(round(value * 100) AS BIGINT) AS y,
+             event_id
+      FROM events
+    ), tri AS (
+      SELECT series, x, y,
+             x // 21600000000000 AS bucket,
+             lag(x) OVER w AS x0, lag(y) OVER w AS y0,
+             lead(x) OVER w AS x2, lead(y) OVER w AS y2
+      FROM pts
+      WINDOW w AS (PARTITION BY series ORDER BY x, event_id)
+    ), area AS (
+      SELECT series, bucket, x, y,
+             CAST(abs((x - x0) * (y2 - y0) - (x2 - x0) * (y - y0))
+                  AS BIGINT) AS a2
+      FROM tri WHERE x0 IS NOT NULL AND x2 IS NOT NULL
+    ), ranked AS (
+      SELECT series, bucket, x, y, a2,
+             row_number() OVER (PARTITION BY series, bucket
+                                ORDER BY a2 DESC, x) AS rn
+      FROM area
+    )
+    SELECT series, CAST(bucket AS BIGINT) AS bucket, x, y, a2
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_ts_downsample_ltob(spark, sf_dir):
+    """Largest-Triangle-One-Bucket downsampling: per series and
+    6-hour bucket, keep the single point forming the LARGEST triangle
+    with its immediate neighbors — the visually-lossy-but-
+    shape-preserving reduction dashboards run before plotting millions
+    of points (Steinarsson's LTOB; the LTTB refinement chains selected
+    points and is inherently sequential — LTOB is the
+    fixed-neighbor form that stays one window pass, which is why it's
+    the distributed choice). Everything is exact integers: twice-area
+    via the cross product of ns/cent deltas, ties pinned to the
+    earliest point, so both engines select identical survivors. Scale
+    shape: one shuffle on the series key carries the neighbor window
+    AND the per-bucket argmax (same partitioning); reduction ratio =
+    points per bucket, tunable by bucket width."""
+    e = events(spark, sf_dir)
+    pts = e.select(
+        F.col("event_type").alias("series"),
+        F.col("ts_ns").alias("x"),
+        F.expr("cast(round(value * 100) as bigint)").alias("y"),
+        "event_id",
+    )
+    w = Window.partitionBy("series").orderBy("x", "event_id")
+    tri = pts.select(
+        "series",
+        "x",
+        "y",
+        F.expr("x div 21600000000000").alias("bucket"),
+        F.lag("x").over(w).alias("x0"),
+        F.lag("y").over(w).alias("y0"),
+        F.lead("x").over(w).alias("x2"),
+        F.lead("y").over(w).alias("y2"),
+    )
+    area = tri.filter(
+        F.col("x0").isNotNull() & F.col("x2").isNotNull()
+    ).select(
+        "series",
+        "bucket",
+        "x",
+        "y",
+        F.expr(
+            "cast(abs((x - x0) * (y2 - y0) - (x2 - x0) * (y - y0))"
+            " as bigint)"
+        ).alias("a2"),
+    )
+    wb = Window.partitionBy("series", "bucket").orderBy(
+        F.col("a2").desc(), F.col("x")
+    )
+    return (
+        area.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == 1)
+        .select("series", F.col("bucket").cast("bigint"), "x", "y", "a2")
+    )

@@ -111,7 +111,8 @@ def register(name: str, oracle: str | None) -> Callable[[QueryFn], QueryFn]:
 # contiguous sequences, q_ts_spearman integer rank correlation,
 # q_analytics_mom_growth basis-point growth, q_stream_cdc_apply
 # foreachBatch LWW upsert/tombstone materialization,
-# q_sample_time_split purged walk-forward split) — 43 names; the first 50 of this list
+# q_sample_time_split purged walk-forward split,
+# q_ts_downsample_ltob integer-exact LTOB downsampling) — 44 names; the first 50 of this list
 # form the r6 prefix, the small remainder rolls to r7.
 _FAMILY_REPRESENTATIVES = [
     # -- slot 1: the r4 red row, oracle fixed (CAST ... AS BIGINT) --
@@ -181,6 +182,7 @@ _FAMILY_REPRESENTATIVES = [
     "q_analytics_mom_growth",
     "q_stream_cdc_apply",
     "q_sample_time_split",
+    "q_ts_downsample_ltob",
     "q_layout_zorder",
     "q_fn_collation",
     "q_fn_json_build",
