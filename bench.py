@@ -139,6 +139,8 @@ EXTENDED = [
     "q_stream_cdc_apply",     # foreachBatch LWW upsert/tombstone state (r5)
     "q_sample_time_split",    # purged walk-forward temporal split census (r5)
     "q_ts_downsample_ltob",   # integer-exact LTOB plot downsampling (r5)
+    "q_agg_weighted_median",  # exact integer weighted median (r5)
+    "q_ts_mad_outliers",      # robust MAD outlier census (r5)
 ]
 
 

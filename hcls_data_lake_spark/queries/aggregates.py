@@ -809,3 +809,66 @@ def q_agg_gini(spark, sf_dir):
         "o_orderkey",
     )
     return gini_e6(cents, "o_orderpriority", "x", "o_orderkey")
+
+
+@register(
+    "q_agg_weighted_median",
+    """
+    WITH w AS (
+      SELECT l_returnflag AS grp,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+             CAST(l_quantity AS BIGINT) AS wt,
+             l_orderkey, l_linenumber
+      FROM lineitem
+    ), cum AS (
+      SELECT grp, v, wt,
+             SUM(wt) OVER (PARTITION BY grp
+                           ORDER BY v, l_orderkey, l_linenumber
+                           ROWS UNBOUNDED PRECEDING) AS cw,
+             SUM(wt) OVER (PARTITION BY grp) AS tw
+      FROM w
+    )
+    SELECT grp, CAST(MIN(v) AS BIGINT) AS wmedian_c,
+           CAST(MAX(tw) AS BIGINT) AS total_weight
+    FROM cum WHERE 2 * cw >= tw GROUP BY grp
+    """,
+)
+def q_agg_weighted_median(spark, sf_dir):
+    """Exact weighted median (quantity-weighted unit price per return
+    flag): the smallest value whose cumulative weight reaches half the
+    group's total — the inventory-weighted "typical price" that a
+    row-count median misstates whenever line sizes vary. Entirely
+    integer (price cents, integral quantities, 2·cumw ≥ totw
+    cross-multiplied — no halving, no interpolation), with the cumsum
+    ordering made total by (v, orderkey, linenumber) so both engines
+    walk identical prefixes. One shuffle on the group key carries the
+    ordered cumsum, the per-group total (unordered frame, same
+    partitioning), and the final aggregate; weighted quantiles at
+    other q are the same query with 2·cw ≥ tw replaced by
+    100·cw ≥ q·tw."""
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"),
+        F.expr("cast(round(l_extendedprice * 100) as bigint)").alias("v"),
+        F.expr("cast(l_quantity as bigint)").alias("wt"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    word = Window.partitionBy("grp").orderBy(
+        "v", "l_orderkey", "l_linenumber"
+    )
+    cum = li.select(
+        "grp",
+        "v",
+        F.sum("wt")
+        .over(word.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cw"),
+        F.sum("wt").over(Window.partitionBy("grp")).alias("tw"),
+    )
+    return (
+        cum.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("grp")
+        .agg(
+            F.min("v").cast("bigint").alias("wmedian_c"),
+            F.max("tw").cast("bigint").alias("total_weight"),
+        )
+    )

@@ -700,3 +700,103 @@ def q_ts_downsample_ltob(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("series", F.col("bucket").cast("bigint"), "x", "y", "a2")
     )
+
+
+@register(
+    "q_ts_mad_outliers",
+    """
+    WITH pts AS (
+      SELECT event_type AS grp,
+             CAST(round(value * 100) AS BIGINT) AS v,
+             event_id
+      FROM events
+    ), med AS (
+      SELECT grp, v AS med_c FROM (
+        SELECT grp, v,
+               row_number() OVER (PARTITION BY grp
+                                  ORDER BY v, event_id) AS rn,
+               count(*) OVER (PARTITION BY grp) AS n
+        FROM pts) WHERE rn = (n + 1) // 2
+    ), dev AS (
+      SELECT p.grp, p.v, abs(p.v - m.med_c) AS d, p.event_id, m.med_c
+      FROM pts p JOIN med m ON m.grp = p.grp
+    ), mad AS (
+      SELECT grp, d AS mad_c FROM (
+        SELECT grp, d,
+               row_number() OVER (PARTITION BY grp
+                                  ORDER BY d, event_id) AS rn,
+               count(*) OVER (PARTITION BY grp) AS n
+        FROM dev) WHERE rn = (n + 1) // 2
+    )
+    SELECT d.grp, CAST(MAX(d.med_c) AS BIGINT) AS med_c,
+           CAST(MAX(ma.mad_c) AS BIGINT) AS mad_c,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN d.d * 10000 > 44478 * ma.mad_c
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad ma ON ma.grp = d.grp
+    GROUP BY d.grp
+    """,
+)
+def q_ts_mad_outliers(spark, sf_dir):
+    """Robust outlier census via median absolute deviation: per
+    series, the (lower) median, the MAD, and how many points exceed
+    3·1.4826·MAD — the robust z-score screen that a mean/std detector
+    (q_ts_anomaly's rolling z) gets wrong exactly when outliers are
+    present, because outliers inflate the std that is supposed to
+    catch them; the median/MAD pair has a 50% breakdown point.
+    Engine-exact: medians are the LOWER order statistic (rank
+    (n+1) div 2 under a total (value, event_id) order — no
+    interpolation, pure integers; a deliberate, documented divergence
+    from interpolated medians) and the 3·1.4826·σ-equivalence
+    threshold is the cross-multiplied integer comparison
+    d·10⁴ > 44478·MAD — no float enters the hash. Scale shape: exact
+    MAD is inherently two-pass (the second median is of deviations
+    FROM the first), so the facts are scanned twice with one keyed
+    shuffle each and the two 1-row-per-group medians ride broadcast
+    joins; the one-pass trade is approx_percentile on both stages."""
+    e = events(spark, sf_dir)
+    pts = e.select(
+        F.col("event_type").alias("grp"),
+        F.expr("cast(round(value * 100) as bigint)").alias("v"),
+        "event_id",
+    )
+    wg = Window.partitionBy("grp")
+
+    def lower_median(df, col, out):
+        ranked = df.select(
+            "grp",
+            col,
+            F.row_number()
+            .over(wg.orderBy(col, "event_id"))
+            .alias("rn"),
+            F.count(F.lit(1)).over(wg).alias("n"),
+        )
+        return ranked.filter(
+            F.expr("rn = (n + 1) div 2")
+        ).select("grp", F.col(col).alias(out))
+
+    med = lower_median(pts, "v", "med_c")
+    dev = pts.join(F.broadcast(med), "grp").select(
+        "grp",
+        "v",
+        F.abs(F.col("v") - F.col("med_c")).alias("d"),
+        "event_id",
+        "med_c",
+    )
+    mad = lower_median(dev, "d", "mad_c")
+    return (
+        dev.join(F.broadcast(mad), "grp")
+        .groupBy("grp")
+        .agg(
+            F.max("med_c").cast("bigint").alias("med_c"),
+            F.max("mad_c").cast("bigint").alias("mad_c"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(
+                F.when(
+                    F.col("d") * 10000 > 44478 * F.col("mad_c"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )
