@@ -141,6 +141,8 @@ EXTENDED = [
     "q_ts_downsample_ltob",   # integer-exact LTOB plot downsampling (r5)
     "q_agg_weighted_median",  # exact integer weighted median (r5)
     "q_ts_mad_outliers",      # robust MAD outlier census (r5)
+    "q_text_keywords",        # ordinal tf-idf per-doc keywords (r5)
+    "q_analytics_hhi",        # Herfindahl concentration in exact ppm (r5)
 ]
 
 

@@ -1637,3 +1637,68 @@ def q_analytics_mom_growth(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "q_analytics_hhi",
+    """
+    WITH rev AS (
+      SELECT s.s_nationkey, l.l_suppkey,
+             CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                 * 100) AS BIGINT)) AS BIGINT) AS rev_c
+      FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY s.s_nationkey, l.l_suppkey
+    )
+    SELECT n.n_name,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           CAST((SUM(CAST(r.rev_c AS HUGEINT) * r.rev_c) * 1000000)
+                // (CAST(SUM(r.rev_c) AS HUGEINT)
+                    * SUM(r.rev_c)) AS BIGINT) AS hhi_ppm
+    FROM rev r JOIN nation n ON n.n_nationkey = r.s_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q_analytics_hhi(spark, sf_dir):
+    """Herfindahl-Hirschman market concentration per nation: the sum
+    of squared supplier revenue shares in exact integer ppm (10⁶ =
+    monopoly; 10⁶/n = perfect competition) — the antitrust-grade
+    concentration screen that complements q_agg_gini's inequality
+    measure. Squares run in DECIMAL(38,0) (mirroring DuckDB's HUGEINT
+    promotion — a BIGINT square overflows at ~3·10⁹ cents) and the
+    share normalization is ONE cross-multiplied division at the end,
+    Σrev²·10⁶ div (Σrev)², so no per-supplier float share ever
+    exists. Oracle nuance: the DuckDB side divides in HUGEINT, not
+    DECIMAL — DuckDB's // on DECIMAL operands routes through floating
+    point and drifted the quotient by one ulp at sf0.01, exactly the
+    off-by-one class the type-strict harness exists to catch; HUGEINT
+    // is exact. Scale shape: the facts pay one partial-agg shuffle to
+    the (nation, supplier) relation; the squares, both sums and the
+    division all live in the nation-level aggregate; the nation dim
+    rides a broadcast."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.expr(
+            "cast(round(l_extendedprice * (1 - l_discount) * 100)"
+            " as bigint)"
+        ).alias("rc"),
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(F.sum("rc").cast("bigint").alias("rev_c"))
+    )
+    return (
+        rev.join(F.broadcast(n), rev["s_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+            F.expr(
+                "cast((sum(cast(rev_c as decimal(38,0)) * rev_c)"
+                " * 1000000)"
+                " div (cast(sum(rev_c) as decimal(38,0)) * sum(rev_c))"
+                " as bigint)"
+            ).alias("hhi_ppm"),
+        )
+    )

@@ -2641,3 +2641,62 @@ def q_text_zipf(spark, sf_dir):
     return ranked.filter(F.col("rnk") <= 100).select(
         "rnk", "w", "n", (F.col("rnk") * F.col("n")).cast("bigint").alias("zipf_c")
     )
+
+
+@register(
+    "q_text_keywords",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      FROM documents WHERE doc_id < 2000
+    ), tf AS (
+      SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+      FROM tok WHERE w <> '' GROUP BY doc_id, w
+    ), df AS (
+      SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM tf GROUP BY w
+    ), scored AS (
+      SELECT t.doc_id, t.w, t.tf, d.df,
+             row_number() OVER (PARTITION BY t.doc_id
+                                ORDER BY t.tf DESC, d.df ASC, t.w)
+               AS rnk
+      FROM tf t JOIN df d USING (w)
+    )
+    SELECT doc_id, CAST(rnk AS INT) AS rnk, w, tf, df
+    FROM scored WHERE rnk <= 3
+    """,
+)
+def q_text_keywords(spark, sf_dir):
+    """Per-document keyword extraction: the top 3 terms per doc by the
+    ORDINAL tf-idf criterion (term frequency DESC, then document
+    frequency ASC, then the term itself) — the ranking a float
+    tf·ln(N/df) score induces, expressed as pure lexicographic
+    integers so it value-hashes cross-engine where the float score
+    cannot (same class of move as Spearman-over-Pearson). Scale
+    shape: tf is one explode + partial-agg shuffle; df aggregates the
+    ALREADY-REDUCED tf relation (never the raw token stream) and
+    rides a broadcast back onto it; the top-3 window partitions by
+    doc and plans as WindowGroupLimit — per-partition top-k before
+    the shuffle. The doc_id cap just bounds fixture output; the shape
+    is corpus-size-free."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    df = tf.groupBy("w").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("df")
+    )
+    from pyspark.sql.window import Window as W
+
+    wd = W.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("w")
+    )
+    return (
+        tf.join(F.broadcast(df), "w")
+        .withColumn("rnk", F.row_number().over(wd).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "rnk", "w", "tf", "df")
+    )
