@@ -143,6 +143,7 @@ EXTENDED = [
     "q_ts_mad_outliers",      # robust MAD outlier census (r5)
     "q_text_keywords",        # ordinal tf-idf per-doc keywords (r5)
     "q_analytics_hhi",        # Herfindahl concentration in exact ppm (r5)
+    "q_analytics_time_to_convert",  # causal conversion-latency histogram (r5)
 ]
 
 

@@ -1702,3 +1702,77 @@ def q_analytics_hhi(spark, sf_dir):
             ).alias("hhi_ppm"),
         )
     )
+
+
+@register(
+    "q_analytics_time_to_convert",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_type, epoch_us(ts) AS ep,
+             MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                     ROWS UNBOUNDED PRECEDING) AS seen_view
+      FROM events
+    ), per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ep END) AS fv,
+             MIN(CASE WHEN event_type = 'purchase' AND seen_view = 1
+                      THEN ep END) AS fp
+      FROM flagged GROUP BY user_id
+    )
+    SELECT CAST((fp - fv) // 60000000 // 30 AS BIGINT) AS bucket_30min,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM per_user
+    WHERE fp IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def q_analytics_time_to_convert(spark, sf_dir):
+    """Conversion-latency distribution: for every user whose first
+    purchase follows their first view, the time from that first view
+    to the first subsequent purchase, bucketed into half-hour bins —
+    the latency histogram that turns the funnel's WHETHER
+    (q_analytics_funnel) into WHEN, which is what sizes retargeting
+    windows and attribution lookbacks. One window pass marks
+    "has seen a view yet" causally (running MAX over the ordered
+    prefix — so a purchase BEFORE any view never counts), then a
+    single conditional aggregate extracts both firsts per user: the
+    whole query is one user_id shuffle + one dimension-sized
+    histogram aggregate, all exact integer microseconds."""
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.expr("ts_ns div 1000"), "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = e.select(
+        "user_id",
+        "event_type",
+        F.expr("ts_ns div 1000").alias("ep"),
+        F.max(
+            F.when(F.col("event_type") == "view", 1).otherwise(0)
+        )
+        .over(w)
+        .alias("seen_view"),
+    )
+    per_user = flagged.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ep"))).alias(
+            "fv"
+        ),
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("seen_view") == 1),
+                F.col("ep"),
+            )
+        ).alias("fp"),
+    )
+    return (
+        per_user.filter(F.col("fp").isNotNull())
+        .groupBy(
+            F.expr("cast((fp - fv) div 60000000 div 30 as bigint)").alias(
+                "bucket_30min"
+            )
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )

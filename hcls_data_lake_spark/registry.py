@@ -115,8 +115,8 @@ def register(name: str, oracle: str | None) -> Callable[[QueryFn], QueryFn]:
 # q_ts_downsample_ltob integer-exact LTOB downsampling,
 # q_agg_weighted_median cross-multiplied crossing rule,
 # q_ts_mad_outliers integer lower-median MAD, q_text_keywords
-# ordinal tf-idf top-3, q_analytics_hhi exact-ppm concentration) —
-# 48 names; the first 50 of this list
+# ordinal tf-idf top-3, q_analytics_hhi exact-ppm concentration,
+# q_analytics_time_to_convert causal conversion latency) — 49 names; the first 50 of this list
 # form the r6 prefix, the small remainder rolls to r7.
 _FAMILY_REPRESENTATIVES = [
     # -- slot 1: the r4 red row, oracle fixed (CAST ... AS BIGINT) --
@@ -191,6 +191,7 @@ _FAMILY_REPRESENTATIVES = [
     "q_ts_mad_outliers",
     "q_text_keywords",
     "q_analytics_hhi",
+    "q_analytics_time_to_convert",
     "q_layout_zorder",
     "q_fn_collation",
     "q_fn_json_build",
