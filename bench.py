@@ -144,6 +144,8 @@ EXTENDED = [
     "q_text_keywords",        # ordinal tf-idf per-doc keywords (r5)
     "q_analytics_hhi",        # Herfindahl concentration in exact ppm (r5)
     "q_analytics_time_to_convert",  # causal conversion-latency histogram (r5)
+    "q_analytics_new_vs_returning",  # epoch-week growth accounting (r5)
+    "q_analytics_activity_histogram",  # L28-style engagement depth (r5)
 ]
 
 

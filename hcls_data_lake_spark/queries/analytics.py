@@ -1776,3 +1776,94 @@ def q_analytics_time_to_convert(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
     )
+
+
+@register(
+    "q_analytics_new_vs_returning",
+    """
+    WITH act AS (
+      SELECT DISTINCT user_id,
+             CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS wk
+      FROM events
+    ), firsts AS (
+      SELECT user_id, MIN(wk) AS first_wk FROM act GROUP BY user_id
+    )
+    SELECT a.wk,
+           CAST(SUM(CASE WHEN f.first_wk = a.wk THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_new,
+           CAST(SUM(CASE WHEN f.first_wk < a.wk THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_returning
+    FROM act a JOIN firsts f USING (user_id)
+    GROUP BY a.wk
+    """,
+)
+def q_analytics_new_vs_returning(spark, sf_dir):
+    """Growth accounting: per week, how many active users are NEW
+    (this is their first active week) vs RETURNING — the first
+    decomposition any growth report makes, and the input to quick
+    ratios. Weeks are epoch-anchored 7-day integer buckets
+    (epoch µs div 604800000000) — pure arithmetic shared with the
+    oracle, no ISO-week or session-tz definition to diverge on.
+    Scale shape: the facts reduce to the DISTINCT
+    (user, week) activity relation in one partial-dedup shuffle;
+    firsts aggregate that relation (never the raw facts) on the same
+    user key it already carries, and the classify join is
+    user-keyed — one shuffle family end to end, with the month census
+    dimension-sized."""
+    e = t(spark, sf_dir, "events")
+    act = e.select(
+        "user_id",
+        F.expr("cast(ts_ns div 1000 div 604800000000 as bigint)").alias(
+            "wk"
+        ),
+    ).distinct()
+    firsts = act.groupBy("user_id").agg(F.min("wk").alias("first_wk"))
+    return (
+        act.join(firsts, "user_id")
+        .groupBy("wk")
+        .agg(
+            F.sum(
+                F.when(F.col("first_wk") == F.col("wk"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_new"),
+            F.sum(
+                F.when(F.col("first_wk") < F.col("wk"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_returning"),
+        )
+    )
+
+
+@register(
+    "q_analytics_activity_histogram",
+    """
+    WITH days AS (
+      SELECT user_id,
+             CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+               AS days_active
+      FROM events GROUP BY user_id
+    )
+    SELECT days_active, CAST(count(*) AS BIGINT) AS n_users
+    FROM days GROUP BY days_active
+    """,
+)
+def q_analytics_activity_histogram(spark, sf_dir):
+    """Engagement depth (the L28-style histogram): distinct active
+    days per user over the corpus window, bucketed into the
+    days-active → user-count distribution whose shape separates
+    habit products (right-heavy) from drive-by traffic (left-heavy).
+    One keyed partial-distinct aggregate (per-partition day sets are
+    ≤ window length, so the partial dedup bounds shuffle volume) and
+    a dimension-sized histogram; dates come from NTZ calendar casts,
+    session-tz-proof."""
+    e = t(spark, sf_dir, "events")
+    days = e.groupBy("user_id").agg(
+        F.countDistinct(F.expr("cast(ts as date)"))
+        .cast("bigint")
+        .alias("days_active")
+    )
+    return days.groupBy("days_active").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )

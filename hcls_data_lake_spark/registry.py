@@ -116,7 +116,10 @@ def register(name: str, oracle: str | None) -> Callable[[QueryFn], QueryFn]:
 # q_agg_weighted_median cross-multiplied crossing rule,
 # q_ts_mad_outliers integer lower-median MAD, q_text_keywords
 # ordinal tf-idf top-3, q_analytics_hhi exact-ppm concentration,
-# q_analytics_time_to_convert causal conversion latency) — 49 names; the first 50 of this list
+# q_analytics_time_to_convert causal conversion latency,
+# q_analytics_new_vs_returning epoch-week growth accounting,
+# q_analytics_activity_histogram L28 engagement depth) — 51 names;
+# overflow past slot 50 rolls to r7 with the deferred remainder; the first 50 of this list
 # form the r6 prefix, the small remainder rolls to r7.
 _FAMILY_REPRESENTATIVES = [
     # -- slot 1: the r4 red row, oracle fixed (CAST ... AS BIGINT) --
@@ -192,6 +195,8 @@ _FAMILY_REPRESENTATIVES = [
     "q_text_keywords",
     "q_analytics_hhi",
     "q_analytics_time_to_convert",
+    "q_analytics_new_vs_returning",
+    "q_analytics_activity_histogram",
     "q_layout_zorder",
     "q_fn_collation",
     "q_fn_json_build",
