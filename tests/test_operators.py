@@ -1711,3 +1711,72 @@ def test_late_r5_additions_invariants(spark, sf_dir):
         for r in qs["q_win_pattern_seq"](spark, sf_dir).collect()
     )
     assert total_matches <= sum(eco.values()) // 3
+
+
+def test_final_r5_additions_invariants(spark, sf_dir):
+    """Bound/identity invariants for the final r5 operator wave."""
+    from hcls_data_lake_spark.queries.sampling import (
+        _TSPLIT_CUTOFF_NS,
+        _TSPLIT_EMBARGO_NS,
+    )
+    from hcls_data_lake_spark.registry import queries
+
+    qs = queries()
+
+    # weighted median: inside the group's value range, weights positive
+    for r in qs["q_agg_weighted_median"](spark, sf_dir).collect():
+        assert r.total_weight > 0 and r.wmedian_c > 0
+
+    # MAD census: outliers are a strict minority, MAD non-negative
+    for r in qs["q_ts_mad_outliers"](spark, sf_dir).collect():
+        assert 0 <= r.n_outliers < r.n and r.mad_c >= 0
+
+    # HHI: between perfect competition (1e6/n) and monopoly (1e6)
+    for r in qs["q_analytics_hhi"](spark, sf_dir).collect():
+        assert 1_000_000 // r.n_suppliers <= r.hhi_ppm <= 1_000_000
+
+    # keywords: at most 3 per doc, ranks dense from 1
+    from collections import defaultdict
+
+    per_doc = defaultdict(list)
+    for r in qs["q_text_keywords"](spark, sf_dir).collect():
+        per_doc[r.doc_id].append(r.rnk)
+    for doc, ranks in per_doc.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), doc
+        assert len(ranks) <= 3
+
+    # time-to-convert: causal, so no negative buckets
+    for r in qs["q_analytics_time_to_convert"](spark, sf_dir).collect():
+        assert r.bucket_30min >= 0
+
+    # growth accounting: the first week has no returning users, and
+    # total new across weeks equals the distinct-user population
+    rows = sorted(
+        qs["q_analytics_new_vs_returning"](spark, sf_dir).collect(),
+        key=lambda r: r.wk,
+    )
+    assert rows[0].n_returning == 0
+    n_users = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_new for r in rows) == n_users
+
+    # engagement histogram partitions the same population
+    hist = qs["q_analytics_activity_histogram"](spark, sf_dir).collect()
+    assert sum(r.n_users for r in hist) == n_users
+
+    # temporal split: the census certifies the purge gap
+    split = {r.split: r for r in qs["q_sample_time_split"](spark, sf_dir).collect()}
+    if "train" in split and "test" in split:
+        assert split["train"].max_ns < _TSPLIT_CUTOFF_NS - _TSPLIT_EMBARGO_NS
+        assert split["test"].min_ns >= _TSPLIT_CUTOFF_NS
+
+    # LTOB: exactly one survivor per (series, bucket)
+    seen = set()
+    for r in qs["q_ts_downsample_ltob"](spark, sf_dir).collect():
+        key = (r.series, r.bucket)
+        assert key not in seen
+        seen.add(key)
