@@ -146,6 +146,9 @@ EXTENDED = [
     "q_analytics_time_to_convert",  # causal conversion-latency histogram (r5)
     "q_analytics_new_vs_returning",  # epoch-week growth accounting (r5)
     "q_analytics_activity_histogram",  # L28-style engagement depth (r5)
+    "q_analytics_transitions",  # Markov state-transition flow matrix (r5)
+    "q_analytics_cal_heatmap",  # epoch-anchored dow x hod activity grid (r5)
+    "q_agg_bitmap_distinct",  # 63-bit-word exact popcount distinct (r5)
 ]
 
 

@@ -872,3 +872,52 @@ def q_agg_weighted_median(spark, sf_dir):
             F.max("tw").cast("bigint").alias("total_weight"),
         )
     )
+
+
+@register(
+    "q_agg_bitmap_distinct",
+    """
+    WITH words AS (
+      SELECT event_type AS grp,
+             user_id // 63 AS word,
+             bit_or(1::BIGINT << CAST(user_id % 63 AS INT)) AS bits
+      FROM events
+      GROUP BY event_type, user_id // 63
+    )
+    SELECT grp,
+           CAST(SUM(bit_count(bits)) AS BIGINT) AS n_distinct,
+           CAST(count(*) AS BIGINT) AS n_words
+    FROM words GROUP BY grp
+    """,
+)
+def q_agg_bitmap_distinct(spark, sf_dir):
+    """EXACT distinct counting via bitmap words (the roaring-bitmap /
+    bitmap-index technique in stock SQL): each dense integer key maps
+    to (word = id div 63, bit = id mod 63), per-(group, word) a
+    single BIT_OR folds all occurrences into one 63-bit word
+    (map-side partial aggregation — shuffle volume is words, not
+    rows), and the exact distinct count is the popcount sum. Compare
+    the shapes: COUNT(DISTINCT) shuffles every distinct KEY;
+    approx_count_distinct (q_agg_approx_distinct) is bounded-memory
+    but approximate; the bitmap is EXACT with shuffle volume
+    |keyspace|/63 words per group — the right tool when keys are
+    dense integers (user ids, row ids). Words use 63 bits because a
+    64th would need the sign bit (DuckDB range-errors on 1<<63);
+    bit_or and bit_count are engine-identical on the remaining
+    bits. Bitmaps are mergeable (bit_or is associative), so shards
+    and streams combine like the HLL registers — minus the error
+    bar."""
+    e = t(spark, sf_dir, "events")
+    words = e.groupBy(
+        F.col("event_type").alias("grp"),
+        F.expr("user_id div 63").alias("word"),
+    ).agg(
+        F.expr(
+            "bit_or(shiftleft(cast(1 as bigint),"
+            " cast(user_id % 63 as int)))"
+        ).alias("bits")
+    )
+    return words.groupBy("grp").agg(
+        F.expr("cast(sum(bit_count(bits)) as bigint)").alias("n_distinct"),
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+    )

@@ -1867,3 +1867,79 @@ def q_analytics_activity_histogram(spark, sf_dir):
     return days.groupBy("days_active").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users")
     )
+
+
+@register(
+    "q_analytics_transitions",
+    """
+    WITH seq AS (
+      SELECT event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY epoch_ns(ts), event_id)
+               AS dst
+      FROM events
+    )
+    SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE dst IS NOT NULL
+    GROUP BY src, dst
+    """,
+)
+def q_analytics_transitions(spark, sf_dir):
+    """Behavioral state-transition matrix: for each consecutive event
+    pair in a user's totally-ordered history, the (from, to) count —
+    the Markov/Sankey flow diagram every product-analytics tool draws,
+    and the empirical transition matrix behind next-action models. One
+    LEAD over the (ts, event_id)-ordered user window plus one
+    |types|²-sized aggregate: the whole query rides a single user_id
+    shuffle, and the matrix it emits is dimension-sized at any corpus
+    scale."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    )
+    return (
+        seq.filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+@register(
+    "q_analytics_cal_heatmap",
+    """
+    SELECT CAST((epoch_us(ts) // 86400000000) % 7 AS INT) AS dow,
+           CAST((epoch_us(ts) // 3600000000) % 24 AS INT) AS hod,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_analytics_cal_heatmap(spark, sf_dir):
+    """Calendar activity heatmap: the day-of-week × hour-of-day event
+    matrix (with distinct actives per cell) that load planning and
+    anomaly eyeballing both start from. Day and hour indices are PURE
+    integer arithmetic on epoch microseconds — (days since epoch)
+    mod 7 and (hours since epoch) mod 24 — because named calendar
+    functions are exactly where engines diverge (DuckDB numbers
+    Sunday 0, Spark numbers Sunday 1, and session tz shifts both);
+    the epoch-anchored indices are engine- and tz-proof by
+    construction (dow 0 = Thursday, the epoch's weekday — documented,
+    stable). One partial-agg shuffle to a ≤168-cell matrix."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.expr("cast((ts_ns div 1000 div 86400000000) % 7 as int)").alias(
+                "dow"
+            ),
+            F.expr("cast((ts_ns div 1000 div 3600000000) % 24 as int)").alias(
+                "hod"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+    )

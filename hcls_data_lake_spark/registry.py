@@ -118,8 +118,11 @@ def register(name: str, oracle: str | None) -> Callable[[QueryFn], QueryFn]:
 # ordinal tf-idf top-3, q_analytics_hhi exact-ppm concentration,
 # q_analytics_time_to_convert causal conversion latency,
 # q_analytics_new_vs_returning epoch-week growth accounting,
-# q_analytics_activity_histogram L28 engagement depth) — 51 names;
-# overflow past slot 50 rolls to r7 with the deferred remainder; the first 50 of this list
+# q_analytics_activity_histogram L28 engagement depth,
+# q_analytics_transitions Markov flow matrix, q_analytics_cal_heatmap
+# epoch-anchored dow/hod grid, q_agg_bitmap_distinct 63-bit-word
+# exact popcount distinct) — 54 names; overflow past slot 50 rolls
+# to r7 with the deferred remainder; the first 50 of this list
 # form the r6 prefix, the small remainder rolls to r7.
 _FAMILY_REPRESENTATIVES = [
     # -- slot 1: the r4 red row, oracle fixed (CAST ... AS BIGINT) --
@@ -197,6 +200,9 @@ _FAMILY_REPRESENTATIVES = [
     "q_analytics_time_to_convert",
     "q_analytics_new_vs_returning",
     "q_analytics_activity_histogram",
+    "q_analytics_transitions",
+    "q_analytics_cal_heatmap",
+    "q_agg_bitmap_distinct",
     "q_layout_zorder",
     "q_fn_collation",
     "q_fn_json_build",
