@@ -149,6 +149,7 @@ EXTENDED = [
     "q_analytics_transitions",  # Markov state-transition flow matrix (r5)
     "q_analytics_cal_heatmap",  # epoch-anchored dow x hod activity grid (r5)
     "q_agg_bitmap_distinct",  # 63-bit-word exact popcount distinct (r5)
+    "q_agg_mann_whitney",     # integer rank-sum U nonparametric test (r5)
 ]
 
 

@@ -921,3 +921,82 @@ def q_agg_bitmap_distinct(spark, sf_dir):
         F.expr("cast(sum(bit_count(bits)) as bigint)").alias("n_distinct"),
         F.count(F.lit(1)).cast("bigint").alias("n_words"),
     )
+
+
+@register(
+    "q_agg_mann_whitney",
+    """
+    WITH pts AS (
+      SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 'hi' ELSE 'lo' END AS grp,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+             o_orderkey
+      FROM orders
+    ), ranked AS (
+      SELECT grp,
+             CAST(row_number() OVER (ORDER BY v, o_orderkey) AS BIGINT)
+               AS r
+      FROM pts
+    )
+    SELECT CAST(SUM(CASE WHEN grp = 'hi' THEN r ELSE 0 END) AS BIGINT)
+             AS rank_sum_hi,
+           CAST(SUM(CASE WHEN grp = 'hi' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hi,
+           CAST(SUM(CASE WHEN grp = 'lo' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_lo,
+           CAST(SUM(CASE WHEN grp = 'hi' THEN r ELSE 0 END)
+                - SUM(CASE WHEN grp = 'hi' THEN 1 ELSE 0 END)
+                  * (SUM(CASE WHEN grp = 'hi' THEN 1 ELSE 0 END) + 1)
+                  // 2 AS BIGINT) AS u_hi
+    FROM ranked
+    """,
+)
+def q_agg_mann_whitney(spark, sf_dir):
+    """Mann-Whitney U (Wilcoxon rank-sum) between high- and
+    low-priority order totals, entirely in exact integers: ranks are
+    a PERMUTATION of the combined sample (ties broken by orderkey —
+    the same deterministic-tie move as q_ts_spearman; a documented
+    divergence from average-rank ties, bounded by tie multiplicity),
+    and U = R₁ − n₁(n₁+1)/2 is pure BIGINT. The nonparametric
+    "did the distribution shift" test that a means-based t-test gets
+    wrong under skew — and, unlike the t-statistic's float
+    sums-of-squares, one an independent engine reproduces
+    byte-for-byte. U/(n₁n₂) is the common-language effect size
+    (P(hi > lo)), derivable from the emitted integers. The global
+    rank is ONE total-order sort (TPC-H orders is a bounded fact
+    here; at true 100 TB the same statistic computes from per-range
+    rank offsets — sort-within-ranges plus broadcast prefix counts —
+    the standard distributed ranking shape)."""
+    o = t(spark, sf_dir, "orders")
+    pts = o.select(
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "hi"
+        )
+        .otherwise("lo")
+        .alias("grp"),
+        F.expr("cast(round(o_totalprice * 100) as bigint)").alias("v"),
+        "o_orderkey",
+    )
+    from pyspark.sql.window import Window as W
+
+    ranked = pts.select(
+        "grp",
+        F.row_number().over(W.orderBy("v", "o_orderkey")).cast("bigint").alias("r"),
+    )
+    return ranked.agg(
+        F.expr("cast(sum(case when grp = 'hi' then r else 0 end) as bigint)").alias(
+            "rank_sum_hi"
+        ),
+        F.expr("cast(sum(case when grp = 'hi' then 1 else 0 end) as bigint)").alias(
+            "n_hi"
+        ),
+        F.expr("cast(sum(case when grp = 'lo' then 1 else 0 end) as bigint)").alias(
+            "n_lo"
+        ),
+        F.expr(
+            "cast(sum(case when grp = 'hi' then r else 0 end)"
+            " - sum(case when grp = 'hi' then 1 else 0 end)"
+            " * (sum(case when grp = 'hi' then 1 else 0 end) + 1)"
+            " div 2 as bigint)"
+        ).alias("u_hi"),
+    )
