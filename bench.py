@@ -150,6 +150,8 @@ EXTENDED = [
     "q_analytics_cal_heatmap",  # epoch-anchored dow x hod activity grid (r5)
     "q_agg_bitmap_distinct",  # 63-bit-word exact popcount distinct (r5)
     "q_agg_mann_whitney",     # integer rank-sum U nonparametric test (r5)
+    "q_ts_seasonal_index",    # hour-of-day multiplicative factors (r5)
+    "q_analytics_order_to_ship",  # fulfillment-SLA latency weeks (r5)
 ]
 
 

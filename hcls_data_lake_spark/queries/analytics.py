@@ -1597,11 +1597,12 @@ def q_analytics_mom_growth(spark, sf_dir):
     """Month-over-month revenue growth per market segment: monthly
     totals in exact cents, the prior month via LAG over the
     segment-partitioned month order, and the growth ratio as integer
-    basis points (rev·10⁴ div prev — both operands positive, so
-    Spark's truncating div and DuckDB's flooring // agree; a signed
-    growth-RATE formula would floor differently between engines on
-    down months, which is why the ratio form is the pinned one; the
-    signed absolute delta is exact either way). Months are integer
+    basis points (rev·10⁴ div prev — on integers DuckDB's // in fact
+    TRUNCATES toward zero exactly like Spark's div, verified
+    empirically in q_analytics_order_to_ship, and positive operands
+    make the question moot here anyway; the ratio form keeps every
+    quotient positive by construction, and the signed absolute delta
+    is exact either way). Months are integer
     yyyymm keys from NTZ calendar fields — no date_trunc timestamp
     rendering to shift under a foreign session tz. One fact shuffle to
     the (segment, month) aggregate; the LAG window runs over the
@@ -1942,4 +1943,58 @@ def q_analytics_cal_heatmap(spark, sf_dir):
             F.count(F.lit(1)).cast("bigint").alias("n"),
             F.countDistinct("user_id").cast("bigint").alias("n_users"),
         )
+    )
+
+
+@register(
+    "q_analytics_order_to_ship",
+    """
+    WITH per_order AS (
+      SELECT o.o_orderkey, o.o_orderpriority,
+             CAST((epoch_us(MIN(l.l_shipdate)) - epoch_us(o.o_orderdate))
+                  // 604800000000 AS BIGINT) AS lat_weeks
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate
+    )
+    SELECT o_orderpriority, lat_weeks,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM per_order GROUP BY o_orderpriority, lat_weeks
+    """,
+)
+def q_analytics_order_to_ship(spark, sf_dir):
+    """Order-to-first-shipment latency distribution per priority
+    class: time from order date to the FIRST line shipped, bucketed
+    to weeks — the fulfillment-SLA histogram that shows whether
+    '1-URGENT' actually ships faster (week buckets keep the report
+    dimension-sized; the fixture's synthetic dates spread latency
+    over thousands of distinct days). The bucket is exact integer
+    division of the microsecond difference, and the semantics were
+    verified EMPIRICALLY, not assumed: on integers DuckDB's //
+    TRUNCATES toward zero ((-1)//7 = 0, (-8)//7 = -1) exactly like
+    Spark's div — the floor-vs-trunc divergence only exists against
+    languages that floor (Python) — so the plain operators agree on
+    the negative latencies the synthetic data contains. Both
+    operands are instants from the same parquet, so the difference
+    is tz-free. Scale shape: the one big-big join (orders ⋈ lineitem
+    on the order key) shuffles both sides once on that key, and the
+    per-order MIN rides the SAME partitioning — no second exchange —
+    before the dimension-sized (priority, weeks) histogram."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    per_order = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
+        .agg(F.min("l_shipdate").alias("first_ship"))
+        .select(
+            "o_orderpriority",
+            F.expr(
+                "cast(timestampdiff(MICROSECOND, o_orderdate, first_ship)"
+                " div 604800000000 as bigint)"
+            ).alias("lat_weeks"),
+        )
+    )
+    return per_order.groupBy("o_orderpriority", "lat_weeks").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
     )

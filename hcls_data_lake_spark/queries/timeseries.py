@@ -580,8 +580,9 @@ def q_ts_spearman(spark, sf_dir):
     event volume) in exact integer ppm: ranks are a PERMUTATION (ties
     broken by day, so both engines rank identically with no fractional
     average-rank arithmetic), and ρ = 1 − 6Σd²/(n(n²−1)) evaluates as
-    pure BIGINT (floor division; operands positive, so Spark div and
-    DuckDB // agree). Pearson needs float sums that drift across
+    pure BIGINT (integer division; on integers DuckDB's // truncates
+    toward zero exactly like Spark's div — verified empirically — so
+    the operators agree regardless of sign). Pearson needs float sums that drift across
     partitionings; the rank form is the drift-free correlation a
     cross-engine-verified pipeline can actually pin. Scale shape: the
     facts pay one partial-agg shuffle to the DAILY relation
@@ -799,4 +800,66 @@ def q_ts_mad_outliers(spark, sf_dir):
             .cast("bigint")
             .alias("n_outliers"),
         )
+    )
+
+
+@register(
+    "q_ts_seasonal_index",
+    """
+    WITH pts AS (
+      SELECT CAST((epoch_us(ts) // 3600000000) % 24 AS INT) AS hod,
+             CAST(round(value * 100) AS BIGINT) AS v_c
+      FROM events
+    ), hourly AS (
+      SELECT hod, CAST(SUM(v_c) AS BIGINT) AS sum_h,
+             CAST(count(*) AS BIGINT) AS n_h
+      FROM pts GROUP BY hod
+    ), tot AS (
+      SELECT CAST(SUM(sum_h) AS BIGINT) AS sum_t,
+             CAST(SUM(n_h) AS BIGINT) AS n_t
+      FROM hourly
+    )
+    SELECT h.hod, h.n_h,
+           CAST((CAST(h.sum_h AS HUGEINT) * t.n_t * 1000000)
+                // (CAST(h.n_h AS HUGEINT) * t.sum_t) AS BIGINT)
+             AS index_ppm
+    FROM hourly h, tot t
+    """,
+)
+def q_ts_seasonal_index(spark, sf_dir):
+    """Multiplicative seasonal index by hour of day: each hour's mean
+    value relative to the overall mean, in exact ppm — the
+    classical-decomposition seasonal factor (10⁶ = no effect) that
+    deseasonalizes a series before trend fitting or anomaly
+    thresholds. The two means never exist as floats: the ratio
+    (sum_h/n_h)/(sum_t/n_t) evaluates as ONE cross-multiplied integer
+    division, sum_h·n_t·10⁶ div (n_h·sum_t) — HUGEINT/DECIMAL
+    headroom because sum·count·10⁶ passes 2⁶³ (same promotion
+    discipline as q_analytics_hhi, and the same DuckDB rule: HUGEINT
+    division is exact where DECIMAL // floats). Hour indices are
+    epoch-anchored integer arithmetic (tz-proof). Scale: one
+    partial-agg shuffle to 24 rows; the total is an aggregate OF the
+    hourly relation, never a second fact scan, and broadcasts back."""
+    e = events(spark, sf_dir)
+    pts = e.select(
+        F.expr("cast((ts_ns div 1000 div 3600000000) % 24 as int)").alias(
+            "hod"
+        ),
+        F.expr("cast(round(value * 100) as bigint)").alias("v_c"),
+    )
+    hourly = pts.groupBy("hod").agg(
+        F.sum("v_c").cast("bigint").alias("sum_h"),
+        F.count(F.lit(1)).cast("bigint").alias("n_h"),
+    )
+    tot = hourly.agg(
+        F.sum("sum_h").cast("bigint").alias("sum_t"),
+        F.sum("n_h").cast("bigint").alias("n_t"),
+    )
+    return hourly.crossJoin(F.broadcast(tot)).select(
+        "hod",
+        "n_h",
+        F.expr(
+            "cast((cast(sum_h as decimal(38,0)) * n_t * 1000000)"
+            " div (cast(n_h as decimal(38,0)) * sum_t) as bigint)"
+        ).alias("index_ppm"),
     )

@@ -121,8 +121,9 @@ def register(name: str, oracle: str | None) -> Callable[[QueryFn], QueryFn]:
 # q_analytics_activity_histogram L28 engagement depth,
 # q_analytics_transitions Markov flow matrix, q_analytics_cal_heatmap
 # epoch-anchored dow/hod grid, q_agg_bitmap_distinct 63-bit-word
-# exact popcount distinct, q_agg_mann_whitney integer rank-sum U) —
-# 55 names; overflow past slot 50 rolls to r7 with the deferred
+# exact popcount distinct, q_agg_mann_whitney integer rank-sum U,
+# q_ts_seasonal_index cross-multiplied hour factors,
+# q_analytics_order_to_ship fulfillment-SLA weeks) — 57 names; overflow past slot 50 rolls to r7 with the deferred
 # remainder; the first 50 of this list
 # form the r6 prefix, the small remainder rolls to r7.
 _FAMILY_REPRESENTATIVES = [
@@ -205,6 +206,8 @@ _FAMILY_REPRESENTATIVES = [
     "q_analytics_cal_heatmap",
     "q_agg_bitmap_distinct",
     "q_agg_mann_whitney",
+    "q_ts_seasonal_index",
+    "q_analytics_order_to_ship",
     "q_layout_zorder",
     "q_fn_collation",
     "q_fn_json_build",
