@@ -152,6 +152,8 @@ EXTENDED = [
     "q_agg_mann_whitney",     # integer rank-sum U nonparametric test (r5)
     "q_ts_seasonal_index",    # hour-of-day multiplicative factors (r5)
     "q_analytics_order_to_ship",  # fulfillment-SLA latency weeks (r5)
+    "q_scan_parquet_footer",  # footer stats as a queryable relation (r5)
+    "q_ts_kendall",           # tau-a concordance in integer ppm (r5)
 ]
 
 

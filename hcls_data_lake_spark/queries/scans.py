@@ -677,3 +677,53 @@ def q_scan_snapshot_diff(spark, sf_dir):
         )
 
     return census("added", added_df).unionByName(census("removed", removed_df))
+
+
+@register(
+    "q_scan_parquet_footer",
+    """
+    SELECT CAST(row_group_id AS BIGINT) AS row_group_id,
+           path_in_schema AS column_name,
+           CAST(num_values AS BIGINT) AS n_values,
+           CAST(total_compressed_size AS BIGINT) AS compressed_bytes
+    FROM parquet_metadata('/root/testdata/sf0.01/events.parquet')
+    """,
+)
+def q_scan_parquet_footer(spark, sf_dir):
+    """Parquet footer metadata as a queryable relation: per (row
+    group, column chunk) the value count and compressed byte size —
+    the file-statistics view every lakehouse maintenance decision
+    reads first (compaction targeting, skew hunting, stats-pruning
+    coverage: q_pipeline_compact's size census and q_layout_zorder's
+    span measurement are exactly this surface). Footers are O(KB)
+    regardless of data volume, so the read is driver-side pyarrow BY
+    DESIGN — this is catalog/manifest work, not data-plane work; a
+    million-file lake parallelizes the same read with a file-list
+    mapInPandas over paths, never by scanning data. Both engines read
+    the SAME physical footer (DuckDB via parquet_metadata()), so even
+    writer-dependent fields like compressed sizes hash identically.
+    parquet_metadata() accepts only CONSTANT paths (no subquery or
+    variable argument), so the oracle carries the driver's sf0.01
+    literal; the local harness rewrites the scale-factor directory
+    when sweeping other SFs (tests/parity.py)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata
+    rows = []
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for c in range(g.num_columns):
+            col = g.column(c)
+            rows.append(
+                (
+                    rg,
+                    col.path_in_schema,
+                    col.num_values,
+                    col.total_compressed_size,
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "row_group_id bigint, column_name string, n_values bigint,"
+        " compressed_bytes bigint",
+    )

@@ -863,3 +863,81 @@ def q_ts_seasonal_index(spark, sf_dir):
             " div (cast(n_h as decimal(38,0)) * sum_t) as bigint)"
         ).alias("index_ppm"),
     )
+
+
+@register(
+    "q_ts_kendall",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS x_c,
+             CAST(count(*) AS BIGINT) AS y_n
+      FROM events GROUP BY 1
+    ), pairs AS (
+      SELECT CASE WHEN (a.x_c - b.x_c) * (a.y_n - b.y_n) > 0 THEN 1
+                  ELSE 0 END AS conc,
+             CASE WHEN (a.x_c - b.x_c) * (a.y_n - b.y_n) < 0 THEN 1
+                  ELSE 0 END AS disc
+      FROM daily a JOIN daily b ON a.d < b.d
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(conc) AS BIGINT) AS n_conc,
+           CAST(SUM(disc) AS BIGINT) AS n_disc,
+           CAST((SUM(conc) - SUM(disc)) * 1000000 // count(*) AS BIGINT)
+             AS tau_ppm
+    FROM pairs
+    """,
+)
+def q_ts_kendall(spark, sf_dir):
+    """Kendall's tau-a between the two daily series (revenue vs
+    volume) in exact integer ppm: concordant minus discordant day
+    pairs over all pairs — the second drift-free rank correlation
+    (with q_ts_spearman), preferred when the series is short and
+    every inversion should count equally. Ties count as neither
+    (tau-a), so no tie-break arithmetic is needed at all — the
+    comparison is a pure integer sign test per pair. The pair join is
+    QUADRATIC IN DAYS by construction, which is exactly why it runs
+    on the calendar-bounded daily aggregate (30 days = 435 pairs) and
+    never on facts: the corpus pays one partial-agg shuffle, the
+    O(days²) join is dimension-sized at any corpus scale. (For long
+    series the O(n log n) merge-sort inversion count is the
+    alternative; at calendar granularity the simple form wins.)"""
+    e = events(spark, sf_dir)
+    daily = e.groupBy(
+        F.expr("cast(date_trunc('day', ts) as date)").alias("d")
+    ).agg(
+        F.expr(
+            "cast(sum(cast(round(value * 100) as bigint)) as bigint)"
+        ).alias("x_c"),
+        F.count(F.lit(1)).cast("bigint").alias("y_n"),
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    pairs = a.join(b, F.col("a.d") < F.col("b.d")).select(
+        F.when(
+            (F.col("a.x_c") - F.col("b.x_c"))
+            * (F.col("a.y_n") - F.col("b.y_n"))
+            > 0,
+            1,
+        )
+        .otherwise(0)
+        .alias("conc"),
+        F.when(
+            (F.col("a.x_c") - F.col("b.x_c"))
+            * (F.col("a.y_n") - F.col("b.y_n"))
+            < 0,
+            1,
+        )
+        .otherwise(0)
+        .alias("disc"),
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("conc").cast("bigint").alias("n_conc"),
+        F.sum("disc").cast("bigint").alias("n_disc"),
+        F.expr(
+            "cast((sum(conc) - sum(disc)) * 1000000 div count(*)"
+            " as bigint)"
+        ).alias("tau_ppm"),
+    )

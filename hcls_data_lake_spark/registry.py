@@ -123,7 +123,9 @@ def register(name: str, oracle: str | None) -> Callable[[QueryFn], QueryFn]:
 # epoch-anchored dow/hod grid, q_agg_bitmap_distinct 63-bit-word
 # exact popcount distinct, q_agg_mann_whitney integer rank-sum U,
 # q_ts_seasonal_index cross-multiplied hour factors,
-# q_analytics_order_to_ship fulfillment-SLA weeks) — 57 names; overflow past slot 50 rolls to r7 with the deferred
+# q_analytics_order_to_ship fulfillment-SLA weeks,
+# q_scan_parquet_footer metadata-as-relation, q_ts_kendall integer
+# concordance) — 59 names; overflow past slot 50 rolls to r7 with the deferred
 # remainder; the first 50 of this list
 # form the r6 prefix, the small remainder rolls to r7.
 _FAMILY_REPRESENTATIVES = [
@@ -208,6 +210,8 @@ _FAMILY_REPRESENTATIVES = [
     "q_agg_mann_whitney",
     "q_ts_seasonal_index",
     "q_analytics_order_to_ship",
+    "q_scan_parquet_footer",
+    "q_ts_kendall",
     "q_layout_zorder",
     "q_fn_collation",
     "q_fn_json_build",

@@ -149,6 +149,11 @@ def compare(spark, sf_dir: str, name: str, fn, sql: str | None):
     if sql is None:
         return (len(s_rows) >= 0, f"rows-only: {len(s_rows)} rows")
     con = duck_connection(sf_dir)
+    if sql is not None and "/root/testdata/sf0.01" in sql:
+        # Oracles that need a literal file path (DuckDB table functions
+        # like parquet_metadata only take constants) carry the driver's
+        # sf0.01 path; generalize it for local multi-SF sweeps.
+        sql = sql.replace("/root/testdata/sf0.01", sf_dir.rstrip("/"))
     try:
         tbl = con.execute(sql).fetch_arrow_table()
     finally:
