@@ -154,6 +154,7 @@ EXTENDED = [
     "q_analytics_order_to_ship",  # fulfillment-SLA latency weeks (r5)
     "q_scan_parquet_footer",  # footer stats as a queryable relation (r5)
     "q_ts_kendall",           # tau-a concordance in integer ppm (r5)
+    "q_analytics_ltv_curve",  # cohort cumulative-revenue payback curve (r5)
 ]
 
 

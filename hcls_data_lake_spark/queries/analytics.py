@@ -1998,3 +1998,69 @@ def q_analytics_order_to_ship(spark, sf_dir):
     return per_order.groupBy("o_orderpriority", "lat_weeks").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_orders")
     )
+
+
+@register(
+    "q_analytics_ltv_curve",
+    """
+    WITH ev AS (
+      SELECT user_id,
+             CAST(epoch_ns(ts) // 604800000000000 AS BIGINT) AS wk,
+             CAST(round(value * 100) AS BIGINT) AS v_c
+      FROM events
+    ), firsts AS (
+      SELECT user_id, MIN(wk) AS cohort_wk FROM ev GROUP BY user_id
+    ), aged AS (
+      SELECT f.cohort_wk, e.wk - f.cohort_wk AS age_wk,
+             e.v_c
+      FROM ev e JOIN firsts f USING (user_id)
+    ), weekly AS (
+      SELECT cohort_wk, age_wk,
+             CAST(SUM(v_c) AS BIGINT) AS rev_c
+      FROM aged GROUP BY cohort_wk, age_wk
+    )
+    SELECT cohort_wk, age_wk, rev_c,
+           CAST(SUM(rev_c) OVER (PARTITION BY cohort_wk ORDER BY age_wk
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_rev_c
+    FROM weekly
+    """,
+)
+def q_analytics_ltv_curve(spark, sf_dir):
+    """Cohort LTV curve: cumulative revenue per first-seen-week cohort
+    by weeks-since-arrival — the MONEY side of the retention matrix
+    (q_analytics_cohort counts actives; payback analysis needs the
+    cumulative value curve those actives generate, which is what CAC
+    is compared against). Weeks are epoch-anchored integer buckets
+    (same convention as new_vs_returning); revenue is exact cents and
+    the running total is an ordered window over the (cohort, age)
+    AGGREGATE — dimension-sized, never facts. Scale shape: one fact
+    shuffle on user_id shared by the firsts aggregate and the age
+    join (same key, same clustering), one small matrix aggregate, one
+    windowed cumsum over that matrix."""
+    e = t(spark, sf_dir, "events")
+    ev = e.select(
+        "user_id",
+        F.expr("cast(ts_ns div 604800000000000 as bigint)").alias("wk"),
+        F.expr("cast(round(value * 100) as bigint)").alias("v_c"),
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    weekly = (
+        ev.join(firsts, "user_id")
+        .groupBy(
+            "cohort_wk",
+            (F.col("wk") - F.col("cohort_wk")).alias("age_wk"),
+        )
+        .agg(F.sum("v_c").cast("bigint").alias("rev_c"))
+    )
+    w = (
+        Window.partitionBy("cohort_wk")
+        .orderBy("age_wk")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return weekly.select(
+        "cohort_wk",
+        "age_wk",
+        "rev_c",
+        F.sum("rev_c").over(w).cast("bigint").alias("cum_rev_c"),
+    )
