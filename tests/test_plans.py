@@ -336,6 +336,8 @@ _BNLJ_ALLOWED = {
     "q_sim_ann_pq",        # broadcast query block x PQ-coded candidates
     "q_sketch_bloom_md5",  # one-row bit-count census cross-joined
     "q_analytics_basket_rules",  # one-row order-total cross-joined back
+    "q_ts_seasonal_index",  # one-row totals broadcast onto 24 rows
+    "q_ts_kendall",        # theta self-join of the ~30-row daily relation
     "q_privacy_t_closeness",  # groups x BOUNDED band vocabulary grid
     #                           + one-row (N, m) totals, both broadcast
     "q_analytics_abc",     # one-row revenue total cross-joined back
