@@ -155,6 +155,7 @@ EXTENDED = [
     "q_scan_parquet_footer",  # footer stats as a queryable relation (r5)
     "q_ts_kendall",           # tau-a concordance in integer ppm (r5)
     "q_analytics_ltv_curve",  # cohort cumulative-revenue payback curve (r5)
+    "q_sketch_hll_intersect", # inclusion-exclusion audience overlap (r5)
 ]
 
 

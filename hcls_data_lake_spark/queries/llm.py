@@ -2700,3 +2700,119 @@ def q_text_keywords(spark, sf_dir):
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "rnk", "w", "tf", "df")
     )
+
+
+@register(
+    "q_sketch_hll_intersect",
+    """
+    WITH it AS MATERIALIZED (
+      SELECT 'view' AS grp, md5(CAST(user_id AS VARCHAR)) AS h
+      FROM events WHERE event_type = 'view'
+      UNION ALL
+      SELECT 'purchase', md5(CAST(user_id AS VARCHAR))
+      FROM events WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT 'either', md5(CAST(user_id AS VARCHAR))
+      FROM events WHERE event_type IN ('view', 'purchase')
+    ), rho AS (
+      SELECT grp,
+             strpos('0123456789abcdef', substr(h, 1, 1)) - 1 AS hi,
+             strpos('0123456789abcdef', substr(h, 2, 1)) - 1 AS lo,
+             substr(h, 3, 30) AS rest
+      FROM it
+    ), scored AS (
+      SELECT grp, hi * 16 + lo AS bucket,
+             CASE WHEN length(regexp_extract(rest, '^0*')) = 30 THEN 121
+                  ELSE 4 * length(regexp_extract(rest, '^0*'))
+                       + CASE WHEN v >= 8 THEN 0 WHEN v >= 4 THEN 1
+                              WHEN v >= 2 THEN 2 ELSE 3 END + 1
+             END AS rho
+      FROM (SELECT grp, hi, lo, rest,
+                   strpos('0123456789abcdef',
+                          substr(rest,
+                                 length(regexp_extract(rest, '^0*')) + 1,
+                                 1)) - 1 AS v
+            FROM rho)
+    ), regs AS (
+      SELECT grp, bucket, CAST(MAX(rho) AS INT) AS reg
+      FROM scored GROUP BY grp, bucket
+    ), ests AS (
+      SELECT grp,
+             ROUND(0.7213 / (1 + 1.079 / 256) * 65536 /
+                   (list_reduce(list(CAST(pow(2.0, -reg) AS DOUBLE)
+                                     ORDER BY bucket), (a, b) -> a + b)
+                    + (256 - count(*))), 4) AS est
+      FROM regs GROUP BY grp
+    ), exact AS (
+      SELECT CAST(count(*) AS BIGINT) AS inter_exact FROM (
+        SELECT user_id FROM events WHERE event_type = 'view'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'purchase')
+    )
+    SELECT ROUND(MAX(CASE WHEN grp = 'view' THEN est END), 4) AS est_a,
+           ROUND(MAX(CASE WHEN grp = 'purchase' THEN est END), 4)
+             AS est_b,
+           ROUND(MAX(CASE WHEN grp = 'either' THEN est END), 4) AS est_u,
+           ROUND(MAX(CASE WHEN grp = 'view' THEN est END)
+                 + MAX(CASE WHEN grp = 'purchase' THEN est END)
+                 - MAX(CASE WHEN grp = 'either' THEN est END), 4)
+             AS inter_est,
+           (SELECT inter_exact FROM exact) AS inter_exact
+    FROM ests
+    """,
+)
+def q_sketch_hll_intersect(spark, sf_dir):
+    """Set-intersection cardinality from HLL sketches by
+    inclusion-exclusion: |A∩B| ≈ est(A) + est(B) − est(A∪B), where
+    the union sketch is FREE — HLL registers max-merge, so A∪B's
+    sketch is just the merged registers (here built directly from the
+    concatenated stream; q_sketch_hll_merge pins that those are
+    identical). This is the audience-overlap query (viewers who also
+    purchase) answered entirely from mergeable O(m) summaries — the
+    only way to intersect cardinalities across 100 TB shards without
+    re-scanning raw keys — with the exact INTERSECT count emitted
+    alongside so the estimate's error is visible in the result. Same
+    engine-neutral md5 register family as q_sketch_hll_md5 (registers
+    byte-identical cross-engine; the harmonic estimates fold in
+    bucket order so even the floats match). Inclusion-exclusion
+    variance grows when |A∩B| << |A∪B| — the documented limit of
+    sketch intersection (theta sketches fix this; out of scope)."""
+    e = t(spark, sf_dir, "events")
+    h = F.md5(F.col("user_id").cast("string").cast("binary")).alias("h")
+    view = e.filter(F.col("event_type") == "view").select(
+        F.lit("view").alias("grp"), h
+    )
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        F.lit("purchase").alias("grp"), h
+    )
+    either = e.filter(
+        F.col("event_type").isin("view", "purchase")
+    ).select(F.lit("either").alias("grp"), h)
+    it = view.unionByName(purch).unionByName(either)
+    ests = _hll_summary(_hll_regs(it)).select("grp", "est")
+    va = e.filter(F.col("event_type") == "view").select("user_id")
+    vb = e.filter(F.col("event_type") == "purchase").select("user_id")
+    exact = (
+        va.intersect(vb)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter_exact"))
+    )
+    return (
+        ests.agg(
+            F.round(
+                F.max(F.when(F.col("grp") == "view", F.col("est"))), 4
+            ).alias("est_a"),
+            F.round(
+                F.max(F.when(F.col("grp") == "purchase", F.col("est"))), 4
+            ).alias("est_b"),
+            F.round(
+                F.max(F.when(F.col("grp") == "either", F.col("est"))), 4
+            ).alias("est_u"),
+            F.round(
+                F.max(F.when(F.col("grp") == "view", F.col("est")))
+                + F.max(F.when(F.col("grp") == "purchase", F.col("est")))
+                - F.max(F.when(F.col("grp") == "either", F.col("est"))),
+                4,
+            ).alias("inter_est"),
+        )
+        .crossJoin(F.broadcast(exact))
+    )
