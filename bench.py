@@ -156,6 +156,8 @@ EXTENDED = [
     "q_ts_kendall",           # tau-a concordance in integer ppm (r5)
     "q_analytics_ltv_curve",  # cohort cumulative-revenue payback curve (r5)
     "q_sketch_hll_intersect", # inclusion-exclusion audience overlap (r5)
+    "q_diag_sequence_gaps",   # islands-based missing-id gap ranges (r5)
+    "q_diag_distribution_drift",  # integer TV-distance drift screen (r5)
 ]
 
 

@@ -321,3 +321,175 @@ def q_diag_benford(spark, sf_dir):
             F.expr("cast(abs(ppm - exp_ppm) as bigint)").alias("dev_ppm"),
         )
     )
+
+
+@register(
+    "q_diag_sequence_gaps",
+    """
+    WITH k AS (
+      SELECT DISTINCT o_orderkey AS id FROM orders
+      WHERE o_orderstatus = 'F'
+    ), marked AS (
+      SELECT id,
+             CASE WHEN id - lag(id) OVER (ORDER BY id) > 1
+                  THEN 1 ELSE 0 END AS brk
+      FROM k
+    ), isl AS (
+      SELECT id, SUM(brk) OVER (ORDER BY id
+                                ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM marked
+    ), runs AS (
+      SELECT run_id, MIN(id) AS run_start, MAX(id) AS run_end
+      FROM isl GROUP BY run_id
+    )
+    SELECT * FROM (
+      SELECT CAST(run_end + 1 AS BIGINT) AS gap_start,
+             CAST(lead(run_start) OVER (ORDER BY run_start) - 1 AS BIGINT)
+               AS gap_end,
+             CAST(lead(run_start) OVER (ORDER BY run_start) - run_end - 1
+                  AS BIGINT) AS n_missing
+      FROM runs)
+    WHERE gap_end IS NOT NULL
+    ORDER BY n_missing DESC, gap_start
+    LIMIT 20
+    """,
+)
+def q_diag_sequence_gaps(spark, sf_dir):
+    """Missing-id detection: the top-20 largest gap RANGES in the
+    completed-order key sequence (start, end, count of absent keys) —
+    the data-loss audit every ingest pipeline with monotonically
+    assigned ids runs ("keys 14–17 never arrived"), reported as
+    ranges because at 100 TB the missing-key LIST can be larger than
+    the table. The audited sequence is the keys that reached status
+    'F' (the fixture assigns ids densely, so the filtered subset is
+    what a partially-landed zone looks like — exactly the audit's
+    production shape: which admitted ids are missing). Gaps-and-islands
+    over the distinct keys: a LAG marks breaks, a running sum numbers
+    the contiguous runs, and each gap is the space between adjacent
+    runs — no generate_series materialization of the full key domain
+    (the naive anti-join against a generated sequence scans the
+    domain, not the data). The global ordering is over the DISTINCT
+    key relation; range-partitioned sort at scale with run-boundary
+    stitching across partitions (merge adjacent runs at partition
+    edges) is the standard distributed form of the same island
+    algebra; top-20 selection is a deterministic
+    (n_missing DESC, gap_start) TakeOrdered."""
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_orderkey").alias("id"))
+        .distinct()
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.orderBy("id")
+    marked = o.withColumn(
+        "brk",
+        F.when(F.col("id") - F.lag("id").over(w) > 1, 1).otherwise(0),
+    )
+    isl = marked.withColumn(
+        "run_id",
+        F.sum("brk").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    runs = isl.groupBy("run_id").agg(
+        F.min("id").alias("run_start"), F.max("id").alias("run_end")
+    )
+    wr = W.orderBy("run_start")
+    return (
+        runs.select(
+            (F.col("run_end") + 1).cast("bigint").alias("gap_start"),
+            (F.lead("run_start").over(wr) - 1)
+            .cast("bigint")
+            .alias("gap_end"),
+            (F.lead("run_start").over(wr) - F.col("run_end") - 1)
+            .cast("bigint")
+            .alias("n_missing"),
+        )
+        .filter(F.col("gap_end").isNotNull())
+        .orderBy(F.col("n_missing").desc(), "gap_start")
+        .limit(20)
+    )
+
+
+# Fixed half-split instant for the drift audit (mid-January of the
+# fixture's event window), shared verbatim with the oracle.
+_DRIFT_SPLIT_NS = 1_705_363_200_000_000_000  # 2024-01-16T00:00:00Z
+
+
+@register(
+    "q_diag_distribution_drift",
+    f"""
+    WITH b AS (
+      SELECT event_type AS grp,
+             CASE WHEN epoch_ns(ts) < {_DRIFT_SPLIT_NS}
+                  THEN 'h1' ELSE 'h2' END AS half,
+             CAST(round(value * 100) AS BIGINT) // 5000 AS bucket
+      FROM events
+    ), cells AS (
+      SELECT grp, bucket,
+             CAST(SUM(CASE WHEN half = 'h1' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN half = 'h2' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n2
+      FROM b GROUP BY grp, bucket
+    ), tots AS (
+      SELECT grp, CAST(SUM(n1) AS BIGINT) AS t1,
+             CAST(SUM(n2) AS BIGINT) AS t2
+      FROM cells GROUP BY grp
+    )
+    SELECT c.grp, t.t1, t.t2,
+           CAST(SUM(abs(CAST(c.n1 AS HUGEINT) * t.t2
+                        - CAST(c.n2 AS HUGEINT) * t.t1)) * 1000000
+                // (2 * CAST(t.t1 AS HUGEINT) * t.t2) AS BIGINT)
+             AS tv_ppm
+    FROM cells c JOIN tots t USING (grp)
+    GROUP BY c.grp, t.t1, t.t2
+    """,
+)
+def q_diag_distribution_drift(spark, sf_dir):
+    """Distribution-drift audit: per event type, the total-variation
+    distance between the value distribution of the window's first and
+    second half, in exact ppm — the drift screen an ML feature
+    pipeline runs before retraining (PSI is the industry habit, but
+    its ln() makes it float and engine-dependent; TV distance
+    ½Σ|p−q| carries the same signal and evaluates as ONE
+    cross-multiplied integer expression, Σ|n1·T2 − n2·T1|·10⁶ div
+    (2·T1·T2), exact at any scale under the HHI DECIMAL/HUGEINT
+    promotion discipline). Values bucket into fixed 50-unit cells;
+    both halves aggregate in a single conditional pass (no second
+    fact scan), and the per-group reduce runs over the
+    dimension-sized cell relation. tv_ppm = 0 means identical
+    histograms; 10⁶ means disjoint support."""
+    e = t(spark, sf_dir, "events")
+    b = e.select(
+        F.col("event_type").alias("grp"),
+        F.when(F.col("ts_ns") < _DRIFT_SPLIT_NS, "h1")
+        .otherwise("h2")
+        .alias("half"),
+        F.expr("cast(round(value * 100) as bigint) div 5000").alias(
+            "bucket"
+        ),
+    )
+    cells = b.groupBy("grp", "bucket").agg(
+        F.sum(F.when(F.col("half") == "h1", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("half") == "h2", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n2"),
+    )
+    tots = cells.groupBy("grp").agg(
+        F.sum("n1").cast("bigint").alias("t1"),
+        F.sum("n2").cast("bigint").alias("t2"),
+    )
+    return (
+        cells.join(F.broadcast(tots), "grp")
+        .groupBy("grp", "t1", "t2")
+        .agg(
+            F.expr(
+                "cast(sum(abs(cast(n1 as decimal(38,0)) * t2"
+                " - cast(n2 as decimal(38,0)) * t1)) * 1000000"
+                " div (2 * cast(t1 as decimal(38,0)) * t2) as bigint)"
+            ).alias("tv_ppm")
+        )
+    )

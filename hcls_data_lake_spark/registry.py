@@ -126,7 +126,9 @@ def register(name: str, oracle: str | None) -> Callable[[QueryFn], QueryFn]:
 # q_analytics_order_to_ship fulfillment-SLA weeks,
 # q_scan_parquet_footer metadata-as-relation, q_ts_kendall integer
 # concordance, q_analytics_ltv_curve cohort payback,
-# q_sketch_hll_intersect inclusion-exclusion overlap) — 61 names; overflow past slot 50 rolls to r7 with the deferred
+# q_sketch_hll_intersect inclusion-exclusion overlap,
+# q_diag_sequence_gaps islands-based missing-id ranges,
+# q_diag_distribution_drift integer TV distance) — 63 names; overflow past slot 50 rolls to r7 with the deferred
 # remainder; the first 50 of this list
 # form the r6 prefix, the small remainder rolls to r7.
 _FAMILY_REPRESENTATIVES = [
@@ -215,6 +217,8 @@ _FAMILY_REPRESENTATIVES = [
     "q_ts_kendall",
     "q_analytics_ltv_curve",
     "q_sketch_hll_intersect",
+    "q_diag_sequence_gaps",
+    "q_diag_distribution_drift",
     "q_layout_zorder",
     "q_fn_collation",
     "q_fn_json_build",
