@@ -941,3 +941,85 @@ def q_ts_kendall(spark, sf_dir):
             " as bigint)"
         ).alias("tau_ppm"),
     )
+
+
+def _rank_autocorr_sql(lag: int) -> str:
+    """Oracle fragment: lag-``lag`` Spearman autocorrelation of the
+    daily revenue series as (n_pairs, rho_ppm) — permutation ranks of
+    the paired (x_t, x_{t-lag}) values, ties broken by day."""
+    return f"""
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(1000000 - (6 * SUM((rx - ry) * (rx - ry)) * 1000000)
+                  // NULLIF(count(*) *
+                            (count(*) * count(*) - 1), 0) AS BIGINT)
+               AS rho_ppm
+      FROM (
+        SELECT row_number() OVER (ORDER BY x, d) AS rx,
+               row_number() OVER (ORDER BY x_lag, d) AS ry
+        FROM (
+          SELECT d, x, lag(x, {lag}) OVER (ORDER BY d) AS x_lag
+          FROM daily)
+        WHERE x_lag IS NOT NULL)
+    """
+
+
+@register(
+    "q_ts_rank_autocorr",
+    f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS x
+      FROM events GROUP BY 1
+    ), l1 AS ({_rank_autocorr_sql(1)}), l7 AS ({_rank_autocorr_sql(7)})
+    SELECT 1 AS lag_d, n, rho_ppm FROM l1
+    UNION ALL
+    SELECT 7, n, rho_ppm FROM l7
+    """,
+)
+def q_ts_rank_autocorr(spark, sf_dir):
+    """Rank autocorrelation of the daily revenue series at lags 1 and
+    7 — the trend/seasonality detector (high lag-1 = momentum, high
+    lag-7 = weekly cycle) built on the same drift-free machinery as
+    q_ts_spearman: Spearman correlation of the series against its
+    lagged self, with permutation ranks (day tie-break) and the pure
+    BIGINT 1−6Σd²/(n(n²−1)) identity — where the classical
+    Pearson-based ACF is float sums that can't value-hash
+    cross-engine. Scale: the facts reduce once to the
+    calendar-bounded daily relation; each lag is a LAG + two rank
+    windows over days only. (A full correlogram is this query with
+    one block per lag — the daily relation is scanned per lag, which
+    at days-granularity is free.)"""
+    e = events(spark, sf_dir)
+    daily = e.groupBy(
+        F.expr("cast(date_trunc('day', ts) as date)").alias("d")
+    ).agg(
+        F.expr(
+            "cast(sum(cast(round(value * 100) as bigint)) as bigint)"
+        ).alias("x")
+    ).localCheckpoint(eager=True)
+    from pyspark.sql.window import Window as W
+
+    out = None
+    for lag in (1, 7):
+        lagged = daily.withColumn(
+            "x_lag", F.lag("x", lag).over(W.orderBy("d"))
+        ).filter(F.col("x_lag").isNotNull())
+        ranked = lagged.select(
+            F.row_number().over(W.orderBy("x", "d")).cast("bigint").alias("rx"),
+            F.row_number()
+            .over(W.orderBy("x_lag", "d"))
+            .cast("bigint")
+            .alias("ry"),
+        )
+        agg = ranked.agg(
+            F.lit(lag).cast("int").alias("lag_d"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.expr(
+                "cast(1000000 - (6 * sum((rx - ry) * (rx - ry)) * 1000000)"
+                " div nullif(count(*) * (count(*) * count(*) - 1), 0)"
+                " as bigint)"
+            ).alias("rho_ppm"),
+        ).select("lag_d", "n", "rho_ppm")
+        out = agg if out is None else out.unionByName(agg)
+    return out
