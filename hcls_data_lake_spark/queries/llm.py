@@ -2816,3 +2816,58 @@ def q_sketch_hll_intersect(spark, sf_dir):
         )
         .crossJoin(F.broadcast(exact))
     )
+
+
+@register(
+    "q_dedup_threshold_sweep",
+    f"""
+    WITH near AS ({_NEAR_SQL.replace("WHERE CAST(inter AS DOUBLE) / uni >= 0.2",
+                                     "WHERE CAST(inter AS DOUBLE) / uni >= 0.1")}),
+    t(thr_pct) AS (VALUES (10), (20), (30), (50), (70), (90))
+    SELECT t.thr_pct,
+           CAST(SUM(CASE WHEN near.jaccard * 100 >= t.thr_pct
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT CASE WHEN near.jaccard * 100 >= t.thr_pct
+                                    THEN near.doc_b END) AS BIGINT)
+             AS n_docs_dropped
+    FROM t, near
+    GROUP BY t.thr_pct
+    """,
+)
+def q_dedup_threshold_sweep(spark, sf_dir):
+    """Dedup yield curve: for a ladder of Jaccard thresholds, how many
+    near-dup pairs fire and how many documents a keep-lowest-id policy
+    would drop — the tuning report that picks the production threshold
+    from DATA (too low deletes paraphrases, too high keeps template
+    spam; the knee of this curve is the decision). ONE pass: the
+    inverted-index pair relation is built once at the floor threshold
+    (0.1) and every ladder rung is a conditional aggregate over it —
+    never one pair-build per threshold. The drop census counts
+    distinct doc_b (pairs are doc_a < doc_b, so doc_b is the dropped
+    side under keep-lowest-id); jaccard×100 ≥ thr compares the SAME
+    4dp-rounded value both engines computed, so the rung assignment
+    hashes. The ladder broadcast is 6 literal rows."""
+    pairs = _near_pairs(spark, sf_dir, ngram=3, threshold=0.1)
+    thr = spark.createDataFrame(
+        [(10,), (20,), (30,), (50,), (70,), (90,)], "thr_pct int"
+    )
+    return (
+        pairs.crossJoin(F.broadcast(thr))
+        .groupBy("thr_pct")
+        .agg(
+            F.sum(
+                F.when(F.col("jaccard") * 100 >= F.col("thr_pct"), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_pairs"),
+            F.countDistinct(
+                F.when(
+                    F.col("jaccard") * 100 >= F.col("thr_pct"),
+                    F.col("doc_b"),
+                )
+            )
+            .cast("bigint")
+            .alias("n_docs_dropped"),
+        )
+    )
