@@ -160,6 +160,7 @@ EXTENDED = [
     "q_diag_distribution_drift",  # integer TV-distance drift screen (r5)
     "q_ts_rank_autocorr",     # lag-1/7 rank-ACF seasonality detector (r5)
     "q_dedup_threshold_sweep",  # one-pass dedup yield/threshold curve (r5)
+    "q_graph_assortativity",  # rank-based degree-mixing coefficient (r5)
 ]
 
 

@@ -2871,3 +2871,82 @@ def q_dedup_threshold_sweep(spark, sf_dir):
             .alias("n_docs_dropped"),
         )
     )
+
+
+@register(
+    "q_graph_assortativity",
+    f"""
+    WITH near AS MATERIALIZED ({_KHOP_NEAR_SQL}),
+    e AS MATERIALIZED (
+      SELECT doc_a AS src, doc_b AS dst FROM near
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM near
+    ),
+    deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+            FROM e GROUP BY src),
+    ed AS (
+      SELECT e.src, e.dst, ds.d AS d_src, dd.d AS d_dst
+      FROM e JOIN deg ds ON ds.node = e.src
+             JOIN deg dd ON dd.node = e.dst
+    ),
+    ranked AS (
+      SELECT CAST(row_number() OVER (ORDER BY d_src, src, dst) AS BIGINT)
+               AS rx,
+             CAST(row_number() OVER (ORDER BY d_dst, src, dst) AS BIGINT)
+               AS ry
+      FROM ed
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_dir_edges,
+           CAST(1000000 - (6 * SUM((rx - ry) * (rx - ry)) * 1000000)
+                // NULLIF(count(*) * (count(*) * count(*) - 1), 0)
+                AS BIGINT) AS assort_ppm
+    FROM ranked
+    """,
+)
+def q_graph_assortativity(spark, sf_dir):
+    """Degree assortativity of the similarity graph as a Spearman
+    rank correlation over directed edges' endpoint degrees — positive
+    means hubs link to hubs (template-spam clumps), negative means
+    hub-and-spoke (one canonical doc with many paraphrases); the
+    structural dial that picks cluster-canonical vs pairwise dedup
+    policy, complementing q_graph_triangles' clustering coefficient.
+    Same drift-free rank machinery as the other rank statistics
+    (permutation ranks with a (src, dst) tie-break; pure-BIGINT
+    identity) — Newman's Pearson-based coefficient is float sums that
+    can't value-hash. Scale shape: degrees are one aggregate of the
+    edge list; the decorated edges join on each endpoint (node-keyed,
+    broadcastable at fixture scale, shuffle-joinable at web scale);
+    the global rank runs over EDGES of the bounded similarity graph —
+    dimension-sized relative to the corpus that induced it."""
+    p = _near_pairs(spark, sf_dir, ngram=2, threshold=0.08)
+    e = p.selectExpr("doc_a as src", "doc_b as dst").unionByName(
+        p.selectExpr("doc_b as src", "doc_a as dst")
+    ).distinct()
+    deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    ed = (
+        e.join(
+            deg.selectExpr("node as src", "d as d_src"), "src"
+        ).join(deg.selectExpr("node as dst", "d as d_dst"), "dst")
+    )
+    from pyspark.sql.window import Window as W
+
+    ranked = ed.select(
+        F.row_number()
+        .over(W.orderBy("d_src", "src", "dst"))
+        .cast("bigint")
+        .alias("rx"),
+        F.row_number()
+        .over(W.orderBy("d_dst", "src", "dst"))
+        .cast("bigint")
+        .alias("ry"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dir_edges"),
+        F.expr(
+            "cast(1000000 - (6 * sum((rx - ry) * (rx - ry)) * 1000000)"
+            " div nullif(count(*) * (count(*) * count(*) - 1), 0)"
+            " as bigint)"
+        ).alias("assort_ppm"),
+    )
