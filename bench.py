@@ -161,6 +161,8 @@ EXTENDED = [
     "q_ts_rank_autocorr",     # lag-1/7 rank-ACF seasonality detector (r5)
     "q_dedup_threshold_sweep",  # one-pass dedup yield/threshold curve (r5)
     "q_graph_assortativity",  # rank-based degree-mixing coefficient (r5)
+    "q_analytics_wilson_rank",  # small-sample-honest rating rank (r5)
+    "q_ts_runs_test",         # Wald-Wolfowitz randomness census (r5)
 ]
 
 

@@ -2064,3 +2064,67 @@ def q_analytics_ltv_curve(spark, sf_dir):
         "rev_c",
         F.sum("rev_c").over(w).cast("bigint").alias("cum_rev_c"),
     )
+
+
+@register(
+    "q_analytics_wilson_rank",
+    """
+    WITH pb AS (
+      SELECT p.p_brand,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS k
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY p.p_brand
+    )
+    SELECT p_brand, n, k,
+           ROUND((CAST(k AS DOUBLE) / n + 1.9208 / n
+                  - 1.96 * sqrt((CAST(k AS DOUBLE) / n
+                                 * (1 - CAST(k AS DOUBLE) / n)
+                                 + 0.9604 / n) / n))
+                 / (1 + 3.8416 / n), 6) AS wilson_lb
+    FROM pb
+    """,
+)
+def q_analytics_wilson_rank(spark, sf_dir):
+    """Wilson-score lower bound of each brand's return rate — the
+    small-sample-honest ranking statistic ("sort by rating") that a
+    raw proportion gets wrong for low-volume brands: a brand with 1/1
+    returns ranks below one with 90/100. Float, but DETERMINISTICALLY
+    so — a deliberate contrast to the integer family: +, ×, /, sqrt
+    are all correctly-rounded IEEE-754 operations, so two engines
+    evaluating the IDENTICAL expression tree (same literals
+    z = 1.96 pre-squared to 3.8416/1.9208/0.9604, same nesting,
+    spelled out in both) produce bit-identical doubles — the same
+    license the HLL estimate relies on. What is NOT licensed is
+    reassociation (a+b+c in a different order), which is why the
+    expression is fully parenthesized and every sum is two-term. One
+    broadcast-dim join + one partial-agg shuffle to the brand
+    relation; the bound computes on 25 rows."""
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_returnflag")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    pb = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("bigint")
+            .alias("k"),
+        )
+    )
+    return pb.select(
+        "p_brand",
+        "n",
+        "k",
+        F.round(
+            F.expr(
+                "(cast(k as double) / n + 1.9208 / n"
+                " - 1.96 * sqrt((cast(k as double) / n"
+                " * (1 - cast(k as double) / n)"
+                " + 0.9604 / n) / n))"
+                " / (1 + 3.8416 / n)"
+            ),
+            6,
+        ).alias("wilson_lb"),
+    )

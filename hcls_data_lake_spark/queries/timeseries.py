@@ -1023,3 +1023,86 @@ def q_ts_rank_autocorr(spark, sf_dir):
         ).select("lag_d", "n", "rho_ppm")
         out = agg if out is None else out.unionByName(agg)
     return out
+
+
+@register(
+    "q_ts_runs_test",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS x
+      FROM events GROUP BY 1
+    ), med AS (
+      SELECT x AS med_c FROM (
+        SELECT x, row_number() OVER (ORDER BY x, d) AS rn,
+               count(*) OVER () AS n
+        FROM daily) WHERE rn = (n + 1) // 2
+    ), signed AS (
+      SELECT d, CASE WHEN daily.x > (SELECT med_c FROM med)
+                     THEN 1 ELSE 0 END AS above
+      FROM daily
+    ), runs AS (
+      SELECT above,
+             CASE WHEN above <> lag(above) OVER (ORDER BY d)
+                    OR lag(above) OVER (ORDER BY d) IS NULL
+                  THEN 1 ELSE 0 END AS new_run
+      FROM signed
+    )
+    SELECT CAST(SUM(new_run) AS BIGINT) AS n_runs,
+           CAST(SUM(above) AS BIGINT) AS n_above,
+           CAST(count(*) - SUM(above) AS BIGINT) AS n_below
+    FROM runs
+    """,
+)
+def q_ts_runs_test(spark, sf_dir):
+    """Wald–Wolfowitz runs census of the daily revenue series: days
+    are signed above/at-or-below the (lower) median and consecutive
+    same-sign days collapse into runs — too FEW runs says trend or
+    regime persistence, too MANY says oscillation; the expected count
+    under randomness, 2·n₊·n₋/(n₊+n₋)+1, derives from the emitted
+    integers, so the whole test is decidable from three BIGINTs and
+    no float ever enters the hash. The lower median comes from the
+    same rank-(n+1) div 2 machinery as q_ts_mad_outliers; run
+    boundaries are the lag-marks-breaks islands trick over the
+    calendar-bounded daily relation — one fact shuffle, then
+    day-sized work."""
+    e = events(spark, sf_dir)
+    daily = e.groupBy(
+        F.expr("cast(date_trunc('day', ts) as date)").alias("d")
+    ).agg(
+        F.expr(
+            "cast(sum(cast(round(value * 100) as bigint)) as bigint)"
+        ).alias("x")
+    )
+    from pyspark.sql.window import Window as W
+
+    ranked = daily.select(
+        "d",
+        "x",
+        F.row_number().over(W.orderBy("x", "d")).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    )
+    med = ranked.filter(F.expr("rn = (n + 1) div 2")).select(
+        F.col("x").alias("med_c")
+    )
+    signed = daily.crossJoin(F.broadcast(med)).select(
+        "d",
+        F.when(F.col("x") > F.col("med_c"), 1).otherwise(0).alias("above"),
+    )
+    w = W.orderBy("d")
+    runs = signed.select(
+        "above",
+        F.when(
+            (F.col("above") != F.lag("above").over(w))
+            | F.lag("above").over(w).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    return runs.agg(
+        F.sum("new_run").cast("bigint").alias("n_runs"),
+        F.sum("above").cast("bigint").alias("n_above"),
+        (F.count(F.lit(1)) - F.sum("above")).cast("bigint").alias("n_below"),
+    )

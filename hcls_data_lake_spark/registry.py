@@ -131,7 +131,9 @@ def register(name: str, oracle: str | None) -> Callable[[QueryFn], QueryFn]:
 # q_diag_distribution_drift integer TV distance,
 # q_ts_rank_autocorr lag-1/7 seasonality detector,
 # q_dedup_threshold_sweep one-pass yield curve,
-# q_graph_assortativity rank-based degree mixing) — 66 names; overflow past slot 50 rolls to r7 with the deferred
+# q_graph_assortativity rank-based degree mixing,
+# q_analytics_wilson_rank IEEE-deterministic score bound,
+# q_ts_runs_test integer runs census) — 68 names; overflow past slot 50 rolls to r7 with the deferred
 # remainder; the first 50 of this list
 # form the r6 prefix, the small remainder rolls to r7.
 _FAMILY_REPRESENTATIVES = [
@@ -225,6 +227,8 @@ _FAMILY_REPRESENTATIVES = [
     "q_ts_rank_autocorr",
     "q_dedup_threshold_sweep",
     "q_graph_assortativity",
+    "q_analytics_wilson_rank",
+    "q_ts_runs_test",
     "q_layout_zorder",
     "q_fn_collation",
     "q_fn_json_build",
