@@ -163,6 +163,8 @@ EXTENDED = [
     "q_graph_assortativity",  # rank-based degree-mixing coefficient (r5)
     "q_analytics_wilson_rank",  # small-sample-honest rating rank (r5)
     "q_ts_runs_test",         # Wald-Wolfowitz randomness census (r5)
+    "q_privacy_anonymity_ladder",  # one-Expand k-anon generalization curve (r5)
+    "q_ts_theil_sen",         # robust median-slope trend (r5)
 ]
 
 

@@ -548,3 +548,85 @@ def q_privacy_pseudonymize(spark, sf_dir):
             ).alias("total_spend"),
         )
     )
+
+
+@register(
+    "q_privacy_anonymity_ladder",
+    """
+    WITH base AS (
+      SELECT c.c_nationkey AS nat, c.c_mktsegment AS seg,
+             CAST(year(o.o_orderdate) AS INT) AS yr,
+             CAST(month(o.o_orderdate) AS INT) AS mo
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ), cells AS (
+      SELECT CASE WHEN GROUPING(mo) = 0 THEN 0
+                  WHEN GROUPING(yr) = 0 THEN 1
+                  ELSE 2 END AS gen_level,
+             nat, seg, yr, mo, CAST(count(*) AS BIGINT) AS n
+      FROM base
+      GROUP BY GROUPING SETS ((nat, seg, yr, mo), (nat, seg, yr),
+                              (nat, seg))
+    )
+    SELECT gen_level,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_under_k,
+           CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+             AS n_rows_at_risk
+    FROM cells GROUP BY gen_level
+    """,
+)
+def q_privacy_anonymity_ladder(spark, sf_dir):
+    """Generalization ladder for k-anonymity (k=5): the same release
+    audited at three quasi-identifier coarseness levels — (nation,
+    segment, year, month) → drop month → drop year — reporting cell
+    count, under-k cells, and rows at re-identification risk per
+    level; the curve shows exactly how much generalization buys
+    compliance (the Datafly/Incognito decision, measured not
+    guessed). All three levels aggregate in ONE pass via GROUPING
+    SETS (a single Expand feeding one partial-agg shuffle — never one
+    job per level), with GROUPING() bits mapping each output row to
+    its rung; under-k classification rides the dimension-sized cell
+    relation. Calendar fields are NTZ year/month integers."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    base = o.join(
+        F.broadcast(c), o["o_custkey"] == c["c_custkey"]
+    ).select(
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        F.expr("cast(year(o_orderdate) as int)").alias("yr"),
+        F.expr("cast(month(o_orderdate) as int)").alias("mo"),
+    )
+    # grouping() bits are only defined INSIDE the grouping-sets
+    # aggregate, so the rung id is emitted as agg columns and mapped
+    # afterwards
+    cells = (
+        base.groupingSets(
+            [["nat", "seg", "yr", "mo"], ["nat", "seg", "yr"],
+             ["nat", "seg"]],
+            "nat", "seg", "yr", "mo",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.grouping("yr").alias("g_yr"),
+            F.grouping("mo").alias("g_mo"),
+        )
+        .withColumn(
+            "gen_level",
+            F.when(F.col("g_mo") == 0, 0)
+            .when(F.col("g_yr") == 0, 1)
+            .otherwise(2),
+        )
+    )
+    return cells.groupBy("gen_level").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum(F.when(F.col("n") < 5, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_under_k"),
+        F.sum(F.when(F.col("n") < 5, F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_rows_at_risk"),
+    )

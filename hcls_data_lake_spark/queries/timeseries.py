@@ -1106,3 +1106,76 @@ def q_ts_runs_test(spark, sf_dir):
         F.sum("above").cast("bigint").alias("n_above"),
         (F.count(F.lit(1)) - F.sum("above")).cast("bigint").alias("n_below"),
     )
+
+
+@register(
+    "q_ts_theil_sen",
+    """
+    WITH daily AS (
+      SELECT CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS d,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS x
+      FROM events GROUP BY 1
+    ), slopes AS (
+      SELECT b.x - a.x AS dy, b.d - a.d AS dx
+      FROM daily a JOIN daily b ON a.d < b.d
+    ), ranked AS (
+      SELECT dy, dx,
+             row_number() OVER (
+               ORDER BY CAST(dy AS DOUBLE) / dx, dy, dx) AS rn,
+             count(*) OVER () AS n
+      FROM slopes
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_slopes,
+           CAST(MAX(dy * 1000000 // dx) AS BIGINT) AS slope_ppm_c_day
+    FROM ranked WHERE rn = (n + 1) // 2
+    """,
+)
+def q_ts_theil_sen(spark, sf_dir):
+    """Theil–Sen robust trend: the median of all pairwise slopes of
+    the daily revenue series — the slope estimator with a 29%
+    breakdown point where least-squares is wrecked by one outlier
+    day. The median SLOPE is selected by ordering fractions dy/dx
+    (the float quotient is a correctly-rounded IEEE division of two
+    exact integers — identical in both engines — and the (dy, dx)
+    tie-break makes the order total), then the chosen pair's slope is
+    EMITTED as exact integer arithmetic, dy·10⁶ div dx cents/day —
+    float decides the rank, integers carry the value, so the hash is
+    exact. Like Kendall, the pair join is quadratic in DAYS by
+    design: one fact shuffle to the calendar-bounded daily relation,
+    O(days²) dimension-sized work after. (Days are epoch-day
+    integers; dx > 0 by the a.d < b.d join.)"""
+    e = events(spark, sf_dir)
+    daily = e.groupBy(
+        F.expr("cast(ts_ns div 86400000000000 as bigint)").alias("d")
+    ).agg(
+        F.expr(
+            "cast(sum(cast(round(value * 100) as bigint)) as bigint)"
+        ).alias("x")
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    slopes = a.join(b, F.col("a.d") < F.col("b.d")).select(
+        (F.col("b.x") - F.col("a.x")).alias("dy"),
+        (F.col("b.d") - F.col("a.d")).alias("dx"),
+    )
+    from pyspark.sql.window import Window as W
+
+    ranked = slopes.select(
+        "dy",
+        "dx",
+        F.row_number()
+        .over(
+            W.orderBy(
+                F.expr("cast(dy as double) / dx"), F.col("dy"), F.col("dx")
+            )
+        )
+        .alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    )
+    return ranked.filter(F.expr("rn = (n + 1) div 2")).agg(
+        F.max("n").cast("bigint").alias("n_slopes"),
+        F.expr("cast(max(dy * 1000000 div dx) as bigint)").alias(
+            "slope_ppm_c_day"
+        ),
+    )

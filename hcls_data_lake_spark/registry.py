@@ -133,7 +133,9 @@ def register(name: str, oracle: str | None) -> Callable[[QueryFn], QueryFn]:
 # q_dedup_threshold_sweep one-pass yield curve,
 # q_graph_assortativity rank-based degree mixing,
 # q_analytics_wilson_rank IEEE-deterministic score bound,
-# q_ts_runs_test integer runs census) — 68 names; overflow past slot 50 rolls to r7 with the deferred
+# q_ts_runs_test integer runs census, q_privacy_anonymity_ladder
+# one-Expand generalization curve, q_ts_theil_sen float-ranked
+# integer-valued robust slope) — 70 names; overflow past slot 50 rolls to r7 with the deferred
 # remainder; the first 50 of this list
 # form the r6 prefix, the small remainder rolls to r7.
 _FAMILY_REPRESENTATIVES = [
@@ -229,6 +231,8 @@ _FAMILY_REPRESENTATIVES = [
     "q_graph_assortativity",
     "q_analytics_wilson_rank",
     "q_ts_runs_test",
+    "q_privacy_anonymity_ladder",
+    "q_ts_theil_sen",
     "q_layout_zorder",
     "q_fn_collation",
     "q_fn_json_build",

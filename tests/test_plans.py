@@ -340,6 +340,8 @@ _BNLJ_ALLOWED = {
     "q_ts_kendall",        # theta self-join of the ~30-row daily relation
     "q_sketch_hll_intersect",  # 1-row exact-INTERSECT count cross-joined
     "q_dedup_threshold_sweep",  # 6-literal-row threshold ladder broadcast
+    "q_ts_theil_sen",      # theta self-join of the ~30-row daily relation
+    "q_ts_runs_test",      # 1-row lower-median broadcast onto days
     "q_privacy_t_closeness",  # groups x BOUNDED band vocabulary grid
     #                           + one-row (N, m) totals, both broadcast
     "q_analytics_abc",     # one-row revenue total cross-joined back
