@@ -1000,3 +1000,99 @@ def q_agg_mann_whitney(spark, sf_dir):
             " div 2 as bigint)"
         ).alias("u_hi"),
     )
+
+
+@register(
+    "q_agg_ks_test",
+    """
+    WITH pts AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g,
+             CAST(round(value * 100) AS BIGINT) AS v
+      FROM events WHERE event_type IN ('purchase', 'click')
+    ), perv AS (
+      SELECT v,
+             CAST(SUM(g) AS BIGINT) AS k1,
+             CAST(SUM(1 - g) AS BIGINT) AS k2
+      FROM pts GROUP BY v
+    ), cum AS (
+      SELECT v,
+             SUM(k1) OVER (ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS c1,
+             SUM(k2) OVER (ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS c2,
+             SUM(k1) OVER () AS n1,
+             SUM(k2) OVER () AS n2
+      FROM perv
+    ), scored AS (
+      SELECT v, n1, n2, abs(c1 * n2 - c2 * n1) AS d,
+             MAX(abs(c1 * n2 - c2 * n1)) OVER () AS dmax
+      FROM cum
+    )
+    SELECT CAST(MAX(n1) AS BIGINT) AS n_purchase,
+           CAST(MAX(n2) AS BIGINT) AS n_click,
+           CAST(MAX(dmax) AS BIGINT) AS d_num,
+           CAST(MAX(dmax) * 1000000 // (MAX(n1) * MAX(n2)) AS BIGINT)
+             AS d_ppm,
+           CAST(MIN(v) AS BIGINT) AS ks_at_cents
+    FROM scored WHERE d = dmax
+    """,
+)
+def q_agg_ks_test(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov statistic between the purchase
+    and click value distributions, entirely in exact integers: with
+    per-value counts (k1, k2) and cumulative counts (c1, c2), the KS
+    supremum D = max_v |F1(v) - F2(v)| cross-multiplies to
+    d_num = max_v |c1*n2 - c2*n1| over the n1*n2 common denominator —
+    a pure-BIGINT maximum an independent engine reproduces exactly
+    (the distribution-shape companion to q_agg_mann_whitney's
+    location shift: KS sees variance/shape drift that rank-sum
+    misses). ks_at_cents is the value where the supremum is attained
+    (min v among ties — deterministic). The empirical CDFs step only
+    at sample points, so evaluating after each distinct value's ties
+    (RANGE==ROWS on the grouped relation) covers the supremum.
+    Products stay in range while c*n < 9.2e18 — fine to ~3e9 rows per
+    side. Scale shape: the cumulative runs over DISTINCT values after
+    a shuffle agg (value-keyed, partial map-side), so the single-
+    partition window sees |domain| rows, not |events| — and at true
+    100 TB the same statistic computes from per-range prefix counts,
+    the standard distributed-ranking shape."""
+    e = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    pts = e.select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("g"),
+        F.expr("cast(round(value * 100) as bigint)").alias("v"),
+    )
+    perv = pts.groupBy("v").agg(
+        F.sum("g").cast("bigint").alias("k1"),
+        F.sum(F.expr("1 - g")).cast("bigint").alias("k2"),
+    )
+    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = perv.select(
+        "v",
+        F.sum("k1").over(w_cum).alias("c1"),
+        F.sum("k2").over(w_cum).alias("c2"),
+        F.sum("k1").over(w_all).alias("n1"),
+        F.sum("k2").over(w_all).alias("n2"),
+    )
+    scored = cum.select(
+        "v",
+        "n1",
+        "n2",
+        F.expr("abs(c1 * n2 - c2 * n1)").alias("d"),
+        F.max(F.expr("abs(c1 * n2 - c2 * n1)")).over(w_all).alias("dmax"),
+    )
+    return scored.filter(F.col("d") == F.col("dmax")).agg(
+        F.max("n1").cast("bigint").alias("n_purchase"),
+        F.max("n2").cast("bigint").alias("n_click"),
+        F.max("dmax").cast("bigint").alias("d_num"),
+        F.expr(
+            "cast(max(dmax) * 1000000 div (max(n1) * max(n2)) as bigint)"
+        ).alias("d_ppm"),
+        F.min("v").cast("bigint").alias("ks_at_cents"),
+    )

@@ -2128,3 +2128,77 @@ def q_analytics_wilson_rank(spark, sf_dir):
             6,
         ).alias("wilson_lb"),
     )
+
+
+@register(
+    "q_analytics_chi_square",
+    """
+    WITH cells AS (
+      SELECT c_nationkey AS nation, c_mktsegment AS segment,
+             CAST(count(*) AS BIGINT) AS o
+      FROM customer GROUP BY 1, 2
+    ), deco AS (
+      SELECT nation, segment, o,
+             SUM(o) OVER (PARTITION BY nation) AS row_n,
+             SUM(o) OVER (PARTITION BY segment) AS col_n,
+             SUM(o) OVER () AS n
+      FROM cells
+    )
+    SELECT nation, segment, o,
+           CAST(row_n AS BIGINT) AS row_n,
+           CAST(col_n AS BIGINT) AS col_n,
+           CAST(n * o - row_n * col_n AS BIGINT) AS resid_num,
+           (CAST(n * o - row_n * col_n AS DOUBLE)
+            * CAST(n * o - row_n * col_n AS DOUBLE))
+           / CAST(n * row_n * col_n AS DOUBLE) AS chi_cell
+    FROM deco
+    """,
+)
+def q_analytics_chi_square(spark, sf_dir):
+    """Chi-square independence decomposition of the nation x market-
+    segment contingency table, one row per OBSERVED cell: the signed
+    residual numerator n*O - row*col is exact BIGINT (positive =
+    over-represented cell), and the cell's chi-square contribution
+    (O-E)^2/E rewrites to resid^2 / (n*row*col) — evaluated as the
+    identical three-operation IEEE expression in both engines
+    (correctly-rounded double ops on exact integers hash
+    byte-identically; the SUM over cells is deliberately NOT emitted,
+    because float summation order is engine-dependent — the verifier
+    sums the 125-cell relation itself). This is the segmentation-bias
+    audit behind q_diag_distribution_drift: WHICH cells drive the
+    drift, not just how much. Plan shape: one groupBy of the dim
+    table, then three windows over the 125-cell relation — the
+    marginals never touch the fact-sized input again. Integer
+    headroom: n*row*col < 9.2e18 holds to n ~ 2M customers per
+    marginal product; beyond that the residual stays exact while the
+    denominator computes in double."""
+    c = t(spark, sf_dir, "customer")
+    cells = c.groupBy(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    deco = cells.select(
+        "nation",
+        "segment",
+        "o",
+        F.sum("o").over(Window.partitionBy("nation")).alias("row_n"),
+        F.sum("o").over(Window.partitionBy("segment")).alias("col_n"),
+        F.sum("o").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    return deco.select(
+        "nation",
+        "segment",
+        "o",
+        F.col("row_n").cast("bigint").alias("row_n"),
+        F.col("col_n").cast("bigint").alias("col_n"),
+        F.expr("cast(n * o - row_n * col_n as bigint)").alias("resid_num"),
+        F.expr(
+            "(cast(n * o - row_n * col_n as double)"
+            " * cast(n * o - row_n * col_n as double))"
+            " / cast(n * row_n * col_n as double)"
+        ).alias("chi_cell"),
+    )

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from hcls_data_lake_spark.operators.dedup import shingles_from_words
-from hcls_data_lake_spark.queries.common import t
+from hcls_data_lake_spark.queries.common import events, t
 from hcls_data_lake_spark.registry import register
 
 
@@ -629,4 +629,66 @@ def q_privacy_anonymity_ladder(spark, sf_dir):
         F.sum(F.when(F.col("n") < 5, F.col("n")).otherwise(0))
         .cast("bigint")
         .alias("n_rows_at_risk"),
+    )
+
+
+@register(
+    "q_privacy_dp_histogram",
+    """
+    WITH cells AS (
+      SELECT event_type,
+             CAST(epoch_ns(ts) // 604800000000000 AS BIGINT) AS wk,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), noised AS (
+      SELECT event_type, wk, n,
+             CAST(list_sum(
+               [bit_count(strpos('0123456789abcdef',
+                  substr(md5('dphist:v1:' || event_type || ':'
+                             || CAST(wk AS VARCHAR)), i, 1)) - 1)
+                for i in range(1, 17)]) AS BIGINT) - 32 AS noise
+      FROM cells
+    )
+    SELECT event_type, CAST(wk AS BIGINT) AS wk,
+           CAST(GREATEST(0, n + noise) AS BIGINT) AS noisy_n
+    FROM noised
+    """,
+)
+def q_privacy_dp_histogram(spark, sf_dir):
+    """Differentially-private release of the event-type x epoch-week
+    histogram via the BINOMIAL MECHANISM (Dwork et al., "Our Data,
+    Ourselves", 2006): each cell's true count is perturbed by
+    popcount(64 seeded bits) - 32 ~ Binomial(64, 1/2) - 32 (sigma = 4,
+    zero-mean), then clamped at 0; only the noised counts leave the
+    query — the true n never appears in the output, the release a
+    training-data pipeline can publish per-source document tallies
+    through. The noise bits are the first 16 nibbles of
+    md5('dphist:v1:' || cell key) — the same engine-neutral md5-nibble
+    family as operators/sketches (a keyed PRF in the seeded-noise
+    deployment; rotate the version tag to redraw), so BOTH engines
+    derive the identical perturbation and the release value-hashes
+    cross-engine, which a true-random mechanism never could. Plan
+    shape: one partial-agg shuffle to the bounded cell grid, then
+    noise is a per-cell scalar expression — nothing row-sized moves.
+    The popcount folds 16 bit_count(nibble) terms, all JVM codegen."""
+    e = events(spark, sf_dir)
+    cells = e.groupBy(
+        "event_type",
+        F.expr("cast(ts_ns div 604800000000000 as bigint)").alias("wk"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    h = (
+        "md5(cast(concat('dphist:v1:', event_type, ':',"
+        " cast(wk as string)) as binary))"
+    )
+    pop = (
+        f"aggregate(transform(sequence(1, 16), i -> "
+        f"bit_count(instr('0123456789abcdef', substr({h}, i, 1)) - 1)),"
+        " 0, (a, x) -> a + x)"
+    )
+    return cells.select(
+        "event_type",
+        F.col("wk").cast("bigint").alias("wk"),
+        F.expr(
+            f"cast(greatest(0, n + (cast({pop} as bigint) - 32)) as bigint)"
+        ).alias("noisy_n"),
     )

@@ -2950,3 +2950,89 @@ def q_graph_assortativity(spark, sf_dir):
             " as bigint)"
         ).alias("assort_ppm"),
     )
+
+
+@register(
+    "q_graph_jaccard_neighbors",
+    f"""
+    WITH near AS MATERIALIZED ({_KHOP_NEAR_SQL}),
+    e AS MATERIALIZED (
+      SELECT doc_a AS src, doc_b AS dst FROM near
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM near
+    ),
+    deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+            FROM e GROUP BY src),
+    wedge AS (
+      SELECT a.src AS u, b.src AS v, CAST(count(*) AS BIGINT) AS common_n
+      FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
+      GROUP BY 1, 2
+    )
+    SELECT w.u, w.v, w.common_n,
+           du.d AS d_u, dv.d AS d_v,
+           CAST(w.common_n * 1000000
+                // (du.d + dv.d - w.common_n) AS BIGINT) AS j_ppm,
+           CAST(CASE WHEN ex.src IS NOT NULL THEN 1 ELSE 0 END AS INT)
+             AS is_edge
+    FROM wedge w
+    JOIN deg du ON du.node = w.u
+    JOIN deg dv ON dv.node = w.v
+    LEFT JOIN e ex ON ex.src = w.u AND ex.dst = w.v
+    WHERE w.common_n * 1000000 // (du.d + dv.d - w.common_n) >= 200000
+    """,
+)
+def q_graph_jaccard_neighbors(spark, sf_dir):
+    """Link prediction on the similarity graph: neighbor-set Jaccard
+    for every node pair sharing at least one neighbor, J(u,v) =
+    |N(u) ∩ N(v)| / |N(u) ∪ N(v)| in exact integer ppm (common·10⁶
+    div (d_u + d_v − common)) — the classic common-neighbors score
+    (Liben-Nowell & Kleinberg 2003) that ranks MISSING edges worth
+    materializing: is_edge=0 rows with high j_ppm are transitive
+    near-dup pairs the pairwise threshold missed (complementing
+    q_graph_khop's reachability and q_graph_triangles' closure rate).
+    Candidate pairs come from a WEDGE join through the shared
+    neighbor (u < v) — exactly the inverted-index shape of
+    q_dedup_near with nodes in place of shingles: cost tracks
+    Σ_n d(n)², never |V|², and at 100 TB the same hub-cap/stop-list
+    guard applies to super-nodes before pair expansion. Degrees join
+    node-keyed (broadcastable here); the existing-edge flag is one
+    more equi-join on the pair itself. The ≥0.2 Jaccard floor bounds
+    the emitted relation; every column is exact BIGINT."""
+    p = _near_pairs(spark, sf_dir, ngram=2, threshold=0.08)
+    e = (
+        p.selectExpr("doc_a as src", "doc_b as dst")
+        .unionByName(p.selectExpr("doc_b as src", "doc_a as dst"))
+        .distinct()
+    )
+    deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    a = e.selectExpr("src as u", "dst as n")
+    b = e.selectExpr("src as v", "dst as n")
+    wedge = (
+        a.join(b, "n")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("common_n"))
+    )
+    scored = (
+        wedge.join(deg.selectExpr("node as u", "d as d_u"), "u")
+        .join(deg.selectExpr("node as v", "d as d_v"), "v")
+        .join(
+            e.selectExpr("src as u", "dst as v", "1 as hit"),
+            ["u", "v"],
+            "left",
+        )
+    )
+    j_ppm = F.expr("common_n * 1000000 div (d_u + d_v - common_n)")
+    return scored.filter(j_ppm >= 200000).select(
+        "u",
+        "v",
+        "common_n",
+        "d_u",
+        "d_v",
+        j_ppm.cast("bigint").alias("j_ppm"),
+        F.expr("cast(case when hit is not null then 1 else 0 end as int)").alias(
+            "is_edge"
+        ),
+    )

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from hcls_data_lake_spark.operators.timeseries import gap_fill_locf
-from hcls_data_lake_spark.queries.common import events
+from hcls_data_lake_spark.queries.common import events, t
 from hcls_data_lake_spark.registry import register
 
 
@@ -1178,4 +1178,93 @@ def q_ts_theil_sen(spark, sf_dir):
         F.expr("cast(max(dy * 1000000 div dx) as bigint)").alias(
             "slope_ppm_c_day"
         ),
+    )
+
+
+@register(
+    "q_ts_sma_crossover",
+    """
+    WITH daily AS (
+      SELECT CAST(epoch_ns(o_orderdate) // 86400000000000 AS BIGINT)
+               AS d,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev_c
+      FROM orders GROUP BY 1
+    ), ma AS (
+      SELECT d, rev_c,
+             SUM(rev_c) OVER (ORDER BY d
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS s7,
+             SUM(rev_c) OVER (ORDER BY d
+               ROWS BETWEEN 27 PRECEDING AND CURRENT ROW) AS s28,
+             row_number() OVER (ORDER BY d) AS rn
+      FROM daily
+    ), sig AS (
+      SELECT d, s7, s28,
+             CASE WHEN 4 * s7 > s28 THEN 1
+                  WHEN 4 * s7 < s28 THEN -1 ELSE 0 END AS sgn,
+             lag(CASE WHEN 4 * s7 > s28 THEN 1
+                      WHEN 4 * s7 < s28 THEN -1 ELSE 0 END)
+               OVER (ORDER BY d) AS prev_sgn,
+             rn
+      FROM ma
+    )
+    SELECT CAST(d AS BIGINT) AS d_day,
+           CAST(s7 AS BIGINT) AS sum7_c,
+           CAST(s28 AS BIGINT) AS sum28_c,
+           CAST(sgn AS INT) AS cross_dir
+    FROM sig WHERE rn >= 29 AND sgn * prev_sgn < 0
+    """,
+)
+def q_ts_sma_crossover(spark, sf_dir):
+    """Moving-average crossover detector (the 7-day vs 28-day
+    "golden/death cross") over daily order revenue, in exact integers:
+    the fast-above-slow test mean7 > mean28 cross-multiplies to
+    4*sum7 > sum28 (28 = 4x7 — no division ever happens), the signal
+    is a {-1, 0, +1} sign, and a crossover day is a strict sign flip
+    (sgn * lag(sgn) < 0, so touching equality emits nothing — pinned
+    rule). Windows are ROWS frames over OBSERVED days (trading-day
+    convention: a calendar gap does not dilute the average; rn >= 29
+    ensures both frames AND the lagged day are full). Sign changes of
+    an exact-integer comparison hash byte-identically where a float
+    MA series cannot. Plan shape: one fact shuffle to the calendar-
+    bounded daily relation (2.4k rows here; bounded by days at any
+    corpus scale), then two running frames + one lag in a SINGLE
+    window sort — Spark evaluates same-ordered frames in one
+    WindowExec pass."""
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.expr(
+            "cast(datediff(cast(o_orderdate as date), date'1970-01-01')"
+            " as bigint)"
+        ).alias("d")
+    ).agg(
+        F.expr(
+            "cast(sum(cast(round(o_totalprice * 100) as bigint)) as bigint)"
+        ).alias("rev_c")
+    )
+    w7 = Window.orderBy("d").rowsBetween(-6, 0)
+    w28 = Window.orderBy("d").rowsBetween(-27, 0)
+    wo = Window.orderBy("d")
+    ma = daily.select(
+        "d",
+        F.sum("rev_c").over(w7).alias("s7"),
+        F.sum("rev_c").over(w28).alias("s28"),
+        F.row_number().over(wo).alias("rn"),
+    )
+    sgn = F.when(F.expr("4 * s7 > s28"), 1).when(
+        F.expr("4 * s7 < s28"), -1
+    ).otherwise(0)
+    sig = ma.select(
+        "d",
+        "s7",
+        "s28",
+        sgn.alias("sgn"),
+        F.lag(sgn).over(wo).alias("prev_sgn"),
+        "rn",
+    )
+    return sig.filter(F.expr("rn >= 29 and sgn * prev_sgn < 0")).select(
+        F.col("d").cast("bigint").alias("d_day"),
+        F.col("s7").cast("bigint").alias("sum7_c"),
+        F.col("s28").cast("bigint").alias("sum28_c"),
+        F.col("sgn").cast("int").alias("cross_dir"),
     )
