@@ -2202,3 +2202,83 @@ def q_analytics_chi_square(spark, sf_dir):
             " / cast(n * row_n * col_n as double)"
         ).alias("chi_cell"),
     )
+
+
+@register(
+    "q_analytics_survival",
+    """
+    WITH life AS (
+      SELECT user_id,
+             CAST(max(epoch_ns(ts)) // 3600000000000
+                - min(epoch_ns(ts)) // 3600000000000 AS BIGINT) AS t
+      FROM events GROUP BY user_id
+    ), d AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS churned
+      FROM life GROUP BY t
+    ), risk AS (
+      SELECT t, churned,
+             SUM(churned) OVER (ORDER BY t DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS at_risk
+      FROM d
+    )
+    SELECT CAST(t AS BIGINT) AS t_hours,
+           CAST(at_risk AS BIGINT) AS n_at_risk,
+           churned AS d_churned,
+           CAST(churned * 1000000 // at_risk AS BIGINT) AS h_ppm,
+           CAST(SUM(churned * 1000000 // at_risk)
+                  OVER (ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT)
+             AS cum_hazard_ppm
+    FROM risk
+    """,
+)
+def q_analytics_survival(spark, sf_dir):
+    """Nelson-Aalen cumulative-hazard estimator of user churn, in
+    exact integer ppm: each user's observed lifetime is
+    last-active-hour minus first-active-hour (epoch-hour grid, all
+    users treated as churned at last activity — the right-censoring
+    caveat is pinned, not hidden); d(t) = users whose lifetime is
+    exactly t, n(t) = users still alive at t (a DESCENDING running
+    sum over the bounded lifetime domain), the hazard step is
+    d*10^6 div n and H(t) is its running total. Integer division per
+    step is the determinism trick: the classic float H(t) = sum d/n
+    accumulates in engine-dependent order, while sum of
+    pre-quantized integers is order-free and hash-identical (bias
+    < |domain| ppm, documented). Shape: one user-keyed shuffle agg
+    (map-side partial), a second agg to the hour-domain relation
+    (bounded by the calendar, ~hundreds of rows at ANY corpus
+    size), then two windows over that tiny relation — the
+    fact-sized data is touched exactly once. The survival curve
+    itself is exp(-H), monotone in cum_hazard_ppm, so ranking /
+    thresholding decisions read directly off the integer column."""
+    e = t(spark, sf_dir, "events")
+    life = e.groupBy("user_id").agg(
+        F.expr(
+            "cast(max(ts_ns) div 3600000000000"
+            " - min(ts_ns) div 3600000000000 as bigint)"
+        ).alias("t")
+    )
+    d = life.groupBy("t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("churned")
+    )
+    w_desc = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = d.select(
+        "t", "churned", F.sum("churned").over(w_desc).alias("at_risk")
+    )
+    w_asc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    return risk.select(
+        F.col("t").cast("bigint").alias("t_hours"),
+        F.col("at_risk").cast("bigint").alias("n_at_risk"),
+        F.col("churned").alias("d_churned"),
+        F.expr("cast(churned * 1000000 div at_risk as bigint)").alias(
+            "h_ppm"
+        ),
+        F.sum(F.expr("churned * 1000000 div at_risk"))
+        .over(w_asc)
+        .cast("bigint")
+        .alias("cum_hazard_ppm"),
+    )

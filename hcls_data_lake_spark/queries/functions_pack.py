@@ -613,3 +613,70 @@ def q_fn_hof(spark, sf_dir):
             "lens", F.lit(0).cast("bigint"), lambda acc, x: acc + x * x
         ).alias("sum_sq"),
     )
+
+
+@register(
+    "q_fn_generators",
+    """
+    WITH pw AS (
+      SELECT p_partkey, string_split(p_name, ' ') AS w, p_size
+      FROM part WHERE p_partkey < 300
+    ), words AS (
+      SELECT p_partkey,
+             unnest([{'k': i - 1, 'v': w[i]}
+                     for i in range(1, len(w) + 1)]) AS u
+      FROM pw
+    ), seqs AS (
+      SELECT p_partkey,
+             unnest([{'k': i, 'v': CAST(i * i AS VARCHAR)}
+                     for i in range(1, p_size % 3 + 2)]) AS u
+      FROM pw
+    )
+    SELECT p_partkey, 'word' AS gen, CAST(u.k AS INT) AS k, u.v AS v
+    FROM words
+    UNION ALL
+    SELECT p_partkey, 'seq' AS gen, CAST(u.k AS INT) AS k, u.v AS v
+    FROM seqs
+    """,
+)
+def q_fn_generators(spark, sf_dir):
+    """Generator (table-valued) functions pack: one row in, N rows
+    out, entirely inside codegen. Two generators over the same bounded
+    part slice, tagged and unioned: (1) posexplode — explode WITH
+    ORDINALITY — of the name's word list, emitting the 0-based
+    position the way DuckDB's UNNEST .. WITH ORDINALITY does
+    1-based (the oracle builds {k, v} structs so both engines agree
+    on k = pos); (2) explode(sequence(1, p_size % 3 + 1)) — a
+    computed-length integer range per row (the calendar-densify /
+    retry-schedule generator; the +1 floor matters because Spark's
+    sequence(1, 0) counts DOWN [1,0] rather than returning empty —
+    pinned here by construction). Generators run in GenerateExec
+    fused with the scan — no shuffle, no UDF; output is bounded by
+    sum of list lengths, and at 100 TB a generator's fan-out factor
+    (not the row count) is the thing to budget: both of these are
+    O(words per name) and O(3)."""
+    p = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 300)
+        .select("p_partkey", F.split("p_name", " ").alias("w"), "p_size")
+    )
+    words = p.select(
+        "p_partkey", F.posexplode("w").alias("k", "v")
+    ).select(
+        "p_partkey",
+        F.lit("word").alias("gen"),
+        F.col("k").cast("int").alias("k"),
+        "v",
+    )
+    seqs = p.select(
+        "p_partkey",
+        F.explode(
+            F.sequence(F.lit(1), F.expr("cast(p_size % 3 + 1 as int)"))
+        ).alias("i"),
+    ).select(
+        "p_partkey",
+        F.lit("seq").alias("gen"),
+        F.col("i").cast("int").alias("k"),
+        F.expr("cast(i * i as string)").alias("v"),
+    )
+    return words.unionByName(seqs)

@@ -1012,3 +1012,56 @@ def q_join_dpp(spark, sf_dir):
             ).alias("total_c"),
         )
     )
+
+
+@register(
+    "q_join_lateral",
+    """
+    SELECT c.c_custkey,
+           o.o_orderkey,
+           CAST(epoch_ns(o.o_orderdate) // 86400000000000 AS BIGINT)
+             AS order_day,
+           CAST(round(o.o_totalprice * 100) AS BIGINT) AS price_c
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_orderdate, o_totalprice
+             FROM orders
+             WHERE o_custkey = c.c_custkey
+             ORDER BY o_orderdate DESC, o_orderkey DESC
+             LIMIT 2) o
+    WHERE c.c_mktsegment = 'BUILDING'
+    """,
+)
+def q_join_lateral(spark, sf_dir):
+    """Correlated LATERAL join — for every BUILDING customer, the two
+    most recent orders (date desc, orderkey desc pins ties). The same
+    LATERAL SQL text runs on both engines; the interesting part is
+    what Catalyst DOES with it: the correlated ORDER BY .. LIMIT 2
+    subquery is decorrelated into a WindowGroupLimit (partial top-k
+    per o_custkey pushed BELOW the shuffle, then Final after) feeding
+    one hash join with the filtered dimension broadcast — verified
+    via .explain: no nested-loop re-execution per outer row, which is
+    what a naive lateral evaluation would do and what would die at
+    100 TB. Customers with <2 orders contribute what they have;
+    customers with none are dropped (inner lateral). This is the
+    per-entity top-k retrieval shape (latest N readings per patient,
+    A19's point-lookup generalized to a set) expressed as the SQL
+    standard's lateral form rather than q_topk_per_group's explicit
+    window."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("lat_customer")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey,
+               o.o_orderkey,
+               cast(datediff(cast(o.o_orderdate as date),
+                             date'1970-01-01') as bigint) AS order_day,
+               cast(round(o.o_totalprice * 100) as bigint) AS price_c
+        FROM lat_customer c,
+        LATERAL (SELECT o_orderkey, o_orderdate, o_totalprice
+                 FROM lat_orders
+                 WHERE o_custkey = c.c_custkey
+                 ORDER BY o_orderdate DESC, o_orderkey DESC
+                 LIMIT 2) o
+        WHERE c.c_mktsegment = 'BUILDING'
+        """
+    )

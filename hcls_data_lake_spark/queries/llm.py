@@ -3036,3 +3036,91 @@ def q_graph_jaccard_neighbors(spark, sf_dir):
             "is_edge"
         ),
     )
+
+
+def _kcore_oracle(k: int = 3, rounds: int = 8) -> str:
+    """Unrolled k-core peeling oracle: one (degree, keep, edges) CTE
+    triple per round. Peeling is monotone (the surviving edge set only
+    shrinks) and idempotent at the fixpoint, so unrolling MORE rounds
+    than convergence needs is harmless — rounds past the fixpoint are
+    no-ops producing the identical relation. sf0.01 converges in 5
+    rounds (measured); 8 leaves margin. The Spark side loops to an
+    OBSERVED fixpoint instead, so both reach the same core as long as
+    rounds >= convergence — asserted by the cross-engine hash."""
+    parts = [
+        f"e0 AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM near"
+        f" UNION ALL SELECT doc_b, doc_a FROM near)"
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"d{i} AS (SELECT src AS node, count(*) AS deg"
+            f" FROM e{i} GROUP BY src)"
+        )
+        parts.append(f"k{i} AS (SELECT node FROM d{i} WHERE deg >= {k})")
+        # MATERIALIZED is load-bearing: each e{i} is referenced three
+        # times (d{i} and both join sides of e{i+1}); inlined CTEs
+        # would re-derive it 3^rounds times.
+        parts.append(
+            f"e{i + 1} AS MATERIALIZED (SELECT e.src, e.dst FROM e{i} e"
+            f" JOIN k{i} a ON e.src = a.node"
+            f" JOIN k{i} b ON e.dst = b.node)"
+        )
+    return (
+        f"WITH near AS MATERIALIZED ({_KHOP_NEAR_SQL}),\n"
+        + ",\n".join(parts)
+        + f"\nSELECT src AS doc_id, CAST(count(*) AS BIGINT) AS core_deg"
+        f" FROM e{rounds} GROUP BY src"
+    )
+
+
+@register("q_graph_kcore", _kcore_oracle())
+def q_graph_kcore(spark, sf_dir):
+    """3-core of the near-dup similarity graph: iteratively peel nodes
+    with degree < 3 until stable; what survives is the densely
+    interlinked region — boilerplate/template families in a dedup
+    corpus (a pairwise threshold finds PAIRS; the k-core finds the
+    part of the graph where duplication is structural, the segment
+    worth routing to cluster-level canonicalization instead of
+    pair-level keeps). Emits each core member with its WITHIN-core
+    degree. Spark loops to an observed fixpoint: per round one
+    degree aggregate + two node-keyed semi-join-shaped inner joins
+    (the keep set is node-sized, broadcastable), localCheckpoint so
+    lineage stays depth-1, and a scalar count as the convergence
+    test — the same discipline as q_dedup_clusters/PageRank. Peeling
+    is monotone so round count is data-dependent but bounded by the
+    degeneracy ordering; the 16-round cap turns 'surprise corpus'
+    into a loud error, not a hang. The oracle unrolls 8 identical
+    rounds (fixpoint idempotence makes extra rounds no-ops)."""
+    p = _near_pairs(spark, sf_dir, ngram=2, threshold=0.08)
+    edges = (
+        p.selectExpr("doc_a as src", "doc_b as dst")
+        .unionByName(p.selectExpr("doc_b as src", "doc_a as dst"))
+        .localCheckpoint()
+    )
+    n_edges = edges.count()
+    for _ in range(16):
+        keep = (
+            edges.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= 3)
+            .select(F.col("src").alias("node"))
+        )
+        pruned = (
+            edges.join(F.broadcast(keep), edges.src == keep.node)
+            .select("src", "dst")
+            .join(
+                F.broadcast(keep), F.col("dst") == F.col("node")
+            )
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+        n_next = pruned.count()
+        edges = pruned
+        if n_next == n_edges:
+            break
+        n_edges = n_next
+    else:
+        raise RuntimeError("k-core did not converge within 16 rounds")
+    return edges.groupBy(F.col("src").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("core_deg")
+    )

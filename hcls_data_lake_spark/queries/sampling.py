@@ -409,3 +409,77 @@ def q_sample_time_split(spark, sf_dir):
         F.min("ts_ns").cast("bigint").alias("min_ns"),
         F.max("ts_ns").cast("bigint").alias("max_ns"),
     )
+
+
+@register(
+    "q_sample_class_balance",
+    """
+    WITH ranked AS (
+      SELECT event_type, user_id,
+             CAST(round(value * 100) AS BIGINT) AS v_c,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY md5('balance:v1:' || CAST(event_id AS VARCHAR)),
+                        event_id) AS rn
+      FROM events
+    ), m AS (
+      SELECT CAST(min(cnt) AS BIGINT) AS nmin
+      FROM (SELECT count(*) AS cnt FROM events GROUP BY event_type)
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS kept_n,
+           CAST(sum(v_c) AS BIGINT) AS sum_value_c,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM ranked, m
+    WHERE rn <= nmin
+    GROUP BY event_type
+    """,
+)
+def q_sample_class_balance(spark, sf_dir):
+    """Class-balanced downsampling (the label-skew fix for training
+    data): every event_type is cut to the MINORITY class's count, and
+    WHICH rows survive is content-keyed — rows rank by
+    md5('balance:v1:' || event_id) within their class (event_id
+    tiebreak), so the kept set is identical on every run, any
+    partitioning, either engine; rotate the version tag to redraw.
+    Output is the per-class audit (kept_n equal across classes by
+    construction, plus value mass and user diversity of the kept
+    sample) rather than the row-sized sample itself. Plan: one
+    groupBy for class counts, min over that 5-row relation broadcast
+    back on the class key, one window sort per class for the exact
+    cutoff. Scale honesty: the exact-count window sorts each class
+    partition; at 100 TB the cheap variant is a hash THRESHOLD
+    (keep md5 < nmin/class_n scaled), one map-side pass with
+    ±binomial error on kept_n — this exact variant is for when the
+    count must be exact, and its sort is per-class, AQE-splittable."""
+    e = t(spark, sf_dir, "events")
+    cnt = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    w_all = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    lim = cnt.select(
+        "event_type", F.min("cnt").over(w_all).alias("nmin")
+    )
+    w_cls = Window.partitionBy("event_type").orderBy(
+        F.expr("md5(cast(concat('balance:v1:', cast(event_id as string))"
+               " as binary))"),
+        "event_id",
+    )
+    ranked = e.select(
+        "event_type",
+        "user_id",
+        F.expr("cast(round(value * 100) as bigint)").alias("v_c"),
+        F.row_number().over(w_cls).alias("rn"),
+    )
+    return (
+        ranked.join(F.broadcast(lim), "event_type")
+        .filter(F.col("rn") <= F.col("nmin"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("kept_n"),
+            F.sum("v_c").cast("bigint").alias("sum_value_c"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+    )

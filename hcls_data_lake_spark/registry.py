@@ -135,7 +135,17 @@ def register(name: str, oracle: str | None) -> Callable[[QueryFn], QueryFn]:
 # q_analytics_wilson_rank IEEE-deterministic score bound,
 # q_ts_runs_test integer runs census, q_privacy_anonymity_ladder
 # one-Expand generalization curve, q_ts_theil_sen float-ranked
-# integer-valued robust slope) — 70 names; overflow past slot 50 rolls to r7 with the deferred
+# integer-valued robust slope, q_agg_ks_test exact-integer KS
+# supremum, q_analytics_chi_square contingency residual cells,
+# q_privacy_dp_histogram seeded binomial-mechanism release,
+# q_graph_jaccard_neighbors wedge-join link prediction,
+# q_ts_sma_crossover cross-multiplied golden-cross detector,
+# q_join_lateral Catalyst-decorrelated LATERAL top-k,
+# q_fn_generators posexplode-with-ordinality + sequence pack,
+# q_sample_class_balance content-keyed minority-count downsampling,
+# q_analytics_survival Nelson-Aalen integer-ppm hazard,
+# q_graph_kcore fixpoint 3-core peeling) — 80
+# names; overflow past slot 50 rolls to r7 with the deferred
 # remainder; the first 50 of this list
 # form the r6 prefix, the small remainder rolls to r7.
 _FAMILY_REPRESENTATIVES = [
@@ -233,6 +243,16 @@ _FAMILY_REPRESENTATIVES = [
     "q_ts_runs_test",
     "q_privacy_anonymity_ladder",
     "q_ts_theil_sen",
+    "q_agg_ks_test",
+    "q_analytics_chi_square",
+    "q_privacy_dp_histogram",
+    "q_graph_jaccard_neighbors",
+    "q_ts_sma_crossover",
+    "q_join_lateral",
+    "q_fn_generators",
+    "q_sample_class_balance",
+    "q_analytics_survival",
+    "q_graph_kcore",
     "q_layout_zorder",
     "q_fn_collation",
     "q_fn_json_build",
