@@ -165,6 +165,16 @@ EXTENDED = [
     "q_ts_runs_test",         # Wald-Wolfowitz randomness census (r5)
     "q_privacy_anonymity_ladder",  # one-Expand k-anon generalization curve (r5)
     "q_ts_theil_sen",         # robust median-slope trend (r5)
+    "q_agg_ks_test",          # exact-integer two-sample KS supremum (r5)
+    "q_analytics_chi_square",  # contingency residual decomposition (r5)
+    "q_privacy_dp_histogram",  # seeded binomial-mechanism DP release (r5)
+    "q_graph_jaccard_neighbors",  # wedge-join link prediction (r5)
+    "q_ts_sma_crossover",     # integer golden/death-cross detector (r5)
+    "q_join_lateral",         # Catalyst-decorrelated LATERAL top-2 (r5)
+    "q_fn_generators",        # posexplode ordinality + sequence pack (r5)
+    "q_sample_class_balance",  # content-keyed minority downsampling (r5)
+    "q_analytics_survival",   # Nelson-Aalen integer-ppm hazard (r5)
+    "q_graph_kcore",          # fixpoint 3-core peeling (r5)
 ]
 
 
