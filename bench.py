@@ -175,6 +175,10 @@ EXTENDED = [
     "q_sample_class_balance",  # content-keyed minority downsampling (r5)
     "q_analytics_survival",   # Nelson-Aalen integer-ppm hazard (r5)
     "q_graph_kcore",          # fixpoint 3-core peeling (r5)
+    "q_analytics_retention_bitmap",  # bitmap AND/popcount retention (r5)
+    "q_agg_percentile_exact",  # integer-interpolated percentile_cont (r5)
+    "q_embed_knn_graph",      # SRP-bucketed mutual top-3 kNN graph (r5)
+    "q_pack_shards",          # prefix-sum shard-packing manifest (r5)
 ]
 
 

@@ -1096,3 +1096,80 @@ def q_agg_ks_test(spark, sf_dir):
         ).alias("d_ppm"),
         F.min("v").cast("bigint").alias("ks_at_cents"),
     )
+
+
+@register(
+    "q_agg_percentile_exact",
+    """
+    WITH ranked AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS v_c,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY round(value * 100)) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ), terms AS (
+      SELECT event_type, v_c, rn, n, p,
+             (n - 1) * p // 100 AS k,
+             (n - 1) * p % 100 AS f
+      FROM ranked, unnest([50, 95, 99]) AS u(p)
+    )
+    SELECT event_type, CAST(p AS INT) AS p,
+           CAST(SUM(CASE
+                 WHEN rn = k + 1 AND f = 0 THEN v_c * 100
+                 WHEN rn = k + 1 THEN v_c * (100 - f)
+                 WHEN rn = k + 2 AND f > 0 THEN v_c * f
+                 ELSE 0 END) AS BIGINT) AS pct_x100_c
+    FROM terms GROUP BY event_type, p
+    """,
+)
+def q_agg_percentile_exact(spark, sf_dir):
+    """EXACT percentile_cont (p50/p95/p99 of value cents per event
+    type) with the linear interpolation done in integers: the target
+    position on the 0-indexed order statistic is (n-1)*p/100, split
+    exactly into k = (n-1)*p div 100 and a fractional part f in
+    hundredths, so percentile*100 = v[k]*(100-f) + v[k+1]*f — a
+    BIGINT that both engines reproduce bit-for-bit, where the float
+    interpolation inside built-in percentile_cont is free to differ
+    in the last ulp. Ties in v need no tiebreak: row_number among
+    equal values is engine-arbitrary but the VALUE at any rank is
+    not. Plan: ONE per-class window sort shared by all three
+    percentiles (the p fan-out is a 3x generator over the ranked
+    rows, then a conditional sum — Spark evaluates rank + count in
+    one WindowExec). Scale: per-class sort, AQE-splittable; at
+    100 TB swap in the rank-prefix-count selection
+    (q_agg_median's shape) to avoid full sorts — exact
+    interpolation then needs only rows k+1 and k+2 per class."""
+    e = t(spark, sf_dir, "events")
+    w_cls = Window.partitionBy("event_type").orderBy(
+        F.expr("round(value * 100)")
+    )
+    w_n = Window.partitionBy("event_type")
+    ranked = e.select(
+        "event_type",
+        F.expr("cast(round(value * 100) as bigint)").alias("v_c"),
+        F.row_number().over(w_cls).alias("rn"),
+        F.count(F.lit(1)).over(w_n).alias("n"),
+    )
+    terms = ranked.select(
+        "*", F.explode(F.array(F.lit(50), F.lit(95), F.lit(99))).alias("p")
+    ).select(
+        "event_type",
+        "v_c",
+        "rn",
+        "p",
+        F.expr("(n - 1) * p div 100").alias("k"),
+        F.expr("(n - 1) * p % 100").alias("f"),
+    )
+    return terms.groupBy("event_type", F.col("p").cast("int").alias("p")).agg(
+        F.sum(
+            F.expr(
+                "case when rn = k + 1 and f = 0 then v_c * 100"
+                " when rn = k + 1 then v_c * (100 - f)"
+                " when rn = k + 2 and f > 0 then v_c * f"
+                " else 0 end"
+            )
+        )
+        .cast("bigint")
+        .alias("pct_x100_c")
+    )

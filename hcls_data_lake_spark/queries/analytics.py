@@ -2282,3 +2282,81 @@ def q_analytics_survival(spark, sf_dir):
         .cast("bigint")
         .alias("cum_hazard_ppm"),
     )
+
+
+@register(
+    "q_analytics_retention_bitmap",
+    """
+    WITH bm AS (
+      SELECT CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS d,
+             CAST(user_id // 63 AS BIGINT) AS word,
+             bit_or(CAST(1 AS BIGINT) << CAST(user_id % 63 AS INT))
+               AS bits
+      FROM events GROUP BY 1, 2
+    )
+    SELECT a.d AS day,
+           CAST(SUM(bit_count(a.bits)) AS BIGINT) AS active_n,
+           CAST(COALESCE(SUM(bit_count(a.bits & b1.bits)), 0) AS BIGINT)
+             AS retained_1d,
+           CAST(COALESCE(SUM(bit_count(a.bits & b7.bits)), 0) AS BIGINT)
+             AS retained_7d
+    FROM bm a
+    LEFT JOIN bm b1 ON b1.word = a.word AND b1.d = a.d + 1
+    LEFT JOIN bm b7 ON b7.word = a.word AND b7.d = a.d + 7
+    GROUP BY a.d
+    """,
+)
+def q_analytics_retention_bitmap(spark, sf_dir):
+    """Next-day / next-week retention via BITMAP intersection — the
+    Druid/ClickHouse pattern for retention at scale: each (day,
+    63-user word) row packs that word's active users into one BIGINT
+    via BIT_OR(1 << user%63), so 'retained' is popcount(day_bits &
+    next_day_bits) — set intersection as a single AND per word, no
+    row-per-user join, no COUNT(DISTINCT) re-scan per day pair. The
+    bitmap relation is |days| x |users|/63 rows (4,650x smaller than
+    the user-day relation); both retention joins are equi-joins on
+    (word, day+k) over it, and adding horizons is one more join over
+    the SAME tiny relation rather than another pass over the fact.
+    63 bits per word (not 64) keeps the shifted value positive in
+    signed BIGINT on both engines. All-exact integers; day 29's
+    retained_1d is COALESCE'd 0, not dropped — the calendar edge is
+    explicit."""
+    e = t(spark, sf_dir, "events")
+    bm = e.groupBy(
+        F.expr("cast(ts_ns div 86400000000000 as bigint)").alias("d"),
+        F.expr("cast(user_id div 63 as bigint)").alias("word"),
+    ).agg(
+        F.expr(
+            "bit_or(shiftleft(cast(1 as bigint),"
+            " cast(user_id % 63 as int)))"
+        ).alias("bits")
+    )
+    a = bm.select(
+        F.col("d").alias("day"), "word", F.col("bits").alias("bits_a")
+    )
+    b1 = bm.select(
+        (F.col("d") - 1).alias("day"), "word", F.col("bits").alias("bits_1")
+    )
+    b7 = bm.select(
+        (F.col("d") - 7).alias("day"), "word", F.col("bits").alias("bits_7")
+    )
+    return (
+        a.join(b1, ["day", "word"], "left")
+        .join(b7, ["day", "word"], "left")
+        .groupBy("day")
+        .agg(
+            F.sum(F.expr("bit_count(bits_a)")).cast("bigint").alias(
+                "active_n"
+            ),
+            F.coalesce(
+                F.sum(F.expr("bit_count(bits_a & bits_1)")), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("retained_1d"),
+            F.coalesce(
+                F.sum(F.expr("bit_count(bits_a & bits_7)")), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("retained_7d"),
+        )
+    )

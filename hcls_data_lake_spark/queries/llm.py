@@ -3124,3 +3124,200 @@ def q_graph_kcore(spark, sf_dir):
     return edges.groupBy(F.col("src").alias("doc_id")).agg(
         F.count(F.lit(1)).cast("bigint").alias("core_deg")
     )
+
+
+def _knn_graph_oracle(k: int = 3) -> str:
+    planes = _srp_planes()
+    w_sql = (
+        "["
+        + ", ".join("[" + ", ".join(str(w) for w in row) + "]" for row in planes)
+        + "]"
+    )
+    return f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(round(x * 100) AS BIGINT)) AS v
+      FROM embeddings WHERE vec_id < 500
+    ), b AS (
+      SELECT vec_id, v,
+             CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS n2,
+             array_to_string(
+               [ CASE WHEN CAST(list_sum(list_transform(
+                     range(1, len(v) + 1), i -> wp[i] * v[i])) AS BIGINT)
+                   >= 0 THEN '1' ELSE '0' END
+                 for wp in {w_sql} ], '') AS bucket
+      FROM q
+    ), dots AS (
+      SELECT a.vec_id AS src, c.vec_id AS dst, a.n2 AS na2, c.n2 AS nb2,
+             CAST(list_sum(list_transform(range(1, len(a.v) + 1),
+                  i -> a.v[i] * c.v[i])) AS BIGINT) AS dot
+      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+    ), directed AS (
+      -- dot*dot stays BIGINT: the ^ operator would round-trip through
+      -- DOUBLE and dot^2*10^4 (~2.6e16) exceeds 2^53
+      SELECT src, dst,
+             CASE WHEN dot >= 0
+               THEN (dot * dot * 10000) // (na2 * nb2)
+               ELSE -((dot * dot * 10000) // (na2 * nb2))
+             END AS s_e4
+      FROM dots
+    ), knn AS (
+      SELECT src, dst, CAST(s_e4 AS BIGINT) AS s_e4,
+             row_number() OVER (PARTITION BY src
+                                ORDER BY s_e4 DESC, dst) AS rnk
+      FROM directed
+    )
+    SELECT f.src AS u, f.dst AS v,
+           CAST(f.rnk AS INT) AS rank_uv,
+           CAST(r.rnk AS INT) AS rank_vu,
+           f.s_e4
+    FROM knn f JOIN knn r ON f.src = r.dst AND f.dst = r.src
+    WHERE f.rnk <= {k} AND r.rnk <= {k} AND f.src < f.dst
+    """
+
+
+@register("q_embed_knn_graph", _knn_graph_oracle())
+def q_embed_knn_graph(spark, sf_dir):
+    """Mutual k-nearest-neighbor graph over embeddings (k=3) — the
+    standard preprocessing for density clustering and semantic-dedup
+    cluster growing: an edge survives only if EACH endpoint ranks the
+    other in its top-3, which strips the asymmetric hub edges a plain
+    kNN graph drags in. Candidates come from the q_dedup_semantic SRP
+    buckets (4 md5-derived integer hyperplanes shared verbatim with
+    the oracle), so neighbors are exact WITHIN a bucket and the
+    whole graph is engine-reproducible: scores are signed integer
+    basis points of cos² (dot²·10⁴ div (|a|²·|b|²), negative when
+    the dot is), ranked desc with dst as the pinned tiebreak. Plan:
+    one bucket equi-join for directed candidates (cost tracks bucket
+    collisions, never n² — more planes at corpus scale), one
+    per-src window for ranks, then the mutuality test is a self
+    equi-join on the reversed pair key. No BNLJ anywhere. Numeric
+    discipline: dot*dot stays in BIGINT end-to-end (dot²·10⁴ ≈
+    2.6e16 exceeds 2^53, so any DOUBLE round-trip — e.g. DuckDB's
+    ^ exponent — would silently drop ulps and flip ranks)."""
+    planes = _srp_planes()
+    w_expr = (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"{w}L" for w in row) + ")" for row in planes
+        )
+        + ")"
+    )
+    e = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    q = e.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> cast(round(x * 100) as bigint))"
+        ).alias("v"),
+    )
+    b = q.select(
+        "vec_id",
+        "v",
+        F.expr(
+            "aggregate(zip_with(v, v, (x, y) -> x * y), 0L,"
+            " (acc, x) -> acc + x)"
+        ).alias("n2"),
+        F.expr(
+            f"concat_ws('', transform({w_expr}, wp ->"
+            " if(aggregate(zip_with(wp, v, (w, x) -> w * x), 0L,"
+            " (acc, x) -> acc + x) >= 0, '1', '0')))"
+        ).alias("bucket"),
+    )
+    a = b.selectExpr("vec_id as src", "v as va", "n2 as na2", "bucket")
+    c = b.selectExpr("vec_id as dst", "v as vb", "n2 as nb2", "bucket")
+    directed = (
+        a.join(c, "bucket")
+        .filter(F.col("src") != F.col("dst"))
+        .withColumn(
+            "dot",
+            F.expr(
+                "aggregate(zip_with(va, vb, (x, y) -> x * y), 0L,"
+                " (acc, x) -> acc + x)"
+            ),
+        )
+        .select(
+            "src",
+            "dst",
+            F.expr(
+                "cast(case when dot >= 0"
+                " then (dot * dot * 10000) div (na2 * nb2)"
+                " else -((dot * dot * 10000) div (na2 * nb2)) end"
+                " as bigint)"
+            ).alias("s_e4"),
+        )
+    )
+    w_src = Window.partitionBy("src").orderBy(F.col("s_e4").desc(), "dst")
+    knn = directed.select(
+        "src", "dst", "s_e4", F.row_number().over(w_src).alias("rnk")
+    ).filter(F.col("rnk") <= 3)
+    rev = knn.selectExpr("dst as src", "src as dst", "rnk as rnk_rev")
+    return (
+        knn.join(rev, ["src", "dst"])
+        .filter(F.col("src") < F.col("dst"))
+        .select(
+            F.col("src").alias("u"),
+            F.col("dst").alias("v"),
+            F.col("rnk").cast("int").alias("rank_uv"),
+            F.col("rnk_rev").cast("int").alias("rank_vu"),
+            "s_e4",
+        )
+    )
+
+
+@register(
+    "q_pack_shards",
+    """
+    WITH sized AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS n
+      FROM documents
+    ), placed AS (
+      SELECT doc_id, n,
+             SUM(n) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n
+               AS start_off
+      FROM sized
+    )
+    SELECT CAST(start_off // 4096 AS BIGINT) AS shard_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS chars_n,
+           CAST(min(doc_id) AS BIGINT) AS doc_lo,
+           CAST(max(doc_id) AS BIGINT) AS doc_hi
+    FROM placed
+    GROUP BY 1
+    """,
+)
+def q_pack_shards(spark, sf_dir):
+    """WebDataset-style shard packing: lay the corpus out as
+    size-bounded export shards (tar members for a streaming data
+    loader) by assigning each document to shard = floor(start_offset
+    / 4096 chars), where start_offset is the exclusive running sum of
+    sizes in doc_id order. This FIXED-BOUNDARY contract (a doc whose
+    span crosses a boundary belongs to the shard its offset starts
+    in) is chosen over greedy close-when-full precisely because it is
+    order-deterministic, engine-reproducible, and — unlike greedy —
+    PARALLELIZABLE: shard membership is a pure function of the
+    prefix sum, so at 100 TB the running sum distributes as the
+    classic two-pass scan (per-partition totals, broadcast the
+    per-partition offsets, then each partition places its rows
+    locally) instead of a sequential packer. Emits the shard
+    manifest (doc ranges + sizes), which is also the loader's index
+    file. Companion to q_pack_sequences (token-level packing for
+    training batches; this is file-level packing for storage)."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr("cast(n_chars as bigint)").alias("n")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    placed = d.select(
+        "doc_id",
+        "n",
+        (F.sum("n").over(w) - F.col("n")).alias("start_off"),
+    )
+    return placed.groupBy(
+        F.expr("cast(start_off div 4096 as bigint)").alias("shard_id")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n").cast("bigint").alias("chars_n"),
+        F.min("doc_id").cast("bigint").alias("doc_lo"),
+        F.max("doc_id").cast("bigint").alias("doc_hi"),
+    )

@@ -144,7 +144,11 @@ def register(name: str, oracle: str | None) -> Callable[[QueryFn], QueryFn]:
 # q_fn_generators posexplode-with-ordinality + sequence pack,
 # q_sample_class_balance content-keyed minority-count downsampling,
 # q_analytics_survival Nelson-Aalen integer-ppm hazard,
-# q_graph_kcore fixpoint 3-core peeling) — 80
+# q_graph_kcore fixpoint 3-core peeling,
+# q_analytics_retention_bitmap bit_or/popcount retention,
+# q_agg_percentile_exact integer-interpolated percentile_cont,
+# q_embed_knn_graph SRP-bucketed mutual top-3,
+# q_pack_shards prefix-sum fixed-boundary shard manifest) — 84
 # names; overflow past slot 50 rolls to r7 with the deferred
 # remainder; the first 50 of this list
 # form the r6 prefix, the small remainder rolls to r7.
@@ -253,6 +257,10 @@ _FAMILY_REPRESENTATIVES = [
     "q_sample_class_balance",
     "q_analytics_survival",
     "q_graph_kcore",
+    "q_analytics_retention_bitmap",
+    "q_agg_percentile_exact",
+    "q_embed_knn_graph",
+    "q_pack_shards",
     "q_layout_zorder",
     "q_fn_collation",
     "q_fn_json_build",
