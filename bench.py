@@ -179,6 +179,9 @@ EXTENDED = [
     "q_agg_percentile_exact",  # integer-interpolated percentile_cont (r5)
     "q_embed_knn_graph",      # SRP-bucketed mutual top-3 kNN graph (r5)
     "q_pack_shards",          # prefix-sum shard-packing manifest (r5)
+    "q_stream_observe",       # observed-metrics reconciliation totals (r5)
+    "q_diag_volume_anomaly",  # trailing-window ingest-volume monitor (r5)
+    "q_analytics_ab_test",    # per-user two-proportion z-test (r5)
 ]
 
 

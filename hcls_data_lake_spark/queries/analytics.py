@@ -2360,3 +2360,96 @@ def q_analytics_retention_bitmap(spark, sf_dir):
             .alias("retained_7d"),
         )
     )
+
+
+@register(
+    "q_analytics_ab_test",
+    """
+    WITH assign AS (
+      SELECT user_id, CAST(user_id % 2 AS INT) AS variant,
+             max(CASE WHEN event_type = 'purchase' AND value > 200
+                      THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id
+    ), arms AS (
+      SELECT variant,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(converted) AS BIGINT) AS conv
+      FROM assign GROUP BY variant
+    ), wide AS (
+      SELECT
+        max(CASE WHEN variant = 0 THEN n END) AS n_a,
+        max(CASE WHEN variant = 0 THEN conv END) AS c_a,
+        max(CASE WHEN variant = 1 THEN n END) AS n_b,
+        max(CASE WHEN variant = 1 THEN conv END) AS c_b
+      FROM arms
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(c_a AS BIGINT) AS c_a,
+           CAST(n_b AS BIGINT) AS n_b, CAST(c_b AS BIGINT) AS c_b,
+           CAST(c_a * 1000000 // n_a AS BIGINT) AS rate_a_ppm,
+           CAST(c_b * 1000000 // n_b AS BIGINT) AS rate_b_ppm,
+           CAST((c_a * n_b - c_b * n_a) AS BIGINT) AS diff_num,
+           round((CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                  - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                 / sqrt((CAST(c_a + c_b AS DOUBLE)
+                         / CAST(n_a + n_b AS DOUBLE))
+                        * (1.0 - CAST(c_a + c_b AS DOUBLE)
+                                 / CAST(n_a + n_b AS DOUBLE))
+                        * (1.0 / CAST(n_a AS DOUBLE)
+                           + 1.0 / CAST(n_b AS DOUBLE))), 6) AS z
+    FROM wide
+    """,
+)
+def q_analytics_ab_test(spark, sf_dir):
+    """Two-proportion z-test for an A/B experiment (variant = user
+    parity, conversion = any purchase): the experimentation primitive
+    a training-data platform runs on data-mix trials. Exact-integer
+    columns carry the decision-grade facts — per-arm n, conversions,
+    integer-ppm rates, and the SIGN of the effect via the
+    cross-multiplied diff_num = c_a·n_b − c_b·n_a (positive = arm A
+    converts better, no float ever) — while the pooled z-statistic
+    computes as the IDENTICAL IEEE expression in both engines
+    (every intermediate is a correctly-rounded double op on exact
+    integers in the same order, the q_analytics_wilson_rank
+    discipline, rounded at 6dp). Unit of analysis is the USER (one
+    converted flag per user via max), not the event — mixing
+    exposure units is the classic A/B bug and the per-user groupBy
+    pins it. Plan: one user-keyed partial agg, then two bounded
+    reductions to a 1-row relation."""
+    e = t(spark, sf_dir, "events")
+    assign = e.groupBy("user_id").agg(
+        F.expr(
+            "max(case when event_type = 'purchase' and value > 200"
+            " then 1 else 0 end)"
+        ).alias("converted")
+    ).select(
+        F.expr("cast(user_id % 2 as int)").alias("variant"), "converted"
+    )
+    arms = assign.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("converted").cast("bigint").alias("conv"),
+    )
+    wide = arms.agg(
+        F.expr("max(case when variant = 0 then n end)").alias("n_a"),
+        F.expr("max(case when variant = 0 then conv end)").alias("c_a"),
+        F.expr("max(case when variant = 1 then n end)").alias("n_b"),
+        F.expr("max(case when variant = 1 then conv end)").alias("c_b"),
+    )
+    return wide.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("c_a").cast("bigint").alias("c_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("c_b").cast("bigint").alias("c_b"),
+        F.expr("cast(c_a * 1000000 div n_a as bigint)").alias("rate_a_ppm"),
+        F.expr("cast(c_b * 1000000 div n_b as bigint)").alias("rate_b_ppm"),
+        F.expr("cast(c_a * n_b - c_b * n_a as bigint)").alias("diff_num"),
+        F.expr(
+            "round((cast(c_a as double) / cast(n_a as double)"
+            " - cast(c_b as double) / cast(n_b as double))"
+            " / sqrt((cast(c_a + c_b as double)"
+            " / cast(n_a + n_b as double))"
+            " * (1.0D - cast(c_a + c_b as double)"
+            " / cast(n_a + n_b as double))"
+            " * (1.0D / cast(n_a as double)"
+            " + 1.0D / cast(n_b as double))), 6)"
+        ).alias("z"),
+    )

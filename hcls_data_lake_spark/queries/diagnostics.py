@@ -19,6 +19,7 @@ across engines.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from hcls_data_lake_spark.queries.common import t
 from hcls_data_lake_spark.registry import register
@@ -492,4 +493,69 @@ def q_diag_distribution_drift(spark, sf_dir):
                 " div (2 * cast(t1 as decimal(38,0)) * t2) as bigint)"
             ).alias("tv_ppm")
         )
+    )
+
+
+@register(
+    "q_diag_volume_anomaly",
+    """
+    WITH daily AS (
+      SELECT CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ), trailed AS (
+      SELECT d, n,
+             SUM(n) OVER (ORDER BY d
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS trail7,
+             row_number() OVER (ORDER BY d) AS rn
+      FROM daily
+    )
+    SELECT CAST(d AS BIGINT) AS d_day, n,
+           CAST(trail7 AS BIGINT) AS trail7_n,
+           CAST(n * 7 * 10000 // trail7 AS BIGINT) AS vol_bp,
+           CAST(CASE WHEN n * 7 * 100 < 70 * trail7 THEN 1
+                     WHEN n * 7 * 100 > 130 * trail7 THEN 2
+                     ELSE 0 END AS INT) AS anomaly
+    FROM trailed WHERE rn >= 8
+    """,
+)
+def q_diag_volume_anomaly(spark, sf_dir):
+    """Ingest-volume anomaly monitor — the data-ops alarm that catches
+    a silently broken feed (upstream outage, duplicate replay) before
+    it poisons downstream training data: each day's row count is
+    compared to its trailing-7-day window (STRICTLY prior days, so
+    today's anomaly can't dilute its own baseline), entirely in
+    integers — vol_bp = n·7·10⁴ div trail7 is today's volume in basis
+    points of the trailing mean, and the ±30% alarm band is the
+    cross-multiplied comparison n·7·100 <?> {70,130}·trail7, no
+    division at all (anomaly: 1 = volume drop, 2 = volume spike).
+    The first 7 days are excluded (rn >= 8), not emitted with a
+    partial baseline — a monitor that alarms on its own warm-up is
+    noise. Plan: one fact shuffle to the calendar-bounded daily
+    relation, one window frame over it; at 100 TB the daily relation
+    is still just days — the monitor's cost is one partial-agg scan
+    of the day's partition, the shape a per-partition ingest audit
+    needs."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.expr("cast(ts_ns div 86400000000000 as bigint)").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w7 = Window.orderBy("d").rowsBetween(-7, -1)
+    wo = Window.orderBy("d")
+    trailed = daily.select(
+        "d",
+        "n",
+        F.sum("n").over(w7).alias("trail7"),
+        F.row_number().over(wo).alias("rn"),
+    )
+    return trailed.filter(F.col("rn") >= 8).select(
+        F.col("d").cast("bigint").alias("d_day"),
+        "n",
+        F.col("trail7").cast("bigint").alias("trail7_n"),
+        F.expr("cast(n * 7 * 10000 div trail7 as bigint)").alias("vol_bp"),
+        F.expr(
+            "cast(case when n * 7 * 100 < 70 * trail7 then 1"
+            " when n * 7 * 100 > 130 * trail7 then 2"
+            " else 0 end as int)"
+        ).alias("anomaly"),
     )

@@ -1039,3 +1039,86 @@ def q_stream_cdc_apply(spark, sf_dir):
 
     run_foreach_batch(sdf, apply_batch)
     return spark.read.parquet(out_root)
+
+
+@register(
+    "q_stream_observe",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_value_c,
+           CAST(min(epoch_ns(ts)) AS BIGINT) AS min_ts_ns,
+           CAST(max(epoch_ns(ts)) AS BIGINT) AS max_ts_ns
+    FROM events
+    """,
+)
+def q_stream_observe(spark, sf_dir):
+    """Streaming OBSERVED METRICS (df.observe + query progress): the
+    zero-cost in-flight telemetry channel — metrics piggyback on the
+    micro-batch's own aggregation, no second pass over the stream, no
+    extra sink — that production pipelines use for row-count /
+    checksum reconciliation against the source of truth. Each
+    micro-batch reports (count, integer value checksum, ts extent)
+    through its QueryProgress; the query then folds batch metrics
+    into totals. The fold is BATCH-INVARIANT by construction (sums of
+    per-batch sums, min of mins), so however availableNow splits the
+    files, the totals equal the batch oracle — exactly the
+    reconciliation invariant the pattern exists to check. Per-batch
+    metric rows are bounded by batch count (driver-side by design:
+    progress objects ARE driver telemetry). The no-data trailing
+    batch reports count=0 / null sum and folds away harmlessly."""
+    import json
+    import shutil
+    import uuid
+
+    from hcls_data_lake_spark.queries.common import scratch_dir
+
+    sdf = read_events_stream(spark, sf_dir)
+    observed = sdf.observe(
+        "recon",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.expr("cast(round(value * 100) as bigint)")).alias(
+            "sum_value_c"
+        ),
+        F.min("ts_ns").alias("min_ts_ns"),
+        F.max("ts_ns").alias("max_ts_ns"),
+    )
+    checkpoint = scratch_dir("ckpt", f"observe_{uuid.uuid4().hex[:10]}")
+    shutil.rmtree(checkpoint, ignore_errors=True)
+    query = (
+        observed.writeStream.format("noop")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    batches = []
+    for prog_json in (p for p in query.recentProgress):
+        prog = (
+            json.loads(prog_json.json)
+            if hasattr(prog_json, "json")
+            else prog_json
+        )
+        m = (prog.get("observedMetrics") or {}).get("recon")
+        if m is not None:
+            batches.append(m)
+    rows = [
+        (
+            int(m["n_rows"]),
+            m["sum_value_c"],
+            m["min_ts_ns"],
+            m["max_ts_ns"],
+        )
+        for m in batches
+    ]
+    per_batch = spark.createDataFrame(
+        rows,
+        "n_rows bigint, sum_value_c bigint, min_ts_ns bigint,"
+        " max_ts_ns bigint",
+    )
+    return per_batch.agg(
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.sum("sum_value_c").cast("bigint").alias("sum_value_c"),
+        F.min("min_ts_ns").cast("bigint").alias("min_ts_ns"),
+        F.max("max_ts_ns").cast("bigint").alias("max_ts_ns"),
+    )

@@ -148,7 +148,10 @@ def register(name: str, oracle: str | None) -> Callable[[QueryFn], QueryFn]:
 # q_analytics_retention_bitmap bit_or/popcount retention,
 # q_agg_percentile_exact integer-interpolated percentile_cont,
 # q_embed_knn_graph SRP-bucketed mutual top-3,
-# q_pack_shards prefix-sum fixed-boundary shard manifest) — 84
+# q_pack_shards prefix-sum fixed-boundary shard manifest,
+# q_stream_observe batch-invariant observed-metrics reconciliation,
+# q_diag_volume_anomaly trailing-window ingest monitor,
+# q_analytics_ab_test per-user two-proportion z) — 87
 # names; overflow past slot 50 rolls to r7 with the deferred
 # remainder; the first 50 of this list
 # form the r6 prefix, the small remainder rolls to r7.
@@ -261,6 +264,9 @@ _FAMILY_REPRESENTATIVES = [
     "q_agg_percentile_exact",
     "q_embed_knn_graph",
     "q_pack_shards",
+    "q_stream_observe",
+    "q_diag_volume_anomaly",
+    "q_analytics_ab_test",
     "q_layout_zorder",
     "q_fn_collation",
     "q_fn_json_build",
