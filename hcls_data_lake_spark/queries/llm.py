@@ -147,7 +147,14 @@ def _near_pairs_cached(spark, sf_dir, ngram: int = 3, threshold: float = 0.2):
     if hit is not None:
         return hit
     built = _near_pairs(spark, sf_dir, ngram=ngram, threshold=threshold)
-    built = built.persist()
+    # The repartition is NOT an optimization knob: persisting the bare
+    # pair plan would let Spark's CacheManager substitute the cached
+    # relation into ANY equal plan fragment — including the DEDUP
+    # queries, which must benchmark the cold build (measured: it cut
+    # q_dedup_near 0.71 -> 0.18 s through plan-match alone). Hiding the
+    # cache behind a repartition gives it a distinct canonical plan, so
+    # only explicit probes read it; co-locating on doc_a is a bonus.
+    built = built.repartition(8, "doc_a").persist()
     built.count()
     while len(_GRAPH_CACHE) >= 4:
         _, old = _GRAPH_CACHE.popitem(last=False)
