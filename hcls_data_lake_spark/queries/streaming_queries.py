@@ -1111,6 +1111,12 @@ def q_stream_observe(spark, sf_dir):
         )
         for m in batches
     ]
+    if not rows:
+        # loud beats silently-null totals: recentProgress retains ~100
+        # progresses, so an availableNow run that reported nothing
+        # means the observe channel itself broke
+        raise RuntimeError("q_stream_observe: no observed metrics in"
+                           " query progress")
     per_batch = spark.createDataFrame(
         rows,
         "n_rows bigint, sum_value_c bigint, min_ts_ns bigint,"
