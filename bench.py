@@ -182,6 +182,8 @@ EXTENDED = [
     "q_stream_observe",       # observed-metrics reconciliation totals (r5)
     "q_diag_volume_anomaly",  # trailing-window ingest-volume monitor (r5)
     "q_analytics_ab_test",    # per-user two-proportion z-test (r5)
+    "q_sample_quota_mix",     # Hamilton-apportionment mixture sampler (r5)
+    "q_dedup_edit_gate",      # length-banded Levenshtein dedup gate (r5)
 ]
 
 

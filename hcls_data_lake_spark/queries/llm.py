@@ -3369,3 +3369,87 @@ def q_pack_shards(spark, sf_dir):
         F.min("doc_id").cast("bigint").alias("doc_lo"),
         F.max("doc_id").cast("bigint").alias("doc_hi"),
     )
+
+
+@register(
+    "q_dedup_edit_gate",
+    f"""
+    WITH near AS MATERIALIZED ({_KHOP_NEAR_SQL}),
+    texts AS (SELECT doc_id, text, strlen(text) AS len FROM documents),
+    gated AS (
+      SELECT n.doc_a, n.doc_b,
+             ta.len AS len_a, tb.len AS len_b,
+             levenshtein(ta.text, tb.text) AS edit_d
+      FROM near n
+      JOIN texts ta ON ta.doc_id = n.doc_a
+      JOIN texts tb ON tb.doc_id = n.doc_b
+      WHERE abs(ta.len - tb.len) * 100 <= 35 * GREATEST(ta.len, tb.len)
+    )
+    SELECT doc_a, doc_b,
+           CAST(len_a AS BIGINT) AS len_a,
+           CAST(len_b AS BIGINT) AS len_b,
+           CAST(edit_d AS BIGINT) AS edit_d,
+           CAST(edit_d * 10000 // GREATEST(len_a, len_b) AS BIGINT)
+             AS edit_bp
+    FROM gated
+    WHERE edit_d * 100 <= 35 * GREATEST(len_a, len_b)
+    """,
+)
+def q_dedup_edit_gate(spark, sf_dir):
+    """EDIT-DISTANCE verification of near-dup candidates — the second
+    gate a high-precision dedup pipeline runs after set-similarity:
+    shingle Jaccard (the candidate source, shared with the graph
+    family via the cached pair build) sees bag-of-ngrams overlap,
+    while Levenshtein certifies SEQUENCE-level closeness, killing
+    the false positives where two documents share vocabulary but not
+    structure (the record-linkage two-stage: cheap blocking →
+    expensive exact metric on candidates only). Two integer guards:
+    a LENGTH prefilter |len_a−len_b| ≤ 35% of max — edit distance is
+    bounded below by the length gap, so pairs that cannot pass skip
+    the O(len²) computation entirely (the production knob: at 100 TB
+    the length band prunes most candidates before the quadratic DP)
+    — then the gate edit ≤ 35% of max length, emitted as exact
+    integer basis points. Levenshtein with unit costs is a pinned
+    algorithm, so both engines produce identical distances; all
+    output columns are exact BIGINT."""
+    p = _near_pairs_cached(spark, sf_dir, ngram=2, threshold=0.08)
+    texts = t(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.length("text").alias("len")
+    )
+    gated = (
+        p.select("doc_a", "doc_b")
+        .join(
+            texts.selectExpr(
+                "doc_id as doc_a", "text as text_a", "len as len_a"
+            ),
+            "doc_a",
+        )
+        .join(
+            texts.selectExpr(
+                "doc_id as doc_b", "text as text_b", "len as len_b"
+            ),
+            "doc_b",
+        )
+        .filter(
+            F.expr("abs(len_a - len_b) * 100 <= 35 * greatest(len_a, len_b)")
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "len_a",
+            "len_b",
+            F.levenshtein("text_a", "text_b").alias("edit_d"),
+        )
+    )
+    return gated.filter(
+        F.expr("edit_d * 100 <= 35 * greatest(len_a, len_b)")
+    ).select(
+        "doc_a",
+        "doc_b",
+        F.col("len_a").cast("bigint").alias("len_a"),
+        F.col("len_b").cast("bigint").alias("len_b"),
+        F.col("edit_d").cast("bigint").alias("edit_d"),
+        F.expr(
+            "cast(edit_d * 10000 div greatest(len_a, len_b) as bigint)"
+        ).alias("edit_bp"),
+    )

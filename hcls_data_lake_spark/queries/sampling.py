@@ -483,3 +483,91 @@ def q_sample_class_balance(spark, sf_dir):
             F.countDistinct("user_id").cast("bigint").alias("n_users"),
         )
     )
+
+
+@register(
+    "q_sample_quota_mix",
+    """
+    WITH spec AS (
+      SELECT * FROM (VALUES ('en', 40), ('zh', 20), ('es', 15),
+                            ('de', 15), ('fr', 10)) s(lang, w)
+    ), quota AS (
+      SELECT lang,
+             300 * w // 100 AS base,
+             300 * w % 100 AS rem,
+             row_number() OVER (ORDER BY 300 * w % 100 DESC, lang)
+               AS rem_rank,
+             300 - SUM(300 * w // 100) OVER () AS leftover
+      FROM spec
+    ), q AS (
+      SELECT lang,
+             CAST(base + CASE WHEN rem_rank <= leftover
+                              THEN 1 ELSE 0 END AS BIGINT) AS quota
+      FROM quota
+    ), ranked AS (
+      SELECT doc_id, lang,
+             CAST(row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5('mix:v1:' || CAST(doc_id AS VARCHAR)),
+                        doc_id) AS BIGINT) AS rn
+      FROM documents
+    )
+    SELECT r.doc_id, r.lang, r.rn, q.quota
+    FROM ranked r JOIN q ON q.lang = r.lang
+    WHERE r.rn <= q.quota
+    """,
+)
+def q_sample_quota_mix(spark, sf_dir):
+    """Data-mixture sampling against a TARGET SPEC (the 'what should
+    the training mix look like' op — en 40%, zh 20%, es/de 15%,
+    fr 10% of a 300-doc budget): per-language integer quotas come
+    from LARGEST-REMAINDER (Hamilton) apportionment — base = floor of
+    the proportional share, then the leftover seats go to the largest
+    fractional remainders (remainder desc, lang asc pins ties) — so
+    the quotas sum to the budget EXACTLY, with no float rounding
+    drift between engines and no over/under-allocation to reconcile.
+    Survivors within each language are md5-ranked (content-keyed,
+    version-tagged — the q_sample_mix discipline), so the drawn mix
+    is bit-reproducible. Plan: the apportionment is windows over the
+    5-row spec; the corpus pays one per-language window sort, and
+    per-language top-quota is WindowGroupLimit territory at scale.
+    The budget is sized so no language's quota exceeds supply;
+    binding caps would make Hamilton iterative (re-apportion the
+    shortfall) — that variant is a driver-side loop over the
+    SPEC-sized relation, never over data."""
+    spec = spark.createDataFrame(
+        [("en", 40), ("zh", 20), ("es", 15), ("de", 15), ("fr", 10)],
+        "lang string, w int",
+    )
+    w_all = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_rem = Window.orderBy(F.expr("300 * w % 100").desc(), F.col("lang"))
+    quota = spec.select(
+        "lang",
+        F.expr("300 * w div 100").alias("base"),
+        F.row_number().over(w_rem).alias("rem_rank"),
+        (F.lit(300) - F.sum(F.expr("300 * w div 100")).over(w_all)).alias(
+            "leftover"
+        ),
+    ).select(
+        "lang",
+        F.expr(
+            "cast(base + case when rem_rank <= leftover then 1 else 0 end"
+            " as bigint)"
+        ).alias("quota"),
+    )
+    d = t(spark, sf_dir, "documents")
+    w_lang = Window.partitionBy("lang").orderBy(
+        F.expr("md5(cast(concat('mix:v1:', cast(doc_id as string))"
+               " as binary))"),
+        "doc_id",
+    )
+    ranked = d.select(
+        "doc_id",
+        "lang",
+        F.row_number().over(w_lang).cast("bigint").alias("rn"),
+    )
+    return ranked.join(F.broadcast(quota), "lang").filter(
+        F.col("rn") <= F.col("quota")
+    ).select("doc_id", "lang", "rn", "quota")

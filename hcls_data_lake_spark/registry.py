@@ -151,7 +151,9 @@ def register(name: str, oracle: str | None) -> Callable[[QueryFn], QueryFn]:
 # q_pack_shards prefix-sum fixed-boundary shard manifest,
 # q_stream_observe batch-invariant observed-metrics reconciliation,
 # q_diag_volume_anomaly trailing-window ingest monitor,
-# q_analytics_ab_test per-user two-proportion z) — 87
+# q_analytics_ab_test per-user two-proportion z,
+# q_sample_quota_mix largest-remainder apportionment sampler,
+# q_dedup_edit_gate length-banded Levenshtein verification) — 89
 # names; overflow past slot 50 rolls to r7 with the deferred
 # remainder; the first 50 of this list
 # form the r6 prefix, the small remainder rolls to r7.
@@ -267,6 +269,8 @@ _FAMILY_REPRESENTATIVES = [
     "q_stream_observe",
     "q_diag_volume_anomaly",
     "q_analytics_ab_test",
+    "q_sample_quota_mix",
+    "q_dedup_edit_gate",
     "q_layout_zorder",
     "q_fn_collation",
     "q_fn_json_build",
