@@ -184,6 +184,7 @@ EXTENDED = [
     "q_analytics_ab_test",    # per-user two-proportion z-test (r5)
     "q_sample_quota_mix",     # Hamilton-apportionment mixture sampler (r5)
     "q_dedup_edit_gate",      # length-banded Levenshtein dedup gate (r5)
+    "q_analytics_rolling_actives",  # bitmap OR-frame DAU/WAU/MAU (r5)
 ]
 
 

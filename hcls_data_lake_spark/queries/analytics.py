@@ -2453,3 +2453,81 @@ def q_analytics_ab_test(spark, sf_dir):
             " + 1.0D / cast(n_b as double))), 6)"
         ).alias("z"),
     )
+
+
+@register(
+    "q_analytics_rolling_actives",
+    """
+    WITH bm AS (
+      SELECT CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS d,
+             CAST(user_id // 63 AS BIGINT) AS word,
+             bit_or(CAST(1 AS BIGINT) << CAST(user_id % 63 AS INT))
+               AS bits
+      FROM events GROUP BY 1, 2
+    ), grid AS (
+      SELECT dd.d, ww.word
+      FROM (SELECT DISTINCT d FROM bm) dd
+      CROSS JOIN (SELECT DISTINCT word FROM bm) ww
+    ), dense AS (
+      SELECT g.d, g.word, COALESCE(b.bits, 0) AS bits
+      FROM grid g LEFT JOIN bm b ON b.d = g.d AND b.word = g.word
+    ), rolled AS (
+      SELECT d, word, bits,
+             bit_or(bits) OVER (PARTITION BY word ORDER BY d
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS b7,
+             bit_or(bits) OVER (PARTITION BY word ORDER BY d
+               ROWS BETWEEN 27 PRECEDING AND CURRENT ROW) AS b28
+      FROM dense
+    )
+    SELECT CAST(d AS BIGINT) AS day,
+           CAST(SUM(bit_count(bits)) AS BIGINT) AS dau,
+           CAST(SUM(bit_count(b7)) AS BIGINT) AS wau,
+           CAST(SUM(bit_count(b28)) AS BIGINT) AS mau
+    FROM rolled GROUP BY d
+    """,
+)
+def q_analytics_rolling_actives(spark, sf_dir):
+    """Rolling DAU/WAU/MAU — count DISTINCT users over sliding windows
+    — as BITMAP OR-frames: windowed COUNT(DISTINCT) is unsupported
+    (and a re-scan per horizon besides), but distinct-over-window is
+    exactly bit_or OVER frame + popcount once users pack into 63-bit
+    words. The grid is DENSIFIED first (days × keyspace/63 words,
+    absent cells = 0) because a ROWS frame over observed-only rows
+    would silently span more than 7 calendar days for a word with
+    idle days — the same gap trap q_ts_gapfill exists for, fixed the
+    same way; the grid stays calendar × keyspace/63 at ANY corpus
+    size. OR is associative/idempotent, so per-word frames then one
+    per-day popcount sum give exact distinct counts at every
+    horizon; adding a horizon is one more frame over the SAME
+    sorted pass (both frames share one WindowExec sort). Scale: the
+    fact is touched once (the bm groupBy); everything after runs on
+    the days×words relation."""
+    e = t(spark, sf_dir, "events")
+    bm = e.groupBy(
+        F.expr("cast(ts_ns div 86400000000000 as bigint)").alias("d"),
+        F.expr("cast(user_id div 63 as bigint)").alias("word"),
+    ).agg(
+        F.expr(
+            "bit_or(shiftleft(cast(1 as bigint),"
+            " cast(user_id % 63 as int)))"
+        ).alias("bits")
+    )
+    days = bm.select("d").distinct()
+    words = bm.select("word").distinct()
+    grid = days.crossJoin(F.broadcast(words))
+    dense = grid.join(bm, ["d", "word"], "left").select(
+        "d", "word", F.coalesce("bits", F.lit(0)).alias("bits")
+    )
+    w7 = Window.partitionBy("word").orderBy("d").rowsBetween(-6, 0)
+    w28 = Window.partitionBy("word").orderBy("d").rowsBetween(-27, 0)
+    rolled = dense.select(
+        "d",
+        "bits",
+        F.expr("bit_or(bits)").over(w7).alias("b7"),
+        F.expr("bit_or(bits)").over(w28).alias("b28"),
+    )
+    return rolled.groupBy(F.col("d").cast("bigint").alias("day")).agg(
+        F.sum(F.expr("bit_count(bits)")).cast("bigint").alias("dau"),
+        F.sum(F.expr("bit_count(b7)")).cast("bigint").alias("wau"),
+        F.sum(F.expr("bit_count(b28)")).cast("bigint").alias("mau"),
+    )

@@ -153,7 +153,8 @@ def register(name: str, oracle: str | None) -> Callable[[QueryFn], QueryFn]:
 # q_diag_volume_anomaly trailing-window ingest monitor,
 # q_analytics_ab_test per-user two-proportion z,
 # q_sample_quota_mix largest-remainder apportionment sampler,
-# q_dedup_edit_gate length-banded Levenshtein verification) — 89
+# q_dedup_edit_gate length-banded Levenshtein verification,
+# q_analytics_rolling_actives bitmap OR-frame DAU/WAU/MAU) — 90
 # names; overflow past slot 50 rolls to r7 with the deferred
 # remainder; the first 50 of this list
 # form the r6 prefix, the small remainder rolls to r7.
@@ -271,6 +272,7 @@ _FAMILY_REPRESENTATIVES = [
     "q_analytics_ab_test",
     "q_sample_quota_mix",
     "q_dedup_edit_gate",
+    "q_analytics_rolling_actives",
     "q_layout_zorder",
     "q_fn_collation",
     "q_fn_json_build",

@@ -345,6 +345,8 @@ _BNLJ_ALLOWED = {
     "q_privacy_t_closeness",  # groups x BOUNDED band vocabulary grid
     #                           + one-row (N, m) totals, both broadcast
     "q_analytics_abc",     # one-row revenue total cross-joined back
+    "q_analytics_rolling_actives",  # days x keyspace/63 dense bitmap grid
+    #                                 (both sides calendar/keyspace-bounded)
 }
 
 
