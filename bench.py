@@ -185,6 +185,7 @@ EXTENDED = [
     "q_sample_quota_mix",     # Hamilton-apportionment mixture sampler (r5)
     "q_dedup_edit_gate",      # length-banded Levenshtein dedup gate (r5)
     "q_analytics_rolling_actives",  # bitmap OR-frame DAU/WAU/MAU (r5)
+    "q_text_hash_features",   # signed hashing-trick featurizer (r5)
 ]
 
 

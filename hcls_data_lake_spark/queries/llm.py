@@ -3453,3 +3453,68 @@ def q_dedup_edit_gate(spark, sf_dir):
             "cast(edit_d * 10000 div greatest(len_a, len_b) as bigint)"
         ).alias("edit_bp"),
     )
+
+
+@register(
+    "q_text_hash_features",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE doc_id < 300
+    ), hashed AS (
+      SELECT doc_id,
+             (16 * (strpos('0123456789abcdef',
+                           substr(md5('feat:v1:' || tok), 1, 1)) - 1)
+              + strpos('0123456789abcdef',
+                       substr(md5('feat:v1:' || tok), 2, 1)) - 1) % 64
+               AS bucket,
+             CASE WHEN (strpos('0123456789abcdef',
+                          substr(md5('feat:v1:' || tok), 3, 1)) - 1) % 2
+                       = 0
+                  THEN 1 ELSE -1 END AS sgn
+      FROM toks
+    )
+    SELECT doc_id, CAST(bucket AS INT) AS bucket,
+           CAST(SUM(sgn) AS BIGINT) AS feat,
+           CAST(count(*) AS BIGINT) AS n_tok
+    FROM hashed GROUP BY doc_id, bucket
+    """,
+)
+def q_text_hash_features(spark, sf_dir):
+    """Feature hashing (the 'hashing trick', Weinberger et al. 2009):
+    fixed-width trainable features from unbounded vocabulary with NO
+    dictionary — token -> bucket = first-two-md5-nibbles mod 64, with
+    a SIGN hash (third nibble parity) so colliding tokens cancel in
+    expectation instead of biasing the bucket upward — the property
+    that makes hashed features usable where a plain count-bucket is
+    not. Emits the sparse (doc, bucket, signed-sum, token-count)
+    matrix. Every hash is the engine-neutral md5-nibble family, so
+    the exact feature values cross-check against DuckDB — a
+    featurizer whose output can be byte-audited between the Spark
+    pipeline and an independent engine. Plan: explode tokens (fused
+    GenerateExec), map-side hash arithmetic, ONE shuffle on
+    (doc, bucket) with map-side partial sums; no vocabulary build,
+    no broadcast, no state — the reason the trick scales to any
+    corpus: memory is O(64) per doc regardless of vocabulary."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    h = "md5(cast(concat('feat:v1:', tok) as binary))"
+    hashed = toks.select(
+        "doc_id",
+        F.expr(
+            f"(16 * (instr('0123456789abcdef', substr({h}, 1, 1)) - 1)"
+            f" + instr('0123456789abcdef', substr({h}, 2, 1)) - 1) % 64"
+        ).alias("bucket"),
+        F.expr(
+            f"case when (instr('0123456789abcdef', substr({h}, 3, 1)) - 1)"
+            " % 2 = 0 then 1 else -1 end"
+        ).alias("sgn"),
+    )
+    return hashed.groupBy(
+        "doc_id", F.col("bucket").cast("int").alias("bucket")
+    ).agg(
+        F.sum("sgn").cast("bigint").alias("feat"),
+        F.count(F.lit(1)).cast("bigint").alias("n_tok"),
+    )

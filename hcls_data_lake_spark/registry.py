@@ -154,7 +154,8 @@ def register(name: str, oracle: str | None) -> Callable[[QueryFn], QueryFn]:
 # q_analytics_ab_test per-user two-proportion z,
 # q_sample_quota_mix largest-remainder apportionment sampler,
 # q_dedup_edit_gate length-banded Levenshtein verification,
-# q_analytics_rolling_actives bitmap OR-frame DAU/WAU/MAU) — 90
+# q_analytics_rolling_actives bitmap OR-frame DAU/WAU/MAU,
+# q_text_hash_features signed hashing-trick featurizer) — 91
 # names; overflow past slot 50 rolls to r7 with the deferred
 # remainder; the first 50 of this list
 # form the r6 prefix, the small remainder rolls to r7.
@@ -273,6 +274,7 @@ _FAMILY_REPRESENTATIVES = [
     "q_sample_quota_mix",
     "q_dedup_edit_gate",
     "q_analytics_rolling_actives",
+    "q_text_hash_features",
     "q_layout_zorder",
     "q_fn_collation",
     "q_fn_json_build",
