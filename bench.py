@@ -186,6 +186,9 @@ EXTENDED = [
     "q_dedup_edit_gate",      # length-banded Levenshtein dedup gate (r5)
     "q_analytics_rolling_actives",  # bitmap OR-frame DAU/WAU/MAU (r5)
     "q_text_hash_features",   # signed hashing-trick featurizer (r5)
+    "q_join_null_skew",       # sentinel-routed null-key outer join (r5)
+    "q_ts_cross_correlation",  # lagged rank cross-correlation (r5)
+    "q_analytics_price_volume",  # exact price/volume YoY waterfall (r5)
 ]
 
 

@@ -2330,7 +2330,8 @@ def q_analytics_retention_bitmap(spark, sf_dir):
             "bit_or(shiftleft(cast(1 as bigint),"
             " cast(user_id % 63 as int)))"
         ).alias("bits")
-    )
+    ).localCheckpoint()  # three readers (base + two horizons); pinning
+    # keeps the fact scan at exactly one pass
     a = bm.select(
         F.col("d").alias("day"), "word", F.col("bits").alias("bits_a")
     )
@@ -2511,7 +2512,7 @@ def q_analytics_rolling_actives(spark, sf_dir):
             "bit_or(shiftleft(cast(1 as bigint),"
             " cast(user_id % 63 as int)))"
         ).alias("bits")
-    )
+    ).localCheckpoint()  # grid spine + dense join all read bm; one pass
     days = bm.select("d").distinct()
     words = bm.select("word").distinct()
     grid = days.crossJoin(F.broadcast(words))
@@ -2530,4 +2531,87 @@ def q_analytics_rolling_actives(spark, sf_dir):
         F.sum(F.expr("bit_count(bits)")).cast("bigint").alias("dau"),
         F.sum(F.expr("bit_count(b7)")).cast("bigint").alias("wau"),
         F.sum(F.expr("bit_count(b28)")).cast("bigint").alias("mau"),
+    )
+
+
+@register(
+    "q_analytics_price_volume",
+    """
+    WITH seg AS (
+      SELECT c.c_mktsegment AS segment,
+             CAST(year(o.o_orderdate) AS INT) AS y,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev_c
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    )
+    SELECT a.segment, a.y AS y0, b.y AS y1,
+           a.n AS n0, b.n AS n1,
+           a.rev_c AS rev0_c, b.rev_c AS rev1_c,
+           CAST(b.rev_c - a.rev_c AS BIGINT) AS d_rev_c,
+           CAST((b.n - a.n) * a.rev_c AS BIGINT) AS vol_eff_xn0,
+           CAST(b.rev_c * a.n - b.n * a.rev_c AS BIGINT)
+             AS price_eff_xn0
+    FROM seg a JOIN seg b
+      ON b.segment = a.segment AND b.y = a.y + 1
+    """,
+)
+def q_analytics_price_volume(spark, sf_dir):
+    """Price/volume decomposition of year-over-year revenue change per
+    market segment — the FP&A waterfall 'how much of ΔR came from
+    selling MORE orders vs BIGGER orders': volume effect
+    (n1−n0)·avg0 and price effect n1·(avg1−avg0) sum exactly to
+    ΔR. Both effects are emitted as EXACT integers scaled by the
+    common denominator n0 — vol_eff_xn0 = (n1−n0)·rev0 and
+    price_eff_xn0 = rev1·n0 − n1·rev0, so vol_eff_xn0 +
+    price_eff_xn0 = d_rev_c·n0 holds as a BIGINT identity the
+    verifier can (and the pytest does) check, where the float
+    avg-based form would leak ulps. Headroom: rev_c ≤ ~10¹³ cents ×
+    n ≤ 10⁸ stays under 2⁶³ to petabyte-scale ledgers. Plan: one
+    fact join (dim broadcast), one groupBy to the segment×year
+    grid, then a self equi-join on the adjacent-year key over that
+    bounded grid."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    seg = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.expr("cast(year(cast(o_orderdate as date)) as int)").alias(
+                "y"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.expr(
+                "cast(sum(cast(round(o_totalprice * 100) as bigint))"
+                " as bigint)"
+            ).alias("rev_c"),
+        )
+        # the adjacent-year self-join reads this segmentxyear grid
+        # twice; pin it so the fact join+agg runs ONCE
+        .localCheckpoint()
+    )
+    a = seg.selectExpr("segment", "y as y0", "n as n0", "rev_c as rev0_c")
+    b = seg.selectExpr("segment", "y as y1", "n as n1", "rev_c as rev1_c")
+    return (
+        a.join(b, (F.col("y1") == F.col("y0") + 1)
+               & (a.segment == b.segment))
+        .select(
+            a.segment.alias("segment"),
+            "y0",
+            "y1",
+            "n0",
+            "n1",
+            "rev0_c",
+            "rev1_c",
+            F.expr("cast(rev1_c - rev0_c as bigint)").alias("d_rev_c"),
+            F.expr("cast((n1 - n0) * rev0_c as bigint)").alias(
+                "vol_eff_xn0"
+            ),
+            F.expr("cast(rev1_c * n0 - n1 * rev0_c as bigint)").alias(
+                "price_eff_xn0"
+            ),
+        )
     )

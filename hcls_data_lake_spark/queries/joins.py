@@ -1065,3 +1065,79 @@ def q_join_lateral(spark, sf_dir):
         WHERE c.c_mktsegment = 'BUILDING'
         """
     )
+
+
+@register(
+    "q_join_null_skew",
+    """
+    WITH e AS (
+      SELECT event_type,
+             CASE WHEN event_type = 'error' THEN NULL
+                  ELSE user_id END AS fk,
+             CAST(round(value * 100) AS BIGINT) AS v_c
+      FROM events
+    ), dim AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_user_events
+      FROM events GROUP BY user_id
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(d.user_id) AS BIGINT) AS n_matched,
+           CAST(COALESCE(SUM(d.n_user_events), 0) AS BIGINT)
+             AS dim_events_sum,
+           CAST(SUM(e.v_c) AS BIGINT) AS v_c_sum
+    FROM e LEFT JOIN dim d ON e.fk = d.user_id
+    GROUP BY e.event_type
+    """,
+)
+def q_join_null_skew(spark, sf_dir):
+    """NULL-key skew routing for outer joins — the third skew tool
+    next to salting and AQE: when a big fraction of probe rows carry
+    a NULL join key (here: error events have no attributable user),
+    a plain left join still SHUFFLES every null row, and they all
+    land in the single null-hash partition — a hot straggler that
+    does nothing, since NULL matches nothing by definition. The
+    engine form: split the probe on key nullability, hash-join ONLY
+    the non-null slice, route the null slice straight to the union
+    with null-typed dim columns — the nulls never enter the
+    exchange. Result is semantically identical to the naive left
+    join (the oracle IS the naive join), verified at the per-type
+    audit grain. At 100 TB with 20% nulls this converts a guaranteed
+    straggler partition into free map-side passthrough; the same
+    split applies to any outer join whose key has a dominant
+    sentinel value (route the sentinel, join the rest). The price is
+    reading the probe scan twice (both map-side, filters pushed);
+    the win is removing a reduce-side straggler — the right trade
+    whenever the shuffle, not the scan, is the bottleneck."""
+    ev = t(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        F.expr(
+            "case when event_type = 'error' then null else user_id end"
+        ).alias("fk"),
+        F.expr("cast(round(value * 100) as bigint)").alias("v_c"),
+    )
+    dim = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_user_events")
+    )
+    nn = e.filter(F.col("fk").isNotNull()).join(
+        dim, e.fk == dim.user_id, "left"
+    ).select("event_type", "v_c", "user_id", "n_user_events")
+    nulls = e.filter(F.col("fk").isNull()).select(
+        "event_type",
+        "v_c",
+        F.lit(None).cast("bigint").alias("user_id"),
+        F.lit(None).cast("bigint").alias("n_user_events"),
+    )
+    return (
+        nn.unionByName(nulls)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.count("user_id").cast("bigint").alias("n_matched"),
+            F.coalesce(F.sum("n_user_events"), F.lit(0))
+            .cast("bigint")
+            .alias("dim_events_sum"),
+            F.sum("v_c").cast("bigint").alias("v_c_sum"),
+        )
+    )

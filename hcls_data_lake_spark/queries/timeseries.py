@@ -1268,3 +1268,92 @@ def q_ts_sma_crossover(spark, sf_dir):
         F.col("s28").cast("bigint").alias("sum28_c"),
         F.col("sgn").cast("int").alias("cross_dir"),
     )
+
+
+@register(
+    "q_ts_cross_correlation",
+    """
+    WITH daily AS (
+      SELECT CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS d,
+             CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
+               AS p_n,
+             CAST(count(*) FILTER (event_type = 'click') AS BIGINT)
+               AS c_n
+      FROM events GROUP BY 1
+    ), lagged AS (
+      SELECT l.lag, a.d, a.p_n, b.c_n
+      FROM (SELECT unnest([0, 1, 2, 3]) AS lag) l
+      JOIN daily a ON true
+      JOIN daily b ON b.d = a.d - l.lag
+    ), ranked AS (
+      SELECT lag,
+             CAST(row_number() OVER (PARTITION BY lag
+                                     ORDER BY p_n, d) AS BIGINT) AS rp,
+             CAST(row_number() OVER (PARTITION BY lag
+                                     ORDER BY c_n, d) AS BIGINT) AS rc
+      FROM lagged
+    )
+    SELECT CAST(lag AS INT) AS lag,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(1000000 - 6000000 * SUM((rp - rc) * (rp - rc))
+                  // (count(*) * (count(*) * count(*) - 1)) AS BIGINT)
+             AS rho_ppm
+    FROM ranked GROUP BY lag
+    """,
+)
+def q_ts_cross_correlation(spark, sf_dir):
+    """LAGGED cross-correlation between two daily series (do clicks
+    LEAD purchases?): Spearman rank ρ of purchase volume on day d
+    against click volume on day d−L for L ∈ {0,1,2,3} — the lead-lag
+    detector behind attribution windows and feature-lag selection,
+    where q_ts_rank_autocorr asks the same question of a series
+    against ITSELF. The q_ts_spearman discipline end-to-end:
+    permutation ranks (value then day pins ties identically in both
+    engines), ρ·10⁶ as pure-BIGINT arithmetic, no float sums
+    anywhere. Each lag's overlap window shifts by the join
+    b.d = a.d − L over the calendar-bounded daily relation, so the
+    4-lag fan-out costs 4 tiny equi-joins + per-lag rank windows —
+    the fact-sized input is reduced ONCE. The lag spine is a
+    4-literal generator broadcast against days (bounded × bounded)."""
+    e = events(spark, sf_dir)
+    daily = e.groupBy(
+        F.expr("cast(ts_ns div 86400000000000 as bigint)").alias("d")
+    ).agg(
+        F.expr(
+            "cast(count(case when event_type = 'purchase' then 1 end)"
+            " as bigint)"
+        ).alias("p_n"),
+        F.expr(
+            "cast(count(case when event_type = 'click' then 1 end)"
+            " as bigint)"
+        ).alias("c_n"),
+    ).localCheckpoint()  # both join sides read this days-sized relation;
+    # without pinning, Spark re-aggregates the fact once PER SIDE
+    lags = spark.range(4).select(F.col("id").cast("int").alias("lag"))
+    a = daily.selectExpr("d", "p_n")
+    b = daily.selectExpr("d as bd", "c_n")
+    lagged = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("bd") == F.col("d") - F.col("lag"))
+        .select("lag", "d", "p_n", "c_n")
+    )
+    from pyspark.sql.window import Window as W
+
+    ranked = lagged.select(
+        "lag",
+        F.row_number()
+        .over(W.partitionBy("lag").orderBy("p_n", "d"))
+        .cast("bigint")
+        .alias("rp"),
+        F.row_number()
+        .over(W.partitionBy("lag").orderBy("c_n", "d"))
+        .cast("bigint")
+        .alias("rc"),
+    )
+    return ranked.groupBy(F.col("lag").cast("int").alias("lag")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.expr(
+            "cast(1000000 - 6000000 * sum((rp - rc) * (rp - rc))"
+            " div (count(1) * (count(1) * count(1) - 1)) as bigint)"
+        ).alias("rho_ppm"),
+    )

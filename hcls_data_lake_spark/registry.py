@@ -155,7 +155,10 @@ def register(name: str, oracle: str | None) -> Callable[[QueryFn], QueryFn]:
 # q_sample_quota_mix largest-remainder apportionment sampler,
 # q_dedup_edit_gate length-banded Levenshtein verification,
 # q_analytics_rolling_actives bitmap OR-frame DAU/WAU/MAU,
-# q_text_hash_features signed hashing-trick featurizer) — 91
+# q_text_hash_features signed hashing-trick featurizer,
+# q_join_null_skew sentinel-routed outer join,
+# q_ts_cross_correlation lagged rank lead-lag detector,
+# q_analytics_price_volume exact FP&A waterfall) — 94
 # names; overflow past slot 50 rolls to r7 with the deferred
 # remainder; the first 50 of this list
 # form the r6 prefix, the small remainder rolls to r7.
@@ -275,6 +278,9 @@ _FAMILY_REPRESENTATIVES = [
     "q_dedup_edit_gate",
     "q_analytics_rolling_actives",
     "q_text_hash_features",
+    "q_join_null_skew",
+    "q_ts_cross_correlation",
+    "q_analytics_price_volume",
     "q_layout_zorder",
     "q_fn_collation",
     "q_fn_json_build",

@@ -1780,3 +1780,19 @@ def test_final_r5_additions_invariants(spark, sf_dir):
         key = (r.series, r.bucket)
         assert key not in seen
         seen.add(key)
+
+
+def test_price_volume_decomposition_identity(spark, sf_dir):
+    """The docstring's BIGINT identity: volume effect + price effect
+    (both scaled by n0) reconstruct the revenue delta exactly —
+    vol_eff_xn0 + price_eff_xn0 == d_rev_c * n0 on every row. A float
+    avg-based decomposition would violate this by ulps."""
+    from hcls_data_lake_spark import registry
+
+    rows = (
+        registry.queries()["q_analytics_price_volume"](spark, sf_dir)
+        .collect()
+    )
+    assert rows, "decomposition returned no segment-year pairs"
+    for r in rows:
+        assert r.vol_eff_xn0 + r.price_eff_xn0 == r.d_rev_c * r.n0, r

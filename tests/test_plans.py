@@ -347,6 +347,7 @@ _BNLJ_ALLOWED = {
     "q_analytics_abc",     # one-row revenue total cross-joined back
     "q_analytics_rolling_actives",  # days x keyspace/63 dense bitmap grid
     #                                 (both sides calendar/keyspace-bounded)
+    "q_ts_cross_correlation",  # 4-literal lag spine broadcast onto days
 }
 
 
