@@ -3048,6 +3048,9 @@ def q_graph_jaccard_neighbors(spark, sf_dir):
         p.selectExpr("doc_a as src", "doc_b as dst")
         .unionByName(p.selectExpr("doc_b as src", "doc_a as dst"))
         .distinct()
+        # four readers (degrees, both wedge sides, the edge flag);
+        # pin so the union+distinct shuffle runs once
+        .localCheckpoint()
     )
     deg = e.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("bigint").alias("d")
