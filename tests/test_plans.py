@@ -692,3 +692,41 @@ def test_r5_batch3_plan_quality(spark, sf_dir):
     plan = plan_of(df)
     assert plan.count("lineitem.parquet") == 0
     assert "SortMergeJoin" not in plan
+
+
+def test_graph_cache_does_not_leak_into_dedup_plans(spark, sf_dir):
+    """The graph-analytics family shares a persisted pair relation
+    (llm._near_pairs_cached); the dedup family must keep benchmarking
+    the COLD build. Spark's CacheManager substitutes a persisted plan
+    into ANY equal plan fragment, so if the cache were persisted on
+    the bare pair plan, q_dedup_near would silently read
+    InMemoryTableScan (measured 0.71 -> 0.18 s when this regressed).
+    The cache therefore persists behind a repartition (distinct
+    canonical plan). Pin both directions: the cached build IS
+    in-memory for a graph probe, and q_dedup_near's plan stays
+    cache-free even when the cache is warm."""
+    from hcls_data_lake_spark.queries.llm import _near_pairs_cached
+
+    # warm the (3, 0.2) cache — the same params q_dedup_near uses
+    _near_pairs_cached(spark, sf_dir, ngram=3, threshold=0.2).count()
+    probe_plan = plan_of(
+        _near_pairs_cached(spark, sf_dir, ngram=3, threshold=0.2)
+    )
+    assert "InMemoryTableScan" in probe_plan  # probes do hit the cache
+    dedup_plan = plan_of(registry.queries()["q_dedup_near"](spark, sf_dir))
+    assert "InMemoryTableScan" not in dedup_plan  # dedup stays cold
+
+
+def test_graph_cache_evicts_other_application_entries(spark, sf_dir):
+    """Entries keyed by a stopped SparkContext's applicationId must be
+    dropped on the next access (the similarity._INDEX_CACHE ADVICE-r4
+    discipline, applied to the graph cache)."""
+    from hcls_data_lake_spark.queries import llm
+
+    llm._GRAPH_CACHE.clear()
+    llm._GRAPH_CACHE[("dead-app", "sf", 3, 0.2)] = object()
+    got = llm._near_pairs_cached(spark, sf_dir, ngram=3, threshold=0.2)
+    assert got.count() > 0
+    assert all(
+        k[0] == spark.sparkContext.applicationId for k in llm._GRAPH_CACHE
+    )
