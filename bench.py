@@ -189,6 +189,8 @@ EXTENDED = [
     "q_join_null_skew",       # sentinel-routed null-key outer join (r5)
     "q_ts_cross_correlation",  # lagged rank cross-correlation (r5)
     "q_analytics_price_volume",  # exact price/volume YoY waterfall (r5)
+    "q_graph_reach_recursive",  # native WITH RECURSIVE reachability (r5)
+    "q_fn_sql_udf",           # Catalyst-inlined SQL scalar+table UDFs (r5)
 ]
 
 

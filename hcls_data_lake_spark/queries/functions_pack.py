@@ -680,3 +680,57 @@ def q_fn_generators(spark, sf_dir):
         F.expr("cast(i * i as string)").alias("v"),
     )
     return words.unionByName(seqs)
+
+
+@register(
+    "q_fn_sql_udf",
+    """
+    WITH w AS (
+      SELECT p_partkey,
+             unnest(string_split(p_name, ' ')) AS word,
+             CAST(round(p_retailprice * 100) AS BIGINT) AS price_c
+      FROM part WHERE p_partkey < 400
+    )
+    SELECT p_partkey, word,
+           CAST(strlen(word) AS INT) AS word_len,
+           price_c,
+           CAST(price_c // 100 AS BIGINT) AS dollars
+    FROM w WHERE strlen(word) >= 5
+    """,
+)
+def q_fn_sql_udf(spark, sf_dir):
+    """SQL-language UDFs (CREATE FUNCTION ... RETURN <expr>, Spark 4):
+    a scalar function (to_cents) and a TABLE function (long_words,
+    RETURNS TABLE with a lateral correlated body) defined in pure SQL
+    — the right UDF tier for logic that is just an expression:
+    Catalyst INLINES the body into the calling plan, so unlike any
+    Python UDF these stay in whole-stage codegen with zero
+    serialization boundary, prune/push down like hand-written
+    expressions, and need no runtime on the executors. The oracle is
+    the inlined equivalent, which is exactly the point — a SQL UDF
+    IS its inlining, so cross-engine equality checks that Spark's
+    function resolution + lateral correlation add nothing. Governance
+    note: temporary functions here; at deployment these live in the
+    metastore as shared, versioned vocabulary."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION to_cents(x DOUBLE)"
+        " RETURNS BIGINT RETURN cast(round(x * 100) as bigint)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION long_words(s STRING)"
+        " RETURNS TABLE(word STRING, word_len INT) RETURN"
+        " SELECT w, cast(length(w) as int) FROM (SELECT"
+        " explode(split(s, ' ')) AS w) WHERE length(w) >= 5"
+    )
+    t(spark, sf_dir, "part").filter(
+        F.col("p_partkey") < 400
+    ).createOrReplaceTempView("sqludf_part")
+    return spark.sql(
+        """
+        SELECT p.p_partkey, lw.word, lw.word_len,
+               to_cents(p.p_retailprice) AS price_c,
+               cast(to_cents(p.p_retailprice) div 100 as bigint)
+                 AS dollars
+        FROM sqludf_part p, LATERAL long_words(p.p_name) lw
+        """
+    )

@@ -3521,3 +3521,59 @@ def q_text_hash_features(spark, sf_dir):
         F.sum("sgn").cast("bigint").alias("feat"),
         F.count(F.lit(1)).cast("bigint").alias("n_tok"),
     )
+
+
+@register(
+    "q_graph_reach_recursive",
+    f"""
+    WITH RECURSIVE near AS MATERIALIZED ({_KHOP_NEAR_SQL}),
+    edges AS MATERIALIZED (
+      SELECT doc_a AS src, doc_b AS dst FROM near
+      UNION ALL SELECT doc_b, doc_a FROM near
+    ),
+    reach(node, hop) AS (
+      SELECT DISTINCT src AS node, 0 AS hop FROM edges WHERE src < 10
+      UNION ALL
+      SELECT e.dst, r.hop + 1
+      FROM reach r JOIN edges e ON e.src = r.node
+      WHERE r.hop < 3
+    )
+    SELECT node, CAST(min(hop) AS BIGINT) AS hops
+    FROM reach GROUP BY node
+    """,
+)
+def q_graph_reach_recursive(spark, sf_dir):
+    """Multi-hop reachability as a NATIVE recursive CTE (WITH
+    RECURSIVE, Spark 4) — the declarative twin of q_graph_khop's
+    manual frontier loop: the SAME recursive SQL text runs on both
+    engines, so what is pinned here is Spark's recursion semantics
+    themselves (UNION ALL step, depth guard in the recursive branch)
+    against an independent implementation. Seeds are graph nodes
+    with doc_id < 10; the depth guard hop < 3 bounds path
+    enumeration on this cyclic graph (UNION ALL enumerates WALKS —
+    without the guard a cycle recurses forever; with it, emitted
+    rows are bounded by seeds·branching³), and min(hop) collapses
+    walks to BFS distance. When to use which: the manual loop gives
+    per-round checkpointing and frontier dedup (the 100 TB shape —
+    walk enumeration explodes combinatorially on dense graphs);
+    native recursion wins on expressiveness for shallow bounded
+    traversals. Edge source is the cached similarity graph."""
+    p = _near_pairs_cached(spark, sf_dir, ngram=2, threshold=0.08)
+    edges = p.selectExpr("doc_a as src", "doc_b as dst").unionByName(
+        p.selectExpr("doc_b as src", "doc_a as dst")
+    )
+    edges.createOrReplaceTempView("reach_edges")
+    return spark.sql(
+        """
+        WITH RECURSIVE reach(node, hop) AS (
+          SELECT DISTINCT src AS node, 0 AS hop
+          FROM reach_edges WHERE src < 10
+          UNION ALL
+          SELECT e.dst, r.hop + 1
+          FROM reach r JOIN reach_edges e ON e.src = r.node
+          WHERE r.hop < 3
+        )
+        SELECT node, CAST(min(hop) AS BIGINT) AS hops
+        FROM reach GROUP BY node
+        """
+    )

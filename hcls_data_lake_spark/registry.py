@@ -158,7 +158,9 @@ def register(name: str, oracle: str | None) -> Callable[[QueryFn], QueryFn]:
 # q_text_hash_features signed hashing-trick featurizer,
 # q_join_null_skew sentinel-routed outer join,
 # q_ts_cross_correlation lagged rank lead-lag detector,
-# q_analytics_price_volume exact FP&A waterfall) — 94
+# q_analytics_price_volume exact FP&A waterfall,
+# q_graph_reach_recursive native WITH RECURSIVE reachability,
+# q_fn_sql_udf Catalyst-inlined SQL scalar + table functions) — 96
 # names; overflow past slot 50 rolls to r7 with the deferred
 # remainder; the first 50 of this list
 # form the r6 prefix, the small remainder rolls to r7.
@@ -281,6 +283,8 @@ _FAMILY_REPRESENTATIVES = [
     "q_join_null_skew",
     "q_ts_cross_correlation",
     "q_analytics_price_volume",
+    "q_graph_reach_recursive",
+    "q_fn_sql_udf",
     "q_layout_zorder",
     "q_fn_collation",
     "q_fn_json_build",
