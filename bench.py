@@ -191,6 +191,7 @@ EXTENDED = [
     "q_analytics_price_volume",  # exact price/volume YoY waterfall (r5)
     "q_graph_reach_recursive",  # native WITH RECURSIVE reachability (r5)
     "q_fn_sql_udf",           # Catalyst-inlined SQL scalar+table UDFs (r5)
+    "q_stream_state_inspect",  # statestore-reader state audit (r5)
 ]
 
 

@@ -1128,3 +1128,67 @@ def q_stream_observe(spark, sf_dir):
         F.min("min_ts_ns").cast("bigint").alias("min_ts_ns"),
         F.max("max_ts_ns").cast("bigint").alias("max_ts_ns"),
     )
+
+
+@register(
+    "q_stream_state_inspect",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_value_c
+    FROM events GROUP BY event_type
+    """,
+)
+def q_stream_state_inspect(spark, sf_dir):
+    """STATE STORE AS A TABLE (the Spark-4 'statestore' reader): after
+    a stateful streaming aggregation completes, its checkpointed
+    per-key state is read back as a DataFrame — the operational
+    debugging surface for 'what does the stream believe right now'
+    (skewed keys, stuck sessions, state bloat) WITHOUT a side output
+    or stopping the query. The inspected state of a completed
+    complete-mode aggregation must equal the batch aggregation of
+    the same input — which is exactly the check here: state rows
+    (key, value struct) are hash-verified against the batch oracle,
+    pinning not just the query result but Spark's state ENCODING
+    round-trip. The state read is partition-parallel (one state file
+    per shuffle partition); 4 state partitions sized to state
+    volume, the q_stream_tumbling discipline."""
+    import shutil
+    import uuid
+
+    from hcls_data_lake_spark.queries.common import scratch_dir
+
+    sdf = read_events_stream(spark, sf_dir)
+    agg = sdf.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.expr("cast(round(value * 100) as bigint)")).alias(
+            "sum_value_c"
+        ),
+    )
+    checkpoint = scratch_dir("ckpt", f"stinspect_{uuid.uuid4().hex[:10]}")
+    shutil.rmtree(checkpoint, ignore_errors=True)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        query = (
+            agg.writeStream.format("noop")
+            .outputMode("complete")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    state = spark.read.format("statestore").load(checkpoint)
+    # value-struct field order follows the agg column order; rename
+    # positionally so this does not depend on internal field naming
+    val_fields = state.schema["value"].dataType.names
+    return state.select(
+        F.col("key.event_type").alias("event_type"),
+        F.col(f"value.{val_fields[0]}").cast("bigint").alias("n_events"),
+        F.col(f"value.{val_fields[1]}")
+        .cast("bigint")
+        .alias("sum_value_c"),
+    )
