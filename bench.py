@@ -192,6 +192,7 @@ EXTENDED = [
     "q_graph_reach_recursive",  # native WITH RECURSIVE reachability (r5)
     "q_fn_sql_udf",           # Catalyst-inlined SQL scalar+table UDFs (r5)
     "q_stream_state_inspect",  # statestore-reader state audit (r5)
+    "q_fn_pipe_syntax",       # pipe-dialect plan equivalence (r5)
 ]
 
 

@@ -734,3 +734,43 @@ def q_fn_sql_udf(spark, sf_dir):
         FROM sqludf_part p, LATERAL long_words(p.p_name) lw
         """
     )
+
+
+@register(
+    "q_fn_pipe_syntax",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS rev_c,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def q_fn_pipe_syntax(spark, sf_dir):
+    """SQL PIPE syntax (|> operators, Spark 4 / the GoogleSQL pipe
+    dialect): the same logical plan written as a linear dataflow —
+    FROM |> WHERE |> AGGREGATE ... GROUP BY — instead of the
+    inside-out SELECT nesting. Registered because it is a real
+    dialect surface users will write against this engine, and the
+    verification point is that the pipe form PARSES TO THE
+    IDENTICAL PLAN: the oracle is the classic-SQL spelling, so the
+    cross-engine hash pins that |> stages add no semantic drift
+    (same filter pushdown, same partial aggregation — Catalyst
+    rewrites the pipe AST before optimization ever runs)."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("pipe_orders")
+    return spark.sql(
+        """
+        FROM pipe_orders
+        |> WHERE o_orderstatus = 'F'
+        |> AGGREGATE cast(count(*) as bigint) AS n_orders,
+                     cast(sum(cast(round(o_totalprice * 100) as bigint))
+                          as bigint) AS rev_c,
+                     cast(count(DISTINCT o_custkey) as bigint)
+                       AS n_customers
+           GROUP BY o_orderpriority
+        |> SELECT o_orderpriority, n_orders, rev_c, n_customers
+        """
+    )

@@ -161,7 +161,8 @@ def register(name: str, oracle: str | None) -> Callable[[QueryFn], QueryFn]:
 # q_analytics_price_volume exact FP&A waterfall,
 # q_graph_reach_recursive native WITH RECURSIVE reachability,
 # q_fn_sql_udf Catalyst-inlined SQL scalar + table functions,
-# q_stream_state_inspect statestore-reader state audit) — 97
+# q_stream_state_inspect statestore-reader state audit,
+# q_fn_pipe_syntax GoogleSQL pipe-dialect plan equivalence) — 98
 # names; overflow past slot 50 rolls to r7 with the deferred
 # remainder; the first 50 of this list
 # form the r6 prefix, the small remainder rolls to r7.
@@ -287,6 +288,7 @@ _FAMILY_REPRESENTATIVES = [
     "q_graph_reach_recursive",
     "q_fn_sql_udf",
     "q_stream_state_inspect",
+    "q_fn_pipe_syntax",
     "q_layout_zorder",
     "q_fn_collation",
     "q_fn_json_build",
