@@ -193,6 +193,8 @@ EXTENDED = [
     "q_fn_sql_udf",           # Catalyst-inlined SQL scalar+table UDFs (r5)
     "q_stream_state_inspect",  # statestore-reader state audit (r5)
     "q_fn_pipe_syntax",       # pipe-dialect plan equivalence (r5)
+    "q_scan_metadata_cols",   # _metadata path-derived lineage audit (r5)
+    "q_text_distinctive_terms",  # corpus-comparison vocabulary drift (r5)
 ]
 
 

@@ -692,3 +692,94 @@ def q_privacy_dp_histogram(spark, sf_dir):
             f"cast(greatest(0, n + (cast({pop} as bigint) - 32)) as bigint)"
         ).alias("noisy_n"),
     )
+
+
+@register(
+    "q_text_distinctive_terms",
+    """
+    WITH toks AS (
+      SELECT lang = 'en' AS is_en,
+             unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE lang IN ('en', 'de')
+    ), counts AS (
+      SELECT tok,
+             CAST(SUM(CASE WHEN is_en THEN 1 ELSE 0 END) AS BIGINT)
+               AS a_n,
+             CAST(SUM(CASE WHEN is_en THEN 0 ELSE 1 END) AS BIGINT)
+               AS b_n
+      FROM toks GROUP BY tok
+    ), tot AS (
+      SELECT SUM(a_n) AS a_tot, SUM(b_n) AS b_tot,
+             CAST(count(*) AS BIGINT) AS v
+      FROM counts
+    )
+    SELECT tok, a_n, b_n,
+           CAST((a_n + 1) * (b_tot + v) * 1000000
+                // ((b_n + 1) * (a_tot + v)) AS BIGINT) AS odds_ppm
+    FROM counts, tot
+    WHERE a_n + b_n >= 50
+      AND ((a_n + 1) * (b_tot + v) * 100
+             >= 110 * (b_n + 1) * (a_tot + v)
+        OR (b_n + 1) * (a_tot + v) * 100
+             >= 110 * (a_n + 1) * (b_tot + v))
+    """,
+)
+def q_text_distinctive_terms(spark, sf_dir):
+    """Corpus-comparison DISTINCTIVE TERMS ('fightin' words'
+    Monroe-Colaresi-Quinn shape without the log): which vocabulary
+    over-indexes in the en slice vs the de slice — the drift probe
+    run between two data sources, two time snapshots, or a corpus
+    and its benchmark before mixing them. The smoothed rate ratio
+    (a_n+1)/(a_tot+V) vs (b_n+1)/(b_tot+V) (add-one Dirichlet, so
+    unseen-in-one-side words stay finite) is evaluated ENTIRELY
+    cross-multiplied — the emission band (±1.1x here, with a support
+    floor of 50 — sized to this corpus's nearly-uniform synthetic
+    vocabulary; real corpora run ±2-5x) and the reported
+    odds_ppm are integer expressions, where the standard log-odds
+    spelling would hang engine-dependent ln() ulps on every row
+    (the q_diag_distribution_drift lesson, applied to vocabulary).
+    Plan: one token explode + one (token) shuffle; the totals are a
+    1-row aggregate of the token relation broadcast back (the tiny
+    cross join is over a 1-row side). Complements q_text_tfidf
+    (within-corpus salience) and q_text_keywords (per-doc): this
+    one is BETWEEN-corpora."""
+    d = t(spark, sf_dir, "documents").filter(
+        F.col("lang").isin("en", "de")
+    )
+    toks = d.select(
+        (F.col("lang") == "en").alias("is_en"),
+        F.explode(F.split("text", " ")).alias("tok"),
+    )
+    counts = toks.groupBy("tok").agg(
+        F.sum(F.expr("case when is_en then 1 else 0 end"))
+        .cast("bigint")
+        .alias("a_n"),
+        F.sum(F.expr("case when is_en then 0 else 1 end"))
+        .cast("bigint")
+        .alias("b_n"),
+    )
+    tot = counts.agg(
+        F.sum("a_n").alias("a_tot"),
+        F.sum("b_n").alias("b_tot"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+    )
+    return (
+        counts.join(F.broadcast(tot))
+        .filter(
+            F.expr(
+                "a_n + b_n >= 50 and ((a_n + 1) * (b_tot + v) * 100"
+                " >= 110 * (b_n + 1) * (a_tot + v)"
+                " or (b_n + 1) * (a_tot + v) * 100"
+                " >= 110 * (a_n + 1) * (b_tot + v))"
+            )
+        )
+        .select(
+            "tok",
+            "a_n",
+            "b_n",
+            F.expr(
+                "cast((a_n + 1) * (b_tot + v) * 1000000"
+                " div ((b_n + 1) * (a_tot + v)) as bigint)"
+            ).alias("odds_ppm"),
+        )
+    )

@@ -727,3 +727,50 @@ def q_scan_parquet_footer(spark, sf_dir):
         "row_group_id bigint, column_name string, n_values bigint,"
         " compressed_bytes bigint",
     )
+
+
+@register(
+    "q_scan_metadata_cols",
+    """
+    SELECT o_orderstatus AS status_from_path,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_scan_metadata_cols(spark, sf_dir):
+    """Hidden _metadata FILE-PROVENANCE columns: every file-source row
+    carries _metadata.file_path / file_name / file_size /
+    file_modification_time for free — the lineage hook that lets a
+    100 TB pipeline answer 'which FILE did this bad row come from'
+    without a custom input_file_name() projection sprinkled through
+    the code. Here provenance is made load-bearing: the partition
+    value is re-derived FROM THE FILE PATH (regexp over
+    _metadata.file_path, never reading the column itself) and
+    aggregated; the oracle groups by the real column, so the hash
+    match proves path-derived lineage agrees with the data — the
+    audit a hive-layout lake runs after a partition backfill. File
+    names and sizes are task-run-dependent (never emitted); the
+    path's partition segment is the deterministic part."""
+    path = scratch_for(sf_dir, "orders_by_status")
+    orders = t(spark, sf_dir, "orders")
+    import os
+
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        orders.write.mode("overwrite").partitionBy(
+            "o_orderstatus"
+        ).parquet(path)
+    back = spark.read.parquet(path)
+    return (
+        back.select(
+            F.regexp_extract(
+                F.col("_metadata.file_path"), r"o_orderstatus=([^/]+)/", 1
+            ).alias("status_from_path"),
+            "o_orderkey",
+        )
+        .groupBy("status_from_path")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct("o_orderkey").cast("bigint").alias("n_keys"),
+        )
+    )

@@ -162,7 +162,10 @@ def register(name: str, oracle: str | None) -> Callable[[QueryFn], QueryFn]:
 # q_graph_reach_recursive native WITH RECURSIVE reachability,
 # q_fn_sql_udf Catalyst-inlined SQL scalar + table functions,
 # q_stream_state_inspect statestore-reader state audit,
-# q_fn_pipe_syntax GoogleSQL pipe-dialect plan equivalence) — 98
+# q_fn_pipe_syntax GoogleSQL pipe-dialect plan equivalence,
+# q_scan_metadata_cols _metadata path-derived lineage audit,
+# q_text_distinctive_terms cross-multiplied corpus-comparison
+# vocabulary) — 100
 # names; overflow past slot 50 rolls to r7 with the deferred
 # remainder; the first 50 of this list
 # form the r6 prefix, the small remainder rolls to r7.
@@ -289,6 +292,8 @@ _FAMILY_REPRESENTATIVES = [
     "q_fn_sql_udf",
     "q_stream_state_inspect",
     "q_fn_pipe_syntax",
+    "q_scan_metadata_cols",
+    "q_text_distinctive_terms",
     "q_layout_zorder",
     "q_fn_collation",
     "q_fn_json_build",

@@ -348,6 +348,7 @@ _BNLJ_ALLOWED = {
     "q_analytics_rolling_actives",  # days x keyspace/63 dense bitmap grid
     #                                 (both sides calendar/keyspace-bounded)
     "q_ts_cross_correlation",  # 4-literal lag spine broadcast onto days
+    "q_text_distinctive_terms",  # 1-row corpus totals broadcast back
 }
 
 
