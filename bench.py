@@ -195,6 +195,7 @@ EXTENDED = [
     "q_fn_pipe_syntax",       # pipe-dialect plan equivalence (r5)
     "q_scan_metadata_cols",   # _metadata path-derived lineage audit (r5)
     "q_text_distinctive_terms",  # corpus-comparison vocabulary drift (r5)
+    "q_udf_apply_in_arrow",   # zero-copy grouped-map gap statistics (r5)
 ]
 
 

@@ -956,3 +956,80 @@ def q_pipeline_expire(spark, sf_dir):
         F.min("ts_ns").alias("min_ts_ns"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@register(
+    "q_udf_apply_in_arrow",
+    """
+    WITH gaps AS (
+      SELECT user_id,
+             epoch_ns(ts) - lag(epoch_ns(ts))
+               OVER (PARTITION BY user_id ORDER BY epoch_ns(ts),
+                     event_id) AS gap_ns
+      FROM events
+    ), agg AS (
+      SELECT user_id, list_sort(list(gap_ns)) AS g
+      FROM gaps WHERE gap_ns IS NOT NULL GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(g) AS BIGINT) AS n_gaps,
+           CAST(g[(len(g) + 1) // 2] AS BIGINT) AS median_gap_ns,
+           CAST(g[1] AS BIGINT) AS min_gap_ns,
+           CAST(g[len(g)] AS BIGINT) AS max_gap_ns
+    FROM agg
+    """,
+)
+def q_udf_apply_in_arrow(spark, sf_dir):
+    """Grouped applyInArrow — the zero-copy tier of the grouped-map
+    API family (applyInPandas's sibling that skips the
+    Arrow→pandas materialization entirely; §2.B's UDF ladder is
+    pandas_udf → applyInPandas → mapInArrow → THIS): each user's
+    events arrive as a pyarrow.Table, and inter-event gap statistics
+    (count / LOWER median / min / max of sorted ts deltas) compute
+    with pyarrow kernels only. Everything emitted is exact integer
+    nanoseconds — the lower median is an ELEMENT of the gap list,
+    not an interpolation — so the Python boundary itself is
+    value-hash-pinned against DuckDB list arithmetic (same
+    sort-and-index recipe, ties in ts broken by event_id on both
+    sides). Per-group state is that user's events only; the shuffle
+    is the one groupBy(user) exchange."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def gap_stats(tbl: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            tbl, sort_keys=[("ts_ns", "ascending"), ("event_id", "ascending")]
+        )
+        ts = pc.take(tbl.column("ts_ns"), idx)
+        if len(ts) < 2:
+            gaps = pa.array([], type=pa.int64())
+        else:
+            gaps = pc.subtract(ts.slice(1), ts.slice(0, len(ts) - 1))
+            gaps = pc.take(gaps, pc.sort_indices(gaps))
+        n = len(gaps)
+        med = gaps[(n + 1) // 2 - 1].as_py() if n else None
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    [tbl.column("user_id")[0].as_py()], type=pa.int64()
+                ),
+                "n_gaps": pa.array([n], type=pa.int64()),
+                "median_gap_ns": pa.array([med], type=pa.int64()),
+                "min_gap_ns": pa.array(
+                    [gaps[0].as_py() if n else None], type=pa.int64()
+                ),
+                "max_gap_ns": pa.array(
+                    [gaps[n - 1].as_py() if n else None], type=pa.int64()
+                ),
+            }
+        )
+
+    e = t(spark, sf_dir, "events").select("user_id", "event_id", "ts_ns")
+    out = e.groupBy("user_id").applyInArrow(
+        gap_stats,
+        schema=(
+            "user_id bigint, n_gaps bigint, median_gap_ns bigint,"
+            " min_gap_ns bigint, max_gap_ns bigint"
+        ),
+    )
+    return out.filter(F.col("n_gaps") > 0)
