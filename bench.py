@@ -196,6 +196,7 @@ EXTENDED = [
     "q_scan_metadata_cols",   # _metadata path-derived lineage audit (r5)
     "q_text_distinctive_terms",  # corpus-comparison vocabulary drift (r5)
     "q_udf_apply_in_arrow",   # zero-copy grouped-map gap statistics (r5)
+    "q_join_shuffle_hash",    # sort-free SHUFFLE_HASH strategy hint (r5)
 ]
 
 

@@ -1141,3 +1141,46 @@ def q_join_null_skew(spark, sf_dir):
             F.sum("v_c").cast("bigint").alias("v_c_sum"),
         )
     )
+
+
+@register(
+    "q_join_shuffle_hash",
+    """
+    SELECT l.l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS ext_c
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY l.l_returnflag
+    """,
+)
+def q_join_shuffle_hash(spark, sf_dir):
+    """Join STRATEGY control — the SHUFFLE_HASH hint: when both sides
+    are too big to broadcast, Spark defaults to sort-merge, which
+    pays a full sort of BOTH sides; a shuffled hash join skips both
+    sorts and builds a hash table per partition from the smaller
+    side — the right call when one side is much smaller per
+    partition and spills are not a risk (build side must fit; SMJ
+    degrades more gracefully, which is WHY it's the default). At
+    100 TB this hint is a per-join decision worth real cluster
+    hours: sort cost is the difference. The result is
+    hash-identical to the unhinted join (the oracle is plain SQL);
+    tests/test_plans pins that the physical plan actually contains
+    ShuffledHashJoin and NO sort below the join."""
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).hint("shuffle_hash")
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.expr(
+                "cast(sum(cast(round(l_extendedprice * 100) as bigint))"
+                " as bigint)"
+            ).alias("ext_c"),
+        )
+    )

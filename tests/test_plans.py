@@ -731,3 +731,19 @@ def test_graph_cache_evicts_other_application_entries(spark, sf_dir):
     assert all(
         k[0] == spark.sparkContext.applicationId for k in llm._GRAPH_CACHE
     )
+
+
+def test_shuffle_hash_hint_avoids_sort(spark, sf_dir):
+    """The SHUFFLE_HASH hint must produce a ShuffledHashJoin with no
+    Sort below it (the whole point vs sort-merge). Broadcast is
+    disabled to model the at-scale condition where the hint matters —
+    at fixture scale Catalyst would otherwise just broadcast."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = registry.queries()["q_join_shuffle_hash"](spark, sf_dir)
+        plan = plan_of(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
