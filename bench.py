@@ -197,6 +197,8 @@ EXTENDED = [
     "q_text_distinctive_terms",  # corpus-comparison vocabulary drift (r5)
     "q_udf_apply_in_arrow",   # zero-copy grouped-map gap statistics (r5)
     "q_join_shuffle_hash",    # sort-free SHUFFLE_HASH strategy hint (r5)
+    "q_analytics_lifecycle",  # growth-accounting lifecycle states (r5)
+    "q_embed_recall_audit",   # engine-verified ANN recall evaluation (r5)
 ]
 
 

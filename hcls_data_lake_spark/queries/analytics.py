@@ -2615,3 +2615,76 @@ def q_analytics_price_volume(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "q_analytics_lifecycle",
+    """
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             CAST(epoch_ns(ts) // 604800000000000 AS BIGINT) AS wk
+      FROM events
+    ), seq AS (
+      SELECT user_id, wk,
+             lag(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk,
+             lead(wk) OVER (PARTITION BY user_id ORDER BY wk) AS next_wk
+      FROM uw
+    ), states AS (
+      SELECT wk,
+             CASE WHEN prev_wk IS NULL THEN 'new'
+                  WHEN wk = prev_wk + 1 THEN 'retained'
+                  ELSE 'resurrected' END AS state,
+             CASE WHEN next_wk IS NULL OR next_wk > wk + 1
+                  THEN 1 ELSE 0 END AS churns_after
+      FROM seq
+    )
+    SELECT CAST(wk AS BIGINT) AS wk, state,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(SUM(churns_after) AS BIGINT) AS churning_after
+    FROM states GROUP BY wk, state
+    """,
+)
+def q_analytics_lifecycle(spark, sf_dir):
+    """Full growth-accounting LIFECYCLE states (the Reforge/startup
+    standard that q_analytics_new_vs_returning's binary split rolls
+    up to): each active user-week is classified new (first ever) /
+    retained (active previous week too) / resurrected (returning
+    after a gap), and churning_after marks users whose NEXT active
+    week is not wk+1 — the forward-looking churn cell that makes
+    the accounting identity auditable: actives(w+1) =
+    retained(w+1) + new(w+1) + resurrected(w+1), and retained(w+1)
+    = actives(w) − churning_after(w). One distinct-shuffle to
+    user-weeks, one per-user window (LAG and LEAD share the sort),
+    then a groupBy on the bounded week×state grid. All integers,
+    calendar-bounded output at any corpus size."""
+    e = t(spark, sf_dir, "events")
+    uw = e.select(
+        "user_id",
+        F.expr("cast(ts_ns div 604800000000000 as bigint)").alias("wk"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("wk")
+    seq = uw.select(
+        "wk",
+        F.lag("wk").over(w).alias("prev_wk"),
+        F.lead("wk").over(w).alias("next_wk"),
+    )
+    states = seq.select(
+        "wk",
+        F.when(F.col("prev_wk").isNull(), "new")
+        .when(F.col("wk") == F.col("prev_wk") + 1, "retained")
+        .otherwise("resurrected")
+        .alias("state"),
+        F.when(
+            F.col("next_wk").isNull()
+            | (F.col("next_wk") > F.col("wk") + 1),
+            1,
+        )
+        .otherwise(0)
+        .alias("churns_after"),
+    )
+    return states.groupBy(
+        F.col("wk").cast("bigint").alias("wk"), "state"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("churns_after").cast("bigint").alias("churning_after"),
+    )

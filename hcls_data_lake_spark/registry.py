@@ -166,7 +166,9 @@ def register(name: str, oracle: str | None) -> Callable[[QueryFn], QueryFn]:
 # q_scan_metadata_cols _metadata path-derived lineage audit,
 # q_text_distinctive_terms cross-multiplied corpus-comparison
 # vocabulary, q_udf_apply_in_arrow zero-copy grouped-map gap
-# statistics, q_join_shuffle_hash sort-free strategy hint) — 102
+# statistics, q_join_shuffle_hash sort-free strategy hint,
+# q_analytics_lifecycle growth-accounting state machine,
+# q_embed_recall_audit engine-verified ANN evaluation) — 104
 # names; overflow past slot 50 rolls to r7 with the deferred
 # remainder; the first 50 of this list
 # form the r6 prefix, the small remainder rolls to r7.
@@ -297,6 +299,8 @@ _FAMILY_REPRESENTATIVES = [
     "q_text_distinctive_terms",
     "q_udf_apply_in_arrow",
     "q_join_shuffle_hash",
+    "q_analytics_lifecycle",
+    "q_embed_recall_audit",
     "q_layout_zorder",
     "q_fn_collation",
     "q_fn_json_build",
