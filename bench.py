@@ -199,6 +199,7 @@ EXTENDED = [
     "q_join_shuffle_hash",    # sort-free SHUFFLE_HASH strategy hint (r5)
     "q_analytics_lifecycle",  # growth-accounting lifecycle states (r5)
     "q_embed_recall_audit",   # engine-verified ANN recall evaluation (r5)
+    "q_sim_ann_multiprobe",   # Hamming-1 multi-probe recall lift (r5)
 ]
 
 

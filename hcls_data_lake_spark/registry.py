@@ -168,7 +168,8 @@ def register(name: str, oracle: str | None) -> Callable[[QueryFn], QueryFn]:
 # vocabulary, q_udf_apply_in_arrow zero-copy grouped-map gap
 # statistics, q_join_shuffle_hash sort-free strategy hint,
 # q_analytics_lifecycle growth-accounting state machine,
-# q_embed_recall_audit engine-verified ANN evaluation) — 104
+# q_embed_recall_audit engine-verified ANN evaluation,
+# q_sim_ann_multiprobe Hamming-1 probe-expansion recall lift) — 105
 # names; overflow past slot 50 rolls to r7 with the deferred
 # remainder; the first 50 of this list
 # form the r6 prefix, the small remainder rolls to r7.
@@ -301,6 +302,7 @@ _FAMILY_REPRESENTATIVES = [
     "q_join_shuffle_hash",
     "q_analytics_lifecycle",
     "q_embed_recall_audit",
+    "q_sim_ann_multiprobe",
     "q_layout_zorder",
     "q_fn_collation",
     "q_fn_json_build",

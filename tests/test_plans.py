@@ -350,6 +350,7 @@ _BNLJ_ALLOWED = {
     "q_ts_cross_correlation",  # 4-literal lag spine broadcast onto days
     "q_text_distinctive_terms",  # 1-row corpus totals broadcast back
     "q_embed_recall_audit",  # 150-query block broadcast x candidates
+    "q_sim_ann_multiprobe",  # same exact-side query-block broadcast
 }
 
 
