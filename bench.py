@@ -200,6 +200,9 @@ EXTENDED = [
     "q_analytics_lifecycle",  # growth-accounting lifecycle states (r5)
     "q_embed_recall_audit",   # engine-verified ANN recall evaluation (r5)
     "q_sim_ann_multiprobe",   # Hamming-1 multi-probe recall lift (r5)
+    "q_graph_modularity",     # exact partition-quality score (r5)
+    "q_ts_drawdown",          # running-peak max-drawdown curve (r5)
+    "q_privacy_randomized_response",  # seeded local-DP mechanism (r5)
 ]
 
 

@@ -783,3 +783,69 @@ def q_text_distinctive_terms(spark, sf_dir):
             ).alias("odds_ppm"),
         )
     )
+
+
+@register(
+    "q_privacy_randomized_response",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'purchase' AND value > 200
+                      THEN 1 ELSE 0 END) AS truth
+      FROM events GROUP BY user_id
+    ), reported AS (
+      SELECT user_id,
+             CASE WHEN (strpos('0123456789abcdef',
+                          substr(md5('rr:v1:'
+                                     || CAST(user_id AS VARCHAR)), 1, 1))
+                        - 1) % 4 = 0
+                  THEN 1 - truth ELSE truth END AS resp
+      FROM per_user
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(SUM(resp) AS BIGINT) AS yes_reported,
+           CAST(2 * SUM(resp) - (count(*) + 1) // 2 AS BIGINT)
+             AS debiased_x1
+    FROM reported
+    """,
+)
+def q_privacy_randomized_response(spark, sf_dir):
+    """LOCAL differential privacy via RANDOMIZED RESPONSE (Warner
+    1965) — the per-record mechanism that complements
+    q_privacy_dp_histogram's central noise: each user's sensitive
+    bit (big-ticket purchaser) is FLIPPED with probability 1/4
+    before it ever reaches aggregation, so no individual row in the
+    reported relation is trustworthy while the population count
+    debiases exactly: E[yes] = 3/4·t + 1/4·(n−t) ⇒ t̂ =
+    2·yes − n/2, emitted as the integer debiased_x1 (×1, with n/2
+    rounded up — pinned). The flip decision is the md5-nibble
+    family keyed per user ('rr:v1:' tag — a keyed PRF in the seeded
+    deployment, rotate to redraw), so BOTH engines derive identical
+    flips and the hash check covers mechanism + debiasing, which
+    true randomness never could. Plan: user-keyed partial agg, map-
+    side flip arithmetic, 1-row reduce. The seeded determinism is
+    the auditable-pipeline trade: ε comes from flip probability,
+    reproducibility from the keyed seed."""
+    e = t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.expr(
+            "max(case when event_type = 'purchase' and value > 200"
+            " then 1 else 0 end)"
+        ).alias("truth")
+    )
+    flip = (
+        "(instr('0123456789abcdef', substr(md5(cast(concat('rr:v1:',"
+        " cast(user_id as string)) as binary)), 1, 1)) - 1) % 4 = 0"
+    )
+    reported = per_user.select(
+        F.expr(
+            f"case when {flip} then 1 - truth else truth end"
+        ).alias("resp")
+    )
+    return reported.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("resp").cast("bigint").alias("yes_reported"),
+        F.expr(
+            "cast(2 * sum(resp) - (count(1) + 1) div 2 as bigint)"
+        ).alias("debiased_x1"),
+    )

@@ -3936,3 +3936,103 @@ def q_sim_ann_multiprobe(spark, sf_dir):
         .groupBy("qid")
         .agg(F.count("hit").cast("bigint").alias("hits"))
     )
+
+
+@register(
+    "q_graph_modularity",
+    f"""
+    WITH RECURSIVE near AS MATERIALIZED ({_KHOP_NEAR_SQL}),
+    edges AS MATERIALIZED (
+      SELECT doc_a AS a, doc_b AS b FROM near
+      UNION ALL SELECT doc_b, doc_a FROM near
+    ),
+    reach(node, r) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node
+    ),
+    labels AS MATERIALIZED (
+      SELECT node, MIN(r) AS label FROM reach GROUP BY node
+    ),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM near),
+    internal AS (
+      SELECT la.label, CAST(count(*) AS BIGINT) AS in_edges
+      FROM near n
+      JOIN labels la ON la.node = n.doc_a
+      GROUP BY la.label
+    ),
+    degsum AS (
+      SELECT la.label,
+             CAST(count(*) AS BIGINT) AS deg_sum,
+             CAST(count(DISTINCT e.a) AS BIGINT) AS n_nodes
+      FROM edges e JOIN labels la ON la.node = e.a
+      GROUP BY la.label
+    )
+    SELECT d.label AS cluster_id,
+           d.n_nodes,
+           COALESCE(i.in_edges, 0) AS in_edges,
+           d.deg_sum,
+           CAST(4 * m.m * COALESCE(i.in_edges, 0)
+                - d.deg_sum * d.deg_sum AS BIGINT) AS contrib_x4m2
+    FROM degsum d LEFT JOIN internal i ON i.label = d.label, m
+    """,
+)
+def q_graph_modularity(spark, sf_dir):
+    """Newman MODULARITY of the connected-component partition, exact:
+    Q = Σ_c [in_c/m − (deg_c/2m)²] quantifies whether the dedup
+    clusters are genuinely denser than chance — the quality score
+    that separates 'real duplicate families' from 'threshold set too
+    low, everything glued together'. Emitted per cluster as the
+    cross-multiplied integer contribution Q·4m² = 4·m·in_c − deg_c²
+    (plus the raw in_c/deg_c/n_nodes facts), so the score is a
+    BIGINT identity, not a float sum — for CC labels every edge is
+    internal (in_c sums to m) so each contribution reduces to
+    4·m·in_c − deg_c² ≥ 0 with equality only for a clique-free
+    partition; the verifier sums the bounded per-cluster relation.
+    Labels come from operators/dedup.connected_components (the
+    iterative min-label propagation, checkpoint discipline audited
+    in r3); the oracle re-derives them with a recursive-CTE
+    transitive closure — two INDEPENDENT CC algorithms agreeing on
+    the partition before modularity is even compared. Plan: CC
+    rounds + three label-keyed aggregates over the cached graph."""
+    from hcls_data_lake_spark.operators.dedup import connected_components
+
+    pairs = _near_pairs_cached(spark, sf_dir, ngram=2, threshold=0.08)
+    pairs = pairs.select("doc_a", "doc_b").localCheckpoint()
+    labels = connected_components(pairs).select(
+        F.col("node").alias("lnode"), F.col("label")
+    )
+    m_val = pairs.count()
+    edges = pairs.selectExpr("doc_a as a", "doc_b as b").unionByName(
+        pairs.selectExpr("doc_b as a", "doc_a as b")
+    )
+    internal = (
+        pairs.join(labels, pairs.doc_a == labels.lnode)
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("in_edges"))
+    )
+    degsum = (
+        edges.join(labels, edges.a == labels.lnode)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("deg_sum"),
+            F.countDistinct("a").cast("bigint").alias("n_nodes"),
+        )
+    )
+    return (
+        degsum.join(internal, "label", "left")
+        .select(
+            F.col("label").alias("cluster_id"),
+            "n_nodes",
+            F.coalesce("in_edges", F.lit(0))
+            .cast("bigint")
+            .alias("in_edges"),
+            "deg_sum",
+            (
+                F.lit(4 * m_val) * F.coalesce("in_edges", F.lit(0))
+                - F.col("deg_sum") * F.col("deg_sum")
+            )
+            .cast("bigint")
+            .alias("contrib_x4m2"),
+        )
+    )

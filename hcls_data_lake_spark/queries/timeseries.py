@@ -1357,3 +1357,84 @@ def q_ts_cross_correlation(spark, sf_dir):
             " div (count(1) * (count(1) * count(1) - 1)) as bigint)"
         ).alias("rho_ppm"),
     )
+
+
+@register(
+    "q_ts_drawdown",
+    """
+    WITH daily AS (
+      SELECT CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS d,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                           THEN CAST(round(value * 100) AS BIGINT)
+                           ELSE -CAST(round(value * 100) AS BIGINT)
+                      END) AS BIGINT) AS flow_c
+      FROM events WHERE event_type IN ('purchase', 'error')
+      GROUP BY 1
+    ), curve AS (
+      SELECT d, flow_c,
+             SUM(flow_c) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS equity_c
+      FROM daily
+    ), dd AS (
+      SELECT d, equity_c,
+             MAX(equity_c) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS peak_c
+      FROM curve
+    )
+    SELECT CAST(d AS BIGINT) AS d_day,
+           CAST(equity_c AS BIGINT) AS equity_c,
+           CAST(peak_c AS BIGINT) AS peak_c,
+           CAST(peak_c - equity_c AS BIGINT) AS drawdown_c,
+           CAST(MAX(peak_c - equity_c) OVER (ORDER BY d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS max_drawdown_c
+    FROM dd
+    """,
+)
+def q_ts_drawdown(spark, sf_dir):
+    """Running MAXIMUM DRAWDOWN of a daily net-flow equity curve
+    (purchases credit, errors debit — a P&L stand-in): drawdown(d) =
+    running-peak(equity) − equity, and max_drawdown is its running
+    max — the risk metric that, unlike variance, is ORDER-SENSITIVE
+    (the same daily flows reordered give a different drawdown), so
+    it inherently needs the cumulative pass and cannot be a
+    commutative aggregate. Three stacked running frames (cumsum →
+    running max → running max of the difference) share ONE
+    WindowExec sort over the calendar-bounded daily relation; exact
+    integer cents end-to-end. Scale: the fact reduces once to days;
+    the sequential dependence lives only on the days-sized series
+    (the distributed form is the two-pass prefix-scan, same as
+    q_pack_shards' offsets)."""
+    e = events(spark, sf_dir)
+    daily = e.filter(
+        F.col("event_type").isin("purchase", "error")
+    ).groupBy(
+        F.expr("cast(ts_ns div 86400000000000 as bigint)").alias("d")
+    ).agg(
+        F.expr(
+            "cast(sum(case when event_type = 'purchase'"
+            " then cast(round(value * 100) as bigint)"
+            " else -cast(round(value * 100) as bigint) end) as bigint)"
+        ).alias("flow_c")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    curve = daily.select(
+        "d", F.sum("flow_c").over(w).alias("equity_c")
+    )
+    dd = curve.select(
+        "d", "equity_c", F.max("equity_c").over(w).alias("peak_c")
+    )
+    return dd.select(
+        F.col("d").cast("bigint").alias("d_day"),
+        F.col("equity_c").cast("bigint").alias("equity_c"),
+        F.col("peak_c").cast("bigint").alias("peak_c"),
+        (F.col("peak_c") - F.col("equity_c"))
+        .cast("bigint")
+        .alias("drawdown_c"),
+        F.max(F.col("peak_c") - F.col("equity_c"))
+        .over(w)
+        .cast("bigint")
+        .alias("max_drawdown_c"),
+    )

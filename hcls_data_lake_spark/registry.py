@@ -169,7 +169,10 @@ def register(name: str, oracle: str | None) -> Callable[[QueryFn], QueryFn]:
 # statistics, q_join_shuffle_hash sort-free strategy hint,
 # q_analytics_lifecycle growth-accounting state machine,
 # q_embed_recall_audit engine-verified ANN evaluation,
-# q_sim_ann_multiprobe Hamming-1 probe-expansion recall lift) — 105
+# q_sim_ann_multiprobe Hamming-1 probe-expansion recall lift,
+# q_graph_modularity exact cross-multiplied partition quality,
+# q_ts_drawdown running-peak equity risk curve,
+# q_privacy_randomized_response seeded Warner-1965 local DP) — 108
 # names; overflow past slot 50 rolls to r7 with the deferred
 # remainder; the first 50 of this list
 # form the r6 prefix, the small remainder rolls to r7.
@@ -303,6 +306,9 @@ _FAMILY_REPRESENTATIVES = [
     "q_analytics_lifecycle",
     "q_embed_recall_audit",
     "q_sim_ann_multiprobe",
+    "q_graph_modularity",
+    "q_ts_drawdown",
+    "q_privacy_randomized_response",
     "q_layout_zorder",
     "q_fn_collation",
     "q_fn_json_build",
