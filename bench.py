@@ -203,6 +203,7 @@ EXTENDED = [
     "q_graph_modularity",     # exact partition-quality score (r5)
     "q_ts_drawdown",          # running-peak max-drawdown curve (r5)
     "q_privacy_randomized_response",  # seeded local-DP mechanism (r5)
+    "q_dedup_blocking_quality",  # banding precision/recall audit (r5)
 ]
 
 

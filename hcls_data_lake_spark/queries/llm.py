@@ -4036,3 +4036,104 @@ def q_graph_modularity(spark, sf_dir):
             .alias("contrib_x4m2"),
         )
     )
+
+
+@register(
+    "q_dedup_blocking_quality",
+    """
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS w
+      FROM documents WHERE doc_id < 300
+    ), shingled AS (
+      SELECT doc_id,
+             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                            for i in range(1, len(w) - 1)]) AS shingles
+      FROM docs WHERE len(w) >= 3
+    ), mh AS (
+      SELECT s.doc_id, p.perm,
+             MIN(md5(CAST(p.perm AS VARCHAR) || ':' || u.sh)) AS h
+      FROM shingled s, (SELECT unnest(range(16)) AS perm) p,
+           unnest(s.shingles) AS u(sh)
+      GROUP BY s.doc_id, p.perm
+    ), bands AS (
+      SELECT doc_id, CAST(perm // 4 AS INT) AS band,
+             string_agg(h, '|' ORDER BY perm) AS band_key
+      FROM mh GROUP BY doc_id, perm // 4
+    ), cand AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id
+    ), exact AS MATERIALIZED (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM shingled a JOIN shingled b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / (len(a.shingles) + len(b.shingles)
+               - len(list_intersect(a.shingles, b.shingles))) >= 0.2
+    ), tp AS (
+      SELECT count(*) AS tp FROM cand c
+      JOIN exact e ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b
+    )
+    SELECT CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+           CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_cand,
+           CAST(tp.tp AS BIGINT) AS tp,
+           CAST((SELECT count(*) FROM exact) - tp.tp AS BIGINT) AS fn,
+           CAST(tp.tp * 1000000
+                // GREATEST((SELECT count(*) FROM exact), 1) AS BIGINT)
+             AS recall_ppm,
+           CAST(tp.tp * 1000000
+                // GREATEST((SELECT count(*) FROM cand), 1) AS BIGINT)
+             AS precision_ppm
+    FROM tp
+    """,
+)
+def q_dedup_blocking_quality(spark, sf_dir):
+    """BLOCKING-QUALITY AUDIT for the dedup pipeline — the text twin
+    of q_embed_recall_audit: the md5-minhash banding's candidate
+    pairs (q_dedup_lsh_bands' exact implementation, invoked through
+    the registry so the audit measures the REAL blocking stage, not
+    a copy) versus ground-truth 3-gram Jaccard ≥ 0.2 pairs,
+    emitting tp / fn / recall_ppm (banding's miss rate — the
+    correctness cost of LSH blocking) and precision_ppm (what
+    fraction of candidate verifications is wasted — the compute
+    cost). These two numbers ARE the banding tuning trade (bands ×
+    rows per band move recall against candidate volume), and both
+    engines compute mechanism AND ground truth, so the audit is
+    hash-verified end-to-end. On THIS fixture both read 1.0 — the
+    near-dups are near-verbatim copies, so all 16 minhashes agree;
+    real corpora with partial overlap show the trade (and the ANN
+    twin shows a non-degenerate 0.13→0.50 on embeddings). Plan:
+    banded candidate build (one shingle shuffle) + ground truth off
+    the cached pair graph + two bounded intersection counts; at
+    100 TB run it on a sampled stratum — the estimate needs pairs,
+    not the corpus."""
+    from hcls_data_lake_spark.registry import REGISTRY
+
+    cand = (
+        REGISTRY["q_dedup_lsh_bands"].fn(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    exact = (
+        _near_pairs_cached(spark, sf_dir, ngram=3, threshold=0.2)
+        .filter((F.col("doc_a") < 300) & (F.col("doc_b") < 300))
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    n_cand = cand.count()
+    n_exact = exact.count()
+    tp = cand.join(exact, ["doc_a", "doc_b"]).count()
+    return spark.createDataFrame(
+        [
+            (
+                n_exact,
+                n_cand,
+                tp,
+                n_exact - tp,
+                tp * 1_000_000 // max(n_exact, 1),
+                tp * 1_000_000 // max(n_cand, 1),
+            )
+        ],
+        "n_exact bigint, n_cand bigint, tp bigint, fn bigint,"
+        " recall_ppm bigint, precision_ppm bigint",
+    )
