@@ -204,6 +204,7 @@ EXTENDED = [
     "q_ts_drawdown",          # running-peak max-drawdown curve (r5)
     "q_privacy_randomized_response",  # seeded local-DP mechanism (r5)
     "q_dedup_blocking_quality",  # banding precision/recall audit (r5)
+    "q_ts_rolling_zscore",    # exact-integer rolling z-score flags (r5)
 ]
 
 

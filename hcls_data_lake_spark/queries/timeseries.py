@@ -1438,3 +1438,75 @@ def q_ts_drawdown(spark, sf_dir):
         .cast("bigint")
         .alias("max_drawdown_c"),
     )
+
+
+@register(
+    "q_ts_rolling_zscore",
+    """
+    WITH daily AS (
+      SELECT CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS d,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) // 100
+                  AS BIGINT) AS rev_d
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), framed AS (
+      SELECT d, rev_d,
+             SUM(rev_d) OVER (ORDER BY d
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS s,
+             SUM(rev_d * rev_d) OVER (ORDER BY d
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS q,
+             row_number() OVER (ORDER BY d) AS rn
+      FROM daily
+    )
+    SELECT CAST(d AS BIGINT) AS d_day, rev_d,
+           CAST(7 * rev_d - s AS BIGINT) AS dev_x7,
+           CAST(7 * q - s * s AS BIGINT) AS var_x49,
+           CAST(CASE WHEN (7 * rev_d - s) * (7 * rev_d - s)
+                          > 4 * (7 * q - s * s)
+                     THEN 1 ELSE 0 END AS INT) AS is_outlier
+    FROM framed WHERE rn >= 8
+    """,
+)
+def q_ts_rolling_zscore(spark, sf_dir):
+    """Rolling z-score anomaly flag with the variance computed in
+    EXACT integers: over the strictly-prior 7-day frame, z² > 4
+    cross-multiplies to (n·x − S)² > k²·(n·Q − S²) with S = Σx,
+    Q = Σx² — no mean, no stddev, no float ever exists, so the flag
+    hash-checks where a stddev_samp-based detector cannot (float Σ
+    order). Complements the family: q_diag_volume_anomaly is a
+    LEVEL band (±30% of trailing mean), q_ts_mad_outliers is
+    GLOBAL robust, this is LOCAL variance-normalized — quiet series
+    alarm on small jumps, noisy series don't. Working unit is whole
+    dollars, sized so (7x−S)² stays under 2⁶³ to ~10⁹/day series
+    (cents would overflow at 10⁷/day; the next rung is DECIMAL(38)
+    as q_agg_gini does). Strictly-prior frame (-7..-1) so a spike
+    can't mask itself; first 7 days excluded, not half-baselined.
+    One fact shuffle to days, both frame sums + rn in one
+    WindowExec."""
+    e = events(spark, sf_dir)
+    daily = e.filter(F.col("event_type") == "purchase").groupBy(
+        F.expr("cast(ts_ns div 86400000000000 as bigint)").alias("d")
+    ).agg(
+        F.expr(
+            "cast(sum(cast(round(value * 100) as bigint)) div 100"
+            " as bigint)"
+        ).alias("rev_d")
+    )
+    w7 = Window.orderBy("d").rowsBetween(-7, -1)
+    wo = Window.orderBy("d")
+    framed = daily.select(
+        "d",
+        "rev_d",
+        F.sum("rev_d").over(w7).alias("s"),
+        F.sum(F.expr("rev_d * rev_d")).over(w7).alias("q"),
+        F.row_number().over(wo).alias("rn"),
+    )
+    return framed.filter(F.col("rn") >= 8).select(
+        F.col("d").cast("bigint").alias("d_day"),
+        "rev_d",
+        F.expr("cast(7 * rev_d - s as bigint)").alias("dev_x7"),
+        F.expr("cast(7 * q - s * s as bigint)").alias("var_x49"),
+        F.expr(
+            "cast(case when (7 * rev_d - s) * (7 * rev_d - s)"
+            " > 4 * (7 * q - s * s) then 1 else 0 end as int)"
+        ).alias("is_outlier"),
+    )
