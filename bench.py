@@ -205,6 +205,8 @@ EXTENDED = [
     "q_privacy_randomized_response",  # seeded local-DP mechanism (r5)
     "q_dedup_blocking_quality",  # banding precision/recall audit (r5)
     "q_ts_rolling_zscore",    # exact-integer rolling z-score flags (r5)
+    "q_analytics_xyz",        # exact-CV² demand-variability classes (r5)
+    "q_pipeline_late_dim",    # park-and-reprocess late dimension (r5)
 ]
 
 

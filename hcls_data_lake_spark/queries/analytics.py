@@ -2688,3 +2688,74 @@ def q_analytics_lifecycle(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_users"),
         F.sum("churns_after").cast("bigint").alias("churning_after"),
     )
+
+
+@register(
+    "q_analytics_xyz",
+    """
+    WITH weekly AS (
+      SELECT l_partkey,
+             CAST(epoch_ns(l_shipdate) // 604800000000000 AS BIGINT)
+               AS wk,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem GROUP BY 1, 2
+    ), per_part AS (
+      SELECT l_partkey,
+             CAST(count(*) AS BIGINT) AS n_weeks,
+             CAST(SUM(qty) AS BIGINT) AS s,
+             CAST(SUM(qty * qty) AS BIGINT) AS q
+      FROM weekly GROUP BY l_partkey
+    )
+    SELECT l_partkey, n_weeks, s,
+           CAST(n_weeks * q - s * s AS BIGINT) AS cv2_num_x,
+           CASE WHEN n_weeks < 2 THEN 'Z'
+                WHEN 25 * (n_weeks * q - s * s) <= s * s THEN 'X'
+                WHEN 4 * (n_weeks * q - s * s) <= s * s THEN 'Y'
+                ELSE 'Z' END AS xyz_class
+    FROM per_part
+    """,
+)
+def q_analytics_xyz(spark, sf_dir):
+    """XYZ demand-variability classification — q_analytics_abc's
+    partner axis in the ABC-XYZ planning matrix: ABC ranks parts by
+    revenue IMPORTANCE, XYZ by demand PREDICTABILITY (X steady, Y
+    swinging, Z erratic — forecastability decides safety stock and,
+    in a data pipeline, cache/precompute policy). The coefficient of
+    variation threshold is exact: CV² = σ²/μ² = (n·Q − S²)/S² over
+    per-part weekly demand, so CV ≤ 0.2 cross-multiplies to
+    25·(nQ − S²) ≤ S² and CV ≤ 0.5 to 4·(nQ − S²) ≤ S² — BIGINT
+    comparisons, no mean or stddev ever materialized (the
+    q_ts_rolling_zscore identity at the classification grain).
+    Single-week parts are Z by rule (variability undefined), not
+    dropped. Plan: fact → (part, week) partial agg → part-keyed
+    moments; output is part-sized, both shuffles key-aligned."""
+    li = t(spark, sf_dir, "lineitem")
+    weekly = li.groupBy(
+        "l_partkey",
+        F.expr(
+            "cast(timestampdiff(MICROSECOND,"
+            " cast('1970-01-01 00:00:00' as timestamp_ntz),"
+            " l_shipdate) div 604800000000 as bigint)"
+        ).alias("wk"),
+    ).agg(
+        F.expr("cast(sum(cast(l_quantity as bigint)) as bigint)").alias(
+            "qty"
+        )
+    )
+    per_part = weekly.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_weeks"),
+        F.sum("qty").cast("bigint").alias("s"),
+        F.sum(F.expr("qty * qty")).cast("bigint").alias("q"),
+    )
+    return per_part.select(
+        "l_partkey",
+        "n_weeks",
+        "s",
+        F.expr("cast(n_weeks * q - s * s as bigint)").alias("cv2_num_x"),
+        F.expr(
+            "case when n_weeks < 2 then 'Z'"
+            " when 25 * (n_weeks * q - s * s) <= s * s then 'X'"
+            " when 4 * (n_weeks * q - s * s) <= s * s then 'Y'"
+            " else 'Z' end"
+        ).alias("xyz_class"),
+    )

@@ -174,7 +174,9 @@ def register(name: str, oracle: str | None) -> Callable[[QueryFn], QueryFn]:
 # q_ts_drawdown running-peak equity risk curve,
 # q_privacy_randomized_response seeded Warner-1965 local DP,
 # q_dedup_blocking_quality banding precision/recall audit,
-# q_ts_rolling_zscore exact-integer variance-normalized anomaly) — 110
+# q_ts_rolling_zscore exact-integer variance-normalized anomaly,
+# q_analytics_xyz exact-CV² demand-variability classes,
+# q_pipeline_late_dim park-and-reprocess inferred members) — 112
 # names; overflow past slot 50 rolls to r7 with the deferred
 # remainder; the first 50 of this list
 # form the r6 prefix, the small remainder rolls to r7.
@@ -313,6 +315,8 @@ _FAMILY_REPRESENTATIVES = [
     "q_privacy_randomized_response",
     "q_dedup_blocking_quality",
     "q_ts_rolling_zscore",
+    "q_analytics_xyz",
+    "q_pipeline_late_dim",
     "q_layout_zorder",
     "q_fn_collation",
     "q_fn_json_build",
