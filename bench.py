@@ -207,6 +207,7 @@ EXTENDED = [
     "q_ts_rolling_zscore",    # exact-integer rolling z-score flags (r5)
     "q_analytics_xyz",        # exact-CV² demand-variability classes (r5)
     "q_pipeline_late_dim",    # park-and-reprocess late dimension (r5)
+    "q_text_outlier_docs",    # per-doc integer-TV outlier gate (r5)
 ]
 
 

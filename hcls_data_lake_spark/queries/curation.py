@@ -849,3 +849,99 @@ def q_privacy_randomized_response(spark, sf_dir):
             "cast(2 * sum(resp) - (count(1) + 1) div 2 as bigint)"
         ).alias("debiased_x1"),
     )
+
+
+@register(
+    "q_text_outlier_docs",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ), corpus AS MATERIALIZED (
+      SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY tok
+    ), tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM corpus),
+    per_doc AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS d
+      FROM toks GROUP BY doc_id, tok
+    ), doc_n AS (
+      SELECT doc_id, CAST(SUM(d) AS BIGINT) AS n FROM per_doc
+      GROUP BY doc_id
+    ), in_doc AS (
+      SELECT p.doc_id,
+             CAST(SUM(abs(p.d * tot.t - c.c * dn.n)) AS BIGINT)
+               AS present_term,
+             CAST(SUM(c.c) AS BIGINT) AS doc_corpus_mass
+      FROM per_doc p
+      JOIN corpus c ON c.tok = p.tok
+      JOIN doc_n dn ON dn.doc_id = p.doc_id, tot
+      GROUP BY p.doc_id
+    )
+    SELECT i.doc_id,
+           dn.n AS n_tokens,
+           CAST(i.present_term
+                + dn.n * (tot.t - i.doc_corpus_mass) AS BIGINT)
+             AS tv_x2nt,
+           CAST((i.present_term + dn.n * (tot.t - i.doc_corpus_mass))
+                * 500000 // (dn.n * tot.t) AS BIGINT) AS tv_ppm
+    FROM in_doc i JOIN doc_n dn ON dn.doc_id = i.doc_id, tot
+    ORDER BY tv_ppm DESC, i.doc_id
+    LIMIT 20
+    """,
+)
+def q_text_outlier_docs(spark, sf_dir):
+    """DISTRIBUTIONAL OUTLIER documents — the curation gate that
+    catches docs whose unigram distribution diverges from the
+    corpus (wrong language slipped the langid net, boilerplate,
+    garbled decode): per-doc total-variation distance to the corpus
+    distribution, EXACT — TV·2·n·T splits into the in-vocabulary
+    term Σ|d·T − C·n| plus the mass of corpus vocabulary the doc
+    never uses, n·(T − Σ_{t∈doc}C(t)), both pure BIGINT (the
+    q_diag_distribution_drift move, taken from corpus-halves grain
+    to PER-DOCUMENT scoring); tv_ppm = TV·10⁶ via one integer
+    division. Top-20 by divergence, doc_id-pinned ties. Plan: one
+    token explode feeding both the corpus aggregate (broadcast-
+    sized vocabulary) and the (doc, tok) aggregate; the corpus
+    relation joins back token-keyed; TakeOrdered top-20. At 100 TB
+    the vocabulary relation is the only shared state — broadcast
+    or bucket-joined, while docs stream."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    toks = toks.localCheckpoint()  # feeds corpus AND per-doc aggregates
+    corpus = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    tot = corpus.agg(F.sum("c").cast("bigint").alias("t"))
+    per_doc = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    doc_n = per_doc.groupBy("doc_id").agg(
+        F.sum("d").cast("bigint").alias("n")
+    )
+    in_doc = (
+        per_doc.join(F.broadcast(corpus), "tok")
+        .join(F.broadcast(doc_n), "doc_id")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.expr("abs(d * t - c * n)"))
+            .cast("bigint")
+            .alias("present_term"),
+            F.sum("c").cast("bigint").alias("doc_corpus_mass"),
+        )
+    )
+    scored = (
+        in_doc.join(F.broadcast(doc_n), "doc_id")
+        .join(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.col("n").alias("n_tokens"),
+            F.expr(
+                "cast(present_term + n * (t - doc_corpus_mass) as bigint)"
+            ).alias("tv_x2nt"),
+            F.expr(
+                "cast((present_term + n * (t - doc_corpus_mass))"
+                " * 500000 div (n * t) as bigint)"
+            ).alias("tv_ppm"),
+        )
+    )
+    return scored.orderBy(F.col("tv_ppm").desc(), "doc_id").limit(20)
