@@ -208,6 +208,8 @@ EXTENDED = [
     "q_analytics_xyz",        # exact-CV² demand-variability classes (r5)
     "q_pipeline_late_dim",    # park-and-reprocess late dimension (r5)
     "q_text_outlier_docs",    # per-doc integer-TV outlier gate (r5)
+    "q_ts_backtest_naive",    # walk-forward forecast scoreboard (r5)
+    "q_privacy_dp_mean",      # clamped DP numeric release (r5)
 ]
 
 

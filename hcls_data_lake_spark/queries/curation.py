@@ -945,3 +945,83 @@ def q_text_outlier_docs(spark, sf_dir):
         )
     )
     return scored.orderBy(F.col("tv_ppm").desc(), "doc_id").limit(20)
+
+
+@register(
+    "q_privacy_dp_mean",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             LEAST(CAST(20000 AS BIGINT),
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                            THEN CAST(round(value * 100) AS BIGINT)
+                            ELSE 0 END) AS BIGINT)) AS spend_c
+      FROM events GROUP BY user_id
+    ), noise AS (
+      SELECT
+        CAST(list_sum(
+          [bit_count(strpos('0123456789abcdef',
+             substr(md5('dpmean:v1:sum'), i, 1)) - 1)
+           for i in range(1, 17)]) AS BIGINT) - 32 AS sum_noise_units,
+        CAST(list_sum(
+          [bit_count(strpos('0123456789abcdef',
+             substr(md5('dpmean:v1:count'), i, 1)) - 1)
+           for i in range(1, 17)]) AS BIGINT) - 32 AS count_noise
+    )
+    SELECT
+      CAST(SUM(spend_c) + n.sum_noise_units * 200 AS BIGINT)
+        AS noisy_sum_c,
+      CAST(count(*) + n.count_noise AS BIGINT) AS noisy_n,
+      CAST((SUM(spend_c) + n.sum_noise_units * 200) * 100
+           // GREATEST(count(*) + n.count_noise, 1) AS BIGINT)
+        AS dp_mean_x100_c
+    FROM per_user, noise n
+    GROUP BY n.sum_noise_units, n.count_noise
+    """,
+)
+def q_privacy_dp_mean(spark, sf_dir):
+    """DP MEAN release with CONTRIBUTION CLAMPING — the third rung of
+    the privacy-release family (histogram = central counts,
+    randomized response = local bits, this = bounded NUMERIC
+    aggregate): each user's spend is clamped to a 200-dollar cap
+    FIRST (bounded sensitivity is what makes the noise scale
+    meaningful — without the clamp one whale forces unbounded
+    noise), then sum and count are perturbed independently by the
+    seeded binomial mechanism (σ=4 units; sum noise scaled by 1% of
+    the cap) and the released mean is their integer quotient.
+    Everything after the clamp is the md5-nibble keyed-PRF family,
+    so the release value-hashes cross-engine — mechanism, scaling,
+    and quotient all verified, the property a true-random release
+    can never give an auditor. Plan: one user-keyed partial agg
+    (map-side clamp), a literal 1-row noise relation, 1-row
+    output."""
+    e = t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.expr(
+            "least(cast(20000 as bigint),"
+            " cast(sum(case when event_type = 'purchase'"
+            " then cast(round(value * 100) as bigint)"
+            " else 0 end) as bigint))"
+        ).alias("spend_c")
+    )
+
+    def pop(tag):
+        h = f"md5(cast('dpmean:v1:{tag}' as binary))"
+        return (
+            f"cast(aggregate(transform(sequence(1, 16), i ->"
+            f" bit_count(instr('0123456789abcdef', substr({h}, i, 1))"
+            f" - 1)), 0, (a, x) -> a + x) as bigint) - 32"
+        )
+
+    return per_user.agg(
+        F.expr(
+            f"cast(sum(spend_c) + ({pop('sum')}) * 200 as bigint)"
+        ).alias("noisy_sum_c"),
+        F.expr(f"cast(count(1) + ({pop('count')}) as bigint)").alias(
+            "noisy_n"
+        ),
+        F.expr(
+            f"cast((sum(spend_c) + ({pop('sum')}) * 200) * 100"
+            f" div greatest(count(1) + ({pop('count')}), 1) as bigint)"
+        ).alias("dp_mean_x100_c"),
+    )

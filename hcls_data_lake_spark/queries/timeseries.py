@@ -1510,3 +1510,85 @@ def q_ts_rolling_zscore(spark, sf_dir):
             " > 4 * (7 * q - s * s) then 1 else 0 end as int)"
         ).alias("is_outlier"),
     )
+
+
+@register(
+    "q_ts_backtest_naive",
+    """
+    WITH daily AS (
+      SELECT CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS d,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), lagged AS (
+      SELECT d, rev_c,
+             lag(rev_c, 1) OVER (ORDER BY d) AS f_naive,
+             lag(rev_c, 7) OVER (ORDER BY d) AS f_seasonal,
+             row_number() OVER (ORDER BY d) AS rn
+      FROM daily
+    ), errs AS (
+      SELECT * FROM lagged WHERE rn >= 8
+    )
+    SELECT model,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(SUM(ae) AS BIGINT) AS total_ae_c,
+           CAST(SUM(ae) // count(*) AS BIGINT) AS mae_c,
+           CAST(SUM(CASE WHEN ae * 100 <= rev_c * 10 THEN 1 ELSE 0 END)
+                AS BIGINT) AS within_10pct
+    FROM (
+      SELECT 'naive_1d' AS model, rev_c,
+             abs(rev_c - f_naive) AS ae FROM errs
+      UNION ALL
+      SELECT 'seasonal_7d', rev_c, abs(rev_c - f_seasonal) FROM errs
+    ) GROUP BY model
+    """,
+)
+def q_ts_backtest_naive(spark, sf_dir):
+    """Walk-forward FORECAST BACKTEST — the model-selection harness
+    (the forecasting twin of q_embed_recall_audit's evaluate-
+    in-engine stance): two baseline forecasters, naive (yesterday)
+    and seasonal-naive (same weekday last week), scored one-step-
+    ahead over the identical eval window (both start at day 8 so
+    the comparison is apples-to-apples), with exact integer-cents
+    MAE, total error mass, and a within-10% hit count
+    (cross-multiplied, no division) — the scoreboard any fancier
+    model must beat before it ships. Baselines-first is the
+    forecasting-literature discipline (M-competitions: seasonal
+    naive embarrasses most complex models). One fact shuffle to
+    days; both lags share one window sort; the union doubles the
+    days-sized relation only."""
+    e = events(spark, sf_dir)
+    daily = e.filter(F.col("event_type") == "purchase").groupBy(
+        F.expr("cast(ts_ns div 86400000000000 as bigint)").alias("d")
+    ).agg(
+        F.expr(
+            "cast(sum(cast(round(value * 100) as bigint)) as bigint)"
+        ).alias("rev_c")
+    )
+    wo = Window.orderBy("d")
+    lagged = daily.select(
+        "d",
+        "rev_c",
+        F.lag("rev_c", 1).over(wo).alias("f_naive"),
+        F.lag("rev_c", 7).over(wo).alias("f_seasonal"),
+        F.row_number().over(wo).alias("rn"),
+    ).filter(F.col("rn") >= 8)
+    errs = lagged.selectExpr(
+        "'naive_1d' as model", "rev_c", "abs(rev_c - f_naive) as ae"
+    ).unionByName(
+        lagged.selectExpr(
+            "'seasonal_7d' as model",
+            "rev_c",
+            "abs(rev_c - f_seasonal) as ae",
+        )
+    )
+    return errs.groupBy("model").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("ae").cast("bigint").alias("total_ae_c"),
+        F.expr("cast(sum(ae) div count(1) as bigint)").alias("mae_c"),
+        F.sum(
+            F.expr("case when ae * 100 <= rev_c * 10 then 1 else 0 end")
+        )
+        .cast("bigint")
+        .alias("within_10pct"),
+    )

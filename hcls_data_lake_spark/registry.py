@@ -177,7 +177,9 @@ def register(name: str, oracle: str | None) -> Callable[[QueryFn], QueryFn]:
 # q_ts_rolling_zscore exact-integer variance-normalized anomaly,
 # q_analytics_xyz exact-CV² demand-variability classes,
 # q_pipeline_late_dim park-and-reprocess inferred members,
-# q_text_outlier_docs per-doc integer-TV curation gate) — 113
+# q_text_outlier_docs per-doc integer-TV curation gate,
+# q_ts_backtest_naive walk-forward baseline scoreboard,
+# q_privacy_dp_mean clamped-contribution numeric release) — 115
 # names; overflow past slot 50 rolls to r7 with the deferred
 # remainder; the first 50 of this list
 # form the r6 prefix, the small remainder rolls to r7.
@@ -319,6 +321,8 @@ _FAMILY_REPRESENTATIVES = [
     "q_analytics_xyz",
     "q_pipeline_late_dim",
     "q_text_outlier_docs",
+    "q_ts_backtest_naive",
+    "q_privacy_dp_mean",
     "q_layout_zorder",
     "q_fn_collation",
     "q_fn_json_build",
