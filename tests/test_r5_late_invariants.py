@@ -1,0 +1,140 @@
+"""Invariant pytests for the late-r5 operator waves — semantic
+properties the oracle hash alone doesn't state explicitly: accounting
+identities, monotonicity, bounds, and cross-checks against
+independent formulations.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from hcls_data_lake_spark import registry
+
+
+def _rows(spark, sf_dir, name):
+    return registry.queries()[name](spark, sf_dir).collect()
+
+
+def test_lifecycle_accounting_identity(spark, sf_dir):
+    """actives(w) = new + retained + resurrected, and retained(w+1) =
+    actives(w) − churning_after(w) — the growth-accounting identity
+    the docstring promises."""
+    rows = _rows(spark, sf_dir, "q_analytics_lifecycle")
+    actives = defaultdict(int)
+    churn_after = defaultdict(int)
+    retained = defaultdict(int)
+    for r in rows:
+        actives[r.wk] += r.n_users
+        churn_after[r.wk] += r.churning_after
+        if r.state == "retained":
+            retained[r.wk] += r.n_users
+    weeks = sorted(actives)
+    assert weeks, "no lifecycle rows"
+    for w_prev, w in zip(weeks, weeks[1:]):
+        if w != w_prev + 1:
+            continue  # calendar gap: no retained flow to check
+        assert retained[w] == actives[w_prev] - churn_after[w_prev], (
+            w, retained[w], actives[w_prev], churn_after[w_prev])
+
+
+def test_survival_risk_set_monotone_and_bounded(spark, sf_dir):
+    """n_at_risk is nonincreasing in t; every hazard step is a valid
+    probability in ppm; the cumulative is the running sum of steps."""
+    rows = sorted(
+        _rows(spark, sf_dir, "q_analytics_survival"),
+        key=lambda r: r.t_hours,
+    )
+    assert rows
+    prev_risk = None
+    cum = 0
+    for r in rows:
+        if prev_risk is not None:
+            assert r.n_at_risk <= prev_risk
+        prev_risk = r.n_at_risk
+        assert 0 <= r.h_ppm <= 1_000_000
+        cum += r.h_ppm
+        assert r.cum_hazard_ppm == cum
+
+
+def test_retention_bitmap_matches_set_intersection(spark, sf_dir):
+    """The bitmap AND/popcount retention must equal a directly
+    computed distinct-user set intersection — two independent
+    formulations of 'retained'."""
+    from hcls_data_lake_spark.queries.common import events
+
+    e = events(spark, sf_dir)
+    day_users = {
+        r.d: set(r.us)
+        for r in e.select(
+            F.expr("cast(ts_ns div 86400000000000 as bigint)").alias("d"),
+            "user_id",
+        )
+        .groupBy("d")
+        .agg(F.collect_set("user_id").alias("us"))
+        .collect()
+    }
+    for r in _rows(spark, sf_dir, "q_analytics_retention_bitmap"):
+        users = day_users[r.day]
+        assert r.active_n == len(users)
+        assert r.retained_1d == len(users & day_users.get(r.day + 1, set()))
+        assert r.retained_7d == len(users & day_users.get(r.day + 7, set()))
+
+
+def test_ks_statistic_bounds(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "q_agg_ks_test")
+    assert len(rows) == 1
+    r = rows[0]
+    assert 0 <= r.d_ppm <= 1_000_000
+    assert r.d_num <= r.n_purchase * r.n_click
+
+
+def test_kcore_minimum_degree(spark, sf_dir):
+    """Every member of the 3-core has within-core degree >= 3 (the
+    defining property of the fixpoint)."""
+    rows = _rows(spark, sf_dir, "q_graph_kcore")
+    if rows:  # sf0.001's graph may peel to empty — that's valid
+        assert min(r.core_deg for r in rows) >= 3
+
+
+def test_quota_mix_apportionment_exact(spark, sf_dir):
+    """Hamilton quotas must sum EXACTLY to the budget, and every
+    language's kept count equals its quota (budget sized to supply)."""
+    rows = _rows(spark, sf_dir, "q_sample_quota_mix")
+    per_lang = defaultdict(int)
+    quota = {}
+    for r in rows:
+        per_lang[r.lang] += 1
+        quota[r.lang] = r.quota
+    assert sum(quota.values()) == 300
+    assert per_lang == {k: v for k, v in quota.items()}
+
+
+def test_pack_shards_conserves_corpus(spark, sf_dir):
+    """Shard manifest must cover every document exactly once and
+    conserve total size."""
+    from hcls_data_lake_spark.queries.common import t as t_
+
+    docs = t_(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("cast(n_chars as bigint)")).alias("chars"),
+    ).first()
+    rows = _rows(spark, sf_dir, "q_pack_shards")
+    assert sum(r.n_docs for r in rows) == docs.n
+    assert sum(r.chars_n for r in rows) == docs.chars
+
+
+def test_drawdown_nonnegative_and_peak_consistent(spark, sf_dir):
+    rows = sorted(_rows(spark, sf_dir, "q_ts_drawdown"), key=lambda r: r.d_day)
+    peak = None
+    for r in rows:
+        peak = r.equity_c if peak is None else max(peak, r.equity_c)
+        assert r.peak_c == peak
+        assert r.drawdown_c == peak - r.equity_c >= 0
+
+
+def test_late_dim_conservation(spark, sf_dir):
+    r = _rows(spark, sf_dir, "q_pipeline_late_dim")[0]
+    assert r.parked == r.matched_after_v2 + r.still_unknown
+    assert r.still_unknown == 0  # v2 is complete by construction
