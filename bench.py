@@ -210,6 +210,7 @@ EXTENDED = [
     "q_text_outlier_docs",    # per-doc integer-TV outlier gate (r5)
     "q_ts_backtest_naive",    # walk-forward forecast scoreboard (r5)
     "q_privacy_dp_mean",      # clamped DP numeric release (r5)
+    "q_agg_multi_distinct",   # one-pass Expand multi-distinct (r5)
 ]
 
 

@@ -1173,3 +1173,43 @@ def q_agg_percentile_exact(spark, sf_dir):
         .cast("bigint")
         .alias("pct_x100_c")
     )
+
+
+@register(
+    "q_agg_multi_distinct",
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(DISTINCT epoch_ns(ts) // 86400000000000
+                     ) AS BIGINT) AS n_days,
+           CAST(count(DISTINCT CAST(round(value * 100) AS BIGINT)
+                     ) AS BIGINT) AS n_values,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM events GROUP BY event_type
+    """,
+)
+def q_agg_multi_distinct(spark, sf_dir):
+    """MULTIPLE COUNT(DISTINCT) columns in ONE aggregation — the
+    query shape analysts write constantly and engines historically
+    refused ('only one distinct aggregate allowed'): Catalyst
+    rewrites N distinct aggregates into a single Expand (each input
+    row fans out once per distinct column, tagged by a grouping id)
+    followed by two aggregation stages — ONE pass over the fact and
+    one shuffle family instead of N self-joined subqueries
+    (tests/test_plans pins the Expand and the absence of any join).
+    The mixed plain count(*) rides the same Expand for free. At
+    100 TB the fan-out factor (×3 here) is the cost to budget vs N
+    separate scans — Expand wins whenever the scan dominates, which
+    at 100 TB it does. Distinct day keys by integer epoch-day (no
+    date rendering to diverge on)."""
+    e = t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.countDistinct(
+            F.expr("ts_ns div 86400000000000")
+        ).cast("bigint").alias("n_days"),
+        F.countDistinct(
+            F.expr("cast(round(value * 100) as bigint)")
+        ).cast("bigint").alias("n_values"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )

@@ -750,3 +750,14 @@ def test_shuffle_hash_hint_avoids_sort(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert "ShuffledHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_multi_distinct_uses_expand_not_joins(spark, sf_dir):
+    """Three COUNT(DISTINCT) + count(*) must plan as one Expand-based
+    aggregation tree — no join, no repeated fact scan."""
+    df = registry.queries()["q_agg_multi_distinct"](spark, sf_dir)
+    plan = plan_of(df)
+    tree = plan.split("\n\n")[0]
+    assert "Expand" in tree
+    assert "Join" not in tree
+    assert tree.count("Scan parquet") == 1
