@@ -211,6 +211,7 @@ EXTENDED = [
     "q_ts_backtest_naive",    # walk-forward forecast scoreboard (r5)
     "q_privacy_dp_mean",      # clamped DP numeric release (r5)
     "q_agg_multi_distinct",   # one-pass Expand multi-distinct (r5)
+    "q_stream_incremental_resume",  # exactly-once restart progress (r5)
 ]
 
 
