@@ -212,6 +212,7 @@ EXTENDED = [
     "q_privacy_dp_mean",      # clamped DP numeric release (r5)
     "q_agg_multi_distinct",   # one-pass Expand multi-distinct (r5)
     "q_stream_incremental_resume",  # exactly-once restart progress (r5)
+    "q_analytics_attribution",  # conserved multi-touch credit (r5)
 ]
 
 

@@ -2759,3 +2759,136 @@ def q_analytics_xyz(spark, sf_dir):
             " else 'Z' end"
         ).alias("xyz_class"),
     )
+
+
+@register(
+    "q_analytics_attribution",
+    """
+    WITH ev AS (
+      SELECT user_id, event_id, event_type, epoch_ns(ts) AS ts_ns,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_conv
+      FROM events WHERE event_type IN ('purchase', 'view', 'click')
+    ), numbered AS (
+      SELECT *,
+             SUM(is_conv) OVER (PARTITION BY user_id
+               ORDER BY ts_ns DESC, event_id DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS conv_id
+      FROM ev
+    ), conv_ts AS (
+      SELECT user_id, conv_id, CAST(max(ts_ns) AS BIGINT) AS c_ts
+      FROM numbered WHERE is_conv = 1 GROUP BY user_id, conv_id
+    ), touches AS (
+      SELECT n.user_id, n.conv_id, n.event_type AS channel,
+             n.ts_ns, n.event_id,
+             row_number() OVER (PARTITION BY n.user_id, n.conv_id
+                                ORDER BY n.ts_ns, n.event_id) AS tpos,
+             count(*) OVER (PARTITION BY n.user_id, n.conv_id) AS k
+      FROM numbered n
+      JOIN conv_ts c ON c.user_id = n.user_id AND c.conv_id = n.conv_id
+      WHERE n.is_conv = 0 AND n.ts_ns < c.c_ts
+        AND n.ts_ns >= c.c_ts - 604800000000000
+    )
+    SELECT model, channel,
+           CAST(SUM(credit) AS BIGINT) AS credit_ppm,
+           CAST(count(*) AS BIGINT) AS n_touches
+    FROM (
+      SELECT 'first' AS model, channel,
+             CASE WHEN tpos = 1 THEN 1000000 ELSE 0 END AS credit
+      FROM touches
+      UNION ALL
+      SELECT 'last', channel,
+             CASE WHEN tpos = k THEN 1000000 ELSE 0 END
+      FROM touches
+      UNION ALL
+      SELECT 'linear', channel,
+             1000000 // k + CASE WHEN tpos = 1
+                                 THEN 1000000 % k ELSE 0 END
+      FROM touches
+    ) GROUP BY model, channel
+    """,
+)
+def q_analytics_attribution(spark, sf_dir):
+    """MULTI-TOUCH ATTRIBUTION — first-touch / last-touch / linear
+    credit for every conversion's preceding 7-day touch path, with
+    the linear split EXACT: each of k touches gets 10⁶ div k ppm and
+    the remainder 10⁶ mod k goes to the first touch (pinned), so
+    every conversion's credit sums to exactly 10⁶ across channels —
+    an integer conservation law per model (no float leakage between
+    channels). Touch→conversion assignment needs NO self-join: a
+    reverse-ordered running count of conversions per user gives each
+    event its next-conversion id in one window pass; the conversion
+    timestamp joins back key-aligned on (user, conv_id); window
+    bound and ordering are integer nanoseconds with event_id
+    tiebreaks. Plan: one fact shuffle on user_id shared by both
+    windows, one aligned join, a 3× model fan-out of the
+    touch-sized relation. The three models disagreeing per channel
+    IS the deliverable — the spread is the model risk a marketing
+    mix decision carries."""
+    e = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view", "click")
+    )
+    ev = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts_ns",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "is_conv"
+        ),
+    )
+    w_rev = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts_ns").desc(), F.col("event_id").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    numbered = ev.withColumn("conv_id", F.sum("is_conv").over(w_rev))
+    conv_ts = (
+        numbered.filter("is_conv = 1")
+        .groupBy("user_id", "conv_id")
+        .agg(F.max("ts_ns").cast("bigint").alias("c_ts"))
+    )
+    w_pos = Window.partitionBy("user_id", "conv_id").orderBy(
+        "ts_ns", "event_id"
+    )
+    w_k = Window.partitionBy("user_id", "conv_id")
+    touches = (
+        numbered.join(conv_ts, ["user_id", "conv_id"])
+        .filter(
+            F.expr(
+                "is_conv = 0 and ts_ns < c_ts"
+                " and ts_ns >= c_ts - 604800000000000"
+            )
+        )
+        .select(
+            F.col("event_type").alias("channel"),
+            F.row_number().over(w_pos).alias("tpos"),
+            F.count(F.lit(1)).over(w_k).alias("k"),
+        )
+    )
+    models = (
+        touches.selectExpr(
+            "'first' as model",
+            "channel",
+            "case when tpos = 1 then 1000000 else 0 end as credit",
+        )
+        .unionByName(
+            touches.selectExpr(
+                "'last' as model",
+                "channel",
+                "case when tpos = k then 1000000 else 0 end as credit",
+            )
+        )
+        .unionByName(
+            touches.selectExpr(
+                "'linear' as model",
+                "channel",
+                "1000000 div k + case when tpos = 1"
+                " then 1000000 % k else 0 end as credit",
+            )
+        )
+    )
+    return models.groupBy("model", "channel").agg(
+        F.sum("credit").cast("bigint").alias("credit_ppm"),
+        F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+    )

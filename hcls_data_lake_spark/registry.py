@@ -181,7 +181,8 @@ def register(name: str, oracle: str | None) -> Callable[[QueryFn], QueryFn]:
 # q_ts_backtest_naive walk-forward baseline scoreboard,
 # q_privacy_dp_mean clamped-contribution numeric release,
 # q_agg_multi_distinct one-pass Expand multi-distinct,
-# q_stream_incremental_resume exactly-once restart progress) — 117
+# q_stream_incremental_resume exactly-once restart progress,
+# q_analytics_attribution conserved multi-touch credit) — 118
 # names; overflow past slot 50 rolls to r7 with the deferred
 # remainder; the first 50 of this list
 # form the r6 prefix, the small remainder rolls to r7.
@@ -327,6 +328,7 @@ _FAMILY_REPRESENTATIVES = [
     "q_privacy_dp_mean",
     "q_agg_multi_distinct",
     "q_stream_incremental_resume",
+    "q_analytics_attribution",
     "q_layout_zorder",
     "q_fn_collation",
     "q_fn_json_build",

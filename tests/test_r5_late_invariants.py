@@ -138,3 +138,16 @@ def test_late_dim_conservation(spark, sf_dir):
     r = _rows(spark, sf_dir, "q_pipeline_late_dim")[0]
     assert r.parked == r.matched_after_v2 + r.still_unknown
     assert r.still_unknown == 0  # v2 is complete by construction
+
+
+def test_attribution_credit_conservation(spark, sf_dir):
+    """Each model distributes EXACTLY 10^6 ppm per touched conversion
+    — so all three models' channel totals sum to the same grand
+    total (the integer conservation law the linear remainder rule
+    exists for)."""
+    rows = _rows(spark, sf_dir, "q_analytics_attribution")
+    totals = defaultdict(int)
+    for r in rows:
+        totals[r.model] += r.credit_ppm
+    assert len(set(totals.values())) == 1, totals
+    assert next(iter(totals.values())) % 1_000_000 == 0
