@@ -213,6 +213,9 @@ EXTENDED = [
     "q_agg_multi_distinct",   # one-pass Expand multi-distinct (r5)
     "q_stream_incremental_resume",  # exactly-once restart progress (r5)
     "q_analytics_attribution",  # conserved multi-touch credit (r5)
+    "q_pipeline_ivm",         # incremental view maintenance merge (r5)
+    "q_dedup_linkage_fs",     # Fellegi-Sunter linkage bands (r5)
+    "q_ts_decompose",         # 2x24-MA seasonal decomposition (r5)
 ]
 
 

@@ -1113,3 +1113,84 @@ def q_pipeline_late_dim(spark, sf_dir):
         "matched_v1 bigint, parked bigint, matched_after_v2 bigint,"
         " still_unknown bigint, parked_value_c bigint",
     )
+
+
+@register(
+    "q_pipeline_ivm",
+    """
+    WITH final_state AS (
+      SELECT * FROM orders
+      WHERE NOT (o_orderkey % 11 = 0 AND o_orderkey % 7 <> 0)
+    )
+    SELECT o_orderpriority,
+           CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT)
+             AS yyyymm,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS revenue_c
+    FROM final_state
+    GROUP BY o_orderpriority, yyyymm
+    """,
+)
+def q_pipeline_ivm(spark, sf_dir):
+    """INCREMENTAL VIEW MAINTENANCE — maintain a grouped-aggregate
+    materialized view under a CDC delta WITHOUT rescanning the base
+    facts, using the abelian-group algebra (COUNT and SUM are
+    commutative monoids with inverses): insert = +1 multiplicity,
+    delete = -1, so the maintained MV is
+    mv_base ⊎ groupwise-Σ(signed delta), with groups whose count
+    reaches zero dropped. The ORACLE is the full recompute over the
+    merged final state — the hash check IS the IVM correctness
+    theorem (delta-maintained ≡ recomputed), per-group, per-cent.
+
+    Scenario derived deterministically from orderkeys: the stored
+    snapshot is orders with o_orderkey % 7 != 0; the delta batch
+    inserts the % 7 == 0 rows and deletes the % 11 == 0 slice of the
+    snapshot. The MV keys on (o_orderpriority, order month).
+
+    Why this is THE 100 TB pattern: the nightly recompute shuffles
+    the full fact table (100 TB); the IVM merge shuffles only the
+    delta (GB) plus the touched MV groups (KB) — the mv_base side is
+    pinned via localCheckpoint to stand in for the stored MV, and
+    the merge is a union + one groupBy over |mv| + |delta-groups|
+    rows, never |facts|. Deletes need no tombstone scan of the MV:
+    the -1 multiplicities cancel inside the same aggregate."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.expr("cast(year(o_orderdate) * 100 + month(o_orderdate) as int)")
+        .alias("yyyymm"),
+        F.expr("cast(round(o_totalprice * 100) as bigint)").alias("price_c"),
+    )
+    base = o.filter("o_orderkey % 7 != 0")
+    inserts = o.filter("o_orderkey % 7 = 0").withColumn("sign", F.lit(1))
+    deletes = base.filter("o_orderkey % 11 = 0").withColumn(
+        "sign", F.lit(-1)
+    )
+    # The stored MV: in production this is a table on disk; pinning it
+    # severs lineage so the merge below provably never re-reads base.
+    mv_base = (
+        base.groupBy("o_orderpriority", "yyyymm")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("price_c").alias("revenue_c"),
+        )
+        .localCheckpoint()
+    )
+    delta = (
+        inserts.unionByName(deletes)
+        .groupBy("o_orderpriority", "yyyymm")
+        .agg(
+            F.sum("sign").cast("bigint").alias("n_orders"),
+            F.sum(F.col("sign") * F.col("price_c")).alias("revenue_c"),
+        )
+    )
+    return (
+        mv_base.unionByName(delta)
+        .groupBy("o_orderpriority", "yyyymm")
+        .agg(
+            F.sum("n_orders").cast("bigint").alias("n_orders"),
+            F.sum("revenue_c").cast("bigint").alias("revenue_c"),
+        )
+        .filter("n_orders > 0")
+    )

@@ -1592,3 +1592,140 @@ def q_ts_backtest_naive(spark, sf_dir):
         .cast("bigint")
         .alias("within_10pct"),
     )
+
+
+@register(
+    "q_ts_decompose",
+    """
+    WITH hourly AS MATERIALIZED (
+      SELECT CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) AS hr,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS v_c
+      FROM events GROUP BY hr
+    ), bounds AS (
+      SELECT min(hr) AS h0, max(hr) AS h1 FROM hourly
+    ), grid AS MATERIALIZED (
+      SELECT g.hr, COALESCE(h.v_c, 0) AS v_c
+      FROM (SELECT unnest(generate_series(h0, h1)) AS hr
+            FROM bounds) g
+      LEFT JOIN hourly h ON h.hr = g.hr
+    ), trended AS MATERIALIZED (
+      SELECT hr, v_c,
+             CAST(FLOOR(CAST(
+                 lag(v_c, 12) OVER w + lead(v_c, 12) OVER w
+               + 2 * SUM(v_c) OVER (ORDER BY hr
+                   ROWS BETWEEN 11 PRECEDING AND 11 FOLLOWING)
+               AS DOUBLE) * 1000.0 / 48.0) AS BIGINT) AS trend_mc,
+             row_number() OVER w AS rn,
+             count(*) OVER () AS n
+      FROM grid WINDOW w AS (ORDER BY hr)
+    ), detrended AS MATERIALIZED (
+      SELECT hr, v_c, trend_mc,
+             v_c * 1000 - trend_mc AS d_mc,
+             CAST(hr % 24 AS INT) AS hod
+      FROM trended WHERE rn > 12 AND rn <= n - 12
+    ), seasonal AS MATERIALIZED (
+      SELECT hod,
+             CAST(FLOOR(CAST(SUM(d_mc) AS DOUBLE)
+                        / count(*)) AS BIGINT) AS s_raw
+      FROM detrended GROUP BY hod
+    ), centered AS MATERIALIZED (
+      SELECT hod,
+             s_raw - CAST(FLOOR(
+               (SELECT CAST(SUM(s_raw) AS DOUBLE) FROM seasonal)
+               / 24.0) AS BIGINT) AS seasonal_mc
+      FROM seasonal
+    )
+    SELECT d.hr, d.v_c, d.trend_mc, c.seasonal_mc,
+           d.d_mc - c.seasonal_mc AS resid_mc
+    FROM detrended d JOIN centered c ON c.hod = d.hod
+    """,
+)
+def q_ts_decompose(spark, sf_dir):
+    """CLASSICAL SEASONAL DECOMPOSITION (additive, the 2x24 centered
+    moving-average method from the STL/X-11 lineage) of the hourly
+    revenue series: trend = centered 2x24 MA (half-weight endpoints:
+    (v[-12] + 2*v[-11..+11] + v[+12]) / 48 — the standard even-period
+    filter that stays phase-neutral), seasonal = per-hour-of-day mean
+    of the detrended series, centered so the 24 indices sum to ~0,
+    residual = remainder. Every division is a single IEEE
+    double-divide + floor on exactly-representable integer sums
+    (identical instruction order in both engines); everything else is
+    BIGINT millicents — hash-exact.
+
+    100 TB shape: the raw 100 TB never reaches the window — the
+    hourly groupBy collapses it map-side to one row per hour
+    (#hours rows total), and the decomposition windows run on that
+    tiny aggregate. The single-partition window over the global
+    series is therefore free; for per-entity decomposition the same
+    plan partitions every window and the grid by the entity key.
+    Dense grid via sequence() so gaps read as 0 rather than
+    silently shrinking the MA window."""
+    e = t(spark, sf_dir, "events")
+    hourly = (
+        e.select(
+            F.expr("ts_ns div 3600000000000").alias("hr"),
+            F.expr("cast(round(value * 100) as bigint)").alias("v_c"),
+        )
+        .groupBy("hr")
+        .agg(F.sum("v_c").cast("bigint").alias("v_c"))
+    )
+    grid = (
+        hourly.agg(
+            F.min("hr").alias("h0"), F.max("hr").alias("h1")
+        )
+        .select(F.explode(F.expr("sequence(h0, h1)")).alias("hr"))
+        .join(hourly, "hr", "left")
+        .select("hr", F.coalesce("v_c", F.lit(0)).alias("v_c"))
+    )
+    w = Window.orderBy("hr")
+    w23 = Window.orderBy("hr").rowsBetween(-11, 11)
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    trended = (
+        grid.select(
+            "hr",
+            "v_c",
+            (
+                F.lag("v_c", 12).over(w)
+                + F.lead("v_c", 12).over(w)
+                + 2 * F.sum("v_c").over(w23)
+            ).alias("num"),
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wall).alias("n"),
+        )
+        .withColumn(
+            "trend_mc",
+            F.expr(
+                "cast(floor(cast(num as double) * 1000.0 / 48.0)"
+                " as bigint)"
+            ),
+        )
+        .withColumn("hod", F.expr("cast(hr % 24 as int)"))
+    )
+    detrended = (
+        trended.filter("rn > 12 and rn <= n - 12")
+        .withColumn("d_mc", F.expr("v_c * 1000 - trend_mc"))
+        .select("hr", "v_c", "trend_mc", "d_mc", "hod")
+    )
+    seasonal = detrended.groupBy("hod").agg(
+        F.expr(
+            "cast(floor(cast(sum(d_mc) as double) / count(*)) as bigint)"
+        ).alias("s_raw")
+    )
+    adj = seasonal.agg(
+        F.expr(
+            "cast(floor(cast(sum(s_raw) as double) / 24.0) as bigint)"
+        ).alias("adj")
+    )
+    centered = seasonal.crossJoin(F.broadcast(adj)).select(
+        "hod", F.expr("s_raw - adj").alias("seasonal_mc")
+    )
+    return detrended.join(F.broadcast(centered), "hod").select(
+        "hr",
+        "v_c",
+        "trend_mc",
+        "seasonal_mc",
+        F.expr("d_mc - seasonal_mc").alias("resid_mc"),
+    )

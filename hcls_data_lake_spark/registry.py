@@ -182,7 +182,10 @@ def register(name: str, oracle: str | None) -> Callable[[QueryFn], QueryFn]:
 # q_privacy_dp_mean clamped-contribution numeric release,
 # q_agg_multi_distinct one-pass Expand multi-distinct,
 # q_stream_incremental_resume exactly-once restart progress,
-# q_analytics_attribution conserved multi-touch credit) — 118
+# q_analytics_attribution conserved multi-touch credit,
+# q_pipeline_ivm abelian-group incremental view maintenance,
+# q_dedup_linkage_fs Fellegi-Sunter deci-ban linkage bands,
+# q_ts_decompose 2x24-MA additive seasonal decomposition) — 121
 # names; overflow past slot 50 rolls to r7 with the deferred
 # remainder; the first 50 of this list
 # form the r6 prefix, the small remainder rolls to r7.
@@ -329,6 +332,9 @@ _FAMILY_REPRESENTATIVES = [
     "q_agg_multi_distinct",
     "q_stream_incremental_resume",
     "q_analytics_attribution",
+    "q_pipeline_ivm",
+    "q_dedup_linkage_fs",
+    "q_ts_decompose",
     "q_layout_zorder",
     "q_fn_collation",
     "q_fn_json_build",

@@ -151,3 +151,86 @@ def test_attribution_credit_conservation(spark, sf_dir):
         totals[r.model] += r.credit_ppm
     assert len(set(totals.values())) == 1, totals
     assert next(iter(totals.values())) % 1_000_000 == 0
+
+
+def test_ivm_matches_direct_recompute_and_drops_empty_groups(
+    spark, sf_dir
+):
+    """The delta-maintained MV equals a DIRECT Spark recompute over
+    the same final state (independent of the DuckDB oracle), and no
+    emitted group has n_orders <= 0 (cancelled groups are dropped,
+    not emitted as zeros)."""
+    from hcls_data_lake_spark.queries.common import t
+
+    rows = _rows(spark, sf_dir, "q_pipeline_ivm")
+    assert rows and all(r.n_orders > 0 for r in rows)
+    direct = {
+        (r.o_orderpriority, r.yyyymm): (r.n, r.rev)
+        for r in (
+            t(spark, sf_dir, "orders")
+            .filter("not (o_orderkey % 11 = 0 and o_orderkey % 7 != 0)")
+            .groupBy(
+                "o_orderpriority",
+                F.expr(
+                    "cast(year(o_orderdate) * 100"
+                    " + month(o_orderdate) as int)"
+                ).alias("yyyymm"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.expr("cast(round(o_totalprice * 100) as bigint)")
+                ).alias("rev"),
+            )
+            .collect()
+        )
+    }
+    got = {
+        (r.o_orderpriority, r.yyyymm): (r.n_orders, r.revenue_c)
+        for r in rows
+    }
+    assert got == direct
+
+
+def test_linkage_fs_score_bounds_and_band_cuts(spark, sf_dir):
+    """Scores stay inside the weight-sum envelope [−15, 54]; band
+    min/max respect the two-cut rule; pair mass equals the blocked
+    join size."""
+    from hcls_data_lake_spark.queries.common import t
+
+    rows = _rows(spark, sf_dir, "q_dedup_linkage_fs")
+    assert rows
+    total = 0
+    for r in rows:
+        total += r.n_pairs
+        assert -15 <= r.min_score <= r.max_score <= 54
+        if r.band == "link":
+            assert r.min_score >= 30
+        elif r.band == "possible":
+            assert 10 <= r.min_score and r.max_score < 30
+        else:
+            assert r.max_score < 10
+    c = t(spark, sf_dir, "customer").groupBy("c_nationkey").count()
+    s = t(spark, sf_dir, "supplier").groupBy("s_nationkey").count()
+    expected = sum(
+        rc["count"] * rs["count"]
+        for rc in c.collect()
+        for rs in s.collect()
+        if rc.c_nationkey == rs.s_nationkey
+    )
+    assert total == expected
+
+
+def test_decompose_reconstruction_identity(spark, sf_dir):
+    """trend + seasonal + residual reconstructs the series EXACTLY
+    (v_c·1000 = trend_mc + seasonal_mc + resid_mc per row) — additive
+    decomposition admits no leakage; seasonal indices are centered to
+    within one floor step (|Σ seasonal_mc over the 24 hods| < 24)."""
+    rows = _rows(spark, sf_dir, "q_ts_decompose")
+    assert rows
+    hod_idx = {}
+    for r in rows:
+        assert r.v_c * 1000 == r.trend_mc + r.seasonal_mc + r.resid_mc
+        hod_idx[r.hr % 24] = r.seasonal_mc
+    assert len(hod_idx) == 24
+    assert abs(sum(hod_idx.values())) < 24
