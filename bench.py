@@ -216,6 +216,9 @@ EXTENDED = [
     "q_pipeline_ivm",         # incremental view maintenance merge (r5)
     "q_dedup_linkage_fs",     # Fellegi-Sunter linkage bands (r5)
     "q_ts_decompose",         # 2x24-MA seasonal decomposition (r5)
+    "q_ts_dtw",               # banded DTW vs recursive oracle (r5)
+    "q_graph_label_propagation",  # deterministic synchronous LPA (r5)
+    "q_scd2_bitemporal",      # two-axis as-of restatement audit (r5)
 ]
 
 

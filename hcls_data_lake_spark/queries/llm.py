@@ -4233,3 +4233,86 @@ def q_dedup_linkage_fs(spark, sf_dir):
             F.max("score").cast("bigint").alias("max_score"),
         )
     )
+
+
+def _lpa_oracle(rounds: int = 4) -> str:
+    """Unrolled synchronous label-propagation oracle: per round, each
+    node adopts the most frequent label among its NEIGHBORS (ties to
+    the smallest label — the deterministic tie-break that makes
+    synchronous LPA engine-neutral). Fixed round count, not a
+    fixpoint: synchronous LPA can 2-cycle on bipartite structures, so
+    both engines run the IDENTICAL recurrence for the same number of
+    steps and the hash pins every intermediate decision."""
+    parts = [
+        "e0 AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM near"
+        " UNION ALL SELECT doc_b, doc_a FROM near)",
+        "l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label"
+        " FROM e0)",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"l{i + 1} AS MATERIALIZED ("
+            f" SELECT node, label FROM ("
+            f"   SELECT e.src AS node, l.label,"
+            f"          row_number() OVER (PARTITION BY e.src"
+            f"            ORDER BY count(*) DESC, l.label) AS rk"
+            f"   FROM e0 e JOIN l{i} l ON l.node = e.dst"
+            f"   GROUP BY e.src, l.label"
+            f" ) WHERE rk = 1)"
+        )
+    return (
+        f"WITH near AS MATERIALIZED ({_KHOP_NEAR_SQL}),\n"
+        + ",\n".join(parts)
+        + f"\nSELECT node AS doc_id, CAST(label AS BIGINT) AS community"
+        f" FROM l{rounds}"
+    )
+
+
+@register("q_graph_label_propagation", _lpa_oracle())
+def q_graph_label_propagation(spark, sf_dir):
+    """COMMUNITY DETECTION by synchronous label propagation (Raghavan
+    2007) on the near-dup similarity graph — 4 rounds, each node
+    adopting its neighbors' most frequent label with ties broken to
+    the smallest label (the determinism LPA needs to be verifiable at
+    all: vanilla LPA breaks ties randomly and is irreproducible by
+    design). Communities after 4 rounds ARE the deliverable — dense
+    template families collapse onto one label while chains stay
+    fragmented, which is exactly the boilerplate-vs-coincidence
+    signal a dedup triage wants (complements q_dedup_clusters: CC
+    merges anything connected; LPA only merges what is DENSELY
+    connected).
+
+    Per round: one edge→label join (shuffle on node key) + one
+    count aggregate + one window argmax — all node/edge-sized, never
+    all-pairs; localCheckpoint per round keeps lineage depth-1 (the
+    PageRank discipline). 100 TB: cost per round tracks |E|, labels
+    co-partition with edges after the first shuffle, skewed hubs are
+    the usual salting case. The oracle unrolls the same 4 rounds."""
+    p = _near_pairs_cached(spark, sf_dir, ngram=2, threshold=0.08)
+    edges = (
+        p.selectExpr("doc_a as src", "doc_b as dst")
+        .unionByName(p.selectExpr("doc_b as src", "doc_a as dst"))
+        .localCheckpoint()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.col("cnt").desc(), F.col("label")
+    )
+    for _ in range(4):
+        labels = (
+            edges.join(
+                labels.withColumnRenamed("node", "dst"), "dst"
+            )
+            .groupBy(F.col("src").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("rk", F.row_number().over(w))
+            .filter("rk = 1")
+            .select("node", "label")
+            .localCheckpoint()
+        )
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").cast("bigint").alias("community"),
+    )

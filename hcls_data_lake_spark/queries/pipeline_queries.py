@@ -1194,3 +1194,116 @@ def q_pipeline_ivm(spark, sf_dir):
         )
         .filter("n_orders > 0")
     )
+
+
+@register(
+    "q_scd2_bitemporal",
+    """
+    WITH versions AS MATERIALIZED (
+      SELECT user_id, event_id,
+             epoch_ns(ts) AS valid_from,
+             epoch_ns(ts) + (event_id % 5) * 86400000000000 AS tx_from,
+             LEAST(CAST(row_number() OVER (PARTITION BY user_id
+                     ORDER BY epoch_ns(ts), event_id) AS BIGINT),
+                   5) AS tier
+      FROM events WHERE event_type = 'purchase'
+    ), then_view AS MATERIALIZED (
+      SELECT user_id, tier FROM (
+        SELECT user_id, tier,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY valid_from DESC, tx_from DESC,
+                          event_id DESC) AS rk
+        FROM versions
+        WHERE valid_from <= 1705708800000000000
+          AND tx_from    <= 1705708800000000000
+      ) WHERE rk = 1
+    ), now_view AS MATERIALIZED (
+      SELECT user_id, tier FROM (
+        SELECT user_id, tier,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY valid_from DESC, tx_from DESC,
+                          event_id DESC) AS rk
+        FROM versions
+        WHERE valid_from <= 1705708800000000000
+      ) WHERE rk = 1
+    )
+    SELECT COALESCE(n.user_id, t.user_id) AS user_id,
+           CAST(COALESCE(t.tier, -1) AS BIGINT) AS tier_known_then,
+           CAST(n.tier AS BIGINT) AS tier_known_now,
+           CAST(CASE WHEN COALESCE(t.tier, -1) <> n.tier
+                     THEN 1 ELSE 0 END AS INT) AS corrected
+    FROM now_view n LEFT JOIN then_view t ON t.user_id = n.user_id
+    """,
+)
+def q_scd2_bitemporal(spark, sf_dir):
+    """BITEMPORAL AS-OF reconstruction — the two-axis temporal query
+    SCD2 alone cannot answer: "what did we BELIEVE on Jan 20 about
+    the state valid on Jan 20?" vs "what do we NOW know was valid on
+    Jan 20?". Versions carry independent valid-time (when the tier
+    became true: the purchase) and transaction-time (when the
+    warehouse learned it: here the purchase plus a deterministic
+    0-4 day ingest lag keyed off event_id). Each reconstruction is
+    one window argmax over versions with (valid_from <= T_v AND
+    tx_from <= T_tx) — knowledge-then — vs valid-time only —
+    knowledge-now; the diff flags users whose believed tier was
+    CORRECTED by late-arriving versions, tier_known_then = -1 when
+    the user's entire history was still in flight on Jan 20. This
+    restatement audit is what bitemporal modeling exists for
+    (regulatory "what did you know and when").
+
+    100 TB: both reconstructions share one shuffle on user_id (two
+    window passes over the same partitioning), the final diff is a
+    key-aligned join on the same key — no second fact shuffle. The
+    as-of cut predicates push down to the version scan."""
+    e = t(spark, sf_dir, "events").filter("event_type = 'purchase'")
+    w_ver = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    versions = e.select(
+        "user_id",
+        "event_id",
+        F.col("ts_ns").alias("valid_from"),
+        F.expr(
+            "ts_ns + (event_id % 5) * 86400000000000"
+        ).alias("tx_from"),
+        F.least(
+            F.row_number().over(w_ver).cast("bigint"), F.lit(5)
+        ).alias("tier"),
+    )
+    T = 1705708800000000000  # 2024-01-20 00:00 UTC in epoch nanos
+    w_asof = Window.partitionBy("user_id").orderBy(
+        F.col("valid_from").desc(),
+        F.col("tx_from").desc(),
+        F.col("event_id").desc(),
+    )
+
+    def asof(df):
+        return (
+            df.withColumn("rk", F.row_number().over(w_asof))
+            .filter("rk = 1")
+            .select("user_id", "tier")
+        )
+
+    then_view = asof(
+        versions.filter(
+            (F.col("valid_from") <= T) & (F.col("tx_from") <= T)
+        )
+    )
+    now_view = asof(versions.filter(F.col("valid_from") <= T))
+    return (
+        now_view.withColumnRenamed("tier", "tier_now")
+        .join(
+            then_view.withColumnRenamed("tier", "tier_then"),
+            "user_id",
+            "left",
+        )
+        .select(
+            "user_id",
+            F.coalesce("tier_then", F.lit(-1))
+            .cast("bigint")
+            .alias("tier_known_then"),
+            F.col("tier_now").cast("bigint").alias("tier_known_now"),
+            F.expr(
+                "cast(case when coalesce(tier_then, -1) != tier_now"
+                " then 1 else 0 end as int)"
+            ).alias("corrected"),
+        )
+    )

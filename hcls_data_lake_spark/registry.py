@@ -185,7 +185,10 @@ def register(name: str, oracle: str | None) -> Callable[[QueryFn], QueryFn]:
 # q_analytics_attribution conserved multi-touch credit,
 # q_pipeline_ivm abelian-group incremental view maintenance,
 # q_dedup_linkage_fs Fellegi-Sunter deci-ban linkage bands,
-# q_ts_decompose 2x24-MA additive seasonal decomposition) — 121
+# q_ts_decompose 2x24-MA additive seasonal decomposition,
+# q_ts_dtw banded-DTW applyInPandas kernel vs recursive-wavefront
+# oracle, q_graph_label_propagation deterministic synchronous LPA,
+# q_scd2_bitemporal two-axis as-of restatement audit) — 124
 # names; overflow past slot 50 rolls to r7 with the deferred
 # remainder; the first 50 of this list
 # form the r6 prefix, the small remainder rolls to r7.
@@ -335,6 +338,9 @@ _FAMILY_REPRESENTATIVES = [
     "q_pipeline_ivm",
     "q_dedup_linkage_fs",
     "q_ts_decompose",
+    "q_ts_dtw",
+    "q_graph_label_propagation",
+    "q_scd2_bitemporal",
     "q_layout_zorder",
     "q_fn_collation",
     "q_fn_json_build",
