@@ -349,8 +349,6 @@ _BNLJ_ALLOWED = {
     #                                 (both sides calendar/keyspace-bounded)
     "q_ts_cross_correlation",  # 4-literal lag spine broadcast onto days
     "q_text_distinctive_terms",  # 1-row corpus totals broadcast back
-    "q_embed_recall_audit",  # 150-query block broadcast x candidates
-    "q_sim_ann_multiprobe",  # same exact-side query-block broadcast
     "q_text_outlier_docs",   # 1-row corpus-total broadcast joined back
 }
 
