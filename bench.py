@@ -219,6 +219,8 @@ EXTENDED = [
     "q_ts_dtw",               # banded DTW vs recursive oracle (r5)
     "q_graph_label_propagation",  # deterministic synchronous LPA (r5)
     "q_scd2_bitemporal",      # two-axis as-of restatement audit (r5)
+    "q_join_spatial_grid",    # grid-bucketed spatial radius join (r5)
+    "q_sample_kcenter",       # greedy Gonzalez coreset picks (r5)
 ]
 
 

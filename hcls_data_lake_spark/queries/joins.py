@@ -1184,3 +1184,137 @@ def q_join_shuffle_hash(spark, sf_dir):
             ).alias("ext_c"),
         )
     )
+
+
+@register(
+    "q_join_spatial_grid",
+    """
+    WITH pts AS (
+      SELECT c_custkey AS user_id,
+             (c_custkey * 2654435761) % 60000001 AS lat,
+             (c_custkey * 2246822519) % 120000001 AS lon
+      FROM customer
+    ), stores AS (
+      SELECT s_suppkey AS store_id,
+             (s_suppkey * 3266489917) % 60000001 AS lat,
+             (s_suppkey * 668265263) % 120000001 AS lon
+      FROM supplier
+    ), hits AS (
+      SELECT p.user_id, s.store_id,
+             (p.lat - s.lat) * (p.lat - s.lat)
+           + (p.lon - s.lon) * (p.lon - s.lon) AS d2
+      FROM pts p JOIN stores s
+        ON (p.lat - s.lat) * (p.lat - s.lat)
+         + (p.lon - s.lon) * (p.lon - s.lon) <= 100000000000000
+    ), best AS (
+      SELECT user_id, store_id, d2 FROM (
+        SELECT user_id, store_id, d2,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY d2, store_id) AS rk
+        FROM hits
+      ) WHERE rk = 1
+    )
+    SELECT p.user_id,
+           CAST(COALESCE(n.n_stores, 0) AS BIGINT) AS n_stores,
+           CAST(COALESCE(b.store_id, -1) AS BIGINT) AS nearest_store,
+           CAST(COALESCE(b.d2, -1) AS BIGINT) AS nearest_d2
+    FROM pts p
+    LEFT JOIN (SELECT user_id, count(*) AS n_stores
+               FROM hits GROUP BY user_id) n ON n.user_id = p.user_id
+    LEFT JOIN best b ON b.user_id = p.user_id
+    """,
+)
+def q_join_spatial_grid(spark, sf_dir):
+    """SPATIAL RADIUS JOIN via GRID BUCKETING — points (customers)
+    against sites (suppliers) within radius R, in integer
+    micro-degree planar coordinates (synthesized deterministically
+    from the keys by modular congruences, identical in both
+    engines; all distance math is exact BIGINT squared-distance, no
+    trig, no floats). The Spark plan is the scale shape: cell size
+    = R, so a point's true neighbors can only live in the 3x3 cell
+    neighborhood — sites are exploded to their 9 neighbor cells
+    (the small side carries the fan-out), the join is a cell
+    EQUI-join (hash-partitionable, never a theta cross), and the
+    exact d² <= R² predicate verifies candidates. Emits per point:
+    count of sites in range, nearest site (min d², tie-break min
+    id), -1 sentinels when none.
+
+    The ORACLE is the brute-force theta join — the hash equality is
+    the blocking-correctness proof: grid candidates ⊇ true matches
+    (cell size >= R guarantees no neighbor escapes the 3x3 probe).
+
+    100 TB: candidate cost tracks occupied-cell collision counts,
+    never |P|x|S|; a dense downtown cell is ordinary hash-join skew
+    (salt or AQE). Doubling R only re-buckets; the plan is
+    unchanged."""
+    R2 = 100_000_000_000_000  # R = 1e7 µdeg, squared
+    CELL = 10_000_000
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.expr("(c_custkey * 2654435761) % 60000001").alias("lat"),
+        F.expr("(c_custkey * 2246822519) % 120000001").alias("lon"),
+    )
+    s = t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("store_id"),
+        F.expr("(s_suppkey * 3266489917) % 60000001").alias("slat"),
+        F.expr("(s_suppkey * 668265263) % 120000001").alias("slon"),
+    )
+    pts = c.withColumn(
+        "cell",
+        F.expr(f"(lat div {CELL}) * 1000 + (lon div {CELL})"),
+    )
+    sites9 = s.select(
+        "store_id",
+        "slat",
+        "slon",
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(-1, 1), di ->"
+                f" transform(sequence(-1, 1), dj ->"
+                f" (slat div {CELL} + di) * 1000"
+                f" + (slon div {CELL} + dj))))"
+            )
+        ).alias("cell"),
+    )
+    hits = (
+        pts.join(F.broadcast(sites9), "cell")
+        .withColumn(
+            "d2",
+            F.expr(
+                "(lat - slat) * (lat - slat)"
+                " + (lon - slon) * (lon - slon)"
+            ),
+        )
+        .filter(F.col("d2") <= R2)
+        .select("user_id", "store_id", "d2")
+    )
+    w_near = Window.partitionBy("user_id").orderBy("d2", "store_id")
+    best = (
+        hits.withColumn("rk", F.row_number().over(w_near))
+        .filter("rk = 1")
+        .select(
+            "user_id",
+            F.col("store_id").alias("nearest_store"),
+            F.col("d2").alias("nearest_d2"),
+        )
+    )
+    counts = hits.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_stores")
+    )
+    return (
+        c.select("user_id")
+        .join(counts, "user_id", "left")
+        .join(best, "user_id", "left")
+        .select(
+            "user_id",
+            F.coalesce("n_stores", F.lit(0))
+            .cast("bigint")
+            .alias("n_stores"),
+            F.coalesce("nearest_store", F.lit(-1))
+            .cast("bigint")
+            .alias("nearest_store"),
+            F.coalesce("nearest_d2", F.lit(-1))
+            .cast("bigint")
+            .alias("nearest_d2"),
+        )
+    )

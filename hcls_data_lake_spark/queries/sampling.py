@@ -571,3 +571,104 @@ def q_sample_quota_mix(spark, sf_dir):
     return ranked.join(F.broadcast(quota), "lang").filter(
         F.col("rn") <= F.col("quota")
     ).select("doc_id", "lang", "rn", "quota")
+
+
+def _kcenter_oracle(k: int = 5) -> str:
+    """Unrolled greedy k-center (Gonzalez) oracle: round r picks the
+    point FARTHEST from the first r-1 centers (exact integer squared
+    Euclidean on the quantized vectors, tie-break min vec_id); each
+    round's running min-distance folds in only the NEW center."""
+    d2 = (
+        "CAST(list_sum(list_transform(range(1, len({a}) + 1),"
+        " i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))) AS BIGINT)"
+    )
+    parts = [
+        "q AS MATERIALIZED (SELECT vec_id, list_transform(embedding,"
+        " x -> CAST(round(x * 100) AS BIGINT)) AS v FROM embeddings)",
+        "c1 AS (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT 1)",
+        "d1 AS MATERIALIZED (SELECT q.vec_id, q.v, "
+        + d2.format(a="q.v", b="c1.v")
+        + " AS dmin FROM q, c1 WHERE q.vec_id <> c1.vec_id)",
+    ]
+    for r in range(2, k + 1):
+        parts.append(
+            f"c{r} AS (SELECT vec_id, v, dmin FROM d{r - 1}"
+            f" ORDER BY dmin DESC, vec_id LIMIT 1)"
+        )
+        parts.append(
+            f"d{r} AS MATERIALIZED (SELECT d.vec_id, d.v,"
+            f" LEAST(d.dmin, " + d2.format(a="d.v", b=f"c{r}.v")
+            + f") AS dmin FROM d{r - 1} d, c{r}"
+            f" WHERE d.vec_id <> c{r}.vec_id)"
+        )
+    sel = [
+        "SELECT 1 AS sel_round, vec_id,"
+        " CAST(-1 AS BIGINT) AS maxmin_d2 FROM c1"
+    ]
+    for r in range(2, k + 1):
+        sel.append(
+            f"SELECT {r}, vec_id, CAST(dmin AS BIGINT) FROM c{r}"
+        )
+    sel.append(
+        f"SELECT 0, CAST(-1 AS BIGINT),"
+        f" CAST(max(dmin) AS BIGINT) FROM d{k}"
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(sel)
+
+
+@register("q_sample_kcenter", _kcenter_oracle())
+def q_sample_kcenter(spark, sf_dir):
+    """CORESET / DIVERSITY SAMPLING by greedy k-center (Gonzalez
+    1985, the 2-approximation): pick the min-id seed, then 4 times
+    the point FARTHEST (exact integer squared Euclidean, tie-break
+    min vec_id) from the centers chosen so far — the selection a
+    training-data curator uses to cover embedding space with a
+    bounded exemplar budget instead of sampling the dense blob
+    uniformly. Emits the 5 selection rounds with each pick's
+    farthest-distance gain, plus a round-0 summary row carrying the
+    final COVERAGE RADIUS² (max over points of min-distance to the
+    chosen set — the k-center objective itself, so the oracle hash
+    pins not just which points were picked but the quality bound
+    they achieve).
+
+    100 TB plan: per round ONE map-side distance-update against the
+    newly chosen center (a k×dim driver-side scalar, the ANN
+    codebook discipline) folded with LEAST into the running min,
+    and ONE TakeOrdered(1) argmax — no shuffle of the corpus, no
+    pairwise materialization; k rounds cost k corpus passes, the
+    textbook distributed Gonzalez."""
+    e = t(spark, sf_dir, "embeddings")
+    cur = e.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> cast(round(x * 100) as bigint))"
+        ).alias("v"),
+    )
+    seed = cur.orderBy("vec_id").first()
+    picks = [(1, int(seed.vec_id), -1)]
+
+    def d2_to(center_vec):
+        lit = "array(" + ", ".join(f"{int(x)}L" for x in center_vec) + ")"
+        return F.expr(
+            f"aggregate(zip_with(v, {lit}, (x, y) ->"
+            " (x - y) * (x - y)), 0L, (acc, x) -> acc + x)"
+        )
+
+    # No per-round checkpoint: the lineage is k stacked map-only
+    # distance folds over the (narrow) corpus relation — re-planning
+    # it is cheaper than materializing 5 intermediates; the argmax
+    # TakeOrdered jobs dominate (measured 2.4 s -> 1.7 s solo).
+    cur = cur.filter(F.col("vec_id") != seed.vec_id).withColumn(
+        "dmin", d2_to(seed.v)
+    )
+    for r in range(2, 6):
+        top = cur.orderBy(F.col("dmin").desc(), "vec_id").first()
+        picks.append((r, int(top.vec_id), int(top.dmin)))
+        cur = cur.filter(F.col("vec_id") != top.vec_id).withColumn(
+            "dmin", F.least(F.col("dmin"), d2_to(top.v))
+        )
+    cov = cur.agg(F.max("dmin").alias("m")).first().m
+    picks.append((0, -1, int(cov)))
+    return spark.createDataFrame(
+        picks, "sel_round int, vec_id bigint, maxmin_d2 bigint"
+    )

@@ -188,7 +188,10 @@ def register(name: str, oracle: str | None) -> Callable[[QueryFn], QueryFn]:
 # q_ts_decompose 2x24-MA additive seasonal decomposition,
 # q_ts_dtw banded-DTW applyInPandas kernel vs recursive-wavefront
 # oracle, q_graph_label_propagation deterministic synchronous LPA,
-# q_scd2_bitemporal two-axis as-of restatement audit) — 124
+# q_scd2_bitemporal two-axis as-of restatement audit,
+# q_join_spatial_grid radius join via 3x3 cell bucketing vs
+# brute-force oracle, q_sample_kcenter greedy Gonzalez coreset with
+# coverage-radius pin) — 126
 # names; overflow past slot 50 rolls to r7 with the deferred
 # remainder; the first 50 of this list
 # form the r6 prefix, the small remainder rolls to r7.
@@ -341,6 +344,8 @@ _FAMILY_REPRESENTATIVES = [
     "q_ts_dtw",
     "q_graph_label_propagation",
     "q_scd2_bitemporal",
+    "q_join_spatial_grid",
+    "q_sample_kcenter",
     "q_layout_zorder",
     "q_fn_collation",
     "q_fn_json_build",

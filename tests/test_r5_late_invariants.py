@@ -294,3 +294,61 @@ def test_bitemporal_then_never_ahead_of_now(spark, sf_dir):
         n_corr += r.corrected
     if len(rows) >= 100:
         assert n_corr > 0
+
+
+def test_spatial_grid_matches_bruteforce(spark, sf_dir):
+    """The grid-bucketed join finds EXACTLY the brute-force radius
+    matches (blocking correctness: cell size >= R means no neighbor
+    escapes the 3x3 probe), and nearest_d2 <= R² whenever a nearest
+    store exists."""
+    from hcls_data_lake_spark.queries.common import t
+
+    R2 = 100_000_000_000_000
+    rows = _rows(spark, sf_dir, "q_join_spatial_grid")
+    assert rows
+    pts = {
+        r.c_custkey: (
+            (r.c_custkey * 2654435761) % 60000001,
+            (r.c_custkey * 2246822519) % 120000001,
+        )
+        for r in t(spark, sf_dir, "customer").collect()
+    }
+    sts = {
+        r.s_suppkey: (
+            (r.s_suppkey * 3266489917) % 60000001,
+            (r.s_suppkey * 668265263) % 120000001,
+        )
+        for r in t(spark, sf_dir, "supplier").collect()
+    }
+    for r in rows:
+        lat, lon = pts[r.user_id]
+        hits = sorted(
+            (
+                (la - lat) ** 2 + (lo - lon) ** 2,
+                sid,
+            )
+            for sid, (la, lo) in sts.items()
+            if (la - lat) ** 2 + (lo - lon) ** 2 <= R2
+        )
+        assert r.n_stores == len(hits)
+        if hits:
+            assert (r.nearest_d2, r.nearest_store) == hits[0]
+            assert r.nearest_d2 <= R2
+        else:
+            assert (r.nearest_store, r.nearest_d2) == (-1, -1)
+
+
+def test_kcenter_gains_decrease_and_cover(spark, sf_dir):
+    """Greedy k-center gains are nonincreasing (each pick is the
+    current farthest point, and min-distances only shrink as centers
+    are added), the coverage radius is <= the last gain, and the 5
+    picks are distinct."""
+    rows = _rows(spark, sf_dir, "q_sample_kcenter")
+    by_round = {r.sel_round: r for r in rows}
+    assert set(by_round) == {0, 1, 2, 3, 4, 5}
+    gains = [by_round[r].maxmin_d2 for r in (2, 3, 4, 5)]
+    assert all(g > 0 for g in gains)
+    assert all(a >= b for a, b in zip(gains, gains[1:]))
+    assert 0 <= by_round[0].maxmin_d2 <= gains[-1]
+    picks = {by_round[r].vec_id for r in (1, 2, 3, 4, 5)}
+    assert len(picks) == 5
