@@ -221,6 +221,8 @@ EXTENDED = [
     "q_scd2_bitemporal",      # two-axis as-of restatement audit (r5)
     "q_join_spatial_grid",    # grid-bucketed spatial radius join (r5)
     "q_sample_kcenter",       # greedy Gonzalez coreset picks (r5)
+    "q_join_interval_allocate",  # largest-remainder proration (r5)
+    "q_agg_kth_selection",    # sort-free exact order statistic (r5)
 ]
 
 

@@ -1213,3 +1213,73 @@ def q_agg_multi_distinct(spark, sf_dir):
         ).cast("bigint").alias("n_values"),
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
     )
+
+
+@register(
+    "q_agg_kth_selection",
+    """
+    WITH v AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+      FROM lineitem
+    ), n AS (SELECT count(*) AS n FROM v)
+    SELECT n.n AS n,
+           CAST(n.n // 4 AS BIGINT) AS k,
+           (SELECT c FROM v ORDER BY c
+            LIMIT 1 OFFSET (SELECT n // 4 - 1 FROM n))
+             AS kth_value_c
+    FROM n
+    """,
+)
+def q_agg_kth_selection(spark, sf_dir):
+    """EXACT ORDER STATISTIC WITHOUT A GLOBAL SORT — the k-th
+    smallest price (k = N/4) by iterative HISTOGRAM NARROWING: each
+    round builds a 256-bucket histogram of the surviving value
+    range (one map-side-combined aggregate, 256 rows to the
+    driver), locates the bucket containing the k-th element,
+    rescales k by the mass below it, and recurses into that bucket
+    — the value range shrinks 256× per round, so 3 rounds pin an
+    exact cent value from a ~10^7-wide domain. The ORACLE is the
+    sort: ORDER BY LIMIT 1 OFFSET k-1.
+
+    Why this is the 100 TB shape: a sort-based k-th element
+    shuffles the entire fact table and funnels it through a global
+    order (or a single-partition window); the narrowing pass is
+    O(rounds) LINEAR scans with a 256-row driver exchange per
+    round, and each round's `BETWEEN lo AND hi` predicate pushes
+    down to parquet row-group min/max pruning — later rounds read a
+    shrinking fraction of the files. percentile_exact (the window
+    formulation) is the comparison row in this registry."""
+    v = t(spark, sf_dir, "lineitem").select(
+        F.expr("cast(round(l_extendedprice * 100) as bigint)").alias("c")
+    )
+    stats = v.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("c").alias("lo"),
+        F.max("c").alias("hi"),
+    ).first()
+    n, lo, hi = int(stats.n), int(stats.lo), int(stats.hi)
+    k = max(1, n // 4)  # 1-indexed rank
+    kk = k
+    while lo < hi:
+        width = (hi - lo) // 256 + 1
+        hist = {
+            int(r.b): int(r.cnt)
+            for r in v.filter(F.col("c").between(lo, hi))
+            .groupBy(
+                F.expr(f"(c - {lo}) div {width}").alias("b")
+            )
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        cum = 0
+        for b in range(256):
+            cnt = hist.get(b, 0)
+            if cum + cnt >= kk:
+                kk -= cum
+                lo = lo + b * width
+                hi = min(hi, lo + width - 1)
+                break
+            cum += cnt
+    return spark.createDataFrame(
+        [(n, k, lo)], "n bigint, k bigint, kth_value_c bigint"
+    )

@@ -1318,3 +1318,131 @@ def q_join_spatial_grid(spark, sf_dir):
             .alias("nearest_d2"),
         )
     )
+
+
+@register(
+    "q_join_interval_allocate",
+    """
+    WITH spans AS (
+      SELECT l.l_orderkey, l.l_linenumber,
+             CAST(round(l.l_extendedprice * 100) AS BIGINT) AS price_c,
+             date_diff('day', DATE '1970-01-01',
+                       CAST(o.o_orderdate AS DATE)) AS d0,
+             date_diff('day', DATE '1970-01-01',
+                       CAST(l.l_shipdate AS DATE)) AS d1
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE date_diff('day', CAST(o.o_orderdate AS DATE),
+                      CAST(l.l_shipdate AS DATE)) > 0
+    ), pieces AS (
+      SELECT s.l_orderkey, s.l_linenumber, s.price_c, s.d0,
+             s.d1 - s.d0 AS len,
+             w.wk,
+             LEAST(s.d1, w.wk * 7 + 7) - GREATEST(s.d0, w.wk * 7)
+               AS ov
+      FROM spans s,
+           LATERAL (SELECT unnest(generate_series(s.d0 // 7,
+                                                  (s.d1 - 1) // 7))
+                    AS wk) w
+    ), based AS (
+      SELECT *,
+             (price_c * ov) // len AS base,
+             (price_c * ov) % len AS rem,
+             -- the fixture does NOT keep (orderkey, linenumber)
+             -- unique, so the piece identity adds price/span: two
+             -- distinct items sharing the pair must not share a
+             -- remainder pool (unpinned ties broke determinism)
+             row_number() OVER (PARTITION BY l_orderkey, l_linenumber,
+                 price_c, len, d0
+               ORDER BY (price_c * ov) % len DESC, wk) AS rn,
+             (SUM((price_c * ov) % len) OVER (
+                PARTITION BY l_orderkey, l_linenumber,
+                  price_c, len, d0)) // len AS extra
+      FROM pieces
+    )
+    SELECT CAST(wk AS BIGINT) AS epoch_week,
+           CAST(SUM(base + CASE WHEN rn <= extra THEN 1 ELSE 0 END)
+                AS BIGINT) AS alloc_c,
+           CAST(count(*) AS BIGINT) AS n_pieces
+    FROM based GROUP BY wk
+    """,
+)
+def q_join_interval_allocate(spark, sf_dir):
+    """INTERVAL-OVERLAP ALLOCATION (proration) — spread each line
+    item's price across the epoch-WEEKS its order→ship span
+    overlaps, proportional to overlap days, with the rounding
+    remainder distributed by LARGEST REMAINDER (ties to the earlier
+    week) so every line item's pieces sum back to its price
+    EXACTLY — the accrual-accounting spread (recognize revenue over
+    the service window, not at a point) as an integer conservation
+    law. Epoch weeks (day div 7) keep the bucket math calendar-free
+    pure integers; Σ_w overlap = span length exactly, so the summed
+    floor-shares miss the total by Σrem/len — an integer —
+    distributed to the Σrem/len largest remainders.
+
+    Plan: one fact join orders⋈lineitem on the order key, a bounded
+    explode (span ≤ ~18 weeks), one window pass per line item for
+    rank + remainder total, then the week rollup. 100 TB: fan-out
+    is span-bounded (the explode multiplies by ~5, not by the
+    calendar), the window partitions by line item (narrow), the
+    final groupBy shuffles week-sized aggregates. Zero-length spans
+    are excluded (nothing to allocate over)."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr(
+            "datediff(cast(o_orderdate as date), date'1970-01-01')"
+        ).alias("d0"),
+    )
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr("cast(round(l_extendedprice * 100) as bigint)").alias(
+            "price_c"
+        ),
+        F.expr(
+            "datediff(cast(l_shipdate as date), date'1970-01-01')"
+        ).alias("d1"),
+    )
+    spans = li.join(o, li.l_orderkey == o.o_orderkey).filter(
+        "d1 - d0 > 0"
+    )
+    pieces = spans.select(
+        "l_orderkey",
+        "l_linenumber",
+        "price_c",
+        (F.col("d1") - F.col("d0")).alias("len"),
+        F.explode(
+            F.expr("sequence(d0 div 7, (d1 - 1) div 7)")
+        ).alias("wk"),
+        "d0",
+        "d1",
+    ).withColumn(
+        "ov",
+        F.expr("least(d1, wk * 7 + 7) - greatest(d0, wk * 7)"),
+    )
+    # piece identity includes price/span: (orderkey, linenumber)
+    # is NOT unique in the fixture (see oracle comment)
+    w_item = Window.partitionBy(
+        "l_orderkey", "l_linenumber", "price_c", "len", "d0"
+    )
+    based = pieces.select(
+        "wk",
+        F.expr("(price_c * ov) div len").alias("base"),
+        F.row_number()
+        .over(
+            w_item.orderBy(
+                F.expr("(price_c * ov) % len").desc(), F.col("wk")
+            )
+        )
+        .alias("rn"),
+        (
+            F.sum(F.expr("(price_c * ov) % len")).over(w_item)
+            / F.col("len")
+        ).cast("bigint").alias("extra"),
+    )
+    return based.groupBy(F.col("wk").cast("bigint").alias("epoch_week")).agg(
+        F.expr(
+            "cast(sum(base + case when rn <= extra then 1 else 0 end)"
+            " as bigint)"
+        ).alias("alloc_c"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pieces"),
+    )

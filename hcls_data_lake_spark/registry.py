@@ -191,7 +191,9 @@ def register(name: str, oracle: str | None) -> Callable[[QueryFn], QueryFn]:
 # q_scd2_bitemporal two-axis as-of restatement audit,
 # q_join_spatial_grid radius join via 3x3 cell bucketing vs
 # brute-force oracle, q_sample_kcenter greedy Gonzalez coreset with
-# coverage-radius pin) — 126
+# coverage-radius pin, q_join_interval_allocate largest-remainder
+# proration over epoch weeks, q_agg_kth_selection sort-free exact
+# order statistic by histogram narrowing) — 128
 # names; overflow past slot 50 rolls to r7 with the deferred
 # remainder; the first 50 of this list
 # form the r6 prefix, the small remainder rolls to r7.
@@ -346,6 +348,8 @@ _FAMILY_REPRESENTATIVES = [
     "q_scd2_bitemporal",
     "q_join_spatial_grid",
     "q_sample_kcenter",
+    "q_join_interval_allocate",
+    "q_agg_kth_selection",
     "q_layout_zorder",
     "q_fn_collation",
     "q_fn_json_build",

@@ -352,3 +352,46 @@ def test_kcenter_gains_decrease_and_cover(spark, sf_dir):
     assert 0 <= by_round[0].maxmin_d2 <= gains[-1]
     picks = {by_round[r].vec_id for r in (1, 2, 3, 4, 5)}
     assert len(picks) == 5
+
+
+def test_interval_allocation_conserves_price_mass(spark, sf_dir):
+    """Σ over weeks of allocated cents == Σ price cents of every
+    allocatable line item (span > 0) — the largest-remainder rule's
+    conservation law, checked against an independent aggregate."""
+    from hcls_data_lake_spark.queries.common import t
+
+    rows = _rows(spark, sf_dir, "q_join_interval_allocate")
+    assert rows
+    o = t(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey",
+        "cast(o_orderdate as date) as od",
+    )
+    li = t(spark, sf_dir, "lineitem").selectExpr(
+        "l_orderkey",
+        "cast(round(l_extendedprice * 100) as bigint) as price_c",
+        "cast(l_shipdate as date) as sd",
+    )
+    total = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter("datediff(sd, od) > 0")
+        .agg(F.sum("price_c").alias("s"))
+        .first()
+        .s
+    )
+    assert sum(r.alloc_c for r in rows) == total
+
+
+def test_kth_selection_rank_is_correct(spark, sf_dir):
+    """Exactly k-1 values are strictly below the reported k-th value
+    ... or fewer, with the slack filled by duplicates of the value
+    itself (the defining property of an order statistic)."""
+    from hcls_data_lake_spark.queries.common import t
+
+    r = _rows(spark, sf_dir, "q_agg_kth_selection")[0]
+    v = t(spark, sf_dir, "lineitem").selectExpr(
+        "cast(round(l_extendedprice * 100) as bigint) as c"
+    )
+    below = v.filter(F.col("c") < r.kth_value_c).count()
+    at_or_below = v.filter(F.col("c") <= r.kth_value_c).count()
+    assert below < r.k <= at_or_below
+    assert r.n == v.count()
