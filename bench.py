@@ -223,6 +223,8 @@ EXTENDED = [
     "q_sample_kcenter",       # greedy Gonzalez coreset picks (r5)
     "q_join_interval_allocate",  # largest-remainder proration (r5)
     "q_agg_kth_selection",    # sort-free exact order statistic (r5)
+    "q_text_bm25",            # exact-rational integer BM25 (r5)
+    "q_multimodal_chunk_manifest",  # byte-range md5 manifest (r5)
 ]
 
 

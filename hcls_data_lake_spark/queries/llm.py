@@ -4280,3 +4280,172 @@ def q_graph_label_propagation(spark, sf_dir):
         F.col("node").alias("doc_id"),
         F.col("label").cast("bigint").alias("community"),
     )
+
+
+@register(
+    "q_text_bm25",
+    """
+    WITH tokens AS MATERIALIZED (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ), tok AS MATERIALIZED (
+      SELECT doc_id, word FROM tokens WHERE length(word) > 0
+    ), dl AS MATERIALIZED (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+      FROM tok GROUP BY doc_id
+    ), corpus AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) // count(*) AS BIGINT) AS avgdl
+      FROM dl
+    ), qterms AS MATERIALIZED (
+      SELECT word FROM (
+        SELECT word, count(*) AS cnt FROM tok GROUP BY word
+        ORDER BY cnt DESC, word LIMIT 3
+      )
+    ), tf AS (
+      SELECT t.doc_id, t.word, CAST(count(*) AS BIGINT) AS tf
+      FROM tok t JOIN qterms q ON q.word = t.word
+      GROUP BY t.doc_id, t.word
+    ), df AS (
+      SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM tf GROUP BY word
+    ), scored AS (
+      SELECT tf.doc_id,
+             CAST(SUM(
+               ((c.n_docs - df.df) * 10000 // c.n_docs)
+             * (220 * c.avgdl * tf.tf * 1000000
+                // (100 * c.avgdl * tf.tf
+                    + 30 * c.avgdl + 90 * dl.dl))
+             ) AS BIGINT) AS score_e10
+      FROM tf
+      JOIN df USING (word)
+      JOIN dl USING (doc_id)
+      CROSS JOIN corpus c
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, score_e10 FROM (
+      SELECT doc_id, score_e10,
+             row_number() OVER (ORDER BY score_e10 DESC, doc_id) AS rk
+      FROM scored
+    ) WHERE rk <= 10
+    """,
+)
+def q_text_bm25(spark, sf_dir):
+    """BM25 RANKING with exact RATIONAL arithmetic — the retrieval
+    scorer (Robertson-Sparck Jones) for the corpus's 3 most frequent
+    terms (the deterministic stand-in for a user query), reformulated
+    so no log and no float ever enters: with k1 = 1.2, b = 0.75 the
+    tf saturation term tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl))
+    multiplies through by 100·avgdl into the integer fraction
+    220·avgdl·tf / (100·avgdl·tf + 30·avgdl + 90·dl), quantized to
+    ppm by integer division, and the idf is the rational
+    (N-df)/N in basis points instead of ln((N-df+.5)/(df+.5)) —
+    rank-order-preserving for single-term weights, documented as the
+    integer-BM25 variant (avgdl is floored to an integer; both
+    engines share the definition). Score = Σ_terms idf_bp · tf_ppm,
+    a BIGINT. Top-10 docs, ties to min doc_id.
+
+    100 TB: tf is an explode+groupBy over the posting lists of the
+    3 query terms only (semi-join pushes the term filter into the
+    token stream); df and corpus stats are term-count-sized; the
+    final top-10 is a TakeOrdered, no global sort."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.length("word") > 0)
+    dl = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dl")
+    )
+    corpus = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.expr("cast(sum(dl) div count(*) as bigint)").alias("avgdl"),
+    )
+    qterms = (
+        tok.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "word")
+        .limit(3)
+        .select("word")
+    )
+    tf = (
+        tok.join(F.broadcast(qterms), "word")
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    df = tf.groupBy("word").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("df")
+    )
+    scored = (
+        tf.join(F.broadcast(df), "word")
+        .join(dl, "doc_id")
+        .join(F.broadcast(corpus))
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "cast(sum(((n_docs - df) * 10000 div n_docs)"
+                " * (220 * avgdl * tf * 1000000"
+                " div (100 * avgdl * tf + 30 * avgdl + 90 * dl)))"
+                " as bigint)"
+            ).alias("score_e10")
+        )
+    )
+    w = Window.orderBy(F.col("score_e10").desc(), "doc_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter("rk <= 10")
+        .select("doc_id", "score_e10")
+    )
+
+
+@register(
+    "q_multimodal_chunk_manifest",
+    """
+    WITH chunks AS (
+      SELECT d.doc_id,
+             CAST(g.ci AS BIGINT) AS chunk_id,
+             substr(d.text, CAST(g.ci * 512 + 1 AS BIGINT), 512)
+               AS piece
+      FROM documents d,
+           LATERAL (SELECT unnest(generate_series(
+                      0, (length(d.text) - 1) // 512)) AS ci) g
+      WHERE length(d.text) > 0
+    )
+    SELECT doc_id, chunk_id,
+           CAST(length(piece) AS BIGINT) AS chunk_len,
+           md5(piece) AS chunk_md5
+    FROM chunks
+    """,
+)
+def q_multimodal_chunk_manifest(spark, sf_dir):
+    """BYTE-RANGE CHUNK MANIFEST — the addressing layer a multimodal
+    pipeline puts in front of large blobs so decode parallelizes:
+    each payload (documents.text standing in for the blob column)
+    splits into fixed 512-unit chunks, and the manifest row carries
+    (doc_id, chunk_id, chunk_len, md5) — enough for a downstream
+    stage to fetch, verify, and decode ranges independently and for
+    an auditor to prove bytewise coverage (Σ chunk_len = payload
+    length, pinned by pytest; the md5 column makes the CONTENT of
+    every range engine-verified, not just its size). The explode is
+    the manifest-build shape: fan-out bounded by payload/512, no
+    shuffle at all — a map-only job whose output partitioning
+    follows the input, which is exactly what you want when the next
+    stage is a mapInPandas decode over chunk ranges."""
+    d = t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    return d.select(
+        "doc_id",
+        F.explode(
+            F.expr("sequence(0L, (length(text) - 1) div 512)")
+        ).alias("chunk_id"),
+        "text",
+    ).select(
+        "doc_id",
+        "chunk_id",
+        F.expr(
+            "cast(length(substr(text, cast(chunk_id * 512 + 1 as int),"
+            " 512)) as bigint)"
+        ).alias("chunk_len"),
+        F.expr(
+            "md5(cast(substr(text, cast(chunk_id * 512 + 1 as int),"
+            " 512) as binary))"
+        ).alias("chunk_md5"),
+    )

@@ -193,7 +193,9 @@ def register(name: str, oracle: str | None) -> Callable[[QueryFn], QueryFn]:
 # brute-force oracle, q_sample_kcenter greedy Gonzalez coreset with
 # coverage-radius pin, q_join_interval_allocate largest-remainder
 # proration over epoch weeks, q_agg_kth_selection sort-free exact
-# order statistic by histogram narrowing) — 128
+# order statistic by histogram narrowing, q_text_bm25 exact-rational
+# integer BM25 top-10, q_multimodal_chunk_manifest byte-range md5
+# manifest) — 130
 # names; overflow past slot 50 rolls to r7 with the deferred
 # remainder; the first 50 of this list
 # form the r6 prefix, the small remainder rolls to r7.
@@ -350,6 +352,8 @@ _FAMILY_REPRESENTATIVES = [
     "q_sample_kcenter",
     "q_join_interval_allocate",
     "q_agg_kth_selection",
+    "q_text_bm25",
+    "q_multimodal_chunk_manifest",
     "q_layout_zorder",
     "q_fn_collation",
     "q_fn_json_build",

@@ -350,6 +350,8 @@ _BNLJ_ALLOWED = {
     "q_ts_cross_correlation",  # 4-literal lag spine broadcast onto days
     "q_text_distinctive_terms",  # 1-row corpus totals broadcast back
     "q_text_outlier_docs",   # 1-row corpus-total broadcast joined back
+    "q_text_bm25",           # 1-row (n_docs, avgdl) corpus stats
+    #                          broadcast onto the 3-term postings
 }
 
 

