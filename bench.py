@@ -225,6 +225,8 @@ EXTENDED = [
     "q_agg_kth_selection",    # sort-free exact order statistic (r5)
     "q_text_bm25",            # exact-rational integer BM25 (r5)
     "q_multimodal_chunk_manifest",  # byte-range md5 manifest (r5)
+    "q_analytics_fifo_depletion",  # closed-form FIFO matching (r5)
+    "q_sample_bootstrap",     # seeded Poisson bootstrap replicas (r5)
 ]
 
 

@@ -2892,3 +2892,104 @@ def q_analytics_attribution(spark, sf_dir):
         F.sum("credit").cast("bigint").alias("credit_ppm"),
         F.count(F.lit(1)).cast("bigint").alias("n_touches"),
     )
+
+
+@register(
+    "q_analytics_fifo_depletion",
+    """
+    WITH li AS (
+      SELECT l_partkey,
+             CAST(round(l_quantity) AS BIGINT) AS qty,
+             l_returnflag, l_shipdate, l_orderkey, l_linenumber
+      FROM lineitem
+    ), demand AS (
+      SELECT l_partkey, CAST(SUM(qty) AS BIGINT) AS d
+      FROM li WHERE l_returnflag = 'R' GROUP BY l_partkey
+    ), layers AS (
+      SELECT l.l_partkey, l.qty,
+             row_number() OVER (PARTITION BY l.l_partkey
+               ORDER BY l.l_shipdate, l.l_orderkey, l.l_linenumber,
+                        l.qty) AS layer_rank,
+             COALESCE(SUM(l.qty) OVER (PARTITION BY l.l_partkey
+               ORDER BY l.l_shipdate, l.l_orderkey, l.l_linenumber,
+                        l.qty
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM li l WHERE l.l_returnflag <> 'R'
+    )
+    SELECT la.l_partkey AS partkey,
+           CAST(la.layer_rank AS BIGINT) AS layer_rank,
+           la.qty,
+           CAST(GREATEST(0, LEAST(la.qty, d.d - la.cum_before))
+                AS BIGINT) AS consumed_q,
+           CAST(la.qty - GREATEST(0, LEAST(la.qty, d.d - la.cum_before))
+                AS BIGINT) AS remaining_q
+    FROM layers la JOIN demand d ON d.l_partkey = la.l_partkey
+    WHERE GREATEST(0, LEAST(la.qty, d.d - la.cum_before)) > 0
+    """,
+)
+def q_analytics_fifo_depletion(spark, sf_dir):
+    """FIFO LAYER DEPLETION — the inventory/cost-accounting matching
+    rule (first-in lot satisfies demand first) computed WITHOUT
+    iteration: per part, returned quantity ('R' line items) is the
+    demand D, non-returned line items in ship order are the supply
+    layers, and one running-sum window gives each layer its
+    interval [cum_before, cum_before + qty) on the consumption
+    axis — consumed = clamp(D − cum_before, 0, qty). What a
+    procedural system does with a per-lot loop is here ONE window
+    pass + arithmetic: the layer ledger (consumed/remaining per
+    lot, partially-depleted boundary lot included) falls out
+    closed-form. Emits every touched layer; conservation
+    (Σ consumed = min(D, supply) per part) is pytest-pinned.
+
+    100 TB: one shuffle on the part key shared by the demand
+    aggregate and the layer window; no self-join, no recursion —
+    the FIFO frontier is just a running sum compared to a
+    broadcast-scale per-key total. Identical whole-row ties order
+    by (shipdate, orderkey, linenumber, qty): duplicate physical
+    rows are interchangeable, so the emitted multiset is
+    deterministic either way."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr("cast(round(l_quantity) as bigint)").alias("qty"),
+        "l_returnflag",
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+    )
+    demand = (
+        li.filter("l_returnflag = 'R'")
+        .groupBy("l_partkey")
+        .agg(F.sum("qty").cast("bigint").alias("d"))
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber", "qty"
+    )
+    layers = li.filter("l_returnflag != 'R'").select(
+        "l_partkey",
+        "qty",
+        F.row_number().over(w).alias("layer_rank"),
+        F.coalesce(
+            F.sum("qty").over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("cum_before"),
+    )
+    return (
+        layers.join(demand, "l_partkey")
+        .withColumn(
+            "consumed_q",
+            F.expr("greatest(0L, least(qty, d - cum_before))"),
+        )
+        .filter("consumed_q > 0")
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("layer_rank").cast("bigint").alias("layer_rank"),
+            "qty",
+            F.col("consumed_q").cast("bigint").alias("consumed_q"),
+            F.expr("cast(qty - consumed_q as bigint)").alias(
+                "remaining_q"
+            ),
+        )
+    )

@@ -672,3 +672,94 @@ def q_sample_kcenter(spark, sf_dir):
     return spark.createDataFrame(
         picks, "sel_round int, vec_id bigint, maxmin_d2 bigint"
     )
+
+
+@register(
+    "q_sample_bootstrap",
+    """
+    WITH purchases AS (
+      SELECT event_id,
+             CAST(round(value * 100) AS BIGINT) AS v_c
+      FROM events WHERE event_type = 'purchase'
+    ), weighted AS (
+      SELECT rep, v_c,
+             CASE
+               WHEN u < 6171992 THEN 0 WHEN u < 12343985 THEN 1
+               WHEN u < 15429982 THEN 2 WHEN u < 16458647 THEN 3
+               WHEN u < 16715813 THEN 4 WHEN u < 16767247 THEN 5
+               ELSE 6 END AS w
+      FROM (
+        SELECT p.v_c, r.rep,
+               CAST(CONCAT('0x', substr(md5(
+                 CAST(p.event_id * 16 + r.rep AS VARCHAR)), 1, 6))
+                 AS BIGINT) AS u
+        FROM purchases p,
+             LATERAL (SELECT unnest(generate_series(0, 15)) AS rep) r
+      )
+    )
+    SELECT CAST(rep AS INT) AS rep,
+           CAST(SUM(w) AS BIGINT) AS n_eff,
+           CAST(SUM(w * v_c) AS BIGINT) AS sum_c
+    FROM weighted GROUP BY rep
+    """,
+)
+def q_sample_bootstrap(spark, sf_dir):
+    """POISSON BOOTSTRAP — 16 resampling replicas of the purchase
+    population WITHOUT materializing a single resampled copy: each
+    (row, replica) pair draws a Poisson(1) multiplicity (the
+    large-n limit of multinomial bootstrap weights — Chamandy et
+    al., 'Estimating Uncertainty for Massive Data Streams', the
+    standard trick for bootstrap-at-scale) from a DERIVED uniform
+    (md5 of event_id·16+rep mapped into [0, 2²⁴), inverted through
+    integer-literal Poisson CDF thresholds — no RNG state, so every
+    engine, run, and partitioning draws the same weights). Emits
+    per replica the weighted count and weighted cents sum — exact
+    BIGINTs from which the caller derives the bootstrap CI of the
+    mean; the percentile spread across 16 replicas is the
+    uncertainty estimate a 100 TB aggregate cannot get any other
+    way (16 full copies are off the table).
+
+    Plan: one scan, 16× map-side fan-out (bounded, no shuffle until
+    the 16-group aggregate), partial aggregation collapses each
+    partition to ≤16 rows before the exchange."""
+    p = t(spark, sf_dir, "events").filter(
+        "event_type = 'purchase'"
+    ).select(
+        "event_id",
+        F.expr("cast(round(value * 100) as bigint)").alias("v_c"),
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.expr("cast(event_id * 16 + rep as string)").cast(
+                    "binary"
+                )
+            ),
+            1,
+            6,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    w = (
+        F.when(u < 6171992, 0)
+        .when(u < 12343985, 1)
+        .when(u < 15429982, 2)
+        .when(u < 16458647, 3)
+        .when(u < 16715813, 4)
+        .when(u < 16767247, 5)
+        .otherwise(6)
+    )
+    return (
+        p.select(
+            "event_id",
+            "v_c",
+            F.explode(F.expr("sequence(0, 15)")).alias("rep"),
+        )
+        .withColumn("w", w)
+        .groupBy(F.col("rep").cast("int").alias("rep"))
+        .agg(
+            F.sum("w").cast("bigint").alias("n_eff"),
+            F.expr("cast(sum(w * v_c) as bigint)").alias("sum_c"),
+        )
+    )

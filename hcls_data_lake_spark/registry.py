@@ -195,7 +195,9 @@ def register(name: str, oracle: str | None) -> Callable[[QueryFn], QueryFn]:
 # proration over epoch weeks, q_agg_kth_selection sort-free exact
 # order statistic by histogram narrowing, q_text_bm25 exact-rational
 # integer BM25 top-10, q_multimodal_chunk_manifest byte-range md5
-# manifest) — 130
+# manifest, q_analytics_fifo_depletion closed-form FIFO layer
+# matching, q_sample_bootstrap seeded Poisson resampling
+# replicas) — 132
 # names; overflow past slot 50 rolls to r7 with the deferred
 # remainder; the first 50 of this list
 # form the r6 prefix, the small remainder rolls to r7.
@@ -354,6 +356,8 @@ _FAMILY_REPRESENTATIVES = [
     "q_agg_kth_selection",
     "q_text_bm25",
     "q_multimodal_chunk_manifest",
+    "q_analytics_fifo_depletion",
+    "q_sample_bootstrap",
     "q_layout_zorder",
     "q_fn_collation",
     "q_fn_json_build",

@@ -434,3 +434,57 @@ def test_chunk_manifest_covers_every_byte(spark, sf_dir):
         assert [c for c, _ in chunks] == list(range(len(chunks)))
         assert sum(ln for _, ln in chunks) == lens[doc]
         assert all(ln == 512 for _, ln in chunks[:-1])
+
+
+def test_fifo_depletion_conserves_and_orders(spark, sf_dir):
+    """Per part: Σ consumed = min(demand, supply); at most ONE layer
+    is partially consumed and every consumed layer precedes every
+    untouched one in rank order (the FIFO frontier)."""
+    from hcls_data_lake_spark.queries.common import t
+
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .selectExpr(
+            "l_partkey",
+            "cast(round(l_quantity) as bigint) as qty",
+            "l_returnflag",
+        )
+        .collect()
+    )
+    demand = defaultdict(int)
+    supply = defaultdict(int)
+    for r in li:
+        if r.l_returnflag == "R":
+            demand[r.l_partkey] += r.qty
+        else:
+            supply[r.l_partkey] += r.qty
+    per_part = defaultdict(list)
+    for r in _rows(spark, sf_dir, "q_analytics_fifo_depletion"):
+        per_part[r.partkey].append(r)
+    for pk, rows in per_part.items():
+        rows.sort(key=lambda r: r.layer_rank)
+        consumed = sum(r.consumed_q for r in rows)
+        assert consumed == min(demand[pk], supply[pk])
+        partial = [r for r in rows if 0 < r.consumed_q < r.qty]
+        assert len(partial) <= 1
+        if partial:  # the boundary lot is the LAST touched layer
+            assert partial[0].layer_rank == rows[-1].layer_rank
+        ranks = [r.layer_rank for r in rows]
+        assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_bootstrap_replicas_concentrate(spark, sf_dir):
+    """Each Poisson(1) replica's effective n concentrates around the
+    true n (within 5σ = 5·√n), and all 16 replicas are present."""
+    from hcls_data_lake_spark.queries.common import events
+
+    n = (
+        events(spark, sf_dir)
+        .filter("event_type = 'purchase'")
+        .count()
+    )
+    rows = _rows(spark, sf_dir, "q_sample_bootstrap")
+    assert sorted(r.rep for r in rows) == list(range(16))
+    band = 5 * int(n**0.5) + 1
+    for r in rows:
+        assert abs(r.n_eff - n) <= band, (r.rep, r.n_eff, n)
