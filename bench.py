@@ -227,6 +227,8 @@ EXTENDED = [
     "q_multimodal_chunk_manifest",  # byte-range md5 manifest (r5)
     "q_analytics_fifo_depletion",  # closed-form FIFO matching (r5)
     "q_sample_bootstrap",     # seeded Poisson bootstrap replicas (r5)
+    "q_analytics_tiered_commission",  # marginal bracket ladder (r5)
+    "q_embed_prefix_eval",    # truncated-dimension recall eval (r5)
 ]
 
 

@@ -2993,3 +2993,80 @@ def q_analytics_fifo_depletion(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "q_analytics_tiered_commission",
+    """
+    WITH spend AS (
+      SELECT user_id,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS t_c
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ), brackets(tier, lo, hi, rate_bp) AS (
+      VALUES (1, 0, 40000, 1000),
+             (2, 40000, 80000, 700),
+             (3, 80000, 9223372036854775807, 400)
+    ), pieces AS (
+      SELECT b.tier, b.rate_bp,
+             GREATEST(0, LEAST(s.t_c, b.hi) - b.lo) AS amt_c
+      FROM spend s JOIN brackets b ON s.t_c > b.lo
+    )
+    SELECT CAST(tier AS INT) AS tier,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(SUM(amt_c) AS BIGINT) AS amount_c,
+           CAST(SUM((rate_bp * amt_c) // 10000) AS BIGINT)
+             AS commission_c
+    FROM pieces GROUP BY tier
+    """,
+)
+def q_analytics_tiered_commission(spark, sf_dir):
+    """MARGINAL TIER APPLICATION — the tax-bracket/commission-ladder
+    computation: each customer's total spend is split across rate
+    tiers MARGINALLY (the amount inside [lo, hi) earns that tier's
+    rate — not the cliff rule that reprices the whole balance), via
+    the closed form amt = clamp(T − lo, 0, hi − lo): no per-tier
+    loop, just a join against the 3-row literal bracket table and
+    clamp arithmetic. Conservation (Σ tier amounts = Σ total spend)
+    is pytest-pinned; commission is exact integer bp·cents div 10⁴
+    per (user, tier) so rounding policy is pinned at the grain where
+    real billing systems pin it.
+
+    100 TB: one user-key aggregate, then a broadcast of the literal
+    bracket relation — the fan-out is ≤ #tiers and the rollup is
+    tier-sized. The same shape computes progressive tax, royalty
+    ladders, and volume discounts."""
+    spend = (
+        t(spark, sf_dir, "events")
+        .filter("event_type = 'purchase'")
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "cast(sum(cast(round(value * 100) as bigint)) as bigint)"
+            ).alias("t_c")
+        )
+    )
+    # inline(array(struct(...))) keeps the literal bracket relation
+    # JVM-side — createDataFrame would pay a Python->JVM parallelize
+    # round-trip (~0.5 s) on EVERY action
+    brackets = spark.range(1).selectExpr(
+        "inline(array("
+        "struct(1 as tier, 0L as lo, 40000L as hi, 1000L as rate_bp),"
+        "struct(2 as tier, 40000L as lo, 80000L as hi, 700L as rate_bp),"
+        "struct(3 as tier, 80000L as lo,"
+        " 9223372036854775807L as hi, 400L as rate_bp)))"
+    )
+    return (
+        spend.join(F.broadcast(brackets), F.col("t_c") > F.col("lo"))
+        .withColumn(
+            "amt_c", F.expr("greatest(0L, least(t_c, hi) - lo)")
+        )
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("amt_c").cast("bigint").alias("amount_c"),
+            F.expr(
+                "cast(sum((rate_bp * amt_c) div 10000) as bigint)"
+            ).alias("commission_c"),
+        )
+    )

@@ -4449,3 +4449,137 @@ def q_multimodal_chunk_manifest(spark, sf_dir):
             " 512) as binary))"
         ).alias("chunk_md5"),
     )
+
+
+@register(
+    "q_embed_prefix_eval",
+    """
+    WITH q AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(round(x * 100) AS BIGINT)) AS v
+      FROM embeddings
+    ), b AS MATERIALIZED (
+      SELECT vec_id, v, v[1:16] AS p,
+             CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT)
+               AS n2,
+             CAST(list_sum(list_transform(v[1:16], x -> x * x))
+                  AS BIGINT) AS pn2
+      FROM q
+    ), pairs AS MATERIALIZED (
+      SELECT qs.vec_id AS qid, cs.vec_id AS cid,
+             CAST(list_sum(list_transform(range(1, 65),
+               i -> qs.v[i] * cs.v[i])) AS BIGINT) AS dot,
+             CAST(list_sum(list_transform(range(1, 17),
+               i -> qs.p[i] * cs.p[i])) AS BIGINT) AS pdot,
+             qs.n2 AS qn2, cs.n2 AS cn2,
+             qs.pn2 AS qpn2, cs.pn2 AS cpn2
+      FROM b qs JOIN b cs ON qs.vec_id < 150
+                         AND cs.vec_id <> qs.vec_id
+    ), scored AS MATERIALIZED (
+      SELECT qid, cid,
+             CASE WHEN dot >= 0
+                  THEN (dot * dot * 10000) // (qn2 * cn2)
+                  ELSE -((dot * dot * 10000) // (qn2 * cn2)) END
+               AS s_full,
+             CASE WHEN pdot >= 0
+                  THEN (pdot * pdot * 10000) // (qpn2 * cpn2)
+                  ELSE -((pdot * pdot * 10000) // (qpn2 * cpn2)) END
+               AS s_pre
+      FROM pairs
+    ), full_top AS (
+      SELECT qid, cid FROM (
+        SELECT qid, cid, row_number() OVER (PARTITION BY qid
+          ORDER BY s_full DESC, cid) AS rk FROM scored
+      ) WHERE rk <= 3
+    ), pre_top AS (
+      SELECT qid, cid FROM (
+        SELECT qid, cid, row_number() OVER (PARTITION BY qid
+          ORDER BY s_pre DESC, cid) AS rk FROM scored
+      ) WHERE rk <= 3
+    )
+    SELECT f.qid, CAST(count(p.cid) AS BIGINT) AS hits
+    FROM full_top f
+    LEFT JOIN pre_top p ON p.qid = f.qid AND p.cid = f.cid
+    GROUP BY f.qid
+    """,
+)
+def q_embed_prefix_eval(spark, sf_dir):
+    """PREFIX-DIMENSION (matryoshka-style) RETRIEVAL EVALUATION — the
+    cost question every embedding deployment faces: if we truncate
+    64-dim vectors to their FIRST 16 dims (4× cheaper storage, ANN,
+    and transfer), how much of the full-dimension top-3 survives?
+    Both rankings use the exact integer cos² score; per query the
+    answer is |top3_full ∩ top3_prefix| ∈ {0..3}. On these
+    near-isotropic fixture embeddings the overlap is weak — the
+    honest 'don't truncate THIS model' signal; matryoshka-TRAINED
+    embeddings are exactly the models that move this metric, and
+    this query is the in-engine evaluator that would certify it.
+    Both dots come out of ONE Arrow matmul pass over the candidate
+    batches (C@Qᵀ on the full matrix and on its 16-column prefix) —
+    the marginal cost of evaluating the cheaper design point is one
+    extra BLAS call, not a second scan."""
+    import numpy as np
+    import pandas as pd
+
+    e = t(spark, sf_dir, "embeddings")
+    b = e.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> cast(round(x * 100) as bigint))"
+        ).alias("v"),
+    )
+    qrows = b.filter(F.col("vec_id") < 150).collect()
+    q_ids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    Q = np.array([list(r.v) for r in qrows], dtype=np.int64)
+    q_n2 = (Q * Q).sum(axis=1)
+    qp_n2 = (Q[:, :16] * Q[:, :16]).sum(axis=1)
+    nq = len(q_ids)
+
+    def score_batches(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            C = np.array([list(x) for x in pdf["v"]], dtype=np.int64)
+            c_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            c_n2 = (C * C).sum(axis=1)
+            cp_n2 = (C[:, :16] * C[:, :16]).sum(axis=1)
+            dot = C @ Q.T
+            pdot = C[:, :16] @ Q[:, :16].T
+            mag = (dot * dot * 10000) // (c_n2[:, None] * q_n2[None, :])
+            pmag = (pdot * pdot * 10000) // (
+                cp_n2[:, None] * qp_n2[None, :]
+            )
+            s_full = np.where(dot >= 0, mag, -mag)
+            s_pre = np.where(pdot >= 0, pmag, -pmag)
+            keep = (c_ids[:, None] != q_ids[None, :]).ravel()
+            yield pd.DataFrame(
+                {
+                    "qid": np.tile(q_ids, len(c_ids))[keep],
+                    "cid": np.repeat(c_ids, nq)[keep],
+                    "s_full": s_full.ravel()[keep],
+                    "s_pre": s_pre.ravel()[keep],
+                }
+            )
+
+    scored = b.mapInPandas(
+        score_batches,
+        "qid bigint, cid bigint, s_full bigint, s_pre bigint",
+    ).localCheckpoint()
+    w_f = Window.partitionBy("qid").orderBy(F.col("s_full").desc(), "cid")
+    w_p = Window.partitionBy("qid").orderBy(F.col("s_pre").desc(), "cid")
+    full_top = scored.select(
+        "qid", "cid", F.row_number().over(w_f).alias("rk")
+    ).filter("rk <= 3")
+    pre_top = scored.select(
+        "qid", "cid", F.row_number().over(w_p).alias("rk")
+    ).filter("rk <= 3")
+    return (
+        full_top.join(
+            pre_top.selectExpr("qid", "cid", "1 as hit"),
+            ["qid", "cid"],
+            "left",
+        )
+        .groupBy("qid")
+        .agg(F.count("hit").cast("bigint").alias("hits"))
+    )

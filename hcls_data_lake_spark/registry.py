@@ -196,8 +196,9 @@ def register(name: str, oracle: str | None) -> Callable[[QueryFn], QueryFn]:
 # order statistic by histogram narrowing, q_text_bm25 exact-rational
 # integer BM25 top-10, q_multimodal_chunk_manifest byte-range md5
 # manifest, q_analytics_fifo_depletion closed-form FIFO layer
-# matching, q_sample_bootstrap seeded Poisson resampling
-# replicas) — 132
+# matching, q_sample_bootstrap seeded Poisson resampling replicas,
+# q_analytics_tiered_commission marginal bracket ladder,
+# q_embed_prefix_eval matryoshka-style truncation recall) — 134
 # names; overflow past slot 50 rolls to r7 with the deferred
 # remainder; the first 50 of this list
 # form the r6 prefix, the small remainder rolls to r7.
@@ -358,6 +359,8 @@ _FAMILY_REPRESENTATIVES = [
     "q_multimodal_chunk_manifest",
     "q_analytics_fifo_depletion",
     "q_sample_bootstrap",
+    "q_analytics_tiered_commission",
+    "q_embed_prefix_eval",
     "q_layout_zorder",
     "q_fn_collation",
     "q_fn_json_build",

@@ -352,6 +352,8 @@ _BNLJ_ALLOWED = {
     "q_text_outlier_docs",   # 1-row corpus-total broadcast joined back
     "q_text_bm25",           # 1-row (n_docs, avgdl) corpus stats
     #                          broadcast onto the 3-term postings
+    "q_analytics_tiered_commission",  # theta-join against the 3-row
+    #                                   literal bracket ladder
 }
 
 

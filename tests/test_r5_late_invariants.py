@@ -488,3 +488,42 @@ def test_bootstrap_replicas_concentrate(spark, sf_dir):
     band = 5 * int(n**0.5) + 1
     for r in rows:
         assert abs(r.n_eff - n) <= band, (r.rep, r.n_eff, n)
+
+
+def test_tiered_commission_marginal_conservation(spark, sf_dir):
+    """Σ tier amounts = Σ total spend (marginal tiering never
+    double-counts or drops a cent of the base), and the effective
+    rate decreases tier over tier (the ladder is regressive in
+    marginal rate by construction)."""
+    from hcls_data_lake_spark.queries.common import events
+
+    total = (
+        events(spark, sf_dir)
+        .filter("event_type = 'purchase'")
+        .agg(
+            F.expr(
+                "cast(sum(cast(round(value * 100) as bigint)) as bigint)"
+            ).alias("s")
+        )
+        .first()
+        .s
+    )
+    rows = sorted(
+        _rows(spark, sf_dir, "q_analytics_tiered_commission"),
+        key=lambda r: r.tier,
+    )
+    assert sum(r.amount_c for r in rows) == total
+    rates = [
+        r.commission_c / r.amount_c for r in rows if r.amount_c > 0
+    ]
+    assert rates == sorted(rates, reverse=True)
+
+
+def test_prefix_eval_hits_bounded_and_self_consistent(spark, sf_dir):
+    """Per-query overlap is in {0..3}; with 16/64 dims on isotropic
+    vectors the MEAN overlap must be strictly below perfect (if
+    truncation were free the metric would be vacuous)."""
+    rows = _rows(spark, sf_dir, "q_embed_prefix_eval")
+    assert rows
+    assert all(0 <= r.hits <= 3 for r in rows)
+    assert sum(r.hits for r in rows) < 3 * len(rows)
