@@ -229,6 +229,7 @@ EXTENDED = [
     "q_sample_bootstrap",     # seeded Poisson bootstrap replicas (r5)
     "q_analytics_tiered_commission",  # marginal bracket ladder (r5)
     "q_embed_prefix_eval",    # truncated-dimension recall eval (r5)
+    "q_pipeline_rule_bitmap",  # row-level DQ bitmask gate (r5)
 ]
 
 

@@ -1307,3 +1307,69 @@ def q_scd2_bitemporal(spark, sf_dir):
             ).alias("corrected"),
         )
     )
+
+
+@register(
+    "q_pipeline_rule_bitmap",
+    """
+    WITH flagged AS (
+      SELECT
+        (CASE WHEN value > 300 THEN 1 ELSE 0 END)
+      + (CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+                   > 80 THEN 2 ELSE 0 END)
+      + (CASE WHEN event_type = 'purchase' AND value < 220
+              THEN 4 ELSE 0 END) AS mask
+      FROM events
+    )
+    SELECT CAST(mask AS INT) AS mask,
+           CASE WHEN mask = 0 THEN 'pass' ELSE 'quarantine' END
+             AS route,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM flagged GROUP BY mask
+    """,
+)
+def q_pipeline_rule_bitmap(spark, sf_dir):
+    """ROW-LEVEL RULE ENGINE with BITMAP verdicts — the data-quality
+    gate a production ingest runs per row (not the table-level
+    q_diag_* audits): each rule sets one bit (r1 value outlier, r2
+    props payload bound via JSON extraction, r3 the
+    suspicious-low-purchase business rule), the row's mask is the
+    exact diagnosis, mask = 0 routes to the trusted zone and
+    anything else to quarantine WITH the reason encoded — the
+    quarantine consumer gets machine-readable triage for free, and
+    the mask census (this query's output) is the per-batch QA
+    dashboard. The bitmap composes: adding rule N is one more bit,
+    no schema change, and per-rule counts are popcount-style
+    rollups of the same census.
+
+    100 TB: entirely map-side (rules are codegen'd expressions —
+    including the JSON path, evaluated once per row) + one
+    ≤2^k-group aggregate; partial aggregation collapses each
+    partition to the handful of observed masks before any
+    exchange."""
+    e = t(spark, sf_dir, "events")
+    mask = (
+        F.when(F.col("value") > 300, 1).otherwise(0)
+        + F.when(
+            F.expr(
+                "cast(get_json_object(props, '$.k') as bigint) > 80"
+            ),
+            2,
+        ).otherwise(0)
+        + F.when(
+            F.expr("event_type = 'purchase' and value < 220"), 4
+        ).otherwise(0)
+    )
+    return (
+        e.select(mask.cast("int").alias("mask"))
+        .groupBy("mask")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        .select(
+            "mask",
+            F.expr(
+                "case when mask = 0 then 'pass'"
+                " else 'quarantine' end"
+            ).alias("route"),
+            "n_rows",
+        )
+    )

@@ -527,3 +527,18 @@ def test_prefix_eval_hits_bounded_and_self_consistent(spark, sf_dir):
     assert rows
     assert all(0 <= r.hits <= 3 for r in rows)
     assert sum(r.hits for r in rows) < 3 * len(rows)
+
+
+def test_rule_bitmap_census_partitions_the_batch(spark, sf_dir):
+    """Mask census row counts sum to the full batch; route is
+    mask = 0 ⇔ 'pass'; at least one rule actually fires (the gate is
+    non-degenerate on the fixture)."""
+    from hcls_data_lake_spark.queries.common import events
+
+    n = events(spark, sf_dir).count()
+    rows = _rows(spark, sf_dir, "q_pipeline_rule_bitmap")
+    assert sum(r.n_rows for r in rows) == n
+    for r in rows:
+        assert (r.mask == 0) == (r.route == "pass")
+        assert 0 <= r.mask <= 7
+    assert any(r.mask > 0 for r in rows)
