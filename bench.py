@@ -230,6 +230,7 @@ EXTENDED = [
     "q_analytics_tiered_commission",  # marginal bracket ladder (r5)
     "q_embed_prefix_eval",    # truncated-dimension recall eval (r5)
     "q_pipeline_rule_bitmap",  # row-level DQ bitmask gate (r5)
+    "q_ts_sprt",              # Wald sequential test, milli-bans (r5)
 ]
 
 

@@ -1889,3 +1889,112 @@ def q_ts_dtw(spark, sf_dir):
     return ucnt.groupBy("bucket").applyInPandas(
         dtw, "user_id bigint, dtw_cost bigint"
     )
+
+
+@register(
+    "q_ts_sprt",
+    """
+    WITH trials AS (
+      SELECT epoch_ns(ts) AS ts_ns, event_id,
+             CASE WHEN value > 70 THEN 146 ELSE -62 END AS step
+      FROM events WHERE event_type = 'purchase'
+    ), walk AS (
+      SELECT ts_ns, event_id, step,
+             row_number() OVER w AS idx,
+             SUM(step) OVER (ORDER BY ts_ns, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS llr
+      FROM trials WINDOW w AS (ORDER BY ts_ns, event_id)
+    ), crossing AS (
+      SELECT min(idx) AS cross_idx
+      FROM walk WHERE llr >= 1279 OR llr <= -1279
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_trials,
+           CAST(COALESCE(c.cross_idx, -1) AS BIGINT) AS crossing_idx,
+           CAST(COALESCE(
+             (SELECT llr FROM walk, crossing
+              WHERE idx = crossing.cross_idx), 0) AS BIGINT)
+             AS llr_at_cross,
+           CASE
+             WHEN c.cross_idx IS NULL THEN 'continue'
+             WHEN (SELECT llr FROM walk, crossing
+                   WHERE idx = crossing.cross_idx) >= 1279
+               THEN 'accept_h1'
+             ELSE 'accept_h0' END AS decision,
+           CAST((SELECT llr FROM walk w2, (SELECT max(idx) AS m FROM walk)
+                 WHERE w2.idx = m) AS BIGINT) AS final_llr
+    FROM walk, crossing c
+    GROUP BY c.cross_idx
+    """,
+)
+def q_ts_sprt(spark, sf_dir):
+    """SEQUENTIAL PROBABILITY RATIO TEST (Wald 1945) — the
+    decide-as-data-arrives hypothesis test: purchases in time order
+    are Bernoulli trials (success = value > 70), H0: p = 0.25 vs
+    H1: p = 0.35, and each trial adds an integer MILLI-BAN
+    log-likelihood step (+146 = ⌊10³·log10(p1/p0)⌉ on success,
+    −62 = ⌊10³·log10((1−p1)/(1−p0))⌉ on failure) to a running walk;
+    the test STOPS at the first crossing of ±1279 mB
+    (= log10(0.95/0.05): Wald's α = β = 0.05 boundaries). Versus
+    the fixed-horizon z-test (q_analytics_ab_test), SPRT reaches
+    the same error rates with ~half the expected sample — the
+    sequential-analytics rung of the testing family; the emitted
+    crossing index IS the realized sample-size saving. Integer
+    steps make the walk, the boundary comparison, and the decision
+    engine-exact.
+
+    Plan: one window cumsum over the trial order (single shuffle),
+    a conditional-min aggregate for the first crossing, two
+    point lookups. 100 TB: per-variant walks partition the window
+    by experiment arm; the global order here is the degenerate
+    1-arm case of that."""
+    tr = (
+        t(spark, sf_dir, "events")
+        .filter("event_type = 'purchase'")
+        .select(
+            "ts_ns",
+            "event_id",
+            F.expr(
+                "case when value > 70 then 146 else -62 end"
+            ).alias("step"),
+        )
+    )
+    w = Window.orderBy("ts_ns", "event_id")
+    walk = tr.select(
+        F.row_number().over(w).alias("idx"),
+        F.sum("step")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("llr"),
+    ).localCheckpoint()  # crossing agg + 2 point lookups share it
+    agg = walk.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_trials"),
+        F.min(
+            F.when(
+                (F.col("llr") >= 1279) | (F.col("llr") <= -1279),
+                F.col("idx"),
+            )
+        ).alias("cross_idx"),
+        F.max(F.struct("idx", "llr")).alias("last"),
+    ).first()
+    n_trials = int(agg.n_trials)
+    final_llr = int(agg.last.llr)
+    if agg.cross_idx is None:
+        row = (n_trials, -1, 0, "continue", final_llr)
+    else:
+        llr_at = int(
+            walk.filter(F.col("idx") == int(agg.cross_idx))
+            .first()
+            .llr
+        )
+        row = (
+            n_trials,
+            int(agg.cross_idx),
+            llr_at,
+            "accept_h1" if llr_at >= 1279 else "accept_h0",
+            final_llr,
+        )
+    return spark.createDataFrame(
+        [row],
+        "n_trials bigint, crossing_idx bigint, llr_at_cross bigint,"
+        " decision string, final_llr bigint",
+    )

@@ -199,7 +199,8 @@ def register(name: str, oracle: str | None) -> Callable[[QueryFn], QueryFn]:
 # matching, q_sample_bootstrap seeded Poisson resampling replicas,
 # q_analytics_tiered_commission marginal bracket ladder,
 # q_embed_prefix_eval matryoshka-style truncation recall,
-# q_pipeline_rule_bitmap row-level DQ bitmask gate) — 135
+# q_pipeline_rule_bitmap row-level DQ bitmask gate, q_ts_sprt
+# Wald sequential test in integer milli-bans) — 136
 # names; overflow past slot 50 rolls to r7 with the deferred
 # remainder; the first 50 of this list
 # form the r6 prefix, the small remainder rolls to r7.
@@ -363,6 +364,7 @@ _FAMILY_REPRESENTATIVES = [
     "q_analytics_tiered_commission",
     "q_embed_prefix_eval",
     "q_pipeline_rule_bitmap",
+    "q_ts_sprt",
     "q_layout_zorder",
     "q_fn_collation",
     "q_fn_json_build",

@@ -542,3 +542,38 @@ def test_rule_bitmap_census_partitions_the_batch(spark, sf_dir):
         assert (r.mask == 0) == (r.route == "pass")
         assert 0 <= r.mask <= 7
     assert any(r.mask > 0 for r in rows)
+
+
+def test_sprt_crossing_is_first_and_decision_consistent(spark, sf_dir):
+    """The reported crossing index is the FIRST boundary hit: the
+    walk recomputed from raw trials stays strictly inside (−1279,
+    1279) before it, matches llr_at_cross at it, and the decision
+    agrees with the crossed side."""
+    from hcls_data_lake_spark.queries.common import events
+
+    r = _rows(spark, sf_dir, "q_ts_sprt")[0]
+    trials = (
+        events(spark, sf_dir)
+        .filter("event_type = 'purchase'")
+        .selectExpr(
+            "ts_ns", "event_id",
+            "case when value > 70 then 146 else -62 end as step",
+        )
+        .orderBy("ts_ns", "event_id")
+        .collect()
+    )
+    assert r.n_trials == len(trials)
+    cum, first = 0, None
+    for i, tr in enumerate(trials, start=1):
+        cum += tr.step
+        if first is None and (cum >= 1279 or cum <= -1279):
+            first = (i, cum)
+    assert r.final_llr == cum
+    if first is None:
+        assert (r.crossing_idx, r.decision) == (-1, "continue")
+    else:
+        assert (r.crossing_idx, r.llr_at_cross) == first
+        assert r.decision == (
+            "accept_h1" if first[1] >= 1279 else "accept_h0"
+        )
+        assert r.crossing_idx < r.n_trials  # it genuinely stopped early
