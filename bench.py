@@ -231,6 +231,7 @@ EXTENDED = [
     "q_embed_prefix_eval",    # truncated-dimension recall eval (r5)
     "q_pipeline_rule_bitmap",  # row-level DQ bitmask gate (r5)
     "q_ts_sprt",              # Wald sequential test, milli-bans (r5)
+    "q_ts_interval_union",    # overlapping-span coverage merge (r5)
 ]
 
 

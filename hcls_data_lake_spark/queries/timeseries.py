@@ -1998,3 +1998,106 @@ def q_ts_sprt(spark, sf_dir):
         "n_trials bigint, crossing_idx bigint, llr_at_cross bigint,"
         " decision string, final_llr bigint",
     )
+
+
+@register(
+    "q_ts_interval_union",
+    """
+    WITH spans AS (
+      SELECT user_id, epoch_ns(ts) AS s,
+             epoch_ns(ts)
+               + CAST(round(value * 1000000000) AS BIGINT) AS e,
+             event_id
+      FROM events WHERE event_type = 'view'
+    ), marked AS (
+      SELECT user_id, s, e, event_id,
+             CASE WHEN s > COALESCE(MAX(e) OVER (
+                    PARTITION BY user_id ORDER BY s, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS is_new
+      FROM spans
+    ), islands AS (
+      SELECT user_id, s, e,
+             SUM(is_new) OVER (PARTITION BY user_id
+               ORDER BY s, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+      FROM marked
+    )
+    SELECT user_id,
+           CAST(count(DISTINCT island) AS BIGINT) AS n_intervals,
+           CAST(SUM(ilen) AS BIGINT) AS covered_ns,
+           CAST(max(ilen) AS BIGINT) AS longest_ns
+    FROM (
+      SELECT user_id, island,
+             max(e) - min(s) AS ilen
+      FROM islands GROUP BY user_id, island
+    ) GROUP BY user_id
+    """,
+)
+def q_ts_interval_union(spark, sf_dir):
+    """INTERVAL UNION (coverage) — merge each user's OVERLAPPING view
+    spans (start = event time, duration = value seconds in integer
+    nanos) into disjoint intervals and report how many remain, the
+    total covered time, and the longest merged stretch. This is the
+    interval generalization of gaps-and-islands (q_win_streak_islands
+    works on points): a span starts a NEW island iff its start
+    exceeds the running MAX of all previous ends — the one subtlety
+    being that an interval can be swallowed by an earlier LONGER one
+    (end-of-previous-row is not enough; the frame max is), which is
+    exactly the case point-based sessionization gets wrong. Uptime
+    accounting, ad-exposure coverage, and sensor-validity windows are
+    all this query.
+
+    Plan: one shuffle on user_id shared by both window passes (the
+    running end-max and the island running sum reuse the same sort),
+    then a two-level aggregate. Exact integer nanos throughout."""
+    spans = (
+        t(spark, sf_dir, "events")
+        .filter("event_type = 'view'")
+        .select(
+            "user_id",
+            F.col("ts_ns").alias("s"),
+            F.expr(
+                "ts_ns + cast(round(value * 1000000000) as bigint)"
+            ).alias("e"),
+            "event_id",
+        )
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = spans.select(
+        "user_id",
+        "s",
+        "e",
+        "event_id",
+        F.when(
+            F.col("s") > F.coalesce(F.max("e").over(w_prev), F.lit(-1)),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    # both window passes order by (s, event_id): a same-nanosecond
+    # tie must see is_new and the island running-sum in the SAME
+    # order, or the tied row could attach to the wrong island
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = marked.withColumn(
+        "island", F.sum("is_new").over(w_run)
+    )
+    per_island = islands.groupBy("user_id", "island").agg(
+        (F.max("e") - F.min("s")).alias("ilen")
+    )
+    return per_island.groupBy("user_id").agg(
+        F.countDistinct("island").cast("bigint").alias("n_intervals"),
+        F.sum("ilen").cast("bigint").alias("covered_ns"),
+        F.max("ilen").cast("bigint").alias("longest_ns"),
+    )

@@ -200,7 +200,8 @@ def register(name: str, oracle: str | None) -> Callable[[QueryFn], QueryFn]:
 # q_analytics_tiered_commission marginal bracket ladder,
 # q_embed_prefix_eval matryoshka-style truncation recall,
 # q_pipeline_rule_bitmap row-level DQ bitmask gate, q_ts_sprt
-# Wald sequential test in integer milli-bans) — 136
+# Wald sequential test in integer milli-bans, q_ts_interval_union
+# sweep-line interval coverage) — 137
 # names; overflow past slot 50 rolls to r7 with the deferred
 # remainder; the first 50 of this list
 # form the r6 prefix, the small remainder rolls to r7.
@@ -365,6 +366,7 @@ _FAMILY_REPRESENTATIVES = [
     "q_embed_prefix_eval",
     "q_pipeline_rule_bitmap",
     "q_ts_sprt",
+    "q_ts_interval_union",
     "q_layout_zorder",
     "q_fn_collation",
     "q_fn_json_build",

@@ -577,3 +577,38 @@ def test_sprt_crossing_is_first_and_decision_consistent(spark, sf_dir):
             "accept_h1" if first[1] >= 1279 else "accept_h0"
         )
         assert r.crossing_idx < r.n_trials  # it genuinely stopped early
+
+
+def test_interval_union_against_direct_merge(spark, sf_dir):
+    """Per-user (n_intervals, covered_ns, longest_ns) recomputed by a
+    direct driver-side sweep-line merge over the raw spans — two
+    independent formulations of interval union."""
+    from hcls_data_lake_spark.queries.common import events
+
+    spans = defaultdict(list)
+    for r in (
+        events(spark, sf_dir)
+        .filter("event_type = 'view'")
+        .selectExpr(
+            "user_id", "ts_ns as s",
+            "ts_ns + cast(round(value * 1000000000) as bigint) as e",
+        )
+        .collect()
+    ):
+        spans[r.user_id].append((r.s, r.e))
+    expect = {}
+    for uid, ivs in spans.items():
+        ivs.sort()
+        merged = []
+        for s, e in ivs:
+            if merged and s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        lens = [e - s for s, e in merged]
+        expect[uid] = (len(merged), sum(lens), max(lens))
+    got = {
+        r.user_id: (r.n_intervals, r.covered_ns, r.longest_ns)
+        for r in _rows(spark, sf_dir, "q_ts_interval_union")
+    }
+    assert got == expect
