@@ -232,6 +232,7 @@ EXTENDED = [
     "q_pipeline_rule_bitmap",  # row-level DQ bitmask gate (r5)
     "q_ts_sprt",              # Wald sequential test, milli-bans (r5)
     "q_ts_interval_union",    # overlapping-span coverage merge (r5)
+    "q_stream_ivm",           # streaming MV maintenance, signed (r5)
 ]
 
 

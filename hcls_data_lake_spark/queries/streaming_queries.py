@@ -1283,3 +1283,133 @@ def q_stream_incremental_resume(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.sum("v_c").cast("bigint").alias("sum_value_c"),
     )
+
+
+@register(
+    "q_stream_ivm",
+    """
+    WITH final_state AS (
+      SELECT * FROM orders
+      WHERE NOT (o_orderkey % 11 = 0 AND o_orderkey % 7 <> 0)
+    )
+    SELECT o_orderpriority,
+           CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT)
+             AS yyyymm,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS revenue_c
+    FROM final_state
+    GROUP BY o_orderpriority, yyyymm
+    """,
+)
+def q_stream_ivm(spark, sf_dir):
+    """STREAMING INCREMENTAL VIEW MAINTENANCE — q_pipeline_ivm's
+    abelian-group delta algebra run as a LIVE CDC stream: the order
+    feed arrives as three landing files (the base snapshot, the
+    insert wave, the delete wave — deletes are sign = −1 rows, the
+    retraction encoding every streaming-SQL engine uses internally),
+    a file-source stream consumes them one micro-batch per file
+    (maxFilesPerTrigger=1), and foreachBatch writes each batch's
+    SIGNED PARTIAL AGGREGATE to a batch_id-keyed partition —
+    OVERWRITE, so an at-least-once retry of a micro-batch lands the
+    identical partition and the sink is exactly-once (the
+    q_stream_countmin discipline). The served MV is the merge
+    groupBy over the partials with cancelled groups dropped; the
+    oracle is the full recompute over the final state — the same
+    IVM theorem as the batch query, now proven through the
+    streaming machinery (checkpointed source progress, per-batch
+    retraction folding, idempotent partials).
+
+    100 TB: per micro-batch cost is |batch| map-side + one
+    group-keyed partial write; the MV merge reads partials only —
+    the base facts are never rescanned after their wave lands. The
+    partial store compacts by merging old batch partitions (same
+    associative groupBy), bounding read amplification."""
+    import os
+
+    from hcls_data_lake_spark.queries.common import t
+
+    base = scratch_for(sf_dir, "stream_ivm")
+    landing = os.path.join(base, "landing")
+    checkpoint = os.path.join(base, "ckpt")
+    partials = os.path.join(base, "partials")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(landing, exist_ok=True)
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.expr(
+            "cast(year(o_orderdate) * 100 + month(o_orderdate) as int)"
+        ).alias("yyyymm"),
+        F.expr("cast(round(o_totalprice * 100) as bigint)").alias(
+            "price_c"
+        ),
+    )
+
+    def land(df, name: str) -> None:
+        tmp = os.path.join(base, f"tmp_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            p for p in sorted(os.listdir(tmp)) if p.endswith(".parquet")
+        )
+        shutil.copyfile(
+            os.path.join(tmp, part), os.path.join(landing, name)
+        )
+
+    sel = ["o_orderpriority", "yyyymm", "price_c"]
+    land(
+        o.filter("o_orderkey % 7 != 0").selectExpr(*sel, "1 as sign"),
+        "wave0_base.parquet",
+    )
+    land(
+        o.filter("o_orderkey % 7 = 0").selectExpr(*sel, "1 as sign"),
+        "wave1_inserts.parquet",
+    )
+    land(
+        o.filter(
+            "o_orderkey % 7 != 0 and o_orderkey % 11 = 0"
+        ).selectExpr(*sel, "-1 as sign"),
+        "wave2_deletes.parquet",
+    )
+
+    schema = spark.read.parquet(
+        os.path.join(landing, "wave0_base.parquet")
+    ).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+
+    def fold(batch_df, batch_id):
+        (
+            batch_df.groupBy("o_orderpriority", "yyyymm")
+            .agg(
+                F.sum("sign").cast("bigint").alias("n_orders"),
+                F.sum(F.col("sign") * F.col("price_c"))
+                .cast("bigint")
+                .alias("revenue_c"),
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(partials, f"batch_id={batch_id}"))
+        )
+
+    q = (
+        sdf.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    return (
+        spark.read.option("basePath", partials)
+        .parquet(partials)
+        .groupBy("o_orderpriority", "yyyymm")
+        .agg(
+            F.sum("n_orders").cast("bigint").alias("n_orders"),
+            F.sum("revenue_c").cast("bigint").alias("revenue_c"),
+        )
+        .filter("n_orders > 0")
+    )

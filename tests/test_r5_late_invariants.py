@@ -612,3 +612,26 @@ def test_interval_union_against_direct_merge(spark, sf_dir):
         for r in _rows(spark, sf_dir, "q_ts_interval_union")
     }
     assert got == expect
+
+
+def test_stream_ivm_equals_batch_ivm_and_three_batches(spark, sf_dir):
+    """The stream-maintained MV equals the batch IVM query's MV
+    row-for-row (same delta algebra through two different engines-of-
+    delivery), and the partial store holds exactly three batch
+    partitions (one per landed wave)."""
+    import os
+
+    from hcls_data_lake_spark.queries.common import scratch_for
+
+    stream_rows = {
+        (r.o_orderpriority, r.yyyymm): (r.n_orders, r.revenue_c)
+        for r in _rows(spark, sf_dir, "q_stream_ivm")
+    }
+    batch_rows = {
+        (r.o_orderpriority, r.yyyymm): (r.n_orders, r.revenue_c)
+        for r in _rows(spark, sf_dir, "q_pipeline_ivm")
+    }
+    assert stream_rows == batch_rows
+    partials = os.path.join(scratch_for(sf_dir, "stream_ivm"), "partials")
+    batches = [d for d in os.listdir(partials) if d.startswith("batch_id=")]
+    assert len(batches) == 3
