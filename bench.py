@@ -272,13 +272,19 @@ def main() -> None:
         timings[name] = runs[0]
         medians[name] = runs[len(runs) // 2]
     total = round(sum(timings.values()), 3)
-    # Extended set runs the SAME rep count as headline: at 2 reps a
-    # single load spike still leaks into the min (r3's q_join_salted_skew
-    # read 1.5x baseline in the driver run but 0.80 s solo).
+    # Extended set defaults to ONE timed rep (each entry still gets
+    # the untimed warmup): at 200 entries a 3-rep extended pass puts
+    # the whole run near half an hour, which risks any per-round wall
+    # budget. Single-run spikes (the r3 q_join_salted_skew lesson)
+    # are filtered by the LEDGER instead — BENCH_solo_r5.json merges
+    # per-query minima across many full runs, so one noisy reading
+    # never becomes the committed reference. Override with
+    # SPARK_GRAFT_BENCH_EXT_REPS for dedicated ledger runs.
+    ext_reps = int(os.environ.get("SPARK_GRAFT_BENCH_EXT_REPS", "1"))
     extended: dict[str, float] = {}
     extended_medians: dict[str, float] = {}
     for name in EXTENDED:
-        runs = sorted(timed(name, reps))
+        runs = sorted(timed(name, ext_reps))
         extended[name] = runs[0]
         extended_medians[name] = runs[len(runs) // 2]
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
@@ -293,6 +299,7 @@ def main() -> None:
                 "extended_queries": extended,
                 "extended_queries_median": extended_medians,
                 "reps": reps,
+                "ext_reps": ext_reps,
                 "sf": sf,
             }
         )
