@@ -233,6 +233,7 @@ EXTENDED = [
     "q_ts_sprt",              # Wald sequential test, milli-bans (r5)
     "q_ts_interval_union",    # overlapping-span coverage merge (r5)
     "q_stream_ivm",           # streaming MV maintenance, signed (r5)
+    "q_join_hierarchy_rollup",  # path-enum BOM vs recursion (r5)
 ]
 
 

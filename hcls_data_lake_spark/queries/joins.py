@@ -1446,3 +1446,63 @@ def q_join_interval_allocate(spark, sf_dir):
         ).alias("alloc_c"),
         F.count(F.lit(1)).cast("bigint").alias("n_pieces"),
     )
+
+
+@register(
+    "q_join_hierarchy_rollup",
+    """
+    WITH RECURSIVE walk(node, anc) AS (
+        SELECT p_partkey, p_partkey FROM part
+      UNION ALL
+        SELECT node, anc // 10 FROM walk WHERE anc >= 10
+    )
+    SELECT w.anc AS node_key,
+           CAST(count(*) AS BIGINT) AS n_desc,
+           CAST(SUM(CAST(round(p.p_retailprice * 100) AS BIGINT))
+                AS BIGINT) AS subtree_value_c
+    FROM walk w JOIN part p ON p.p_partkey = w.node
+    GROUP BY w.anc
+    """,
+)
+def q_join_hierarchy_rollup(spark, sf_dir):
+    """HIERARCHY SUBTREE ROLLUP (the bill-of-materials / org-chart
+    aggregation): every part rolls its retail value up to ALL its
+    ancestors in the decimal-trie hierarchy parent(k) = k div 10 —
+    each node's result is its full subtree's count and value,
+    self included. The ORACLE walks the tree with a true
+    WITH RECURSIVE ancestor chain; the Spark side exploits that the
+    ancestor set is DERIVABLE in closed form (repeated div — depth
+    ≤ ⌈log₁₀ maxkey⌉), so it enumerates each row's ancestor PATH
+    map-side with one bounded explode and aggregates — no recursion,
+    no self-join, no iteration.
+
+    That contrast is the point at 100 TB: recursive traversal of a
+    fact-sized hierarchy is iterative shuffling with data-dependent
+    depth, but when the parent function is computable (materialized
+    path, trie codes, org codes, geo drill paths), path enumeration
+    turns the whole rollup into explode + ONE groupBy — fan-out =
+    depth bound, partial aggregation collapses map-side. The same
+    rewrite serves any materialized-path schema."""
+    p = t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.expr("cast(round(p_retailprice * 100) as bigint)").alias(
+            "price_c"
+        ),
+    )
+    # ancestor path via closed-form repeated div-10: k, k/10, ...
+    # (sequence length = digit count of k — string length, NOT
+    # float log10, whose rounding at powers of 10 drops a level)
+    paths = p.select(
+        "price_c",
+        F.explode(
+            F.expr(
+                "transform(sequence(0,"
+                " length(cast(p_partkey as string)) - 1),"
+                " i -> p_partkey div cast(pow(10, i) as bigint))"
+            )
+        ).alias("node_key"),
+    )
+    return paths.groupBy("node_key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_desc"),
+        F.sum("price_c").cast("bigint").alias("subtree_value_c"),
+    )

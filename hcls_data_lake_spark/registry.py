@@ -202,7 +202,9 @@ def register(name: str, oracle: str | None) -> Callable[[QueryFn], QueryFn]:
 # q_pipeline_rule_bitmap row-level DQ bitmask gate, q_ts_sprt
 # Wald sequential test in integer milli-bans, q_ts_interval_union
 # sweep-line interval coverage, q_stream_ivm retraction-folding
-# streaming MV maintenance with idempotent batch partials) — 138
+# streaming MV maintenance with idempotent batch partials,
+# q_join_hierarchy_rollup closed-form path-enumeration BOM rollup
+# vs recursive oracle) — 139
 # names; overflow past slot 50 rolls to r7 with the deferred
 # remainder; the first 50 of this list
 # form the r6 prefix, the small remainder rolls to r7.
@@ -369,6 +371,7 @@ _FAMILY_REPRESENTATIVES = [
     "q_ts_sprt",
     "q_ts_interval_union",
     "q_stream_ivm",
+    "q_join_hierarchy_rollup",
     "q_layout_zorder",
     "q_fn_collation",
     "q_fn_json_build",

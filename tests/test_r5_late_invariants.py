@@ -635,3 +635,28 @@ def test_stream_ivm_equals_batch_ivm_and_three_batches(spark, sf_dir):
     partials = os.path.join(scratch_for(sf_dir, "stream_ivm"), "partials")
     batches = [d for d in os.listdir(partials) if d.startswith("batch_id=")]
     assert len(batches) == 3
+
+
+def test_hierarchy_rollup_root_conservation(spark, sf_dir):
+    """Single-digit roots (0-9; part keys start at 0) partition the
+    key space: their subtree values sum to the whole table's value,
+    and every node's subtree value is >= its own price (self
+    included)."""
+    from hcls_data_lake_spark.queries.common import t
+
+    prices = {
+        r.p_partkey: r.price
+        for r in t(spark, sf_dir, "part")
+        .selectExpr(
+            "p_partkey",
+            "cast(round(p_retailprice * 100) as bigint) as price",
+        )
+        .collect()
+    }
+    rows = {r.node_key: r for r in _rows(spark, sf_dir, "q_join_hierarchy_rollup")}
+    roots = [r for k, r in rows.items() if 0 <= k <= 9]
+    assert sum(r.subtree_value_c for r in roots) == sum(prices.values())
+    assert sum(r.n_desc for r in roots) == len(prices)
+    for k, r in rows.items():
+        if k in prices:
+            assert r.subtree_value_c >= prices[k]
