@@ -234,6 +234,7 @@ EXTENDED = [
     "q_ts_interval_union",    # overlapping-span coverage merge (r5)
     "q_stream_ivm",           # streaming MV maintenance, signed (r5)
     "q_join_hierarchy_rollup",  # path-enum BOM vs recursion (r5)
+    "q_privacy_dp_topk",      # report-noisy-max selection (r5)
 ]
 
 

@@ -1025,3 +1025,93 @@ def q_privacy_dp_mean(spark, sf_dir):
             f" div greatest(count(1) + ({pop('count')}), 1) as bigint)"
         ).alias("dp_mean_x100_c"),
     )
+
+
+@register(
+    "q_privacy_dp_topk",
+    """
+    WITH counts AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type
+    ), noised AS (
+      SELECT r.rel, c.event_type,
+             c.n + (CAST(CONCAT('0x', substr(md5(
+                 'dpmax:v1:' || c.event_type || ':'
+                 || CAST(r.rel AS VARCHAR)), 1, 6)) AS BIGINT)
+               % 1001) - 500 AS noisy
+      FROM counts c,
+           LATERAL (SELECT unnest(generate_series(0, 4)) AS rel) r
+    )
+    SELECT CAST(rel AS INT) AS rel, event_type AS winner,
+           CAST(noisy AS BIGINT) AS noisy_score
+    FROM (
+      SELECT rel, event_type, noisy,
+             row_number() OVER (PARTITION BY rel
+               ORDER BY noisy DESC, event_type) AS rk
+      FROM noised
+    ) WHERE rk = 1
+    """,
+)
+def q_privacy_dp_topk(spark, sf_dir):
+    """REPORT-NOISY-MAX — the differentially-private SELECTION
+    primitive (which category wins, not what its count is): each of
+    5 independent releases perturbs every category's count with
+    bounded integer noise and reports only the argmax (ties to the
+    lexicographic category — the deterministic tie-break noisy-max
+    needs to be auditable at all). Noise is md5-DERIVED uniform on
+    [-500, 500] — a deterministic stand-in for the geometric
+    mechanism so both engines draw identical noise; the SELECTION
+    STRUCTURE (noise → argmax → release the winner only) is the
+    engineered artifact, the distribution swap is a constant. The
+    winner flips across releases only when counts are within noise
+    range — close races leak less, exactly the DP selection
+    intuition; the noisy_score column is what a real deployment
+    would withhold, emitted here because the harness's job is to
+    verify the mechanism.
+
+    100 TB: the count aggregate is the only data-sized pass;
+    noising and argmax run on the category-sized relation (5
+    releases × |categories| rows). Completes the privacy ladder's
+    selection rung alongside dp_histogram (counts), dp_mean
+    (numeric), and randomized_response (local)."""
+    counts = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    noised = counts.select(
+        "event_type",
+        "n",
+        F.explode(F.expr("sequence(0, 4)")).alias("rel"),
+    ).withColumn(
+        "noisy",
+        F.col("n")
+        + F.conv(
+            F.substring(
+                F.md5(
+                    F.expr(
+                        "cast(concat('dpmax:v1:', event_type, ':',"
+                        " cast(rel as string)) as binary)"
+                    )
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1001
+        - 500,
+    )
+    w = Window.partitionBy("rel").orderBy(
+        F.col("noisy").desc(), "event_type"
+    )
+    return (
+        noised.withColumn("rk", F.row_number().over(w))
+        .filter("rk = 1")
+        .select(
+            F.col("rel").cast("int").alias("rel"),
+            F.col("event_type").alias("winner"),
+            F.col("noisy").cast("bigint").alias("noisy_score"),
+        )
+    )

@@ -204,7 +204,8 @@ def register(name: str, oracle: str | None) -> Callable[[QueryFn], QueryFn]:
 # sweep-line interval coverage, q_stream_ivm retraction-folding
 # streaming MV maintenance with idempotent batch partials,
 # q_join_hierarchy_rollup closed-form path-enumeration BOM rollup
-# vs recursive oracle) — 139
+# vs recursive oracle, q_privacy_dp_topk report-noisy-max
+# selection) — 140
 # names; overflow past slot 50 rolls to r7 with the deferred
 # remainder; the first 50 of this list
 # form the r6 prefix, the small remainder rolls to r7.
@@ -372,6 +373,7 @@ _FAMILY_REPRESENTATIVES = [
     "q_ts_interval_union",
     "q_stream_ivm",
     "q_join_hierarchy_rollup",
+    "q_privacy_dp_topk",
     "q_layout_zorder",
     "q_fn_collation",
     "q_fn_json_build",

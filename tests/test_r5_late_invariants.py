@@ -660,3 +660,24 @@ def test_hierarchy_rollup_root_conservation(spark, sf_dir):
     for k, r in rows.items():
         if k in prices:
             assert r.subtree_value_c >= prices[k]
+
+
+def test_dp_topk_winner_within_noise_of_true_max(spark, sf_dir):
+    """Every release's winner has a true count within 1000 (the full
+    noise span) of the true maximum — noisy-max can only flip close
+    races; all 5 releases are present."""
+    from hcls_data_lake_spark.queries.common import events
+
+    counts = {
+        r.event_type: r.n
+        for r in events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    true_max = max(counts.values())
+    rows = _rows(spark, sf_dir, "q_privacy_dp_topk")
+    assert sorted(r.rel for r in rows) == list(range(5))
+    for r in rows:
+        assert counts[r.winner] >= true_max - 1000
+        assert abs(r.noisy_score - counts[r.winner]) <= 500
