@@ -235,6 +235,7 @@ EXTENDED = [
     "q_stream_ivm",           # streaming MV maintenance, signed (r5)
     "q_join_hierarchy_rollup",  # path-enum BOM vs recursion (r5)
     "q_privacy_dp_topk",      # report-noisy-max selection (r5)
+    "q_analytics_diff_in_diff",  # 4-cell causal DiD estimate (r5)
 ]
 
 

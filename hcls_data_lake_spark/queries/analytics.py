@@ -3070,3 +3070,85 @@ def q_analytics_tiered_commission(spark, sf_dir):
             ).alias("commission_c"),
         )
     )
+
+
+@register(
+    "q_analytics_diff_in_diff",
+    """
+    WITH purchases AS (
+      SELECT user_id,
+             CAST(round(value * 100) AS BIGINT) AS v_c,
+             CASE WHEN user_id % 3 = 0 THEN 'treat' ELSE 'ctrl' END
+               AS grp,
+             CASE WHEN epoch_ns(ts) // 86400000000000
+                       - (SELECT min(epoch_ns(ts) // 86400000000000)
+                          FROM events) < 15
+                  THEN 'pre' ELSE 'post' END AS period
+      FROM events WHERE event_type = 'purchase'
+    ), cells AS (
+      SELECT grp, period,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+             CAST(SUM(v_c) AS BIGINT) AS spend_c,
+             CAST(SUM(v_c) * 100 // count(DISTINCT user_id)
+                  AS BIGINT) AS mean_spend_cc
+      FROM purchases GROUP BY grp, period
+    )
+    SELECT grp, period, n_users, spend_c, mean_spend_cc,
+           CAST((SELECT (t2.mean_spend_cc - t1.mean_spend_cc)
+                      - (c2.mean_spend_cc - c1.mean_spend_cc)
+                 FROM cells t1, cells t2, cells c1, cells c2
+                 WHERE t1.grp = 'treat' AND t1.period = 'pre'
+                   AND t2.grp = 'treat' AND t2.period = 'post'
+                   AND c1.grp = 'ctrl' AND c1.period = 'pre'
+                   AND c2.grp = 'ctrl' AND c2.period = 'post')
+                AS BIGINT) AS did_cc
+    FROM cells
+    """,
+)
+def q_analytics_diff_in_diff(spark, sf_dir):
+    """DIFFERENCE-IN-DIFFERENCES — the workhorse causal estimate for
+    a rollout you can't A/B: exposed group = user_id % 3 = 0 (the
+    deterministic stand-in for a campaign audience), pre/post split
+    at the fixture's day 15, outcome = per-user mean purchase spend
+    in centi-cents (integer: spend·100 div users — the quantized
+    mean both engines compute identically). The DiD estimate
+    (Δtreat − Δctrl) nets out both the group-level baseline
+    difference and the common time trend — the two confounders that
+    make naive before/after and treat-vs-ctrl comparisons lie. All
+    four cells are emitted alongside the estimate so the reader can
+    audit the parallel-trends arithmetic.
+
+    100 TB: one fact pass to the 4-cell aggregate (the day-0 anchor
+    is a scalar min); everything after is constant-size. The same
+    shape with a (grp, period, segment) key is the heterogeneous-
+    effects version."""
+    e = t(spark, sf_dir, "events")
+    d0 = e.agg(
+        F.expr("min(ts_ns div 86400000000000)").alias("d0")
+    ).first().d0
+    purchases = e.filter("event_type = 'purchase'").select(
+        "user_id",
+        F.expr("cast(round(value * 100) as bigint)").alias("v_c"),
+        F.expr(
+            "case when user_id % 3 = 0 then 'treat' else 'ctrl' end"
+        ).alias("grp"),
+        F.expr(
+            f"case when ts_ns div 86400000000000 - {int(d0)} < 15"
+            " then 'pre' else 'post' end"
+        ).alias("period"),
+    )
+    cells = purchases.groupBy("grp", "period").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.sum("v_c").cast("bigint").alias("spend_c"),
+        F.expr(
+            "cast(sum(v_c) * 100 div count(distinct user_id)"
+            " as bigint)"
+        ).alias("mean_spend_cc"),
+    ).localCheckpoint()  # 4 rows; the DiD scalar reads it 4 ways
+    m = {
+        (r.grp, r.period): r.mean_spend_cc for r in cells.collect()
+    }
+    did = (m[("treat", "post")] - m[("treat", "pre")]) - (
+        m[("ctrl", "post")] - m[("ctrl", "pre")]
+    )
+    return cells.withColumn("did_cc", F.lit(int(did)).cast("bigint"))

@@ -681,3 +681,25 @@ def test_dp_topk_winner_within_noise_of_true_max(spark, sf_dir):
     for r in rows:
         assert counts[r.winner] >= true_max - 1000
         assert abs(r.noisy_score - counts[r.winner]) <= 500
+
+
+def test_diff_in_diff_identity(spark, sf_dir):
+    """did_cc recomputed from the emitted cell means matches the
+    published estimate; all four (grp, period) cells are present and
+    the quantized mean is consistent with (spend, users)."""
+    rows = _rows(spark, sf_dir, "q_analytics_diff_in_diff")
+    cells = {(r.grp, r.period): r for r in rows}
+    assert set(cells) == {
+        ("treat", "pre"), ("treat", "post"),
+        ("ctrl", "pre"), ("ctrl", "post"),
+    }
+    for r in rows:
+        assert r.mean_spend_cc == r.spend_c * 100 // r.n_users
+    did = (
+        cells[("treat", "post")].mean_spend_cc
+        - cells[("treat", "pre")].mean_spend_cc
+    ) - (
+        cells[("ctrl", "post")].mean_spend_cc
+        - cells[("ctrl", "pre")].mean_spend_cc
+    )
+    assert all(r.did_cc == did for r in rows)
