@@ -236,6 +236,7 @@ EXTENDED = [
     "q_join_hierarchy_rollup",  # path-enum BOM vs recursion (r5)
     "q_privacy_dp_topk",      # report-noisy-max selection (r5)
     "q_analytics_diff_in_diff",  # 4-cell causal DiD estimate (r5)
+    "q_fn_soundex",           # builtin vs hand-rolled phonetics (r5)
 ]
 
 

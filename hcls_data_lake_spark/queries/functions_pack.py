@@ -774,3 +774,79 @@ def q_fn_pipe_syntax(spark, sf_dir):
         |> SELECT o_orderpriority, n_orders, rev_c, n_customers
         """
     )
+
+
+@register(
+    "q_fn_soundex",
+    """
+    WITH words AS (
+      SELECT DISTINCT unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ), lw AS (
+      SELECT w FROM words WHERE regexp_matches(w, '^[a-z]+$')
+    ), chars AS (
+      SELECT w, g.i AS pos,
+             CASE substr(w, g.i, 1)
+               WHEN 'b' THEN 1 WHEN 'f' THEN 1 WHEN 'p' THEN 1
+               WHEN 'v' THEN 1
+               WHEN 'c' THEN 2 WHEN 'g' THEN 2 WHEN 'j' THEN 2
+               WHEN 'k' THEN 2 WHEN 'q' THEN 2 WHEN 's' THEN 2
+               WHEN 'x' THEN 2 WHEN 'z' THEN 2
+               WHEN 'd' THEN 3 WHEN 't' THEN 3
+               WHEN 'l' THEN 4
+               WHEN 'm' THEN 5 WHEN 'n' THEN 5
+               WHEN 'r' THEN 6
+               WHEN 'h' THEN -1 WHEN 'w' THEN -1
+               ELSE 0 END AS code
+      FROM lw,
+           LATERAL (SELECT unnest(generate_series(1, length(w)))
+                    AS i) g
+    ), eff AS (
+      SELECT w, pos, code,
+             last_value(CASE WHEN code = -1 THEN NULL ELSE code END
+                        IGNORE NULLS) OVER (
+               PARTITION BY w ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_eff
+      FROM chars
+    ), digits AS (
+      SELECT w,
+             string_agg(CAST(code AS VARCHAR), '' ORDER BY pos)
+               FILTER (WHERE pos > 1 AND code >= 1
+                       AND code IS DISTINCT FROM prev_eff) AS d
+      FROM eff GROUP BY w
+    )
+    SELECT w AS word,
+           upper(substr(w, 1, 1))
+             || substr(COALESCE(d, '') || '000', 1, 3) AS sdx
+    FROM digits
+    """,
+)
+def q_fn_soundex(spark, sf_dir):
+    """SOUNDEX — the phonetic blocking key fuzzy record linkage has
+    used since the 1930 census, with AMERICAN-soundex semantics
+    pinned cross-engine: Spark's builtin `soundex()` vs a from-
+    first-principles SQL implementation in the oracle (letter→code
+    table; vowels RESET code adjacency; H/W are TRANSPARENT —
+    adjacency persists across them, so 'bhb' collapses to B000
+    while 'bab' keeps both Bs as B100; a consonant repeating the
+    FIRST letter's code is suppressed, so 'sck' is S000; pad/trim
+    to letter + 3 digits). The oracle's prev-effective-code is an
+    IGNORE NULLS running last_value with H/W as the NULLs — the
+    windowed form of the scanning loop every textbook writes.
+    Restricted to ^[a-z]+$ tokens so both engines see only the
+    letter alphabet the rules above define.
+
+    100 TB: soundex is a map-side expression — the linkage use is
+    as a BLOCKING key (q_dedup_linkage_fs's equi-join key), where
+    its phonetic collisions are the candidate generator for names
+    that exact keys miss."""
+    d = t(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.expr("w rlike '^[a-z]+$'"))
+        .distinct()
+    )
+    return words.select(
+        F.col("w").alias("word"), F.soundex("w").alias("sdx")
+    )

@@ -703,3 +703,25 @@ def test_diff_in_diff_identity(spark, sf_dir):
         - cells[("ctrl", "pre")].mean_spend_cc
     )
     assert all(r.did_cc == did for r in rows)
+
+
+def test_soundex_textbook_edge_cases(spark, sf_dir):
+    """The American-soundex semantics the oracle hand-rolls, pinned
+    on the textbook adversarial cases: H/W transparency ('bhb' →
+    B000 vs 'bab' → B100), first-letter code suppression ('sck' →
+    S000), vowel resets, and the classic name pairs."""
+    from pyspark.sql import functions as F
+
+    cases = {
+        "robert": "R163", "rupert": "R163",
+        "ashcraft": "A261", "ashcroft": "A261",
+        "tymczak": "T522", "pfister": "P236",
+        "bhb": "B000", "bab": "B100", "sck": "S000",
+        "abb": "A100", "abab": "A110", "hb": "H100",
+        "aeiou": "A000", "yby": "Y100",
+    }
+    df = spark.createDataFrame(
+        [(w,) for w in cases], "w string"
+    ).select("w", F.soundex("w").alias("s"))
+    got = {r.w: r.s for r in df.collect()}
+    assert got == cases
