@@ -237,6 +237,7 @@ EXTENDED = [
     "q_privacy_dp_topk",      # report-noisy-max selection (r5)
     "q_analytics_diff_in_diff",  # 4-cell causal DiD estimate (r5)
     "q_fn_soundex",           # builtin vs hand-rolled phonetics (r5)
+    "q_sink_manifest_checksum",  # order-pinned export digests (r5)
 ]
 
 

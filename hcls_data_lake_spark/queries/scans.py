@@ -774,3 +774,74 @@ def q_scan_metadata_cols(spark, sf_dir):
             F.countDistinct("o_orderkey").cast("bigint").alias("n_keys"),
         )
     )
+
+
+@register(
+    "q_sink_manifest_checksum",
+    """
+    SELECT CAST(CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                                   1, 6)) AS BIGINT) % 8 AS BIGINT)
+             AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           md5(string_agg(CAST(doc_id AS VARCHAR) || ':'
+                          || CAST(n_chars AS VARCHAR), ','
+                          ORDER BY doc_id)) AS content_md5
+    FROM documents
+    GROUP BY shard
+    """,
+)
+def q_sink_manifest_checksum(spark, sf_dir):
+    """EXPORT MANIFEST with CONTENT CHECKSUMS — the integrity record
+    a training-data handoff ships next to the shards: per shard not
+    just row count and byte mass (which miss reordered, swapped, or
+    bit-flipped rows) but an ORDER-PINNED digest of the shard's
+    (id, size) pairs — md5 over the key-sorted, delimiter-joined
+    roster, so any consumer can re-derive it from the delivered
+    shard and prove byte-for-byte the same documents arrived, in
+    full, with no substitutions. Sorting inside the aggregate makes
+    the digest partitioning-invariant: the same corpus produces the
+    same manifest on any cluster layout, which is what makes it a
+    CONTRACT between producer and consumer rather than a run log.
+
+    100 TB: one shuffle on the shard key (the export's own
+    partitioning — the manifest rides the write for free);
+    sort_array over a shard's roster is the only super-linear step
+    and is bounded by shard size, the knob the exporter already
+    controls. Per-chunk md5s (q_multimodal_chunk_manifest) verify
+    RANGES; this manifest verifies MEMBERSHIP — a handoff wants
+    both."""
+    d = t(spark, sf_dir, "documents")
+    hexv = F.conv(
+        F.substring(
+            F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 6
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        d.select(
+            F.pmod(hexv, F.lit(8)).cast("bigint").alias("shard"),
+            "doc_id",
+            "n_chars",
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.sort_array(
+                        F.collect_list(
+                            F.expr(
+                                "struct(doc_id, concat(cast(doc_id as"
+                                " string), ':', cast(n_chars as"
+                                " string)) as kv)"
+                            )
+                        )
+                    ).getField("kv"),
+                ).cast("binary")
+            ).alias("content_md5"),
+        )
+    )

@@ -206,7 +206,9 @@ def register(name: str, oracle: str | None) -> Callable[[QueryFn], QueryFn]:
 # q_join_hierarchy_rollup closed-form path-enumeration BOM rollup
 # vs recursive oracle, q_privacy_dp_topk report-noisy-max
 # selection, q_analytics_diff_in_diff exact-cell causal
-# estimate, q_fn_soundex builtin-vs-hand-rolled phonetic key) — 142
+# estimate, q_fn_soundex builtin-vs-hand-rolled phonetic key,
+# q_sink_manifest_checksum order-pinned export membership
+# digests) — 143
 # names; overflow past slot 50 rolls to r7 with the deferred
 # remainder; the first 50 of this list
 # form the r6 prefix, the small remainder rolls to r7.
@@ -377,6 +379,7 @@ _FAMILY_REPRESENTATIVES = [
     "q_privacy_dp_topk",
     "q_analytics_diff_in_diff",
     "q_fn_soundex",
+    "q_sink_manifest_checksum",
     "q_layout_zorder",
     "q_fn_collation",
     "q_fn_json_build",

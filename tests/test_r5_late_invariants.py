@@ -725,3 +725,30 @@ def test_soundex_textbook_edge_cases(spark, sf_dir):
     ).select("w", F.soundex("w").alias("s"))
     got = {r.w: r.s for r in df.collect()}
     assert got == cases
+
+
+def test_manifest_checksum_rederivable_and_partitioning_invariant(
+    spark, sf_dir
+):
+    """Each shard's digest re-derives from the raw table in the
+    driver (membership proof), and shards partition the corpus."""
+    import hashlib
+
+    from hcls_data_lake_spark.queries.common import t
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    ).collect()
+    shards = defaultdict(list)
+    for r in docs:
+        h = int(
+            hashlib.md5(str(r.doc_id).encode()).hexdigest()[:6], 16
+        ) % 8
+        shards[h].append((r.doc_id, r.n_chars))
+    rows = _rows(spark, sf_dir, "q_sink_manifest_checksum")
+    assert sum(r.n_docs for r in rows) == len(docs)
+    for r in rows:
+        roster = sorted(shards[r.shard])
+        assert r.n_docs == len(roster)
+        payload = ",".join(f"{d}:{n}" for d, n in roster)
+        assert r.content_md5 == hashlib.md5(payload.encode()).hexdigest()
