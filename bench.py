@@ -7,12 +7,15 @@ Each query is forced to full materialization with a count-style action
 (write to a noop aggregation) so timing covers the complete plan.
 
 Per-query time is the MIN over $SPARK_GRAFT_BENCH_REPS repetitions
-(default 3, headline and extended alike) after a full warmup pass: a single
-timed run conflates plan execution with JVM JIT compilation of the
-generated code and whatever else the machine is doing — r2's driver
-run read q_agg_group 3.6x and q_dedup_near 1.7x over their steady
-state from exactly that noise. The min is the best unbiased estimate
-of the plan's cost; medians are reported alongside for dispersion.
+(default 3 for the headline set; the extended set defaults to 1 via
+$SPARK_GRAFT_BENCH_EXT_REPS — see the inline comment) after a full
+warmup pass: a single timed run conflates plan execution with JVM JIT
+compilation of the generated code and whatever else the machine is
+doing — r2's driver run read q_agg_group 3.6x and q_dedup_near 1.7x
+over their steady state from exactly that noise. The min is the best
+unbiased estimate of the plan's cost; medians are reported alongside
+for dispersion. Single-run extended noise is filtered by the minima
+ledger (BENCH_solo_r5.json) rather than per-run reps.
 """
 
 from __future__ import annotations
