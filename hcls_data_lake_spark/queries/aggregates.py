@@ -1245,12 +1245,15 @@ def q_agg_kth_selection(spark, sf_dir):
     shuffles the entire fact table and funnels it through a global
     order (or a single-partition window); the narrowing pass is
     O(rounds) LINEAR scans with a 256-row driver exchange per
-    round, and each round's `BETWEEN lo AND hi` predicate pushes
-    down to parquet row-group min/max pruning — later rounds read a
-    shrinking fraction of the files. percentile_exact (the window
+    round. The exact range predicate sits on the DERIVED cents
+    column (not pushable), so each round also applies a
+    conservative bound on the RAW price column — verified to reach
+    the scan's PushedFilters, which is what turns later rounds into
+    row-group-pruned partial reads. percentile_exact (the window
     formulation) is the comparison row in this registry."""
     v = t(spark, sf_dir, "lineitem").select(
-        F.expr("cast(round(l_extendedprice * 100) as bigint)").alias("c")
+        "l_extendedprice",
+        F.expr("cast(round(l_extendedprice * 100) as bigint)").alias("c"),
     )
     stats = v.agg(
         F.count(F.lit(1)).alias("n"),
@@ -1264,7 +1267,14 @@ def q_agg_kth_selection(spark, sf_dir):
         width = (hi - lo) // 256 + 1
         hist = {
             int(r.b): int(r.cnt)
-            for r in v.filter(F.col("c").between(lo, hi))
+            for r in v.filter(
+                # pushable conservative bound on the raw column ...
+                F.col("l_extendedprice").between(
+                    (lo - 1) / 100.0, (hi + 1) / 100.0
+                )
+                # ... plus the exact bound on the derived cents
+                & F.col("c").between(lo, hi)
+            )
             .groupBy(
                 F.expr(f"(c - {lo}) div {width}").alias("b")
             )
