@@ -241,6 +241,7 @@ EXTENDED = [
     "q_analytics_diff_in_diff",  # 4-cell causal DiD estimate (r5)
     "q_fn_soundex",           # builtin vs hand-rolled phonetics (r5)
     "q_sink_manifest_checksum",  # order-pinned export digests (r5)
+    "q_agg_crossmoments",     # mergeable covariance statistics (r5)
 ]
 
 

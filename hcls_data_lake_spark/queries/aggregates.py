@@ -1293,3 +1293,74 @@ def q_agg_kth_selection(spark, sf_dir):
     return spark.createDataFrame(
         [(n, k, lo)], "n bigint, k bigint, kth_value_c bigint"
     )
+
+
+@register(
+    "q_agg_crossmoments",
+    """
+    WITH m AS (
+      SELECT CAST(round(l_quantity) AS BIGINT) AS qty,
+             CAST(round(l_extendedprice) AS BIGINT) AS price_d,
+             CAST(round(l_discount * 10000) AS BIGINT) AS disc_bp
+      FROM lineitem
+    ), pairs AS (
+      SELECT 'qty_price' AS pair, qty AS a, price_d AS b FROM m
+      UNION ALL
+      SELECT 'qty_disc', qty, disc_bp FROM m
+      UNION ALL
+      SELECT 'price_disc', price_d, disc_bp FROM m
+    )
+    SELECT pair,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(a) AS BIGINT) AS sum_a,
+           CAST(SUM(b) AS BIGINT) AS sum_b,
+           CAST(SUM(a * b) AS BIGINT) AS sum_ab,
+           CAST(SUM(a * a) AS BIGINT) AS sum_a2,
+           CAST(SUM(b * b) AS BIGINT) AS sum_b2
+    FROM pairs GROUP BY pair
+    """,
+)
+def q_agg_crossmoments(spark, sf_dir):
+    """CROSS-MOMENT SUFFICIENT STATISTICS — the mergeable core of
+    covariance/correlation/OLS at scale: per measure pair, the six
+    exact BIGINTs (n, Σa, Σb, Σab, Σa², Σb²) from which cov, corr,
+    and regression slopes all derive in closed form. The statistics
+    — not the derived floats — are the deliverable, because these
+    merge across shards/partitions/days by plain ADDITION (the
+    abelian property every distributed stats engine builds on:
+    map-side partials, shard unions, and incremental day-over-day
+    maintenance are all the same +). Units chosen so every square
+    stays in int64 at fact scale (quantity units, whole dollars,
+    discount basis points); the derived correlations live in the
+    pytest, which recomputes them from the emitted moments and pins
+    sign and magnitude bounds.
+
+    100 TB: one fact scan, a 3× in-plan pair fan-out, and a
+    6-accumulator partial aggregate per pair — every partition
+    collapses to ≤3 rows before the exchange. The same table
+    maintained per day IS the incremental-covariance feed (sum the
+    day rows; q_pipeline_ivm's algebra, applied to statistics)."""
+    m = t(spark, sf_dir, "lineitem").select(
+        F.expr("cast(round(l_quantity) as bigint)").alias("qty"),
+        F.expr("cast(round(l_extendedprice) as bigint)").alias(
+            "price_d"
+        ),
+        F.expr("cast(round(l_discount * 10000) as bigint)").alias(
+            "disc_bp"
+        ),
+    )
+    pairs = m.selectExpr(
+        "explode(array("
+        " struct('qty_price' as pair, qty as a, price_d as b),"
+        " struct('qty_disc' as pair, qty as a, disc_bp as b),"
+        " struct('price_disc' as pair, price_d as a, disc_bp as b)"
+        ")) as p"
+    ).select("p.pair", "p.a", "p.b")
+    return pairs.groupBy("pair").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("a").cast("bigint").alias("sum_a"),
+        F.sum("b").cast("bigint").alias("sum_b"),
+        F.expr("cast(sum(a * b) as bigint)").alias("sum_ab"),
+        F.expr("cast(sum(a * a) as bigint)").alias("sum_a2"),
+        F.expr("cast(sum(b * b) as bigint)").alias("sum_b2"),
+    )

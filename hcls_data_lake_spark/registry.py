@@ -208,7 +208,8 @@ def register(name: str, oracle: str | None) -> Callable[[QueryFn], QueryFn]:
 # selection, q_analytics_diff_in_diff exact-cell causal
 # estimate, q_fn_soundex builtin-vs-hand-rolled phonetic key,
 # q_sink_manifest_checksum order-pinned export membership
-# digests) — 143
+# digests, q_agg_crossmoments mergeable covariance sufficient
+# statistics) — 144
 # names; overflow past slot 50 rolls to r7 with the deferred
 # remainder; the first 50 of this list
 # form the r6 prefix, the small remainder rolls to r7.
@@ -380,6 +381,7 @@ _FAMILY_REPRESENTATIVES = [
     "q_analytics_diff_in_diff",
     "q_fn_soundex",
     "q_sink_manifest_checksum",
+    "q_agg_crossmoments",
     "q_layout_zorder",
     "q_fn_collation",
     "q_fn_json_build",

@@ -752,3 +752,46 @@ def test_manifest_checksum_rederivable_and_partitioning_invariant(
         assert r.n_docs == len(roster)
         payload = ",".join(f"{d}:{n}" for d, n in roster)
         assert r.content_md5 == hashlib.md5(payload.encode()).hexdigest()
+
+
+def test_crossmoments_derive_sane_correlations_and_merge(spark, sf_dir):
+    """Correlations derived from the emitted moments are in [-1, 1]
+    (the fixture's synthetic prices are independent of quantity, so
+    no sign is asserted); the moments MERGE: summing two disjoint
+    halves' moment rows reproduces the full-table row."""
+    import math
+
+    from hcls_data_lake_spark.queries.common import t
+
+    rows = {r.pair: r for r in _rows(spark, sf_dir, "q_agg_crossmoments")}
+    assert set(rows) == {"qty_price", "qty_disc", "price_disc"}
+
+    def corr(r):
+        num = r.n * r.sum_ab - r.sum_a * r.sum_b
+        den = math.sqrt(
+            (r.n * r.sum_a2 - r.sum_a**2)
+            * (r.n * r.sum_b2 - r.sum_b**2)
+        )
+        return num / den
+
+    for r in rows.values():
+        assert -1.0 <= corr(r) <= 1.0
+
+    li = t(spark, sf_dir, "lineitem").selectExpr(
+        "cast(round(l_quantity) as bigint) as a",
+        "cast(round(l_extendedprice) as bigint) as b",
+        "l_orderkey % 2 = 0 as half",
+    )
+    merged = [0] * 6
+    for half in (True, False):
+        p = (
+            li.filter(F.col("half") == half)
+            .selectExpr(
+                "count(*) n", "sum(a) sa", "sum(b) sb",
+                "sum(a*b) sab", "sum(a*a) sa2", "sum(b*b) sb2",
+            )
+            .first()
+        )
+        merged = [m + int(x) for m, x in zip(merged, p)]
+    r = rows["qty_price"]
+    assert merged == [r.n, r.sum_a, r.sum_b, r.sum_ab, r.sum_a2, r.sum_b2]
