@@ -242,6 +242,8 @@ EXTENDED = [
     "q_fn_soundex",           # builtin vs hand-rolled phonetics (r5)
     "q_sink_manifest_checksum",  # order-pinned export digests (r5)
     "q_agg_crossmoments",     # mergeable covariance statistics (r5)
+    "q_pipeline_feature_join",  # PIT-correct feature assembly (r5)
+    "q_text_pmi",             # exact-lift windowed collocations (r5)
 ]
 
 

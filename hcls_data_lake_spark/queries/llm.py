@@ -4583,3 +4583,108 @@ def q_embed_prefix_eval(spark, sf_dir):
         .groupBy("qid")
         .agg(F.count("hit").cast("bigint").alias("hits"))
     )
+
+
+@register(
+    "q_text_pmi",
+    """
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, g.i AS pos, w.words[g.i] AS tok
+      FROM (SELECT doc_id, string_split(text, ' ') AS words
+            FROM documents) w,
+           LATERAL (SELECT unnest(generate_series(1, len(w.words)))
+                    AS i) g
+      WHERE length(w.words[g.i]) > 0
+    ), pairs AS MATERIALIZED (
+      SELECT LEAST(a.tok, b.tok) AS w1,
+             GREATEST(a.tok, b.tok) AS w2
+      FROM toks a JOIN toks b
+        ON b.doc_id = a.doc_id
+       AND b.pos - a.pos BETWEEN 1 AND 2
+      WHERE a.tok <> b.tok
+    ), uni AS MATERIALIZED (
+      SELECT tok, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY tok
+    ), tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS total FROM uni
+    ), co AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_xy
+      FROM pairs GROUP BY w1, w2
+    )
+    SELECT w1, w2, n_xy,
+           CAST(n_xy * t.total * 1000000
+                // (u1.n * u2.n) AS BIGINT) AS lift_ppm
+    FROM co
+    JOIN uni u1 ON u1.tok = co.w1
+    JOIN uni u2 ON u2.tok = co.w2
+    CROSS JOIN tot t
+    WHERE n_xy >= 5
+    ORDER BY lift_ppm DESC, w1, w2 LIMIT 20
+    """,
+)
+def q_text_pmi(spark, sf_dir):
+    """WINDOWED CO-OCCURRENCE with an EXACT PMI-style lift — the
+    collocation detector (word2vec's skip-gram statistics, corpus
+    linguistics' PMI): token pairs within a ±2 window, scored by the
+    independence ratio p(x,y)/(p(x)p(y)) kept EXACT as the integer
+    ppm n_xy·N·10⁶ div (n_x·n_y) — rank-equivalent to PMI (log is
+    monotone) with no log and no float, so the top-20 collocations
+    hash across engines. Pairs come from LEADs over each document's
+    token order (one window, fan-out = window size), never a
+    positions self-join — the linear-cost form of skip-gram pair
+    extraction; the oracle's positional self-join is the quadratic
+    spec it must match.
+
+    100 TB: token explode + two LEADs ride one doc-keyed window;
+    the pair aggregate is vocabulary²-bounded but support-pruned
+    (n_xy >= 5) map-side; unigram counts broadcast back. min-count
+    pruning is the same knob word2vec ships with."""
+    d = t(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id",
+            F.posexplode(F.split("text", " ")).alias("pos", "tok"),
+        )
+        .filter(F.length("tok") > 0)
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = (
+        toks.select(
+            "tok",
+            F.lead("tok", 1).over(w).alias("n1"),
+            F.lead("tok", 2).over(w).alias("n2"),
+        )
+        .selectExpr("explode(array(n1, n2)) as other", "tok")
+        .filter("other is not null and other != tok")
+        .select(
+            F.least("tok", "other").alias("w1"),
+            F.greatest("tok", "other").alias("w2"),
+        )
+    )
+    uni = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    total = int(
+        uni.agg(F.sum("n").alias("t")).first().t
+    )  # scalar corpus size
+    co = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_xy")
+    ).filter("n_xy >= 5")
+    return (
+        co.join(
+            F.broadcast(uni.selectExpr("tok as w1", "n as n1")), "w1"
+        )
+        .join(
+            F.broadcast(uni.selectExpr("tok as w2", "n as n2")), "w2"
+        )
+        .select(
+            "w1",
+            "w2",
+            "n_xy",
+            F.expr(
+                f"cast(n_xy * {total}L * 1000000 div (n1 * n2)"
+                " as bigint)"
+            ).alias("lift_ppm"),
+        )
+        .orderBy(F.col("lift_ppm").desc(), "w1", "w2")
+        .limit(20)
+    )

@@ -1373,3 +1373,95 @@ def q_pipeline_rule_bitmap(spark, sf_dir):
             "n_rows",
         )
     )
+
+
+@register(
+    "q_pipeline_feature_join",
+    """
+    WITH ev AS (
+      SELECT event_id, user_id, event_type,
+             epoch_ns(ts) AS ts_ns,
+             epoch_ns(ts) // 86400000000000 AS day
+      FROM events
+    ), labeled AS (
+      SELECT event_id, user_id, ts_ns, day,
+             count(*) FILTER (WHERE event_type = 'view') OVER (
+               PARTITION BY user_id ORDER BY ts_ns, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS f_views_before,
+             event_type
+      FROM ev
+    ), daily AS (
+      SELECT day, CAST(count(*) AS BIGINT) AS vol FROM ev GROUP BY day
+    )
+    SELECT l.event_id, l.user_id,
+           CAST(COALESCE(l.f_views_before, 0) AS BIGINT)
+             AS f_views_before,
+           CAST(COALESCE(d.vol, 0) AS BIGINT) AS f_prev_day_volume
+    FROM labeled l
+    LEFT JOIN daily d ON d.day = l.day - 1
+    WHERE l.event_type = 'purchase'
+    """,
+)
+def q_pipeline_feature_join(spark, sf_dir):
+    """POINT-IN-TIME-CORRECT FEATURE ASSEMBLY — the feature-store
+    join that decides whether a trained model is legitimate: every
+    purchase label gets (a) the user's view count STRICTLY BEFORE
+    the label event (frame ends at 1 PRECEDING — the same-timestamp
+    row itself can never leak in) and (b) the PREVIOUS day's global
+    volume (day − 1, never same-day: daily aggregates are only
+    complete after the day closes). Both features are exactly what
+    was knowable at label time — the temporal hygiene that separates
+    a feature store from a SELECT *; label-leakage bugs of exactly
+    these two shapes (inclusive frames, same-period aggregates) are
+    the classic silent train/serve skew.
+
+    Plan: the user-history feature rides ONE window over the user
+    shuffle computed on the full event stream then filtered to
+    labels (cheaper than a per-label correlated lookup); the
+    calendar feature is a day-keyed join against the day-sized
+    aggregate. A pytest re-derives both features per label from raw
+    events. 100 TB: one fact shuffle + one broadcast-scale join;
+    more feature tables are more key-aligned joins, not more fact
+    passes."""
+    e = t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts_ns",
+        F.expr("ts_ns div 86400000000000").alias("day"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ns", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    labeled = e.withColumn(
+        "f_views_before",
+        F.count(
+            F.when(F.col("event_type") == "view", 1)
+        ).over(w),
+    )
+    daily = e.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("vol")
+    )
+    return (
+        labeled.filter("event_type = 'purchase'")
+        .join(
+            F.broadcast(
+                daily.withColumnRenamed("day", "d_prev")
+            ),
+            F.col("d_prev") == F.col("day") - 1,
+            "left",
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.coalesce("f_views_before", F.lit(0))
+            .cast("bigint")
+            .alias("f_views_before"),
+            F.coalesce("vol", F.lit(0))
+            .cast("bigint")
+            .alias("f_prev_day_volume"),
+        )
+    )

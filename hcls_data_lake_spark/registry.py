@@ -209,7 +209,8 @@ def register(name: str, oracle: str | None) -> Callable[[QueryFn], QueryFn]:
 # estimate, q_fn_soundex builtin-vs-hand-rolled phonetic key,
 # q_sink_manifest_checksum order-pinned export membership
 # digests, q_agg_crossmoments mergeable covariance sufficient
-# statistics) — 144
+# statistics, q_pipeline_feature_join point-in-time-correct feature
+# assembly, q_text_pmi exact-lift windowed collocations) — 146
 # names; overflow past slot 50 rolls to r7 with the deferred
 # remainder; the first 50 of this list
 # form the r6 prefix, the small remainder rolls to r7.
@@ -382,6 +383,8 @@ _FAMILY_REPRESENTATIVES = [
     "q_fn_soundex",
     "q_sink_manifest_checksum",
     "q_agg_crossmoments",
+    "q_pipeline_feature_join",
+    "q_text_pmi",
     "q_layout_zorder",
     "q_fn_collation",
     "q_fn_json_build",

@@ -795,3 +795,64 @@ def test_crossmoments_derive_sane_correlations_and_merge(spark, sf_dir):
         merged = [m + int(x) for m, x in zip(merged, p)]
     r = rows["qty_price"]
     assert merged == [r.n, r.sum_a, r.sum_b, r.sum_ab, r.sum_a2, r.sum_b2]
+
+
+def test_feature_join_is_leakage_free(spark, sf_dir):
+    """Re-derive both features per label from raw events: the user
+    feature counts only views with STRICTLY earlier (ts, event_id),
+    and the calendar feature is exactly the previous day's volume —
+    never same-day."""
+    from hcls_data_lake_spark.queries.common import events
+
+    ev = events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "ts_ns"
+    ).collect()
+    daily = defaultdict(int)
+    per_user = defaultdict(list)
+    for r in ev:
+        daily[r.ts_ns // 86400000000000] += 1
+        per_user[r.user_id].append(r)
+    got = {
+        r.event_id: r
+        for r in _rows(spark, sf_dir, "q_pipeline_feature_join")
+    }
+    n_checked = 0
+    for uid, rows in per_user.items():
+        rows.sort(key=lambda r: (r.ts_ns, r.event_id))
+        views = 0
+        for r in rows:
+            if r.event_type == "purchase":
+                g = got[r.event_id]
+                assert g.f_views_before == views
+                assert g.f_prev_day_volume == daily.get(
+                    r.ts_ns // 86400000000000 - 1, 0
+                )
+                n_checked += 1
+            if r.event_type == "view":
+                views += 1
+    assert n_checked == len(got)
+
+
+def test_pmi_lift_rederives_from_raw_counts(spark, sf_dir):
+    """Every emitted collocation's lift re-derives from raw unigram /
+    windowed-pair counts computed independently in the driver."""
+    from hcls_data_lake_spark.queries.common import t
+
+    docs = t(spark, sf_dir, "documents").select("text").collect()
+    uni = defaultdict(int)
+    co = defaultdict(int)
+    for d in docs:
+        ws = [w for w in d.text.split(" ") if w]
+        for w in ws:
+            uni[w] += 1
+        for i, a in enumerate(ws):
+            for j in (i + 1, i + 2):
+                if j < len(ws) and ws[j] != a:
+                    co[(min(a, ws[j]), max(a, ws[j]))] += 1
+    total = sum(uni.values())
+    for r in _rows(spark, sf_dir, "q_text_pmi"):
+        assert co[(r.w1, r.w2)] == r.n_xy
+        assert r.n_xy >= 5
+        assert r.lift_ppm == r.n_xy * total * 1_000_000 // (
+            uni[r.w1] * uni[r.w2]
+        )
