@@ -244,6 +244,7 @@ EXTENDED = [
     "q_agg_crossmoments",     # mergeable covariance statistics (r5)
     "q_pipeline_feature_join",  # PIT-correct feature assembly (r5)
     "q_text_pmi",             # exact-lift windowed collocations (r5)
+    "q_diag_key_uniqueness",  # PK-violation census pre-flight (r5)
 ]
 
 

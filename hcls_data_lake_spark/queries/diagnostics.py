@@ -559,3 +559,82 @@ def q_diag_volume_anomaly(spark, sf_dir):
             " else 0 end as int)"
         ).alias("anomaly"),
     )
+
+
+@register(
+    "q_diag_key_uniqueness",
+    """
+    WITH li AS (
+      SELECT l_orderkey, l_linenumber FROM lineitem
+    )
+    SELECT 'lineitem(l_orderkey,l_linenumber)' AS candidate_key,
+           CAST((SELECT count(*) FROM li) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_distinct_keys,
+           CAST(count(*) FILTER (WHERE cnt > 1) AS BIGINT)
+             AS n_violating_keys,
+           CAST(max(cnt) AS BIGINT) AS max_multiplicity
+    FROM (SELECT l_orderkey, l_linenumber, count(*) AS cnt
+          FROM li GROUP BY 1, 2)
+    UNION ALL
+    SELECT 'orders(o_orderkey)',
+           CAST((SELECT count(*) FROM orders) AS BIGINT),
+           CAST(count(*) AS BIGINT),
+           CAST(count(*) FILTER (WHERE cnt > 1) AS BIGINT),
+           CAST(max(cnt) AS BIGINT)
+    FROM (SELECT o_orderkey, count(*) AS cnt
+          FROM orders GROUP BY 1)
+    UNION ALL
+    SELECT 'customer(c_custkey)',
+           CAST((SELECT count(*) FROM customer) AS BIGINT),
+           CAST(count(*) AS BIGINT),
+           CAST(count(*) FILTER (WHERE cnt > 1) AS BIGINT),
+           CAST(max(cnt) AS BIGINT)
+    FROM (SELECT c_custkey, count(*) AS cnt
+          FROM customer GROUP BY 1)
+    """,
+)
+def q_diag_key_uniqueness(spark, sf_dir):
+    """PRIMARY-KEY UNIQUENESS CENSUS — the audit every warehouse
+    should run before any query PARTITIONS BY a "unique" key: for
+    each candidate key, total rows vs distinct keys, how many keys
+    violate, and the worst multiplicity. Spark enforces no
+    constraints, so a duplicated key is silent until a window
+    partitioned on it merges two entities' rows — exactly how this
+    fixture's non-unique lineitem (l_orderkey, l_linenumber) turned
+    a largest-remainder tie nondeterministic in
+    q_join_interval_allocate (found by a 1-cent cross-engine flip;
+    this census would have flagged it up front: the key violates at
+    every SF). orders and customer keys verify clean, so the report
+    carries both a red row and green rows.
+
+    100 TB: one groupBy per candidate key shuffling KEY COLUMNS
+    only (no payload), each collapsing map-side to per-key counts;
+    the census is four scalars per key. This is the cheap pre-flight
+    that decides whether downstream windows may trust the key."""
+    def census(df, cols, label):
+        per_key = df.groupBy(*cols).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        return per_key.agg(
+            F.lit(label).alias("candidate_key"),
+            F.sum("cnt").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_keys"),
+            F.expr(
+                "cast(count(case when cnt > 1 then 1 end) as bigint)"
+            ).alias("n_violating_keys"),
+            F.max("cnt").cast("bigint").alias("max_multiplicity"),
+        )
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber"
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    return (
+        census(li, ["l_orderkey", "l_linenumber"],
+               "lineitem(l_orderkey,l_linenumber)")
+        .unionByName(census(o, ["o_orderkey"], "orders(o_orderkey)"))
+        .unionByName(
+            census(c, ["c_custkey"], "customer(c_custkey)")
+        )
+    )

@@ -856,3 +856,21 @@ def test_pmi_lift_rederives_from_raw_counts(spark, sf_dir):
         assert r.lift_ppm == r.n_xy * total * 1_000_000 // (
             uni[r.w1] * uni[r.w2]
         )
+
+
+def test_key_uniqueness_census_flags_lineitem_only(spark, sf_dir):
+    """The census flags lineitem's composite key as violated at every
+    fixture SF (the quirk that bit q_join_interval_allocate) and
+    certifies orders/customer keys clean; identities hold:
+    n_rows >= n_distinct_keys, violations>0 iff rows>distinct."""
+    rows = {r.candidate_key: r for r in _rows(
+        spark, sf_dir, "q_diag_key_uniqueness")}
+    li = rows["lineitem(l_orderkey,l_linenumber)"]
+    assert li.n_violating_keys > 0 and li.max_multiplicity > 1
+    for key in ("orders(o_orderkey)", "customer(c_custkey)"):
+        r = rows[key]
+        assert r.n_rows == r.n_distinct_keys
+        assert r.n_violating_keys == 0 and r.max_multiplicity == 1
+    for r in rows.values():
+        assert r.n_rows >= r.n_distinct_keys
+        assert (r.n_violating_keys > 0) == (r.n_rows > r.n_distinct_keys)
