@@ -245,6 +245,7 @@ EXTENDED = [
     "q_pipeline_feature_join",  # PIT-correct feature assembly (r5)
     "q_text_pmi",             # exact-lift windowed collocations (r5)
     "q_diag_key_uniqueness",  # PK-violation census pre-flight (r5)
+    "q_sample_importance_weights",  # exact-ESS domain reweighting (r5)
 ]
 
 

@@ -763,3 +763,97 @@ def q_sample_bootstrap(spark, sf_dir):
             F.expr("cast(sum(w * v_c) as bigint)").alias("sum_c"),
         )
     )
+
+
+@register(
+    "q_sample_importance_weights",
+    """
+    WITH counts AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT CAST(SUM(n_docs) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS k
+      FROM counts
+    ), weighted AS (
+      SELECT c.source, c.n_docs,
+             CAST(t.n * 1000000 // (t.k * c.n_docs) AS BIGINT)
+               AS weight_ppm
+      FROM counts c CROSS JOIN tot t
+    )
+    SELECT source, n_docs, weight_ppm FROM weighted
+    UNION ALL
+    SELECT '__ess__',
+           CAST((SELECT n FROM tot) AS BIGINT),
+           CAST((SELECT CAST(SUM(n_docs * weight_ppm) AS HUGEINT)
+                        * SUM(n_docs * weight_ppm) * 1000000
+                      // (CAST((SELECT n FROM tot) AS HUGEINT)
+                          * SUM(n_docs * weight_ppm * weight_ppm))
+                 FROM weighted) AS BIGINT)
+    FROM (SELECT 1)
+    """,
+)
+def q_sample_importance_weights(spark, sf_dir):
+    """IMPORTANCE REWEIGHTING to a target domain mix — the
+    alternative to resampling (q_sample_mix throws documents away;
+    weighting keeps them all and scales the loss): per source, the
+    exact ppm weight N·10⁶ div (k·n_s) that makes every source
+    contribute equally in expectation, plus the EFFECTIVE SAMPLE
+    SIZE (Kish: (Σw)²/Σw², emitted as ppm of N via exact
+    HUGEINT/DECIMAL cross-multiplication) — THE number that says
+    what the reweighting costs: ESS/N = 1 means weights were
+    uniform (free), a small ratio means a few upweighted documents
+    dominate the gradient and resampling would have been honest.
+    The summary row makes the weight/resample trade a measured
+    decision, not a default.
+
+    100 TB: one count aggregate (source-sized), weights and ESS
+    derive from the count table alone — the per-document weight
+    column is a broadcast-join stamp at training-export time, no
+    second corpus pass."""
+    from pyspark.sql.types import DecimalType
+
+    counts = (
+        t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .localCheckpoint()  # source-sized; read by weights + ESS
+    )
+    tot = counts.agg(
+        F.sum("n_docs").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    ).first()
+    n, k = int(tot.n), int(tot.k)
+    weighted = counts.select(
+        "source",
+        "n_docs",
+        F.expr(f"cast({n}L * 1000000 div ({k}L * n_docs) as bigint)")
+        .alias("weight_ppm"),
+    )
+    dec = DecimalType(38, 0)
+    ess = weighted.agg(
+        (
+            F.sum(
+                (F.col("n_docs") * F.col("weight_ppm")).cast(dec)
+            )
+            * F.sum(
+                (F.col("n_docs") * F.col("weight_ppm")).cast(dec)
+            )
+            * F.lit(1000000).cast(dec)
+        ).alias("num"),
+        (
+            F.lit(n).cast(dec)
+            * F.sum(
+                (
+                    F.col("n_docs")
+                    * F.col("weight_ppm")
+                    * F.col("weight_ppm")
+                ).cast(dec)
+            )
+        ).alias("den"),
+    ).selectExpr(
+        "'__ess__' as source",
+        f"cast({n} as bigint) as n_docs",
+        "cast(num div den as bigint) as weight_ppm",
+    )
+    return weighted.unionByName(ess)

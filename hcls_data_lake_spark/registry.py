@@ -211,7 +211,8 @@ def register(name: str, oracle: str | None) -> Callable[[QueryFn], QueryFn]:
 # digests, q_agg_crossmoments mergeable covariance sufficient
 # statistics, q_pipeline_feature_join point-in-time-correct feature
 # assembly, q_text_pmi exact-lift windowed collocations,
-# q_diag_key_uniqueness PK-violation census) — 147
+# q_diag_key_uniqueness PK-violation census,
+# q_sample_importance_weights exact-ESS domain reweighting) — 148
 # names; overflow past slot 50 rolls to r7 with the deferred
 # remainder; the first 50 of this list
 # form the r6 prefix, the small remainder rolls to r7.
@@ -387,6 +388,7 @@ _FAMILY_REPRESENTATIVES = [
     "q_pipeline_feature_join",
     "q_text_pmi",
     "q_diag_key_uniqueness",
+    "q_sample_importance_weights",
     "q_layout_zorder",
     "q_fn_collation",
     "q_fn_json_build",

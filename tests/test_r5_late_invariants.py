@@ -874,3 +874,23 @@ def test_key_uniqueness_census_flags_lineitem_only(spark, sf_dir):
     for r in rows.values():
         assert r.n_rows >= r.n_distinct_keys
         assert (r.n_violating_keys > 0) == (r.n_rows > r.n_distinct_keys)
+
+
+def test_importance_weights_unbias_and_ess_bounds(spark, sf_dir):
+    """Each source's total weighted mass n_s·w_s is (up to ppm floor)
+    the equal share N/k; ESS is in (0, 10⁶] ppm of N and equals the
+    Kish formula recomputed in exact Python integers."""
+    rows = _rows(spark, sf_dir, "q_sample_importance_weights")
+    srcs = [r for r in rows if r.source != "__ess__"]
+    ess = [r for r in rows if r.source == "__ess__"][0]
+    n = sum(r.n_docs for r in srcs)
+    k = len(srcs)
+    for r in srcs:
+        assert r.weight_ppm == n * 1_000_000 // (k * r.n_docs)
+        share = r.n_docs * r.weight_ppm
+        ideal = n * 1_000_000 // k
+        assert ideal - k * r.n_docs <= share <= ideal
+    sw = sum(r.n_docs * r.weight_ppm for r in srcs)
+    sw2 = sum(r.n_docs * r.weight_ppm**2 for r in srcs)
+    assert ess.weight_ppm == sw * sw * 1_000_000 // (n * sw2)
+    assert 0 < ess.weight_ppm <= 1_000_000
