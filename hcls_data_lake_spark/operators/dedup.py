@@ -11,8 +11,74 @@ codegen fuses the shingle → minhash → band pipeline into the scan stage.
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+#: Default stop-list cap on inverted-index posting length. A posting of
+#: length f expands to C(f,2) candidate pairs inside ONE aggregation
+#: task, so a single boilerplate shingle / hot LSH band shared by 100k
+#: docs would materialize ~5e9 pair structs in one task — the classic
+#: skewed-key straggler/OOM. 500 keeps the worst single-posting
+#: expansion at C(500,2) ≈ 125k structs (well under a task's memory)
+#: while at fixture scale (≤500 docs, max shingle freq 7) it can never
+#: drop anything, so every DuckDB oracle stays exact.
+DEFAULT_MAX_POSTING_LEN = 500
+
+_CENSUS_SEQ = itertools.count()
+
+
+def cap_postings(
+    posting: DataFrame,
+    max_posting_len: int | None = DEFAULT_MAX_POSTING_LEN,
+    list_col: str = "ds",
+    observation=None,
+) -> DataFrame:
+    """Stop-list skew guard for inverted-index candidate generation:
+    drop postings longer than ``max_posting_len`` BEFORE the C(f,2)
+    pair expansion. Ultra-common keys (boilerplate shingles, hot LSH
+    bands) carry no discriminating signal — the documents they link
+    still pair through their rarer keys — but their quadratic pair
+    expansion happens inside a single aggregation task, which is the
+    one place AQE skew-join splitting cannot help (the blow-up is
+    post-shuffle, inside the generator). Capping converts an unbounded
+    per-task cost into C(cap,2).
+
+    No silent caps: the pre-filter relation is wrapped in a named
+    ``observe`` (``posting_census_<n>``) recording ``dropped_postings``
+    (how many postings exceeded the cap) and ``max_posting_len_seen``,
+    so every action over the capped plan reports the drop through
+    QueryExecution.observedMetrics / any QueryExecutionListener. Pass
+    a ``pyspark.sql.Observation`` to read the census programmatically
+    (tests do); ``q_dedup_posting_census`` exposes the same census as
+    an oracle-checked relation.
+
+    ``None`` disables the cap (exact-oracle paths that must enumerate
+    every pair).
+    """
+    if max_posting_len is None:
+        return posting
+    metrics = (
+        F.coalesce(
+            F.sum(
+                F.when(F.size(list_col) > max_posting_len, 1).otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("dropped_postings"),
+        F.coalesce(F.max(F.size(list_col)), F.lit(0))
+        .cast("bigint")
+        .alias("max_posting_len_seen"),
+    )
+    if observation is not None:
+        observed = posting.observe(observation, *metrics)
+    else:
+        observed = posting.observe(
+            f"posting_census_{next(_CENSUS_SEQ)}", *metrics
+        )
+    return observed.filter(F.size(list_col) <= max_posting_len)
 
 
 def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
@@ -68,6 +134,7 @@ def minhash_lsh_pairs(
     n_perm: int = 32,
     bands: int = 8,
     jaccard_threshold: float = 0.2,
+    max_posting_len: int | None = DEFAULT_MAX_POSTING_LEN,
 ) -> DataFrame:
     """MinHash + LSH banded near-dup pairs, verified with exact Jaccard.
 
@@ -75,6 +142,9 @@ def minhash_lsh_pairs(
     ``(band_id, band_key)`` — cost tracks bucket collisions, never n².
     The exact-Jaccard verification joins shingle arrays back only for
     candidate pairs (tiny relative to the corpus).
+    ``max_posting_len`` is the skew guard: hot band buckets (identical-
+    content floods) are dropped before pair expansion via
+    :func:`cap_postings`, with an observed dropped-postings census.
 
     Returns (doc_a, doc_b, jaccard) with jaccard >= threshold.
     """
@@ -102,11 +172,15 @@ def minhash_lsh_pairs(
     # collect each bucket's sorted posting list and emit its C(f,2)
     # pairs — one shuffle on the bucket key, a single corpus scan, no
     # self-join. Bucket sizes track collisions (banding keeps them
-    # small); a posting-length cap is the skew guard at 100 TB.
-    candidates = (
+    # small); cap_postings drops hot buckets before expansion (the
+    # 100 TB skew guard) with an observed census.
+    posting = (
         banded.groupBy("band_id", "band_key")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
         .filter(F.size("ds") > 1)
+    )
+    candidates = (
+        cap_postings(posting, max_posting_len)
         .select(
             # explode_outer skips the planner's null-check Filter (it
             # would re-run the pair lambda per row); size>1 upstream
@@ -198,7 +272,7 @@ def hamming64(a: Column, b: Column) -> Column:
 def containment_pairs(
     docs: DataFrame,
     min_bps: int = 5000,
-    max_posting: int | None = None,
+    max_posting_len: int | None = DEFAULT_MAX_POSTING_LEN,
 ) -> DataFrame:
     """Directional n-gram CONTAINMENT pairs — the asymmetric companion
     to Jaccard near-dup: containment(src→ref) = |S(src)∩S(ref)|/|S(src)|.
@@ -214,13 +288,13 @@ def containment_pairs(
     C(f,2) unordered pairs, intersection size = pair multiplicity
     across postings. The intersection is computed once per unordered
     pair, then BOTH directions are derived by dividing by each side's
-    shingle count — no second pass. ``max_posting`` is the 100 TB
-    stop-list knob: a posting of length f expands to C(f,2) pairs, so
-    one boilerplate shingle shared by 100k docs would build ~5e9 pair
-    structs in a single task — capping posting length drops exactly
-    those ultra-common shingles before expansion (they carry no
-    discriminating signal; the docs they link still pair through
-    their rarer shingles). None = no cap, for exact-oracle fixtures.
+    shingle count — no second pass. ``max_posting_len`` is the 100 TB
+    stop-list knob, applied via :func:`cap_postings` (drop ultra-common
+    shingles before the C(f,2) expansion, observed census — they carry
+    no discriminating signal; the docs they link still pair through
+    their rarer shingles). None = no cap, for exact-oracle paths that
+    must enumerate every pair; the default 500 can never drop anything
+    at fixture scale, so oracles stay exact.
 
     Ratios are exact integer basis points (``inter * 10000 div n``) so
     the result hashes identically across engines at any scale.
@@ -240,9 +314,7 @@ def containment_pairs(
         )
         .filter(F.size("ds") > 1)
     )
-    if max_posting is not None:
-        posting = posting.filter(F.size("ds") <= max_posting)
-    pairs = posting.select(
+    pairs = cap_postings(posting, max_posting_len).select(
         F.explode_outer(
             F.expr(
                 "flatten(transform(ds, (x, i) ->"

@@ -18,7 +18,11 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from hcls_data_lake_spark.operators.dedup import shingles_from_words
+from hcls_data_lake_spark.operators.dedup import (
+    DEFAULT_MAX_POSTING_LEN,
+    cap_postings,
+    shingles_from_words,
+)
 from hcls_data_lake_spark.queries.common import t
 from hcls_data_lake_spark.registry import register
 
@@ -78,22 +82,32 @@ _NEAR_SQL = """
 """
 
 
-def _near_pairs(spark, sf_dir, ngram: int = 3, threshold: float = 0.2):
+def _near_pairs(
+    spark,
+    sf_dir,
+    ngram: int = 3,
+    threshold: float = 0.2,
+    max_posting_len: int | None = DEFAULT_MAX_POSTING_LEN,
+):
     """Thresholded near-dup pairs (doc_a < doc_b, jaccard) — shared by
     q_dedup_near (reports pairs) and q_dedup_clusters (groups them).
     q_graph_khop reuses the same inverted-index build at (ngram=2,
-    threshold=0.08) for a denser multi-hop graph."""
+    threshold=0.08) for a denser multi-hop graph. ``max_posting_len``
+    is the stop-list skew cap (cap_postings: drop hot shingles before
+    pair expansion, observed census); the default 500 cannot drop
+    anything at fixture scale (≤500 docs), so oracles stay exact."""
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     wdf = d.select("doc_id", F.split("text", " ").alias("w"))
     shingles = shingles_from_words("w", ngram)
     docs = wdf.filter(F.size("w") >= ngram).select(
         "doc_id", shingles.alias("shingles"), F.size(shingles).alias("n_shingles")
     )
-    posting = (
+    posting = cap_postings(
         docs.select("doc_id", "n_shingles", F.explode("shingles").alias("shingle"))
         .groupBy("shingle")
         .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n_shingles"))).alias("ds"))
-        .filter(F.size("ds") > 1)
+        .filter(F.size("ds") > 1),
+        max_posting_len,
     )
     # sorted posting list → emit (earlier, later) pairs so doc_a < doc_b
     # explode_outer: the inner-explode planner wraps a nullable
@@ -173,9 +187,11 @@ def q_dedup_near(spark, sf_dir):
     path). Candidate generation is an inverted index: group by shingle,
     collect the posting list of docs containing it, emit the C(f,2)
     pairs per posting — ONE shuffle on the shingle, one scan of the
-    corpus, no self-join, never all-pairs. At 100 TB the scale knob is
-    a stop-list filter on posting length (drop ultra-common shingles
-    before pair expansion); unnecessary at fixture skew (max freq 7).
+    corpus, no self-join, never all-pairs. The 100 TB scale knob is the
+    stop-list cap on posting length (cap_postings, default 500): hot
+    boilerplate shingles are dropped BEFORE the C(f,2) expansion with
+    an observed dropped-postings census. At fixture skew (max freq 7)
+    the cap can never fire, so the oracle enumerates the same pairs.
 
     The split is hoisted into a column: inside a transform() lambda it
     would re-tokenize the full text per shingle index (O(words²)/doc).
@@ -275,6 +291,60 @@ def q_dedup_keep_best(spark, sf_dir):
             F.count(F.lit(1)).alias("n_members"),
             F.max("n_chars").alias("keeper_n_chars"),
         )
+    )
+
+
+@register(
+    "q_dedup_posting_census",
+    """
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS w
+      FROM documents WHERE doc_id < 500
+    ), shingled AS (
+      SELECT doc_id,
+             unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                   for i in range(1, len(w) - 1)])) AS shingle
+      FROM docs WHERE len(w) >= 3
+    ), freq AS (
+      SELECT shingle, count(*) AS f FROM shingled GROUP BY shingle
+    )
+    SELECT CAST(f AS BIGINT) AS posting_len,
+           CAST(count(*) AS BIGINT) AS n_postings,
+           CAST(CASE WHEN f > 500 THEN 1 ELSE 0 END AS BIGINT)
+             AS dropped_by_cap
+    FROM freq GROUP BY f
+    """,
+)
+def q_dedup_posting_census(spark, sf_dir):
+    """The no-silent-caps census for the inverted-index stop-list skew
+    guard (cap_postings): the posting-length HISTOGRAM of the exact
+    same shingle index q_dedup_near expands, with each length bucket
+    flagged by whether the default cap (DEFAULT_MAX_POSTING_LEN = 500)
+    would drop it. This is the relation a curation run reads BEFORE
+    trusting capped near-dup output: total dropped postings, how hot
+    the hottest key is, and how much headroom the cap has. On the
+    fixture every row shows dropped_by_cap = 0 — the oracle pins that
+    the cap is inert at this skew, which is exactly why the capped
+    dedup oracles stay exact. Cost: the shingle explode + two
+    hash-aggregations (shingle → frequency → histogram), all map-side
+    partial — strictly cheaper than the dedup run it audits."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    wdf = d.select("doc_id", F.split("text", " ").alias("w"))
+    docs = wdf.filter(F.size("w") >= 3).select(
+        "doc_id", shingles_from_words("w", 3).alias("shingles")
+    )
+    freq = (
+        docs.select(F.explode("shingles").alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    return freq.groupBy(F.col("f").alias("posting_len")).agg(
+        F.count(F.lit(1)).alias("n_postings"),
+        F.max(
+            F.when(F.col("f") > DEFAULT_MAX_POSTING_LEN, 1)
+            .otherwise(0)
+            .cast("bigint")
+        ).alias("dropped_by_cap"),
     )
 
 
@@ -435,10 +505,10 @@ def q_dedup_lsh_bands(spark, sf_dir):
     production path: signatures are a per-doc map-side expression;
     bands explode to (doc, band, key) rows; pair emission goes through
     a sorted posting list per bucket (one shuffle on the band key,
-    pairs only within buckets — cost tracks collisions, not n²; a
-    bucket-size stop-cap is the production knob for pathological
-    identical-content floods, not applied here because the oracle
-    needs every pair)."""
+    pairs only within buckets — cost tracks collisions, not n²; the
+    bucket-size stop-cap for pathological identical-content floods is
+    applied via cap_postings at the default 500, which cannot drop a
+    posting at fixture scale — so the oracle still sees every pair)."""
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     wdf = d.select("doc_id", F.split("text", " ").alias("w"))
     docs = wdf.filter(F.size("w") >= 3).select(
@@ -461,10 +531,11 @@ def q_dedup_lsh_bands(spark, sf_dir):
         )
         .withColumn("band", F.col("band").cast("int"))
     )
-    posting = (
+    posting = cap_postings(
         bands.groupBy("band", "band_key")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
-        .filter(F.size("ds") > 1)
+        .filter(F.size("ds") > 1),
+        DEFAULT_MAX_POSTING_LEN,
     )
     pairs = posting.select(
         F.explode(
@@ -556,10 +627,11 @@ def q_dedup_minhash_est(spark, sf_dir):
             )
         ).alias("band", "band_key"),
     )
-    posting = (
+    posting = cap_postings(
         bands.groupBy("band", "band_key")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
-        .filter(F.size("ds") > 1)
+        .filter(F.size("ds") > 1),
+        DEFAULT_MAX_POSTING_LEN,
     )
     cand = (
         posting.select(
@@ -818,15 +890,17 @@ def q_dedup_semantic(spark, sf_dir):
     )
     # inverted-index pair generation within each bucket (the same
     # posting-list shape as the MinHash banding path: one shuffle on
-    # the bucket key, C(f,2) pairs per bucket, no self-join)
-    posting = (
+    # the bucket key, C(f,2) pairs per bucket, no self-join; hot
+    # buckets capped before expansion with an observed census)
+    posting = cap_postings(
         b.groupBy("bucket")
         .agg(
             F.sort_array(
                 F.collect_list(F.struct("vec_id", "v", "n2"))
             ).alias("ds")
         )
-        .filter(F.size("ds") > 1)
+        .filter(F.size("ds") > 1),
+        DEFAULT_MAX_POSTING_LEN,
     )
     pairs = posting.select(
         F.explode(

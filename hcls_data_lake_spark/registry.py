@@ -84,192 +84,18 @@ def register(name: str, oracle: str | None) -> Callable[[QueryFn], QueryFn]:
 # correctness sweep — then cover every family instead of exhausting the
 # budget inside whichever module happens to import first.
 #
-# Round-5 rotation (VERDICT r4 ask #3): slot 1 re-confirms the one r4
-# red row under its fixed oracle (q_analytics_min_cost_supplier — the
-# DuckDB HUGEINT output type is now pinned to BIGINT; values were
-# verified byte-identical). Slots 2-50 are 49 of the 58 oracle-hash
-# names the driver has never sampled across r1-r4 (the pool the r4
-# registry comment promised): the engine-neutral verifiable family
-# (sketches, PageRank-exact, md5 LSH/SimHash, MinHash estimator), the
-# diag_* audits, privacy, time-series interpolation, backfill
-# overwrite, the tolerance/fuzzy/overlap join trio, sampling, and the
-# analytics remainder. With r1-r4's 171 unique sampled names this
-# lifts cumulative driver coverage to 220/246. The r6 queue follows
-# immediately after: the 9 deferred hash names, then the 11
-# rows-only-by-contract names (recall-gated ANN / sketch / multimodal
-# ops whose semantics pytest pins), then the 14 r5 additions (all
-# oracle-hash-checked: q_dedup_semantic SRP-LSH + exact integer
-# cosine, q_privacy_t_closeness integer-EMD, q_join_asof_nearest,
-# q_stream_minhash MIN-merge sketch, q_sample_reservoir, q_agg_gini,
-# q_stream_stateful_tws, q_ts_changepoint CUSUM, q_analytics_abc
-# Pareto, q_analytics_basket_pairs a-priori co-occurrence,
-# q_analytics_skyline window-skyline, q_graph_khop BFS vs recursive
-# CTE, q_diag_benford, q_win_streak_islands, q_join_dpp dynamic
-# partition pruning, q_analytics_rfm quintile segmentation,
-# q_text_zipf rank-frequency, q_analytics_basket_rules
-# lift/confidence ppm, q_win_pattern_seq MATCH_RECOGNIZE-style
-# contiguous sequences, q_ts_spearman integer rank correlation,
-# q_analytics_mom_growth basis-point growth, q_stream_cdc_apply
-# foreachBatch LWW upsert/tombstone materialization,
-# q_sample_time_split purged walk-forward split,
-# q_ts_downsample_ltob integer-exact LTOB downsampling,
-# q_agg_weighted_median cross-multiplied crossing rule,
-# q_ts_mad_outliers integer lower-median MAD, q_text_keywords
-# ordinal tf-idf top-3, q_analytics_hhi exact-ppm concentration,
-# q_analytics_time_to_convert causal conversion latency,
-# q_analytics_new_vs_returning epoch-week growth accounting,
-# q_analytics_activity_histogram L28 engagement depth,
-# q_analytics_transitions Markov flow matrix, q_analytics_cal_heatmap
-# epoch-anchored dow/hod grid, q_agg_bitmap_distinct 63-bit-word
-# exact popcount distinct, q_agg_mann_whitney integer rank-sum U,
-# q_ts_seasonal_index cross-multiplied hour factors,
-# q_analytics_order_to_ship fulfillment-SLA weeks,
-# q_scan_parquet_footer metadata-as-relation, q_ts_kendall integer
-# concordance, q_analytics_ltv_curve cohort payback,
-# q_sketch_hll_intersect inclusion-exclusion overlap,
-# q_diag_sequence_gaps islands-based missing-id ranges,
-# q_diag_distribution_drift integer TV distance,
-# q_ts_rank_autocorr lag-1/7 seasonality detector,
-# q_dedup_threshold_sweep one-pass yield curve,
-# q_graph_assortativity rank-based degree mixing,
-# q_analytics_wilson_rank IEEE-deterministic score bound,
-# q_ts_runs_test integer runs census, q_privacy_anonymity_ladder
-# one-Expand generalization curve, q_ts_theil_sen float-ranked
-# integer-valued robust slope, q_agg_ks_test exact-integer KS
-# supremum, q_analytics_chi_square contingency residual cells,
-# q_privacy_dp_histogram seeded binomial-mechanism release,
-# q_graph_jaccard_neighbors wedge-join link prediction,
-# q_ts_sma_crossover cross-multiplied golden-cross detector,
-# q_join_lateral Catalyst-decorrelated LATERAL top-k,
-# q_fn_generators posexplode-with-ordinality + sequence pack,
-# q_sample_class_balance content-keyed minority-count downsampling,
-# q_analytics_survival Nelson-Aalen integer-ppm hazard,
-# q_graph_kcore fixpoint 3-core peeling,
-# q_analytics_retention_bitmap bit_or/popcount retention,
-# q_agg_percentile_exact integer-interpolated percentile_cont,
-# q_embed_knn_graph SRP-bucketed mutual top-3,
-# q_pack_shards prefix-sum fixed-boundary shard manifest,
-# q_stream_observe batch-invariant observed-metrics reconciliation,
-# q_diag_volume_anomaly trailing-window ingest monitor,
-# q_analytics_ab_test per-user two-proportion z,
-# q_sample_quota_mix largest-remainder apportionment sampler,
-# q_dedup_edit_gate length-banded Levenshtein verification,
-# q_analytics_rolling_actives bitmap OR-frame DAU/WAU/MAU,
-# q_text_hash_features signed hashing-trick featurizer,
-# q_join_null_skew sentinel-routed outer join,
-# q_ts_cross_correlation lagged rank lead-lag detector,
-# q_analytics_price_volume exact FP&A waterfall,
-# q_graph_reach_recursive native WITH RECURSIVE reachability,
-# q_fn_sql_udf Catalyst-inlined SQL scalar + table functions,
-# q_stream_state_inspect statestore-reader state audit,
-# q_fn_pipe_syntax GoogleSQL pipe-dialect plan equivalence,
-# q_scan_metadata_cols _metadata path-derived lineage audit,
-# q_text_distinctive_terms cross-multiplied corpus-comparison
-# vocabulary, q_udf_apply_in_arrow zero-copy grouped-map gap
-# statistics, q_join_shuffle_hash sort-free strategy hint,
-# q_analytics_lifecycle growth-accounting state machine,
-# q_embed_recall_audit engine-verified ANN evaluation,
-# q_sim_ann_multiprobe Hamming-1 probe-expansion recall lift,
-# q_graph_modularity exact cross-multiplied partition quality,
-# q_ts_drawdown running-peak equity risk curve,
-# q_privacy_randomized_response seeded Warner-1965 local DP,
-# q_dedup_blocking_quality banding precision/recall audit,
-# q_ts_rolling_zscore exact-integer variance-normalized anomaly,
-# q_analytics_xyz exact-CV² demand-variability classes,
-# q_pipeline_late_dim park-and-reprocess inferred members,
-# q_text_outlier_docs per-doc integer-TV curation gate,
-# q_ts_backtest_naive walk-forward baseline scoreboard,
-# q_privacy_dp_mean clamped-contribution numeric release,
-# q_agg_multi_distinct one-pass Expand multi-distinct,
-# q_stream_incremental_resume exactly-once restart progress,
-# q_analytics_attribution conserved multi-touch credit,
-# q_pipeline_ivm abelian-group incremental view maintenance,
-# q_dedup_linkage_fs Fellegi-Sunter deci-ban linkage bands,
-# q_ts_decompose 2x24-MA additive seasonal decomposition,
-# q_ts_dtw banded-DTW applyInPandas kernel vs recursive-wavefront
-# oracle, q_graph_label_propagation deterministic synchronous LPA,
-# q_scd2_bitemporal two-axis as-of restatement audit,
-# q_join_spatial_grid radius join via 3x3 cell bucketing vs
-# brute-force oracle, q_sample_kcenter greedy Gonzalez coreset with
-# coverage-radius pin, q_join_interval_allocate largest-remainder
-# proration over epoch weeks, q_agg_kth_selection sort-free exact
-# order statistic by histogram narrowing, q_text_bm25 exact-rational
-# integer BM25 top-10, q_multimodal_chunk_manifest byte-range md5
-# manifest, q_analytics_fifo_depletion closed-form FIFO layer
-# matching, q_sample_bootstrap seeded Poisson resampling replicas,
-# q_analytics_tiered_commission marginal bracket ladder,
-# q_embed_prefix_eval matryoshka-style truncation recall,
-# q_pipeline_rule_bitmap row-level DQ bitmask gate, q_ts_sprt
-# Wald sequential test in integer milli-bans, q_ts_interval_union
-# sweep-line interval coverage, q_stream_ivm retraction-folding
-# streaming MV maintenance with idempotent batch partials,
-# q_join_hierarchy_rollup closed-form path-enumeration BOM rollup
-# vs recursive oracle, q_privacy_dp_topk report-noisy-max
-# selection, q_analytics_diff_in_diff exact-cell causal
-# estimate, q_fn_soundex builtin-vs-hand-rolled phonetic key,
-# q_sink_manifest_checksum order-pinned export membership
-# digests, q_agg_crossmoments mergeable covariance sufficient
-# statistics, q_pipeline_feature_join point-in-time-correct feature
-# assembly, q_text_pmi exact-lift windowed collocations,
-# q_diag_key_uniqueness PK-violation census,
-# q_sample_importance_weights exact-ESS domain reweighting) — 148
-# names; overflow past slot 50 rolls to r7 with the deferred
-# remainder; the first 50 of this list
-# form the r6 prefix, the small remainder rolls to r7.
+# Round-6 rotation (VERDICT r5 ask #2): the driver has sampled 220/368
+# unique names across r1-r5 (union of CORRECTNESS_r01..r05), every
+# latest appearance green. The list is now ordered NEVER-SAMPLED FIRST:
+# slots 1-148 are the queries with no driver row yet (in the staged r5
+# queue order — the deferred hash names, the rows-only-by-contract
+# names, then the r5 additions), so the r6 prefix (slots 1-50) samples
+# 50 fresh names, lifting cumulative coverage to 270/368; slots 51-100
+# stage the r7 queue and 101-148 the r8 queue. The 220 already-sampled
+# names follow in their prior order so a prefix overrun re-confirms the
+# most recently rotated families first.
 _FAMILY_REPRESENTATIVES = [
-    # -- slot 1: the r4 red row, oracle fixed (CAST ... AS BIGINT) --
-    "q_analytics_min_cost_supplier",
-    # -- never driver-sampled, oracle-hash-checked (r5 rotation) --
-    "q_dedup_minhash_est",
-    "q_dedup_lsh_bands",
-    "q_dedup_simhash_md5",
-    "q_dedup_keep_best",
-    "q_graph_pagerank_exact",
-    "q_sketch_countmin",
-    "q_sketch_hll_md5",
-    "q_sketch_hll_merge",
-    "q_sketch_bloom_md5",
-    "q_stream_countmin",
-    "q_stream_hll",
-    "q_ts_interpolate",
-    "q_sink_backfill_overwrite",
-    "q_privacy_pseudonymize",
-    "q_privacy_l_diversity",
-    "q_diag_referential",
-    "q_diag_completeness",
-    "q_diag_profile",
-    "q_diag_key_skew",
-    "q_join_asof_tolerance",
-    "q_join_fuzzy",
-    "q_join_range_overlap",
-    "q_join_temporal",
-    "q_text_containment",
-    "q_text_passage_dedup",
-    "q_text_repetition",
-    "q_text_redact",
-    "q_decontaminate",
-    "q_analytics_excess_supplier",
-    "q_analytics_order_distribution",
-    "q_analytics_disjunctive_revenue",
-    "q_analytics_forecast_revenue",
-    "q_analytics_nation_volume",
-    "q_analytics_parts_suppliers",
-    "q_agg_regression",
-    "q_agg_entropy",
-    "q_agg_winsorize",
-    "q_sample_stratified",
-    "q_sample_mix",
-    "q_sample_token_budget",
-    "q_sink_shuffled_shards",
-    "q_scan_json_corrupt",
-    "q_scan_binaryfile",
-    "q_scan_federated",
-    "q_stream_static_join",
-    "q_stream_pysource_typed",
-    "q_stream_complete_topk",
-    "q_embed_quantize",
-    "q_pack_sequences",
-    # -- r6 queue: deferred hash names, then rows-only-by-contract --
+    # -- slots 1-148: never driver-sampled (r6 prefix = first 50) --
     "q_analytics_basket_pairs",
     "q_analytics_skyline",
     "q_graph_khop",
@@ -320,6 +146,7 @@ _FAMILY_REPRESENTATIVES = [
     "q_fn_generators",
     "q_sample_class_balance",
     "q_analytics_survival",
+    "q_dedup_posting_census",
     "q_graph_kcore",
     "q_analytics_retention_bitmap",
     "q_agg_percentile_exact",
@@ -409,7 +236,66 @@ _FAMILY_REPRESENTATIVES = [
     "q_multimodal_frames",
     "q_multimodal_binary",
     "q_embed_pca_project",
-    # -- r4 rotation block (driver rows recorded in CORRECTNESS_r04) --
+    "q_agg_gini",
+    "q_analytics_abc",
+    "q_privacy_t_closeness",
+    "q_join_asof_nearest",
+    "q_dedup_semantic",
+    "q_sample_reservoir",
+    "q_stream_stateful_tws",
+    "q_stream_minhash",
+    "q_ts_changepoint",
+    # -- already driver-sampled (r1-r5), prior rotation order --
+    "q_analytics_min_cost_supplier",
+    "q_dedup_minhash_est",
+    "q_dedup_lsh_bands",
+    "q_dedup_simhash_md5",
+    "q_dedup_keep_best",
+    "q_graph_pagerank_exact",
+    "q_sketch_countmin",
+    "q_sketch_hll_md5",
+    "q_sketch_hll_merge",
+    "q_sketch_bloom_md5",
+    "q_stream_countmin",
+    "q_stream_hll",
+    "q_ts_interpolate",
+    "q_sink_backfill_overwrite",
+    "q_privacy_pseudonymize",
+    "q_privacy_l_diversity",
+    "q_diag_referential",
+    "q_diag_completeness",
+    "q_diag_profile",
+    "q_diag_key_skew",
+    "q_join_asof_tolerance",
+    "q_join_fuzzy",
+    "q_join_range_overlap",
+    "q_join_temporal",
+    "q_text_containment",
+    "q_text_passage_dedup",
+    "q_text_repetition",
+    "q_text_redact",
+    "q_decontaminate",
+    "q_analytics_excess_supplier",
+    "q_analytics_order_distribution",
+    "q_analytics_disjunctive_revenue",
+    "q_analytics_forecast_revenue",
+    "q_analytics_nation_volume",
+    "q_analytics_parts_suppliers",
+    "q_agg_regression",
+    "q_agg_entropy",
+    "q_agg_winsorize",
+    "q_sample_stratified",
+    "q_sample_mix",
+    "q_sample_token_budget",
+    "q_sink_shuffled_shards",
+    "q_scan_json_corrupt",
+    "q_scan_binaryfile",
+    "q_scan_federated",
+    "q_stream_static_join",
+    "q_stream_pysource_typed",
+    "q_stream_complete_topk",
+    "q_embed_quantize",
+    "q_pack_sequences",
     "q_agg_approx_distinct",
     "q_udf_parse_er7",
     "q_hl7_typed_oru",
@@ -459,7 +345,6 @@ _FAMILY_REPRESENTATIVES = [
     "q_set_intersect_all",
     "q_set_except_all",
     "q_join_nullsafe",
-    # -- r3 rotation block (driver rows recorded in CORRECTNESS_r03) --
     "q_scan_parquet",
     "q_scan_text_parse",
     "q_scan_json",
@@ -496,7 +381,6 @@ _FAMILY_REPRESENTATIVES = [
     "q_dedup_incremental",
     "q_text_lm_score",
     "q_scan_snapshot_diff",
-    # -- family breadth (r1/r2-confirmed representatives) --
     "q_agg_group",
     "q_join_inner_hash",
     "q_join_broadcast",
@@ -551,6 +435,37 @@ _FAMILY_REPRESENTATIVES = [
     "q_rollup_hybrid",
     "q_join_range_bin",
     "q_agg_median",
+    "q_agg_global",
+    "q_agg_distinct",
+    "q_agg_stats",
+    "q_agg_rollup",
+    "q_agg_cube",
+    "q_agg_groupingsets",
+    "q_agg_pivot",
+    "q_agg_histogram",
+    "q_agg_unpivot",
+    "q_agg_mode",
+    "q_analytics_profile",
+    "q_analytics_expectations",
+    "q_filter_eq",
+    "q_filter_null",
+    "q_filter_range_str",
+    "q_filter_like",
+    "q_project_rename",
+    "q_fn_regex",
+    "q_fn_hash",
+    "q_fn_date",
+    "q_fn_math",
+    "q_fn_cast",
+    "q_fn_cond",
+    "q_fn_bitwise",
+    "q_join_multiway",
+    "q_join_left",
+    "q_join_full",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_theta",
+    "q_join_range_interval",
 ]
 
 

@@ -482,6 +482,75 @@ def test_containment_asymmetry_catches_subset_dups(spark):
     assert not any(3 in k for k in got)  # unrelated doc stays out
 
 
+def test_posting_cap_bounds_hot_shingle_expansion(spark):
+    """The stop-list skew guard (r5 VERDICT ask #1), proven on a
+    manufactured hot shingle: 1002 docs share one boilerplate 3-gram,
+    so uncapped its single posting expands to C(1002,2) ≈ 5e5 pair
+    structs inside ONE aggregation task — the 100 TB straggler/OOM
+    class. With the default cap the hot posting is dropped BEFORE the
+    pair lambda (worst per-posting expansion bounded at C(cap,2)), the
+    observed census reports the drop (no silent caps), and the planted
+    TRUE near-dup pair still surfaces through its rarer shingles."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from hcls_data_lake_spark.operators.dedup import (
+        DEFAULT_MAX_POSTING_LEN,
+        cap_postings,
+        containment_pairs,
+        shingles_from_words,
+    )
+
+    hot = "common boilerplate header"
+    rows = [(i, f"{hot} u{i}a u{i}b u{i}c") for i in range(1000)]
+    dup = "rare alpha beta gamma delta epsilon zeta eta theta"
+    rows += [(5000, f"{hot} {dup}"), (5001, f"{hot} {dup} iota")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    wdf = df.select("doc_id", F.split("text", " ").alias("w"))
+    sh = shingles_from_words("w", 3)
+    docs = wdf.select(
+        "doc_id", sh.alias("shingles"), F.size(sh).alias("n_shingles")
+    )
+
+    posting = (
+        docs.select("doc_id", F.explode("shingles").alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    pair_expr = F.explode(
+        F.expr(
+            "flatten(transform(ds, (x, i) ->"
+            " transform(slice(ds, i + 2, size(ds)),"
+            " y -> struct(x AS doc_a, y AS doc_b))))"
+        )
+    )
+
+    # uncapped: the hot posting alone is quadratic — this is the blow-up
+    uncapped = posting.select(pair_expr.alias("p")).count()
+    assert uncapped >= 1002 * 1001 // 2
+
+    obs = Observation("hot_shingle_census")
+    capped = cap_postings(posting, DEFAULT_MAX_POSTING_LEN, observation=obs)
+    capped_pairs = capped.select(pair_expr.alias("p")).count()
+    # bounded: every surviving posting expands to at most C(cap, 2);
+    # here only the ~10 rare len-2 postings of the planted pair remain
+    assert capped_pairs < DEFAULT_MAX_POSTING_LEN
+    census = obs.get
+    assert census["dropped_postings"] == 1  # exactly the hot shingle
+    assert census["max_posting_len_seen"] == 1002
+
+    # recall through rarer keys: the true near-dup pair survives the cap
+    got = {
+        (r.doc_src, r.doc_ref): r.containment_bps
+        for r in containment_pairs(docs, min_bps=5000).collect()
+    }
+    assert got[(5000, 5001)] >= 9000  # 9 of 10 shingles survive the cap
+    # and the 1000 boilerplate-only docs pair with NOTHING: their only
+    # shared shingle was the capped one
+    assert all(a >= 5000 and b >= 5000 for (a, b) in got)
+
+
 def test_passage_dedup_conserves_chunks(spark, sf_dir):
     """Conservation invariants over the fixture corpus: total chunks
     equals the corpus chunk count, and survivors (n_chunks - n_dropped)

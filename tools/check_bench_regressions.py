@@ -1,6 +1,6 @@
 """Programmatic bench-regression gate.
 
-Compares the current minima ledger (BENCH_solo_r5.json, or --bench=)
+Compares the current minima ledger (newest BENCH_solo_r*.json, or --bench=)
 against the committed per-query reference table in BASELINE.md
 ("Committed extended-set reference") plus the committed headline
 table, and fails loudly on any entry slower than --factor (default
@@ -31,7 +31,10 @@ def committed_reference(baseline_md: str) -> dict[str, float]:
 
 
 def main() -> int:
-    bench_path = "BENCH_solo_r5.json"
+    import glob
+
+    ledgers = sorted(glob.glob("BENCH_solo_r*.json"))
+    bench_path = ledgers[-1] if ledgers else "BENCH_solo_r5.json"
     factor = 1.3
     for a in sys.argv[1:]:
         if a.startswith("--bench="):
