@@ -32,12 +32,16 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StringType
 
 from hcls_data_lake_spark.hl7.grammar import (
+    PRIMITIVE_TYPES,
     VARIES_TYPES,
+    component_datatype,
     field_datatype,
     field_repeats,
+    first_set,
     is_known,
     is_repeatable,
     structure_for,
+    structure_tree,
 )
 
 SEGMENT_SEP = "\r"
@@ -212,55 +216,168 @@ def _parse_field(
 
 
 def _parse_rep(raw: str, dt: str | None = None) -> object:
-    """One field repetition -> str | dict of components. Components are
-    keyed by the field's DATATYPE short name when the vendored grammar
-    knows it (``XPN_1``, ``CX_1``, ... — hl7apy's spelling, which the
-    reference inherits via child_element.name at
-    parse_er7_lambda.py:41), falling back to synthetic ``C<n>`` for
-    fields outside the vendored table."""
+    """One field repetition -> str | dict of components.
+
+    DATATYPE-driven like hl7apy (the reference's leaf branch,
+    parse_er7_lambda.py:44-51): a field whose vendored datatype is a
+    PRIMITIVE (ST, FT, NM, ...) is a leaf — its value survives verbatim
+    including any unescaped ``^``/``&`` the sender smuggled in, because
+    hl7apy never splits below a base datatype. Composite fields split
+    into components keyed by the field's datatype short name (``XPN_1``,
+    ``CX_1``, ... — hl7apy's spelling, inherited by the reference via
+    child_element.name at parse_er7_lambda.py:41), falling back to
+    synthetic ``C<n>`` for fields outside the vendored table."""
+    if dt in PRIMITIVE_TYPES:
+        return _leaf(raw)
     if COMP_SEP in raw:
         prefix = dt if dt is not None else "C"
         sep = "_" if dt is not None else ""
         return {
-            f"{prefix}{sep}{i + 1}": _parse_subcomponents(c)
+            f"{prefix}{sep}{i + 1}": _parse_component(
+                c, component_datatype(dt, i + 1)
+            )
             for i, c in enumerate(raw.split(COMP_SEP))
         }
-    return _parse_subcomponents(raw)
+    return _parse_component(raw, component_datatype(dt, 1))
 
 
-def _parse_subcomponents(raw: str) -> object:
-    if SUBCOMP_SEP in raw:
+def _parse_component(raw: str, comp_dt: str | None) -> object:
+    """One component -> str | dict of subcomponents (VERDICT r5 ask #4).
+
+    Subcomponents are named by the COMPONENT's own datatype where the
+    vendored composition table knows it (XPN_1 is an FN, so its
+    subcomponents are ``FN_1``, ``FN_2``, ... — exactly hl7apy's
+    child_element.name spelling one level down). A component whose
+    datatype is a known PRIMITIVE is a leaf: an unescaped ``&`` inside
+    it stays verbatim (hl7apy assigns the base datatype's value whole —
+    the lab01/lab03 ``93000&PTL`` observation ids). Only components
+    with UNKNOWN datatype keep the synthetic ``S<n>`` fallback, so
+    subcomponent structure is never lost on unvendored fields."""
+    if SUBCOMP_SEP in raw and comp_dt not in PRIMITIVE_TYPES:
+        prefix = comp_dt if comp_dt is not None else "S"
+        sep = "_" if comp_dt is not None else ""
         return {
-            f"S{i + 1}": unescape_er7(s)
-            for i, s in enumerate(raw.split(SUBCOMP_SEP))
+            f"{prefix}{sep}{j + 1}": _leaf(s)
+            for j, s in enumerate(raw.split(SUBCOMP_SEP))
         }
+    return _leaf(raw)
+
+
+def _leaf(raw: str) -> str:
     # the reference unwraps the `""` empty-field quirk
     # (parse_er7_lambda.py:48-50)
     return "" if raw == '""' else unescape_er7(raw)
 
 
+class _StrictViolation(Exception):
+    """Strict-mode structural violation (duplicated max-1 element) —
+    caught by parse_er7's error boundary and routed to None, the error
+    zone (the reference's hl7apy validation-raise path)."""
+
+
+def _attach_union(
+    doc: dict, seg_id: str, body: dict, strict: bool, structure: str | None = None
+) -> None:
+    """Flat attachment under the cardinality tables — used for unknown
+    structures and for segments the resolved structure does not declare
+    (lab02's ADD continuation rows, file framing)."""
+    if is_repeatable(seg_id, structure):
+        doc.setdefault(seg_id, []).append(body)
+    elif seg_id not in doc:
+        doc[seg_id] = body
+    elif strict and not is_repeatable(seg_id):
+        # duplicated max-1 segment: structural violation (union-level
+        # check on purpose — see parse_er7's docstring)
+        raise _StrictViolation
+    else:
+        prev = doc[seg_id]
+        if not isinstance(prev, list):
+            doc[seg_id] = prev = [prev]
+        prev.append(body)
+
+
+def _attach_max1(out: dict, name: str, value: object, strict: bool) -> None:
+    """Attach a max-1 element; a duplicate demotes to a list in lenient
+    mode (data wins over the grammar) and fails strict mode."""
+    if name not in out:
+        out[name] = value
+        return
+    if strict:
+        raise _StrictViolation
+    prev = out[name]
+    if not isinstance(prev, list):
+        out[name] = prev = [prev]
+    prev.append(value)
+
+
+def _match_into(
+    children: tuple, segments: list, pos: int, out: dict, strict: bool
+) -> int:
+    """Greedy ordered recursive descent of one structure level — the
+    engine's stand-in for hl7apy's grammar-driven message assembly
+    (whose children the reference recursion then serializes,
+    parse_er7_lambda.py:52-69). Children are tried in definition order;
+    a segment node consumes consecutive occurrences (one if max-1), a
+    group node opens a new instance while the next segment is in the
+    group's first set. Returns the new stream position; mutates ``out``
+    (re-entrant: a resumed message-level walk appends new group
+    instances to the lists it finds)."""
+    n = len(segments)
+    for node in children:
+        name, card, kids = node
+        if kids is None:  # segment node
+            if card is None:
+                while pos < n and segments[pos][0] == name:
+                    lst = out.setdefault(name, [])
+                    lst.append(segments[pos][1])
+                    pos += 1
+            elif pos < n and segments[pos][0] == name:
+                _attach_max1(out, name, segments[pos][1], strict)
+                pos += 1
+        else:  # group node
+            fs = first_set(node)
+            while pos < n and segments[pos][0] in fs:
+                inst: dict = {}
+                newpos = _match_into(kids, segments, pos, inst, strict)
+                if newpos == pos:  # no progress: not actually a start
+                    break
+                if card is None:
+                    out.setdefault(name, []).append(inst)
+                else:
+                    _attach_max1(out, name, inst, strict)
+                pos = newpos
+                if card == 1:
+                    break
+    return pos
+
+
 def parse_er7(msg: str, strict: bool = False) -> str | None:
     """Parse one ER7 message to a nested JSON document string.
 
-    Document shape is GRAMMAR-driven (hl7.grammar vendored cardinality
-    tables, standing in for hl7apy — parse_er7_lambda.py:57-65): a
-    segment whose grammar allows repetition maps to a LIST of segment
-    dicts even when it occurs once (NK1 appearing a single time is
-    still a list), while a max-1 segment (MSH, PID, EVN, ...) attaches
-    as a plain dict. Cardinality is keyed per MESSAGE STRUCTURE when
-    the message's family is vendored (resolved from MSH-9.3 or the
-    event->structure map), exactly how the reference's
-    ``parent.repetitions[name]`` lookup works: OBR is max-1 within
-    ORU_R01's order group (dict per occurrence) while ADT's directly
-    repeating OBX stays a list; unknown structures fall back to the
-    union-over-families table. The same rule applies per FIELD via
+    Document shape is GRAMMAR-driven (hl7.grammar vendored structure
+    trees + cardinality tables, standing in for hl7apy —
+    parse_er7_lambda.py:52-69): when the message's abstract structure
+    is vendored (resolved from MSH-9.3 or the event->structure map),
+    segments nest under their GROUP wrappers exactly as hl7apy's
+    recursion serializes them — lab01's observations live at
+    ``ORU_R01_PATIENT_RESULT[0].ORU_R01_ORDER_OBSERVATION[0]
+    .ORU_R01_OBSERVATION[*].OBX`` — with each element a dict when
+    max-1 within its parent (the reference's
+    ``parent.repetitions[name]`` lookup) and a list when repeatable
+    (NK1 appearing a single time is still a list). Segments the
+    structure does not declare, and messages of unvendored structures,
+    attach flat under the union-over-families table so no occurrence
+    is ever lost. The same rule applies per FIELD via
     grammar.FIELD_REPEATABLE (a singleton PID-13 is a one-element
-    list). Fields are ``<SEG>_<n>`` keyed and components by the
-    field's DATATYPE (``XPN_1``, not ``C1``) where the vendored
-    grammar covers the field — HL7 short names, parse_er7_lambda.py:41
-    — with OBX-5's 'varies' datatype resolved from OBX-2 per segment.
-    Subcomponents keep synthetic ``S<n>`` keys (hl7apy would name them
-    by the component's own datatype — COVERAGE.md A14 caveat).
+    list). Fields are ``<SEG>_<n>`` keyed; splitting below that is
+    DATATYPE-driven like hl7apy's leaf rule: primitive-typed
+    fields/components keep their value verbatim, composite fields
+    split into components named by the field datatype (``XPN_1``, not
+    ``C1``), and composite components split into subcomponents named
+    by the COMPONENT's own datatype (``FN_1``, not ``S1``) — HL7 short
+    names, parse_er7_lambda.py:41 — with OBX-5's 'varies' datatype
+    resolved from OBX-2 per segment. Only elements outside the
+    vendored tables keep the synthetic ``C<n>``/``S<n>`` fallbacks.
 
     ``strict=True`` mirrors the reference's version-validation failure
     mode (parse_er7_lambda.py:35-38 raises on elements unknown to the
@@ -275,7 +392,7 @@ def parse_er7(msg: str, strict: bool = False) -> str | None:
         text = msg.replace("\r\n", "\r").replace("\n", "\r").strip("\r")
         if not text.startswith("MSH"):
             return None
-        doc: dict[str, object] = {}
+        segments: list[tuple[str, dict]] = []
         structure: str | None = None
         for seg in text.split(SEGMENT_SEP):
             if len(seg) < 3:
@@ -321,23 +438,35 @@ def parse_er7(msg: str, strict: bool = False) -> str | None:
                     raw, seg_id, n,
                     obx5_dt if (seg_id == "OBX" and n == 5) else None,
                 )
-            if is_repeatable(seg_id, structure):
-                doc.setdefault(seg_id, []).append(body)
-            elif seg_id not in doc:
-                doc[seg_id] = body
-            elif strict and not is_repeatable(seg_id):
-                # duplicated max-1 segment: structural violation. The
-                # check is UNION-level on purpose: a segment that is
-                # max-1 within its repeating GROUP (ORU_R01's OBX, one
-                # per OBSERVATION) legally occurs many times per
-                # message — the flat parser shapes each occurrence as
-                # the reference would (dict) but must not reject the
-                # repeat the group structure allows.
-                return None
-            else:
-                prev = doc[seg_id]
-                doc[seg_id] = prev if isinstance(prev, list) else [prev]
-                doc[seg_id].append(body)
+            segments.append((seg_id, body))
+        doc: dict[str, object] = {}
+        tree = structure_tree(structure)
+        if tree is not None:
+            # Grammar-driven GROUP nesting (VERDICT r5 ask #3): walk the
+            # vendored abstract-structure tree over the segment stream,
+            # exactly the hierarchy the reference's hl7apy recursion
+            # serializes. Segments the structure does not declare (ADD
+            # continuation rows, batch framing) fall out of the walk,
+            # attach flat under the union table, and the walk RESUMES —
+            # a following OBR still opens a new order group, so a stray
+            # segment never flattens the rest of the message.
+            pos, n = 0, len(segments)
+            while pos < n:
+                newpos = _match_into(tree, segments, pos, doc, strict)
+                if newpos == pos:
+                    seg_id, body = segments[pos]
+                    _attach_union(doc, seg_id, body, strict)
+                    pos += 1
+                else:
+                    pos = newpos
+        else:
+            # Unknown/unvendored structure: flat attachment under the
+            # cardinality tables (union-level strict duplicate check on
+            # purpose: a segment that is max-1 within its repeating
+            # GROUP legally occurs many times per message, and an
+            # unresolved structure must not reject that repeat).
+            for seg_id, body in segments:
+                _attach_union(doc, seg_id, body, strict, structure)
         if "MSH" not in doc:
             return None
         return json.dumps(doc, sort_keys=True, ensure_ascii=False)

@@ -21,6 +21,13 @@ from __future__ import annotations
 
 # segment id -> max occurrences per message (None = unbounded).
 SEGMENT_CARDINALITY: dict[str, int | None] = {
+    # structure-tree members the corpus doesn't carry but the abstract
+    # definitions declare (strict mode must not dead-letter them)
+    "SFT": None,
+    "DB1": None,
+    "CTD": 1,
+    "TQ2": None,
+    "PDA": 1,
     # envelope / event
     "MSH": 1,
     "EVN": 1,
@@ -175,6 +182,145 @@ STRUCTURE_SEGMENT_CARDINALITY: dict[str, dict[str, int | None]] = {
 }
 
 
+# ---------------------------------------------------------------------
+# Recursive abstract-structure trees (VERDICT r5 ask #3): the reference
+# nests segments under GROUP wrappers because hl7apy's message objects
+# carry the abstract structure's group hierarchy and the recursion at
+# parse_er7_lambda.py:52-69 serializes every non-leaf child — groups
+# included — as a dict (max-1 in its parent) or list (repeatable).
+# These trees vendor the HL7 v2.5 abstract message definitions for the
+# covered structures, with hl7apy's group spelling
+# (<STRUCTURE>_<GROUP>). Node = (name, max_card, children); children is
+# None for a segment node, a tuple of nodes for a group. max_card is 1
+# or None (unbounded), exactly the dict-vs-list decision input.
+
+_S = lambda sid, card: (sid, card, None)  # noqa: E731 — segment node
+
+_ADT_A01_BODY = (
+    _S("MSH", 1), _S("SFT", None), _S("EVN", 1), _S("PID", 1),
+    _S("PD1", 1), _S("ROL", None), _S("NK1", None), _S("PV1", 1),
+    _S("PV2", 1), _S("ROL", None), _S("DB1", None), _S("OBX", None),
+    _S("AL1", None), _S("DG1", None), _S("DRG", 1),
+)
+def _adt_a01_like(structure: str, with_pda: bool):
+    """ADT_A01 / ADT_A05 share one body; group names carry the
+    structure's own prefix (hl7apy names groups per structure)."""
+    return (
+        _ADT_A01_BODY
+        + (
+            (f"{structure}_PROCEDURE", None, (_S("PR1", 1), _S("ROL", None))),
+        )
+        + (_S("GT1", None),)
+        + (
+            (
+                f"{structure}_INSURANCE",
+                None,
+                (_S("IN1", 1), _S("IN2", 1), _S("IN3", 1), _S("ROL", None)),
+            ),
+        )
+        + (_S("ACC", 1), _S("UB1", 1), _S("UB2", 1))
+        + ((_S("PDA", 1),) if with_pda else ())
+    )
+
+
+STRUCTURE_TREES: dict[str, tuple] = {
+    "ADT_A01": _adt_a01_like("ADT_A01", with_pda=True),
+    "ADT_A05": _adt_a01_like("ADT_A05", with_pda=False),
+    "ADT_A02": (
+        _S("MSH", 1), _S("SFT", None), _S("EVN", 1), _S("PID", 1),
+        _S("PD1", 1), _S("ROL", None), _S("PV1", 1), _S("PV2", 1),
+        _S("DB1", None), _S("OBX", None), _S("PDA", 1),
+    ),
+    "ADT_A30": (
+        _S("MSH", 1), _S("SFT", None), _S("EVN", 1), _S("PID", 1),
+        _S("PD1", 1), _S("MRG", 1),
+    ),
+    "ADT_A39": (
+        _S("MSH", 1), _S("SFT", None), _S("EVN", 1),
+        (
+            "ADT_A39_PATIENT",
+            None,
+            (_S("PID", 1), _S("PD1", 1), _S("MRG", 1), _S("PV1", 1)),
+        ),
+    ),
+    "ORU_R01": (
+        _S("MSH", 1), _S("SFT", None),
+        (
+            "ORU_R01_PATIENT_RESULT",
+            None,
+            (
+                (
+                    "ORU_R01_PATIENT",
+                    1,
+                    (
+                        _S("PID", 1), _S("PD1", 1), _S("NTE", None),
+                        _S("NK1", None),
+                        ("ORU_R01_VISIT", 1, (_S("PV1", 1), _S("PV2", 1))),
+                    ),
+                ),
+                (
+                    "ORU_R01_ORDER_OBSERVATION",
+                    None,
+                    (
+                        _S("ORC", 1), _S("OBR", 1), _S("NTE", None),
+                        (
+                            "ORU_R01_TIMING_QTY",
+                            None,
+                            (_S("TQ1", 1), _S("TQ2", None)),
+                        ),
+                        _S("CTD", 1),
+                        (
+                            "ORU_R01_OBSERVATION",
+                            None,
+                            (_S("OBX", 1), _S("NTE", None)),
+                        ),
+                        _S("FT1", None), _S("CTI", None),
+                        (
+                            "ORU_R01_SPECIMEN",
+                            None,
+                            (_S("SPM", 1), _S("OBX", None)),
+                        ),
+                    ),
+                ),
+            ),
+        ),
+        _S("DSC", 1),
+    ),
+}
+
+
+def structure_tree(structure: str | None) -> tuple | None:
+    """The vendored abstract-structure tree for a resolved message
+    structure, or None (-> flat union-table attachment)."""
+    if structure is None:
+        return None
+    return STRUCTURE_TREES.get(structure)
+
+
+_FIRST_SET_CACHE: dict[tuple, frozenset[str]] = {}
+
+
+def first_set(node: tuple) -> frozenset[str]:
+    """Segment ids that can START an instance of this node — for a
+    group, the union over its children (every child is effectively
+    optional in lenient matching, so the first set is the full member
+    union; greedy in-order matching resolves the ambiguity the same way
+    the reference's grammar walk does)."""
+    cached = _FIRST_SET_CACHE.get(node)
+    if cached is not None:
+        return cached
+    name, _card, children = node
+    if children is None:
+        out = frozenset({name})
+    else:
+        acc: set[str] = set()
+        for child in children:
+            acc |= first_set(child)
+        out = frozenset(acc)
+    _FIRST_SET_CACHE[node] = out
+    return out
+
+
 def structure_for(message_type: str, trigger: str, explicit: str | None) -> str | None:
     """Resolve the abstract message structure: MSH-9.3 when the sender
     declared one (adt01 carries ADT^A01^ADT_A01), else the v2.5
@@ -228,6 +374,72 @@ FIELD_DATATYPE: dict[str, dict[int, str]] = {
             19: "XAD"},
     "ACC": {1: "TS", 2: "CE"},
 }
+
+# ---------------------------------------------------------------------
+# Datatype composition (VERDICT r5 ask #4): hl7apy's recursion bottoms
+# out at base ("leaf") datatypes — the reference's
+# `child_element.reference[0] == "leaf"` branch assigns the element's
+# VALUE verbatim (parse_er7_lambda.py:44-51), so a primitive field or
+# component is never split further, while a composite component's
+# subcomponents are named by the COMPONENT's own datatype (XPN_1 is an
+# FN, so its subcomponents are FN_1, FN_2, ...). PRIMITIVE_TYPES is the
+# v2.5 base-datatype set; COMPONENT_DATATYPE maps each vendored
+# composite to its components' datatypes (HL7 v2.5 §2.A definitions).
+PRIMITIVE_TYPES: frozenset[str] = frozenset(
+    {"ST", "TX", "FT", "NM", "SI", "ID", "IS", "DT", "TM", "DTM",
+     "TN", "GTS", "NUL"}
+)
+
+# composite datatype -> 1-based component index -> that component's own
+# datatype. Composite entries (FN, SAD, HD, EI, CE, TS, DR, CWE) drive
+# datatype-named subcomponent keys; primitive entries make the
+# component a leaf that keeps its raw value (hl7apy's behavior for an
+# unescaped '&' inside an ST component — the lab01/lab03 OBX-3 case).
+COMPONENT_DATATYPE: dict[str, dict[int, str]] = {
+    "CE": {1: "ST", 2: "ST", 3: "ID", 4: "ST", 5: "ST", 6: "ID"},
+    "CWE": {1: "ST", 2: "ST", 3: "ID", 4: "ST", 5: "ST", 6: "ID",
+            7: "ST", 8: "ST", 9: "ST"},
+    "CX": {1: "ST", 2: "ST", 3: "ID", 4: "HD", 5: "ID", 6: "HD",
+           7: "DT", 8: "DT", 9: "CWE", 10: "CWE"},
+    "XPN": {1: "FN", 2: "ST", 3: "ST", 4: "ST", 5: "ST", 6: "ST",
+            7: "ID", 8: "ID", 9: "CE", 10: "DR", 11: "ID", 12: "TS",
+            13: "TS", 14: "ST"},
+    "XCN": {1: "ST", 2: "FN", 3: "ST", 4: "ST", 5: "ST", 6: "ST",
+            7: "IS", 8: "IS", 9: "HD", 10: "ID", 11: "ST", 12: "ST",
+            13: "IS", 14: "HD", 15: "ID", 16: "CE", 17: "ID",
+            18: "ID", 19: "TS", 20: "TS", 21: "ST", 22: "CWE"},
+    "XAD": {1: "SAD", 2: "ST", 3: "ST", 4: "ST", 5: "ST", 6: "ID",
+            7: "ID", 8: "ST", 9: "IS", 10: "IS", 11: "ID", 12: "DR",
+            13: "TS", 14: "TS"},
+    "XTN": {1: "ST", 2: "ID", 3: "ID", 4: "ST", 5: "NM", 6: "NM",
+            7: "NM", 8: "NM", 9: "ST", 10: "ST", 11: "ST", 12: "ST"},
+    "XON": {1: "ST", 2: "IS", 3: "NM", 4: "NM", 5: "ID", 6: "HD",
+            7: "ID", 8: "HD", 9: "ID", 10: "ST"},
+    "HD": {1: "IS", 2: "ST", 3: "ID"},
+    "EI": {1: "ST", 2: "IS", 3: "ST", 4: "ID"},
+    "EIP": {1: "EI", 2: "EI"},
+    "MSG": {1: "ID", 2: "ID", 3: "ID"},
+    "TS": {1: "DTM", 2: "ID"},
+    "DR": {1: "TS", 2: "TS"},
+    "PT": {1: "ID", 2: "ID"},
+    "VID": {1: "ID", 2: "CE", 3: "CE"},
+    "PL": {1: "IS", 2: "IS", 3: "IS", 4: "HD", 5: "IS", 6: "IS",
+           7: "IS", 8: "IS", 9: "ST", 10: "EI", 11: "HD"},
+    "FN": {1: "ST", 2: "ST", 3: "ST", 4: "ST", 5: "ST"},
+    "SAD": {1: "ST", 2: "ST", 3: "ST"},
+    "MO": {1: "NM", 2: "ID"},
+    "SN": {1: "ST", 2: "NM", 3: "ST", 4: "NM"},
+}
+
+
+def component_datatype(dt: str | None, comp_num: int) -> str | None:
+    """Datatype of component ``comp_num`` within composite ``dt``, or
+    None when either is unknown (-> synthetic S<n> subcomponent keys,
+    the never-lose-data fallback)."""
+    if dt is None:
+        return None
+    return COMPONENT_DATATYPE.get(dt, _EMPTY_DT).get(comp_num)
+
 
 # OBX-2 value-type tokens that legally type OBX-5 (v2.5 table 0125
 # subset the corpus uses + common clinical types). Anything else keeps
