@@ -147,6 +147,7 @@ _FAMILY_REPRESENTATIVES = [
     "q_sample_class_balance",
     "q_analytics_survival",
     "q_dedup_posting_census",
+    "q_embed_recall_tuned",
     "q_graph_kcore",
     "q_analytics_retention_bitmap",
     "q_agg_percentile_exact",
