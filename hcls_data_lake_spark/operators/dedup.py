@@ -346,6 +346,21 @@ def containment_pairs(
     return directional.filter(F.col("containment_bps") >= min_bps)
 
 
+def _loop_parallelism(spark, n_rows: int) -> tuple[str, str]:
+    """Size the shuffle parallelism of an iterative-loop body to the
+    relation it actually shuffles (same rationale as the streaming
+    state-partition sizing): a near-dup pair graph is typically orders
+    of magnitude smaller than the corpus, and per-round scheduling of
+    32 near-empty tasks dominates small-graph loops. Returns
+    (old_value, new_value) for a try/finally conf guard; scales back
+    up to the session default for genuinely large graphs, so a
+    cluster-sized setting is never reduced below what the data needs.
+    """
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    sized = max(2, min(int(old), n_rows // 25_000))
+    return old, str(sized)
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",
@@ -382,39 +397,48 @@ def connected_components(
     checkpoint is LAZY (eager=False): the convergence-sum action is
     what materializes it, so each round costs exactly ONE job — an
     eager checkpoint would run the round's plan and then the sum would
-    scan the materialized result as a second job.
+    scan the materialized result as a second job. The loop body's
+    shuffle parallelism is sized to the (usually tiny) pair graph via
+    _loop_parallelism — per-round scheduling of 32 near-empty tasks
+    was most of the small-graph wall time — and restored afterwards.
     """
+    spark = pairs.sparkSession
     p = pairs.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     ).localCheckpoint(eager=True)
-    rev = p.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    edges = p.unionByName(rev).distinct().localCheckpoint(eager=True)
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
-    )
-    _label_sum = lambda df: df.agg(  # noqa: E731
-        F.sum(F.col("label").cast("decimal(38,0)"))
-    ).collect()[0][0]
-    prev = _label_sum(labels)
-    for _ in range(max_iter):
-        nbr = edges.join(
-            labels, edges["src"] == labels["node"]
-        ).select(F.col("dst").alias("node"), "label")
-        new = (
-            labels.unionByName(nbr)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=False)
+    old_sp, loop_sp = _loop_parallelism(spark, 2 * p.count())
+    spark.conf.set("spark.sql.shuffle.partitions", loop_sp)
+    try:
+        rev = p.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        edges = p.unionByName(rev).distinct().localCheckpoint(eager=True)
+        labels = (
+            edges.select(F.col("src").alias("node"))
+            .distinct()
+            .withColumn("label", F.col("node"))
+            .localCheckpoint(eager=True)
         )
-        cur = _label_sum(new)  # materializes the lazy checkpoint
-        labels = new
-        if cur == prev:
-            break
-        prev = cur
-    return labels
+        _label_sum = lambda df: df.agg(  # noqa: E731
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).collect()[0][0]
+        prev = _label_sum(labels)
+        for _ in range(max_iter):
+            nbr = edges.join(
+                labels, edges["src"] == labels["node"]
+            ).select(F.col("dst").alias("node"), "label")
+            new = (
+                labels.unionByName(nbr)
+                .groupBy("node")
+                .agg(F.min("label").alias("label"))
+                .localCheckpoint(eager=False)
+            )
+            cur = _label_sum(new)  # materializes the lazy checkpoint
+            labels = new
+            if cur == prev:
+                break
+            prev = cur
+        return labels
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
 
 
 def pagerank(

@@ -3204,15 +3204,28 @@ def q_graph_kcore(spark, sf_dir):
     part of the graph where duplication is structural, the segment
     worth routing to cluster-level canonicalization instead of
     pair-level keeps). Emits each core member with its WITHIN-core
-    degree. Spark loops to an observed fixpoint: per round one
-    degree aggregate + two node-keyed semi-join-shaped inner joins
-    (the keep set is node-sized, broadcastable), localCheckpoint so
-    lineage stays depth-1, and a scalar count as the convergence
-    test — the same discipline as q_dedup_clusters/PageRank. Peeling
-    is monotone so round count is data-dependent but bounded by the
-    degeneracy ordering; the 16-round cap turns 'surprise corpus'
-    into a loud error, not a hang. The oracle unrolls 8 identical
-    rounds (fixpoint idempotence makes extra rounds no-ops)."""
+    degree. Spark loops to an observed fixpoint: each round peels by
+    two per-ENDPOINT degree windows over the symmetrized edge list
+    (count over partition by src / by dst — symmetry makes the
+    dst-partition count exactly deg(dst)) followed by one filter; the
+    sort-based window SPILLS under a hub node rather than failing,
+    which replaces the prior node-sized-broadcast keep set that could
+    never ship at billion-node scale (r5 perf ask: this also drops the
+    two per-round broadcast-build jobs). Convergence is read from an
+    ``observe`` metric attached to the round's eager localCheckpoint —
+    the materialization job itself reports the surviving edge count,
+    so each round costs exactly ONE job (the separate count job was
+    half the loop's scheduling floor). Loop shuffle parallelism is
+    sized to the pair graph (operators/dedup._loop_parallelism) and
+    restored. Peeling is monotone so round count is data-dependent
+    but bounded by the degeneracy ordering; the 16-round cap turns
+    'surprise corpus' into a loud error, not a hang. The oracle
+    unrolls 8 identical rounds (fixpoint idempotence makes extra
+    rounds no-ops)."""
+    from pyspark.sql import Observation
+
+    from hcls_data_lake_spark.operators.dedup import _loop_parallelism
+
     p = _near_pairs_cached(spark, sf_dir, ngram=2, threshold=0.08)
     edges = (
         p.selectExpr("doc_a as src", "doc_b as dst")
@@ -3220,32 +3233,31 @@ def q_graph_kcore(spark, sf_dir):
         .localCheckpoint()
     )
     n_edges = edges.count()
-    for _ in range(16):
-        keep = (
-            edges.groupBy("src")
-            .agg(F.count(F.lit(1)).alias("deg"))
-            .filter(F.col("deg") >= 3)
-            .select(F.col("src").alias("node"))
-        )
-        # eager checkpoint measures FASTER than lazy here (2.4 s vs
-        # 2.8 s over 5 reps): the follow-up count then reads the
-        # materialized blocks instead of re-planning through the round
-        pruned = (
-            edges.join(F.broadcast(keep), edges.src == keep.node)
-            .select("src", "dst")
-            .join(
-                F.broadcast(keep), F.col("dst") == F.col("node")
+    old_sp, loop_sp = _loop_parallelism(spark, n_edges)
+    spark.conf.set("spark.sql.shuffle.partitions", loop_sp)
+    try:
+        w_src = Window.partitionBy("src")
+        w_dst = Window.partitionBy("dst")
+        for i in range(16):
+            cur = (
+                edges.withColumn("ds", F.count(F.lit(1)).over(w_src))
+                .withColumn("dd", F.count(F.lit(1)).over(w_dst))
+                .filter((F.col("ds") >= 3) & (F.col("dd") >= 3))
+                .select("src", "dst")
             )
-            .select("src", "dst")
-            .localCheckpoint()
-        )
-        n_next = pruned.count()
-        edges = pruned
-        if n_next == n_edges:
-            break
-        n_edges = n_next
-    else:
-        raise RuntimeError("k-core did not converge within 16 rounds")
+            obs = Observation(f"kcore_round_{i}_{n_edges}")
+            pruned = cur.observe(
+                obs, F.count(F.lit(1)).alias("n")
+            ).localCheckpoint(eager=True)
+            n_next = obs.get["n"]
+            edges = pruned
+            if n_next == n_edges:
+                break
+            n_edges = n_next
+        else:
+            raise RuntimeError("k-core did not converge within 16 rounds")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
     return edges.groupBy(F.col("src").alias("doc_id")).agg(
         F.count(F.lit(1)).cast("bigint").alias("core_deg")
     )
@@ -4230,43 +4242,46 @@ def q_graph_modularity(spark, sf_dir):
     in r3); the oracle re-derives them with a recursive-CTE
     transitive closure — two INDEPENDENT CC algorithms agreeing on
     the partition before modularity is even compared. Plan: CC
-    rounds + three label-keyed aggregates over the cached graph."""
+    rounds + TWO label-keyed aggregates over the cached graph — the
+    CC invariant does the third's work: a component has no edges
+    leaving it, so deg_sum(c) = 2·in_edges(c) as an identity (the
+    oracle derives deg_sum by re-counting symmetrized edge endpoints
+    and must agree to the bit), and n_nodes comes from the label
+    relation alone — the symmetrized-edge countDistinct aggregate of
+    the r5 plan was pure redundancy."""
     from hcls_data_lake_spark.operators.dedup import connected_components
 
     pairs = _near_pairs_cached(spark, sf_dir, ngram=2, threshold=0.08)
     pairs = pairs.select("doc_a", "doc_b").localCheckpoint()
+    # connected_components returns an already-materialized (lazily
+    # checkpointed) relation — both aggregates below read those blocks
     labels = connected_components(pairs).select(
         F.col("node").alias("lnode"), F.col("label")
     )
     m_val = pairs.count()
-    edges = pairs.selectExpr("doc_a as a", "doc_b as b").unionByName(
-        pairs.selectExpr("doc_b as a", "doc_a as b")
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
     )
     internal = (
         pairs.join(labels, pairs.doc_a == labels.lnode)
         .groupBy("label")
         .agg(F.count(F.lit(1)).cast("bigint").alias("in_edges"))
     )
-    degsum = (
-        edges.join(labels, edges.a == labels.lnode)
-        .groupBy("label")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("deg_sum"),
-            F.countDistinct("a").cast("bigint").alias("n_nodes"),
-        )
-    )
     return (
-        degsum.join(internal, "label", "left")
+        sizes.join(internal, "label", "left")
         .select(
             F.col("label").alias("cluster_id"),
             "n_nodes",
             F.coalesce("in_edges", F.lit(0))
             .cast("bigint")
             .alias("in_edges"),
-            "deg_sum",
+            (F.coalesce("in_edges", F.lit(0)) * 2)
+            .cast("bigint")
+            .alias("deg_sum"),
             (
                 F.lit(4 * m_val) * F.coalesce("in_edges", F.lit(0))
-                - F.col("deg_sum") * F.col("deg_sum")
+                - (F.coalesce("in_edges", F.lit(0)) * 2)
+                * (F.coalesce("in_edges", F.lit(0)) * 2)
             )
             .cast("bigint")
             .alias("contrib_x4m2"),
