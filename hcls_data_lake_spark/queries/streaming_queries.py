@@ -244,30 +244,49 @@ def q_stream_stateful_tws(spark, sf_dir):
     processor lifecycle, RocksDB state store): the modern 100 TB custom
     stateful operator, emission-equal to q_stream_stateful_totals so
     the same batch oracle hash-checks it. ENVIRONMENT GATE: the TWS
-    Python worker needs `google.protobuf` for its state-server
-    protocol; in a container without it the query degrades to the
-    applyInPandasWithState twin (identical emission contract — the
-    oracle still verifies the real streaming run, just through the
-    older state API). tests/test_streaming.py pins TWS itself where
-    protobuf exists."""
+    Python WORKER needs `google.protobuf` for its state-server
+    protocol. Sessions built by hcls.session.get_spark activate the
+    vendored pure-Python runtime and export it to workers
+    (compat/protobuf_vendor), so the REAL TWS path runs; only a
+    driver-supplied session whose JVM launched without the bootstrap
+    degrades to the applyInPandasWithState twin (identical emission
+    contract — the oracle still verifies the real streaming run, just
+    through the older state API). tests/test_streaming.py pins TWS
+    itself, including a RocksDB state round-trip."""
+    from hcls_data_lake_spark.compat.protobuf_vendor import (
+        workers_have_protobuf,
+    )
     from hcls_data_lake_spark.streaming.stateful import (
         running_totals,
         tws_running_totals,
     )
 
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-
-        stateful = tws_running_totals
-    except ImportError:
-        stateful = running_totals
+    use_tws = workers_have_protobuf(spark)
+    stateful = tws_running_totals if use_tws else running_totals
     sdf = read_events_stream(spark, sf_dir).select("user_id", "value")
-    return run_to_memory(
-        stateful(sdf),
-        output_mode="update",
-        shuffle_partitions=8,
-        no_data_batches=False,
-    )
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(provider_key, None)
+    if use_tws:
+        # TWS requires multiple column families -> RocksDB state store
+        # (the 100 TB state backend; HDFSBacked cannot host TWS state)
+        spark.conf.set(
+            provider_key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+    try:
+        return run_to_memory(
+            stateful(sdf),
+            output_mode="update",
+            shuffle_partitions=8,
+            no_data_batches=False,
+        )
+    finally:
+        if use_tws:
+            if prev_provider is None:
+                spark.conf.unset(provider_key)
+            else:
+                spark.conf.set(provider_key, prev_provider)
 
 
 @register(

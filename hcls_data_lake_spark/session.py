@@ -15,6 +15,15 @@ from pyspark.sql import SparkSession
 
 def get_spark(app_name: str = "hcls-data-lake-spark") -> SparkSession:
     """Local session for tests/bench; the driver may supply its own."""
+    # Vendored-protobuf activation MUST precede JVM launch: the
+    # bootstrap rides PYTHONPATH into the Python workers, whose env is
+    # frozen when the JVM starts (compat/protobuf_vendor.py). No-op
+    # when a real protobuf installation exists or none can be found.
+    from hcls_data_lake_spark.compat.protobuf_vendor import (
+        ensure_protobuf_env,
+    )
+
+    ensure_protobuf_env()
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
         SparkSession.builder.appName(app_name)

@@ -70,11 +70,17 @@ def tws_running_totals(sdf: DataFrame, key: str = "user_id") -> DataFrame:
     provider conf). Emission contract matches running_totals, so the
     same checks verify both APIs.
 
-    ENVIRONMENT GATE: the TransformWithState driver worker imports
-    `google.protobuf` for its state-server protocol; containers without
-    the python protobuf package crash at stream start
-    (STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE). The test suite
-    skips accordingly; production clusters ship protobuf with Spark."""
+    ENVIRONMENT GATE: the TransformWithState driver AND data workers
+    import `google.protobuf` for the state-server protocol; without it
+    the stream crashes at start
+    (STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE). Sessions built by
+    hcls.session.get_spark activate the machine's vendored pure-Python
+    protobuf runtime and export it to the workers
+    (compat/protobuf_vendor), so this TRUE path runs here; callers on a
+    foreign session should gate on
+    compat.protobuf_vendor.workers_have_protobuf. Requires the RocksDB
+    state store provider (TWS state uses multiple column families,
+    which HDFSBackedStateStoreProvider cannot host)."""
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
     from pyspark.sql.types import (
         DoubleType,

@@ -198,17 +198,19 @@ def test_er7gen_stream_replays_full_id_space(spark):
 
 
 def _has_protobuf() -> bool:
-    try:
-        from google.protobuf import descriptor  # noqa: F401
+    """True when the TWS protobuf protocol is available — either a real
+    installation or the vendored pure-Python runtime that
+    compat/protobuf_vendor activates (get_spark exports it to the
+    workers, so the session fixture can run the REAL TWS path)."""
+    from hcls_data_lake_spark.compat.protobuf_vendor import activate
 
-        return True
-    except ImportError:
-        return False
+    return activate()
 
 
 @pytest.mark.skipif(
     not _has_protobuf(),
-    reason="TransformWithState driver worker needs python protobuf",
+    reason="TransformWithState worker needs python protobuf and no "
+    "vendorable runtime exists on this machine",
 )
 def test_transform_with_state_matches_batch_aggregate(spark, sf_dir):
     """tws_running_totals (TransformWithState API) must emit the same
