@@ -66,6 +66,15 @@ SEGMENT_CARDINALITY: dict[str, int | None] = {
     "BTS": 1,
     "ADD": None,  # addendum/continuation segment
     "DSC": 1,
+    # scheduling (SIU) family — r6 grammar-breadth extension
+    "SCH": 1,
+    "RGS": None,
+    "AIS": None,
+    "AIG": None,
+    "AIL": None,
+    "AIP": None,
+    # medical document management (MDM) family
+    "TXA": 1,
 }
 
 
@@ -138,7 +147,22 @@ EVENT_STRUCTURE: dict[str, str] = {
     "ADT_A40": "ADT_A39",
     "ADT_A41": "ADT_A39",
     "ADT_A42": "ADT_A39",
+    "ADT_A03": "ADT_A03",
     "ORU_R01": "ORU_R01",
+    # scheduling: the S12-S26 notification events share SIU_S12's
+    # abstract structure in v2.5
+    "SIU_S12": "SIU_S12",
+    "SIU_S13": "SIU_S12",
+    "SIU_S14": "SIU_S12",
+    "SIU_S15": "SIU_S12",
+    "SIU_S17": "SIU_S12",
+    "SIU_S26": "SIU_S12",
+    # document management: the document-content events share MDM_T02's
+    # structure (TXA + OBX content) in v2.5
+    "MDM_T02": "MDM_T02",
+    "MDM_T04": "MDM_T02",
+    "MDM_T08": "MDM_T02",
+    "MDM_T11": "MDM_T02",
 }
 
 _ADT_A01_SEGS: dict[str, int | None] = {
@@ -168,6 +192,23 @@ STRUCTURE_SEGMENT_CARDINALITY: dict[str, dict[str, int | None]] = {
     # all max-1 within the group
     "ADT_A39": {"MSH": 1, "SFT": None, "EVN": 1, "PID": 1, "PD1": 1,
                 "MRG": 1, "PV1": 1},
+    # r6 grammar-breadth structures (flat fallback views of the trees;
+    # max card WITHIN THE IMMEDIATE PARENT, like the rows above)
+    "ADT_A03": {
+        "MSH": 1, "SFT": None, "EVN": 1, "PID": 1, "PD1": 1,
+        "ROL": None, "PV1": 1, "PV2": 1, "DB1": None, "DG1": None,
+        "DRG": 1, "PR1": 1, "OBX": None, "PDA": 1,
+    },
+    "SIU_S12": {
+        "MSH": 1, "SCH": 1, "TQ1": None, "NTE": None, "PID": 1,
+        "PD1": 1, "PV1": 1, "PV2": 1, "OBX": None, "DG1": None,
+        "RGS": 1, "AIS": 1, "AIG": 1, "AIL": 1, "AIP": 1,
+    },
+    "MDM_T02": {
+        "MSH": 1, "SFT": None, "EVN": 1, "PID": 1, "PV1": 1,
+        "ORC": 1, "TQ1": 1, "TQ2": None, "OBR": 1, "NTE": None,
+        "TXA": 1, "OBX": 1,
+    },
     "ORU_R01": {
         "MSH": 1, "SFT": None, "PID": 1, "PD1": 1, "NTE": None,
         "NK1": None, "PV1": 1, "PV2": 1,
@@ -242,6 +283,65 @@ STRUCTURE_TREES: dict[str, tuple] = {
             None,
             (_S("PID", 1), _S("PD1", 1), _S("MRG", 1), _S("PV1", 1)),
         ),
+    ),
+    # r6 grammar-breadth structures (HL7 v2.5 abstract definitions,
+    # vendored like the rest — new SIU/MDM message types no longer
+    # degrade to the union-table fallback on day one)
+    "ADT_A03": (
+        _S("MSH", 1), _S("SFT", None), _S("EVN", 1), _S("PID", 1),
+        _S("PD1", 1), _S("ROL", None), _S("PV1", 1), _S("PV2", 1),
+        _S("ROL", None), _S("DB1", None), _S("DG1", None), _S("DRG", 1),
+        ("ADT_A03_PROCEDURE", None, (_S("PR1", 1), _S("ROL", None))),
+        _S("OBX", None), _S("PDA", 1),
+    ),
+    "SIU_S12": (
+        _S("MSH", 1), _S("SCH", 1), _S("TQ1", None), _S("NTE", None),
+        (
+            "SIU_S12_PATIENT",
+            None,
+            (
+                _S("PID", 1), _S("PD1", 1), _S("PV1", 1), _S("PV2", 1),
+                _S("OBX", None), _S("DG1", None),
+            ),
+        ),
+        (
+            "SIU_S12_RESOURCES",
+            None,
+            (
+                _S("RGS", 1),
+                ("SIU_S12_SERVICE", None, (_S("AIS", 1), _S("NTE", None))),
+                (
+                    "SIU_S12_GENERAL_RESOURCE",
+                    None,
+                    (_S("AIG", 1), _S("NTE", None)),
+                ),
+                (
+                    "SIU_S12_LOCATION_RESOURCE",
+                    None,
+                    (_S("AIL", 1), _S("NTE", None)),
+                ),
+                (
+                    "SIU_S12_PERSONNEL_RESOURCE",
+                    None,
+                    (_S("AIP", 1), _S("NTE", None)),
+                ),
+            ),
+        ),
+    ),
+    "MDM_T02": (
+        _S("MSH", 1), _S("SFT", None), _S("EVN", 1), _S("PID", 1),
+        _S("PV1", 1),
+        (
+            "MDM_T02_COMMON_ORDER",
+            None,
+            (
+                _S("ORC", 1),
+                ("MDM_T02_TIMING", None, (_S("TQ1", 1), _S("TQ2", None))),
+                _S("OBR", 1), _S("NTE", None),
+            ),
+        ),
+        _S("TXA", 1),
+        ("MDM_T02_OBSERVATION", None, (_S("OBX", 1), _S("NTE", None))),
     ),
     "ORU_R01": (
         _S("MSH", 1), _S("SFT", None),

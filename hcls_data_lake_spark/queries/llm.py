@@ -349,6 +349,61 @@ def q_dedup_posting_census(spark, sf_dir):
 
 
 @register(
+    "q_dedup_near_capped",
+    """
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS w
+      FROM documents WHERE doc_id < 500
+    ), shingled AS (
+      SELECT doc_id,
+             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                            for i in range(1, len(w) - 1)]) AS shingles
+      FROM docs WHERE len(w) >= 3
+    ), sd AS (
+      SELECT s.doc_id, u.sh AS shingle
+      FROM shingled s, unnest(s.shingles) AS u(sh)
+    ), kept AS (
+      SELECT shingle FROM sd GROUP BY shingle
+      HAVING count(*) BETWEEN 2 AND 5
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS inter
+      FROM sd a
+      JOIN sd b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      WHERE a.shingle IN (SELECT shingle FROM kept)
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           ROUND(CAST(i.inter AS DOUBLE)
+                 / (len(na.shingles) + len(nb.shingles) - i.inter), 4)
+             AS jaccard_lb
+    FROM inter i
+    JOIN shingled na ON na.doc_id = i.doc_a
+    JOIN shingled nb ON nb.doc_id = i.doc_b
+    WHERE CAST(i.inter AS DOUBLE)
+          / (len(na.shingles) + len(nb.shingles) - i.inter) >= 0.2
+    """,
+)
+def q_dedup_near_capped(spark, sf_dir):
+    """The CAPPED near-dup path itself, cross-engine-verified: the
+    same inverted-index pipeline as q_dedup_near but with the
+    stop-list cap DELIBERATELY set to 5 — low enough that it fires on
+    the fixture (drops the 15-35 postings of length 6-7, depending on
+    sf) — and the DuckDB oracle replicating the cap exactly (shingles
+    kept iff their posting length is in [2, 5], intersections counted
+    over KEPT shingles only, denominators over the FULL shingle sets).
+    This pins the cap's SEMANTICS, not just its effect: capped
+    similarity is a lower bound (jaccard_lb), survivors still pair
+    through their rarer shingles, and the engine's drop set matches an
+    independent engine's to the row. q_dedup_posting_census is the
+    companion no-silent-caps audit; the default-cap (500) paths stay
+    exact because the census proves 500 can never fire at this skew."""
+    return _near_pairs(spark, sf_dir, max_posting_len=5).select(
+        "doc_a", "doc_b", F.col("jaccard").alias("jaccard_lb")
+    )
+
+
+@register(
     "q_text_containment",
     """
     WITH docs AS (

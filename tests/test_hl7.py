@@ -469,6 +469,68 @@ def test_fn_subcomponent_datatype_naming():
     }
 
 
+def test_siu_scheduling_structure_nests():
+    """r6 grammar breadth: a SIU^S12 scheduling notification resolves
+    to the vendored SIU_S12 tree — patient and resource groups nest
+    with hl7apy's group spelling, and strict mode accepts the family
+    instead of dead-lettering it on day one."""
+    msg = ("MSH|^~\\&|SCHED|FAC|||20240101||SIU^S12|1|P|2.5\r"
+           "SCH|1|A123||||CHECKUP\r"
+           "PID|1||42\r"
+           "RGS|1\r"
+           "AIS|1||EXAM\r"
+           "NTE|1||bring records\r"
+           "AIP|1||DR^WHO")
+    assert parse_er7(msg, strict=True) is not None
+    doc = json.loads(parse_er7(msg))
+    assert isinstance(doc["SCH"], dict)
+    assert doc["SIU_S12_PATIENT"][0]["PID"]["PID_3"] == ["42"]
+    res = doc["SIU_S12_RESOURCES"][0]
+    assert isinstance(res["RGS"], dict)
+    svc = res["SIU_S12_SERVICE"][0]
+    assert svc["AIS"]["AIS_3"] == "EXAM"
+    assert svc["NTE"][0]["NTE_3"] == ["bring records"]
+    assert res["SIU_S12_PERSONNEL_RESOURCE"][0]["AIP"]["AIP_3"] == {
+        "C1": "DR", "C2": "WHO"
+    }
+
+
+def test_mdm_document_structure_nests():
+    """r6 grammar breadth: MDM^T02 document notifications nest their
+    OBX content under MDM_T02_OBSERVATION groups, TXA stays max-1."""
+    msg = ("MSH|^~\\&|EHR|FAC|||20240101||MDM^T02|1|P|2.5\r"
+           "EVN|T02|20240101\r"
+           "PID|1||42\r"
+           "PV1|1|O\r"
+           "TXA|1|CN|TX|20240101\r"
+           "OBX|1|TX|NOTE||hello\r"
+           "OBX|2|TX|NOTE||world")
+    assert parse_er7(msg, strict=True) is not None
+    doc = json.loads(parse_er7(msg))
+    assert isinstance(doc["TXA"], dict)
+    obs = doc["MDM_T02_OBSERVATION"]
+    assert len(obs) == 2
+    # OBX-5 typed TX by OBX-2: primitive leaf, repeatable field -> list
+    assert obs[0]["OBX"]["OBX_5"] == ["hello"]
+    assert obs[1]["OBX"]["OBX_5"] == ["world"]
+
+
+def test_adt_a03_procedure_group_nests():
+    """r6 grammar breadth: ADT^A03 discharge with procedures — PR1
+    nests inside repeating ADT_A03_PROCEDURE groups."""
+    msg = ("MSH|^~\\&|A|B|C|D|20240101||ADT^A03|1|P|2.5\r"
+           "EVN|A03|20240101\r"
+           "PID|1||42\r"
+           "PV1|1|I\r"
+           "PR1|1||0123^APPENDECTOMY\r"
+           "PR1|2||0456^REPAIR")
+    assert parse_er7(msg, strict=True) is not None
+    doc = json.loads(parse_er7(msg))
+    procs = doc["ADT_A03_PROCEDURE"]
+    assert len(procs) == 2
+    assert all(isinstance(p["PR1"], dict) for p in procs)
+
+
 def _segment_ids(node, out):
     """Collect segment ids from a parsed document (group wrappers are
     the >3-char keys; recurse through them and through lists)."""
