@@ -99,6 +99,7 @@ EXTENDED = [
     "q_dedup_posting_census", # stop-list cap dropped-postings audit
     "q_embed_recall_tuned",   # 12-table LSH recall>=0.8 audit
     "q_dedup_near_capped",    # oracle-verified stop-list capped near-dup
+    "q_stream_tws_topk",      # TWS list-state bounded top-k
     "q_diag_key_skew",        # shuffle-key heavy-hitter census
     "q_pipeline_compact",     # small-file compaction + lossless census
     "q_pipeline_expire",      # retention TTL rewrite + boundary census

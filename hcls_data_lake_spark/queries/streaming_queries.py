@@ -290,6 +290,66 @@ def q_stream_stateful_tws(spark, sf_dir):
 
 
 @register(
+    "q_stream_tws_topk",
+    """
+    SELECT user_id, CAST(rn AS INT) AS rnk, value, event_id
+    FROM (SELECT user_id, event_id, value,
+            row_number() OVER (PARTITION BY user_id
+                               ORDER BY value DESC, event_id) AS rn
+          FROM events)
+    WHERE rn <= 3
+    """,
+)
+def q_stream_tws_topk(spark, sf_dir):
+    """Per-user streaming TOP-K through TransformWithState LIST state
+    (stateful.tws_topk) — the state shape TWS adds over the old API:
+    an appendable typed collection per key, bounded at k rows by
+    construction so no key's state grows with its event volume. Each
+    batch merges incoming (value, event_id) pairs into the retained
+    list (value DESC, event_id ASC — deterministic) and emits the
+    ranked rows; a single availableNow batch makes the update-mode
+    emission equal the batch window top-k, which the oracle
+    hash-checks. Same gate as q_stream_stateful_tws: vendored-protobuf
+    sessions run the real TWS/RocksDB path, foreign sessions degrade
+    to the applyInPandasWithState twin with ARRAY-typed packed state
+    (identical emission contract)."""
+    from hcls_data_lake_spark.compat.protobuf_vendor import (
+        workers_have_protobuf,
+    )
+    from hcls_data_lake_spark.streaming.stateful import (
+        pandas_state_topk,
+        tws_topk,
+    )
+
+    use_tws = workers_have_protobuf(spark)
+    stateful = tws_topk if use_tws else pandas_state_topk
+    sdf = read_events_stream(spark, sf_dir).select(
+        "user_id", "value", "event_id"
+    )
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(provider_key, None)
+    if use_tws:
+        spark.conf.set(
+            provider_key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+    try:
+        return run_to_memory(
+            stateful(sdf),
+            output_mode="update",
+            shuffle_partitions=8,
+            no_data_batches=False,
+        )
+    finally:
+        if use_tws:
+            if prev_provider is None:
+                spark.conf.unset(provider_key)
+            else:
+                spark.conf.set(provider_key, prev_provider)
+
+
+@register(
     "q_stream_foreachbatch_route",
     """
     SELECT CASE WHEN event_type = 'error' THEN 'error'

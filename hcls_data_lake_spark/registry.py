@@ -149,6 +149,7 @@ _FAMILY_REPRESENTATIVES = [
     "q_dedup_posting_census",
     "q_embed_recall_tuned",
     "q_dedup_near_capped",
+    "q_stream_tws_topk",
     "q_graph_kcore",
     "q_analytics_retention_bitmap",
     "q_agg_percentile_exact",

@@ -130,3 +130,121 @@ def tws_running_totals(sdf: DataFrame, key: str = "user_id") -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def tws_topk(sdf: DataFrame, key: str = "user_id", k: int = 3) -> DataFrame:
+    """Per-key streaming TOP-K via TransformWithState LIST state — the
+    state shape the old applyInPandasWithState API cannot express
+    cleanly (its single state tuple would need manual array packing;
+    TWS getListState gives an appendable, independently-evolvable typed
+    collection). Each batch merges the incoming (value, event_id) rows
+    into the key's retained top-k list (value DESC, event_id ASC
+    tie-break — fully deterministic) and emits the list as (key, rnk,
+    value, event_id) rows. State per key is bounded at k rows by
+    construction — the 100 TB property: no key's state grows with its
+    event count. Same environment gate as tws_running_totals (vendored
+    protobuf + RocksDB provider)."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    key_field = sdf.schema[key]
+
+    class TopK(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._top = handle.getListState(
+                "topk", "value DOUBLE, event_id BIGINT"
+            )
+
+        def handleInputRows(self, key_tuple, rows, timer_values):
+            cur = [(float(v), int(e)) for (v, e) in self._top.get()]
+            for pdf in rows:
+                cur.extend(
+                    zip(
+                        pdf["value"].astype(float),
+                        pdf["event_id"].astype(int),
+                    )
+                )
+            cur.sort(key=lambda t: (-t[0], t[1]))
+            cur = cur[:k]
+            self._top.put(cur)
+            yield pd.DataFrame(
+                {
+                    key: [key_tuple[0]] * len(cur),
+                    "rnk": list(range(1, len(cur) + 1)),
+                    "value": [v for v, _ in cur],
+                    "event_id": [e for _, e in cur],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    out_schema = StructType(
+        [
+            StructField(key, key_field.dataType),
+            StructField("rnk", IntegerType()),
+            StructField("value", DoubleType()),
+            StructField("event_id", LongType()),
+        ]
+    )
+    return sdf.groupBy(key).transformWithStateInPandas(
+        TopK(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def pandas_state_topk(
+    sdf: DataFrame, key: str = "user_id", k: int = 3
+) -> DataFrame:
+    """applyInPandasWithState twin of :func:`tws_topk` for sessions
+    whose workers lack protobuf: the bounded top-k list rides in two
+    ARRAY-typed state fields (the old API's closest analog of TWS list
+    state — one opaque row, manually packed). Identical emission
+    contract and determinism (value DESC, event_id ASC)."""
+    key_type = sdf.schema[key].dataType.simpleString()
+
+    def update(
+        key_tuple: tuple,
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            vals, ids = state.get
+            cur = list(zip(vals, ids))
+        else:
+            cur = []
+        for pdf in batches:
+            cur.extend(
+                zip(pdf["value"].astype(float), pdf["event_id"].astype(int))
+            )
+        cur.sort(key=lambda t: (-t[0], t[1]))
+        cur = cur[:k]
+        state.update(
+            ([v for v, _ in cur], [int(e) for _, e in cur])
+        )
+        yield pd.DataFrame(
+            {
+                key: [key_tuple[0]] * len(cur),
+                "rnk": list(range(1, len(cur) + 1)),
+                "value": [v for v, _ in cur],
+                "event_id": [int(e) for _, e in cur],
+            }
+        )
+
+    return sdf.groupBy(key).applyInPandasWithState(
+        update,
+        outputStructType=(
+            f"{key} {key_type}, rnk int, value double, event_id bigint"
+        ),
+        stateStructType="vals array<double>, ids array<bigint>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

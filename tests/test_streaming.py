@@ -258,6 +258,79 @@ def test_transform_with_state_matches_batch_aggregate(spark, sf_dir):
     assert got == want
 
 
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="TransformWithState worker needs python protobuf and no "
+    "vendorable runtime exists on this machine",
+)
+def test_tws_list_state_topk_matches_fallback_and_batch(spark, sf_dir):
+    """tws_topk (TWS LIST state) and pandas_state_topk (array-packed
+    GroupState) must emit identical ranked rows, and both must equal
+    the batch window top-k — the cross-API equivalence that makes the
+    degradation path honest."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from hcls_data_lake_spark.queries.common import events
+    from hcls_data_lake_spark.streaming.runner import (
+        read_events_stream,
+        run_to_memory,
+    )
+    from hcls_data_lake_spark.streaming.stateful import (
+        pandas_state_topk,
+        tws_topk,
+    )
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    try:
+        prev = spark.conf.get(provider_key)
+    except Exception:
+        prev = None
+
+    def run(fn, set_rocks):
+        if set_rocks:
+            spark.conf.set(provider_key, rocks)
+        try:
+            sdf = read_events_stream(spark, sf_dir).select(
+                "user_id", "value", "event_id"
+            )
+            out = run_to_memory(
+                fn(sdf),
+                output_mode="update",
+                shuffle_partitions=4,
+                no_data_batches=False,
+            )
+            return {
+                (r.user_id, r.rnk): (r.value, r.event_id)
+                for r in out.collect()
+            }
+        finally:
+            if set_rocks:
+                if prev is None:
+                    spark.conf.unset(provider_key)
+                else:
+                    spark.conf.set(provider_key, prev)
+
+    got_tws = run(tws_topk, set_rocks=True)
+    got_fallback = run(pandas_state_topk, set_rocks=False)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), "event_id"
+    )
+    want = {
+        (r.user_id, r.rn): (r.value, r.event_id)
+        for r in events(spark, sf_dir)
+        .select("user_id", "value", "event_id", F.row_number().over(w).alias("rn"))
+        .filter("rn <= 3")
+        .collect()
+    }
+    assert got_tws == want
+    assert got_fallback == want
+
+
 def test_er7gen_empty_and_single_partition_edges(spark):
     """er7gen edge cases: n=0 yields an empty readable frame; n smaller
     than numPartitions still covers every id exactly once."""
