@@ -100,6 +100,8 @@ EXTENDED = [
     "q_embed_recall_tuned",   # 12-table LSH recall>=0.8 audit
     "q_dedup_near_capped",    # oracle-verified stop-list capped near-dup
     "q_stream_tws_topk",      # TWS list-state bounded top-k
+    "q_dedup_simhash_join",   # pigeonhole banded hamming<=3 join
+    "q_text_cdc_chunks",      # content-defined chunk dedup census
     "q_diag_key_skew",        # shuffle-key heavy-hitter census
     "q_pipeline_compact",     # small-file compaction + lossless census
     "q_pipeline_expire",      # retention TTL rewrite + boundary census

@@ -781,6 +781,14 @@ def q_dedup_simhash_md5(spark, sf_dir):
     path (one 64-bit hash per token, no 16× nibble expansion); this
     query pins the ALGORITHM cross-engine and is bounded to 300 docs."""
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return _md5_simhash_fps(d)
+
+
+def _md5_simhash_fps(d):
+    """(doc_id, simhash hex-16) via the engine-neutral md5 bit votes —
+    shared by q_dedup_simhash_md5 (pins the fingerprints) and
+    q_dedup_simhash_join (joins on them). See q_dedup_simhash_md5's
+    docstring for the explode-not-fold plan rationale."""
     toks = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     ).select("doc_id", F.md5(F.col("tok").cast("binary")).alias("h"))
@@ -823,6 +831,207 @@ def q_dedup_simhash_md5(spark, sf_dir):
                 "transform(array_sort(collect_list(struct(k, c))), x -> x.c)"
             ),
         ).alias("simhash")
+    )
+
+
+_SIMHASH_V_SQL = """
+      SELECT doc_id,
+        [ list_sum([ CASE WHEN
+              ((strpos('0123456789abcdef',
+                       substr(md5(t), (j // 4) + 1, 1)) - 1)
+               // (CASE WHEN j % 4 = 0 THEN 8 WHEN j % 4 = 1 THEN 4
+                        WHEN j % 4 = 2 THEN 2 ELSE 1 END)) % 2 = 1
+            THEN 1 ELSE -1 END
+            for t in string_split(text, ' ') ])
+          for j in range(0, 64) ] AS v
+      FROM docs
+"""
+
+
+@register(
+    "q_dedup_simhash_join",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 300
+    ), votes AS MATERIALIZED ({_SIMHASH_V_SQL}),
+    fp AS MATERIALIZED (
+      SELECT doc_id,
+             [ CAST(list_sum([ CASE WHEN v[16*b + j + 1] > 0
+                        THEN CAST(pow(2, 15 - j) AS BIGINT) ELSE 0 END
+                        for j in range(0, 16) ]) AS BIGINT)
+               for b in range(0, 4) ] AS bands
+      FROM votes
+    ), banded AS (
+      SELECT doc_id, generate_subscripts(bands, 1) AS band,
+             unnest(bands) AS band_val
+      FROM fp
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a
+      JOIN banded b ON a.band = b.band AND a.band_val = b.band_val
+                   AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(list_sum([ bit_count(xor(fa.bands[b], fb.bands[b]))
+                           for b in range(1, 5) ]) AS BIGINT)
+             AS hamming_bits
+    FROM cand c
+    JOIN fp fa ON fa.doc_id = c.doc_a
+    JOIN fp fb ON fb.doc_id = c.doc_b
+    WHERE list_sum([ bit_count(xor(fa.bands[b], fb.bands[b]))
+                     for b in range(1, 5) ]) <= 3
+    """,
+)
+def q_dedup_simhash_join(spark, sf_dir):
+    """SimHash HAMMING-DISTANCE JOIN via band pigeonholing (Manku,
+    Jain & Das Sarma, "Detecting Near-Duplicates for Web Crawling",
+    WWW 2007 — Google's production simhash dedup): split each 64-bit
+    fingerprint into 4 bands of 16 bits; any pair at Hamming distance
+    ≤ 3 must agree EXACTLY on at least one band (pigeonhole over 4
+    bands), so candidates come from 4 band equi-joins — one shuffle on
+    (band, band_val), never an all-pairs Hamming scan — and the exact
+    bit_count verification runs on candidates only. SOUND AND
+    COMPLETE for the d ≤ 3 radius, unlike probabilistic LSH banding.
+    Fingerprints are the engine-neutral md5 bit votes of
+    q_dedup_simhash_md5 (shared builder), so the DuckDB oracle
+    re-derives fingerprints, bands, candidates, and Hamming distances
+    byte-for-byte. Candidate generation goes through the shared
+    cap_postings skew guard (a flood of identical fingerprints is the
+    hot-band case). Returns (doc_a, doc_b, hamming_bits ≤ 3)."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    fps = _md5_simhash_fps(d).withColumn(
+        "bands",
+        F.expr(
+            "transform(sequence(0, 3),"
+            " b -> cast(conv(substr(simhash, b * 4 + 1, 4), 16, 10)"
+            " as bigint))"
+        ),
+    )
+    banded = fps.select(
+        "doc_id",
+        F.posexplode("bands").alias("band", "band_val"),
+    )
+    posting = cap_postings(
+        banded.groupBy("band", "band_val")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") > 1),
+        DEFAULT_MAX_POSTING_LEN,
+    )
+    cand = (
+        posting.select(
+            F.explode_outer(
+                F.expr(
+                    "flatten(transform(ds, (a, i) ->"
+                    " transform(slice(ds, i + 2, size(ds) - i - 1),"
+                    " b -> struct(a as doc_a, b as doc_b))))"
+                )
+            ).alias("p")
+        )
+        .filter(F.col("p").isNotNull())
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    fa = fps.select(F.col("doc_id").alias("doc_a"), F.col("bands").alias("ba"))
+    fb = fps.select(F.col("doc_id").alias("doc_b"), F.col("bands").alias("bb"))
+    hamming = F.expr(
+        "aggregate(zip_with(ba, bb, (x, y) -> bit_count(x ^ y)),"
+        " 0L, (acc, x) -> acc + cast(x as bigint))"
+    )
+    return (
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .withColumn("hamming_bits", hamming)
+        .filter(F.col("hamming_bits") <= 3)
+        .select("doc_a", "doc_b", "hamming_bits")
+    )
+
+
+@register(
+    "q_text_cdc_chunks",
+    """
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS w
+      FROM documents WHERE doc_id < 500
+    ), parts AS (
+      SELECT doc_id, w,
+             [1] || [b + 1 for b in bnds] AS starts,
+             bnds || [len(w)] AS ends
+      FROM (
+        SELECT doc_id, w,
+               [i for i in range(1, len(w) + 1)
+                if substr(md5(w[i]), 32, 1) = '0'] AS bnds
+        FROM docs
+      )
+    ), chunks AS (
+      SELECT doc_id,
+             unnest([ array_to_string(w[starts[k] : ends[k]], ' ')
+                      for k in range(1, len(starts) + 1)
+                      if ends[k] >= starts[k] ]) AS chunk
+      FROM parts
+    )
+    SELECT md5(chunk) AS chunk_hash,
+           CAST(MIN(len(string_split(chunk, ' '))) AS BIGINT) AS n_words,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM chunks GROUP BY md5(chunk)
+    """,
+)
+def q_text_cdc_chunks(spark, sf_dir):
+    """CONTENT-DEFINED chunking for cross-corpus dedup (the rolling-
+    hash boundary idea of LBFS/FastCDC at word granularity): a chunk
+    boundary falls AFTER any word whose md5's last hex nibble is '0'
+    (p = 1/16, mean chunk ~16 words), so boundaries are a function of
+    CONTENT alone. That is the property fixed-width chunking
+    (q_text_passage_dedup's 8-word windows) lacks: inserting one word
+    near the top of a document shifts every fixed window (all
+    downstream chunks re-hash as new), while content-defined
+    boundaries re-synchronize at the next boundary word — only the
+    chunk containing the edit changes, so shared boilerplate still
+    dedups across drifted copies. Emits the corpus chunk census
+    (chunk_hash, n_words, n_occurrences, n_docs) — the dedup-ratio
+    relation a storage/dataset-curation layer reads. Everything is
+    md5/string/array math, byte-identical in DuckDB. Scale shape:
+    boundary detection and chunk assembly are per-doc scan-stage
+    expressions (no shuffle); the census is one hash-aggregate keyed
+    on the chunk hash — uniform by construction, like the passage
+    dedup's chunk shuffle."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    wdf = d.select("doc_id", F.split("text", " ").alias("w"))
+    parts = wdf.select(
+        "doc_id",
+        "w",
+        F.expr(
+            "filter(transform(w, (x, i) ->"
+            " if(substr(md5(cast(x as binary)), 32, 1) = '0', i + 1, -1)),"
+            " i -> i > 0)"
+        ).alias("bnds"),
+    ).select(
+        "doc_id",
+        "w",
+        F.expr("concat(array(1), transform(bnds, b -> b + 1))").alias(
+            "starts"
+        ),
+        F.expr("concat(bnds, array(size(w)))").alias("ends"),
+    )
+    chunks = parts.select(
+        "doc_id",
+        F.explode_outer(
+            F.expr(
+                "filter(zip_with(starts, ends, (s, e) ->"
+                " if(e >= s, concat_ws(' ', slice(w, s, e - s + 1)),"
+                " null)), c -> c is not null)"
+            )
+        ).alias("chunk"),
+    ).filter(F.col("chunk").isNotNull())
+    return (
+        chunks.select("doc_id", F.md5(F.col("chunk").cast("binary")).alias("chunk_hash"),
+                      F.size(F.split("chunk", " ")).alias("nw"))
+        .groupBy("chunk_hash")
+        .agg(
+            F.min("nw").cast("bigint").alias("n_words"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
     )
 
 

@@ -150,6 +150,8 @@ _FAMILY_REPRESENTATIVES = [
     "q_embed_recall_tuned",
     "q_dedup_near_capped",
     "q_stream_tws_topk",
+    "q_dedup_simhash_join",
+    "q_text_cdc_chunks",
     "q_graph_kcore",
     "q_analytics_retention_bitmap",
     "q_agg_percentile_exact",

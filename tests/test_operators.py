@@ -578,6 +578,80 @@ def test_tuned_ann_recall_operating_point(spark, sf_dir):
     assert recall > base.h / (3 * base.n) + 0.3
 
 
+def test_cdc_chunking_resynchronizes_after_edit(spark, sf_dir):
+    """The property content-defined chunking exists for: inserting ONE
+    word near the front of a document leaves every chunk after the
+    next boundary untouched (boundaries depend on content, not
+    position), while fixed-width windows would re-hash everything
+    downstream. Also: chunk words are conserved (no word lost or
+    duplicated across chunks)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from hcls_data_lake_spark.queries.common import t as tbl
+
+    base_row = (
+        tbl(spark, sf_dir, "documents")
+        .orderBy(F.col("n_chars").desc())
+        .select("text")
+        .first()
+    )
+    base = base_row.text
+    words = base.split(" ")
+    assert len(words) > 40
+    edited = " ".join([words[0], "INSERTEDWORD"] + words[1:])
+
+    def chunks_of(text):
+        w = text.split(" ")
+        bnds = [
+            i + 1
+            for i, x in enumerate(w)
+            if hashlib.md5(x.encode()).hexdigest()[-1] == "0"
+        ]
+        starts = [1] + [b + 1 for b in bnds]
+        ends = bnds + [len(w)]
+        return [
+            " ".join(w[s - 1 : e])
+            for s, e in zip(starts, ends)
+            if e >= s
+        ]
+
+    c_base, c_edit = chunks_of(base), chunks_of(edited)
+    # conservation: chunks reassemble the document exactly
+    assert " ".join(c_base) == base and " ".join(c_edit) == edited
+    # resynchronization: all but the edit-containing prefix chunks are
+    # SHARED between the two versions (set intersection stays large)
+    shared = set(c_base) & set(c_edit)
+    assert len(shared) >= len(c_base) - 2
+    # and the Spark operator computes the same chunk multiset as the
+    # pure-Python reference for the real corpus head
+    got = (
+        tbl(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 20)
+        .select("doc_id", "text")
+        .collect()
+    )
+    from hcls_data_lake_spark import registry
+
+    spark_census = {
+        r.chunk_hash: r.n_occurrences
+        for r in registry.queries()["q_text_cdc_chunks"](spark, sf_dir)
+        .collect()
+    }
+    py_census: dict[str, int] = {}
+    for r in (
+        tbl(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 500)
+        .select("text")
+        .collect()
+    ):
+        for c in chunks_of(r.text):
+            h = hashlib.md5(c.encode()).hexdigest()
+            py_census[h] = py_census.get(h, 0) + 1
+    assert spark_census == py_census
+
+
 def test_passage_dedup_conserves_chunks(spark, sf_dir):
     """Conservation invariants over the fixture corpus: total chunks
     equals the corpus chunk count, and survivors (n_chunks - n_dropped)
