@@ -518,6 +518,57 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return minhash_lsh_pairs(d, text_col="text", id_col="doc_id")
 
 
+def _md5_lsh_parts(d):
+    """Shared front of the engine-neutral md5 LSH family: shingled
+    docs, 16-permutation md5 minhash signatures, and the exploded
+    (band, band_key, doc_id) rows (4 bands of 4). Used by
+    q_dedup_lsh_bands (reports band collisions), q_dedup_minhash_est
+    (estimates Jaccard on the candidates) and q_dedup_pipeline_e2e
+    (verifies + clusters them). All map-side expressions."""
+    wdf = d.select("doc_id", F.split("text", " ").alias("w"))
+    docs = wdf.filter(F.size("w") >= 3).select(
+        "doc_id", shingles_from_words("w", 3).alias("shingles")
+    )
+    sig = F.expr(
+        "transform(sequence(0, 15), p -> array_min(transform(shingles,"
+        " s -> md5(cast(concat(cast(p as string), ':', s) as binary)))))"
+    )
+    sigs = docs.withColumn("sig", sig)
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, 3),"
+                " b -> concat_ws('|', slice(sig, b * 4 + 1, 4)))"
+            )
+        ).alias("band", "band_key"),
+    ).withColumn("band", F.col("band").cast("int"))
+    return docs, sigs, bands
+
+
+def _md5_lsh_cand_pairs(bands):
+    """Candidate pair emission from banded rows: sorted posting list
+    per (band, band_key) through the cap_postings skew guard, C(f,2)
+    pairs per posting (doc_a < doc_b), NON-distinct (band
+    multiplicity preserved for q_dedup_lsh_bands' n_bands)."""
+    posting = cap_postings(
+        bands.groupBy("band", "band_key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") > 1),
+        DEFAULT_MAX_POSTING_LEN,
+    )
+    return posting.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ds, (a, i) ->"
+                " transform(slice(ds, i + 2, size(ds) - i - 1),"
+                " b -> struct(a as doc_a, b as doc_b))))"
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b")
+
+
+
 @register(
     "q_dedup_lsh_bands",
     """
@@ -565,42 +616,8 @@ def q_dedup_lsh_bands(spark, sf_dir):
     applied via cap_postings at the default 500, which cannot drop a
     posting at fixture scale — so the oracle still sees every pair)."""
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
-    wdf = d.select("doc_id", F.split("text", " ").alias("w"))
-    docs = wdf.filter(F.size("w") >= 3).select(
-        "doc_id", shingles_from_words("w", 3).alias("shingles")
-    )
-    sig = F.expr(
-        "transform(sequence(0, 15), p -> array_min(transform(shingles,"
-        " s -> md5(cast(concat(cast(p as string), ':', s) as binary)))))"
-    )
-    bands = (
-        docs.withColumn("sig", sig)
-        .select(
-            "doc_id",
-            F.posexplode(
-                F.expr(
-                    "transform(sequence(0, 3),"
-                    " b -> concat_ws('|', slice(sig, b * 4 + 1, 4)))"
-                )
-            ).alias("band", "band_key"),
-        )
-        .withColumn("band", F.col("band").cast("int"))
-    )
-    posting = cap_postings(
-        bands.groupBy("band", "band_key")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
-        .filter(F.size("ds") > 1),
-        DEFAULT_MAX_POSTING_LEN,
-    )
-    pairs = posting.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ds, (a, i) ->"
-                " transform(slice(ds, i + 2, size(ds) - i - 1),"
-                " b -> struct(a as doc_a, b as doc_b))))"
-            )
-        ).alias("p")
-    ).select("p.doc_a", "p.doc_b")
+    _docs, _sigs, bands = _md5_lsh_parts(d)
+    pairs = _md5_lsh_cand_pairs(bands)
     return pairs.groupBy("doc_a", "doc_b").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_bands")
     )
@@ -664,43 +681,8 @@ def q_dedup_minhash_est(spark, sf_dir):
     shuffle on the band key, never all-pairs); the per-pair work is two
     fixed-width array comparisons."""
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
-    wdf = d.select("doc_id", F.split("text", " ").alias("w"))
-    docs = wdf.filter(F.size("w") >= 3).select(
-        "doc_id", shingles_from_words("w", 3).alias("shingles")
-    )
-    sig = F.expr(
-        "transform(sequence(0, 15), p -> array_min(transform(shingles,"
-        " s -> md5(cast(concat(cast(p as string), ':', s) as binary)))))"
-    )
-    sigs = docs.withColumn("sig", sig)
-    bands = sigs.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                "transform(sequence(0, 3),"
-                " b -> concat_ws('|', slice(sig, b * 4 + 1, 4)))"
-            )
-        ).alias("band", "band_key"),
-    )
-    posting = cap_postings(
-        bands.groupBy("band", "band_key")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
-        .filter(F.size("ds") > 1),
-        DEFAULT_MAX_POSTING_LEN,
-    )
-    cand = (
-        posting.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ds, (a, i) ->"
-                    " transform(slice(ds, i + 2, size(ds) - i - 1),"
-                    " b -> struct(a as doc_a, b as doc_b))))"
-                )
-            ).alias("p")
-        )
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
-    )
+    _docs, sigs, bands = _md5_lsh_parts(d)
+    cand = _md5_lsh_cand_pairs(bands).distinct()
     a_side = sigs.select(
         F.col("doc_id").alias("doc_a"),
         F.col("sig").alias("sig_a"),
@@ -727,6 +709,108 @@ def q_dedup_minhash_est(spark, sf_dir):
                 " div cast(size(array_union(sh_a, sh_b)) as bigint)"
             ).alias("jaccard_bps"),
         )
+    )
+
+
+@register(
+    "q_dedup_pipeline_e2e",
+    """
+    WITH RECURSIVE docs AS (
+      SELECT doc_id, string_split(text, ' ') AS w
+      FROM documents WHERE doc_id < 300
+    ), shingled AS MATERIALIZED (
+      SELECT doc_id,
+             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                            for i in range(1, len(w) - 1)]) AS shingles
+      FROM docs WHERE len(w) >= 3
+    ), mh AS (
+      SELECT s.doc_id, p.perm,
+             MIN(md5(CAST(p.perm AS VARCHAR) || ':' || u.sh)) AS h
+      FROM shingled s, (SELECT unnest(range(16)) AS perm) p,
+           unnest(s.shingles) AS u(sh)
+      GROUP BY s.doc_id, p.perm
+    ), bands AS (
+      SELECT doc_id, CAST(perm // 4 AS INT) AS band,
+             string_agg(h, '|' ORDER BY perm) AS band_key
+      FROM mh GROUP BY doc_id, perm // 4
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id
+    ), verified AS MATERIALIZED (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c
+      JOIN shingled ha ON ha.doc_id = c.doc_a
+      JOIN shingled hb ON hb.doc_id = c.doc_b
+      WHERE len(list_intersect(ha.shingles, hb.shingles)) * 10000
+            // len(list_distinct(list_concat(ha.shingles, hb.shingles)))
+            >= 5000
+    ), edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM verified
+      UNION ALL SELECT doc_b, doc_a FROM verified
+    ), reach(node, r) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node
+    ), labels AS (
+      SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT CAST(l.doc_id AS BIGINT) AS doc_id,
+           CAST(l.cluster_id AS BIGINT) AS cluster_id,
+           CAST(count(*) OVER (PARTITION BY l.cluster_id) AS BIGINT)
+             AS n_members
+    FROM labels l
+    """,
+)
+def q_dedup_pipeline_e2e(spark, sf_dir):
+    """The COMPLETE scalable near-dup pipeline, end-to-end and
+    cross-engine-verified with the md5 engine-neutral hash family:
+    shingle → 16-perm minhash → 4×4 LSH banding → bucket candidates
+    (through the cap_postings skew guard) → EXACT-Jaccard
+    verification (≥ 5000 bp on integer basis points) → transitive
+    clustering by connected components → per-doc (cluster_id = the
+    component's min doc id = the canonical keeper, n_members). The
+    family's pieces are each pinned elsewhere (signatures →
+    q_dedup_minhash_sig, banding → q_dedup_lsh_bands, estimator →
+    q_dedup_minhash_est, clustering → q_dedup_clusters); this row
+    proves the COMPOSITION — what a user actually runs to dedup a
+    corpus — against an independent engine's recursive-CTE evaluation
+    of the same five stages. Scale shape is the production one at
+    every stage: map-side signatures, one shuffle on the band key,
+    verification only on candidates, O(diameter) CC rounds over the
+    pair graph."""
+    from hcls_data_lake_spark.operators.dedup import connected_components
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    docs, _sigs, bands = _md5_lsh_parts(d)
+    cand = _md5_lsh_cand_pairs(bands).distinct()
+    sh = docs.select("doc_id", "shingles")
+    verified = (
+        cand.join(
+            sh.withColumnsRenamed({"doc_id": "doc_a", "shingles": "sh_a"}),
+            "doc_a",
+        )
+        .join(
+            sh.withColumnsRenamed({"doc_id": "doc_b", "shingles": "sh_b"}),
+            "doc_b",
+        )
+        .filter(
+            F.expr(
+                "cast(size(array_intersect(sh_a, sh_b)) as bigint) * 10000"
+                " div cast(size(array_union(sh_a, sh_b)) as bigint) >= 5000"
+            )
+        )
+        .select("doc_a", "doc_b")
+    )
+    labels = connected_components(verified).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+    return labels.join(sizes, "cluster_id").select(
+        "doc_id", "cluster_id", "n_members"
     )
 
 
