@@ -103,6 +103,7 @@ EXTENDED = [
     "q_dedup_simhash_join",   # pigeonhole banded hamming<=3 join
     "q_text_cdc_chunks",      # content-defined chunk dedup census
     "q_dedup_pipeline_e2e",   # full minhash->LSH->verify->CC pipeline
+    "q_sample_neyman",        # exact Neyman stratified allocation
     "q_diag_key_skew",        # shuffle-key heavy-hitter census
     "q_pipeline_compact",     # small-file compaction + lossless census
     "q_pipeline_expire",      # retention TTL rewrite + boundary census

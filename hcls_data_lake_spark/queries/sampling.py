@@ -857,3 +857,125 @@ def q_sample_importance_weights(spark, sf_dir):
         "cast(num div den as bigint) as weight_ppm",
     )
     return weighted.unionByName(ess)
+
+
+@register(
+    "q_sample_neyman",
+    """
+    WITH e AS (
+      SELECT event_id, event_type,
+             CAST(round(coalesce(value, 0) * 100) AS BIGINT) AS v
+      FROM events
+    ), st AS (
+      SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+             CAST(SUM(v) AS HUGEINT) AS sv,
+             CAST(SUM(v * v) AS HUGEINT) AS svv
+      FROM e GROUP BY event_type
+    ), wt AS (
+      SELECT event_type,
+             CAST(floor(sqrt(CAST(n * svv - sv * sv AS DOUBLE)))
+                  AS BIGINT) AS w
+      FROM st
+    ), alloc AS (
+      SELECT event_type, w,
+             (100 * w) // SUM(w) OVER () AS base,
+             (100 * w) % SUM(w) OVER () AS rem
+      FROM wt
+    ), a2 AS (
+      SELECT *, 100 - SUM(base) OVER () AS leftover,
+             row_number() OVER (ORDER BY rem DESC, event_type) AS rk
+      FROM alloc
+    ), final AS (
+      SELECT event_type,
+             CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                  AS BIGINT) AS n_h
+      FROM a2
+    ), ranked AS (
+      SELECT event_id, event_type,
+             row_number() OVER (PARTITION BY event_type
+                ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS r
+      FROM e
+    )
+    SELECT r.event_id, r.event_type, f.n_h
+    FROM ranked r JOIN final f USING (event_type)
+    WHERE r.r <= f.n_h
+    """,
+)
+def q_sample_neyman(spark, sf_dir):
+    """NEYMAN-ALLOCATED stratified sample (Neyman 1934: stratum h gets
+    n·N_h·σ_h / Σ N_k·σ_k of the budget — variance-heavy strata are
+    sampled harder, the minimum-variance allocation for estimating the
+    population mean), 100 events over event_type strata, EXACT in both
+    engines: the Neyman weight N_h·σ_h equals √(N_h·Σv² − (Σv)²)
+    identically (σ = √(N·Σv²−(Σv)²)/N), so one integer-floor'd sqrt of
+    an exactly-computed integer is the whole float surface — both
+    engines convert the same integer to the same IEEE double and take
+    the same correctly-rounded sqrt. Seat assignment is
+    largest-remainder (Hamilton) apportionment in pure integer
+    arithmetic ((100·w) div/mod Σw, remainders ranked with event_type
+    tie-break), and the WITHIN-stratum pick is the engine's standard
+    content-keyed rank (md5 of the id — reshuffle-stable, no RNG).
+    Scale shape: one stats aggregate (map-side partials), a 5-row
+    driver-free allocation window, one window shuffle on the stratum
+    key for the pick — the same cost as plain stratified sampling.
+    Overflow: N·Σv² runs in decimal(38,0)/HUGEINT (≈2e19 at sf0.1
+    exceeds int64), pinned by the cross-engine hash."""
+    from hcls_data_lake_spark.queries.common import events
+
+    e = events(spark, sf_dir).select(
+        "event_id",
+        "event_type",
+        F.expr("cast(round(coalesce(value, 0) * 100) as bigint)").alias("v"),
+    )
+    st = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("sv"),
+        F.sum(F.expr("v * v")).alias("svv"),
+    )
+    wt = st.select(
+        "event_type",
+        F.expr(
+            "cast(floor(sqrt(cast("
+            " cast(n as decimal(38,0)) * cast(svv as decimal(38,0))"
+            " - cast(sv as decimal(38,0)) * cast(sv as decimal(38,0))"
+            " as double))) as bigint)"
+        ).alias("w"),
+    )
+    w_all = Window.partitionBy()
+    alloc = wt.select(
+        "event_type",
+        "w",
+        F.expr("100 * w").alias("numer"),
+        F.sum("w").over(w_all).alias("w_tot"),
+    ).select(
+        "event_type",
+        F.expr("numer div w_tot").alias("base"),
+        F.expr("numer % w_tot").alias("rem"),
+    )
+    a2 = alloc.select(
+        "event_type",
+        "base",
+        (F.lit(100) - F.sum("base").over(w_all)).alias("leftover"),
+        F.row_number()
+        .over(Window.orderBy(F.col("rem").desc(), "event_type"))
+        .alias("rk"),
+    )
+    final = a2.select(
+        "event_type",
+        F.expr(
+            "cast(base + if(rk <= leftover, 1, 0) as bigint)"
+        ).alias("n_h"),
+    )
+    ranked = e.withColumn(
+        "r",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(
+                F.md5(F.col("event_id").cast("string")), "event_id"
+            )
+        ),
+    )
+    return (
+        ranked.join(F.broadcast(final), "event_type")
+        .filter(F.col("r") <= F.col("n_h"))
+        .select("event_id", "event_type", "n_h")
+    )

@@ -153,6 +153,7 @@ _FAMILY_REPRESENTATIVES = [
     "q_dedup_simhash_join",
     "q_text_cdc_chunks",
     "q_dedup_pipeline_e2e",
+    "q_sample_neyman",
     "q_graph_kcore",
     "q_analytics_retention_bitmap",
     "q_agg_percentile_exact",
