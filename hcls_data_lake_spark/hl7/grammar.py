@@ -473,6 +473,20 @@ FIELD_DATATYPE: dict[str, dict[int, str]] = {
             7: "XTN", 8: "ST", 12: "DT", 13: "DT", 16: "XPN",
             19: "XAD"},
     "ACC": {1: "TS", 2: "CE"},
+    # r6 grammar-breadth families (HL7 v2.5 definitions, the
+    # high-traffic fields; unlisted fields keep the C<n> fallback)
+    "SCH": {1: "EI", 2: "EI", 3: "NM", 6: "CE", 7: "CE", 8: "CE",
+            9: "NM", 10: "CE", 11: "TQ", 12: "XCN", 16: "XCN",
+            20: "XCN", 25: "CE"},
+    "RGS": {1: "SI", 2: "ID", 3: "CE"},
+    "AIS": {1: "SI", 2: "ID", 3: "CE", 4: "TS", 9: "NM", 10: "CE"},
+    "AIG": {1: "SI", 2: "ID", 3: "CE", 4: "CE", 8: "TS"},
+    "AIL": {1: "SI", 2: "ID", 3: "PL", 4: "CE", 6: "TS"},
+    "AIP": {1: "SI", 2: "ID", 3: "XCN", 4: "CE", 6: "TS"},
+    "TXA": {1: "SI", 4: "TS", 5: "XCN", 6: "TS", 7: "TS", 8: "TS",
+            9: "XCN", 10: "XCN", 11: "XCN", 12: "EI", 13: "EI",
+            14: "EI", 15: "EI", 16: "ST", 17: "ID", 18: "ID",
+            22: "PPN", 23: "XCN"},
 }
 
 # ---------------------------------------------------------------------

@@ -490,8 +490,9 @@ def test_siu_scheduling_structure_nests():
     svc = res["SIU_S12_SERVICE"][0]
     assert svc["AIS"]["AIS_3"] == "EXAM"
     assert svc["NTE"][0]["NTE_3"] == ["bring records"]
+    # AIP-3 is an XCN: components carry hl7apy's datatype spelling
     assert res["SIU_S12_PERSONNEL_RESOURCE"][0]["AIP"]["AIP_3"] == {
-        "C1": "DR", "C2": "WHO"
+        "XCN_1": "DR", "XCN_2": "WHO"
     }
 
 
