@@ -84,68 +84,19 @@ def register(name: str, oracle: str | None) -> Callable[[QueryFn], QueryFn]:
 # correctness sweep — then cover every family instead of exhausting the
 # budget inside whichever module happens to import first.
 #
-# Round-6 rotation (VERDICT r5 ask #2): the driver has sampled 220/368
-# unique names across r1-r5 (union of CORRECTNESS_r01..r05), every
-# latest appearance green. The list is now ordered NEVER-SAMPLED FIRST:
-# slots 1-148 are the queries with no driver row yet (in the staged r5
-# queue order — the deferred hash names, the rows-only-by-contract
-# names, then the r5 additions), so the r6 prefix (slots 1-50) samples
-# 50 fresh names, lifting cumulative coverage to 270/368; slots 51-100
-# stage the r7 queue and 101-148 the r8 queue. The 220 already-sampled
-# names follow in their prior order so a prefix overrun re-confirms the
-# most recently rotated families first.
+# Round-7 rotation (VERDICT r6 ask #1): the driver has sampled 270/376
+# unique names across r1-r6 (union of CORRECTNESS_r01..r06), every
+# latest appearance green. The list stays NEVER-SAMPLED FIRST: slots
+# 1-106 are the queries with no driver row yet, so the r7 prefix
+# (slots 1-50) samples 50 fresh names, lifting cumulative coverage to
+# 320/376; slots 51-106 stage the r8 queue (new r7 queries are appended
+# to that region). The already-sampled names follow, most recent
+# rotation first, so a prefix overrun re-confirms fresh families.
 _FAMILY_REPRESENTATIVES = [
-    # -- slots 1-148: never driver-sampled (r6 prefix = first 50) --
-    "q_analytics_basket_pairs",
-    "q_analytics_skyline",
-    "q_graph_khop",
-    "q_diag_benford",
-    "q_win_streak_islands",
-    "q_join_dpp",
-    "q_analytics_rfm",
-    "q_text_zipf",
-    "q_analytics_basket_rules",
-    "q_win_pattern_seq",
-    "q_ts_spearman",
-    "q_analytics_mom_growth",
-    "q_stream_cdc_apply",
-    "q_sample_time_split",
-    "q_ts_downsample_ltob",
-    "q_agg_weighted_median",
-    "q_ts_mad_outliers",
-    "q_text_keywords",
-    "q_analytics_hhi",
-    "q_analytics_time_to_convert",
-    "q_analytics_new_vs_returning",
-    "q_analytics_activity_histogram",
-    "q_analytics_transitions",
-    "q_analytics_cal_heatmap",
-    "q_agg_bitmap_distinct",
-    "q_agg_mann_whitney",
-    "q_ts_seasonal_index",
-    "q_analytics_order_to_ship",
-    "q_scan_parquet_footer",
-    "q_ts_kendall",
-    "q_analytics_ltv_curve",
-    "q_sketch_hll_intersect",
-    "q_diag_sequence_gaps",
-    "q_diag_distribution_drift",
-    "q_ts_rank_autocorr",
-    "q_dedup_threshold_sweep",
-    "q_graph_assortativity",
-    "q_analytics_wilson_rank",
-    "q_ts_runs_test",
-    "q_privacy_anonymity_ladder",
-    "q_ts_theil_sen",
-    "q_agg_ks_test",
-    "q_analytics_chi_square",
-    "q_privacy_dp_histogram",
-    "q_graph_jaccard_neighbors",
-    "q_ts_sma_crossover",
-    "q_join_lateral",
-    "q_fn_generators",
-    "q_sample_class_balance",
-    "q_analytics_survival",
+    # -- slots 1-106: never driver-sampled through r6 (r7 prefix = first
+    # 50; slots 51-106 stage the r8 queue). Rotated r7 per VERDICT r6
+    # ask #1: the 50 names sampled in r6 moved down to the head of the
+    # already-sampled block (most recently rotated first). --
     "q_dedup_posting_census",
     "q_embed_recall_tuned",
     "q_dedup_near_capped",
@@ -252,7 +203,57 @@ _FAMILY_REPRESENTATIVES = [
     "q_stream_stateful_tws",
     "q_stream_minhash",
     "q_ts_changepoint",
-    # -- already driver-sampled (r1-r5), prior rotation order --
+    # -- already driver-sampled (r1-r6), most recent rotation first --
+    "q_analytics_basket_pairs",
+    "q_analytics_skyline",
+    "q_graph_khop",
+    "q_diag_benford",
+    "q_win_streak_islands",
+    "q_join_dpp",
+    "q_analytics_rfm",
+    "q_text_zipf",
+    "q_analytics_basket_rules",
+    "q_win_pattern_seq",
+    "q_ts_spearman",
+    "q_analytics_mom_growth",
+    "q_stream_cdc_apply",
+    "q_sample_time_split",
+    "q_ts_downsample_ltob",
+    "q_agg_weighted_median",
+    "q_ts_mad_outliers",
+    "q_text_keywords",
+    "q_analytics_hhi",
+    "q_analytics_time_to_convert",
+    "q_analytics_new_vs_returning",
+    "q_analytics_activity_histogram",
+    "q_analytics_transitions",
+    "q_analytics_cal_heatmap",
+    "q_agg_bitmap_distinct",
+    "q_agg_mann_whitney",
+    "q_ts_seasonal_index",
+    "q_analytics_order_to_ship",
+    "q_scan_parquet_footer",
+    "q_ts_kendall",
+    "q_analytics_ltv_curve",
+    "q_sketch_hll_intersect",
+    "q_diag_sequence_gaps",
+    "q_diag_distribution_drift",
+    "q_ts_rank_autocorr",
+    "q_dedup_threshold_sweep",
+    "q_graph_assortativity",
+    "q_analytics_wilson_rank",
+    "q_ts_runs_test",
+    "q_privacy_anonymity_ladder",
+    "q_ts_theil_sen",
+    "q_agg_ks_test",
+    "q_analytics_chi_square",
+    "q_privacy_dp_histogram",
+    "q_graph_jaccard_neighbors",
+    "q_ts_sma_crossover",
+    "q_join_lateral",
+    "q_fn_generators",
+    "q_sample_class_balance",
+    "q_analytics_survival",
     "q_analytics_min_cost_supplier",
     "q_dedup_minhash_est",
     "q_dedup_lsh_bands",
