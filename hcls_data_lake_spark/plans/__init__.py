@@ -52,6 +52,37 @@ def count_exchanges(df: DataFrame) -> int:
     )
 
 
+def global_windows(df: DataFrame) -> list[str]:
+    """Window nodes fed by an ``Exchange SinglePartition`` — the
+    all-rows-to-one-reducer pattern a bare ``Window.orderBy(...)``
+    plans as (``Window -> Sort -> Exchange SinglePartition``). Safe
+    ONLY over relations bounded by something other than the data
+    (calendar days, partition count, a value domain); on anything
+    corpus- or dimension-shaped use
+    ``operators.ordered.with_global_order`` instead. Returns the
+    offending Window lines (empty = clean). WindowGroupLimit is not a
+    hit (it's the pre-shuffle top-k pruning node)."""
+    lines = plan_of(df, "simple").splitlines()
+    hits = []
+    for i, line in enumerate(lines):
+        stripped = line.strip(" :+-*")
+        if not stripped.startswith("Window "):
+            continue
+        if "_gpid#" in stripped:
+            # operators/ordered.with_global_order's offsets window:
+            # ≤ num_partitions rows by construction, always safe
+            continue
+        # a global window's children are Sort -> Exchange SinglePartition,
+        # printed on the immediately following lines
+        for j in range(i + 1, min(i + 4, len(lines))):
+            if "Exchange SinglePartition" in lines[j]:
+                hits.append(stripped[:120])
+                break
+            if "Exchange hashpartitioning" in lines[j]:
+                break
+    return hits
+
+
 def lint(df: DataFrame, allow_bnlj: bool = False) -> list[str]:
     """Red-flag scan of the pre-execution plan. Returns human-readable
     problems (empty list = clean). `allow_bnlj` acknowledges an

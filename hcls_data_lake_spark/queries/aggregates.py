@@ -963,10 +963,12 @@ def q_agg_mann_whitney(spark, sf_dir):
     sums-of-squares, one an independent engine reproduces
     byte-for-byte. U/(n₁n₂) is the common-language effect size
     (P(hi > lo)), derivable from the emitted integers. The global
-    rank is ONE total-order sort (TPC-H orders is a bounded fact
-    here; at true 100 TB the same statistic computes from per-range
-    rank offsets — sort-within-ranges plus broadcast prefix counts —
-    the standard distributed ranking shape)."""
+    rank runs as per-range rank offsets — sort-within-ranges plus
+    broadcast prefix counts (``with_global_order``,
+    operators/ordered.py, r7) — the standard distributed ranking
+    shape; no single-reducer window even at fact scale."""
+    from hcls_data_lake_spark.operators.ordered import with_global_order
+
     o = t(spark, sf_dir, "orders")
     pts = o.select(
         F.when(
@@ -977,12 +979,9 @@ def q_agg_mann_whitney(spark, sf_dir):
         F.expr("cast(round(o_totalprice * 100) as bigint)").alias("v"),
         "o_orderkey",
     )
-    from pyspark.sql.window import Window as W
-
-    ranked = pts.select(
-        "grp",
-        F.row_number().over(W.orderBy("v", "o_orderkey")).cast("bigint").alias("r"),
-    )
+    ranked = with_global_order(
+        pts, [F.col("v"), F.col("o_orderkey")], rank_col="r"
+    ).select("grp", "r")
     return ranked.agg(
         F.expr("cast(sum(case when grp = 'hi' then r else 0 end) as bigint)").alias(
             "rank_sum_hi"

@@ -1225,14 +1225,17 @@ def q_analytics_abc(spark, sf_dir):
     (revenue DESC, partkey) so equal-revenue parts class identically
     in both engines. Scale shape: the fact table pays ONE
     partial-aggregated groupBy (corpus-sized step); the global ordered
-    cumsum then runs over the PER-PART aggregate — a bounded dimension
-    relation, orders of magnitude smaller than the facts — which is
-    the only place a global window is ever acceptable, with the 1-row
-    total broadcast. The per-part aggregate is pinned with one
-    localCheckpoint so the total and the cumsum both read it instead
-    of re-scanning the facts (no cross-branch subplan sharing in
-    Spark; plan-gated to ≤1 fact scan). Output is the 3-row class
-    summary."""
+    cumsum then runs over the PER-PART aggregate via
+    ``with_global_order`` (operators/ordered.py, r7 — range-partition
+    + per-partition prefix + broadcast offsets), so even the
+    dimension-sized rank relation never collapses to a single
+    partition (it would at 100× part counts — VERDICT r6 ask #2).
+    The per-part aggregate is pinned with one localCheckpoint so the
+    total and the cumsum both read it instead of re-scanning the
+    facts (no cross-branch subplan sharing in Spark; plan-gated to ≤1
+    fact scan). Output is the 3-row class summary."""
+    from hcls_data_lake_spark.operators.ordered import with_global_order
+
     li = t(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_partkey").agg(
         F.expr(
@@ -1241,10 +1244,12 @@ def q_analytics_abc(spark, sf_dir):
         ).cast("bigint").alias("rev_c")
     ).localCheckpoint(eager=True)
     tot = rev.agg(F.sum("rev_c").cast("bigint").alias("total_c"))
-    w = Window.orderBy(F.col("rev_c").desc(), F.col("l_partkey"))
-    cum = (
-        rev.crossJoin(F.broadcast(tot))
-        .withColumn("cum_c", F.sum("rev_c").over(w).cast("bigint"))
+    cum = with_global_order(
+        rev,
+        [F.col("rev_c").desc(), F.col("l_partkey")],
+        cumsums={"cum_c": F.col("rev_c")},
+    ).withColumn("cum_c", F.col("cum_c").cast("bigint")).crossJoin(
+        F.broadcast(tot)
     )
     classed = cum.withColumn(
         "abc_class",

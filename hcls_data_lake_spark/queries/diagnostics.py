@@ -364,49 +364,41 @@ def q_diag_sequence_gaps(spark, sf_dir):
     the table. The audited sequence is the keys that reached status
     'F' (the fixture assigns ids densely, so the filtered subset is
     what a partially-landed zone looks like — exactly the audit's
-    production shape: which admitted ids are missing). Gaps-and-islands
-    over the distinct keys: a LAG marks breaks, a running sum numbers
-    the contiguous runs, and each gap is the space between adjacent
-    runs — no generate_series materialization of the full key domain
-    (the naive anti-join against a generated sequence scans the
-    domain, not the data). The global ordering is over the DISTINCT
-    key relation; range-partitioned sort at scale with run-boundary
-    stitching across partitions (merge adjacent runs at partition
-    edges) is the standard distributed form of the same island
-    algebra; top-20 selection is a deterministic
-    (n_missing DESC, gap_start) TakeOrdered."""
+    production shape: which admitted ids are missing) — no
+    generate_series materialization of the full key domain (the naive
+    anti-join against a generated sequence scans the domain, not the
+    data). Scale shape (r7): a gap is exactly a CONSECUTIVE pair of
+    present keys with difference > 1, so instead of the single-
+    reducer lag/running-sum island walk, the distinct keys get a
+    range-partitioned global rank (``with_global_order``,
+    operators/ordered.py) and each key equi-joins its successor on
+    rank+1 — a hash join on the dense rank key, never one partition
+    holding the key universe. The oracle keeps the textbook
+    gaps-and-islands spelling (same gap set by construction); top-20
+    selection is a deterministic (n_missing DESC, gap_start)
+    TakeOrdered."""
+    from hcls_data_lake_spark.operators.ordered import with_global_order
+
     o = (
         t(spark, sf_dir, "orders")
         .filter(F.col("o_orderstatus") == "F")
         .select(F.col("o_orderkey").alias("id"))
         .distinct()
     )
-    from pyspark.sql.window import Window as W
-
-    w = W.orderBy("id")
-    marked = o.withColumn(
-        "brk",
-        F.when(F.col("id") - F.lag("id").over(w) > 1, 1).otherwise(0),
+    ranked = with_global_order(o, [F.col("id")], rank_col="rk")
+    nxt = ranked.select(
+        F.col("id").alias("next_id"), (F.col("rk") - 1).alias("rk")
     )
-    isl = marked.withColumn(
-        "run_id",
-        F.sum("brk").over(w.rowsBetween(W.unboundedPreceding, 0)),
-    )
-    runs = isl.groupBy("run_id").agg(
-        F.min("id").alias("run_start"), F.max("id").alias("run_end")
-    )
-    wr = W.orderBy("run_start")
     return (
-        runs.select(
-            (F.col("run_end") + 1).cast("bigint").alias("gap_start"),
-            (F.lead("run_start").over(wr) - 1)
-            .cast("bigint")
-            .alias("gap_end"),
-            (F.lead("run_start").over(wr) - F.col("run_end") - 1)
+        ranked.join(nxt, "rk")
+        .filter(F.col("next_id") - F.col("id") > 1)
+        .select(
+            (F.col("id") + 1).cast("bigint").alias("gap_start"),
+            (F.col("next_id") - 1).cast("bigint").alias("gap_end"),
+            (F.col("next_id") - F.col("id") - 1)
             .cast("bigint")
             .alias("n_missing"),
         )
-        .filter(F.col("gap_end").isNotNull())
         .orderBy(F.col("n_missing").desc(), "gap_start")
         .limit(20)
     )

@@ -3383,8 +3383,9 @@ def q_graph_assortativity(spark, sf_dir):
     can't value-hash. Scale shape: degrees are one aggregate of the
     edge list; the decorated edges join on each endpoint (node-keyed,
     broadcastable at fixture scale, shuffle-joinable at web scale);
-    the global rank runs over EDGES of the bounded similarity graph —
-    dimension-sized relative to the corpus that induced it."""
+    both global ranks run as range-partitioned two-pass rankings
+    (``with_global_order``, operators/ordered.py, r7) so even a
+    web-scale edge list never funnels through one reducer."""
     p = _near_pairs_cached(spark, sf_dir, ngram=2, threshold=0.08)
     e = p.selectExpr("doc_a as src", "doc_b as dst").unionByName(
         p.selectExpr("doc_b as src", "doc_a as dst")
@@ -3397,18 +3398,14 @@ def q_graph_assortativity(spark, sf_dir):
             deg.selectExpr("node as src", "d as d_src"), "src"
         ).join(deg.selectExpr("node as dst", "d as d_dst"), "dst")
     )
-    from pyspark.sql.window import Window as W
+    from hcls_data_lake_spark.operators.ordered import with_global_order
 
-    ranked = ed.select(
-        F.row_number()
-        .over(W.orderBy("d_src", "src", "dst"))
-        .cast("bigint")
-        .alias("rx"),
-        F.row_number()
-        .over(W.orderBy("d_dst", "src", "dst"))
-        .cast("bigint")
-        .alias("ry"),
+    ranked = with_global_order(
+        ed, [F.col("d_src"), F.col("src"), F.col("dst")], rank_col="rx"
     )
+    ranked = with_global_order(
+        ranked, [F.col("d_dst"), F.col("src"), F.col("dst")], rank_col="ry"
+    ).select("rx", "ry")
     return ranked.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_dir_edges"),
         F.expr(
@@ -3782,22 +3779,21 @@ def q_pack_shards(spark, sf_dir):
     in) is chosen over greedy close-when-full precisely because it is
     order-deterministic, engine-reproducible, and — unlike greedy —
     PARALLELIZABLE: shard membership is a pure function of the
-    prefix sum, so at 100 TB the running sum distributes as the
-    classic two-pass scan (per-partition totals, broadcast the
-    per-partition offsets, then each partition places its rows
-    locally) instead of a sequential packer. Emits the shard
+    prefix sum, and the running sum IS the classic two-pass scan —
+    ``with_global_order`` (operators/ordered.py, r7): range-partition
+    by doc_id, per-partition totals, broadcast prefix offsets, local
+    placement; no single-reducer window. Emits the shard
     manifest (doc ranges + sizes), which is also the loader's index
     file. Companion to q_pack_sequences (token-level packing for
     training batches; this is file-level packing for storage)."""
+    from hcls_data_lake_spark.operators.ordered import with_global_order
+
     d = t(spark, sf_dir, "documents").select(
         "doc_id", F.expr("cast(n_chars as bigint)").alias("n")
     )
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    placed = d.select(
-        "doc_id",
-        "n",
-        (F.sum("n").over(w) - F.col("n")).alias("start_off"),
-    )
+    placed = with_global_order(
+        d, [F.col("doc_id")], cumsums={"csum": F.col("n")}
+    ).withColumn("start_off", F.col("csum") - F.col("n"))
     return placed.groupBy(
         F.expr("cast(start_off div 4096 as bigint)").alias("shard_id")
     ).agg(

@@ -29,20 +29,27 @@ def q_sort_multi(spark, sf_dir):
 
     The sort is observable in the output via a global row_number, so the
     order-insensitive hash still verifies ordering semantics.
-    """
-    from pyspark.sql.window import Window
 
-    c = t(spark, sf_dir, "customer")
-    w = Window.orderBy(
-        F.col("c_mktsegment").asc(),
-        F.col("c_acctbal").desc_nulls_last(),
-        F.col("c_custkey").asc(),
+    Scale shape (r7, VERDICT r6 ask #2): the rank is NOT a bare
+    ``Window.orderBy`` (which funnels the whole relation through one
+    partition) — ``with_global_order`` range-partitions on the sort
+    keys and derives the rank as per-partition offset + local index,
+    so the only corpus shuffle is the range partitioning itself and no
+    WindowExec ever sees more than one range bucket
+    (operators/ordered.py)."""
+    from hcls_data_lake_spark.operators.ordered import with_global_order
+
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
     )
-    return c.select(
-        "c_custkey",
-        "c_mktsegment",
-        "c_acctbal",
-        F.row_number().over(w).cast("bigint").alias("rank_in_listing"),
+    return with_global_order(
+        c,
+        [
+            F.col("c_mktsegment").asc(),
+            F.col("c_acctbal").desc_nulls_last(),
+            F.col("c_custkey").asc(),
+        ],
+        rank_col="rank_in_listing",
     )
 
 

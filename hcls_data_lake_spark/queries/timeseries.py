@@ -1943,11 +1943,17 @@ def q_ts_sprt(spark, sf_dir):
     steps make the walk, the boundary comparison, and the decision
     engine-exact.
 
-    Plan: one window cumsum over the trial order (single shuffle),
-    a conditional-min aggregate for the first crossing, two
-    point lookups. 100 TB: per-variant walks partition the window
-    by experiment arm; the global order here is the degenerate
-    1-arm case of that."""
+    Plan (r7, VERDICT r6 ask #2): the walk is range-partitioned by
+    trial time via ``with_global_order`` (operators/ordered.py) — the
+    global index comes from per-partition offsets and the running LLR
+    from per-partition prefix sums + carried partition offsets, so
+    the inherently-sequential walk is computed without ever moving
+    all trials to one reducer. A conditional-min aggregate finds the
+    first crossing; two point lookups finish. 100 TB: per-variant
+    walks would additionally partition by experiment arm; the carried
+    prefix decomposition here is the 1-arm case."""
+    from hcls_data_lake_spark.operators.ordered import with_global_order
+
     tr = (
         t(spark, sf_dir, "events")
         .filter("event_type = 'purchase'")
@@ -1959,13 +1965,13 @@ def q_ts_sprt(spark, sf_dir):
             ).alias("step"),
         )
     )
-    w = Window.orderBy("ts_ns", "event_id")
-    walk = tr.select(
-        F.row_number().over(w).alias("idx"),
-        F.sum("step")
-        .over(w.rowsBetween(Window.unboundedPreceding, 0))
-        .alias("llr"),
-    ).localCheckpoint()  # crossing agg + 2 point lookups share it
+    walk = with_global_order(
+        tr,
+        [F.col("ts_ns"), F.col("event_id")],
+        rank_col="idx",
+        cumsums={"llr": F.col("step")},
+    ).select("idx", "llr").localCheckpoint()
+    # crossing agg + 2 point lookups share the pinned walk
     agg = walk.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_trials"),
         F.min(

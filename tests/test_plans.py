@@ -357,6 +357,107 @@ _BNLJ_ALLOWED = {
 }
 
 
+# Queries whose plan INTENDS an unpartitioned Window over a relation
+# bounded by something other than the data — calendar days (the events
+# fixture spans 30 days; at scale these are still date-domain
+# relations), a value domain, or a literal spec. Everything
+# corpus/fact/edge-shaped was migrated to
+# operators.ordered.with_global_order in r7 (VERDICT r6 ask #2):
+# q_sort_multi, q_analytics_abc, q_ts_sprt, q_pack_shards,
+# q_agg_mann_whitney, q_graph_assortativity, q_diag_sequence_gaps.
+_GLOBAL_WINDOW_ALLOWED = {
+    "q_agg_ks_test",            # cumulative over DISTINCT cents values
+    #                             (value domain, ≤37k rows)
+    "q_analytics_chi_square",   # ordered by nation (25-row domain)
+    "q_analytics_rfm",          # scalar max over the per-customer agg
+    #                             (frameless window, no ordered funnel)
+    "q_analytics_survival",     # churn-horizon day domain
+    "q_diag_benford",           # 9-row leading-digit domain
+    "q_diag_volume_anomaly",    # daily calendar series
+    "q_sample_class_balance",   # label-domain class counts
+    "q_sample_neyman",          # strata-domain allocation
+    "q_sample_quota_mix",       # 5-row literal language spec
+    "q_text_vocab_coverage",    # vocabulary relation (post-aggregate,
+    #                             sublinear in corpus; plan-gated above)
+    "q_ts_backtest_naive",      # daily calendar series
+    "q_ts_drawdown",            # daily calendar series
+    "q_ts_rank_autocorr",       # daily calendar series
+    "q_ts_rolling_zscore",      # daily calendar series
+    "q_ts_runs_test",           # daily calendar series
+    "q_ts_sma_crossover",       # daily calendar series
+    "q_ts_spearman",            # daily calendar series
+    "q_ts_theil_sen",           # daily calendar series
+}
+
+
+def test_plan_lint_no_unbounded_global_windows(spark, sf_dir):
+    """Registry-wide: no batch query may plan a Window fed by an
+    Exchange SinglePartition (every row through one reducer) unless it
+    is on the audited bounded-relation allowlist above. The scale-safe
+    alternative for corpus-shaped total orders is
+    operators.ordered.with_global_order (range-partition + broadcast
+    prefix offsets); its internal ≤num_partitions offsets window is
+    recognized and exempt. Every future query is linted automatically
+    by being registered."""
+    from hcls_data_lake_spark.plans import global_windows
+
+    qs = registry.queries()
+    failures = []
+    for name, fn in sorted(qs.items()):
+        if name.startswith("q_stream_") or name in _GLOBAL_WINDOW_ALLOWED:
+            continue
+        hits = global_windows(fn(spark, sf_dir))
+        failures.extend(f"{name}: {h}" for h in hits)
+    assert not failures, "\n".join(failures)
+
+
+def test_with_global_order_matches_single_partition_window(spark):
+    """The two-pass rank/cumsum must be value-identical to the naive
+    single-partition window, including ties broken by the key,
+    descending orders, and partitions that end up empty."""
+    from pyspark.sql.window import Window
+
+    from hcls_data_lake_spark.operators.ordered import with_global_order
+
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 97).alias("k"),
+        ((F.col("id") * 31) % 11).alias("v"),
+        F.col("id"),
+    )
+    order = [F.col("v").desc(), F.col("k").asc(), F.col("id").asc()]
+    got = (
+        with_global_order(
+            df,
+            order,
+            rank_col="rnk",
+            cumsums={"cs": F.col("k")},
+            num_partitions=7,
+        )
+        .select("id", "rnk", "cs")
+        .collect()
+    )
+    w = Window.orderBy(*order)
+    want = (
+        df.select(
+            "id",
+            F.row_number().over(w).cast("bigint").alias("rnk"),
+            F.sum("k")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("cs"),
+        )
+        .collect()
+    )
+    assert sorted((r.id, r.rnk, r.cs) for r in got) == sorted(
+        (r.id, r.rnk, r.cs) for r in want
+    )
+    # degenerate: fewer rows than partitions
+    tiny = spark.range(0, 3).select(F.col("id"))
+    got_tiny = with_global_order(
+        tiny, [F.col("id").desc()], rank_col="r", num_partitions=8
+    ).collect()
+    assert sorted((r.id, r.r) for r in got_tiny) == [(0, 3), (1, 2), (2, 1)]
+
+
 def test_plan_lint_no_cartesian_no_rowwise_python(spark, sf_dir):
     """Registry-wide plan lint: NO batch query may plan a
     CartesianProduct (two big relations crossing without broadcast) or
