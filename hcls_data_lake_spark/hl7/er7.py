@@ -226,7 +226,14 @@ def _parse_rep(raw: str, dt: str | None = None) -> object:
     into components keyed by the field's datatype short name (``XPN_1``,
     ``CX_1``, ... — hl7apy's spelling, inherited by the reference via
     child_element.name at parse_er7_lambda.py:41), falling back to
-    synthetic ``C<n>`` for fields outside the vendored table."""
+    synthetic ``C<n>`` for fields outside the vendored table.
+
+    A KNOWN-composite field with a single component still emits the
+    one-key dict (``{"CE_1": value}``): hl7apy instantiates the first
+    component child regardless of whether a ``^`` appeared on the
+    wire, so the reference's recursion serializes it as a dict
+    (VERDICT r6 ask #4 — the COVERAGE caveat-3 residual). Fields with
+    UNKNOWN datatype stay data-driven: no ``^`` -> plain string."""
     if dt in PRIMITIVE_TYPES:
         return _leaf(raw)
     if COMP_SEP in raw:
@@ -238,7 +245,9 @@ def _parse_rep(raw: str, dt: str | None = None) -> object:
             )
             for i, c in enumerate(raw.split(COMP_SEP))
         }
-    return _parse_component(raw, component_datatype(dt, 1))
+    if dt is not None:
+        return {f"{dt}_1": _parse_component(raw, component_datatype(dt, 1))}
+    return _parse_component(raw, None)
 
 
 def _parse_component(raw: str, comp_dt: str | None) -> object:

@@ -75,6 +75,18 @@ SEGMENT_CARDINALITY: dict[str, int | None] = {
     "AIP": None,
     # medical document management (MDM) family
     "TXA": 1,
+    # r7 grammar-breadth families (VERDICT r6 ask #3): acknowledgment
+    # (ACK), general order (ORM_O01), vaccination update (VXU_V04)
+    "MSA": 1,
+    "ERR": None,
+    "RQD": 1,   # max-1 inside ORM_O01's order-detail CHOICE
+    "RQ1": 1,
+    "RXO": 1,
+    "ODS": None,  # dietary orders repeat inside the CHOICE
+    "ODT": None,
+    "BLG": 1,
+    "RXA": 1,   # max-1 within VXU_V04's repeating ORDER group
+    "RXR": 1,
 }
 
 
@@ -101,6 +113,12 @@ FIELD_REPEATABLE: dict[str, frozenset[int]] = {
     "AL1": frozenset({5}),
     "GT1": frozenset({2, 3, 5, 6, 7}),
     "IN1": frozenset({3, 4, 5, 6, 7, 16, 19}),
+    # r7 families (HL7 v2.5 field definitions)
+    "ERR": frozenset({1, 2}),
+    "RXA": frozenset({9, 10, 17, 18, 19}),
+    "RXO": frozenset({6, 7}),
+    "ODS": frozenset({2, 3, 4}),
+    "ODT": frozenset({2}),
 }
 
 
@@ -163,6 +181,19 @@ EVENT_STRUCTURE: dict[str, str] = {
     "MDM_T04": "MDM_T02",
     "MDM_T08": "MDM_T02",
     "MDM_T11": "MDM_T02",
+    # r7 families (VERDICT r6 ask #3): general order — O01 covers the
+    # ORM order events in v2.5 — and vaccination update
+    "ORM_O01": "ORM_O01",
+    "VXU_V04": "VXU_V04",
+    # ACK is trigger-agnostic (ACK^A01, ACK^R01, ... all share the
+    # 3-segment ACK structure); structure_for special-cases the type,
+    # these rows cover senders that spell the trigger without MSH-9.3
+    "ACK_A01": "ACK",
+    "ACK_A04": "ACK",
+    "ACK_A08": "ACK",
+    "ACK_R01": "ACK",
+    "ACK_O01": "ACK",
+    "ACK_V04": "ACK",
 }
 
 _ADT_A01_SEGS: dict[str, int | None] = {
@@ -208,6 +239,22 @@ STRUCTURE_SEGMENT_CARDINALITY: dict[str, dict[str, int | None]] = {
         "MSH": 1, "SFT": None, "EVN": 1, "PID": 1, "PV1": 1,
         "ORC": 1, "TQ1": 1, "TQ2": None, "OBR": 1, "NTE": None,
         "TXA": 1, "OBX": 1,
+    },
+    # r7 grammar-breadth structures (VERDICT r6 ask #3; flat views of
+    # the trees below, max card WITHIN THE IMMEDIATE PARENT)
+    "ACK": {"MSH": 1, "SFT": None, "MSA": 1, "ERR": None},
+    "ORM_O01": {
+        "MSH": 1, "NTE": None, "PID": 1, "PD1": 1, "PV1": 1, "PV2": 1,
+        "IN1": 1, "IN2": 1, "IN3": 1, "GT1": 1, "AL1": None,
+        "ORC": 1, "OBR": 1, "RQD": 1, "RQ1": 1, "RXO": 1,
+        "ODS": None, "ODT": None, "CTD": 1, "DG1": None, "OBX": 1,
+        "FT1": None, "CTI": None, "BLG": 1,
+    },
+    "VXU_V04": {
+        "MSH": 1, "SFT": None, "PID": 1, "PD1": 1, "NK1": None,
+        "PV1": 1, "PV2": 1, "GT1": None, "IN1": 1, "IN2": 1, "IN3": 1,
+        "ORC": 1, "TQ1": 1, "TQ2": None, "RXA": 1, "RXR": 1,
+        "OBX": 1, "NTE": None,
     },
     "ORU_R01": {
         "MSH": 1, "SFT": None, "PID": 1, "PD1": 1, "NTE": None,
@@ -343,6 +390,85 @@ STRUCTURE_TREES: dict[str, tuple] = {
         _S("TXA", 1),
         ("MDM_T02_OBSERVATION", None, (_S("OBX", 1), _S("NTE", None))),
     ),
+    # r7 grammar-breadth structures (HL7 v2.5 abstract definitions)
+    "ACK": (_S("MSH", 1), _S("SFT", None), _S("MSA", 1), _S("ERR", None)),
+    "ORM_O01": (
+        _S("MSH", 1), _S("NTE", None),
+        (
+            "ORM_O01_PATIENT",
+            1,
+            (
+                _S("PID", 1), _S("PD1", 1), _S("NTE", None),
+                (
+                    "ORM_O01_PATIENT_VISIT",
+                    1,
+                    (_S("PV1", 1), _S("PV2", 1)),
+                ),
+                (
+                    "ORM_O01_INSURANCE",
+                    None,
+                    (_S("IN1", 1), _S("IN2", 1), _S("IN3", 1)),
+                ),
+                _S("GT1", 1), _S("AL1", None),
+            ),
+        ),
+        (
+            "ORM_O01_ORDER",
+            None,
+            (
+                _S("ORC", 1),
+                (
+                    "ORM_O01_ORDER_DETAIL",
+                    1,
+                    (
+                        # the OBR/RQD/RQ1/RXO/ODS/ODT alternation
+                        # (hl7apy's CHOICE group)
+                        (
+                            "ORM_O01_CHOICE",
+                            1,
+                            (
+                                _S("OBR", 1), _S("RQD", 1), _S("RQ1", 1),
+                                _S("RXO", 1), _S("ODS", None),
+                                _S("ODT", None),
+                            ),
+                        ),
+                        _S("NTE", None), _S("CTD", 1), _S("DG1", None),
+                        (
+                            "ORM_O01_OBSERVATION",
+                            None,
+                            (_S("OBX", 1), _S("NTE", None)),
+                        ),
+                    ),
+                ),
+                _S("FT1", None), _S("CTI", None), _S("BLG", 1),
+            ),
+        ),
+    ),
+    "VXU_V04": (
+        _S("MSH", 1), _S("SFT", None), _S("PID", 1), _S("PD1", 1),
+        _S("NK1", None),
+        ("VXU_V04_PATIENT", 1, (_S("PV1", 1), _S("PV2", 1))),
+        _S("GT1", None),
+        (
+            "VXU_V04_INSURANCE",
+            None,
+            (_S("IN1", 1), _S("IN2", 1), _S("IN3", 1)),
+        ),
+        (
+            "VXU_V04_ORDER",
+            None,
+            (
+                _S("ORC", 1),
+                ("VXU_V04_TIMING", None, (_S("TQ1", 1), _S("TQ2", None))),
+                _S("RXA", 1), _S("RXR", 1),
+                (
+                    "VXU_V04_OBSERVATION",
+                    None,
+                    (_S("OBX", 1), _S("NTE", None)),
+                ),
+            ),
+        ),
+    ),
     "ORU_R01": (
         _S("MSH", 1), _S("SFT", None),
         (
@@ -428,6 +554,10 @@ def structure_for(message_type: str, trigger: str, explicit: str | None) -> str 
     then falls back to the union table)."""
     if explicit:
         return explicit if explicit in STRUCTURE_SEGMENT_CARDINALITY else None
+    if message_type == "ACK":
+        # general acknowledgment: one structure for every trigger
+        # (v2.5 ch.2 — the ACK is defined once, echoed per event)
+        return "ACK"
     return EVENT_STRUCTURE.get(f"{message_type}_{trigger}")
 
 
@@ -487,6 +617,27 @@ FIELD_DATATYPE: dict[str, dict[int, str]] = {
             9: "XCN", 10: "XCN", 11: "XCN", 12: "EI", 13: "EI",
             14: "EI", 15: "EI", 16: "ST", 17: "ID", 18: "ID",
             22: "PPN", 23: "XCN"},
+    # r7 families (ACK / ORM_O01 / VXU_V04 — HL7 v2.5 definitions,
+    # high-traffic fields; unlisted fields keep the C<n> fallback)
+    "MSA": {1: "ID", 2: "ST", 3: "ST", 4: "NM", 6: "CE"},
+    "ERR": {1: "ELD", 2: "ERL", 3: "CWE", 4: "ID", 5: "CWE"},
+    "ORC": {1: "ID", 2: "EI", 3: "EI", 4: "EI", 5: "ID", 7: "TQ",
+            8: "EIP", 9: "TS", 10: "XCN", 11: "XCN", 12: "XCN",
+            13: "PL", 14: "XTN", 15: "TS", 16: "CE", 17: "CE",
+            18: "CE", 19: "XCN", 21: "XON"},
+    "RXA": {1: "NM", 2: "NM", 3: "TS", 4: "TS", 5: "CE", 6: "NM",
+            7: "CE", 9: "CE", 10: "XCN", 15: "ST", 17: "CE",
+            18: "CE", 19: "CE", 20: "ID", 21: "ID", 22: "TS"},
+    "RXR": {1: "CE", 2: "CWE", 3: "CE", 4: "CE", 5: "CE"},
+    "RXO": {1: "CE", 2: "NM", 3: "NM", 4: "CE", 5: "CE", 6: "CE",
+            7: "CE", 9: "ID", 10: "NM", 11: "CE"},
+    "RQD": {1: "SI", 2: "CE", 3: "CE", 4: "CE", 5: "NM", 6: "CE",
+            7: "IS", 8: "IS", 9: "ID", 10: "DT"},
+    "RQ1": {1: "ST", 2: "CE", 3: "ST", 4: "CE", 5: "ST", 6: "ID",
+            7: "ID"},
+    "ODS": {1: "ID", 2: "CE", 3: "CE", 4: "ST"},
+    "ODT": {1: "CE", 2: "CE", 3: "ST"},
+    "BLG": {1: "CCD", 2: "ID", 3: "CX"},
 }
 
 # ---------------------------------------------------------------------
@@ -543,6 +694,10 @@ COMPONENT_DATATYPE: dict[str, dict[int, str]] = {
     "SAD": {1: "ST", 2: "ST", 3: "ST"},
     "MO": {1: "NM", 2: "ID"},
     "SN": {1: "ST", 2: "NM", 3: "ST", 4: "NM"},
+    # r7 (ERR/BLG support)
+    "ELD": {1: "ST", 2: "NM", 3: "NM", 4: "CE"},
+    "ERL": {1: "ST", 2: "NM", 3: "NM", 4: "NM", 5: "NM", 6: "NM"},
+    "CCD": {1: "ID", 2: "TS"},
 }
 
 

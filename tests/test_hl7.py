@@ -69,7 +69,10 @@ def test_component_and_repetition_shape():
                   "PID|1||id1~id2||Last^First")
     )
     pid = doc["PID"]
-    assert pid["PID_3"] == ["id1", "id2"]          # ~ repetition -> list
+    # ~ repetition -> list; CX is a KNOWN composite, so each singleton
+    # repetition is the one-key dict hl7apy serializes (r7, VERDICT r6
+    # ask #4 — single-component composite collapse closed)
+    assert pid["PID_3"] == [{"CX_1": "id1"}, {"CX_1": "id2"}]
     # PID-5 is grammar-repeatable: singleton still wraps in a list
     # (field-level analog of parse_er7_lambda.py:57-65); components
     # carry the field datatype's names (XPN), hl7apy's key spelling
@@ -81,8 +84,9 @@ def test_empty_field_quirk_unwrapped():
     doc = json.loads(
         parse_er7('MSH|^~\\&|A|B|C|D|20240101||ADT^A01|1|P|2.5\rPID|1||X||""')
     )
-    # unwrapped inside PID-5's grammar-driven repetition list
-    assert doc["PID"]["PID_5"] == [""]
+    # unwrapped inside PID-5's grammar-driven repetition list (XPN is
+    # a known composite -> one-key dict even for the empty quirk)
+    assert doc["PID"]["PID_5"] == [{"XPN_1": ""}]
 
 
 def test_junk_routes_to_none():
@@ -105,8 +109,9 @@ def test_subcomponents():
     ][0]["OBX"]
     # OBX-3 is CE whose first component is ST — a PRIMITIVE leaf, so the
     # unescaped '&' survives verbatim (hl7apy's leaf-value behavior; the
-    # lab01 '93000&PTL' case)
-    assert obx["OBX_3"] == "X&Y&Z"
+    # lab01 '93000&PTL' case), wrapped in the CE's one-key component
+    # dict (single-component composite, VERDICT r6 ask #4)
+    assert obx["OBX_3"] == {"CE_1": "X&Y&Z"}
     # unknown segment/field: subcomponents keep the synthetic S<n>
     # fallback so structure is never lost outside the vendored grammar
     zzz = doc["ZZZ"][0]
@@ -142,14 +147,15 @@ def test_field_level_repetition_shape_on_corpus():
     stable whether the sender repeated the field or not."""
     by_name = dict(MESSAGES)
 
-    # adt02: PID-13 home phone appears once -> one-element list
+    # adt02: PID-13 home phone appears once -> one-element list whose
+    # element is the XTN composite's one-key dict (r7 composite fix)
     adt02 = json.loads(parse_er7(by_name["adt02.txt#0"]))
-    assert adt02["PID"]["PID_13"] == ["(157)983-3296"]
+    assert adt02["PID"]["PID_13"] == [{"XTN_1": "(157)983-3296"}]
     # PID-3 single MRN -> list; PID-5 single name -> list of comp-dict
-    assert adt02["PID"]["PID_3"] == ["000395122"]
+    assert adt02["PID"]["PID_3"] == [{"CX_1": "000395122"}]
     assert adt02["PID"]["PID_5"][0]["XPN_1"] == "LEVERKUHN"
     # NK1-5 single contact phone -> list (inside the NK1 segment list)
-    assert adt02["NK1"][0]["NK1_5"] == ["(157)883-6176"]
+    assert adt02["NK1"][0]["NK1_5"] == [{"XTN_1": "(157)883-6176"}]
 
     # adt03 second PID carries FOUR PID-13 repetitions -> list of 4
     athena = next(
@@ -484,11 +490,11 @@ def test_siu_scheduling_structure_nests():
     assert parse_er7(msg, strict=True) is not None
     doc = json.loads(parse_er7(msg))
     assert isinstance(doc["SCH"], dict)
-    assert doc["SIU_S12_PATIENT"][0]["PID"]["PID_3"] == ["42"]
+    assert doc["SIU_S12_PATIENT"][0]["PID"]["PID_3"] == [{"CX_1": "42"}]
     res = doc["SIU_S12_RESOURCES"][0]
     assert isinstance(res["RGS"], dict)
     svc = res["SIU_S12_SERVICE"][0]
-    assert svc["AIS"]["AIS_3"] == "EXAM"
+    assert svc["AIS"]["AIS_3"] == {"CE_1": "EXAM"}
     assert svc["NTE"][0]["NTE_3"] == ["bring records"]
     # AIP-3 is an XCN: components carry hl7apy's datatype spelling
     assert res["SIU_S12_PERSONNEL_RESOURCE"][0]["AIP"]["AIP_3"] == {
@@ -585,3 +591,89 @@ def test_strict_rejects_duplicated_singleton():
     # lenient: data wins, the duplicate demotes the dict to a list
     doc = json.loads(parse_er7(msg))
     assert isinstance(doc["PID"], list) and len(doc["PID"]) == 2
+
+
+def test_ack_structure_nests():
+    """ACK (r7, VERDICT r6 ask #3): the general acknowledgment shares
+    one 3-segment structure across every trigger — MSA max-1 dict,
+    ERR repeatable list — resolved from the ACK message type alone
+    (no per-trigger map entry needed)."""
+    msg = (
+        "MSH|^~\\&|HIS|FAC|LAKE|DC|20240101||ACK^A01|9|P|2.5\r"
+        "MSA|AE|42\r"
+        "ERR|1^Seq error\r"
+        "ERR|2"
+    )
+    assert parse_er7(msg, strict=True) is not None
+    doc = json.loads(parse_er7(msg))
+    assert isinstance(doc["MSA"], dict)
+    assert doc["MSA"]["MSA_1"] == "AE"  # ID primitive -> leaf
+    assert isinstance(doc["ERR"], list) and len(doc["ERR"]) == 2
+    # ERR-1 is grammar-repeatable ELD: singleton -> one-element list,
+    # components named by the ELD datatype
+    assert doc["ERR"][0]["ERR_1"] == [{"ELD_1": "1", "ELD_2": "Seq error"}]
+
+
+def test_orm_order_structure_nests():
+    """ORM_O01 (r7): patient group max-1 (dict), repeating ORDER
+    groups each holding ORC + an ORDER_DETAIL whose CHOICE carries
+    the alternation (OBR for a lab order, RXO for a pharmacy order),
+    with NTE/DG1/OBSERVATION nesting inside the detail — the other
+    half of the ORU round-trip the reference's lab corpus implies."""
+    msg = (
+        "MSH|^~\\&|CPOE|FAC|LIS|FAC|20240101||ORM^O01|77|P|2.5\r"
+        "PID|1||4711\r"
+        "PV1|1|O\r"
+        "ORC|NW|ORD1\r"
+        "OBR|1|ORD1||93000^EKG\r"
+        "NTE|1||stat\r"
+        "DG1|1||I10^Hypertension\r"
+        "OBX|1|NM|8867-4^HR||72\r"
+        "ORC|NW|ORD2\r"
+        "RXO|DRUG^Aspirin|325||MG"
+    )
+    assert parse_er7(msg, strict=True) is not None
+    doc = json.loads(parse_er7(msg))
+    pat = doc["ORM_O01_PATIENT"]
+    assert isinstance(pat, dict)
+    assert pat["PID"]["PID_3"] == [{"CX_1": "4711"}]
+    assert pat["ORM_O01_PATIENT_VISIT"]["PV1"]["PV1_2"] == "O"
+    orders = doc["ORM_O01_ORDER"]
+    assert isinstance(orders, list) and len(orders) == 2
+    d0 = orders[0]["ORM_O01_ORDER_DETAIL"]
+    assert d0["ORM_O01_CHOICE"]["OBR"]["OBR_4"]["CE_1"] == "93000"
+    assert isinstance(d0["NTE"], list) and isinstance(d0["DG1"], list)
+    obs = d0["ORM_O01_OBSERVATION"]
+    assert len(obs) == 1 and obs[0]["OBX"]["OBX_5"] == ["72"]  # NM leaf (repeatable field)
+    d1 = orders[1]["ORM_O01_ORDER_DETAIL"]
+    assert d1["ORM_O01_CHOICE"]["RXO"]["RXO_1"]["CE_2"] == "Aspirin"
+
+
+def test_vxu_vaccination_structure_nests():
+    """VXU_V04 (r7): repeating ORDER groups each carrying the RXA
+    administration record (+RXR route, +OBSERVATION list), with OBX-5
+    typed by OBX-2 inside the group exactly as at top level."""
+    msg = (
+        "MSH|^~\\&|EHR|FAC|IIS|STATE|20240101||VXU^V04|55|P|2.5\r"
+        "PID|1||777\r"
+        "ORC|RE|VAX1\r"
+        "RXA|0|1|20240101|20240101|08^HepB^CVX|0.5|mL^mL\r"
+        "RXR|IM^Intramuscular\r"
+        "OBX|1|CE|30963-0^Funding source||VXC50\r"
+        "ORC|RE|VAX2\r"
+        "RXA|0|1|20240101|20240101|141^Influenza^CVX|0.5|mL^mL"
+    )
+    assert parse_er7(msg, strict=True) is not None
+    doc = json.loads(parse_er7(msg))
+    assert isinstance(doc["PID"], dict)
+    orders = doc["VXU_V04_ORDER"]
+    assert isinstance(orders, list) and len(orders) == 2
+    o0 = orders[0]
+    assert o0["RXA"]["RXA_5"]["CE_1"] == "08"
+    assert o0["RXA"]["RXA_5"]["CE_3"] == "CVX"
+    assert o0["RXR"]["RXR_1"]["CE_1"] == "IM"
+    obs = o0["VXU_V04_OBSERVATION"]
+    # OBX-5 typed CE via OBX-2; single component -> one-key dict,
+    # wrapped by OBX-5's field-level repeatability
+    assert obs[0]["OBX"]["OBX_5"] == [{"CE_1": "VXC50"}]
+    assert orders[1]["RXA"]["RXA_5"]["CE_1"] == "141"
