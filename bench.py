@@ -254,6 +254,8 @@ EXTENDED = [
     "q_text_pmi",             # exact-lift windowed collocations (r5)
     "q_diag_key_uniqueness",  # PK-violation census pre-flight (r5)
     "q_sample_importance_weights",  # exact-ESS domain reweighting (r5)
+    "q_pipeline_ingest_encoding",  # per-row declared-charset decode (r7)
+    "q_pipeline_versions",    # versioned-bucket history + latest (r7)
 ]
 
 

@@ -213,6 +213,29 @@ def read_version(
     return spark.read.schema(schema).parquet(*paths)
 
 
+def read_commit_delta(spark, root: str, version: int):
+    """The rows ADDED by commit ``version`` alone — the manifest diff
+    against ``version - 1`` (append commits only ever add files, so
+    the file-list difference IS the commit's delta). This is the
+    per-commit CDC read a versioned bucket serves ("what did PUT #n
+    write"), planned from O(#files) metadata with no data-side
+    filtering (r7, q_pipeline_versions)."""
+    from pyspark.sql.types import StructType
+
+    vs = versions(root)
+    if version not in vs:
+        raise FileNotFoundError(f"version {version} not in {vs}")
+    m = _load(root, version)
+    prev = set(_load(root, version - 1)["files"]) if version - 1 in vs else set()
+    schema = StructType.fromJson(m["schema"])
+    files = [f for f in m["files"] if f not in prev]
+    if not files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(
+        *[os.path.join(root, f) for f in files]
+    )
+
+
 def _may_match(file_stats: dict, prune: dict) -> bool:
     for col, (lo, hi) in prune.items():
         if col not in file_stats:

@@ -11,9 +11,47 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def decode_base64(df: DataFrame, b64_col: str = "msg_b64", out_col: str = "msg") -> DataFrame:
-    """A2: base64-decode the wire payload (front_door_lambda.py:76-79)."""
-    return df.withColumn(out_col, F.unbase64(F.col(b64_col)).cast("string"))
+# Python-codec spellings senders actually declare -> Java charset
+# names (Charset.forName rejects Python's 'latin-1' hyphenation).
+_CHARSET_ALIASES: dict[str, str] = {
+    "latin-1": "ISO-8859-1",
+    "latin1": "ISO-8859-1",
+    "iso-8859-1": "ISO-8859-1",
+    "utf-8": "UTF-8",
+    "utf8": "UTF-8",
+    "": "UTF-8",
+    "ascii": "US-ASCII",
+    "us-ascii": "US-ASCII",
+    "utf-16": "UTF-16",
+}
+
+
+def decode_base64(
+    df: DataFrame,
+    b64_col: str = "msg_b64",
+    out_col: str = "msg",
+    encoding_col: str | None = None,
+) -> DataFrame:
+    """A2: base64-decode the wire payload with the sender's DECLARED
+    character encoding (front_door_lambda.py:76-79 reads the message's
+    ``encoding`` field and decodes with it; UTF-8 when absent — r7,
+    VERDICT r6 ask #5). ``encoding_col`` names the per-row declared
+    encoding; Python codec spellings normalize to Java charset names
+    and unknown declarations pass through upper-cased (a bad charset
+    fails the row, the reference's 4xx path). Without ``encoding_col``
+    the legacy UTF-8-only behavior is preserved. Stays in codegen:
+    ``decode``'s charset argument is a per-row expression."""
+    if encoding_col is None:
+        return df.withColumn(out_col, F.unbase64(F.col(b64_col)).cast("string"))
+    enc = F.lower(F.coalesce(F.col(encoding_col), F.lit("utf-8")))
+    chain = None
+    for alias, charset in _CHARSET_ALIASES.items():
+        cond = enc == alias
+        chain = F.when(cond, charset) if chain is None else chain.when(cond, charset)
+    tmp = df.withColumn("_charset", chain.otherwise(F.upper(enc)))
+    return tmp.withColumn(
+        out_col, F.expr(f"decode(unbase64(`{b64_col}`), _charset)")
+    ).drop("_charset")
 
 
 def authz_write_gate(df: DataFrame, claim_col: str = "writer_institution") -> DataFrame:

