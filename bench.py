@@ -256,6 +256,7 @@ EXTENDED = [
     "q_sample_importance_weights",  # exact-ESS domain reweighting (r5)
     "q_pipeline_ingest_encoding",  # per-row declared-charset decode (r7)
     "q_pipeline_versions",    # versioned-bucket history + latest (r7)
+    "q_embed_recall_ivfpq",   # compressed-path ADC+rerank audit (r7)
 ]
 
 

@@ -206,6 +206,7 @@ _FAMILY_REPRESENTATIVES = [
     # r7 additions (never sampled; r8 queue)
     "q_pipeline_ingest_encoding",
     "q_pipeline_versions",
+    "q_embed_recall_ivfpq",
     # -- already driver-sampled (r1-r6), most recent rotation first --
     "q_analytics_basket_pairs",
     "q_analytics_skyline",
