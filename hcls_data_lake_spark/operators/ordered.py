@@ -22,11 +22,16 @@ corpus at 100 TB. This module is the two-pass distributed alternative
    range-bucket id, so its partitions are exactly the range partitions
    — bounded and balanced, never a single reducer).
 
-The relation is pinned with one eager ``localCheckpoint`` so the
+The relation is pinned with one lazy ``localCheckpoint`` so the
 offsets aggregate and the final projection read the same materialized
-rows (``monotonically_increasing_id`` is evaluation-order-dependent;
-the checkpoint also keeps the source from being scanned twice). That
-materialization is the same cost any distributed sort already pays.
+rows. The pin is LOAD-BEARING, not belt-and-braces: without it the
+two branches each recompute the range exchange and can draw DIFFERENT
+partition boundaries (measured: a rank checksum diverged), which
+silently mis-ranks rows near boundary keys. Lazy (not eager) because
+both consumers sit in one final plan — the first action materializes
+the checkpoint in-flight, saving the separate eager job (~0.03 s/call
+at fixture scale). The materialization itself is the same cost any
+distributed sort already pays.
 """
 
 from __future__ import annotations
@@ -70,7 +75,7 @@ def with_global_order(
         .withColumn(
             "_gpid", F.shiftrightunsigned(F.col("_gmid"), _MID_SHIFT)
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     aggs = [F.count(F.lit(1)).alias("_gcnt")]
