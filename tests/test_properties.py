@@ -36,15 +36,30 @@ def test_parse_roundtrips_plain_fields(fields):
     repeatable (PID-3, PID-13, ...) serializes as a one-element LIST
     even for a singleton occurrence — the grammar-driven shape rule
     (parse_er7_lambda.py:57-65 applies the repetitions table to every
-    non-leaf child, fields included)."""
-    from hcls_data_lake_spark.hl7.grammar import field_repeats
+    non-leaf child, fields included) — and a field whose vendored
+    datatype is a KNOWN COMPOSITE wraps a single component into the
+    one-key dict hl7apy serializes (r7, VERDICT r6 ask #4)."""
+    from hcls_data_lake_spark.hl7.grammar import (
+        PRIMITIVE_TYPES,
+        field_datatype,
+        field_repeats,
+    )
 
     msg = "MSH|^~\\&|A|B|C|D|20240101||ADT^A01|1|P|2.5\rPID|" + "|".join(fields)
     doc = json.loads(parse_er7(msg))
     pid = doc["PID"]
     for i, val in enumerate(fields):
         key = f"PID_{i + 1}"
-        wrap = (lambda v: [v]) if field_repeats("PID", i + 1) else (lambda v: v)
+        dt = field_datatype("PID", i + 1)
+        if dt is not None and dt not in PRIMITIVE_TYPES:
+            comp = lambda v: {f"{dt}_1": v}  # noqa: B023,E731
+        else:
+            comp = lambda v: v  # noqa: E731
+        wrap = (
+            (lambda v: [comp(v)])
+            if field_repeats("PID", i + 1)
+            else (lambda v: comp(v))
+        )
         if val == "":
             assert key not in pid  # empty fields are omitted
         elif val == '""':
