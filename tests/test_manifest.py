@@ -181,3 +181,29 @@ def test_manifest_sink_is_exactly_once_under_replay(spark, sf_dir, tmp_path):
     )
     assert manifest.versions(root) == vs
     shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_read_commit_delta_returns_only_that_commits_rows(spark, tmp_path):
+    """r7 (q_pipeline_versions support): read_commit_delta(v) must
+    return exactly the rows commit v ADDED — the manifest file-list
+    diff against v-1 — for append commits; for v=1 the delta IS the
+    snapshot; and after an OVERWRITE commit the delta is the full
+    replacement set (the diff vs the replaced file list)."""
+    from hcls_data_lake_spark.operators import manifest
+
+    root = str(tmp_path / "tbl")
+    manifest.commit(spark.range(0, 10).toDF("id"), root, "append")
+    manifest.commit(spark.range(10, 15).toDF("id"), root, "append")
+    d1 = {r.id for r in manifest.read_commit_delta(spark, root, 1).collect()}
+    d2 = {r.id for r in manifest.read_commit_delta(spark, root, 2).collect()}
+    assert d1 == set(range(0, 10))
+    assert d2 == set(range(10, 15))
+    # snapshot v2 = union of the two deltas (append-only invariant)
+    assert manifest.read_version(spark, root, 2).count() == 15
+    manifest.commit(spark.range(100, 103).toDF("id"), root, "overwrite")
+    d3 = {r.id for r in manifest.read_commit_delta(spark, root, 3).collect()}
+    assert d3 == {100, 101, 102}
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        manifest.read_commit_delta(spark, root, 9)
