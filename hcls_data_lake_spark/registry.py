@@ -87,11 +87,12 @@ def register(name: str, oracle: str | None) -> Callable[[QueryFn], QueryFn]:
 # Round-7 rotation (VERDICT r6 ask #1): the driver has sampled 270/376
 # unique names across r1-r6 (union of CORRECTNESS_r01..r06), every
 # latest appearance green. The list stays NEVER-SAMPLED FIRST: slots
-# 1-106 are the queries with no driver row yet, so the r7 prefix
-# (slots 1-50) samples 50 fresh names, lifting cumulative coverage to
-# 320/376; slots 51-106 stage the r8 queue (new r7 queries are appended
-# to that region). The already-sampled names follow, most recent
-# rotation first, so a prefix overrun re-confirms fresh families.
+# 1-109 are the queries with no driver row yet (106 carried + the 3
+# r7 additions appended at the block's end), so the r7 prefix (slots
+# 1-50) samples 50 fresh names, lifting cumulative coverage to
+# 320/379; slots 51-109 stage the r8 queue. The already-sampled names
+# follow, most recent rotation first, so a prefix overrun re-confirms
+# fresh families.
 _FAMILY_REPRESENTATIVES = [
     # -- slots 1-106: never driver-sampled through r6 (r7 prefix = first
     # 50; slots 51-106 stage the r8 queue). Rotated r7 per VERDICT r6
