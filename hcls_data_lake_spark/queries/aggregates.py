@@ -1052,11 +1052,16 @@ def q_agg_ks_test(spark, sf_dir):
     at sample points, so evaluating after each distinct value's ties
     (RANGE==ROWS on the grouped relation) covers the supremum.
     Products stay in range while c*n < 9.2e18 — fine to ~3e9 rows per
-    side. Scale shape: the cumulative runs over DISTINCT values after
-    a shuffle agg (value-keyed, partial map-side), so the single-
-    partition window sees |domain| rows, not |events| — and at true
-    100 TB the same statistic computes from per-range prefix counts,
-    the standard distributed-ranking shape."""
+    side. Scale shape (r7): the cumulative runs over DISTINCT values
+    after a shuffle agg (value-keyed, partial map-side), and the
+    prefix counts come from ``with_global_order`` (range-partition +
+    broadcast per-partition offsets, operators/ordered.py) — a value
+    DOMAIN is only fixture-bounded; at web scale distinct cents run
+    to billions, so even the post-aggregate relation never funnels
+    through one reducer. The grand totals and the supremum are 1-row
+    aggregates broadcast back (allowlisted BNLJ)."""
+    from hcls_data_lake_spark.operators.ordered import with_global_order
+
     e = t(spark, sf_dir, "events").filter(
         F.col("event_type").isin("purchase", "click")
     )
@@ -1068,24 +1073,20 @@ def q_agg_ks_test(spark, sf_dir):
         F.sum("g").cast("bigint").alias("k1"),
         F.sum(F.expr("1 - g")).cast("bigint").alias("k2"),
     )
-    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    w_all = Window.orderBy("v").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    tot = perv.agg(
+        F.sum("k1").cast("bigint").alias("n1"),
+        F.sum("k2").cast("bigint").alias("n2"),
     )
-    cum = perv.select(
-        "v",
-        F.sum("k1").over(w_cum).alias("c1"),
-        F.sum("k2").over(w_cum).alias("c2"),
-        F.sum("k1").over(w_all).alias("n1"),
-        F.sum("k2").over(w_all).alias("n2"),
-    )
-    scored = cum.select(
-        "v",
-        "n1",
-        "n2",
-        F.expr("abs(c1 * n2 - c2 * n1)").alias("d"),
-        F.max(F.expr("abs(c1 * n2 - c2 * n1)")).over(w_all).alias("dmax"),
-    )
+    cum = with_global_order(
+        perv,
+        [F.col("v")],
+        cumsums={"c1": F.col("k1"), "c2": F.col("k2")},
+    ).crossJoin(F.broadcast(tot))
+    d_scored = cum.select(
+        "v", "n1", "n2", F.expr("abs(c1 * n2 - c2 * n1)").alias("d")
+    ).localCheckpoint(eager=False)  # supremum agg + argmin share it
+    dm = d_scored.agg(F.max("d").alias("dmax"))
+    scored = d_scored.crossJoin(F.broadcast(dm))
     return scored.filter(F.col("d") == F.col("dmax")).agg(
         F.max("n1").cast("bigint").alias("n_purchase"),
         F.max("n2").cast("bigint").alias("n_click"),

@@ -2758,34 +2758,37 @@ def q_text_vocab_coverage(spark, sf_dir):
     where the curve flattens tells you the vocab size at which
     additional types stop paying for their embedding rows. Shape:
     explode → partial-aggregated count (the only corpus-sized
-    shuffle), then ALL window work (rank, running sum, grand total)
-    runs on the |vocab| relation, which grows sublinearly with corpus
-    size (Heaps' law) — at 100 TB the windows touch millions of rows,
-    not the corpus. The deterministic (freq desc, token) tie-break
-    makes the top-50 cut and running sums hash-stable."""
+    shuffle). r7 scale fix: rank ≤ 50 means every prefix sum the
+    output needs lives INSIDE the top 50 (cum at rank r sums ranks
+    1..r), so the top-50 cut is a TakeOrderedAndProject (per-partition
+    top-k, never a global window over the vocab — which at web scale
+    is 100M+ types despite Heaps' sublinearity) and the rank/cumsum
+    windows run over exactly 50 rows; the grand total is a 1-row
+    aggregate broadcast back (allowlisted BNLJ). The deterministic
+    (freq desc, token) tie-break makes the cut hash-stable."""
     d = t(spark, sf_dir, "documents")
     freq = (
         d.select(F.explode(F.split("text", " ")).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    top50 = freq.orderBy(F.col("n").desc(), "tok").limit(50)
+    tot = freq.agg(F.sum("n").cast("bigint").alias("_total"))
     ws = Window.orderBy(F.col("n").desc(), "tok")
     wcum = ws.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    wtot = Window.partitionBy()
-    ranked = freq.select(
+    ranked = top50.crossJoin(F.broadcast(tot)).select(
         F.row_number().over(ws).cast("bigint").alias("vocab_rank"),
         "tok",
         F.col("n").cast("bigint").alias("n_occurrences"),
         (F.sum("n").over(wcum) * 10000).cast("bigint").alias("_cum_bps"),
-        F.sum("n").over(wtot).cast("bigint").alias("_total"),
+        "_total",
     )
     # integer `div`, matching the oracle's `//` exactly: routing the
     # quotient through a double (cast of a float division) can round
     # off the true floor once cum*10000 passes 2^53 — real at the
     # 100 TB token counts this curve is for
     return (
-        ranked.filter(F.col("vocab_rank") <= 50)
-        .withColumn("coverage_bps", F.expr("_cum_bps div _total"))
+        ranked.withColumn("coverage_bps", F.expr("_cum_bps div _total"))
         .drop("_cum_bps", "_total")
     )
 

@@ -354,6 +354,10 @@ _BNLJ_ALLOWED = {
     #                          broadcast onto the 3-term postings
     "q_analytics_tiered_commission",  # theta-join against the 3-row
     #                                   literal bracket ladder
+    "q_text_vocab_coverage",  # 1-row corpus-total broadcast onto the
+    #                           TakeOrdered top-50 (r7 scale fix)
+    "q_agg_ks_test",          # 1-row totals + 1-row supremum broadcast
+    #                           onto the domain relation (r7 scale fix)
 }
 
 
@@ -366,8 +370,6 @@ _BNLJ_ALLOWED = {
 # q_sort_multi, q_analytics_abc, q_ts_sprt, q_pack_shards,
 # q_agg_mann_whitney, q_graph_assortativity, q_diag_sequence_gaps.
 _GLOBAL_WINDOW_ALLOWED = {
-    "q_agg_ks_test",            # cumulative over DISTINCT cents values
-    #                             (value domain, ≤37k rows)
     "q_analytics_chi_square",   # ordered by nation (25-row domain)
     "q_analytics_rfm",          # scalar max over the per-customer agg
     #                             (frameless window, no ordered funnel)
@@ -377,8 +379,6 @@ _GLOBAL_WINDOW_ALLOWED = {
     "q_sample_class_balance",   # label-domain class counts
     "q_sample_neyman",          # strata-domain allocation
     "q_sample_quota_mix",       # 5-row literal language spec
-    "q_text_vocab_coverage",    # vocabulary relation (post-aggregate,
-    #                             sublinear in corpus; plan-gated above)
     "q_ts_backtest_naive",      # daily calendar series
     "q_ts_drawdown",            # daily calendar series
     "q_ts_rank_autocorr",       # daily calendar series
