@@ -1418,11 +1418,14 @@ def q_analytics_rfm(spark, sf_dir):
     total with the custkey tie-break, so both engines assign identical
     quintiles. Scale shape: the fact table pays one partial-aggregated
     groupBy to the per-customer relation (dimension-sized); the
-    recency anchor is a window over that aggregate (not a second fact
-    scan); the three quintile windows PARTITION BY segment — so after
-    the one fact shuffle, everything runs on per-segment sorted
-    dimension data, and no global sort ever touches corpus-sized
-    input. (At 100 TB with billions of customers you'd swap exact
+    recency anchor is a 1-row max aggregate of that relation
+    broadcast back (r7 — the old frameless window funneled the whole
+    per-customer relation through one partition, a scale bug at
+    billions of customers; the aggregate pays map-side partials and
+    the lazy checkpoint keeps the facts scanned once); the three
+    quintile windows PARTITION BY segment — so after the one fact
+    shuffle, everything runs on per-segment sorted dimension data,
+    and no global sort ever touches corpus-sized input. (At 100 TB with billions of customers you'd swap exact
     ntile for broadcast approx-quantile boundaries; the segment
     partitioning is what keeps even the exact form tractable.)"""
     o = t(spark, sf_dir, "orders")
@@ -1433,9 +1436,9 @@ def q_analytics_rfm(spark, sf_dir):
         F.expr(
             "cast(sum(cast(round(o_totalprice * 100) as bigint)) as bigint)"
         ).alias("monetary_c"),
-    )
-    anch = base.withColumn(
-        "anchor", F.max("last_dt").over(Window.partitionBy())
+    ).localCheckpoint(eager=False)  # anchor agg + join share one scan
+    anch = base.crossJoin(
+        F.broadcast(base.agg(F.max("last_dt").alias("anchor")))
     )
     rec = anch.join(
         F.broadcast(c), anch["o_custkey"] == c["c_custkey"]
