@@ -257,6 +257,7 @@ EXTENDED = [
     "q_pipeline_ingest_encoding",  # per-row declared-charset decode (r7)
     "q_pipeline_versions",    # versioned-bucket history + latest (r7)
     "q_embed_recall_ivfpq",   # compressed-path ADC+rerank audit (r7)
+    "q_hl7_typed_vxu",        # typed immunization projection (r7)
 ]
 
 

@@ -567,6 +567,55 @@ def typed_adt(df, msg_col: str = "er7"):
     )
 
 
+def typed_vxu(df, msg_col: str = "er7"):
+    """Typed VXU_V04 projection (r7, §1.3b tier-2 for the newly
+    vendored immunization family): one row per message with patient
+    identity from PID and the repeatable RXA administration records as
+    an array of typed structs (set_id, admin_date, vaccine code/name
+    from the RXA-5 CE, dose as integer cents via try_cast, units) —
+    pure split expressions in whole-stage codegen, the 100 TB path for
+    an IIS feed, mirroring typed_adt/typed_oru. Same two-phase
+    SQL-string shape: raw split extraction, then unescape over plain
+    references."""
+    segs = f"split(regexp_replace({msg_col}, '\\r\\n|\\n', '\\r'), '\\r')"
+    msh = f"get(filter({segs}, s -> startswith(s, 'MSH|')), 0)"
+    pid = f"get(filter({segs}, s -> startswith(s, 'PID|')), 0)"
+    rxa_arr = f"filter({segs}, s -> startswith(s, 'RXA|'))"
+    f = lambda n: f"get(split(s, '\\\\|'), {n})"  # noqa: E731
+    struct = (
+        "named_struct("
+        f"'set_id', {f(1)}, "
+        f"'admin_date', {f(3)}, "
+        f"'vaccine_code', get(split({f(5)}, '\\\\^'), 0), "
+        f"'vaccine_name', get(split({f(5)}, '\\\\^'), 1), "
+        f"'dose_c', try_cast({f(6)} AS bigint), "
+        f"'units', {f(7)})"
+    )
+    raw = df.selectExpr(
+        "*",
+        f"get(split({msh}, '\\\\|'), 8) as _m9",
+        f"get(split(get(split({pid}, '\\\\|'), 3), '\\\\^'), 0) as patient_id",
+        f"transform({rxa_arr}, s -> {struct}) as administrations",
+    )
+    U = er7_unescape_sql
+    adm = (
+        "transform(administrations, a -> named_struct("
+        "'set_id', a.set_id, "
+        f"'admin_date', {U('a.admin_date')}, "
+        f"'vaccine_code', {U('a.vaccine_code')}, "
+        f"'vaccine_name', {U('a.vaccine_name')}, "
+        "'dose_c', a.dose_c, "
+        f"'units', {U('a.units')}))"
+    )
+    return raw.selectExpr(
+        *[f"`{c}`" for c in df.columns],
+        "get(split(_m9, '\\\\^'), 0) as message_type",
+        "get(split(_m9, '\\\\^'), 1) as trigger_event",
+        f"{U('patient_id')} as patient_id",
+        f"{adm} as administrations",
+    )
+
+
 def typed_oru(df, msg_col: str = "er7"):
     """Typed ORU projection: one row per message with the repeatable
     OBX observations as an array of typed structs (set_id, value_type,

@@ -1603,3 +1603,98 @@ def q_pipeline_versions(spark, sf_dir):
             "is_latest"
         ),
     )
+
+
+@register(
+    "q_hl7_typed_vxu",
+    """
+    WITH p AS (
+      SELECT user_id, ts, event_id,
+             CAST(event_id % 997 AS VARCHAR) AS code,
+             CAST(round(value * 100) AS BIGINT) AS dose_c
+      FROM events WHERE event_type = 'purchase'
+    ), ordered AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY epoch_ns(ts), event_id)
+                 AS admin_seq
+      FROM p
+    )
+    SELECT user_id AS message_id,
+           CAST(admin_seq AS BIGINT) AS admin_seq,
+           code AS vaccine_code,
+           'VAC' || code AS vaccine_name,
+           dose_c,
+           strftime(ts, '%Y%m%d') AS admin_date
+    FROM ordered
+    """,
+)
+def q_hl7_typed_vxu(spark, sf_dir):
+    """Typed VXU immunization projection (r7 — §1.3b tier-2 for the
+    newly vendored VXU_V04 family): each user's purchase events become
+    the RXA administrations of one VXU^V04 message (MSH + PID + ORC +
+    k RXA segments, dose carried as integer cents so the wire
+    round-trips engine-exactly), the message parses back through the
+    codegen-native ``typed_vxu`` split projection, and the
+    administrations array posexplodes to one row per administration
+    with its in-message sequence. The oracle states the expected
+    round-trip directly from events — any splitter mis-parse (field
+    offset, component split, repeatable-segment ordering) breaks the
+    value hash. Scale shape: the synthesis is one user-keyed shuffle
+    (sorted collect_list per message); the projection is pure
+    whole-stage codegen; the explode is map-side."""
+    from hcls_data_lake_spark.hl7.er7 import typed_vxu
+    from hcls_data_lake_spark.queries.common import events
+
+    e = events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    rxa = e.select(
+        "user_id",
+        "ts_ns",
+        "event_id",
+        F.concat(
+            F.lit("RXA|0|1|"),
+            F.date_format("ts", "yyyyMMdd"),
+            F.lit("|"),
+            F.date_format("ts", "yyyyMMdd"),
+            F.lit("|"),
+            (F.col("event_id") % 997).cast("string"),
+            F.lit("^VAC"),
+            (F.col("event_id") % 997).cast("string"),
+            F.lit("^CVX|"),
+            F.expr("cast(round(value * 100) as bigint)").cast("string"),
+            F.lit("|mL"),
+        ).alias("seg"),
+    )
+    msgs = (
+        rxa.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts_ns", "event_id", "seg"))
+            ).alias("admins")
+        )
+        .select(
+            "user_id",
+            F.concat(
+                F.lit("MSH|^~\\&|EHR|FAC|IIS|STATE|20240101000000||VXU^V04|"),
+                F.col("user_id").cast("string"),
+                F.lit("|P|2.5\rPID|1||"),
+                F.col("user_id").cast("string"),
+                F.lit("^^^MRN\rORC|RE|"),
+                F.col("user_id").cast("string"),
+                F.lit("\r"),
+                F.array_join(F.expr("transform(admins, x -> x.seg)"), "\r"),
+            ).alias("er7"),
+        )
+    )
+    parsed = typed_vxu(msgs)
+    return parsed.select(
+        F.col("user_id").alias("message_id"),
+        F.posexplode("administrations").alias("_pos", "a"),
+    ).select(
+        "message_id",
+        (F.col("_pos") + 1).cast("bigint").alias("admin_seq"),
+        F.col("a.vaccine_code").alias("vaccine_code"),
+        F.col("a.vaccine_name").alias("vaccine_name"),
+        F.col("a.dose_c").alias("dose_c"),
+        F.col("a.admin_date").alias("admin_date"),
+    )

@@ -677,3 +677,29 @@ def test_vxu_vaccination_structure_nests():
     # wrapped by OBX-5's field-level repeatability
     assert obs[0]["OBX"]["OBX_5"] == [{"CE_1": "VXC50"}]
     assert orders[1]["RXA"]["RXA_5"]["CE_1"] == "141"
+
+
+def test_typed_vxu_projection(spark):
+    """r7: the codegen-native VXU projection recovers message/patient
+    identity and every RXA administration as typed structs, in
+    message order, with the dose try_cast to integer."""
+    from hcls_data_lake_spark.hl7.er7 import typed_vxu
+
+    msg = (
+        "MSH|^~\\&|EHR|FAC|IIS|STATE|20240101||VXU^V04|55|P|2.5\r"
+        "PID|1||777^^^MRN\r"
+        "ORC|RE|VAX1\r"
+        "RXA|0|1|20240102|20240102|08^HepB^CVX|50|mL\r"
+        "RXA|0|1|20240103|20240103|141^Flu \\T\\ Co^CVX|25|mL"
+    )
+    df = spark.createDataFrame([(msg,)], "er7 string")
+    row = typed_vxu(df).collect()[0]
+    assert row.message_type == "VXU" and row.trigger_event == "V04"
+    assert row.patient_id == "777"
+    a = row.administrations
+    assert len(a) == 2
+    assert a[0].vaccine_code == "08" and a[0].vaccine_name == "HepB"
+    assert a[0].dose_c == 50 and a[0].admin_date == "20240102"
+    # unescape applied to leaves: \T\ decodes to '&'
+    assert a[1].vaccine_name == "Flu & Co"
+    assert a[1].dose_c == 25
