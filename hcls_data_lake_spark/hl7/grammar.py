@@ -119,6 +119,7 @@ FIELD_REPEATABLE: dict[str, frozenset[int]] = {
     "RXO": frozenset({6, 7}),
     "ODS": frozenset({2, 3, 4}),
     "ODT": frozenset({2}),
+    "FT1": frozenset({19}),
 }
 
 
@@ -185,6 +186,8 @@ EVENT_STRUCTURE: dict[str, str] = {
     # ORM order events in v2.5 — and vaccination update
     "ORM_O01": "ORM_O01",
     "VXU_V04": "VXU_V04",
+    # financial transaction posting (detail financial transaction)
+    "DFT_P03": "DFT_P03",
     # ACK is trigger-agnostic (ACK^A01, ACK^R01, ... all share the
     # 3-segment ACK structure); structure_for special-cases the type,
     # these rows cover senders that spell the trigger without MSH-9.3
@@ -255,6 +258,13 @@ STRUCTURE_SEGMENT_CARDINALITY: dict[str, dict[str, int | None]] = {
         "PV1": 1, "PV2": 1, "GT1": None, "IN1": 1, "IN2": 1, "IN3": 1,
         "ORC": 1, "TQ1": 1, "TQ2": None, "RXA": 1, "RXR": 1,
         "OBX": 1, "NTE": None,
+    },
+    "DFT_P03": {
+        "MSH": 1, "SFT": None, "EVN": 1, "PID": 1, "PD1": 1,
+        "ROL": None, "PV1": 1, "PV2": 1, "DB1": None,
+        "ORC": 1, "OBR": 1, "NTE": None, "OBX": 1,
+        "FT1": 1, "PR1": 1, "DG1": None, "DRG": 1, "GT1": None,
+        "IN1": 1, "IN2": 1, "IN3": 1, "ACC": 1,
     },
     "ORU_R01": {
         "MSH": 1, "SFT": None, "PID": 1, "PD1": 1, "NTE": None,
@@ -469,6 +479,47 @@ STRUCTURE_TREES: dict[str, tuple] = {
             ),
         ),
     ),
+    "DFT_P03": (
+        _S("MSH", 1), _S("SFT", None), _S("EVN", 1), _S("PID", 1),
+        _S("PD1", 1), _S("ROL", None), _S("PV1", 1), _S("PV2", 1),
+        _S("ROL", None), _S("DB1", None),
+        (
+            "DFT_P03_COMMON_ORDER",
+            None,
+            (
+                _S("ORC", 1),
+                (
+                    "DFT_P03_ORDER",
+                    1,
+                    (_S("OBR", 1), _S("NTE", None)),
+                ),
+                (
+                    "DFT_P03_OBSERVATION",
+                    None,
+                    (_S("OBX", 1), _S("NTE", None)),
+                ),
+            ),
+        ),
+        (
+            "DFT_P03_FINANCIAL",
+            None,
+            (
+                _S("FT1", 1),
+                (
+                    "DFT_P03_FINANCIAL_PROCEDURE",
+                    None,
+                    (_S("PR1", 1), _S("ROL", None)),
+                ),
+            ),
+        ),
+        _S("DG1", None), _S("DRG", 1), _S("GT1", None),
+        (
+            "DFT_P03_INSURANCE",
+            None,
+            (_S("IN1", 1), _S("IN2", 1), _S("IN3", 1), _S("ROL", None)),
+        ),
+        _S("ACC", 1),
+    ),
     "ORU_R01": (
         _S("MSH", 1), _S("SFT", None),
         (
@@ -603,6 +654,9 @@ FIELD_DATATYPE: dict[str, dict[int, str]] = {
             7: "XTN", 8: "ST", 12: "DT", 13: "DT", 16: "XPN",
             19: "XAD"},
     "ACC": {1: "TS", 2: "CE"},
+    "PR1": {1: "SI", 2: "IS", 3: "CE", 4: "ST", 5: "TS", 6: "IS",
+            7: "NM", 8: "CE", 10: "NM", 11: "XCN", 12: "XCN",
+            14: "NM", 15: "CE", 16: "CE", 19: "EI", 20: "ID"},
     # r6 grammar-breadth families (HL7 v2.5 definitions, the
     # high-traffic fields; unlisted fields keep the C<n> fallback)
     "SCH": {1: "EI", 2: "EI", 3: "NM", 6: "CE", 7: "CE", 8: "CE",
@@ -636,6 +690,10 @@ FIELD_DATATYPE: dict[str, dict[int, str]] = {
     "RQ1": {1: "ST", 2: "CE", 3: "ST", 4: "CE", 5: "ST", 6: "ID",
             7: "ID"},
     "ODS": {1: "ID", 2: "CE", 3: "CE", 4: "ST"},
+    "FT1": {1: "SI", 2: "ST", 3: "ST", 4: "DR", 5: "TS", 6: "IS",
+            7: "CE", 9: "ST", 10: "NM", 11: "CP", 12: "CP",
+            13: "CE", 14: "CE", 16: "PL", 19: "CE", 20: "XCN",
+            21: "XCN", 22: "CP", 25: "CE", 26: "CE"},
     "ODT": {1: "CE", 2: "CE", 3: "ST"},
     "BLG": {1: "CCD", 2: "ID", 3: "CX"},
 }
@@ -698,6 +756,7 @@ COMPONENT_DATATYPE: dict[str, dict[int, str]] = {
     "ELD": {1: "ST", 2: "NM", 3: "NM", 4: "CE"},
     "ERL": {1: "ST", 2: "NM", 3: "NM", 4: "NM", 5: "NM", 6: "NM"},
     "CCD": {1: "ID", 2: "TS"},
+    "CP": {1: "MO", 2: "ID", 3: "NM", 4: "NM", 5: "CE", 6: "ID"},
 }
 
 

@@ -703,3 +703,32 @@ def test_typed_vxu_projection(spark):
     # unescape applied to leaves: \T\ decodes to '&'
     assert a[1].vaccine_name == "Flu & Co"
     assert a[1].dose_c == 25
+
+
+def test_dft_financial_structure_nests():
+    """DFT_P03 (r7): financial-transaction posting — repeating
+    FINANCIAL groups each holding one FT1 (with nested
+    FINANCIAL_PROCEDURE), the billing feed every HCLS lake stages
+    beside ADT/ORU. FT1-11 is a CP (composite price) whose first
+    component is an MO money type."""
+    msg = (
+        "MSH|^~\\&|BILLING|FAC|LAKE|DC|20240101||DFT^P03|88|P|2.5\r"
+        "EVN|P03|20240101\r"
+        "PID|1||424242\r"
+        "PV1|1|O\r"
+        "FT1|1|TX1||20240101|20240101|CG|93000^EKG^C4|||1|55&USD\r"
+        "PR1|1||93000^EKG\r"
+        "FT1|2|TX2||20240101|20240101|CG|80053^PANEL^C4|||1|120&USD\r"
+        "DG1|1||I10^Hypertension"
+    )
+    assert parse_er7(msg, strict=True) is not None
+    doc = json.loads(parse_er7(msg))
+    fin = doc["DFT_P03_FINANCIAL"]
+    assert isinstance(fin, list) and len(fin) == 2
+    assert fin[0]["FT1"]["FT1_2"] == "TX1"
+    # FT1-11 CP: MO-typed first component split on '&'
+    assert fin[0]["FT1"]["FT1_11"] == {"CP_1": {"MO_1": "55", "MO_2": "USD"}}
+    proc = fin[0]["DFT_P03_FINANCIAL_PROCEDURE"]
+    assert proc[0]["PR1"]["PR1_3"]["CE_1"] == "93000"
+    assert fin[1]["FT1"]["FT1_11"] == {"CP_1": {"MO_1": "120", "MO_2": "USD"}}
+    assert isinstance(doc["DG1"], list)
