@@ -443,3 +443,56 @@ def test_hll_register_merge_associativity(spark, items, split_pct):
     for k, v in b.items():
         merged[k] = max(merged.get(k, 0), v)
     assert merged == whole
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(min_value=-5, max_value=5)),
+            st.integers(min_value=0, max_value=3),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(min_value=1, max_value=9),
+)
+@settings(max_examples=12, deadline=None)
+def test_with_global_order_equals_naive_window(spark, rows, nparts):
+    """r7 property: the two-pass range-partitioned rank/cumsum
+    (operators/ordered.with_global_order) is value-identical to the
+    naive single-partition window under NULL sort keys, heavy ties
+    (broken by a unique id), descending order, and any partition
+    count — the exact conditions where a range-boundary or offset bug
+    would mis-rank rows."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from hcls_data_lake_spark.operators.ordered import with_global_order
+
+    df = spark.createDataFrame(
+        [(i, k, v) for i, (k, v) in enumerate(rows)],
+        "id int, k int, v int",
+    )
+    order = [F.col("k").desc_nulls_last(), F.col("id").asc()]
+    got = {
+        r.id: (r.rnk, r.cs)
+        for r in with_global_order(
+            df,
+            order,
+            rank_col="rnk",
+            cumsums={"cs": F.col("v")},
+            num_partitions=nparts,
+        ).collect()
+    }
+    w = Window.orderBy(*order)
+    want = {
+        r.id: (r.rnk, r.cs)
+        for r in df.select(
+            "id",
+            F.row_number().over(w).cast("bigint").alias("rnk"),
+            F.sum("v")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("cs"),
+        ).collect()
+    }
+    assert got == want
