@@ -188,6 +188,9 @@ EVENT_STRUCTURE: dict[str, str] = {
     "VXU_V04": "VXU_V04",
     # financial transaction posting (detail financial transaction)
     "DFT_P03": "DFT_P03",
+    # account management: add account (P01) / purge (P02 shares shape
+    # via the fallback; only P01 is vendored group-nested)
+    "BAR_P01": "BAR_P01",
     # ACK is trigger-agnostic (ACK^A01, ACK^R01, ... all share the
     # 3-segment ACK structure); structure_for special-cases the type,
     # these rows cover senders that spell the trigger without MSH-9.3
@@ -258,6 +261,13 @@ STRUCTURE_SEGMENT_CARDINALITY: dict[str, dict[str, int | None]] = {
         "PV1": 1, "PV2": 1, "GT1": None, "IN1": 1, "IN2": 1, "IN3": 1,
         "ORC": 1, "TQ1": 1, "TQ2": None, "RXA": 1, "RXR": 1,
         "OBX": 1, "NTE": None,
+    },
+    "BAR_P01": {
+        "MSH": 1, "SFT": None, "EVN": 1, "PID": 1, "PD1": 1,
+        "ROL": None, "PV1": 1, "PV2": 1, "DB1": None, "OBX": None,
+        "AL1": None, "DG1": None, "DRG": 1, "PR1": 1, "GT1": None,
+        "NK1": None, "IN1": 1, "IN2": 1, "IN3": 1, "ACC": 1,
+        "UB1": 1, "UB2": 1,
     },
     "DFT_P03": {
         "MSH": 1, "SFT": None, "EVN": 1, "PID": 1, "PD1": 1,
@@ -476,6 +486,32 @@ STRUCTURE_TREES: dict[str, tuple] = {
                     None,
                     (_S("OBX", 1), _S("NTE", None)),
                 ),
+            ),
+        ),
+    ),
+    "BAR_P01": (
+        _S("MSH", 1), _S("SFT", None), _S("EVN", 1), _S("PID", 1),
+        _S("PD1", 1), _S("ROL", None),
+        (
+            "BAR_P01_VISIT",
+            None,
+            (
+                _S("PV1", 1), _S("PV2", 1), _S("ROL", None),
+                _S("DB1", None), _S("OBX", None), _S("AL1", None),
+                _S("DG1", None), _S("DRG", 1),
+                (
+                    "BAR_P01_PROCEDURE",
+                    None,
+                    (_S("PR1", 1), _S("ROL", None)),
+                ),
+                _S("GT1", None), _S("NK1", None),
+                (
+                    "BAR_P01_INSURANCE",
+                    None,
+                    (_S("IN1", 1), _S("IN2", 1), _S("IN3", 1),
+                     _S("ROL", None)),
+                ),
+                _S("ACC", 1), _S("UB1", 1), _S("UB2", 1),
             ),
         ),
     ),

@@ -732,3 +732,29 @@ def test_dft_financial_structure_nests():
     assert proc[0]["PR1"]["PR1_3"]["CE_1"] == "93000"
     assert fin[1]["FT1"]["FT1_11"] == {"CP_1": {"MO_1": "120", "MO_2": "USD"}}
     assert isinstance(doc["DG1"], list)
+
+
+def test_bar_account_structure_nests():
+    """BAR_P01 (r7): account-add messages nest the visit-scoped
+    segments (diagnoses, procedures, insurance) under a repeating
+    VISIT group — the account family residual named in COVERAGE."""
+    msg = (
+        "MSH|^~\\&|ADT|FAC|BILLING|FAC|20240101||BAR^P01|77|P|2.5\r"
+        "EVN|P01|20240101\r"
+        "PID|1||9001\r"
+        "PV1|1|I\r"
+        "DG1|1||E11^Diabetes\r"
+        "PR1|1||0DTJ4ZZ^Appendectomy\r"
+        "GT1|1|G1\r"
+        "IN1|1|PLAN1"
+    )  # conformant order: GT1 precedes INSURANCE in the v2.5 VISIT
+    assert parse_er7(msg, strict=True) is not None
+    doc = json.loads(parse_er7(msg))
+    visits = doc["BAR_P01_VISIT"]
+    assert isinstance(visits, list) and len(visits) == 1
+    v = visits[0]
+    assert v["PV1"]["PV1_2"] == "I"
+    assert v["DG1"][0]["DG1_3"]["CE_1"] == "E11"
+    assert v["BAR_P01_PROCEDURE"][0]["PR1"]["PR1_3"]["CE_2"] == "Appendectomy"
+    assert v["BAR_P01_INSURANCE"][0]["IN1"]["IN1_2"] == {"CE_1": "PLAN1"}
+    assert v["GT1"][0]["GT1_2"] == [{"CX_1": "G1"}]
