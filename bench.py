@@ -258,6 +258,7 @@ EXTENDED = [
     "q_pipeline_versions",    # versioned-bucket history + latest (r7)
     "q_embed_recall_ivfpq",   # compressed-path ADC+rerank audit (r7)
     "q_hl7_typed_vxu",        # typed immunization projection (r7)
+    "q_hl7_ack_reconcile",    # ACK delivery-audit join (r7)
 ]
 
 

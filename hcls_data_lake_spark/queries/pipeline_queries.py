@@ -1698,3 +1698,86 @@ def q_hl7_typed_vxu(spark, sf_dir):
         F.col("a.dose_c").alias("dose_c"),
         F.col("a.admin_date").alias("admin_date"),
     )
+
+
+@register(
+    "q_hl7_ack_reconcile",
+    """
+    WITH sent AS (
+      SELECT o_orderkey AS message_id FROM orders WHERE o_orderkey < 2000
+    ), acks AS (  -- the interface engine's ACK stream (2 of 3 answered)
+      SELECT message_id,
+             CASE WHEN message_id % 5 = 0 THEN 'AE' ELSE 'AA' END
+                 AS ack_code,
+             CASE WHEN message_id % 5 = 0
+                  THEN CAST(100 + message_id % 3 AS VARCHAR) END
+                 AS err_code
+      FROM sent WHERE message_id % 3 <> 0
+    )
+    SELECT s.message_id,
+           COALESCE(a.ack_code, 'none') AS ack_code,
+           CASE WHEN a.message_id IS NULL THEN 'unacked'
+                WHEN a.ack_code = 'AA' THEN 'acked'
+                ELSE 'rejected' END AS status,
+           a.err_code
+    FROM sent s LEFT JOIN acks a ON a.message_id = s.message_id
+    """,
+)
+def q_hl7_ack_reconcile(spark, sf_dir):
+    """ACK reconciliation (r7 — the delivery audit every HL7 interface
+    runs, completing the newly vendored ACK family with an operator):
+    sent wire messages join against the acknowledgment stream parsed
+    from REAL ACK^A01 ER7 (MSA-1 ack code, MSA-2 echoing the sent
+    control id — the correlation key the standard defines — and the
+    ERR-1 ELD error code on AE rejects), classifying every sent
+    message as acked / rejected / unacked. The ACKs are synthesized
+    wire-side (2 of 3 messages answered, every 5th an AE with an ERR
+    segment), parsed back entirely with codegen split expressions, so
+    a mis-parse of MSA/ERR breaks the value hash; the oracle states
+    the expected classification directly. Scale shape: both sides are
+    message-id keyed — one equi-join (broadcast at fixture scale,
+    shuffle-joinable at feed scale), no windows, no Python."""
+    from hcls_data_lake_spark.hl7.er7 import er7_segments
+
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    sent = o.select(F.col("o_orderkey").alias("message_id"))
+    ack_wire = sent.filter(F.col("message_id") % 3 != 0).select(
+        "message_id",
+        F.concat(
+            F.lit("MSH|^~\\&|LAKE|DC|HIS|FAC|20240101||ACK^A01|A"),
+            F.col("message_id").cast("string"),
+            F.lit("|P|2.5\rMSA|"),
+            F.when(F.col("message_id") % 5 == 0, "AE").otherwise("AA"),
+            F.lit("|"),
+            F.col("message_id").cast("string"),
+            F.when(
+                F.col("message_id") % 5 == 0,
+                F.concat(
+                    F.lit("\rERR|"),
+                    (F.lit(100) + F.col("message_id") % 3).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("er7"),
+    )
+    segs = ack_wire.select(er7_segments(F.col("er7")).alias("segments"))
+    msa = F.expr(
+        "get(filter(segments, s -> startswith(s, 'MSA|')), 0)"
+    )
+    err = F.expr(
+        "get(filter(segments, s -> startswith(s, 'ERR|')), 0)"
+    )
+    acks = segs.select(
+        F.split(msa, "\\|").getItem(1).alias("ack_code"),
+        F.split(msa, "\\|").getItem(2).cast("bigint").alias("message_id"),
+        F.split(err, "\\|").getItem(1).alias("err_code"),
+    )
+    joined = sent.join(acks, "message_id", "left")
+    return joined.select(
+        "message_id",
+        F.coalesce("ack_code", F.lit("none")).alias("ack_code"),
+        F.when(F.col("ack_code").isNull(), "unacked")
+        .when(F.col("ack_code") == "AA", "acked")
+        .otherwise("rejected")
+        .alias("status"),
+        "err_code",
+    )

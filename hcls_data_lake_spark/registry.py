@@ -209,6 +209,7 @@ _FAMILY_REPRESENTATIVES = [
     "q_pipeline_versions",
     "q_embed_recall_ivfpq",
     "q_hl7_typed_vxu",
+    "q_hl7_ack_reconcile",
     # -- already driver-sampled (r1-r6), most recent rotation first --
     "q_analytics_basket_pairs",
     "q_analytics_skyline",
