@@ -259,6 +259,7 @@ EXTENDED = [
     "q_embed_recall_ivfpq",   # compressed-path ADC+rerank audit (r7)
     "q_hl7_typed_vxu",        # typed immunization projection (r7)
     "q_hl7_ack_reconcile",    # ACK delivery-audit join (r7)
+    "q_sort_multi",           # two-pass global listing rank (r7 shape)
 ]
 
 
