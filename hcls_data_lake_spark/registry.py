@@ -84,70 +84,20 @@ def register(name: str, oracle: str | None) -> Callable[[QueryFn], QueryFn]:
 # correctness sweep — then cover every family instead of exhausting the
 # budget inside whichever module happens to import first.
 #
-# Round-7 rotation (VERDICT r6 ask #1): the driver has sampled 270/376
-# unique names across r1-r6 (union of CORRECTNESS_r01..r06), every
+# Round-8 rotation (VERDICT r7 ask #1): the driver has sampled 320/381
+# unique names across r1-r7 (union of CORRECTNESS_r01..r07), every
 # latest appearance green. The list stays NEVER-SAMPLED FIRST: slots
-# 1-109 are the queries with no driver row yet (106 carried + the 3
-# r7 additions appended at the block's end), so the r7 prefix (slots
-# 1-50) samples 50 fresh names, lifting cumulative coverage to
-# 320/379; slots 51-109 stage the r8 queue. The already-sampled names
-# follow, most recent rotation first, so a prefix overrun re-confirms
-# fresh families.
+# 1-61 are the queries with no driver row yet, so the r8 prefix
+# (slots 1-50) samples 50 fresh names, lifting cumulative coverage to
+# 370/381; slots 51-61 stage the r9 queue (r8 additions append at the
+# never-sampled block's end). The already-sampled names follow, most
+# recent rotation first, so a prefix overrun re-confirms fresh
+# families.
 _FAMILY_REPRESENTATIVES = [
-    # -- slots 1-106: never driver-sampled through r6 (r7 prefix = first
-    # 50; slots 51-106 stage the r8 queue). Rotated r7 per VERDICT r6
-    # ask #1: the 50 names sampled in r6 moved down to the head of the
-    # already-sampled block (most recently rotated first). --
-    "q_dedup_posting_census",
-    "q_embed_recall_tuned",
-    "q_dedup_near_capped",
-    "q_stream_tws_topk",
-    "q_dedup_simhash_join",
-    "q_text_cdc_chunks",
-    "q_dedup_pipeline_e2e",
-    "q_sample_neyman",
-    "q_graph_kcore",
-    "q_analytics_retention_bitmap",
-    "q_agg_percentile_exact",
-    "q_embed_knn_graph",
-    "q_pack_shards",
-    "q_stream_observe",
-    "q_diag_volume_anomaly",
-    "q_analytics_ab_test",
-    "q_sample_quota_mix",
-    "q_dedup_edit_gate",
-    "q_analytics_rolling_actives",
-    "q_text_hash_features",
-    "q_join_null_skew",
-    "q_ts_cross_correlation",
-    "q_analytics_price_volume",
-    "q_graph_reach_recursive",
-    "q_fn_sql_udf",
-    "q_stream_state_inspect",
-    "q_fn_pipe_syntax",
-    "q_scan_metadata_cols",
-    "q_text_distinctive_terms",
-    "q_udf_apply_in_arrow",
-    "q_join_shuffle_hash",
-    "q_analytics_lifecycle",
-    "q_embed_recall_audit",
-    "q_sim_ann_multiprobe",
-    "q_graph_modularity",
-    "q_ts_drawdown",
-    "q_privacy_randomized_response",
-    "q_dedup_blocking_quality",
-    "q_ts_rolling_zscore",
-    "q_analytics_xyz",
-    "q_pipeline_late_dim",
-    "q_text_outlier_docs",
-    "q_ts_backtest_naive",
-    "q_privacy_dp_mean",
-    "q_agg_multi_distinct",
-    "q_stream_incremental_resume",
-    "q_analytics_attribution",
-    "q_pipeline_ivm",
-    "q_dedup_linkage_fs",
-    "q_ts_decompose",
+    # -- slots 1-61: never driver-sampled through r7 (r8 prefix = first
+    # 50; slots 51-61 stage the r9 queue; r8 additions append at the
+    # block's end). Rotated r8 per VERDICT r7 ask #1: the 50 names
+    # sampled in r7 moved down to the head of the already-sampled block. --
     "q_ts_dtw",
     "q_graph_label_propagation",
     "q_scd2_bitemporal",
@@ -204,13 +154,62 @@ _FAMILY_REPRESENTATIVES = [
     "q_stream_stateful_tws",
     "q_stream_minhash",
     "q_ts_changepoint",
-    # r7 additions (never sampled; r8 queue)
     "q_pipeline_ingest_encoding",
     "q_pipeline_versions",
     "q_embed_recall_ivfpq",
     "q_hl7_typed_vxu",
     "q_hl7_ack_reconcile",
-    # -- already driver-sampled (r1-r6), most recent rotation first --
+    # -- already driver-sampled (r1-r7), most recent rotation first --
+    "q_dedup_posting_census",
+    "q_embed_recall_tuned",
+    "q_dedup_near_capped",
+    "q_stream_tws_topk",
+    "q_dedup_simhash_join",
+    "q_text_cdc_chunks",
+    "q_dedup_pipeline_e2e",
+    "q_sample_neyman",
+    "q_graph_kcore",
+    "q_analytics_retention_bitmap",
+    "q_agg_percentile_exact",
+    "q_embed_knn_graph",
+    "q_pack_shards",
+    "q_stream_observe",
+    "q_diag_volume_anomaly",
+    "q_analytics_ab_test",
+    "q_sample_quota_mix",
+    "q_dedup_edit_gate",
+    "q_analytics_rolling_actives",
+    "q_text_hash_features",
+    "q_join_null_skew",
+    "q_ts_cross_correlation",
+    "q_analytics_price_volume",
+    "q_graph_reach_recursive",
+    "q_fn_sql_udf",
+    "q_stream_state_inspect",
+    "q_fn_pipe_syntax",
+    "q_scan_metadata_cols",
+    "q_text_distinctive_terms",
+    "q_udf_apply_in_arrow",
+    "q_join_shuffle_hash",
+    "q_analytics_lifecycle",
+    "q_embed_recall_audit",
+    "q_sim_ann_multiprobe",
+    "q_graph_modularity",
+    "q_ts_drawdown",
+    "q_privacy_randomized_response",
+    "q_dedup_blocking_quality",
+    "q_ts_rolling_zscore",
+    "q_analytics_xyz",
+    "q_pipeline_late_dim",
+    "q_text_outlier_docs",
+    "q_ts_backtest_naive",
+    "q_privacy_dp_mean",
+    "q_agg_multi_distinct",
+    "q_stream_incremental_resume",
+    "q_analytics_attribution",
+    "q_pipeline_ivm",
+    "q_dedup_linkage_fs",
+    "q_ts_decompose",
     "q_analytics_basket_pairs",
     "q_analytics_skyline",
     "q_graph_khop",
