@@ -33,15 +33,11 @@ from pyspark.sql.types import StringType
 
 from hcls_data_lake_spark.hl7.grammar import (
     PRIMITIVE_TYPES,
+    SUPPORTED_VERSIONS,
     VARIES_TYPES,
-    component_datatype,
-    field_datatype,
-    field_repeats,
+    Grammar,
     first_set,
-    is_known,
-    is_repeatable,
-    structure_for,
-    structure_tree,
+    grammar_for,
 )
 
 SEGMENT_SEP = "\r"
@@ -192,7 +188,11 @@ def er7_unescape(value: Column) -> Column:
 
 
 def _parse_field(
-    raw: str, seg_id: str = "", field_num: int = 0, dt: str | None = None
+    raw: str,
+    seg_id: str = "",
+    field_num: int = 0,
+    dt: str | None = None,
+    g: Grammar | None = None,
 ) -> object:
     """Field -> str | dict of components | list of repetitions.
 
@@ -205,17 +205,22 @@ def _parse_field(
     repetition is never lost. Components/subcomponents cannot repeat
     on the wire (only `~` repeats), so field level completes the
     grammar-shape fix. ``dt`` overrides the vendored field datatype
-    (the OBX-5 'varies' case, typed by OBX-2 at parse time)."""
+    (the OBX-5 'varies' case, typed by OBX-2 at parse time). ``g`` is
+    the message's VERSION-RESOLVED grammar view (r8: hl7apy loads the
+    MSH-12 version's tables — grammar.grammar_for); None = 2.5 base."""
+    if g is None:
+        g = grammar_for(None)
     if dt is None:
-        dt = field_datatype(seg_id, field_num)
+        dt = g.field_datatype(seg_id, field_num)
     if REP_SEP in raw:
-        return [_parse_rep(rep, dt) for rep in raw.split(REP_SEP)]
-    if field_repeats(seg_id, field_num):
-        return [_parse_rep(raw, dt)]
-    return _parse_rep(raw, dt)
+        return [_parse_rep(rep, dt, g) for rep in raw.split(REP_SEP)]
+    if g.field_repeats(seg_id, field_num):
+        return [_parse_rep(raw, dt, g)]
+    return _parse_rep(raw, dt, g)
 
 
-def _parse_rep(raw: str, dt: str | None = None) -> object:
+def _parse_rep(raw: str, dt: str | None = None,
+               g: Grammar | None = None) -> object:
     """One field repetition -> str | dict of components.
 
     DATATYPE-driven like hl7apy (the reference's leaf branch,
@@ -234,6 +239,8 @@ def _parse_rep(raw: str, dt: str | None = None) -> object:
     wire, so the reference's recursion serializes it as a dict
     (VERDICT r6 ask #4 — the COVERAGE caveat-3 residual). Fields with
     UNKNOWN datatype stay data-driven: no ``^`` -> plain string."""
+    if g is None:
+        g = grammar_for(None)
     if dt in PRIMITIVE_TYPES:
         return _leaf(raw)
     if COMP_SEP in raw:
@@ -241,12 +248,12 @@ def _parse_rep(raw: str, dt: str | None = None) -> object:
         sep = "_" if dt is not None else ""
         return {
             f"{prefix}{sep}{i + 1}": _parse_component(
-                c, component_datatype(dt, i + 1)
+                c, g.component_datatype(dt, i + 1)
             )
             for i, c in enumerate(raw.split(COMP_SEP))
         }
     if dt is not None:
-        return {f"{dt}_1": _parse_component(raw, component_datatype(dt, 1))}
+        return {f"{dt}_1": _parse_component(raw, g.component_datatype(dt, 1))}
     return _parse_component(raw, None)
 
 
@@ -285,16 +292,19 @@ class _StrictViolation(Exception):
 
 
 def _attach_union(
-    doc: dict, seg_id: str, body: dict, strict: bool, structure: str | None = None
+    doc: dict, seg_id: str, body: dict, strict: bool,
+    structure: str | None = None, g: Grammar | None = None
 ) -> None:
     """Flat attachment under the cardinality tables — used for unknown
     structures and for segments the resolved structure does not declare
     (lab02's ADD continuation rows, file framing)."""
-    if is_repeatable(seg_id, structure):
+    if g is None:
+        g = grammar_for(None)
+    if g.is_repeatable(seg_id, structure):
         doc.setdefault(seg_id, []).append(body)
     elif seg_id not in doc:
         doc[seg_id] = body
-    elif strict and not is_repeatable(seg_id):
+    elif strict and not g.is_repeatable(seg_id):
         # duplicated max-1 segment: structural violation (union-level
         # check on purpose — see parse_er7's docstring)
         raise _StrictViolation
@@ -388,26 +398,58 @@ def parse_er7(msg: str, strict: bool = False) -> str | None:
     resolved from OBX-2 per segment. Only elements outside the
     vendored tables keep the synthetic ``C<n>``/``S<n>`` fallbacks.
 
+    VERSION-KEYED (r8, VERDICT r7 ask #2): the shape tables are
+    resolved from the message's declared MSH-12 version before any
+    field is parsed, exactly as the reference's parse does (hl7apy's
+    parse_message loads the declared version's grammar,
+    parse_er7_lambda.py:10) — a 2.3 message keys MSH-9 as a CM_MSG and
+    keeps XPN-1 a plain ST; a 2.7 message emits DTM timestamp leaves
+    where 2.5 wrapped a {TS_1} composite; versions without a vendored
+    delta fall back to the 2.5 base tables (grammar.grammar_for).
+
     ``strict=True`` mirrors the reference's version-validation failure
     mode (parse_er7_lambda.py:35-38 raises on elements unknown to the
     declared HL7 version; trigger_lambda.py:32-36 dead-letters that):
-    a segment id absent from the grammar, or a second occurrence of a
-    max-1 segment, returns None so the staging chain routes the message
-    to the error zone. Lenient mode preserves unknown segments (as
-    lists — undeclared cardinality never loses an occurrence) and
-    demotes a duplicated singleton to a list (data wins over the
-    vendored table). Returns None on structural failure."""
+    a version outside hl7apy's supported set (lab03.txt's 2.1 —
+    parse_message raises UnsupportedVersion before any grammar walk),
+    a segment id absent from the version's grammar, or a second
+    occurrence of a max-1 segment, returns None so the staging chain
+    routes the message to the error zone. Lenient mode preserves
+    unknown segments (as lists — undeclared cardinality never loses an
+    occurrence) and demotes a duplicated singleton to a list (data
+    wins over the vendored table). Returns None on structural
+    failure."""
     try:
         text = msg.replace("\r\n", "\r").replace("\n", "\r").strip("\r")
         if not text.startswith("MSH"):
             return None
-        segments: list[tuple[str, dict]] = []
+        # Pre-scan the MSH line: the declared VERSION (MSH-12) selects
+        # the grammar every later shape decision reads, and MSH-9
+        # resolves the abstract structure UNDER that version's tables
+        # (hl7apy's order of operations: version first, grammar second).
+        head = text.split(SEGMENT_SEP, 1)[0][9:].split(FIELD_SEP)
+        version = None
+        if len(head) > 9 and head[9]:
+            version = head[9].split(COMP_SEP)[0].strip() or None
+        if strict and version not in SUPPORTED_VERSIONS:
+            # the reference's hl7apy raises UnsupportedVersion (2.1 and
+            # unknown/absent versions) before any parse -> error zone
+            return None
+        g = grammar_for(version)
         structure: str | None = None
+        if len(head) > 6:
+            m9 = head[6].split(COMP_SEP)
+            structure = g.structure_for(
+                m9[0],
+                m9[1] if len(m9) > 1 else "",
+                m9[2] if len(m9) > 2 else None,
+            )
+        segments: list[tuple[str, dict]] = []
         for seg in text.split(SEGMENT_SEP):
             if len(seg) < 3:
                 continue
             seg_id = seg[:3]
-            if strict and not is_known(seg_id):
+            if strict and not g.is_known(seg_id):
                 return None
             body: dict[str, object] = {}
             if seg_id == "MSH":
@@ -415,16 +457,6 @@ def parse_er7(msg: str, strict: bool = False) -> str | None:
                 body["MSH_2"] = seg[4:8]
                 fields = seg[9:].split(FIELD_SEP)
                 offset = 3
-                # resolve the message structure from raw MSH-9 before
-                # any shape decision: explicit MSH-9.3 wins, else the
-                # v2.5 event->structure map (None -> union fallback)
-                if len(fields) > 6:
-                    m9 = fields[6].split(COMP_SEP)
-                    structure = structure_for(
-                        m9[0],
-                        m9[1] if len(m9) > 1 else "",
-                        m9[2] if len(m9) > 2 else None,
-                    )
             else:
                 fields = seg[4:].split(FIELD_SEP)
                 offset = 1
@@ -446,10 +478,11 @@ def parse_er7(msg: str, strict: bool = False) -> str | None:
                 body[f"{seg_id}_{n}"] = _parse_field(
                     raw, seg_id, n,
                     obx5_dt if (seg_id == "OBX" and n == 5) else None,
+                    g,
                 )
             segments.append((seg_id, body))
         doc: dict[str, object] = {}
-        tree = structure_tree(structure)
+        tree = g.structure_tree(structure)
         if tree is not None:
             # Grammar-driven GROUP nesting (VERDICT r5 ask #3): walk the
             # vendored abstract-structure tree over the segment stream,
@@ -464,7 +497,7 @@ def parse_er7(msg: str, strict: bool = False) -> str | None:
                 newpos = _match_into(tree, segments, pos, doc, strict)
                 if newpos == pos:
                     seg_id, body = segments[pos]
-                    _attach_union(doc, seg_id, body, strict)
+                    _attach_union(doc, seg_id, body, strict, None, g)
                     pos += 1
                 else:
                     pos = newpos
@@ -475,7 +508,7 @@ def parse_er7(msg: str, strict: bool = False) -> str | None:
             # GROUP legally occurs many times per message, and an
             # unresolved structure must not reject that repeat).
             for seg_id, body in segments:
-                _attach_union(doc, seg_id, body, strict, structure)
+                _attach_union(doc, seg_id, body, strict, structure, g)
         if "MSH" not in doc:
             return None
         return json.dumps(doc, sort_keys=True, ensure_ascii=False)

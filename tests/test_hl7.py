@@ -103,8 +103,11 @@ def test_subcomponents():
                   "ZZZ|1|a&b^c&d")
     )
     # ORU_R01 structure: the OBX nests under its group wrappers, max-1
-    # within its OBSERVATION group -> dict
-    obx = doc["ORU_R01_PATIENT_RESULT"][0]["ORU_R01_ORDER_OBSERVATION"][0][
+    # within its OBSERVATION group -> dict. The message declares 2.3,
+    # so the outer group carries hl7apy's PRE-2.4 spelling
+    # ORU_R01_RESPONSE (renamed PATIENT_RESULT in 2.5) — r8
+    # version-keyed grammar.
+    obx = doc["ORU_R01_RESPONSE"][0]["ORU_R01_ORDER_OBSERVATION"][0][
         "ORU_R01_OBSERVATION"
     ][0]["OBX"]
     # OBX-3 is CE whose first component is ST — a PRIMITIVE leaf, so the
@@ -129,8 +132,10 @@ def test_golden_corpus_fields():
     # (lab01 uses a backtick escape char instead of backslash)
     assert lab01["MSH"]["MSH_2"] == "^~`&"
     # the 13 observations nest under the ORU_R01 group hierarchy, one
-    # OBSERVATION instance each (VERDICT r5 ask #3 acceptance)
-    order = lab01["ORU_R01_PATIENT_RESULT"][0]["ORU_R01_ORDER_OBSERVATION"]
+    # OBSERVATION instance each (VERDICT r5 ask #3 acceptance); lab01
+    # declares 2.3, whose grammar spells the outer group
+    # ORU_R01_RESPONSE (r8 version-keyed tables)
+    order = lab01["ORU_R01_RESPONSE"][0]["ORU_R01_ORDER_OBSERVATION"]
     assert len(order) == 1 and isinstance(order[0]["OBR"], dict)
     obs = order[0]["ORU_R01_OBSERVATION"]
     assert len(obs) == 13
@@ -165,9 +170,12 @@ def test_field_level_repetition_shape_on_corpus():
     )
     assert len(athena["PID"]["PID_13"]) == 4
 
-    # non-repeatable fields keep their plain shape: PID-8 sex is a
-    # string, MSH-9 message type a component dict (MSG datatype keys)
-    assert adt02["PID"]["PID_8"] == "M"
+    # non-repeatable fields keep their plain shape: MSH-9 message type
+    # a component dict (MSG datatype keys — adt02 declares 2.7, where
+    # MSG still applies); PID-8 sex is a CWE in 2.7 (v2.7 promoted the
+    # IS code fields — r8 version-keyed grammar), so the singleton
+    # wraps in the one-key composite dict
+    assert adt02["PID"]["PID_8"] == {"CWE_1": "M"}
     assert adt02["MSH"]["MSH_9"]["MSG_1"] == "ADT"
 
 
@@ -320,30 +328,36 @@ _GOLDEN_SHAPES = {
                     "PV1": "D"},
     "adt02.txt#0": {"MSH": "D", "PID": "D", "NK1": "L",
                     "ADT_A01_INSURANCE": "L"},
-    # ADT_A05 structure (A28/A31): GT1 repeats at message level; IN1
-    # nests in ADT_A05_INSURANCE
+    # adt03 declares 2.3.1, where each ADT trigger owns a structure
+    # (the MSH-9.3 consolidation is 2.4+) and group wrappers carry the
+    # OWNING structure's prefix (r8 version-keyed grammar): A28/A31
+    # messages nest IN1 in ADT_A28_/ADT_A31_INSURANCE, the A40 merge
+    # nests PID/MRG in ADT_A40_PATIENT
     "adt03_AthenaHealth.txt#0": {"MSH": "D", "EVN": "D", "PID": "D",
                                  "PV1": "D", "GT1": "L"},
     "adt03_AthenaHealth.txt#1": {"MSH": "D", "EVN": "D", "PID": "D",
                                  "PD1": "D", "NK1": "L", "PV1": "D",
-                                 "GT1": "L", "ADT_A05_INSURANCE": "L"},
-    # ADT_A39 structure (A40 merge): PID/MRG nest in the repeating
-    # PATIENT group
+                                 "GT1": "L", "ADT_A31_INSURANCE": "L"},
     "adt03_AthenaHealth.txt#2": {"MSH": "D", "EVN": "D",
-                                 "ADT_A39_PATIENT": "L"},
+                                 "ADT_A40_PATIENT": "L"},
     "adt03_AthenaHealth.txt#3": {"MSH": "D", "EVN": "D", "PID": "D",
                                  "NK1": "L", "PV1": "D", "GT1": "L",
-                                 "ADT_A05_INSURANCE": "L"},
+                                 "ADT_A28_INSURANCE": "L"},
     "adt03_AthenaHealth.txt#4": {"MSH": "D", "EVN": "D", "PID": "D",
                                  "NK1": "L", "PV1": "D", "GT1": "L",
-                                 "ADT_A05_INSURANCE": "L"},
-    # ORU_R01: everything clinical nests under PATIENT_RESULT; lab02's
-    # out-of-structure ADD continuation rows and FTS file trailer fall
-    # back to flat union-table attachment
-    "lab01.txt#0": {"MSH": "D", "ORU_R01_PATIENT_RESULT": "L"},
-    "lab02.txt#0": {"MSH": "D", "ORU_R01_PATIENT_RESULT": "L",
+                                 "ADT_A31_INSURANCE": "L"},
+    # ORU_R01 pre-2.4 (lab01/lab02 declare 2.3): the outer group is
+    # hl7apy's ORU_R01_RESPONSE spelling; lab02's out-of-structure ADD
+    # continuation rows and FTS file trailer fall back to flat
+    # union-table attachment
+    "lab01.txt#0": {"MSH": "D", "ORU_R01_RESPONSE": "L"},
+    "lab02.txt#0": {"MSH": "D", "ORU_R01_RESPONSE": "L",
                     "ADD": "L", "FTS": "D"},
-    "lab03.txt#0": {"MSH": "D", "ORU_R01_PATIENT_RESULT": "L"},
+    # lab03 declares 2.1 — OUTSIDE hl7apy's supported set, so the
+    # reference dead-letters it (UnsupportedVersion). Lenient mode
+    # shapes it flat under the union tables with 2.1 datatypes: there
+    # is no hl7apy 2.1 grammar (hence no group nesting) to mirror.
+    "lab03.txt#0": {"MSH": "D", "PID": "D", "OBR": "L", "OBX": "L"},
 }
 
 
@@ -391,8 +405,18 @@ def test_datatype_component_spelling_golden():
     of adt01 and lab01 — XPN for names, MSG for MSH-9, CE for coded
     entries, with OBX-5's 'varies' type resolved from OBX-2."""
     by_name = dict(MESSAGES)
+    # adt01's FIRST message declares 2.5: MSG-keyed MSH-9 (with the
+    # explicit MSH-9.3 structure) and a VID composite MSH-12
+    adt01_v25 = json.loads(parse_er7(by_name["adt01.txt#0"]))
+    assert adt01_v25["MSH"]["MSH_9"] == {
+        "MSG_1": "ADT", "MSG_2": "A01", "MSG_3": "ADT_A01"
+    }
+    assert adt01_v25["MSH"]["MSH_12"] == {"VID_1": "2.5"}
+    # adt01's SECOND message declares 2.3 (r8 version-keyed grammar):
+    # MSH-9 is the pre-2.4 CM_MSG compound, MSH-12 a plain ID leaf
     adt01 = json.loads(parse_er7(by_name["adt01.txt#1"]))
-    assert adt01["MSH"]["MSH_9"] == {"MSG_1": "ADT", "MSG_2": "A01"}
+    assert adt01["MSH"]["MSH_9"] == {"CM_MSG_1": "ADT", "CM_MSG_2": "A01"}
+    assert adt01["MSH"]["MSH_12"] == "2.3"
     assert adt01["PID"]["PID_5"][0]["XPN_1"] == "DOE"
     assert adt01["PID"]["PID_5"][0]["XPN_2"] == "JOHN"
     # PID-2 is NOT field-repeatable -> plain component dict, CX keys
@@ -406,7 +430,11 @@ def test_datatype_component_spelling_golden():
     assert adt01["PV1"]["PV1_7"][0]["XCN_2"] == "DOCTOR"
 
     lab01 = json.loads(parse_er7(by_name["lab01.txt#0"]))
-    order = lab01["ORU_R01_PATIENT_RESULT"][0]["ORU_R01_ORDER_OBSERVATION"][0]
+    # lab01 declares 2.3: MSH-9 is the CM_MSG compound (hl7apy's
+    # pre-2.4 spelling) and MSH-12 a plain ID leaf, not a VID (r8)
+    assert lab01["MSH"]["MSH_9"] == {"CM_MSG_1": "ORU", "CM_MSG_2": "R01"}
+    assert lab01["MSH"]["MSH_12"] == "2.3"
+    order = lab01["ORU_R01_RESPONSE"][0]["ORU_R01_ORDER_OBSERVATION"][0]
     assert order["OBR"]["OBR_4"] == {
         "CE_1": "0", "CE_2": "ADULT", "CE_3": "ROCHECG"
     }
@@ -439,7 +467,7 @@ def test_group_nesting_lab02_resync():
     mode is the documented superset.)"""
     msg = next(m for n, m in MESSAGES if n.startswith("lab02"))
     doc = json.loads(parse_er7(msg))
-    results = doc["ORU_R01_PATIENT_RESULT"]
+    results = doc["ORU_R01_RESPONSE"]  # lab02 declares 2.3 (r8)
     patients = [r["ORU_R01_PATIENT"] for r in results if "ORU_R01_PATIENT" in r]
     assert any("PID" in p for p in patients)
     orders = [
@@ -555,7 +583,11 @@ def _segment_ids(node, out):
 
 def test_corpus_segments_all_known_to_grammar():
     """The vendored table must cover every segment the corpus uses —
-    otherwise strict mode would dead-letter valid reference messages."""
+    otherwise strict mode would dead-letter valid reference messages.
+    EXCEPTION (r8, version-keyed grammar): lab03 declares HL7 2.1,
+    which hl7apy does not support — the reference's parse raises
+    UnsupportedVersion and the message dead-letters, so strict mode
+    here returns None for it too (version-correct behavior)."""
     from hcls_data_lake_spark.hl7.grammar import is_known
 
     for name, msg in MESSAGES:
@@ -563,7 +595,10 @@ def test_corpus_segments_all_known_to_grammar():
         segs = _segment_ids(doc, set())
         unknown = [s for s in segs if not is_known(s)]
         assert not unknown, f"{name}: {unknown} missing from grammar"
-        assert parse_er7(msg, strict=True) is not None, name
+        if name.startswith("lab03"):
+            assert parse_er7(msg, strict=True) is None, name
+        else:
+            assert parse_er7(msg, strict=True) is not None, name
 
 
 def test_strict_rejects_unknown_segment():
@@ -758,3 +793,112 @@ def test_bar_account_structure_nests():
     assert v["BAR_P01_PROCEDURE"][0]["PR1"]["PR1_3"]["CE_2"] == "Appendectomy"
     assert v["BAR_P01_INSURANCE"][0]["IN1"]["IN1_2"] == {"CE_1": "PLAN1"}
     assert v["GT1"][0]["GT1_2"] == [{"CX_1": "G1"}]
+
+
+# ------------------------------------------- version-keyed grammar (r8)
+
+
+def test_version_keyed_231_adt03_goldens():
+    """adt03 declares 2.3.1 (VERDICT r7 ask #2 acceptance): the A31
+    message keys race/ethnic-group as SINGLE CE dicts (repeatability
+    is 2.4+), nests IN1 under the 2.3.1 per-trigger structure's own
+    group spelling, and keeps MSH-9 the CM_MSG compound."""
+    by_name = dict(MESSAGES)
+    a31 = json.loads(parse_er7(by_name["adt03_AthenaHealth.txt#1"]))
+    assert a31["MSH"]["MSH_9"] == {"CM_MSG_1": "ADT", "CM_MSG_2": "A31"}
+    # 2.3.1 has the VID composite (introduced with MSH-9.3 in 2.3.1)
+    assert a31["MSH"]["MSH_12"] == {"VID_1": "2.3.1"}
+    pid = a31["PID"]
+    # PID-10 race / PID-22 ethnic group: single-valued CE in 2.3.1
+    # (the 2.5 grammar would emit one-element LISTS here)
+    assert pid["PID_10"] == {"CE_1": "2028-9", "CE_2": "Asian"}
+    assert pid["PID_22"] == {"CE_1": "2186-5",
+                             "CE_2": "Not Hispanic or Latino"}
+    # phones still repeat in 2.3.1: four XTN repetitions stay a list
+    assert len(pid["PID_13"]) == 4
+    ins = a31["ADT_A31_INSURANCE"]
+    assert isinstance(ins, list) and isinstance(ins[0]["IN1"], dict)
+    a40 = json.loads(parse_er7(by_name["adt03_AthenaHealth.txt#2"]))
+    pat = a40["ADT_A40_PATIENT"]
+    assert isinstance(pat, list) and "MRG" in pat[0] and "PID" in pat[0]
+
+
+def test_version_keyed_27_datatype_goldens():
+    """adt02 declares 2.7, which WITHDREW the CE and TS datatypes:
+    timestamp fields are DTM primitives (plain leaves, where 2.5 wraps
+    a one-key {TS_1} dict) and coded fields are CWE composites —
+    including the IS code fields 2.7 promoted (PID-8 sex)."""
+    by_name = dict(MESSAGES)
+    adt02 = json.loads(parse_er7(by_name["adt02.txt#0"]))
+    msh = adt02["MSH"]
+    assert msh["MSH_7"] == "199908180016"  # DTM primitive -> leaf
+    assert msh["MSH_9"] == {"MSG_1": "ADT", "MSG_2": "A04"}
+    assert msh["MSH_12"] == {"VID_1": "2.7"}
+    pid = adt02["PID"]
+    assert pid["PID_7"] == "19880517180606"  # DTM leaf (TS_1 in 2.5)
+    assert pid["PID_8"] == {"CWE_1": "M"}
+    assert pid["PID_16"] == {"CWE_1": "S"}  # marital status CE->CWE
+    # IN1-2 plan type: CE in 2.5, CWE in 2.7
+    ins = adt02["ADT_A01_INSURANCE"][0]["IN1"]
+    assert ins["IN1_2"] == {"CWE_1": "PRE2"}
+
+
+def test_version_21_unsupported_dead_letters_strict():
+    """lab03 declares HL7 2.1 — OUTSIDE hl7apy's supported set
+    (2.2-2.8.x): the reference's parse_message raises
+    UnsupportedVersion before any grammar walk and the message routes
+    to the error zone (trigger_lambda.py:32-36). Strict mode mirrors
+    that; lenient mode shapes flat under the union tables with 2.1
+    datatypes (PN names — the XPN composite does not exist in 2.1)."""
+    by_name = dict(MESSAGES)
+    msg = by_name["lab03.txt#0"]
+    assert parse_er7(msg, strict=True) is None
+    doc = json.loads(parse_er7(msg))
+    # no hl7apy 2.1 grammar -> no group nesting; flat union attachment
+    assert "ORU_R01_RESPONSE" not in doc
+    assert "ORU_R01_PATIENT_RESULT" not in doc
+    assert isinstance(doc["OBX"], list) and len(doc["OBX"]) == 14
+    # 2.1 names are PN (family^given, all-ST components), ids CK
+    assert doc["PID"]["PID_5"] == {"PN_1": "TEST", "PN_2": "PATIENT"}
+    assert doc["PID"]["PID_3"] == {"CK_1": "999999999"}
+    assert doc["MSH"]["MSH_12"] == "2.1"  # ID leaf
+    # OBR-16 ordering provider: CN in 2.1 (XCN postdates it)
+    obr16 = doc["OBR"][0]["OBR_16"]
+    assert obr16["CN_1"] == "M999999" and obr16["CN_8"] == "RACFID"
+
+
+def test_version_fallback_unvendored_uses_base():
+    """Versions hl7apy supports but this engine has no delta for
+    (2.4/2.6/...) resolve to the 2.5 base tables — strict mode accepts
+    them and the shape matches the 2.5 parse of the same wire."""
+    wire = ("MSH|^~\\&|A|B|C|D|20240101||ADT^A01|1|P|{v}\r"
+            "PID|1||42||Last^First||19900101|M")
+    v24 = parse_er7(wire.format(v="2.4"), strict=True)
+    v25 = parse_er7(wire.format(v="2.5"), strict=True)
+    assert v24 is not None and v25 is not None
+    d24, d25 = json.loads(v24), json.loads(v25)
+    d24["MSH"].pop("MSH_12"), d25["MSH"].pop("MSH_12")
+    assert d24 == d25
+    # absent MSH-12 also dead-letters strict (hl7apy cannot resolve a
+    # grammar without a version) but parses leniently on the base
+    nover = "MSH|^~\\&|A|B|C|D|20240101||ADT^A01|1|P\rPID|1||42"
+    assert parse_er7(nover, strict=True) is None
+    assert parse_er7(nover) is not None
+
+
+def test_version_23_strict_rejects_25_only_segments():
+    """A segment that postdates the declared version is unknown to
+    that version's grammar — the reference raises ('not found in this
+    version of HL7', parse_er7_lambda.py:35-38). SPM is 2.5+: a 2.3
+    ORU carrying one dead-letters strict, while the same wire under
+    2.5 is accepted."""
+    wire = ("MSH|^~\\&|A|B|C|D|20240101||ORU^R01|1|P|{v}\r"
+            "PID|1||42\r"
+            "OBR|1\r"
+            "OBX|1|ST|X||v\r"
+            "SPM|1|S1")
+    assert parse_er7(wire.format(v="2.3"), strict=True) is None
+    assert parse_er7(wire.format(v="2.5"), strict=True) is not None
+    # lenient 2.3 keeps the occurrence (union attachment, never lost)
+    doc = json.loads(parse_er7(wire.format(v="2.3")))
+    assert doc["SPM"]
