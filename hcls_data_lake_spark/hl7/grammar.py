@@ -87,6 +87,10 @@ SEGMENT_CARDINALITY: dict[str, int | None] = {
     "BLG": 1,
     "RXA": 1,   # max-1 within VXU_V04's repeating ORDER group
     "RXR": 1,
+    # r8 (VERDICT r7 ask #4): BAR_P05's extra visit-level members
+    "ABS": 1,   # abstract
+    "BLC": None,  # blood codes repeat
+    "RMI": 1,   # risk management incident
 }
 
 
@@ -188,9 +192,17 @@ EVENT_STRUCTURE: dict[str, str] = {
     "VXU_V04": "VXU_V04",
     # financial transaction posting (detail financial transaction)
     "DFT_P03": "DFT_P03",
-    # account management: add account (P01) / purge (P02 shares shape
-    # via the fallback; only P01 is vendored group-nested)
+    # account management (r8 ask #4: the P01 family's sibling triggers
+    # are vendored so a new feed of an already-supported family no
+    # longer silently falls back to the union table): add (P01),
+    # purge (P02), update (P05), end (P06)
     "BAR_P01": "BAR_P01",
+    "BAR_P02": "BAR_P02",
+    "BAR_P05": "BAR_P05",
+    "BAR_P06": "BAR_P06",
+    # general-order response (ORM_O01's sibling in the order family —
+    # v2.5 defines ORM only for O01; the response side is ORR^O02)
+    "ORR_O02": "ORR_O02",
     # ACK is trigger-agnostic (ACK^A01, ACK^R01, ... all share the
     # 3-segment ACK structure); structure_for special-cases the type,
     # these rows cover senders that spell the trigger without MSH-9.3
@@ -268,6 +280,22 @@ STRUCTURE_SEGMENT_CARDINALITY: dict[str, dict[str, int | None]] = {
         "AL1": None, "DG1": None, "DRG": 1, "PR1": 1, "GT1": None,
         "NK1": None, "IN1": 1, "IN2": 1, "IN3": 1, "ACC": 1,
         "UB1": 1, "UB2": 1,
+    },
+    # r8 ask #4 structures (flat views, max card WITHIN IMMEDIATE PARENT)
+    "BAR_P02": {"MSH": 1, "SFT": None, "EVN": 1, "PID": 1, "PD1": 1,
+                "PV1": 1, "DB1": None},
+    "BAR_P05": {
+        "MSH": 1, "SFT": None, "EVN": 1, "PID": 1, "PD1": 1,
+        "ROL": None, "PV1": 1, "PV2": 1, "DB1": None, "OBX": None,
+        "AL1": None, "DG1": None, "DRG": 1, "PR1": 1, "GT1": None,
+        "NK1": None, "IN1": 1, "IN2": 1, "IN3": 1, "ACC": 1,
+        "UB1": 1, "UB2": 1, "ABS": 1, "BLC": None, "RMI": 1,
+    },
+    "BAR_P06": {"MSH": 1, "SFT": None, "EVN": 1, "PID": 1, "PV1": 1},
+    "ORR_O02": {
+        "MSH": 1, "SFT": None, "MSA": 1, "ERR": 1, "NTE": None,
+        "PID": 1, "ORC": 1, "OBR": 1, "RQD": 1, "RQ1": 1, "RXO": 1,
+        "ODS": None, "ODT": None, "CTI": None,
     },
     "DFT_P03": {
         "MSH": 1, "SFT": None, "EVN": 1, "PID": 1, "PD1": 1,
@@ -512,6 +540,72 @@ STRUCTURE_TREES: dict[str, tuple] = {
                      _S("ROL", None)),
                 ),
                 _S("ACC", 1), _S("UB1", 1), _S("UB2", 1),
+            ),
+        ),
+    ),
+    # r8 ask #4: BAR sibling triggers + the ORM family's response side
+    # (HL7 v2.5 abstract definitions, hl7apy group spelling)
+    "BAR_P02": (
+        _S("MSH", 1), _S("SFT", None), _S("EVN", 1),
+        ("BAR_P02_PATIENT", None,
+         (_S("PID", 1), _S("PD1", 1), _S("PV1", 1), _S("DB1", None))),
+    ),
+    "BAR_P05": (
+        _S("MSH", 1), _S("SFT", None), _S("EVN", 1), _S("PID", 1),
+        _S("PD1", 1), _S("ROL", None),
+        (
+            "BAR_P05_VISIT",
+            None,
+            (
+                _S("PV1", 1), _S("PV2", 1), _S("ROL", None),
+                _S("DB1", None), _S("OBX", None), _S("AL1", None),
+                _S("DG1", None), _S("DRG", 1),
+                (
+                    "BAR_P05_PROCEDURE",
+                    None,
+                    (_S("PR1", 1), _S("ROL", None)),
+                ),
+                _S("GT1", None), _S("NK1", None),
+                (
+                    "BAR_P05_INSURANCE",
+                    None,
+                    (_S("IN1", 1), _S("IN2", 1), _S("IN3", 1),
+                     _S("ROL", None)),
+                ),
+                _S("ACC", 1), _S("UB1", 1), _S("UB2", 1),
+                _S("ABS", 1), _S("BLC", None), _S("RMI", 1),
+            ),
+        ),
+    ),
+    "BAR_P06": (
+        _S("MSH", 1), _S("SFT", None), _S("EVN", 1),
+        ("BAR_P06_PATIENT", None, (_S("PID", 1), _S("PV1", 1))),
+    ),
+    "ORR_O02": (
+        _S("MSH", 1), _S("SFT", None), _S("MSA", 1), _S("ERR", 1),
+        _S("NTE", None),
+        (
+            "ORR_O02_RESPONSE",
+            1,
+            (
+                ("ORR_O02_PATIENT", 1, (_S("PID", 1), _S("NTE", None))),
+                (
+                    "ORR_O02_ORDER",
+                    None,
+                    (
+                        _S("ORC", 1),
+                        (
+                            "ORR_O02_CHOICE",
+                            1,
+                            (
+                                _S("OBR", 1), _S("RQD", 1), _S("RQ1", 1),
+                                _S("RXO", 1), _S("ODS", None),
+                                _S("ODT", None),
+                            ),
+                        ),
+                        _S("NTE", None), _S("CTI", None),
+                    ),
+                ),
             ),
         ),
     ),

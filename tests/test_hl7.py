@@ -902,3 +902,78 @@ def test_version_23_strict_rejects_25_only_segments():
     # lenient 2.3 keeps the occurrence (union attachment, never lost)
     doc = json.loads(parse_er7(wire.format(v="2.3")))
     assert doc["SPM"]
+
+
+def test_bar_sibling_triggers_nest():
+    """r8 (VERDICT r7 ask #4): the BAR family's sibling triggers are
+    vendored — an update-account P05 nests its visit content under
+    BAR_P05_VISIT (with the P05-only ABS/BLC/RMI members accepted by
+    strict mode), a purge P02 batches patients under repeating
+    BAR_P02_PATIENT groups, and an end-account P06 under
+    BAR_P06_PATIENT — instead of silently union-flattening."""
+    p05 = (
+        "MSH|^~\\&|ADT|FAC|BILLING|FAC|20240101||BAR^P05|1|P|2.5\r"
+        "EVN|P05|20240101\r"
+        "PID|1||9001\r"
+        "PV1|1|I\r"
+        "DG1|1||E11^Diabetes\r"
+        "GT1|1|G1\r"
+        "IN1|1|PLAN1\r"
+        "ABS|DR^WHO\r"
+        "BLC|WBL^Whole blood|2\r"
+        "RMI|AC^Incident"
+    )
+    assert parse_er7(p05, strict=True) is not None
+    doc = json.loads(parse_er7(p05))
+    v = doc["BAR_P05_VISIT"][0]
+    assert v["DG1"][0]["DG1_3"]["CE_1"] == "E11"
+    assert v["BAR_P05_INSURANCE"][0]["IN1"]["IN1_2"] == {"CE_1": "PLAN1"}
+    assert isinstance(v["ABS"], dict) and isinstance(v["RMI"], dict)
+    assert isinstance(v["BLC"], list)
+
+    p02 = (
+        "MSH|^~\\&|ADT|FAC|BILLING|FAC|20240101||BAR^P02|2|P|2.5\r"
+        "EVN|P02|20240101\r"
+        "PID|1||9001\rPV1|1|I\r"
+        "PID|2||9002\rPV1|1|O"
+    )
+    assert parse_er7(p02, strict=True) is not None
+    doc2 = json.loads(parse_er7(p02))
+    pats = doc2["BAR_P02_PATIENT"]
+    assert len(pats) == 2
+    assert pats[0]["PID"]["PID_3"] == [{"CX_1": "9001"}]
+    assert pats[1]["PV1"]["PV1_2"] == "O"
+
+    p06 = (
+        "MSH|^~\\&|ADT|FAC|BILLING|FAC|20240101||BAR^P06|3|P|2.5\r"
+        "EVN|P06|20240101\r"
+        "PID|1||9001\rPV1|1|I"
+    )
+    assert parse_er7(p06, strict=True) is not None
+    doc3 = json.loads(parse_er7(p06))
+    assert doc3["BAR_P06_PATIENT"][0]["PID"]["PID_3"] == [{"CX_1": "9001"}]
+
+
+def test_orr_order_response_nests():
+    """r8 (ask #4): ORR^O02 — the response half of the ORM order
+    round-trip — nests MSA/ERR at message level and each responded
+    order's ORC + CHOICE detail under ORR_O02_RESPONSE/ORDER groups."""
+    msg = (
+        "MSH|^~\\&|LIS|FAC|CPOE|FAC|20240101||ORR^O02|99|P|2.5\r"
+        "MSA|AA|77\r"
+        "PID|1||4711\r"
+        "ORC|OK|ORD1\r"
+        "OBR|1|ORD1||93000^EKG\r"
+        "ORC|OK|ORD2\r"
+        "RXO|DRUG^Aspirin|325||MG"
+    )
+    assert parse_er7(msg, strict=True) is not None
+    doc = json.loads(parse_er7(msg))
+    assert doc["MSA"]["MSA_1"] == "AA"
+    resp = doc["ORR_O02_RESPONSE"]
+    assert isinstance(resp, dict)
+    assert resp["ORR_O02_PATIENT"]["PID"]["PID_3"] == [{"CX_1": "4711"}]
+    orders = resp["ORR_O02_ORDER"]
+    assert len(orders) == 2
+    assert orders[0]["ORR_O02_CHOICE"]["OBR"]["OBR_4"]["CE_1"] == "93000"
+    assert orders[1]["ORR_O02_CHOICE"]["RXO"]["RXO_1"]["CE_2"] == "Aspirin"
