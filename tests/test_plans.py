@@ -866,3 +866,45 @@ def test_multi_distinct_uses_expand_not_joins(spark, sf_dir):
     assert "Expand" in tree
     assert "Join" not in tree
     assert tree.count("Scan parquet") == 1
+
+
+def test_lint_catches_seeded_single_reducer_query(spark):
+    """Guard the lint itself (r8, VERDICT r7 ask #8): drive the same
+    registry-wide loop over a throwaway registry holding a deliberately
+    single-reducer query (bare Window.orderBy over a fact-shaped
+    relation) and assert the lint flags it — and that the
+    with_global_order rewrite of the same query passes clean. If the
+    plan-text patterns the lint greps for ever drift with a Spark
+    upgrade, this test fails instead of the lint silently passing
+    everything."""
+    from pyspark.sql.window import Window
+
+    from hcls_data_lake_spark.operators.ordered import with_global_order
+    from hcls_data_lake_spark.plans import global_windows
+
+    def bad_query(spark, sf_dir):
+        df = spark.range(0, 10_000).select(
+            F.col("id"), (F.col("id") * 7 % 113).alias("v")
+        )
+        return df.withColumn(
+            "rk", F.row_number().over(Window.orderBy(F.col("v"), F.col("id")))
+        )
+
+    def good_query(spark, sf_dir):
+        df = spark.range(0, 10_000).select(
+            F.col("id"), (F.col("id") * 7 % 113).alias("v")
+        )
+        return with_global_order(
+            df, [F.col("v").asc(), F.col("id").asc()], rank_col="rk"
+        )
+
+    throwaway = {"q_seeded_single_reducer": bad_query,
+                 "q_seeded_two_pass": good_query}
+    failures = []
+    for name, fn in sorted(throwaway.items()):
+        hits = global_windows(fn(spark, None))
+        failures.extend(f"{name}: {h}" for h in hits)
+    assert failures, "lint failed to flag the seeded single-reducer query"
+    assert all(f.startswith("q_seeded_single_reducer:") for f in failures), (
+        "lint flagged the scale-safe two-pass rewrite too: " + str(failures)
+    )
