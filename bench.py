@@ -50,6 +50,7 @@ HEADLINE = [
 # reported separately so `value` stays comparable across rounds.
 EXTENDED = [
     "q_join_bucketed",        # exchange-free co-located SMJ
+    "q_join_multiway_bucketed",  # star over the bucketed fact layout (r8)
     "q_agg_salted_skew",      # salted two-stage aggregation
     "q_dedup_embedding",      # embedding-cosine near-dup
     "q_sample_hash_split",    # deterministic md5 split

@@ -105,6 +105,30 @@ def q_join_multiway(spark, sf_dir):
     )
 
 
+def _bucketed_table(spark, sf_dir, tbl, key, buckets=16):
+    """One bucketed+sorted layout table per (session, sf, table):
+    ``bucketBy(buckets, key).sortBy(key)``, created on first use and
+    reused by every bucketed-join query in the session — the
+    pay-the-layout-once-at-write-time strategy of a 100 TB lake."""
+    import shutil as _shutil
+
+    from hcls_data_lake_spark.queries.common import scratch_for
+
+    path = scratch_for(sf_dir, f"bkt_{tbl}")
+    tname = f"bkt_{tbl}_{path.rsplit('_', 1)[-1]}"
+    if not spark.catalog.tableExists(tname):
+        _shutil.rmtree(path, ignore_errors=True)
+        (
+            t(spark, sf_dir, tbl)
+            .write.mode("overwrite")
+            .bucketBy(buckets, key)
+            .sortBy(key)
+            .option("path", path)
+            .saveAsTable(tname)
+        )
+    return spark.table(tname)
+
+
 @register(
     "q_join_bucketed",
     """
@@ -121,31 +145,65 @@ def q_join_bucketed(spark, sf_dir):
     (pay the layout once at write time, never shuffle again; plan test
     pins Exchange-free execution). Layout tables are created once per
     session+sf in a scratch-backed catalog entry."""
-    import shutil as _shutil
-
-    from hcls_data_lake_spark.queries.common import scratch_for
-
-    names = {}
-    for tbl, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
-        path = scratch_for(sf_dir, f"bkt_{tbl}")
-        tname = f"bkt_{tbl}_{path.rsplit('_', 1)[-1]}"
-        if not spark.catalog.tableExists(tname):
-            _shutil.rmtree(path, ignore_errors=True)
-            (
-                t(spark, sf_dir, tbl)
-                .write.mode("overwrite")
-                .bucketBy(16, key)
-                .sortBy(key)
-                .option("path", path)
-                .saveAsTable(tname)
-            )
-        names[tbl] = tname
-    o = spark.table(names["orders"])
-    li = spark.table(names["lineitem"])
+    o = _bucketed_table(spark, sf_dir, "orders", "o_orderkey")
+    li = _bucketed_table(spark, sf_dir, "lineitem", "l_orderkey")
     return (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .filter(F.col("l_quantity") >= 45)
         .select("o_orderkey", "o_custkey", "l_linenumber", "l_quantity")
+    )
+
+
+@register(
+    "q_join_multiway_bucketed",
+    """
+    SELECT n.n_name AS nation_name,
+           CAST(count(*) AS BIGINT) AS n_lineitems,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE o.o_orderstatus <> 'P'
+    GROUP BY n.n_name
+    """,
+)
+def q_join_multiway_bucketed(spark, sf_dir):
+    """The q_join_multiway star over the BUCKETED fact layout (r8,
+    VERDICT r7 ask #6): q_join_multiway's sf1 knee is the
+    broadcast-threshold crossover — once customer/supplier outgrow
+    autoBroadcastJoinThreshold, the plan re-shuffles the full fact
+    stream per dim join. This variant removes both scale cliffs:
+
+    - orders JOIN lineitem (the two corpus-sized relations) reads the
+      ``bucketBy(16, orderkey)`` layout, so the biggest join runs as a
+      co-located sort-merge with NO shuffle exchange on either side;
+    - the dims (customer/supplier/nation — dimension-shaped at every
+      SF) are broadcast EXPLICITLY, immune to the size-estimate cliff.
+
+    Net: zero corpus-sized shuffle before the final 25-nation
+    hash-aggregate, at any scale factor. Same oracle relation as
+    q_join_multiway (the layout must never change results)."""
+    o = _bucketed_table(spark, sf_dir, "orders", "o_orderkey").filter(
+        F.col("o_orderstatus") != "P"
+    )
+    li = _bucketed_table(spark, sf_dir, "lineitem", "l_orderkey")
+    c = F.broadcast(t(spark, sf_dir, "customer"))
+    s = F.broadcast(t(spark, sf_dir, "supplier"))
+    n = F.broadcast(t(spark, sf_dir, "nation"))
+    return (
+        o.join(li, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
     )
 
 

@@ -159,6 +159,8 @@ _FAMILY_REPRESENTATIVES = [
     "q_embed_recall_ivfpq",
     "q_hl7_typed_vxu",
     "q_hl7_ack_reconcile",
+    # r8 additions (never sampled; r9 queue)
+    "q_join_multiway_bucketed",
     # -- already driver-sampled (r1-r7), most recent rotation first --
     "q_dedup_posting_census",
     "q_embed_recall_tuned",

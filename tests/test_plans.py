@@ -908,3 +908,39 @@ def test_lint_catches_seeded_single_reducer_query(spark):
     assert all(f.startswith("q_seeded_single_reducer:") for f in failures), (
         "lint flagged the scale-safe two-pass rewrite too: " + str(failures)
     )
+
+
+def test_bucketed_multiway_fact_leg_is_exchange_free(spark, sf_dir):
+    """q_join_multiway_bucketed (r8): at fixture scale every join
+    broadcasts, so force the at-scale shape (auto-broadcast off) and
+    pin what the bucketed layout buys — the orders/lineitem leg runs
+    as a sort-merge join with NO shuffle exchange on either fact input
+    (both scans are bucketed on the join key), which is exactly the
+    plan a 100 TB star would take once dims outgrow the threshold."""
+    from hcls_data_lake_spark.plans import plan_of
+    from hcls_data_lake_spark.registry import queries
+
+    fn = queries()["q_join_multiway_bucketed"]
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(fn(spark, sf_dir), "formatted")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan
+    lines = plan.splitlines()
+    # walk the tree section: between each bucketed Scan and the SMJ
+    # above it there must be no Exchange (bucket co-location honored)
+    smj_idx = [i for i, l in enumerate(lines) if "SortMergeJoin" in l]
+    assert smj_idx, plan
+    first_smj = smj_idx[0]
+    scan_lines = [
+        i for i, l in enumerate(lines)
+        if "Scan parquet" in l and "bkt_" in l
+    ]
+    assert len(scan_lines) >= 2, "bucketed scans missing:\n" + plan
+    for i in scan_lines[:2]:
+        between = "\n".join(lines[first_smj:i])
+        assert "Exchange hashpartitioning" not in between, (
+            "shuffle between bucketed scan and SMJ:\n" + between
+        )
