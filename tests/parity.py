@@ -33,6 +33,7 @@ from __future__ import annotations
 import datetime
 import decimal
 import math
+import os
 
 import duckdb
 
@@ -42,9 +43,13 @@ from hcls_data_lake_spark.tables import TABLES
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for name in TABLES:
+        path = f"{sf_dir}/{name}.parquet"
+        if os.path.isdir(path):
+            # Spark-written table (e.g. the sf1 key-offset replicas):
+            # a directory of part files — DuckDB reads it via a glob
+            path = f"{path}/*.parquet"
         con.execute(
-            f"CREATE OR REPLACE VIEW {name} AS "
-            f"SELECT * FROM '{sf_dir}/{name}.parquet'"
+            f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM '{path}'"
         )
     return con
 
