@@ -850,3 +850,101 @@ def q_fn_soundex(spark, sf_dir):
     return words.select(
         F.col("w").alias("word"), F.soundex("w").alias("sdx")
     )
+
+
+@register(
+    "q_fn_sql_scripting",
+    """
+    WITH cand AS (
+      SELECT k, CAST(640000 * (1::BIGINT << k) AS BIGINT) AS thr_c
+      FROM range(0, 30) t(k)
+    ), cnts AS (
+      SELECT k, thr_c,
+             (SELECT count(*) FROM orders
+              WHERE CAST(round(o_totalprice * 100) AS BIGINT) > thr_c) AS n
+      FROM cand
+    )
+    SELECT CAST(thr_c AS BIGINT) AS thr_cents, CAST(n AS BIGINT) AS n_above
+    FROM cnts WHERE n < 100 ORDER BY k LIMIT 1
+    """,
+)
+def q_fn_sql_scripting(spark, sf_dir):
+    """SQL scripting (Spark 4 BEGIN/DECLARE/WHILE control flow):
+    binary-exponential threshold search — keep doubling a price
+    cutoff until fewer than 100 orders exceed it. The procedural
+    loop runs on the DRIVER; every probe inside it is an ordinary
+    distributed count with the predicate pushed to the scan, so the
+    whole script costs O(log(max_price)) cluster passes and no
+    collect beyond each 1-row count. That split (script = control
+    flow, statements = Catalyst plans) is exactly how scripting
+    scales: the loop never touches row data. The oracle replays the
+    same search declaratively — a candidate grid of the doubled
+    thresholds with a correlated count, picking the first below the
+    target — so the procedural and declarative spellings must agree
+    bit-for-bit. Threshold arithmetic stays in exact BIGINT cents
+    (integer-discipline: no float compare drift cross-engine)."""
+    # Parsing BEGIN...END blocks is gated by this conf; enabling it
+    # is side-effect-free for every other query shape.
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("script_orders")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE thr_c BIGINT DEFAULT 640000;
+          DECLARE n BIGINT DEFAULT 0;
+          SET n = (SELECT count(*) FROM script_orders
+                   WHERE CAST(round(o_totalprice * 100) AS BIGINT) > thr_c);
+          WHILE n >= 100 DO
+            SET thr_c = thr_c * 2;
+            SET n = (SELECT count(*) FROM script_orders
+                     WHERE CAST(round(o_totalprice * 100) AS BIGINT)
+                           > thr_c);
+          END WHILE;
+          SELECT thr_c AS thr_cents, n AS n_above;
+        END
+        """
+    )
+
+
+@register(
+    "q_fn_execute_immediate",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS rev_c
+    FROM orders
+    WHERE o_orderstatus = 'F'
+      AND o_totalprice > 10000.0
+      AND CAST(round(o_totalprice * 100) AS BIGINT) > 1000000
+    GROUP BY o_orderpriority
+    """,
+)
+def q_fn_execute_immediate(spark, sf_dir):
+    """EXECUTE IMMEDIATE — parameterized dynamic SQL, the
+    injection-safe way to run statements assembled at runtime (a BI
+    layer binding user filters, a job templating engine): the
+    statement text carries named parameter markers (:st, :thr — one
+    marker STYLE per statement; Spark rejects mixing named and
+    positional) and the values bind server-side as literals in the
+    ANALYZED plan, never by string splicing. The exact cents
+    predicate is on a DERIVED expression (never reaches
+    PushedFilters), so the statement carries the house discipline: a
+    conservative raw-column bound (o_totalprice > 10000.0, implied
+    by cents > 1000000) that DOES push to the parquet scan, with the
+    exact integer predicate evaluated behind it. Oracle = the same
+    query with the parameters inlined; matching hashes pin that
+    binding is semantically identical to literal SQL."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("ei_orders")
+    return spark.sql(
+        "EXECUTE IMMEDIATE "
+        "'SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders, "
+        " CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+        "   AS rev_c "
+        " FROM ei_orders "
+        " WHERE o_orderstatus = :st "
+        "   AND o_totalprice > 10000.0 "
+        "   AND CAST(round(o_totalprice * 100) AS BIGINT) > :thr "
+        " GROUP BY o_orderpriority' "
+        "USING 'F' AS st, 1000000 AS thr"
+    )

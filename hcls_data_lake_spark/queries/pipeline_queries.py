@@ -1781,3 +1781,71 @@ def q_hl7_ack_reconcile(spark, sf_dir):
         .alias("status"),
         "err_code",
     )
+
+
+@register(
+    "q_udtf_arrow_bytes",
+    """
+    SELECT doc_id, ascii(c) AS byte, CAST(count(*) AS BIGINT) AS cnt
+    FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
+          FROM documents)
+    GROUP BY doc_id, ascii(c)
+    """,
+)
+def q_udtf_arrow_bytes(spark, sf_dir):
+    """Arrow-NATIVE UDTF (Spark 4.1 @arrow_udtf): per-document byte
+    histograms — the multimodal screening primitive behind encoding
+    detection, entropy filters, and printable-ratio gates, over
+    payloads that at 100 TB are opaque binary columns. Unlike the
+    pandas-bridged @udtf(useArrow=True), eval() receives the raw
+    pyarrow RecordBatch: the implementation reads the string
+    column's offsets+data BUFFERS directly (zero-copy into numpy),
+    expands doc_ids with np.repeat, and counts (doc_id, byte) pairs
+    with one np.unique over a packed int64 key — no per-row Python,
+    no pandas materialization, nothing copied but the final
+    histogram. A document's bytes always sit in one input row, so
+    per-batch counting is exact regardless of how Spark batches the
+    table argument. The oracle recomputes the histogram by
+    character unnest (fixture text is pure ASCII, so char ==
+    byte)."""
+    from pyspark.sql.functions import arrow_udtf
+
+    import numpy as np
+    import pyarrow as pa
+
+    @arrow_udtf(returnType="doc_id bigint, byte int, cnt bigint")
+    class ByteHist:
+        def eval(self, batch: pa.RecordBatch):
+            ids = (
+                batch.column(batch.schema.get_field_index("doc_id"))
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            txt = batch.column(batch.schema.get_field_index("text"))
+            off_dtype = (
+                np.int64 if pa.types.is_large_string(txt.type) else np.int32
+            )
+            bufs = txt.buffers()
+            offsets = np.frombuffer(bufs[1], dtype=off_dtype)[
+                txt.offset : txt.offset + len(txt) + 1
+            ]
+            data = np.frombuffer(bufs[2], dtype=np.uint8)
+            lens = np.diff(offsets)
+            flat = data[offsets[0] : offsets[-1]]
+            key = np.repeat(ids, lens) * 256 + flat.astype(np.int64)
+            uk, cnt = np.unique(key, return_counts=True)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(uk >> 8, type=pa.int64()),
+                    pa.array((uk & 255).astype(np.int32), type=pa.int32()),
+                    pa.array(cnt.astype(np.int64), type=pa.int64()),
+                ],
+                names=["doc_id", "byte", "cnt"],
+            )
+
+    spark.udtf.register("byte_hist", ByteHist)
+    t(spark, sf_dir, "documents").createOrReplaceTempView("bh_docs")
+    return spark.sql(
+        "SELECT doc_id, byte, cnt "
+        "FROM byte_hist(TABLE(SELECT doc_id, text FROM bh_docs))"
+    )

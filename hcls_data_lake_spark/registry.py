@@ -161,6 +161,9 @@ _FAMILY_REPRESENTATIVES = [
     "q_hl7_ack_reconcile",
     # r8 additions (never sampled; r9 queue)
     "q_join_multiway_bucketed",
+    "q_fn_sql_scripting",
+    "q_fn_execute_immediate",
+    "q_udtf_arrow_bytes",
     # -- already driver-sampled (r1-r7), most recent rotation first --
     "q_dedup_posting_census",
     "q_embed_recall_tuned",
