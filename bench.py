@@ -54,6 +54,7 @@ EXTENDED = [
     "q_fn_sql_scripting",  # BEGIN/WHILE driver loop, log(n) probes (r8)
     "q_fn_execute_immediate",  # parameterized dynamic SQL (r8)
     "q_udtf_arrow_bytes",  # arrow_udtf zero-copy byte histograms (r8)
+    "q_stream_tws_timers",  # TWS event-time timers, session close (r8)
     "q_agg_salted_skew",      # salted two-stage aggregation
     "q_dedup_embedding",      # embedding-cosine near-dup
     "q_sample_hash_split",    # deterministic md5 split

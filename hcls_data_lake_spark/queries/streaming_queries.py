@@ -350,6 +350,99 @@ def q_stream_tws_topk(spark, sf_dir):
 
 
 @register(
+    "q_stream_tws_timers",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+    ), flagged AS (
+      SELECT user_id, us,
+             CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                       > 1800000000 THEN 1 ELSE 0 END AS brk
+      FROM e
+    ), sess AS (
+      SELECT user_id, us,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    ), agg AS (
+      SELECT user_id, sid, min(us) AS start_us, max(us) AS end_us,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM sess GROUP BY user_id, sid
+    ), wm AS (
+      SELECT max(us) // 1000 AS wm_ms FROM e
+    ), marked AS (
+      SELECT a.*,
+             sid = max(sid) OVER (PARTITION BY user_id) AS is_trail,
+             ((end_us + 1800000000 + 59999999) // 60000000) * 60000
+               AS expiry_ms
+      FROM agg a
+    )
+    SELECT user_id, start_us, end_us, n_events,
+           CASE WHEN NOT is_trail THEN 'gap' ELSE 'timer' END AS closed_by
+    FROM marked, wm
+    WHERE (NOT is_trail) OR expiry_ms <= wm_ms
+    """,
+)
+def q_stream_tws_timers(spark, sf_dir):
+    """Inactivity-closed sessionization via EVENT-TIME TIMERS — the TWS
+    surface the other stateful queries don't touch (timeMode
+    "EventTime", registerTimer/deleteTimer, handleExpiredTimer):
+    sessions whose 30-min closing gap is visible in the data emit
+    inline ('gap'); each key's trailing open session arms a timer at
+    end+gap aligned up to the next minute, and the trailing no-data
+    batch fires every timer AT or below the final watermark
+    ('timer'). Sessions still open at shutdown are never emitted —
+    exactly a live pipeline's behavior, and the oracle reproduces it
+    declaratively: gap-sessionize, then admit trailing sessions only
+    where the minute-aligned expiry <= the global watermark. All
+    boundary arithmetic is exact BIGINT micros/millis on a minute
+    grid, so the firing set is engine-independent (TWS fires at
+    expiry == watermark — inclusive — while the old API's
+    EventTimeTimeout needs the watermark STRICTLY beyond; both pinned
+    by tests/test_streaming.py::test_tws_timer_boundary). Gate as the
+    other TWS queries: foreign sessions without worker protobuf run
+    the applyInPandasWithState EventTimeTimeout twin, armed at
+    expiry-1 ms so its strict boundary lands on the same firing set."""
+    from hcls_data_lake_spark.compat.protobuf_vendor import (
+        workers_have_protobuf,
+    )
+    from hcls_data_lake_spark.streaming.stateful import (
+        pandas_state_session_close,
+        tws_session_close,
+    )
+
+    use_tws = workers_have_protobuf(spark)
+    stateful = tws_session_close if use_tws else pandas_state_session_close
+    sdf = (
+        read_events_stream(spark, sf_dir)
+        .select("user_id", "ts")
+        .withWatermark("ts", "0 seconds")
+    )
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(provider_key, None)
+    if use_tws:
+        spark.conf.set(
+            provider_key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+    try:
+        # timers fire on the watermark-advancing no-data batch: KEEP it
+        return run_to_memory(
+            stateful(sdf),
+            output_mode="append",
+            shuffle_partitions=8,
+            no_data_batches=True,
+        )
+    finally:
+        if use_tws:
+            if prev_provider is None:
+                spark.conf.unset(provider_key)
+            else:
+                spark.conf.set(provider_key, prev_provider)
+
+
+@register(
     "q_stream_foreachbatch_route",
     """
     SELECT CASE WHEN event_type = 'error' THEN 'error'

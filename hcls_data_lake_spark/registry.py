@@ -164,6 +164,7 @@ _FAMILY_REPRESENTATIVES = [
     "q_fn_sql_scripting",
     "q_fn_execute_immediate",
     "q_udtf_arrow_bytes",
+    "q_stream_tws_timers",
     # -- already driver-sampled (r1-r7), most recent rotation first --
     "q_dedup_posting_census",
     "q_embed_recall_tuned",

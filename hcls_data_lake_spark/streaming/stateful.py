@@ -255,3 +255,174 @@ def pandas_state_topk(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Inactivity-closed sessions via event-time timers
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_US = 1_800_000_000  # 30 min, the q_ts_sessionize gap rule
+_MINUTE_US = 60_000_000
+_SESSION_OUT = (
+    "user_id bigint, start_us bigint, end_us bigint, "
+    "n_events bigint, closed_by string"
+)
+
+
+def _session_emit(uid, sessions, closed_by: str) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "user_id": [uid] * len(sessions),
+            "start_us": [s[0] for s in sessions],
+            "end_us": [s[1] for s in sessions],
+            "n_events": [s[2] for s in sessions],
+            "closed_by": [closed_by] * len(sessions),
+        }
+    )
+
+
+def _session_runs(batches, prev):
+    """Fold a key's incoming batches (+ the carried open session) into
+    gap-separated runs [(start_us, end_us, n)]; vectorized numpy, no
+    per-row Python. `prev` is (start_us, end_us, n) or None."""
+    import numpy as np
+
+    ts = np.sort(
+        np.concatenate(
+            [
+                pdf["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+                for pdf in batches
+            ]
+            or [np.empty(0, dtype=np.int64)]
+        )
+    )
+    closed: list[tuple[int, int, int]] = []
+    if prev is not None:
+        if len(ts) and ts[0] - prev[1] <= SESSION_GAP_US:
+            pass  # carried session continues into the new data
+        else:
+            closed.append(prev)
+            prev = None
+    cuts = np.nonzero(np.diff(ts) > SESSION_GAP_US)[0] + 1
+    runs = [
+        (int(seg[0]), int(seg[-1]), len(seg))
+        for seg in np.split(ts, cuts)
+        if len(seg)
+    ]
+    if prev is not None and runs:
+        runs[0] = (prev[0], runs[0][1], prev[2] + runs[0][2])
+    elif prev is not None:
+        runs = [prev]
+    return closed + runs[:-1], (runs[-1] if runs else None)
+
+
+def session_expiry_ms(end_us: int) -> int:
+    """Timer instant for an open session: end + gap, aligned UP to the
+    next full minute. The alignment keeps the expiry on an exact
+    integer grid every engine reproduces (no ms-vs-us truncation
+    ambiguity at the firing boundary) and is the production trick that
+    coalesces timer storms — at most one timer tick per key per
+    minute no matter how hot the key."""
+    return ((end_us + SESSION_GAP_US + _MINUTE_US - 1) // _MINUTE_US) * 60_000
+
+
+def tws_session_close(sdf: DataFrame) -> DataFrame:
+    """Inactivity-closed sessionization on TransformWithState EVENT-TIME
+    TIMERS (timeMode="EventTime"): sessions whose closing gap is
+    visible in the data emit from handleInputRows ('gap'); each key's
+    trailing OPEN session arms a timer at session_expiry_ms(end), and
+    handleExpiredTimer emits it ('timer') once the watermark passes.
+    Timer semantics pinned by test: a timer fires when
+    expiry_ms <= watermark_ms — INCLUSIVE at equality
+    (tests/test_streaming.py::test_tws_timer_boundary; the same test
+    also documents that timers silently never fire for near-epoch
+    event times, a Spark quirk irrelevant to real data). Sessions
+    still open at shutdown are never emitted, exactly like a live
+    pipeline. Same environment gate as tws_running_totals (vendored
+    protobuf + RocksDB provider)."""
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class SessionCloser(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._h = handle
+            self._trail = handle.getValueState(
+                "trail",
+                "start_us BIGINT, end_us BIGINT, n BIGINT, expiry_ms BIGINT",
+            )
+
+        def handleInputRows(self, key_tuple, rows, timer_values):
+            uid = key_tuple[0]
+            got = self._trail.get()
+            prev = None
+            if got is not None:
+                st, en, n0, old_exp = got
+                # re-arming below; a stale timer would double-emit
+                self._h.deleteTimer(old_exp)
+                prev = (int(st), int(en), int(n0))
+            closed, trail = _session_runs(rows, prev)
+            if closed:
+                yield _session_emit(uid, closed, "gap")
+            if trail is not None:
+                expiry = session_expiry_ms(trail[1])
+                self._trail.update((trail[0], trail[1], trail[2], expiry))
+                self._h.registerTimer(expiry)
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            got = self._trail.get()
+            if got is not None:
+                st, en, n, _exp = got
+                self._trail.clear()
+                yield _session_emit(key[0], [(int(st), int(en), int(n))], "timer")
+
+        def close(self) -> None:
+            pass
+
+    return sdf.groupBy("user_id").transformWithStateInPandas(
+        SessionCloser(),
+        outputStructType=_SESSION_OUT,
+        outputMode="Append",
+        timeMode="EventTime",
+    )
+
+
+def pandas_state_session_close(sdf: DataFrame) -> DataFrame:
+    """The applyInPandasWithState twin of tws_session_close, on the old
+    API's GroupStateTimeout.EventTimeTimeout. Boundary alignment:
+    the old API times out only when the watermark advances STRICTLY
+    beyond the set timestamp, while TWS timers fire INCLUSIVELY at
+    expiry == watermark (both pinned by test_tws_timer_boundary) —
+    so the twin arms at expiry_ms - 1, making wm > expiry-1
+    equivalent to wm >= expiry and the two paths emission-identical
+    (pinned by test_tws_session_close_matches_fallback)."""
+
+    def update(key_tuple, batches, state: GroupState):
+        uid = key_tuple[0]
+        if state.hasTimedOut:
+            st, en, n, _exp = state.get
+            state.remove()
+            yield _session_emit(uid, [(int(st), int(en), int(n))], "timer")
+            return
+        prev = None
+        if state.exists:
+            st, en, n0, _exp = state.get
+            prev = (int(st), int(en), int(n0))
+        closed, trail = _session_runs(batches, prev)
+        if closed:
+            yield _session_emit(uid, closed, "gap")
+        if trail is not None:
+            expiry = session_expiry_ms(trail[1])
+            state.update((trail[0], trail[1], trail[2], expiry))
+            # -1: strict old-API boundary == inclusive TWS boundary
+            state.setTimeoutTimestamp(expiry - 1)
+        else:
+            state.remove()
+
+    return sdf.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_SESSION_OUT,
+        stateStructType=(
+            "start_us bigint, end_us bigint, n bigint, expiry_ms bigint"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

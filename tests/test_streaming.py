@@ -545,3 +545,196 @@ def test_multibatch_incremental_agg_equals_batch(spark, tmp_path, sf_dir):
         )
     }
     assert got == want
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="TransformWithState worker needs python protobuf and no "
+    "vendorable runtime exists on this machine",
+)
+def test_tws_timer_boundary(spark, tmp_path):
+    """PIN the timer firing boundary: a TWS event-time timer fires
+    INCLUSIVELY — expiry_ms == watermark_ms fires; expiry_ms above the
+    watermark does not. The oracle of q_stream_tws_timers encodes
+    exactly this (expiry <= wm); if a Spark upgrade flips the boundary
+    to strict, this test fails before the correctness gate does.
+    Constructions use 2024-era timestamps deliberately: with
+    near-epoch event times (small ms values) Spark silently never
+    fires event-time timers at all — a quirk this test documents by
+    construction, not by assertion, because real data never lives
+    there."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.streaming import StatefulProcessor
+
+    from hcls_data_lake_spark.streaming.runner import run_to_memory
+    from hcls_data_lake_spark.streaming.stateful import session_expiry_ms
+
+    base_us = 1_704_067_200_000_000  # 2024-01-01 00:00:00, minute-aligned
+    base_ms = base_us // 1000
+
+    class P(StatefulProcessor):
+        def init(self, handle):
+            self._h = handle
+            self._s = handle.getValueState("v", "end_us BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            mx = max(
+                int(
+                    pdf["ts"]
+                    .to_numpy()
+                    .astype("datetime64[us]")
+                    .astype(np.int64)
+                    .max()
+                )
+                for pdf in rows
+            )
+            self._s.update((mx,))
+            self._h.registerTimer(session_expiry_ms(mx))
+            return iter(())
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "fired_ms": [expiredTimerInfo.getExpiryTimeInMs()],
+                }
+            )
+
+        def close(self):
+            pass
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    try:
+        prev = spark.conf.get(provider_key)
+    except Exception:
+        prev = None
+
+    def run(src):
+        sdf = (
+            spark.readStream.schema("user_id long, ts timestamp")
+            .parquet(src)
+            .withWatermark("ts", "0 seconds")
+        )
+        spark.conf.set(provider_key, rocks)
+        try:
+            out = run_to_memory(
+                sdf.groupBy("user_id").transformWithStateInPandas(
+                    P(),
+                    outputStructType="user_id bigint, fired_ms bigint",
+                    outputMode="Append",
+                    timeMode="EventTime",
+                ),
+                output_mode="append",
+                shuffle_partitions=2,
+                no_data_batches=True,
+            )
+            return sorted((r.user_id, r.fired_ms) for r in out.collect())
+        finally:
+            if prev is None:
+                spark.conf.unset(provider_key)
+            else:
+                spark.conf.set(provider_key, prev)
+
+    # EQUALITY fires: u1's only event at base -> expiry exactly
+    # base_ms + 1,800,000 (base is minute-aligned); u2's event at
+    # base + 1800s pins the final watermark to exactly that instant.
+    # u2's own expiry (base_ms + 3,660,000) is above the watermark.
+    assert session_expiry_ms(base_us) == base_ms + 1_800_000
+    src1 = str(tmp_path / "eq_src")
+    os.makedirs(src1, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "user_id": pa.array([1, 2], pa.int64()),
+                "ts": pa.array(
+                    [base_us, base_us + 1_800_000_000], pa.timestamp("us")
+                ),
+            }
+        ),
+        f"{src1}/a.parquet",
+    )
+    assert run(src1) == [(1, base_ms + 1_800_000)]
+
+    # ABOVE the watermark does not fire: u2 at base + 1799s keeps the
+    # watermark ONE SECOND short of u1's minute-aligned expiry.
+    src2 = str(tmp_path / "below_src")
+    os.makedirs(src2, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "user_id": pa.array([1, 2], pa.int64()),
+                "ts": pa.array(
+                    [base_us, base_us + 1_799_000_000], pa.timestamp("us")
+                ),
+            }
+        ),
+        f"{src2}/a.parquet",
+    )
+    assert run(src2) == []
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="TransformWithState worker needs python protobuf and no "
+    "vendorable runtime exists on this machine",
+)
+def test_tws_session_close_matches_fallback(spark, sf_dir):
+    """tws_session_close (TWS event-time timers) and
+    pandas_state_session_close (GroupStateTimeout.EventTimeTimeout)
+    must emit IDENTICAL session rows over the fixture stream — the
+    cross-API equivalence that makes the protobuf degradation path of
+    q_stream_tws_timers honest, and an implicit pin that both APIs
+    fire on the same strict watermark boundary."""
+    from hcls_data_lake_spark.streaming.runner import (
+        read_events_stream,
+        run_to_memory,
+    )
+    from hcls_data_lake_spark.streaming.stateful import (
+        pandas_state_session_close,
+        tws_session_close,
+    )
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    try:
+        prev = spark.conf.get(provider_key)
+    except Exception:
+        prev = None
+
+    def run(builder, set_rocks):
+        if set_rocks:
+            spark.conf.set(provider_key, rocks)
+        try:
+            sdf = (
+                read_events_stream(spark, sf_dir)
+                .select("user_id", "ts")
+                .withWatermark("ts", "0 seconds")
+            )
+            out = run_to_memory(
+                builder(sdf),
+                output_mode="append",
+                shuffle_partitions=4,
+                no_data_batches=True,
+            )
+            return sorted(tuple(r) for r in out.collect())
+        finally:
+            if prev is None:
+                spark.conf.unset(provider_key)
+            else:
+                spark.conf.set(provider_key, prev)
+
+    tws_rows = run(tws_session_close, set_rocks=True)
+    twin_rows = run(pandas_state_session_close, set_rocks=False)
+    assert len(tws_rows) > 0
+    assert tws_rows == twin_rows
