@@ -862,3 +862,71 @@ def q_sink_manifest_checksum(spark, sf_dir):
             ).alias("content_md5"),
         )
     )
+
+
+@register(
+    "q_sink_pystream_manifest",
+    """
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_big,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM events WHERE value > 300 GROUP BY user_id
+    """,
+)
+def q_sink_pystream_manifest(spark, sf_dir):
+    """Custom Python STREAMING SINK (DataSourceStreamArrowWriter): the
+    manifest-committed zone writer — executors stream PyArrow
+    RecordBatches straight to uniquely-named parquet part files (no
+    per-row Python, no pandas), the driver publishes each
+    micro-batch's manifest atomically in commit(), and readers list
+    MANIFESTS, never the data directory — uncommitted files are
+    invisible by construction (the object-store commit kernel; A10's
+    put-then-catalog two-step as Spark's write/commit contract,
+    reference write_lambda.py). The query proves the full round trip:
+    stream the big-purchase slice through the sink, read back ONLY
+    manifest-listed files, aggregate, and hash-match against the
+    events table directly — any dropped batch, duplicated part, or
+    phantom uncommitted file breaks the match. Value arithmetic stays
+    in exact BIGINT cents. Crash-safety of the protocol (abort,
+    multi-batch append) is pinned in tests/test_streaming.py."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from hcls_data_lake_spark.sources.manifest_sink import (
+        committed_files,
+        register_manifest_sink,
+    )
+    from hcls_data_lake_spark.streaming.runner import read_events_stream
+
+    register_manifest_sink(spark)
+    zone = scratch_for(sf_dir, "pysink_zone")
+    ckpt = scratch_for(sf_dir, "pysink_ckpt")
+    shutil.rmtree(zone, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    sdf = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("value") > 300)
+        .select(
+            "event_id",
+            "user_id",
+            F.expr("cast(round(value * 100) as bigint)").alias(
+                "value_cents"
+            ),
+        )
+    )
+    q = (
+        sdf.writeStream.format("manifestsink")
+        .option("path", zone)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    back = spark.read.parquet(*committed_files(zone))
+    return back.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_big"),
+        F.sum("value_cents").cast("bigint").alias("cents"),
+    )

@@ -738,3 +738,83 @@ def test_tws_session_close_matches_fallback(spark, sf_dir):
     twin_rows = run(pandas_state_session_close, set_rocks=False)
     assert len(tws_rows) > 0
     assert tws_rows == twin_rows
+
+
+def test_manifest_sink_protocol(spark, tmp_path):
+    """Pin the custom Python streaming sink's commit protocol
+    (sources/manifest_sink.py): (1) a second micro-batch run appends a
+    SECOND manifest and the reader sees the union of both batches;
+    (2) a data file without a manifest entry (a crashed batch's
+    orphan) is INVISIBLE to the manifest reader — the property that
+    makes the sink object-store-safe."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hcls_data_lake_spark.sources.manifest_sink import (
+        committed_files,
+        register_manifest_sink,
+    )
+
+    register_manifest_sink(spark)
+    src = str(tmp_path / "src")
+    zone = str(tmp_path / "zone")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    def write_src(fname, ids):
+        pq.write_table(
+            pa.table({"event_id": pa.array(ids, pa.int64())}),
+            os.path.join(src, fname),
+        )
+
+    def run_once():
+        sdf = spark.readStream.schema("event_id long").parquet(src)
+        q = (
+            sdf.writeStream.format("manifestsink")
+            .option("path", zone)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write_src("a.parquet", [1, 2, 3])
+    run_once()
+    files1 = committed_files(zone)
+    assert len(files1) >= 1
+    got1 = sorted(
+        r.event_id for r in spark.read.parquet(*files1).collect()
+    )
+    assert got1 == [1, 2, 3]
+
+    # batch 2 appends; checkpoint resume reads only the new file
+    write_src("b.parquet", [4, 5])
+    run_once()
+    files2 = committed_files(zone)
+    assert len(files2) > len(files1)
+    got2 = sorted(
+        r.event_id for r in spark.read.parquet(*files2).collect()
+    )
+    assert got2 == [1, 2, 3, 4, 5]
+    manifests = sorted(os.listdir(os.path.join(zone, "_manifests")))
+    assert manifests == ["batch-0.json", "batch-1.json"]
+    for m in manifests:
+        with open(os.path.join(zone, "_manifests", m)) as f:
+            assert all(
+                p["rows"] > 0 for p in _json.load(f)["parts"]
+            )
+
+    # an orphan part file (crash between write and commit) is invisible
+    orphan = os.path.join(zone, "data", "part-orphan.parquet")
+    pq.write_table(
+        pa.table({"event_id": pa.array([99], pa.int64())}), orphan
+    )
+    assert orphan not in committed_files(zone)
+    got3 = sorted(
+        r.event_id
+        for r in spark.read.parquet(*committed_files(zone)).collect()
+    )
+    assert got3 == [1, 2, 3, 4, 5]
