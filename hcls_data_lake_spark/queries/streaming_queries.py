@@ -443,6 +443,59 @@ def q_stream_tws_timers(spark, sf_dir):
 
 
 @register(
+    "q_stream_tws_mapstate",
+    """
+    SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def q_stream_tws_mapstate(spark, sf_dir):
+    """Per-user per-event-type running counts on TWS MAP state
+    (stateful.tws_type_counts) — completes the typed-state triad
+    (value / list / map), each its own state-server protocol surface.
+    Map state is the per-key dictionary whose entries update
+    independently: a key's state grows with its DISTINCT map keys
+    (the bounded event-type vocabulary), never its event volume, and
+    updating a hot user touches one entry instead of repacking a
+    blob (which is exactly what the old-API twin must do — the
+    contrast is the point). One availableNow batch makes the
+    update-mode emission equal the batch (user, type) counts, which
+    the oracle hash-checks. Same gate as the other TWS queries."""
+    from hcls_data_lake_spark.compat.protobuf_vendor import (
+        workers_have_protobuf,
+    )
+    from hcls_data_lake_spark.streaming.stateful import (
+        pandas_state_type_counts,
+        tws_type_counts,
+    )
+
+    use_tws = workers_have_protobuf(spark)
+    stateful = tws_type_counts if use_tws else pandas_state_type_counts
+    sdf = read_events_stream(spark, sf_dir).select("user_id", "event_type")
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(provider_key, None)
+    if use_tws:
+        spark.conf.set(
+            provider_key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+    try:
+        return run_to_memory(
+            stateful(sdf),
+            output_mode="update",
+            shuffle_partitions=8,
+            no_data_batches=False,
+        )
+    finally:
+        if use_tws:
+            if prev_provider is None:
+                spark.conf.unset(provider_key)
+            else:
+                spark.conf.set(provider_key, prev_provider)
+
+
+@register(
     "q_stream_foreachbatch_route",
     """
     SELECT CASE WHEN event_type = 'error' THEN 'error'

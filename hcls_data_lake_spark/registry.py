@@ -166,6 +166,7 @@ _FAMILY_REPRESENTATIVES = [
     "q_udtf_arrow_bytes",
     "q_stream_tws_timers",
     "q_sink_pystream_manifest",
+    "q_stream_tws_mapstate",
     # -- already driver-sampled (r1-r7), most recent rotation first --
     "q_dedup_posting_census",
     "q_embed_recall_tuned",

@@ -426,3 +426,96 @@ def pandas_state_session_close(sdf: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def tws_type_counts(sdf: DataFrame) -> DataFrame:
+    """Per-user per-event-type running counts on TWS MAP state — the
+    third typed state primitive (value/list/map), each a different
+    state-server protocol surface: getMapState gives a per-key
+    DICTIONARY whose entries update independently (updateValue) and
+    enumerate lazily (iterator), so a key's state grows with its
+    DISTINCT map keys (here: the bounded event-type vocabulary), never
+    with its event volume, and a hot user's update touches one map
+    entry, not a repacked blob — the difference from encoding the same
+    dict into a ValueState tuple. Each batch merges the incoming
+    (user, type) counts into the map (one RocksDB round-trip per
+    UPDATED type, one iterator sweep for emission) and emits the
+    key's full current map. Same environment gate as
+    tws_running_totals (vendored protobuf + RocksDB provider)."""
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class TypeCounts(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._m = handle.getMapState(
+                "counts", "event_type STRING", "n BIGINT"
+            )
+
+        def handleInputRows(self, key_tuple, rows, timer_values):
+            import collections
+
+            uid = key_tuple[0]
+            inc: dict = collections.Counter()
+            for pdf in rows:
+                inc.update(pdf["event_type"].value_counts().to_dict())
+            for et, n in inc.items():
+                got = self._m.getValue((et,))
+                cur = int(got[0]) if got is not None else 0
+                self._m.updateValue((et,), (cur + int(n),))
+            out = sorted(
+                (k[0], int(v[0])) for k, v in self._m.iterator()
+            )
+            yield pd.DataFrame(
+                {
+                    "user_id": [uid] * len(out),
+                    "event_type": [k for k, _ in out],
+                    "n": [v for _, v in out],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return sdf.groupBy("user_id").transformWithStateInPandas(
+        TypeCounts(),
+        outputStructType="user_id bigint, event_type string, n bigint",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def pandas_state_type_counts(sdf: DataFrame) -> DataFrame:
+    """applyInPandasWithState twin of tws_type_counts: the old API has
+    no map primitive, so the dict is packed into parallel arrays in
+    one ValueState tuple — exactly the repack-the-blob shape the TWS
+    map state exists to avoid; emission contract is identical."""
+
+    def update(key_tuple, batches, state: GroupState):
+        import collections
+
+        uid = key_tuple[0]
+        cur: dict = {}
+        if state.exists:
+            types, counts = state.get
+            cur = dict(zip(types, (int(c) for c in counts)))
+        inc: dict = collections.Counter()
+        for pdf in batches:
+            inc.update(pdf["event_type"].value_counts().to_dict())
+        for et, n in inc.items():
+            cur[et] = cur.get(et, 0) + int(n)
+        keys = sorted(cur)
+        state.update((keys, [cur[k] for k in keys]))
+        yield pd.DataFrame(
+            {
+                "user_id": [uid] * len(keys),
+                "event_type": keys,
+                "n": [cur[k] for k in keys],
+            }
+        )
+
+    return sdf.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, event_type string, n bigint",
+        stateStructType="types array<string>, counts array<bigint>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -818,3 +818,57 @@ def test_manifest_sink_protocol(spark, tmp_path):
         for r in spark.read.parquet(*committed_files(zone)).collect()
     )
     assert got3 == [1, 2, 3, 4, 5]
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="TransformWithState worker needs python protobuf and no "
+    "vendorable runtime exists on this machine",
+)
+def test_tws_map_state_matches_fallback(spark, sf_dir):
+    """tws_type_counts (TWS MAP state) and pandas_state_type_counts
+    (array-packed ValueState twin) must emit identical (user, type,
+    n) rows — the cross-API equivalence that keeps the protobuf
+    degradation path of q_stream_tws_mapstate honest."""
+    from hcls_data_lake_spark.streaming.runner import (
+        read_events_stream,
+        run_to_memory,
+    )
+    from hcls_data_lake_spark.streaming.stateful import (
+        pandas_state_type_counts,
+        tws_type_counts,
+    )
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    try:
+        prev = spark.conf.get(provider_key)
+    except Exception:
+        prev = None
+
+    def run(builder, set_rocks):
+        if set_rocks:
+            spark.conf.set(provider_key, rocks)
+        try:
+            sdf = read_events_stream(spark, sf_dir).select(
+                "user_id", "event_type"
+            )
+            out = run_to_memory(
+                builder(sdf),
+                output_mode="update",
+                shuffle_partitions=4,
+            )
+            return sorted(tuple(r) for r in out.collect())
+        finally:
+            if prev is None:
+                spark.conf.unset(provider_key)
+            else:
+                spark.conf.set(provider_key, prev)
+
+    tws_rows = run(tws_type_counts, set_rocks=True)
+    twin_rows = run(pandas_state_type_counts, set_rocks=False)
+    assert len(tws_rows) > 0
+    assert tws_rows == twin_rows
