@@ -296,6 +296,12 @@ def _session_runs(batches, prev):
             or [np.empty(0, dtype=np.int64)]
         )
     )
+    if len(ts) == 0:
+        # No new events for this key: the carried session stays OPEN
+        # (TWS never invokes handleInputRows without rows, but the
+        # contract must not close a session on silence — only the
+        # TIMER may do that; property-tested in test_properties.py).
+        return [], prev
     closed: list[tuple[int, int, int]] = []
     if prev is not None:
         if len(ts) and ts[0] - prev[1] <= SESSION_GAP_US:

@@ -496,3 +496,82 @@ def test_with_global_order_equals_naive_window(spark, rows, nparts):
         ).collect()
     }
     assert got == want
+
+
+@given(
+    ts=st.lists(
+        st.integers(min_value=0, max_value=20_000),
+        min_size=0,
+        max_size=60,
+    ),
+    n_splits=st.integers(min_value=1, max_value=4),
+    data=st.data(),
+)
+@settings(max_examples=200, deadline=None)
+def test_session_runs_fold_equals_naive(ts, n_splits, data):
+    """_session_runs (streaming/stateful.py) folded over ANY micro-batch
+    partitioning of a key's event stream must produce exactly the
+    sessions a naive one-shot gap-split produces — closed sessions in
+    order, the open trailing session carried. This pins the
+    cross-batch merge path (carried session extended vs closed) that
+    the single-file fixture stream never exercises. Gap scaled down
+    (10 units) so tiny random streams hit both branches."""
+    import numpy as np
+    import pandas as pd
+
+    from hcls_data_lake_spark.streaming import stateful as sf
+
+    gap = 10
+    ts_sorted = sorted(ts)
+
+    # naive one-shot sessionization
+    naive = []
+    for t in ts_sorted:
+        if naive and t - naive[-1][1] <= gap:
+            s, e, n = naive[-1]
+            naive[-1] = (s, t, n + 1)
+        else:
+            naive.append((t, t, 1))
+
+    # fold over a random ordered partition into micro-batches; WITHIN a
+    # batch order is arbitrary (the operator sorts), ACROSS batches
+    # event time advances like a watermarked stream
+    cuts = sorted(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=len(ts_sorted)),
+                min_size=n_splits - 1,
+                max_size=n_splits - 1,
+            )
+        )
+    )
+    pieces = []
+    prev_i = 0
+    for c in [*cuts, len(ts_sorted)]:
+        pieces.append(ts_sorted[prev_i:c])
+        prev_i = c
+
+    orig_gap = sf.SESSION_GAP_US
+    sf.SESSION_GAP_US = gap
+    try:
+        closed_all = []
+        trail = None
+        for piece in pieces:
+            shuffled = data.draw(st.permutations(piece))
+            batches = [
+                pd.DataFrame(
+                    {"ts": np.array(shuffled, dtype="datetime64[us]")}
+                )
+            ]
+            # empty-batch call is unreachable in TWS (handleInputRows
+            # only fires for keys WITH rows) but must keep the trail
+            # open if it ever happens — exercise both shapes
+            closed, trail = sf._session_runs(
+                batches if shuffled else [], trail
+            )
+            closed_all.extend(closed)
+    finally:
+        sf.SESSION_GAP_US = orig_gap
+
+    got = closed_all + ([trail] if trail is not None else [])
+    assert got == naive

@@ -872,3 +872,115 @@ def test_tws_map_state_matches_fallback(spark, sf_dir):
     twin_rows = run(pandas_state_type_counts, set_rocks=False)
     assert len(tws_rows) > 0
     assert tws_rows == twin_rows
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="TransformWithState worker needs python protobuf and no "
+    "vendorable runtime exists on this machine",
+)
+def test_tws_session_close_multi_batch(spark, tmp_path):
+    """Pin the CROSS-BATCH paths of tws_session_close that the
+    single-file fixture never exercises, across three availableNow
+    runs sharing one checkpoint (state + timers + watermark persist):
+
+    - run 2: u1/u4's new events land within the gap of their carried
+      run-1 sessions -> MERGE (no emission); u2's event lands beyond
+      the gap -> the carried session closes 'gap'; u3's event pins
+      the watermark to exactly u4's OLD timer expiry — which u4's
+      re-arm must have DELETED, so nothing may fire (the deleteTimer
+      pin: a stale timer would close u4's still-open session early).
+    - run 3: a far-future event advances the watermark past every
+      armed timer -> each open session fires 'timer' with the counts
+      MERGED ACROSS BATCHES AND RESTARTS.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hcls_data_lake_spark.streaming.runner import run_foreach_batch
+    from hcls_data_lake_spark.streaming.stateful import tws_session_close
+
+    base = 1_704_067_200_000_000  # 2024-01-01 00:00:00
+    S = 1_000_000  # one second in us
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    def add_file(name, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "user_id": pa.array([u for u, _ in rows], pa.int64()),
+                    "ts": pa.array(
+                        [base + t for _, t in rows], pa.timestamp("us")
+                    ),
+                }
+            ),
+            os.path.join(src, name),
+        )
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    try:
+        prev = spark.conf.get(provider_key)
+    except Exception:
+        prev = None
+
+    def run_once():
+        # memory sink cannot recover from a checkpoint; foreachBatch
+        # can — it is the resume-capable collection path
+        sdf = (
+            spark.readStream.schema("user_id long, ts timestamp")
+            .parquet(src)
+            .withWatermark("ts", "0 seconds")
+        )
+        rows = []
+        spark.conf.set(provider_key, rocks)
+        try:
+            run_foreach_batch(
+                tws_session_close(sdf),
+                lambda bdf, bid: rows.extend(
+                    tuple(r) for r in bdf.collect()
+                ),
+                checkpoint=ckpt,
+            )
+            return sorted(rows)
+        finally:
+            if prev is None:
+                spark.conf.unset(provider_key)
+            else:
+                spark.conf.set(provider_key, prev)
+
+    # run 1: u1 has a 2-event run, u2/u4 single events; nothing closes
+    add_file("a.parquet", [(1, 0), (1, 600 * S), (2, 0), (4, 0)])
+    assert run_once() == []
+
+    # run 2: u1 +1200s and u4 +1200s MERGE into their carried runs;
+    # u2 +2400s exceeds the 1800s gap -> carried session closes 'gap';
+    # u3's event at +2400s pins the watermark to base+2400s — exactly
+    # u4's old (deleted) expiry ((0 + 1800s) -> base+1800_000ms... and
+    # u1's old expiry too; INCLUSIVE firing would close them if the
+    # re-arm had not deleted the stale timers. New expiries
+    # (+3000s/+4200s) sit beyond the watermark -> nothing fires.
+    add_file(
+        "b.parquet",
+        [(1, 1200 * S), (4, 1200 * S), (2, 2400 * S), (3, 2400 * S)],
+    )
+    got2 = run_once()
+    assert got2 == [(2, base, base, 1, "gap")]
+
+    # run 3: far-future event -> every armed timer fires with counts
+    # merged across batches and query restarts; u5 itself stays open
+    add_file("c.parquet", [(5, 18000 * S)])
+    got3 = run_once()
+    assert got3 == sorted(
+        [
+            (1, base, base + 1200 * S, 3, "timer"),
+            (2, base + 2400 * S, base + 2400 * S, 1, "timer"),
+            (3, base + 2400 * S, base + 2400 * S, 1, "timer"),
+            (4, base, base + 1200 * S, 2, "timer"),
+        ]
+    )
