@@ -56,6 +56,7 @@ EXTENDED = [
     "q_udtf_arrow_bytes",  # arrow_udtf zero-copy byte histograms (r8)
     "q_stream_tws_timers",  # TWS event-time timers, session close (r8)
     "q_sink_pystream_manifest",  # python Arrow stream sink + manifest (r8)
+    "q_decontaminate_near",  # Jaccard>=0.5 near-contamination census (r8)
     "q_agg_salted_skew",      # salted two-stage aggregation
     "q_dedup_embedding",      # embedding-cosine near-dup
     "q_sample_hash_split",    # deterministic md5 split

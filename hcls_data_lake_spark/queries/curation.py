@@ -1115,3 +1115,129 @@ def q_privacy_dp_topk(spark, sf_dir):
             F.col("noisy").cast("bigint").alias("noisy_score"),
         )
     )
+
+
+@register(
+    "q_decontaminate_near",
+    """
+    WITH d AS (
+      SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+    ), sh AS MATERIALIZED (
+      SELECT doc_id, source,
+             CASE WHEN len(w) < 5 THEN []
+                  ELSE list_distinct([array_to_string(w[i:i+4], ' ')
+                                      for i in range(1, len(w) - 3)])
+             END AS shingles
+      FROM d
+    ), sizes AS MATERIALIZED (
+      SELECT doc_id, CAST(len(shingles) AS BIGINT) AS sz FROM sh
+    ), bench AS (
+      SELECT doc_id AS bid, unnest(shingles) AS s FROM sh
+      WHERE doc_id % 97 = 0
+    ), corp AS (
+      SELECT doc_id AS cid, unnest(shingles) AS s FROM sh
+      WHERE doc_id % 97 <> 0
+    ), cand AS (
+      SELECT cid, bid, CAST(count(*) AS BIGINT) AS inter
+      FROM corp JOIN bench USING (s)
+      GROUP BY cid, bid
+    ), flagged AS (
+      SELECT DISTINCT cand.cid
+      FROM cand
+      JOIN sizes cs ON cs.doc_id = cand.cid
+      JOIN sizes bs ON bs.doc_id = cand.bid
+      WHERE inter * 2 >= (cs.sz + bs.sz - inter)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN flagged.cid IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_near_contaminated,
+           CAST(SUM(CASE WHEN flagged.cid IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept
+    FROM sh LEFT JOIN flagged ON sh.doc_id = flagged.cid
+    WHERE sh.doc_id % 97 <> 0
+    GROUP BY source
+    """,
+)
+def q_decontaminate_near(spark, sf_dir):
+    """NEAR-duplicate benchmark decontamination — the paraphrase-robust
+    complement of q_decontaminate's exact-overlap test: a training
+    document is contaminated when its 5-gram shingle set has Jaccard
+    >= 0.5 with ANY held-out benchmark document (doc_id % 97 slice),
+    catching lightly-edited eval leaks a single-shared-5-gram test
+    over-flags and an exact-match test misses. Candidate generation
+    must be COMPLETE for the exact-threshold oracle (probabilistic
+    LSH could miss a qualifying pair), so it is the bipartite
+    inverted index: corpus shingles explode once and equi-join the
+    BROADCAST benchmark shingle postings — J >= 0.5 implies a shared
+    shingle, so no qualifying pair escapes; |intersection| is one
+    count per (corpus, bench) pair, the union comes from precomputed
+    set sizes, and the comparison is exact integer cross-multiply
+    (inter*2 >= union). At 100 TB the corpus explodes exactly once
+    and never self-joins; the benchmark side stays broadcast-sized;
+    a boilerplate-shingle blow-up is bounded by the tiny bench side
+    per shingle (and the cap_postings stop-list discipline applies
+    if a bench suite ever ships boilerplate). Fixture note: the
+    bounded 500-doc corpus yields 2 qualifying cross-split pairs at
+    sf0.001/sf0.1 and 0 at sf0.01 — the census (per-source n_docs /
+    flagged / kept) is verified either way."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split("text", " ").alias("w")
+    )
+    sh = d.select(
+        "doc_id",
+        "source",
+        shingles_from_words("w", 5).alias("shingles"),
+    )
+    sizes = sh.select(
+        "doc_id", F.size("shingles").cast("bigint").alias("sz")
+    )
+    bench = (
+        sh.filter(F.col("doc_id") % 97 == 0)
+        .select(F.col("doc_id").alias("bid"), F.explode("shingles").alias("s"))
+    )
+    # corpus set size rides THROUGH the explode as one extra int column
+    # computed inline — the corpus-sized sizes relation must never
+    # broadcast or self-join (only the bench side is broadcast-small)
+    corp = (
+        sh.filter(F.col("doc_id") % 97 != 0)
+        .select(
+            F.col("doc_id").alias("cid"),
+            F.size("shingles").cast("bigint").alias("c_sz"),
+            F.explode("shingles").alias("s"),
+        )
+    )
+    cand = (
+        corp.join(F.broadcast(bench), "s")
+        .groupBy("cid", "bid")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("inter"),
+            F.first("c_sz").alias("c_sz"),
+        )
+    )
+    flagged = (
+        cand.join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("bid"),
+                                     F.col("sz").alias("b_sz"))), "bid"
+        )
+        .filter(
+            F.col("inter") * 2 >= F.col("c_sz") + F.col("b_sz") - F.col("inter")
+        )
+        .select("cid")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        sh.filter(F.col("doc_id") % 97 != 0)
+        .join(flagged, sh.doc_id == flagged.cid, "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("_hit").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_near_contaminated"),
+            F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+    )
