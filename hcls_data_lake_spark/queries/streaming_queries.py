@@ -496,6 +496,120 @@ def q_stream_tws_mapstate(spark, sf_dir):
 
 
 @register(
+    "q_stream_tws_state_reader",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+    ), flagged AS (
+      SELECT user_id, us,
+             CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                       > 1800000000 THEN 1 ELSE 0 END AS brk
+      FROM e
+    ), sess AS (
+      SELECT user_id, us,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    ), agg AS (
+      SELECT user_id, sid, min(us) AS start_us, max(us) AS end_us,
+             CAST(count(*) AS BIGINT) AS n
+      FROM sess GROUP BY user_id, sid
+    ), wm AS (
+      SELECT max(us) // 1000 AS wm_ms FROM e
+    ), marked AS (
+      SELECT a.*,
+             sid = max(sid) OVER (PARTITION BY user_id) AS is_trail,
+             ((end_us + 1800000000 + 59999999) // 60000000) * 60000
+               AS expiry_ms
+      FROM agg a
+    )
+    SELECT user_id, start_us, end_us, n, expiry_ms
+    FROM marked, wm
+    WHERE is_trail AND expiry_ms > wm_ms
+    """,
+)
+def q_stream_tws_state_reader(spark, sf_dir):
+    """TWS CUSTOM STATE AS A TABLE: after the event-time-timer session
+    closer completes, its checkpointed `trail` ValueState is read back
+    through the statestore source with option stateVarName — the
+    Spark-4 debugging surface for TYPED TransformWithState state
+    (q_stream_state_inspect covers the built-in aggregation's state;
+    this covers the named-state-variable path, which is what a 100 TB
+    operator actually carries: "which sessions does the stream still
+    hold open, and when will each close?"). The declarative truth is
+    exact: state after shutdown == the trailing session per user whose
+    minute-aligned expiry is still ABOVE the final watermark (every
+    other session was emitted and cleared), and the oracle computes
+    precisely that relation — so the check pins Spark's state
+    ENCODING round trip, the timer-driven clears, and the reader's
+    flattening in one hash. Foreign sessions without worker protobuf
+    degrade to the applyInPandasWithState twin and read ITS state
+    (same 4-field tuple, nested under value.groupState; its visible
+    timeoutTimestamp rides at expiry-1 — the documented strict-vs-
+    inclusive boundary alignment)."""
+    import shutil
+    import uuid as _uuid
+
+    from hcls_data_lake_spark.compat.protobuf_vendor import (
+        workers_have_protobuf,
+    )
+    from hcls_data_lake_spark.queries.common import scratch_for
+    from hcls_data_lake_spark.streaming.stateful import (
+        pandas_state_session_close,
+        tws_session_close,
+    )
+
+    use_tws = workers_have_protobuf(spark)
+    stateful = tws_session_close if use_tws else pandas_state_session_close
+    ckpt = scratch_for(sf_dir, "tws_state_reader_ckpt")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    sdf = (
+        read_events_stream(spark, sf_dir)
+        .select("user_id", "ts")
+        .withWatermark("ts", "0 seconds")
+    )
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(provider_key, None)
+    if use_tws:
+        spark.conf.set(
+            provider_key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+    try:
+        q = (
+            stateful(sdf)
+            .writeStream.format("memory")
+            .queryName(f"tws_sr_{_uuid.uuid4().hex[:8]}")
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        if use_tws:
+            if prev_provider is None:
+                spark.conf.unset(provider_key)
+            else:
+                spark.conf.set(provider_key, prev_provider)
+    reader = spark.read.format("statestore")
+    if use_tws:
+        reader = reader.option("stateVarName", "trail")
+        vals = "value"
+    else:
+        vals = "value.groupState"
+    state = reader.load(ckpt)
+    return state.select(
+        F.col("key.user_id").alias("user_id"),
+        F.col(f"{vals}.start_us").alias("start_us"),
+        F.col(f"{vals}.end_us").alias("end_us"),
+        F.col(f"{vals}.n").alias("n"),
+        F.col(f"{vals}.expiry_ms").alias("expiry_ms"),
+    )
+
+
+@register(
     "q_stream_foreachbatch_route",
     """
     SELECT CASE WHEN event_type = 'error' THEN 'error'

@@ -168,6 +168,7 @@ _FAMILY_REPRESENTATIVES = [
     "q_sink_pystream_manifest",
     "q_stream_tws_mapstate",
     "q_decontaminate_near",
+    "q_stream_tws_state_reader",
     # -- already driver-sampled (r1-r7), most recent rotation first --
     "q_dedup_posting_census",
     "q_embed_recall_tuned",

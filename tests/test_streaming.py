@@ -984,3 +984,96 @@ def test_tws_session_close_multi_batch(spark, tmp_path):
             (4, base, base + 1200 * S, 2, "timer"),
         ]
     )
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="TransformWithState worker needs python protobuf and no "
+    "vendorable runtime exists on this machine",
+)
+def test_statestore_reader_tws_vs_fallback(spark, sf_dir, tmp_path):
+    """The statestore reader must expose the SAME retained sessions
+    from both state APIs: TWS named ValueState (stateVarName='trail',
+    flat value struct) and applyInPandasWithState (value.groupState
+    nesting, with its visible timeoutTimestamp riding at expiry-1 —
+    the strict-vs-inclusive boundary alignment made observable)."""
+    from hcls_data_lake_spark.streaming.runner import read_events_stream
+    from hcls_data_lake_spark.streaming.stateful import (
+        pandas_state_session_close,
+        tws_session_close,
+    )
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    try:
+        prev = spark.conf.get(provider_key)
+    except Exception:
+        prev = None
+
+    def run_and_read(builder, ckpt, tws):
+        if tws:
+            spark.conf.set(provider_key, rocks)
+        try:
+            sdf = (
+                read_events_stream(spark, sf_dir)
+                .select("user_id", "ts")
+                .withWatermark("ts", "0 seconds")
+            )
+            q = (
+                builder(sdf)
+                .writeStream.format("memory")
+                .queryName(f"sr_{'tws' if tws else 'twin'}")
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+        finally:
+            if prev is None:
+                spark.conf.unset(provider_key)
+            else:
+                spark.conf.set(provider_key, prev)
+        reader = spark.read.format("statestore")
+        vals = "value"
+        if tws:
+            reader = reader.option("stateVarName", "trail")
+        else:
+            vals = "value.groupState"
+        st = reader.load(ckpt)
+        return sorted(
+            (
+                r["user_id"], r["start_us"], r["end_us"],
+                r["n"], r["expiry_ms"],
+            )
+            for r in st.select(
+                "key.user_id",
+                f"{vals}.start_us",
+                f"{vals}.end_us",
+                f"{vals}.n",
+                f"{vals}.expiry_ms",
+            ).collect()
+        )
+
+    tws_state = run_and_read(
+        tws_session_close, str(tmp_path / "ck_tws"), tws=True
+    )
+    twin_state = run_and_read(
+        pandas_state_session_close, str(tmp_path / "ck_twin"), tws=False
+    )
+    assert len(tws_state) > 0
+    assert tws_state == twin_state
+
+    # the twin's raw timeoutTimestamp must sit at expiry-1 (boundary
+    # alignment); read it directly
+    raw = spark.read.format("statestore").load(str(tmp_path / "ck_twin"))
+    offs = {
+        r["expiry_ms"] - r["timeoutTimestamp"]
+        for r in raw.select(
+            "value.groupState.expiry_ms", "value.timeoutTimestamp"
+        ).collect()
+    }
+    assert offs == {1}
