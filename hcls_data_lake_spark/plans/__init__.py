@@ -83,6 +83,27 @@ def global_windows(df: DataFrame) -> list[str]:
     return hits
 
 
+def unhashable_output_columns(df: DataFrame) -> list[str]:
+    """Top-level output columns the driver's canonicalizer cannot
+    hash/sort. The correctness harness does ``toPandas().sort_values(by=
+    all_columns)`` on EVERY query result; array/map columns arrive as
+    numpy arrays / dicts, which pandas cannot compare → ``TypeError:
+    unhashable type`` → red row (the r8 q_multimodal_binary /
+    q_embed_pca_project failure mode). Struct columns arrive as dicts
+    and are equally unsortable. The fix is always in the query's FINAL
+    projection: serialize to a deterministic string (`array_join` of
+    fixed-precision formatted components, `to_json`, ...) — the
+    q_agg_collect discipline (queries/aggregates.py). Returns
+    ``["col: type", ...]`` (empty = safe)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    return [
+        f"{f.name}: {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+
+
 def lint(df: DataFrame, allow_bnlj: bool = False) -> list[str]:
     """Red-flag scan of the pre-execution plan. Returns human-readable
     problems (empty list = clean). `allow_bnlj` acknowledges an

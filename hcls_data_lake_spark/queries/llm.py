@@ -1700,7 +1700,14 @@ def q_multimodal_binary(spark, sf_dir):
     """Opaque binary payload + typed metadata + mapInPandas feature
     extraction (decode stage stubbed with a deterministic fake — the
     image/audio codecs aren't in this container; the Spark plumbing is
-    real: schema, Arrow batching, partition-parallel extraction)."""
+    real: schema, Arrow batching, partition-parallel extraction).
+
+    Emission shape: the operator returns ``feature array<float>``, but
+    array-typed result columns are not hashable driver-side (the
+    harness canonicalizes via toPandas + sort, and numpy arrays cannot
+    be sorted/hashed — the q_agg_collect rule, aggregates.py) — so the
+    FINAL projection serializes the feature vector to a '|'-joined
+    fixed-precision string. The operator schema itself stays typed."""
     from hcls_data_lake_spark.operators.multimodal import extract_features
 
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
@@ -1712,7 +1719,18 @@ def q_multimodal_binary(spark, sf_dir):
             F.col("lang").alias("lang"), F.col("source").alias("source")
         ).alias("meta"),
     )
-    return extract_features(payloads)
+    feats = extract_features(payloads)
+    return feats.select(
+        "doc_id",
+        "mime_type",
+        "n_bytes",
+        "sha256",
+        F.array_join(
+            F.transform("feature", lambda x: F.format_string("%.6f", x)),
+            "|",
+        ).alias("feature_str"),
+        "decode_ok",
+    )
 
 
 _PACK_SQL = """
@@ -2980,7 +2998,12 @@ def q_embed_pca_project(spark, sf_dir):
     No SQL oracle (eigenvectors aren't SQL-expressible); the invariant
     gate lives in pytest: orthonormal components, per-component
     projection variance equal to the eigenvalues and non-increasing,
-    exact reconstruction at full rank."""
+    exact reconstruction at full rank.
+
+    Emission shape: the projection is ``array<double>`` internally, but
+    array-typed result columns are not hashable driver-side (the
+    q_agg_collect rule, aggregates.py) — the FINAL projection joins the
+    rounded components into one '|'-separated string column."""
     from hcls_data_lake_spark.operators.similarity import (
         pca_components,
         pca_project,
@@ -2991,7 +3014,12 @@ def q_embed_pca_project(spark, sf_dir):
     proj = pca_project(e, mean, comps)
     return proj.select(
         "vec_id",
-        F.transform("proj", lambda x: F.round(x, 6)).alias("proj"),
+        F.array_join(
+            F.transform(
+                "proj", lambda x: F.format_string("%.6f", F.round(x, 6))
+            ),
+            "|",
+        ).alias("proj_str"),
     )
 
 

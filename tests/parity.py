@@ -147,12 +147,35 @@ def _normalize(cols: list[str], rows: list[tuple]) -> tuple[list[str], list[tupl
 
 def compare(spark, sf_dir: str, name: str, fn, sql: str | None):
     """Returns (ok, message)."""
+    from hcls_data_lake_spark.plans import unhashable_output_columns
+
     sdf = fn(spark, sf_dir)
+    # Driver-canonicalizability gate (VERDICT r8 "What's wrong" #3): the
+    # driver canonicalizes EVERY output — oracle-less ones included —
+    # via toPandas().sort_values(all columns); top-level array/map/
+    # struct columns arrive as numpy arrays / dicts and crash the sort
+    # (the r8 q_multimodal_binary red). This harness must be at least
+    # as strict, so an unhashable output schema fails here regardless
+    # of whether an oracle exists.
+    unhashable = unhashable_output_columns(sdf)
+    if unhashable:
+        return (
+            False,
+            "driver-unhashable output columns (serialize in the final "
+            f"projection, the q_agg_collect rule): {unhashable}",
+        )
+    if sql is None:
+        # Replicate the driver's _canon on the rows-only path: pandas
+        # must be able to sort the full frame by every column.
+        pdf = sdf.toPandas()
+        try:
+            pdf.sort_values(by=list(pdf.columns)).reset_index(drop=True)
+        except TypeError as ex:  # pragma: no cover - schema gate above
+            return (False, f"driver _canon replica crashed: {ex}")
+        return (True, f"rows-only: {len(pdf)} rows, canon ok")
     s_cols = sdf.columns
     s_cats = {c: _spark_category(dt) for c, dt in sdf.dtypes}
     s_rows = [tuple(r) for r in sdf.collect()]
-    if sql is None:
-        return (len(s_rows) >= 0, f"rows-only: {len(s_rows)} rows")
     con = duck_connection(sf_dir)
     if sql is not None and "/root/testdata/sf0.01" in sql:
         # Oracles that need a literal file path (DuckDB table functions

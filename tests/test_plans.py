@@ -481,6 +481,77 @@ def test_plan_lint_no_cartesian_no_rowwise_python(spark, sf_dir):
     assert not failures, "\n".join(failures)
 
 
+def test_registry_outputs_are_driver_hashable(spark, sf_dir):
+    """Registry-wide output-shape lint (VERDICT r8 ask #2): the driver
+    canonicalizes EVERY query result via toPandas().sort_values(by=all
+    columns) before hashing; top-level array/map/struct columns arrive
+    as numpy arrays / dicts, which pandas cannot compare → TypeError →
+    red CORRECTNESS row even for a correct query (r8's
+    q_multimodal_binary / q_embed_pca_project). NO batch query may emit
+    such a column: serialize in the final projection (array_join of
+    fixed-precision formatted components / to_json — the q_agg_collect
+    rule, queries/aggregates.py). No allowlist: nothing is exempt until
+    a deliberate case ALSO proves pandas can sort it. Streaming queries
+    get the identical gate via tests/parity.compare (test_oracle_parity
+    runs all of them), which refuses unhashable schemas before
+    comparing. Every future query is linted automatically by being
+    registered."""
+    from hcls_data_lake_spark.plans import unhashable_output_columns
+
+    qs = registry.queries()
+    failures = []
+    for name, fn in sorted(qs.items()):
+        if name.startswith("q_stream_"):
+            continue
+        hits = unhashable_output_columns(fn(spark, sf_dir))
+        failures.extend(f"{name}: {h}" for h in hits)
+    assert not failures, "\n".join(failures)
+
+
+def test_hashability_lint_catches_seeded_array_output(spark):
+    """Self-test (the r8-seeded-regression discipline): the lint must
+    flag exactly the shapes that crashed the r8 driver — a top-level
+    array<float> (q_multimodal_binary), an array<double>
+    (q_embed_pca_project), a map, and a struct — and must pass the
+    serialized rewrite. Also proves the flagged shapes REALLY crash the
+    driver's _canon (pandas sort), so the lint tracks the true failure
+    mode rather than a guess."""
+    import pandas as pd
+
+    from hcls_data_lake_spark.plans import unhashable_output_columns
+
+    bad = spark.range(0, 4).select(
+        F.col("id"),
+        F.array(F.col("id").cast("float")).alias("feature"),
+        F.array(F.col("id").cast("double")).alias("proj"),
+        F.create_map(F.lit("k"), F.col("id")).alias("m"),
+        F.struct(F.col("id").alias("a")).alias("s"),
+    )
+    hits = unhashable_output_columns(bad)
+    assert sorted(h.split(":")[0] for h in hits) == ["feature", "m", "proj", "s"]
+    # the flagged shapes genuinely crash the driver replica
+    pdf = bad.toPandas()
+    try:
+        pdf.sort_values(by=list(pdf.columns))
+        raised = False
+    except TypeError:
+        raised = True
+    assert raised, "seeded array/map/struct frame sorted cleanly?!"
+    good = bad.select(
+        "id",
+        F.array_join(
+            F.transform("feature", lambda x: F.format_string("%.6f", x)), "|"
+        ).alias("feature_str"),
+        F.to_json("m").alias("m_json"),
+        F.to_json("s").alias("s_json"),
+    )
+    assert unhashable_output_columns(good) == []
+    pd.testing.assert_frame_equal(
+        good.toPandas().sort_values(by=["id"]).reset_index(drop=True),
+        good.toPandas().sort_values(by=["id"]).reset_index(drop=True),
+    )
+
+
 def test_temporal_join_is_keyed_not_bnl(spark, sf_dir):
     """q_join_temporal: the interval-containment predicate must ride an
     equi-join on the entity key (hash/merge), never a nested loop —
