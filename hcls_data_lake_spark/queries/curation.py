@@ -1215,11 +1215,15 @@ def q_decontaminate_near(spark, sf_dir):
             F.first("c_sz").alias("c_sz"),
         )
     )
+    # bench set sizes: filter to the benchmark slice BEFORE broadcasting
+    # — only bench ids can match the bid key, and broadcasting the
+    # unfiltered corpus-sized sizes relation would grow with the corpus
+    # (OOM at 100 TB), not with the bench suite
+    bench_sizes = sizes.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bid"), F.col("sz").alias("b_sz")
+    )
     flagged = (
-        cand.join(
-            F.broadcast(sizes.select(F.col("doc_id").alias("bid"),
-                                     F.col("sz").alias("b_sz"))), "bid"
-        )
+        cand.join(F.broadcast(bench_sizes), "bid")
         .filter(
             F.col("inter") * 2 >= F.col("c_sz") + F.col("b_sz") - F.col("inter")
         )

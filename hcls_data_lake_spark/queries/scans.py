@@ -924,7 +924,15 @@ def q_sink_pystream_manifest(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # False return = timeout with the query still running; the manifest
+    # would then list only the batches committed so far — fail loudly
+    # rather than aggregate a partial zone
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError(
+            "manifest-sink stream did not finish within 120s; "
+            "committed_files would be partial"
+        )
     back = spark.read.parquet(*committed_files(zone))
     return back.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_big"),

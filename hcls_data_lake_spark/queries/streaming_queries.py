@@ -402,7 +402,20 @@ def q_stream_tws_timers(spark, sf_dir):
     by tests/test_streaming.py::test_tws_timer_boundary). Gate as the
     other TWS queries: foreign sessions without worker protobuf run
     the applyInPandasWithState EventTimeTimeout twin, armed at
-    expiry-1 ms so its strict boundary lands on the same firing set."""
+    expiry-1 ms so its strict boundary lands on the same firing set.
+
+    ORACLE SINGLE-DATA-BATCH ASSUMPTION: the closed_by labels hold
+    because the fixture landing dir is ONE file, so the run is one
+    data batch plus the trailing no-data batch — every non-trailing
+    session's closing gap is visible IN-BATCH and emits 'gap'. Under a
+    multi-file/multi-batch source a non-trailing session can instead
+    be closed by a MID-STREAM timer (the watermark passes its expiry
+    before the user's next event arrives in a later batch), emitting
+    'timer' where this oracle says 'gap' — the session SET and bounds
+    are batch-invariant, only the label attribution shifts. If the
+    events fixture ever becomes multi-file, drop closed_by from the
+    oracle (or make it batch-boundary-aware) rather than chasing a
+    spurious hash mismatch."""
     from hcls_data_lake_spark.compat.protobuf_vendor import (
         workers_have_protobuf,
     )
@@ -586,7 +599,15 @@ def q_stream_tws_state_reader(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        # awaitTermination(timeout) returns False on timeout with the
+        # query STILL RUNNING — reading the checkpoint of a live query
+        # would silently return partial state, so fail loudly instead
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "tws state-reader stream did not finish within 300s; "
+                "checkpoint state would be partial"
+            )
     finally:
         if use_tws:
             if prev_provider is None:

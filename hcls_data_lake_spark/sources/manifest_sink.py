@@ -108,9 +108,18 @@ def committed_files(zone: str) -> list[str]:
     mdir = os.path.join(zone, "_manifests")
     if not os.path.isdir(mdir):
         return []
+    manifests = [
+        f
+        for f in os.listdir(mdir)
+        if f.startswith("batch-") and f.endswith(".json")
+    ]
+    # numeric batch order, NOT lexicographic: "batch-10.json" sorts
+    # before "batch-2.json" as a string, which would break any
+    # ordering-dependent consumer (e.g. an incremental reader tailing
+    # from its last-seen batch id) at the 10th micro-batch
+    manifests.sort(key=lambda f: int(f[len("batch-") : -len(".json")]))
     files: list[str] = []
-    for fname in sorted(os.listdir(mdir)):
-        if fname.startswith("batch-") and fname.endswith(".json"):
-            with open(os.path.join(mdir, fname)) as f:
-                files.extend(p["path"] for p in json.load(f)["parts"])
+    for fname in manifests:
+        with open(os.path.join(mdir, fname)) as f:
+            files.extend(p["path"] for p in json.load(f)["parts"])
     return files

@@ -207,3 +207,23 @@ def test_read_commit_delta_returns_only_that_commits_rows(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         manifest.read_commit_delta(spark, root, 9)
+
+
+def test_committed_files_numeric_batch_order(tmp_path):
+    """committed_files must order manifests by NUMERIC batch id —
+    lexicographic listing puts batch-10 before batch-2, breaking the
+    'in batch order' contract at the 10th micro-batch for any
+    ordering-dependent consumer (incremental readers tailing from a
+    last-seen batch id)."""
+    import json
+
+    from hcls_data_lake_spark.sources.manifest_sink import committed_files
+
+    zone = tmp_path / "zone"
+    mdir = zone / "_manifests"
+    mdir.mkdir(parents=True)
+    for bid in (0, 1, 2, 10, 11):
+        (mdir / f"batch-{bid}.json").write_text(
+            json.dumps({"batchId": bid, "parts": [{"path": f"p{bid}"}]})
+        )
+    assert committed_files(str(zone)) == ["p0", "p1", "p2", "p10", "p11"]
