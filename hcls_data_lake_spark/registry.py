@@ -83,21 +83,40 @@ def register(name: str, oracle: str | None) -> Callable[[QueryFn], QueryFn]:
 # that sample a prefix of the inventory — e.g. a time-budgeted
 # correctness sweep — then cover every family instead of exhausting the
 # budget inside whichever module happens to import first.
-#
-# Round-8 rotation (VERDICT r7 ask #1): the driver has sampled 320/381
-# unique names across r1-r7 (union of CORRECTNESS_r01..r07), every
-# latest appearance green. The list stays NEVER-SAMPLED FIRST: slots
-# 1-61 are the queries with no driver row yet, so the r8 prefix
-# (slots 1-50) samples 50 fresh names, lifting cumulative coverage to
-# 370/381; slots 51-61 stage the r9 queue (r8 additions append at the
-# never-sampled block's end). The already-sampled names follow, most
-# recent rotation first, so a prefix overrun re-confirms fresh
-# families.
 _FAMILY_REPRESENTATIVES = [
-    # -- slots 1-61: never driver-sampled through r7 (r8 prefix = first
-    # 50; slots 51-61 stage the r9 queue; r8 additions append at the
-    # block's end). Rotated r8 per VERDICT r7 ask #1: the 50 names
-    # sampled in r7 moved down to the head of the already-sampled block. --
+    # -- NEVER-SAMPLED FIRST (round-9 rotation, VERDICT r8 ask #3): the
+    # driver has sampled 370/390 unique names across r1-r8, every
+    # latest appearance green except the two r8 canon crashes (fixed
+    # this round and re-queued below). Slots 1-20 are the queries with
+    # no driver CORRECTNESS row yet; the two r8 ERR rows follow so
+    # their fixes get re-verified rows; new r9 registrations append at
+    # the end of this block (inside the ~50-name driver prefix). The
+    # already-sampled names follow, most recent rotation first, so a
+    # prefix overrun re-confirms fresh families. --
+    "q_join_asof_nearest",
+    "q_dedup_semantic",
+    "q_sample_reservoir",
+    "q_stream_stateful_tws",
+    "q_stream_minhash",
+    "q_ts_changepoint",
+    "q_pipeline_ingest_encoding",
+    "q_pipeline_versions",
+    "q_embed_recall_ivfpq",
+    "q_hl7_typed_vxu",
+    "q_hl7_ack_reconcile",
+    "q_join_multiway_bucketed",
+    "q_fn_sql_scripting",
+    "q_fn_execute_immediate",
+    "q_udtf_arrow_bytes",
+    "q_stream_tws_timers",
+    "q_sink_pystream_manifest",
+    "q_stream_tws_mapstate",
+    "q_decontaminate_near",
+    "q_stream_tws_state_reader",
+    # r8 ERR rows, fixed in r9 — re-queue for green driver rows
+    "q_multimodal_binary",
+    "q_embed_pca_project",
+    # -- already driver-sampled (r1-r8), most recent rotation first --
     "q_ts_dtw",
     "q_graph_label_propagation",
     "q_scd2_bitemporal",
@@ -143,33 +162,9 @@ _FAMILY_REPRESENTATIVES = [
     "q_sim_ann_pq",
     "q_sim_ann_ivfpq",
     "q_multimodal_frames",
-    "q_multimodal_binary",
-    "q_embed_pca_project",
     "q_agg_gini",
     "q_analytics_abc",
     "q_privacy_t_closeness",
-    "q_join_asof_nearest",
-    "q_dedup_semantic",
-    "q_sample_reservoir",
-    "q_stream_stateful_tws",
-    "q_stream_minhash",
-    "q_ts_changepoint",
-    "q_pipeline_ingest_encoding",
-    "q_pipeline_versions",
-    "q_embed_recall_ivfpq",
-    "q_hl7_typed_vxu",
-    "q_hl7_ack_reconcile",
-    # r8 additions (never sampled; r9 queue)
-    "q_join_multiway_bucketed",
-    "q_fn_sql_scripting",
-    "q_fn_execute_immediate",
-    "q_udtf_arrow_bytes",
-    "q_stream_tws_timers",
-    "q_sink_pystream_manifest",
-    "q_stream_tws_mapstate",
-    "q_decontaminate_near",
-    "q_stream_tws_state_reader",
-    # -- already driver-sampled (r1-r7), most recent rotation first --
     "q_dedup_posting_census",
     "q_embed_recall_tuned",
     "q_dedup_near_capped",
@@ -491,6 +486,7 @@ _FAMILY_REPRESENTATIVES = [
     "q_join_theta",
     "q_join_range_interval",
 ]
+
 
 
 def _ordered() -> dict[str, Query]:
