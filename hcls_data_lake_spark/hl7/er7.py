@@ -687,3 +687,50 @@ def typed_oru(df, msg_col: str = "er7"):
     return raw.selectExpr(
         *[f"`{c}`" for c in df.columns], f"{obs_expr} as observations"
     )
+
+
+def typed_rde(df, msg_col: str = "er7"):
+    """Typed RDE_O11 projection (r9, §1.3b tier-2 for the newly
+    vendored pharmacy family): one row per message with patient
+    identity from PID and the repeatable RXE encoded orders as an
+    array of typed structs (give code/name from the RXE-2 CE, dose as
+    integer cents via try_cast of RXE-3, units from the RXE-5 CE,
+    refills from RXE-12) — pure split expressions in whole-stage
+    codegen, the 100 TB path for a pharmacy feed, mirroring
+    typed_adt/typed_vxu/typed_oru. Same two-phase SQL-string shape:
+    raw split extraction, then unescape over plain references."""
+    segs = f"split(regexp_replace({msg_col}, '\\r\\n|\\n', '\\r'), '\\r')"
+    msh = f"get(filter({segs}, s -> startswith(s, 'MSH|')), 0)"
+    pid = f"get(filter({segs}, s -> startswith(s, 'PID|')), 0)"
+    rxe_arr = f"filter({segs}, s -> startswith(s, 'RXE|'))"
+    f = lambda n: f"get(split(s, '\\\\|'), {n})"  # noqa: E731
+    struct = (
+        "named_struct("
+        f"'give_code', get(split({f(2)}, '\\\\^'), 0), "
+        f"'give_name', get(split({f(2)}, '\\\\^'), 1), "
+        f"'dose_c', try_cast({f(3)} AS bigint), "
+        f"'units', get(split({f(5)}, '\\\\^'), 0), "
+        f"'refills', try_cast({f(12)} AS bigint))"
+    )
+    raw = df.selectExpr(
+        "*",
+        f"get(split({msh}, '\\\\|'), 8) as _m9",
+        f"get(split(get(split({pid}, '\\\\|'), 3), '\\\\^'), 0) as patient_id",
+        f"transform({rxe_arr}, s -> {struct}) as rx_orders",
+    )
+    U = er7_unescape_sql
+    rx = (
+        "transform(rx_orders, r -> named_struct("
+        f"'give_code', {U('r.give_code')}, "
+        f"'give_name', {U('r.give_name')}, "
+        "'dose_c', r.dose_c, "
+        f"'units', {U('r.units')}, "
+        "'refills', r.refills))"
+    )
+    return raw.selectExpr(
+        *[f"`{c}`" for c in df.columns],
+        "get(split(_m9, '\\\\^'), 0) as message_type",
+        "get(split(_m9, '\\\\^'), 1) as trigger_event",
+        f"{U('patient_id')} as patient_id",
+        f"{rx} as rx_orders",
+    )

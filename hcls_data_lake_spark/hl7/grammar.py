@@ -1,4 +1,5 @@
-"""Vendored HL7 v2.x segment-cardinality grammar (ADT + ORU families).
+"""Vendored HL7 v2.x segment-cardinality grammar (ADT/ORU/ORM/ORR/ACK/
+VXU/SIU/MDM/DFT/BAR/RDE/RAS families).
 
 The reference's parser is grammar-driven through hl7apy
 (parse_er7_lambda.py:57-65): an element whose grammar allows repetition
@@ -85,8 +86,16 @@ SEGMENT_CARDINALITY: dict[str, int | None] = {
     "ODS": None,  # dietary orders repeat inside the CHOICE
     "ODT": None,
     "BLG": 1,
-    "RXA": 1,   # max-1 within VXU_V04's repeating ORDER group
-    "RXR": 1,
+    # r9 (VERDICT r8 ask #4): the pharmacy family (RDE_O11 encoded
+    # orders, RAS_O17 administrations) makes RXA and RXR repeatable in
+    # the union view — RXA repeats within RAS_O17's ADMINISTRATION
+    # group and RXR repeats in both RDE/RAS order details; VXU_V04's
+    # max-1 shapes are preserved by its per-structure table, which
+    # always wins over this union fallback
+    "RXA": None,
+    "RXR": None,
+    "RXE": 1,   # encoded order: one per RDE/RAS ORDER group
+    "RXC": None,  # components repeat directly under RDE_O11's ORDER
     # r8 (VERDICT r7 ask #4): BAR_P05's extra visit-level members
     "ABS": 1,   # abstract
     "BLC": None,  # blood codes repeat
@@ -124,6 +133,13 @@ FIELD_REPEATABLE: dict[str, frozenset[int]] = {
     "ODS": frozenset({2, 3, 4}),
     "ODT": frozenset({2}),
     "FT1": frozenset({19}),
+    # r9 pharmacy family (HL7 v2.5 field definitions): RXE-7 provider's
+    # administration instructions, RXE-21 supplier's special dispensing
+    # instructions, RXE-27 give indication, RXE-31 supplementary code;
+    # RXC-7 supplementary code
+    "RXE": frozenset({7, 21, 27, 31}),
+    "RXC": frozenset({7}),
+    "TQ1": frozenset({3, 4, 5, 9}),
 }
 
 
@@ -203,6 +219,11 @@ EVENT_STRUCTURE: dict[str, str] = {
     # general-order response (ORM_O01's sibling in the order family —
     # v2.5 defines ORM only for O01; the response side is ORR^O02)
     "ORR_O02": "ORR_O02",
+    # r9 (VERDICT r8 ask #4): pharmacy/treatment family — encoded
+    # order (RDE^O11) and administration (RAS^O17), the most common
+    # real-world hospital feeds not previously vendored
+    "RDE_O11": "RDE_O11",
+    "RAS_O17": "RAS_O17",
     # ACK is trigger-agnostic (ACK^A01, ACK^R01, ... all share the
     # 3-segment ACK structure); structure_for special-cases the type,
     # these rows cover senders that spell the trigger without MSH-9.3
@@ -296,6 +317,23 @@ STRUCTURE_SEGMENT_CARDINALITY: dict[str, dict[str, int | None]] = {
         "MSH": 1, "SFT": None, "MSA": 1, "ERR": 1, "NTE": None,
         "PID": 1, "ORC": 1, "OBR": 1, "RQD": 1, "RQ1": 1, "RXO": 1,
         "ODS": None, "ODT": None, "CTI": None,
+    },
+    # r9 pharmacy structures (flat views of the trees below, max card
+    # WITHIN THE IMMEDIATE PARENT; conflicted segments resolve to their
+    # FIRST tree occurrence like _flatten_tree — RXR repeats in
+    # ORDER_DETAIL, RXC is max-1 within its COMPONENT group)
+    "RDE_O11": {
+        "MSH": 1, "SFT": None, "NTE": None, "PID": 1, "PD1": 1,
+        "PV1": 1, "PV2": 1, "IN1": 1, "IN2": 1, "IN3": 1, "GT1": 1,
+        "AL1": None, "ORC": 1, "TQ1": 1, "TQ2": None, "RXO": 1,
+        "RXR": None, "RXC": 1, "RXE": 1, "OBX": 1, "FT1": None,
+        "BLG": 1, "CTI": None,
+    },
+    "RAS_O17": {
+        "MSH": 1, "SFT": None, "NTE": None, "PID": 1, "PD1": 1,
+        "AL1": None, "PV1": 1, "PV2": 1, "ORC": 1, "TQ1": 1,
+        "TQ2": None, "RXO": 1, "RXR": None, "RXC": 1, "RXE": 1,
+        "RXA": None, "OBX": 1, "CTI": None,
     },
     "DFT_P03": {
         "MSH": 1, "SFT": None, "EVN": 1, "PID": 1, "PD1": 1,
@@ -609,6 +647,150 @@ STRUCTURE_TREES: dict[str, tuple] = {
             ),
         ),
     ),
+    # r9 ask #4: the pharmacy family (HL7 v2.5 abstract definitions,
+    # hl7apy group spelling). RDE_O11 = pharmacy/treatment encoded
+    # order: optional PATIENT header, then repeating ORDER groups each
+    # carrying the ordering RXO detail (with its route/component
+    # subgroups), the mandatory RXE encoded order, encoded
+    # timing/route/components, observations and billing. The greedy
+    # in-order walk disambiguates the TQ1/RXR/RXC segments that appear
+    # BOTH inside ORDER_DETAIL and after RXE: once RXE is consumed the
+    # walk position is past ORDER_DETAIL, so later occurrences attach
+    # to the encoded groups, exactly hl7apy's assembly order.
+    "RDE_O11": (
+        _S("MSH", 1), _S("SFT", None), _S("NTE", None),
+        (
+            "RDE_O11_PATIENT",
+            1,
+            (
+                _S("PID", 1), _S("PD1", 1), _S("NTE", None),
+                (
+                    "RDE_O11_PATIENT_VISIT",
+                    1,
+                    (_S("PV1", 1), _S("PV2", 1)),
+                ),
+                (
+                    "RDE_O11_INSURANCE",
+                    None,
+                    (_S("IN1", 1), _S("IN2", 1), _S("IN3", 1)),
+                ),
+                _S("GT1", 1), _S("AL1", None),
+            ),
+        ),
+        (
+            "RDE_O11_ORDER",
+            None,
+            (
+                _S("ORC", 1),
+                (
+                    "RDE_O11_TIMING",
+                    None,
+                    (_S("TQ1", 1), _S("TQ2", None)),
+                ),
+                (
+                    "RDE_O11_ORDER_DETAIL",
+                    1,
+                    (
+                        _S("RXO", 1), _S("NTE", None), _S("RXR", None),
+                        (
+                            "RDE_O11_COMPONENT",
+                            None,
+                            (_S("RXC", 1), _S("NTE", None)),
+                        ),
+                    ),
+                ),
+                _S("RXE", 1),
+                (
+                    "RDE_O11_TIMING_ENCODED",
+                    None,
+                    (_S("TQ1", 1), _S("TQ2", None)),
+                ),
+                _S("RXR", None), _S("RXC", None),
+                (
+                    "RDE_O11_OBSERVATION",
+                    None,
+                    (_S("OBX", 1), _S("NTE", None)),
+                ),
+                _S("FT1", None), _S("BLG", 1), _S("CTI", None),
+            ),
+        ),
+    ),
+    # RAS_O17 = pharmacy/treatment administration: the ORDER group ends
+    # in a repeating ADMINISTRATION group whose RXA itself repeats
+    # (multi-component administrations share one RXR route).
+    "RAS_O17": (
+        _S("MSH", 1), _S("SFT", None), _S("NTE", None),
+        (
+            "RAS_O17_PATIENT",
+            1,
+            (
+                _S("PID", 1), _S("PD1", 1), _S("NTE", None),
+                _S("AL1", None),
+                (
+                    "RAS_O17_PATIENT_VISIT",
+                    1,
+                    (_S("PV1", 1), _S("PV2", 1)),
+                ),
+            ),
+        ),
+        (
+            "RAS_O17_ORDER",
+            None,
+            (
+                _S("ORC", 1),
+                (
+                    "RAS_O17_TIMING",
+                    None,
+                    (_S("TQ1", 1), _S("TQ2", None)),
+                ),
+                (
+                    "RAS_O17_ORDER_DETAIL",
+                    1,
+                    (
+                        _S("RXO", 1),
+                        (
+                            "RAS_O17_ORDER_DETAIL_SUPPLEMENT",
+                            1,
+                            (
+                                _S("NTE", None), _S("RXR", None),
+                                (
+                                    "RAS_O17_COMPONENTS",
+                                    None,
+                                    (_S("RXC", 1), _S("NTE", None)),
+                                ),
+                            ),
+                        ),
+                    ),
+                ),
+                (
+                    "RAS_O17_ENCODED_ORDER",
+                    1,
+                    (
+                        _S("RXE", 1),
+                        (
+                            "RAS_O17_TIMING_ENCODED",
+                            None,
+                            (_S("TQ1", 1), _S("TQ2", None)),
+                        ),
+                        _S("RXR", None), _S("RXC", None),
+                    ),
+                ),
+                (
+                    "RAS_O17_ADMINISTRATION",
+                    None,
+                    (
+                        _S("RXA", None), _S("RXR", 1),
+                        (
+                            "RAS_O17_OBSERVATION",
+                            None,
+                            (_S("OBX", 1), _S("NTE", None)),
+                        ),
+                    ),
+                ),
+                _S("CTI", None),
+            ),
+        ),
+    ),
     "DFT_P03": (
         _S("MSH", 1), _S("SFT", None), _S("EVN", 1), _S("PID", 1),
         _S("PD1", 1), _S("ROL", None), _S("PV1", 1), _S("PV2", 1),
@@ -826,6 +1008,21 @@ FIELD_DATATYPE: dict[str, dict[int, str]] = {
             21: "XCN", 22: "CP", 25: "CE", 26: "CE"},
     "ODT": {1: "CE", 2: "CE", 3: "ST"},
     "BLG": {1: "CCD", 2: "ID", 3: "CX"},
+    # r9 pharmacy family (RDE_O11 / RAS_O17 — HL7 v2.5 definitions,
+    # high-traffic fields; unlisted fields keep the C<n> fallback).
+    # TQ1 rides along: it was previously untyped (C<n> components)
+    # and both pharmacy TIMING groups carry it.
+    "TQ1": {1: "SI", 2: "CQ", 3: "RPT", 4: "TM", 5: "CQ", 6: "CQ",
+            7: "TS", 8: "TS", 9: "CWE", 10: "TX", 11: "TX", 12: "ID",
+            13: "CQ", 14: "NM"},
+    "RXE": {1: "TQ", 2: "CE", 3: "NM", 4: "NM", 5: "CE", 6: "CE",
+            7: "CE", 8: "LA1", 9: "ID", 10: "NM", 11: "CE", 12: "NM",
+            13: "XCN", 14: "XCN", 15: "ST", 16: "NM", 17: "NM",
+            18: "TS", 19: "CQ", 20: "ID", 21: "CE", 22: "ST",
+            23: "ST", 24: "CE", 25: "NM", 26: "CE", 27: "CE",
+            28: "NM", 29: "CE", 30: "ID", 31: "CE"},
+    "RXC": {1: "ID", 2: "CE", 3: "NM", 4: "CE", 5: "NM", 6: "CE",
+            7: "CE", 8: "NM", 9: "CWE"},
 }
 
 # ---------------------------------------------------------------------
@@ -882,6 +1079,16 @@ COMPONENT_DATATYPE: dict[str, dict[int, str]] = {
     "SAD": {1: "ST", 2: "ST", 3: "ST"},
     "MO": {1: "NM", 2: "ID"},
     "SN": {1: "ST", 2: "NM", 3: "ST", 4: "NM"},
+    # r9 (pharmacy family): quantity/timing composites (ORC-7, RXE-1,
+    # SCH-11 share TQ) and RXE-8's deliver-to location
+    "TQ": {1: "CQ", 2: "RI", 3: "ST", 4: "TS", 5: "TS", 6: "ST",
+           7: "ST", 8: "TX", 9: "ID", 11: "CE", 12: "NM"},
+    "CQ": {1: "NM", 2: "CE"},
+    "RI": {1: "IS", 2: "ST"},
+    "LA1": {1: "IS", 2: "IS", 3: "IS", 4: "HD", 5: "IS", 6: "IS",
+            7: "IS", 8: "IS", 9: "AD"},
+    "AD": {1: "ST", 2: "ST", 3: "ST", 4: "ST", 5: "ST", 6: "ID",
+           7: "ID", 8: "ST"},
     # r7 (ERR/BLG support)
     "ELD": {1: "ST", 2: "NM", 3: "NM", 4: "CE"},
     "ERL": {1: "ST", 2: "NM", 3: "NM", 4: "NM", 5: "NM", 6: "NM"},

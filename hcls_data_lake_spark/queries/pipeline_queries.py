@@ -1784,6 +1784,111 @@ def q_hl7_ack_reconcile(spark, sf_dir):
 
 
 @register(
+    "q_hl7_typed_rde",
+    """
+    WITH li AS (
+      SELECT l_orderkey AS message_id, l_linenumber, l_partkey,
+             CAST(round(l_quantity) AS BIGINT) AS dose_c
+      FROM lineitem WHERE l_orderkey < 2000
+    ), ordered AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY message_id
+                                ORDER BY l_linenumber, l_partkey,
+                                         dose_c) AS rx_seq
+      FROM li
+    )
+    SELECT message_id,
+           CAST(message_id % 1000 AS VARCHAR) AS patient_id,
+           CAST(rx_seq AS BIGINT) AS rx_seq,
+           CAST(l_partkey AS VARCHAR) AS give_code,
+           'MED' || CAST(l_partkey AS VARCHAR) AS give_name,
+           dose_c,
+           'MG' AS units,
+           CAST(l_linenumber AS BIGINT) AS refills
+    FROM ordered
+    """,
+)
+def q_hl7_typed_rde(spark, sf_dir):
+    """Typed RDE projection (r9 — §1.3b tier-2 for the newly vendored
+    pharmacy family, VERDICT r8 ask #4): each order's lineitems become
+    the encoded orders of one RDE^O11 message (MSH + PID + per-line
+    ORC/RXE pairs, dose carried as an integer so the wire round-trips
+    engine-exactly), the message parses back through the
+    codegen-native ``typed_rde`` split projection, and the rx_orders
+    array posexplodes to one row per prescription with its in-message
+    sequence. The oracle states the expected round-trip directly from
+    lineitem — any splitter mis-parse (field offset, CE component
+    split, RXE-12 refills position) breaks the value hash. Scale
+    shape: one order-keyed shuffle (sorted collect_list per message);
+    the projection is pure whole-stage codegen; the explode is
+    map-side. Reference parity: the reference's parser handles any
+    hl7apy-known structure (parse_er7_lambda.py:10) — RDE^O11 is the
+    pharmacy feed a hospital lake stages daily."""
+    from hcls_data_lake_spark.hl7.er7 import typed_rde
+
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    # l_linenumber is NOT unique per order in the fixture — the
+    # in-message RXE order (and so rx_seq) needs a full deterministic
+    # sort key shared with the oracle: (linenumber, partkey, dose)
+    seg = li.select(
+        F.col("l_orderkey").alias("message_id"),
+        "l_linenumber",
+        "l_partkey",
+        F.expr("cast(round(l_quantity) as bigint)").alias("dose_c"),
+        F.concat(
+            F.lit("ORC|NW|"),
+            F.col("l_orderkey").cast("string"),
+            F.lit("-"),
+            F.col("l_linenumber").cast("string"),
+            F.lit("\rRXE|^^^20240101|"),
+            F.col("l_partkey").cast("string"),
+            F.lit("^MED"),
+            F.col("l_partkey").cast("string"),
+            F.lit("^NDC|"),
+            F.expr("cast(round(l_quantity) as bigint)").cast("string"),
+            F.lit("||MG|||||||"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("seg"),
+    )
+    msgs = (
+        seg.groupBy("message_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("l_linenumber", "l_partkey", "dose_c", "seg")
+                )
+            ).alias("lines")
+        )
+        .select(
+            "message_id",
+            F.concat(
+                F.lit("MSH|^~\\&|CPOE|FAC|RX|FAC|20240101000000||RDE^O11|"),
+                F.col("message_id").cast("string"),
+                F.lit("|P|2.5\rPID|1||"),
+                (F.col("message_id") % 1000).cast("string"),
+                F.lit("^^^MRN\r"),
+                F.array_join(F.expr("transform(lines, x -> x.seg)"), "\r"),
+            ).alias("er7"),
+        )
+    )
+    parsed = typed_rde(msgs)
+    return parsed.select(
+        "message_id",
+        "patient_id",
+        F.posexplode("rx_orders").alias("_pos", "r"),
+    ).select(
+        "message_id",
+        "patient_id",
+        (F.col("_pos") + 1).cast("bigint").alias("rx_seq"),
+        F.col("r.give_code").alias("give_code"),
+        F.col("r.give_name").alias("give_name"),
+        F.col("r.dose_c").alias("dose_c"),
+        F.col("r.units").alias("units"),
+        F.col("r.refills").alias("refills"),
+    )
+
+
+@register(
     "q_udtf_arrow_bytes",
     """
     SELECT doc_id, ascii(c) AS byte, CAST(count(*) AS BIGINT) AS cnt

@@ -116,6 +116,8 @@ _FAMILY_REPRESENTATIVES = [
     # r8 ERR rows, fixed in r9 — re-queue for green driver rows
     "q_multimodal_binary",
     "q_embed_pca_project",
+    # r9 additions (never sampled)
+    "q_hl7_typed_rde",
     # -- already driver-sampled (r1-r8), most recent rotation first --
     "q_ts_dtw",
     "q_graph_label_propagation",

@@ -977,3 +977,124 @@ def test_orr_order_response_nests():
     assert len(orders) == 2
     assert orders[0]["ORR_O02_CHOICE"]["OBR"]["OBR_4"]["CE_1"] == "93000"
     assert orders[1]["ORR_O02_CHOICE"]["RXO"]["RXO_1"]["CE_2"] == "Aspirin"
+
+
+def test_rde_pharmacy_order_nests():
+    """r9 (VERDICT r8 ask #4): RDE^O11 pharmacy encoded orders — the
+    highest-traffic hospital family not previously vendored — nest the
+    PATIENT header and each repeating ORDER group (ORC + RXO
+    ORDER_DETAIL with its COMPONENT subgroup + the mandatory RXE +
+    encoded timing/route + OBSERVATION) under RDE_O11_* groups. The
+    greedy walk must attribute the TQ1/RXR/RXC occurrences BEFORE RXE
+    to the order detail and the ones AFTER to the encoded order."""
+    msg = (
+        "MSH|^~\\&|CPOE|FAC|RX|FAC|20240101||RDE^O11|501|P|2.5\r"
+        "PID|1||7001^^^MRN\r"
+        "PV1|1|I|ICU\r"
+        "IN1|1|PLAN9\r"
+        "ORC|NW|RX1\r"
+        "TQ1|1|1^tab\r"
+        "RXO|00054^Acetaminophen|325||MG\r"
+        "NTE|1||crush ok\r"
+        "RXR|PO^Oral\r"
+        "RXC|B|00055^Caffeine|30|MG\r"
+        "RXE|^^^20240101|00054^Acetaminophen|325||MG|||||||10\r"
+        "TQ1|1|1^tab|QID\r"
+        "RXR|PO^Oral\r"
+        "OBX|1|NM|WT^Weight||80|kg\r"
+        "BLG|D\r"
+        "ORC|NW|RX2\r"
+        "RXE|^^^20240102|00099^Ibuprofen|200||MG\r"
+        "RXR|PO^Oral"
+    )
+    assert parse_er7(msg, strict=True) is not None
+    doc = json.loads(parse_er7(msg))
+    pat = doc["RDE_O11_PATIENT"]
+    assert pat["PID"]["PID_3"] == [
+        {"CX_1": "7001", "CX_2": "", "CX_3": "", "CX_4": "MRN"}
+    ]
+    assert pat["RDE_O11_PATIENT_VISIT"]["PV1"]["PV1_2"] == "I"
+    assert pat["RDE_O11_INSURANCE"][0]["IN1"]["IN1_2"] == {"CE_1": "PLAN9"}
+    orders = doc["RDE_O11_ORDER"]
+    assert len(orders) == 2
+    o1 = orders[0]
+    # pre-RXE members land in TIMING / ORDER_DETAIL
+    assert o1["RDE_O11_TIMING"][0]["TQ1"]["TQ1_2"] == {
+        "CQ_1": "1", "CQ_2": "tab"
+    }
+    det = o1["RDE_O11_ORDER_DETAIL"]
+    assert det["RXO"]["RXO_1"]["CE_2"] == "Acetaminophen"
+    assert det["RXR"] == [{"RXR_1": {"CE_1": "PO", "CE_2": "Oral"}}]
+    assert det["RDE_O11_COMPONENT"][0]["RXC"]["RXC_2"]["CE_2"] == "Caffeine"
+    # post-RXE members land in the encoded groups
+    assert o1["RXE"]["RXE_2"]["CE_2"] == "Acetaminophen"
+    assert o1["RXE"]["RXE_12"] == "10"
+    # TQ1-3 (repeat pattern) is declared repeatable: singleton -> list
+    assert o1["RDE_O11_TIMING_ENCODED"][0]["TQ1"]["TQ1_3"] == [
+        {"RPT_1": "QID"}
+    ]
+    assert o1["RXR"] == [{"RXR_1": {"CE_1": "PO", "CE_2": "Oral"}}]
+    assert o1["RDE_O11_OBSERVATION"][0]["OBX"]["OBX_5"] == ["80"]
+    assert o1["BLG"]["BLG_1"] == {"CCD_1": "D"}
+    # second order: bare encoded order, no detail group
+    o2 = orders[1]
+    assert "RDE_O11_ORDER_DETAIL" not in o2
+    assert o2["RXE"]["RXE_2"]["CE_2"] == "Ibuprofen"
+    assert o2["RXR"] == [{"RXR_1": {"CE_1": "PO", "CE_2": "Oral"}}]
+
+
+def test_ras_administration_nests():
+    """r9 (ask #4): RAS^O17 pharmacy administrations — repeating
+    ADMINISTRATION groups whose RXA itself repeats (multi-component
+    given doses share one RXR route), after an optional ENCODED_ORDER
+    group."""
+    msg = (
+        "MSH|^~\\&|MAR|FAC|RX|FAC|20240101||RAS^O17|601|P|2.5\r"
+        "PID|1||7002\r"
+        "ORC|RE|RX1\r"
+        "RXE|^^^20240101|00054^Acetaminophen|325||MG\r"
+        "RXR|PO^Oral\r"
+        "RXA|0|1|20240101080000|20240101080000|00054^Acetaminophen|325|MG\r"
+        "RXA|0|2|20240101140000|20240101140000|00054^Acetaminophen|325|MG\r"
+        "RXR|PO^Oral\r"
+        "OBX|1|ST|NOTE^Note||given late"
+    )
+    assert parse_er7(msg, strict=True) is not None
+    doc = json.loads(parse_er7(msg))
+    orders = doc["RAS_O17_ORDER"]
+    assert len(orders) == 1
+    o = orders[0]
+    enc = o["RAS_O17_ENCODED_ORDER"]
+    assert enc["RXE"]["RXE_2"]["CE_2"] == "Acetaminophen"
+    assert enc["RXR"] == [{"RXR_1": {"CE_1": "PO", "CE_2": "Oral"}}]
+    admins = o["RAS_O17_ADMINISTRATION"]
+    assert len(admins) == 1
+    a = admins[0]
+    assert [x["RXA_2"] for x in a["RXA"]] == ["1", "2"]
+    assert a["RXR"]["RXR_1"] == {"CE_1": "PO", "CE_2": "Oral"}
+    assert a["RAS_O17_OBSERVATION"][0]["OBX"]["OBX_5"] == ["given late"]
+
+
+def test_rde_strict_mode_parity():
+    """Strict-mode parity for the new family (the BAR/ORR r8
+    discipline): every RDE/RAS segment is version-known (no
+    dead-letter for a legal pharmacy feed), a duplicated max-1 RXE
+    within one ORDER still parses leniently (data wins) but the
+    grammar keeps per-order RXE max-1, and an unsupported declared
+    version still dead-letters regardless of family."""
+    from hcls_data_lake_spark.hl7.grammar import grammar_for
+
+    g = grammar_for("2.5")
+    for seg in ("RXE", "RXC", "RXR", "RXA", "RXO"):
+        assert g.is_known(seg), seg
+    assert g.structure_for("RDE", "O11", None) == "RDE_O11"
+    assert g.structure_for("RAS", "O17", None) == "RAS_O17"
+    # explicit MSH-9.3 wins too
+    assert g.structure_for("RDE", "O11", "RDE_O11") == "RDE_O11"
+    # unsupported version: strict dead-letter before any grammar walk
+    msg21 = (
+        "MSH|^~\\&|CPOE|FAC|RX|FAC|20240101||RDE^O11|1|P|2.1\r"
+        "PID|1||7001\rORC|NW|RX1\rRXE|^^^X|00054^APAP|325||MG"
+    )
+    assert parse_er7(msg21, strict=True) is None
+    assert parse_er7(msg21) is not None  # lenient keeps the data
