@@ -267,6 +267,19 @@ EXTENDED = [
     "q_hl7_typed_vxu",        # typed immunization projection (r7)
     "q_hl7_ack_reconcile",    # ACK delivery-audit join (r7)
     "q_sort_multi",           # two-pass global listing rank (r7 shape)
+    "q_hl7_typed_rde",        # typed pharmacy projection (r9)
+]
+
+# Ambient-drift canaries (r9, VERDICT r8 ask #5): constant plans whose
+# per-round readings measure host load directly — q_bench_canary_floor
+# is data-independent (scheduler+shuffle floor), q_bench_canary_scan is
+# a pruned single-column read of the biggest table (IO floor). Their
+# per-round ratio vs the committed ledger entries is the round's
+# measured ambient factor (BASELINE.md "Ambient canaries"); timed with
+# full headline reps because their whole point is a stable reading.
+CANARIES = [
+    "q_bench_canary_floor",
+    "q_bench_canary_scan",
 ]
 
 
@@ -286,7 +299,7 @@ def main() -> None:
     # codegen), not first-touch JVM class loading / file-listing costs
     # that a long-lived cluster session never re-pays.
     qs["q_scan_parquet"](spark, sf_dir).collect()
-    for name in HEADLINE + EXTENDED:
+    for name in HEADLINE + EXTENDED + CANARIES:
         qs[name](spark, sf_dir).count()
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
@@ -321,6 +334,11 @@ def main() -> None:
         runs = sorted(timed(name, ext_reps))
         extended[name] = runs[0]
         extended_medians[name] = runs[len(runs) // 2]
+    # canaries get headline-grade reps: their reading IS the product
+    canaries: dict[str, float] = {}
+    for name in CANARIES:
+        runs = sorted(timed(name, reps))
+        canaries[name] = runs[0]
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
     print(
         json.dumps(
@@ -332,6 +350,7 @@ def main() -> None:
                 "queries_median": medians,
                 "extended_queries": extended,
                 "extended_queries_median": extended_medians,
+                "canaries": canaries,
                 "reps": reps,
                 "ext_reps": ext_reps,
                 "sf": sf,

@@ -938,3 +938,54 @@ def q_sink_pystream_manifest(spark, sf_dir):
         F.count(F.lit(1)).alias("n_big"),
         F.sum("value_cents").cast("bigint").alias("cents"),
     )
+
+
+@register(
+    "q_bench_canary_floor",
+    """
+    SELECT range % 16 AS g,
+           CAST(sum(range) AS BIGINT) AS s,
+           CAST(count(*) AS BIGINT) AS n
+    FROM range(0, 25600) GROUP BY 1
+    """,
+)
+def q_bench_canary_floor(spark, sf_dir):
+    """Bench canary #1 — pure SCHEDULING floor (r9, VERDICT r8 ask #5):
+    a constant-size, data-independent plan (256 empty-ish range tasks
+    -> one 16-key shuffle -> 16 rows) whose wall time is dominated by
+    task scheduling + shuffle setup, not data. Its per-round reading
+    in the bench ledger measures the HOST's ambient load factor
+    directly: the r7->r8 driver bench showed a uniform 1.33x inflation
+    across untouched queries that could only be inferred as ambient —
+    the canary pair turns that inference into a measurement
+    (BASELINE.md "Ambient canaries"). Ignores sf_dir on purpose: the
+    floor must not scale with the fixture."""
+    return (
+        spark.range(0, 25600, 1, 256)
+        .groupBy((F.col("id") % 16).alias("g"))
+        .agg(
+            F.sum("id").alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "q_bench_canary_scan",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(l_partkey) AS BIGINT) AS s_part
+    FROM lineitem
+    """,
+)
+def q_bench_canary_scan(spark, sf_dir):
+    """Bench canary #2 — pure SCAN cost: a single-column pruned read of
+    the biggest fixture table with a trivial global aggregate. Together
+    with q_bench_canary_floor it decomposes ambient drift: floor-only
+    inflation = scheduler/CPU contention; scan-tracking inflation = IO
+    contention. Both are committed to the ledger so each round's ratio
+    vs the committed value is the round's measured ambient factor."""
+    return t(spark, sf_dir, "lineitem").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_partkey").alias("s_part"),
+    )

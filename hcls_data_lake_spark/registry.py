@@ -118,6 +118,8 @@ _FAMILY_REPRESENTATIVES = [
     "q_embed_pca_project",
     # r9 additions (never sampled)
     "q_hl7_typed_rde",
+    "q_bench_canary_floor",
+    "q_bench_canary_scan",
     # -- already driver-sampled (r1-r8), most recent rotation first --
     "q_ts_dtw",
     "q_graph_label_propagation",
