@@ -1992,3 +1992,96 @@ def test_price_volume_decomposition_identity(spark, sf_dir):
     assert rows, "decomposition returned no segment-year pairs"
     for r in rows:
         assert r.vol_eff_xn0 + r.price_eff_xn0 == r.d_rev_c * r.n0, r
+
+
+def test_driver_artifact_caches_across_sessions_and_sf(tmp_path):
+    """r9 (VERDICT r8 ask #6): the build-once/probe-many driver
+    artifacts (IVF/PQ codebooks, materialized index DataFrames,
+    _near_pairs_cached) are the engine's one stateful corner. Pin, in
+    a SUBPROCESS running two sequential SparkSessions (the pytest
+    session fixture must survive), that
+    (a) a second session never receives a DataFrame bound to the
+        stopped first session (index/near-pairs entries are
+        applicationId-keyed and eagerly dropped),
+    (b) results are identical across the session swap (deterministic
+        rebuild, no cross-contamination), and
+    (c) switching sf_dir rebuilds rather than reuses: the codebook
+        cache keys by table fingerprint (file list + plan hash), so
+        sf0.001 and sf0.01 must occupy DISTINCT entries."""
+    import json
+    import subprocess
+    import sys
+
+    script = r"""
+import json, sys
+sys.path.insert(0, "/root/repo")
+import os
+os.environ.setdefault("SPARK_GRAFT_CPUS", "4")
+from hcls_data_lake_spark.operators import similarity as sim
+from hcls_data_lake_spark.queries import llm
+
+def topk_rows(spark, sf):
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    df = sim.ivf_topk(emb, k=3, n_centroids=4, n_probe=2)
+    return sorted(tuple(r) for r in df.collect())
+
+from pyspark.sql import SparkSession
+def fresh(name):
+    return (SparkSession.builder.master("local[4]")
+            .appName(name)
+            .config("spark.sql.shuffle.partitions", "8")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate())
+
+out = {}
+s1 = fresh("cache-a")
+app1 = s1.sparkContext.applicationId
+r1 = topk_rows(s1, "/root/testdata/sf0.001")
+np1 = llm._near_pairs_cached(s1, "/root/testdata/sf0.001").count()
+out["cb_keys_after_s1"] = len(sim._CODEBOOK_CACHE)
+s1.stop()
+
+s2 = fresh("cache-b")
+app2 = s2.sparkContext.applicationId
+assert app2 != app1, "applicationId not fresh"
+r2 = topk_rows(s2, "/root/testdata/sf0.001")
+out["same_results_across_sessions"] = (r1 == r2)
+# every live index-cache entry must belong to the live session
+out["index_keys_all_live"] = all(
+    k[0] == app2 for k in sim._INDEX_CACHE
+)
+np2 = llm._near_pairs_cached(s2, "/root/testdata/sf0.001").count()
+out["near_pairs_stable"] = (np1 == np2)
+out["near_pairs_keys_all_live"] = all(
+    k[0] == app2 for k in llm._GRAPH_CACHE
+)
+cb_before = set(map(tuple, [(k,) for k in sim._CODEBOOK_CACHE]))
+r3 = topk_rows(s2, "/root/testdata/sf0.01")
+out["sf_switch_changed_results"] = (r3 != r2)
+out["cb_keys_grew_on_sf_switch"] = (
+    len(sim._CODEBOOK_CACHE) > len(cb_before)
+)
+s2.stop()
+print("RESULT " + json.dumps(out))
+"""
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    line = next(
+        (l for l in proc.stdout.splitlines() if l.startswith("RESULT ")),
+        None,
+    )
+    assert line is not None, (
+        f"subprocess failed\nstdout:{proc.stdout[-2000:]}\n"
+        f"stderr:{proc.stderr[-2000:]}"
+    )
+    out = json.loads(line[len("RESULT "):])
+    assert out["same_results_across_sessions"], out
+    assert out["index_keys_all_live"], out
+    assert out["near_pairs_stable"], out
+    assert out["near_pairs_keys_all_live"], out
+    assert out["sf_switch_changed_results"], out
+    assert out["cb_keys_grew_on_sf_switch"], out
