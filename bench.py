@@ -268,6 +268,8 @@ EXTENDED = [
     "q_hl7_ack_reconcile",    # ACK delivery-audit join (r7)
     "q_sort_multi",           # two-pass global listing rank (r7 shape)
     "q_hl7_typed_rde",        # typed pharmacy projection (r9)
+    "q_dedup_semantic_scaled",  # 8-plane SRP semantic dedup (r9)
+    "q_dedup_pipeline_e2e_full",  # whole-corpus 5-stage dedup (r9)
 ]
 
 # Ambient-drift canaries (r9, VERDICT r8 ask #5): constant plans whose

@@ -120,6 +120,8 @@ _FAMILY_REPRESENTATIVES = [
     "q_hl7_typed_rde",
     "q_bench_canary_floor",
     "q_bench_canary_scan",
+    "q_dedup_semantic_scaled",
+    "q_dedup_pipeline_e2e_full",
     # -- already driver-sampled (r1-r8), most recent rotation first --
     "q_ts_dtw",
     "q_graph_label_propagation",
