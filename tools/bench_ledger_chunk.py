@@ -29,7 +29,9 @@ def main() -> None:
     from hcls_data_lake_spark import registry
     from hcls_data_lake_spark.session import get_spark
 
-    all_names = bench.HEADLINE + bench.EXTENDED
+    all_names = (
+        bench.HEADLINE + bench.EXTENDED + getattr(bench, "CANARIES", [])
+    )
     names = all_names[start:end]
     spark = get_spark("hcls-bench-chunk")
     spark.sparkContext.setLogLevel("ERROR")
