@@ -270,6 +270,9 @@ EXTENDED = [
     "q_hl7_typed_rde",        # typed pharmacy projection (r9)
     "q_dedup_semantic_scaled",  # 8-plane SRP semantic dedup (r9)
     "q_dedup_pipeline_e2e_full",  # whole-corpus 5-stage dedup (r9)
+    "q_fn_time",              # TIME type construction/extraction (r9)
+    "q_agg_approx_topk",      # sketch heavy-hitters, exact regime (r9)
+    "q_fn_group_by_all",      # GROUP BY ALL dialect pin (r9)
 ]
 
 # Ambient-drift canaries (r9, VERDICT r8 ask #5): constant plans whose

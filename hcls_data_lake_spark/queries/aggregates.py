@@ -1364,3 +1364,72 @@ def q_agg_crossmoments(spark, sf_dir):
         F.expr("cast(sum(a * a) as bigint)").alias("sum_a2"),
         F.expr("cast(sum(b * b) as bigint)").alias("sum_b2"),
     )
+
+
+@register(
+    "q_agg_approx_topk",
+    """
+    SELECT event_type AS item,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM events GROUP BY event_type
+    """,
+)
+def q_agg_approx_topk(spark, sf_dir):
+    """approx_top_k (Spark 4.1) — the sketch-backed heavy-hitters
+    aggregate (Space-Saving style: one pass, mergeable, bounded
+    memory) that replaces the groupBy-count-orderBy-limit idiom when
+    the key domain is huge. Pinned EXACTLY: with k and the tracked-
+    item budget both >= the distinct-key count the sketch degrades to
+    exact counting (no admission error is possible), so asking for
+    k=100 over the handful of event types must return precisely the
+    full exact histogram — which is what the DuckDB oracle states.
+    The struct-array result explodes to scalar (item, cnt) rows (the
+    emission-shape rule). At 100 TB the same one-liner with k << 
+    distinct is the production shape: partial sketches merge map-side,
+    only k items cross the wire."""
+    from hcls_data_lake_spark.queries.common import events
+
+    e = events(spark, sf_dir)
+    topk = e.agg(F.expr("approx_top_k(event_type, 100)").alias("tk"))
+    return topk.select(F.explode("tk").alias("x")).select(
+        F.col("x.item").alias("item"),
+        F.col("x.count").cast("bigint").alias("cnt"),
+    )
+
+
+@register(
+    "q_fn_group_by_all",
+    """
+    SELECT event_type,
+           CAST(hour(ts) AS BIGINT) // 6 AS day_quarter,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM events
+    GROUP BY ALL
+    """,
+)
+def q_fn_group_by_all(spark, sf_dir):
+    """GROUP BY ALL (Spark 4 / modern-SQL dialect convergence): the
+    grouping keys are inferred as every non-aggregate select item —
+    the exact syntax DuckDB also implements, so the SAME dialect
+    feature runs on both engines and must agree (a symmetric pin: if
+    either engine's ALL-inference picked different keys the
+    row-count/hash breaks). The inferred key set here mixes a raw
+    column and a derived expression (hour div 6), the case where
+    manual GROUP BY lists drift from the select list during
+    refactors — the footgun ALL exists to remove."""
+    from hcls_data_lake_spark.queries.common import events
+
+    events(spark, sf_dir).createOrReplaceTempView("gba_events")
+    return spark.sql(
+        """
+        SELECT event_type,
+               CAST(hour(ts) AS BIGINT) div 6 AS day_quarter,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM gba_events
+        GROUP BY ALL
+        """
+    )

@@ -948,3 +948,58 @@ def q_fn_execute_immediate(spark, sf_dir):
         " GROUP BY o_orderpriority' "
         "USING 'F' AS st, 1000000 AS thr"
     )
+
+@register(
+    "q_fn_time",
+    """
+    SELECT event_id,
+           strftime(CAST(ts AS TIMESTAMP), '%H:%M:%S') AS t_str,
+           CAST(hour(ts) AS BIGINT) * 60 + CAST(minute(ts) AS BIGINT)
+             AS minute_of_day,
+           CAST(hour(ts) AS BIGINT) AS h
+    FROM events WHERE event_id < 3000
+    """,
+)
+def q_fn_time(spark, sf_dir):
+    """The TIME type (Spark 4.1, behind spark.sql.timeType.enabled —
+    set/restored around the plan build): wall-clock time-of-day as a
+    first-class type instead of the string/seconds-since-midnight
+    workarounds. Builds TIME values with ``make_time`` from event
+    timestamps (integer seconds so both engines render identically),
+    extracts fields FROM the time value (hour()/minute() over TIME,
+    not over the source timestamp — the type's read surface is what's
+    under test), and emits the canonical string form. The conf is
+    runtime-settable; it gates ANALYSIS of the plan, so it is restored
+    immediately after the DataFrame is built (queries() callables
+    return unexecuted plans — an analyzed plan stays valid after the
+    flag flips back)."""
+    from hcls_data_lake_spark.queries.common import events
+
+    flag = "spark.sql.timeType.enabled"
+    prev = spark.conf.get(flag, None)
+    spark.conf.set(flag, "true")
+    try:
+        e = events(spark, sf_dir).filter(F.col("event_id") < 3000)
+        tt = e.select(
+            "event_id",
+            F.expr(
+                "make_time(hour(ts), minute(ts),"
+                " cast(second(ts) as bigint))"
+            ).alias("tt"),
+        )
+        out = tt.select(
+            "event_id",
+            F.col("tt").cast("string").alias("t_str"),
+            (
+                F.expr("cast(hour(tt) as bigint)") * 60
+                + F.expr("cast(minute(tt) as bigint)")
+            ).alias("minute_of_day"),
+            F.expr("cast(hour(tt) as bigint)").alias("h"),
+        )
+        out.schema  # force analysis while the flag is on
+        return out
+    finally:
+        if prev is None:
+            spark.conf.unset(flag)
+        else:
+            spark.conf.set(flag, prev)

@@ -122,6 +122,9 @@ _FAMILY_REPRESENTATIVES = [
     "q_bench_canary_scan",
     "q_dedup_semantic_scaled",
     "q_dedup_pipeline_e2e_full",
+    "q_fn_time",
+    "q_agg_approx_topk",
+    "q_fn_group_by_all",
     # -- already driver-sampled (r1-r8), most recent rotation first --
     "q_ts_dtw",
     "q_graph_label_propagation",
