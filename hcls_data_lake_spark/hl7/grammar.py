@@ -96,6 +96,7 @@ SEGMENT_CARDINALITY: dict[str, int | None] = {
     "RXR": None,
     "RXE": 1,   # encoded order: one per RDE/RAS ORDER group
     "RXC": None,  # components repeat directly under RDE_O11's ORDER
+    "RXD": 1,   # dispense record: one per RDS_O13 ORDER group
     # r8 (VERDICT r7 ask #4): BAR_P05's extra visit-level members
     "ABS": 1,   # abstract
     "BLC": None,  # blood codes repeat
@@ -139,6 +140,7 @@ FIELD_REPEATABLE: dict[str, frozenset[int]] = {
     # RXC-7 supplementary code
     "RXE": frozenset({7, 21, 27, 31}),
     "RXC": frozenset({7}),
+    "RXD": frozenset({9, 15}),
     "TQ1": frozenset({3, 4, 5, 9}),
 }
 
@@ -224,6 +226,10 @@ EVENT_STRUCTURE: dict[str, str] = {
     # real-world hospital feeds not previously vendored
     "RDE_O11": "RDE_O11",
     "RAS_O17": "RAS_O17",
+    # dispense (RDS^O13) and dietary order (OMD^O03) complete the
+    # pharmacy/dietary order family
+    "RDS_O13": "RDS_O13",
+    "OMD_O03": "OMD_O03",
     # ACK is trigger-agnostic (ACK^A01, ACK^R01, ... all share the
     # 3-segment ACK structure); structure_for special-cases the type,
     # these rows cover senders that spell the trigger without MSH-9.3
@@ -334,6 +340,18 @@ STRUCTURE_SEGMENT_CARDINALITY: dict[str, dict[str, int | None]] = {
         "AL1": None, "PV1": 1, "PV2": 1, "ORC": 1, "TQ1": 1,
         "TQ2": None, "RXO": 1, "RXR": None, "RXC": 1, "RXE": 1,
         "RXA": None, "OBX": 1, "CTI": None,
+    },
+    "RDS_O13": {
+        "MSH": 1, "SFT": None, "NTE": None, "PID": 1, "PD1": 1,
+        "AL1": None, "PV1": 1, "PV2": 1, "ORC": 1, "TQ1": 1,
+        "TQ2": None, "RXO": 1, "RXR": None, "RXC": 1, "RXE": 1,
+        "RXD": 1, "OBX": 1, "FT1": None, "CTI": None,
+    },
+    "OMD_O03": {
+        "MSH": 1, "SFT": None, "NTE": None, "PID": 1, "PD1": 1,
+        "PV1": 1, "PV2": 1, "IN1": 1, "IN2": 1, "IN3": 1, "GT1": 1,
+        "AL1": None, "ORC": 1, "TQ1": 1, "TQ2": None, "ODS": None,
+        "OBX": 1, "ODT": None,
     },
     "DFT_P03": {
         "MSH": 1, "SFT": None, "EVN": 1, "PID": 1, "PD1": 1,
@@ -791,6 +809,138 @@ STRUCTURE_TREES: dict[str, tuple] = {
             ),
         ),
     ),
+    # RDS_O13 = pharmacy/treatment dispense: like RAS but the ORDER
+    # group centers on the mandatory RXD dispense record (what the
+    # pharmacy actually handed out), after optional RXO detail and RXE
+    # encoding groups. Same greedy pre/post disambiguation for the
+    # repeated TQ1/RXR/RXC members.
+    "RDS_O13": (
+        _S("MSH", 1), _S("SFT", None), _S("NTE", None),
+        (
+            "RDS_O13_PATIENT",
+            1,
+            (
+                _S("PID", 1), _S("PD1", 1), _S("NTE", None),
+                _S("AL1", None),
+                (
+                    "RDS_O13_PATIENT_VISIT",
+                    1,
+                    (_S("PV1", 1), _S("PV2", 1)),
+                ),
+            ),
+        ),
+        (
+            "RDS_O13_ORDER",
+            None,
+            (
+                _S("ORC", 1),
+                (
+                    "RDS_O13_TIMING",
+                    None,
+                    (_S("TQ1", 1), _S("TQ2", None)),
+                ),
+                (
+                    "RDS_O13_ORDER_DETAIL",
+                    1,
+                    (
+                        _S("RXO", 1),
+                        (
+                            "RDS_O13_ORDER_DETAIL_SUPPLEMENT",
+                            1,
+                            (
+                                _S("NTE", None), _S("RXR", None),
+                                (
+                                    "RDS_O13_COMPONENT",
+                                    None,
+                                    (_S("RXC", 1), _S("NTE", None)),
+                                ),
+                            ),
+                        ),
+                    ),
+                ),
+                (
+                    "RDS_O13_ENCODING",
+                    1,
+                    (
+                        _S("RXE", 1),
+                        (
+                            "RDS_O13_TIMING_ENCODED",
+                            None,
+                            (_S("TQ1", 1), _S("TQ2", None)),
+                        ),
+                        _S("RXR", None), _S("RXC", None),
+                    ),
+                ),
+                _S("RXD", 1), _S("RXR", None), _S("RXC", None),
+                (
+                    "RDS_O13_OBSERVATION",
+                    None,
+                    (_S("OBX", 1), _S("NTE", None)),
+                ),
+                _S("FT1", None), _S("CTI", None),
+            ),
+        ),
+    ),
+    # OMD_O03 = dietary order: repeating ORDER_DIET groups (ODS diet
+    # specifications + observations) then optional tray orders (ODT).
+    "OMD_O03": (
+        _S("MSH", 1), _S("SFT", None), _S("NTE", None),
+        (
+            "OMD_O03_PATIENT",
+            1,
+            (
+                _S("PID", 1), _S("PD1", 1), _S("NTE", None),
+                (
+                    "OMD_O03_PATIENT_VISIT",
+                    1,
+                    (_S("PV1", 1), _S("PV2", 1)),
+                ),
+                (
+                    "OMD_O03_INSURANCE",
+                    None,
+                    (_S("IN1", 1), _S("IN2", 1), _S("IN3", 1)),
+                ),
+                _S("GT1", 1), _S("AL1", None),
+            ),
+        ),
+        (
+            "OMD_O03_ORDER_DIET",
+            None,
+            (
+                _S("ORC", 1),
+                (
+                    "OMD_O03_TIMING_DIET",
+                    None,
+                    (_S("TQ1", 1), _S("TQ2", None)),
+                ),
+                (
+                    "OMD_O03_DIET",
+                    1,
+                    (
+                        _S("ODS", None), _S("NTE", None),
+                        (
+                            "OMD_O03_OBSERVATION",
+                            None,
+                            (_S("OBX", 1), _S("NTE", None)),
+                        ),
+                    ),
+                ),
+            ),
+        ),
+        (
+            "OMD_O03_ORDER_TRAY",
+            None,
+            (
+                _S("ORC", 1),
+                (
+                    "OMD_O03_TIMING_TRAY",
+                    None,
+                    (_S("TQ1", 1), _S("TQ2", None)),
+                ),
+                _S("ODT", None), _S("NTE", None),
+            ),
+        ),
+    ),
     "DFT_P03": (
         _S("MSH", 1), _S("SFT", None), _S("EVN", 1), _S("PID", 1),
         _S("PD1", 1), _S("ROL", None), _S("PV1", 1), _S("PV2", 1),
@@ -1023,6 +1173,9 @@ FIELD_DATATYPE: dict[str, dict[int, str]] = {
             28: "NM", 29: "CE", 30: "ID", 31: "CE"},
     "RXC": {1: "ID", 2: "CE", 3: "NM", 4: "CE", 5: "NM", 6: "CE",
             7: "CE", 8: "NM", 9: "CWE"},
+    "RXD": {1: "NM", 2: "CE", 3: "TS", 4: "NM", 5: "CE", 6: "CE",
+            7: "ST", 8: "NM", 9: "ST", 10: "XCN", 11: "ID",
+            12: "CQ", 14: "ID", 15: "CE", 18: "ST", 19: "TS"},
 }
 
 # ---------------------------------------------------------------------

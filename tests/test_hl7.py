@@ -1098,3 +1098,80 @@ def test_rde_strict_mode_parity():
     )
     assert parse_er7(msg21, strict=True) is None
     assert parse_er7(msg21) is not None  # lenient keeps the data
+
+
+def test_rds_dispense_nests():
+    """r9: RDS^O13 pharmacy dispense — the ORDER group centers on the
+    mandatory RXD dispense record after the optional RXE ENCODING
+    group; the RXR before RXD belongs to ENCODING (greedy pre/post
+    split), the one after to the dispense itself. RXD-9 dispense
+    notes are declared repeatable (singleton -> list)."""
+    msg = (
+        "MSH|^~\\&|PHARM|FAC|HIS|FAC|20240101||RDS^O13|701|P|2.5\r"
+        "PID|1||7003\r"
+        "ORC|RE|RX9\r"
+        "RXE|^^^20240101|00054^Acetaminophen|325||MG\r"
+        "RXR|PO^Oral\r"
+        "RXD|1|00054^Acetaminophen|20240102|30|TAB||RX9-1|2|partial fill\r"
+        "RXR|PO^Oral\r"
+        "OBX|1|ST|CHK^Check||ok"
+    )
+    assert parse_er7(msg, strict=True) is not None
+    doc = json.loads(parse_er7(msg))
+    orders = doc["RDS_O13_ORDER"]
+    assert len(orders) == 1
+    o = orders[0]
+    assert o["RDS_O13_ENCODING"]["RXE"]["RXE_2"]["CE_2"] == "Acetaminophen"
+    assert o["RDS_O13_ENCODING"]["RXR"] == [
+        {"RXR_1": {"CE_1": "PO", "CE_2": "Oral"}}
+    ]
+    rxd = o["RXD"]
+    assert rxd["RXD_4"] == "30"
+    assert rxd["RXD_7"] == "RX9-1"
+    assert rxd["RXD_9"] == ["partial fill"]  # repeatable field
+    assert o["RXR"] == [{"RXR_1": {"CE_1": "PO", "CE_2": "Oral"}}]
+    assert o["RDS_O13_OBSERVATION"][0]["OBX"]["OBX_5"] == ["ok"]
+
+
+def test_omd_dietary_order_nests():
+    """r9: OMD^O03 dietary orders — repeating ORDER_DIET groups whose
+    DIET subgroup carries the repeating ODS diet specifications plus
+    observations, then ORDER_TRAY groups with ODT tray instructions.
+    GREEDY-ATTRIBUTION NOTE (pinned deliberately): an ORC that begins
+    a tray order is indistinguishable from one beginning a new diet
+    order at match time (every later DIET member is optional), so the
+    greedy in-order walk — like hl7apy's ordered assembly — attaches
+    it to a second ORDER_DIET instance and the ORDER_TRAY group keeps
+    the ODT itself. The data is all present; only the wrapper of the
+    bare tray ORC is ambiguous per the standard's own grammar."""
+    msg = (
+        "MSH|^~\\&|CPOE|FAC|DIET|FAC|20240101||OMD^O03|801|P|2.5\r"
+        "PID|1||7004\r"
+        "ORC|NW|D1\r"
+        "TQ1|1|1^serving\r"
+        "ODS|D|1200^Low Sodium\r"
+        "ODS|D|CAL1800^1800 Calorie\r"
+        "OBX|1|NM|WT^Weight||72|kg\r"
+        "ORC|NW|T1\r"
+        "ODT|EARLY^Early Tray"
+    )
+    assert parse_er7(msg, strict=True) is not None
+    doc = json.loads(parse_er7(msg))
+    diets = doc["OMD_O03_ORDER_DIET"]
+    assert len(diets) == 2  # the bare tray ORC opens instance 2 (see note)
+    d1 = diets[0]
+    assert d1["OMD_O03_TIMING_DIET"][0]["TQ1"]["TQ1_2"] == {
+        "CQ_1": "1", "CQ_2": "serving"
+    }
+    ods = d1["OMD_O03_DIET"]["ODS"]
+    assert [x["ODS_2"][0]["CE_2"] for x in ods] == [
+        "Low Sodium", "1800 Calorie"
+    ]
+    assert d1["OMD_O03_DIET"]["OMD_O03_OBSERVATION"][0]["OBX"]["OBX_5"] == [
+        "72"
+    ]
+    assert diets[1]["ORC"]["ORC_2"] == {"EI_1": "T1"}
+    trays = doc["OMD_O03_ORDER_TRAY"]
+    assert trays[0]["ODT"] == [
+        {"ODT_1": {"CE_1": "EARLY", "CE_2": "Early Tray"}}
+    ]
