@@ -273,6 +273,7 @@ EXTENDED = [
     "q_fn_time",              # TIME type construction/extraction (r9)
     "q_agg_approx_topk",      # sketch heavy-hitters, exact regime (r9)
     "q_fn_group_by_all",      # GROUP BY ALL dialect pin (r9)
+    "q_stream_tws_initial_state",  # TWS state bootstrap warm start (r9)
 ]
 
 # Ambient-drift canaries (r9, VERDICT r8 ask #5): constant plans whose

@@ -1773,3 +1773,98 @@ def q_stream_ivm(spark, sf_dir):
         )
         .filter("n_orders > 0")
     )
+
+
+@register(
+    "q_stream_tws_initial_state",
+    """
+    WITH cents AS (
+      SELECT user_id, event_id,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events
+    ), boot AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n0,
+             CAST(sum(c) AS BIGINT) AS c0
+      FROM cents WHERE event_id % 2 = 0 GROUP BY user_id
+    ), streamed AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n1,
+             CAST(sum(c) AS BIGINT) AS c1
+      FROM cents WHERE event_id % 2 = 1 GROUP BY user_id
+    )
+    SELECT s.user_id,
+           CAST(s.n1 + COALESCE(b.n0, 0) AS BIGINT) AS n_events,
+           CAST(s.c1 + COALESCE(b.c0, 0) AS BIGINT) AS cents
+    FROM streamed s LEFT JOIN boot b ON b.user_id = s.user_id
+    """,
+)
+def q_stream_tws_initial_state(spark, sf_dir):
+    """TransformWithState INITIAL STATE (r9 — the state-bootstrap
+    surface the other TWS queries don't touch): per-user totals
+    warm-started from a batch aggregate of "history" (even event_ids)
+    while the stream carries only the "new" half (odd event_ids) —
+    the exact migration pattern a production pipeline uses to avoid
+    replaying months of raw events into a fresh checkpoint.
+    ``initialState=grouped_df`` hands each key's seed row to
+    ``handleInitialState`` once, before any input; the oracle states
+    bootstrap + incremental = the full-history aggregate for every
+    streamed key, in exact integer cents so the batch/stream boundary
+    is engine-exact. Keys with history but no streamed events emit
+    nothing (initial state alone never emits — pinned by the oracle's
+    inner streamed-side). Single-file landing dir -> one data batch ->
+    exactly one update emission per key. Gate as the other TWS rows:
+    protobuf-less foreign sessions run the applyInPandasWithState twin
+    whose seed rides a driver dict (fixture-only emulation; the TWS
+    path IS the scale path — that is the point of the API)."""
+    from hcls_data_lake_spark.compat.protobuf_vendor import (
+        workers_have_protobuf,
+    )
+    from hcls_data_lake_spark.queries.common import events
+    from hcls_data_lake_spark.streaming.stateful import (
+        pandas_state_bootstrap_totals,
+        tws_bootstrap_totals,
+    )
+
+    boot = (
+        events(spark, sf_dir)
+        .filter(F.col("event_id") % 2 == 0)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.expr("cast(round(value * 100) as bigint)"))
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    sdf = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_id") % 2 == 1)
+        .select(
+            "user_id",
+            F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+        )
+    )
+    use_tws = workers_have_protobuf(spark)
+    stateful = (
+        tws_bootstrap_totals if use_tws else pandas_state_bootstrap_totals
+    )
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(provider_key, None)
+    if use_tws:
+        spark.conf.set(
+            provider_key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+    try:
+        return run_to_memory(
+            stateful(sdf, boot),
+            output_mode="update",
+            shuffle_partitions=8,
+            no_data_batches=False,
+        )
+    finally:
+        if use_tws:
+            if prev_provider is None:
+                spark.conf.unset(provider_key)
+            else:
+                spark.conf.set(provider_key, prev_provider)

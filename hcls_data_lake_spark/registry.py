@@ -125,6 +125,7 @@ _FAMILY_REPRESENTATIVES = [
     "q_fn_time",
     "q_agg_approx_topk",
     "q_fn_group_by_all",
+    "q_stream_tws_initial_state",
     # -- already driver-sampled (r1-r8), most recent rotation first --
     "q_ts_dtw",
     "q_graph_label_propagation",

@@ -525,3 +525,112 @@ def pandas_state_type_counts(sdf: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def tws_bootstrap_totals(
+    sdf: DataFrame, init_df: DataFrame, key: str = "user_id"
+) -> DataFrame:
+    """Running totals WARM-STARTED from a batch snapshot via
+    TransformWithState's ``initialState`` (r9 — the state-bootstrap
+    surface none of the other TWS queries touch): production stateful
+    pipelines migrate by seeding the new query's state from a batch
+    aggregate of history instead of replaying months of raw events,
+    and ``transformWithStateInPandas(initialState=grouped_df)``
+    delivers each key's seed row to ``handleInitialState`` exactly
+    once, in the first batch, BEFORE any input rows. Arithmetic is
+    exact integer cents end-to-end so bootstrap + incremental is
+    engine-exact (no float-order ambiguity across the batch/stream
+    boundary). Same environment gate and RocksDB requirement as
+    tws_running_totals; ``init_df`` must carry (key, n_events,
+    cents)."""
+    from pyspark.sql.streaming import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    key_field = sdf.schema[key]
+
+    class BootTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "n BIGINT, cents BIGINT"
+            )
+
+        def handleInitialState(self, key_tuple, initialState, timer_values):
+            # one seed row per key (a batch groupBy output); absent keys
+            # simply never get this call and start cold
+            self._state.update(
+                (
+                    int(initialState["n_events"].iloc[0]),
+                    int(initialState["cents"].iloc[0]),
+                )
+            )
+
+        def handleInputRows(self, key_tuple, rows, timer_values):
+            got = self._state.get()
+            n, cents = got if got is not None else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(pdf["cents"].sum())
+            self._state.update((n, cents))
+            yield pd.DataFrame(
+                {key: [key_tuple[0]], "n_events": [n], "cents": [cents]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    out_schema = StructType(
+        [
+            StructField(key, key_field.dataType),
+            StructField("n_events", LongType()),
+            StructField("cents", LongType()),
+        ]
+    )
+    return sdf.groupBy(key).transformWithStateInPandas(
+        BootTotals(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+        initialState=init_df.groupBy(key),
+    )
+
+
+def pandas_state_bootstrap_totals(
+    sdf: DataFrame, init_df: DataFrame, key: str = "user_id"
+) -> DataFrame:
+    """applyInPandasWithState twin of tws_bootstrap_totals for
+    protobuf-less foreign sessions: the old API has no initialState
+    parameter, so the seed rides a driver-collected dict closed over
+    by the update function — FIXTURE-ONLY emulation (the seed relation
+    is key-shaped; at scale the TWS initialState path is the only
+    correct one, which is exactly why the API exists). Identical
+    emission contract, so the same oracle verifies either path."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    seed = {
+        r[key]: (int(r["n_events"]), int(r["cents"]))
+        for r in init_df.collect()
+    }
+
+    def update(key_tuple, batches, state):
+        if state.exists:
+            n, cents = state.get
+        else:
+            n, cents = seed.get(key_tuple[0], (0, 0))
+        for pdf in batches:
+            n += len(pdf)
+            cents += int(pdf["cents"].sum())
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {key: [key_tuple[0]], "n_events": [n], "cents": [cents]}
+        )
+
+    return sdf.groupBy(key).applyInPandasWithState(
+        update,
+        outputStructType=f"{key} bigint, n_events bigint, cents bigint",
+        stateStructType="n bigint, cents bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1077,3 +1077,110 @@ def test_statestore_reader_tws_vs_fallback(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert offs == {1}
+
+
+def test_tws_initial_state_matches_fallback_and_batch(spark, sf_dir):
+    """r9: tws_bootstrap_totals (TWS initialState warm start) and
+    pandas_state_bootstrap_totals (driver-dict twin) must emit
+    identical (user, n, cents) rows, and both must equal the batch
+    truth (bootstrap + streamed = full history for streamed keys;
+    bootstrap-only keys emit nothing). Also pins that a key ABSENT
+    from the seed starts cold instead of erroring."""
+    from pyspark.sql import functions as F
+
+    from hcls_data_lake_spark.queries.common import events
+    from hcls_data_lake_spark.streaming.runner import (
+        read_events_stream,
+        run_to_memory,
+    )
+    from hcls_data_lake_spark.streaming.stateful import (
+        pandas_state_bootstrap_totals,
+        tws_bootstrap_totals,
+    )
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    try:
+        prev = spark.conf.get(provider_key)
+    except Exception:
+        prev = None
+
+    # seed deliberately EXCLUDES user_id % 7 == 0 so some streamed keys
+    # start cold — the absent-seed path must behave as zero state
+    boot = (
+        events(spark, sf_dir)
+        .filter((F.col("event_id") % 2 == 0) & (F.col("user_id") % 7 != 0))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.expr("cast(round(value * 100) as bigint)"))
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+
+    def run(builder, set_rocks):
+        if set_rocks:
+            spark.conf.set(provider_key, rocks)
+        try:
+            sdf = (
+                read_events_stream(spark, sf_dir)
+                .filter(F.col("event_id") % 2 == 1)
+                .select(
+                    "user_id",
+                    F.expr("cast(round(value * 100) as bigint)").alias(
+                        "cents"
+                    ),
+                )
+            )
+            out = run_to_memory(
+                builder(sdf, boot),
+                output_mode="update",
+                shuffle_partitions=4,
+                no_data_batches=False,
+            )
+            return sorted(tuple(r) for r in out.collect())
+        finally:
+            if prev is None:
+                spark.conf.unset(provider_key)
+            else:
+                spark.conf.set(provider_key, prev)
+
+    tws_rows = run(tws_bootstrap_totals, set_rocks=True)
+    twin_rows = run(pandas_state_bootstrap_totals, set_rocks=False)
+    assert len(tws_rows) > 0
+    assert tws_rows == twin_rows
+    # batch truth: streamed keys get streamed + (seeded history or 0)
+    truth = sorted(
+        tuple(r)
+        for r in (
+            events(spark, sf_dir)
+            .filter(F.col("event_id") % 2 == 1)
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n1"),
+                F.sum(F.expr("cast(round(value * 100) as bigint)"))
+                .cast("bigint")
+                .alias("c1"),
+            )
+            .join(
+                boot.select(
+                    "user_id",
+                    F.col("n_events").alias("n0"),
+                    F.col("cents").alias("c0"),
+                ),
+                "user_id",
+                "left",
+            )
+            .select(
+                "user_id",
+                (F.col("n1") + F.coalesce("n0", F.lit(0))).alias("n_events"),
+                (F.col("c1") + F.coalesce("c0", F.lit(0))).alias("cents"),
+            )
+            .collect()
+        )
+    )
+    assert tws_rows == truth
