@@ -109,6 +109,23 @@ def main() -> int:
         print(f"REGRESSED {name}: {now:.3f}s vs committed {committed}s"
               f" ({now / committed:.2f}x raw; allowed"
               f" {factor * committed * ambient + floor:.3f}s calibrated)")
+    # Ambient canaries (r9, BASELINE.md "Ambient canaries"): when the
+    # bench carries the constant-shape probes, print their ratio vs
+    # the committed minima as DIRECT ambient evidence alongside the
+    # inferred median — a disagreement between the two is itself a
+    # diagnostic (canary calm + median high = broad plan regression;
+    # canary high = host load).
+    _CANARY_COMMITTED = {
+        "q_bench_canary_floor": 0.93,
+        "q_bench_canary_scan": 0.21,
+    }
+    canary_bits = [
+        f"{n.rsplit('_', 1)[-1]} {current[n] / c:.2f}x ({current[n]:.3f}s)"
+        for n, c in _CANARY_COMMITTED.items()
+        if n in current
+    ]
+    if canary_bits:
+        print("canaries vs committed: " + ", ".join(canary_bits))
     covered = sum(1 for n in ref if n in current)
     print(f"checked {covered}/{len(ref)} committed entries against"
           f" {bench_path}; ambient-load median ratio {ambient:.2f};"
