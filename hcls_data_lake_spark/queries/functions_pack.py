@@ -968,38 +968,33 @@ def q_fn_time(spark, sf_dir):
     timestamps (integer seconds so both engines render identically),
     extracts fields FROM the time value (hour()/minute() over TIME,
     not over the source timestamp — the type's read surface is what's
-    under test), and emits the canonical string form. The conf is
-    runtime-settable; it gates ANALYSIS of the plan, so it is restored
-    immediately after the DataFrame is built (queries() callables
-    return unexecuted plans — an analyzed plan stays valid after the
-    flag flips back)."""
+    under test), and emits the canonical string form. The conf is set
+    WITHOUT restore, deliberately: the flag is checked not only at
+    analysis but again on the EXECUTION path (collectToPython re-checks
+    it — a lazily-collected plan built under the flag crashes with
+    UNSUPPORTED_TIME_TYPE if the flag flipped back before the caller's
+    action; reproduced under plan-cache pressure in the full suite, r9).
+    Since queries() callables return unexecuted plans, the flag must
+    stay on for the plan's lifetime. It is purely PERMISSIVE — enabling
+    a type admits new plans but cannot change the semantics of any plan
+    that doesn't use TIME — the same one-way discipline as
+    common.events()'s nanosAsLong."""
     from hcls_data_lake_spark.queries.common import events
 
-    flag = "spark.sql.timeType.enabled"
-    prev = spark.conf.get(flag, None)
-    spark.conf.set(flag, "true")
-    try:
-        e = events(spark, sf_dir).filter(F.col("event_id") < 3000)
-        tt = e.select(
-            "event_id",
-            F.expr(
-                "make_time(hour(ts), minute(ts),"
-                " cast(second(ts) as bigint))"
-            ).alias("tt"),
-        )
-        out = tt.select(
-            "event_id",
-            F.col("tt").cast("string").alias("t_str"),
-            (
-                F.expr("cast(hour(tt) as bigint)") * 60
-                + F.expr("cast(minute(tt) as bigint)")
-            ).alias("minute_of_day"),
-            F.expr("cast(hour(tt) as bigint)").alias("h"),
-        )
-        out.schema  # force analysis while the flag is on
-        return out
-    finally:
-        if prev is None:
-            spark.conf.unset(flag)
-        else:
-            spark.conf.set(flag, prev)
+    spark.conf.set("spark.sql.timeType.enabled", "true")
+    e = events(spark, sf_dir).filter(F.col("event_id") < 3000)
+    tt = e.select(
+        "event_id",
+        F.expr(
+            "make_time(hour(ts), minute(ts), cast(second(ts) as bigint))"
+        ).alias("tt"),
+    )
+    return tt.select(
+        "event_id",
+        F.col("tt").cast("string").alias("t_str"),
+        (
+            F.expr("cast(hour(tt) as bigint)") * 60
+            + F.expr("cast(minute(tt) as bigint)")
+        ).alias("minute_of_day"),
+        F.expr("cast(hour(tt) as bigint)").alias("h"),
+    )
