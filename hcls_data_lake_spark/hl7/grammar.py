@@ -227,9 +227,11 @@ EVENT_STRUCTURE: dict[str, str] = {
     "RDE_O11": "RDE_O11",
     "RAS_O17": "RAS_O17",
     # dispense (RDS^O13) and dietary order (OMD^O03) complete the
-    # pharmacy/dietary order family
+    # pharmacy/dietary order family; RRE^O12 is the pharmacy
+    # acknowledgment (RDE -> RRE round-trip, like ORM -> ORR)
     "RDS_O13": "RDS_O13",
     "OMD_O03": "OMD_O03",
+    "RRE_O12": "RRE_O12",
     # ACK is trigger-agnostic (ACK^A01, ACK^R01, ... all share the
     # 3-segment ACK structure); structure_for special-cases the type,
     # these rows cover senders that spell the trigger without MSH-9.3
@@ -352,6 +354,11 @@ STRUCTURE_SEGMENT_CARDINALITY: dict[str, dict[str, int | None]] = {
         "PV1": 1, "PV2": 1, "IN1": 1, "IN2": 1, "IN3": 1, "GT1": 1,
         "AL1": None, "ORC": 1, "TQ1": 1, "TQ2": None, "ODS": None,
         "OBX": 1, "ODT": None,
+    },
+    "RRE_O12": {
+        "MSH": 1, "SFT": None, "MSA": 1, "ERR": None, "NTE": None,
+        "PID": 1, "ORC": 1, "TQ1": 1, "TQ2": None, "RXE": 1,
+        "RXR": None, "RXC": None,
     },
     "DFT_P03": {
         "MSH": 1, "SFT": None, "EVN": 1, "PID": 1, "PD1": 1,
@@ -878,6 +885,46 @@ STRUCTURE_TREES: dict[str, tuple] = {
                     (_S("OBX", 1), _S("NTE", None)),
                 ),
                 _S("FT1", None), _S("CTI", None),
+            ),
+        ),
+    ),
+    # RRE_O12 = pharmacy order acknowledgment (the RDE round-trip's
+    # response half, mirroring ORM -> ORR): MSA/ERR at message level,
+    # then the RESPONSE group with the acknowledged orders' ORC +
+    # encoded RXE details.
+    "RRE_O12": (
+        _S("MSH", 1), _S("SFT", None), _S("MSA", 1), _S("ERR", None),
+        _S("NTE", None),
+        (
+            "RRE_O12_RESPONSE",
+            1,
+            (
+                ("RRE_O12_PATIENT", 1, (_S("PID", 1), _S("NTE", None))),
+                (
+                    "RRE_O12_ORDER",
+                    None,
+                    (
+                        _S("ORC", 1),
+                        (
+                            "RRE_O12_TIMING",
+                            None,
+                            (_S("TQ1", 1), _S("TQ2", None)),
+                        ),
+                        (
+                            "RRE_O12_ENCODING",
+                            1,
+                            (
+                                _S("RXE", 1),
+                                (
+                                    "RRE_O12_TIMING_ENCODED",
+                                    None,
+                                    (_S("TQ1", 1), _S("TQ2", None)),
+                                ),
+                                _S("RXR", None), _S("RXC", None),
+                            ),
+                        ),
+                    ),
+                ),
             ),
         ),
     ),

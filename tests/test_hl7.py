@@ -1175,3 +1175,36 @@ def test_omd_dietary_order_nests():
     assert trays[0]["ODT"] == [
         {"ODT_1": {"CE_1": "EARLY", "CE_2": "Early Tray"}}
     ]
+
+
+def test_rre_pharmacy_response_nests():
+    """r9: RRE^O12 — the pharmacy acknowledgment closing the RDE
+    round-trip (the RDE analog of ORM->ORR): MSA at message level,
+    acknowledged orders' ORC + RXE encoded detail under
+    RRE_O12_RESPONSE/ORDER/ENCODING groups."""
+    msg = (
+        "MSH|^~\\&|RX|FAC|CPOE|FAC|20240101||RRE^O12|901|P|2.5\r"
+        "MSA|AA|501\r"
+        "PID|1||7001\r"
+        "ORC|OK|RX1\r"
+        "RXE|^^^20240101|00054^Acetaminophen|325||MG\r"
+        "RXR|PO^Oral\r"
+        "ORC|OK|RX2\r"
+        "RXE|^^^20240102|00099^Ibuprofen|200||MG"
+    )
+    assert parse_er7(msg, strict=True) is not None
+    doc = json.loads(parse_er7(msg))
+    assert doc["MSA"] == {"MSA_1": "AA", "MSA_2": "501"}
+    resp = doc["RRE_O12_RESPONSE"]
+    assert resp["RRE_O12_PATIENT"]["PID"]["PID_3"] == [{"CX_1": "7001"}]
+    orders = resp["RRE_O12_ORDER"]
+    assert len(orders) == 2
+    assert orders[0]["RRE_O12_ENCODING"]["RXE"]["RXE_2"]["CE_2"] == (
+        "Acetaminophen"
+    )
+    assert orders[0]["RRE_O12_ENCODING"]["RXR"] == [
+        {"RXR_1": {"CE_1": "PO", "CE_2": "Oral"}}
+    ]
+    assert orders[1]["RRE_O12_ENCODING"]["RXE"]["RXE_2"]["CE_2"] == (
+        "Ibuprofen"
+    )
