@@ -490,17 +490,35 @@ def ann_lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    probe_all: bool = False,
 ) -> DataFrame:
     """Approximate NN: bucket vectors by hyperplane signs, search only
     within the query's bucket. At 100 TB the bucket join replaces the
     full cross product; recall is tuned via n_planes (fewer planes =
-    bigger buckets = higher recall, more work)."""
+    bigger buckets = higher recall, more work).
+
+    probe_all=True probes EVERY one of the 2**n_planes buckets per
+    query instead of only the query's own: each candidate sits in
+    exactly one bucket, so the exhaustive probe set touches each
+    candidate exactly once and the result must equal
+    brute_force_topk bit-for-bit — the exact-regime pin that lets a
+    plain SQL oracle verify the bucketing/join/rank machinery by
+    value (recall < 1 comes only from probing FEWER buckets)."""
     dim = len(embeddings.select(vec_col).first()[0])
     planes = _hyperplanes(dim, n_planes, seed)
     e = embeddings.select(
         F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
     ).withColumn("bucket", lsh_bucket("_v", planes))
     q = e.filter(query_filter) if query_filter is not None else e
+    if probe_all:
+        # exhaustive probe set: the query row fans out to all
+        # 2**n_planes bucket ids (bounded — the SAME shape as
+        # multi-probe with the probe list maxed out); its own bucket
+        # column is irrelevant under exhaustion
+        probe_set = F.array(
+            *[F.lit(i).cast("long") for i in range(1 << n_planes)]
+        )
+        q = q.drop("bucket").withColumn("bucket", F.explode(probe_set))
     q = q.select(
         F.col("_id").alias("query_id"), F.col("_v").alias("qv"), "bucket"
     ).withColumn("_qq", dot("qv", "qv"))

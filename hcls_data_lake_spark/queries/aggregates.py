@@ -144,6 +144,40 @@ def q_agg_approx_quantile(spark, sf_dir):
 
 
 @register(
+    "q_agg_approx_quantile_exact_regime",
+    """
+    SELECT l_returnflag,
+           quantile_disc(l_extendedprice, 0.5) AS p50,
+           quantile_disc(l_extendedprice, 0.9) AS p90,
+           quantile_disc(l_extendedprice, 0.99) AS p99,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_approx_quantile_exact_regime(spark, sf_dir):
+    """q_agg_approx_quantile run in its EXACT regime (r10, VERDICT r9
+    ask #3 — the q_agg_approx_topk pattern): the Greenwald-Khanna
+    sketch's rank error is bounded by n/accuracy, so accuracy >= the
+    group row count makes the error < 1 rank — the sketch degrades to
+    exact rank selection and must return precisely the discrete
+    quantile (an actual data value, no interpolation), which is what
+    DuckDB's quantile_disc states. This pins the sketch's
+    insert/merge/query machinery by value — the production
+    q_agg_approx_quantile differs ONLY in the accuracy parameter
+    (1000: fixed sketch size regardless of group size, the bounded-
+    memory 100 TB shape; its rank-error bound is pytest-pinned). Both
+    engines return the same stored double, so equality is bitwise —
+    no rounding needed."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 1000000).alias("p50"),
+        F.percentile_approx("l_extendedprice", 0.9, 1000000).alias("p90"),
+        F.percentile_approx("l_extendedprice", 0.99, 1000000).alias("p99"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+
+
+@register(
     "q_agg_stats",
     """
     SELECT event_type,

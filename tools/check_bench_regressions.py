@@ -54,6 +54,24 @@ def committed_reference(baseline_md: str) -> dict[str, float]:
     return ref
 
 
+def committed_canaries(baseline_md: str) -> dict[str, float]:
+    """Parse the committed canary minima out of BASELINE.md's
+    "Ambient canaries" bullets (r10, ADVICE: the minima were
+    previously hardcoded here AND stated in BASELINE.md — duplicated
+    constants that would silently drift apart at the next
+    re-baseline; BASELINE.md is the single source of truth)."""
+    section = baseline_md.split("Ambient canaries")[1]
+    return {
+        m.group(1): float(m.group(2))
+        for m in re.finditer(
+            r"`(q_bench_canary_[a-z_]+)`(?:(?!Committed min).)*?"
+            r"\*\*Committed min:?\s*([0-9.]+)\s*s",
+            section,
+            re.S,
+        )
+    }
+
+
 def main() -> int:
     import glob
 
@@ -71,7 +89,13 @@ def main() -> int:
     bench = json.load(open(bench_path))
     current = dict(bench.get("queries", {}))
     current.update(bench.get("extended_queries", {}))
-    ref = committed_reference(open("BASELINE.md").read())
+    # a ledger written directly by bench.py carries the canaries under
+    # their own "canaries" key (BASELINE.md's documented format);
+    # chunk-merged ledgers fold them into extended_queries — accept
+    # both so the canary diagnostic below never silently vanishes
+    current.update(bench.get("canaries", {}))
+    baseline_md = open("BASELINE.md").read()
+    ref = committed_reference(baseline_md)
 
     ratios = [
         current[n] / committed
@@ -115,13 +139,9 @@ def main() -> int:
     # inferred median — a disagreement between the two is itself a
     # diagnostic (canary calm + median high = broad plan regression;
     # canary high = host load).
-    _CANARY_COMMITTED = {
-        "q_bench_canary_floor": 0.93,
-        "q_bench_canary_scan": 0.21,
-    }
     canary_bits = [
         f"{n.rsplit('_', 1)[-1]} {current[n] / c:.2f}x ({current[n]:.3f}s)"
-        for n, c in _CANARY_COMMITTED.items()
+        for n, c in sorted(committed_canaries(baseline_md).items())
         if n in current
     ]
     if canary_bits:
