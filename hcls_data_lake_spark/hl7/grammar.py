@@ -232,6 +232,15 @@ EVENT_STRUCTURE: dict[str, str] = {
     "RDS_O13": "RDS_O13",
     "OMD_O03": "OMD_O03",
     "RRE_O12": "RRE_O12",
+    # r10 (VERDICT r9 ask #4, the last named grammar gap): general
+    # clinical order (OMG^O19), stock requisition (OMS^O05), and the
+    # pharmacy give/dispense acknowledgments (RRA^O18 answers RAS,
+    # RRD^O14 answers RDS — completing the order/response pairs the
+    # way RDE -> RRE and ORM -> ORR already round-trip)
+    "OMG_O19": "OMG_O19",
+    "OMS_O05": "OMS_O05",
+    "RRA_O18": "RRA_O18",
+    "RRD_O14": "RRD_O14",
     # ACK is trigger-agnostic (ACK^A01, ACK^R01, ... all share the
     # 3-segment ACK structure); structure_for special-cases the type,
     # these rows cover senders that spell the trigger without MSH-9.3
@@ -358,6 +367,31 @@ STRUCTURE_SEGMENT_CARDINALITY: dict[str, dict[str, int | None]] = {
     "RRE_O12": {
         "MSH": 1, "SFT": None, "MSA": 1, "ERR": None, "NTE": None,
         "PID": 1, "ORC": 1, "TQ1": 1, "TQ2": None, "RXE": 1,
+        "RXR": None, "RXC": None,
+    },
+    # r10 structures (flat views of the trees below, max card WITHIN
+    # THE IMMEDIATE PARENT, first tree occurrence wins on conflicts)
+    "OMS_O05": {
+        "MSH": 1, "SFT": None, "NTE": None, "PID": 1, "PD1": 1,
+        "PV1": 1, "PV2": 1, "IN1": 1, "IN2": 1, "IN3": 1, "GT1": 1,
+        "AL1": None, "ORC": 1, "TQ1": 1, "TQ2": None, "RQD": 1,
+        "RQ1": 1, "OBX": 1, "BLG": 1,
+    },
+    "OMG_O19": {
+        "MSH": 1, "SFT": None, "NTE": None, "PID": 1, "PD1": 1,
+        "PV1": 1, "PV2": 1, "IN1": 1, "IN2": 1, "IN3": 1, "GT1": 1,
+        "AL1": None, "ORC": 1, "TQ1": 1, "TQ2": None, "OBR": 1,
+        "CTD": 1, "DG1": None, "OBX": 1, "SPM": 1, "FT1": None,
+        "CTI": None, "BLG": 1,
+    },
+    "RRA_O18": {
+        "MSH": 1, "SFT": None, "MSA": 1, "ERR": None, "NTE": None,
+        "PID": 1, "ORC": 1, "TQ1": 1, "TQ2": None, "RXA": None,
+        "RXR": 1,
+    },
+    "RRD_O14": {
+        "MSH": 1, "SFT": None, "MSA": 1, "ERR": None, "NTE": None,
+        "PID": 1, "ORC": 1, "TQ1": 1, "TQ2": None, "RXD": 1,
         "RXR": None, "RXC": None,
     },
     "DFT_P03": {
@@ -985,6 +1019,206 @@ STRUCTURE_TREES: dict[str, tuple] = {
                     (_S("TQ1", 1), _S("TQ2", None)),
                 ),
                 _S("ODT", None), _S("NTE", None),
+            ),
+        ),
+    ),
+    # r10 (VERDICT r9 ask #4): OMS_O05 = stock requisition order —
+    # the general-order family's supply variant: optional PATIENT
+    # header (requisitions may be patient-tied or ward stock), then
+    # repeating ORDER groups around the mandatory RQD requisition
+    # detail and its optional RQ1 supplier detail.
+    "OMS_O05": (
+        _S("MSH", 1), _S("SFT", None), _S("NTE", None),
+        (
+            "OMS_O05_PATIENT",
+            1,
+            (
+                _S("PID", 1), _S("PD1", 1), _S("NTE", None),
+                (
+                    "OMS_O05_PATIENT_VISIT",
+                    1,
+                    (_S("PV1", 1), _S("PV2", 1)),
+                ),
+                (
+                    "OMS_O05_INSURANCE",
+                    None,
+                    (_S("IN1", 1), _S("IN2", 1), _S("IN3", 1)),
+                ),
+                _S("GT1", 1), _S("AL1", None),
+            ),
+        ),
+        (
+            "OMS_O05_ORDER",
+            None,
+            (
+                _S("ORC", 1),
+                (
+                    "OMS_O05_TIMING",
+                    None,
+                    (_S("TQ1", 1), _S("TQ2", None)),
+                ),
+                _S("RQD", 1), _S("RQ1", 1), _S("NTE", None),
+                (
+                    "OMS_O05_OBSERVATION",
+                    None,
+                    (_S("OBX", 1), _S("NTE", None)),
+                ),
+                _S("BLG", 1),
+            ),
+        ),
+    ),
+    # OMG_O19 = general clinical order: the OBR-centered order family
+    # (what ORM^O01's CHOICE collapses to when the order IS clinical),
+    # with per-order observations, specimens, and the PRIOR_RESULT
+    # group carrying a previous patient/order/observation context —
+    # the deepest nesting in the vendored set (4 group levels). The
+    # greedy in-order walk disambiguates the PID/PV1/OBR/OBX
+    # occurrences inside PRIOR_RESULT from the header ones: by the
+    # time a second PID appears the walk position is past the ORDER
+    # group's OBR, so it attaches under PATIENT_PRIOR.
+    "OMG_O19": (
+        _S("MSH", 1), _S("SFT", None), _S("NTE", None),
+        (
+            "OMG_O19_PATIENT",
+            1,
+            (
+                _S("PID", 1), _S("PD1", 1), _S("NTE", None),
+                (
+                    "OMG_O19_PATIENT_VISIT",
+                    1,
+                    (_S("PV1", 1), _S("PV2", 1)),
+                ),
+                (
+                    "OMG_O19_INSURANCE",
+                    None,
+                    (_S("IN1", 1), _S("IN2", 1), _S("IN3", 1)),
+                ),
+                _S("GT1", 1), _S("AL1", None),
+            ),
+        ),
+        (
+            "OMG_O19_ORDER",
+            None,
+            (
+                _S("ORC", 1),
+                (
+                    "OMG_O19_TIMING",
+                    None,
+                    (_S("TQ1", 1), _S("TQ2", None)),
+                ),
+                _S("OBR", 1), _S("NTE", None), _S("CTD", 1),
+                _S("DG1", None),
+                (
+                    "OMG_O19_OBSERVATION",
+                    None,
+                    (_S("OBX", 1), _S("NTE", None)),
+                ),
+                (
+                    "OMG_O19_SPECIMEN",
+                    None,
+                    (_S("SPM", 1), _S("OBX", None)),
+                ),
+                (
+                    "OMG_O19_PRIOR_RESULT",
+                    None,
+                    (
+                        (
+                            "OMG_O19_PATIENT_PRIOR",
+                            1,
+                            (_S("PID", 1), _S("PD1", 1)),
+                        ),
+                        (
+                            "OMG_O19_PATIENT_VISIT_PRIOR",
+                            1,
+                            (_S("PV1", 1), _S("PV2", 1)),
+                        ),
+                        _S("AL1", None),
+                        (
+                            "OMG_O19_ORDER_PRIOR",
+                            None,
+                            (
+                                _S("ORC", 1), _S("OBR", 1),
+                                _S("NTE", None),
+                                (
+                                    "OMG_O19_TIMING_PRIOR",
+                                    None,
+                                    (_S("TQ1", 1), _S("TQ2", None)),
+                                ),
+                                (
+                                    "OMG_O19_OBSERVATION_PRIOR",
+                                    None,
+                                    (_S("OBX", 1), _S("NTE", None)),
+                                ),
+                            ),
+                        ),
+                    ),
+                ),
+                _S("FT1", None), _S("CTI", None), _S("BLG", 1),
+            ),
+        ),
+    ),
+    # RRA_O18 = pharmacy administration acknowledgment (answers
+    # RAS^O17 the way RRE answers RDE): MSA/ERR at message level, then
+    # the RESPONSE group's orders each carrying an optional
+    # ADMINISTRATION group — repeating RXA given-doses sharing one RXR
+    # route, mirroring RAS's ADMINISTRATION shape.
+    "RRA_O18": (
+        _S("MSH", 1), _S("SFT", None), _S("MSA", 1), _S("ERR", None),
+        _S("NTE", None),
+        (
+            "RRA_O18_RESPONSE",
+            1,
+            (
+                ("RRA_O18_PATIENT", 1, (_S("PID", 1), _S("NTE", None))),
+                (
+                    "RRA_O18_ORDER",
+                    None,
+                    (
+                        _S("ORC", 1),
+                        (
+                            "RRA_O18_TIMING",
+                            None,
+                            (_S("TQ1", 1), _S("TQ2", None)),
+                        ),
+                        (
+                            "RRA_O18_ADMINISTRATION",
+                            1,
+                            (_S("RXA", None), _S("RXR", 1)),
+                        ),
+                    ),
+                ),
+            ),
+        ),
+    ),
+    # RRD_O14 = pharmacy dispense acknowledgment (answers RDS^O13):
+    # same response skeleton, DISPENSE group centered on the RXD
+    # record with its repeating routes/components.
+    "RRD_O14": (
+        _S("MSH", 1), _S("SFT", None), _S("MSA", 1), _S("ERR", None),
+        _S("NTE", None),
+        (
+            "RRD_O14_RESPONSE",
+            1,
+            (
+                ("RRD_O14_PATIENT", 1, (_S("PID", 1), _S("NTE", None))),
+                (
+                    "RRD_O14_ORDER",
+                    None,
+                    (
+                        _S("ORC", 1),
+                        (
+                            "RRD_O14_TIMING",
+                            None,
+                            (_S("TQ1", 1), _S("TQ2", None)),
+                        ),
+                        (
+                            "RRD_O14_DISPENSE",
+                            1,
+                            (_S("RXD", 1), _S("RXR", None),
+                             _S("RXC", None)),
+                        ),
+                    ),
+                ),
             ),
         ),
     ),

@@ -1882,9 +1882,10 @@ def q_multimodal_frames(spark, sf_dir):
 @register("q_multimodal_binary", None)  # binary plumbing: rows-only
 def q_multimodal_binary(spark, sf_dir):
     """Opaque binary payload + typed metadata + mapInPandas feature
-    extraction (decode stage stubbed with a deterministic fake — the
-    image/audio codecs aren't in this container; the Spark plumbing is
-    real: schema, Arrow batching, partition-parallel extraction).
+    extraction. The decode stage is REAL for text/WAV/BMP (stdlib byte
+    arithmetic, see operators/multimodal.py; the oracle-pinned probes
+    are q_multimodal_wav_probe / q_multimodal_bmp_probe) and routes
+    library-needing mime types as decode_ok=false rows.
 
     Emission shape: the operator returns ``feature array<float>``, but
     array-typed result columns are not hashable driver-side (the
@@ -1914,6 +1915,150 @@ def q_multimodal_binary(spark, sf_dir):
             "|",
         ).alias("feature_str"),
         "decode_ok",
+    )
+
+
+@register(
+    "q_multimodal_wav_probe",
+    """
+    SELECT doc_id, 'audio/wav' AS mime_type,
+           CAST(44 + (50 + doc_id % 100) * (1 + doc_id % 2) * 2
+             AS BIGINT) AS n_bytes,
+           CAST([8000, 16000, 22050][CAST(doc_id % 3 AS INT) + 1]
+             AS INT) AS sample_rate,
+           CAST(1 + doc_id % 2 AS INT) AS n_channels,
+           CAST(16 AS INT) AS bits_per_sample,
+           CAST(50 + doc_id % 100 AS BIGINT) AS n_frames,
+           CAST((50 + doc_id % 100) * 1000
+             // [8000, 16000, 22050][CAST(doc_id % 3 AS INT) + 1]
+             AS BIGINT) AS duration_ms,
+           CAST((50 + doc_id % 100) * (1 + doc_id % 2) * 2
+             * (doc_id % 251) AS BIGINT) AS pcm_byte_sum,
+           TRUE AS parse_ok
+    FROM documents WHERE doc_id < 240
+    """,
+)
+def q_multimodal_wav_probe(spark, sf_dir):
+    """REAL audio-container decode, oracle-verified (r10, VERDICT r9
+    ask #5 — retiring the codec stubs): doc_id-derived PCM WAV
+    payloads are serialized executor-side (encode_wav: RIFF header +
+    fmt/data chunks, pure struct arithmetic) and then parsed back by
+    the mapInArrow media prober (operators/multimodal.media_properties
+    → parse_wav, the general chunk-walking reader). The oracle
+    recomputes every scalar the parser must extract — byte length,
+    sample rate, channels, frame count, integer duration, and the PCM
+    data-slice byte sum (which pins the slice BOUNDARIES, not just
+    header fields) — from doc_id arithmetic alone, so a parser that
+    misreads any header offset or mis-slices the data chunk breaks the
+    hash. Both stages are Arrow-batched and partition-parallel; only
+    scalar rows survive the prober (payloads never cross a shuffle)."""
+    import pandas as pd
+
+    from hcls_data_lake_spark.operators.multimodal import (
+        encode_wav,
+        media_properties,
+    )
+
+    rates = (8000, 16000, 22050)
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for raw_id in pdf["doc_id"]:
+                doc_id = int(raw_id)
+                ch = 1 + doc_id % 2
+                nf = 50 + doc_id % 100
+                pcm = bytes([doc_id % 251]) * (nf * ch * 2)
+                payloads.append(
+                    encode_wav(pcm, ch, rates[doc_id % 3], 16)
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "mime_type": "audio/wav",
+                }
+            )
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 240)
+    payloads = d.select("doc_id").mapInPandas(
+        synth, schema="doc_id bigint, payload binary, mime_type string"
+    )
+    return media_properties(payloads).select(
+        "doc_id", "mime_type", "n_bytes", "sample_rate", "n_channels",
+        "bits_per_sample", "n_frames", "duration_ms", "pcm_byte_sum",
+        "parse_ok",
+    )
+
+
+@register(
+    "q_multimodal_bmp_probe",
+    """
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(1 + doc_id % 16 AS INT) AS width,
+             CAST(1 + doc_id % 8 AS INT) AS height,
+             doc_id % 251 AS v
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id, 'image/bmp' AS mime_type,
+           CAST(54 + ((width * 3 + 3) // 4 * 4) * height AS BIGINT)
+             AS n_bytes,
+           width, height, CAST(24 AS INT) AS bpp,
+           CAST((width * 3 + 3) // 4 * 4 AS INT) AS row_stride,
+           CAST(((width * 3 + 3) // 4 * 4) * height AS BIGINT)
+             AS pixel_bytes,
+           CAST(height * width * 3 * v AS BIGINT) AS pixel_byte_sum,
+           TRUE AS parse_ok
+    FROM dims
+    """,
+)
+def q_multimodal_bmp_probe(spark, sf_dir):
+    """REAL image-container decode, oracle-verified (r10, the BMP half
+    of retiring the codec stubs): doc_id-derived uncompressed 24-bpp
+    BMPs are serialized executor-side (encode_bmp: BITMAPFILEHEADER +
+    BITMAPINFOHEADER + bottom-up 4-byte-padded rows) and parsed back by
+    media_properties → parse_bmp. The oracle restates the FORMAT's own
+    arithmetic — row stride padded to 4-byte boundaries, pixel-array
+    size, file size — plus the pixel byte sum, which distinguishes
+    payload bytes from row-padding zeros (height·width·3·v counts only
+    real pixels), so a parser that mixes up stride vs width or slices
+    padding wrong breaks the hash. Same Arrow-batched no-shuffle shape
+    as the WAV probe."""
+    import pandas as pd
+
+    from hcls_data_lake_spark.operators.multimodal import (
+        bmp_row_stride,
+        encode_bmp,
+        media_properties,
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for raw_id in pdf["doc_id"]:
+                doc_id = int(raw_id)
+                w, h = 1 + doc_id % 16, 1 + doc_id % 8
+                stride = bmp_row_stride(w)
+                row = bytes([doc_id % 251]) * (w * 3) + b"\0" * (
+                    stride - w * 3
+                )
+                payloads.append(encode_bmp(w, h, row * h))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "mime_type": "image/bmp",
+                }
+            )
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    payloads = d.select("doc_id").mapInPandas(
+        synth, schema="doc_id bigint, payload binary, mime_type string"
+    )
+    return media_properties(payloads).select(
+        "doc_id", "mime_type", "n_bytes", "width", "height", "bpp",
+        "row_stride", "pixel_bytes", "pixel_byte_sum", "parse_ok",
     )
 
 

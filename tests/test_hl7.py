@@ -1208,3 +1208,170 @@ def test_rre_pharmacy_response_nests():
     assert orders[1]["RRE_O12_ENCODING"]["RXE"]["RXE_2"]["CE_2"] == (
         "Ibuprofen"
     )
+
+
+def test_oms_stock_requisition_nests():
+    """r10 (VERDICT r9 ask #4): OMS^O05 stock requisitions — optional
+    PATIENT header, then repeating ORDER groups around the mandatory
+    RQD requisition detail with optional RQ1 supplier detail,
+    OBSERVATION subgroups, and billing."""
+    msg = (
+        "MSH|^~\\&|MM|FAC|SUP|FAC|20240101||OMS^O05|42|P|2.5\r"
+        "PID|1||9001\r"
+        "PV1|1|I\r"
+        "ORC|NW|REQ1\r"
+        "TQ1|1\r"
+        "RQD|1|GAUZE^Sterile Gauze|||10\r"
+        "RQ1|BOX\r"
+        "OBX|1|NM|QTY^OnHand||3\r"
+        "BLG|D\r"
+        "ORC|NW|REQ2\r"
+        "RQD|2|SALINE^Saline|||5"
+    )
+    assert parse_er7(msg, strict=True) is not None
+    doc = json.loads(parse_er7(msg))
+    pat = doc["OMS_O05_PATIENT"]
+    assert pat["PID"]["PID_3"] == [{"CX_1": "9001"}]
+    assert pat["OMS_O05_PATIENT_VISIT"]["PV1"]["PV1_2"] == "I"
+    orders = doc["OMS_O05_ORDER"]
+    assert len(orders) == 2
+    o1 = orders[0]
+    assert o1["OMS_O05_TIMING"][0]["TQ1"]["TQ1_1"] == "1"
+    assert o1["RQD"]["RQD_2"] == {"CE_1": "GAUZE", "CE_2": "Sterile Gauze"}
+    assert o1["RQ1"]["RQ1_1"] == "BOX"
+    assert o1["OMS_O05_OBSERVATION"][0]["OBX"]["OBX_5"] == ["3"]
+    assert o1["BLG"]["BLG_1"] == {"CCD_1": "D"}
+    # second order: bare requisition, no RQ1/observation
+    assert orders[1]["RQD"]["RQD_2"]["CE_1"] == "SALINE"
+    assert "RQ1" not in orders[1]
+
+
+def test_omg_general_order_prior_result_nests():
+    """r10 (ask #4): OMG^O19 general clinical orders — the deepest
+    vendored nesting (4 group levels): per-order observations and
+    specimens, then the PRIOR_RESULT group whose second PID/PV1/OBR/
+    OBX occurrences must attach under the *_PRIOR groups (greedy walk
+    position is past the order's own members by then)."""
+    msg = (
+        "MSH|^~\\&|CPOE|FAC|LAB|FAC|20240101||OMG^O19|43|P|2.5\r"
+        "PID|1||9002\r"
+        "PV1|1|O\r"
+        "ORC|NW|GEN1\r"
+        "TQ1|1\r"
+        "OBR|1|GEN1||93000^EKG\r"
+        "DG1|1||I10^Hypertension\r"
+        "OBX|1|NM|HR^HeartRate||72\r"
+        "SPM|1|S1\r"
+        "OBX|2|NM|VOL^Volume||5\r"
+        "PID|1||9002\r"
+        "PV1|2|I\r"
+        "ORC|OK|OLD1\r"
+        "OBR|1|OLD1||93000^EKG\r"
+        "OBX|1|NM|HR^HeartRate||80\r"
+        "FT1|1\r"
+        "BLG|D"
+    )
+    assert parse_er7(msg, strict=True) is not None
+    doc = json.loads(parse_er7(msg))
+    assert doc["OMG_O19_PATIENT"]["PID"]["PID_3"] == [{"CX_1": "9002"}]
+    orders = doc["OMG_O19_ORDER"]
+    assert len(orders) == 1
+    o = orders[0]
+    assert o["OBR"]["OBR_4"]["CE_1"] == "93000"
+    assert o["DG1"][0]["DG1_3"]["CE_2"] == "Hypertension"
+    assert o["OMG_O19_OBSERVATION"][0]["OBX"]["OBX_5"] == ["72"]
+    # the OBX after SPM attaches to the SPECIMEN group, not OBSERVATION
+    spec = o["OMG_O19_SPECIMEN"][0]
+    assert spec["SPM"]["SPM_1"] == "1"
+    assert spec["OBX"] == [
+        {"OBX_1": "2", "OBX_2": "NM",
+         "OBX_3": {"CE_1": "VOL", "CE_2": "Volume"}, "OBX_5": ["5"]}
+    ]
+    prior = o["OMG_O19_PRIOR_RESULT"][0]
+    assert prior["OMG_O19_PATIENT_PRIOR"]["PID"]["PID_3"] == [
+        {"CX_1": "9002"}
+    ]
+    assert prior["OMG_O19_PATIENT_VISIT_PRIOR"]["PV1"]["PV1_2"] == "I"
+    po = prior["OMG_O19_ORDER_PRIOR"][0]
+    assert po["ORC"]["ORC_1"] == "OK"
+    assert po["OMG_O19_OBSERVATION_PRIOR"][0]["OBX"]["OBX_5"] == ["80"]
+    # post-prior members re-attach to the outer ORDER group
+    assert o["FT1"] == [{"FT1_1": "1"}]
+    assert o["BLG"]["BLG_1"] == {"CCD_1": "D"}
+
+
+def test_rra_administration_ack_nests():
+    """r10 (ask #4): RRA^O18 answers RAS^O17 — RESPONSE group orders
+    carry an ADMINISTRATION group with repeating RXA given-doses
+    sharing one RXR route (mirroring RAS's shape)."""
+    msg = (
+        "MSH|^~\\&|RX|FAC|MAR|FAC|20240101||RRA^O18|44|P|2.5\r"
+        "MSA|AA|601\r"
+        "PID|1||7002\r"
+        "ORC|RE|RX1\r"
+        "RXA|0|1|20240101||00054^Acetaminophen|325|MG\r"
+        "RXA|0|2|20240101||00054^Acetaminophen|325|MG\r"
+        "RXR|PO^Oral"
+    )
+    assert parse_er7(msg, strict=True) is not None
+    doc = json.loads(parse_er7(msg))
+    assert doc["MSA"] == {"MSA_1": "AA", "MSA_2": "601"}
+    resp = doc["RRA_O18_RESPONSE"]
+    assert resp["RRA_O18_PATIENT"]["PID"]["PID_3"] == [{"CX_1": "7002"}]
+    orders = resp["RRA_O18_ORDER"]
+    assert len(orders) == 1
+    adm = orders[0]["RRA_O18_ADMINISTRATION"]
+    assert isinstance(adm, dict)  # max-1 group within ORDER
+    assert len(adm["RXA"]) == 2  # RXA repeats within it
+    assert adm["RXA"][1]["RXA_2"] == "2"
+    assert adm["RXR"]["RXR_1"] == {"CE_1": "PO", "CE_2": "Oral"}
+
+
+def test_rrd_dispense_ack_nests():
+    """r10 (ask #4): RRD^O14 answers RDS^O13 — the DISPENSE group
+    centers on one RXD with repeating routes/components."""
+    msg = (
+        "MSH|^~\\&|RX|FAC|WARD|FAC|20240101||RRD^O14|45|P|2.5\r"
+        "MSA|AE|701\r"
+        "ERR|207\r"
+        "PID|1||7003\r"
+        "ORC|RE|RX9\r"
+        "TQ1|1\r"
+        "RXD|1|00054^Acetaminophen|20240101|30\r"
+        "RXR|PO^Oral\r"
+        "RXC|B|00055^Caffeine|30|MG"
+    )
+    assert parse_er7(msg, strict=True) is not None
+    doc = json.loads(parse_er7(msg))
+    assert doc["MSA"]["MSA_1"] == "AE"
+    assert doc["ERR"][0]["ERR_1"] == [{"ELD_1": "207"}]
+    resp = doc["RRD_O14_RESPONSE"]
+    orders = resp["RRD_O14_ORDER"]
+    assert orders[0]["RRD_O14_TIMING"][0]["TQ1"]["TQ1_1"] == "1"
+    disp = orders[0]["RRD_O14_DISPENSE"]
+    assert disp["RXD"]["RXD_2"]["CE_2"] == "Acetaminophen"
+    assert disp["RXD"]["RXD_4"] == "30"
+    assert disp["RXR"] == [{"RXR_1": {"CE_1": "PO", "CE_2": "Oral"}}]
+    assert disp["RXC"][0]["RXC_2"]["CE_2"] == "Caffeine"
+
+
+def test_r10_families_strict_mode_parity():
+    """Strict-mode parity for the r10 families (the RDE r9
+    discipline): every segment version-known, event->structure rows
+    resolve, explicit MSH-9.3 wins, and an unsupported declared
+    version still dead-letters regardless of family."""
+    from hcls_data_lake_spark.hl7.grammar import grammar_for
+
+    g = grammar_for("2.5")
+    for mt, trig, structure in (
+        ("OMS", "O05", "OMS_O05"), ("OMG", "O19", "OMG_O19"),
+        ("RRA", "O18", "RRA_O18"), ("RRD", "O14", "RRD_O14"),
+    ):
+        assert g.structure_for(mt, trig, None) == structure
+        assert g.structure_for(mt, trig, structure) == structure
+    msg21 = (
+        "MSH|^~\\&|MM|FAC|SUP|FAC|20240101||OMS^O05|1|P|2.1\r"
+        "PID|1||9001\rORC|NW|R1\rRQD|1|GAUZE"
+    )
+    assert parse_er7(msg21, strict=True) is None
+    assert parse_er7(msg21) is not None  # lenient keeps the data

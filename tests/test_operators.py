@@ -2085,3 +2085,141 @@ print("RESULT " + json.dumps(out))
     assert out["near_pairs_keys_all_live"], out
     assert out["sf_switch_changed_results"], out
     assert out["cb_keys_grew_on_sf_switch"], out
+
+
+# ----------------------------------------------------- real media codecs
+# (r10, VERDICT r9 ask #5: WAV/BMP decoded with pure stdlib byte
+# arithmetic — round-trip, malformed routing, and the Spark prober)
+
+
+def test_wav_roundtrip_and_chunk_walk():
+    from hcls_data_lake_spark.operators.multimodal import (
+        UnsupportedCodecError,
+        encode_wav,
+        parse_wav,
+    )
+
+    pcm = bytes(range(200)) * 2
+    p = parse_wav(encode_wav(pcm, n_channels=2, sample_rate=16000,
+                             bits_per_sample=16))
+    assert p["n_channels"] == 2
+    assert p["sample_rate"] == 16000
+    assert p["bits_per_sample"] == 16
+    assert p["n_frames"] == len(pcm) // 4
+    assert p["duration_ms"] == len(pcm) // 4 * 1000 // 16000
+    assert p["pcm"] == pcm
+    # general chunk walk: an unknown LIST chunk (odd size -> word
+    # padding) before fmt/data must be skipped, not break parsing
+    wav = encode_wav(pcm)
+    import struct as st
+
+    extra = b"LIST" + st.pack("<I", 5) + b"abcde" + b"\0"
+    hacked = wav[:12] + extra + wav[12:]
+    hacked = b"RIFF" + st.pack("<I", len(hacked) - 8) + hacked[8:]
+    assert parse_wav(hacked)["pcm"] == pcm
+    # non-PCM compression codes are unsupported, not malformed
+    mutated = bytearray(wav)
+    mutated[20] = 3  # audio_format = IEEE float
+    with pytest.raises(UnsupportedCodecError):
+        parse_wav(bytes(mutated))
+    with pytest.raises(ValueError):
+        parse_wav(b"RIFFxxxxWAVE")  # no chunks
+    with pytest.raises(ValueError):
+        parse_wav(b"\x89PNG")
+
+
+def test_bmp_roundtrip_and_stride_arithmetic():
+    from hcls_data_lake_spark.operators.multimodal import (
+        UnsupportedCodecError,
+        bmp_row_stride,
+        encode_bmp,
+        parse_bmp,
+    )
+
+    # width 3 -> 9 pixel bytes padded to stride 12: the padding case
+    w, h = 3, 2
+    stride = bmp_row_stride(w)
+    assert stride == 12
+    row = b"\x07" * (w * 3) + b"\0" * (stride - w * 3)
+    p = parse_bmp(encode_bmp(w, h, row * h))
+    assert (p["width"], p["height"], p["bpp"]) == (w, h, 24)
+    assert p["row_stride"] == stride
+    assert p["pixel_bytes"] == stride * h
+    assert p["file_size"] == 54 + stride * h
+    assert p["pixels"] == row * h
+    # width 4 - 12 bytes, no padding
+    assert bmp_row_stride(4) == 12
+    import struct as st
+
+    bmp = bytearray(encode_bmp(w, h, row * h))
+    st.pack_into("<I", bmp, 30, 1)  # compression = BI_RLE8
+    with pytest.raises(UnsupportedCodecError):
+        parse_bmp(bytes(bmp))
+    with pytest.raises(ValueError):
+        parse_bmp(b"BM" + b"\0" * 20)  # truncated header
+    truncated = encode_bmp(w, h, row * h)[:-3]
+    with pytest.raises(ValueError):
+        parse_bmp(truncated)
+
+
+def test_extract_features_decodes_real_wav_and_bmp(spark):
+    from hcls_data_lake_spark.operators.multimodal import (
+        bmp_row_stride,
+        encode_bmp,
+        encode_wav,
+    )
+
+    w, h = 2, 2
+    stride = bmp_row_stride(w)
+    row = b"\x01" * (w * 3) + b"\0" * (stride - w * 3)
+    rows = [
+        (1, encode_wav(b"\x02" * 64), "audio/wav"),
+        (2, encode_bmp(w, h, row * h), "image/bmp"),
+        (3, b"\x89PNG...", "image/png"),  # needs absent lib -> False
+        (4, b"not a wav", "audio/wav"),  # malformed -> False, no crash
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, payload binary, mime_type string"
+    )
+    by_id = {r.doc_id: r for r in extract_features(df).collect()}
+    # WAV features come from the PCM slice (all bytes 0x02 -> bin 2)
+    assert by_id[1].decode_ok and by_id[1].feature[2] == 1.0
+    # BMP features come from the pixel slice incl. padding zeros:
+    # 12 bytes of 0x01 + 4 padding zeros per 2 rows -> 3/4 in bin 1
+    assert by_id[2].decode_ok and abs(by_id[2].feature[1] - 0.75) < 1e-6
+    assert not by_id[3].decode_ok and by_id[3].feature is None
+    assert not by_id[4].decode_ok and by_id[4].feature is None
+
+
+def test_media_properties_mixed_batch(spark):
+    from hcls_data_lake_spark.operators.multimodal import (
+        bmp_row_stride,
+        encode_bmp,
+        encode_wav,
+        media_properties,
+    )
+
+    w, h = 5, 3
+    stride = bmp_row_stride(w)
+    row = b"\x09" * (w * 3) + b"\0" * (stride - w * 3)
+    rows = [
+        (1, encode_wav(b"\x05" * 120, 2, 22050, 16), "audio/wav"),
+        (2, encode_bmp(w, h, row * h), "image/bmp"),
+        (3, b"junk", "audio/wav"),
+        (4, None, "application/octet-stream"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, payload binary, mime_type string"
+    )
+    by_id = {r.doc_id: r for r in media_properties(df).collect()}
+    a = by_id[1]
+    assert a.parse_ok and a.n_channels == 2 and a.sample_rate == 22050
+    assert a.n_frames == 120 // 4 and a.pcm_byte_sum == 120 * 5
+    assert a.width is None  # image fields null on audio rows
+    b = by_id[2]
+    assert b.parse_ok and (b.width, b.height) == (w, h)
+    assert b.row_stride == stride and b.pixel_bytes == stride * h
+    assert b.pixel_byte_sum == h * w * 3 * 9
+    assert b.sample_rate is None  # audio fields null on image rows
+    assert not by_id[3].parse_ok and by_id[3].n_bytes == 4
+    assert not by_id[4].parse_ok and by_id[4].n_bytes == 0
