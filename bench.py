@@ -274,6 +274,14 @@ EXTENDED = [
     "q_agg_approx_topk",      # sketch heavy-hitters, exact regime (r9)
     "q_fn_group_by_all",      # GROUP BY ALL dialect pin (r9)
     "q_stream_tws_initial_state",  # TWS state bootstrap warm start (r9)
+    "q_sim_ann_ivf_exact_regime",  # nprobe=all IVF == brute force (r10)
+    "q_sim_ann_lsh_exact_regime",  # probe-all LSH == brute force (r10)
+    "q_sim_ann_pq_exact_regime",  # full-shortlist refine == brute force (r10)
+    "q_sim_ann_ivfpq_exact_regime",  # all cells + full refine (r10)
+    "q_agg_approx_quantile_exact_regime",  # GK sketch, exact regime (r10)
+    "q_multimodal_wav_probe",  # real RIFF/WAVE decode round-trip (r10)
+    "q_multimodal_bmp_probe",  # real BMP decode round-trip (r10)
+    "q_hl7_rrd_reconcile",    # RRD^O14 dispense reconciliation (r10)
 ]
 
 # Ambient-drift canaries (r9, VERDICT r8 ask #5): constant plans whose

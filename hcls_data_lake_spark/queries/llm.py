@@ -1575,6 +1575,49 @@ def q_sim_ann_ivf_exact_regime(spark, sf_dir):
     return ivf_topk(e, k=5, n_centroids=8, n_probe=8, query_filter=F.col("vec_id") < 20)
 
 
+@register("q_sim_ann_pq_exact_regime", _BRUTE_TOPK_ORACLE)
+def q_sim_ann_pq_exact_regime(spark, sf_dir):
+    """q_sim_ann_pq run in its EXACT regime (r10, extending VERDICT r9
+    ask #2 to the compressed path): with the rerank shortlist sized
+    past the corpus, every ADC-scored candidate survives into the
+    refine stage, whose exact cosine re-rank then equals brute force
+    REGARDLESS of quantization quality — the SQL oracle pins the whole
+    PQ pipeline's candidate handling (encode, ADC scoring, shortlist
+    window, refine join) by value: a candidate dropped, duplicated, or
+    id-mangled anywhere in the compressed path breaks the hash even
+    though the ADC scores themselves are approximate. The production
+    config differs ONLY in shortlist size (rerank=25: exact math on
+    |Q|·25 rows instead of |Q|·N)."""
+    from hcls_data_lake_spark.operators.similarity import pq_adc_topk
+
+    e = t(spark, sf_dir, "embeddings")
+    return pq_adc_topk(
+        e, k=5, m_sub=8, k_codes=16, query_filter=F.col("vec_id") < 20,
+        rerank=1_000_000,
+    )
+
+
+@register("q_sim_ann_ivfpq_exact_regime", _BRUTE_TOPK_ORACLE)
+def q_sim_ann_ivfpq_exact_regime(spark, sf_dir):
+    """q_sim_ann_ivfpq run in its EXACT regime (r10): BOTH
+    approximation knobs opened fully — n_probe = n_centroids (every
+    IVF cell probed; each candidate reached exactly once) and the
+    rerank shortlist sized past the corpus (every candidate
+    exact-re-ranked) — so the composed index must equal brute force
+    and the SQL oracle pins the full composition by value: cell
+    routing completeness × PQ candidate handling × refine math. The
+    production config (n_probe=3, rerank=25) differs only in the two
+    pruning knobs; any structural bug in the composition shows here
+    as a hash break rather than an unexplained recall dip."""
+    from hcls_data_lake_spark.operators.similarity import ivfpq_topk
+
+    e = t(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        e, k=5, n_centroids=8, n_probe=8, m_sub=8, k_codes=16,
+        query_filter=F.col("vec_id") < 20, rerank=1_000_000,
+    )
+
+
 @register("q_sim_ann_lsh_exact_regime", _BRUTE_TOPK_ORACLE)
 def q_sim_ann_lsh_exact_regime(spark, sf_dir):
     """q_sim_ann_lsh run in its EXACT regime (r10, VERDICT r9 ask #2):

@@ -84,15 +84,93 @@ def register(name: str, oracle: str | None) -> Callable[[QueryFn], QueryFn]:
 # correctness sweep — then cover every family instead of exhausting the
 # budget inside whichever module happens to import first.
 _FAMILY_REPRESENTATIVES = [
-    # -- NEVER-SAMPLED FIRST (round-9 rotation, VERDICT r8 ask #3): the
-    # driver has sampled 370/390 unique names across r1-r8, every
-    # latest appearance green except the two r8 canon crashes (fixed
-    # this round and re-queued below). Slots 1-20 are the queries with
-    # no driver CORRECTNESS row yet; the two r8 ERR rows follow so
-    # their fixes get re-verified rows; new r9 registrations append at
-    # the end of this block (inside the ~50-name driver prefix). The
-    # already-sampled names follow, most recent rotation first, so a
-    # prefix overrun re-confirms fresh families. --
+    # -- OLDEST-ROW-FIRST (round-10 rotation, VERDICT r9 ask #7): the
+    # driver has a row for all 399 r9-era names, so the rotation
+    # priority flips from never-sampled-first to stalest-evidence-
+    # first. Slots 1-6 are the r10 additions (no row yet); then the
+    # 35 names whose latest green row dates to r1 (pre type-strict
+    # harness), then the 36 r2-era names — a 50-name driver prefix
+    # refreshes every r10 addition and most of the r1 tail, and a
+    # prefix overrun keeps eating the stalest evidence. --
+    "q_sim_ann_ivf_exact_regime",
+    "q_sim_ann_lsh_exact_regime",
+    "q_sim_ann_pq_exact_regime",
+    "q_sim_ann_ivfpq_exact_regime",
+    "q_agg_approx_quantile_exact_regime",
+    "q_multimodal_wav_probe",
+    "q_multimodal_bmp_probe",
+    "q_hl7_rrd_reconcile",
+    "q_agg_cube",
+    "q_agg_distinct",
+    "q_agg_global",
+    "q_agg_groupingsets",
+    "q_agg_histogram",
+    "q_agg_median",
+    "q_agg_mode",
+    "q_agg_pivot",
+    "q_agg_rollup",
+    "q_agg_stats",
+    "q_agg_unpivot",
+    "q_analytics_expectations",
+    "q_analytics_profile",
+    "q_filter_eq",
+    "q_filter_like",
+    "q_filter_null",
+    "q_filter_range_str",
+    "q_fn_bitwise",
+    "q_fn_cast",
+    "q_fn_cond",
+    "q_fn_date",
+    "q_fn_hash",
+    "q_fn_math",
+    "q_fn_regex",
+    "q_join_anti",
+    "q_join_full",
+    "q_join_left",
+    "q_join_multiway",
+    "q_join_range_bin",
+    "q_join_range_interval",
+    "q_join_salted_skew",
+    "q_join_semi",
+    "q_join_theta",
+    "q_project_rename",
+    "q_rollup_hybrid",
+    "q_agg_salted_skew",
+    "q_analytics_shipping",
+    "q_dedup_clusters",
+    "q_dedup_embedding",
+    "q_dedup_exact",
+    "q_dedup_near",
+    "q_fn_json",
+    "q_hl7_native_split",
+    "q_hl7_typed_adt",
+    "q_multimodal_arrow_stats",
+    "q_multimodal_struct",
+    "q_pipeline_cdc_apply",
+    "q_pipeline_curation",
+    "q_pipeline_ingest",
+    "q_sample_hash_split",
+    "q_sample_leakage_safe_split",
+    "q_scan_partition_prune",
+    "q_scan_pysource",
+    "q_scd2_dimension",
+    "q_sim_topk",
+    "q_sink_partitioned_write",
+    "q_stream_dedup_state",
+    "q_stream_stateful_totals",
+    "q_stream_stream_join",
+    "q_stream_tumbling",
+    "q_text_heavy_hitters",
+    "q_text_quality",
+    "q_text_tfidf",
+    "q_ts_anomaly",
+    "q_ts_concurrency",
+    "q_ts_ewma",
+    "q_ts_gapfill",
+    "q_ts_sessionize",
+    "q_udaf_grouped",
+    "q_udf_grouped_map",
+    "q_udtf_python",
     "q_join_asof_nearest",
     "q_dedup_semantic",
     "q_sample_reservoir",
@@ -113,10 +191,8 @@ _FAMILY_REPRESENTATIVES = [
     "q_stream_tws_mapstate",
     "q_decontaminate_near",
     "q_stream_tws_state_reader",
-    # r8 ERR rows, fixed in r9 — re-queue for green driver rows
     "q_multimodal_binary",
     "q_embed_pca_project",
-    # r9 additions (never sampled)
     "q_hl7_typed_rde",
     "q_bench_canary_floor",
     "q_bench_canary_scan",
@@ -126,7 +202,6 @@ _FAMILY_REPRESENTATIVES = [
     "q_agg_approx_topk",
     "q_fn_group_by_all",
     "q_stream_tws_initial_state",
-    # -- already driver-sampled (r1-r8), most recent rotation first --
     "q_ts_dtw",
     "q_graph_label_propagation",
     "q_scd2_bitemporal",
@@ -424,77 +499,6 @@ _FAMILY_REPRESENTATIVES = [
     "q_filter_conj",
     "q_project_case",
     "q_fn_string",
-    "q_fn_json",
-    "q_scan_partition_prune",
-    "q_scan_pysource",
-    "q_sink_partitioned_write",
-    "q_dedup_exact",
-    "q_dedup_near",
-    "q_dedup_clusters",
-    "q_dedup_embedding",
-    "q_sim_topk",
-    "q_text_tfidf",
-    "q_text_heavy_hitters",
-    "q_text_quality",
-    "q_multimodal_struct",
-    "q_multimodal_arrow_stats",
-    "q_udaf_grouped",
-    "q_udf_grouped_map",
-    "q_udtf_python",
-    "q_stream_tumbling",
-    "q_stream_stream_join",
-    "q_stream_dedup_state",
-    "q_stream_stateful_totals",
-    "q_ts_gapfill",
-    "q_ts_sessionize",
-    "q_ts_ewma",
-    "q_ts_anomaly",
-    "q_ts_concurrency",
-    "q_scd2_dimension",
-    "q_pipeline_ingest",
-    "q_pipeline_curation",
-    "q_pipeline_cdc_apply",
-    "q_hl7_native_split",
-    "q_hl7_typed_adt",
-    "q_sample_hash_split",
-    "q_sample_leakage_safe_split",
-    "q_analytics_shipping",
-    "q_agg_salted_skew",
-    "q_join_salted_skew",
-    "q_rollup_hybrid",
-    "q_join_range_bin",
-    "q_agg_median",
-    "q_agg_global",
-    "q_agg_distinct",
-    "q_agg_stats",
-    "q_agg_rollup",
-    "q_agg_cube",
-    "q_agg_groupingsets",
-    "q_agg_pivot",
-    "q_agg_histogram",
-    "q_agg_unpivot",
-    "q_agg_mode",
-    "q_analytics_profile",
-    "q_analytics_expectations",
-    "q_filter_eq",
-    "q_filter_null",
-    "q_filter_range_str",
-    "q_filter_like",
-    "q_project_rename",
-    "q_fn_regex",
-    "q_fn_hash",
-    "q_fn_date",
-    "q_fn_math",
-    "q_fn_cast",
-    "q_fn_cond",
-    "q_fn_bitwise",
-    "q_join_multiway",
-    "q_join_left",
-    "q_join_full",
-    "q_join_semi",
-    "q_join_anti",
-    "q_join_theta",
-    "q_join_range_interval",
 ]
 
 
