@@ -334,6 +334,7 @@ _BNLJ_ALLOWED = {
     "q_subquery_idle_customers",  # one-row avg-balance scalar subquery
     "q_diag_key_skew",     # one-row global-total broadcast joined back
     "q_sim_ann_pq",        # broadcast query block x PQ-coded candidates
+    "q_sim_ann_pq_exact_regime",  # same shape, full-shortlist refine (r10)
     "q_sketch_bloom_md5",  # one-row bit-count census cross-joined
     "q_analytics_basket_rules",  # one-row order-total cross-joined back
     "q_ts_seasonal_index",  # one-row totals broadcast onto 24 rows

@@ -38,8 +38,16 @@ def main() -> None:
             if name not in best or sec < best[name]:
                 best[name] = float(sec)
     headline = {n: best[n] for n in bench.HEADLINE if n in best}
+    canary_names = set(getattr(bench, "CANARIES", []))
+    # canaries keep their own key (r10, ADVICE: BASELINE.md documents
+    # the "canaries" ledger format; folding them into extended_queries
+    # made chunk-merged ledgers diverge from bench.py's own output and
+    # broke the gate's canary diagnostic for one of the two formats)
+    canaries = {n: best[n] for n in sorted(canary_names) if n in best}
     extended = {
-        n: s for n, s in sorted(best.items()) if n not in bench.HEADLINE
+        n: s
+        for n, s in sorted(best.items())
+        if n not in bench.HEADLINE and n not in canary_names
     }
     doc = {
         "metric": "headline_total_sec",
@@ -47,6 +55,7 @@ def main() -> None:
         "unit": "sec",
         "queries": headline,
         "extended_queries": extended,
+        "canaries": canaries,
         "reps": "min-over-chunked-solo-runs (3 reps each after warmup)",
         "sf": os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
         "protocol": "tools/bench_ledger_chunk.py partials min-merged",
