@@ -282,6 +282,10 @@ EXTENDED = [
     "q_multimodal_wav_probe",  # real RIFF/WAVE decode round-trip (r10)
     "q_multimodal_bmp_probe",  # real BMP decode round-trip (r10)
     "q_hl7_rrd_reconcile",    # RRD^O14 dispense reconciliation (r10)
+    "q_agg_approx_distinct_exact_regime",  # HLL++ sparse mode exact (r10)
+    "q_agg_hll_sketch_exact_regime",  # DataSketches coupon mode exact (r10)
+    "q_multimodal_frames_probe",  # frame chunker vs substring oracle (r10)
+    "q_hl7_typed_omg",        # typed general-clinical-order projection (r10)
 ]
 
 # Ambient-drift canaries (r9, VERDICT r8 ask #5): constant plans whose

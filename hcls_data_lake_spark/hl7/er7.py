@@ -734,3 +734,50 @@ def typed_rde(df, msg_col: str = "er7"):
         f"{U('patient_id')} as patient_id",
         f"{rx} as rx_orders",
     )
+
+
+def typed_omg(df, msg_col: str = "er7"):
+    """Typed OMG_O19 projection (r10, §1.3b tier-2 for the newly
+    vendored general-clinical-order family): one row per message with
+    patient identity from PID and the repeatable clinical orders as an
+    array of typed structs (placer order id from OBR-2's EI-1,
+    service code/name from the OBR-4 CE, priority from OBR-5) — pure
+    split expressions in whole-stage codegen, mirroring
+    typed_adt/typed_vxu/typed_oru/typed_rde. Same two-phase SQL-string
+    shape: raw split extraction, then unescape over plain references.
+    Reference parity: the reference's parser handles any hl7apy-known
+    structure (parse_er7_lambda.py:10); OMG^O19 is the general
+    clinical order a CPOE feed stages."""
+    segs = f"split(regexp_replace({msg_col}, '\\r\\n|\\n', '\\r'), '\\r')"
+    msh = f"get(filter({segs}, s -> startswith(s, 'MSH|')), 0)"
+    pid = f"get(filter({segs}, s -> startswith(s, 'PID|')), 0)"
+    obr_arr = f"filter({segs}, s -> startswith(s, 'OBR|'))"
+    f = lambda n: f"get(split(s, '\\\\|'), {n})"  # noqa: E731
+    struct = (
+        "named_struct("
+        f"'placer_id', get(split({f(2)}, '\\\\^'), 0), "
+        f"'service_code', get(split({f(4)}, '\\\\^'), 0), "
+        f"'service_name', get(split({f(4)}, '\\\\^'), 1), "
+        f"'priority', {f(5)})"
+    )
+    raw = df.selectExpr(
+        "*",
+        f"get(split({msh}, '\\\\|'), 8) as _m9",
+        f"get(split(get(split({pid}, '\\\\|'), 3), '\\\\^'), 0) as patient_id",
+        f"transform({obr_arr}, s -> {struct}) as clinical_orders",
+    )
+    U = er7_unescape_sql
+    orders = (
+        "transform(clinical_orders, r -> named_struct("
+        f"'placer_id', {U('r.placer_id')}, "
+        f"'service_code', {U('r.service_code')}, "
+        f"'service_name', {U('r.service_name')}, "
+        f"'priority', {U('r.priority')}))"
+    )
+    return raw.selectExpr(
+        *[f"`{c}`" for c in df.columns],
+        "get(split(_m9, '\\\\^'), 0) as message_type",
+        "get(split(_m9, '\\\\^'), 1) as trigger_event",
+        f"{U('patient_id')} as patient_id",
+        f"{orders} as clinical_orders",
+    )

@@ -618,6 +618,91 @@ def q_agg_bool(spark, sf_dir):
     )
 
 
+@register(
+    "q_agg_approx_distinct_exact_regime",
+    """
+    SELECT o_orderstatus,
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT)
+             AS approx_priorities,
+           CAST(count(DISTINCT o_orderkey % 7) AS BIGINT)
+             AS approx_buckets,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_agg_approx_distinct_exact_regime(spark, sf_dir):
+    """q_agg_approx_distinct run in its EXACT regime (r10, extending
+    the VERDICT r9 ask #2/#3 pattern to the HLL++ path): below the
+    dense-mode threshold, HLL++'s SPARSE representation stores the
+    distinct 64-bit hash encodings themselves — the estimate is the
+    exact count of distinct hashes, and with single-digit domains
+    (5 priorities, 7 key buckets) a 64-bit collision is impossible in
+    practice and deterministic per dataset regardless — so
+    approx_count_distinct must equal COUNT(DISTINCT) and the plain SQL
+    oracle pins the sketch's insert/merge machinery by value. The
+    production q_agg_approx_distinct differs only in key cardinality
+    (1500 customers pushes the sketch into dense estimation: measured
+    1501 vs 1500 exact on this fixture — rank error begins exactly at
+    the mode switch, which is the design). Same one-pass bounded-
+    memory plan either way."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_orderpriority", 0.005)
+        .cast("bigint")
+        .alias("approx_priorities"),
+        F.approx_count_distinct(F.expr("o_orderkey % 7"), 0.005)
+        .cast("bigint")
+        .alias("approx_buckets"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+
+
+@register(
+    "q_agg_hll_sketch_exact_regime",
+    """
+    WITH per AS (
+      SELECT o_orderstatus,
+             CAST(count(DISTINCT o_orderpriority) AS BIGINT)
+               AS approx_priorities
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus, approx_priorities FROM per
+    UNION ALL
+    SELECT '__all__' AS o_orderstatus,
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT)
+             AS approx_priorities
+    FROM orders
+    """,
+)
+def q_agg_hll_sketch_exact_regime(spark, sf_dir):
+    """q_agg_hll_sketch run in its EXACT regime (r10): an Apache
+    DataSketches HLL below its coupon-list/set threshold stores the
+    observed coupons exactly, so per-group estimates AND the
+    hll_union_agg of all groups' sketches (the rollup read — the
+    reason stored sketch columns exist) must equal the exact distinct
+    counts over a single-digit domain, letting plain COUNT(DISTINCT)
+    SQL pin the build → store → merge → estimate chain by value. The
+    production q_agg_hll_sketch differs only in key cardinality
+    (user_id pushes the sketch into HLL estimation mode). The union
+    branch matters most: a merge bug (register mixing, lgK mismatch)
+    would corrupt exactly the reaggregation path this regime locks."""
+    o = t(spark, sf_dir, "orders")
+    per = o.groupBy("o_orderstatus").agg(
+        F.hll_sketch_agg("o_orderpriority").alias("sk")
+    )
+    return per.select(
+        "o_orderstatus",
+        F.hll_sketch_estimate("sk").cast("bigint").alias("approx_priorities"),
+    ).unionByName(
+        per.agg(
+            F.lit("__all__").alias("o_orderstatus"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk"))
+            .cast("bigint")
+            .alias("approx_priorities"),
+        )
+    )
+
+
 @register("q_agg_hll_sketch", None)  # sketch binary: rows-only
 def q_agg_hll_sketch(spark, sf_dir):
     """Mergeable HLL sketches (Apache DataSketches, Spark 3.5+): build

@@ -1922,6 +1922,57 @@ def q_multimodal_frames(spark, sf_dir):
     return sample_frames(payloads, frame_bytes=64, every_nth=2)
 
 
+@register(
+    "q_multimodal_frames_probe",
+    """
+    WITH d AS (
+      SELECT doc_id, text,
+             greatest(1, (strlen(text) + 63) // 64) AS nt
+      FROM documents
+      WHERE doc_id < 120 AND strlen(text) = length(text)
+    )
+    SELECT d.doc_id, CAST(u.i AS INT) AS frame_idx,
+           CAST(d.nt AS INT) AS n_frames_total,
+           substr(d.text, CAST(u.i * 64 + 1 AS INT), 64) AS frame_text,
+           CAST(strlen(substr(d.text, CAST(u.i * 64 + 1 AS INT), 64))
+             AS INT) AS frame_len
+    FROM d, unnest(range(0, d.nt, 2)) AS u(i)
+    """,
+)
+def q_multimodal_frames_probe(spark, sf_dir):
+    """sample_frames pinned BY VALUE (r10 — q_multimodal_frames stays
+    rows-only because its frames are opaque binary; this probe makes
+    them transparent): text/plain payloads decode as identity, so each
+    emitted frame is exactly a 64-byte substring of the document and
+    every (frame_idx, n_frames_total, frame bytes) is restated by the
+    oracle with pure substring arithmetic — frame count = ceil(len/64)
+    with the empty-doc floor of 1, stride = every 2nd frame, last
+    frame ragged. A chunker bug (off-by-one boundary, dropped last
+    frame, wrong empty-doc behavior) breaks the hash. Both sides guard
+    on ASCII (byte == char length) so byte-based chunking and
+    character-based SQL substr provably coincide. Scale shape: the
+    one-to-many mapInPandas explode, no shuffle."""
+    from hcls_data_lake_spark.operators.multimodal import sample_frames
+
+    d = t(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 120)
+        & (F.octet_length("text") == F.length("text"))
+    )
+    payloads = d.select(
+        "doc_id",
+        F.col("text").cast("binary").alias("payload"),
+        F.lit("text/plain").alias("mime_type"),
+    )
+    frames = sample_frames(payloads, frame_bytes=64, every_nth=2)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        "n_frames_total",
+        F.col("frame").cast("string").alias("frame_text"),
+        F.octet_length("frame").alias("frame_len"),
+    )
+
+
 @register("q_multimodal_binary", None)  # binary plumbing: rows-only
 def q_multimodal_binary(spark, sf_dir):
     """Opaque binary payload + typed metadata + mapInPandas feature

@@ -2002,6 +2002,113 @@ def q_hl7_rrd_reconcile(spark, sf_dir):
 
 
 @register(
+    "q_hl7_typed_omg",
+    """
+    WITH li AS (
+      SELECT l_orderkey AS message_id, l_linenumber, l_partkey
+      FROM lineitem WHERE l_orderkey < 2000
+    ), ordered AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY message_id
+                                ORDER BY l_linenumber, l_partkey)
+               AS order_seq
+      FROM li
+    )
+    SELECT message_id,
+           CAST(message_id % 1000 AS VARCHAR) AS patient_id,
+           CAST(order_seq AS BIGINT) AS order_seq,
+           CAST(message_id AS VARCHAR) || '-'
+             || CAST(l_linenumber AS VARCHAR) AS placer_id,
+           CAST(l_partkey AS VARCHAR) AS service_code,
+           'SVC' || CAST(l_partkey AS VARCHAR) AS service_name,
+           CASE CAST(l_linenumber % 3 AS INT)
+             WHEN 0 THEN 'R' WHEN 1 THEN 'S' ELSE 'A' END AS priority
+    FROM ordered
+    """,
+)
+def q_hl7_typed_omg(spark, sf_dir):
+    """Typed OMG projection (r10 — §1.3b tier-2 for the newly vendored
+    general-clinical-order family, completing VERDICT r9 ask #4 the
+    way q_hl7_typed_rde completed the pharmacy family): each order's
+    lineitems become the clinical orders of one OMG^O19 message (MSH +
+    PID + per-line ORC/OBR pairs with the OBR-4 universal service CE
+    and OBR-5 priority), the message parses back through the
+    codegen-native ``typed_omg`` split projection, and the
+    clinical_orders array posexplodes to one row per order with its
+    in-message sequence. The oracle states the round-trip from
+    lineitem — a splitter mis-parse (OBR field offset, EI/CE component
+    split) breaks the value hash. Scale shape: one order-keyed shuffle
+    (sorted collect_list per message), whole-stage-codegen projection,
+    map-side explode."""
+    from hcls_data_lake_spark.hl7.er7 import typed_omg
+
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    # l_linenumber is NOT unique per order in the fixture (the
+    # q_hl7_typed_rde lesson): the in-message OBR order needs the full
+    # deterministic sort key the oracle shares
+    pr = F.element_at(
+        F.array(F.lit("R"), F.lit("S"), F.lit("A")),
+        (F.col("l_linenumber") % 3 + 1).cast("int"),
+    )
+    seg = li.select(
+        F.col("l_orderkey").alias("message_id"),
+        "l_linenumber",
+        "l_partkey",
+        F.concat(
+            F.lit("ORC|NW|"),
+            F.col("l_orderkey").cast("string"),
+            F.lit("-"),
+            F.col("l_linenumber").cast("string"),
+            F.lit("\rOBR|1|"),
+            F.col("l_orderkey").cast("string"),
+            F.lit("-"),
+            F.col("l_linenumber").cast("string"),
+            F.lit("||"),
+            F.col("l_partkey").cast("string"),
+            F.lit("^SVC"),
+            F.col("l_partkey").cast("string"),
+            F.lit("^L|"),
+            pr,
+        ).alias("seg"),
+    )
+    msgs = (
+        seg.groupBy("message_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("l_linenumber", "l_partkey", "seg")
+                )
+            ).alias("lines")
+        )
+        .select(
+            "message_id",
+            F.concat(
+                F.lit("MSH|^~\\&|CPOE|FAC|LAB|FAC|20240101000000||OMG^O19|"),
+                F.col("message_id").cast("string"),
+                F.lit("|P|2.5\rPID|1||"),
+                (F.col("message_id") % 1000).cast("string"),
+                F.lit("^^^MRN\r"),
+                F.array_join(F.expr("transform(lines, x -> x.seg)"), "\r"),
+            ).alias("er7"),
+        )
+    )
+    parsed = typed_omg(msgs)
+    return parsed.select(
+        "message_id",
+        "patient_id",
+        F.posexplode("clinical_orders").alias("_pos", "r"),
+    ).select(
+        "message_id",
+        "patient_id",
+        (F.col("_pos") + 1).cast("bigint").alias("order_seq"),
+        F.col("r.placer_id").alias("placer_id"),
+        F.col("r.service_code").alias("service_code"),
+        F.col("r.service_name").alias("service_name"),
+        F.col("r.priority").alias("priority"),
+    )
+
+
+@register(
     "q_udtf_arrow_bytes",
     """
     SELECT doc_id, ascii(c) AS byte, CAST(count(*) AS BIGINT) AS cnt

@@ -100,6 +100,10 @@ _FAMILY_REPRESENTATIVES = [
     "q_multimodal_wav_probe",
     "q_multimodal_bmp_probe",
     "q_hl7_rrd_reconcile",
+    "q_agg_approx_distinct_exact_regime",
+    "q_agg_hll_sketch_exact_regime",
+    "q_multimodal_frames_probe",
+    "q_hl7_typed_omg",
     "q_agg_cube",
     "q_agg_distinct",
     "q_agg_global",
