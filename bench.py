@@ -286,6 +286,7 @@ EXTENDED = [
     "q_agg_hll_sketch_exact_regime",  # DataSketches coupon mode exact (r10)
     "q_multimodal_frames_probe",  # frame chunker vs substring oracle (r10)
     "q_hl7_typed_omg",        # typed general-clinical-order projection (r10)
+    "q_embed_pca_exact_regime",  # full-rank PCA norm-preservation pin (r10)
 ]
 
 # Ambient-drift canaries (r9, VERDICT r8 ask #5): constant plans whose

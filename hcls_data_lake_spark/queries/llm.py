@@ -3447,6 +3447,58 @@ def q_embed_pca_project(spark, sf_dir):
 
 
 @register(
+    "q_embed_pca_exact_regime",
+    """
+    WITH dm AS (
+      SELECT t.i, avg(CAST(e.embedding[t.i] AS DOUBLE)) AS m
+      FROM embeddings e, unnest(range(1, 65)) AS t(i)
+      GROUP BY t.i
+    )
+    SELECT e.vec_id,
+           ROUND(sum((CAST(e.embedding[t.i] AS DOUBLE) - dm.m) ^ 2), 4)
+             AS centered_norm2
+    FROM embeddings e, unnest(range(1, 65)) AS t(i)
+    JOIN dm ON dm.i = t.i
+    GROUP BY e.vec_id
+    """,
+)
+def q_embed_pca_exact_regime(spark, sf_dir):
+    """q_embed_pca_project's EXACT regime (r10, the pattern's linear-
+    algebra instance): at full rank (n_components = dim = 64) the
+    fitted components form a complete orthonormal basis, so each
+    projected vector's squared norm must equal its CENTERED squared
+    norm in the original space — a quantity plain SQL computes from
+    the raw embeddings with per-dimension means and no eigenvector in
+    sight. The hash therefore pins, by value, everything the PCA
+    pytest invariants state structurally: the distributed Gram
+    accumulation, the driver eigh's orthonormality, the completeness
+    of the basis, the mean handling, and the JVM projection
+    expressions (a dropped/duplicated/unnormalized component, or a
+    projection against the wrong mean, shifts norms). The production
+    q_embed_pca_project differs only in n_components=8 — the
+    compression knob. Scale shape identical: one Gram pass (dim x dim
+    rows per batch), projection in whole-stage codegen."""
+    from hcls_data_lake_spark.operators.similarity import (
+        pca_components,
+        pca_project,
+    )
+
+    e = t(spark, sf_dir, "embeddings")
+    mean, comps, _ = pca_components(e, n_components=64)
+    proj = pca_project(e, mean, comps)
+    return proj.select(
+        "vec_id",
+        F.round(
+            F.expr(
+                "aggregate(zip_with(proj, proj, (a, b) -> a * b),"
+                " 0.0D, (acc, x) -> acc + x)"
+            ),
+            4,
+        ).alias("centered_norm2"),
+    )
+
+
+@register(
     "q_text_passage_dedup",
     """
     WITH d AS (

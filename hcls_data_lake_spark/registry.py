@@ -104,6 +104,7 @@ _FAMILY_REPRESENTATIVES = [
     "q_agg_hll_sketch_exact_regime",
     "q_multimodal_frames_probe",
     "q_hl7_typed_omg",
+    "q_embed_pca_exact_regime",
     "q_agg_cube",
     "q_agg_distinct",
     "q_agg_global",
