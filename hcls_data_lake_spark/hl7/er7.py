@@ -781,3 +781,48 @@ def typed_omg(df, msg_col: str = "er7"):
         f"{U('patient_id')} as patient_id",
         f"{orders} as clinical_orders",
     )
+
+
+def typed_oms(df, msg_col: str = "er7"):
+    """Typed OMS_O05 projection (r10 — the stock-requisition half of
+    the general-order family, beside typed_omg): one row per message
+    with patient identity from PID and the repeatable requisitions as
+    typed structs (requisition line from RQD-1, item code/name from
+    the RQD-2 CE, quantity from RQD-5, deliver-to from the RQD-9 CE).
+    Pure split expressions in whole-stage codegen; same two-phase
+    SQL-string shape as the other typed_* projections."""
+    segs = f"split(regexp_replace({msg_col}, '\\r\\n|\\n', '\\r'), '\\r')"
+    msh = f"get(filter({segs}, s -> startswith(s, 'MSH|')), 0)"
+    pid = f"get(filter({segs}, s -> startswith(s, 'PID|')), 0)"
+    rqd_arr = f"filter({segs}, s -> startswith(s, 'RQD|'))"
+    f = lambda n: f"get(split(s, '\\\\|'), {n})"  # noqa: E731
+    struct = (
+        "named_struct("
+        f"'req_line', try_cast({f(1)} AS bigint), "
+        f"'item_code', get(split({f(2)}, '\\\\^'), 0), "
+        f"'item_name', get(split({f(2)}, '\\\\^'), 1), "
+        f"'quantity', try_cast({f(5)} AS bigint), "
+        f"'deliver_to', get(split({f(9)}, '\\\\^'), 0))"
+    )
+    raw = df.selectExpr(
+        "*",
+        f"get(split({msh}, '\\\\|'), 8) as _m9",
+        f"get(split(get(split({pid}, '\\\\|'), 3), '\\\\^'), 0) as patient_id",
+        f"transform({rqd_arr}, s -> {struct}) as requisitions",
+    )
+    U = er7_unescape_sql
+    reqs = (
+        "transform(requisitions, r -> named_struct("
+        "'req_line', r.req_line, "
+        f"'item_code', {U('r.item_code')}, "
+        f"'item_name', {U('r.item_name')}, "
+        "'quantity', r.quantity, "
+        f"'deliver_to', {U('r.deliver_to')}))"
+    )
+    return raw.selectExpr(
+        *[f"`{c}`" for c in df.columns],
+        "get(split(_m9, '\\\\^'), 0) as message_type",
+        "get(split(_m9, '\\\\^'), 1) as trigger_event",
+        f"{U('patient_id')} as patient_id",
+        f"{reqs} as requisitions",
+    )

@@ -2109,6 +2109,109 @@ def q_hl7_typed_omg(spark, sf_dir):
 
 
 @register(
+    "q_hl7_typed_oms",
+    """
+    WITH li AS (
+      SELECT l_orderkey AS message_id, l_linenumber, l_partkey,
+             CAST(round(l_quantity) AS BIGINT) AS quantity
+      FROM lineitem WHERE l_orderkey < 2000
+    ), ordered AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY message_id
+                                ORDER BY l_linenumber, l_partkey,
+                                         quantity) AS req_seq
+      FROM li
+    )
+    SELECT message_id,
+           CAST(message_id % 1000 AS VARCHAR) AS patient_id,
+           CAST(req_seq AS BIGINT) AS req_seq,
+           CAST(l_linenumber AS BIGINT) AS req_line,
+           'ITM' || CAST(l_partkey AS VARCHAR) AS item_code,
+           'SUPPLY' || CAST(l_partkey AS VARCHAR) AS item_name,
+           quantity,
+           'D' || CAST(message_id % 9 AS VARCHAR) AS deliver_to
+    FROM ordered
+    """,
+)
+def q_hl7_typed_oms(spark, sf_dir):
+    """Typed OMS projection (r10 — the stock-requisition half of the
+    newly vendored general-order family, completing the typed tier
+    over every vendored request family: ADT/VXU/ORU/RDE/OMG/OMS):
+    each order's lineitems become the RQD requisitions of one OMS^O05
+    message, parsed back through the codegen-native ``typed_oms``
+    split projection and posexploded to one row per requisition. The
+    oracle states the round-trip from lineitem — a splitter mis-parse
+    (RQD field offset, CE component split, quantity cast) breaks the
+    value hash. Same scale shape as the typed siblings: one
+    order-keyed shuffle, codegen projection, map-side explode."""
+    from hcls_data_lake_spark.hl7.er7 import typed_oms
+
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    seg = li.select(
+        F.col("l_orderkey").alias("message_id"),
+        "l_linenumber",
+        "l_partkey",
+        F.expr("cast(round(l_quantity) as bigint)").alias("quantity"),
+        # RQD per v2.5: 1 line (SI), 2 item code internal (CE),
+        # 5 quantity (NM), 9 deliver-to (CE) — fields 3/4 and 6-8
+        # deliberately empty on the wire so the splitter's field
+        # offsets are what the oracle actually tests
+        F.concat(
+            F.lit("ORC|NW|"),
+            F.col("l_orderkey").cast("string"),
+            F.lit("-"),
+            F.col("l_linenumber").cast("string"),
+            F.lit("\rRQD|"),
+            F.col("l_linenumber").cast("string"),
+            F.lit("|ITM"),
+            F.col("l_partkey").cast("string"),
+            F.lit("^SUPPLY"),
+            F.col("l_partkey").cast("string"),
+            F.lit("^L|||"),
+            F.expr("cast(round(l_quantity) as bigint)").cast("string"),
+            F.lit("||||D"),
+            (F.col("l_orderkey") % 9).cast("string"),
+        ).alias("seg"),
+    )
+    msgs = (
+        seg.groupBy("message_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("l_linenumber", "l_partkey", "quantity", "seg")
+                )
+            ).alias("lines")
+        )
+        .select(
+            "message_id",
+            F.concat(
+                F.lit("MSH|^~\\&|MM|FAC|SUP|FAC|20240101000000||OMS^O05|"),
+                F.col("message_id").cast("string"),
+                F.lit("|P|2.5\rPID|1||"),
+                (F.col("message_id") % 1000).cast("string"),
+                F.lit("^^^MRN\r"),
+                F.array_join(F.expr("transform(lines, x -> x.seg)"), "\r"),
+            ).alias("er7"),
+        )
+    )
+    parsed = typed_oms(msgs)
+    return parsed.select(
+        "message_id",
+        "patient_id",
+        F.posexplode("requisitions").alias("_pos", "r"),
+    ).select(
+        "message_id",
+        "patient_id",
+        (F.col("_pos") + 1).cast("bigint").alias("req_seq"),
+        F.col("r.req_line").alias("req_line"),
+        F.col("r.item_code").alias("item_code"),
+        F.col("r.item_name").alias("item_name"),
+        F.col("r.quantity").alias("quantity"),
+        F.col("r.deliver_to").alias("deliver_to"),
+    )
+
+
+@register(
     "q_udtf_arrow_bytes",
     """
     SELECT doc_id, ascii(c) AS byte, CAST(count(*) AS BIGINT) AS cnt

@@ -105,6 +105,7 @@ _FAMILY_REPRESENTATIVES = [
     "q_multimodal_frames_probe",
     "q_hl7_typed_omg",
     "q_embed_pca_exact_regime",
+    "q_hl7_typed_oms",
     "q_agg_cube",
     "q_agg_distinct",
     "q_agg_global",
