@@ -1641,6 +1641,186 @@ def q_sim_ann_lsh_exact_regime(spark, sf_dir):
 # --------------------------------------------------------- text analysis
 
 
+# BPE merge-step expression fragments (q_text_bpe_step + pytest): the
+# left-to-right NON-OVERLAP rule is the part naive implementations get
+# wrong — in 'a a a a' with best pair (a,a), matches sit at positions
+# 1,2,3 but only 1 and 3 may merge (position 2 shares a symbol with the
+# kept match at 1). The fold keeps a match iff the previous position
+# was not kept; the oracle derives the same set relationally (runs of
+# consecutive match indices -> keep even offsets within each run).
+_BPE_KEPT_EXPR = (
+    "aggregate({matches}, cast(array() as array<int>),"
+    " (acc, i) -> IF(size(acc) > 0 AND element_at(acc, -1) = i - 1,"
+    " acc, array_append(acc, i)))"
+)
+
+
+def _bpe_rebuild_expr(syms: str, kept: str, merged_lit: str) -> str:
+    """New symbol list after merging the kept match positions."""
+    return (
+        f"filter(transform(sequence(1, size({syms})), i ->"
+        f" CASE WHEN array_contains({kept}, i) THEN {merged_lit}"
+        f" WHEN array_contains({kept}, i - 1) THEN cast(null as string)"
+        f" ELSE element_at({syms}, i) END), x -> x is not null)"
+    )
+
+
+@register(
+    "q_text_bpe_step",
+    """
+    WITH words AS (
+      SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+            FROM documents WHERE doc_id < 1000)
+      WHERE regexp_matches(w, '^[a-z]{2,}$')
+      GROUP BY w
+    ), syms AS (
+      SELECT word, freq,
+             [substr(word, i, 1) for i in range(1, len(word) + 1)] AS s
+      FROM words
+    ), p0 AS (
+      SELECT s[i] AS a, s[i + 1] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM syms, unnest(range(1, len(s))) AS t(i)
+      GROUP BY 1, 2
+    ), best AS (
+      SELECT a, b, cnt FROM p0 ORDER BY cnt DESC, a, b LIMIT 1
+    ), m AS (
+      SELECT syms.word, i
+      FROM syms, best, unnest(range(1, len(s))) AS t(i)
+      WHERE s[i] = best.a AND s[i + 1] = best.b
+    ), runs AS (
+      SELECT word, i,
+             i - row_number() OVER (PARTITION BY word ORDER BY i) AS grp
+      FROM m
+    ), k AS (
+      SELECT word, i FROM (
+        SELECT word, i,
+               i - min(i) OVER (PARTITION BY word, grp) AS off
+        FROM runs
+      ) WHERE off % 2 = 0
+    ), kl AS (
+      SELECT word, list(i) AS kept FROM k GROUP BY word
+    ), merged AS (
+      SELECT syms.word, syms.freq,
+             list_filter(
+               [CASE WHEN list_contains(coalesce(kl.kept, []), i)
+                       THEN best.a || best.b
+                     WHEN list_contains(coalesce(kl.kept, []), i - 1)
+                       THEN NULL
+                     ELSE syms.s[i] END
+                for i in range(1, len(syms.s) + 1)],
+               x -> x IS NOT NULL) AS s
+      FROM syms LEFT JOIN kl USING (word), best
+    ), p1 AS (
+      SELECT s[i] AS a, s[i + 1] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM merged, unnest(range(1, len(s))) AS t(i)
+      GROUP BY 1, 2
+    ), top AS (
+      SELECT 'after' AS phase, a AS sym_a, b AS sym_b, cnt,
+             row_number() OVER (ORDER BY cnt DESC, a, b) AS rn
+      FROM p1
+    )
+    SELECT phase, sym_a, sym_b, cnt FROM top WHERE rn <= 20
+    UNION ALL
+    SELECT 'best' AS phase, a AS sym_a, b AS sym_b, cnt FROM best
+    """,
+)
+def q_text_bpe_step(spark, sf_dir):
+    """ONE BPE TOKENIZER-TRAINING MERGE STEP, value-pinned cross-engine
+    (r10 — the iterative-algorithm class the exact-regime pattern can't
+    reach, pinned instead by verifying one full iteration end to end):
+    build the word-frequency table, split words to character symbols,
+    count adjacent symbol pairs weighted by word frequency, pick the
+    max-count pair (deterministic tie-break: count desc, then symbols),
+    merge it everywhere under the classic LEFT-TO-RIGHT NON-OVERLAP
+    rule, and emit the chosen pair plus the top-20 post-merge pair
+    counts — which only match the oracle if the REBUILT symbol
+    sequences are exactly right, so the hash pins counting, argmax,
+    match-position logic, the non-overlap rule (kept-match fold on the
+    Spark side vs run-parity windows on the DuckDB side — two
+    independent formulations of the same semantics), and sequence
+    reconstruction. BPE training is this step in a loop (Sennrich et
+    al., ACL 2016); the loop is driver-side over a bounded vocabulary
+    (the word-freq table, ~thousands of rows at any corpus size) while
+    THIS step's shape is the 100 TB one: one explode-aggregate over the
+    corpus for frequencies, then all symbol work on the bounded vocab.
+    The best pair is a 1-row driver scalar (the kmeans/PCA bounded-
+    artifact convention). The overlap corner ('a a a a' -> [aa, aa],
+    not [aa, a, a]) is additionally pytest-pinned on a crafted run."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    words = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(F.col("word").rlike("^[a-z]{2,}$"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    syms = words.withColumn(
+        "s",
+        F.expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
+    )
+    pair_counts = (
+        syms.select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(s) - 1), i ->"
+                    " named_struct('a', element_at(s, i),"
+                    " 'b', element_at(s, i + 1)))"
+                )
+            ).alias("p"),
+        )
+        .groupBy("p.a", "p.b")
+        .agg(F.sum("freq").cast("bigint").alias("cnt"))
+    )
+    best = pair_counts.orderBy(
+        F.col("cnt").desc(), F.col("a"), F.col("b")
+    ).first()
+    a, b = best["a"], best["b"]  # single [a-z] chars (rlike-guarded)
+    merged_syms = syms.withColumn(
+        "matches",
+        F.expr(
+            f"filter(sequence(1, size(s) - 1), i ->"
+            f" element_at(s, i) = '{a}' AND element_at(s, i + 1) = '{b}')"
+        ),
+    ).withColumn(
+        "kept", F.expr(_BPE_KEPT_EXPR.format(matches="matches"))
+    ).withColumn(
+        "s2", F.expr(_bpe_rebuild_expr("s", "kept", f"'{a}{b}'"))
+    )
+    after = (
+        merged_syms.select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(s2) - 1), i ->"
+                    " named_struct('a', element_at(s2, i),"
+                    " 'b', element_at(s2, i + 1)))"
+                )
+            ).alias("p"),
+        )
+        .groupBy("p.a", "p.b")
+        .agg(F.sum("freq").cast("bigint").alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("a"), F.col("b"))
+    top = (
+        after.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select(
+            F.lit("after").alias("phase"),
+            F.col("a").alias("sym_a"),
+            F.col("b").alias("sym_b"),
+            "cnt",
+        )
+    )
+    best_row = spark.range(1).select(
+        F.lit("best").alias("phase"),
+        F.lit(a).alias("sym_a"),
+        F.lit(b).alias("sym_b"),
+        F.lit(int(best["cnt"])).cast("bigint").alias("cnt"),
+    )
+    return top.unionByName(best_row)
+
+
 @register(
     "q_text_tokens",
     """

@@ -106,6 +106,7 @@ _FAMILY_REPRESENTATIVES = [
     "q_hl7_typed_omg",
     "q_embed_pca_exact_regime",
     "q_hl7_typed_oms",
+    "q_text_bpe_step",
     "q_agg_cube",
     "q_agg_distinct",
     "q_agg_global",

@@ -2223,3 +2223,36 @@ def test_media_properties_mixed_batch(spark):
     assert b.sample_rate is None  # audio fields null on image rows
     assert not by_id[3].parse_ok and by_id[3].n_bytes == 4
     assert not by_id[4].parse_ok and by_id[4].n_bytes == 0
+
+
+def test_bpe_nonoverlap_merge_rule(spark):
+    """The BPE left-to-right non-overlap corner (q_text_bpe_step):
+    'a a a a' with best pair (a,a) has matches at 1,2,3 but merges to
+    [aa, aa] (kept 1 and 3), and 'a a a' merges to [aa, a] — the fold
+    must skip a match whose predecessor was kept."""
+    from hcls_data_lake_spark.queries.llm import (
+        _BPE_KEPT_EXPR,
+        _bpe_rebuild_expr,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(["a", "a", "a", "a"],), (["a", "a", "a"],), (["b", "a", "a", "b"],)],
+        "s array<string>",
+    )
+    out = (
+        df.withColumn(
+            "matches",
+            F.expr(
+                "filter(sequence(1, size(s) - 1), i ->"
+                " element_at(s, i) = 'a' AND element_at(s, i + 1) = 'a')"
+            ),
+        )
+        .withColumn("kept", F.expr(_BPE_KEPT_EXPR.format(matches="matches")))
+        .withColumn("s2", F.expr(_bpe_rebuild_expr("s", "kept", "'aa'")))
+        .select("s2")
+        .collect()
+    )
+    assert out[0].s2 == ["aa", "aa"]
+    assert out[1].s2 == ["aa", "a"]
+    assert out[2].s2 == ["b", "aa", "b"]
