@@ -1821,6 +1821,172 @@ def q_text_bpe_step(spark, sf_dir):
     return top.unionByName(best_row)
 
 
+def _bpe_merges_oracle(steps: int) -> str:
+    """DuckDB oracle for ``steps`` chained BPE merges: the single-step
+    CTE block (pair counts -> argmax -> run-parity kept set -> rebuild)
+    instantiated per step by a Python loop, each step reading the
+    previous step's merged symbol lists. Generating the SQL keeps the
+    two sides honest without hand-maintaining N copies of the window
+    machinery."""
+    parts = ["""
+    WITH words AS (
+      SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+            FROM documents WHERE doc_id < 1000)
+      WHERE regexp_matches(w, '^[a-z]{2,}$')
+      GROUP BY w
+    ), syms0 AS (
+      SELECT word, freq,
+             [substr(word, i, 1) for i in range(1, len(word) + 1)] AS s
+      FROM words
+    )"""]
+    for k in range(1, steps + 1):
+        p = k - 1
+        parts.append(f""", p{k} AS (
+      SELECT s[i] AS a, s[i + 1] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM syms{p}, unnest(range(1, len(s))) AS t(i)
+      GROUP BY 1, 2
+    ), best{k} AS (
+      SELECT a, b, cnt FROM p{k} ORDER BY cnt DESC, a, b LIMIT 1
+    ), m{k} AS (
+      SELECT syms{p}.word, i
+      FROM syms{p}, best{k}, unnest(range(1, len(s))) AS t(i)
+      WHERE s[i] = best{k}.a AND s[i + 1] = best{k}.b
+    ), runs{k} AS (
+      SELECT word, i,
+             i - row_number() OVER (PARTITION BY word ORDER BY i) AS grp
+      FROM m{k}
+    ), k{k} AS (
+      SELECT word, i FROM (
+        SELECT word, i,
+               i - min(i) OVER (PARTITION BY word, grp) AS off
+        FROM runs{k}
+      ) WHERE off % 2 = 0
+    ), kl{k} AS (
+      SELECT word, list(i) AS kept FROM k{k} GROUP BY word
+    ), syms{k} AS (
+      SELECT syms{p}.word, syms{p}.freq,
+             list_filter(
+               [CASE WHEN list_contains(coalesce(kl{k}.kept, []), i)
+                       THEN best{k}.a || best{k}.b
+                     WHEN list_contains(coalesce(kl{k}.kept, []), i - 1)
+                       THEN NULL
+                     ELSE syms{p}.s[i] END
+                for i in range(1, len(syms{p}.s) + 1)],
+               x -> x IS NOT NULL) AS s
+      FROM syms{p} LEFT JOIN kl{k} USING (word), best{k}
+    )""")
+    unions = "\n    UNION ALL\n".join(
+        f"""    SELECT CAST({k} AS BIGINT) AS step, a AS sym_a, b AS sym_b, cnt
+    FROM best{k}""" for k in range(1, steps + 1)
+    )
+    parts.append(f"""
+{unions}
+    UNION ALL
+    SELECT CAST(0 AS BIGINT) AS step, a AS sym_a, b AS sym_b, cnt
+    FROM (
+      SELECT s[i] AS a, s[i + 1] AS b, CAST(SUM(freq) AS BIGINT) AS cnt,
+             row_number() OVER (ORDER BY SUM(freq) DESC, s[i], s[i + 1])
+               AS rn
+      FROM syms{steps}, unnest(range(1, len(s))) AS t(i)
+      GROUP BY s[i], s[i + 1]
+    ) WHERE rn <= 10
+    """)
+    return "".join(parts)
+
+
+@register("q_text_bpe_merges", _bpe_merges_oracle(3))
+def q_text_bpe_merges(spark, sf_dir):
+    """THREE chained BPE merges — the training LOOP pinned by value
+    (r10, completing q_text_bpe_step): step k's pair statistics are
+    computed over step k-1's REBUILT sequences, so agreement requires
+    every intermediate rebuild to be exactly right, including merges
+    whose symbols are themselves earlier merges (multi-character
+    symbols entering later pairs — the recursion that makes BPE BPE).
+    Emits each step's chosen pair (step 1..3) plus the top-10 pair
+    counts after the final step (step 0 rows). The oracle is the
+    single-step CTE block instantiated 3x by a Python generator —
+    same argmax tie-break, same run-parity non-overlap rule per step.
+    Loop shape: each iteration is one bounded-vocabulary aggregate;
+    the chosen pair is a 1-row driver scalar per step (the bounded-
+    artifact convention); only the FIRST frequency pass touches the
+    corpus."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    words = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(F.col("word").rlike("^[a-z]{2,}$"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    syms = words.withColumn(
+        "s",
+        F.expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
+    ).select("word", "freq", "s")
+    # bounded vocabulary relation: cache it — 3 iterations re-read it
+    syms = syms.localCheckpoint()
+    best_rows = []
+    for step in range(1, 4):
+        pair_counts = (
+            syms.select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(s) - 1), i ->"
+                        " named_struct('a', element_at(s, i),"
+                        " 'b', element_at(s, i + 1)))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").cast("bigint").alias("cnt"))
+        )
+        best = pair_counts.orderBy(
+            F.col("cnt").desc(), F.col("a"), F.col("b")
+        ).first()
+        a, b = best["a"], best["b"]  # [a-z]+ symbols (rlike-guarded)
+        best_rows.append((step, a, b, int(best["cnt"])))
+        syms = syms.withColumn(
+            "matches",
+            F.expr(
+                f"filter(sequence(1, size(s) - 1), i ->"
+                f" element_at(s, i) = '{a}' AND element_at(s, i + 1) = '{b}')"
+            ),
+        ).withColumn(
+            "kept", F.expr(_BPE_KEPT_EXPR.format(matches="matches"))
+        ).withColumn(
+            "s2", F.expr(_bpe_rebuild_expr("s", "kept", f"'{a}{b}'"))
+        ).select("word", "freq", F.col("s2").alias("s")).localCheckpoint()
+    final_top = (
+        syms.select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(s) - 1), i ->"
+                    " named_struct('a', element_at(s, i),"
+                    " 'b', element_at(s, i + 1)))"
+                )
+            ).alias("p"),
+        )
+        .groupBy("p.a", "p.b")
+        .agg(F.sum("freq").cast("bigint").alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("a"), F.col("b"))
+    top = (
+        final_top.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select(
+            F.lit(0).cast("bigint").alias("step"),
+            F.col("a").alias("sym_a"),
+            F.col("b").alias("sym_b"),
+            "cnt",
+        )
+    )
+    chosen = spark.createDataFrame(
+        best_rows, "step bigint, sym_a string, sym_b string, cnt bigint"
+    )
+    return top.unionByName(chosen)
+
+
 @register(
     "q_text_tokens",
     """

@@ -107,6 +107,7 @@ _FAMILY_REPRESENTATIVES = [
     "q_embed_pca_exact_regime",
     "q_hl7_typed_oms",
     "q_text_bpe_step",
+    "q_text_bpe_merges",
     "q_agg_cube",
     "q_agg_distinct",
     "q_agg_global",
