@@ -7,9 +7,11 @@ batches without per-row Python overhead. Formats whose containers are
 pure byte arithmetic are decoded FOR REAL with the stdlib (r10,
 VERDICT r9 ask #5 — no external codec library needed): RIFF/WAVE PCM
 (``audio/wav``: fmt-chunk walk via ``struct``) and uncompressed BMP
-(``image/bmp``: BITMAPFILEHEADER + BITMAPINFOHEADER). ``text/plain``
-decodes as identity. Mime types that genuinely need an absent library
-(PNG/JPEG entropy coding, video demux) raise ``UnsupportedCodecError``
+(``image/bmp``: BITMAPFILEHEADER + BITMAPINFOHEADER), and PNG decodes
+FOR REAL too — stdlib zlib inflate + full scanline unfiltering
+(``parse_png``). ``text/plain`` decodes as identity. Mime types that
+genuinely need an absent library
+(JPEG entropy coding, video demux) raise ``UnsupportedCodecError``
 and route as ``decode_ok = false`` rows — the dead-letter shape, never
 a crash.
 """
@@ -154,16 +156,191 @@ def parse_bmp(payload: bytes) -> dict:
     }
 
 
+# ---------------------------------------------------- PNG codec
+#
+# Real PNG (r10): the container is chunked (length + type + body +
+# CRC32), pixel data is zlib-compressed scanlines, each prefixed with
+# one FILTER byte (0 None, 1 Sub, 2 Up, 3 Average, 4 Paeth) predicting
+# from already-decoded neighbors. Everything needed is stdlib: struct
+# for chunks, zlib for inflate/deflate/crc32 — so unlike JPEG (entropy
+# decoding needs a real library) PNG decodes here FOR REAL, filters
+# included.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body)) + ctype + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png(
+    width: int, height: int, pixels: bytes,
+    row_filters: list[int] | None = None,
+) -> bytes:
+    """Serialize raw 8-bit RGB pixels (height rows of width*3 bytes)
+    as a PNG, applying the given per-row filter types (default all 0)
+    — encoding WITH filters lets the decoder's unfilter path be
+    exercised and value-verified, not just the None case."""
+    import zlib
+
+    bpp, stride = 3, width * 3
+    if len(pixels) != stride * height:
+        raise ValueError("pixel array size != width*3 * height")
+    filters = row_filters or [0] * height
+    if len(filters) != height:
+        raise ValueError("need one filter type per row")
+    raw = bytearray()
+    prev = bytes(stride)
+    for r in range(height):
+        row = pixels[r * stride:(r + 1) * stride]
+        f = filters[r]
+        raw.append(f)
+        if f == 0:
+            raw += row
+        elif f == 1:  # Sub
+            raw += bytes(
+                (row[i] - (row[i - bpp] if i >= bpp else 0)) & 0xFF
+                for i in range(stride)
+            )
+        elif f == 2:  # Up
+            raw += bytes((row[i] - prev[i]) & 0xFF for i in range(stride))
+        elif f == 3:  # Average
+            raw += bytes(
+                (row[i] - ((row[i - bpp] if i >= bpp else 0) + prev[i]) // 2)
+                & 0xFF
+                for i in range(stride)
+            )
+        elif f == 4:  # Paeth
+            raw += bytes(
+                (row[i] - _paeth(
+                    row[i - bpp] if i >= bpp else 0,
+                    prev[i],
+                    prev[i - bpp] if i >= bpp else 0,
+                )) & 0xFF
+                for i in range(stride)
+            )
+        else:
+            raise ValueError(f"unknown filter type {f}")
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def parse_png(payload: bytes) -> dict:
+    """Parse a PNG: walk the chunk list (CRC-validated), inflate the
+    IDAT stream, and UNFILTER every scanline (all five filter types)
+    back to raw pixels. Supports 8-bit RGB (color type 2) and RGBA
+    (6) — the byte-arithmetic formats; palette/interlace variants
+    raise UnsupportedCodecError, malformed bytes raise ValueError."""
+    import zlib
+
+    if len(payload) < 8 or payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 12 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos:pos + 4])
+        ctype = payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + ln]
+        if len(body) < ln:
+            raise ValueError("truncated chunk")
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + ln:pos + 12 + ln]
+        )
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC on {ctype!r} chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR or IDAT")
+    width, height, bit_depth, color_type, comp, filt, interlace = ihdr
+    if bit_depth != 8 or color_type not in (2, 6):
+        raise UnsupportedCodecError(
+            f"PNG bit_depth={bit_depth} color_type={color_type}"
+            " needs palette/16-bit handling"
+        )
+    if comp != 0 or filt != 0 or interlace != 0:
+        raise UnsupportedCodecError("non-baseline PNG (interlace/method)")
+    bpp = 3 if color_type == 2 else 4
+    stride = width * bpp
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as ex:
+        raise ValueError(f"bad IDAT stream: {ex}") from ex
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("inflated size != (stride+1) * height")
+    out = bytearray()
+    prev = bytes(stride)
+    for r in range(height):
+        f = raw[r * (stride + 1)]
+        line = bytearray(
+            raw[r * (stride + 1) + 1:(r + 1) * (stride + 1)]
+        )
+        if f == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + (a + prev[i]) // 2) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                c = prev[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
+        elif f != 0:
+            raise ValueError(f"unknown filter type {f} on row {r}")
+        out += line
+        prev = bytes(line)
+    return {
+        "width": width,
+        "height": height,
+        "bit_depth": bit_depth,
+        "color_type": color_type,
+        "row_stride": stride,
+        "pixel_bytes": stride * height,
+        "pixels": bytes(out),
+    }
+
+
 def _decode_payload(payload: bytes, mime_type: str) -> bytes:
     """Decode a payload to its content bytes: PCM samples for WAV,
-    the raw pixel array for BMP, identity for text. Mime types whose
-    codecs need an absent library raise UnsupportedCodecError."""
+    the raw pixel array for BMP/PNG (PNG inflated AND unfiltered),
+    identity for text. Mime types whose codecs need an absent library
+    (JPEG entropy coding, video demux) raise UnsupportedCodecError."""
     if mime_type == "text/plain":
         return payload
     if mime_type in ("audio/wav", "audio/x-wav", "audio/wave"):
         return parse_wav(payload)["pcm"]
     if mime_type in ("image/bmp", "image/x-bmp"):
         return parse_bmp(payload)["pixels"]
+    if mime_type == "image/png":
+        return parse_png(payload)["pixels"]
     raise UnsupportedCodecError(
         f"no codec for {mime_type}: needs an external decoder library"
     )
@@ -437,6 +614,20 @@ def media_properties(df: DataFrame) -> DataFrame:
                             np.frombuffer(b["pixels"], dtype=np.uint8)
                             .sum(dtype=np.int64)
                         )
+                    elif mime == "image/png":
+                        g = parse_png(payload)
+                        channels = 3 if g["color_type"] == 2 else 4
+                        vals = {
+                            "width": g["width"],
+                            "height": g["height"],
+                            "bpp": g["bit_depth"] * channels,
+                            "row_stride": g["row_stride"],
+                            "pixel_bytes": g["pixel_bytes"],
+                            "pixel_byte_sum": int(
+                                np.frombuffer(g["pixels"], dtype=np.uint8)
+                                .sum(dtype=np.int64)
+                            ),
+                        }
                     else:
                         ok = False
                 except ValueError:

@@ -2502,6 +2502,80 @@ def q_multimodal_bmp_probe(spark, sf_dir):
     )
 
 
+@register(
+    "q_multimodal_png_probe",
+    """
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(1 + doc_id % 12 AS INT) AS width,
+             CAST(1 + doc_id % 6 AS INT) AS height
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT d.doc_id, 'image/png' AS mime_type,
+           d.width, d.height, CAST(24 AS INT) AS bpp,
+           CAST(d.width * 3 AS INT) AS row_stride,
+           CAST(d.width * 3 * d.height AS BIGINT) AS pixel_bytes,
+           CAST(d.width * 3
+                * (SELECT sum((d.doc_id + r.i) % 251)
+                   FROM unnest(range(0, d.height)) AS r(i))
+             AS BIGINT) AS pixel_byte_sum,
+           TRUE AS parse_ok
+    FROM dims d
+    """,
+)
+def q_multimodal_png_probe(spark, sf_dir):
+    """REAL compressed-image decode, oracle-verified (r10, upgrading
+    the codec tier past byte-slicing containers): doc_id-derived 8-bit
+    RGB PNGs are encoded executor-side — zlib-deflated scanlines with
+    the per-row FILTER TYPE cycling through all five predictors
+    ((doc_id + row) % 5: None/Sub/Up/Average/Paeth) — then parsed back
+    by media_properties -> parse_png (chunk walk with CRC32
+    validation, inflate, full unfilter). Each row's pixels are a
+    constant (doc_id + row) % 251 that VARIES BY ROW, so Up/Average/
+    Paeth predict across rows with non-trivial deltas and the oracle's
+    pixel_byte_sum (3·width · Σ_rows (doc_id+row) % 251, pure doc_id
+    arithmetic) only matches if every filter inverts exactly — a
+    wrong Paeth tie-break or Average floor shifts the sum. JPEG stays
+    an UnsupportedCodecError dead-letter (entropy decoding genuinely
+    needs a library); PNG needs only stdlib zlib + struct. Same
+    Arrow-batched no-shuffle shape as the WAV/BMP probes."""
+    import pandas as pd
+
+    from hcls_data_lake_spark.operators.multimodal import (
+        encode_png,
+        media_properties,
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for raw_id in pdf["doc_id"]:
+                doc_id = int(raw_id)
+                w, h = 1 + doc_id % 12, 1 + doc_id % 6
+                pixels = b"".join(
+                    bytes([(doc_id + r) % 251]) * (w * 3)
+                    for r in range(h)
+                )
+                filters = [(doc_id + r) % 5 for r in range(h)]
+                payloads.append(encode_png(w, h, pixels, filters))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "mime_type": "image/png",
+                }
+            )
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    payloads = d.select("doc_id").mapInPandas(
+        synth, schema="doc_id bigint, payload binary, mime_type string"
+    )
+    return media_properties(payloads).select(
+        "doc_id", "mime_type", "width", "height", "bpp",
+        "row_stride", "pixel_bytes", "pixel_byte_sum", "parse_ok",
+    )
+
+
 _PACK_SQL = """
     WITH toks AS (
       SELECT doc_id, source,

@@ -108,6 +108,7 @@ _FAMILY_REPRESENTATIVES = [
     "q_hl7_typed_oms",
     "q_text_bpe_step",
     "q_text_bpe_merges",
+    "q_multimodal_png_probe",
     "q_agg_cube",
     "q_agg_distinct",
     "q_agg_global",

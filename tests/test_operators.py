@@ -91,7 +91,7 @@ def test_ann_lsh_subset_of_bucket_and_sane(vectors):
 def test_multimodal_extract_stub(spark):
     rows = [
         (1, b"hello world", "text/plain"),
-        (2, b"\x89PNG...", "image/png"),  # no codec -> decode_ok False
+        (2, b"\x89PNG...", "image/png"),  # malformed sig -> decode_ok False
         (3, None, "text/plain"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, payload binary, mime_type string")
@@ -410,7 +410,7 @@ def test_multimodal_resize_and_frame_sample(spark):
     rows = [
         (1, b"x" * 1000, "text/plain"),
         (2, b"y" * 100, "text/plain"),
-        (3, b"z" * 50, "image/png"),  # no codec → not ok / no frames
+        (3, b"z" * 50, "image/png"),  # malformed -> not ok / no frames
     ]
     df = spark.createDataFrame(rows, "doc_id long, payload binary, mime_type string")
 
@@ -2175,7 +2175,7 @@ def test_extract_features_decodes_real_wav_and_bmp(spark):
     rows = [
         (1, encode_wav(b"\x02" * 64), "audio/wav"),
         (2, encode_bmp(w, h, row * h), "image/bmp"),
-        (3, b"\x89PNG...", "image/png"),  # needs absent lib -> False
+        (3, b"\x89PNG...", "image/png"),  # malformed sig -> False
         (4, b"not a wav", "audio/wav"),  # malformed -> False, no crash
     ]
     df = spark.createDataFrame(
@@ -2256,3 +2256,60 @@ def test_bpe_nonoverlap_merge_rule(spark):
     assert out[0].s2 == ["aa", "aa"]
     assert out[1].s2 == ["aa", "a"]
     assert out[2].s2 == ["b", "aa", "b"]
+
+
+def test_png_roundtrip_all_filters_and_corruption():
+    from hcls_data_lake_spark.operators.multimodal import (
+        UnsupportedCodecError,
+        encode_png,
+        parse_png,
+    )
+
+    # every filter type on non-trivial cross-row deltas
+    w, h = 5, 5
+    pixels = bytes((r * 37 + i) % 256 for r in range(h) for i in range(w * 3))
+    p = parse_png(encode_png(w, h, pixels, [0, 1, 2, 3, 4]))
+    assert p["pixels"] == pixels
+    assert (p["width"], p["height"], p["bit_depth"], p["color_type"]) == (
+        w, h, 8, 2,
+    )
+    assert p["row_stride"] == w * 3 and p["pixel_bytes"] == w * 3 * h
+    # CRC corruption is a hard parse error, not silent garbage
+    blob = bytearray(encode_png(w, h, pixels, [4] * h))
+    blob[-5] ^= 0xFF  # flip a bit inside IEND's CRC
+    with pytest.raises(ValueError):
+        parse_png(bytes(blob))
+    blob2 = bytearray(encode_png(w, h, pixels))
+    blob2[40] ^= 0x01  # flip a byte inside IDAT body -> CRC mismatch
+    with pytest.raises(ValueError):
+        parse_png(bytes(blob2))
+    # unsupported variants route as UnsupportedCodecError (dead-letter)
+    import struct as st
+    import zlib
+
+    ihdr = st.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)  # palette color type
+    chunk = st.pack(">I", len(ihdr)) + b"IHDR" + ihdr + st.pack(
+        ">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF
+    )
+    idat_body = zlib.compress(b"\0" * 14)
+    idat = st.pack(">I", len(idat_body)) + b"IDAT" + idat_body + st.pack(
+        ">I", zlib.crc32(b"IDAT" + idat_body) & 0xFFFFFFFF
+    )
+    with pytest.raises(UnsupportedCodecError):
+        parse_png(b"\x89PNG\r\n\x1a\n" + chunk + idat)
+    with pytest.raises(ValueError):
+        parse_png(b"\x89PNG...")  # truncated signature
+
+
+def test_extract_features_decodes_real_png(spark):
+    from hcls_data_lake_spark.operators.multimodal import encode_png
+
+    w, h = 2, 2
+    pixels = bytes([2]) * (w * 3 * h)
+    rows = [(1, encode_png(w, h, pixels, [0, 4]), "image/png")]
+    df = spark.createDataFrame(
+        rows, "doc_id long, payload binary, mime_type string"
+    )
+    out = extract_features(df).collect()[0]
+    # features come from the UNFILTERED pixel slice: all bytes 0x02
+    assert out.decode_ok and out.feature[2] == 1.0
