@@ -291,6 +291,7 @@ EXTENDED = [
     "q_text_bpe_step",        # BPE merge step, cross-engine value pin (r10)
     "q_text_bpe_merges",      # 3-step BPE loop, chained-rebuild pin (r10)
     "q_multimodal_png_probe",  # real PNG decode, all 5 filters pinned (r10)
+    "q_scan_text_gzip",       # gzip text round-trip, non-splittable note (r10)
 ]
 
 # Ambient-drift canaries (r9, VERDICT r8 ask #5): constant plans whose

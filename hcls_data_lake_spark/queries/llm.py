@@ -2322,10 +2322,10 @@ def q_multimodal_frames_probe(spark, sf_dir):
 @register("q_multimodal_binary", None)  # binary plumbing: rows-only
 def q_multimodal_binary(spark, sf_dir):
     """Opaque binary payload + typed metadata + mapInPandas feature
-    extraction. The decode stage is REAL for text/WAV/BMP (stdlib byte
-    arithmetic, see operators/multimodal.py; the oracle-pinned probes
-    are q_multimodal_wav_probe / q_multimodal_bmp_probe) and routes
-    library-needing mime types as decode_ok=false rows.
+    extraction. The decode stage is REAL for text/WAV/BMP/PNG (stdlib
+    byte arithmetic + zlib, see operators/multimodal.py; the
+    oracle-pinned probes are q_multimodal_{wav,bmp,png}_probe) and
+    routes library-needing mime types as decode_ok=false rows.
 
     Emission shape: the operator returns ``feature array<float>``, but
     array-typed result columns are not hashable driver-side (the

@@ -635,6 +635,56 @@ def q_scan_xml(spark, sf_dir):
 
 
 @register(
+    "q_scan_text_gzip",
+    """
+    SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_chars
+    FROM documents WHERE doc_id < 2000
+    """,
+)
+def q_scan_text_gzip(spark, sf_dir):
+    """GZIP-COMPRESSED text ingestion (r10 — the wire format raw feeds
+    actually arrive in; no codec surface existed before): round-trip
+    the documents through gzip text files (write with
+    compression=gzip, read back through Spark's transparent codec
+    path) and emit one row PER DOCUMENT, so the oracle — reading the
+    ORIGINAL parquet — proves every row survives the compress →
+    split → decompress path losslessly, not just in aggregate. The
+    line format is 'doc_id|text' (the fixture corpus is single-line
+    and pipe-free; both guarded by the parse's substring_index
+    discipline).
+
+    The 100 TB note this query exists to carry: gzip is NOT
+    SPLITTABLE — each .gz file is one task regardless of size, so
+    parallelism comes from FILE COUNT, never from maxPartitionBytes.
+    The writer shards accordingly (repartition before write — the
+    real-world mitigation: many medium .gz files, not one giant one);
+    at lake scale prefer splittable containers (parquet+zstd) for
+    anything queried twice, and reserve this path for first-touch
+    ingestion of externally-supplied .gz feeds."""
+    from hcls_data_lake_spark.queries.common import scratch_for
+
+    path = scratch_for(sf_dir, "documents_gz")
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    (
+        d.select(
+            F.concat_ws("|", F.col("doc_id").cast("string"), F.col("text"))
+            .alias("value")
+        )
+        .repartition(8)  # 8 .gz files = 8 read tasks (non-splittable)
+        .write.mode("overwrite")
+        .option("compression", "gzip")
+        .text(path)
+    )
+    back = spark.read.text(path)
+    return back.select(
+        F.substring_index("value", "|", 1).cast("bigint").alias("doc_id"),
+        F.length(
+            F.expr("substring(value, instr(value, '|') + 1)")
+        ).cast("bigint").alias("n_chars"),
+    )
+
+
+@register(
     "q_scan_snapshot_diff",
     """
     WITH v1 AS (

@@ -109,6 +109,7 @@ _FAMILY_REPRESENTATIVES = [
     "q_text_bpe_step",
     "q_text_bpe_merges",
     "q_multimodal_png_probe",
+    "q_scan_text_gzip",
     "q_agg_cube",
     "q_agg_distinct",
     "q_agg_global",
