@@ -364,10 +364,16 @@ def main() -> None:
         runs = sorted(timed(name, reps))
         canaries[name] = runs[0]
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
+    # Full blob FIRST (for the ledger tools, which read whole stdout),
+    # then a compact headline-only JSON as the FINAL stdout line. The
+    # driver keeps only the last 2000 chars of stdout, so the 240+
+    # entry extended blob truncated away the headline keys in
+    # BENCH_r03..r10 ("parsed": null). The compact line carries the
+    # headline set (14 queries + canaries), well under 2000 chars.
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total_wall",
+                "metric": "headline_queries_total_wall_full",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
@@ -377,6 +383,19 @@ def main() -> None:
                 "canaries": canaries,
                 "reps": reps,
                 "ext_reps": ext_reps,
+                "sf": sf,
+            }
+        )
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "canaries": canaries,
+                "reps": reps,
                 "sf": sf,
             }
         )

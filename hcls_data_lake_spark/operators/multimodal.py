@@ -141,6 +141,13 @@ def parse_bmp(payload: bytes) -> dict:
         raise ValueError(f"unsupported DIB header size {hdr_size}")
     if compression != 0:
         raise UnsupportedCodecError(f"compressed BMP (method {compression})")
+    # A non-positive width (or zero height) makes the stride floor
+    # division produce 0/garbage and sails past the truncation check
+    # (pixel_bytes <= 0) as a bogus parse_ok=true row — reject first.
+    if width <= 0 or height == 0:
+        raise ValueError(f"bad BMP dimensions {width}x{height}")
+    if bpp != 24:
+        raise UnsupportedCodecError(f"BMP bpp {bpp} (only 24 supported)")
     stride = bmp_row_stride(width, bpp)
     pixel_bytes = stride * abs(height)
     if pix_offset + pixel_bytes > len(payload):
@@ -258,15 +265,21 @@ def parse_png(payload: bytes) -> dict:
     while pos + 12 <= len(payload):
         (ln,) = struct.unpack(">I", payload[pos:pos + 4])
         ctype = payload[pos + 4:pos + 8]
-        body = payload[pos + 8:pos + 8 + ln]
-        if len(body) < ln:
+        # body AND 4 CRC bytes must both be in-bounds: a payload cut
+        # mid-CRC passes the body check alone but would hand
+        # struct.unpack a short buffer (struct.error is NOT a
+        # ValueError — it would escape the dead-letter catch).
+        if pos + 12 + ln > len(payload):
             raise ValueError("truncated chunk")
+        body = payload[pos + 8:pos + 8 + ln]
         (crc,) = struct.unpack(
             ">I", payload[pos + 8 + ln:pos + 12 + ln]
         )
         if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
             raise ValueError(f"bad CRC on {ctype!r} chunk")
         if ctype == b"IHDR":
+            if ln != 13:
+                raise ValueError(f"IHDR length {ln} != 13")
             ihdr = struct.unpack(">IIBBBBB", body)
         elif ctype == b"IDAT":
             idat += body
@@ -382,7 +395,7 @@ def extract_features(df: DataFrame) -> DataFrame:
                     decoded = _decode_payload(bytes(payload or b""), mime)
                     feats.append(_featurize(decoded))
                     oks.append(True)
-                except ValueError:
+                except (ValueError, struct.error):
                     feats.append(None)
                     oks.append(False)
             out["feature"] = feats
@@ -416,7 +429,7 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
                     decoded = _decode_payload(bytes(payload or b""), mime)
                     payloads.append(decoded[:target].ljust(target, b"\0"))
                     oks.append(True)
-                except ValueError:
+                except (ValueError, struct.error):
                     payloads.append(None)
                     oks.append(False)
             yield pd.DataFrame(
@@ -457,7 +470,7 @@ def sample_frames(
             ):
                 try:
                     decoded = _decode_payload(bytes(payload or b""), mime)
-                except ValueError:
+                except (ValueError, struct.error):
                     continue  # undecodable rows contribute no frames
                 n_total = max(1, (len(decoded) + frame_bytes - 1) // frame_bytes)
                 for idx in range(0, n_total, every_nth):
@@ -630,7 +643,7 @@ def media_properties(df: DataFrame) -> DataFrame:
                         }
                     else:
                         ok = False
-                except ValueError:
+                except (ValueError, struct.error):
                     ok = False
                 for k in audio_keys + image_keys:
                     cols[k].append(vals.get(k))

@@ -87,11 +87,11 @@ _FAMILY_REPRESENTATIVES = [
     # -- OLDEST-ROW-FIRST (round-10 rotation, VERDICT r9 ask #7): the
     # driver has a row for all 399 r9-era names, so the rotation
     # priority flips from never-sampled-first to stalest-evidence-
-    # first. Slots 1-6 are the r10 additions (no row yet); then the
-    # 35 names whose latest green row dates to r1 (pre type-strict
-    # harness), then the 36 r2-era names — a 50-name driver prefix
-    # refreshes every r10 addition and most of the r1 tail, and a
-    # prefix overrun keeps eating the stalest evidence. --
+    # first. The first 18 slots are the r10 additions (no row yet);
+    # the remainder is ordered stalest-latest-green-row first (r1-era
+    # names, then r2-era), so a 50-name driver prefix refreshes every
+    # r10 addition plus the 32 stalest legacy rows, and a prefix
+    # overrun keeps eating the stalest evidence. --
     "q_sim_ann_ivf_exact_regime",
     "q_sim_ann_lsh_exact_regime",
     "q_sim_ann_pq_exact_regime",

@@ -2313,3 +2313,56 @@ def test_extract_features_decodes_real_png(spark):
     out = extract_features(df).collect()[0]
     # features come from the UNFILTERED pixel slice: all bytes 0x02
     assert out.decode_ok and out.feature[2] == 1.0
+
+
+def test_malformed_codec_payloads_route_as_valueerror():
+    """ADVICE r10: struct.error must never escape the parse_* codecs —
+    every malformed-byte path raises ValueError so the operators'
+    dead-letter catch routes it as decode_ok=false instead of crashing
+    the Spark task."""
+    import struct as st
+    import zlib
+
+    from hcls_data_lake_spark.operators.multimodal import (
+        UnsupportedCodecError,
+        bmp_row_stride,
+        encode_bmp,
+        encode_png,
+        parse_bmp,
+        parse_png,
+    )
+
+    # (a) IHDR whose declared length != 13 but with a VALID CRC used
+    # to reach struct.unpack('>IIBBBBB') with a short buffer.
+    short_ihdr = st.pack(">II", 2, 2)  # 8 bytes, not 13
+    chunk = (
+        st.pack(">I", len(short_ihdr)) + b"IHDR" + short_ihdr
+        + st.pack(">I", zlib.crc32(b"IHDR" + short_ihdr) & 0xFFFFFFFF)
+    )
+    with pytest.raises(ValueError):
+        parse_png(b"\x89PNG\r\n\x1a\n" + chunk)
+
+    # (b) payload truncated mid-CRC: chunk body fully present, <4 CRC
+    # bytes left — used to hand struct.unpack a short buffer. Drop the
+    # 12-byte IEND and cut 2 bytes off IDAT's CRC so the chunk loop
+    # still ENTERS the chunk (pos+12 <= len) but the CRC is short.
+    w, h = 2, 2
+    good = encode_png(w, h, bytes(w * 3 * h))
+    with pytest.raises(ValueError):
+        parse_png(good[:-14])  # no IEND, IDAT CRC cut to 2 bytes
+
+    # (c) BMP with negative width used to pass the truncation check
+    # (stride*height <= 0) and return parse_ok=true nonsense.
+    stride = bmp_row_stride(3)
+    bmp = bytearray(encode_bmp(3, 2, bytes(stride * 2)))
+    st.pack_into("<i", bmp, 18, -3)  # width = -3
+    with pytest.raises(ValueError):
+        parse_bmp(bytes(bmp))
+    bmp2 = bytearray(encode_bmp(3, 2, bytes(stride * 2)))
+    st.pack_into("<H", bmp2, 28, 8)  # bpp = 8 (palette)
+    with pytest.raises(UnsupportedCodecError):
+        parse_bmp(bytes(bmp2))
+    bmp3 = bytearray(encode_bmp(3, 2, bytes(stride * 2)))
+    st.pack_into("<i", bmp3, 22, 0)  # height = 0
+    with pytest.raises(ValueError):
+        parse_bmp(bytes(bmp3))
