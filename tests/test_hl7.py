@@ -1375,3 +1375,17 @@ def test_r10_families_strict_mode_parity():
     )
     assert parse_er7(msg21, strict=True) is None
     assert parse_er7(msg21) is not None  # lenient keeps the data
+
+
+def test_embedded_corpus_matches_asset_files():
+    """hl7.corpus embeds the tests/assets/messages files as package
+    data (r11) so the corpus-pinned registry query runs without the
+    tests tree; this guard fails if either side drifts."""
+    from hcls_data_lake_spark.hl7 import corpus as pkg_corpus
+
+    on_disk = {
+        fname: open(os.path.join(ASSETS, fname), encoding="utf-8").read()
+        for fname in sorted(os.listdir(ASSETS))
+    }
+    assert pkg_corpus.CORPUS_FILES == on_disk
+    assert pkg_corpus.corpus_messages() == MESSAGES
