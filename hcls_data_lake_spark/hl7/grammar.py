@@ -101,6 +101,12 @@ SEGMENT_CARDINALITY: dict[str, int | None] = {
     "ABS": 1,   # abstract
     "BLC": None,  # blood codes repeat
     "RMI": 1,   # risk management incident
+    # r11 (VERDICT r10 ask #4): the v2.5 ch.5 query protocol —
+    # QBP^Q11 request (QPD parameter definition + RCP response
+    # control) and RSP^K11 segment-pattern response (QAK query ack)
+    "QPD": 1,
+    "RCP": 1,
+    "QAK": 1,
 }
 
 
@@ -142,6 +148,9 @@ FIELD_REPEATABLE: dict[str, frozenset[int]] = {
     "RXC": frozenset({7}),
     "RXD": frozenset({9, 15}),
     "TQ1": frozenset({3, 4, 5, 9}),
+    # r11 query protocol: RCP-6 sort-by field and RCP-7 segment group
+    # inclusion repeat per the v2.5 ch.5 definitions
+    "RCP": frozenset({6, 7}),
 }
 
 
@@ -241,6 +250,12 @@ EVENT_STRUCTURE: dict[str, str] = {
     "OMS_O05": "OMS_O05",
     "RRA_O18": "RRA_O18",
     "RRD_O14": "RRD_O14",
+    # r11 (VERDICT r10 ask #4): the HL7-native point-query protocol —
+    # QBP^Q11 query-by-parameter and its RSP^K11 segment-pattern
+    # response, the wire-level analog of the reference's retrieval API
+    # (old_reference/hcdl_stack.txt:503-510, A19)
+    "QBP_Q11": "QBP_Q11",
+    "RSP_K11": "RSP_K11",
     # ACK is trigger-agnostic (ACK^A01, ACK^R01, ... all share the
     # 3-segment ACK structure); structure_for special-cases the type,
     # these rows cover senders that spell the trigger without MSH-9.3
@@ -393,6 +408,13 @@ STRUCTURE_SEGMENT_CARDINALITY: dict[str, dict[str, int | None]] = {
         "MSH": 1, "SFT": None, "MSA": 1, "ERR": None, "NTE": None,
         "PID": 1, "ORC": 1, "TQ1": 1, "TQ2": None, "RXD": 1,
         "RXR": None, "RXC": None,
+    },
+    # r11 query protocol (flat = tree: the generic Q11/K11 structures
+    # have no groups in v2.5 ch.5)
+    "QBP_Q11": {"MSH": 1, "SFT": None, "QPD": 1, "RCP": 1, "DSC": 1},
+    "RSP_K11": {
+        "MSH": 1, "SFT": None, "MSA": 1, "ERR": 1, "QAK": 1,
+        "QPD": 1, "DSC": 1,
     },
     "DFT_P03": {
         "MSH": 1, "SFT": None, "EVN": 1, "PID": 1, "PD1": 1,
@@ -1222,6 +1244,16 @@ STRUCTURE_TREES: dict[str, tuple] = {
             ),
         ),
     ),
+    # r11 query protocol (VERDICT r10 ask #4): the generic QBP^Q11 /
+    # RSP^K11 structures are flat — no groups — in v2.5 ch.5
+    "QBP_Q11": (
+        _S("MSH", 1), _S("SFT", None), _S("QPD", 1), _S("RCP", 1),
+        _S("DSC", 1),
+    ),
+    "RSP_K11": (
+        _S("MSH", 1), _S("SFT", None), _S("MSA", 1), _S("ERR", 1),
+        _S("QAK", 1), _S("QPD", 1), _S("DSC", 1),
+    ),
     "DFT_P03": (
         _S("MSH", 1), _S("SFT", None), _S("EVN", 1), _S("PID", 1),
         _S("PD1", 1), _S("ROL", None), _S("PV1", 1), _S("PV2", 1),
@@ -1457,6 +1489,15 @@ FIELD_DATATYPE: dict[str, dict[int, str]] = {
     "RXD": {1: "NM", 2: "CE", 3: "TS", 4: "NM", 5: "CE", 6: "CE",
             7: "ST", 8: "NM", 9: "ST", 10: "XCN", 11: "ID",
             12: "CQ", 14: "ID", 15: "CE", 18: "ST", 19: "TS"},
+    # r11 query protocol (HL7 v2.5 ch.5): QPD-1 message query name,
+    # QPD-2 query tag; QPD-3+ are query-profile-defined parameters and
+    # deliberately stay unlisted (C<n> fallback — never mint keys from
+    # profile-specific data). QAK carries the response bookkeeping
+    # (status + hit counts); RCP the response-control knobs.
+    "QPD": {1: "CE", 2: "ST"},
+    "QAK": {1: "ST", 2: "ID", 3: "CE", 4: "NM", 5: "NM", 6: "NM"},
+    "RCP": {1: "ID", 2: "CQ", 3: "CE", 4: "TS", 5: "ID", 6: "SRT",
+            7: "ID"},
 }
 
 # ---------------------------------------------------------------------
@@ -1523,6 +1564,8 @@ COMPONENT_DATATYPE: dict[str, dict[int, str]] = {
             7: "IS", 8: "IS", 9: "AD"},
     "AD": {1: "ST", 2: "ST", 3: "ST", 4: "ST", 5: "ST", 6: "ID",
            7: "ID", 8: "ST"},
+    # r11 query protocol: RCP-6's sort-by composite
+    "SRT": {1: "ST", 2: "ID"},
     # r7 (ERR/BLG support)
     "ELD": {1: "ST", 2: "NM", 3: "NM", 4: "CE"},
     "ERL": {1: "ST", 2: "NM", 3: "NM", 4: "NM", 5: "NM", 6: "NM"},
@@ -1710,7 +1753,11 @@ _PRE24_FIELD_REP = {
 
 _VERSION_DELTAS: dict[str, dict] = {
     "2.3": {
-        "segments_remove": {"SFT", "TQ1", "TQ2", "SPM", "PDA"},
+        # QPD/QAK/RCP arrived with the v2.4 query framework (pre-2.4
+        # queries were QRY/QRD-based) — remove them so a 2.3-declared
+        # QBP dead-letters in strict mode exactly as hl7apy would
+        "segments_remove": {"SFT", "TQ1", "TQ2", "SPM", "PDA",
+                            "QPD", "QAK", "RCP"},
         "field_datatype": {
             "MSH": {9: "CM_MSG", 12: "ID", 21: None},
             "PID": {10: "IS", 22: "IS", 26: "IS"},
@@ -1722,7 +1769,8 @@ _VERSION_DELTAS: dict[str, dict] = {
         "structure_trees": _PRE24_ADT_TREES,
     },
     "2.3.1": {
-        "segments_remove": {"SFT", "TQ1", "TQ2", "SPM"},
+        "segments_remove": {"SFT", "TQ1", "TQ2", "SPM",
+                            "QPD", "QAK", "RCP"},
         "field_datatype": {
             # 2.3.1 introduced the VID version id and MSH-9.3; race and
             # ethnic group became coded CEs (still single-valued)

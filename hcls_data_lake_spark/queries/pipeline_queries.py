@@ -1850,6 +1850,117 @@ def q_hl7_ack_reconcile(spark, sf_dir):
 
 
 @register(
+    "q_hl7_qbp_reconcile",
+    """
+    WITH q AS (
+      SELECT o_orderkey AS query_id,
+             'QT' || CAST(o_orderkey AS VARCHAR) AS query_tag,
+             o_orderkey % 3000 AS param_key
+      FROM orders WHERE o_orderkey < 2000
+    ), j AS (
+      SELECT q.query_id, q.query_tag, q.param_key,
+             CAST(count(c.c_custkey) AS BIGINT) AS hit_count
+      FROM q LEFT JOIN customer c ON c.c_custkey = q.param_key
+      GROUP BY 1, 2, 3
+    )
+    SELECT query_id, query_tag, param_key,
+           CASE WHEN hit_count > 0 THEN 'OK' ELSE 'NF' END AS qak_status,
+           hit_count,
+           CASE WHEN hit_count > 0 THEN 'hit' ELSE 'miss' END AS status
+    FROM j
+    """,
+)
+def q_hl7_qbp_reconcile(spark, sf_dir):
+    """QBP^Q11 / RSP^K11 query-response reconciliation (r11, VERDICT
+    r10 ask #4 — the reference's retrieval API A19 expressed in HL7's
+    own wire protocol, old_reference/hcdl_stack.txt:503-510): each
+    order becomes a QBP^Q11 point query (QPD-2 query tag, QPD-3
+    @PID.3.1 parameter), the parameter is EXTRACTED FROM THE WIRE with
+    codegen splits and joined against the customer catalog, the answer
+    is serialized back as an RSP^K11 (MSA echoing the control id,
+    QAK-2 OK/NF status per the v2.5 table-0208 codes, QAK-4 hit
+    count), and the RSP wire is parsed AGAIN to classify every query
+    hit/miss — so a mis-parse on either leg (QPD parameter offset, QAK
+    field positions) breaks the value hash. Scale shape: one
+    param-keyed equi-join against the catalog (broadcast at dim scale)
+    plus codegen string ops; no windows, no Python."""
+    from hcls_data_lake_spark.hl7.er7 import er7_segments
+
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    qbp_wire = o.select(
+        F.concat(
+            F.lit("MSH|^~\\&|HIS|FAC|LAKE|DC|20240101||QBP^Q11^QBP_Q11|"),
+            F.col("o_orderkey").cast("string"),
+            F.lit("|P|2.5\rQPD|Point Query^Q11|QT"),
+            F.col("o_orderkey").cast("string"),
+            F.lit("|@PID.3.1^"),
+            (F.col("o_orderkey") % 3000).cast("string"),
+            F.lit("\rRCP|I|1^RD"),
+        ).alias("er7"),
+    )
+    qsegs = qbp_wire.select(er7_segments(F.col("er7")).alias("segments"))
+    msh = F.expr("get(filter(segments, s -> startswith(s, 'MSH|')), 0)")
+    qpd = F.expr("get(filter(segments, s -> startswith(s, 'QPD|')), 0)")
+    queries = qsegs.select(
+        F.split(msh, "\\|").getItem(9).cast("bigint").alias("query_id"),
+        F.split(qpd, "\\|").getItem(2).alias("query_tag"),
+        F.split(F.split(qpd, "\\|").getItem(3), "\\^")
+        .getItem(1)
+        .cast("bigint")
+        .alias("param_key"),
+    )
+    cat = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("param_key")
+    )
+    # hit_count counts catalog MATCHES (the marker column is null on
+    # unmatched left rows; counting the join key itself would count 1)
+    answered = (
+        queries.join(
+            F.broadcast(cat.withColumn("matched", F.lit(1))),
+            "param_key",
+            "left",
+        )
+        .groupBy("query_id", "query_tag", "param_key")
+        .agg(F.count("matched").cast("bigint").alias("hit_count"))
+    )
+    rsp_wire = answered.select(
+        F.concat(
+            F.lit("MSH|^~\\&|LAKE|DC|HIS|FAC|20240101||RSP^K11^RSP_K11|R"),
+            F.col("query_id").cast("string"),
+            F.lit("|P|2.5\rMSA|AA|"),
+            F.col("query_id").cast("string"),
+            F.lit("\rQAK|"),
+            F.col("query_tag"),
+            F.lit("|"),
+            F.when(F.col("hit_count") > 0, "OK").otherwise("NF"),
+            F.lit("|Point Query^Q11|"),
+            F.col("hit_count").cast("string"),
+            F.lit("\rQPD|Point Query^Q11|"),
+            F.col("query_tag"),
+            F.lit("|@PID.3.1^"),
+            F.col("param_key").cast("string"),
+        ).alias("er7"),
+    )
+    rsegs = rsp_wire.select(er7_segments(F.col("er7")).alias("segments"))
+    msa = F.expr("get(filter(segments, s -> startswith(s, 'MSA|')), 0)")
+    qak = F.expr("get(filter(segments, s -> startswith(s, 'QAK|')), 0)")
+    rqpd = F.expr("get(filter(segments, s -> startswith(s, 'QPD|')), 0)")
+    return rsegs.select(
+        F.split(msa, "\\|").getItem(2).cast("bigint").alias("query_id"),
+        F.split(qak, "\\|").getItem(1).alias("query_tag"),
+        F.split(F.split(rqpd, "\\|").getItem(3), "\\^")
+        .getItem(1)
+        .cast("bigint")
+        .alias("param_key"),
+        F.split(qak, "\\|").getItem(2).alias("qak_status"),
+        F.split(qak, "\\|").getItem(4).cast("bigint").alias("hit_count"),
+        F.when(F.split(qak, "\\|").getItem(2) == "OK", "hit")
+        .otherwise("miss")
+        .alias("status"),
+    )
+
+
+@register(
     "q_hl7_typed_rde",
     """
     WITH li AS (

@@ -1389,3 +1389,76 @@ def test_embedded_corpus_matches_asset_files():
     }
     assert pkg_corpus.CORPUS_FILES == on_disk
     assert pkg_corpus.corpus_messages() == MESSAGES
+
+
+def test_qbp_rsp_query_protocol_goldens():
+    """r11 (VERDICT r10 ask #4): QBP^Q11 / RSP^K11 — the v2.5 ch.5
+    query protocol, the wire-level analog of the reference's retrieval
+    API (A19). Strict mode must accept both; shapes follow the
+    vendored grammar: QPD-1 CE, QPD-3+ C<n> fallback (profile-defined
+    parameters never mint keys), RCP-6 repeatable SRT list, RCP-7
+    repeatable ID list, QAK typed fields."""
+    qbp = (
+        "MSH|^~\\&|HIS|FAC|LAKE|DC|20240101120000||QBP^Q11^QBP_Q11|Q123|P|2.5\r"
+        "QPD|IHE PDQ Query^Q22|QRY123|@PID.3.1^78912\r"
+        "RCP|I|10^RD|R|||PID.3^ascending~PID.5^ascending|PID~PV1"
+    )
+    doc = json.loads(parse_er7(qbp, strict=True))
+    assert doc["MSH"]["MSH_9"] == {
+        "MSG_1": "QBP", "MSG_2": "Q11", "MSG_3": "QBP_Q11",
+    }
+    qpd = doc["QPD"]
+    assert qpd["QPD_1"] == {"CE_1": "IHE PDQ Query", "CE_2": "Q22"}
+    assert qpd["QPD_2"] == "QRY123"
+    # QPD-3 is query-profile-defined -> C<n> fallback, never typed keys
+    assert qpd["QPD_3"] == {"C1": "@PID.3.1", "C2": "78912"}
+    rcp = doc["RCP"]
+    assert rcp["RCP_1"] == "I"
+    assert rcp["RCP_2"] == {"CQ_1": "10", "CQ_2": "RD"}
+    # RCP-6 sort-by repeats as SRT composites; RCP-7 repeats as IDs
+    assert rcp["RCP_6"] == [
+        {"SRT_1": "PID.3", "SRT_2": "ascending"},
+        {"SRT_1": "PID.5", "SRT_2": "ascending"},
+    ]
+    assert rcp["RCP_7"] == ["PID", "PV1"]
+
+    rsp = (
+        "MSH|^~\\&|LAKE|DC|HIS|FAC|20240101120001||RSP^K11^RSP_K11|R456|P|2.5\r"
+        "MSA|AA|Q123\r"
+        "QAK|QRY123|OK|IHE PDQ Query^Q22|3|3|0\r"
+        "QPD|IHE PDQ Query^Q22|QRY123|@PID.3.1^78912"
+    )
+    rdoc = json.loads(parse_er7(rsp, strict=True))
+    assert rdoc["MSA"] == {"MSA_1": "AA", "MSA_2": "Q123"}
+    qak = rdoc["QAK"]
+    assert qak["QAK_1"] == "QRY123" and qak["QAK_2"] == "OK"
+    assert qak["QAK_3"] == {"CE_1": "IHE PDQ Query", "CE_2": "Q22"}
+    assert (qak["QAK_4"], qak["QAK_5"], qak["QAK_6"]) == ("3", "3", "0")
+    # the response echoes the query's QPD verbatim
+    assert rdoc["QPD"] == doc["QPD"]
+
+
+def test_qbp_pre24_version_dead_letters_in_strict():
+    """QPD/QAK/RCP arrived with the v2.4 query framework: a message
+    declaring 2.3 must dead-letter in strict mode (hl7apy's versioned
+    grammar would not know the segments) while staying parseable on
+    the lenient path (never lose data)."""
+    qbp_23 = (
+        "MSH|^~\\&|HIS|FAC|LAKE|DC|20240101120000||QBP^Q11|Q1|P|2.3\r"
+        "QPD|Q^Q22|QT1|@PID.3.1^1\r"
+        "RCP|I"
+    )
+    assert parse_er7(qbp_23, strict=True) is None
+    lenient = json.loads(parse_er7(qbp_23))
+    # unknown-to-2.3 segment -> data-driven list attachment (the
+    # never-lose-data shape for segments outside the versioned grammar)
+    assert lenient["QPD"][0]["QPD_2"] == "QT1"
+
+
+def test_qbp_rsp_structure_resolution():
+    from hcls_data_lake_spark.hl7 import grammar as g
+
+    assert g.structure_for("QBP", "Q11", None) == "QBP_Q11"
+    assert g.structure_for("RSP", "K11", None) == "RSP_K11"
+    assert g.structure_tree("QBP_Q11") is not None
+    assert g.structure_tree("RSP_K11") is not None
