@@ -7,13 +7,18 @@ batches without per-row Python overhead. Formats whose containers are
 pure byte arithmetic are decoded FOR REAL with the stdlib (r10,
 VERDICT r9 ask #5 — no external codec library needed): RIFF/WAVE PCM
 (``audio/wav``: fmt-chunk walk via ``struct``) and uncompressed BMP
-(``image/bmp``: BITMAPFILEHEADER + BITMAPINFOHEADER), and PNG decodes
-FOR REAL too — stdlib zlib inflate + full scanline unfiltering
-(``parse_png``). ``text/plain`` decodes as identity. Mime types that
-genuinely need an absent library
-(JPEG entropy coding, video demux) raise ``UnsupportedCodecError``
-and route as ``decode_ok = false`` rows — the dead-letter shape, never
-a crash.
+(``image/bmp``: BITMAPFILEHEADER + BITMAPINFOHEADER), PNG decodes
+FOR REAL — stdlib zlib inflate + full scanline unfiltering
+(``parse_png``) — and, since r11, so does baseline sequential
+grayscale JPEG (``parse_jpeg``: canonical-Huffman entropy decode, DC
+prediction, AC run-length, dequantize, IDCT — the T.81 core, stdlib +
+numpy only). ``text/plain`` decodes as identity. What still routes as
+``UnsupportedCodecError`` dead-letters (``decode_ok = false`` rows,
+never a crash): progressive JPEG (SOF2), multi-component color JPEG
+(subsampled YCbCr MCU interleave), restart intervals, 12-bit
+precision, and video demux — variants whose spec surface is large
+relative to what the probe tier exercises, not an entropy-coding
+blocker anymore.
 """
 
 from __future__ import annotations
@@ -341,6 +346,381 @@ def parse_png(payload: bytes) -> dict:
     }
 
 
+# ---------------------------------------------------- JPEG codec (r11)
+#
+# Baseline sequential DCT, 8-bit GRAYSCALE (ITU-T T.81): the entropy
+# decode that r9/r10 documented as the dead-letter blocker is in fact
+# implementable with the stdlib + numpy — a canonical-Huffman bit
+# reader over the byte-stuffed scan, DC prediction, AC run-length
+# (EOB/ZRL), dequantization and an orthonormal 8x8 IDCT. The decoder
+# reads ANY baseline grayscale JFIF (tables come from the stream's
+# DQT/DHT segments, not assumptions); what stays out of scope — and
+# routes as UnsupportedCodecError dead-letters — is progressive DCT
+# (SOF2), multi-component color (subsampled YCbCr MCU interleave),
+# restart intervals, and 12-bit precision. The encoder exists so tests
+# and the oracle probe can synthesize payloads: it writes the same
+# baseline grayscale format with a caller-supplied quantization table
+# (all-ones by default, making constant 8x8 tiles round-trip EXACTLY —
+# the property the SQL oracle pins by value).
+
+_JPEG_ZIGZAG: list[int] = [
+    i * 8 + j
+    for d in range(15)
+    for i in (range(min(d, 7), max(d - 7, 0) - 1, -1)
+              if d % 2 == 0 else range(max(d - 7, 0), min(d, 7) + 1))
+    for j in (d - i,)
+]
+
+
+def _dct_matrix():
+    import math
+
+    import numpy as np
+
+    m = np.zeros((8, 8))
+    for u in range(8):
+        c = math.sqrt(0.5) if u == 0 else 1.0
+        for x in range(8):
+            m[u, x] = 0.5 * c * math.cos((2 * x + 1) * u * math.pi / 16)
+    return m
+
+
+def _huff_canonical(counts: list[int], symbols: list[int]) -> dict:
+    """DHT (counts per code length 1..16, symbol list) -> symbol ->
+    (code, length), per the T.81 Annex C canonical assignment."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            out[symbols[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits
+        return bytes(self.buf)
+
+
+def _jpeg_category(v: int) -> int:
+    return 0 if v == 0 else abs(v).bit_length()
+
+
+def encode_jpeg(width: int, height: int, pixels: bytes,
+                quant: list[int] | None = None) -> bytes:
+    """Serialize 8-bit grayscale pixels (height rows of width bytes)
+    as a baseline sequential JFIF. Edge blocks pad by replication; the
+    quantization table defaults to all-ones (lossless for constant
+    tiles, near-lossless generally). Huffman tables are built from the
+    symbols actually emitted (fixed-length canonical codes, declared
+    in DHT — the decoder reads whatever DHT declares)."""
+    import numpy as np
+
+    if len(pixels) != width * height or width <= 0 or height <= 0:
+        raise ValueError("pixel array size != width * height")
+    q = list(quant) if quant is not None else [1] * 64
+    if len(q) != 64 or any(not 1 <= v <= 255 for v in q):
+        raise ValueError("quant table must be 64 entries in 1..255")
+    m = _dct_matrix()
+    img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    padded = np.pad(img, ((0, bh * 8 - height), (0, bw * 8 - width)),
+                    mode="edge").astype(np.float64) - 128.0
+    qarr = np.array(q, dtype=np.float64).reshape(8, 8)
+    # pass 1: quantized coefficient blocks + the symbol alphabets
+    blocks, dc_syms, ac_syms = [], set(), set()
+    prev_dc = 0
+    for by in range(bh):
+        for bx in range(bw):
+            f = padded[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8]
+            coef = np.rint((m @ f @ m.T) / qarr).astype(np.int64)
+            zz = [int(coef.flat[_JPEG_ZIGZAG[i]]) for i in range(64)]
+            blocks.append(zz)
+            dc_syms.add(_jpeg_category(zz[0] - prev_dc))
+            prev_dc = zz[0]
+            run = 0
+            for v in zz[1:]:
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    ac_syms.add(0xF0)  # ZRL
+                    run -= 16
+                ac_syms.add((run << 4) | _jpeg_category(v))
+                run = 0
+            if run:
+                ac_syms.add(0x00)  # EOB
+    ac_syms.add(0x00)
+
+    def fixed_table(syms: set[int]) -> tuple[list[int], list[int], dict]:
+        ordered = sorted(syms)
+        length = max(1, len(ordered).bit_length())  # 2^len > n: the
+        counts = [0] * 16                           # all-1s code stays
+        counts[length - 1] = len(ordered)           # reserved (T.81)
+        return counts, ordered, _huff_canonical(counts, ordered)
+
+    dc_counts, dc_vals, dc_code = fixed_table(dc_syms)
+    ac_counts, ac_vals, ac_code = fixed_table(ac_syms)
+    # pass 2: entropy-code the scan
+    w = _BitWriter()
+    prev_dc = 0
+    for zz in blocks:
+        diff = zz[0] - prev_dc
+        prev_dc = zz[0]
+        size = _jpeg_category(diff)
+        code, ln = dc_code[size]
+        w.write(code, ln)
+        if size:
+            w.write(diff if diff > 0 else diff + (1 << size) - 1, size)
+        run = 0
+        for v in zz[1:]:
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_code[0xF0]
+                w.write(code, ln)
+                run -= 16
+            size = _jpeg_category(v)
+            code, ln = ac_code[(run << 4) | size]
+            w.write(code, ln)
+            w.write(v if v > 0 else v + (1 << size) - 1, size)
+            run = 0
+        if run:
+            code, ln = ac_code[0x00]
+            w.write(code, ln)
+    scan = w.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    return b"".join([
+        b"\xff\xd8",  # SOI
+        seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"),
+        seg(0xFFDB, b"\x00" + bytes(q)),  # DQT, 8-bit, table 0
+        seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 1)
+            + b"\x01\x11\x00"),  # SOF0: 1 component, 1x1 sampling
+        seg(0xFFC4, b"\x00" + bytes(dc_counts) + bytes(dc_vals)),
+        seg(0xFFC4, b"\x10" + bytes(ac_counts) + bytes(ac_vals)),
+        seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00"),  # SOS
+        scan,
+        b"\xff\xd9",  # EOI
+    ])
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("entropy stream overrun")
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            if self.pos >= len(self.data):
+                raise ValueError("dangling 0xFF in scan")
+            nxt = self.data[self.pos]
+            if nxt == 0x00:
+                self.pos += 1  # stuffed byte
+            elif 0xD0 <= nxt <= 0xD7:
+                raise UnsupportedCodecError("restart markers (DRI)")
+            else:
+                raise ValueError(f"marker 0xFF{nxt:02x} inside scan")
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def decode(self, table: dict) -> int:
+        code, length = 0, 0
+        while length < 16:
+            code = (code << 1) | self.bit()
+            length += 1
+            sym = table.get((code, length))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in scan")
+
+
+def parse_jpeg(payload: bytes) -> dict:
+    """Decode a baseline sequential grayscale JFIF for real: segment
+    walk (DQT/DHT/SOF0/SOS), canonical-Huffman entropy decode with DC
+    prediction and AC run-length, dequantize, orthonormal IDCT, level
+    shift, clamp, crop. Raises ValueError on malformed bytes,
+    UnsupportedCodecError on progressive/color/restart/12-bit
+    variants (the documented out-of-scope tier)."""
+    import numpy as np
+
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (no SOI)")
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    sof = None
+    scan_spec = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at offset {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI before SOS
+            break
+        (ln,) = struct.unpack(">H", payload[pos + 2:pos + 4])
+        if ln < 2 or pos + 2 + ln > len(payload):
+            raise ValueError("truncated segment")
+        body = payload[pos + 4:pos + 2 + ln]
+        pos += 2 + ln
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0xF
+                if pq != 0:
+                    raise UnsupportedCodecError("16-bit DQT precision")
+                if i + 65 > len(body):
+                    raise ValueError("truncated DQT")
+                qtables[tq] = list(body[i + 1:i + 65])
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0xF
+                if i + 17 > len(body):
+                    raise ValueError("truncated DHT")
+                counts = list(body[i + 1:i + 17])
+                n = sum(counts)
+                if i + 17 + n > len(body):
+                    raise ValueError("truncated DHT symbols")
+                symbols = list(body[i + 17:i + 17 + n])
+                inv = {
+                    cl: s
+                    for s, cl in _huff_canonical(counts, symbols).items()
+                }
+                htables[(tc, th)] = inv
+                i += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise UnsupportedCodecError(f"{prec}-bit JPEG precision")
+            if nc != 1:
+                raise UnsupportedCodecError(
+                    "multi-component (color) JPEG: YCbCr MCU interleave"
+                )
+            comp_id, sampling, tq = body[6], body[7], body[8]
+            if sampling != 0x11:
+                raise UnsupportedCodecError("subsampled JPEG")
+            sof = (w, h, comp_id, tq)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise UnsupportedCodecError(
+                f"non-baseline JPEG (SOF marker 0xFF{marker:02x})"
+            )
+        elif marker == 0xDD:
+            raise UnsupportedCodecError("restart interval (DRI)")
+        elif marker == 0xDA:  # SOS — entropy data follows
+            ns = body[0]
+            if ns != 1:
+                raise UnsupportedCodecError("multi-component scan")
+            td, ta = body[2] >> 4, body[2] & 0xF
+            scan_spec = (td, ta, pos)
+            break
+    if sof is None or scan_spec is None:
+        raise ValueError("missing SOF0 or SOS")
+    width, height, _cid, tq = sof
+    if width <= 0 or height <= 0:
+        raise ValueError(f"bad JPEG dimensions {width}x{height}")
+    td, ta, data_pos = scan_spec
+    if tq not in qtables or (0, td) not in htables or (1, ta) not in htables:
+        raise ValueError("scan references undeclared table")
+    qarr = np.zeros(64, dtype=np.float64)
+    for i, nat in enumerate(_JPEG_ZIGZAG):
+        qarr[nat] = qtables[tq][i]
+    qarr = qarr.reshape(8, 8)
+    dc_tab, ac_tab = htables[(0, td)], htables[(1, ta)]
+    m = _dct_matrix()
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    out = np.zeros((bh * 8, bw * 8), dtype=np.uint8)
+    r = _BitReader(payload[data_pos:])
+    prev_dc = 0
+    for by in range(bh):
+        for bx in range(bw):
+            coef = np.zeros(64, dtype=np.float64)
+            size = r.decode(dc_tab)
+            if size:
+                v = r.bits(size)
+                if v < (1 << (size - 1)):
+                    v -= (1 << size) - 1
+            else:
+                v = 0
+            prev_dc += v
+            coef[_JPEG_ZIGZAG[0]] = prev_dc
+            k = 1
+            while k < 64:
+                sym = r.decode(ac_tab)
+                if sym == 0x00:  # EOB
+                    break
+                run, size = sym >> 4, sym & 0xF
+                if size == 0:
+                    if run != 15:
+                        raise ValueError(f"bad AC symbol {sym:#x}")
+                    k += 16  # ZRL
+                    continue
+                k += run
+                if k > 63:
+                    raise ValueError("AC run past block end")
+                v = r.bits(size)
+                if v < (1 << (size - 1)):
+                    v -= (1 << size) - 1
+                coef[_JPEG_ZIGZAG[k]] = v
+                k += 1
+            block = m.T @ (coef.reshape(8, 8) * qarr) @ m
+            out[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = np.clip(
+                np.rint(block) + 128, 0, 255
+            ).astype(np.uint8)
+    pixels = out[:height, :width].tobytes()
+    return {
+        "width": width,
+        "height": height,
+        "bpp": 8,
+        "row_stride": width,
+        "pixel_bytes": width * height,
+        "n_blocks": bw * bh,
+        "pixels": pixels,
+    }
+
+
 def _decode_payload(payload: bytes, mime_type: str) -> bytes:
     """Decode a payload to its content bytes: PCM samples for WAV,
     the raw pixel array for BMP/PNG (PNG inflated AND unfiltered),
@@ -354,6 +734,8 @@ def _decode_payload(payload: bytes, mime_type: str) -> bytes:
         return parse_bmp(payload)["pixels"]
     if mime_type == "image/png":
         return parse_png(payload)["pixels"]
+    if mime_type in ("image/jpeg", "image/jpg"):
+        return parse_jpeg(payload)["pixels"]
     raise UnsupportedCodecError(
         f"no codec for {mime_type}: needs an external decoder library"
     )
@@ -641,6 +1023,13 @@ def media_properties(df: DataFrame) -> DataFrame:
                                 .sum(dtype=np.int64)
                             ),
                         }
+                    elif mime in ("image/jpeg", "image/jpg"):
+                        j = parse_jpeg(payload)
+                        vals = {k: j[k] for k in image_keys[:-1]}
+                        vals["pixel_byte_sum"] = int(
+                            np.frombuffer(j["pixels"], dtype=np.uint8)
+                            .sum(dtype=np.int64)
+                        )
                     else:
                         ok = False
                 except (ValueError, struct.error):

@@ -2767,9 +2767,9 @@ def q_multimodal_png_probe(spark, sf_dir):
     Paeth predict across rows with non-trivial deltas and the oracle's
     pixel_byte_sum (3·width · Σ_rows (doc_id+row) % 251, pure doc_id
     arithmetic) only matches if every filter inverts exactly — a
-    wrong Paeth tie-break or Average floor shifts the sum. JPEG stays
-    an UnsupportedCodecError dead-letter (entropy decoding genuinely
-    needs a library); PNG needs only stdlib zlib + struct. Same
+    wrong Paeth tie-break or Average floor shifts the sum. PNG needs
+    only stdlib zlib + struct (and since r11 baseline grayscale JPEG
+    decodes for real too — q_multimodal_jpeg_probe). Same
     Arrow-batched no-shuffle shape as the WAV/BMP probes."""
     import pandas as pd
 
@@ -2795,6 +2795,85 @@ def q_multimodal_png_probe(spark, sf_dir):
                     "doc_id": pdf["doc_id"],
                     "payload": payloads,
                     "mime_type": "image/png",
+                }
+            )
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    payloads = d.select("doc_id").mapInPandas(
+        synth, schema="doc_id bigint, payload binary, mime_type string"
+    )
+    return media_properties(payloads).select(
+        "doc_id", "mime_type", "width", "height", "bpp",
+        "row_stride", "pixel_bytes", "pixel_byte_sum", "parse_ok",
+    )
+
+
+@register(
+    "q_multimodal_jpeg_probe",
+    """
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(1 + doc_id % 3 AS INT) AS wb,
+             CAST(1 + doc_id % 2 AS INT) AS hb
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT d.doc_id, 'image/jpeg' AS mime_type,
+           CAST(d.wb * 8 AS INT) AS width,
+           CAST(d.hb * 8 AS INT) AS height,
+           CAST(8 AS INT) AS bpp,
+           CAST(d.wb * 8 AS INT) AS row_stride,
+           CAST(d.wb * d.hb * 64 AS BIGINT) AS pixel_bytes,
+           CAST(64 * (SELECT sum((d.doc_id + 29 * a.by + 13 * b.bx) % 256)
+                      FROM unnest(range(0, d.hb)) AS a(by),
+                           unnest(range(0, d.wb)) AS b(bx))
+             AS BIGINT) AS pixel_byte_sum,
+           TRUE AS parse_ok
+    FROM dims d
+    """,
+)
+def q_multimodal_jpeg_probe(spark, sf_dir):
+    """REAL JPEG entropy decode, oracle-verified (r11, VERDICT r10
+    stretch #8 — retiring the 'JPEG needs a library' dead-letter for
+    the baseline grayscale tier): doc_id-derived images built from
+    1..6 CONSTANT 8x8 tiles (tile value (doc_id + 29*by + 13*bx) %
+    256) are encoded executor-side as baseline sequential JFIF with an
+    all-ones quantization table, then parsed back by media_properties
+    -> parse_jpeg: canonical-Huffman tables rebuilt from the stream's
+    DHT, bit-unstuffed scan, DC PREDICTION across the block raster
+    (values vary per tile, so diffs of both signs and several
+    categories), dequantize, IDCT, level shift. Constant tiles with
+    Q=1 round-trip EXACTLY (only the DC basis is excited, 8*(v-128) is
+    integral), so the oracle's pixel_byte_sum — 64 * Σ_tiles (doc_id +
+    29*by + 13*bx) % 256, pure doc_id arithmetic — only matches if the
+    whole entropy-decode chain is exact. Progressive/color/restart
+    variants stay documented UnsupportedCodecError dead-letters. Same
+    Arrow-batched no-shuffle shape as the WAV/BMP/PNG probes."""
+    import numpy as np
+    import pandas as pd
+
+    from hcls_data_lake_spark.operators.multimodal import (
+        encode_jpeg,
+        media_properties,
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for raw_id in pdf["doc_id"]:
+                doc_id = int(raw_id)
+                wb, hb = 1 + doc_id % 3, 1 + doc_id % 2
+                img = np.zeros((hb * 8, wb * 8), dtype=np.uint8)
+                for by in range(hb):
+                    for bx in range(wb):
+                        img[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = (
+                            doc_id + 29 * by + 13 * bx
+                        ) % 256
+                payloads.append(encode_jpeg(wb * 8, hb * 8, img.tobytes()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "mime_type": "image/jpeg",
                 }
             )
 

@@ -2366,3 +2366,89 @@ def test_malformed_codec_payloads_route_as_valueerror():
     st.pack_into("<i", bmp3, 22, 0)  # height = 0
     with pytest.raises(ValueError):
         parse_bmp(bytes(bmp3))
+
+
+def test_jpeg_roundtrip_exact_and_tolerance():
+    """r11 baseline JPEG codec: constant 8x8 tiles with the all-ones
+    quant table round-trip EXACTLY (only the DC basis is excited);
+    arbitrary pixels round-trip within the coefficient-rounding bound;
+    a real quant table is visibly lossy but parses."""
+    import numpy as np
+
+    from hcls_data_lake_spark.operators.multimodal import (
+        encode_jpeg,
+        parse_jpeg,
+    )
+
+    img = np.zeros((16, 24), dtype=np.uint8)
+    for by in range(2):
+        for bx in range(3):
+            img[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = (
+                37 + by * 29 + bx * 13
+            ) % 256
+    p = parse_jpeg(encode_jpeg(24, 16, img.tobytes()))
+    assert p["pixels"] == img.tobytes()
+    assert (p["width"], p["height"], p["bpp"], p["n_blocks"]) == (24, 16, 8, 6)
+    assert p["row_stride"] == 24 and p["pixel_bytes"] == 384
+
+    rng = np.random.RandomState(7)
+    img2 = rng.randint(0, 256, size=(19, 21), dtype=np.uint8)
+    p2 = parse_jpeg(encode_jpeg(21, 19, img2.tobytes()))
+    dec = np.frombuffer(p2["pixels"], dtype=np.uint8).reshape(19, 21)
+    # Q=1: every quantized coefficient is within 0.5 of the true DCT,
+    # so reconstruction error stays within a few gray levels
+    assert np.abs(dec.astype(int) - img2.astype(int)).max() <= 3
+    assert (p2["width"], p2["height"]) == (21, 19)  # non-multiple dims crop
+
+    p3 = parse_jpeg(encode_jpeg(21, 19, img2.tobytes(), quant=[16] * 64))
+    dec3 = np.frombuffer(p3["pixels"], dtype=np.uint8).reshape(19, 21)
+    assert 0 < np.abs(dec3.astype(int) - img2.astype(int)).max() <= 40
+
+
+def test_jpeg_malformed_and_unsupported_route_as_dead_letter():
+    import numpy as np
+
+    from hcls_data_lake_spark.operators.multimodal import (
+        UnsupportedCodecError,
+        encode_jpeg,
+        parse_jpeg,
+    )
+
+    img = np.full((8, 8), 99, dtype=np.uint8)
+    good = encode_jpeg(8, 8, img.tobytes())
+    with pytest.raises(ValueError):
+        parse_jpeg(b"\x89PNG\r\n\x1a\n")  # wrong magic
+    with pytest.raises(ValueError):
+        parse_jpeg(good[: len(good) // 2])  # truncated mid-stream
+    blob = bytearray(good)
+    sof = blob.find(b"\xff\xc0")
+    blob[sof + 1] = 0xC2  # progressive DCT
+    with pytest.raises(UnsupportedCodecError):
+        parse_jpeg(bytes(blob))
+    # scan data corruption: an invalid marker inside the scan is a
+    # hard ValueError, not silent garbage
+    blob2 = bytearray(good)
+    sos = blob2.find(b"\xff\xda")
+    blob2[sos + 10] = 0xFF  # first entropy byte (SOS header is 10B)
+    blob2[sos + 11] = 0xC7  # -> stray marker inside the scan
+    with pytest.raises((ValueError, UnsupportedCodecError)):
+        parse_jpeg(bytes(blob2))
+
+
+def test_extract_features_decodes_real_jpeg(spark):
+    import numpy as np
+
+    from hcls_data_lake_spark.operators.multimodal import encode_jpeg
+
+    img = np.full((8, 8), 2, dtype=np.uint8)
+    rows = [
+        (1, encode_jpeg(8, 8, img.tobytes()), "image/jpeg"),
+        (2, b"\xff\xd8junk", "image/jpeg"),  # malformed -> dead letter
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, payload binary, mime_type string"
+    )
+    by_id = {r.doc_id: r for r in extract_features(df).collect()}
+    # decoded pixels are all 0x02 -> histogram bin 2 gets everything
+    assert by_id[1].decode_ok and by_id[1].feature[2] == 1.0
+    assert not by_id[2].decode_ok and by_id[2].feature is None
