@@ -292,6 +292,10 @@ EXTENDED = [
     "q_text_bpe_merges",      # 3-step BPE loop, chained-rebuild pin (r10)
     "q_multimodal_png_probe",  # real PNG decode, all 5 filters pinned (r10)
     "q_scan_text_gzip",       # gzip text round-trip, non-splittable note (r10)
+    "q_udf_parse_er7_golden",  # golden-corpus md5 pin of the ER7 parser (r11)
+    "q_text_bpe_apply",       # BPE encode: trained merges on held-out (r11)
+    "q_hl7_qbp_reconcile",    # QBP^Q11/RSP^K11 query-protocol round-trip (r11)
+    "q_multimodal_jpeg_probe",  # real baseline JPEG entropy decode (r11)
 ]
 
 # Ambient-drift canaries (r9, VERDICT r8 ask #5): constant plans whose

@@ -84,64 +84,20 @@ def register(name: str, oracle: str | None) -> Callable[[QueryFn], QueryFn]:
 # correctness sweep — then cover every family instead of exhausting the
 # budget inside whichever module happens to import first.
 _FAMILY_REPRESENTATIVES = [
-    # -- OLDEST-ROW-FIRST (round-10 rotation, VERDICT r9 ask #7): the
-    # driver has a row for all 399 r9-era names, so the rotation
-    # priority flips from never-sampled-first to stalest-evidence-
-    # first. The first 18 slots are the r10 additions (no row yet);
-    # the remainder is ordered stalest-latest-green-row first (r1-era
-    # names, then r2-era), so a 50-name driver prefix refreshes every
-    # r10 addition plus the 32 stalest legacy rows, and a prefix
-    # overrun keeps eating the stalest evidence. --
-    "q_sim_ann_ivf_exact_regime",
-    "q_sim_ann_lsh_exact_regime",
-    "q_sim_ann_pq_exact_regime",
-    "q_sim_ann_ivfpq_exact_regime",
-    "q_agg_approx_quantile_exact_regime",
-    "q_multimodal_wav_probe",
-    "q_multimodal_bmp_probe",
-    "q_hl7_rrd_reconcile",
-    "q_agg_approx_distinct_exact_regime",
-    "q_agg_hll_sketch_exact_regime",
-    "q_multimodal_frames_probe",
-    "q_hl7_typed_omg",
-    "q_embed_pca_exact_regime",
-    "q_hl7_typed_oms",
-    "q_text_bpe_step",
-    "q_text_bpe_merges",
-    "q_multimodal_png_probe",
-    "q_scan_text_gzip",
-    "q_agg_cube",
-    "q_agg_distinct",
-    "q_agg_global",
-    "q_agg_groupingsets",
-    "q_agg_histogram",
-    "q_agg_median",
-    "q_agg_mode",
-    "q_agg_pivot",
-    "q_agg_rollup",
-    "q_agg_stats",
-    "q_agg_unpivot",
-    "q_analytics_expectations",
-    "q_analytics_profile",
-    "q_filter_eq",
-    "q_filter_like",
-    "q_filter_null",
-    "q_filter_range_str",
-    "q_fn_bitwise",
-    "q_fn_cast",
-    "q_fn_cond",
-    "q_fn_date",
-    "q_fn_hash",
-    "q_fn_math",
-    "q_fn_regex",
-    "q_join_anti",
-    "q_join_full",
-    "q_join_left",
-    "q_join_multiway",
-    "q_join_range_bin",
-    "q_join_range_interval",
-    "q_join_salted_skew",
-    "q_join_semi",
+    # -- OLDEST-ROW-FIRST (r11 rotation, continuing VERDICT r10 ask
+    # #6): slots 1-5 are the r11 additions (4 brand-new names plus
+    # q_udf_parse_er7, whose oracle is new in r11 and whose latest
+    # driver row is the r4 rows-only one); the remainder is ordered
+    # stalest-latest-driver-row first (3 r1-era names, the 36 r2-era
+    # names, then r3-era ...), so a 50-name driver prefix refreshes
+    # every r11 addition plus the 45 stalest legacy rows, and a prefix
+    # overrun keeps eating the stalest evidence. Regenerate with the
+    # CORRECTNESS_r*.json latest-row scan (tools snippet in r11 log).
+    "q_udf_parse_er7_golden",
+    "q_text_bpe_apply",
+    "q_hl7_qbp_reconcile",
+    "q_multimodal_jpeg_probe",
+    "q_udf_parse_er7",
     "q_join_theta",
     "q_project_rename",
     "q_rollup_hybrid",
@@ -181,284 +137,6 @@ _FAMILY_REPRESENTATIVES = [
     "q_udaf_grouped",
     "q_udf_grouped_map",
     "q_udtf_python",
-    "q_join_asof_nearest",
-    "q_dedup_semantic",
-    "q_sample_reservoir",
-    "q_stream_stateful_tws",
-    "q_stream_minhash",
-    "q_ts_changepoint",
-    "q_pipeline_ingest_encoding",
-    "q_pipeline_versions",
-    "q_embed_recall_ivfpq",
-    "q_hl7_typed_vxu",
-    "q_hl7_ack_reconcile",
-    "q_join_multiway_bucketed",
-    "q_fn_sql_scripting",
-    "q_fn_execute_immediate",
-    "q_udtf_arrow_bytes",
-    "q_stream_tws_timers",
-    "q_sink_pystream_manifest",
-    "q_stream_tws_mapstate",
-    "q_decontaminate_near",
-    "q_stream_tws_state_reader",
-    "q_multimodal_binary",
-    "q_embed_pca_project",
-    "q_hl7_typed_rde",
-    "q_bench_canary_floor",
-    "q_bench_canary_scan",
-    "q_dedup_semantic_scaled",
-    "q_dedup_pipeline_e2e_full",
-    "q_fn_time",
-    "q_agg_approx_topk",
-    "q_fn_group_by_all",
-    "q_stream_tws_initial_state",
-    "q_ts_dtw",
-    "q_graph_label_propagation",
-    "q_scd2_bitemporal",
-    "q_join_spatial_grid",
-    "q_sample_kcenter",
-    "q_join_interval_allocate",
-    "q_agg_kth_selection",
-    "q_text_bm25",
-    "q_multimodal_chunk_manifest",
-    "q_analytics_fifo_depletion",
-    "q_sample_bootstrap",
-    "q_analytics_tiered_commission",
-    "q_embed_prefix_eval",
-    "q_pipeline_rule_bitmap",
-    "q_ts_sprt",
-    "q_ts_interval_union",
-    "q_stream_ivm",
-    "q_join_hierarchy_rollup",
-    "q_privacy_dp_topk",
-    "q_analytics_diff_in_diff",
-    "q_fn_soundex",
-    "q_sink_manifest_checksum",
-    "q_agg_crossmoments",
-    "q_pipeline_feature_join",
-    "q_text_pmi",
-    "q_diag_key_uniqueness",
-    "q_sample_importance_weights",
-    "q_layout_zorder",
-    "q_fn_collation",
-    "q_fn_json_build",
-    "q_agg_bool",
-    "q_agg_listagg",
-    "q_analytics_local_volume",
-    "q_analytics_big_orders",
-    "q_pipeline_compact",
-    "q_pipeline_expire",
-    "q_agg_hll_sketch",
-    "q_sim_ann_ivf",
-    "q_agg_approx_quantile",
-    "q_dedup_minhash_lsh",
-    "q_dedup_simhash",
-    "q_sim_ann_lsh",
-    "q_sim_ann_pq",
-    "q_sim_ann_ivfpq",
-    "q_multimodal_frames",
-    "q_agg_gini",
-    "q_analytics_abc",
-    "q_privacy_t_closeness",
-    "q_dedup_posting_census",
-    "q_embed_recall_tuned",
-    "q_dedup_near_capped",
-    "q_stream_tws_topk",
-    "q_dedup_simhash_join",
-    "q_text_cdc_chunks",
-    "q_dedup_pipeline_e2e",
-    "q_sample_neyman",
-    "q_graph_kcore",
-    "q_analytics_retention_bitmap",
-    "q_agg_percentile_exact",
-    "q_embed_knn_graph",
-    "q_pack_shards",
-    "q_stream_observe",
-    "q_diag_volume_anomaly",
-    "q_analytics_ab_test",
-    "q_sample_quota_mix",
-    "q_dedup_edit_gate",
-    "q_analytics_rolling_actives",
-    "q_text_hash_features",
-    "q_join_null_skew",
-    "q_ts_cross_correlation",
-    "q_analytics_price_volume",
-    "q_graph_reach_recursive",
-    "q_fn_sql_udf",
-    "q_stream_state_inspect",
-    "q_fn_pipe_syntax",
-    "q_scan_metadata_cols",
-    "q_text_distinctive_terms",
-    "q_udf_apply_in_arrow",
-    "q_join_shuffle_hash",
-    "q_analytics_lifecycle",
-    "q_embed_recall_audit",
-    "q_sim_ann_multiprobe",
-    "q_graph_modularity",
-    "q_ts_drawdown",
-    "q_privacy_randomized_response",
-    "q_dedup_blocking_quality",
-    "q_ts_rolling_zscore",
-    "q_analytics_xyz",
-    "q_pipeline_late_dim",
-    "q_text_outlier_docs",
-    "q_ts_backtest_naive",
-    "q_privacy_dp_mean",
-    "q_agg_multi_distinct",
-    "q_stream_incremental_resume",
-    "q_analytics_attribution",
-    "q_pipeline_ivm",
-    "q_dedup_linkage_fs",
-    "q_ts_decompose",
-    "q_analytics_basket_pairs",
-    "q_analytics_skyline",
-    "q_graph_khop",
-    "q_diag_benford",
-    "q_win_streak_islands",
-    "q_join_dpp",
-    "q_analytics_rfm",
-    "q_text_zipf",
-    "q_analytics_basket_rules",
-    "q_win_pattern_seq",
-    "q_ts_spearman",
-    "q_analytics_mom_growth",
-    "q_stream_cdc_apply",
-    "q_sample_time_split",
-    "q_ts_downsample_ltob",
-    "q_agg_weighted_median",
-    "q_ts_mad_outliers",
-    "q_text_keywords",
-    "q_analytics_hhi",
-    "q_analytics_time_to_convert",
-    "q_analytics_new_vs_returning",
-    "q_analytics_activity_histogram",
-    "q_analytics_transitions",
-    "q_analytics_cal_heatmap",
-    "q_agg_bitmap_distinct",
-    "q_agg_mann_whitney",
-    "q_ts_seasonal_index",
-    "q_analytics_order_to_ship",
-    "q_scan_parquet_footer",
-    "q_ts_kendall",
-    "q_analytics_ltv_curve",
-    "q_sketch_hll_intersect",
-    "q_diag_sequence_gaps",
-    "q_diag_distribution_drift",
-    "q_ts_rank_autocorr",
-    "q_dedup_threshold_sweep",
-    "q_graph_assortativity",
-    "q_analytics_wilson_rank",
-    "q_ts_runs_test",
-    "q_privacy_anonymity_ladder",
-    "q_ts_theil_sen",
-    "q_agg_ks_test",
-    "q_analytics_chi_square",
-    "q_privacy_dp_histogram",
-    "q_graph_jaccard_neighbors",
-    "q_ts_sma_crossover",
-    "q_join_lateral",
-    "q_fn_generators",
-    "q_sample_class_balance",
-    "q_analytics_survival",
-    "q_analytics_min_cost_supplier",
-    "q_dedup_minhash_est",
-    "q_dedup_lsh_bands",
-    "q_dedup_simhash_md5",
-    "q_dedup_keep_best",
-    "q_graph_pagerank_exact",
-    "q_sketch_countmin",
-    "q_sketch_hll_md5",
-    "q_sketch_hll_merge",
-    "q_sketch_bloom_md5",
-    "q_stream_countmin",
-    "q_stream_hll",
-    "q_ts_interpolate",
-    "q_sink_backfill_overwrite",
-    "q_privacy_pseudonymize",
-    "q_privacy_l_diversity",
-    "q_diag_referential",
-    "q_diag_completeness",
-    "q_diag_profile",
-    "q_diag_key_skew",
-    "q_join_asof_tolerance",
-    "q_join_fuzzy",
-    "q_join_range_overlap",
-    "q_join_temporal",
-    "q_text_containment",
-    "q_text_passage_dedup",
-    "q_text_repetition",
-    "q_text_redact",
-    "q_decontaminate",
-    "q_analytics_excess_supplier",
-    "q_analytics_order_distribution",
-    "q_analytics_disjunctive_revenue",
-    "q_analytics_forecast_revenue",
-    "q_analytics_nation_volume",
-    "q_analytics_parts_suppliers",
-    "q_agg_regression",
-    "q_agg_entropy",
-    "q_agg_winsorize",
-    "q_sample_stratified",
-    "q_sample_mix",
-    "q_sample_token_budget",
-    "q_sink_shuffled_shards",
-    "q_scan_json_corrupt",
-    "q_scan_binaryfile",
-    "q_scan_federated",
-    "q_stream_static_join",
-    "q_stream_pysource_typed",
-    "q_stream_complete_topk",
-    "q_embed_quantize",
-    "q_pack_sequences",
-    "q_agg_approx_distinct",
-    "q_udf_parse_er7",
-    "q_hl7_typed_oru",
-    "q_udtf_explode_segments",
-    "q_subquery_scalar",
-    "q_subquery_in",
-    "q_subquery_not_exists",
-    "q_subquery_waiting_supplier",
-    "q_subquery_idle_customers",
-    "q_subquery_having",
-    "q_win_percent",
-    "q_win_ratio",
-    "q_win_median",
-    "q_win_distinct",
-    "q_fn_hof",
-    "q_fn_try",
-    "q_fn_variant",
-    "q_fn_xml",
-    "q_scan_csv",
-    "q_scan_orc",
-    "q_scan_xml",
-    "q_scan_time_travel",
-    "q_scan_schema_evolution",
-    "q_ts_ohlc",
-    "q_ts_dedup_consecutive",
-    "q_graph_pagerank",
-    "q_graph_triangles",
-    "q_text_langid",
-    "q_text_fingerprint",
-    "q_text_token_count",
-    "q_analytics_returns",
-    "q_analytics_top_supplier",
-    "q_analytics_priority",
-    "q_analytics_cohort",
-    "q_analytics_funnel",
-    "q_analytics_ship_latency",
-    "q_analytics_market_share",
-    "q_analytics_profit",
-    "q_analytics_promo",
-    "q_pipeline_zone_route",
-    "q_pipeline_retrieval",
-    "q_pipeline_catalog_upsert",
-    "q_pipeline_current_state",
-    "q_text_clean",
-    "q_text_bigrams",
-    "q_embed_standardize",
-    "q_set_intersect_all",
-    "q_set_except_all",
-    "q_join_nullsafe",
     "q_scan_parquet",
     "q_scan_text_parse",
     "q_scan_json",
@@ -509,7 +187,335 @@ _FAMILY_REPRESENTATIVES = [
     "q_filter_conj",
     "q_project_case",
     "q_fn_string",
+    "q_agg_approx_distinct",
+    "q_hl7_typed_oru",
+    "q_udtf_explode_segments",
+    "q_subquery_scalar",
+    "q_subquery_in",
+    "q_subquery_not_exists",
+    "q_subquery_waiting_supplier",
+    "q_subquery_idle_customers",
+    "q_subquery_having",
+    "q_win_percent",
+    "q_win_ratio",
+    "q_win_median",
+    "q_win_distinct",
+    "q_fn_hof",
+    "q_fn_try",
+    "q_fn_variant",
+    "q_fn_xml",
+    "q_scan_csv",
+    "q_scan_orc",
+    "q_scan_xml",
+    "q_scan_time_travel",
+    "q_scan_schema_evolution",
+    "q_ts_ohlc",
+    "q_ts_dedup_consecutive",
+    "q_graph_pagerank",
+    "q_graph_triangles",
+    "q_text_langid",
+    "q_text_fingerprint",
+    "q_text_token_count",
+    "q_analytics_returns",
+    "q_analytics_top_supplier",
+    "q_analytics_priority",
+    "q_analytics_cohort",
+    "q_analytics_funnel",
+    "q_analytics_ship_latency",
+    "q_analytics_market_share",
+    "q_analytics_profit",
+    "q_analytics_promo",
+    "q_pipeline_zone_route",
+    "q_pipeline_retrieval",
+    "q_pipeline_catalog_upsert",
+    "q_pipeline_current_state",
+    "q_text_clean",
+    "q_text_bigrams",
+    "q_embed_standardize",
+    "q_set_intersect_all",
+    "q_set_except_all",
+    "q_join_nullsafe",
+    "q_analytics_min_cost_supplier",
+    "q_dedup_minhash_est",
+    "q_dedup_lsh_bands",
+    "q_dedup_simhash_md5",
+    "q_dedup_keep_best",
+    "q_graph_pagerank_exact",
+    "q_sketch_countmin",
+    "q_sketch_hll_md5",
+    "q_sketch_hll_merge",
+    "q_sketch_bloom_md5",
+    "q_stream_countmin",
+    "q_stream_hll",
+    "q_ts_interpolate",
+    "q_sink_backfill_overwrite",
+    "q_privacy_pseudonymize",
+    "q_privacy_l_diversity",
+    "q_diag_referential",
+    "q_diag_completeness",
+    "q_diag_profile",
+    "q_diag_key_skew",
+    "q_join_asof_tolerance",
+    "q_join_fuzzy",
+    "q_join_range_overlap",
+    "q_join_temporal",
+    "q_text_containment",
+    "q_text_passage_dedup",
+    "q_text_repetition",
+    "q_text_redact",
+    "q_decontaminate",
+    "q_analytics_excess_supplier",
+    "q_analytics_order_distribution",
+    "q_analytics_disjunctive_revenue",
+    "q_analytics_forecast_revenue",
+    "q_analytics_nation_volume",
+    "q_analytics_parts_suppliers",
+    "q_agg_regression",
+    "q_agg_entropy",
+    "q_agg_winsorize",
+    "q_sample_stratified",
+    "q_sample_mix",
+    "q_sample_token_budget",
+    "q_sink_shuffled_shards",
+    "q_scan_json_corrupt",
+    "q_scan_binaryfile",
+    "q_scan_federated",
+    "q_stream_static_join",
+    "q_stream_pysource_typed",
+    "q_stream_complete_topk",
+    "q_embed_quantize",
+    "q_pack_sequences",
+    "q_analytics_basket_pairs",
+    "q_analytics_skyline",
+    "q_graph_khop",
+    "q_diag_benford",
+    "q_win_streak_islands",
+    "q_join_dpp",
+    "q_analytics_rfm",
+    "q_text_zipf",
+    "q_analytics_basket_rules",
+    "q_win_pattern_seq",
+    "q_ts_spearman",
+    "q_analytics_mom_growth",
+    "q_stream_cdc_apply",
+    "q_sample_time_split",
+    "q_ts_downsample_ltob",
+    "q_agg_weighted_median",
+    "q_ts_mad_outliers",
+    "q_text_keywords",
+    "q_analytics_hhi",
+    "q_analytics_time_to_convert",
+    "q_analytics_new_vs_returning",
+    "q_analytics_activity_histogram",
+    "q_analytics_transitions",
+    "q_analytics_cal_heatmap",
+    "q_agg_bitmap_distinct",
+    "q_agg_mann_whitney",
+    "q_ts_seasonal_index",
+    "q_analytics_order_to_ship",
+    "q_scan_parquet_footer",
+    "q_ts_kendall",
+    "q_analytics_ltv_curve",
+    "q_sketch_hll_intersect",
+    "q_diag_sequence_gaps",
+    "q_diag_distribution_drift",
+    "q_ts_rank_autocorr",
+    "q_dedup_threshold_sweep",
+    "q_graph_assortativity",
+    "q_analytics_wilson_rank",
+    "q_ts_runs_test",
+    "q_privacy_anonymity_ladder",
+    "q_ts_theil_sen",
+    "q_agg_ks_test",
+    "q_analytics_chi_square",
+    "q_privacy_dp_histogram",
+    "q_graph_jaccard_neighbors",
+    "q_ts_sma_crossover",
+    "q_join_lateral",
+    "q_fn_generators",
+    "q_sample_class_balance",
+    "q_analytics_survival",
+    "q_dedup_posting_census",
+    "q_embed_recall_tuned",
+    "q_dedup_near_capped",
+    "q_stream_tws_topk",
+    "q_dedup_simhash_join",
+    "q_text_cdc_chunks",
+    "q_dedup_pipeline_e2e",
+    "q_sample_neyman",
+    "q_graph_kcore",
+    "q_analytics_retention_bitmap",
+    "q_agg_percentile_exact",
+    "q_embed_knn_graph",
+    "q_pack_shards",
+    "q_stream_observe",
+    "q_diag_volume_anomaly",
+    "q_analytics_ab_test",
+    "q_sample_quota_mix",
+    "q_dedup_edit_gate",
+    "q_analytics_rolling_actives",
+    "q_text_hash_features",
+    "q_join_null_skew",
+    "q_ts_cross_correlation",
+    "q_analytics_price_volume",
+    "q_graph_reach_recursive",
+    "q_fn_sql_udf",
+    "q_stream_state_inspect",
+    "q_fn_pipe_syntax",
+    "q_scan_metadata_cols",
+    "q_text_distinctive_terms",
+    "q_udf_apply_in_arrow",
+    "q_join_shuffle_hash",
+    "q_analytics_lifecycle",
+    "q_embed_recall_audit",
+    "q_sim_ann_multiprobe",
+    "q_graph_modularity",
+    "q_ts_drawdown",
+    "q_privacy_randomized_response",
+    "q_dedup_blocking_quality",
+    "q_ts_rolling_zscore",
+    "q_analytics_xyz",
+    "q_pipeline_late_dim",
+    "q_text_outlier_docs",
+    "q_ts_backtest_naive",
+    "q_privacy_dp_mean",
+    "q_agg_multi_distinct",
+    "q_stream_incremental_resume",
+    "q_analytics_attribution",
+    "q_pipeline_ivm",
+    "q_dedup_linkage_fs",
+    "q_ts_decompose",
+    "q_analytics_diff_in_diff",
+    "q_fn_soundex",
+    "q_sink_manifest_checksum",
+    "q_agg_crossmoments",
+    "q_pipeline_feature_join",
+    "q_text_pmi",
+    "q_diag_key_uniqueness",
+    "q_sample_importance_weights",
+    "q_layout_zorder",
+    "q_fn_collation",
+    "q_fn_json_build",
+    "q_agg_bool",
+    "q_agg_listagg",
+    "q_analytics_local_volume",
+    "q_analytics_big_orders",
+    "q_pipeline_compact",
+    "q_pipeline_expire",
+    "q_agg_hll_sketch",
+    "q_sim_ann_ivf",
+    "q_agg_approx_quantile",
+    "q_dedup_minhash_lsh",
+    "q_dedup_simhash",
+    "q_sim_ann_lsh",
+    "q_sim_ann_pq",
+    "q_sim_ann_ivfpq",
+    "q_multimodal_frames",
+    "q_agg_gini",
+    "q_analytics_abc",
+    "q_privacy_t_closeness",
+    "q_join_asof_nearest",
+    "q_dedup_semantic",
+    "q_sample_reservoir",
+    "q_stream_stateful_tws",
+    "q_stream_minhash",
+    "q_ts_changepoint",
+    "q_pipeline_ingest_encoding",
+    "q_pipeline_versions",
+    "q_embed_recall_ivfpq",
+    "q_hl7_typed_vxu",
+    "q_hl7_ack_reconcile",
+    "q_join_multiway_bucketed",
+    "q_fn_sql_scripting",
+    "q_fn_execute_immediate",
+    "q_udtf_arrow_bytes",
+    "q_stream_tws_timers",
+    "q_sink_pystream_manifest",
+    "q_stream_tws_mapstate",
+    "q_decontaminate_near",
+    "q_stream_tws_state_reader",
+    "q_multimodal_binary",
+    "q_embed_pca_project",
+    "q_hl7_typed_rde",
+    "q_bench_canary_floor",
+    "q_bench_canary_scan",
+    "q_dedup_semantic_scaled",
+    "q_dedup_pipeline_e2e_full",
+    "q_fn_time",
+    "q_agg_approx_topk",
+    "q_fn_group_by_all",
+    "q_stream_tws_initial_state",
+    "q_ts_dtw",
+    "q_graph_label_propagation",
+    "q_scd2_bitemporal",
+    "q_join_spatial_grid",
+    "q_sample_kcenter",
+    "q_join_interval_allocate",
+    "q_agg_kth_selection",
+    "q_text_bm25",
+    "q_multimodal_chunk_manifest",
+    "q_analytics_fifo_depletion",
+    "q_sample_bootstrap",
+    "q_analytics_tiered_commission",
+    "q_embed_prefix_eval",
+    "q_pipeline_rule_bitmap",
+    "q_ts_sprt",
+    "q_ts_interval_union",
+    "q_stream_ivm",
+    "q_join_hierarchy_rollup",
+    "q_privacy_dp_topk",
+    "q_sim_ann_ivf_exact_regime",
+    "q_sim_ann_lsh_exact_regime",
+    "q_sim_ann_pq_exact_regime",
+    "q_sim_ann_ivfpq_exact_regime",
+    "q_agg_approx_quantile_exact_regime",
+    "q_multimodal_wav_probe",
+    "q_multimodal_bmp_probe",
+    "q_hl7_rrd_reconcile",
+    "q_agg_approx_distinct_exact_regime",
+    "q_agg_hll_sketch_exact_regime",
+    "q_multimodal_frames_probe",
+    "q_hl7_typed_omg",
+    "q_embed_pca_exact_regime",
+    "q_hl7_typed_oms",
+    "q_text_bpe_step",
+    "q_text_bpe_merges",
+    "q_multimodal_png_probe",
+    "q_scan_text_gzip",
+    "q_agg_cube",
+    "q_agg_distinct",
+    "q_agg_global",
+    "q_agg_groupingsets",
+    "q_agg_histogram",
+    "q_agg_median",
+    "q_agg_mode",
+    "q_agg_pivot",
+    "q_agg_rollup",
+    "q_agg_stats",
+    "q_agg_unpivot",
+    "q_analytics_expectations",
+    "q_analytics_profile",
+    "q_filter_eq",
+    "q_filter_like",
+    "q_filter_null",
+    "q_filter_range_str",
+    "q_fn_bitwise",
+    "q_fn_cast",
+    "q_fn_cond",
+    "q_fn_date",
+    "q_fn_hash",
+    "q_fn_math",
+    "q_fn_regex",
+    "q_join_anti",
+    "q_join_full",
+    "q_join_left",
+    "q_join_multiway",
+    "q_join_range_bin",
+    "q_join_range_interval",
+    "q_join_salted_skew",
+    "q_join_semi",
 ]
+
 
 
 
