@@ -12,13 +12,14 @@ FOR REAL — stdlib zlib inflate + full scanline unfiltering
 (``parse_png``) — and, since r11, so does baseline sequential
 grayscale JPEG (``parse_jpeg``: canonical-Huffman entropy decode, DC
 prediction, AC run-length, dequantize, IDCT — the T.81 core, stdlib +
-numpy only). ``text/plain`` decodes as identity. What still routes as
-``UnsupportedCodecError`` dead-letters (``decode_ok = false`` rows,
-never a crash): progressive JPEG (SOF2), multi-component color JPEG
-(subsampled YCbCr MCU interleave), restart intervals, 12-bit
-precision, and video demux — variants whose spec surface is large
-relative to what the probe tier exercises, not an entropy-coding
-blocker anymore.
+numpy only) including 3-component 4:4:4 YCbCr color (interleaved
+MCUs, per-component DC prediction, BT.601 inverse). ``text/plain``
+decodes as identity. What still routes as ``UnsupportedCodecError``
+dead-letters (``decode_ok = false`` rows, never a crash): progressive
+JPEG (SOF2), CHROMA-SUBSAMPLED color (non-1x1 sampling factors),
+restart intervals, 12-bit precision, and video demux — variants whose
+spec surface is large relative to what the probe tier exercises, not
+an entropy-coding blocker anymore.
 """
 
 from __future__ import annotations
@@ -426,50 +427,55 @@ def _jpeg_category(v: int) -> int:
     return 0 if v == 0 else abs(v).bit_length()
 
 
-def encode_jpeg(width: int, height: int, pixels: bytes,
-                quant: list[int] | None = None) -> bytes:
-    """Serialize 8-bit grayscale pixels (height rows of width bytes)
-    as a baseline sequential JFIF. Edge blocks pad by replication; the
-    quantization table defaults to all-ones (lossless for constant
-    tiles, near-lossless generally). Huffman tables are built from the
-    symbols actually emitted (fixed-length canonical codes, declared
-    in DHT — the decoder reads whatever DHT declares)."""
+def _jpeg_encode_planes(width: int, height: int, planes,
+                        quant: list[int] | None) -> bytes:
+    """Shared baseline-JFIF serializer: each plane is one (height,
+    width) uint8 component; the scan interleaves one 8x8 block per
+    component per MCU (4:4:4 — Hmax = Vmax = 1). Edge blocks pad by
+    replication; the quantization table defaults to all-ones (lossless
+    for constant tiles, near-lossless generally). Huffman tables are
+    built from the symbols actually emitted (fixed-length canonical
+    codes declared in DHT — the decoder reads whatever DHT declares),
+    shared by all components (legal: SOS picks tables per component)."""
     import numpy as np
 
-    if len(pixels) != width * height or width <= 0 or height <= 0:
-        raise ValueError("pixel array size != width * height")
     q = list(quant) if quant is not None else [1] * 64
     if len(q) != 64 or any(not 1 <= v <= 255 for v in q):
         raise ValueError("quant table must be 64 entries in 1..255")
     m = _dct_matrix()
-    img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
     bw, bh = (width + 7) // 8, (height + 7) // 8
-    padded = np.pad(img, ((0, bh * 8 - height), (0, bw * 8 - width)),
-                    mode="edge").astype(np.float64) - 128.0
+    padded = [
+        np.pad(p, ((0, bh * 8 - height), (0, bw * 8 - width)),
+               mode="edge").astype(np.float64) - 128.0
+        for p in planes
+    ]
     qarr = np.array(q, dtype=np.float64).reshape(8, 8)
-    # pass 1: quantized coefficient blocks + the symbol alphabets
+    nc = len(planes)
+    # pass 1: quantized coefficient blocks (MCU-interleaved order,
+    # per-component DC prediction) + the symbol alphabets
     blocks, dc_syms, ac_syms = [], set(), set()
-    prev_dc = 0
+    prev_dc = [0] * nc
     for by in range(bh):
         for bx in range(bw):
-            f = padded[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8]
-            coef = np.rint((m @ f @ m.T) / qarr).astype(np.int64)
-            zz = [int(coef.flat[_JPEG_ZIGZAG[i]]) for i in range(64)]
-            blocks.append(zz)
-            dc_syms.add(_jpeg_category(zz[0] - prev_dc))
-            prev_dc = zz[0]
-            run = 0
-            for v in zz[1:]:
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    ac_syms.add(0xF0)  # ZRL
-                    run -= 16
-                ac_syms.add((run << 4) | _jpeg_category(v))
+            for ci in range(nc):
+                f = padded[ci][by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8]
+                coef = np.rint((m @ f @ m.T) / qarr).astype(np.int64)
+                zz = [int(coef.flat[_JPEG_ZIGZAG[i]]) for i in range(64)]
+                blocks.append(zz)
+                dc_syms.add(_jpeg_category(zz[0] - prev_dc[ci]))
+                prev_dc[ci] = zz[0]
                 run = 0
-            if run:
-                ac_syms.add(0x00)  # EOB
+                for v in zz[1:]:
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        ac_syms.add(0xF0)  # ZRL
+                        run -= 16
+                    ac_syms.add((run << 4) | _jpeg_category(v))
+                    run = 0
+                if run:
+                    ac_syms.add(0x00)  # EOB
     ac_syms.add(0x00)
 
     def fixed_table(syms: set[int]) -> tuple[list[int], list[int], dict]:
@@ -481,51 +487,100 @@ def encode_jpeg(width: int, height: int, pixels: bytes,
 
     dc_counts, dc_vals, dc_code = fixed_table(dc_syms)
     ac_counts, ac_vals, ac_code = fixed_table(ac_syms)
-    # pass 2: entropy-code the scan
+    # pass 2: entropy-code the scan (same interleaved order)
     w = _BitWriter()
-    prev_dc = 0
-    for zz in blocks:
-        diff = zz[0] - prev_dc
-        prev_dc = zz[0]
-        size = _jpeg_category(diff)
-        code, ln = dc_code[size]
-        w.write(code, ln)
-        if size:
-            w.write(diff if diff > 0 else diff + (1 << size) - 1, size)
-        run = 0
-        for v in zz[1:]:
-            if v == 0:
-                run += 1
-                continue
-            while run > 15:
-                code, ln = ac_code[0xF0]
+    prev = [0] * nc
+    bi = 0
+    for _by in range(bh):
+        for _bx in range(bw):
+            for ci in range(nc):
+                zz = blocks[bi]
+                bi += 1
+                diff = zz[0] - prev[ci]
+                prev[ci] = zz[0]
+                size = _jpeg_category(diff)
+                code, ln = dc_code[size]
                 w.write(code, ln)
-                run -= 16
-            size = _jpeg_category(v)
-            code, ln = ac_code[(run << 4) | size]
-            w.write(code, ln)
-            w.write(v if v > 0 else v + (1 << size) - 1, size)
-            run = 0
-        if run:
-            code, ln = ac_code[0x00]
-            w.write(code, ln)
+                if size:
+                    w.write(
+                        diff if diff > 0 else diff + (1 << size) - 1, size
+                    )
+                run = 0
+                for v in zz[1:]:
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_code[0xF0]
+                        w.write(code, ln)
+                        run -= 16
+                    size = _jpeg_category(v)
+                    code, ln = ac_code[(run << 4) | size]
+                    w.write(code, ln)
+                    w.write(v if v > 0 else v + (1 << size) - 1, size)
+                    run = 0
+                if run:
+                    code, ln = ac_code[0x00]
+                    w.write(code, ln)
     scan = w.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">HH", marker, len(body) + 2) + body
 
+    sof_comps = b"".join(
+        bytes([ci + 1, 0x11, 0]) for ci in range(nc)
+    )
+    sos_comps = b"".join(bytes([ci + 1, 0x00]) for ci in range(nc))
     return b"".join([
         b"\xff\xd8",  # SOI
         seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"),
         seg(0xFFDB, b"\x00" + bytes(q)),  # DQT, 8-bit, table 0
-        seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 1)
-            + b"\x01\x11\x00"),  # SOF0: 1 component, 1x1 sampling
+        seg(0xFFC0, struct.pack(">BHHB", 8, height, width, nc)
+            + sof_comps),  # SOF0, all components 1x1 sampling
         seg(0xFFC4, b"\x00" + bytes(dc_counts) + bytes(dc_vals)),
         seg(0xFFC4, b"\x10" + bytes(ac_counts) + bytes(ac_vals)),
-        seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00"),  # SOS
+        seg(0xFFDA, bytes([nc]) + sos_comps + b"\x00\x3f\x00"),  # SOS
         scan,
         b"\xff\xd9",  # EOI
     ])
+
+
+def encode_jpeg(width: int, height: int, pixels: bytes,
+                quant: list[int] | None = None) -> bytes:
+    """Serialize 8-bit grayscale pixels (height rows of width bytes)
+    as a baseline sequential JFIF (single component)."""
+    import numpy as np
+
+    if len(pixels) != width * height or width <= 0 or height <= 0:
+        raise ValueError("pixel array size != width * height")
+    img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
+    return _jpeg_encode_planes(width, height, [img], quant)
+
+
+def encode_jpeg_color(width: int, height: int, rgb: bytes,
+                      quant: list[int] | None = None) -> bytes:
+    """Serialize interleaved 8-bit RGB pixels (height rows of width*3
+    bytes) as a baseline sequential 4:4:4 YCbCr JFIF (JFIF BT.601
+    conversion, rounded). Gray pixels (R=G=B=v) map to Y=v,
+    Cb=Cr=128 exactly, so constant gray tiles with the all-ones quant
+    table round-trip EXACTLY through the full color path."""
+    import numpy as np
+
+    if len(rgb) != width * height * 3 or width <= 0 or height <= 0:
+        raise ValueError("pixel array size != width * height * 3")
+    img = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3)
+    r = img[:, :, 0].astype(np.float64)
+    g = img[:, :, 1].astype(np.float64)
+    b = img[:, :, 2].astype(np.float64)
+    y = np.clip(np.rint(0.299 * r + 0.587 * g + 0.114 * b), 0, 255)
+    cb = np.clip(
+        np.rint(-0.1687 * r - 0.3313 * g + 0.5 * b + 128), 0, 255
+    )
+    cr = np.clip(
+        np.rint(0.5 * r - 0.4187 * g - 0.0813 * b + 128), 0, 255
+    )
+    planes = [p.astype(np.uint8) for p in (y, cb, cr)]
+    return _jpeg_encode_planes(width, height, planes, quant)
 
 
 class _BitReader:
@@ -634,14 +689,19 @@ def parse_jpeg(payload: bytes) -> dict:
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise UnsupportedCodecError(f"{prec}-bit JPEG precision")
-            if nc != 1:
-                raise UnsupportedCodecError(
-                    "multi-component (color) JPEG: YCbCr MCU interleave"
-                )
-            comp_id, sampling, tq = body[6], body[7], body[8]
-            if sampling != 0x11:
-                raise UnsupportedCodecError("subsampled JPEG")
-            sof = (w, h, comp_id, tq)
+            if nc not in (1, 3):
+                raise UnsupportedCodecError(f"{nc}-component JPEG")
+            if len(body) < 6 + 3 * nc:
+                raise ValueError("truncated SOF0")
+            comps = []
+            for ci in range(nc):
+                comp_id, sampling, tq = body[6 + 3 * ci:9 + 3 * ci]
+                if sampling != 0x11:
+                    raise UnsupportedCodecError(
+                        "subsampled JPEG (non-1x1 sampling factors)"
+                    )
+                comps.append((comp_id, tq))
+            sof = (w, h, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise UnsupportedCodecError(
@@ -651,72 +711,100 @@ def parse_jpeg(payload: bytes) -> dict:
             raise UnsupportedCodecError("restart interval (DRI)")
         elif marker == 0xDA:  # SOS — entropy data follows
             ns = body[0]
-            if ns != 1:
-                raise UnsupportedCodecError("multi-component scan")
-            td, ta = body[2] >> 4, body[2] & 0xF
-            scan_spec = (td, ta, pos)
+            if len(body) < 1 + 2 * ns + 3:
+                raise ValueError("truncated SOS")
+            scan_tabs = [
+                (body[2 + 2 * ci] >> 4, body[2 + 2 * ci] & 0xF)
+                for ci in range(ns)
+            ]
+            scan_spec = (ns, scan_tabs, pos)
             break
     if sof is None or scan_spec is None:
         raise ValueError("missing SOF0 or SOS")
-    width, height, _cid, tq = sof
+    width, height, comps = sof
     if width <= 0 or height <= 0:
         raise ValueError(f"bad JPEG dimensions {width}x{height}")
-    td, ta, data_pos = scan_spec
-    if tq not in qtables or (0, td) not in htables or (1, ta) not in htables:
-        raise ValueError("scan references undeclared table")
-    qarr = np.zeros(64, dtype=np.float64)
-    for i, nat in enumerate(_JPEG_ZIGZAG):
-        qarr[nat] = qtables[tq][i]
-    qarr = qarr.reshape(8, 8)
-    dc_tab, ac_tab = htables[(0, td)], htables[(1, ta)]
+    ns, scan_tabs, data_pos = scan_spec
+    if ns != len(comps):
+        raise UnsupportedCodecError("scan/frame component mismatch")
+    per_comp = []
+    for (cid_, tq), (td, ta) in zip(comps, scan_tabs):
+        if (tq not in qtables or (0, td) not in htables
+                or (1, ta) not in htables):
+            raise ValueError("scan references undeclared table")
+        qarr = np.zeros(64, dtype=np.float64)
+        for i, nat in enumerate(_JPEG_ZIGZAG):
+            qarr[nat] = qtables[tq][i]
+        per_comp.append(
+            (qarr.reshape(8, 8), htables[(0, td)], htables[(1, ta)])
+        )
     m = _dct_matrix()
+    nc = len(comps)
     bw, bh = (width + 7) // 8, (height + 7) // 8
-    out = np.zeros((bh * 8, bw * 8), dtype=np.uint8)
+    planes = [np.zeros((bh * 8, bw * 8), dtype=np.uint8) for _ in range(nc)]
     r = _BitReader(payload[data_pos:])
-    prev_dc = 0
+    prev_dc = [0] * nc
     for by in range(bh):
         for bx in range(bw):
-            coef = np.zeros(64, dtype=np.float64)
-            size = r.decode(dc_tab)
-            if size:
-                v = r.bits(size)
-                if v < (1 << (size - 1)):
-                    v -= (1 << size) - 1
-            else:
-                v = 0
-            prev_dc += v
-            coef[_JPEG_ZIGZAG[0]] = prev_dc
-            k = 1
-            while k < 64:
-                sym = r.decode(ac_tab)
-                if sym == 0x00:  # EOB
-                    break
-                run, size = sym >> 4, sym & 0xF
-                if size == 0:
-                    if run != 15:
-                        raise ValueError(f"bad AC symbol {sym:#x}")
-                    k += 16  # ZRL
-                    continue
-                k += run
-                if k > 63:
-                    raise ValueError("AC run past block end")
-                v = r.bits(size)
-                if v < (1 << (size - 1)):
-                    v -= (1 << size) - 1
-                coef[_JPEG_ZIGZAG[k]] = v
-                k += 1
-            block = m.T @ (coef.reshape(8, 8) * qarr) @ m
-            out[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = np.clip(
-                np.rint(block) + 128, 0, 255
-            ).astype(np.uint8)
-    pixels = out[:height, :width].tobytes()
+            for ci in range(nc):
+                qarr, dc_tab, ac_tab = per_comp[ci]
+                coef = np.zeros(64, dtype=np.float64)
+                size = r.decode(dc_tab)
+                if size:
+                    v = r.bits(size)
+                    if v < (1 << (size - 1)):
+                        v -= (1 << size) - 1
+                else:
+                    v = 0
+                prev_dc[ci] += v
+                coef[_JPEG_ZIGZAG[0]] = prev_dc[ci]
+                k = 1
+                while k < 64:
+                    sym = r.decode(ac_tab)
+                    if sym == 0x00:  # EOB
+                        break
+                    run, size = sym >> 4, sym & 0xF
+                    if size == 0:
+                        if run != 15:
+                            raise ValueError(f"bad AC symbol {sym:#x}")
+                        k += 16  # ZRL
+                        continue
+                    k += run
+                    if k > 63:
+                        raise ValueError("AC run past block end")
+                    v = r.bits(size)
+                    if v < (1 << (size - 1)):
+                        v -= (1 << size) - 1
+                    coef[_JPEG_ZIGZAG[k]] = v
+                    k += 1
+                block = m.T @ (coef.reshape(8, 8) * qarr) @ m
+                planes[ci][by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = (
+                    np.clip(np.rint(block) + 128, 0, 255).astype(np.uint8)
+                )
+    if nc == 1:
+        pixels = planes[0][:height, :width].tobytes()
+        bpp, stride = 8, width
+    else:  # YCbCr 4:4:4 -> interleaved RGB (JFIF BT.601 inverse)
+        y = planes[0][:height, :width].astype(np.float64)
+        cb = planes[1][:height, :width].astype(np.float64) - 128.0
+        cr = planes[2][:height, :width].astype(np.float64) - 128.0
+        rgb = np.stack(
+            [
+                y + 1.402 * cr,
+                y - 0.344136 * cb - 0.714136 * cr,
+                y + 1.772 * cb,
+            ],
+            axis=-1,
+        )
+        pixels = np.clip(np.rint(rgb), 0, 255).astype(np.uint8).tobytes()
+        bpp, stride = 24, width * 3
     return {
         "width": width,
         "height": height,
-        "bpp": 8,
-        "row_stride": width,
-        "pixel_bytes": width * height,
-        "n_blocks": bw * bh,
+        "bpp": bpp,
+        "row_stride": stride,
+        "pixel_bytes": stride * height,
+        "n_blocks": bw * bh * nc,
         "pixels": pixels,
     }
 

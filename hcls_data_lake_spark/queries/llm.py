@@ -2887,6 +2887,83 @@ def q_multimodal_jpeg_probe(spark, sf_dir):
     )
 
 
+@register(
+    "q_multimodal_jpeg_color_probe",
+    """
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(1 + doc_id % 2 AS INT) AS wb,
+             CAST(1 + doc_id % 3 AS INT) AS hb
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT d.doc_id, 'image/jpeg' AS mime_type,
+           CAST(d.wb * 8 AS INT) AS width,
+           CAST(d.hb * 8 AS INT) AS height,
+           CAST(24 AS INT) AS bpp,
+           CAST(d.wb * 24 AS INT) AS row_stride,
+           CAST(d.wb * d.hb * 192 AS BIGINT) AS pixel_bytes,
+           CAST(192 * (SELECT sum((d.doc_id + 53 * a.by + 17 * b.bx) % 256)
+                       FROM unnest(range(0, d.hb)) AS a(by),
+                            unnest(range(0, d.wb)) AS b(bx))
+             AS BIGINT) AS pixel_byte_sum,
+           TRUE AS parse_ok
+    FROM dims d
+    """,
+)
+def q_multimodal_jpeg_color_probe(spark, sf_dir):
+    """COLOR JPEG decode through the full 3-component path (r11,
+    extending q_multimodal_jpeg_probe past grayscale): doc_id-derived
+    images of constant GRAY tiles (R=G=B = (doc_id + 53*by + 17*bx) %
+    256) are encoded as baseline 4:4:4 YCbCr JFIF — gray maps to
+    (Y=v, Cb=Cr=128) exactly under the rounded BT.601 forward
+    transform, so with the all-ones quant table the interleaved-MCU
+    scan (three blocks per MCU, SEPARATE per-component DC prediction
+    chains) and the BT.601 inverse reconstruct the RGB bytes exactly.
+    The oracle's pixel_byte_sum (192 = 3 channels x 64 px per tile)
+    only matches if component interleave order, per-component
+    predictors, and both color transforms are exact. Chroma-subsampled
+    JPEG stays an UnsupportedCodecError dead-letter."""
+    import numpy as np
+    import pandas as pd
+
+    from hcls_data_lake_spark.operators.multimodal import (
+        encode_jpeg_color,
+        media_properties,
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for raw_id in pdf["doc_id"]:
+                doc_id = int(raw_id)
+                wb, hb = 1 + doc_id % 2, 1 + doc_id % 3
+                img = np.zeros((hb * 8, wb * 8, 3), dtype=np.uint8)
+                for by in range(hb):
+                    for bx in range(wb):
+                        img[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8, :] = (
+                            doc_id + 53 * by + 17 * bx
+                        ) % 256
+                payloads.append(
+                    encode_jpeg_color(wb * 8, hb * 8, img.tobytes())
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "mime_type": "image/jpeg",
+                }
+            )
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    payloads = d.select("doc_id").mapInPandas(
+        synth, schema="doc_id bigint, payload binary, mime_type string"
+    )
+    return media_properties(payloads).select(
+        "doc_id", "mime_type", "width", "height", "bpp",
+        "row_stride", "pixel_bytes", "pixel_byte_sum", "parse_ok",
+    )
+
+
 _PACK_SQL = """
     WITH toks AS (
       SELECT doc_id, source,

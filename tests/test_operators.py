@@ -2452,3 +2452,42 @@ def test_extract_features_decodes_real_jpeg(spark):
     # decoded pixels are all 0x02 -> histogram bin 2 gets everything
     assert by_id[1].decode_ok and by_id[1].feature[2] == 1.0
     assert not by_id[2].decode_ok and by_id[2].feature is None
+
+
+def test_jpeg_color_roundtrip_and_subsampled_dead_letter():
+    """r11 color JPEG: gray pixels through the 4:4:4 YCbCr path
+    round-trip exactly (BT.601 forward maps R=G=B=v to Y=v,
+    Cb=Cr=128); random RGB round-trips within the conversion+
+    coefficient rounding bound; subsampled sampling factors stay an
+    UnsupportedCodecError dead-letter."""
+    import numpy as np
+
+    from hcls_data_lake_spark.operators.multimodal import (
+        UnsupportedCodecError,
+        encode_jpeg_color,
+        parse_jpeg,
+    )
+
+    rgb = np.zeros((16, 16, 3), dtype=np.uint8)
+    for by in range(2):
+        for bx in range(2):
+            rgb[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8, :] = (
+                11 + by * 101 + bx * 57
+            ) % 256
+    p = parse_jpeg(encode_jpeg_color(16, 16, rgb.tobytes()))
+    assert p["pixels"] == rgb.tobytes()
+    assert (p["bpp"], p["row_stride"], p["n_blocks"]) == (24, 48, 12)
+
+    rng = np.random.RandomState(3)
+    img2 = rng.randint(0, 256, size=(19, 13, 3), dtype=np.uint8)
+    p2 = parse_jpeg(encode_jpeg_color(13, 19, img2.tobytes()))
+    dec = np.frombuffer(p2["pixels"], dtype=np.uint8).reshape(19, 13, 3)
+    assert np.abs(dec.astype(int) - img2.astype(int)).max() <= 6
+
+    # flip SOF0's Y sampling factor to 2x2 (the 4:2:0 layout) -> the
+    # subsampled MCU interleave is out of scope and must dead-letter
+    blob = bytearray(encode_jpeg_color(16, 16, rgb.tobytes()))
+    sof = blob.find(b"\xff\xc0")
+    blob[sof + 11] = 0x22  # component 1 sampling (SOF body offset 7)
+    with pytest.raises(UnsupportedCodecError):
+        parse_jpeg(bytes(blob))
