@@ -297,6 +297,7 @@ EXTENDED = [
     "q_hl7_qbp_reconcile",    # QBP^Q11/RSP^K11 query-protocol round-trip (r11)
     "q_multimodal_jpeg_probe",  # real baseline JPEG entropy decode (r11)
     "q_multimodal_jpeg_color_probe",  # 4:4:4 YCbCr interleaved MCUs (r11)
+    "q_multimodal_jpeg420_probe",  # 4:2:0 subsampled decode (r11)
 ]
 
 # Ambient-drift canaries (r9, VERDICT r8 ask #5): constant plans whose

@@ -428,54 +428,78 @@ def _jpeg_category(v: int) -> int:
 
 
 def _jpeg_encode_planes(width: int, height: int, planes,
-                        quant: list[int] | None) -> bytes:
-    """Shared baseline-JFIF serializer: each plane is one (height,
-    width) uint8 component; the scan interleaves one 8x8 block per
-    component per MCU (4:4:4 — Hmax = Vmax = 1). Edge blocks pad by
-    replication; the quantization table defaults to all-ones (lossless
-    for constant tiles, near-lossless generally). Huffman tables are
-    built from the symbols actually emitted (fixed-length canonical
-    codes declared in DHT — the decoder reads whatever DHT declares),
-    shared by all components (legal: SOS picks tables per component)."""
+                        quant: list[int] | None,
+                        samplings: list[tuple[int, int]] | None = None,
+                        ) -> bytes:
+    """Shared baseline-JFIF serializer: each plane is one uint8
+    component AT ITS OWN RESOLUTION (ceil(width*hi/Hmax) x
+    ceil(height*vi/Vmax) for sampling factors (hi, vi) — default all
+    (1,1), i.e. 4:4:4). The scan interleaves hi*vi blocks per
+    component per MCU in raster order (T.81 A.2.3). Edge blocks pad
+    by replication; the quantization table defaults to all-ones
+    (lossless for constant tiles, near-lossless generally). Huffman
+    tables are built from the symbols actually emitted (fixed-length
+    canonical codes declared in DHT — the decoder reads whatever DHT
+    declares), shared by all components (legal: SOS picks tables per
+    component)."""
     import numpy as np
 
     q = list(quant) if quant is not None else [1] * 64
     if len(q) != 64 or any(not 1 <= v <= 255 for v in q):
         raise ValueError("quant table must be 64 entries in 1..255")
-    m = _dct_matrix()
-    bw, bh = (width + 7) // 8, (height + 7) // 8
-    padded = [
-        np.pad(p, ((0, bh * 8 - height), (0, bw * 8 - width)),
-               mode="edge").astype(np.float64) - 128.0
-        for p in planes
-    ]
-    qarr = np.array(q, dtype=np.float64).reshape(8, 8)
     nc = len(planes)
+    samp = samplings or [(1, 1)] * nc
+    hmax = max(h for h, _ in samp)
+    vmax = max(v for _, v in samp)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    m = _dct_matrix()
+    padded = []
+    for p, (hi, vi) in zip(planes, samp):
+        comp_w = (width * hi + hmax - 1) // hmax
+        comp_h = (height * vi + vmax - 1) // vmax
+        if p.shape != (comp_h, comp_w):
+            raise ValueError("plane resolution != sampling geometry")
+        padded.append(
+            np.pad(p, ((0, mcuy * 8 * vi - comp_h),
+                       (0, mcux * 8 * hi - comp_w)),
+                   mode="edge").astype(np.float64) - 128.0
+        )
+    qarr = np.array(q, dtype=np.float64).reshape(8, 8)
     # pass 1: quantized coefficient blocks (MCU-interleaved order,
     # per-component DC prediction) + the symbol alphabets
     blocks, dc_syms, ac_syms = [], set(), set()
     prev_dc = [0] * nc
-    for by in range(bh):
-        for bx in range(bw):
+    for my in range(mcuy):
+        for mx in range(mcux):
             for ci in range(nc):
-                f = padded[ci][by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8]
-                coef = np.rint((m @ f @ m.T) / qarr).astype(np.int64)
-                zz = [int(coef.flat[_JPEG_ZIGZAG[i]]) for i in range(64)]
-                blocks.append(zz)
-                dc_syms.add(_jpeg_category(zz[0] - prev_dc[ci]))
-                prev_dc[ci] = zz[0]
-                run = 0
-                for v in zz[1:]:
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        ac_syms.add(0xF0)  # ZRL
-                        run -= 16
-                    ac_syms.add((run << 4) | _jpeg_category(v))
-                    run = 0
-                if run:
-                    ac_syms.add(0x00)  # EOB
+                hi, vi = samp[ci]
+                for by in range(vi):
+                    for bx in range(hi):
+                        ry, rx = (my * vi + by) * 8, (mx * hi + bx) * 8
+                        f = padded[ci][ry:ry + 8, rx:rx + 8]
+                        coef = np.rint((m @ f @ m.T) / qarr).astype(
+                            np.int64
+                        )
+                        zz = [
+                            int(coef.flat[_JPEG_ZIGZAG[i]])
+                            for i in range(64)
+                        ]
+                        blocks.append(zz)
+                        dc_syms.add(_jpeg_category(zz[0] - prev_dc[ci]))
+                        prev_dc[ci] = zz[0]
+                        run = 0
+                        for v in zz[1:]:
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                ac_syms.add(0xF0)  # ZRL
+                                run -= 16
+                            ac_syms.add((run << 4) | _jpeg_category(v))
+                            run = 0
+                        if run:
+                            ac_syms.add(0x00)  # EOB
     ac_syms.add(0x00)
 
     def fixed_table(syms: set[int]) -> tuple[list[int], list[int], dict]:
@@ -491,44 +515,48 @@ def _jpeg_encode_planes(width: int, height: int, planes,
     w = _BitWriter()
     prev = [0] * nc
     bi = 0
-    for _by in range(bh):
-        for _bx in range(bw):
+    for _my in range(mcuy):
+        for _mx in range(mcux):
             for ci in range(nc):
-                zz = blocks[bi]
-                bi += 1
-                diff = zz[0] - prev[ci]
-                prev[ci] = zz[0]
-                size = _jpeg_category(diff)
-                code, ln = dc_code[size]
-                w.write(code, ln)
-                if size:
-                    w.write(
-                        diff if diff > 0 else diff + (1 << size) - 1, size
-                    )
-                run = 0
-                for v in zz[1:]:
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, ln = ac_code[0xF0]
-                        w.write(code, ln)
-                        run -= 16
-                    size = _jpeg_category(v)
-                    code, ln = ac_code[(run << 4) | size]
+                hi, vi = samp[ci]
+                for _ in range(hi * vi):
+                    zz = blocks[bi]
+                    bi += 1
+                    diff = zz[0] - prev[ci]
+                    prev[ci] = zz[0]
+                    size = _jpeg_category(diff)
+                    code, ln = dc_code[size]
                     w.write(code, ln)
-                    w.write(v if v > 0 else v + (1 << size) - 1, size)
+                    if size:
+                        w.write(
+                            diff if diff > 0 else diff + (1 << size) - 1,
+                            size,
+                        )
                     run = 0
-                if run:
-                    code, ln = ac_code[0x00]
-                    w.write(code, ln)
+                    for v in zz[1:]:
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            code, ln = ac_code[0xF0]
+                            w.write(code, ln)
+                            run -= 16
+                        size = _jpeg_category(v)
+                        code, ln = ac_code[(run << 4) | size]
+                        w.write(code, ln)
+                        w.write(v if v > 0 else v + (1 << size) - 1, size)
+                        run = 0
+                    if run:
+                        code, ln = ac_code[0x00]
+                        w.write(code, ln)
     scan = w.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">HH", marker, len(body) + 2) + body
 
     sof_comps = b"".join(
-        bytes([ci + 1, 0x11, 0]) for ci in range(nc)
+        bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], 0])
+        for ci in range(nc)
     )
     sos_comps = b"".join(bytes([ci + 1, 0x00]) for ci in range(nc))
     return b"".join([
@@ -558,12 +586,17 @@ def encode_jpeg(width: int, height: int, pixels: bytes,
 
 
 def encode_jpeg_color(width: int, height: int, rgb: bytes,
-                      quant: list[int] | None = None) -> bytes:
+                      quant: list[int] | None = None,
+                      subsample: str = "444") -> bytes:
     """Serialize interleaved 8-bit RGB pixels (height rows of width*3
-    bytes) as a baseline sequential 4:4:4 YCbCr JFIF (JFIF BT.601
-    conversion, rounded). Gray pixels (R=G=B=v) map to Y=v,
-    Cb=Cr=128 exactly, so constant gray tiles with the all-ones quant
-    table round-trip EXACTLY through the full color path."""
+    bytes) as a baseline sequential YCbCr JFIF (JFIF BT.601
+    conversion, rounded) — 4:4:4 or, with ``subsample='420'``, the
+    real-world-dominant 4:2:0 layout (Y at 2x2 sampling, chroma
+    downsampled by 2x2 mean, interleaved 16x16 MCUs). Gray pixels
+    (R=G=B=v) map to Y=v, Cb=Cr=128 exactly — and constant-128 chroma
+    survives mean-downsampling exactly — so constant gray tiles with
+    the all-ones quant table round-trip EXACTLY through either
+    layout."""
     import numpy as np
 
     if len(rgb) != width * height * 3 or width <= 0 or height <= 0:
@@ -579,8 +612,28 @@ def encode_jpeg_color(width: int, height: int, rgb: bytes,
     cr = np.clip(
         np.rint(0.5 * r - 0.4187 * g - 0.0813 * b + 128), 0, 255
     )
-    planes = [p.astype(np.uint8) for p in (y, cb, cr)]
-    return _jpeg_encode_planes(width, height, planes, quant)
+    if subsample == "444":
+        planes = [p.astype(np.uint8) for p in (y, cb, cr)]
+        return _jpeg_encode_planes(width, height, planes, quant)
+    if subsample != "420":
+        raise ValueError(f"unknown subsample mode {subsample!r}")
+
+    def down2(p):
+        eh, ew = (height + 1) // 2 * 2, (width + 1) // 2 * 2
+        p = np.pad(p, ((0, eh - height), (0, ew - width)), mode="edge")
+        return np.rint(
+            (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2]
+             + p[1::2, 1::2]) / 4.0
+        )
+
+    planes = [
+        y.astype(np.uint8),
+        down2(cb).astype(np.uint8),
+        down2(cr).astype(np.uint8),
+    ]
+    return _jpeg_encode_planes(
+        width, height, planes, quant, samplings=[(2, 2), (1, 1), (1, 1)]
+    )
 
 
 class _BitReader:
@@ -696,11 +749,12 @@ def parse_jpeg(payload: bytes) -> dict:
             comps = []
             for ci in range(nc):
                 comp_id, sampling, tq = body[6 + 3 * ci:9 + 3 * ci]
-                if sampling != 0x11:
+                hi, vi = sampling >> 4, sampling & 0xF
+                if not (1 <= hi <= 2 and 1 <= vi <= 2):
                     raise UnsupportedCodecError(
-                        "subsampled JPEG (non-1x1 sampling factors)"
+                        f"sampling factors {hi}x{vi} (1-2 supported)"
                     )
-                comps.append((comp_id, tq))
+                comps.append((comp_id, hi, vi, tq))
             sof = (w, h, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -727,8 +781,13 @@ def parse_jpeg(payload: bytes) -> dict:
     ns, scan_tabs, data_pos = scan_spec
     if ns != len(comps):
         raise UnsupportedCodecError("scan/frame component mismatch")
+    nc = len(comps)
+    hmax = max(hi for _, hi, _, _ in comps)
+    vmax = max(vi for _, _, vi, _ in comps)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
     per_comp = []
-    for (cid_, tq), (td, ta) in zip(comps, scan_tabs):
+    for (cid_, hi, vi, tq), (td, ta) in zip(comps, scan_tabs):
         if (tq not in qtables or (0, td) not in htables
                 or (1, ta) not in htables):
             raise ValueError("scan references undeclared table")
@@ -736,58 +795,75 @@ def parse_jpeg(payload: bytes) -> dict:
         for i, nat in enumerate(_JPEG_ZIGZAG):
             qarr[nat] = qtables[tq][i]
         per_comp.append(
-            (qarr.reshape(8, 8), htables[(0, td)], htables[(1, ta)])
+            (hi, vi, qarr.reshape(8, 8), htables[(0, td)],
+             htables[(1, ta)])
         )
     m = _dct_matrix()
-    nc = len(comps)
-    bw, bh = (width + 7) // 8, (height + 7) // 8
-    planes = [np.zeros((bh * 8, bw * 8), dtype=np.uint8) for _ in range(nc)]
+    planes = [
+        np.zeros((mcuy * 8 * vi, mcux * 8 * hi), dtype=np.uint8)
+        for hi, vi, _, _, _ in per_comp
+    ]
     r = _BitReader(payload[data_pos:])
     prev_dc = [0] * nc
-    for by in range(bh):
-        for bx in range(bw):
+    n_blocks = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
             for ci in range(nc):
-                qarr, dc_tab, ac_tab = per_comp[ci]
-                coef = np.zeros(64, dtype=np.float64)
-                size = r.decode(dc_tab)
-                if size:
-                    v = r.bits(size)
-                    if v < (1 << (size - 1)):
-                        v -= (1 << size) - 1
-                else:
-                    v = 0
-                prev_dc[ci] += v
-                coef[_JPEG_ZIGZAG[0]] = prev_dc[ci]
-                k = 1
-                while k < 64:
-                    sym = r.decode(ac_tab)
-                    if sym == 0x00:  # EOB
-                        break
-                    run, size = sym >> 4, sym & 0xF
-                    if size == 0:
-                        if run != 15:
-                            raise ValueError(f"bad AC symbol {sym:#x}")
-                        k += 16  # ZRL
-                        continue
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC run past block end")
-                    v = r.bits(size)
-                    if v < (1 << (size - 1)):
-                        v -= (1 << size) - 1
-                    coef[_JPEG_ZIGZAG[k]] = v
-                    k += 1
-                block = m.T @ (coef.reshape(8, 8) * qarr) @ m
-                planes[ci][by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = (
-                    np.clip(np.rint(block) + 128, 0, 255).astype(np.uint8)
-                )
+                hi, vi, qarr, dc_tab, ac_tab = per_comp[ci]
+                for by in range(vi):
+                    for bx in range(hi):
+                        coef = np.zeros(64, dtype=np.float64)
+                        size = r.decode(dc_tab)
+                        if size:
+                            v = r.bits(size)
+                            if v < (1 << (size - 1)):
+                                v -= (1 << size) - 1
+                        else:
+                            v = 0
+                        prev_dc[ci] += v
+                        coef[_JPEG_ZIGZAG[0]] = prev_dc[ci]
+                        k = 1
+                        while k < 64:
+                            sym = r.decode(ac_tab)
+                            if sym == 0x00:  # EOB
+                                break
+                            run, size = sym >> 4, sym & 0xF
+                            if size == 0:
+                                if run != 15:
+                                    raise ValueError(
+                                        f"bad AC symbol {sym:#x}"
+                                    )
+                                k += 16  # ZRL
+                                continue
+                            k += run
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            v = r.bits(size)
+                            if v < (1 << (size - 1)):
+                                v -= (1 << size) - 1
+                            coef[_JPEG_ZIGZAG[k]] = v
+                            k += 1
+                        block = m.T @ (coef.reshape(8, 8) * qarr) @ m
+                        ry = (my * vi + by) * 8
+                        rx = (mx * hi + bx) * 8
+                        planes[ci][ry:ry + 8, rx:rx + 8] = np.clip(
+                            np.rint(block) + 128, 0, 255
+                        ).astype(np.uint8)
+                        n_blocks += 1
+    # upsample each component to full resolution by replication
+    # (nearest-neighbor chroma upsampling), then crop to the frame
+    full = []
+    for (hi, vi, _, _, _), plane in zip(per_comp, planes):
+        up = np.repeat(np.repeat(plane, vmax // vi, axis=0),
+                       hmax // hi, axis=1)
+        full.append(up[:height, :width])
     if nc == 1:
-        pixels = planes[0][:height, :width].tobytes()
+        pixels = full[0].tobytes()
         bpp, stride = 8, width
-    else:  # YCbCr 4:4:4 -> interleaved RGB (JFIF BT.601 inverse)
-        y = planes[0][:height, :width].astype(np.float64)
-        cb = planes[1][:height, :width].astype(np.float64) - 128.0
-        cr = planes[2][:height, :width].astype(np.float64) - 128.0
+    else:  # YCbCr -> interleaved RGB (JFIF BT.601 inverse)
+        y = full[0].astype(np.float64)
+        cb = full[1].astype(np.float64) - 128.0
+        cr = full[2].astype(np.float64) - 128.0
         rgb = np.stack(
             [
                 y + 1.402 * cr,
@@ -804,7 +880,7 @@ def parse_jpeg(payload: bytes) -> dict:
         "bpp": bpp,
         "row_stride": stride,
         "pixel_bytes": stride * height,
-        "n_blocks": bw * bh * nc,
+        "n_blocks": n_blocks,
         "pixels": pixels,
     }
 

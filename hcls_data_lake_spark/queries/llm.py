@@ -2964,6 +2964,84 @@ def q_multimodal_jpeg_color_probe(spark, sf_dir):
     )
 
 
+@register(
+    "q_multimodal_jpeg420_probe",
+    """
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(1 + doc_id % 3 AS INT) AS wb,
+             CAST(1 + doc_id % 2 AS INT) AS hb
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT d.doc_id, 'image/jpeg' AS mime_type,
+           CAST(d.wb * 8 AS INT) AS width,
+           CAST(d.hb * 8 AS INT) AS height,
+           CAST(24 AS INT) AS bpp,
+           CAST(d.wb * 24 AS INT) AS row_stride,
+           CAST(d.wb * d.hb * 192 AS BIGINT) AS pixel_bytes,
+           CAST(192 * (SELECT sum((d.doc_id + 31 * a.by + 7 * b.bx) % 256)
+                       FROM unnest(range(0, d.hb)) AS a(by),
+                            unnest(range(0, d.wb)) AS b(bx))
+             AS BIGINT) AS pixel_byte_sum,
+           TRUE AS parse_ok
+    FROM dims d
+    """,
+)
+def q_multimodal_jpeg420_probe(spark, sf_dir):
+    """4:2:0 CHROMA-SUBSAMPLED JPEG decode (r11 — the layout nearly
+    every camera/web JPEG uses): constant GRAY 8x8 tiles encoded with
+    Y at 2x2 sampling and mean-downsampled chroma in interleaved 16x16
+    MCUs (4 Y + Cb + Cr blocks per MCU, per-component DC prediction,
+    edge-replicated partial MCUs at non-multiple dims). Gray input
+    keeps chroma at constant 128, which survives mean-downsampling
+    and nearest-neighbor upsampling exactly, so the decoded RGB is
+    byte-exact and the oracle's doc_id arithmetic pins the sampling
+    geometry: a block mis-ordered within the MCU, a wrong component
+    plane size, or a broken upsample shifts the sum. Sampling factors
+    above 2 stay UnsupportedCodecError dead-letters."""
+    import numpy as np
+    import pandas as pd
+
+    from hcls_data_lake_spark.operators.multimodal import (
+        encode_jpeg_color,
+        media_properties,
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for raw_id in pdf["doc_id"]:
+                doc_id = int(raw_id)
+                wb, hb = 1 + doc_id % 3, 1 + doc_id % 2
+                img = np.zeros((hb * 8, wb * 8, 3), dtype=np.uint8)
+                for by in range(hb):
+                    for bx in range(wb):
+                        img[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8, :] = (
+                            doc_id + 31 * by + 7 * bx
+                        ) % 256
+                payloads.append(
+                    encode_jpeg_color(
+                        wb * 8, hb * 8, img.tobytes(), subsample="420"
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "mime_type": "image/jpeg",
+                }
+            )
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    payloads = d.select("doc_id").mapInPandas(
+        synth, schema="doc_id bigint, payload binary, mime_type string"
+    )
+    return media_properties(payloads).select(
+        "doc_id", "mime_type", "width", "height", "bpp",
+        "row_stride", "pixel_bytes", "pixel_byte_sum", "parse_ok",
+    )
+
+
 _PACK_SQL = """
     WITH toks AS (
       SELECT doc_id, source,

@@ -2484,10 +2484,45 @@ def test_jpeg_color_roundtrip_and_subsampled_dead_letter():
     dec = np.frombuffer(p2["pixels"], dtype=np.uint8).reshape(19, 13, 3)
     assert np.abs(dec.astype(int) - img2.astype(int)).max() <= 6
 
-    # flip SOF0's Y sampling factor to 2x2 (the 4:2:0 layout) -> the
-    # subsampled MCU interleave is out of scope and must dead-letter
+    # sampling factors above 2 are out of scope and must dead-letter
     blob = bytearray(encode_jpeg_color(16, 16, rgb.tobytes()))
     sof = blob.find(b"\xff\xc0")
-    blob[sof + 11] = 0x22  # component 1 sampling (SOF body offset 7)
+    blob[sof + 11] = 0x33  # component 1 sampling (SOF body offset 7)
     with pytest.raises(UnsupportedCodecError):
         parse_jpeg(bytes(blob))
+
+
+def test_jpeg_420_subsampled_roundtrip():
+    """r11: 4:2:0 — Y at 2x2 sampling, chroma mean-downsampled, 16x16
+    interleaved MCUs. Gray tiles stay exact (constant-128 chroma
+    survives mean-downsampling); chroma-constant color images stay
+    within the conversion rounding bound; random-chroma content is
+    deliberately NOT bounded (subsampling discards it — that's the
+    format, not a bug)."""
+    import numpy as np
+
+    from hcls_data_lake_spark.operators.multimodal import (
+        encode_jpeg_color,
+        parse_jpeg,
+    )
+
+    rgb = np.zeros((16, 24, 3), dtype=np.uint8)
+    for by in range(2):
+        for bx in range(3):
+            rgb[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8, :] = (
+                19 + by * 67 + bx * 41
+            ) % 256
+    p = parse_jpeg(encode_jpeg_color(24, 16, rgb.tobytes(), subsample="420"))
+    assert p["pixels"] == rgb.tobytes()
+    # 2 MCUs wide x 1 high: (4 Y + 1 Cb + 1 Cr) x 2 = 12 blocks
+    assert (p["bpp"], p["n_blocks"]) == (24, 12)
+
+    # constant non-gray color: chroma constant -> subsample exact,
+    # only the YCbCr round-trip rounding remains
+    solid = np.zeros((16, 16, 3), dtype=np.uint8)
+    solid[:, :] = (200, 50, 90)
+    p2 = parse_jpeg(
+        encode_jpeg_color(16, 16, solid.tobytes(), subsample="420")
+    )
+    dec = np.frombuffer(p2["pixels"], dtype=np.uint8).reshape(16, 16, 3)
+    assert np.abs(dec.astype(int) - solid.astype(int)).max() <= 6
