@@ -107,6 +107,11 @@ SEGMENT_CARDINALITY: dict[str, int | None] = {
     "QPD": 1,
     "RCP": 1,
     "QAK": 1,
+    # r11 breadth: master files (ch.8) and scheduling requests (ch.10)
+    "MFI": 1,
+    "MFE": None,  # one per notified record
+    "ARQ": 1,
+    "APR": None,  # preferences attach per resource group in SRM
 }
 
 
@@ -151,6 +156,12 @@ FIELD_REPEATABLE: dict[str, frozenset[int]] = {
     # r11 query protocol: RCP-6 sort-by field and RCP-7 segment group
     # inclusion repeat per the v2.5 ch.5 definitions
     "RCP": frozenset({6, 7}),
+    # r11 breadth: MFE-4/5 primary key values (one per key component),
+    # ARQ-11 requested ranges + placer contact person/phone, APR's
+    # repeating selection criteria
+    "MFE": frozenset({4, 5}),
+    "ARQ": frozenset({11, 15, 16}),
+    "APR": frozenset({1, 2, 3, 5}),
 }
 
 
@@ -256,6 +267,23 @@ EVENT_STRUCTURE: dict[str, str] = {
     # (old_reference/hcdl_stack.txt:503-510, A19)
     "QBP_Q11": "QBP_Q11",
     "RSP_K11": "RSP_K11",
+    # r11 breadth beyond the named ask: master-file notification
+    # (MFN^M01 generic record layout) and the scheduling REQUEST side
+    # (SRM^S01 family + SRR^S01 responses — the SIU family already
+    # covers unsolicited notifications). v2.5 defines the S01-S11
+    # request triggers over one SRM structure, like SIU's S12 family.
+    "MFN_M01": "MFN_M01",
+    "SRM_S01": "SRM_S01",
+    "SRM_S02": "SRM_S01",
+    "SRM_S03": "SRM_S01",
+    "SRM_S04": "SRM_S01",
+    "SRM_S09": "SRM_S01",
+    "SRM_S10": "SRM_S01",
+    "SRM_S11": "SRM_S01",
+    "SRR_S01": "SRR_S01",
+    "SRR_S02": "SRR_S01",
+    "SRR_S03": "SRR_S01",
+    "SRR_S04": "SRR_S01",
     # ACK is trigger-agnostic (ACK^A01, ACK^R01, ... all share the
     # 3-segment ACK structure); structure_for special-cases the type,
     # these rows cover senders that spell the trigger without MSH-9.3
@@ -415,6 +443,19 @@ STRUCTURE_SEGMENT_CARDINALITY: dict[str, dict[str, int | None]] = {
     "RSP_K11": {
         "MSH": 1, "SFT": None, "MSA": 1, "ERR": 1, "QAK": 1,
         "QPD": 1, "DSC": 1,
+    },
+    # r11 breadth: master files + scheduling request/response (flat
+    # views of the trees below; segment max WITHIN IMMEDIATE PARENT)
+    "MFN_M01": {"MSH": 1, "SFT": None, "MFI": 1, "MFE": 1},
+    "SRM_S01": {
+        "MSH": 1, "ARQ": 1, "APR": 1, "NTE": None, "PID": 1,
+        "PV1": 1, "PV2": 1, "OBX": None, "DG1": None, "RGS": 1,
+        "AIS": 1, "AIG": 1, "AIL": 1, "AIP": 1,
+    },
+    "SRR_S01": {
+        "MSH": 1, "MSA": 1, "ERR": None, "NTE": None, "SCH": 1,
+        "PID": 1, "PV1": 1, "PV2": 1, "DG1": None, "RGS": 1,
+        "AIS": 1, "AIG": 1, "AIL": 1, "AIP": 1,
     },
     "DFT_P03": {
         "MSH": 1, "SFT": None, "EVN": 1, "PID": 1, "PD1": 1,
@@ -1254,6 +1295,72 @@ STRUCTURE_TREES: dict[str, tuple] = {
         _S("MSH", 1), _S("SFT", None), _S("MSA", 1), _S("ERR", 1),
         _S("QAK", 1), _S("QPD", 1), _S("DSC", 1),
     ),
+    # r11 breadth: master-file notification — MFI file header, then
+    # one MF group per notified record (generic M01 layout, ch.8)
+    "MFN_M01": (
+        _S("MSH", 1), _S("SFT", None), _S("MFI", 1),
+        ("MFN_M01_MF", None, (_S("MFE", 1),)),
+    ),
+    # scheduling request (ch.10): ARQ appointment request + optional
+    # preferences, optional patient, then one group per requested
+    # resource with the four service/resource subgroup shapes the SIU
+    # family already uses
+    "SRM_S01": (
+        _S("MSH", 1), _S("ARQ", 1), _S("APR", 1), _S("NTE", None),
+        (
+            "SRM_S01_PATIENT",
+            None,
+            (_S("PID", 1), _S("PV1", 1), _S("PV2", 1), _S("OBX", None),
+             _S("DG1", None)),
+        ),
+        (
+            "SRM_S01_RESOURCES",
+            None,
+            (
+                _S("RGS", 1),
+                ("SRM_S01_SERVICE", None,
+                 (_S("AIS", 1), _S("APR", 1), _S("NTE", None))),
+                ("SRM_S01_GENERAL_RESOURCE", None,
+                 (_S("AIG", 1), _S("APR", 1), _S("NTE", None))),
+                ("SRM_S01_LOCATION_RESOURCE", None,
+                 (_S("AIL", 1), _S("APR", 1), _S("NTE", None))),
+                ("SRM_S01_PERSONNEL_RESOURCE", None,
+                 (_S("AIP", 1), _S("APR", 1), _S("NTE", None))),
+            ),
+        ),
+    ),
+    # scheduling response: MSA/ERR ack skeleton + the granted SCHEDULE
+    "SRR_S01": (
+        _S("MSH", 1), _S("MSA", 1), _S("ERR", None), _S("NTE", None),
+        (
+            "SRR_S01_SCHEDULE",
+            1,
+            (
+                _S("SCH", 1), _S("NTE", None),
+                (
+                    "SRR_S01_PATIENT",
+                    None,
+                    (_S("PID", 1), _S("PV1", 1), _S("PV2", 1),
+                     _S("DG1", None)),
+                ),
+                (
+                    "SRR_S01_RESOURCES",
+                    None,
+                    (
+                        _S("RGS", 1),
+                        ("SRR_S01_SERVICE", None,
+                         (_S("AIS", 1), _S("NTE", None))),
+                        ("SRR_S01_GENERAL_RESOURCE", None,
+                         (_S("AIG", 1), _S("NTE", None))),
+                        ("SRR_S01_LOCATION_RESOURCE", None,
+                         (_S("AIL", 1), _S("NTE", None))),
+                        ("SRR_S01_PERSONNEL_RESOURCE", None,
+                         (_S("AIP", 1), _S("NTE", None))),
+                    ),
+                ),
+            ),
+        ),
+    ),
     "DFT_P03": (
         _S("MSH", 1), _S("SFT", None), _S("EVN", 1), _S("PID", 1),
         _S("PD1", 1), _S("ROL", None), _S("PV1", 1), _S("PV2", 1),
@@ -1498,6 +1605,15 @@ FIELD_DATATYPE: dict[str, dict[int, str]] = {
     "QAK": {1: "ST", 2: "ID", 3: "CE", 4: "NM", 5: "NM", 6: "NM"},
     "RCP": {1: "ID", 2: "CQ", 3: "CE", 4: "TS", 5: "ID", 6: "SRT",
             7: "ID"},
+    # r11 breadth: master files (MFI file header / MFE record — MFE-4
+    # is the 'varies' primary key, deliberately unlisted -> C<n>) and
+    # scheduling request segments (ARQ/APR; SCV selection criteria)
+    "MFI": {1: "CE", 2: "HD", 3: "ID", 4: "TS", 5: "TS", 6: "ID"},
+    "MFE": {1: "ID", 2: "ST", 3: "TS", 5: "ID"},
+    "ARQ": {1: "EI", 2: "EI", 3: "NM", 4: "EI", 7: "CE", 8: "CE",
+            9: "NM", 11: "DR", 15: "XCN", 16: "XTN", 19: "XCN",
+            20: "XTN"},
+    "APR": {1: "SCV", 2: "SCV", 3: "SCV", 4: "NM", 5: "SCV"},
 }
 
 # ---------------------------------------------------------------------
@@ -1566,6 +1682,8 @@ COMPONENT_DATATYPE: dict[str, dict[int, str]] = {
            7: "ID", 8: "ST"},
     # r11 query protocol: RCP-6's sort-by composite
     "SRT": {1: "ST", 2: "ID"},
+    # r11 scheduling: APR's selection-criteria composite
+    "SCV": {1: "IS", 2: "ST"},
     # r7 (ERR/BLG support)
     "ELD": {1: "ST", 2: "NM", 3: "NM", 4: "CE"},
     "ERL": {1: "ST", 2: "NM", 3: "NM", 4: "NM", 5: "NM", 6: "NM"},

@@ -1462,3 +1462,82 @@ def test_qbp_rsp_structure_resolution():
     assert g.structure_for("RSP", "K11", None) == "RSP_K11"
     assert g.structure_tree("QBP_Q11") is not None
     assert g.structure_tree("RSP_K11") is not None
+
+
+def test_mfn_master_file_goldens():
+    """r11 breadth: MFN^M01 master-file notification (ch.8) — MFI file
+    header + one MF group per MFE record; MFE-4 is the profile-defined
+    'varies' primary key and keeps the C<n> fallback, MFE-4/5 repeat."""
+    mfn = (
+        "MSH|^~\\&|MFS|FAC|EHR|DC|20240101||MFN^M01^MFN_M01|M1|P|2.5\r"
+        "MFI|PRA^Practitioner|HOSP|UPD|20240101|20240102|NE\r"
+        "MFE|MAD|C1|20240101|DOC001^Smith|CE\r"
+        "MFE|MUP|C2|20240101|DOC002^Jones|CE"
+    )
+    doc = json.loads(parse_er7(mfn, strict=True))
+    mfi = doc["MFI"]
+    assert mfi["MFI_1"] == {"CE_1": "PRA", "CE_2": "Practitioner"}
+    assert mfi["MFI_3"] == "UPD" and mfi["MFI_6"] == "NE"
+    recs = doc["MFN_M01_MF"]
+    assert [r["MFE"]["MFE_1"] for r in recs] == ["MAD", "MUP"]
+    assert recs[0]["MFE"]["MFE_4"] == [{"C1": "DOC001", "C2": "Smith"}]
+    assert recs[0]["MFE"]["MFE_5"] == ["CE"]
+
+
+def test_srm_srr_scheduling_request_goldens():
+    """r11 breadth: SRM^S01 request (ARQ + APR preferences + resource
+    groups) and SRR^S01 response (MSA + granted SCHEDULE). APR's SCV
+    criteria repeat; the resource subgroups nest like the SIU family;
+    sibling triggers resolve to the same structure."""
+    from hcls_data_lake_spark.hl7 import grammar as g
+
+    srm = (
+        "MSH|^~\\&|CLINIC|FAC|SCHED|DC|20240101||SRM^S01^SRM_S01|R1|P|2.5\r"
+        "ARQ|A100^PLACER||1||||REQ^Routine||1|^once"
+        "|20240115090000^20240115100000\r"
+        "APR|PREF^morning~ALT^tuesday|RES^any\r"
+        "PID|1||P7^^^MRN\r"
+        "RGS|1\r"
+        "AIS|1|A|EXAM^Office Visit\r"
+        "APR|TIME^am\r"
+        "AIP|1|A|DOC001^Smith^John|ATT"
+    )
+    d = json.loads(parse_er7(srm, strict=True))
+    assert d["ARQ"]["ARQ_1"] == {"EI_1": "A100", "EI_2": "PLACER"}
+    # ARQ-11 requested range repeats -> singleton list of DR dicts
+    assert d["ARQ"]["ARQ_11"] == [
+        {"DR_1": "20240115090000", "DR_2": "20240115100000"}
+    ]
+    # message-level APR: repeating SCV criteria
+    assert d["APR"]["APR_1"] == [
+        {"SCV_1": "PREF", "SCV_2": "morning"},
+        {"SCV_1": "ALT", "SCV_2": "tuesday"},
+    ]
+    res = d["SRM_S01_RESOURCES"][0]
+    svc = res["SRM_S01_SERVICE"][0]
+    assert svc["AIS"]["AIS_3"] == {"CE_1": "EXAM", "CE_2": "Office Visit"}
+    # the group-scoped APR binds to its service, not the message level
+    assert svc["APR"]["APR_1"] == [{"SCV_1": "TIME", "SCV_2": "am"}]
+    aip = res["SRM_S01_PERSONNEL_RESOURCE"][0]["AIP"]
+    assert aip["AIP_3"]["XCN_2"] == "Smith"
+
+    srr = (
+        "MSH|^~\\&|SCHED|DC|CLINIC|FAC|20240101||SRR^S01^SRR_S01|R2|P|2.5\r"
+        "MSA|AA|R1\r"
+        "SCH|A100^PLACER|F200^FILLER|||||REQ^Routine|ROUTINE\r"
+        "PID|1||P7^^^MRN\r"
+        "RGS|1\r"
+        "AIS|1|A|EXAM^Office Visit"
+    )
+    r = json.loads(parse_er7(srr, strict=True))
+    assert r["MSA"] == {"MSA_1": "AA", "MSA_2": "R1"}
+    sched = r["SRR_S01_SCHEDULE"]
+    assert sched["SCH"]["SCH_2"] == {"EI_1": "F200", "EI_2": "FILLER"}
+    assert sched["SRR_S01_PATIENT"][0]["PID"]["PID_3"] == [
+        {"CX_1": "P7", "CX_2": "", "CX_3": "", "CX_4": "MRN"}
+    ]
+
+    # sibling triggers share the structure (SIU-family convention)
+    assert g.structure_for("SRM", "S03", None) == "SRM_S01"
+    assert g.structure_for("SRR", "S04", None) == "SRR_S01"
+    assert g.structure_for("MFN", "M01", None) == "MFN_M01"
