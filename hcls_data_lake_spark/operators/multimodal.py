@@ -9,17 +9,17 @@ VERDICT r9 ask #5 — no external codec library needed): RIFF/WAVE PCM
 (``audio/wav``: fmt-chunk walk via ``struct``) and uncompressed BMP
 (``image/bmp``: BITMAPFILEHEADER + BITMAPINFOHEADER), PNG decodes
 FOR REAL — stdlib zlib inflate + full scanline unfiltering
-(``parse_png``) — and, since r11, so does baseline sequential
-grayscale JPEG (``parse_jpeg``: canonical-Huffman entropy decode, DC
-prediction, AC run-length, dequantize, IDCT — the T.81 core, stdlib +
-numpy only) including 3-component 4:4:4 YCbCr color (interleaved
-MCUs, per-component DC prediction, BT.601 inverse). ``text/plain``
-decodes as identity. What still routes as ``UnsupportedCodecError``
-dead-letters (``decode_ok = false`` rows, never a crash): progressive
-JPEG (SOF2), CHROMA-SUBSAMPLED color (non-1x1 sampling factors),
-restart intervals, 12-bit precision, and video demux — variants whose
-spec surface is large relative to what the probe tier exercises, not
-an entropy-coding blocker anymore.
+(``parse_png``) — and, since r11, so does baseline sequential JPEG
+(``parse_jpeg``: canonical-Huffman entropy decode, DC prediction, AC
+run-length, dequantize, IDCT — the T.81 core, stdlib + numpy only):
+grayscale and YCbCr color, 4:4:4 through 4:2:0 sampling (interleaved
+MCUs, per-component DC prediction, BT.601 inverse), with or without
+restart markers (DRI/RSTn). ``text/plain`` decodes as identity. What
+still routes as ``UnsupportedCodecError`` dead-letters
+(``decode_ok = false`` rows, never a crash): progressive JPEG (SOF2),
+sampling factors above 2, 12-bit precision, and video demux —
+variants whose spec surface is large relative to what the probe tier
+exercises, not an entropy-coding blocker anymore.
 """
 
 from __future__ import annotations
@@ -354,11 +354,12 @@ def parse_png(payload: bytes) -> dict:
 # implementable with the stdlib + numpy — a canonical-Huffman bit
 # reader over the byte-stuffed scan, DC prediction, AC run-length
 # (EOB/ZRL), dequantization and an orthonormal 8x8 IDCT. The decoder
-# reads ANY baseline grayscale JFIF (tables come from the stream's
-# DQT/DHT segments, not assumptions); what stays out of scope — and
-# routes as UnsupportedCodecError dead-letters — is progressive DCT
-# (SOF2), multi-component color (subsampled YCbCr MCU interleave),
-# restart intervals, and 12-bit precision. The encoder exists so tests
+# reads ANY baseline JFIF with sampling factors up to 2 (tables come
+# from the stream's DQT/DHT segments, not assumptions), grayscale or
+# YCbCr color, 4:4:4 through 4:2:0, with or without restart markers;
+# what stays out of scope — and routes as UnsupportedCodecError
+# dead-letters — is progressive DCT (SOF2), sampling factors above 2,
+# and 12-bit precision. The encoder exists so tests
 # and the oracle probe can synthesize payloads: it writes the same
 # baseline grayscale format with a caller-supplied quantization table
 # (all-ones by default, making constant 8x8 tiles round-trip EXACTLY —
@@ -416,10 +417,19 @@ class _BitWriter:
             self.n -= 8
         self.acc &= (1 << self.n) - 1
 
-    def flush(self) -> bytes:
+    def align(self) -> None:
         if self.n:
             pad = 8 - self.n
-            self.write((1 << pad) - 1, pad)  # pad with 1-bits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits (T.81)
+
+    def marker(self, byte2: int) -> None:
+        """Emit a byte-aligned marker (markers are never byte-stuffed)."""
+        self.align()
+        self.buf.append(0xFF)
+        self.buf.append(byte2)
+
+    def flush(self) -> bytes:
+        self.align()
         return bytes(self.buf)
 
 
@@ -430,6 +440,7 @@ def _jpeg_category(v: int) -> int:
 def _jpeg_encode_planes(width: int, height: int, planes,
                         quant: list[int] | None,
                         samplings: list[tuple[int, int]] | None = None,
+                        restart_interval: int = 0,
                         ) -> bytes:
     """Shared baseline-JFIF serializer: each plane is one uint8
     component AT ITS OWN RESOLUTION (ceil(width*hi/Hmax) x
@@ -470,8 +481,12 @@ def _jpeg_encode_planes(width: int, height: int, planes,
     # per-component DC prediction) + the symbol alphabets
     blocks, dc_syms, ac_syms = [], set(), set()
     prev_dc = [0] * nc
+    mcu_i = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                prev_dc = [0] * nc  # predictors reset at each restart
+            mcu_i += 1
             for ci in range(nc):
                 hi, vi = samp[ci]
                 for by in range(vi):
@@ -515,8 +530,13 @@ def _jpeg_encode_planes(width: int, height: int, planes,
     w = _BitWriter()
     prev = [0] * nc
     bi = 0
+    mcu_i = 0
     for _my in range(mcuy):
         for _mx in range(mcux):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                w.marker(0xD0 + (mcu_i // restart_interval - 1) % 8)
+                prev = [0] * nc
+            mcu_i += 1
             for ci in range(nc):
                 hi, vi = samp[ci]
                 for _ in range(hi * vi):
@@ -559,9 +579,12 @@ def _jpeg_encode_planes(width: int, height: int, planes,
         for ci in range(nc)
     )
     sos_comps = b"".join(bytes([ci + 1, 0x00]) for ci in range(nc))
+    dri = seg(0xFFDD, struct.pack(">H", restart_interval)) \
+        if restart_interval else b""
     return b"".join([
         b"\xff\xd8",  # SOI
         seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"),
+        dri,
         seg(0xFFDB, b"\x00" + bytes(q)),  # DQT, 8-bit, table 0
         seg(0xFFC0, struct.pack(">BHHB", 8, height, width, nc)
             + sof_comps),  # SOF0, all components 1x1 sampling
@@ -574,20 +597,25 @@ def _jpeg_encode_planes(width: int, height: int, planes,
 
 
 def encode_jpeg(width: int, height: int, pixels: bytes,
-                quant: list[int] | None = None) -> bytes:
+                quant: list[int] | None = None,
+                restart_interval: int = 0) -> bytes:
     """Serialize 8-bit grayscale pixels (height rows of width bytes)
-    as a baseline sequential JFIF (single component)."""
+    as a baseline sequential JFIF (single component); a non-zero
+    restart_interval emits DRI + byte-aligned RSTn markers every that
+    many MCUs with predictor resets."""
     import numpy as np
 
     if len(pixels) != width * height or width <= 0 or height <= 0:
         raise ValueError("pixel array size != width * height")
     img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
-    return _jpeg_encode_planes(width, height, [img], quant)
+    return _jpeg_encode_planes(width, height, [img], quant,
+                               restart_interval=restart_interval)
 
 
 def encode_jpeg_color(width: int, height: int, rgb: bytes,
                       quant: list[int] | None = None,
-                      subsample: str = "444") -> bytes:
+                      subsample: str = "444",
+                      restart_interval: int = 0) -> bytes:
     """Serialize interleaved 8-bit RGB pixels (height rows of width*3
     bytes) as a baseline sequential YCbCr JFIF (JFIF BT.601
     conversion, rounded) — 4:4:4 or, with ``subsample='420'``, the
@@ -614,7 +642,8 @@ def encode_jpeg_color(width: int, height: int, rgb: bytes,
     )
     if subsample == "444":
         planes = [p.astype(np.uint8) for p in (y, cb, cr)]
-        return _jpeg_encode_planes(width, height, planes, quant)
+        return _jpeg_encode_planes(width, height, planes, quant,
+                                   restart_interval=restart_interval)
     if subsample != "420":
         raise ValueError(f"unknown subsample mode {subsample!r}")
 
@@ -632,7 +661,9 @@ def encode_jpeg_color(width: int, height: int, rgb: bytes,
         down2(cr).astype(np.uint8),
     ]
     return _jpeg_encode_planes(
-        width, height, planes, quant, samplings=[(2, 2), (1, 1), (1, 1)]
+        width, height, planes, quant,
+        samplings=[(2, 2), (1, 1), (1, 1)],
+        restart_interval=restart_interval,
     )
 
 
@@ -654,9 +685,9 @@ class _BitReader:
             nxt = self.data[self.pos]
             if nxt == 0x00:
                 self.pos += 1  # stuffed byte
-            elif 0xD0 <= nxt <= 0xD7:
-                raise UnsupportedCodecError("restart markers (DRI)")
             else:
+                # a restart marker here means the stream and the DRI
+                # interval disagree — corrupt, not unsupported
                 raise ValueError(f"marker 0xFF{nxt:02x} inside scan")
         self.acc = (self.acc << 8) | b
         self.n += 8
@@ -683,6 +714,19 @@ class _BitReader:
                 return sym
         raise ValueError("invalid Huffman code in scan")
 
+    def restart(self, expected: int) -> None:
+        """Byte-align and consume the next RSTn marker (T.81 E.1.4:
+        markers sit on byte boundaries and are never stuffed)."""
+        self.acc, self.n = 0, 0  # discard pad bits
+        if self.pos + 2 > len(self.data):
+            raise ValueError("missing restart marker")
+        b0, b1 = self.data[self.pos], self.data[self.pos + 1]
+        if b0 != 0xFF or b1 != 0xD0 + expected:
+            raise ValueError(
+                f"expected RST{expected}, found {b0:02x}{b1:02x}"
+            )
+        self.pos += 2
+
 
 def parse_jpeg(payload: bytes) -> dict:
     """Decode a baseline sequential grayscale JFIF for real: segment
@@ -700,6 +744,7 @@ def parse_jpeg(payload: bytes) -> dict:
     htables: dict[tuple[int, int], dict] = {}
     sof = None
     scan_spec = None
+    restart_interval = 0
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at offset {pos}")
@@ -761,8 +806,10 @@ def parse_jpeg(payload: bytes) -> dict:
             raise UnsupportedCodecError(
                 f"non-baseline JPEG (SOF marker 0xFF{marker:02x})"
             )
-        elif marker == 0xDD:
-            raise UnsupportedCodecError("restart interval (DRI)")
+        elif marker == 0xDD:  # DRI — restart interval in MCUs
+            if len(body) < 2:
+                raise ValueError("truncated DRI")
+            (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS — entropy data follows
             ns = body[0]
             if len(body) < 1 + 2 * ns + 3:
@@ -806,8 +853,13 @@ def parse_jpeg(payload: bytes) -> dict:
     r = _BitReader(payload[data_pos:])
     prev_dc = [0] * nc
     n_blocks = 0
+    mcu_i = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                r.restart((mcu_i // restart_interval - 1) % 8)
+                prev_dc = [0] * nc
+            mcu_i += 1
             for ci in range(nc):
                 hi, vi, qarr, dc_tab, ac_tab = per_comp[ci]
                 for by in range(vi):

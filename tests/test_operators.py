@@ -2526,3 +2526,46 @@ def test_jpeg_420_subsampled_roundtrip():
     )
     dec = np.frombuffer(p2["pixels"], dtype=np.uint8).reshape(16, 16, 3)
     assert np.abs(dec.astype(int) - solid.astype(int)).max() <= 6
+
+
+def test_jpeg_restart_markers_roundtrip():
+    """r11: DRI/RSTn restart intervals — byte-aligned unstuffed RSTn
+    markers every N MCUs with DC-predictor resets, on both passes of
+    the encoder and in the decoder. A marker-number mismatch (stream
+    vs DRI interval) is a hard ValueError."""
+    import numpy as np
+
+    from hcls_data_lake_spark.operators.multimodal import (
+        encode_jpeg,
+        encode_jpeg_color,
+        parse_jpeg,
+    )
+
+    img = np.zeros((16, 24), dtype=np.uint8)
+    for by in range(2):
+        for bx in range(3):
+            img[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = (
+                37 + by * 29 + bx * 13
+            ) % 256
+    for ri in (1, 2, 5):
+        blob = encode_jpeg(24, 16, img.tobytes(), restart_interval=ri)
+        assert b"\xff\xdd" in blob  # DRI present
+        assert parse_jpeg(blob)["pixels"] == img.tobytes()
+
+    rgb = np.zeros((16, 24, 3), dtype=np.uint8)
+    for by in range(2):
+        for bx in range(3):
+            rgb[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8, :] = (
+                19 + by * 67 + bx * 41
+            ) % 256
+    p = parse_jpeg(
+        encode_jpeg_color(24, 16, rgb.tobytes(), subsample="420",
+                          restart_interval=1)
+    )
+    assert p["pixels"] == rgb.tobytes()
+
+    blob = bytearray(encode_jpeg(24, 16, img.tobytes(), restart_interval=1))
+    i = blob.find(b"\xff\xd0", blob.find(b"\xff\xda"))
+    blob[i + 1] = 0xD4  # wrong restart number
+    with pytest.raises(ValueError):
+        parse_jpeg(bytes(blob))
