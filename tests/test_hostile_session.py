@@ -34,6 +34,7 @@ HOSTILE_SET = [
     "q_ts_gapfill",              # same grid (latent tz bug caught here)
     "q_sink_backfill_overwrite", # to_date(ts) partition keys + target day
     "q_analytics_promo",         # trunc(date)->ntz month (2nd tz catch)
+    "q_udf_parse_er7",           # r11: date_format(DATE) now hash-pinned
 ]
 
 
