@@ -284,15 +284,20 @@ def _session_emit(uid, sessions, closed_by: str) -> pd.DataFrame:
 def _session_runs(batches, prev):
     """Fold a key's incoming batches (+ the carried open session) into
     gap-separated runs [(start_us, end_us, n)]; vectorized numpy, no
-    per-row Python. `prev` is (start_us, end_us, n) or None."""
+    per-row Python. `prev` is (start_us, end_us, n) or None.
+
+    Reads the JVM-computed ``us`` BIGINT column, NEVER the TIMESTAMP:
+    Arrow ships TIMESTAMP to pandas as SESSION-LOCAL wall time, so
+    parsing it here would shift every session bound — and every
+    registered timer — by the session's UTC offset while Spark's
+    event-time watermark stays UTC (the r11 hostile-sweep catch:
+    under America/New_York one trailing session fired early and the
+    emitted bounds were 5h off)."""
     import numpy as np
 
     ts = np.sort(
         np.concatenate(
-            [
-                pdf["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-                for pdf in batches
-            ]
+            [pdf["us"].to_numpy().astype(np.int64) for pdf in batches]
             or [np.empty(0, dtype=np.int64)]
         )
     )
@@ -383,7 +388,12 @@ def tws_session_close(sdf: DataFrame) -> DataFrame:
         def close(self) -> None:
             pass
 
-    return sdf.groupBy("user_id").transformWithStateInPandas(
+    from pyspark.sql import functions as F
+
+    # tz-independent epoch micros computed JVM-side (see _session_runs)
+    return sdf.withColumn("us", F.unix_micros("ts")).groupBy(
+        "user_id"
+    ).transformWithStateInPandas(
         SessionCloser(),
         outputStructType=_SESSION_OUT,
         outputMode="Append",
@@ -423,7 +433,12 @@ def pandas_state_session_close(sdf: DataFrame) -> DataFrame:
         else:
             state.remove()
 
-    return sdf.groupBy("user_id").applyInPandasWithState(
+    from pyspark.sql import functions as F
+
+    # tz-independent epoch micros computed JVM-side (see _session_runs)
+    return sdf.withColumn("us", F.unix_micros("ts")).groupBy(
+        "user_id"
+    ).applyInPandasWithState(
         update,
         outputStructType=_SESSION_OUT,
         stateStructType=(

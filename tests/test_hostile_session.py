@@ -35,6 +35,12 @@ HOSTILE_SET = [
     "q_sink_backfill_overwrite", # to_date(ts) partition keys + target day
     "q_analytics_promo",         # trunc(date)->ntz month (2nd tz catch)
     "q_udf_parse_er7",           # r11: date_format(DATE) now hash-pinned
+    # r11 hostile-sweep catch: Arrow ships TIMESTAMP to pandas as
+    # SESSION-LOCAL wall time, which shifted TWS session bounds and
+    # timer registrations by the UTC offset (fixed: JVM-side
+    # unix_micros; stateful._session_runs never parses timestamps)
+    "q_stream_tws_timers",
+    "q_stream_tws_state_reader",
 ]
 
 
