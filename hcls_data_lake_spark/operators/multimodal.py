@@ -784,6 +784,8 @@ def parse_jpeg(payload: bytes) -> dict:
                 htables[(tc, th)] = inv
                 i += 17 + n
         elif marker == 0xC0:  # SOF0 baseline
+            if len(body) < 6:  # short body -> ValueError, never
+                raise ValueError("truncated SOF0")  # struct.error
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise UnsupportedCodecError(f"{prec}-bit JPEG precision")
@@ -811,6 +813,8 @@ def parse_jpeg(payload: bytes) -> dict:
                 raise ValueError("truncated DRI")
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS — entropy data follows
+            if not body:  # empty body -> ValueError, never IndexError
+                raise ValueError("truncated SOS")
             ns = body[0]
             if len(body) < 1 + 2 * ns + 3:
                 raise ValueError("truncated SOS")

@@ -2569,3 +2569,28 @@ def test_jpeg_restart_markers_roundtrip():
     blob[i + 1] = 0xD4  # wrong restart number
     with pytest.raises(ValueError):
         parse_jpeg(bytes(blob))
+
+
+def test_jpeg_truncated_segment_bodies_are_valueerror():
+    """r11 self-review hardening: short SOF0/SOS/DHT bodies must raise
+    ValueError (the codec contract), never struct.error/IndexError
+    that would escape the operators' dead-letter catch."""
+    import struct as st
+
+    from hcls_data_lake_spark.operators.multimodal import parse_jpeg
+
+    def seg(marker, body):
+        return st.pack(">HH", marker, len(body) + 2) + body
+
+    with pytest.raises(ValueError):
+        parse_jpeg(b"\xff\xd8" + seg(0xFFC0, b"\x08\x00"))  # 2B SOF0
+    with pytest.raises(ValueError):
+        parse_jpeg(
+            b"\xff\xd8" + seg(0xFFDB, b"\x00" + bytes(64))
+            + seg(0xFFDA, b"")  # empty SOS body
+        )
+    counts = bytes([0] * 15 + [5])
+    with pytest.raises(ValueError):
+        parse_jpeg(  # DHT declares 5 symbols, carries 2
+            b"\xff\xd8" + seg(0xFFC4, b"\x00" + counts + b"\x01\x02")
+        )
