@@ -91,8 +91,8 @@ _FAMILY_REPRESENTATIVES = [
     # stalest-latest-driver-row first (3 r1-era names, the 36 r2-era
     # names, then r3-era ...), so a 50-name driver prefix refreshes
     # every r11 addition plus the 43 stalest legacy rows, and a prefix
-    # overrun keeps eating the stalest evidence. Regenerate with the
-    # CORRECTNESS_r*.json latest-row scan (tools snippet in r11 log).
+    # overrun keeps eating the stalest evidence. Regenerate each
+    # round with tools/rotate_representatives.py <new names...>.
     "q_udf_parse_er7_golden",
     "q_text_bpe_apply",
     "q_hl7_qbp_reconcile",
