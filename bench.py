@@ -298,6 +298,7 @@ EXTENDED = [
     "q_multimodal_jpeg_probe",  # real baseline JPEG entropy decode (r11)
     "q_multimodal_jpeg_color_probe",  # 4:4:4 YCbCr interleaved MCUs (r11)
     "q_multimodal_jpeg420_probe",  # 4:2:0 subsampled decode (r11)
+    "q_multimodal_jpeg_restart_probe",  # DRI/RSTn decode (r11)
 ]
 
 # Ambient-drift canaries (r9, VERDICT r8 ask #5): constant plans whose

@@ -3042,6 +3042,83 @@ def q_multimodal_jpeg420_probe(spark, sf_dir):
     )
 
 
+@register(
+    "q_multimodal_jpeg_restart_probe",
+    """
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(1 + doc_id % 4 AS INT) AS wb,
+             CAST(1 + doc_id % 2 AS INT) AS hb
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT d.doc_id, 'image/jpeg' AS mime_type,
+           CAST(d.wb * 8 AS INT) AS width,
+           CAST(d.hb * 8 AS INT) AS height,
+           CAST(8 AS INT) AS bpp,
+           CAST(d.wb * 8 AS INT) AS row_stride,
+           CAST(d.wb * d.hb * 64 AS BIGINT) AS pixel_bytes,
+           CAST(64 * (SELECT sum((d.doc_id + 41 * a.by + 11 * b.bx) % 256)
+                      FROM unnest(range(0, d.hb)) AS a(by),
+                           unnest(range(0, d.wb)) AS b(bx))
+             AS BIGINT) AS pixel_byte_sum,
+           TRUE AS parse_ok
+    FROM dims d
+    """,
+)
+def q_multimodal_jpeg_restart_probe(spark, sf_dir):
+    """RESTART-MARKER JPEG decode (r11, completing the jpeg probe
+    tier): the grayscale constant-tile images are encoded with
+    restart_interval=1 — a DRI segment plus a byte-aligned, unstuffed
+    RSTn marker between EVERY pair of MCUs, cycling n 0..7, with the
+    DC predictor reset at each restart — so the oracle's doc_id
+    arithmetic only matches if the decoder byte-aligns at each
+    restart, verifies the cycling marker number, resets its
+    predictors, and resumes the entropy stream exactly (up to 8 MCUs
+    per image exercises a full RST0..RST6 cycle span). Same
+    Arrow-batched probe shape as the other codec rows."""
+    import numpy as np
+    import pandas as pd
+
+    from hcls_data_lake_spark.operators.multimodal import (
+        encode_jpeg,
+        media_properties,
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for raw_id in pdf["doc_id"]:
+                doc_id = int(raw_id)
+                wb, hb = 1 + doc_id % 4, 1 + doc_id % 2
+                img = np.zeros((hb * 8, wb * 8), dtype=np.uint8)
+                for by in range(hb):
+                    for bx in range(wb):
+                        img[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = (
+                            doc_id + 41 * by + 11 * bx
+                        ) % 256
+                payloads.append(
+                    encode_jpeg(
+                        wb * 8, hb * 8, img.tobytes(), restart_interval=1
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "mime_type": "image/jpeg",
+                }
+            )
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    payloads = d.select("doc_id").mapInPandas(
+        synth, schema="doc_id bigint, payload binary, mime_type string"
+    )
+    return media_properties(payloads).select(
+        "doc_id", "mime_type", "width", "height", "bpp",
+        "row_stride", "pixel_bytes", "pixel_byte_sum", "parse_ok",
+    )
+
+
 _PACK_SQL = """
     WITH toks AS (
       SELECT doc_id, source,

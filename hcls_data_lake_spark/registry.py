@@ -85,12 +85,12 @@ def register(name: str, oracle: str | None) -> Callable[[QueryFn], QueryFn]:
 # budget inside whichever module happens to import first.
 _FAMILY_REPRESENTATIVES = [
     # -- OLDEST-ROW-FIRST (r11 rotation, continuing VERDICT r10 ask
-    # #6): slots 1-7 are the r11 additions (6 brand-new names plus
+    # #6): slots 1-8 are the r11 additions (7 brand-new names plus
     # q_udf_parse_er7, whose oracle is new in r11 and whose latest
     # driver row is the r4 rows-only one); the remainder is ordered
     # stalest-latest-driver-row first (3 r1-era names, the 36 r2-era
     # names, then r3-era ...), so a 50-name driver prefix refreshes
-    # every r11 addition plus the 43 stalest legacy rows, and a prefix
+    # every r11 addition plus the 42 stalest legacy rows, and a prefix
     # overrun keeps eating the stalest evidence. Regenerate each
     # round with tools/rotate_representatives.py <new names...>.
     "q_udf_parse_er7_golden",
@@ -99,6 +99,7 @@ _FAMILY_REPRESENTATIVES = [
     "q_multimodal_jpeg_probe",
     "q_multimodal_jpeg_color_probe",
     "q_multimodal_jpeg420_probe",
+    "q_multimodal_jpeg_restart_probe",
     "q_udf_parse_er7",
     "q_join_theta",
     "q_project_rename",
