@@ -17,7 +17,7 @@ MCUs, per-component DC prediction, BT.601 inverse), with or without
 restart markers (DRI/RSTn). ``text/plain`` decodes as identity. What
 still routes as ``UnsupportedCodecError`` dead-letters
 (``decode_ok = false`` rows, never a crash): progressive JPEG (SOF2),
-sampling factors above 2, 12-bit precision, and video demux —
+sampling factors above 2, 12-bit sample precision, and video demux —
 variants whose spec surface is large relative to what the probe tier
 exercises, not an entropy-coding blocker anymore.
 """
@@ -359,7 +359,7 @@ def parse_png(payload: bytes) -> dict:
 # YCbCr color, 4:4:4 through 4:2:0, with or without restart markers;
 # what stays out of scope — and routes as UnsupportedCodecError
 # dead-letters — is progressive DCT (SOF2), sampling factors above 2,
-# and 12-bit precision. The encoder exists so tests
+# and 12-bit sample precision (16-bit DQT tables DO decode). The encoder exists so tests
 # and the oracle probe can synthesize payloads: it writes the same
 # baseline grayscale format with a caller-supplied quantization table
 # (all-ones by default, making constant 8x8 tiles round-trip EXACTLY —
@@ -760,12 +760,21 @@ def parse_jpeg(payload: bytes) -> dict:
             i = 0
             while i < len(body):
                 pq, tq = body[i] >> 4, body[i] & 0xF
-                if pq != 0:
-                    raise UnsupportedCodecError("16-bit DQT precision")
-                if i + 65 > len(body):
+                if pq not in (0, 1):
+                    raise ValueError(f"bad DQT precision flag {pq}")
+                width_ = 1 + pq  # pq=1: 16-bit big-endian entries
+                if i + 1 + 64 * width_ > len(body):
                     raise ValueError("truncated DQT")
-                qtables[tq] = list(body[i + 1:i + 65])
-                i += 65
+                if pq == 0:
+                    qtables[tq] = list(body[i + 1:i + 65])
+                else:
+                    qtables[tq] = [
+                        int.from_bytes(
+                            body[i + 1 + 2 * k:i + 3 + 2 * k], "big"
+                        )
+                        for k in range(64)
+                    ]
+                i += 1 + 64 * width_
         elif marker == 0xC4:  # DHT
             i = 0
             while i < len(body):

@@ -2594,3 +2594,48 @@ def test_jpeg_truncated_segment_bodies_are_valueerror():
         parse_jpeg(  # DHT declares 5 symbols, carries 2
             b"\xff\xd8" + seg(0xFFC4, b"\x00" + counts + b"\x01\x02")
         )
+
+
+def test_jpeg_16bit_dqt_and_appn_com_passthrough():
+    """r11: a 16-bit (pq=1) DQT decodes (big-endian u16 entries) and
+    unknown APPn/COM metadata segments pass through untouched — the
+    shape real camera JPEGs carry (Exif APP1, comments)."""
+    import struct as st
+
+    import numpy as np
+
+    from hcls_data_lake_spark.operators.multimodal import (
+        encode_jpeg,
+        parse_jpeg,
+    )
+
+    img = np.zeros((8, 16), dtype=np.uint8)
+    img[:, :8] = 55
+    img[:, 8:] = 200
+    good = encode_jpeg(16, 8, img.tobytes())
+
+    def seg(marker, body):
+        return st.pack(">HH", marker, len(body) + 2) + body
+
+    dqt8 = seg(0xFFDB, b"\x00" + bytes([1] * 64))
+    dqt16 = seg(
+        0xFFDB, b"\x10" + b"".join(st.pack(">H", 1) for _ in range(64))
+    )
+    assert dqt8 in good
+    blob = good.replace(dqt8, dqt16)
+    app0_end = blob.index(b"\xff\xdb")
+    blob = (
+        blob[:app0_end]
+        + seg(0xFFE1, b"Exif\x00\x00FAKEDATA")
+        + seg(0xFFFE, b"a comment")
+        + blob[app0_end:]
+    )
+    assert parse_jpeg(blob)["pixels"] == img.tobytes()
+    # truncated 16-bit DQT is a hard ValueError
+    with pytest.raises(ValueError):
+        parse_jpeg(
+            b"\xff\xd8" + seg(0xFFDB, b"\x10" + bytes(100))
+        )
+    # undefined precision flags reject
+    with pytest.raises(ValueError):
+        parse_jpeg(b"\xff\xd8" + seg(0xFFDB, b"\x20" + bytes(64)))
