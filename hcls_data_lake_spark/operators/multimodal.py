@@ -175,9 +175,9 @@ def parse_bmp(payload: bytes) -> dict:
 # CRC32), pixel data is zlib-compressed scanlines, each prefixed with
 # one FILTER byte (0 None, 1 Sub, 2 Up, 3 Average, 4 Paeth) predicting
 # from already-decoded neighbors. Everything needed is stdlib: struct
-# for chunks, zlib for inflate/deflate/crc32 — so unlike JPEG (entropy
-# decoding needs a real library) PNG decodes here FOR REAL, filters
-# included.
+# for chunks, zlib for inflate/deflate/crc32 — PNG decodes FOR REAL,
+# filters included (and since r11 the JPEG section below decodes its
+# entropy coding for real too).
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
