@@ -558,10 +558,10 @@ def test_session_runs_fold_equals_naive(ts, n_splits, data):
         trail = None
         for piece in pieces:
             shuffled = data.draw(st.permutations(piece))
+            # the fold reads the JVM-computed `us` BIGINT column, never
+            # a timestamp (r11 tz fix: Arrow localizes TIMESTAMP)
             batches = [
-                pd.DataFrame(
-                    {"ts": np.array(shuffled, dtype="datetime64[us]")}
-                )
+                pd.DataFrame({"us": np.array(shuffled, dtype=np.int64)})
             ]
             # empty-batch call is unreachable in TWS (handleInputRows
             # only fires for keys WITH rows) but must keep the trail
