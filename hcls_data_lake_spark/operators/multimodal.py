@@ -729,12 +729,14 @@ class _BitReader:
 
 
 def parse_jpeg(payload: bytes) -> dict:
-    """Decode a baseline sequential grayscale JFIF for real: segment
+    """Decode a baseline sequential JFIF for real: segment
     walk (DQT/DHT/SOF0/SOS), canonical-Huffman entropy decode with DC
     prediction and AC run-length, dequantize, orthonormal IDCT, level
-    shift, clamp, crop. Raises ValueError on malformed bytes,
-    UnsupportedCodecError on progressive/color/restart/12-bit
-    variants (the documented out-of-scope tier)."""
+    shift, clamp, crop. Decodes grayscale and YCbCr color (4:4:4
+    through 4:2:0), with or without restart markers (DRI/RSTn).
+    Raises ValueError on malformed bytes, UnsupportedCodecError on
+    progressive (SOF2), sampling factors above 2, and 12-bit
+    precision (the documented out-of-scope tier)."""
     import numpy as np
 
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
