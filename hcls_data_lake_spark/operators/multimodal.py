@@ -9,17 +9,20 @@ VERDICT r9 ask #5 — no external codec library needed): RIFF/WAVE PCM
 (``audio/wav``: fmt-chunk walk via ``struct``) and uncompressed BMP
 (``image/bmp``: BITMAPFILEHEADER + BITMAPINFOHEADER), PNG decodes
 FOR REAL — stdlib zlib inflate + full scanline unfiltering
-(``parse_png``) — and, since r11, so does baseline sequential JPEG
-(``parse_jpeg``: canonical-Huffman entropy decode, DC prediction, AC
-run-length, dequantize, IDCT — the T.81 core, stdlib + numpy only):
-grayscale and YCbCr color, 4:4:4 through 4:2:0 sampling (interleaved
-MCUs, per-component DC prediction, BT.601 inverse), with or without
-restart markers (DRI/RSTn). ``text/plain`` decodes as identity. What
-still routes as ``UnsupportedCodecError`` dead-letters
-(``decode_ok = false`` rows, never a crash): progressive JPEG (SOF2),
-sampling factors above 2, 12-bit sample precision, and video demux —
-variants whose spec surface is large relative to what the probe tier
-exercises, not an entropy-coding blocker anymore.
+(``parse_png``) — and, since r11, so does JPEG (``parse_jpeg``:
+canonical-Huffman entropy decode, DC prediction, AC run-length,
+dequantize, IDCT — the T.81 core, stdlib + numpy only): grayscale and
+YCbCr color, 4:4:4 through 4:2:0 sampling (interleaved MCUs,
+per-component DC prediction, BT.601 inverse), with or without restart
+markers (DRI/RSTn), baseline sequential (SOF0) AND, since r12,
+progressive (SOF2: spectral-selection + successive-approximation scan
+accumulation, EOB-run coding). ``text/plain`` decodes as identity.
+What still routes as ``UnsupportedCodecError`` dead-letters
+(``decode_ok = false`` rows, never a crash): sampling factors above
+2, 12-bit sample precision, arithmetic entropy coding, the
+hierarchical/lossless SOF families, and video demux — variants whose
+spec surface is large relative to what the probe tier exercises, not
+an entropy-coding blocker anymore.
 """
 
 from __future__ import annotations
@@ -347,23 +350,28 @@ def parse_png(payload: bytes) -> dict:
     }
 
 
-# ---------------------------------------------------- JPEG codec (r11)
+# ---------------------------------------------- JPEG codec (r11/r12)
 #
-# Baseline sequential DCT, 8-bit GRAYSCALE (ITU-T T.81): the entropy
-# decode that r9/r10 documented as the dead-letter blocker is in fact
-# implementable with the stdlib + numpy — a canonical-Huffman bit
-# reader over the byte-stuffed scan, DC prediction, AC run-length
+# ITU-T T.81 DCT decode with the stdlib + numpy: a canonical-Huffman
+# bit reader over the byte-stuffed scan, DC prediction, AC run-length
 # (EOB/ZRL), dequantization and an orthonormal 8x8 IDCT. The decoder
-# reads ANY baseline JFIF with sampling factors up to 2 (tables come
-# from the stream's DQT/DHT segments, not assumptions), grayscale or
-# YCbCr color, 4:4:4 through 4:2:0, with or without restart markers;
-# what stays out of scope — and routes as UnsupportedCodecError
-# dead-letters — is progressive DCT (SOF2), sampling factors above 2,
-# and 12-bit sample precision (16-bit DQT tables DO decode). The encoder exists so tests
-# and the oracle probe can synthesize payloads: it writes the same
-# baseline grayscale format with a caller-supplied quantization table
-# (all-ones by default, making constant 8x8 tiles round-trip EXACTLY —
-# the property the SQL oracle pins by value).
+# reads ANY baseline-sequential (SOF0) JFIF with sampling factors up
+# to 2 (tables come from the stream's DQT/DHT segments, not
+# assumptions), grayscale or YCbCr color, 4:4:4 through 4:2:0, with
+# or without restart markers — and, since r12, PROGRESSIVE (SOF2)
+# streams too: multiple scans accumulate into per-component
+# coefficient arrays (spectral-selection bands, successive-
+# approximation first + refinement passes, EOB-run coding, interleaved
+# DC / non-interleaved AC scan geometry per T.81 G.2), IDCT'd once at
+# EOI. What stays out of scope — and routes as UnsupportedCodecError
+# dead-letters — is sampling factors above 2, 12-bit sample precision
+# (16-bit DQT tables DO decode), arithmetic entropy coding, and the
+# hierarchical/lossless SOF families. The encoders exist so tests and
+# the oracle probes can synthesize payloads: baseline and progressive
+# serializers share one quantizer (so their decodes are comparable
+# bit-for-bit) with a caller-supplied quantization table (all-ones by
+# default, making constant 8x8 tiles round-trip EXACTLY — the
+# property the SQL oracles pin by value).
 
 _JPEG_ZIGZAG: list[int] = [
     i * 8 + j
@@ -437,6 +445,63 @@ def _jpeg_category(v: int) -> int:
     return 0 if v == 0 else abs(v).bit_length()
 
 
+def _jpeg_dqt_bytes(q: list[int]) -> bytes:
+    """Serialize a NATURAL-order quant table (the order the encoders
+    divide in) as DQT bytes, which T.81 B.2.4.1 mandates be in ZIGZAG
+    order. r12 fix: both serializers previously wrote the natural
+    order verbatim — invisible under the constant (all-ones / all-16)
+    tables every earlier probe used, wrong for any non-uniform table
+    (the decoder correctly reads DQT as zigzag)."""
+    return bytes(q[_JPEG_ZIGZAG[i]] for i in range(64))
+
+
+def _jpeg_fixed_table(syms: set[int]) -> tuple[list[int], list[int], dict]:
+    """Fixed-length canonical Huffman table over the symbols a scan
+    actually emits (2^len > n keeps the all-1s code reserved, T.81)."""
+    ordered = sorted(syms)
+    length = max(1, len(ordered).bit_length())
+    counts = [0] * 16
+    counts[length - 1] = len(ordered)
+    return counts, ordered, _huff_canonical(counts, ordered)
+
+
+def _jpeg_quantize_planes(width, height, planes, q, samp):
+    """Shared encoder pass 1 (baseline AND progressive serializers):
+    pad each component plane to its MCU-padded block grid (edge
+    replication), level-shift, 8x8 DCT, quantize by ``q`` and return
+    per-component int64 arrays of shape (bh_pad, bw_pad, 64) in
+    ZIGZAG order. One quantizer means a baseline and a progressive
+    stream of the same image decode to IDENTICAL pixels — the
+    property the progressive round-trip tests pin."""
+    import numpy as np
+
+    m = _dct_matrix()
+    hmax = max(h for h, _ in samp)
+    vmax = max(v for _, v in samp)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    qarr = np.array(q, dtype=np.float64).reshape(8, 8)
+    out = []
+    for p, (hi, vi) in zip(planes, samp):
+        comp_w = (width * hi + hmax - 1) // hmax
+        comp_h = (height * vi + vmax - 1) // vmax
+        if p.shape != (comp_h, comp_w):
+            raise ValueError("plane resolution != sampling geometry")
+        padded = np.pad(
+            p, ((0, mcuy * 8 * vi - comp_h), (0, mcux * 8 * hi - comp_w)),
+            mode="edge",
+        ).astype(np.float64) - 128.0
+        bh, bw = mcuy * vi, mcux * hi
+        coefs = np.zeros((bh, bw, 64), dtype=np.int64)
+        for by in range(bh):
+            for bx in range(bw):
+                f = padded[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+                c = np.rint((m @ f @ m.T) / qarr).astype(np.int64)
+                coefs[by, bx] = c.flatten()[_JPEG_ZIGZAG]
+        out.append(coefs)
+    return out, mcux, mcuy
+
+
 def _jpeg_encode_planes(width: int, height: int, planes,
                         quant: list[int] | None,
                         samplings: list[tuple[int, int]] | None = None,
@@ -453,32 +518,16 @@ def _jpeg_encode_planes(width: int, height: int, planes,
     canonical codes declared in DHT — the decoder reads whatever DHT
     declares), shared by all components (legal: SOS picks tables per
     component)."""
-    import numpy as np
-
     q = list(quant) if quant is not None else [1] * 64
     if len(q) != 64 or any(not 1 <= v <= 255 for v in q):
         raise ValueError("quant table must be 64 entries in 1..255")
     nc = len(planes)
     samp = samplings or [(1, 1)] * nc
-    hmax = max(h for h, _ in samp)
-    vmax = max(v for _, v in samp)
-    mcux = (width + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
-    m = _dct_matrix()
-    padded = []
-    for p, (hi, vi) in zip(planes, samp):
-        comp_w = (width * hi + hmax - 1) // hmax
-        comp_h = (height * vi + vmax - 1) // vmax
-        if p.shape != (comp_h, comp_w):
-            raise ValueError("plane resolution != sampling geometry")
-        padded.append(
-            np.pad(p, ((0, mcuy * 8 * vi - comp_h),
-                       (0, mcux * 8 * hi - comp_w)),
-                   mode="edge").astype(np.float64) - 128.0
-        )
-    qarr = np.array(q, dtype=np.float64).reshape(8, 8)
-    # pass 1: quantized coefficient blocks (MCU-interleaved order,
-    # per-component DC prediction) + the symbol alphabets
+    coef_arrays, mcux, mcuy = _jpeg_quantize_planes(
+        width, height, planes, q, samp
+    )
+    # pass 1: walk the MCU-interleaved order (per-component DC
+    # prediction) collecting the symbol alphabets
     blocks, dc_syms, ac_syms = [], set(), set()
     prev_dc = [0] * nc
     mcu_i = 0
@@ -491,14 +540,11 @@ def _jpeg_encode_planes(width: int, height: int, planes,
                 hi, vi = samp[ci]
                 for by in range(vi):
                     for bx in range(hi):
-                        ry, rx = (my * vi + by) * 8, (mx * hi + bx) * 8
-                        f = padded[ci][ry:ry + 8, rx:rx + 8]
-                        coef = np.rint((m @ f @ m.T) / qarr).astype(
-                            np.int64
-                        )
                         zz = [
-                            int(coef.flat[_JPEG_ZIGZAG[i]])
-                            for i in range(64)
+                            int(v)
+                            for v in coef_arrays[ci][
+                                my * vi + by, mx * hi + bx
+                            ]
                         ]
                         blocks.append(zz)
                         dc_syms.add(_jpeg_category(zz[0] - prev_dc[ci]))
@@ -517,15 +563,8 @@ def _jpeg_encode_planes(width: int, height: int, planes,
                             ac_syms.add(0x00)  # EOB
     ac_syms.add(0x00)
 
-    def fixed_table(syms: set[int]) -> tuple[list[int], list[int], dict]:
-        ordered = sorted(syms)
-        length = max(1, len(ordered).bit_length())  # 2^len > n: the
-        counts = [0] * 16                           # all-1s code stays
-        counts[length - 1] = len(ordered)           # reserved (T.81)
-        return counts, ordered, _huff_canonical(counts, ordered)
-
-    dc_counts, dc_vals, dc_code = fixed_table(dc_syms)
-    ac_counts, ac_vals, ac_code = fixed_table(ac_syms)
+    dc_counts, dc_vals, dc_code = _jpeg_fixed_table(dc_syms)
+    ac_counts, ac_vals, ac_code = _jpeg_fixed_table(ac_syms)
     # pass 2: entropy-code the scan (same interleaved order)
     w = _BitWriter()
     prev = [0] * nc
@@ -585,7 +624,7 @@ def _jpeg_encode_planes(width: int, height: int, planes,
         b"\xff\xd8",  # SOI
         seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"),
         dri,
-        seg(0xFFDB, b"\x00" + bytes(q)),  # DQT, 8-bit, table 0
+        seg(0xFFDB, b"\x00" + _jpeg_dqt_bytes(q)),  # DQT, table 0
         seg(0xFFC0, struct.pack(">BHHB", 8, height, width, nc)
             + sof_comps),  # SOF0, all components 1x1 sampling
         seg(0xFFC4, b"\x00" + bytes(dc_counts) + bytes(dc_vals)),
@@ -625,6 +664,16 @@ def encode_jpeg_color(width: int, height: int, rgb: bytes,
     survives mean-downsampling exactly — so constant gray tiles with
     the all-ones quant table round-trip EXACTLY through either
     layout."""
+    planes, samp = _rgb_to_ycbcr_planes(width, height, rgb, subsample)
+    return _jpeg_encode_planes(width, height, planes, quant,
+                               samplings=samp,
+                               restart_interval=restart_interval)
+
+
+def _rgb_to_ycbcr_planes(width, height, rgb, subsample):
+    """JFIF BT.601 forward transform (rounded) plus optional 2x2 mean
+    chroma downsampling -> (planes, samplings); shared by the baseline
+    and progressive color serializers."""
     import numpy as np
 
     if len(rgb) != width * height * 3 or width <= 0 or height <= 0:
@@ -641,9 +690,7 @@ def encode_jpeg_color(width: int, height: int, rgb: bytes,
         np.rint(0.5 * r - 0.4187 * g - 0.0813 * b + 128), 0, 255
     )
     if subsample == "444":
-        planes = [p.astype(np.uint8) for p in (y, cb, cr)]
-        return _jpeg_encode_planes(width, height, planes, quant,
-                                   restart_interval=restart_interval)
+        return [p.astype(np.uint8) for p in (y, cb, cr)], [(1, 1)] * 3
     if subsample != "420":
         raise ValueError(f"unknown subsample mode {subsample!r}")
 
@@ -655,14 +702,313 @@ def encode_jpeg_color(width: int, height: int, rgb: bytes,
              + p[1::2, 1::2]) / 4.0
         )
 
-    planes = [
+    return [
         y.astype(np.uint8),
         down2(cb).astype(np.uint8),
         down2(cr).astype(np.uint8),
+    ], [(2, 2), (1, 1), (1, 1)]
+
+
+class _JpegSymCollector:
+    """Pass-A sink for one progressive scan: records which Huffman
+    symbols the scan emits so a fixed canonical table can be declared
+    in its DHT. The run/EOB/buffered-bit state machine runs once per
+    sink, so both passes see identical symbol sequences."""
+
+    def __init__(self):
+        self.dc_syms: set[int] = set()
+        self.ac_syms: set[int] = set()
+
+    def dc(self, sym: int) -> None:
+        self.dc_syms.add(sym)
+
+    def ac(self, sym: int) -> None:
+        self.ac_syms.add(sym)
+
+    def bits(self, v: int, n: int) -> None:
+        pass
+
+    def restart(self, n: int) -> None:
+        pass
+
+
+class _JpegScanWriter:
+    """Pass-B sink: writes the entropy-coded scan via _BitWriter."""
+
+    def __init__(self, w: "_BitWriter", dc_code: dict, ac_code: dict):
+        self.w, self.dc_code, self.ac_code = w, dc_code, ac_code
+
+    def dc(self, sym: int) -> None:
+        code, ln = self.dc_code[sym]
+        self.w.write(code, ln)
+
+    def ac(self, sym: int) -> None:
+        code, ln = self.ac_code[sym]
+        self.w.write(code, ln)
+
+    def bits(self, v: int, n: int) -> None:
+        if n:
+            self.w.write(v, n)
+
+    def restart(self, n: int) -> None:
+        self.w.marker(0xD0 + n)
+
+
+def _jpeg_scan_units(comp_sel, samp, mcux, mcuy, grids):
+    """Yield one scan's restart units as lists of (ci, by, bx): whole
+    MCUs over the padded grid for interleaved scans (ns > 1), single
+    blocks over the component's OWN block grid for non-interleaved
+    scans (T.81 A.2.2 — a one-component scan never covers the padding
+    blocks its siblings' sampling factors would imply)."""
+    if len(comp_sel) > 1:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                unit = []
+                for ci in comp_sel:
+                    hi, vi = samp[ci]
+                    for by in range(vi):
+                        for bx in range(hi):
+                            unit.append((ci, my * vi + by, mx * hi + bx))
+                yield unit
+    else:
+        ci = comp_sel[0]
+        bw, bh = grids[ci]
+        for by in range(bh):
+            for bx in range(bw):
+                yield [(ci, by, bx)]
+
+
+def _jpeg_encode_scan_body(sink, coef_arrays, samp, mcux, mcuy, grids,
+                           comp_sel, ss, se, ah, al,
+                           restart_interval) -> None:
+    """Entropy-code one progressive scan into ``sink`` (T.81 G.1.2):
+    DC first/refinement, AC first with EOB-run coding, AC refinement
+    with buffered correction bits (correction bits for coefficients
+    that were already nonzero ride AFTER the next emitted symbol — or
+    attach to the pending EOB run — exactly where the decoder's
+    advance phase consumes them)."""
+    pred = dict.fromkeys(comp_sel, 0)
+    state = {"eobrun": 0, "be": []}  # pending EOB run + its bits
+
+    def flush_eob():
+        run = state["eobrun"]
+        if run:
+            r = run.bit_length() - 1
+            sink.ac(r << 4)
+            sink.bits(run - (1 << r), r)
+            state["eobrun"] = 0
+        for b in state["be"]:
+            sink.bits(b, 1)
+        state["be"] = []
+
+    def dc_first(blk, ci):
+        v = int(blk[0]) >> al  # arithmetic shift = T.81 DC point transform
+        diff = v - pred[ci]
+        pred[ci] = v
+        size = _jpeg_category(diff)
+        sink.dc(size)
+        if size:
+            sink.bits(diff if diff > 0 else diff + (1 << size) - 1, size)
+
+    def dc_refine(blk, ci):
+        sink.bits((int(blk[0]) >> al) & 1, 1)
+
+    def ac_first(blk, ci):
+        run = 0
+        for k in range(ss, se + 1):
+            c = int(blk[k])
+            v = c >> al if c >= 0 else -((-c) >> al)  # magnitude shift
+            if v == 0:
+                run += 1
+                continue
+            flush_eob()
+            while run > 15:
+                sink.ac(0xF0)
+                run -= 16
+            size = _jpeg_category(v)
+            sink.ac((run << 4) | size)
+            sink.bits(v if v > 0 else v + (1 << size) - 1, size)
+            run = 0
+        if run:
+            state["eobrun"] += 1
+            if state["eobrun"] == 32767:
+                flush_eob()
+
+    def ac_refine(blk, ci):
+        n = se - ss + 1
+        absvals = [0] * n
+        eob = -1  # index of the LAST newly-nonzero coefficient
+        for i in range(n):
+            c = int(blk[ss + i])
+            absvals[i] = (-c if c < 0 else c) >> al
+            if absvals[i] == 1:
+                eob = i
+        run, br = 0, []
+        for i in range(n):
+            t = absvals[i]
+            if t == 0:
+                run += 1
+                continue
+            # ZRLs only while a newly-nonzero coefficient still
+            # follows; trailing runs fold into the EOB run instead
+            while run > 15 and i <= eob:
+                flush_eob()
+                sink.ac(0xF0)
+                run -= 16
+                for b in br:
+                    sink.bits(b, 1)
+                br = []
+            if t > 1:  # history-nonzero: buffer its correction bit
+                br.append(t & 1)
+                continue
+            flush_eob()  # newly-nonzero: emit (run, 1) + sign
+            sink.ac((run << 4) | 1)
+            sink.bits(1 if int(blk[ss + i]) > 0 else 0, 1)
+            for b in br:
+                sink.bits(b, 1)
+            br = []
+            run = 0
+        if run or br:
+            state["eobrun"] += 1
+            state["be"].extend(br)
+            if state["eobrun"] == 32767:
+                flush_eob()
+
+    if ss == 0 and ah == 0:
+        block_fn = dc_first
+    elif ss == 0:
+        block_fn = dc_refine
+    elif ah == 0:
+        block_fn = ac_first
+    else:
+        block_fn = ac_refine
+    unit_i = rst = 0
+    for unit in _jpeg_scan_units(comp_sel, samp, mcux, mcuy, grids):
+        if restart_interval and unit_i and unit_i % restart_interval == 0:
+            flush_eob()
+            sink.restart(rst % 8)
+            rst += 1
+            pred = dict.fromkeys(comp_sel, 0)
+        unit_i += 1
+        for ci, by, bx in unit:
+            block_fn(coef_arrays[ci][by, bx], ci)
+    flush_eob()
+
+
+def _jpeg_encode_progressive(width, height, planes, quant=None,
+                             samplings=None, scans=None,
+                             restart_interval=0) -> bytes:
+    """Serialize components as a PROGRESSIVE (SOF2) JFIF. ``scans``
+    is the scan script — (component_indices, Ss, Se, Ah, Al) tuples;
+    the default exercises BOTH progression dimensions: an interleaved
+    DC-first scan at Al=1, its refinement, then per-component AC
+    1..63 first scans at Al=1 and their refinements to full
+    precision. Each scan declares its own DHT (table 0) built from
+    the symbols it actually emits; DC-refinement scans carry no DHT
+    (they are raw bits). Shares the quantizer with the baseline
+    serializer, so baseline and progressive streams of one image
+    decode to identical pixels."""
+    q = list(quant) if quant is not None else [1] * 64
+    if len(q) != 64 or any(not 1 <= v <= 255 for v in q):
+        raise ValueError("quant table must be 64 entries in 1..255")
+    nc = len(planes)
+    samp = samplings or [(1, 1)] * nc
+    coef_arrays, mcux, mcuy = _jpeg_quantize_planes(
+        width, height, planes, q, samp
+    )
+    hmax = max(h for h, _ in samp)
+    vmax = max(v for _, v in samp)
+    grids = []
+    for hi, vi in samp:
+        comp_w = (width * hi + hmax - 1) // hmax
+        comp_h = (height * vi + vmax - 1) // vmax
+        grids.append(((comp_w + 7) // 8, (comp_h + 7) // 8))
+    if scans is None:
+        everyone = tuple(range(nc))
+        scans = [(everyone, 0, 0, 0, 1), (everyone, 0, 0, 1, 0)]
+        scans += [((ci,), 1, 63, 0, 1) for ci in range(nc)]
+        scans += [((ci,), 1, 63, 1, 0) for ci in range(nc)]
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    sof_comps = b"".join(
+        bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], 0])
+        for ci in range(nc)
+    )
+    out = [
+        b"\xff\xd8",
+        seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"),
     ]
-    return _jpeg_encode_planes(
-        width, height, planes, quant,
-        samplings=[(2, 2), (1, 1), (1, 1)],
+    if restart_interval:
+        out.append(seg(0xFFDD, struct.pack(">H", restart_interval)))
+    out.append(seg(0xFFDB, b"\x00" + _jpeg_dqt_bytes(q)))
+    out.append(
+        seg(0xFFC2, struct.pack(">BHHB", 8, height, width, nc) + sof_comps)
+    )
+    for comp_sel, ss, se, ah, al in scans:
+        comp_sel = tuple(comp_sel)
+        if ss > 0 and len(comp_sel) != 1:
+            raise ValueError("AC scans must be single-component")
+        collector = _JpegSymCollector()
+        _jpeg_encode_scan_body(
+            collector, coef_arrays, samp, mcux, mcuy, grids,
+            comp_sel, ss, se, ah, al, restart_interval,
+        )
+        dc_code: dict = {}
+        ac_code: dict = {}
+        if collector.dc_syms:
+            cnt, vals, dc_code = _jpeg_fixed_table(collector.dc_syms)
+            out.append(seg(0xFFC4, b"\x00" + bytes(cnt) + bytes(vals)))
+        if collector.ac_syms:
+            cnt, vals, ac_code = _jpeg_fixed_table(collector.ac_syms)
+            out.append(seg(0xFFC4, b"\x10" + bytes(cnt) + bytes(vals)))
+        w = _BitWriter()
+        _jpeg_encode_scan_body(
+            _JpegScanWriter(w, dc_code, ac_code), coef_arrays, samp,
+            mcux, mcuy, grids, comp_sel, ss, se, ah, al,
+            restart_interval,
+        )
+        sos_comps = b"".join(bytes([ci + 1, 0x00]) for ci in comp_sel)
+        out.append(
+            seg(0xFFDA, bytes([len(comp_sel)]) + sos_comps
+                + bytes([ss, se, (ah << 4) | al]))
+        )
+        out.append(w.flush())
+    out.append(b"\xff\xd9")
+    return b"".join(out)
+
+
+def encode_jpeg_progressive(width: int, height: int, pixels: bytes,
+                            quant: list[int] | None = None,
+                            scans=None, restart_interval: int = 0,
+                            ) -> bytes:
+    """Serialize 8-bit grayscale pixels (height rows of width bytes)
+    as a progressive (SOF2) JFIF — default 4-scan script: DC first at
+    Al=1, DC refinement, AC 1..63 first at Al=1, AC refinement."""
+    import numpy as np
+
+    if len(pixels) != width * height or width <= 0 or height <= 0:
+        raise ValueError("pixel array size != width * height")
+    img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
+    return _jpeg_encode_progressive(
+        width, height, [img], quant, scans=scans,
+        restart_interval=restart_interval,
+    )
+
+
+def encode_jpeg_color_progressive(width: int, height: int, rgb: bytes,
+                                  quant: list[int] | None = None,
+                                  subsample: str = "444", scans=None,
+                                  restart_interval: int = 0) -> bytes:
+    """Serialize interleaved 8-bit RGB pixels as a progressive (SOF2)
+    YCbCr JFIF (4:4:4 or 4:2:0) — interleaved DC scans over the MCU
+    grid, per-component non-interleaved AC scans over each
+    component's OWN block grid (where chroma grids differ from the
+    padded MCU geometry under 4:2:0)."""
+    planes, samp = _rgb_to_ycbcr_planes(width, height, rgb, subsample)
+    return _jpeg_encode_progressive(
+        width, height, planes, quant, samplings=samp, scans=scans,
         restart_interval=restart_interval,
     )
 
@@ -728,15 +1074,203 @@ class _BitReader:
         self.pos += 2
 
 
+def _jpeg_decode_scan(payload, data_pos, body, frame, qtables, htables,
+                      coefs, restart_interval, progressive):
+    """Decode one scan's entropy data into the per-component zigzag
+    coefficient arrays (T.81 F.2 sequential; G.2 progressive: DC
+    first/refinement, AC first with EOB runs, AC refinement with
+    correction bits). Returns the payload offset of the marker that
+    follows the scan."""
+    width, height, comps, samp, mcux, mcuy, grids = frame
+    ns = body[0]
+    if len(body) < 1 + 2 * ns + 3:
+        raise ValueError("truncated SOS")
+    scan_comps = []
+    for i in range(ns):
+        cid = body[1 + 2 * i]
+        tt = body[2 + 2 * i]
+        matches = [ci for ci, c in enumerate(comps) if c[0] == cid]
+        if not matches:
+            raise ValueError(f"scan references unknown component {cid}")
+        scan_comps.append((matches[0], tt >> 4, tt & 0xF))
+    ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+    ahal = body[3 + 2 * ns]
+    ah, al = ahal >> 4, ahal & 0xF
+    if progressive:
+        if ss == 0 and se != 0:
+            raise ValueError("SOF2 scan mixes DC and AC bands")
+        if ss > 0 and ns != 1:
+            raise ValueError("multi-component AC scan")
+        if se > 63 or ss > 63 or se < ss:
+            raise ValueError("bad spectral selection bounds")
+    else:
+        if ns != len(comps):
+            raise UnsupportedCodecError("scan/frame component mismatch")
+        ss, se, ah, al = 0, 63, 0, 0  # sequential = one full-band scan
+    needs_dc = ss == 0 and (ah == 0 or not progressive)
+    needs_ac = (not progressive) or ss > 0
+    tabs = {}
+    for ci, td, ta in scan_comps:
+        dc_tab = htables.get((0, td)) if needs_dc else None
+        ac_tab = htables.get((1, ta)) if needs_ac else None
+        if ((needs_dc and dc_tab is None)
+                or (needs_ac and ac_tab is None)
+                or comps[ci][3] not in qtables):
+            raise ValueError("scan references undeclared table")
+        tabs[ci] = (dc_tab, ac_tab)
+    comp_sel = [ci for ci, _, _ in scan_comps]
+    r = _BitReader(payload[data_pos:])
+    pred = dict.fromkeys(comp_sel, 0)
+    state = {"eobrun": 0}
+    ac_tab0 = tabs[comp_sel[0]][1]  # AC scans are single-component
+
+    def receive_extend(size):
+        v = r.bits(size)
+        if v < (1 << (size - 1)):
+            v -= (1 << size) - 1
+        return v
+
+    def block_seq(blk, ci):
+        dc_tab, ac_tab = tabs[ci]
+        size = r.decode(dc_tab)
+        pred[ci] += receive_extend(size) if size else 0
+        blk[0] = pred[ci]
+        k = 1
+        while k < 64:
+            sym = r.decode(ac_tab)
+            if sym == 0x00:  # EOB
+                break
+            run, size = sym >> 4, sym & 0xF
+            if size == 0:
+                if run != 15:
+                    raise ValueError(f"bad AC symbol {sym:#x}")
+                k += 16  # ZRL
+                continue
+            k += run
+            if k > 63:
+                raise ValueError("AC run past block end")
+            blk[k] = receive_extend(size)
+            k += 1
+
+    def block_dc_first(blk, ci):
+        size = r.decode(tabs[ci][0])
+        pred[ci] += receive_extend(size) if size else 0
+        blk[0] = pred[ci] << al
+
+    def block_dc_refine(blk, ci):
+        if r.bit():
+            blk[0] |= 1 << al
+
+    def block_ac_first(blk, ci):
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        k = ss
+        while k <= se:
+            sym = r.decode(ac_tab0)
+            run, size = sym >> 4, sym & 0xF
+            if size == 0:
+                if run != 15:  # EOBn: run of 2^run (+ext) all-done blocks
+                    state["eobrun"] = (1 << run) - 1
+                    if run:
+                        state["eobrun"] += r.bits(run)
+                    return
+                k += 16  # ZRL
+                continue
+            k += run
+            if k > se:
+                raise ValueError("AC run past band end")
+            blk[k] = receive_extend(size) << al
+            k += 1
+
+    def block_ac_refine(blk, ci):
+        p1 = 1 << al
+        k = ss
+        if state["eobrun"] == 0:
+            while k <= se:
+                sym = r.decode(ac_tab0)
+                run, size = sym >> 4, sym & 0xF
+                if size == 0:
+                    if run != 15:
+                        state["eobrun"] = 1 << run
+                        if run:
+                            state["eobrun"] += r.bits(run)
+                        break
+                    val = 0  # ZRL: skip 16 zero-history slots
+                else:
+                    if size != 1:
+                        raise ValueError("AC refinement symbol size > 1")
+                    val = p1 if r.bit() else -p1
+                # advance over `run` zero-history slots, consuming a
+                # correction bit at every nonzero-history coefficient
+                # passed along the way (T.81 G.2 / the libjpeg layout)
+                while k <= se:
+                    if blk[k] != 0:
+                        if r.bit() and (blk[k] & p1) == 0:
+                            blk[k] += p1 if blk[k] >= 0 else -p1
+                    else:
+                        if run == 0:
+                            break
+                        run -= 1
+                    k += 1
+                if val:
+                    if k > se:
+                        raise ValueError("AC refinement run past band end")
+                    blk[k] = val
+                k += 1
+        if state["eobrun"] > 0:
+            while k <= se:  # EOB-run tail: correction bits only
+                if blk[k] != 0:
+                    if r.bit() and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else -p1
+                k += 1
+            state["eobrun"] -= 1
+
+    if not progressive:
+        block_fn = block_seq
+    elif ss == 0 and ah == 0:
+        block_fn = block_dc_first
+    elif ss == 0:
+        block_fn = block_dc_refine
+    elif ah == 0:
+        block_fn = block_ac_first
+    else:
+        block_fn = block_ac_refine
+    unit_i = rst = 0
+    for unit in _jpeg_scan_units(comp_sel, samp, mcux, mcuy, grids):
+        if restart_interval and unit_i and unit_i % restart_interval == 0:
+            r.restart(rst % 8)
+            rst += 1
+            pred = dict.fromkeys(comp_sel, 0)
+            state["eobrun"] = 0
+        unit_i += 1
+        for ci, by, bx in unit:
+            block_fn(coefs[ci][by, bx], ci)
+    end = data_pos + r.pos
+    # tolerate stray trailing RSTn, then require a real marker
+    while (end + 1 < len(payload) and payload[end] == 0xFF
+           and 0xD0 <= payload[end + 1] <= 0xD7):
+        end += 2
+    if (end + 1 >= len(payload) or payload[end] != 0xFF
+            or payload[end + 1] == 0x00):
+        raise ValueError("scan data not followed by a marker")
+    return end
+
+
 def parse_jpeg(payload: bytes) -> dict:
-    """Decode a baseline sequential JFIF for real: segment
-    walk (DQT/DHT/SOF0/SOS), canonical-Huffman entropy decode with DC
-    prediction and AC run-length, dequantize, orthonormal IDCT, level
-    shift, clamp, crop. Decodes grayscale and YCbCr color (4:4:4
-    through 4:2:0), with or without restart markers (DRI/RSTn).
-    Raises ValueError on malformed bytes, UnsupportedCodecError on
-    progressive (SOF2), sampling factors above 2, and 12-bit
-    precision (the documented out-of-scope tier)."""
+    """Decode a JFIF for real — baseline sequential (SOF0) or, since
+    r12, PROGRESSIVE (SOF2): segment walk (DQT/DHT/SOF/DRI/SOS),
+    canonical-Huffman entropy decode with DC prediction and AC
+    run-length; progressive scans (spectral-selection bands,
+    successive-approximation first + refinement passes, EOB-run
+    coding, interleaved DC / non-interleaved AC scan geometry)
+    accumulate into per-component coefficient arrays, then dequantize
+    + orthonormal IDCT + level shift run once after the last scan.
+    Grayscale and YCbCr color (4:4:4 through 4:2:0), with or without
+    restart markers (DRI/RSTn). Raises ValueError on malformed bytes,
+    UnsupportedCodecError on sampling factors above 2, 12-bit
+    precision, and the arithmetic/hierarchical/lossless SOF families
+    (the documented out-of-scope tier)."""
     import numpy as np
 
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
@@ -744,15 +1278,19 @@ def parse_jpeg(payload: bytes) -> dict:
     pos = 2
     qtables: dict[int, list[int]] = {}
     htables: dict[tuple[int, int], dict] = {}
-    sof = None
-    scan_spec = None
+    frame = None
+    coefs = None
+    progressive = False
+    n_scans = 0
     restart_interval = 0
-    while pos + 4 <= len(payload):
+    while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at offset {pos}")
         marker = payload[pos + 1]
-        if marker == 0xD9:  # EOI before SOS
+        if marker == 0xD9:  # EOI
             break
+        if pos + 4 > len(payload):
+            raise ValueError("truncated segment")
         (ln,) = struct.unpack(">H", payload[pos + 2:pos + 4])
         if ln < 2 or pos + 2 + ln > len(payload):
             raise ValueError("truncated segment")
@@ -794,16 +1332,21 @@ def parse_jpeg(payload: bytes) -> dict:
                 }
                 htables[(tc, th)] = inv
                 i += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            if frame is not None:
+                raise ValueError("multiple SOF segments")
+            progressive = marker == 0xC2
             if len(body) < 6:  # short body -> ValueError, never
-                raise ValueError("truncated SOF0")  # struct.error
+                raise ValueError("truncated SOF")  # struct.error
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise UnsupportedCodecError(f"{prec}-bit JPEG precision")
             if nc not in (1, 3):
                 raise UnsupportedCodecError(f"{nc}-component JPEG")
             if len(body) < 6 + 3 * nc:
-                raise ValueError("truncated SOF0")
+                raise ValueError("truncated SOF")
+            if w <= 0 or h <= 0:
+                raise ValueError(f"bad JPEG dimensions {w}x{h}")
             comps = []
             for ci in range(nc):
                 comp_id, sampling, tq = body[6 + 3 * ci:9 + 3 * ci]
@@ -813,8 +1356,22 @@ def parse_jpeg(payload: bytes) -> dict:
                         f"sampling factors {hi}x{vi} (1-2 supported)"
                     )
                 comps.append((comp_id, hi, vi, tq))
-            sof = (w, h, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            samp = [(hi, vi) for _, hi, vi, _ in comps]
+            hmax = max(hi for hi, _ in samp)
+            vmax = max(vi for _, vi in samp)
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            grids = []
+            for hi, vi in samp:
+                comp_w = (w * hi + hmax - 1) // hmax
+                comp_h = (h * vi + vmax - 1) // vmax
+                grids.append(((comp_w + 7) // 8, (comp_h + 7) // 8))
+            frame = (w, h, comps, samp, mcux, mcuy, grids)
+            coefs = [
+                np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.int32)
+                for hi, vi in samp
+            ]
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise UnsupportedCodecError(
                 f"non-baseline JPEG (SOF marker 0xFF{marker:02x})"
@@ -826,101 +1383,44 @@ def parse_jpeg(payload: bytes) -> dict:
         elif marker == 0xDA:  # SOS — entropy data follows
             if not body:  # empty body -> ValueError, never IndexError
                 raise ValueError("truncated SOS")
-            ns = body[0]
-            if len(body) < 1 + 2 * ns + 3:
-                raise ValueError("truncated SOS")
-            scan_tabs = [
-                (body[2 + 2 * ci] >> 4, body[2 + 2 * ci] & 0xF)
-                for ci in range(ns)
-            ]
-            scan_spec = (ns, scan_tabs, pos)
-            break
-    if sof is None or scan_spec is None:
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            pos = _jpeg_decode_scan(
+                payload, pos, body, frame, qtables, htables, coefs,
+                restart_interval, progressive,
+            )
+            n_scans += 1
+    if frame is None or n_scans == 0:
         raise ValueError("missing SOF0 or SOS")
-    width, height, comps = sof
-    if width <= 0 or height <= 0:
-        raise ValueError(f"bad JPEG dimensions {width}x{height}")
-    ns, scan_tabs, data_pos = scan_spec
-    if ns != len(comps):
-        raise UnsupportedCodecError("scan/frame component mismatch")
+    width, height, comps, samp, mcux, mcuy, grids = frame
     nc = len(comps)
-    hmax = max(hi for _, hi, _, _ in comps)
-    vmax = max(vi for _, _, vi, _ in comps)
-    mcux = (width + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
-    per_comp = []
-    for (cid_, hi, vi, tq), (td, ta) in zip(comps, scan_tabs):
-        if (tq not in qtables or (0, td) not in htables
-                or (1, ta) not in htables):
-            raise ValueError("scan references undeclared table")
-        qarr = np.zeros(64, dtype=np.float64)
-        for i, nat in enumerate(_JPEG_ZIGZAG):
-            qarr[nat] = qtables[tq][i]
-        per_comp.append(
-            (hi, vi, qarr.reshape(8, 8), htables[(0, td)],
-             htables[(1, ta)])
-        )
+    hmax = max(hi for hi, _ in samp)
+    vmax = max(vi for _, vi in samp)
     m = _dct_matrix()
-    planes = [
-        np.zeros((mcuy * 8 * vi, mcux * 8 * hi), dtype=np.uint8)
-        for hi, vi, _, _, _ in per_comp
-    ]
-    r = _BitReader(payload[data_pos:])
-    prev_dc = [0] * nc
+    planes = []
     n_blocks = 0
-    mcu_i = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
-                r.restart((mcu_i // restart_interval - 1) % 8)
-                prev_dc = [0] * nc
-            mcu_i += 1
-            for ci in range(nc):
-                hi, vi, qarr, dc_tab, ac_tab = per_comp[ci]
-                for by in range(vi):
-                    for bx in range(hi):
-                        coef = np.zeros(64, dtype=np.float64)
-                        size = r.decode(dc_tab)
-                        if size:
-                            v = r.bits(size)
-                            if v < (1 << (size - 1)):
-                                v -= (1 << size) - 1
-                        else:
-                            v = 0
-                        prev_dc[ci] += v
-                        coef[_JPEG_ZIGZAG[0]] = prev_dc[ci]
-                        k = 1
-                        while k < 64:
-                            sym = r.decode(ac_tab)
-                            if sym == 0x00:  # EOB
-                                break
-                            run, size = sym >> 4, sym & 0xF
-                            if size == 0:
-                                if run != 15:
-                                    raise ValueError(
-                                        f"bad AC symbol {sym:#x}"
-                                    )
-                                k += 16  # ZRL
-                                continue
-                            k += run
-                            if k > 63:
-                                raise ValueError("AC run past block end")
-                            v = r.bits(size)
-                            if v < (1 << (size - 1)):
-                                v -= (1 << size) - 1
-                            coef[_JPEG_ZIGZAG[k]] = v
-                            k += 1
-                        block = m.T @ (coef.reshape(8, 8) * qarr) @ m
-                        ry = (my * vi + by) * 8
-                        rx = (mx * hi + bx) * 8
-                        planes[ci][ry:ry + 8, rx:rx + 8] = np.clip(
-                            np.rint(block) + 128, 0, 255
-                        ).astype(np.uint8)
-                        n_blocks += 1
+    for ci, (hi, vi) in enumerate(samp):
+        tq = comps[ci][3]
+        if tq not in qtables:
+            raise ValueError("scan references undeclared table")
+        qzig = np.array(qtables[tq], dtype=np.float64)
+        plane = np.zeros((mcuy * 8 * vi, mcux * 8 * hi), dtype=np.uint8)
+        bh, bw = mcuy * vi, mcux * hi
+        for by in range(bh):
+            for bx in range(bw):
+                dq = coefs[ci][by, bx].astype(np.float64) * qzig
+                nat = np.zeros(64, dtype=np.float64)
+                nat[_JPEG_ZIGZAG] = dq
+                block = m.T @ nat.reshape(8, 8) @ m
+                plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = np.clip(
+                    np.rint(block) + 128, 0, 255
+                ).astype(np.uint8)
+                n_blocks += 1
+        planes.append(plane)
     # upsample each component to full resolution by replication
     # (nearest-neighbor chroma upsampling), then crop to the frame
     full = []
-    for (hi, vi, _, _, _), plane in zip(per_comp, planes):
+    for (hi, vi), plane in zip(samp, planes):
         up = np.repeat(np.repeat(plane, vmax // vi, axis=0),
                        hmax // hi, axis=1)
         full.append(up[:height, :width])
@@ -954,9 +1454,10 @@ def parse_jpeg(payload: bytes) -> dict:
 
 def _decode_payload(payload: bytes, mime_type: str) -> bytes:
     """Decode a payload to its content bytes: PCM samples for WAV,
-    the raw pixel array for BMP/PNG (PNG inflated AND unfiltered),
+    the raw pixel array for BMP/PNG/JPEG (PNG inflated AND
+    unfiltered, JPEG entropy-decoded — baseline or progressive),
     identity for text. Mime types whose codecs need an absent library
-    (JPEG entropy coding, video demux) raise UnsupportedCodecError."""
+    (video demux) raise UnsupportedCodecError."""
     if mime_type == "text/plain":
         return payload
     if mime_type in ("audio/wav", "audio/x-wav", "audio/wave"):

@@ -2845,8 +2845,9 @@ def q_multimodal_jpeg_probe(spark, sf_dir):
     Q=1 round-trip EXACTLY (only the DC basis is excited, 8*(v-128) is
     integral), so the oracle's pixel_byte_sum — 64 * Σ_tiles (doc_id +
     29*by + 13*bx) % 256, pure doc_id arithmetic — only matches if the
-    whole entropy-decode chain is exact. Progressive/color/restart
-    variants stay documented UnsupportedCodecError dead-letters. Same
+    whole entropy-decode chain is exact. Color/restart/4:2:0 decode
+    for real via the sibling probes (and progressive via
+    q_multimodal_jpeg_progressive_probe since r12). Same
     Arrow-batched no-shuffle shape as the WAV/BMP/PNG probes."""
     import numpy as np
     import pandas as pd
@@ -2922,7 +2923,7 @@ def q_multimodal_jpeg_color_probe(spark, sf_dir):
     The oracle's pixel_byte_sum (192 = 3 channels x 64 px per tile)
     only matches if component interleave order, per-component
     predictors, and both color transforms are exact. Chroma-subsampled
-    JPEG stays an UnsupportedCodecError dead-letter."""
+    4:2:0 decodes via q_multimodal_jpeg420_probe."""
     import numpy as np
     import pandas as pd
 
@@ -3116,6 +3117,133 @@ def q_multimodal_jpeg_restart_probe(spark, sf_dir):
     return media_properties(payloads).select(
         "doc_id", "mime_type", "width", "height", "bpp",
         "row_stride", "pixel_bytes", "pixel_byte_sum", "parse_ok",
+    )
+
+
+@register(
+    "q_multimodal_jpeg_progressive_probe",
+    """
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(1 + doc_id % 3 AS INT) AS wb,
+             CAST(1 + doc_id % 2 AS INT) AS hb
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT d.doc_id, 'image/jpeg' AS mime_type,
+           CAST(d.wb * 8 AS INT) AS width,
+           CAST(d.hb * 8 AS INT) AS height,
+           CAST(8 AS INT) AS bpp,
+           CAST(64 * (SELECT sum((d.doc_id + 23 * a.by + 9 * b.bx) % 192
+                                 + 32)
+                      FROM unnest(range(0, d.hb)) AS a(by),
+                           unnest(range(0, d.wb)) AS b(bx))
+             AS BIGINT) AS pixel_sum,
+           CAST(64 * (SELECT sum(
+                        ((d.doc_id + 23 * a.by + 9 * b.bx) % 192 + 32)
+                        * ((d.doc_id + 23 * a.by + 9 * b.bx) % 192 + 32)
+                        + ((d.doc_id + 5 * a.by + 3 * b.bx) % 5 - 2)
+                        * ((d.doc_id + 5 * a.by + 3 * b.bx) % 5 - 2))
+                      FROM unnest(range(0, d.hb)) AS a(by),
+                           unnest(range(0, d.wb)) AS b(bx))
+             AS BIGINT) AS pixel_sq_sum,
+           TRUE AS parse_ok
+    FROM dims d
+    """,
+)
+def q_multimodal_jpeg_progressive_probe(spark, sf_dir):
+    """PROGRESSIVE (SOF2) JPEG decode, oracle-verified (r12, VERDICT
+    r11 ask #1 — retiring the last major multimodal dead-letter: the
+    dominant layout for real-world web JPEGs). Each doc_id image is
+    built from 8x8 tiles of the form p + qa*s(x) with s the
+    (+,-,-,+,+,-,-,+) column pattern — an image whose DCT is EXACTLY
+    integral and sparse (only natural (0,0) and (0,4) excited, values
+    8(p-128) and 8*qa) — quantized by 8 at exactly those two slots so
+    quantized values keep arbitrary LOW BITS: the default 4-scan
+    progressive script (DC first at Al=1, DC refinement, AC 1..63
+    first at Al=1, AC refinement) then exercises nontrivial
+    successive-approximation bits, newly-nonzero-in-refinement
+    coefficients (|qa|=1), correction bits (|qa|=2) AND EOB runs
+    (qa=0) — and reconstruction is still byte-exact. The oracle pins
+    TWO statistics: pixel_sum (= 64*sum(p): s is zero-mean, blind to
+    AC) and pixel_sq_sum (= 64*sum(p^2 + qa^2): the cross term
+    cancels, the qa^2 term survives — a decoder that dropped or
+    mis-scaled any AC scan fails the hash). Also pins the r12 DQT
+    zigzag-order fix: a natural-order DQT write would dequantize the
+    wrong slot. Same Arrow-batched no-shuffle shape as the other
+    codec probes; decode stays per-payload Python inside mapInPandas
+    (see SCALE.md codec-throughput budget)."""
+    import numpy as np
+    import pandas as pd
+
+    from hcls_data_lake_spark.operators.multimodal import (
+        encode_jpeg_progressive,
+        parse_jpeg,
+    )
+
+    svec = np.array([1, -1, -1, 1, 1, -1, -1, 1], dtype=np.int64)
+    quant = [8 if i in (0, 4) else 1 for i in range(64)]
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for raw_id in pdf["doc_id"]:
+                doc_id = int(raw_id)
+                wb, hb = 1 + doc_id % 3, 1 + doc_id % 2
+                img = np.zeros((hb * 8, wb * 8), dtype=np.uint8)
+                for by in range(hb):
+                    for bx in range(wb):
+                        p = (doc_id + 23 * by + 9 * bx) % 192 + 32
+                        qa = (doc_id + 5 * by + 3 * bx) % 5 - 2
+                        img[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = (
+                            p + qa * svec
+                        )[None, :].repeat(8, axis=0)
+                payloads.append(
+                    encode_jpeg_progressive(
+                        wb * 8, hb * 8, img.tobytes(), quant=quant
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    def decode(batches):
+        for pdf in batches:
+            rows: dict = {
+                "doc_id": [], "mime_type": [], "width": [],
+                "height": [], "bpp": [], "pixel_sum": [],
+                "pixel_sq_sum": [], "parse_ok": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rows["doc_id"].append(doc_id)
+                rows["mime_type"].append("image/jpeg")
+                try:
+                    j = parse_jpeg(bytes(payload))
+                    px = np.frombuffer(j["pixels"], dtype=np.uint8)
+                    px64 = px.astype(np.int64)
+                    rows["width"].append(j["width"])
+                    rows["height"].append(j["height"])
+                    rows["bpp"].append(j["bpp"])
+                    rows["pixel_sum"].append(int(px64.sum()))
+                    rows["pixel_sq_sum"].append(int((px64 * px64).sum()))
+                    rows["parse_ok"].append(True)
+                except ValueError:
+                    for k in ("width", "height", "bpp", "pixel_sum",
+                              "pixel_sq_sum"):
+                        rows[k].append(None)
+                    rows["parse_ok"].append(False)
+            yield pd.DataFrame(rows)
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    payloads = d.select("doc_id").mapInPandas(
+        synth, schema="doc_id bigint, payload binary"
+    )
+    return payloads.mapInPandas(
+        decode,
+        schema=(
+            "doc_id bigint, mime_type string, width int, height int,"
+            " bpp int, pixel_sum bigint, pixel_sq_sum bigint,"
+            " parse_ok boolean"
+        ),
     )
 
 

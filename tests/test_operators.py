@@ -2422,8 +2422,14 @@ def test_jpeg_malformed_and_unsupported_route_as_dead_letter():
         parse_jpeg(good[: len(good) // 2])  # truncated mid-stream
     blob = bytearray(good)
     sof = blob.find(b"\xff\xc0")
-    blob[sof + 1] = 0xC2  # progressive DCT
+    blob[sof + 1] = 0xC3  # lossless sequential — out-of-scope SOF
     with pytest.raises(UnsupportedCodecError):
+        parse_jpeg(bytes(blob))
+    # flipping SOF0 -> SOF2 makes the full-band interleaved scan an
+    # ILLEGAL progressive scan (r12: SOF2 itself now decodes) — the
+    # stream is malformed, not unsupported, and still dead-letters
+    blob[sof + 1] = 0xC2
+    with pytest.raises(ValueError):
         parse_jpeg(bytes(blob))
     # scan data corruption: an invalid marker inside the scan is a
     # hard ValueError, not silent garbage
@@ -2639,3 +2645,180 @@ def test_jpeg_16bit_dqt_and_appn_com_passthrough():
     # undefined precision flags reject
     with pytest.raises(ValueError):
         parse_jpeg(b"\xff\xd8" + seg(0xFFDB, b"\x20" + bytes(64)))
+
+
+def test_jpeg_progressive_matches_baseline_decode():
+    """r12 progressive (SOF2) decode: because both serializers share
+    one quantizer, a progressive and a baseline stream of the same
+    image MUST decode to byte-identical pixels — over random images,
+    random quant tables (small values force newly-nonzero-in-
+    refinement coefficients and real EOB runs), gray and color, 4:4:4
+    and 4:2:0, and restart intervals."""
+    import numpy as np
+
+    from hcls_data_lake_spark.operators.multimodal import (
+        encode_jpeg,
+        encode_jpeg_color,
+        encode_jpeg_color_progressive,
+        encode_jpeg_progressive,
+        parse_jpeg,
+    )
+
+    rng = np.random.RandomState(1234)
+    for _ in range(12):
+        w, h = int(rng.randint(1, 40)), int(rng.randint(1, 40))
+        im = rng.randint(0, 256, size=(h, w), dtype=np.uint8)
+        q = [int(v) for v in rng.randint(1, 30, size=64)]
+        base = parse_jpeg(encode_jpeg(w, h, im.tobytes(), quant=q))
+        prog = parse_jpeg(
+            encode_jpeg_progressive(w, h, im.tobytes(), quant=q)
+        )
+        assert base["pixels"] == prog["pixels"]
+        assert base["n_blocks"] == prog["n_blocks"]
+    for _ in range(6):
+        w, h = int(rng.randint(1, 36)), int(rng.randint(1, 36))
+        im = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        q = [int(v) for v in rng.randint(1, 20, size=64)]
+        for sub in ("444", "420"):
+            base = parse_jpeg(
+                encode_jpeg_color(w, h, im.tobytes(), quant=q,
+                                  subsample=sub)
+            )
+            prog = parse_jpeg(
+                encode_jpeg_color_progressive(
+                    w, h, im.tobytes(), quant=q, subsample=sub
+                )
+            )
+            assert base["pixels"] == prog["pixels"]
+    # restart markers inside progressive scans (EOB runs + predictors
+    # reset at each RSTn, in every scan kind)
+    im = rng.randint(0, 256, size=(24, 33), dtype=np.uint8)
+    q = [int(v) for v in rng.randint(1, 12, size=64)]
+    base = parse_jpeg(encode_jpeg(33, 24, im.tobytes(), quant=q))
+    for ri in (1, 3, 7):
+        prog = parse_jpeg(
+            encode_jpeg_progressive(
+                33, 24, im.tobytes(), quant=q, restart_interval=ri
+            )
+        )
+        assert base["pixels"] == prog["pixels"]
+
+
+def test_jpeg_progressive_scan_scripts_and_eob_runs():
+    """Spectral-selection-only, deep successive approximation, and
+    mixed band/SA scan scripts all reconstruct the same pixels as the
+    baseline stream; a flat image makes every AC scan one giant EOB
+    run (eobrun > 1 with extension bits) and still decodes."""
+    import numpy as np
+
+    from hcls_data_lake_spark.operators.multimodal import (
+        encode_jpeg,
+        encode_jpeg_progressive,
+        parse_jpeg,
+    )
+
+    rng = np.random.RandomState(7)
+    im = rng.randint(0, 256, size=(24, 17), dtype=np.uint8)
+    q = [int(v) for v in rng.randint(1, 10, size=64)]
+    base = parse_jpeg(encode_jpeg(17, 24, im.tobytes(), quant=q))
+    scripts = [
+        [((0,), 0, 0, 0, 0), ((0,), 1, 5, 0, 0), ((0,), 6, 63, 0, 0)],
+        [((0,), 0, 0, 0, 3), ((0,), 0, 0, 3, 2), ((0,), 0, 0, 2, 1),
+         ((0,), 0, 0, 1, 0), ((0,), 1, 63, 0, 2), ((0,), 1, 63, 2, 1),
+         ((0,), 1, 63, 1, 0)],
+        [((0,), 0, 0, 0, 1), ((0,), 1, 20, 0, 2), ((0,), 21, 63, 0, 1),
+         ((0,), 0, 0, 1, 0), ((0,), 1, 20, 2, 1), ((0,), 1, 20, 1, 0),
+         ((0,), 21, 63, 1, 0)],
+    ]
+    for sc in scripts:
+        prog = parse_jpeg(
+            encode_jpeg_progressive(17, 24, im.tobytes(), quant=q,
+                                    scans=sc)
+        )
+        assert base["pixels"] == prog["pixels"]
+    # 40x8 flat image = 5 all-zero-AC blocks -> one EOBn symbol with
+    # extension bits spanning the whole component scan
+    flat = np.full((8, 40), 129, dtype=np.uint8)
+    blob = encode_jpeg_progressive(40, 8, flat.tobytes())
+    assert parse_jpeg(blob)["pixels"] == flat.tobytes()
+
+
+def test_jpeg_progressive_malformed_routes_as_dead_letter():
+    """Truncated progressive scans, bad band bounds, multi-component
+    AC scans, and refinement symbols with size > 1 are hard
+    ValueErrors — inside the (ValueError, struct.error) dead-letter
+    catch, never an escaping IndexError/struct.error."""
+    import struct as st
+
+    import numpy as np
+
+    from hcls_data_lake_spark.operators.multimodal import (
+        encode_jpeg_progressive,
+        parse_jpeg,
+    )
+
+    im = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    good = encode_jpeg_progressive(8, 8, im.tobytes())
+    # truncation at EVERY prefix length must raise ValueError (or
+    # decode, for prefixes that happen to end on a valid EOI), never
+    # anything outside the dead-letter contract
+    for cut in range(2, len(good)):
+        try:
+            parse_jpeg(good[:cut])
+        except ValueError:
+            pass
+    # the first SOS is the DC scan: corrupt its band bounds
+    def seg(marker, body):
+        return st.pack(">HH", marker, len(body) + 2) + body
+
+    sos = good.find(b"\xff\xda")
+    blob = bytearray(good)
+    blob[sos + 6] = 63  # DC scan now claims Se=63 -> mixed bands
+    with pytest.raises(ValueError):
+        parse_jpeg(bytes(blob))
+    blob = bytearray(good)
+    blob[sos + 5] = 9  # Ss=9 > Se=0 -> bad spectral bounds
+    with pytest.raises(ValueError):
+        parse_jpeg(bytes(blob))
+    # an SOS naming a component the SOF never declared
+    blob = bytearray(good)
+    blob[sos + 3] = 7
+    with pytest.raises(ValueError):
+        parse_jpeg(bytes(blob))
+
+
+def test_jpeg_dqt_zigzag_order_and_nonuniform_quant_exact():
+    """r12 fix: DQT bytes must be in ZIGZAG order (T.81 B.2.4.1) —
+    both serializers previously wrote the caller's natural-order
+    table verbatim, invisible under the constant tables all earlier
+    probes used. Pin it with an image whose DCT is EXACTLY integral
+    and sparse — blocks p + qa*s(x) with s = (+,-,-,+,+,-,-,+) excite
+    only natural positions (0,0) and (0,4) with values 8(p-128) and
+    8*qa — and a quant table of 8 at exactly those two NATURAL
+    positions (zigzag indices 0 and 14): quantize/dequantize is then
+    lossless, so decode must reproduce the pixels byte-exactly. A
+    natural-order DQT write would dequantize zigzag slot 4 = natural
+    (1,1) by 8 instead and corrupt every nonzero-qa block."""
+    import numpy as np
+
+    from hcls_data_lake_spark.operators.multimodal import (
+        encode_jpeg,
+        encode_jpeg_progressive,
+        parse_jpeg,
+    )
+
+    s = np.array([1, -1, -1, 1, 1, -1, -1, 1], dtype=np.int64)
+    img = np.zeros((16, 24), dtype=np.uint8)
+    for by in range(2):
+        for bx in range(3):
+            p = (47 + 23 * by + 9 * bx) % 192 + 32
+            qa = (31 + 5 * by + 3 * bx) % 5 - 2
+            img[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = (
+                p + qa * s
+            )[None, :].repeat(8, axis=0)
+    quant = [8 if i in (0, 4) else 1 for i in range(64)]
+    for blob in (
+        encode_jpeg(24, 16, img.tobytes(), quant=quant),
+        encode_jpeg_progressive(24, 16, img.tobytes(), quant=quant),
+    ):
+        assert parse_jpeg(blob)["pixels"] == img.tobytes()
