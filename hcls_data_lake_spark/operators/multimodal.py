@@ -8,7 +8,9 @@ pure byte arithmetic are decoded FOR REAL with the stdlib (r10,
 VERDICT r9 ask #5 — no external codec library needed): RIFF/WAVE PCM
 (``audio/wav``: fmt-chunk walk via ``struct``) and uncompressed BMP
 (``image/bmp``: BITMAPFILEHEADER + BITMAPINFOHEADER), PNG decodes
-FOR REAL — stdlib zlib inflate + full scanline unfiltering
+FOR REAL — stdlib zlib inflate + full scanline unfiltering, every
+byte-aligned color type since r12: grayscale, RGB, indexed/PLTE,
+gray+alpha, RGBA at 8-bit plus 16-bit non-palette
 (``parse_png``) — and, since r11, so does JPEG (``parse_jpeg``:
 canonical-Huffman entropy decode, DC prediction, AC run-length,
 dequantize, IDCT — the T.81 core, stdlib + numpy only): grayscale and
@@ -18,11 +20,12 @@ markers (DRI/RSTn), baseline sequential (SOF0) AND, since r12,
 progressive (SOF2: spectral-selection + successive-approximation scan
 accumulation, EOB-run coding). ``text/plain`` decodes as identity.
 What still routes as ``UnsupportedCodecError`` dead-letters
-(``decode_ok = false`` rows, never a crash): sampling factors above
-2, 12-bit sample precision, arithmetic entropy coding, the
-hierarchical/lossless SOF families, and video demux — variants whose
-spec surface is large relative to what the probe tier exercises, not
-an entropy-coding blocker anymore.
+(``decode_ok = false`` rows, never a crash): JPEG sampling factors
+above 2, 12-bit sample precision, arithmetic entropy coding, the
+hierarchical/lossless SOF families, PNG sub-byte depths (1/2/4-bit)
+and Adam7 interlace, and video demux — variants whose spec surface is
+large relative to what the probe tier exercises, not an
+entropy-coding blocker anymore.
 """
 
 from __future__ import annotations
@@ -202,22 +205,21 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def encode_png(
-    width: int, height: int, pixels: bytes,
-    row_filters: list[int] | None = None,
-) -> bytes:
-    """Serialize raw 8-bit RGB pixels (height rows of width*3 bytes)
-    as a PNG, applying the given per-row filter types (default all 0)
-    — encoding WITH filters lets the decoder's unfilter path be
-    exercised and value-verified, not just the None case."""
-    import zlib
+# Channels per PNG color type (0 gray, 2 RGB, 3 palette INDEX,
+# 4 gray+alpha, 6 RGBA). For type 3 this is the raw channel count the
+# FILTERS see (1 index byte/px); the decoder expands to RGB after.
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
-    bpp, stride = 3, width * 3
-    if len(pixels) != stride * height:
-        raise ValueError("pixel array size != width*3 * height")
-    filters = row_filters or [0] * height
-    if len(filters) != height:
-        raise ValueError("need one filter type per row")
+
+def _png_filter_rows(
+    pixels: bytes, stride: int, bpp: int, height: int,
+    filters: list[int],
+) -> bytes:
+    """Apply per-row PNG filters (the encoder direction) over raw
+    scanlines. ``bpp`` is the filter's byte distance to the left
+    neighbour — bytes per pixel, which per the PNG spec is what the
+    predictors operate on at EVERY bit depth (16-bit samples filter
+    byte-wise with bpp doubled)."""
     raw = bytearray()
     prev = bytes(stride)
     for r in range(height):
@@ -251,26 +253,91 @@ def encode_png(
         else:
             raise ValueError(f"unknown filter type {f}")
         prev = row
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
-    return (
-        _PNG_SIG
-        + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
-        + _png_chunk(b"IEND", b"")
+    return bytes(raw)
+
+
+def _encode_png_any(
+    width: int, height: int, pixels: bytes, color_type: int,
+    bit_depth: int, row_filters: list[int] | None,
+    palette: bytes | None = None,
+) -> bytes:
+    """Shared PNG serializer for every supported IHDR shape; the
+    public wrappers fix the color type. ``pixels`` is the raw
+    scanline content for the declared type/depth (palette: 1 index
+    byte per pixel; 16-bit: big-endian sample pairs)."""
+    import zlib
+
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(f"unknown color type {color_type}")
+    if bit_depth not in (8, 16) or (color_type == 3 and bit_depth != 8):
+        raise ValueError(f"unsupported bit depth {bit_depth}")
+    bpp = _PNG_CHANNELS[color_type] * (bit_depth // 8)
+    stride = width * bpp
+    if len(pixels) != stride * height:
+        raise ValueError("pixel array size != stride * height")
+    filters = row_filters or [0] * height
+    if len(filters) != height:
+        raise ValueError("need one filter type per row")
+    raw = _png_filter_rows(pixels, stride, bpp, height, filters)
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, bit_depth, color_type, 0, 0, 0
+    )
+    body = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+    if color_type == 3:
+        if not palette or len(palette) % 3 or len(palette) > 768:
+            raise ValueError("palette must be 3*n bytes, n <= 256")
+        body += _png_chunk(b"PLTE", palette)
+    body += _png_chunk(b"IDAT", zlib.compress(raw))
+    return body + _png_chunk(b"IEND", b"")
+
+
+def encode_png(
+    width: int, height: int, pixels: bytes,
+    row_filters: list[int] | None = None,
+) -> bytes:
+    """Serialize raw 8-bit RGB pixels (height rows of width*3 bytes)
+    as a PNG, applying the given per-row filter types (default all 0)
+    — encoding WITH filters lets the decoder's unfilter path be
+    exercised and value-verified, not just the None case."""
+    return _encode_png_any(width, height, pixels, 2, 8, row_filters)
+
+
+def encode_png_gray(
+    width: int, height: int, pixels: bytes,
+    row_filters: list[int] | None = None, bit_depth: int = 8,
+) -> bytes:
+    """Serialize grayscale (color type 0) PNG at 8- or 16-bit depth
+    (16-bit: big-endian sample pairs, filters byte-wise per spec)."""
+    return _encode_png_any(width, height, pixels, 0, bit_depth, row_filters)
+
+
+def encode_png_palette(
+    width: int, height: int, indices: bytes, palette: bytes,
+    row_filters: list[int] | None = None,
+) -> bytes:
+    """Serialize an indexed-color (type 3) PNG: 1 index byte per
+    pixel plus a PLTE chunk of 3*n RGB bytes (n <= 256)."""
+    return _encode_png_any(
+        width, height, indices, 3, 8, row_filters, palette=palette
     )
 
 
 def parse_png(payload: bytes) -> dict:
     """Parse a PNG: walk the chunk list (CRC-validated), inflate the
     IDAT stream, and UNFILTER every scanline (all five filter types)
-    back to raw pixels. Supports 8-bit RGB (color type 2) and RGBA
-    (6) — the byte-arithmetic formats; palette/interlace variants
-    raise UnsupportedCodecError, malformed bytes raise ValueError."""
+    back to raw pixels. Supports every byte-aligned IHDR shape —
+    grayscale (0), RGB (2), indexed/PLTE (3, expanded to RGB on
+    output), gray+alpha (4) and RGBA (6) at 8-bit depth, plus 16-bit
+    for the non-palette types (filters are byte-wise per spec, so
+    depth only changes the predictor distance). Sub-byte depths
+    (1/2/4) and Adam7 interlace raise UnsupportedCodecError (r12
+    scope call, see SCALE.md codec budget); malformed bytes raise
+    ValueError."""
     import zlib
 
     if len(payload) < 8 or payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload")
-    pos, ihdr, idat = 8, None, bytearray()
+    pos, ihdr, idat, plte = 8, None, bytearray(), None
     while pos + 12 <= len(payload):
         (ln,) = struct.unpack(">I", payload[pos:pos + 4])
         ctype = payload[pos + 4:pos + 8]
@@ -290,6 +357,10 @@ def parse_png(payload: bytes) -> dict:
             if ln != 13:
                 raise ValueError(f"IHDR length {ln} != 13")
             ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            if ln == 0 or ln % 3 or ln > 768:
+                raise ValueError(f"PLTE length {ln} not 3*n, n <= 256")
+            plte = bytes(body)
         elif ctype == b"IDAT":
             idat += body
         elif ctype == b"IEND":
@@ -298,14 +369,18 @@ def parse_png(payload: bytes) -> dict:
     if ihdr is None or not idat:
         raise ValueError("missing IHDR or IDAT")
     width, height, bit_depth, color_type, comp, filt, interlace = ihdr
-    if bit_depth != 8 or color_type not in (2, 6):
+    if color_type not in _PNG_CHANNELS or bit_depth not in (8, 16) or (
+        color_type == 3 and bit_depth != 8
+    ):
         raise UnsupportedCodecError(
             f"PNG bit_depth={bit_depth} color_type={color_type}"
-            " needs palette/16-bit handling"
+            " needs sub-byte bit unpacking"
         )
     if comp != 0 or filt != 0 or interlace != 0:
         raise UnsupportedCodecError("non-baseline PNG (interlace/method)")
-    bpp = 3 if color_type == 2 else 4
+    if color_type == 3 and plte is None:
+        raise ValueError("indexed PNG missing PLTE chunk")
+    bpp = _PNG_CHANNELS[color_type] * (bit_depth // 8)
     stride = width * bpp
     try:
         raw = zlib.decompress(bytes(idat))
@@ -339,13 +414,30 @@ def parse_png(payload: bytes) -> dict:
             raise ValueError(f"unknown filter type {f} on row {r}")
         out += line
         prev = bytes(line)
+    if color_type == 3:
+        # expand indices through PLTE to 8-bit RGB; an index past the
+        # palette is stream corruption, not a dead-letter codec
+        n_entries = len(plte) // 3
+        if out and max(out) >= n_entries:
+            raise ValueError(
+                f"palette index {max(out)} >= {n_entries} entries"
+            )
+        out = bytearray(
+            b"".join(plte[3 * i:3 * i + 3] for i in out)
+        )
+        channels, out_stride = 3, width * 3
+    else:
+        channels, out_stride = _PNG_CHANNELS[color_type], stride
     return {
         "width": width,
         "height": height,
         "bit_depth": bit_depth,
         "color_type": color_type,
-        "row_stride": stride,
-        "pixel_bytes": stride * height,
+        "channels": channels,
+        # palette output is always expanded 8-bit RGB
+        "bpp": (8 if color_type == 3 else bit_depth) * channels,
+        "row_stride": out_stride,
+        "pixel_bytes": out_stride * height,
         "pixels": bytes(out),
     }
 
@@ -1743,11 +1835,10 @@ def media_properties(df: DataFrame) -> DataFrame:
                         )
                     elif mime == "image/png":
                         g = parse_png(payload)
-                        channels = 3 if g["color_type"] == 2 else 4
                         vals = {
                             "width": g["width"],
                             "height": g["height"],
-                            "bpp": g["bit_depth"] * channels,
+                            "bpp": g["bpp"],
                             "row_stride": g["row_stride"],
                             "pixel_bytes": g["pixel_bytes"],
                             "pixel_byte_sum": int(

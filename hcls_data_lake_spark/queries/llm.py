@@ -2809,6 +2809,182 @@ def q_multimodal_png_probe(spark, sf_dir):
 
 
 @register(
+    "q_multimodal_png_palette_probe",
+    """
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(1 + doc_id % 11 AS INT) AS w,
+             CAST(1 + doc_id % 5 AS INT) AS h
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT d.doc_id, 'image/png' AS mime_type,
+           d.w AS width, d.h AS height, CAST(24 AS INT) AS bpp,
+           CAST(d.w * 3 AS INT) AS row_stride,
+           CAST(d.w * 3 * d.h AS BIGINT) AS pixel_bytes,
+           CAST((SELECT sum(
+                    (d.doc_id * 7 + 5 * ((d.doc_id + 3 * r.i + c.j) % 16))
+                        % 256
+                  + (d.doc_id * 11 + 2 * ((d.doc_id + 3 * r.i + c.j) % 16))
+                        % 256
+                  + (d.doc_id * 13 + 3 * ((d.doc_id + 3 * r.i + c.j) % 16))
+                        % 256)
+                 FROM unnest(range(0, d.h)) AS r(i),
+                      unnest(range(0, d.w)) AS c(j))
+             AS BIGINT) AS pixel_byte_sum,
+           TRUE AS parse_ok
+    FROM dims d
+    """,
+)
+def q_multimodal_png_palette_probe(spark, sf_dir):
+    """Indexed-color (PLTE, color type 3) PNG decode, oracle-verified
+    (r12, VERDICT r11 ask #2 — palette PNGs are the icon/chart/UI
+    share of real-world PNG traffic). Each doc_id image is a 16-entry
+    doc_id-derived palette plus an index raster (doc_id + 3*row +
+    col) % 16, per-row filters cycling all five predictors on the
+    1-byte-per-pixel path (Sub/Average/Paeth at predictor distance 1
+    — a DIFFERENT bpp than the RGB probe exercises). parse_png walks
+    chunks (PLTE length-validated), unfilters indices, then expands
+    through the palette to 8-bit RGB; the oracle's pixel_byte_sum —
+    the palette lookup arithmetic inlined as pure doc_id math — only
+    matches if filter inversion AND palette expansion are both exact.
+    Out-of-range indices and missing PLTE are ValueError dead-letters
+    (tests). Same Arrow-batched no-shuffle shape as the codec tier."""
+    import pandas as pd
+
+    from hcls_data_lake_spark.operators.multimodal import (
+        encode_png_palette,
+        media_properties,
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for raw_id in pdf["doc_id"]:
+                doc_id = int(raw_id)
+                w, h = 1 + doc_id % 11, 1 + doc_id % 5
+                plte = bytes(
+                    b for e in range(16)
+                    for b in (
+                        (doc_id * 7 + 5 * e) % 256,
+                        (doc_id * 11 + 2 * e) % 256,
+                        (doc_id * 13 + 3 * e) % 256,
+                    )
+                )
+                idx = bytes(
+                    (doc_id + 3 * r + c) % 16
+                    for r in range(h) for c in range(w)
+                )
+                filters = [(doc_id + r) % 5 for r in range(h)]
+                payloads.append(
+                    encode_png_palette(w, h, idx, plte, filters)
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "mime_type": "image/png",
+                }
+            )
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    payloads = d.select("doc_id").mapInPandas(
+        synth, schema="doc_id bigint, payload binary, mime_type string"
+    )
+    return media_properties(payloads).select(
+        "doc_id", "mime_type", "width", "height", "bpp",
+        "row_stride", "pixel_bytes", "pixel_byte_sum", "parse_ok",
+    )
+
+
+@register(
+    "q_multimodal_png_gray_probe",
+    """
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(1 + doc_id % 9 AS INT) AS w,
+             CAST(1 + doc_id % 4 AS INT) AS h,
+             CAST(CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 16 END AS INT)
+               AS depth
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT d.doc_id, 'image/png' AS mime_type,
+           d.w AS width, d.h AS height, d.depth AS bpp,
+           CAST(d.w * d.depth / 8 AS INT) AS row_stride,
+           CAST(d.w * (d.depth / 8) * d.h AS BIGINT) AS pixel_bytes,
+           CAST((SELECT sum(CASE WHEN d.depth = 8
+                   THEN (3 * d.doc_id + 17 * r.i + 31 * c.j) % 256
+                   ELSE ((3 * d.doc_id + 17 * r.i + 31 * c.j) % 65536)
+                          // 256
+                        + ((3 * d.doc_id + 17 * r.i + 31 * c.j) % 65536)
+                          % 256
+                   END)
+                 FROM unnest(range(0, d.h)) AS r(i),
+                      unnest(range(0, d.w)) AS c(j))
+             AS BIGINT) AS pixel_byte_sum,
+           TRUE AS parse_ok
+    FROM dims d
+    """,
+)
+def q_multimodal_png_gray_probe(spark, sf_dir):
+    """Grayscale (color type 0) PNG decode at BOTH sample depths,
+    oracle-verified (r12, VERDICT r11 ask #2): even doc_ids encode
+    8-bit, odd doc_ids 16-bit big-endian — per the spec the filters
+    stay byte-wise with the predictor distance doubled, so the same
+    unfilter loop must invert both layouts. Pixel (r,c) carries
+    (3*doc_id + 17r + 31c) mod 2^depth with per-row filters cycling
+    all five predictors; the oracle's pixel_byte_sum splits the
+    16-bit value into hi + lo bytes in SQL, so a decoder that
+    byte-swapped, halved the predictor distance, or truncated samples
+    fails the hash. Same Arrow-batched no-shuffle shape as the codec
+    tier."""
+    import pandas as pd
+
+    from hcls_data_lake_spark.operators.multimodal import (
+        encode_png_gray,
+        media_properties,
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for raw_id in pdf["doc_id"]:
+                doc_id = int(raw_id)
+                w, h = 1 + doc_id % 9, 1 + doc_id % 4
+                depth = 8 if doc_id % 2 == 0 else 16
+                if depth == 8:
+                    px = bytes(
+                        (3 * doc_id + 17 * r + 31 * c) % 256
+                        for r in range(h) for c in range(w)
+                    )
+                else:
+                    px = b"".join(
+                        ((3 * doc_id + 17 * r + 31 * c) % 65536)
+                        .to_bytes(2, "big")
+                        for r in range(h) for c in range(w)
+                    )
+                filters = [(doc_id + r) % 5 for r in range(h)]
+                payloads.append(
+                    encode_png_gray(w, h, px, filters, bit_depth=depth)
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "mime_type": "image/png",
+                }
+            )
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    payloads = d.select("doc_id").mapInPandas(
+        synth, schema="doc_id bigint, payload binary, mime_type string"
+    )
+    return media_properties(payloads).select(
+        "doc_id", "mime_type", "width", "height", "bpp",
+        "row_stride", "pixel_bytes", "pixel_byte_sum", "parse_ok",
+    )
+
+
+@register(
     "q_multimodal_jpeg_probe",
     """
     WITH dims AS (

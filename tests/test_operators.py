@@ -2287,7 +2287,7 @@ def test_png_roundtrip_all_filters_and_corruption():
     import struct as st
     import zlib
 
-    ihdr = st.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)  # palette color type
+    ihdr = st.pack(">IIBBBBB", 2, 2, 2, 0, 0, 0, 0)  # 2-bit gray
     chunk = st.pack(">I", len(ihdr)) + b"IHDR" + ihdr + st.pack(
         ">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF
     )
@@ -2297,8 +2297,66 @@ def test_png_roundtrip_all_filters_and_corruption():
     )
     with pytest.raises(UnsupportedCodecError):
         parse_png(b"\x89PNG\r\n\x1a\n" + chunk + idat)
+    # an indexed (type 3) stream with NO PLTE is malformed, not
+    # unsupported — palette itself decodes since r12
+    ihdr3 = st.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    chunk3 = st.pack(">I", len(ihdr3)) + b"IHDR" + ihdr3 + st.pack(
+        ">I", zlib.crc32(b"IHDR" + ihdr3) & 0xFFFFFFFF
+    )
+    idat3_body = zlib.compress(b"\0" * 6)
+    idat3 = st.pack(">I", len(idat3_body)) + b"IDAT" + idat3_body + st.pack(
+        ">I", zlib.crc32(b"IDAT" + idat3_body) & 0xFFFFFFFF
+    )
+    with pytest.raises(ValueError):
+        parse_png(b"\x89PNG\r\n\x1a\n" + chunk3 + idat3)
     with pytest.raises(ValueError):
         parse_png(b"\x89PNG...")  # truncated signature
+
+
+def test_png_palette_gray_and_16bit_roundtrip():
+    """r12 (VERDICT r11 ask #2): every byte-aligned PNG color type
+    round-trips through encode -> parse over random images, palettes
+    and filter schedules; palette output is the EXPANDED RGB bytes;
+    16-bit filters run byte-wise at doubled predictor distance."""
+    import numpy as np
+
+    from hcls_data_lake_spark.operators.multimodal import (
+        encode_png_gray,
+        encode_png_palette,
+        parse_png,
+    )
+
+    rng = np.random.RandomState(99)
+    for _ in range(6):
+        w, h = int(rng.randint(1, 24)), int(rng.randint(1, 24))
+        filters = [int(x) for x in rng.randint(0, 5, size=h)]
+        # gray 8-bit
+        px = rng.randint(0, 256, size=h * w, dtype=np.uint8).tobytes()
+        g = parse_png(encode_png_gray(w, h, px, filters))
+        assert g["pixels"] == px
+        assert (g["bpp"], g["channels"], g["row_stride"]) == (8, 1, w)
+        # gray 16-bit big-endian
+        px16 = rng.randint(0, 65536, size=h * w).astype(">u2").tobytes()
+        g16 = parse_png(
+            encode_png_gray(w, h, px16, filters, bit_depth=16)
+        )
+        assert g16["pixels"] == px16
+        assert (g16["bpp"], g16["row_stride"]) == (16, w * 2)
+        # palette with a random entry count
+        n = int(rng.randint(2, 257))
+        plte = rng.randint(0, 256, size=3 * n, dtype=np.uint8).tobytes()
+        idx = rng.randint(0, n, size=h * w).astype(np.uint8).tobytes()
+        p = parse_png(encode_png_palette(w, h, idx, plte, filters))
+        assert p["pixels"] == b"".join(plte[3 * i:3 * i + 3] for i in idx)
+        assert (p["bpp"], p["channels"], p["row_stride"]) == (24, 3, w * 3)
+    # out-of-range palette index = stream corruption, hard error
+    with pytest.raises(ValueError):
+        parse_png(encode_png_palette(2, 1, bytes([0, 5]), bytes(9)))
+    # encoder-side palette validation
+    with pytest.raises(ValueError):
+        encode_png_palette(1, 1, b"\0", bytes(4))  # len % 3 != 0
+    with pytest.raises(ValueError):
+        encode_png_palette(1, 1, b"\0", bytes(3 * 257))  # > 256 entries
 
 
 def test_extract_features_decodes_real_png(spark):
