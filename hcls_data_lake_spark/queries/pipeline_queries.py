@@ -2454,3 +2454,101 @@ def q_udtf_arrow_bytes(spark, sf_dir):
         "SELECT doc_id, byte, cnt "
         "FROM byte_hist(TABLE(SELECT doc_id, text FROM bh_docs))"
     )
+
+
+# ------------------------------------------------- batch de-framing
+
+
+@register(
+    "q_hl7_batch_deframe",
+    """
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(1 + doc_id % 2 AS INT) AS nb,
+             CAST(1 + doc_id % 2
+                  + CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END AS INT)
+               AS fdecl
+      FROM documents WHERE doc_id < 240
+    ), batches AS (
+      SELECT d.doc_id, d.nb, d.fdecl,
+             CAST(b.b AS INT) AS batch_index,
+             CAST(1 + (d.doc_id + b.b) % 4 AS INT) AS nm,
+             CAST(1 + (d.doc_id + b.b) % 4
+                  + CASE WHEN (d.doc_id + b.b) % 7 = 0 THEN 1 ELSE 0 END
+               AS INT) AS bdecl
+      FROM dims d, unnest(range(0, d.nb)) AS b(b)
+    )
+    SELECT bt.doc_id,
+           bt.batch_index,
+           CAST(m.i AS INT) AS msg_index,
+           'M' || bt.doc_id || 'B' || bt.batch_index || 'N' || m.i
+             AS control_id,
+           CAST(2 AS INT) AS n_segments,
+           bt.bdecl AS batch_declared,
+           bt.nm AS batch_actual,
+           bt.bdecl = bt.nm AS batch_ok,
+           bt.fdecl AS file_declared,
+           bt.nb AS file_actual,
+           bt.fdecl = bt.nb AS file_ok,
+           (bt.bdecl = bt.nm) AND (bt.fdecl = bt.nb) AS accepted
+    FROM batches bt, unnest(range(0, bt.nm)) AS m(i)
+    """,
+)
+def q_hl7_batch_deframe(spark, sf_dir):
+    """HL7 batch de-framing with trailer reconciliation, oracle-
+    verified (r12, VERDICT r11 ask #3 — the wire-level analog of the
+    reference's one-object-per-message contract; its corpus file
+    messages/lab02.txt ships FTS-framed). Each doc_id synthesizes an
+    FHS/BHS-framed file executor-side: 1-2 batches of 1-4 two-segment
+    messages, BTS declaring the true count EXCEPT when
+    (doc_id + batch) % 7 == 0 (off-by-one -> batch_ok false) and FTS
+    declaring the true batch count except when doc_id % 11 == 0 ->
+    file_ok false; hl7_batch_deframe walks the frame (implicit-batch,
+    stray-BTS and missing-trailer paths pinned by pytest on the
+    lab02-shaped corpus) and emits per-message rows whose accepted
+    flag is the A15 error-zone router. The oracle regenerates every
+    row — control ids, both counts, all three verdict flags — as pure
+    doc_id arithmetic, so a walk that dropped a message, misattached
+    a segment, or reconciled against the wrong batch fails the hash.
+    Per-file sequential walk inside Arrow-batched mapInPandas: no
+    shuffle, parallel across files — the 100 TB unit of work."""
+    from hcls_data_lake_spark.hl7.batch import hl7_batch_deframe
+
+    def synth(batches):
+        for pdf in batches:
+            contents = []
+            for raw_id in pdf["doc_id"]:
+                doc_id = int(raw_id)
+                nb = 1 + doc_id % 2
+                fdecl = nb + (1 if doc_id % 11 == 0 else 0)
+                lines = [f"FHS|^~\\&|APP|FAC|||20200101||F{doc_id}"]
+                for b in range(nb):
+                    nm = 1 + (doc_id + b) % 4
+                    bdecl = nm + (1 if (doc_id + b) % 7 == 0 else 0)
+                    lines.append(
+                        f"BHS|^~\\&|APP|FAC|||20200101||B{doc_id}_{b}"
+                    )
+                    for i in range(nm):
+                        lines.append(
+                            "MSH|^~\\&|APP|FAC|RAPP|RFAC|20200101||"
+                            f"ADT^A01|M{doc_id}B{b}N{i}|P|2.5"
+                        )
+                        lines.append(f"PID|1||P{doc_id}")
+                    lines.append(f"BTS|{bdecl}|batch trailer")
+                lines.append(f"FTS|{fdecl}|END OF FILE")
+                contents.append("\r".join(lines))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "content": contents}
+            )
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 240)
+    files = d.select("doc_id").mapInPandas(
+        synth, schema="doc_id bigint, content string"
+    )
+    return hl7_batch_deframe(
+        files, file_col="doc_id", content_col="content"
+    ).select(
+        "doc_id", "batch_index", "msg_index", "control_id",
+        "n_segments", "batch_declared", "batch_actual", "batch_ok",
+        "file_declared", "file_actual", "file_ok", "accepted",
+    )

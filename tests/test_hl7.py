@@ -1541,3 +1541,133 @@ def test_srm_srr_scheduling_request_goldens():
     assert g.structure_for("SRM", "S03", None) == "SRM_S01"
     assert g.structure_for("SRR", "S04", None) == "SRR_S01"
     assert g.structure_for("MFN", "M01", None) == "MFN_M01"
+
+
+# ------------------------------------------------- batch de-framing (r12)
+
+
+def test_batch_deframe_explicit_frame_and_reconciliation():
+    from hcls_data_lake_spark.hl7.batch import _deframe_rows
+
+    content = "\r".join([
+        "FHS|^~\\&|APP|FAC|||20200101||F1",
+        "BHS|^~\\&|APP|FAC|||20200101||B0",
+        "MSH|^~\\&|APP|FAC|R|RF|20200101||ADT^A01|C1|P|2.5",
+        "PID|1||P1",
+        "MSH|^~\\&|APP|FAC|R|RF|20200101||ADT^A01|C2|P|2.5",
+        "PID|1||P2",
+        "OBX|1|NM|X||1",
+        "BTS|2|ok batch",
+        "BHS|^~\\&|APP|FAC|||20200101||B1",
+        "MSH|^~\\&|APP|FAC|R|RF|20200101||ADT^A01|C3|P|2.5",
+        "BTS|5|declared wrong",
+        "FTS|2|END",
+    ])
+    rows = _deframe_rows(content)
+    assert [r["control_id"] for r in rows] == ["C1", "C2", "C3"]
+    assert [r["n_segments"] for r in rows] == [2, 3, 1]
+    assert [r["msg_seq"] for r in rows] == [0, 1, 2]
+    b0 = rows[0]
+    assert (b0["batch_declared"], b0["batch_actual"], b0["batch_ok"]) == (
+        2, 2, True,
+    )
+    b1 = rows[2]
+    assert (b1["batch_declared"], b1["batch_actual"], b1["batch_ok"]) == (
+        5, 1, False,
+    )
+    for r in rows:
+        assert (r["file_declared"], r["file_actual"], r["file_ok"]) == (
+            2, 2, True,
+        )
+    assert [r["accepted"] for r in rows] == [True, True, False]
+
+
+def test_batch_deframe_implicit_batch_lab02_shape():
+    """The reference's messages/lab02.txt frame: bare MSH messages,
+    no BHS/BTS, closed by FTS|1 — one implicit batch, unchecked
+    batch count, reconciled file count."""
+    from hcls_data_lake_spark.hl7.batch import _deframe_rows
+    from hcls_data_lake_spark.hl7.corpus import CORPUS_FILES
+
+    rows = _deframe_rows(CORPUS_FILES["lab02.txt"])
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["control_id"] == "P1055–0000047907"
+    assert r["batch_index"] == 0 and r["msg_index"] == 0
+    assert r["batch_declared"] is None and r["batch_ok"] is True
+    assert (r["file_declared"], r["file_actual"], r["file_ok"]) == (
+        1, 1, True,
+    )
+    assert r["accepted"] is True
+    # the FTS line itself must not leak into the message body
+    assert "FTS" not in r["message"]
+    assert r["n_segments"] == r["message"].count("\r") + 1
+
+
+def test_batch_deframe_edge_frames():
+    from hcls_data_lake_spark.hl7.batch import _deframe_rows
+
+    # no trailers anywhere: both checks unchecked -> accepted
+    rows = _deframe_rows(
+        "MSH|^~\\&|A|F|R|RF|20200101||ADT^A01|X1|P|2.5\nPID|1"
+    )
+    assert len(rows) == 1 and rows[0]["accepted"] is True
+    assert rows[0]["file_declared"] is None
+    # BHS without BTS (missing trailer): batch closes at FTS, count
+    # unchecked; FTS declared mismatch flips file_ok for every row
+    rows = _deframe_rows("\r".join([
+        "BHS|^~\\&|A|F",
+        "MSH|^~\\&|A|F|R|RF|20200101||ADT^A01|Y1|P|2.5",
+        "FTS|3|END",
+    ]))
+    assert rows[0]["batch_ok"] is True
+    assert rows[0]["file_ok"] is False and rows[0]["accepted"] is False
+    # stray BTS opens-and-closes an EMPTY batch (visible null row)
+    rows = _deframe_rows("BTS|0|stray")
+    assert len(rows) == 1
+    assert rows[0]["message"] is None and rows[0]["batch_actual"] == 0
+    assert rows[0]["batch_declared"] == 0 and rows[0]["batch_ok"] is True
+    # non-numeric declared count can never reconcile
+    rows = _deframe_rows("\r".join([
+        "MSH|^~\\&|A|F|R|RF|20200101||ADT^A01|Z1|P|2.5",
+        "BTS|lots|bad count",
+    ]))
+    assert rows[0]["batch_ok"] is False and rows[0]["accepted"] is False
+    # blank declared count = unchecked per the standard
+    rows = _deframe_rows("\r".join([
+        "MSH|^~\\&|A|F|R|RF|20200101||ADT^A01|Z2|P|2.5",
+        "BTS||no count",
+    ]))
+    assert rows[0]["batch_declared"] is None and rows[0]["batch_ok"] is True
+    # CRLF + LF mixed endings normalize
+    rows = _deframe_rows(
+        "MSH|^~\\&|A|F|R|RF|20200101||ADT^A01|W1|P|2.5\r\nPID|1\nOBX|1"
+    )
+    assert rows[0]["n_segments"] == 3
+
+
+def test_batch_deframe_spark_operator(spark):
+    from hcls_data_lake_spark.hl7.batch import hl7_batch_deframe
+
+    files = spark.createDataFrame(
+        [
+            ("f1", "\r".join([
+                "BHS|^~\\&|A|F",
+                "MSH|^~\\&|A|F|R|RF|20200101||ADT^A01|C1|P|2.5",
+                "PID|1",
+                "BTS|1",
+            ])),
+            ("f2", "\r".join([
+                "MSH|^~\\&|A|F|R|RF|20200101||ADT^A01|C2|P|2.5",
+                "MSH|^~\\&|A|F|R|RF|20200101||ADT^A01|C3|P|2.5",
+                "FTS|9",
+            ])),
+        ],
+        "file_id string, content string",
+    )
+    out = hl7_batch_deframe(files).orderBy("file_id", "msg_seq")
+    rows = out.collect()
+    assert [r.control_id for r in rows] == ["C1", "C2", "C3"]
+    assert [r.accepted for r in rows] == [True, False, False]
+    # string file key passes through with its own type
+    assert dict(out.dtypes)["file_id"] == "string"
