@@ -84,65 +84,20 @@ def register(name: str, oracle: str | None) -> Callable[[QueryFn], QueryFn]:
 # correctness sweep — then cover every family instead of exhausting the
 # budget inside whichever module happens to import first.
 _FAMILY_REPRESENTATIVES = [
-    # -- OLDEST-ROW-FIRST (r11 rotation, continuing VERDICT r10 ask
-    # #6): slots 1-8 are the r11 additions (7 brand-new names plus
-    # q_udf_parse_er7, whose oracle is new in r11 and whose latest
-    # driver row is the r4 rows-only one); the remainder is ordered
-    # stalest-latest-driver-row first (3 r1-era names, the 36 r2-era
-    # names, then r3-era ...), so a 50-name driver prefix refreshes
-    # every r11 addition plus the 42 stalest legacy rows, and a prefix
-    # overrun keeps eating the stalest evidence. Regenerate each
-    # round with tools/rotate_representatives.py <new names...>.
-    "q_udf_parse_er7_golden",
-    "q_text_bpe_apply",
-    "q_hl7_qbp_reconcile",
-    "q_multimodal_jpeg_probe",
-    "q_multimodal_jpeg_color_probe",
-    "q_multimodal_jpeg420_probe",
-    "q_multimodal_jpeg_restart_probe",
-    "q_udf_parse_er7",
-    "q_join_theta",
-    "q_project_rename",
-    "q_rollup_hybrid",
-    "q_agg_salted_skew",
-    "q_analytics_shipping",
-    "q_dedup_clusters",
-    "q_dedup_embedding",
-    "q_dedup_exact",
-    "q_dedup_near",
-    "q_fn_json",
-    "q_hl7_native_split",
-    "q_hl7_typed_adt",
-    "q_multimodal_arrow_stats",
-    "q_multimodal_struct",
-    "q_pipeline_cdc_apply",
-    "q_pipeline_curation",
-    "q_pipeline_ingest",
-    "q_sample_hash_split",
-    "q_sample_leakage_safe_split",
-    "q_scan_partition_prune",
-    "q_scan_pysource",
-    "q_scd2_dimension",
-    "q_sim_topk",
-    "q_sink_partitioned_write",
-    "q_stream_dedup_state",
-    "q_stream_stateful_totals",
-    "q_stream_stream_join",
-    "q_stream_tumbling",
-    "q_text_heavy_hitters",
-    "q_text_quality",
-    "q_text_tfidf",
-    "q_ts_anomaly",
-    "q_ts_concurrency",
-    "q_ts_ewma",
-    "q_ts_gapfill",
-    "q_ts_sessionize",
-    "q_udaf_grouped",
-    "q_udf_grouped_map",
-    "q_udtf_python",
-    "q_scan_parquet",
-    "q_scan_text_parse",
-    "q_scan_json",
+    # -- OLDEST-ROW-FIRST (r12 rotation, continuing VERDICT r11 ask
+    # #6): slots 1-4 are the r12 additions (no driver row yet); the
+    # remainder is ordered stalest-latest-driver-row first — after
+    # the r11 driver run refreshed the r1/r2-era tranche, the stalest
+    # rows are now the r3-era names (q_join_self, q_agg_collect, the
+    # q_win_*/q_set_*/q_stream_* families...), so a 50-name driver
+    # prefix refreshes every r12 addition plus the 46 stalest legacy
+    # rows, and a prefix overrun keeps eating the stalest evidence.
+    # Regenerate each round with
+    # tools/rotate_representatives.py <new names...>.
+    "q_multimodal_jpeg_progressive_probe",
+    "q_multimodal_png_palette_probe",
+    "q_multimodal_png_gray_probe",
+    "q_hl7_batch_deframe",
     "q_join_self",
     "q_agg_collect",
     "q_fn_array",
@@ -517,7 +472,58 @@ _FAMILY_REPRESENTATIVES = [
     "q_join_range_interval",
     "q_join_salted_skew",
     "q_join_semi",
+    "q_udf_parse_er7_golden",
+    "q_text_bpe_apply",
+    "q_hl7_qbp_reconcile",
+    "q_multimodal_jpeg_probe",
+    "q_multimodal_jpeg_color_probe",
+    "q_multimodal_jpeg420_probe",
+    "q_multimodal_jpeg_restart_probe",
+    "q_udf_parse_er7",
+    "q_join_theta",
+    "q_project_rename",
+    "q_rollup_hybrid",
+    "q_agg_salted_skew",
+    "q_analytics_shipping",
+    "q_dedup_clusters",
+    "q_dedup_embedding",
+    "q_dedup_exact",
+    "q_dedup_near",
+    "q_fn_json",
+    "q_hl7_native_split",
+    "q_hl7_typed_adt",
+    "q_multimodal_arrow_stats",
+    "q_multimodal_struct",
+    "q_pipeline_cdc_apply",
+    "q_pipeline_curation",
+    "q_pipeline_ingest",
+    "q_sample_hash_split",
+    "q_sample_leakage_safe_split",
+    "q_scan_partition_prune",
+    "q_scan_pysource",
+    "q_scd2_dimension",
+    "q_sim_topk",
+    "q_sink_partitioned_write",
+    "q_stream_dedup_state",
+    "q_stream_stateful_totals",
+    "q_stream_stream_join",
+    "q_stream_tumbling",
+    "q_text_heavy_hitters",
+    "q_text_quality",
+    "q_text_tfidf",
+    "q_ts_anomaly",
+    "q_ts_concurrency",
+    "q_ts_ewma",
+    "q_ts_gapfill",
+    "q_ts_sessionize",
+    "q_udaf_grouped",
+    "q_udf_grouped_map",
+    "q_udtf_python",
+    "q_scan_parquet",
+    "q_scan_text_parse",
+    "q_scan_json",
 ]
+
 
 
 
