@@ -415,16 +415,21 @@ def parse_png(payload: bytes) -> dict:
         out += line
         prev = bytes(line)
     if color_type == 3:
-        # expand indices through PLTE to 8-bit RGB; an index past the
-        # palette is stream corruption, not a dead-letter codec
-        n_entries = len(plte) // 3
-        if out and max(out) >= n_entries:
+        # expand indices through PLTE to 8-bit RGB (one vectorized
+        # numpy take — the expansion tripled decode time as a
+        # per-index Python join, tools/bench_codec_throughput.py); an
+        # index past the palette is stream corruption, not a
+        # dead-letter codec
+        import numpy as np
+
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = np.frombuffer(bytes(out), dtype=np.uint8)
+        if idx.size and int(idx.max()) >= pal.shape[0]:
             raise ValueError(
-                f"palette index {max(out)} >= {n_entries} entries"
+                f"palette index {int(idx.max())} >= {pal.shape[0]}"
+                " entries"
             )
-        out = bytearray(
-            b"".join(plte[3 * i:3 * i + 3] for i in out)
-        )
+        out = pal[idx].tobytes()
         channels, out_stride = 3, width * 3
     else:
         channels, out_stride = _PNG_CHANNELS[color_type], stride
