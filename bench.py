@@ -299,6 +299,10 @@ EXTENDED = [
     "q_multimodal_jpeg_color_probe",  # 4:4:4 YCbCr interleaved MCUs (r11)
     "q_multimodal_jpeg420_probe",  # 4:2:0 subsampled decode (r11)
     "q_multimodal_jpeg_restart_probe",  # DRI/RSTn decode (r11)
+    "q_multimodal_jpeg_progressive_probe",  # SOF2 multi-scan decode (r12)
+    "q_multimodal_png_palette_probe",  # indexed PNG + PLTE expand (r12)
+    "q_multimodal_png_gray_probe",  # gray 8/16-bit PNG decode (r12)
+    "q_hl7_batch_deframe",    # FHS/BHS batch walk + trailer reconcile (r12)
 ]
 
 # Ambient-drift canaries (r9, VERDICT r8 ask #5): constant plans whose
