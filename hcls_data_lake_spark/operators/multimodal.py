@@ -8,9 +8,9 @@ pure byte arithmetic are decoded FOR REAL with the stdlib (r10,
 VERDICT r9 ask #5 — no external codec library needed): RIFF/WAVE PCM
 (``audio/wav``: fmt-chunk walk via ``struct``) and uncompressed BMP
 (``image/bmp``: BITMAPFILEHEADER + BITMAPINFOHEADER), PNG decodes
-FOR REAL — stdlib zlib inflate + full scanline unfiltering, every
-byte-aligned color type since r12: grayscale, RGB, indexed/PLTE,
-gray+alpha, RGBA at 8-bit plus 16-bit non-palette
+FOR REAL — stdlib zlib inflate + full scanline unfiltering, EVERY
+legal non-interlaced IHDR shape since r12: grayscale at 1/2/4/8/16
+bits, indexed/PLTE at 1/2/4/8, RGB / gray+alpha / RGBA at 8/16
 (``parse_png``) — and, since r11, so does JPEG (``parse_jpeg``:
 canonical-Huffman entropy decode, DC prediction, AC run-length,
 dequantize, IDCT — the T.81 core, stdlib + numpy only): grayscale and
@@ -22,10 +22,9 @@ accumulation, EOB-run coding). ``text/plain`` decodes as identity.
 What still routes as ``UnsupportedCodecError`` dead-letters
 (``decode_ok = false`` rows, never a crash): JPEG sampling factors
 above 2, 12-bit sample precision, arithmetic entropy coding, the
-hierarchical/lossless SOF families, PNG sub-byte depths (1/2/4-bit)
-and Adam7 interlace, and video demux — variants whose spec surface is
-large relative to what the probe tier exercises, not an
-entropy-coding blocker anymore.
+hierarchical/lossless SOF families, PNG Adam7 interlace, and video
+demux — variants whose spec surface is large relative to what the
+probe tier exercises, not an entropy-coding blocker anymore.
 """
 
 from __future__ import annotations
@@ -210,6 +209,47 @@ def _paeth(a: int, b: int, c: int) -> int:
 # FILTERS see (1 index byte/px); the decoder expands to RGB after.
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
+# Legal bit depths per color type (PNG spec table 11.1). Sub-byte
+# depths exist only for the single-sample-per-pixel types (gray,
+# indexed); 16-bit never for indexed.
+_PNG_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+               4: (8, 16), 6: (8, 16)}
+
+
+def _png_pack_subbyte(
+    samples: bytes, width: int, height: int, depth: int,
+) -> bytes:
+    """Pack one-byte-per-sample rows into MSB-first sub-byte
+    scanlines (depth 1/2/4), final byte zero-padded per spec."""
+    import numpy as np
+
+    arr = np.frombuffer(samples, dtype=np.uint8).reshape(height, width)
+    if arr.size and int(arr.max()) >= (1 << depth):
+        raise ValueError(f"sample exceeds {depth}-bit depth")
+    per = 8 // depth
+    padw = (width + per - 1) // per * per
+    padded = np.zeros((height, padw), dtype=np.uint8)
+    padded[:, :width] = arr
+    packed = np.zeros((height, padw // per), dtype=np.uint8)
+    for k in range(per):
+        packed |= padded[:, k::per] << ((per - 1 - k) * depth)
+    return packed.tobytes()
+
+
+def _png_unpack_subbyte(raw: bytes, width: int, height: int,
+                        depth: int):
+    """Unpack MSB-first sub-byte scanlines back to one sample per
+    cell; returns an (height, width) uint8 array."""
+    import numpy as np
+
+    per = 8 // depth
+    data = np.frombuffer(raw, dtype=np.uint8).reshape(height, -1)
+    out = np.zeros((height, data.shape[1] * per), dtype=np.uint8)
+    mask = (1 << depth) - 1
+    for k in range(per):
+        out[:, k::per] = (data >> ((per - 1 - k) * depth)) & mask
+    return out[:, :width]
+
 
 def _png_filter_rows(
     pixels: bytes, stride: int, bpp: int, height: int,
@@ -264,17 +304,27 @@ def _encode_png_any(
     """Shared PNG serializer for every supported IHDR shape; the
     public wrappers fix the color type. ``pixels`` is the raw
     scanline content for the declared type/depth (palette: 1 index
-    byte per pixel; 16-bit: big-endian sample pairs)."""
+    byte per pixel; 16-bit: big-endian sample pairs; sub-byte depths
+    1/2/4: still ONE BYTE per sample here — the serializer packs
+    MSB-first)."""
     import zlib
 
     if color_type not in _PNG_CHANNELS:
         raise ValueError(f"unknown color type {color_type}")
-    if bit_depth not in (8, 16) or (color_type == 3 and bit_depth != 8):
-        raise ValueError(f"unsupported bit depth {bit_depth}")
-    bpp = _PNG_CHANNELS[color_type] * (bit_depth // 8)
-    stride = width * bpp
-    if len(pixels) != stride * height:
-        raise ValueError("pixel array size != stride * height")
+    if bit_depth not in _PNG_DEPTHS[color_type]:
+        raise ValueError(
+            f"bit depth {bit_depth} illegal for color type {color_type}"
+        )
+    if bit_depth < 8:
+        if len(pixels) != width * height:
+            raise ValueError("pixel array size != width * height")
+        pixels = _png_pack_subbyte(pixels, width, height, bit_depth)
+        bpp, stride = 1, (width * bit_depth + 7) // 8
+    else:
+        bpp = _PNG_CHANNELS[color_type] * (bit_depth // 8)
+        stride = width * bpp
+        if len(pixels) != stride * height:
+            raise ValueError("pixel array size != stride * height")
     filters = row_filters or [0] * height
     if len(filters) != height:
         raise ValueError("need one filter type per row")
@@ -306,33 +356,37 @@ def encode_png_gray(
     width: int, height: int, pixels: bytes,
     row_filters: list[int] | None = None, bit_depth: int = 8,
 ) -> bytes:
-    """Serialize grayscale (color type 0) PNG at 8- or 16-bit depth
-    (16-bit: big-endian sample pairs, filters byte-wise per spec)."""
+    """Serialize grayscale (color type 0) PNG at any legal depth:
+    16-bit (big-endian sample pairs), 8-bit, or sub-byte 1/2/4-bit
+    (pass one byte per sample; the serializer packs MSB-first)."""
     return _encode_png_any(width, height, pixels, 0, bit_depth, row_filters)
 
 
 def encode_png_palette(
     width: int, height: int, indices: bytes, palette: bytes,
-    row_filters: list[int] | None = None,
+    row_filters: list[int] | None = None, bit_depth: int = 8,
 ) -> bytes:
-    """Serialize an indexed-color (type 3) PNG: 1 index byte per
-    pixel plus a PLTE chunk of 3*n RGB bytes (n <= 256)."""
+    """Serialize an indexed-color (type 3) PNG: one index byte per
+    pixel (packed MSB-first for sub-byte depths 1/2/4) plus a PLTE
+    chunk of 3*n RGB bytes (n <= 256)."""
     return _encode_png_any(
-        width, height, indices, 3, 8, row_filters, palette=palette
+        width, height, indices, 3, bit_depth, row_filters,
+        palette=palette,
     )
 
 
 def parse_png(payload: bytes) -> dict:
     """Parse a PNG: walk the chunk list (CRC-validated), inflate the
     IDAT stream, and UNFILTER every scanline (all five filter types)
-    back to raw pixels. Supports every byte-aligned IHDR shape —
-    grayscale (0), RGB (2), indexed/PLTE (3, expanded to RGB on
-    output), gray+alpha (4) and RGBA (6) at 8-bit depth, plus 16-bit
-    for the non-palette types (filters are byte-wise per spec, so
-    depth only changes the predictor distance). Sub-byte depths
-    (1/2/4) and Adam7 interlace raise UnsupportedCodecError (r12
-    scope call, see SCALE.md codec budget); malformed bytes raise
-    ValueError."""
+    back to raw pixels. Supports EVERY legal non-interlaced IHDR
+    shape — grayscale (0) at 1/2/4/8/16 bits (sub-byte samples
+    unpacked MSB-first and scaled to 8-bit output), RGB (2) at 8/16,
+    indexed/PLTE (3) at 1/2/4/8 (expanded to RGB on output),
+    gray+alpha (4) and RGBA (6) at 8/16; filters are byte-wise per
+    spec, so depth only changes the predictor distance (1 for
+    sub-byte rows). Adam7 interlace raises UnsupportedCodecError
+    (the one remaining PNG dead-letter); malformed bytes — including
+    illegal depth/type pairings — raise ValueError."""
     import zlib
 
     if len(payload) < 8 or payload[:8] != _PNG_SIG:
@@ -369,19 +423,27 @@ def parse_png(payload: bytes) -> dict:
     if ihdr is None or not idat:
         raise ValueError("missing IHDR or IDAT")
     width, height, bit_depth, color_type, comp, filt, interlace = ihdr
-    if color_type not in _PNG_CHANNELS or bit_depth not in (8, 16) or (
-        color_type == 3 and bit_depth != 8
-    ):
-        raise UnsupportedCodecError(
+    if (color_type not in _PNG_CHANNELS
+            or bit_depth not in _PNG_DEPTHS.get(color_type, ())):
+        # every LEGAL spec combination decodes since r12, so an
+        # unknown pairing is stream corruption, not a dead-letter
+        raise ValueError(
             f"PNG bit_depth={bit_depth} color_type={color_type}"
-            " needs sub-byte bit unpacking"
+            " is not a legal IHDR shape"
         )
-    if comp != 0 or filt != 0 or interlace != 0:
-        raise UnsupportedCodecError("non-baseline PNG (interlace/method)")
+    if comp != 0 or filt != 0:
+        raise ValueError("unknown PNG compression/filter method")
+    if interlace != 0:
+        raise UnsupportedCodecError("Adam7 interlaced PNG")
     if color_type == 3 and plte is None:
         raise ValueError("indexed PNG missing PLTE chunk")
-    bpp = _PNG_CHANNELS[color_type] * (bit_depth // 8)
-    stride = width * bpp
+    if bit_depth < 8:
+        # sub-byte scanlines (1/2/4-bit gray or indexed): filters
+        # still operate on BYTES with predictor distance 1 per spec
+        bpp, stride = 1, (width * bit_depth + 7) // 8
+    else:
+        bpp = _PNG_CHANNELS[color_type] * (bit_depth // 8)
+        stride = width * bpp
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as ex:
@@ -414,6 +476,9 @@ def parse_png(payload: bytes) -> dict:
             raise ValueError(f"unknown filter type {f} on row {r}")
         out += line
         prev = bytes(line)
+    if bit_depth < 8:
+        samples = _png_unpack_subbyte(bytes(out), width, height,
+                                      bit_depth)
     if color_type == 3:
         # expand indices through PLTE to 8-bit RGB (one vectorized
         # numpy take — the expansion tripled decode time as a
@@ -423,24 +488,32 @@ def parse_png(payload: bytes) -> dict:
         import numpy as np
 
         pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
-        idx = np.frombuffer(bytes(out), dtype=np.uint8)
+        idx = (samples.reshape(-1) if bit_depth < 8
+               else np.frombuffer(bytes(out), dtype=np.uint8))
         if idx.size and int(idx.max()) >= pal.shape[0]:
             raise ValueError(
                 f"palette index {int(idx.max())} >= {pal.shape[0]}"
                 " entries"
             )
         out = pal[idx].tobytes()
-        channels, out_stride = 3, width * 3
+        channels, out_stride, out_depth = 3, width * 3, 8
+    elif bit_depth < 8:
+        # sub-byte grayscale: scale to 8-bit by the exact integer
+        # factor (255 / (2^d - 1) is integral for d in 1/2/4)
+        out = (samples * (255 // ((1 << bit_depth) - 1))).tobytes()
+        channels, out_stride, out_depth = 1, width, 8
     else:
-        channels, out_stride = _PNG_CHANNELS[color_type], stride
+        channels, out_stride, out_depth = (
+            _PNG_CHANNELS[color_type], stride, bit_depth,
+        )
     return {
         "width": width,
         "height": height,
         "bit_depth": bit_depth,
         "color_type": color_type,
         "channels": channels,
-        # palette output is always expanded 8-bit RGB
-        "bpp": (8 if color_type == 3 else bit_depth) * channels,
+        # palette and sub-byte-gray output is expanded 8-bit
+        "bpp": out_depth * channels,
         "row_stride": out_stride,
         "pixel_bytes": out_stride * height,
         "pixels": bytes(out),

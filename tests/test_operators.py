@@ -2287,7 +2287,7 @@ def test_png_roundtrip_all_filters_and_corruption():
     import struct as st
     import zlib
 
-    ihdr = st.pack(">IIBBBBB", 2, 2, 2, 0, 0, 0, 0)  # 2-bit gray
+    ihdr = st.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)  # Adam7 interlace
     chunk = st.pack(">I", len(ihdr)) + b"IHDR" + ihdr + st.pack(
         ">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF
     )
@@ -2297,6 +2297,13 @@ def test_png_roundtrip_all_filters_and_corruption():
     )
     with pytest.raises(UnsupportedCodecError):
         parse_png(b"\x89PNG\r\n\x1a\n" + chunk + idat)
+    # an ILLEGAL depth/type pairing (3-bit gray) is corruption, not a
+    # dead-letter — every legal IHDR shape decodes since r12
+    ihdr_bad = st.pack(">IIBBBBB", 2, 2, 3, 0, 0, 0, 0)
+    chunk_bad = st.pack(">I", len(ihdr_bad)) + b"IHDR" + ihdr_bad \
+        + st.pack(">I", zlib.crc32(b"IHDR" + ihdr_bad) & 0xFFFFFFFF)
+    with pytest.raises(ValueError):
+        parse_png(b"\x89PNG\r\n\x1a\n" + chunk_bad + idat)
     # an indexed (type 3) stream with NO PLTE is malformed, not
     # unsupported — palette itself decodes since r12
     ihdr3 = st.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
@@ -2352,6 +2359,32 @@ def test_png_palette_gray_and_16bit_roundtrip():
     # out-of-range palette index = stream corruption, hard error
     with pytest.raises(ValueError):
         parse_png(encode_png_palette(2, 1, bytes([0, 5]), bytes(9)))
+    # sub-byte depths (r12): gray scales by the exact integer factor,
+    # palette expands through PLTE, partial final bytes unpack right
+    for depth in (1, 2, 4):
+        n = 1 << depth
+        scale = 255 // (n - 1)
+        for _ in range(3):
+            w, h = int(rng.randint(1, 26)), int(rng.randint(1, 14))
+            filters = [int(x) for x in rng.randint(0, 5, size=h)]
+            s = rng.randint(0, n, size=h * w).astype(np.uint8)
+            g = parse_png(encode_png_gray(
+                w, h, s.tobytes(), filters, bit_depth=depth))
+            assert g["pixels"] == (s * scale).astype(np.uint8).tobytes()
+            assert (g["bpp"], g["bit_depth"], g["row_stride"]) == (
+                8, depth, w,
+            )
+            plte = rng.randint(0, 256, size=3 * n,
+                               dtype=np.uint8).tobytes()
+            idx = rng.randint(0, n, size=h * w).astype(np.uint8)
+            p = parse_png(encode_png_palette(
+                w, h, idx.tobytes(), plte, filters, bit_depth=depth))
+            pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+            assert p["pixels"] == pal[idx].tobytes()
+            assert (p["bpp"], p["bit_depth"]) == (24, depth)
+    # a sample exceeding the declared depth can't be packed
+    with pytest.raises(ValueError):
+        encode_png_gray(2, 1, bytes([2, 0]), bit_depth=1)
     # encoder-side palette validation
     with pytest.raises(ValueError):
         encode_png_palette(1, 1, b"\0", bytes(4))  # len % 3 != 0
