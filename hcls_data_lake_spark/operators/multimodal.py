@@ -8,9 +8,10 @@ pure byte arithmetic are decoded FOR REAL with the stdlib (r10,
 VERDICT r9 ask #5 — no external codec library needed): RIFF/WAVE PCM
 (``audio/wav``: fmt-chunk walk via ``struct``) and uncompressed BMP
 (``image/bmp``: BITMAPFILEHEADER + BITMAPINFOHEADER), PNG decodes
-FOR REAL — stdlib zlib inflate + full scanline unfiltering, EVERY
-legal non-interlaced IHDR shape since r12: grayscale at 1/2/4/8/16
-bits, indexed/PLTE at 1/2/4/8, RGB / gray+alpha / RGBA at 8/16
+FOR REAL with NO dead-letters since r12 — stdlib zlib inflate + full
+scanline unfiltering over EVERY legal IHDR shape: grayscale at
+1/2/4/8/16 bits, indexed/PLTE at 1/2/4/8, RGB / gray+alpha / RGBA at
+8/16, sequential or Adam7 interlaced
 (``parse_png``) — and, since r11, so does JPEG (``parse_jpeg``:
 canonical-Huffman entropy decode, DC prediction, AC run-length,
 dequantize, IDCT — the T.81 core, stdlib + numpy only): grayscale and
@@ -22,9 +23,9 @@ accumulation, EOB-run coding). ``text/plain`` decodes as identity.
 What still routes as ``UnsupportedCodecError`` dead-letters
 (``decode_ok = false`` rows, never a crash): JPEG sampling factors
 above 2, 12-bit sample precision, arithmetic entropy coding, the
-hierarchical/lossless SOF families, PNG Adam7 interlace, and video
-demux — variants whose spec surface is large relative to what the
-probe tier exercises, not an entropy-coding blocker anymore.
+hierarchical/lossless SOF families, and video demux — variants whose
+spec surface is large relative to what the probe tier exercises, not
+an entropy-coding blocker anymore.
 """
 
 from __future__ import annotations
@@ -296,18 +297,63 @@ def _png_filter_rows(
     return bytes(raw)
 
 
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass.
+_ADAM7_PASSES = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(raw: bytes, stride: int, bpp: int, height: int) -> bytes:
+    """Invert per-row PNG filters (the decoder direction) over one
+    filtered region — the whole image, or a single Adam7 pass (each
+    pass resets the previous-row state, which is why this takes the
+    region rather than assuming the full raster)."""
+    out = bytearray()
+    prev = bytes(stride)
+    for r in range(height):
+        f = raw[r * (stride + 1)]
+        line = bytearray(
+            raw[r * (stride + 1) + 1:(r + 1) * (stride + 1)]
+        )
+        if f == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + (a + prev[i]) // 2) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                c = prev[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
+        elif f != 0:
+            raise ValueError(f"unknown filter type {f} on row {r}")
+        out += line
+        prev = bytes(line)
+    return bytes(out)
+
+
 def _encode_png_any(
     width: int, height: int, pixels: bytes, color_type: int,
     bit_depth: int, row_filters: list[int] | None,
-    palette: bytes | None = None,
+    palette: bytes | None = None, interlace: bool = False,
 ) -> bytes:
     """Shared PNG serializer for every supported IHDR shape; the
     public wrappers fix the color type. ``pixels`` is the raw
     scanline content for the declared type/depth (palette: 1 index
     byte per pixel; 16-bit: big-endian sample pairs; sub-byte depths
     1/2/4: still ONE BYTE per sample here — the serializer packs
-    MSB-first)."""
+    MSB-first). With ``interlace`` the raster is split into the
+    seven Adam7 passes, each filtered independently;
+    ``row_filters`` then runs over the CONCATENATED pass rows."""
     import zlib
+
+    import numpy as np
 
     if color_type not in _PNG_CHANNELS:
         raise ValueError(f"unknown color type {color_type}")
@@ -315,22 +361,54 @@ def _encode_png_any(
         raise ValueError(
             f"bit depth {bit_depth} illegal for color type {color_type}"
         )
-    if bit_depth < 8:
-        if len(pixels) != width * height:
-            raise ValueError("pixel array size != width * height")
-        pixels = _png_pack_subbyte(pixels, width, height, bit_depth)
-        bpp, stride = 1, (width * bit_depth + 7) // 8
+    sample_bpp = (1 if bit_depth < 8
+                  else _PNG_CHANNELS[color_type] * (bit_depth // 8))
+    if len(pixels) != width * height * sample_bpp:
+        raise ValueError("pixel array size != raster size")
+    if interlace:
+        full = np.frombuffer(pixels, dtype=np.uint8) \
+            .reshape(height, width, sample_bpp)
+        pass_rows = sum(
+            ((height - y0 + dy - 1) // dy)
+            for x0, y0, dx, dy in _ADAM7_PASSES
+            if (width - x0 + dx - 1) // dx > 0
+            and (height - y0 + dy - 1) // dy > 0
+        )
+        filters = row_filters or [0] * pass_rows
+        if len(filters) != pass_rows:
+            raise ValueError(
+                f"need one filter type per pass row ({pass_rows})"
+            )
+        raw, fpos = bytearray(), 0
+        for x0, y0, dx, dy in _ADAM7_PASSES:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            sub = full[y0::dy, x0::dx, :].tobytes()
+            if bit_depth < 8:
+                sub = _png_pack_subbyte(sub, pw, ph, bit_depth)
+                pstride, bpp = (pw * bit_depth + 7) // 8, 1
+            else:
+                bpp = sample_bpp
+                pstride = pw * sample_bpp
+            raw += _png_filter_rows(
+                sub, pstride, bpp, ph, filters[fpos:fpos + ph])
+            fpos += ph
+        raw = bytes(raw)
     else:
-        bpp = _PNG_CHANNELS[color_type] * (bit_depth // 8)
-        stride = width * bpp
-        if len(pixels) != stride * height:
-            raise ValueError("pixel array size != stride * height")
-    filters = row_filters or [0] * height
-    if len(filters) != height:
-        raise ValueError("need one filter type per row")
-    raw = _png_filter_rows(pixels, stride, bpp, height, filters)
+        if bit_depth < 8:
+            pixels = _png_pack_subbyte(pixels, width, height, bit_depth)
+            bpp, stride = 1, (width * bit_depth + 7) // 8
+        else:
+            bpp, stride = sample_bpp, width * sample_bpp
+        filters = row_filters or [0] * height
+        if len(filters) != height:
+            raise ValueError("need one filter type per row")
+        raw = _png_filter_rows(pixels, stride, bpp, height, filters)
     ihdr = struct.pack(
-        ">IIBBBBB", width, height, bit_depth, color_type, 0, 0, 0
+        ">IIBBBBB", width, height, bit_depth, color_type, 0, 0,
+        1 if interlace else 0,
     )
     body = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
     if color_type == 3:
@@ -343,35 +421,39 @@ def _encode_png_any(
 
 def encode_png(
     width: int, height: int, pixels: bytes,
-    row_filters: list[int] | None = None,
+    row_filters: list[int] | None = None, interlace: bool = False,
 ) -> bytes:
     """Serialize raw 8-bit RGB pixels (height rows of width*3 bytes)
     as a PNG, applying the given per-row filter types (default all 0)
     — encoding WITH filters lets the decoder's unfilter path be
     exercised and value-verified, not just the None case."""
-    return _encode_png_any(width, height, pixels, 2, 8, row_filters)
+    return _encode_png_any(width, height, pixels, 2, 8, row_filters,
+                           interlace=interlace)
 
 
 def encode_png_gray(
     width: int, height: int, pixels: bytes,
     row_filters: list[int] | None = None, bit_depth: int = 8,
+    interlace: bool = False,
 ) -> bytes:
     """Serialize grayscale (color type 0) PNG at any legal depth:
     16-bit (big-endian sample pairs), 8-bit, or sub-byte 1/2/4-bit
     (pass one byte per sample; the serializer packs MSB-first)."""
-    return _encode_png_any(width, height, pixels, 0, bit_depth, row_filters)
+    return _encode_png_any(width, height, pixels, 0, bit_depth,
+                           row_filters, interlace=interlace)
 
 
 def encode_png_palette(
     width: int, height: int, indices: bytes, palette: bytes,
     row_filters: list[int] | None = None, bit_depth: int = 8,
+    interlace: bool = False,
 ) -> bytes:
     """Serialize an indexed-color (type 3) PNG: one index byte per
     pixel (packed MSB-first for sub-byte depths 1/2/4) plus a PLTE
     chunk of 3*n RGB bytes (n <= 256)."""
     return _encode_png_any(
         width, height, indices, 3, bit_depth, row_filters,
-        palette=palette,
+        palette=palette, interlace=interlace,
     )
 
 
@@ -384,9 +466,10 @@ def parse_png(payload: bytes) -> dict:
     indexed/PLTE (3) at 1/2/4/8 (expanded to RGB on output),
     gray+alpha (4) and RGBA (6) at 8/16; filters are byte-wise per
     spec, so depth only changes the predictor distance (1 for
-    sub-byte rows). Adam7 interlace raises UnsupportedCodecError
-    (the one remaining PNG dead-letter); malformed bytes — including
-    illegal depth/type pairings — raise ValueError."""
+    sub-byte rows). Adam7 interlaced streams decode too (seven
+    independently-filtered passes scattered back into the raster),
+    so the PNG tier has NO dead-letters left; malformed bytes —
+    including illegal depth/type pairings — raise ValueError."""
     import zlib
 
     if len(payload) < 8 or payload[:8] != _PNG_SIG:
@@ -433,10 +516,12 @@ def parse_png(payload: bytes) -> dict:
         )
     if comp != 0 or filt != 0:
         raise ValueError("unknown PNG compression/filter method")
-    if interlace != 0:
-        raise UnsupportedCodecError("Adam7 interlaced PNG")
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown interlace method {interlace}")
     if color_type == 3 and plte is None:
         raise ValueError("indexed PNG missing PLTE chunk")
+    import numpy as np
+
     if bit_depth < 8:
         # sub-byte scanlines (1/2/4-bit gray or indexed): filters
         # still operate on BYTES with predictor distance 1 per spec
@@ -448,48 +533,57 @@ def parse_png(payload: bytes) -> dict:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as ex:
         raise ValueError(f"bad IDAT stream: {ex}") from ex
-    if len(raw) != (stride + 1) * height:
-        raise ValueError("inflated size != (stride+1) * height")
-    out = bytearray()
-    prev = bytes(stride)
-    for r in range(height):
-        f = raw[r * (stride + 1)]
-        line = bytearray(
-            raw[r * (stride + 1) + 1:(r + 1) * (stride + 1)]
-        )
-        if f == 1:  # Sub
-            for i in range(bpp, stride):
-                line[i] = (line[i] + line[i - bpp]) & 0xFF
-        elif f == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
-        elif f == 3:  # Average
-            for i in range(stride):
-                a = line[i - bpp] if i >= bpp else 0
-                line[i] = (line[i] + (a + prev[i]) // 2) & 0xFF
-        elif f == 4:  # Paeth
-            for i in range(stride):
-                a = line[i - bpp] if i >= bpp else 0
-                c = prev[i - bpp] if i >= bpp else 0
-                line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
-        elif f != 0:
-            raise ValueError(f"unknown filter type {f} on row {r}")
-        out += line
-        prev = bytes(line)
-    if bit_depth < 8:
-        samples = _png_unpack_subbyte(bytes(out), width, height,
-                                      bit_depth)
+    if interlace == 0:
+        if len(raw) != (stride + 1) * height:
+            raise ValueError("inflated size != (stride+1) * height")
+        out = _png_unfilter(raw, stride, bpp, height)
+        if bit_depth < 8:
+            samples = _png_unpack_subbyte(out, width, height, bit_depth)
+        else:
+            raster = np.frombuffer(out, dtype=np.uint8) \
+                .reshape(height, stride)
+    else:
+        # Adam7: seven independently-filtered reduced images, each
+        # with its own scanline geometry and filter-state reset,
+        # scattered back into the full raster at the pass grid
+        if bit_depth < 8:
+            samples = np.zeros((height, width), dtype=np.uint8)
+        else:
+            raster = np.zeros((height, stride), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7_PASSES:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue  # empty pass contributes NO bytes per spec
+            pstride = ((pw * bit_depth + 7) // 8 if bit_depth < 8
+                       else pw * bpp)
+            need = (pstride + 1) * ph
+            if pos + need > len(raw):
+                raise ValueError("truncated Adam7 pass data")
+            pout = _png_unfilter(raw[pos:pos + need], pstride, bpp, ph)
+            pos += need
+            if bit_depth < 8:
+                samples[y0::dy, x0::dx] = _png_unpack_subbyte(
+                    pout, pw, ph, bit_depth)
+            else:
+                raster.reshape(height, width, bpp)[y0::dy, x0::dx, :] = (
+                    np.frombuffer(pout, dtype=np.uint8)
+                    .reshape(ph, pw, bpp)
+                )
+        if pos != len(raw):
+            raise ValueError("Adam7 data length mismatch")
+    if bit_depth >= 8:
+        out = raster.tobytes()
     if color_type == 3:
         # expand indices through PLTE to 8-bit RGB (one vectorized
         # numpy take — the expansion tripled decode time as a
         # per-index Python join, tools/bench_codec_throughput.py); an
         # index past the palette is stream corruption, not a
         # dead-letter codec
-        import numpy as np
-
         pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
         idx = (samples.reshape(-1) if bit_depth < 8
-               else np.frombuffer(bytes(out), dtype=np.uint8))
+               else np.frombuffer(out, dtype=np.uint8))
         if idx.size and int(idx.max()) >= pal.shape[0]:
             raise ValueError(
                 f"palette index {int(idx.max())} >= {pal.shape[0]}"

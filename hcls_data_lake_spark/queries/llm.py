@@ -3089,6 +3089,123 @@ def q_multimodal_png_subbyte_probe(spark, sf_dir):
 
 
 @register(
+    "q_multimodal_png_interlace_probe",
+    """
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(1 + doc_id % 17 AS INT) AS w,
+             CAST(1 + doc_id % 9 AS INT) AS h
+      FROM documents WHERE doc_id < 240
+    )
+    SELECT d.doc_id, 'image/png' AS mime_type,
+           d.w AS width, d.h AS height, CAST(8 AS INT) AS bpp,
+           CAST((SELECT sum((d.doc_id + 11 * r.i + 7 * c.j) % 256)
+                 FROM unnest(range(0, d.h)) AS r(i),
+                      unnest(range(0, d.w)) AS c(j))
+             AS BIGINT) AS pixel_sum,
+           CAST((SELECT sum(((d.doc_id + 11 * r.i + 7 * c.j) % 256)
+                            * (1 + (r.i * d.w + c.j) % 13))
+                 FROM unnest(range(0, d.h)) AS r(i),
+                      unnest(range(0, d.w)) AS c(j))
+             AS BIGINT) AS weighted_sum,
+           TRUE AS parse_ok
+    FROM dims d
+    """,
+)
+def q_multimodal_png_interlace_probe(spark, sf_dir):
+    """Adam7 interlaced PNG decode, oracle-verified (r12 — with this
+    the PNG tier has NO dead-letters: every legal IHDR shape,
+    sequential or interlaced). doc_id-derived grayscale rasters
+    (widths 1..17, heights 1..9 — small dims exercise EMPTY and
+    partial passes) are split into the seven Adam7 passes, each pass
+    independently filtered with the predictor cycle running over the
+    concatenated pass rows, then decoded by parse_png's pass walk +
+    scatter. The oracle pins TWO statistics: pixel_sum (multiset of
+    values) and a position-WEIGHTED sum (weight 1 + (r*w + c) mod
+    13) — a decoder that unfiltered every pass correctly but
+    scattered any pixel to the wrong raster position passes the
+    first and fails the second. Same Arrow-batched no-shuffle shape
+    as the codec tier."""
+    import numpy as np
+    import pandas as pd
+
+    from hcls_data_lake_spark.operators.multimodal import (
+        _ADAM7_PASSES,
+        encode_png_gray,
+        parse_png,
+    )
+
+    def n_pass_rows(w, h):
+        return sum(
+            (h - y0 + dy - 1) // dy
+            for x0, y0, dx, dy in _ADAM7_PASSES
+            if (w - x0 + dx - 1) // dx > 0
+            and (h - y0 + dy - 1) // dy > 0
+        )
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for raw_id in pdf["doc_id"]:
+                doc_id = int(raw_id)
+                w, h = 1 + doc_id % 17, 1 + doc_id % 9
+                r = np.arange(h)[:, None]
+                c = np.arange(w)[None, :]
+                img = ((doc_id + 11 * r + 7 * c) % 256).astype(np.uint8)
+                filters = [
+                    (doc_id + i) % 5 for i in range(n_pass_rows(w, h))
+                ]
+                payloads.append(encode_png_gray(
+                    w, h, img.tobytes(), filters, interlace=True))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def decode(batches):
+        for pdf in batches:
+            rows: dict = {
+                "doc_id": [], "mime_type": [], "width": [],
+                "height": [], "bpp": [], "pixel_sum": [],
+                "weighted_sum": [], "parse_ok": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rows["doc_id"].append(doc_id)
+                rows["mime_type"].append("image/png")
+                try:
+                    g = parse_png(bytes(payload))
+                    w, h = g["width"], g["height"]
+                    px = np.frombuffer(g["pixels"], dtype=np.uint8) \
+                        .reshape(h, w).astype(np.int64)
+                    pos = np.arange(h * w, dtype=np.int64) \
+                        .reshape(h, w)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["bpp"].append(g["bpp"])
+                    rows["pixel_sum"].append(int(px.sum()))
+                    rows["weighted_sum"].append(
+                        int((px * (1 + pos % 13)).sum()))
+                    rows["parse_ok"].append(True)
+                except ValueError:
+                    for k in ("width", "height", "bpp", "pixel_sum",
+                              "weighted_sum"):
+                        rows[k].append(None)
+                    rows["parse_ok"].append(False)
+            yield pd.DataFrame(rows)
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 240)
+    payloads = d.select("doc_id").mapInPandas(
+        synth, schema="doc_id bigint, payload binary"
+    )
+    return payloads.mapInPandas(
+        decode,
+        schema=(
+            "doc_id bigint, mime_type string, width int, height int,"
+            " bpp int, pixel_sum bigint, weighted_sum bigint,"
+            " parse_ok boolean"
+        ),
+    )
+
+
+@register(
     "q_multimodal_jpeg_probe",
     """
     WITH dims AS (

@@ -2283,27 +2283,28 @@ def test_png_roundtrip_all_filters_and_corruption():
     blob2[40] ^= 0x01  # flip a byte inside IDAT body -> CRC mismatch
     with pytest.raises(ValueError):
         parse_png(bytes(blob2))
-    # unsupported variants route as UnsupportedCodecError (dead-letter)
+    # there are NO PNG dead-letters since r12 — every illegal IHDR is
+    # stream corruption (ValueError), never UnsupportedCodecError
     import struct as st
     import zlib
 
-    ihdr = st.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)  # Adam7 interlace
-    chunk = st.pack(">I", len(ihdr)) + b"IHDR" + ihdr + st.pack(
-        ">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF
-    )
     idat_body = zlib.compress(b"\0" * 14)
     idat = st.pack(">I", len(idat_body)) + b"IDAT" + idat_body + st.pack(
         ">I", zlib.crc32(b"IDAT" + idat_body) & 0xFFFFFFFF
     )
-    with pytest.raises(UnsupportedCodecError):
-        parse_png(b"\x89PNG\r\n\x1a\n" + chunk + idat)
-    # an ILLEGAL depth/type pairing (3-bit gray) is corruption, not a
-    # dead-letter — every legal IHDR shape decodes since r12
-    ihdr_bad = st.pack(">IIBBBBB", 2, 2, 3, 0, 0, 0, 0)
-    chunk_bad = st.pack(">I", len(ihdr_bad)) + b"IHDR" + ihdr_bad \
-        + st.pack(">I", zlib.crc32(b"IHDR" + ihdr_bad) & 0xFFFFFFFF)
-    with pytest.raises(ValueError):
-        parse_png(b"\x89PNG\r\n\x1a\n" + chunk_bad + idat)
+    for depth, ctype, ilace in (
+        (3, 0, 0),   # illegal bit depth
+        (8, 5, 0),   # unknown color type
+        (16, 3, 0),  # 16-bit indexed is illegal
+        (8, 0, 2),   # unknown interlace method
+    ):
+        ihdr_bad = st.pack(">IIBBBBB", 2, 2, depth, ctype, 0, 0, ilace)
+        chunk_bad = st.pack(">I", len(ihdr_bad)) + b"IHDR" + ihdr_bad \
+            + st.pack(
+                ">I", zlib.crc32(b"IHDR" + ihdr_bad) & 0xFFFFFFFF)
+        with pytest.raises(ValueError):
+            parse_png(b"\x89PNG\r\n\x1a\n" + chunk_bad + idat)
+    assert UnsupportedCodecError  # PNG never raises it anymore
     # an indexed (type 3) stream with NO PLTE is malformed, not
     # unsupported — palette itself decodes since r12
     ihdr3 = st.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
@@ -2913,3 +2914,83 @@ def test_jpeg_dqt_zigzag_order_and_nonuniform_quant_exact():
         encode_jpeg_progressive(24, 16, img.tobytes(), quant=quant),
     ):
         assert parse_jpeg(blob)["pixels"] == img.tobytes()
+
+
+def test_png_adam7_interlace_roundtrip():
+    """r12: Adam7 interlaced PNGs decode for every supported IHDR
+    shape — seven independently-filtered passes (filter state resets
+    per pass) scattered back into the raster; empty passes (tiny
+    images) contribute zero bytes; interlaced == sequential decode."""
+    import numpy as np
+
+    from hcls_data_lake_spark.operators.multimodal import (
+        _ADAM7_PASSES,
+        encode_png,
+        encode_png_gray,
+        encode_png_palette,
+        parse_png,
+    )
+
+    def pass_rows(w, h):
+        return sum(
+            (h - y0 + dy - 1) // dy
+            for x0, y0, dx, dy in _ADAM7_PASSES
+            if (w - x0 + dx - 1) // dx > 0 and (h - y0 + dy - 1) // dy > 0
+        )
+
+    rng = np.random.RandomState(77)
+    for _ in range(10):
+        # widths/heights below 8 exercise EMPTY and partial passes
+        w, h = int(rng.randint(1, 37)), int(rng.randint(1, 37))
+        filters = [int(x) for x in rng.randint(0, 5, size=pass_rows(w, h))]
+        px = rng.randint(0, 256, size=h * w * 3, dtype=np.uint8).tobytes()
+        seq = parse_png(encode_png(w, h, px))
+        inter = parse_png(encode_png(w, h, px, filters, interlace=True))
+        assert inter["pixels"] == seq["pixels"] == px
+        px16 = rng.randint(0, 65536, size=h * w).astype(">u2").tobytes()
+        g16 = parse_png(encode_png_gray(
+            w, h, px16, filters, bit_depth=16, interlace=True))
+        assert g16["pixels"] == px16
+        depth = int(rng.choice([1, 2, 4]))
+        n = 1 << depth
+        s = rng.randint(0, n, size=h * w).astype(np.uint8)
+        gs = parse_png(encode_png_gray(
+            w, h, s.tobytes(), filters, bit_depth=depth, interlace=True))
+        assert gs["pixels"] == (s * (255 // (n - 1))).astype(
+            np.uint8).tobytes()
+        plte = rng.randint(0, 256, size=3 * n, dtype=np.uint8).tobytes()
+        p = parse_png(encode_png_palette(
+            w, h, s.tobytes(), plte, filters, bit_depth=depth,
+            interlace=True))
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        assert p["pixels"] == pal[s].tobytes()
+    # truncated pass data and trailing garbage are hard errors
+    import struct as st
+    import zlib
+
+    from hcls_data_lake_spark.operators.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+    )
+
+    good = encode_png(
+        9, 9, np.arange(9 * 9 * 3, dtype=np.uint8).tobytes(),
+        interlace=True,
+    )
+    pos, ihdr, idat = 8, None, b""
+    while pos + 12 <= len(good):
+        (ln,) = st.unpack(">I", good[pos:pos + 4])
+        ct = good[pos + 4:pos + 8]
+        body = good[pos + 8:pos + 8 + ln]
+        if ct == b"IHDR":
+            ihdr = body
+        elif ct == b"IDAT":
+            idat += body
+        pos += 12 + ln
+    raw = zlib.decompress(idat)
+    for mutated in (raw[:-1], raw + b"\0"):
+        blob = (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+                + _png_chunk(b"IDAT", zlib.compress(mutated))
+                + _png_chunk(b"IEND", b""))
+        with pytest.raises(ValueError):
+            parse_png(blob)
