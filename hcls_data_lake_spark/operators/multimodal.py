@@ -57,19 +57,43 @@ class UnsupportedCodecError(ValueError):
 # All little-endian — one struct.unpack per field, no library.
 
 
+# WAVE format tags (RFC 2361 registry subset the codec handles) and
+# the fixed 14-byte tail of the KSDATAFORMAT_SUBTYPE GUIDs used by
+# WAVE_FORMAT_EXTENSIBLE (the first 2 GUID bytes are the format tag).
+_WAV_PCM, _WAV_FLOAT, _WAV_EXTENSIBLE = 0x0001, 0x0003, 0xFFFE
+_WAV_GUID_TAIL = (
+    b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xAA\x00\x38\x9B\x71"
+)
+
+
 def encode_wav(
     pcm: bytes, n_channels: int = 1, sample_rate: int = 8000,
-    bits_per_sample: int = 16,
+    bits_per_sample: int = 16, audio_format: int = _WAV_PCM,
+    extensible: bool = False,
 ) -> bytes:
-    """Serialize raw PCM bytes as a canonical 44-byte-header WAV."""
+    """Serialize raw sample bytes as a WAV: canonical 44-byte-header
+    integer PCM by default; ``audio_format=3`` writes IEEE float;
+    ``extensible=True`` wraps either in a WAVE_FORMAT_EXTENSIBLE
+    40-byte fmt chunk (tag 0xFFFE + SubFormat GUID), the container
+    modern >16-bit and multichannel files actually use."""
     block_align = n_channels * bits_per_sample // 8
     byte_rate = sample_rate * block_align
+    if extensible:
+        fmt_body = struct.pack(
+            "<HHIIHH", _WAV_EXTENSIBLE, n_channels, sample_rate,
+            byte_rate, block_align, bits_per_sample,
+        ) + struct.pack(
+            "<HHI", 22, bits_per_sample, 0,
+        ) + struct.pack("<H", audio_format) + _WAV_GUID_TAIL
+    else:
+        fmt_body = struct.pack(
+            "<HHIIHH", audio_format, n_channels, sample_rate,
+            byte_rate, block_align, bits_per_sample,
+        )
     return b"".join([
-        b"RIFF", struct.pack("<I", 36 + len(pcm)), b"WAVE",
-        b"fmt ", struct.pack(
-            "<IHHIIHH", 16, 1, n_channels, sample_rate, byte_rate,
-            block_align, bits_per_sample,
-        ),
+        b"RIFF", struct.pack("<I", 20 + len(fmt_body) + len(pcm)),
+        b"WAVE",
+        b"fmt ", struct.pack("<I", len(fmt_body)), fmt_body,
         b"data", struct.pack("<I", len(pcm)), pcm,
     ])
 
@@ -81,7 +105,7 @@ def parse_wav(payload: bytes) -> dict:
     plus the raw PCM slice. Raises ValueError on malformed bytes."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
-    pos, fmt, data = 12, None, None
+    pos, fmt, fmt_raw, data = 12, None, b"", None
     while pos + 8 <= len(payload):
         cid = payload[pos:pos + 4]
         (size,) = struct.unpack("<I", payload[pos + 4:pos + 8])
@@ -89,15 +113,32 @@ def parse_wav(payload: bytes) -> dict:
         if cid == b"fmt ":
             if size < 16 or len(body) < 16:
                 raise ValueError("fmt chunk too short")
+            fmt_raw = bytes(body)
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("missing fmt or data chunk")
-    audio_format, n_channels, sample_rate, _byte_rate, block_align, bits = fmt
-    if audio_format != 1:
-        raise UnsupportedCodecError(f"non-PCM WAV (format {audio_format})")
+    audio_format, n_channels, sample_rate, _byte_rate, block_align, bits = (
+        fmt[:6]
+    )
+    if audio_format == _WAV_EXTENSIBLE:
+        # WAVE_FORMAT_EXTENSIBLE: the real tag is the SubFormat
+        # GUID's first 2 bytes; the 14-byte tail must be the fixed
+        # KSDATAFORMAT_SUBTYPE constant or the stream is corrupt
+        if len(fmt_raw) < 40:
+            raise ValueError("extensible fmt chunk too short")
+        (audio_format,) = struct.unpack("<H", fmt_raw[24:26])
+        if fmt_raw[26:40] != _WAV_GUID_TAIL:
+            raise ValueError("bad SubFormat GUID tail")
+    if audio_format == _WAV_FLOAT:
+        if bits not in (32, 64):
+            raise ValueError(f"IEEE-float WAV with {bits}-bit samples")
+    elif audio_format != _WAV_PCM:
+        raise UnsupportedCodecError(
+            f"compressed WAV (format {audio_format})"
+        )
     if block_align == 0 or sample_rate == 0:
         raise ValueError("degenerate fmt chunk")
     n_frames = len(data) // block_align
@@ -105,6 +146,8 @@ def parse_wav(payload: bytes) -> dict:
         "n_channels": n_channels,
         "sample_rate": sample_rate,
         "bits_per_sample": bits,
+        "audio_format": ("float" if audio_format == _WAV_FLOAT
+                         else "pcm"),
         "n_frames": n_frames,
         "duration_ms": n_frames * 1000 // sample_rate,
         "pcm": data,

@@ -2591,6 +2591,125 @@ def q_multimodal_binary(spark, sf_dir):
 
 
 @register(
+    "q_multimodal_wav_float_probe",
+    """
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(16 + doc_id % 32 AS BIGINT) AS n,
+             doc_id % 3 AS kind
+      FROM documents WHERE doc_id < 240
+    )
+    SELECT d.doc_id, 'audio/wav' AS mime_type,
+           CASE WHEN d.kind = 0 THEN 'pcm' ELSE 'float' END
+             AS audio_format,
+           CAST(CASE WHEN d.kind = 0 THEN 24 ELSE 32 END AS INT)
+             AS bits_per_sample,
+           CAST(d.n AS BIGINT) AS n_frames,
+           CAST(d.n * 1000 // 8000 AS BIGINT) AS duration_ms,
+           CAST((SELECT sum((d.doc_id + 3 * k.k) % 4096 - 2048)
+                 FROM unnest(range(0, d.n)) AS k(k))
+             AS BIGINT) AS sample_sum,
+           TRUE AS parse_ok
+    FROM dims d
+    """,
+)
+def q_multimodal_wav_float_probe(spark, sf_dir):
+    """Beyond-16-bit WAV decode, oracle-verified (r12 breadth): the
+    three container layouts modern audio corpora actually ship —
+    24-bit integer PCM (3-byte little-endian signed frames), IEEE
+    float32 (format tag 3), and float32 wrapped in
+    WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE + SubFormat GUID, validated
+    against the fixed KSDATAFORMAT tail) — cycling by doc_id mod 3.
+    Samples are the integers (doc_id + 3k) mod 4096 - 2048 (exactly
+    representable in f32, so the decode-side SAMPLE-VALUE sum is
+    integral and the oracle computes it as pure doc_id arithmetic);
+    a decoder that mis-sliced the data chunk, byte-swapped, read the
+    wrong SubFormat, or mishandled 3-byte alignment fails the hash.
+    Same Arrow-batched no-shuffle shape as the codec tier."""
+    import numpy as np
+    import pandas as pd
+
+    from hcls_data_lake_spark.operators.multimodal import (
+        encode_wav,
+        parse_wav,
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for raw_id in pdf["doc_id"]:
+                doc_id = int(raw_id)
+                n = 16 + doc_id % 32
+                vals = [(doc_id + 3 * k) % 4096 - 2048
+                        for k in range(n)]
+                kind = doc_id % 3
+                if kind == 0:
+                    pcm = b"".join(
+                        v.to_bytes(3, "little", signed=True)
+                        for v in vals
+                    )
+                    payloads.append(encode_wav(pcm, bits_per_sample=24))
+                else:
+                    pcm = np.array(vals, dtype="<f4").tobytes()
+                    payloads.append(encode_wav(
+                        pcm, bits_per_sample=32, audio_format=3,
+                        extensible=(kind == 2)))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def decode(batches):
+        for pdf in batches:
+            rows: dict = {
+                "doc_id": [], "mime_type": [], "audio_format": [],
+                "bits_per_sample": [], "n_frames": [],
+                "duration_ms": [], "sample_sum": [], "parse_ok": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rows["doc_id"].append(doc_id)
+                rows["mime_type"].append("audio/wav")
+                try:
+                    w = parse_wav(bytes(payload))
+                    pcm = w["pcm"]
+                    if w["audio_format"] == "float":
+                        total = int(np.frombuffer(pcm, dtype="<f4")
+                                    .astype(np.int64).sum())
+                    else:
+                        total = sum(
+                            int.from_bytes(
+                                pcm[3 * i:3 * i + 3], "little",
+                                signed=True,
+                            )
+                            for i in range(len(pcm) // 3)
+                        )
+                    rows["audio_format"].append(w["audio_format"])
+                    rows["bits_per_sample"].append(
+                        w["bits_per_sample"])
+                    rows["n_frames"].append(w["n_frames"])
+                    rows["duration_ms"].append(w["duration_ms"])
+                    rows["sample_sum"].append(total)
+                    rows["parse_ok"].append(True)
+                except ValueError:
+                    for k in ("audio_format", "bits_per_sample",
+                              "n_frames", "duration_ms", "sample_sum"):
+                        rows[k].append(None)
+                    rows["parse_ok"].append(False)
+            yield pd.DataFrame(rows)
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 240)
+    payloads = d.select("doc_id").mapInPandas(
+        synth, schema="doc_id bigint, payload binary"
+    )
+    return payloads.mapInPandas(
+        decode,
+        schema=(
+            "doc_id bigint, mime_type string, audio_format string,"
+            " bits_per_sample int, n_frames bigint, duration_ms"
+            " bigint, sample_sum bigint, parse_ok boolean"
+        ),
+    )
+
+
+@register(
     "q_multimodal_wav_probe",
     """
     SELECT doc_id, 'audio/wav' AS mime_type,

@@ -2119,8 +2119,13 @@ def test_wav_roundtrip_and_chunk_walk():
     assert parse_wav(hacked)["pcm"] == pcm
     # non-PCM compression codes are unsupported, not malformed
     mutated = bytearray(wav)
-    mutated[20] = 3  # audio_format = IEEE float
+    mutated[20] = 7  # audio_format = mu-law (actually compressed)
     with pytest.raises(UnsupportedCodecError):
+        parse_wav(bytes(mutated))
+    # IEEE float DECODES since r12 — but only at float sample widths,
+    # so flipping the tag on a 16-bit stream is corruption
+    mutated[20] = 3
+    with pytest.raises(ValueError):
         parse_wav(bytes(mutated))
     with pytest.raises(ValueError):
         parse_wav(b"RIFFxxxxWAVE")  # no chunks
@@ -2994,3 +2999,57 @@ def test_png_adam7_interlace_roundtrip():
                 + _png_chunk(b"IEND", b""))
         with pytest.raises(ValueError):
             parse_png(blob)
+
+
+def test_wav_float_24bit_and_extensible():
+    """r12: IEEE-float (format 3), 24-bit PCM, and
+    WAVE_FORMAT_EXTENSIBLE (0xFFFE + SubFormat GUID) all parse; bad
+    GUID tails and float-with-integer-bits are hard errors; actually
+    compressed formats (mu-law/ADPCM/MP3) stay dead-letters."""
+    import numpy as np
+
+    from hcls_data_lake_spark.operators.multimodal import (
+        UnsupportedCodecError,
+        encode_wav,
+        parse_wav,
+    )
+
+    s24 = b"".join(
+        int(v).to_bytes(3, "little", signed=True)
+        for v in range(-500, 500, 7)
+    )
+    w = parse_wav(encode_wav(s24, bits_per_sample=24))
+    assert (w["audio_format"], w["bits_per_sample"]) == ("pcm", 24)
+    assert w["pcm"] == s24 and w["n_frames"] == len(s24) // 3
+    f32 = np.linspace(-1, 1, 64).astype("<f4").tobytes()
+    for ext in (False, True):
+        w = parse_wav(encode_wav(
+            f32, bits_per_sample=32, audio_format=3, extensible=ext))
+        assert (w["audio_format"], w["n_frames"]) == ("float", 64)
+        assert w["pcm"] == f32
+    f64 = np.arange(16, dtype="<f8").tobytes()
+    w = parse_wav(encode_wav(f64, bits_per_sample=64, audio_format=3))
+    assert (w["audio_format"], w["bits_per_sample"]) == ("float", 64)
+    # extensible 24-bit integer PCM (the common studio layout)
+    w = parse_wav(encode_wav(s24, bits_per_sample=24, extensible=True))
+    assert (w["audio_format"], w["bits_per_sample"]) == ("pcm", 24)
+    with pytest.raises(ValueError):
+        parse_wav(encode_wav(b"\0\0", bits_per_sample=16,
+                             audio_format=3))
+    for compressed in (2, 6, 7, 85):
+        with pytest.raises(UnsupportedCodecError):
+            parse_wav(encode_wav(b"\0\0", audio_format=compressed))
+    blob = bytearray(encode_wav(
+        f32, bits_per_sample=32, audio_format=3, extensible=True))
+    blob[12 + 8 + 30] ^= 0xFF  # corrupt the SubFormat GUID tail
+    with pytest.raises(ValueError):
+        parse_wav(bytes(blob))
+    # extensible fmt chunk cut before the GUID is malformed
+    trunc = encode_wav(f32, bits_per_sample=32, audio_format=3,
+                       extensible=True)
+    fmt_off = trunc.index(b"fmt ")
+    short = (trunc[:fmt_off + 4] + (30).to_bytes(4, "little")
+             + trunc[fmt_off + 8:fmt_off + 8 + 30]
+             + trunc[trunc.index(b"data"):])
+    with pytest.raises(ValueError):
+        parse_wav(short)
