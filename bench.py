@@ -305,6 +305,7 @@ EXTENDED = [
     "q_multimodal_png_subbyte_probe",  # 1/2/4-bit packed PNG decode (r12)
     "q_multimodal_png_interlace_probe",  # Adam7 pass walk + scatter (r12)
     "q_multimodal_wav_float_probe",  # float32/24-bit/extensible WAV (r12)
+    "q_multimodal_mp4_probe",  # ISO BMFF demux + frame slicing (r12)
     "q_hl7_batch_deframe",    # FHS/BHS batch walk + trailer reconcile (r12)
 ]
 

@@ -20,12 +20,16 @@ per-component DC prediction, BT.601 inverse), with or without restart
 markers (DRI/RSTn), baseline sequential (SOF0) AND, since r12,
 progressive (SOF2: spectral-selection + successive-approximation scan
 accumulation, EOB-run coding). ``text/plain`` decodes as identity.
-What still routes as ``UnsupportedCodecError`` dead-letters
-(``decode_ok = false`` rows, never a crash): JPEG sampling factors
-above 2, 12-bit sample precision, arithmetic entropy coding, the
-hierarchical/lossless SOF families, and video demux — variants whose
-spec surface is large relative to what the probe tier exercises, not
-an entropy-coding blocker anymore.
+Since r12 MP4/ISO-BMFF DEMUXES for real too (``parse_mp4`` /
+``mp4_samples``: box-tree walk, typed per-track metadata, every
+frame re-sliced by the stsz/stsc/stco sample tables) — the frames
+themselves stay opaque codec bitstreams. What still routes as
+``UnsupportedCodecError`` dead-letters (``decode_ok = false`` rows,
+never a crash): JPEG sampling factors above 2, 12-bit sample
+precision, arithmetic entropy coding, the hierarchical/lossless SOF
+families, and the inner video-frame codecs (H.264 et al.) — variants
+whose spec surface is large relative to what the probe tier
+exercises, not an entropy-coding blocker anymore.
 """
 
 from __future__ import annotations
@@ -216,6 +220,323 @@ def parse_bmp(payload: bytes) -> dict:
         "file_size": file_size,
         "pixels": payload[pix_offset:pix_offset + pixel_bytes],
     }
+
+
+# --------------------------------------- MP4 / ISO BMFF demux (r12)
+#
+# Video containers per the SURVEY north star: the payload stays an
+# opaque binary column, but the CONTAINER is parsed for real — the
+# ISO base media file format (ISO/IEC 14496-12) is a pure byte-walk:
+# nested boxes of [u32 size][4cc type], with the sample tables
+# (stsz/stsc/stco/stts under moov.trak.mdia.minf.stbl) addressing
+# every frame as an (absolute offset, size) slice of the file. That
+# means DEMUX — per-track typed metadata plus frame extraction — is
+# stdlib struct arithmetic, no codec library; only the inner frame
+# DECODE (H.264 et al.) stays out of scope, exactly the "opaque
+# payload + typed metadata + real plumbing" contract. parse_mp4
+# returns track rows; mp4_samples yields per-frame byte slices.
+
+_MP4_CONTAINERS = frozenset(
+    (b"moov", b"trak", b"mdia", b"minf", b"stbl", b"edts", b"dinf",
+     b"udta", b"mvex")
+)
+
+
+def _mp4_boxes(buf: bytes, start: int, end: int):
+    """Yield (type, body_start, body_end) for the boxes in
+    buf[start:end]; validates sizes (64-bit largesize supported)."""
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack(">I", buf[pos:pos + 4])
+        btype = buf[pos + 4:pos + 8]
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("truncated largesize box header")
+            (size,) = struct.unpack(">Q", buf[pos + 8:pos + 16])
+            body = pos + 16
+        elif size == 0:
+            size = end - pos  # box extends to end of enclosing scope
+        if size < body - pos or pos + size > end:
+            raise ValueError(f"box {btype!r} size {size} out of bounds")
+        yield btype, body, pos + size
+        pos += size
+    if pos != end:
+        raise ValueError("trailing bytes after last box")
+
+
+def _mp4_fullbox(body: bytes) -> tuple[int, bytes]:
+    """Split a FullBox body into (version, payload-after-flags)."""
+    if len(body) < 4:
+        raise ValueError("truncated FullBox header")
+    return body[0], body[4:]
+
+
+def _mp4_table_count(rest: bytes, btype: bytes, entry_size: int) -> int:
+    """Read a sample-table entry count and validate the body really
+    holds that many entries — a lying count must be a ValueError, not
+    a struct.error escaping the dead-letter catch."""
+    if len(rest) < 4:
+        raise ValueError(f"truncated {btype!r} header")
+    (n,) = struct.unpack(">I", rest[:4])
+    if len(rest) < 4 + entry_size * n:
+        raise ValueError(
+            f"{btype!r} declares {n} entries but holds fewer"
+        )
+    return n
+
+
+def parse_mp4(payload: bytes) -> dict:
+    """Parse an ISO BMFF (MP4/MOV) container: walk the box tree and
+    return per-track typed metadata plus the expanded sample table —
+    every sample (video frame / audio packet) as an absolute
+    (offset, size) slice of the payload. Frames stay OPAQUE (their
+    codec bitstream is not decoded); malformed boxes raise
+    ValueError."""
+    if len(payload) < 8:
+        raise ValueError("not an ISO BMFF payload")
+    top = list(_mp4_boxes(payload, 0, len(payload)))
+    types = [t for t, _, _ in top]
+    if b"ftyp" not in types or b"moov" not in types:
+        raise ValueError("missing ftyp or moov box")
+    ftyp_s, ftyp_e = next((s, e) for t, s, e in top if t == b"ftyp")
+    major_brand = payload[ftyp_s:ftyp_s + 4].decode("latin-1")
+    moov_s, moov_e = next((s, e) for t, s, e in top if t == b"moov")
+
+    movie_timescale = None
+    tracks: list[dict] = []
+    for t, s, e in _mp4_boxes(payload, moov_s, moov_e):
+        if t == b"mvhd":
+            ver, rest = _mp4_fullbox(payload[s:e])
+            off = 16 if ver == 1 else 8  # skip creation/modification
+            if len(rest) < off + 4:
+                raise ValueError("truncated mvhd box")
+            movie_timescale, = struct.unpack(
+                ">I", rest[off:off + 4])
+        elif t == b"trak":
+            tracks.append(_mp4_track(payload, s, e))
+    if movie_timescale in (None, 0):
+        raise ValueError("missing or degenerate mvhd")
+    return {
+        "major_brand": major_brand,
+        "movie_timescale": movie_timescale,
+        "n_tracks": len(tracks),
+        "tracks": tracks,
+    }
+
+
+def _mp4_track(buf: bytes, start: int, end: int) -> dict:
+    """Parse one trak box into typed metadata + expanded samples."""
+    track_id = width = height = None
+    handler = codec = None
+    timescale = duration = None
+    stts_entries: list[tuple[int, int]] = []
+    stsc_entries: list[tuple[int, int]] = []
+    sizes: list[int] = []
+    offsets: list[int] = []
+
+    def walk(s: int, e: int) -> None:
+        nonlocal track_id, width, height, handler, codec
+        nonlocal timescale, duration
+        for t, bs, be in _mp4_boxes(buf, s, e):
+            body = buf[bs:be]
+            if t == b"tkhd":
+                ver, rest = _mp4_fullbox(body)
+                off = 16 if ver == 1 else 8
+                if len(rest) < off + 4 or len(body) < 16:
+                    raise ValueError("truncated tkhd box")
+                track_id, = struct.unpack(">I", rest[off:off + 4])
+                # width/height are the LAST 8 bytes, 16.16 fixed
+                width = struct.unpack(">I", body[-8:-4])[0] >> 16
+                height = struct.unpack(">I", body[-4:])[0] >> 16
+            elif t == b"mdhd":
+                ver, rest = _mp4_fullbox(body)
+                if len(rest) < (28 if ver == 1 else 16):
+                    raise ValueError("truncated mdhd box")
+                if ver == 1:
+                    timescale, = struct.unpack(">I", rest[16:20])
+                    duration, = struct.unpack(">Q", rest[20:28])
+                else:
+                    timescale, duration = struct.unpack(
+                        ">II", rest[8:16])
+            elif t == b"hdlr":
+                handler = body[8:12].decode("latin-1")
+            elif t == b"stsd":
+                _, rest = _mp4_fullbox(body)
+                (n,) = struct.unpack(">I", rest[:4])
+                if n >= 1 and len(rest) >= 16:
+                    codec = rest[8:12].decode("latin-1")
+            elif t == b"stts":
+                _, rest = _mp4_fullbox(body)
+                n = _mp4_table_count(rest, t, entry_size=8)
+                for i in range(n):
+                    stts_entries.append(struct.unpack(
+                        ">II", rest[4 + 8 * i:12 + 8 * i]))
+            elif t == b"stsc":
+                _, rest = _mp4_fullbox(body)
+                n = _mp4_table_count(rest, t, entry_size=12)
+                for i in range(n):
+                    first, per, _sdi = struct.unpack(
+                        ">III", rest[4 + 12 * i:16 + 12 * i])
+                    stsc_entries.append((first, per))
+            elif t == b"stsz":
+                _, rest = _mp4_fullbox(body)
+                if len(rest) < 8:
+                    raise ValueError("truncated stsz header")
+                fixed, n = struct.unpack(">II", rest[:8])
+                if fixed:
+                    sizes.extend([fixed] * n)
+                else:
+                    if len(rest) < 8 + 4 * n:
+                        raise ValueError(
+                            "stsz declares more sizes than it holds"
+                        )
+                    for i in range(n):
+                        sizes.append(struct.unpack(
+                            ">I", rest[8 + 4 * i:12 + 4 * i])[0])
+            elif t == b"stco":
+                _, rest = _mp4_fullbox(body)
+                n = _mp4_table_count(rest, t, entry_size=4)
+                for i in range(n):
+                    offsets.append(struct.unpack(
+                        ">I", rest[4 + 4 * i:8 + 4 * i])[0])
+            elif t == b"co64":
+                _, rest = _mp4_fullbox(body)
+                n = _mp4_table_count(rest, t, entry_size=8)
+                for i in range(n):
+                    offsets.append(struct.unpack(
+                        ">Q", rest[4 + 8 * i:12 + 8 * i])[0])
+            elif t in _MP4_CONTAINERS:
+                walk(bs, be)
+
+    walk(start, end)
+    if timescale in (None, 0):
+        raise ValueError("track missing mdhd timescale")
+    # expand sample-to-chunk: stsc entry (first_chunk, per) applies
+    # from that chunk until the next entry's first_chunk
+    samples: list[tuple[int, int]] = []
+    if sizes and offsets and stsc_entries:
+        per_chunk = []
+        for j, (first, per) in enumerate(stsc_entries):
+            last = (stsc_entries[j + 1][0] - 1
+                    if j + 1 < len(stsc_entries) else len(offsets))
+            per_chunk.extend([per] * (last - first + 1))
+        if len(per_chunk) != len(offsets):
+            raise ValueError("stsc does not cover chunk list")
+        si = 0
+        for ci, base in enumerate(offsets):
+            off = base
+            # the FINAL chunk may carry fewer samples than its stsc
+            # entry declares (encoders often skip a dedicated entry
+            # for the short tail); anywhere else it's corruption
+            take = per_chunk[ci]
+            if si + take > len(sizes):
+                if ci != len(offsets) - 1:
+                    raise ValueError("stsc expands past stsz count")
+                take = len(sizes) - si
+            for _ in range(take):
+                samples.append((off, sizes[si]))
+                off += sizes[si]
+                si += 1
+        if si != len(sizes):
+            raise ValueError("sample table count mismatch")
+    n_stts = sum(c for c, _ in stts_entries)
+    if n_stts != len(sizes):
+        raise ValueError("stts sample count != stsz count")
+    return {
+        "track_id": track_id,
+        "handler": handler,
+        "codec": codec,
+        "width": width,
+        "height": height,
+        "timescale": timescale,
+        "duration_ms": (duration or 0) * 1000 // timescale,
+        "n_samples": len(sizes),
+        "sample_bytes": sum(sizes),
+        "samples": samples,
+    }
+
+
+def mp4_samples(payload: bytes, track_index: int = 0):
+    """Yield each sample's raw bytes for one track (the opaque frame
+    slices the sample table addresses); bounds-checked."""
+    info = parse_mp4(payload)
+    if not 0 <= track_index < info["n_tracks"]:
+        raise ValueError(f"no track {track_index}")
+    for off, size in info["tracks"][track_index]["samples"]:
+        if off + size > len(payload):
+            raise ValueError("sample slice out of file bounds")
+        yield payload[off:off + size]
+
+
+def encode_mp4(
+    frames: list[bytes], width: int, height: int,
+    timescale: int = 1000, frame_delta: int = 40,
+    codec: bytes = b"mp4v", samples_per_chunk: int = 2,
+) -> bytes:
+    """Serialize a minimal single-video-track ISO BMFF file whose
+    mdat carries the given opaque frames, chunked
+    ``samples_per_chunk`` at a time so the stsc/stco expansion is
+    non-trivial. Exists so tests and the oracle probe can synthesize
+    payloads the demuxer must address exactly."""
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    def fullbox(btype: bytes, body: bytes, version: int = 0) -> bytes:
+        return box(btype, bytes([version, 0, 0, 0]) + body)
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    mdat_body = b"".join(frames)
+    mdat_data_off = len(ftyp) + 8
+    n = len(frames)
+    duration = n * frame_delta
+
+    # chunk layout: ceil(n / samples_per_chunk) chunks
+    offsets = []
+    pos = mdat_data_off
+    for i, f in enumerate(frames):
+        if i % samples_per_chunk == 0:
+            offsets.append(pos)
+        pos += len(f)
+
+    stsd_entry = (
+        struct.pack(">I", 86) + codec + bytes(6)
+        + struct.pack(">H", 1) + bytes(16)
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)
+        + bytes(4) + struct.pack(">H", 1) + bytes(32)
+        + struct.pack(">Hh", 24, -1)
+    )
+    stbl = b"".join([
+        fullbox(b"stsd", struct.pack(">I", 1) + stsd_entry),
+        fullbox(b"stts", struct.pack(">III", 1, n, frame_delta)),
+        fullbox(b"stsc", struct.pack(
+            ">IIII", 1, 1, samples_per_chunk, 1)),
+        fullbox(b"stsz", struct.pack(">II", 0, n) + b"".join(
+            struct.pack(">I", len(f)) for f in frames)),
+        fullbox(b"stco", struct.pack(">I", len(offsets)) + b"".join(
+            struct.pack(">I", o) for o in offsets)),
+    ])
+    minf = box(b"minf", box(b"stbl", stbl))
+    hdlr = fullbox(b"hdlr", bytes(4) + b"vide" + bytes(12)
+                   + b"VideoHandler\0")
+    mdhd = fullbox(b"mdhd", struct.pack(
+        ">IIIIHH", 0, 0, timescale, duration, 0x55C4, 0))
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    tkhd = fullbox(b"tkhd", struct.pack(">III", 0, 0, 1) + bytes(4)
+                   + struct.pack(">I", duration) + bytes(8)
+                   + struct.pack(">HHHH", 0, 0, 0, 0)
+                   + bytes(36)
+                   + struct.pack(">II", width << 16, height << 16),
+                   version=0)
+    trak = box(b"trak", tkhd + mdia)
+    mvhd = fullbox(b"mvhd", struct.pack(
+        ">IIII", 0, 0, timescale, duration)
+        + struct.pack(">I", 0x00010000) + struct.pack(">H", 0x0100)
+        + bytes(10) + bytes(36) + bytes(24)
+        + struct.pack(">I", 2))
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + box(b"mdat", mdat_body) + moov
 
 
 # ---------------------------------------------------- PNG codec
@@ -1762,9 +2083,11 @@ def parse_jpeg(payload: bytes) -> dict:
 def _decode_payload(payload: bytes, mime_type: str) -> bytes:
     """Decode a payload to its content bytes: PCM samples for WAV,
     the raw pixel array for BMP/PNG/JPEG (PNG inflated AND
-    unfiltered, JPEG entropy-decoded — baseline or progressive),
-    identity for text. Mime types whose codecs need an absent library
-    (video demux) raise UnsupportedCodecError."""
+    unfiltered, JPEG entropy-decoded — baseline or progressive), the
+    concatenated DEMUXED frame slices for MP4 (r12: the container is
+    walked for real; the frames themselves stay opaque codec
+    bitstreams), identity for text. Mime types with no parseable
+    container raise UnsupportedCodecError."""
     if mime_type == "text/plain":
         return payload
     if mime_type in ("audio/wav", "audio/x-wav", "audio/wave"):
@@ -1775,6 +2098,8 @@ def _decode_payload(payload: bytes, mime_type: str) -> bytes:
         return parse_png(payload)["pixels"]
     if mime_type in ("image/jpeg", "image/jpg"):
         return parse_jpeg(payload)["pixels"]
+    if mime_type in ("video/mp4", "video/quicktime"):
+        return b"".join(mp4_samples(payload))
     raise UnsupportedCodecError(
         f"no codec for {mime_type}: needs an external decoder library"
     )

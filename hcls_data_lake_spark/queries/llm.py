@@ -2710,6 +2710,120 @@ def q_multimodal_wav_float_probe(spark, sf_dir):
 
 
 @register(
+    "q_multimodal_mp4_probe",
+    """
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(2 + doc_id % 6 AS BIGINT) AS ns,
+             CAST(16 * (1 + doc_id % 4) AS INT) AS w,
+             CAST(16 * (1 + doc_id % 3) AS INT) AS h
+      FROM documents WHERE doc_id < 240
+    )
+    SELECT d.doc_id, 'video/mp4' AS mime_type,
+           'mp4v' AS codec, d.w AS width, d.h AS height,
+           CAST(d.ns AS BIGINT) AS n_samples,
+           CAST(d.ns * 40 AS BIGINT) AS duration_ms,
+           CAST((SELECT sum(10 + (d.doc_id + k.k) % 20)
+                 FROM unnest(range(0, d.ns)) AS k(k))
+             AS BIGINT) AS sample_bytes,
+           CAST((SELECT sum((d.doc_id + 5 * k.k + j.j) % 256)
+                 FROM unnest(range(0, d.ns)) AS k(k),
+                      unnest(range(0, 10 + (d.doc_id + k.k) % 20))
+                        AS j(j))
+             AS BIGINT) AS frame_byte_sum,
+           TRUE AS parse_ok
+    FROM dims d
+    """,
+)
+def q_multimodal_mp4_probe(spark, sf_dir):
+    """MP4 / ISO BMFF DEMUX, oracle-verified (r12 — retiring the
+    'video demux' dead-letter at the container level; frames stay
+    opaque codec bitstreams per the SURVEY north star). Each doc_id
+    synthesizes a single-video-track MP4 whose 2..7 frames carry
+    doc_id-arithmetic bytes, chunked 1-3 samples per chunk so the
+    stsc/stco expansion (including the SHORT FINAL CHUNK the spec
+    lets encoders leave implicit) is non-trivial; parse_mp4 walks
+    the box tree (mvhd/tkhd/mdhd/hdlr/stsd + the four sample
+    tables) and mp4_samples re-slices every frame by absolute
+    offset. The oracle pins track metadata AND the demuxed frame
+    byte sum as pure doc_id arithmetic — an off-by-one in the chunk
+    walk or a wrong stsz read shifts the sum. Arrow-batched, no
+    shuffle, frames never leave the worker."""
+    import pandas as pd
+
+    from hcls_data_lake_spark.operators.multimodal import (
+        encode_mp4,
+        mp4_samples,
+        parse_mp4,
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for raw_id in pdf["doc_id"]:
+                doc_id = int(raw_id)
+                ns = 2 + doc_id % 6
+                frames = [
+                    bytes((doc_id + 5 * k + j) % 256
+                          for j in range(10 + (doc_id + k) % 20))
+                    for k in range(ns)
+                ]
+                payloads.append(encode_mp4(
+                    frames, 16 * (1 + doc_id % 4),
+                    16 * (1 + doc_id % 3),
+                    samples_per_chunk=1 + doc_id % 3))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def decode(batches):
+        for pdf in batches:
+            rows: dict = {
+                "doc_id": [], "mime_type": [], "codec": [],
+                "width": [], "height": [], "n_samples": [],
+                "duration_ms": [], "sample_bytes": [],
+                "frame_byte_sum": [], "parse_ok": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rows["doc_id"].append(doc_id)
+                rows["mime_type"].append("video/mp4")
+                try:
+                    blob = bytes(payload)
+                    tr = parse_mp4(blob)["tracks"][0]
+                    total = sum(
+                        sum(frame) for frame in mp4_samples(blob)
+                    )
+                    rows["codec"].append(tr["codec"])
+                    rows["width"].append(tr["width"])
+                    rows["height"].append(tr["height"])
+                    rows["n_samples"].append(tr["n_samples"])
+                    rows["duration_ms"].append(tr["duration_ms"])
+                    rows["sample_bytes"].append(tr["sample_bytes"])
+                    rows["frame_byte_sum"].append(total)
+                    rows["parse_ok"].append(True)
+                except ValueError:
+                    for k in ("codec", "width", "height", "n_samples",
+                              "duration_ms", "sample_bytes",
+                              "frame_byte_sum"):
+                        rows[k].append(None)
+                    rows["parse_ok"].append(False)
+            yield pd.DataFrame(rows)
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 240)
+    payloads = d.select("doc_id").mapInPandas(
+        synth, schema="doc_id bigint, payload binary"
+    )
+    return payloads.mapInPandas(
+        decode,
+        schema=(
+            "doc_id bigint, mime_type string, codec string,"
+            " width int, height int, n_samples bigint, duration_ms"
+            " bigint, sample_bytes bigint, frame_byte_sum bigint,"
+            " parse_ok boolean"
+        ),
+    )
+
+
+@register(
     "q_multimodal_wav_probe",
     """
     SELECT doc_id, 'audio/wav' AS mime_type,

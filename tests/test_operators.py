@@ -3053,3 +3053,57 @@ def test_wav_float_24bit_and_extensible():
              + trunc[trunc.index(b"data"):])
     with pytest.raises(ValueError):
         parse_wav(short)
+
+
+def test_mp4_demux_roundtrip_and_guards():
+    """r12: ISO BMFF demux — box-tree walk, sample-table expansion
+    (stsc x stco x stsz incl. the implicit short final chunk),
+    absolute-offset frame slicing; malformed boxes are hard errors;
+    the frames themselves stay opaque."""
+    import numpy as np
+
+    from hcls_data_lake_spark.operators.multimodal import (
+        _decode_payload,
+        encode_mp4,
+        mp4_samples,
+        parse_mp4,
+    )
+
+    rng = np.random.RandomState(11)
+    for _ in range(8):
+        n = int(rng.randint(1, 10))
+        frames = [
+            rng.randint(0, 256, size=int(rng.randint(4, 50)),
+                        dtype=np.uint8).tobytes()
+            for _ in range(n)
+        ]
+        spc = int(rng.randint(1, 5))
+        mp4 = encode_mp4(frames, 320, 240, samples_per_chunk=spc)
+        info = parse_mp4(mp4)
+        tr = info["tracks"][0]
+        assert (tr["handler"], tr["codec"]) == ("vide", "mp4v")
+        assert (tr["width"], tr["height"]) == (320, 240)
+        assert tr["n_samples"] == n
+        assert tr["sample_bytes"] == sum(len(f) for f in frames)
+        assert tr["duration_ms"] == n * 40  # timescale 1000, delta 40
+        assert list(mp4_samples(mp4)) == frames
+        # the video branch of the decode dispatcher concatenates the
+        # demuxed frames (opaque bitstream bytes, not pixels)
+        assert _decode_payload(mp4, "video/mp4") == b"".join(frames)
+    # guards: truncation, missing moov, oversized box, bad track idx
+    with pytest.raises(ValueError):
+        parse_mp4(mp4[:40])
+    with pytest.raises(ValueError):
+        parse_mp4(mp4[:8])  # ftyp alone
+    blob = bytearray(mp4)
+    blob[0:4] = (len(mp4) + 99).to_bytes(4, "big")  # ftyp too big
+    with pytest.raises(ValueError):
+        parse_mp4(bytes(blob))
+    with pytest.raises(ValueError):
+        list(mp4_samples(mp4, track_index=5))
+    # corrupt stsz count -> stts/stsz mismatch is flagged
+    idx = mp4.index(b"stsz")
+    blob = bytearray(mp4)
+    blob[idx + 12:idx + 16] = (99).to_bytes(4, "big")
+    with pytest.raises(ValueError):
+        parse_mp4(bytes(blob))
