@@ -85,12 +85,12 @@ def register(name: str, oracle: str | None) -> Callable[[QueryFn], QueryFn]:
 # budget inside whichever module happens to import first.
 _FAMILY_REPRESENTATIVES = [
     # -- OLDEST-ROW-FIRST (r12 rotation, continuing VERDICT r11 ask
-    # #6): slots 1-7 are the r12 additions (no driver row yet); the
+    # #6): slots 1-8 are the r12 additions (no driver row yet); the
     # remainder is ordered stalest-latest-driver-row first — after
     # the r11 driver run refreshed the r1/r2-era tranche, the stalest
     # rows are now the r3-era names (q_join_self, q_agg_collect, the
     # q_win_*/q_set_*/q_stream_* families...), so a 50-name driver
-    # prefix refreshes every r12 addition plus the 43 stalest legacy
+    # prefix refreshes every r12 addition plus the 42 stalest legacy
     # rows, and a prefix overrun keeps eating the stalest evidence.
     # Regenerate each round with
     # tools/rotate_representatives.py <new names...>.
@@ -100,6 +100,7 @@ _FAMILY_REPRESENTATIVES = [
     "q_multimodal_png_subbyte_probe",
     "q_multimodal_png_interlace_probe",
     "q_multimodal_wav_float_probe",
+    "q_multimodal_mp4_probe",
     "q_hl7_batch_deframe",
     "q_join_self",
     "q_agg_collect",
@@ -526,6 +527,7 @@ _FAMILY_REPRESENTATIVES = [
     "q_scan_text_parse",
     "q_scan_json",
 ]
+
 
 
 
