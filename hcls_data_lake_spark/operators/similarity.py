@@ -20,6 +20,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from hcls_data_lake_spark.tables import widen_scan
+
 
 def dot(a: str, b: str) -> Column:
     """JVM-side dot product of two array<double> columns."""
@@ -45,10 +47,19 @@ def brute_force_topk(
     WindowGroupLimit: each partition keeps only its local top-k per
     query BEFORE the shuffle, so the exchange moves ≤ k·|Q| rows per
     partition, not |Q|·|N|. All dot products are codegen HOFs."""
-    e = embeddings.select(
-        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
+    e0 = embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
     )
-    q = e.filter(query_filter) if query_filter is not None else e
+    # widen the CANDIDATE side only (tables.widen_scan): the |Q|·|N|
+    # dot folds against the broadcast query block are pure map-side
+    # CPU, and the unsplittable single-row-group fixture parquet would
+    # otherwise run them all in ONE scan task (no-op on an
+    # already-parallel lake scan). The tiny filtered query side stays
+    # on the raw scan — widening it would charge the broadcast build
+    # an extra exchange for a handful of rows.
+    e = widen_scan(e0)
+    q = e0.filter(query_filter) if query_filter is not None else e0
     # self-norms computed ONCE PER SIDE below the join (|Q| + |N|
     # folds), not once per pair (3·|Q|·|N| folds in the naive
     # cosine() form — benched 1.5× slower at sf0.1). Squared norms are
@@ -342,22 +353,27 @@ def ivf_topk(
         dim = len(embeddings.select(vec_col).first()[0])
         cents = _hyperplanes(dim, n_centroids, seed)
 
-    e = embeddings.select(
-        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
+    e0 = embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
     )
     # cell assignment is index BUILD (n_centroids dot products per
     # candidate) — materialize once per (table, params), probe many;
     # the stored self-norm joins the index so the per-pair cosine is a
-    # single fold (see brute_force_topk's norm note)
+    # single fold (see brute_force_topk's norm note). The build input
+    # is widened (tables.widen_scan): n_centroids dot folds per
+    # candidate are map-side CPU that the unsplittable fixture parquet
+    # would otherwise run in ONE scan task; the tiny probe side stays
+    # on the raw scan (brute_force_topk's side rule).
     indexed = _cached_index(
         (ident, "ivfcells", n_centroids, id_col, vec_col, train_iters, seed,
          sample_frac),
         embeddings.sparkSession,
-        lambda: e.withColumn(
+        lambda: widen_scan(e0).withColumn(
             "cell", _cell_scores("_v", cents).getItem(0)
         ).withColumn("_cc", dot("_v", "_v")),
     )
-    q = e.filter(query_filter) if query_filter is not None else e
+    q = e0.filter(query_filter) if query_filter is not None else e0
     probes = q.select(
         F.col("_id").alias("query_id"),
         F.col("_v").alias("qv"),
@@ -506,10 +522,16 @@ def ann_lsh_topk(
     value (recall < 1 comes only from probing FEWER buckets)."""
     dim = len(embeddings.select(vec_col).first()[0])
     planes = _hyperplanes(dim, n_planes, seed)
-    e = embeddings.select(
-        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
-    ).withColumn("bucket", lsh_bucket("_v", planes))
-    q = e.filter(query_filter) if query_filter is not None else e
+    e0 = embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    # widen the CANDIDATE side only (brute_force_topk's side rule):
+    # the per-candidate bucket signs + self-norm folds are map-side
+    # CPU the unsplittable fixture parquet would run in ONE scan task
+    e = widen_scan(e0).withColumn("bucket", lsh_bucket("_v", planes))
+    q0 = e0.withColumn("bucket", lsh_bucket("_v", planes))
+    q = q0.filter(query_filter) if query_filter is not None else q0
     if probe_all:
         # exhaustive probe set: the query row fans out to all
         # 2**n_planes bucket ids (bounded — the SAME shape as
@@ -712,9 +734,13 @@ def pq_adc_topk(
         ),
     )
 
-    e = embeddings.select(
-        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
+    e0 = embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
     )
+    # candidate side widened (brute_force_topk's side rule); the tiny
+    # probe side stays on the raw scan
+    e = widen_scan(e0)
     # per-candidate state computed BELOW the join: codes + reconstructed
     # norm, once per candidate — never per (query, candidate) pair —
     # and materialized once per (table, params): probes read the
@@ -728,7 +754,7 @@ def pq_adc_topk(
             pq_encode_col("_v", books).alias("cd"),
         ).withColumn("_cn2", _pq_norm_sq("cd", books)),
     )
-    q = e.filter(query_filter) if query_filter is not None else e
+    q = e0.filter(query_filter) if query_filter is not None else e0
     # per-query state on the broadcast side: the ADC LUT + norm, once
     # per query row
     q = q.select(
@@ -790,9 +816,13 @@ def ivfpq_topk(
         ),
     )
 
-    e = embeddings.select(
-        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
+    e0 = embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
     )
+    # candidate side widened (brute_force_topk's side rule); the tiny
+    # probe side stays on the raw scan
+    e = widen_scan(e0)
     # the stored index: cell + codes per candidate (id, 1 int, m ints —
     # the only per-candidate state the search ever reads before refine)
     # plus the reconstructed norm — computed once per candidate and
@@ -807,7 +837,7 @@ def ivfpq_topk(
             pq_encode_col("_v", books).alias("cd"),
         ).withColumn("_cn2", _pq_norm_sq("cd", books)),
     )
-    q = e.filter(query_filter) if query_filter is not None else e
+    q = e0.filter(query_filter) if query_filter is not None else e0
     probes = q.select(
         F.col("_id").alias("query_id"),
         F.col("_v").alias("qv"),

@@ -79,6 +79,11 @@ def r2(c: Column) -> Column:
     return F.round(c, 2)
 
 
+# re-exported for query modules; implementation lives beside the
+# loaders it heals (see tables.widen_scan for the full rationale)
+from hcls_data_lake_spark.tables import widen_scan  # noqa: E402, F401
+
+
 def scratch_dir(*parts: str) -> str:
     return os.path.join(SCRATCH, *parts)
 

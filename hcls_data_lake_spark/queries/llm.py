@@ -23,7 +23,7 @@ from hcls_data_lake_spark.operators.dedup import (
     cap_postings,
     shingles_from_words,
 )
-from hcls_data_lake_spark.queries.common import t
+from hcls_data_lake_spark.queries.common import t, widen_scan
 from hcls_data_lake_spark.registry import register
 
 # shared by the cosine-similarity / embedding-dedup oracles below
@@ -97,6 +97,9 @@ def _near_pairs(
     pair expansion, observed census); the default 500 cannot drop
     anything at fixture scale (≤500 docs), so oracles stay exact."""
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    # NOT widened (r12 opt): measured — the bounded 500-doc slice's
+    # shingle map is cheaper than the extra exchange + stage it takes
+    # to spread it (1.02 s -> 1.75 s with widen_scan)
     wdf = d.select("doc_id", F.split("text", " ").alias("w"))
     shingles = shingles_from_words("w", ngram)
     docs = wdf.filter(F.size("w") >= ngram).select(
@@ -518,14 +521,27 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return minhash_lsh_pairs(d, text_col="text", id_col="doc_id")
 
 
-def _md5_lsh_parts(d):
+def _md5_lsh_parts(d, widen=False):
     """Shared front of the engine-neutral md5 LSH family: shingled
     docs, 16-permutation md5 minhash signatures, and the exploded
     (band, band_key, doc_id) rows (4 bands of 4). Used by
     q_dedup_lsh_bands (reports band collisions), q_dedup_minhash_est
     (estimates Jaccard on the candidates) and q_dedup_pipeline_e2e
-    (verifies + clusters them). All map-side expressions."""
-    wdf = d.select("doc_id", F.split("text", " ").alias("w"))
+    (verifies + clusters them). All map-side expressions — which is
+    exactly why the WHOLE-CORPUS caller widens the input first
+    (``widen=True``): the 16-permutation md5 minhash is the most
+    expensive per-row expression in the registry (16·|shingles|
+    digests per doc), and on the unsplittable single-row-group fixture
+    parquet it would otherwise run in ONE scan task (r12 measured:
+    bands over the 5000-doc corpus = 7.5 s serial → sub-second
+    32-way; widen_scan no-ops on an already-parallel lake scan). The
+    bounded 300-doc callers keep the default: there the serial map is
+    cheaper than the exchange + extra stage it takes to spread it
+    (q_dedup_lsh_bands measured 0.89 s → 1.13 s with the widen)."""
+    src = d.select("doc_id", "text")
+    if widen:
+        src = widen_scan(src)
+    wdf = src.select("doc_id", F.split("text", " ").alias("w"))
     docs = wdf.filter(F.size("w") >= 3).select(
         "doc_id", shingles_from_words("w", 3).alias("shingles")
     )
@@ -818,7 +834,9 @@ def _dedup_pipeline_full(spark, sf_dir):
     from hcls_data_lake_spark.operators.dedup import connected_components
 
     d = t(spark, sf_dir, "documents")
-    docs, _sigs, bands = _md5_lsh_parts(d)
+    # whole-corpus path: widen the minhash input (see _md5_lsh_parts —
+    # 7.5 s serial otherwise; the committed entry read 9.394 s before)
+    docs, _sigs, bands = _md5_lsh_parts(d, widen=True)
     cand = _md5_lsh_cand_pairs(bands).distinct()
     sh = docs.select("doc_id", "shingles")
     verified = (
@@ -1099,40 +1117,49 @@ def q_dedup_simhash_join(spark, sf_dir):
             " as bigint))"
         ),
     )
+    # Carry each doc's 4-band fingerprint THROUGH the posting list so
+    # the verification step reads it straight off the candidate pair —
+    # the original plan joined fps back twice (fa/fb), and since Spark
+    # shares no common subplans, the whole vote pipeline (explode +
+    # two aggregations) executed three times per run (r12: 1.5 s →
+    # one pipeline + one posting shuffle; bands are 4 bigints, so the
+    # payload rides the existing shuffle for pennies).
     banded = fps.select(
         "doc_id",
+        "bands",
         F.posexplode("bands").alias("band", "band_val"),
     )
     posting = cap_postings(
         banded.groupBy("band", "band_val")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "bands"))
+            ).alias("ds")
+        )
         .filter(F.size("ds") > 1),
         DEFAULT_MAX_POSTING_LEN,
     )
-    cand = (
+    pairs = (
         posting.select(
             F.explode_outer(
                 F.expr(
-                    "flatten(transform(ds, (a, i) ->"
+                    "flatten(transform(ds, (x, i) ->"
                     " transform(slice(ds, i + 2, size(ds) - i - 1),"
-                    " b -> struct(a as doc_a, b as doc_b))))"
+                    " y -> struct(x.doc_id as doc_a, y.doc_id as doc_b,"
+                    " x.bands as ba, y.bands as bb))))"
                 )
             ).alias("p")
         )
         .filter(F.col("p").isNotNull())
-        .select("p.doc_a", "p.doc_b")
+        .select("p.*")
         .distinct()
     )
-    fa = fps.select(F.col("doc_id").alias("doc_a"), F.col("bands").alias("ba"))
-    fb = fps.select(F.col("doc_id").alias("doc_b"), F.col("bands").alias("bb"))
     hamming = F.expr(
         "aggregate(zip_with(ba, bb, (x, y) -> bit_count(x ^ y)),"
         " 0L, (acc, x) -> acc + cast(x as bigint))"
     )
     return (
-        cand.join(fa, "doc_a")
-        .join(fb, "doc_b")
-        .withColumn("hamming_bits", hamming)
+        pairs.withColumn("hamming_bits", hamming)
         .filter(F.col("hamming_bits") <= 3)
         .select("doc_a", "doc_b", "hamming_bits")
     )
