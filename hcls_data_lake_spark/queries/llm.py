@@ -6334,20 +6334,20 @@ def _srp_scored_pairs(spark, sf_dir):
     int64 MATMUL (C@Qᵀ) — the same exact integers the per-pair
     lambda `aggregate` produced, ~2× faster, and the
     BLAS-per-partition layout brute-force scoring uses at scale.
+    The per-vector state (self-norm n2, 4-bit SRP bucket) is computed
+    INSIDE the scorer as two more small matmuls (the
+    q_embed_recall_tuned layout), not as Spark lambda HOFs: higher-
+    order functions never codegen, so the old projection paid 5
+    interpreted 64-element folds per candidate in the starved single
+    scan task for the same integers (bit = sign of the plane dot,
+    n2 = Σx²; r12 opt) — and the scan now ships only (vec_id, v).
     Returned relation is localCheckpoint-pinned: each harness ranks
     it several ways (exact vs filtered ANN) off one materialization."""
     import numpy as np
     import pandas as pd
 
     planes = _srp_planes()
-    w_expr = (
-        "array("
-        + ", ".join(
-            "array(" + ", ".join(f"{w}L" for w in row) + ")"
-            for row in planes
-        )
-        + ")"
-    )
+    W = np.array(planes, dtype=np.int64)  # (4, dim)
     e = t(spark, sf_dir, "embeddings")
     qv = e.select(
         "vec_id",
@@ -6355,26 +6355,11 @@ def _srp_scored_pairs(spark, sf_dir):
             "transform(embedding, x -> cast(round(x * 100) as bigint))"
         ).alias("v"),
     )
-    b = qv.select(
-        "vec_id",
-        "v",
-        F.expr(
-            "aggregate(zip_with(v, v, (x, y) -> x * y), 0L,"
-            " (acc, x) -> acc + x)"
-        ).alias("n2"),
-        F.expr(
-            f"concat_ws('', transform({w_expr}, wp ->"
-            " if(aggregate(zip_with(wp, v, (w, x) -> w * x), 0L,"
-            " (acc, x) -> acc + x) >= 0, '1', '0')))"
-        ).alias("bucket"),
-    )
-    qrows = b.filter(F.col("vec_id") < 150).collect()
+    qrows = qv.filter(F.col("vec_id") < 150).collect()
     q_ids = np.array([r.vec_id for r in qrows], dtype=np.int64)
     Q = np.array([list(r.v) for r in qrows], dtype=np.int64)
-    q_n2 = np.array([r.n2 for r in qrows], dtype=np.int64)
-    q_bits = np.array(
-        [[int(ch) for ch in r.bucket] for r in qrows], dtype=np.int64
-    )
+    q_n2 = (Q * Q).sum(axis=1)
+    q_bits = (Q @ W.T) >= 0  # (nq, 4)
     nq = len(q_ids)
 
     def score_batches(batches):
@@ -6383,19 +6368,14 @@ def _srp_scored_pairs(spark, sf_dir):
                 continue
             C = np.array([list(x) for x in pdf["v"]], dtype=np.int64)
             c_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            c_n2 = pdf["n2"].to_numpy(dtype=np.int64)
-            c_bits = np.array(
-                [[int(ch) for ch in s] for s in pdf["bucket"]],
-                dtype=np.int64,
-            )
+            c_n2 = (C * C).sum(axis=1)
+            c_bits = (C @ W.T) >= 0
             dot = C @ Q.T
             mag = (dot * dot * 10000) // (
                 c_n2[:, None] * q_n2[None, :]
             )
             s_e4 = np.where(dot >= 0, mag, -mag)
-            hd = np.abs(
-                c_bits[:, None, :] - q_bits[None, :, :]
-            ).sum(axis=2)
+            hd = (c_bits[:, None, :] != q_bits[None, :, :]).sum(axis=2)
             keep = (c_ids[:, None] != q_ids[None, :]).ravel()
             yield pd.DataFrame(
                 {
@@ -6406,7 +6386,7 @@ def _srp_scored_pairs(spark, sf_dir):
                 }
             )
 
-    return b.mapInPandas(
+    return qv.mapInPandas(
         score_batches, "qid bigint, cid bigint, hd int, s_e4 bigint"
     ).localCheckpoint()
 
