@@ -810,9 +810,12 @@ def q_agg_entropy(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
 
     def dim_entropy(col):
+        # |distinct|-sized; consumed twice (the total sub-aggregate and
+        # the entropy fold) -- un-materialized, each dimension scanned
+        # the corpus twice instead of once
         freq = d.groupBy(F.col(col).alias("v")).agg(
             F.count(F.lit(1)).alias("n")
-        )
+        ).localCheckpoint(eager=False)
         tot = freq.agg(F.sum("n").alias("_t"))
         p = F.col("n") / F.col("_t")
         return freq.join(F.broadcast(tot)).agg(

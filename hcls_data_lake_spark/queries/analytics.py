@@ -2874,32 +2874,35 @@ def q_analytics_attribution(spark, sf_dir):
             F.count(F.lit(1)).over(w_k).alias("k"),
         )
     )
-    models = (
-        touches.selectExpr(
-            "'first' as model",
-            "channel",
-            "case when tpos = 1 then 1000000 else 0 end as credit",
-        )
-        .unionByName(
-            touches.selectExpr(
-                "'last' as model",
-                "channel",
-                "case when tpos = k then 1000000 else 0 end as credit",
-            )
-        )
-        .unionByName(
-            touches.selectExpr(
-                "'linear' as model",
-                "channel",
+    # the 3-model fan-out is a conditional aggregation, NOT a 3-way
+    # union: Spark shares no common subplans, so unioning three
+    # selectExprs over `touches` re-ran the ENTIRE touch pipeline
+    # (fact scan + both windows + the aligned join) once per model --
+    # 6 fact scans in the before-plan. One pass aggregates all three
+    # credit expressions per channel, then stack() unpivots the
+    # 3-row-per-channel result; identical rows by construction (the
+    # per-model credit sums and the shared per-channel touch count).
+    per_channel = touches.groupBy("channel").agg(
+        F.sum(
+            F.expr("case when tpos = 1 then 1000000 else 0 end")
+        ).cast("bigint").alias("first_c"),
+        F.sum(
+            F.expr("case when tpos = k then 1000000 else 0 end")
+        ).cast("bigint").alias("last_c"),
+        F.sum(
+            F.expr(
                 "1000000 div k + case when tpos = 1"
-                " then 1000000 % k else 0 end as credit",
+                " then 1000000 % k else 0 end"
             )
-        )
-    )
-    return models.groupBy("model", "channel").agg(
-        F.sum("credit").cast("bigint").alias("credit_ppm"),
+        ).cast("bigint").alias("linear_c"),
         F.count(F.lit(1)).cast("bigint").alias("n_touches"),
     )
+    return per_channel.selectExpr(
+        "stack(3, 'first', first_c, 'last', last_c,"
+        " 'linear', linear_c) as (model, credit_ppm)",
+        "channel",
+        "n_touches",
+    ).select("model", "channel", "credit_ppm", "n_touches")
 
 
 @register(

@@ -4501,10 +4501,14 @@ def q_sketch_bloom_md5(spark, sf_dir):
     scan dominates and nothing filter-sized ever moves."""
     c = t(spark, sf_dir, "customer")
     o = t(spark, sf_dir, "orders")
+    # the filter's creation side (bounded by design -- it must fit a
+    # broadcast at any scale); consumed twice (bit build + membership
+    # flag) -- un-materialized, its scan + distinct shuffle ran twice
     build = (
         c.filter(F.col("c_acctbal") > 8000)
         .select(F.col("c_custkey").alias("item"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     from hcls_data_lake_spark.operators.sketches import md5_bucket_sql
 
@@ -4773,10 +4777,14 @@ def q_sketch_countmin(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     toks = d.select(F.explode(F.split("text", " ")).alias("item"))
     cells = countmin_cells(toks, "item", depth=4)
+    # qset (distinct tokens of 20 docs -- bounded) is consumed by both
+    # the estimate leg and the exact-verify semi-join; materialize once
+    # so its explode+distinct shuffle doesn't run per consumer
     qset = (
         d.filter(F.col("doc_id") < 20)
         .select(F.explode(F.split("text", " ")).alias("item"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     est = countmin_estimate(cells, qset, "item", depth=4)
     exact = (
@@ -5578,21 +5586,33 @@ def q_sketch_hll_intersect(spark, sf_dir):
     sketch intersection (theta sketches fix this; out of scope)."""
     e = t(spark, sf_dir, "events")
     h = F.md5(F.col("user_id").cast("string").cast("binary")).alias("h")
-    view = e.filter(F.col("event_type") == "view").select(
-        F.lit("view").alias("grp"), h
+    # the three sketch streams come from ONE fact scan: each qualifying
+    # row fans out to (its own grp, 'either') via explode -- the same
+    # multiset per grp as the former three filtered scans unioned, so
+    # the max-merged registers are byte-identical, but 3 scans -> 1
+    it = e.filter(F.col("event_type").isin("view", "purchase")).select(
+        F.explode(
+            F.array(F.col("event_type"), F.lit("either"))
+        ).alias("grp"),
+        h,
     )
-    purch = e.filter(F.col("event_type") == "purchase").select(
-        F.lit("purchase").alias("grp"), h
-    )
-    either = e.filter(
-        F.col("event_type").isin("view", "purchase")
-    ).select(F.lit("either").alias("grp"), h)
-    it = view.unionByName(purch).unionByName(either)
     ests = _hll_summary(_hll_regs(it)).select("grp", "est")
-    va = e.filter(F.col("event_type") == "view").select("user_id")
-    vb = e.filter(F.col("event_type") == "purchase").select("user_id")
+    # exact |A INTERSECT B| from the same single scan: per-user flags
+    # (seen-as-view / seen-as-purchase) then count users with both --
+    # set-equal to intersect of the two DISTINCT user_id sides
+    # (null-safe either way), 2 scans + a 2-side shuffle -> 1 + 1
     exact = (
-        va.intersect(vb)
+        e.filter(F.col("event_type").isin("view", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "view", 1).otherwise(0)
+            ).alias("_a"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("_b"),
+        )
+        .filter("_a = 1 and _b = 1")
         .agg(F.count(F.lit(1)).cast("bigint").alias("inter_exact"))
     )
     return (
@@ -5719,9 +5739,13 @@ def q_graph_assortativity(spark, sf_dir):
     (``with_global_order``, operators/ordered.py, r7) so even a
     web-scale edge list never funnels through one reducer."""
     p = _near_pairs_cached(spark, sf_dir, ngram=2, threshold=0.08)
+    # pin the symmetrized edge list like every other graph consumer
+    # (jaccard_neighbors/kcore/label_propagation): three readers (the
+    # degree aggregate evaluates inside BOTH decorate joins, plus the
+    # edge side itself) would otherwise each re-run the union+distinct
     e = p.selectExpr("doc_a as src", "doc_b as dst").unionByName(
         p.selectExpr("doc_b as src", "doc_a as dst")
-    ).distinct()
+    ).distinct().localCheckpoint()
     deg = e.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("bigint").alias("d")
     )
@@ -6062,9 +6086,14 @@ def q_embed_knn_graph(spark, sf_dir):
         )
     )
     w_src = Window.partitionBy("src").orderBy(F.col("s_e4").desc(), "dst")
+    # knn is consumed twice (forward + reversed side of the mutuality
+    # join) and Spark shares no common subplans: un-materialized, the
+    # ENTIRE bucket-join + dot + window pipeline ran once per side.
+    # The checkpointed relation is the pruned rnk<=3 edge list (<=3
+    # narrow int rows per vector), not the candidate pairs.
     knn = directed.select(
         "src", "dst", "s_e4", F.row_number().over(w_src).alias("rnk")
-    ).filter(F.col("rnk") <= 3)
+    ).filter(F.col("rnk") <= 3).localCheckpoint(eager=True)
     rev = knn.selectExpr("dst as src", "src as dst", "rnk as rnk_rev")
     return (
         knn.join(rev, ["src", "dst"])

@@ -776,7 +776,13 @@ def q_ts_mad_outliers(spark, sf_dir):
             F.expr("rn = (n + 1) div 2")
         ).select("grp", F.col(col).alias(out))
 
-    med = lower_median(pts, "v", "med_c")
+    # med/mad are <=|groups|-row relations consumed by corpus-sized
+    # branches; Spark shares no common subplans, so un-materialized the
+    # med window pipeline re-runs inside BOTH dev consumers (the mad
+    # ranking and the final census) and the mad pipeline re-runs dev --
+    # 4 fact scans / 3 full-corpus window passes where exact two-pass
+    # MAD needs 3 / 2. localCheckpoint each tiny aggregate once.
+    med = lower_median(pts, "v", "med_c").localCheckpoint(eager=True)
     dev = pts.join(F.broadcast(med), "grp").select(
         "grp",
         "v",
@@ -784,7 +790,7 @@ def q_ts_mad_outliers(spark, sf_dir):
         "event_id",
         "med_c",
     )
-    mad = lower_median(dev, "d", "mad_c")
+    mad = lower_median(dev, "d", "mad_c").localCheckpoint(eager=True)
     return (
         dev.join(F.broadcast(mad), "grp")
         .groupBy("grp")
@@ -1669,6 +1675,12 @@ def q_ts_decompose(spark, sf_dir):
         )
         .groupBy("hr")
         .agg(F.sum("v_c").cast("bigint").alias("v_c"))
+        # #hours-sized; consumed twice inside grid (bounds agg + left
+        # join) and the grid subtree itself is re-evaluated by both
+        # detrended consumers -- un-materialized, the FACT scan +
+        # hourly aggregation ran 4x per run. The decomposition windows
+        # below run on this tiny relation either way.
+        .localCheckpoint(eager=True)
     )
     grid = (
         hourly.agg(
