@@ -122,3 +122,164 @@ def with_global_order(
             out = out.withColumn(c, F.col(f"_goff_{c}") + F.sum(v).over(wl))
     drop = ["_gmid", "_gpid", "_goff_cnt"] + [f"_goff_{c}" for c in cumsums]
     return out.drop(*drop)
+
+
+def grouped_cumsum(
+    df: DataFrame,
+    grp: str,
+    order: list[Column],
+    cumsums: dict[str, str],
+    totals: dict[str, str] | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-GROUP inclusive running sums over ``order``, with the group
+    key's cardinality removed from the parallelism equation.
+
+    ``Window.partitionBy(k)`` over a FACT relation where ``k`` has 3-6
+    distinct values funnels the whole corpus through 3-6 reducers, each
+    sorting its share alone — invisible to the SinglePartition plan
+    lint but the same unbounded-task hazard at 100 TB. This is the
+    ONE-shuffle alternative (the r12 close-out's recorded design; the
+    two-shuffle ``with_global_order`` decomposition measured a 1.6x
+    fixture regression and was reverted):
+
+    1. ``repartitionByRange`` on ``(grp, *order)`` — the corpus' ONE
+       shuffle, into partition-count-many balanced buckets (cluster
+       config, not key cardinality). Partition order x within-partition
+       order extends the per-group order: every group's rows appear in
+       order across consecutive partitions.
+    2. ``sortWithinPartitions`` + a narrow ``mapInArrow`` computes each
+       partition's per-group INCLUSIVE local cumsum map-side
+       (vectorized numpy over contiguous group runs — no second
+       exchange, unlike a ``partitionBy(_gpid)`` window which would
+       re-shuffle the corpus on the bucket id).
+    3. Per-(partition, group) totals aggregate to a relation bounded by
+       ``n_partitions x |groups|``; an exclusive prefix over those rows
+       (a tiny window) yields each partition's per-group carry-in
+       offset, broadcast-joined back: global cumsum = offset + local.
+
+    The relation is pinned with one lazy ``localCheckpoint`` so the
+    offsets aggregate and the mapInArrow pass read the SAME materialized
+    partitions (same boundaries, same spark_partition_id) — the same
+    load-bearing pin as ``with_global_order``.
+
+    ``order`` together with ``grp`` need not be a total order: any two
+    extensions of a partial order differ only by permuting tie runs,
+    and an inclusive cumsum's value at the END of a tie run (plus any
+    aggregate that only consumes run-invariant rows) is permutation-
+    invariant. Callers that depend on intra-tie values must pass a
+    tie-break key in ``order``.
+
+    ``cumsums``/``totals``: ``{out_col: in_col}`` — ``in_col`` must be
+    a NON-NULL bigint or double column already present on ``df``
+    (project narrow before calling; the whole input crosses the Python
+    boundary). ``totals`` attaches the per-group grand total.
+    """
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    totals = dict(totals or {})
+    spark = df.sparkSession
+    n = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32") or 32
+    )
+    in_cols = list(dict.fromkeys(list(cumsums.values()) + list(totals.values())))
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+    for c in in_cols:
+        if not isinstance(dtypes[c], (T.LongType, T.DoubleType)):
+            raise TypeError(f"grouped_cumsum input {c} must be bigint/double")
+
+    ranged = (
+        df.repartitionByRange(n, F.col(grp), *order)
+        .sortWithinPartitions(F.col(grp), *order)
+        .localCheckpoint(eager=False)
+    )
+
+    # Branch A: per-(partition, group) sums -> exclusive prefix offsets.
+    per = ranged.groupBy(
+        F.spark_partition_id().alias("_cgpid"), F.col(grp).alias("_cggrp")
+    ).agg(*[F.sum(c).alias(f"_cgsum_{c}") for c in in_cols])
+    wo = (
+        Window.partitionBy("_cggrp")
+        .orderBy("_cgpid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wt = Window.partitionBy("_cggrp")
+    sel = [F.col("_cgpid"), F.col("_cggrp")]
+    for out, c in cumsums.items():
+        sel.append(
+            F.coalesce(
+                F.sum(f"_cgsum_{c}").over(wo), F.lit(0).cast(dtypes[c])
+            ).alias(f"_cgoff_{out}")
+        )
+    for out, c in totals.items():
+        sel.append(F.sum(f"_cgsum_{c}").over(wt).alias(out))
+    offs = per.select(*sel)
+
+    # Branch B: map-side per-group local cumsum over the sorted buckets.
+    base = ranged.select(F.spark_partition_id().alias("_cgpid"), "*")
+    cols = base.columns
+    gidx = cols.index(grp)
+    specs = []  # (loc_name, col_idx, numpy dtype string)
+    out_fields = list(base.schema.fields)
+    for out, c in cumsums.items():
+        np_dt = "int64" if isinstance(dtypes[c], T.LongType) else "float64"
+        specs.append((f"_cgloc_{out}", cols.index(c), np_dt))
+        out_fields.append(T.StructField(f"_cgloc_{out}", dtypes[c], False))
+    out_schema = T.StructType(out_fields)
+
+    def _local_cumsum(batches):
+        import numpy as np
+        import pyarrow.compute as pc
+
+        carry_set = False
+        carry_key = None
+        carry = {name: 0 for name, _, _ in specs}
+        for b in batches:
+            nrows = b.num_rows
+            if nrows == 0:
+                continue
+            codes = (
+                pc.fill_null(pc.dictionary_encode(b.column(gidx)).indices, -1)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            change = np.flatnonzero(codes[1:] != codes[:-1]) + 1
+            starts = np.concatenate(([0], change))
+            lens = np.diff(np.concatenate((starts, [nrows])))
+            first_key = b.column(gidx)[0].as_py()
+            cont = carry_set and first_key == carry_key
+            new_arrays = []
+            for name, idx, np_dt in specs:
+                x = b.column(idx).to_numpy(zero_copy_only=False)
+                tot = np.cumsum(x, dtype=np_dt)
+                run_base = np.empty(len(starts), dtype=np_dt)
+                run_base[0] = 0
+                if len(starts) > 1:
+                    run_base[1:] = tot[starts[1:] - 1]
+                loc = tot - np.repeat(run_base, lens)
+                if cont:
+                    loc[: lens[0]] += carry[name]
+                carry[name] = loc[-1]
+                new_arrays.append(pa.array(loc))
+            carry_key = b.column(gidx)[nrows - 1].as_py()
+            carry_set = True
+            yield pa.RecordBatch.from_arrays(
+                list(b.columns) + new_arrays,
+                names=cols + [name for name, _, _ in specs],
+            )
+
+    mapped = base.mapInArrow(_local_cumsum, out_schema)
+    cond = (mapped["_cgpid"] == offs["_cgpid"]) & mapped[grp].eqNullSafe(
+        offs["_cggrp"]
+    )
+    out = mapped.join(F.broadcast(offs), cond, "inner").drop(
+        offs["_cgpid"]
+    ).drop("_cggrp")
+    for o in cumsums:
+        out = out.withColumn(o, F.col(f"_cgloc_{o}") + F.col(f"_cgoff_{o}"))
+    drop = ["_cgpid"]
+    drop += [f"_cgloc_{o}" for o in cumsums]
+    drop += [f"_cgoff_{o}" for o in cumsums]
+    return out.drop(*drop)

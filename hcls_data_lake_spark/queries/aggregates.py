@@ -963,28 +963,29 @@ def q_agg_weighted_median(spark, sf_dir):
     integer (price cents, integral quantities, 2·cumw ≥ totw
     cross-multiplied — no halving, no interpolation), with the cumsum
     ordering made total by (v, orderkey, linenumber) so both engines
-    walk identical prefixes. One shuffle on the group key carries the
-    ordered cumsum, the per-group total (unordered frame, same
-    partitioning), and the final aggregate; weighted quantiles at
-    other q are the same query with 2·cw ≥ tw replaced by
-    100·cw ≥ q·tw."""
+    walk identical prefixes. Weighted quantiles at other q are the
+    same query with 2·cw ≥ tw replaced by 100·cw ≥ q·tw.
+
+    Scale shape (r13): the oracle's window PARTITION BY l_returnflag
+    funnels the whole fact through 3 reducers at any scale; the engine
+    computes the identical cumsum with operators.ordered.grouped_cumsum
+    — ONE range shuffle into partition-count-many balanced buckets, a
+    map-side per-group cumsum, and a broadcast offset join. The
+    (orderkey, linenumber) tie-break is dropped from the engine's sort:
+    with wt = l_quantity ≥ 0 the inclusive cumsum is nondecreasing
+    inside a (grp, v) tie run, so a run contains a row passing
+    2·cw ≥ tw iff its (permutation-invariant) run-end cumsum passes,
+    and the aggregate reads only v and tw — any tie order yields the
+    same rows (oracle-verified at sf0.001/0.01/0.1)."""
+    from hcls_data_lake_spark.operators.ordered import grouped_cumsum
+
     li = t(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("grp"),
         F.expr("cast(round(l_extendedprice * 100) as bigint)").alias("v"),
         F.expr("cast(l_quantity as bigint)").alias("wt"),
-        "l_orderkey",
-        "l_linenumber",
     )
-    word = Window.partitionBy("grp").orderBy(
-        "v", "l_orderkey", "l_linenumber"
-    )
-    cum = li.select(
-        "grp",
-        "v",
-        F.sum("wt")
-        .over(word.rowsBetween(Window.unboundedPreceding, 0))
-        .alias("cw"),
-        F.sum("wt").over(Window.partitionBy("grp")).alias("tw"),
+    cum = grouped_cumsum(
+        li, "grp", [F.col("v")], cumsums={"cw": "wt"}, totals={"tw": "wt"}
     )
     return (
         cum.filter(2 * F.col("cw") >= F.col("tw"))
@@ -1255,41 +1256,62 @@ def q_agg_percentile_exact(spark, sf_dir):
     interpolation inside built-in percentile_cont is free to differ
     in the last ulp. Ties in v need no tiebreak: row_number among
     equal values is engine-arbitrary but the VALUE at any rank is
-    not. Plan: ONE per-class window sort shared by all three
-    percentiles (the p fan-out is a 3x generator over the ranked
-    rows, then a conditional sum — Spark evaluates rank + count in
-    one WindowExec). Scale: per-class sort, AQE-splittable; at
-    100 TB swap in the rank-prefix-count selection
-    (q_agg_median's shape) to avoid full sorts — exact
-    interpolation then needs only rows k+1 and k+2 per class."""
+    not.
+
+    Scale shape (r13): this IS the rank-prefix-count selection the
+    original docstring deferred to 100 TB. The oracle's per-class
+    window sort funnels the whole fact through ≤5 reducers; the
+    engine instead aggregates the fact to the DISTINCT-CENTS
+    histogram (map-side partial aggregation — per-task state and
+    shuffle bytes bounded by the value domain, and the exchange is
+    hashed on (class, cents), never on the 5-value class alone), then
+    runs the rank arithmetic on the histogram: a distinct value with
+    exclusive/inclusive cumulative counts (lo, hi] covers rank r iff
+    lo < r ≤ hi, so the value AT rank k+1 / k+2 — all the original
+    conditional sum ever consumes — is read off the tiny cumulative
+    window (domain-bounded input, not fact-sized). One distinct value
+    covering both ranks contributes both terms, exactly as two
+    original rows with equal v_c did. Oracle-verified identical at
+    sf0.001/0.01/0.1."""
     e = t(spark, sf_dir, "events")
-    w_cls = Window.partitionBy("event_type").orderBy(
-        F.expr("round(value * 100)")
-    )
-    w_n = Window.partitionBy("event_type")
-    ranked = e.select(
+    hist = e.groupBy(
         "event_type",
         F.expr("cast(round(value * 100) as bigint)").alias("v_c"),
-        F.row_number().over(w_cls).alias("rn"),
-        F.count(F.lit(1)).over(w_n).alias("n"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    wv = Window.partitionBy("event_type").orderBy("v_c")
+    ranked = hist.select(
+        "event_type",
+        "v_c",
+        F.coalesce(
+            F.sum("cnt").over(wv.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0).cast("bigint"),
+        ).alias("lo"),
+        F.sum("cnt")
+        .over(wv.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("hi"),
+        F.sum("cnt").over(Window.partitionBy("event_type")).alias("n"),
     )
     terms = ranked.select(
         "*", F.explode(F.array(F.lit(50), F.lit(95), F.lit(99))).alias("p")
     ).select(
         "event_type",
         "v_c",
-        "rn",
+        "lo",
+        "hi",
         "p",
         F.expr("(n - 1) * p div 100").alias("k"),
         F.expr("(n - 1) * p % 100").alias("f"),
     )
-    return terms.groupBy("event_type", F.col("p").cast("int").alias("p")).agg(
+    sel = terms.filter(F.expr("lo < k + 2 and hi >= k + 1"))
+    return sel.groupBy("event_type", F.col("p").cast("int").alias("p")).agg(
         F.sum(
             F.expr(
-                "case when rn = k + 1 and f = 0 then v_c * 100"
-                " when rn = k + 1 then v_c * (100 - f)"
-                " when rn = k + 2 and f > 0 then v_c * f"
-                " else 0 end"
+                "(case when lo < k + 1 and hi >= k + 1 and f = 0"
+                "      then v_c * 100"
+                "      when lo < k + 1 and hi >= k + 1"
+                "      then v_c * (100 - f) else 0 end)"
+                " + (case when lo < k + 2 and hi >= k + 2 and f > 0"
+                "         then v_c * f else 0 end)"
             )
         )
         .cast("bigint")

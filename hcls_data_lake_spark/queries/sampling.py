@@ -279,11 +279,22 @@ def q_sample_token_budget(spark, sf_dir):
     fixed token budget (how a pretraining mix is actually specified:
     tokens per domain, not document counts). One window shuffle on the
     source key (cumulative sum), then a per-source aggregate; the
-    budget comparison is exact integer arithmetic. At 100 TB the
-    quality ordering rides the same per-source window — no global
-    sort — and a document larger than the remaining budget is skipped
-    along with everything after it (contiguous prefix semantics, which
-    is what makes the selection deterministic and engine-identical)."""
+    budget comparison is exact integer arithmetic. A document larger
+    than the remaining budget is skipped along with everything after
+    it (contiguous prefix semantics, which is what makes the selection
+    deterministic and engine-identical).
+
+    Scale shape (r13): n_tok = size(split(text,' ')) ≥ 1 for non-null
+    text, so cum_tok ≥ rank along the admission order — no row past
+    rank 3000 can ever satisfy cum_tok ≤ 3000. A row_number ≤ 3000
+    pre-filter is therefore result-free, and Spark pushes it below the
+    exchange as WindowGroupLimit(Partial): each map task ships at most
+    3000 rows per source instead of the whole fact, and the cumsum
+    window's input is budget-bounded (≤3000 rows/source), not
+    fact-sized — the low-cardinality-window hazard the r12 close-out
+    flagged. Prefix sums over the pruned set are identical for every
+    surviving row (every earlier row in the order has a smaller rank
+    and is kept too)."""
     d = t(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
@@ -291,12 +302,18 @@ def q_sample_token_budget(spark, sf_dir):
         "n_chars",
         F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy(F.col("n_chars").desc(), "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wo = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), "doc_id"
     )
-    cum = toks.withColumn("cum_tok", F.sum("n_tok").over(w))
+    ranked = toks.withColumn("rk", F.row_number().over(wo)).filter(
+        F.col("rk") <= 3000
+    )
+    cum = ranked.withColumn(
+        "cum_tok",
+        F.sum("n_tok").over(
+            wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
     return (
         cum.filter(F.col("cum_tok") <= 3000)
         .groupBy("source")

@@ -372,11 +372,21 @@ def q_ts_concurrency(spark, sf_dir):
     collapse to one net delta per distinct instant (ends exclusive:
     at a shared instant the +1 sorts before the matching end only
     via the pri tie-break, giving a total order both engines share),
-    and a running sum's max is the peak. One shuffle family on
-    event_type; the collapse pre-aggregates map-side, so the window
-    sees distinct instants, not raw events — the classic
-    "max concurrent sessions" shape that a naive self-join turns into
-    an O(n²) range probe."""
+    and a running sum's max is the peak. The collapse pre-aggregates
+    map-side, so the running sum sees distinct instants, not raw
+    events — the classic "max concurrent sessions" shape that a naive
+    self-join turns into an O(n²) range probe.
+
+    Scale shape (r13): the oracle's window PARTITION BY event_type
+    funnels every distinct instant through ≤5 reducers (distinct
+    instants grow with the corpus — ns timestamps barely collapse);
+    the engine computes the identical running sum with
+    operators.ordered.grouped_cumsum — one range shuffle into balanced
+    buckets, map-side cumsum, broadcast offset join. (event_type, at,
+    pri) is unique after the collapse, so the order is total and the
+    running sums are identical row-for-row."""
+    from hcls_data_lake_spark.operators.ordered import grouped_cumsum
+
     e = events(spark, sf_dir)
     starts = e.groupBy(
         "event_type", F.col("ts_ns").alias("at")
@@ -389,12 +399,12 @@ def q_ts_concurrency(spark, sf_dir):
         "event_type", "at", F.lit(1).alias("pri"), "delta"
     )
     pts = starts.unionByName(ends)
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy(F.col("at"), F.col("pri").desc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    run = grouped_cumsum(
+        pts,
+        "event_type",
+        [F.col("at"), F.col("pri").desc()],
+        cumsums={"open": "delta"},
     )
-    run = pts.withColumn("open", F.sum("delta").over(w))
     return run.groupBy("event_type").agg(
         F.max("open").alias("max_concurrent")
     )

@@ -323,25 +323,38 @@ def q_win_distinct(spark, sf_dir):
     """,
 )
 def q_win_median(spark, sf_dir):
-    """Exact median as an unordered partition window: every event is
-    annotated with its type's median and its deviation from it — the
-    robust-center analog of the z-score, feeding outlier review
-    queues. Unordered partition aggregate windows are the cheapest
-    window class (one hash shuffle, NO sort-within-partition step);
-    exact percentile buffers each partition's values, which is the
-    documented small-group path — the sketch-backed
-    q_agg_approx_quantile is the unbounded-cardinality variant. Spark
-    `percentile` and DuckDB `quantile_cont` share linear
-    interpolation, so annotations are engine-identical."""
+    """Exact median annotation: every event is annotated with its
+    type's median and its deviation from it — the robust-center analog
+    of the z-score, feeding outlier review queues. Spark `percentile`
+    and DuckDB `quantile_cont` share linear interpolation, so
+    annotations are engine-identical.
+
+    Scale shape (r13): the oracle's unordered window PARTITION BY
+    event_type would funnel the whole fact through ≤5 reducers, each
+    buffering its partition's values (the r12 close-out's
+    low-cardinality-window hazard). The engine computes the SAME
+    median as a `percentile` AGGREGATE — bit-identical by
+    construction: window and aggregate evaluate the same Percentile
+    expression over the same per-group value multiset (one counts-map
+    buffer either way), but the aggregate gets map-side partial
+    aggregation (per-task buffers bounded by the group's distinct
+    VALUES, not its rows) — and attaches it back with a broadcast
+    join, so the fact is never shuffled at all."""
     e = t(spark, sf_dir, "events")
-    med = F.expr("percentile(value, 0.5)").over(
-        Window.partitionBy("event_type")
+    med = (
+        e.groupBy(F.col("event_type").alias("_mgrp"))
+        .agg(F.expr("percentile(value, 0.5)").alias("_med"))
     )
-    return e.select(
-        "event_id",
-        "event_type",
-        F.round(med, 4).alias("median_value"),
-        F.round(F.col("value") - med, 4).alias("deviation"),
+    return (
+        e.join(
+            F.broadcast(med), F.col("event_type").eqNullSafe(F.col("_mgrp"))
+        )
+        .select(
+            "event_id",
+            "event_type",
+            F.round(F.col("_med"), 4).alias("median_value"),
+            F.round(F.col("value") - F.col("_med"), 4).alias("deviation"),
+        )
     )
 
 

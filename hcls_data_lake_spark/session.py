@@ -37,5 +37,12 @@ def get_spark(app_name: str = "hcls-data-lake-spark") -> SparkSession:
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # InferWindowGroupLimit pushes rank<=k filters below the window
+        # exchange (partial top-k per map task) but only fires for
+        # k <= this threshold (default 1000). q_sample_token_budget's
+        # result-free rank<=3000 prune needs it at 3000; the rule is
+        # scale-independent (it strictly reduces shuffled rows whenever
+        # it fires), so raising the cap is safe for every other query.
+        .config("spark.sql.optimizer.windowGroupLimitThreshold", "3000")
     )
     return builder.getOrCreate()
