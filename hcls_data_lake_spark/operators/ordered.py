@@ -283,3 +283,129 @@ def grouped_cumsum(
     drop += [f"_cgloc_{o}" for o in cumsums]
     drop += [f"_cgoff_{o}" for o in cumsums]
     return out.drop(*drop)
+
+
+def grouped_running_max(
+    df: DataFrame,
+    grp: str,
+    order: list[Column],
+    value: str,
+    out: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-group MAX of the inclusive running sum of ``value`` over
+    ``order`` — q_ts_concurrency's sweep-line peak — via the same
+    one-shuffle decomposition as ``grouped_cumsum``, but with the
+    reduction pushed INSIDE the map pass: max distributes over the
+    per-partition decomposition (global running sum in partition p =
+    carry-in offset + local running sum, and offset is constant within
+    (p, grp)), so each partition emits ONE row per group — max(local
+    cumsum) and the partition's total — and the corpus never crosses
+    the Python boundary back. Output: one row per group, ``out`` =
+    max over the group's global running sum.
+
+    Requires at least one row per group (true by construction when the
+    groups come from the data) and a NON-NULL bigint/double ``value``.
+    """
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    n = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32") or 32
+    )
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+    if not isinstance(dtypes[value], (T.LongType, T.DoubleType)):
+        raise TypeError(f"grouped_running_max input {value} must be bigint/double")
+    np_dt = "int64" if isinstance(dtypes[value], T.LongType) else "float64"
+
+    # No localCheckpoint here: unlike grouped_cumsum, the offsets are
+    # derived from the SAME map pass's output (each partition emits its
+    # total alongside its max), so `ranged` has exactly one consumer
+    # and there is no cross-branch boundary-consistency hazard to pin.
+    ranged = df.repartitionByRange(n, F.col(grp), *order).sortWithinPartitions(
+        F.col(grp), *order
+    )
+
+    base = ranged.select(F.spark_partition_id().alias("_cgpid"), "*")
+    cols = base.columns
+    gidx = cols.index(grp)
+    vidx = cols.index(value)
+    out_schema = T.StructType(
+        [
+            T.StructField("_cgpid", T.IntegerType(), False),
+            T.StructField(grp, dtypes[grp], True),
+            T.StructField("_cgmax", dtypes[value], False),
+            T.StructField("_cgtot", dtypes[value], False),
+        ]
+    )
+
+    def _local_max(batches):
+        import numpy as np
+        import pyarrow.compute as pc
+
+        # per-group state for THIS partition: running sum at the end of
+        # the last batch, max of the running sum, in first-seen order
+        state: dict = {}
+        pid = None
+        for b in batches:
+            nrows = b.num_rows
+            if nrows == 0:
+                continue
+            pid = b.column(0)[0].as_py()
+            codes = (
+                pc.fill_null(pc.dictionary_encode(b.column(gidx)).indices, -1)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            change = np.flatnonzero(codes[1:] != codes[:-1]) + 1
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((change, [nrows]))
+            x = b.column(vidx).to_numpy(zero_copy_only=False)
+            tot = np.cumsum(x, dtype=np_dt)
+            gcol = b.column(gidx)
+            for s, e in zip(starts, ends):
+                key = gcol[int(s)].as_py()
+                run_base = tot[s - 1] if s > 0 else 0
+                carry, mx = state.get(key, (0, None))
+                loc_end = carry + (tot[e - 1] - run_base)
+                loc_max = carry + (tot[s:e].max() - run_base)
+                mx = loc_max if mx is None else max(mx, loc_max)
+                state[key] = (loc_end, mx)
+        if state:
+            from pyspark.sql.pandas.types import to_arrow_type
+
+            keys = list(state)
+            val_t = to_arrow_type(dtypes[value])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([pid] * len(keys), type=pa.int32()),
+                    pa.array(keys, type=to_arrow_type(dtypes[grp])),
+                    pa.array([state[k][1] for k in keys], type=val_t),
+                    pa.array([state[k][0] for k in keys], type=val_t),
+                ],
+                names=["_cgpid", grp, "_cgmax", "_cgtot"],
+            )
+
+    part_max = base.mapInArrow(_local_max, out_schema)
+
+    # Offsets from the partition totals the SAME pass computed: each
+    # partition's carry-in = sum of earlier partitions' totals. The
+    # relation is n_partitions x |groups| rows — window over it is tiny.
+    wo = (
+        Window.partitionBy(grp)
+        .orderBy("_cgpid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        part_max.select(
+            grp,
+            (
+                F.coalesce(F.sum("_cgtot").over(wo), F.lit(0).cast(dtypes[value]))
+                + F.col("_cgmax")
+            ).alias("_cggmax"),
+        )
+        .groupBy(grp)
+        .agg(F.max("_cggmax").alias(out))
+    )

@@ -380,12 +380,15 @@ def q_ts_concurrency(spark, sf_dir):
     Scale shape (r13): the oracle's window PARTITION BY event_type
     funnels every distinct instant through ≤5 reducers (distinct
     instants grow with the corpus — ns timestamps barely collapse);
-    the engine computes the identical running sum with
-    operators.ordered.grouped_cumsum — one range shuffle into balanced
-    buckets, map-side cumsum, broadcast offset join. (event_type, at,
-    pri) is unique after the collapse, so the order is total and the
-    running sums are identical row-for-row."""
-    from hcls_data_lake_spark.operators.ordered import grouped_cumsum
+    the engine computes the identical peak with
+    operators.ordered.grouped_running_max — one range shuffle into
+    balanced buckets, then each partition emits only its per-group
+    (max-of-local-running-sum, total), and max(carry-in + local max)
+    over those ≤ n_partitions x |groups| rows is the peak (max
+    distributes over the per-partition decomposition). (event_type,
+    at, pri) is unique after the collapse, so the order is total and
+    the running sums are identical point-for-point."""
+    from hcls_data_lake_spark.operators.ordered import grouped_running_max
 
     e = events(spark, sf_dir)
     starts = e.groupBy(
@@ -399,14 +402,12 @@ def q_ts_concurrency(spark, sf_dir):
         "event_type", "at", F.lit(1).alias("pri"), "delta"
     )
     pts = starts.unionByName(ends)
-    run = grouped_cumsum(
+    return grouped_running_max(
         pts,
         "event_type",
         [F.col("at"), F.col("pri").desc()],
-        cumsums={"open": "delta"},
-    )
-    return run.groupBy("event_type").agg(
-        F.max("open").alias("max_concurrent")
+        "delta",
+        "max_concurrent",
     )
 
 

@@ -115,3 +115,30 @@ def test_plan_has_no_low_cardinality_fact_window(spark):
     # the tiny offsets window is partitioned by _cggrp over the
     # per-(pid, grp) aggregate, not over the raw rows
     assert plan.count("Window") <= 2
+
+
+def test_grouped_running_max_matches_window(spark, small_batches):
+    from hcls_data_lake_spark.operators.ordered import grouped_running_max
+
+    df = _data(spark, n=3000, seed=41).withColumn(
+        "delta", (F.col("wt") - F.lit(25)).cast("bigint")
+    )
+    got = grouped_running_max(
+        df,
+        "grp",
+        [F.col("id")],
+        "delta",
+        "peak",
+        num_partitions=6,
+    )
+    w = Window.partitionBy("grp").orderBy("id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ref = (
+        df.withColumn("run", F.sum("delta").over(w))
+        .groupBy("grp")
+        .agg(F.max("run").alias("peak"))
+    )
+    assert {tuple(r) for r in got.collect()} == {
+        tuple(r) for r in ref.collect()
+    }
