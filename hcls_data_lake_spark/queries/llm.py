@@ -2247,11 +2247,17 @@ def q_text_bpe_apply(spark, sf_dir):
         )
 
     # ---- train: 3 merges on the training slice (bounded vocab loop)
+    # checkpoints in both loops are LAZY (r13): plan truncation — the
+    # reason they exist, see the vocab comment below — happens at the
+    # .localCheckpoint() call either way, and the next driver action
+    # (the pair-count .first() / the final union) materializes the RDD
+    # in-flight, saving one scheduled job per merge round (6 total;
+    # measured 1.303 -> 1.172 s at sf0.1 together with the ho pin).
     syms = (
         word_freqs(d.filter(F.col("doc_id") < 250))
         .withColumn("s", chars_expr)
         .select("word", "freq", "s")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     merges = []
     for _ in range(3):
@@ -2272,20 +2278,28 @@ def q_text_bpe_apply(spark, sf_dir):
             .first()
         )
         merges.append((best["a"], best["b"]))
-        syms = apply_merge(syms, best["a"], best["b"]).localCheckpoint()
+        syms = apply_merge(syms, best["a"], best["b"]).localCheckpoint(
+            eager=False
+        )
 
     # ---- apply: encode the held-out slice's vocabulary in rank order
+    # pinned (r13): ho feeds the vocab distinct AND both encoded
+    # consumers below — unpinned, the held-out explode+aggregate
+    # corpus pass ran three times per query (Spark shares no common
+    # subplans)
     ho = word_freqs(
         d.filter((F.col("doc_id") >= 250) & (F.col("doc_id") < 500)), "doc_id"
-    )
+    ).localCheckpoint(eager=False)
     # checkpoint per merge: each apply_merge inlines the previous
     # symbol expression several times (matches/kept/rebuild all
     # reference s), so an unchained 3-deep plan blows up Catalyst —
     # the vocabulary is bounded, same convention as the train loop
     vocab = ho.select("word").distinct().withColumn("s", chars_expr)
     for a, b in merges:
-        vocab = apply_merge(vocab, a, b).localCheckpoint()
-    encoded = ho.join(vocab, "word")
+        vocab = apply_merge(vocab, a, b).localCheckpoint(eager=False)
+    # pinned: encoded is |held-out vocab|-bounded and consumed by both
+    # output branches (per-doc counts + top-20 tokens)
+    encoded = ho.join(vocab, "word").localCheckpoint(eager=False)
     doc_rows = (
         encoded.groupBy("doc_id")
         .agg(F.sum(F.col("freq") * F.size("s")).cast("bigint").alias("cnt"))
@@ -6837,9 +6851,16 @@ def q_embed_recall_tuned(spark, sf_dir):
                 }
             )
 
+    # lazy pin (r13): scored feeds three consumers (exact / ann /
+    # counts) in ONE final plan, so the first action materializes the
+    # checkpoint in-flight — the eager variant paid a separate
+    # scheduled job (measured 1.124 -> 1.000 s at sf0.1). Widening the
+    # scan before the scorer was measured WORSE (1.222 s): the 150x2000
+    # matmul fragments into 32 tiny batches that lose more to numpy
+    # call overhead than they gain in parallelism.
     scored = qv.mapInPandas(
         score_batches, "qid bigint, cid bigint, collide boolean, s_e4 bigint"
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     w_q = Window.partitionBy("qid").orderBy(F.col("s_e4").desc(), "cid")
     exact = scored.select(
         "qid", "cid", F.row_number().over(w_q).alias("rnk")

@@ -1832,11 +1832,18 @@ def q_hl7_ack_reconcile(spark, sf_dir):
     err = F.expr(
         "get(filter(segments, s -> startswith(s, 'ERR|')), 0)"
     )
-    acks = segs.select(
-        F.split(msa, "\\|").getItem(1).alias("ack_code"),
-        F.split(msa, "\\|").getItem(2).cast("bigint").alias("message_id"),
-        F.split(err, "\\|").getItem(1).alias("err_code"),
+    # split once + lazy pin (r13): same fix as q_hl7_rrd_reconcile —
+    # un-pinned, BroadcastExchange collects this projection through the
+    # interpreted (non-codegen) path, where every regex split recompiles
+    # its pattern per evaluation; the relation is bounded (<2000 ids)
+    fields = segs.select(
+        F.split(msa, "\\|").alias("m"), F.split(err, "\\|").alias("e")
     )
+    acks = fields.select(
+        F.col("m").getItem(1).alias("ack_code"),
+        F.col("m").getItem(2).cast("bigint").alias("message_id"),
+        F.col("e").getItem(1).alias("err_code"),
+    ).localCheckpoint(eager=False)
     joined = sent.join(acks, "message_id", "left")
     return joined.select(
         "message_id",
@@ -1901,10 +1908,13 @@ def q_hl7_qbp_reconcile(spark, sf_dir):
     qsegs = qbp_wire.select(er7_segments(F.col("er7")).alias("segments"))
     msh = F.expr("get(filter(segments, s -> startswith(s, 'MSH|')), 0)")
     qpd = F.expr("get(filter(segments, s -> startswith(s, 'QPD|')), 0)")
-    queries = qsegs.select(
-        F.split(msh, "\\|").getItem(9).cast("bigint").alias("query_id"),
-        F.split(qpd, "\\|").getItem(2).alias("query_tag"),
-        F.split(F.split(qpd, "\\|").getItem(3), "\\^")
+    qfields = qsegs.select(
+        F.split(msh, "\\|").alias("h"), F.split(qpd, "\\|").alias("q")
+    )
+    queries = qfields.select(
+        F.col("h").getItem(9).cast("bigint").alias("query_id"),
+        F.col("q").getItem(2).alias("query_tag"),
+        F.split(F.col("q").getItem(3), "\\^")
         .getItem(1)
         .cast("bigint")
         .alias("param_key"),
@@ -1945,16 +1955,23 @@ def q_hl7_qbp_reconcile(spark, sf_dir):
     msa = F.expr("get(filter(segments, s -> startswith(s, 'MSA|')), 0)")
     qak = F.expr("get(filter(segments, s -> startswith(s, 'QAK|')), 0)")
     rqpd = F.expr("get(filter(segments, s -> startswith(s, 'QPD|')), 0)")
-    return rsegs.select(
-        F.split(msa, "\\|").getItem(2).cast("bigint").alias("query_id"),
-        F.split(qak, "\\|").getItem(1).alias("query_tag"),
-        F.split(F.split(rqpd, "\\|").getItem(3), "\\^")
+    # split each response segment once, then index (the qak split was
+    # evaluated 4x per row in the interpreted HOF projection)
+    rfields = rsegs.select(
+        F.split(msa, "\\|").alias("m"),
+        F.split(qak, "\\|").alias("k"),
+        F.split(rqpd, "\\|").alias("q"),
+    )
+    return rfields.select(
+        F.col("m").getItem(2).cast("bigint").alias("query_id"),
+        F.col("k").getItem(1).alias("query_tag"),
+        F.split(F.col("q").getItem(3), "\\^")
         .getItem(1)
         .cast("bigint")
         .alias("param_key"),
-        F.split(qak, "\\|").getItem(2).alias("qak_status"),
-        F.split(qak, "\\|").getItem(4).cast("bigint").alias("hit_count"),
-        F.when(F.split(qak, "\\|").getItem(2) == "OK", "hit")
+        F.col("k").getItem(2).alias("qak_status"),
+        F.col("k").getItem(4).cast("bigint").alias("hit_count"),
+        F.when(F.col("k").getItem(2) == "OK", "hit")
         .otherwise("miss")
         .alias("status"),
     )
@@ -2155,14 +2172,26 @@ def q_hl7_rrd_reconcile(spark, sf_dir):
     segs = wire.select(er7_segments(F.col("er7")).alias("segments"))
     msa = F.expr("get(filter(segments, s -> startswith(s, 'MSA|')), 0)")
     rxd = F.expr("get(filter(segments, s -> startswith(s, 'RXD|')), 0)")
-    acks = segs.select(
-        F.split(msa, "\\|").getItem(1).alias("ack_code"),
-        F.split(msa, "\\|").getItem(2).cast("bigint").alias("message_id"),
-        F.split(F.split(rxd, "\\|").getItem(2), "\\^")
+    # split each segment ONCE, then index (r13): the old per-column
+    # F.split(msa,...)/F.split(rxd,...) repeats evaluated the regex
+    # split 4x per row, and the filter() lambdas make the projection
+    # interpreted (no codegen), where regex patterns recompile per
+    # evaluation. The lazy pin below matters even more: un-pinned,
+    # BroadcastExchange collects this interpreted projection on the
+    # driver — measured 0.995 s for the bare join vs 0.109 s with
+    # split-once + pin (the ~1333-row relation is bounded by the
+    # message_id < 2000 slice, the usual pin convention).
+    fields = segs.select(
+        F.split(msa, "\\|").alias("m"), F.split(rxd, "\\|").alias("r")
+    )
+    acks = fields.select(
+        F.col("m").getItem(1).alias("ack_code"),
+        F.col("m").getItem(2).cast("bigint").alias("message_id"),
+        F.split(F.col("r").getItem(2), "\\^")
         .getItem(0)
         .alias("dispense_code"),
-        F.get(F.split(rxd, "\\|"), 4).cast("bigint").alias("qty_dispensed"),
-    )
+        F.get(F.col("r"), 4).cast("bigint").alias("qty_dispensed"),
+    ).localCheckpoint(eager=False)
     joined = sent.join(acks, "message_id", "left")
     return joined.select(
         "message_id",
