@@ -84,66 +84,52 @@ def register(name: str, oracle: str | None) -> Callable[[QueryFn], QueryFn]:
 # correctness sweep — then cover every family instead of exhausting the
 # budget inside whichever module happens to import first.
 _FAMILY_REPRESENTATIVES = [
-    # -- OLDEST-ROW-FIRST (r12 rotation, continuing VERDICT r11 ask
-    # #6): slots 1-8 are the r12 additions (no driver row yet); the
-    # remainder is ordered stalest-latest-driver-row first — after
-    # the r11 driver run refreshed the r1/r2-era tranche, the stalest
-    # rows are now the r3-era names (q_join_self, q_agg_collect, the
-    # q_win_*/q_set_*/q_stream_* families...), so a 50-name driver
-    # prefix refreshes every r12 addition plus the 42 stalest legacy
-    # rows, and a prefix overrun keeps eating the stalest evidence.
-    # Regenerate each round with
+    # -- PLAN-CHANGED-FIRST (r13 rotation, VERDICT r12 ask #4): the
+    # driver's oracle must certify the optimizer's rewrites, so slots
+    # 1-38 are every plan-changed query of the r12+r13 optimization
+    # rounds — the r13 window-family/hl7/bpe/recall rewrites first (no
+    # driver row on their NEW plans yet), then the 27 r12 ledger
+    # entries plus q_agg_entropy; the remainder is the standing
+    # stalest-driver-row-first order. Regenerate each round with
     # tools/rotate_representatives.py <new names...>.
-    "q_multimodal_jpeg_progressive_probe",
-    "q_multimodal_png_palette_probe",
-    "q_multimodal_png_gray_probe",
-    "q_multimodal_png_subbyte_probe",
-    "q_multimodal_png_interlace_probe",
-    "q_multimodal_wav_float_probe",
-    "q_multimodal_mp4_probe",
-    "q_hl7_batch_deframe",
-    "q_join_self",
-    "q_agg_collect",
-    "q_fn_array",
-    "q_fn_map",
-    "q_win_lag",
-    "q_win_running",
-    "q_win_range_frame",
-    "q_win_ntile_firstlast",
-    "q_sort_multi",
-    "q_set_union",
-    "q_set_intersect",
-    "q_stream_sliding",
-    "q_stream_session",
-    "q_stream_watermark_late",
-    "q_stream_foreachbatch_route",
-    "q_stream_outer_join",
-    "q_sim_pairs",
-    "q_text_tokens",
-    "q_text_stats",
-    "q_pipeline_multikey_layout",
-    "q_embed_norm_filter",
-    "q_embed_centroid_cosine",
-    "q_dedup_minhash_sig",
-    "q_sample_weighted",
-    "q_stream_dedup_within_watermark",
-    "q_stream_session_dynamic",
-    "q_text_chunk",
-    "q_text_vocab_coverage",
-    "q_privacy_k_anon",
-    "q_privacy_date_shift",
-    "q_dedup_incremental",
+    "q_agg_weighted_median",
+    "q_agg_percentile_exact",
+    "q_win_median",
+    "q_ts_concurrency",
+    "q_sample_token_budget",
+    "q_hl7_rrd_reconcile",
+    "q_hl7_ack_reconcile",
+    "q_hl7_qbp_reconcile",
+    "q_text_bpe_apply",
+    "q_embed_recall_tuned",
+    "q_dedup_pipeline_e2e_full",
+    "q_dedup_simhash_join",
+    "q_sketch_hll_intersect",
+    "q_analytics_attribution",
+    "q_sim_ann_pq_exact_regime",
+    "q_sim_ann_ivf_exact_regime",
+    "q_sim_ann_lsh_exact_regime",
+    "q_sim_ann_ivfpq_exact_regime",
+    "q_text_bm25",
+    "q_text_pmi",
     "q_text_lm_score",
-    "q_scan_snapshot_diff",
-    "q_agg_group",
-    "q_join_inner_hash",
-    "q_join_broadcast",
-    "q_join_asof",
-    "q_join_bucketed",
-    "q_join_bloom_prefilter",
-    "q_win_rank",
-    "q_topk_per_group",
-    "q_sort_limit",
+    "q_dedup_pipeline_e2e",
+    "q_sim_topk",
+    "q_dedup_minhash_est",
+    "q_graph_assortativity",
+    "q_sim_ann_multiprobe",
+    "q_embed_recall_audit",
+    "q_sketch_countmin",
+    "q_sim_ann_pq",
+    "q_dedup_lsh_bands",
+    "q_sketch_bloom_md5",
+    "q_ts_decompose",
+    "q_sim_ann_ivf",
+    "q_sim_ann_ivfpq",
+    "q_ts_mad_outliers",
+    "q_embed_knn_graph",
+    "q_sim_ann_lsh",
+    "q_agg_entropy",
     "q_set_except",
     "q_subquery_correlated",
     "q_filter_conj",
@@ -160,7 +146,6 @@ _FAMILY_REPRESENTATIVES = [
     "q_subquery_having",
     "q_win_percent",
     "q_win_ratio",
-    "q_win_median",
     "q_win_distinct",
     "q_fn_hof",
     "q_fn_try",
@@ -198,15 +183,11 @@ _FAMILY_REPRESENTATIVES = [
     "q_set_except_all",
     "q_join_nullsafe",
     "q_analytics_min_cost_supplier",
-    "q_dedup_minhash_est",
-    "q_dedup_lsh_bands",
     "q_dedup_simhash_md5",
     "q_dedup_keep_best",
     "q_graph_pagerank_exact",
-    "q_sketch_countmin",
     "q_sketch_hll_md5",
     "q_sketch_hll_merge",
-    "q_sketch_bloom_md5",
     "q_stream_countmin",
     "q_stream_hll",
     "q_ts_interpolate",
@@ -233,11 +214,9 @@ _FAMILY_REPRESENTATIVES = [
     "q_analytics_nation_volume",
     "q_analytics_parts_suppliers",
     "q_agg_regression",
-    "q_agg_entropy",
     "q_agg_winsorize",
     "q_sample_stratified",
     "q_sample_mix",
-    "q_sample_token_budget",
     "q_sink_shuffled_shards",
     "q_scan_json_corrupt",
     "q_scan_binaryfile",
@@ -262,8 +241,6 @@ _FAMILY_REPRESENTATIVES = [
     "q_stream_cdc_apply",
     "q_sample_time_split",
     "q_ts_downsample_ltob",
-    "q_agg_weighted_median",
-    "q_ts_mad_outliers",
     "q_text_keywords",
     "q_analytics_hhi",
     "q_analytics_time_to_convert",
@@ -278,12 +255,10 @@ _FAMILY_REPRESENTATIVES = [
     "q_scan_parquet_footer",
     "q_ts_kendall",
     "q_analytics_ltv_curve",
-    "q_sketch_hll_intersect",
     "q_diag_sequence_gaps",
     "q_diag_distribution_drift",
     "q_ts_rank_autocorr",
     "q_dedup_threshold_sweep",
-    "q_graph_assortativity",
     "q_analytics_wilson_rank",
     "q_ts_runs_test",
     "q_privacy_anonymity_ladder",
@@ -298,17 +273,12 @@ _FAMILY_REPRESENTATIVES = [
     "q_sample_class_balance",
     "q_analytics_survival",
     "q_dedup_posting_census",
-    "q_embed_recall_tuned",
     "q_dedup_near_capped",
     "q_stream_tws_topk",
-    "q_dedup_simhash_join",
     "q_text_cdc_chunks",
-    "q_dedup_pipeline_e2e",
     "q_sample_neyman",
     "q_graph_kcore",
     "q_analytics_retention_bitmap",
-    "q_agg_percentile_exact",
-    "q_embed_knn_graph",
     "q_pack_shards",
     "q_stream_observe",
     "q_diag_volume_anomaly",
@@ -329,8 +299,6 @@ _FAMILY_REPRESENTATIVES = [
     "q_udf_apply_in_arrow",
     "q_join_shuffle_hash",
     "q_analytics_lifecycle",
-    "q_embed_recall_audit",
-    "q_sim_ann_multiprobe",
     "q_graph_modularity",
     "q_ts_drawdown",
     "q_privacy_randomized_response",
@@ -343,16 +311,13 @@ _FAMILY_REPRESENTATIVES = [
     "q_privacy_dp_mean",
     "q_agg_multi_distinct",
     "q_stream_incremental_resume",
-    "q_analytics_attribution",
     "q_pipeline_ivm",
     "q_dedup_linkage_fs",
-    "q_ts_decompose",
     "q_analytics_diff_in_diff",
     "q_fn_soundex",
     "q_sink_manifest_checksum",
     "q_agg_crossmoments",
     "q_pipeline_feature_join",
-    "q_text_pmi",
     "q_diag_key_uniqueness",
     "q_sample_importance_weights",
     "q_layout_zorder",
@@ -365,13 +330,9 @@ _FAMILY_REPRESENTATIVES = [
     "q_pipeline_compact",
     "q_pipeline_expire",
     "q_agg_hll_sketch",
-    "q_sim_ann_ivf",
     "q_agg_approx_quantile",
     "q_dedup_minhash_lsh",
     "q_dedup_simhash",
-    "q_sim_ann_lsh",
-    "q_sim_ann_pq",
-    "q_sim_ann_ivfpq",
     "q_multimodal_frames",
     "q_agg_gini",
     "q_analytics_abc",
@@ -386,7 +347,6 @@ _FAMILY_REPRESENTATIVES = [
     "q_pipeline_versions",
     "q_embed_recall_ivfpq",
     "q_hl7_typed_vxu",
-    "q_hl7_ack_reconcile",
     "q_join_multiway_bucketed",
     "q_fn_sql_scripting",
     "q_fn_execute_immediate",
@@ -402,7 +362,6 @@ _FAMILY_REPRESENTATIVES = [
     "q_bench_canary_floor",
     "q_bench_canary_scan",
     "q_dedup_semantic_scaled",
-    "q_dedup_pipeline_e2e_full",
     "q_fn_time",
     "q_agg_approx_topk",
     "q_fn_group_by_all",
@@ -414,7 +373,6 @@ _FAMILY_REPRESENTATIVES = [
     "q_sample_kcenter",
     "q_join_interval_allocate",
     "q_agg_kth_selection",
-    "q_text_bm25",
     "q_multimodal_chunk_manifest",
     "q_analytics_fifo_depletion",
     "q_sample_bootstrap",
@@ -426,14 +384,9 @@ _FAMILY_REPRESENTATIVES = [
     "q_stream_ivm",
     "q_join_hierarchy_rollup",
     "q_privacy_dp_topk",
-    "q_sim_ann_ivf_exact_regime",
-    "q_sim_ann_lsh_exact_regime",
-    "q_sim_ann_pq_exact_regime",
-    "q_sim_ann_ivfpq_exact_regime",
     "q_agg_approx_quantile_exact_regime",
     "q_multimodal_wav_probe",
     "q_multimodal_bmp_probe",
-    "q_hl7_rrd_reconcile",
     "q_agg_approx_distinct_exact_regime",
     "q_agg_hll_sketch_exact_regime",
     "q_multimodal_frames_probe",
@@ -477,8 +430,6 @@ _FAMILY_REPRESENTATIVES = [
     "q_join_salted_skew",
     "q_join_semi",
     "q_udf_parse_er7_golden",
-    "q_text_bpe_apply",
-    "q_hl7_qbp_reconcile",
     "q_multimodal_jpeg_probe",
     "q_multimodal_jpeg_color_probe",
     "q_multimodal_jpeg420_probe",
@@ -506,7 +457,6 @@ _FAMILY_REPRESENTATIVES = [
     "q_scan_partition_prune",
     "q_scan_pysource",
     "q_scd2_dimension",
-    "q_sim_topk",
     "q_sink_partitioned_write",
     "q_stream_dedup_state",
     "q_stream_stateful_totals",
@@ -516,7 +466,6 @@ _FAMILY_REPRESENTATIVES = [
     "q_text_quality",
     "q_text_tfidf",
     "q_ts_anomaly",
-    "q_ts_concurrency",
     "q_ts_ewma",
     "q_ts_gapfill",
     "q_ts_sessionize",
@@ -526,7 +475,57 @@ _FAMILY_REPRESENTATIVES = [
     "q_scan_parquet",
     "q_scan_text_parse",
     "q_scan_json",
+    "q_multimodal_jpeg_progressive_probe",
+    "q_multimodal_png_palette_probe",
+    "q_multimodal_png_gray_probe",
+    "q_multimodal_png_subbyte_probe",
+    "q_multimodal_png_interlace_probe",
+    "q_multimodal_wav_float_probe",
+    "q_multimodal_mp4_probe",
+    "q_hl7_batch_deframe",
+    "q_join_self",
+    "q_agg_collect",
+    "q_fn_array",
+    "q_fn_map",
+    "q_win_lag",
+    "q_win_running",
+    "q_win_range_frame",
+    "q_win_ntile_firstlast",
+    "q_sort_multi",
+    "q_set_union",
+    "q_set_intersect",
+    "q_stream_sliding",
+    "q_stream_session",
+    "q_stream_watermark_late",
+    "q_stream_foreachbatch_route",
+    "q_stream_outer_join",
+    "q_sim_pairs",
+    "q_text_tokens",
+    "q_text_stats",
+    "q_pipeline_multikey_layout",
+    "q_embed_norm_filter",
+    "q_embed_centroid_cosine",
+    "q_dedup_minhash_sig",
+    "q_sample_weighted",
+    "q_stream_dedup_within_watermark",
+    "q_stream_session_dynamic",
+    "q_text_chunk",
+    "q_text_vocab_coverage",
+    "q_privacy_k_anon",
+    "q_privacy_date_shift",
+    "q_dedup_incremental",
+    "q_scan_snapshot_diff",
+    "q_agg_group",
+    "q_join_inner_hash",
+    "q_join_broadcast",
+    "q_join_asof",
+    "q_join_bucketed",
+    "q_join_bloom_prefilter",
+    "q_win_rank",
+    "q_topk_per_group",
+    "q_sort_limit",
 ]
+
 
 
 
