@@ -2017,6 +2017,9 @@ def q_text_bpe_merges(spark, sf_dir):
         F.expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
     ).select("word", "freq", "s")
     # bounded vocabulary relation: cache it — 3 iterations re-read it
+    # (r13: the lazy variant was A/B-measured a wash-to-loss here —
+    # 1.253 vs 1.248 s with the canary favoring the lazy session —
+    # unlike q_text_bpe_apply where lazy won; eager kept)
     syms = syms.localCheckpoint()
     best_rows = []
     for step in range(1, 4):
