@@ -381,11 +381,16 @@ def main() -> None:
     # (VERDICT r12 "scaling block"). q_dedup_pipeline_e2e_full is a
     # 32-way CPU-heavy minhash pipeline that measured 2.25 s at 32
     # cores vs 3.40 s at 8 in the r12 driver artifacts.
-    probe_runs = sorted(timed("q_dedup_pipeline_e2e_full", max(5, reps)))
-    extended["q_scaling_probe_dedup_e2e_full"] = probe_runs[0]
-    extended_medians["q_scaling_probe_dedup_e2e_full"] = probe_runs[
-        len(probe_runs) // 2
-    ]
+    # Two probes: the CPU-heavy dedup pipeline, and the collect_set +
+    # C(k,2) basket expansion — the strongest clean 8v32 differentiator
+    # in the r13 paired sessions (1.47 s @32 vs 2.34 s @8; the dedup
+    # pipeline's compute fraction shrank after its r12 optimization,
+    # so a second, plan-stable probe keeps the signal).
+    for probe in ("q_dedup_pipeline_e2e_full", "q_analytics_basket_pairs"):
+        probe_runs = sorted(timed(probe, max(5, reps)))
+        key = f"q_scaling_probe_{probe[2:]}"
+        extended[key] = probe_runs[0]
+        extended_medians[key] = probe_runs[len(probe_runs) // 2]
     # canaries get headline-grade reps: their reading IS the product
     canaries: dict[str, float] = {}
     for name in CANARIES:
@@ -436,8 +441,11 @@ def main() -> None:
                 "parallelism": parallelism,
                 "scaling_probe": {
                     "q_dedup_pipeline_e2e_full": extended[
-                        "q_scaling_probe_dedup_e2e_full"
-                    ]
+                        "q_scaling_probe_dedup_pipeline_e2e_full"
+                    ],
+                    "q_analytics_basket_pairs": extended[
+                        "q_scaling_probe_analytics_basket_pairs"
+                    ],
                 },
             }
         )
